@@ -1,13 +1,25 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the union of every implemented operator surface:
+  *   - relational substrate (SURVEY §2.7, graft.relational.Relational)
+  *   - graph algorithms (BFS / max-flow, graft.graph)
+  *   - training-data pipeline ops (dedup / similarity / text, graft.ops)
+  * Each key has a DuckDB-equivalent SQL in `oracleSql` unless the operator
+  * is not SQL-expressible (then the driver records a rows-only check).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    relational.Relational.q10_multi_join(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    relational.Relational.queries
+
+  def oracleSql: Map[String, String] =
+    relational.Relational.oracleSql
 }

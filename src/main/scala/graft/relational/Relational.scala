@@ -1,0 +1,207 @@
+package graft.relational
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** The relational parity surface (SURVEY §2.7): each query exercises the
+  * Spark primitive that a reference dataflow stage maps to, and is verified
+  * against a DuckDB oracle running the equivalent ANSI SQL on the same
+  * parquet files (driver harness, CORRECTNESS_r{N}.json).
+  *
+  * Floating-point discipline: any order-dependent aggregate (SUM/AVG over
+  * doubles) is computed on `decimal(18,2)` — exact, associative — and only
+  * then cast back to double, so Spark's partial-aggregation order and
+  * DuckDB's single-threaded fold produce bit-identical results. Every query
+  * ends in a total ORDER BY with a unique tiebreaker so row order is stable.
+  */
+object Relational {
+
+  /** Exact associative sum of a 2-decimal double column, surfaced as double. */
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  // Oracle-side equivalent of dsum
+  private def sqlDsum(x: String): String =
+    s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
+
+  def q1_scan(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .orderBy("l_orderkey", "l_linenumber")
+      .select("l_orderkey", "l_quantity")
+
+  def q2_filter(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("l_quantity") < 24)
+      .orderBy("l_orderkey", "l_linenumber")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net"))
+
+  def q3_agg(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        round(dsum(col("l_extendedprice")) / count(lit(1)), 6).as("avg_price"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  def q4_union_agg(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    li.select(col("l_suppkey").as("src"))
+      .unionAll(li.select(col("l_partkey").as("src")))
+      .groupBy("src").agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("src"))
+      .limit(100)
+  }
+
+  def q5_join(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val li = Tables.load(s, dir, "lineitem")
+    o.join(li, o("o_orderkey") === li("l_orderkey"))
+      .groupBy("o_orderkey", "o_totalprice")
+      .agg(count(col("l_linenumber")).as("n_items"))
+      .orderBy("o_orderkey")
+  }
+
+  def q6_broadcast_join(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+    val n = Tables.load(s, dir, "nation")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("n_name").agg(count(lit(1)).as("cnt"))
+      .orderBy("n_name")
+  }
+
+  def q7_anti_join(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val li = Tables.load(s, dir, "lineitem")
+    o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti")
+      .select("o_orderkey").orderBy("o_orderkey")
+  }
+
+  def q8_topk(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.load(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w).cast("long")) // DuckDB emits BIGINT
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  def q9_global_agg(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem").agg(
+      count(lit(1)).as("cnt"),
+      dsum(col("l_quantity")).as("sum_qty"),
+      min(col("l_shipdate")).as("min_ship"),
+      max(col("l_shipdate")).as("max_ship"))
+
+  def q10_multi_join(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.load(s, dir, "region")
+    val n = Tables.load(s, dir, "nation")
+    val c = Tables.load(s, dir, "customer")
+    val o = Tables.load(s, dir, "orders")
+    r.join(n, r("r_regionkey") === n("n_regionkey"))
+      .join(c, n("n_nationkey") === c("c_nationkey"))
+      .join(o, c("c_custkey") === o("o_custkey"))
+      .groupBy("r_name", "n_name")
+      .agg(dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("r_name", "n_name")
+  }
+
+  def q11_explode(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") <= 100)
+      .select(col("o_orderkey"),
+        explode(array(col("o_custkey"), col("o_custkey") + 1)).as("v"))
+      .orderBy("o_orderkey", "v")
+
+  def q12_intersect(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders").select("o_custkey")
+    val c = Tables.load(s, dir, "customer").select(col("c_custkey").as("o_custkey"))
+    o.intersect(c).orderBy("o_custkey")
+  }
+
+  def q14_events_agg(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+      .orderBy("user_id", "event_type")
+
+  def q15_date_trunc(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("d"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("d")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_scan" -> (q1_scan _),
+    "q2_filter" -> (q2_filter _),
+    "q3_agg" -> (q3_agg _),
+    "q4_union_agg" -> (q4_union_agg _),
+    "q5_join" -> (q5_join _),
+    "q6_broadcast_join" -> (q6_broadcast_join _),
+    "q7_anti_join" -> (q7_anti_join _),
+    "q8_topk" -> (q8_topk _),
+    "q9_global_agg" -> (q9_global_agg _),
+    "q10_multi_join" -> (q10_multi_join _),
+    "q11_explode" -> (q11_explode _),
+    "q12_intersect" -> (q12_intersect _),
+    "q14_events_agg" -> (q14_events_agg _),
+    "q15_date_trunc" -> (q15_date_trunc _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_scan" ->
+      "SELECT l_orderkey, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "q2_filter" ->
+      ("SELECT l_orderkey, l_extendedprice*(1-l_discount) AS net FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_quantity < 24 " +
+        "ORDER BY l_orderkey, l_linenumber"),
+    "q3_agg" ->
+      (s"SELECT l_returnflag, l_linestatus, ${sqlDsum("l_quantity")} AS sum_qty, " +
+        s"ROUND(${sqlDsum("l_extendedprice")} / COUNT(*), 6) AS avg_price, " +
+        "COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus " +
+        "ORDER BY l_returnflag, l_linestatus"),
+    "q4_union_agg" ->
+      ("SELECT src, COUNT(*) AS deg FROM (SELECT l_suppkey AS src FROM lineitem " +
+        "UNION ALL SELECT l_partkey FROM lineitem) GROUP BY src " +
+        "ORDER BY deg DESC, src LIMIT 100"),
+    "q5_join" ->
+      ("SELECT o_orderkey, o_totalprice, COUNT(l_linenumber) AS n_items FROM orders " +
+        "JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_orderkey, o_totalprice " +
+        "ORDER BY o_orderkey"),
+    "q6_broadcast_join" ->
+      ("SELECT n_name, COUNT(*) AS cnt FROM customer JOIN nation " +
+        "ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name"),
+    "q7_anti_join" ->
+      ("SELECT o_orderkey FROM orders WHERE o_orderkey NOT IN " +
+        "(SELECT l_orderkey FROM lineitem) ORDER BY o_orderkey"),
+    "q8_topk" ->
+      ("SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice, ROW_NUMBER() OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
+        "FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn"),
+    "q9_global_agg" ->
+      (s"SELECT COUNT(*) AS cnt, ${sqlDsum("l_quantity")} AS sum_qty, " +
+        "MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship FROM lineitem"),
+    "q10_multi_join" ->
+      (s"SELECT r_name, n_name, ${sqlDsum("o_totalprice")} AS sum_price FROM region " +
+        "JOIN nation ON r_regionkey = n_regionkey " +
+        "JOIN customer ON n_nationkey = c_nationkey " +
+        "JOIN orders ON c_custkey = o_custkey " +
+        "GROUP BY r_name, n_name ORDER BY r_name, n_name"),
+    "q11_explode" ->
+      ("SELECT o_orderkey, UNNEST(ARRAY[o_custkey, o_custkey+1]) AS v FROM orders " +
+        "WHERE o_orderkey <= 100 ORDER BY o_orderkey, v"),
+    "q12_intersect" ->
+      ("SELECT o_custkey FROM orders INTERSECT SELECT c_custkey FROM customer " +
+        "ORDER BY o_custkey"),
+    "q14_events_agg" ->
+      (s"SELECT user_id, event_type, COUNT(*) AS cnt, ${sqlDsum("value")} AS sum_value " +
+        "FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type"),
+    "q15_date_trunc" ->
+      ("SELECT DATE_TRUNC('day', ts) AS d, COUNT(*) AS cnt FROM events " +
+        "GROUP BY d ORDER BY d"))
+}
