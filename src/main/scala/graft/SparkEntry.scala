@@ -18,8 +18,8 @@ object SparkEntry {
     relational.Relational.q10_multi_join(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    relational.Relational.queries
+    relational.Relational.queries ++ graph.GraphQueries.queries
 
   def oracleSql: Map[String, String] =
-    relational.Relational.oracleSql
+    relational.Relational.oracleSql ++ graph.GraphQueries.oracleSql
 }

@@ -1,0 +1,59 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative frontier BFS (SURVEY §2.2 T10, §2.3 A7, §3.3; bfs/bfs.java).
+  *
+  * The reference encodes the frontier in a distance sign trick
+  * (bfs/bfs.java:92-103); here the frontier is simply the set of vertices
+  * first reached in the previous superstep. Per round: one hash-partitioned
+  * join frontier⋈edges (the shuffle the reference's map phase performs) +
+  * one anti-join against the visited set (the reference's min-combine A7).
+  *
+  * Scale notes: `edges` is re-used every round — persist it partitioned by
+  * `src` once so each superstep reuses the exchange; the visited set only
+  * grows, and `localCheckpoint` truncates the lineage so plan size stays
+  * O(1) in rounds, not O(rounds).
+  */
+object Bfs {
+
+  /** @param edges directed edge relation (src, dst) — pass both directions
+    *              for an undirected graph
+    * @param sources root vertex ids (distance 0)
+    * @param maxDepth stop after this many supersteps (a small-world graph
+    *                 converges in ~diameter rounds — bfs/bfs.java:218-222)
+    * @return DataFrame(node: Long, dist: Int), one row per reached vertex
+    */
+  def run(spark: SparkSession, edges: DataFrame, sources: Seq[Long],
+          maxDepth: Int = Int.MaxValue): DataFrame = {
+    import spark.implicits._
+    val adj = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var dist = sources.distinct.toDF("node")
+      .select(col("node").cast("long"), lit(0).as("dist"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = dist
+    var level = 0
+    var frontierSize = frontier.count()
+
+    while (frontierSize > 0 && level < maxDepth) {
+      level += 1
+      val next = frontier.join(adj, frontier("node") === adj("src"))
+        .select(adj("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .select(col("node"), lit(level).as("dist"))
+        .localCheckpoint(eager = true) // cut lineage: O(1) plan per round
+      val newDist = dist.unionAll(next).persist(StorageLevel.MEMORY_AND_DISK)
+      frontierSize = next.count()
+      dist.unpersist()
+      dist = newDist
+      frontier = next
+    }
+    adj.unpersist()
+    dist
+  }
+}

@@ -1,0 +1,374 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
+
+import scala.collection.mutable
+import scala.util.Random
+
+/** Distributed max-flow via bidirectional excess-path growth — the
+  * reference's ff1–ff5 algorithm family re-expressed as Spark supersteps
+  * (SURVEY §2/§3/§7).
+  *
+  * One round =
+  *   1. map over `Dataset[VertexState]`: refresh edge/path flows against
+  *      the broadcast accepted-flow deltas (T6/J2), prune saturated paths
+  *      (T7), extend a random eligible path toward each unvisited neighbor
+  *      (T8, ff5 `fset` memo T9), emitting delta-vertices;
+  *   2. shuffle on vertex id + merge (A1, K-bounded priority retention A5),
+  *      meet-in-the-middle concat of S×T pairs with cycle splice (J3);
+  *   3. collect candidates to the driver and greedily admit them against an
+  *      intra-round residual delta map (C1/C2 — Spark's driver plays the
+  *      reference's RMI ApServer);
+  *   4. broadcast the admitted deltas into the next round.
+  * Convergence per C3 (no accepted flow, no moves). Because the excess-path
+  * engine (like the reference's) is a heuristic search, an optional
+  * exactness cleanup runs classic shortest-augmenting-path (distributed
+  * residual BFS per path) until no augmenting path remains — guaranteeing
+  * the exact max-flow that the reference validates by known answers.
+  *
+  * Scale notes: per-round state is one shuffle of (masters ∪ deltas) — the
+  * ff1 topology-shuffling design; message volume is degree-bounded and
+  * memoized by fset; candidate traffic to the driver is bounded by
+  * `candidatesPerVertex` × (meet vertices), the same back-pressure as
+  * `mf.excess.list.max`. `localCheckpoint` per round keeps the plan O(1)
+  * in rounds.
+  */
+object MaxFlow {
+
+  /** Tuning parameters, mirroring the reference's `mf.*` configs
+    * (run:123-139): K = mf.excess.list.max, maxPathLength =
+    * mf.max.epath.length.
+    */
+  case class Config(
+      excessListMax: Int = 32,
+      maxPathLength: Int = 30,
+      candidatesPerVertex: Int = 16,
+      maxRounds: Int = 200,
+      seed: Long = 42L,
+      exactCleanup: Boolean = true)
+
+  case class Result(
+      flow: Long,
+      engineFlow: Long,
+      cleanupFlow: Long,
+      rounds: Int,
+      /** accumulated directed flow assignment (u,v) → f over all rounds */
+      assignment: Map[(Long, Long), Long])
+
+  /** Directed intra/inter-round flow deltas: (u,v) → additional flow u→v. */
+  type FlowDelta = Map[(Long, Long), Long]
+
+  private def effFlow(f: Long, a: Long, b: Long, d: FlowDelta): Long =
+    f + d.getOrElse((a, b), 0L) - d.getOrElse((b, a), 0L)
+
+  /** Phase 1: refresh + prune + extend (SURVEY T6–T9). Emits the updated
+    * master plus one delta-vertex per extension target.
+    */
+  private def stepVertex(v: VertexState, d: FlowDelta, round: Int, conf: Config,
+                         moves: LongAccumulator): Iterator[VertexState] = {
+    val adj2 = if (d.isEmpty) v.adj else v.adj.map { a =>
+      a.copy(flow = effFlow(a.flow, v.id, a.nbr, d))
+    }
+    def refresh(p: PathState): PathState =
+      if (d.isEmpty || p.length == 0) p
+      else {
+        val nf = new Array[Long](p.flows.length)
+        var i = 0
+        while (i < nf.length) {
+          nf(i) = effFlow(p.flows(i), p.nodes(i), p.nodes(i + 1), d)
+          i += 1
+        }
+        PathState(p.nodes, nf, p.caps)
+      }
+    val s2 = v.s.map(refresh).filter(_.potential > 0)
+    val t2 = v.t.map(refresh).filter(_.potential > 0)
+
+    // seeded randomness, ff1's Random(key*round) discipline
+    // (ff1/FordFulkerson.java:74) — reproducible across retries
+    val rng = new Random(v.id * 0x9E3779B97F4A7C15L + round)
+    val msgs = mutable.ArrayBuffer.empty[VertexState]
+    var fs = v.fsetS.toSet
+    var ft = v.fsetT.toSet
+    val empty = Array.empty[PathState]
+    val noAdj = Array.empty[Adj]
+    val noIds = Array.empty[Long]
+
+    if (s2.nonEmpty && v.id != GraphModel.SuperSink) {
+      for (a <- adj2) {
+        if (a.residualOut > 0 && !fs(a.nbr) && a.nbr != GraphModel.SuperSource) {
+          val eligible = s2.filter(p =>
+            p.length < conf.maxPathLength && !p.contains(a.nbr))
+          if (eligible.nonEmpty) {
+            val p = eligible(rng.nextInt(eligible.length))
+            val np = PathState(p.nodes :+ a.nbr, p.flows :+ a.flow, p.caps :+ a.capOut)
+            msgs += VertexState(a.nbr, noAdj, Array(np), empty, noIds, noIds)
+            fs += a.nbr
+            moves.add(1)
+          }
+        }
+      }
+    }
+    if (t2.nonEmpty && v.id != GraphModel.SuperSource) {
+      for (a <- adj2) {
+        if (a.residualIn > 0 && !ft(a.nbr) && a.nbr != GraphModel.SuperSink) {
+          val eligible = t2.filter(p =>
+            p.length < conf.maxPathLength && !p.contains(a.nbr))
+          if (eligible.nonEmpty) {
+            val p = eligible(rng.nextInt(eligible.length))
+            // new first hop nbr→v: flow seen from nbr = -a.flow, cap = capIn
+            val np = PathState(a.nbr +: p.nodes, (-a.flow) +: p.flows, a.capIn +: p.caps)
+            msgs += VertexState(a.nbr, noAdj, empty, Array(np), noIds, noIds)
+            ft += a.nbr
+            moves.add(1)
+          }
+        }
+      }
+    }
+    val master = VertexState(v.id, adj2, s2, t2, fs.toArray.sorted, ft.toArray.sorted)
+    Iterator(master) ++ msgs.iterator
+  }
+
+  /** Meet-in-the-middle concat with cycle splice (J3; ff1/Excess.java:48-68):
+    * walk the T path from the meet vertex; a node already on the combined
+    * path truncates it there (splicing the loop out), otherwise append.
+    */
+  private[graph] def concat(sp: PathState, tp: PathState): Option[Candidate] = {
+    val nodes = mutable.ArrayBuffer(sp.nodes: _*)
+    val flows = mutable.ArrayBuffer(sp.flows: _*)
+    val caps = mutable.ArrayBuffer(sp.caps: _*)
+    var j = 1
+    while (j < tp.nodes.length) {
+      val n = tp.nodes(j)
+      val idx = nodes.indexOf(n)
+      if (idx >= 0) {
+        nodes.remove(idx + 1, nodes.length - idx - 1)
+        flows.remove(idx, flows.length - idx)
+        caps.remove(idx, caps.length - idx)
+      } else {
+        nodes += n
+        flows += tp.flows(j - 1)
+        caps += tp.caps(j - 1)
+      }
+      j += 1
+    }
+    if (nodes.length < 2 || nodes.head != GraphModel.SuperSource ||
+        nodes.last != GraphModel.SuperSink) None
+    else {
+      val c = Candidate(nodes.toArray, flows.toArray, caps.toArray)
+      var q = Long.MaxValue
+      var i = 0
+      while (i < c.flows.length) { q = math.min(q, c.caps(i) - c.flows(i)); i += 1 }
+      if (q > 0) Some(c) else None
+    }
+  }
+
+  /** Phase 2: vertex merge (A1) with K-bounded priority retention (A5:
+    * potential desc, length asc — ff1/Vertex.java:118-131) plus candidate
+    * generation from pairs involving at least one newly-arrived path.
+    */
+  private def mergeVertex(id: Long, it: Iterator[VertexState], round: Int,
+                          conf: Config): (VertexState, Array[Candidate]) = {
+    val all = it.toArray
+    val master = all.find(_.adj.nonEmpty).getOrElse(all.head)
+    val deltas = all.filter(_ ne master)
+    val newS = dedupPaths(deltas.flatMap(_.s), master.s)
+    val newT = dedupPaths(deltas.flatMap(_.t), master.t)
+
+    val rng = new Random(id * 0xBF58476D1CE4E5B9L + round)
+    val cands = mutable.ArrayBuffer.empty[Candidate]
+    val pairs = mutable.ArrayBuffer.empty[(PathState, PathState)]
+    for (sp <- newS; tp <- master.t ++ newT) pairs += ((sp, tp))
+    for (sp <- master.s; tp <- newT) pairs += ((sp, tp))
+    val chosen =
+      if (pairs.length <= conf.candidatesPerVertex) pairs
+      else rng.shuffle(pairs).take(conf.candidatesPerVertex)
+    for ((sp, tp) <- chosen; c <- concat(sp, tp)) cands += c
+
+    val s = truncate(master.s ++ newS, conf.excessListMax)
+    val t = truncate(master.t ++ newT, conf.excessListMax)
+    (VertexState(id, master.adj, s, t, master.fsetS, master.fsetT), cands.toArray)
+  }
+
+  private def dedupPaths(incoming: Array[PathState],
+                         existing: Array[PathState]): Array[PathState] = {
+    val seen = mutable.HashSet.empty[Seq[Long]]
+    existing.foreach(p => seen += p.nodes.toSeq)
+    incoming.filter(p => seen.add(p.nodes.toSeq))
+  }
+
+  private def truncate(ps: Array[PathState], k: Int): Array[PathState] =
+    if (ps.length <= k) ps
+    else ps.sortBy(p => (-p.potential, p.length, p.nodes.mkString(","))).take(k)
+
+  /** Phase 3: driver-side greedy acceptance (C1/C2; ff1/Excess.java:265-305,
+    * ff2/ApServer.java:19-49). Candidates are shuffled (hotspot avoidance,
+    * ff2/ApServer.java:32-33) and admitted one by one against the
+    * intra-round delta map; admitted flow = min hop residual.
+    */
+  private[graph] def accept(cands: Array[Candidate], seed: Long): (Long, FlowDelta) = {
+    val rng = new Random(seed)
+    val order = rng.shuffle(cands.toVector)
+    val delta = mutable.HashMap.empty[(Long, Long), Long]
+    def get(k: (Long, Long)) = delta.getOrElse(k, 0L)
+    var total = 0L
+    for (c <- order) {
+      var q = Long.MaxValue
+      var i = 0
+      while (i < c.flows.length) {
+        val a = c.nodes(i); val b = c.nodes(i + 1)
+        val eff = c.flows(i) + get((a, b)) - get((b, a))
+        q = math.min(q, c.caps(i) - eff)
+        i += 1
+      }
+      if (c.flows.length > 0 && q > 0) {
+        i = 0
+        while (i < c.flows.length) {
+          val k = (c.nodes(i), c.nodes(i + 1))
+          delta.update(k, get(k) + q)
+          i += 1
+        }
+        total += q
+      }
+    }
+    (total, delta.toMap)
+  }
+
+  /** Run max-flow between `sources` and `sinks` over the directed edge
+    * relation `edges(src, dst, cap)`.
+    */
+  def run(spark: SparkSession, edges: DataFrame, sources: Seq[Long],
+          sinks: Seq[Long], conf: Config = Config()): Result = {
+    import spark.implicits._
+    require(sources.toSet.intersect(sinks.toSet).isEmpty,
+      "sources and sinks must be disjoint")
+    val sc = spark.sparkContext
+
+    var state: Dataset[VertexState] =
+      GraphBuilder.buildState(spark, edges, sources, sinks)
+        .localCheckpoint(eager = true)
+    var engineFlow = 0L
+    var round = 0
+    var pending: FlowDelta = Map.empty
+    val assignment = mutable.HashMap.empty[(Long, Long), Long]
+    var done = false
+
+    while (!done && round < conf.maxRounds) {
+      round += 1
+      val bc = sc.broadcast(pending)
+      val moves = sc.longAccumulator(s"moves-$round")
+      val merged = state
+        .flatMap(stepVertex(_, bc.value, round, conf, moves))
+        .groupByKey(_.id)
+        .mapGroups(mergeVertex(_, _, round, conf))
+        .localCheckpoint(eager = true) // materialize: accumulators valid now
+      val candidates = merged.flatMap(_._2).collect()
+      val (got, delta) = accept(candidates, conf.seed * 31 + round)
+      delta.foreach { case (k, v) =>
+        assignment.update(k, assignment.getOrElse(k, 0L) + v)
+      }
+      engineFlow += got
+      pending = delta
+      state = merged.map(_._1)
+      bc.destroy()
+      done = got == 0 && moves.value == 0
+    }
+    // flush any un-applied deltas into the state before cleanup
+    if (pending.nonEmpty) {
+      val bc = sc.broadcast(pending)
+      state = state.map(applyDeltaOnly(_, bc.value)).localCheckpoint(eager = true)
+      pending = Map.empty
+    }
+
+    var cleanupFlow = 0L
+    if (conf.exactCleanup) {
+      var found = true
+      while (found) {
+        findAugmentingPath(spark, state) match {
+          case Some(path) =>
+            val q = bottleneck(spark, state, path)
+            assert(q > 0, s"augmenting path with zero bottleneck: ${path.mkString("→")}")
+            val delta = path.sliding(2).map(h => (h(0), h(1)) -> q).toMap
+            delta.foreach { case (k, v) =>
+              assignment.update(k, assignment.getOrElse(k, 0L) + v)
+            }
+            val bc = sc.broadcast(delta)
+            state = state.map(applyDeltaOnly(_, bc.value)).localCheckpoint(eager = true)
+            cleanupFlow += q
+          case None => found = false
+        }
+      }
+    }
+    Result(engineFlow + cleanupFlow, engineFlow, cleanupFlow, round, assignment.toMap)
+  }
+
+  private def applyDeltaOnly(v: VertexState, d: FlowDelta): VertexState = {
+    val adj2 = v.adj.map(a => a.copy(flow = effFlow(a.flow, v.id, a.nbr, d)))
+    def refresh(p: PathState): PathState =
+      if (p.length == 0) p
+      else {
+        val nf = Array.tabulate(p.flows.length)(i =>
+          effFlow(p.flows(i), p.nodes(i), p.nodes(i + 1), d))
+        PathState(p.nodes, nf, p.caps)
+      }
+    VertexState(v.id, adj2, v.s.map(refresh).filter(_.potential > 0),
+      v.t.map(refresh).filter(_.potential > 0), v.fsetS, v.fsetT)
+  }
+
+  /** Distributed residual BFS with parent pointers; returns the vertex
+    * sequence supersource→supersink of one shortest augmenting path.
+    */
+  private def findAugmentingPath(spark: SparkSession,
+                                 state: Dataset[VertexState]): Option[Array[Long]] = {
+    import spark.implicits._
+    val adj = GraphBuilder.residualEdges(spark, state)
+      .repartition(col("src")).persist()
+    var dist = Seq((GraphModel.SuperSource, 0L)).toDF("node", "parent")
+      .persist()
+    var frontier = dist.select("node")
+    var reached = false
+    var frontierSize = 1L
+    while (!reached && frontierSize > 0) {
+      val next = frontier.join(adj, frontier("node") === adj("src"))
+        .select(adj("dst").as("node"), adj("src").as("parent"))
+        .groupBy("node").agg(min("parent").as("parent"))
+        .join(dist, Seq("node"), "left_anti")
+        .localCheckpoint(eager = true)
+      frontierSize = next.count()
+      val newDist = dist.unionAll(next).persist()
+      newDist.count()
+      dist.unpersist()
+      dist = newDist
+      frontier = next.select("node")
+      reached = next.filter(col("node") === GraphModel.SuperSink).count() > 0
+    }
+    adj.unpersist()
+    if (!reached) { dist.unpersist(); None }
+    else {
+      // backtrack parent chain; path length = BFS depth, one lookup per hop
+      val buf = mutable.ArrayBuffer(GraphModel.SuperSink)
+      var cur = GraphModel.SuperSink
+      while (cur != GraphModel.SuperSource) {
+        cur = dist.filter(col("node") === cur).select("parent").head().getLong(0)
+        buf += cur
+      }
+      dist.unpersist()
+      Some(buf.reverse.toArray)
+    }
+  }
+
+  /** Min residual along `path`, read from the authoritative vertex state. */
+  private def bottleneck(spark: SparkSession, state: Dataset[VertexState],
+                         path: Array[Long]): Long = {
+    import spark.implicits._
+    val ids = path.toSet
+    val rows = state.filter(v => ids.contains(v.id)).collect()
+    val adjOf = rows.map(v => v.id -> v.adj).toMap
+    path.sliding(2).map { h =>
+      adjOf(h(0)).find(_.nbr == h(1))
+        .getOrElse(sys.error(s"missing edge ${h(0)}→${h(1)}"))
+        .residualOut
+    }.min
+  }
+}

@@ -1,0 +1,83 @@
+package graft.graph
+
+import graft.TestSpark
+import graft.sources.GraphSources
+import org.scalatest.funsuite.AnyFunSuite
+
+class MaxFlowSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fixture(name: String): String =
+    getClass.getResource(s"/fixtures/$name").getPath
+
+  private def toDf(edges: Seq[(Long, Long, Long)]) = edges.toDF("src", "dst", "cap")
+
+  test("CLRS network: max-flow 23 (known answer, run:49-style)") {
+    val (edges, sources, sinks) = GraphSources.readDimacs(spark, fixture("clrs.dimacs"))
+    val r = MaxFlow.run(spark, edges, sources, sinks)
+    assert(r.flow == 23L, s"got $r")
+  }
+
+  test("disconnected sink: max-flow 0") {
+    val edges = Seq((10L, 11L, 5L), (12L, 13L, 5L))
+    val r = MaxFlow.run(spark, toDf(edges), Seq(10L), Seq(13L))
+    assert(r.flow == 0L)
+  }
+
+  test("max-flow equals Edmonds-Karp oracle on random graphs (SURVEY §5)") {
+    for (seed <- 1 to 4) {
+      val edges = EdmondsKarp.randomGraph(n = 10, edgeProb = 0.3, maxCap = 10, seed = seed)
+      val ids = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      if (ids.size >= 4) {
+        val sources = Seq(ids.head)
+        val sinks = Seq(ids.last)
+        val want = EdmondsKarp.maxFlow(edges, sources, sinks)
+        val got = MaxFlow.run(spark, toDf(edges), sources, sinks)
+        assert(got.flow == want, s"seed=$seed want=$want got=$got")
+      }
+    }
+  }
+
+  test("multi-source/multi-sink equals oracle") {
+    val edges = EdmondsKarp.randomGraph(n = 12, edgeProb = 0.25, maxCap = 5, seed = 99)
+    val ids = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val sources = ids.take(2)
+    val sinks = ids.takeRight(2)
+    val want = EdmondsKarp.maxFlow(edges, sources, sinks)
+    val got = MaxFlow.run(spark, toDf(edges), sources, sinks)
+    assert(got.flow == want)
+  }
+
+  test("flow conservation + capacity invariants on the assignment (ff1/Vertex.java:156-163)") {
+    val (edges, sources, sinks) = GraphSources.readDimacs(spark, fixture("clrs.dimacs"))
+    val r = MaxFlow.run(spark, edges, sources, sinks)
+    // net outflow per vertex from the accumulated directed assignment
+    val net = scala.collection.mutable.HashMap.empty[Long, Long].withDefaultValue(0L)
+    r.assignment.foreach { case ((u, v), f) => net(u) += f; net(v) -= f }
+    assert(net(1L) == r.flow, s"supersource outflow ${net(1L)} != ${r.flow}")
+    assert(net(2L) == -r.flow)
+    net.keys.filterNot(k => k == 1L || k == 2L).foreach { k =>
+      assert(net(k) == 0L, s"conservation violated at $k: ${net(k)}")
+    }
+    // |net flow| per undirected pair must be within capacity
+    val caps = edges.as[(Long, Long, Long)].collect()
+      .map(e => (e._1, e._2) -> e._3).toMap
+    val pairs = r.assignment.keySet.map { case (u, v) => (math.min(u, v), math.max(u, v)) }
+    pairs.filterNot(p => p._1 <= 2L).foreach { case (a, b) =>
+      val f = r.assignment.getOrElse((a, b), 0L) - r.assignment.getOrElse((b, a), 0L)
+      if (f > 0) assert(f <= caps.getOrElse((a, b), 0L), s"cap exceeded on $a→$b")
+      else assert(-f <= caps.getOrElse((b, a), 0L), s"cap exceeded on $b→$a")
+    }
+  }
+
+  test("path concat splices cycles (ff1/Excess.java:48-68)") {
+    // S: 1→3→4, T: 4→3→5→2 — shared node 3 must splice to 1→3→5→2
+    val sp = PathState(Array(1L, 3L, 4L), Array(0L, 0L), Array(5L, 5L))
+    val tp = PathState(Array(4L, 3L, 5L, 2L), Array(0L, 0L, 0L), Array(5L, 7L, 9L))
+    val c = MaxFlow.concat(sp, tp)
+    assert(c.isDefined)
+    assert(c.get.nodes.toSeq == Seq(1L, 3L, 5L, 2L))
+    assert(c.get.caps.toSeq == Seq(5L, 7L, 9L))
+  }
+}
