@@ -18,8 +18,14 @@ object SparkEntry {
     relational.Relational.q10_multi_join(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    relational.Relational.queries ++ graph.GraphQueries.queries
+    relational.Relational.queries ++ graph.GraphQueries.queries ++
+      ops.TextAnalysis.queries ++ ops.Dedup.queries ++
+      ops.Similarity.queries ++ ops.Sessionize.queries ++
+      ops.Multimodal.queries
 
   def oracleSql: Map[String, String] =
-    relational.Relational.oracleSql ++ graph.GraphQueries.oracleSql
+    relational.Relational.oracleSql ++ graph.GraphQueries.oracleSql ++
+      ops.TextAnalysis.oracleSql ++ ops.Dedup.oracleSql ++
+      ops.Similarity.oracleSql ++ ops.Sessionize.oracleSql ++
+      ops.Multimodal.oracleSql
 }

@@ -1,0 +1,309 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` / `embeddings` (builder brief:
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine).
+  *
+  * The test corpus has no natural duplicates, so each query synthesizes a
+  * *deterministic near-duplicate twin* per document (doc_id+100000, first
+  * 80% of tokens / a perturbed first vector component) inside the query —
+  * the dedup pipeline must then find exactly the twin pairs. Everything is
+  * expressed so Spark and the DuckDB oracle compute bit-identical results
+  * (integer Jaccard threshold tests, shared md5-based hash family,
+  * deterministic tiebreaks).
+  *
+  * Scale design (100 TB):
+  *  - exact dedup: one hash-shuffle on md5(text) — the canonical pattern.
+  *  - MinHash+LSH: linear signature pass (narrow) + shuffle by (band,hash)
+  *    whose fan-in is bucket-bounded; candidate verification joins only
+  *    bucket-collided pairs, never the full cross product.
+  *  - SimHash: narrow per-doc signature; near-dup lookup = equality join on
+  *    a prefix bucket.
+  *  - embedding near-dup: label-blocked pair join (blocking key keeps the
+  *    pair count linear-ish per block) — the unblocked brute force is
+  *    Similarity.ssCosineTopk's baseline.
+  */
+object Dedup {
+
+  /** Token corpus ∪ 80%-prefix twins (doc_id+100000), DuckDB side. */
+  private val corpusSql =
+    """corpus AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, toks[1:(len(toks) * 4) // 5] AS toks
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))""".stripMargin
+
+  private def docs(s: SparkSession, dir: String): Unit =
+    Tables.load(s, dir, "documents").createOrReplaceTempView("__docs")
+
+  /** Exact dedup: duplicate the corpus verbatim (twin keeps the text),
+    * group by md5(text), keep the lowest doc_id of each group — the
+    * canonical hash-groupBy exact dedup. Result = the original doc ids.
+    */
+  def ddExact(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """SELECT doc_id FROM (
+        |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text)
+        |                                    ORDER BY doc_id) AS rn
+        |  FROM (SELECT doc_id, text FROM __docs
+        |        UNION ALL
+        |        SELECT doc_id + 100000, text FROM __docs)
+        |) WHERE rn = 1 ORDER BY doc_id""".stripMargin)
+  }
+
+  /** MinHash + LSH banding near-dup detection over 3-word shingles
+    * (token-level sets are degenerate on a ~30-word vocabulary — nearly
+    * all pairs exceed the Jaccard threshold; shingles restore selectivity):
+    * 8 minhashes h_i = min over distinct shingles of md5(i:shingle) (the
+    * lexicographic min of a hex digest is a valid minhash permutation),
+    * 4 bands × 2 rows; bucket-join on (band, bandhash); candidates verified
+    * by exact shingle-set Jaccard ≥ 1/2 (integer test 3·|∩| ≥ |A|+|B|).
+    */
+  def ddMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      s"""WITH ${corpusSqlSparkified()},
+         |tok AS (
+         |  SELECT DISTINCT doc_id, explode(
+         |    CASE WHEN size(toks) >= 3
+         |         THEN transform(sequence(1, size(toks) - 2),
+         |                i -> concat(element_at(toks, i), ' ',
+         |                            element_at(toks, i + 1), ' ',
+         |                            element_at(toks, i + 2)))
+         |         ELSE array() END) AS tok
+         |  FROM corpus),
+         |sig AS (
+         |  SELECT doc_id, i, MIN(md5(concat(CAST(i AS STRING), ':', tok))) AS h
+         |  FROM tok LATERAL VIEW explode(sequence(0, 7)) AS i
+         |  GROUP BY doc_id, i),
+         |band AS (
+         |  SELECT doc_id, i div 2 AS band,
+         |         md5(concat(MIN(CASE WHEN i % 2 = 0 THEN h END),
+         |                    MIN(CASE WHEN i % 2 = 1 THEN h END))) AS bh
+         |  FROM sig GROUP BY doc_id, i div 2),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh
+         |  WHERE a.doc_id < b.doc_id),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+         |  FROM cand c
+         |  JOIN tok ta ON ta.doc_id = c.doc_a
+         |  JOIN tok tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+         |  GROUP BY c.doc_a, c.doc_b)
+         |SELECT i.doc_a, i.doc_b, i.inter,
+         |       ca.n + cb.n - i.inter AS uni
+         |FROM inter i
+         |JOIN cnt ca ON ca.doc_id = i.doc_a
+         |JOIN cnt cb ON cb.doc_id = i.doc_b
+         |WHERE 3 * i.inter >= ca.n + cb.n
+         |ORDER BY i.doc_a, i.doc_b""".stripMargin)
+  }
+
+  // Spark SQL lacks DuckDB's list-slice/`//`; inline the Spark corpus CTE.
+  private def corpusSqlSparkified(): String =
+    s"""corpus AS (
+       |  SELECT doc_id, split(text, ' ') AS toks FROM __docs
+       |  UNION ALL
+       |  SELECT doc_id + 100000 AS doc_id,
+       |         slice(toks, 1, (size(toks) * 4) div 5) AS toks
+       |  FROM (SELECT doc_id, split(text, ' ') AS toks FROM __docs))""".stripMargin
+
+  /** 16-bit SimHash signature per document over distinct tokens; bits come
+    * from md5 hex digits, the signature is the sign of the per-bit vote sum.
+    */
+  def ddSimhash(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, explode(split(text, ' ')) AS tok FROM __docs),
+        |bits AS (
+        |  SELECT doc_id, k,
+        |         2 * ((shiftright(instr('0123456789abcdef',
+        |                    substring(md5(tok), 1 + k div 4, 1)) - 1,
+        |                 k % 4)) & 1) - 1 AS vote
+        |  FROM tok LATERAL VIEW explode(sequence(0, 15)) AS k),
+        |votes AS (
+        |  SELECT doc_id, k, SUM(vote) AS s FROM bits GROUP BY doc_id, k)
+        |SELECT doc_id,
+        |       CAST(SUM(CASE WHEN s > 0 THEN shiftleft(1, k) ELSE 0 END) AS BIGINT)
+        |         AS simhash
+        |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  }
+
+  /** Word-bigram (2-shingle) Jaccard of each document against its 80%-prefix
+    * twin — the n-gram near-dup scoring primitive.
+    */
+  def ddNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      s"""WITH ${corpusSqlSparkified()},
+         |sh AS (
+         |  SELECT DISTINCT doc_id, explode(
+         |    CASE WHEN size(toks) >= 2
+         |         THEN transform(sequence(1, size(toks) - 1),
+         |                i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
+         |         ELSE array() END) AS sh
+         |  FROM corpus),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 100000 AND b.sh = a.sh
+         |  GROUP BY a.doc_id)
+         |SELECT i.doc_a, i.inter, ca.n + cb.n - i.inter AS uni,
+         |       ROUND(i.inter / (ca.n + cb.n - i.inter), 6) AS jaccard
+         |FROM inter i
+         |JOIN cnt ca ON ca.doc_id = i.doc_a
+         |JOIN cnt cb ON cb.doc_id = i.doc_a + 100000
+         |ORDER BY i.doc_a""".stripMargin)
+  }
+
+  /** Embedding-cosine near-dup: corpus ∪ perturbed twins (first component
+    * ×1.5), label-blocked pair join, cosine ≥ 0.9. Dot/norm are sequential
+    * left-to-right folds over doubles — identical in both engines.
+    */
+  def ddEmbedCos(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "embeddings").createOrReplaceTempView("__emb")
+    s.sql(
+      """WITH base AS (
+        |  SELECT vec_id, label,
+        |         transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM __emb),
+        |corpus AS (
+        |  SELECT vec_id, label, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 100000, label,
+        |         transform(v, (x, i) -> CASE WHEN i = 0 THEN x * 1.5 ELSE x END)
+        |  FROM base),
+        |norms AS (
+        |  SELECT vec_id, label, v,
+        |         sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x)) AS nrm
+        |  FROM corpus)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |       ROUND(aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D,
+        |               (acc, x) -> acc + x) / (a.nrm * b.nrm), 6) AS cos
+        |FROM norms a JOIN norms b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE ROUND(aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D,
+        |               (acc, x) -> acc + x) / (a.nrm * b.nrm), 6) >= 0.9
+        |ORDER BY vec_a, vec_b""".stripMargin)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_exact" -> (ddExact _),
+    "dd_minhash_lsh" -> (ddMinhashLsh _),
+    "dd_simhash" -> (ddSimhash _),
+    "dd_ngram_jaccard" -> (ddNgramJaccard _),
+    "dd_embed_cos" -> (ddEmbedCos _))
+
+  val oracleSql: Map[String, String] = Map(
+    "dd_exact" ->
+      """SELECT doc_id FROM (
+        |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text)
+        |                                    ORDER BY doc_id) AS rn
+        |  FROM (SELECT doc_id, text FROM documents
+        |        UNION ALL
+        |        SELECT doc_id + 100000, text FROM documents)
+        |) WHERE rn = 1 ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "dd_minhash_lsh" ->
+      s"""WITH $corpusSql,
+         |tok AS (
+         |  SELECT DISTINCT doc_id, unnest(
+         |    CASE WHEN len(toks) >= 3
+         |         THEN [toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+         |               FOR i IN generate_series(1, len(toks) - 2)]
+         |         ELSE [] END) AS tok
+         |  FROM corpus),
+         |sig AS (
+         |  SELECT doc_id, g.i, MIN(md5(i::VARCHAR || ':' || tok)) AS h
+         |  FROM tok CROSS JOIN generate_series(0, 7) g(i)
+         |  GROUP BY doc_id, g.i),
+         |band AS (
+         |  SELECT doc_id, i // 2 AS band,
+         |         md5(MIN(CASE WHEN i % 2 = 0 THEN h END) ||
+         |             MIN(CASE WHEN i % 2 = 1 THEN h END)) AS bh
+         |  FROM sig GROUP BY doc_id, i // 2),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh
+         |  WHERE a.doc_id < b.doc_id),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+         |  FROM cand c
+         |  JOIN tok ta ON ta.doc_id = c.doc_a
+         |  JOIN tok tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+         |  GROUP BY c.doc_a, c.doc_b)
+         |SELECT i.doc_a, i.doc_b, i.inter, ca.n + cb.n - i.inter AS uni
+         |FROM inter i
+         |JOIN cnt ca ON ca.doc_id = i.doc_a
+         |JOIN cnt cb ON cb.doc_id = i.doc_b
+         |WHERE 3 * i.inter >= ca.n + cb.n
+         |ORDER BY i.doc_a, i.doc_b""".stripMargin.replaceAll("\n", " "),
+    "dd_simhash" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |bits AS (
+        |  SELECT doc_id, g.k,
+        |         2 * (((strpos('0123456789abcdef',
+        |                  substr(md5(tok), 1 + k // 4, 1)) - 1)
+        |               >> (k % 4)) & 1) - 1 AS vote
+        |  FROM tok CROSS JOIN generate_series(0, 15) g(k)),
+        |votes AS (
+        |  SELECT doc_id, k, SUM(vote) AS s FROM bits GROUP BY doc_id, k)
+        |SELECT doc_id,
+        |       SUM(CASE WHEN s > 0 THEN 1 << k ELSE 0 END)::BIGINT AS simhash
+        |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "dd_ngram_jaccard" ->
+      s"""WITH $corpusSql,
+         |sh AS (
+         |  SELECT DISTINCT doc_id, unnest(
+         |    CASE WHEN len(toks) >= 2
+         |         THEN [toks[i] || ' ' || toks[i + 1]
+         |               FOR i IN generate_series(1, len(toks) - 1)]
+         |         ELSE [] END) AS sh
+         |  FROM corpus),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 100000 AND b.sh = a.sh
+         |  GROUP BY a.doc_id)
+         |SELECT i.doc_a, i.inter, ca.n + cb.n - i.inter AS uni,
+         |       ROUND(i.inter / (ca.n + cb.n - i.inter), 6) AS jaccard
+         |FROM inter i
+         |JOIN cnt ca ON ca.doc_id = i.doc_a
+         |JOIN cnt cb ON cb.doc_id = i.doc_a + 100000
+         |ORDER BY i.doc_a""".stripMargin.replaceAll("\n", " "),
+    "dd_embed_cos" ->
+      """WITH base AS (
+        |  SELECT vec_id, label,
+        |         [x::DOUBLE FOR x IN embedding] AS v
+        |  FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id, label, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 100000, label,
+        |         [CASE WHEN i = 1 THEN v[i] * 1.5 ELSE v[i] END
+        |          FOR i IN generate_series(1, len(v))]
+        |  FROM base),
+        |norms AS (
+        |  SELECT vec_id, label, v,
+        |         sqrt(list_sum([x * x FOR x IN v])) AS nrm
+        |  FROM corpus)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |       ROUND(list_sum([a.v[i] * b.v[i]
+        |                       FOR i IN generate_series(1, len(a.v))])
+        |             / (a.nrm * b.nrm), 6) AS cos
+        |FROM norms a JOIN norms b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE ROUND(list_sum([a.v[i] * b.v[i]
+        |                      FOR i IN generate_series(1, len(a.v))])
+        |            / (a.nrm * b.nrm), 6) >= 0.9
+        |ORDER BY vec_a, vec_b""".stripMargin.replaceAll("\n", " "))
+}

@@ -1,0 +1,106 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (builder brief): image/audio/video as opaque
+  * `binary` columns with typed metadata, decoded / feature-extracted in
+  * batched partition passes.
+  *
+  * The container has no media codecs, so the decode kernel is a STUB — a
+  * deterministic arithmetic fake over the payload bytes (clearly marked
+  * below). Everything around it is real and is what matters at 100 TB:
+  * the schema (binary payload + typed meta), the batched `mapPartitions`
+  * execution (one decoder instance per partition, streaming batches, no
+  * driver collect — the same execution shape as `mapInPandas` batches),
+  * and the column-pruned scan feeding it.
+  */
+object Multimodal {
+
+  /** A media record: payload is an opaque binary column. */
+  case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte])
+
+  /** Decoded metadata + a feature fingerprint. */
+  case class DecodedMedia(media_id: Long, kind: String, n_bytes: Long,
+                          width: Int, height: Int, n_frames: Int,
+                          feature_hash: String)
+
+  /** Decoder contract: one instance per partition, invoked per batch.
+    * A real deployment binds an image/audio library here.
+    */
+  trait MediaDecoder extends Serializable {
+    def decode(r: MediaRecord): DecodedMedia
+  }
+
+  /** STUB decoder — deterministic fake standing in for a codec. Real
+    * decode (JPEG/PNG/audio frames) is not implementable in this
+    * container; the arithmetic below is mirrored by the SQL oracle so the
+    * plumbing is still hash-verified end-to-end.
+    */
+  object StubDecoder extends MediaDecoder {
+    def decode(r: MediaRecord): DecodedMedia = {
+      val n = r.payload.length.toLong
+      DecodedMedia(r.media_id, r.kind, n,
+        width = (64 + n % 576).toInt,
+        height = (64 + (n * 7) % 456).toInt,
+        n_frames = if (r.kind == "video") (1 + n % 16).toInt else 1,
+        feature_hash = md5Hex(r.payload))
+    }
+    private def md5Hex(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(b)
+        .map("%02x".format(_)).mkString
+  }
+
+  /** Batched decode pass: Dataset[MediaRecord] → Dataset[DecodedMedia] via
+    * mapPartitions — the decoder initializes once per partition and streams
+    * records (the Spark-native analogue of a Pandas-UDF batch loop).
+    */
+  def decodeAll(ds: Dataset[MediaRecord], decoder: MediaDecoder): Dataset[DecodedMedia] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // per-partition decoder setup would go here (codec contexts, GPU…)
+      it.map(decoder.decode)
+    }
+  }
+
+  /** Synthesize a media table from `documents` (payload = utf8 bytes,
+    * kind by doc_id mod 3) — the container-safe stand-in for reading real
+    * image/audio columns.
+    */
+  def mediaFromDocs(s: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .selectExpr("doc_id AS media_id",
+        "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind",
+        "encode(text, 'UTF-8') AS payload")
+      .as[MediaRecord]
+  }
+
+  /** Driver-checkable query: full decode pass over the synthesized media
+    * table. The oracle mirrors the stub arithmetic in SQL.
+    */
+  def mmDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    decodeAll(mediaFromDocs(s, dir), StubDecoder)
+      .toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        col("width"), col("height"), col("n_frames"), col("feature_hash"))
+      .orderBy("media_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_decode" -> (mmDecode _))
+
+  val oracleSql: Map[String, String] = Map(
+    "mm_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  octet_length(encode(text))::BIGINT AS n_bytes,
+        |  (64 + octet_length(encode(text)) % 576)::INT AS width,
+        |  (64 + (octet_length(encode(text))::BIGINT * 7) % 456)::INT AS height,
+        |  (CASE WHEN doc_id % 3 = 2 THEN 1 + octet_length(encode(text)) % 16
+        |        ELSE 1 END)::INT AS n_frames,
+        |  md5(text) AS feature_hash
+        |FROM documents ORDER BY media_id""".stripMargin.replaceAll("\n", " "))
+}

@@ -1,0 +1,134 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Similarity search over the `embeddings` table (builder brief): exact
+  * brute-force cosine top-k as the baseline, and an LSH-bucketed
+  * (random-hyperplane SimHash) variant as the scale path.
+  *
+  * Scale design (100 TB): brute force is a query-side broadcast against a
+  * full scan — linear per query vector, the right baseline but O(Q·N).
+  * The LSH variant buckets both sides by a 4-bit hyperplane signature so
+  * the candidate join is an equality join on `bucket` (shuffle-partitioned,
+  * no cross product); recall is tunable by planes/probes. Cosine folds are
+  * sequential left-to-right over doubles → bit-identical in DuckDB.
+  *
+  * Tie-breaking: ranking uses the 6-decimal-rounded cosine with vec_id as
+  * tiebreaker, so rank order is stable across engines even at FP edges.
+  */
+object Similarity {
+
+  /** Brute-force exact cosine top-10 for query vectors vec_id < 5. */
+  def ssCosineTopk(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "embeddings").createOrReplaceTempView("__emb")
+    s.sql(
+      """WITH base AS (
+        |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM __emb),
+        |norms AS (
+        |  SELECT vec_id, v,
+        |         sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x)) AS nrm
+        |  FROM base),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         ROUND(aggregate(zip_with(q.v, c.v, (x, y) -> x * y), 0D,
+        |                 (acc, x) -> acc + x) / (q.nrm * c.nrm), 6) AS cos
+        |  FROM norms q JOIN norms c ON q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, cos, rn FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |                ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
+        |  FROM scored)
+        |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin)
+  }
+
+  /** LSH-bucketed approximate NN: 4 md5-derived random hyperplanes (±1
+    * coefficients) → 16 buckets; exact cosine top-5 among bucket-mates of
+    * each query vector vec_id < 20.
+    */
+  def ssLshAnn(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "embeddings").createOrReplaceTempView("__emb")
+    s.sql(
+      """WITH base AS (
+        |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM __emb),
+        |sig AS (
+        |  SELECT vec_id, v,
+        |         sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x)) AS nrm,
+        |         aggregate(transform(sequence(0, 3), j ->
+        |           CASE WHEN aggregate(transform(sequence(1, size(v)), i ->
+        |                  element_at(v, i) *
+        |                  (CASE WHEN (instr('0123456789abcdef',
+        |                         substring(md5(concat(CAST(j AS STRING), ':',
+        |                                   CAST(i AS STRING))), 1, 1)) - 1) % 2 = 0
+        |                        THEN CAST(1 AS DOUBLE)
+        |                        ELSE CAST(-1 AS DOUBLE) END)),
+        |                  0D, (acc, x) -> acc + x) > 0D
+        |                THEN shiftleft(1, j) ELSE 0 END),
+        |           0, (acc, x) -> acc + x) AS bucket
+        |  FROM base),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         ROUND(aggregate(zip_with(q.v, c.v, (x, y) -> x * y), 0D,
+        |                 (acc, x) -> acc + x) / (q.nrm * c.nrm), 6) AS cos
+        |  FROM sig q JOIN sig c
+        |    ON q.bucket = c.bucket AND q.vec_id < 20 AND c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, cos, rn FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |                ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
+        |  FROM scored)
+        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ss_cosine_topk" -> (ssCosineTopk _),
+    "ss_lsh_ann" -> (ssLshAnn _))
+
+  val oracleSql: Map[String, String] = Map(
+    "ss_cosine_topk" ->
+      """WITH base AS (
+        |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),
+        |norms AS (
+        |  SELECT vec_id, v, sqrt(list_sum([x * x FOR x IN v])) AS nrm FROM base),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         ROUND(list_sum([q.v[i] * c.v[i]
+        |                 FOR i IN generate_series(1, len(q.v))])
+        |               / (q.nrm * c.nrm), 6) AS cos
+        |  FROM norms q JOIN norms c ON q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, cos, rn FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |           ORDER BY cos DESC, neighbor_id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin.replaceAll("\n", " "),
+    "ss_lsh_ann" ->
+      """WITH base AS (
+        |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),
+        |sig AS (
+        |  SELECT vec_id, v, sqrt(list_sum([x * x FOR x IN v])) AS nrm,
+        |         list_sum([CASE WHEN list_sum([v[i] *
+        |             (CASE WHEN (strpos('0123456789abcdef',
+        |                    substr(md5(j::VARCHAR || ':' || i::VARCHAR), 1, 1)) - 1)
+        |                   % 2 = 0
+        |                   THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END)
+        |             FOR i IN generate_series(1, len(v))]) > 0
+        |           THEN 1 << j ELSE 0 END
+        |           FOR j IN generate_series(0, 3)])::INT AS bucket
+        |  FROM base),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         ROUND(list_sum([q.v[i] * c.v[i]
+        |                 FOR i IN generate_series(1, len(q.v))])
+        |               / (q.nrm * c.nrm), 6) AS cos
+        |  FROM sig q JOIN sig c
+        |    ON q.bucket = c.bucket AND q.vec_id < 20 AND c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, cos, rn FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |           ORDER BY cos DESC, neighbor_id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin.replaceAll("\n", " "))
+}

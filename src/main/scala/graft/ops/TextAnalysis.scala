@@ -1,0 +1,121 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table (builder brief:
+  * language-ID, quality scoring, token counting, document fingerprinting).
+  * All are single-pass, shuffle-free narrow transforms — at 100 TB they
+  * scan parquet with column pruning (only `doc_id`, `text`) and stream
+  * through whole-stage codegen; the only exchange is the final presentation
+  * ORDER BY, which a real pipeline would drop.
+  *
+  * Every expression is written to evaluate identically in Spark and DuckDB
+  * (same tokenization, same integer arithmetic, same fold order) so the
+  * driver's hash comparison is exact.
+  */
+object TextAnalysis {
+
+  /** Tokenizer shared by all ops: corpus text is single-space separated
+    * (verified in TESTDATA), so split-on-space == DuckDB string_split.
+    */
+  private val toks = "split(text, ' ')"
+
+  /** Token counting: whitespace tokens + a BPE-ish regex token count
+    * (alpha runs / digit runs — same RE2/Java semantics).
+    */
+  def taTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents").selectExpr(
+      "doc_id",
+      s"size($toks) AS n_tokens",
+      "size(regexp_extract_all(text, '[a-z]+|[0-9]+', 0)) AS n_re_tokens",
+      "length(text) AS n_chars_calc")
+      .orderBy("doc_id")
+
+  /** Quality scoring: stopword ratio, mean token length, composite score.
+    * Ratios are exact int/int divisions rounded to 6 — identical in both
+    * engines.
+    */
+  def taQuality(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents").selectExpr(
+      "doc_id",
+      s"size($toks) AS n_tokens",
+      s"size(filter($toks, t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'to')) AS n_stop")
+      .selectExpr(
+        "doc_id", "n_tokens", "n_stop",
+        "round(n_stop / n_tokens, 6) AS stop_ratio",
+        // CAST: Spark parses the 60.0 literal as DECIMAL and a decimal
+        // division would truncate the quotient; force double arithmetic
+        "round((CAST(n_tokens AS DOUBLE) / 60.0) * (1 - n_stop / n_tokens), 6) AS quality")
+      .orderBy("doc_id")
+
+  /** Language ID: marker-token voting (n-gram-heuristic family). Ties
+    * resolve in fixed order en > de > fr > es.
+    */
+  def taLangid(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents").selectExpr(
+      "doc_id",
+      s"size(filter($toks, t -> t = 'the' OR t = 'a' OR t = 'and')) AS sc_en",
+      s"size(filter($toks, t -> t = 'der' OR t = 'die' OR t = 'und')) AS sc_de",
+      s"size(filter($toks, t -> t = 'le' OR t = 'les' OR t = 'et')) AS sc_fr",
+      s"size(filter($toks, t -> t = 'el' OR t = 'los' OR t = 'y')) AS sc_es")
+      .selectExpr("doc_id",
+        """CASE WHEN sc_en >= sc_de AND sc_en >= sc_fr AND sc_en >= sc_es THEN 'en'
+          |     WHEN sc_de >= sc_fr AND sc_de >= sc_es THEN 'de'
+          |     WHEN sc_fr >= sc_es THEN 'fr'
+          |     ELSE 'es' END AS lang_pred""".stripMargin)
+      .orderBy("doc_id")
+
+  /** Document fingerprint: position-weighted polynomial hash over tokens —
+    * order-sensitive (anagram documents differ), integer-exact, and
+    * fold-free so both engines compute term-by-term identically:
+    * fp = Σ_i (ascii(t_i)*131 + len(t_i)) * ((i*2654435761) mod 1000003)
+    *      mod 1000000007.
+    */
+  def taFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents").selectExpr(
+      "doc_id",
+      s"""aggregate(
+         |  transform(sequence(1, size($toks)),
+         |    i -> (CAST(ascii(element_at($toks, i)) AS BIGINT) * 131
+         |          + length(element_at($toks, i)))
+         |         * ((CAST(i AS BIGINT) * 2654435761) % 1000003)),
+         |  0L, (acc, x) -> acc + x) % 1000000007 AS fp""".stripMargin)
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_tokens" -> (taTokens _),
+    "ta_quality" -> (taQuality _),
+    "ta_langid" -> (taLangid _),
+    "ta_fingerprint" -> (taFingerprint _))
+
+  private val sqlToks = "string_split(text, ' ')"
+
+  val oracleSql: Map[String, String] = Map(
+    "ta_tokens" ->
+      (s"SELECT doc_id, len($sqlToks) AS n_tokens, " +
+        "len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS n_re_tokens, " +
+        "length(text) AS n_chars_calc FROM documents ORDER BY doc_id"),
+    "ta_quality" ->
+      (s"SELECT doc_id, n_tokens, n_stop, round(n_stop / n_tokens, 6) AS stop_ratio, " +
+        "round((n_tokens::DOUBLE / 60.0) * (1 - n_stop / n_tokens), 6) AS quality FROM (" +
+        s"SELECT doc_id, len($sqlToks) AS n_tokens, " +
+        s"len(list_filter($sqlToks, t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'to')) AS n_stop " +
+        "FROM documents) ORDER BY doc_id"),
+    "ta_langid" ->
+      ("SELECT doc_id, CASE WHEN sc_en >= sc_de AND sc_en >= sc_fr AND sc_en >= sc_es THEN 'en' " +
+        "WHEN sc_de >= sc_fr AND sc_de >= sc_es THEN 'de' " +
+        "WHEN sc_fr >= sc_es THEN 'fr' ELSE 'es' END AS lang_pred FROM (" +
+        s"SELECT doc_id, " +
+        s"len(list_filter($sqlToks, t -> t = 'the' OR t = 'a' OR t = 'and')) AS sc_en, " +
+        s"len(list_filter($sqlToks, t -> t = 'der' OR t = 'die' OR t = 'und')) AS sc_de, " +
+        s"len(list_filter($sqlToks, t -> t = 'le' OR t = 'les' OR t = 'et')) AS sc_fr, " +
+        s"len(list_filter($sqlToks, t -> t = 'el' OR t = 'los' OR t = 'y')) AS sc_es " +
+        "FROM documents) ORDER BY doc_id"),
+    "ta_fingerprint" ->
+      ("SELECT doc_id, (COALESCE(list_sum(" +
+        "[(ascii(t[i])::BIGINT * 131 + length(t[i])) * ((i::BIGINT * 2654435761) % 1000003) " +
+        "FOR i IN generate_series(1, len(t))]), 0) % 1000000007)::BIGINT AS fp " +
+        s"FROM (SELECT doc_id, $sqlToks AS t FROM documents) ORDER BY doc_id"))
+}

@@ -1,0 +1,40 @@
+package graft.ops
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("batched decode pass: schema, determinism, stub arithmetic") {
+    val media = Multimodal.mediaFromDocs(spark, sf)
+    val decoded = Multimodal.decodeAll(media, Multimodal.StubDecoder).collect()
+    assert(decoded.length == media.count())
+    // deterministic: same input → same output across runs
+    val again = Multimodal.decodeAll(media, Multimodal.StubDecoder).collect()
+    assert(decoded.sortBy(_.media_id).toSeq == again.sortBy(_.media_id).toSeq)
+    // stub arithmetic holds record-by-record
+    val raw = media.collect().map(r => r.media_id -> r).toMap
+    decoded.foreach { d =>
+      val n = raw(d.media_id).payload.length.toLong
+      assert(d.n_bytes == n)
+      assert(d.width == 64 + n % 576)
+      assert(d.height == 64 + (n * 7) % 456)
+      assert(d.n_frames == (if (d.kind == "video") 1 + n % 16 else 1))
+      assert(d.feature_hash.length == 32)
+    }
+    // only video records get multi-frame sampling
+    assert(decoded.filter(_.kind != "video").forall(_.n_frames == 1))
+  }
+
+  test("pluggable decoder: a custom kernel slots into the same pass") {
+    val media = Multimodal.mediaFromDocs(spark, sf).limit(10)
+    val constDecoder = new Multimodal.MediaDecoder {
+      def decode(r: Multimodal.MediaRecord) =
+        Multimodal.DecodedMedia(r.media_id, r.kind, r.payload.length.toLong, 1, 1, 1, "p")
+    }
+    val out = Multimodal.decodeAll(media, constDecoder).collect()
+    assert(out.forall(d => d.width == 1 && d.feature_hash == "p"))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+/** Streaming == batch equivalence: the same transforms produce identical
+  * results whether fed a batch DataFrame or a MemoryStream (append mode,
+  * watermark-flushed by a sentinel event past every window).
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def eventsBatch = Tables.load(spark, sf, "events")
+    .select("event_id", "ts", "user_id", "event_type", "value")
+
+  private def runStreaming(transform: org.apache.spark.sql.DataFrame =>
+      org.apache.spark.sql.DataFrame, name: String,
+      dropSentinel: org.apache.spark.sql.Column): Array[Row] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = eventsBatch.as[Ev].collect().sortBy(_.ts.getTime)
+    val maxTs = data.map(_.ts.getTime).max
+    val stream = MemoryStream[Ev]
+    val q = transform(stream.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    stream.addData(data.toIndexedSeq)
+    q.processAllAvailable()
+    // sentinel far past every window: advances the watermark so append
+    // mode flushes all real sessions/windows
+    stream.addData(Ev(-1L, new Timestamp(maxTs + 24L * 3600 * 1000), -1L, "x", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).filter(dropSentinel).collect()
+  }
+
+  test("session_window streaming == batch (and agrees with ops.Sessionize)") {
+    val got = runStreaming(Streams.sessionWindowAgg, "sess_out", col("user_id") =!= -1L)
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = Streams.sessionWindowAgg(eventsBatch).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want)
+    // cross-check against the window-function sessionizer: same session
+    // count, same per-session starts and sums
+    val lagBased = graft.ops.Sessionize.evSessionize(spark, sf).collect()
+      .map(r => (r.getTimestamp(2), r.getLong(0), r.getLong(4), r.getDouble(5))).toSet
+    assert(want == lagBased)
+  }
+
+  test("tumbling window streaming == batch") {
+    val got = runStreaming(Streams.tumblingAgg, "tumb_out", col("event_type") =!= "x")
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = Streams.tumblingAgg(eventsBatch).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want)
+  }
+}
