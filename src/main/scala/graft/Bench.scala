@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen warm-up (no test data touched) so the first measured
+    // query doesn't absorb JIT + Spark bootstrap cost
+    spark.range(1000000).selectExpr("sum(id * 2)").collect()
+    spark.range(10000).selectExpr("id % 10 AS k", "id AS v")
+      .groupBy("k").sum("v").collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -46,11 +46,11 @@ object Bfs {
         .select(adj("dst").as("node")).distinct()
         .join(dist, Seq("node"), "left_anti")
         .select(col("node"), lit(level).as("dist"))
-        .localCheckpoint(eager = true) // cut lineage: O(1) plan per round
-      val newDist = dist.unionAll(next).persist(StorageLevel.MEMORY_AND_DISK)
+        // lazy checkpoint cuts lineage (O(1) plan per round) and caches on
+        // the count below — one job per level, not two
+        .localCheckpoint(eager = false)
       frontierSize = next.count()
-      dist.unpersist()
-      dist = newDist
+      dist = dist.unionAll(next)
       frontier = next
     }
     adj.unpersist()

@@ -47,7 +47,19 @@ object MaxFlow {
       candidatesPerVertex: Int = 16,
       maxRounds: Int = 200,
       seed: Long = 42L,
-      exactCleanup: Boolean = true)
+      exactCleanup: Boolean = true,
+      /** Residual-edge count up to which the exactness cleanup collects the
+        * residual graph and runs driver-side Edmonds-Karp in one pass (the
+        * same driver-as-sequential-commit-point role the reference gives
+        * its RMI ApServer). Above this, cleanup falls back to distributed
+        * per-path BFS. ~50M triples ≈ a few GB driver heap. */
+      driverCleanupMaxEdges: Long = 50000000L,
+      /** Stop the engine after this many consecutive zero-accept rounds
+        * once some flow has been found — the excess flood keeps "moving"
+        * long after all augmenting flow is in (the reference waits for the
+        * full C3 quiescence; we can cut the tail because the exactness
+        * cleanup catches anything the early stop misses). */
+      acceptPatience: Int = 3)
 
   case class Result(
       flow: Long,
@@ -240,9 +252,29 @@ object MaxFlow {
     */
   def run(spark: SparkSession, edges: DataFrame, sources: Seq[Long],
           sinks: Seq[Long], conf: Config = Config()): Result = {
-    import spark.implicits._
     require(sources.toSet.intersect(sinks.toSet).isEmpty,
       "sources and sinks must be disjoint")
+
+    // Size shuffle parallelism to the graph: a tiny fixture shouldn't pay
+    // for 32-partition exchanges every superstep, and a huge graph should
+    // not be squeezed below the session default. (The session value is
+    // restored on exit — this loop owns dozens of exchanges, the
+    // surrounding query none.)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val nEdges = edges.count()
+    val loopParts = math.max(2L, math.min(prevParts.toLong, nEdges / 20000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+
+    try {
+      runLoop(spark, edges, sources, sinks, conf)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+  }
+
+  private def runLoop(spark: SparkSession, edges: DataFrame, sources: Seq[Long],
+                      sinks: Seq[Long], conf: Config): Result = {
+    import spark.implicits._
     val sc = spark.sparkContext
 
     var state: Dataset[VertexState] =
@@ -253,6 +285,7 @@ object MaxFlow {
     var pending: FlowDelta = Map.empty
     val assignment = mutable.HashMap.empty[(Long, Long), Long]
     var done = false
+    var zeroStreak = 0
 
     while (!done && round < conf.maxRounds) {
       round += 1
@@ -272,7 +305,10 @@ object MaxFlow {
       pending = delta
       state = merged.map(_._1)
       bc.destroy()
-      done = got == 0 && moves.value == 0
+      zeroStreak = if (got == 0) zeroStreak + 1 else 0
+      // C3 quiescence, or early stop once found flow has gone stale
+      done = (got == 0 && moves.value == 0) ||
+        (engineFlow > 0 && zeroStreak >= conf.acceptPatience)
     }
     // flush any un-applied deltas into the state before cleanup
     if (pending.nonEmpty) {
@@ -283,20 +319,40 @@ object MaxFlow {
 
     var cleanupFlow = 0L
     if (conf.exactCleanup) {
-      var found = true
-      while (found) {
-        findAugmentingPath(spark, state) match {
-          case Some(path) =>
-            val q = bottleneck(spark, state, path)
-            assert(q > 0, s"augmenting path with zero bottleneck: ${path.mkString("→")}")
-            val delta = path.sliding(2).map(h => (h(0), h(1)) -> q).toMap
-            delta.foreach { case (k, v) =>
-              assignment.update(k, assignment.getOrElse(k, 0L) + v)
-            }
-            val bc = sc.broadcast(delta)
-            state = state.map(applyDeltaOnly(_, bc.value)).localCheckpoint(eager = true)
-            cleanupFlow += q
-          case None => found = false
+      val nResidual = state.map(_.adj.count(_.residualOut > 0).toLong)
+        .reduce(_ + _)
+      if (nResidual <= conf.driverCleanupMaxEdges) {
+        // Driver-side one-shot: collect the residual graph, run in-memory
+        // shortest-augmenting-path to exhaustion, broadcast the deltas
+        // back in a single distributed refresh.
+        val resid = state.flatMap(v =>
+          v.adj.withFilter(_.residualOut > 0).map(a => (v.id, a.nbr, a.residualOut)))
+          .collect()
+        val (extra, delta) = residualMaxFlowDriver(resid)
+        if (extra > 0) {
+          delta.foreach { case (k, v) =>
+            assignment.update(k, assignment.getOrElse(k, 0L) + v)
+          }
+          val bc = sc.broadcast(delta)
+          state = state.map(applyDeltaOnly(_, bc.value)).localCheckpoint(eager = true)
+          cleanupFlow = extra
+        }
+      } else {
+        var found = true
+        while (found) {
+          findAugmentingPath(spark, state) match {
+            case Some(path) =>
+              val q = bottleneck(spark, state, path)
+              assert(q > 0, s"augmenting path with zero bottleneck: ${path.mkString("→")}")
+              val delta = path.sliding(2).map(h => (h(0), h(1)) -> q).toMap
+              delta.foreach { case (k, v) =>
+                assignment.update(k, assignment.getOrElse(k, 0L) + v)
+              }
+              val bc = sc.broadcast(delta)
+              state = state.map(applyDeltaOnly(_, bc.value)).localCheckpoint(eager = true)
+              cleanupFlow += q
+            case None => found = false
+          }
         }
       }
     }
@@ -314,6 +370,60 @@ object MaxFlow {
       }
     VertexState(v.id, adj2, v.s.map(refresh).filter(_.potential > 0),
       v.t.map(refresh).filter(_.potential > 0), v.fsetS, v.fsetT)
+  }
+
+  /** Driver-side exhaustive augmentation over a collected residual graph:
+    * shortest-augmenting-path (BFS) until the supersink is unreachable.
+    * Returns (total extra flow, net directed deltas). This is the same
+    * "sequential commit point on the master" role the reference assigns
+    * its RMI ApServer (ff2/ApServer.java) — exactness without per-path
+    * distributed jobs.
+    */
+  private[graph] def residualMaxFlowDriver(
+      resid: Array[(Long, Long, Long)]): (Long, FlowDelta) = {
+    val cap = mutable.HashMap.empty[(Long, Long), Long]
+    resid.foreach { case (u, v, c) => cap.update((u, v), cap.getOrElse((u, v), 0L) + c) }
+    val adj = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
+    resid.foreach { case (u, v, _) =>
+      adj.getOrElseUpdate(u, mutable.ArrayBuffer.empty) += v
+      adj.getOrElseUpdate(v, mutable.ArrayBuffer.empty) += u // push-back arcs
+    }
+    adj.values.foreach { b => val d = b.distinct; b.clear(); b ++= d }
+    val flow = mutable.HashMap.empty[(Long, Long), Long].withDefaultValue(0L)
+    def residual(u: Long, v: Long): Long = cap.getOrElse((u, v), 0L) - flow((u, v))
+    var total = 0L
+    var go = true
+    while (go) {
+      val parent = mutable.HashMap.empty[Long, Long]
+      val q = mutable.Queue(GraphModel.SuperSource)
+      parent(GraphModel.SuperSource) = GraphModel.SuperSource
+      while (q.nonEmpty && !parent.contains(GraphModel.SuperSink)) {
+        val u = q.dequeue()
+        for (v <- adj.getOrElse(u, Nil)
+             if !parent.contains(v) && residual(u, v) > 0) {
+          parent(v) = u
+          q.enqueue(v)
+        }
+      }
+      if (!parent.contains(GraphModel.SuperSink)) go = false
+      else {
+        var bn = Long.MaxValue
+        var v = GraphModel.SuperSink
+        while (v != GraphModel.SuperSource) {
+          val u = parent(v); bn = math.min(bn, residual(u, v)); v = u
+        }
+        v = GraphModel.SuperSink
+        while (v != GraphModel.SuperSource) {
+          val u = parent(v)
+          flow((u, v)) += bn
+          flow((v, u)) -= bn
+          v = u
+        }
+        total += bn
+      }
+    }
+    val delta = flow.iterator.filter(_._2 > 0).map { case (k, f) => k -> f }.toMap
+    (total, delta)
   }
 
   /** Distributed residual BFS with parent pointers; returns the vertex
@@ -334,14 +444,17 @@ object MaxFlow {
         .select(adj("dst").as("node"), adj("src").as("parent"))
         .groupBy("node").agg(min("parent").as("parent"))
         .join(dist, Seq("node"), "left_anti")
-        .localCheckpoint(eager = true)
-      frontierSize = next.count()
-      val newDist = dist.unionAll(next).persist()
-      newDist.count()
-      dist.unpersist()
-      dist = newDist
+        // lazy checkpoint: breaks the self-join lineage (frontier derives
+        // from adj) without forcing an extra materialization job — the
+        // stats action below computes and caches it
+        .localCheckpoint(eager = false)
+      // single action per level: frontier size + sink-reached together
+      val stats = next.agg(count(lit(1)),
+        count(when(col("node") === GraphModel.SuperSink, lit(1)))).head()
+      frontierSize = stats.getLong(0)
+      reached = stats.getLong(1) > 0
+      dist = dist.unionAll(next).persist()
       frontier = next.select("node")
-      reached = next.filter(col("node") === GraphModel.SuperSink).count() > 0
     }
     adj.unpersist()
     if (!reached) { dist.unpersist(); None }

@@ -64,45 +64,49 @@ object Dedup {
     * by exact shingle-set Jaccard ≥ 1/2 (integer test 3·|∩| ≥ |A|+|B|).
     */
   def ddMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
     docs(s, dir)
-    s.sql(
-      s"""WITH ${corpusSqlSparkified()},
-         |tok AS (
-         |  SELECT DISTINCT doc_id, explode(
-         |    CASE WHEN size(toks) >= 3
-         |         THEN transform(sequence(1, size(toks) - 2),
-         |                i -> concat(element_at(toks, i), ' ',
-         |                            element_at(toks, i + 1), ' ',
-         |                            element_at(toks, i + 2)))
-         |         ELSE array() END) AS tok
-         |  FROM corpus),
-         |sig AS (
-         |  SELECT doc_id, i, MIN(md5(concat(CAST(i AS STRING), ':', tok))) AS h
-         |  FROM tok LATERAL VIEW explode(sequence(0, 7)) AS i
-         |  GROUP BY doc_id, i),
-         |band AS (
-         |  SELECT doc_id, i div 2 AS band,
-         |         md5(concat(MIN(CASE WHEN i % 2 = 0 THEN h END),
-         |                    MIN(CASE WHEN i % 2 = 1 THEN h END))) AS bh
-         |  FROM sig GROUP BY doc_id, i div 2),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh
-         |  WHERE a.doc_id < b.doc_id),
-         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
-         |inter AS (
-         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
-         |  FROM cand c
-         |  JOIN tok ta ON ta.doc_id = c.doc_a
-         |  JOIN tok tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
-         |  GROUP BY c.doc_a, c.doc_b)
-         |SELECT i.doc_a, i.doc_b, i.inter,
-         |       ca.n + cb.n - i.inter AS uni
-         |FROM inter i
-         |JOIN cnt ca ON ca.doc_id = i.doc_a
-         |JOIN cnt cb ON cb.doc_id = i.doc_b
-         |WHERE 3 * i.inter >= ca.n + cb.n
-         |ORDER BY i.doc_a, i.doc_b""".stripMargin)
+    // DataFrame API so the exploded shingle relation can be persisted:
+    // SQL CTEs are inlined and `tok` (the largest intermediate) would be
+    // recomputed for the signatures, the counts, and both sides of the
+    // intersection join — measured 3× slower.
+    val corpus = s.sql(s"WITH ${corpusSqlSparkified()} SELECT * FROM corpus")
+    val tok = corpus.selectExpr("doc_id",
+        """explode(CASE WHEN size(toks) >= 3
+          |  THEN transform(sequence(1, size(toks) - 2),
+          |         i -> concat(element_at(toks, i), ' ',
+          |                     element_at(toks, i + 1), ' ',
+          |                     element_at(toks, i + 2)))
+          |  ELSE array() END) AS tok""".stripMargin)
+      .distinct()
+      .persist()
+    // explode + hash-aggregate keeps md5 inside whole-stage codegen, and
+    // partial aggregation halves the signature shuffle
+    val sig = tok
+      .select(col("doc_id"), col("tok"), explode(expr("sequence(0, 7)")).as("i"))
+      .groupBy("doc_id", "i")
+      .agg(min(md5(concat(col("i").cast("string"), lit(":"), col("tok")))).as("h"))
+    val band = sig.groupBy(col("doc_id"), expr("i div 2").as("band"))
+      .agg(md5(concat(
+        min(when(col("i") % 2 === 0, col("h"))),
+        min(when(col("i") % 2 === 1, col("h"))))).as("bh"))
+    val cand = band.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+      .join(band.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val cnt = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(tok.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
+      .join(tok.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .filter(lit(3) * col("inter") >= col("na") + col("nb"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("uni"))
+      .orderBy("doc_a", "doc_b")
   }
 
   // Spark SQL lacks DuckDB's list-slice/`//`; inline the Spark corpus CTE.
@@ -168,8 +172,13 @@ object Dedup {
     * left-to-right folds over doubles — identical in both engines.
     */
   def ddEmbedCos(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.functions.GraftFunctions.register(s)
     Tables.load(s, dir, "embeddings").createOrReplaceTempView("__emb")
-    s.sql(
+    // scored pairs are persisted before the threshold filter: predicate
+    // pushdown would otherwise substitute the cosine fold into the WHERE
+    // clause and evaluate the 64-element aggregate twice per pair
+    val scored = s.sql(
       """WITH base AS (
         |  SELECT vec_id, label,
         |         transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -182,16 +191,14 @@ object Dedup {
         |  FROM base),
         |norms AS (
         |  SELECT vec_id, label, v,
-        |         sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x)) AS nrm
+        |         sqrt(graft_dot(v, v)) AS nrm
         |  FROM corpus)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |       ROUND(aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D,
-        |               (acc, x) -> acc + x) / (a.nrm * b.nrm), 6) AS cos
+        |       ROUND(graft_dot(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
         |FROM norms a JOIN norms b
-        |  ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE ROUND(aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D,
-        |               (acc, x) -> acc + x) / (a.nrm * b.nrm), 6) >= 0.9
-        |ORDER BY vec_a, vec_b""".stripMargin)
+        |  ON a.label = b.label AND a.vec_id < b.vec_id""".stripMargin)
+      .localCheckpoint(eager = false)
+    scored.filter(col("cos") >= 0.9).orderBy("vec_a", "vec_b")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -21,6 +21,7 @@ object Similarity {
 
   /** Brute-force exact cosine top-10 for query vectors vec_id < 5. */
   def ssCosineTopk(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.load(s, dir, "embeddings").createOrReplaceTempView("__emb")
     s.sql(
       """WITH base AS (
@@ -28,13 +29,13 @@ object Similarity {
         |  FROM __emb),
         |norms AS (
         |  SELECT vec_id, v,
-        |         sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x)) AS nrm
+        |         sqrt(graft_dot(v, v)) AS nrm
         |  FROM base),
         |scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |         ROUND(aggregate(zip_with(q.v, c.v, (x, y) -> x * y), 0D,
-        |                 (acc, x) -> acc + x) / (q.nrm * c.nrm), 6) AS cos
-        |  FROM norms q JOIN norms c ON q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        |         ROUND(graft_dot(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos
+        |  FROM (SELECT * FROM norms WHERE vec_id < 5) q
+        |  JOIN norms c ON c.vec_id <> q.vec_id)
         |SELECT query_id, neighbor_id, cos, rn FROM (
         |  SELECT query_id, neighbor_id, cos,
         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -43,37 +44,50 @@ object Similarity {
         |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin)
   }
 
+  /** The ±1 hyperplane coefficient matrix (4 planes × 64 dims), derived
+    * from md5 parity — computed ONCE on the driver and shipped as a
+    * literal, instead of re-evaluating 256 md5 calls per row (the DuckDB
+    * oracle recomputes the same family inline; values are identical).
+    */
+  private[ops] def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    def coef(j: Int, i: Int): Double = {
+      val hex = digest.digest(s"$j:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val nibble = "0123456789abcdef".indexOf(hex.charAt(0))
+      if (nibble % 2 == 0) 1.0 else -1.0
+    }
+    (0 until nPlanes).map(j => (1 to dim).map(i => coef(j, i)))
+  }
+
   /** LSH-bucketed approximate NN: 4 md5-derived random hyperplanes (±1
     * coefficients) → 16 buckets; exact cosine top-5 among bucket-mates of
-    * each query vector vec_id < 20.
+    * each query vector vec_id < 20. Bucketing is a narrow map; the only
+    * shuffle is the equality join on `bucket`.
     */
   def ssLshAnn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.load(s, dir, "embeddings").createOrReplaceTempView("__emb")
+    val planesSql = planes(4, 64)
+      .map(p => s"array(${p.map(c => s"${c}D").mkString(",")})")
+      .mkString("array(", ",", ")")
     s.sql(
-      """WITH base AS (
+      s"""WITH base AS (
         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM __emb),
         |sig AS (
         |  SELECT vec_id, v,
-        |         sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x)) AS nrm,
+        |         sqrt(graft_dot(v, v)) AS nrm,
         |         aggregate(transform(sequence(0, 3), j ->
-        |           CASE WHEN aggregate(transform(sequence(1, size(v)), i ->
-        |                  element_at(v, i) *
-        |                  (CASE WHEN (instr('0123456789abcdef',
-        |                         substring(md5(concat(CAST(j AS STRING), ':',
-        |                                   CAST(i AS STRING))), 1, 1)) - 1) % 2 = 0
-        |                        THEN CAST(1 AS DOUBLE)
-        |                        ELSE CAST(-1 AS DOUBLE) END)),
-        |                  0D, (acc, x) -> acc + x) > 0D
+        |           CASE WHEN graft_dot(v, element_at($planesSql, j + 1)) > 0D
         |                THEN shiftleft(1, j) ELSE 0 END),
         |           0, (acc, x) -> acc + x) AS bucket
         |  FROM base),
         |scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |         ROUND(aggregate(zip_with(q.v, c.v, (x, y) -> x * y), 0D,
-        |                 (acc, x) -> acc + x) / (q.nrm * c.nrm), 6) AS cos
-        |  FROM sig q JOIN sig c
-        |    ON q.bucket = c.bucket AND q.vec_id < 20 AND c.vec_id <> q.vec_id)
+        |         ROUND(graft_dot(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos
+        |  FROM (SELECT * FROM sig WHERE vec_id < 20) q JOIN sig c
+        |    ON q.bucket = c.bucket AND c.vec_id <> q.vec_id)
         |SELECT query_id, neighbor_id, cos, rn FROM (
         |  SELECT query_id, neighbor_id, cos,
         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
