@@ -6,16 +6,14 @@ object MfProbe {
       .config("spark.sql.shuffle.partitions","8")
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val edges = graph.GraphQueries.q16Edges(spark, "/root/testdata/sf0.1")
-      .persist()
+    val edges = graph.GraphQueries.q16Edges(spark, "/root/testdata/sf0.1").persist()
     println(s"PROBE edges=${edges.count()}")
     var t0 = System.nanoTime()
-    val rNo = graph.MaxFlow.run(spark, edges, 10L to 12L, 1000010L to 1000012L,
-      graph.MaxFlow.Config(exactCleanup = false))
-    println(f"PROBE engine-only flow=${rNo.flow} rounds=${rNo.rounds} t=${(System.nanoTime()-t0)/1e9}%.1f s")
+    val v1 = graph.MaxFlow.run(spark, edges, 10L to 12L, 1000010L to 1000012L)
+    println(f"PROBE v1 flow=${v1.flow} rounds=${v1.rounds} t=${(System.nanoTime()-t0)/1e9}%.1f s")
     t0 = System.nanoTime()
-    val r = graph.MaxFlow.run(spark, edges, 10L to 12L, 1000010L to 1000012L)
-    println(f"PROBE full flow=${r.flow} engine=${r.engineFlow} cleanup=${r.cleanupFlow} rounds=${r.rounds} t=${(System.nanoTime()-t0)/1e9}%.1f s")
+    val v2 = graph.MaxFlowSchimmy.run(spark, edges, 10L to 12L, 1000010L to 1000012L)
+    println(f"PROBE v2-schimmy flow=${v2.flow} rounds=${v2.rounds} t=${(System.nanoTime()-t0)/1e9}%.1f s")
     spark.stop()
   }
 }

@@ -59,7 +59,12 @@ object MaxFlow {
         * long after all augmenting flow is in (the reference waits for the
         * full C3 quiescence; we can cut the tail because the exactness
         * cleanup catches anything the early stop misses). */
-      acceptPatience: Int = 3)
+      acceptPatience: Int = 3,
+      /** K-truncation policy (A5/A6): "priority" = bounded best-first
+        * (potential desc, length asc — ff1/Vertex.java:118-131);
+        * "random" = seeded random retention (ff2/ff3/ff4,
+        * ff3/ReduceFF.java:60-71). */
+      truncation: String = "priority")
 
   case class Result(
       flow: Long,
@@ -67,12 +72,15 @@ object MaxFlow {
       cleanupFlow: Long,
       rounds: Int,
       /** accumulated directed flow assignment (u,v) → f over all rounds */
-      assignment: Map[(Long, Long), Long])
+      assignment: Map[(Long, Long), Long],
+      /** accepted augmenting paths (vertex sequence, admitted flow) —
+        * the reference's flowpaths output (ff1/Vertex.java:171-188) */
+      paths: Seq[(Seq[Long], Long)])
 
   /** Directed intra/inter-round flow deltas: (u,v) → additional flow u→v. */
   type FlowDelta = Map[(Long, Long), Long]
 
-  private def effFlow(f: Long, a: Long, b: Long, d: FlowDelta): Long =
+  private[graph] def effFlow(f: Long, a: Long, b: Long, d: FlowDelta): Long =
     f + d.getOrElse((a, b), 0L) - d.getOrElse((b, a), 0L)
 
   /** Phase 1: refresh + prune + extend (SURVEY T6–T9). Emits the updated
@@ -180,7 +188,7 @@ object MaxFlow {
     * potential desc, length asc — ff1/Vertex.java:118-131) plus candidate
     * generation from pairs involving at least one newly-arrived path.
     */
-  private def mergeVertex(id: Long, it: Iterator[VertexState], round: Int,
+  private[graph] def mergeVertex(id: Long, it: Iterator[VertexState], round: Int,
                           conf: Config): (VertexState, Array[Candidate]) = {
     val all = it.toArray
     val master = all.find(_.adj.nonEmpty).getOrElse(all.head)
@@ -198,31 +206,42 @@ object MaxFlow {
       else rng.shuffle(pairs).take(conf.candidatesPerVertex)
     for ((sp, tp) <- chosen; c <- concat(sp, tp)) cands += c
 
-    val s = truncate(master.s ++ newS, conf.excessListMax)
-    val t = truncate(master.t ++ newT, conf.excessListMax)
+    val s = truncate(master.s ++ newS, conf, id, round)
+    val t = truncate(master.t ++ newT, conf, id, round)
     (VertexState(id, master.adj, s, t, master.fsetS, master.fsetT), cands.toArray)
   }
 
-  private def dedupPaths(incoming: Array[PathState],
+  private[graph] def dedupPaths(incoming: Array[PathState],
                          existing: Array[PathState]): Array[PathState] = {
     val seen = mutable.HashSet.empty[Seq[Long]]
     existing.foreach(p => seen += p.nodes.toSeq)
     incoming.filter(p => seen.add(p.nodes.toSeq))
   }
 
-  private def truncate(ps: Array[PathState], k: Int): Array[PathState] =
+  private def truncate(ps: Array[PathState], conf: Config, id: Long,
+                       round: Int): Array[PathState] = {
+    val k = conf.excessListMax
     if (ps.length <= k) ps
-    else ps.sortBy(p => (-p.potential, p.length, p.nodes.mkString(","))).take(k)
+    else if (conf.truncation == "random") {
+      // ff2-ff4 semantics: keep a seeded random K-subset (hotspot avoidance)
+      val rng = new Random(id * 0x2545F4914F6CDD1DL + round)
+      rng.shuffle(ps.toVector).take(k).toArray
+    } else {
+      ps.sortBy(p => (-p.potential, p.length, p.nodes.mkString(","))).take(k)
+    }
+  }
 
   /** Phase 3: driver-side greedy acceptance (C1/C2; ff1/Excess.java:265-305,
     * ff2/ApServer.java:19-49). Candidates are shuffled (hotspot avoidance,
     * ff2/ApServer.java:32-33) and admitted one by one against the
     * intra-round delta map; admitted flow = min hop residual.
     */
-  private[graph] def accept(cands: Array[Candidate], seed: Long): (Long, FlowDelta) = {
+  private[graph] def accept(cands: Array[Candidate],
+      seed: Long): (Long, FlowDelta, Seq[(Seq[Long], Long)]) = {
     val rng = new Random(seed)
     val order = rng.shuffle(cands.toVector)
     val delta = mutable.HashMap.empty[(Long, Long), Long]
+    val accepted = mutable.ArrayBuffer.empty[(Seq[Long], Long)]
     def get(k: (Long, Long)) = delta.getOrElse(k, 0L)
     var total = 0L
     for (c <- order) {
@@ -242,9 +261,10 @@ object MaxFlow {
           i += 1
         }
         total += q
+        accepted += ((c.nodes.toSeq, q))
       }
     }
-    (total, delta.toMap)
+    (total, delta.toMap, accepted.toSeq)
   }
 
   /** Run max-flow between `sources` and `sinks` over the directed edge
@@ -284,6 +304,7 @@ object MaxFlow {
     var round = 0
     var pending: FlowDelta = Map.empty
     val assignment = mutable.HashMap.empty[(Long, Long), Long]
+    val allPaths = mutable.ArrayBuffer.empty[(Seq[Long], Long)]
     var done = false
     var zeroStreak = 0
 
@@ -297,7 +318,8 @@ object MaxFlow {
         .mapGroups(mergeVertex(_, _, round, conf))
         .localCheckpoint(eager = true) // materialize: accumulators valid now
       val candidates = merged.flatMap(_._2).collect()
-      val (got, delta) = accept(candidates, conf.seed * 31 + round)
+      val (got, delta, roundPaths) = accept(candidates, conf.seed * 31 + round)
+      allPaths ++= roundPaths
       delta.foreach { case (k, v) =>
         assignment.update(k, assignment.getOrElse(k, 0L) + v)
       }
@@ -328,7 +350,8 @@ object MaxFlow {
         val resid = state.flatMap(v =>
           v.adj.withFilter(_.residualOut > 0).map(a => (v.id, a.nbr, a.residualOut)))
           .collect()
-        val (extra, delta) = residualMaxFlowDriver(resid)
+        val (extra, delta, cleanPaths) = residualMaxFlowDriver(resid)
+        allPaths ++= cleanPaths
         if (extra > 0) {
           delta.foreach { case (k, v) =>
             assignment.update(k, assignment.getOrElse(k, 0L) + v)
@@ -345,6 +368,7 @@ object MaxFlow {
               val q = bottleneck(spark, state, path)
               assert(q > 0, s"augmenting path with zero bottleneck: ${path.mkString("→")}")
               val delta = path.sliding(2).map(h => (h(0), h(1)) -> q).toMap
+              allPaths += ((path.toSeq, q))
               delta.foreach { case (k, v) =>
                 assignment.update(k, assignment.getOrElse(k, 0L) + v)
               }
@@ -356,10 +380,11 @@ object MaxFlow {
         }
       }
     }
-    Result(engineFlow + cleanupFlow, engineFlow, cleanupFlow, round, assignment.toMap)
+    Result(engineFlow + cleanupFlow, engineFlow, cleanupFlow, round,
+      assignment.toMap, allPaths.toSeq)
   }
 
-  private def applyDeltaOnly(v: VertexState, d: FlowDelta): VertexState = {
+  private[graph] def applyDeltaOnly(v: VertexState, d: FlowDelta): VertexState = {
     val adj2 = v.adj.map(a => a.copy(flow = effFlow(a.flow, v.id, a.nbr, d)))
     def refresh(p: PathState): PathState =
       if (p.length == 0) p
@@ -380,7 +405,7 @@ object MaxFlow {
     * distributed jobs.
     */
   private[graph] def residualMaxFlowDriver(
-      resid: Array[(Long, Long, Long)]): (Long, FlowDelta) = {
+      resid: Array[(Long, Long, Long)]): (Long, FlowDelta, Seq[(Seq[Long], Long)]) = {
     val cap = mutable.HashMap.empty[(Long, Long), Long]
     resid.foreach { case (u, v, c) => cap.update((u, v), cap.getOrElse((u, v), 0L) + c) }
     val adj = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
@@ -390,6 +415,7 @@ object MaxFlow {
     }
     adj.values.foreach { b => val d = b.distinct; b.clear(); b ++= d }
     val flow = mutable.HashMap.empty[(Long, Long), Long].withDefaultValue(0L)
+    val paths = mutable.ArrayBuffer.empty[(Seq[Long], Long)]
     def residual(u: Long, v: Long): Long = cap.getOrElse((u, v), 0L) - flow((u, v))
     var total = 0L
     var go = true
@@ -412,18 +438,21 @@ object MaxFlow {
         while (v != GraphModel.SuperSource) {
           val u = parent(v); bn = math.min(bn, residual(u, v)); v = u
         }
+        val pbuf = mutable.ArrayBuffer(GraphModel.SuperSink)
         v = GraphModel.SuperSink
         while (v != GraphModel.SuperSource) {
           val u = parent(v)
           flow((u, v)) += bn
           flow((v, u)) -= bn
           v = u
+          pbuf += v
         }
+        paths += ((pbuf.reverse.toSeq, bn))
         total += bn
       }
     }
     val delta = flow.iterator.filter(_._2 > 0).map { case (k, f) => k -> f }.toMap
-    (total, delta)
+    (total, delta, paths.toSeq)
   }
 
   /** Distributed residual BFS with parent pointers; returns the vertex

@@ -1,0 +1,64 @@
+package graft.sources
+
+import graft.graph.{GraphModel, VertexState}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Durable round-state and result sinks (SURVEY §2.1 S4/S7/S8/S9/S10).
+  *
+  * The reference persists per-round vertex state as per-reducer
+  * SequenceFiles (ff3/ReduceFF.java:92-95) and accepted flows/paths as
+  * side files (ff2/ApServer.java:58-81, ff1/Vertex.java:149-188). Our
+  * durable format is Parquet partitioned by a stable hash of the vertex id
+  * — `spark.read.parquet` restores the Dataset[VertexState] for
+  * resume/debug, and a snappy codec plays the role of the reference's
+  * block compression (ff5/ReduceFF.java:129-137, `mf.zip.master`).
+  */
+object StateIO {
+
+  /** S7: persist round state. `parts` mirrors `mf.reducers`. */
+  def writeState(state: Dataset[VertexState], dir: String, parts: Int = 32): Unit =
+    state.repartition(parts, col("id")).write.mode("overwrite").parquet(dir)
+
+  /** S4: restore round state written by writeState. */
+  def readState(spark: SparkSession, dir: String): Dataset[VertexState] = {
+    import spark.implicits._
+    spark.read.parquet(dir).as[VertexState]
+  }
+
+  /** S8: accepted flow assignment as a small relation (u, v, f). */
+  def flowsToDf(spark: SparkSession, assignment: Map[(Long, Long), Long]): DataFrame = {
+    import spark.implicits._
+    assignment.toSeq.map { case ((u, v), f) => (u, v, f) }.toDF("u", "v", "f")
+  }
+
+  /** S9: human-readable accepted paths, `v0:v1:…:vk=flow` lines —
+    * byte-compatible with ff1's flowpaths format (ff1/Vertex.java:171-188).
+    */
+  def writeFlowPaths(spark: SparkSession, paths: Seq[(Seq[Long], Long)],
+                     dir: String): Unit = {
+    import spark.implicits._
+    paths.map { case (p, f) => s"${p.mkString(":")}=$f" }
+      .toDF("value").coalesce(1).write.mode("overwrite").text(dir)
+  }
+
+  /** S10: debug inspector — per-vertex summary of a state dir. */
+  def dumpState(spark: SparkSession, dir: String, n: Int = 20): DataFrame =
+    readState(spark, dir)
+      .select(col("id"), size(col("adj")).as("degree"),
+        size(col("s")).as("nS"), size(col("t")).as("nT"))
+      .orderBy("id").limit(n)
+
+  /** Sanity audit mirroring the reference's conservation check
+    * (ff1/Vertex.java:156-163): net assignment outflow of the supersource
+    * must equal the accepted total, and every interior vertex nets zero.
+    */
+  def conservationHolds(assignment: Map[(Long, Long), Long], flow: Long): Boolean = {
+    val net = scala.collection.mutable.HashMap.empty[Long, Long].withDefaultValue(0L)
+    assignment.foreach { case ((u, v), f) => net(u) += f; net(v) -= f }
+    net(GraphModel.SuperSource) == flow && net(GraphModel.SuperSink) == -flow &&
+      net.forall { case (k, d) =>
+        k == GraphModel.SuperSource || k == GraphModel.SuperSink || d == 0L
+      }
+  }
+}
