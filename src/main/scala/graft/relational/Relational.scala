@@ -137,7 +137,53 @@ object Relational {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("d")
 
+  /** Rollup with grouping flags (SURVEY §2.6 "grouping sets/cube/rollup"):
+    * names coalesced so the NULL-ordering difference between engines never
+    * reaches the sort.
+    */
+  def q17_rollup(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "region").createOrReplaceTempView("__region")
+    Tables.load(s, dir, "nation").createOrReplaceTempView("__nation")
+    s.sql(
+      """SELECT COALESCE(r_name, 'ALL') AS rn, COALESCE(n_name, 'ALL') AS nn,
+        |       COUNT(*) AS cnt,
+        |       CAST(GROUPING(r_name) + GROUPING(n_name) AS BIGINT) AS g
+        |FROM __region JOIN __nation ON r_regionkey = n_regionkey
+        |GROUP BY ROLLUP(r_name, n_name) ORDER BY g, rn, nn""".stripMargin)
+  }
+
+  /** Distinct aggregation (SURVEY §2.6). */
+  def q18_distinct_agg(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "part")
+      .groupBy("p_brand")
+      .agg(countDistinct(col("p_type")).as("n_types"),
+        count(lit(1)).as("cnt"))
+      .orderBy("p_brand")
+
+  /** String scalar functions (SURVEY §2.6). */
+  def q19_strings(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "part")
+      .orderBy("p_partkey")
+      .selectExpr("p_partkey",
+        "upper(p_name) AS up",
+        "replace(substring(p_name, 1, 8), ' ', '_') AS frag",
+        "concat_ws('|', p_brand, p_type) AS tag",
+        "length(p_name) AS len")
+
+  /** HLL approximate distinct (SURVEY §2.6) — sketches differ across
+    * engines, so this is rows-only checked; the exact q18 is the oracle
+    * analogue. A spec asserts the estimate is within 5% of exact.
+    */
+  def q20_approx_distinct(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_rollup" -> (q17_rollup _),
+    "q18_distinct_agg" -> (q18_distinct_agg _),
+    "q19_strings" -> (q19_strings _),
+    "q20_approx_distinct" -> (q20_approx_distinct _),
     "q1_scan" -> (q1_scan _),
     "q2_filter" -> (q2_filter _),
     "q3_agg" -> (q3_agg _),
@@ -154,6 +200,19 @@ object Relational {
     "q15_date_trunc" -> (q15_date_trunc _))
 
   val oracleSql: Map[String, String] = Map(
+    "q17_rollup" ->
+      ("SELECT COALESCE(r_name, 'ALL') AS rn, COALESCE(n_name, 'ALL') AS nn, " +
+        "COUNT(*) AS cnt, (GROUPING(r_name) + GROUPING(n_name))::BIGINT AS g " +
+        "FROM region JOIN nation ON r_regionkey = n_regionkey " +
+        "GROUP BY ROLLUP(r_name, n_name) ORDER BY g, rn, nn"),
+    "q18_distinct_agg" ->
+      ("SELECT p_brand, COUNT(DISTINCT p_type) AS n_types, COUNT(*) AS cnt " +
+        "FROM part GROUP BY p_brand ORDER BY p_brand"),
+    "q19_strings" ->
+      ("SELECT p_partkey, upper(p_name) AS up, " +
+        "replace(substr(p_name, 1, 8), ' ', '_') AS frag, " +
+        "concat_ws('|', p_brand, p_type) AS tag, length(p_name) AS len " +
+        "FROM part ORDER BY p_partkey"),
     "q1_scan" ->
       "SELECT l_orderkey, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "q2_filter" ->
