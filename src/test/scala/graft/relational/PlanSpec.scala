@@ -1,0 +1,67 @@
+package graft.relational
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions (the "explain and iterate" discipline): these
+  * lock in the plan properties the 100 TB design depends on, so a future
+  * refactor that silently loses a pushdown or a broadcast fails the suite.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q2: filters are pushed into the parquet scan") {
+    val plan = Relational.q2_filter(spark, sf).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("PushedFilters:") &&
+      (plan.contains("GreaterThanOrEqual(l_shipdate") ||
+        plan.contains("LessThan(l_quantity")),
+      s"missing parquet pushdown:\n$plan")
+  }
+
+  test("q1: scan schema is pruned to the selected columns") {
+    val scans = Relational.q1_scan(spark, sf).queryExecution.executedPlan
+      .collectLeaves().map(_.toString).mkString("\n")
+    assert(scans.contains("l_orderkey") && !scans.contains("l_extendedprice"),
+      s"column pruning lost:\n$scans")
+  }
+
+  test("q6: dimension join is a broadcast hash join") {
+    val plan = formatted(Relational.q6_broadcast_join(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast:\n$plan")
+  }
+
+  test("q3: aggregation runs partial+final (map-side combine)") {
+    val plan = formatted(Relational.q3_agg(spark, sf))
+    assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
+  }
+
+  test("q8: top-k is pushed map-side (partial WindowGroupLimit before the shuffle)") {
+    val plan = formatted(Relational.q8_topk(spark, sf))
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"rank-limit pushdown lost:\n$plan")
+  }
+
+  test("graft_dot: codegen over distributed input, interpreted over local relations") {
+    graft.functions.GraftFunctions.register(spark)
+    // distributed input → whole-stage codegen path
+    val dist = spark.range(3)
+      .selectExpr("id", "array(cast(id as double), 2.0d) AS a",
+        "array(3.0d, 4.0d) AS b")
+      .selectExpr("id", "graft_dot(a, b) AS d")
+    val hasCodegen = dist.queryExecution.executedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
+    assert(hasCodegen, s"no WholeStageCodegenExec:\n${formatted(dist)}")
+    assert(dist.orderBy("id").collect().map(_.getDouble(1)).toSeq ==
+      Seq(8.0, 11.0, 14.0))
+    // local relation → constant-folded through the interpreted eval path
+    import spark.implicits._
+    val local = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+      .selectExpr("graft_dot(a, b) AS d")
+    assert(local.head().getDouble(0) == 11.0)
+  }
+}
