@@ -35,6 +35,12 @@ import scala.util.Random
   * Same algorithm and exactness-cleanup guarantee as [[MaxFlow]]; only the
   * shuffle topology differs. At 100 TB state (heavy adjacency + path
   * lists) this moves only O(messages) per round instead of O(state).
+  *
+  * Tradeoff, measured: on local[N] (shuffle ≈ free) v1's typed JVM merge
+  * is ~1.4× faster because the expression merge is interpreter-bound; on a
+  * real cluster the per-round shuffle of full adjacency+paths that v1 pays
+  * dominates, which is exactly why the reference built schimmy. Pick v1
+  * for single-node, v2 for cluster-scale state.
   */
 object MaxFlowSchimmy {
 
@@ -78,16 +84,16 @@ object MaxFlowSchimmy {
        |  p -> size(p.flows) = 0
        |       OR array_min(zip_with(p.caps, p.flows, (c, f) -> c - f)) > 0)""".stripMargin
 
-  /** A1 + A5: union refreshed master paths with incoming deltas, dedup,
-    * keep K best (potential desc, length asc, nodes lexicographic).
+  /** A1 + A5: union already-refreshed master paths with incoming deltas,
+    * dedup, keep K best (potential desc, length asc, nodes lexicographic).
+    * Expects its inputs refreshed by the staged select (see runLoop).
     */
-  private def mergeExpr(dm: String, masterArr: String, deltaCol: String, k: Int): String = {
+  private def mergeExpr(masterArr: String, deltaCol: String, k: Int): String = {
     def pot(x: String): String =
       s"CASE WHEN size($x.flows) = 0 THEN ${Long.MaxValue}L " +
         s"ELSE array_min(zip_with($x.caps, $x.flows, (c, f) -> c - f)) END"
     s"""slice(array_sort(
-       |  array_distinct(concat(${refreshedPathsExpr(dm, masterArr)},
-       |                        coalesce($deltaCol, array()))),
+       |  array_distinct(concat($masterArr, coalesce($deltaCol, array()))),
        |  (l, r) -> CASE
        |    WHEN ${pot("l")} > ${pot("r")} THEN -1
        |    WHEN ${pot("l")} < ${pot("r")} THEN 1
@@ -102,7 +108,7 @@ object MaxFlowSchimmy {
     * this round — the target set is a deterministic function of the state,
     * so the expression mirrors `extendOnly`'s eligibility test.
     */
-  private def fsetExpr(dm: String, fsetCol: String, sArr: String, forS: Boolean,
+  private def fsetExpr(fsetCol: String, sArr: String, forS: Boolean,
                        maxLen: Int): String = {
     val resid = if (forS) "a.capOut - a.flow" else "a.capIn + a.flow"
     val skipSelf = if (forS) s"id != ${GraphModel.SuperSink}L"
@@ -111,9 +117,9 @@ object MaxFlowSchimmy {
                   else s"a.nbr != ${GraphModel.SuperSink}L"
     s"""array_sort(array_union($fsetCol,
        |  CASE WHEN $skipSelf THEN
-       |    transform(filter(${adjExpr(dm)}, a ->
+       |    transform(filter(adj, a ->
        |      $resid > 0 AND NOT array_contains($fsetCol, a.nbr) AND $skipNbr
-       |      AND exists(${refreshedPathsExpr(dm, sArr)}, p ->
+       |      AND exists($sArr, p ->
        |        size(p.nodes) - 1 < $maxLen
        |        AND NOT array_contains(p.nodes, a.nbr))),
        |      a -> a.nbr)
@@ -252,24 +258,36 @@ object MaxFlowSchimmy {
       //    cache — only `grouped` was exchanged
       val joined = state.join(grouped, state("id") === grouped("dst"), "left_outer")
 
-      // 3. candidates on a typed side branch (reads cached inputs)
-      val candidates = joined
-        .select(col("id"), col("adj"), col("s"), col("t"),
-          col("fsetS"), col("fsetT"),
-          coalesce(col("ds"), array()).as("ds"),
-          coalesce(col("dt"), array()).as("dt"))
-        .as[JoinedRow]
-        .flatMap(meetCandidates(_, bc.value, r, conf))
-        .collect()
-
-      // 4. expression-only merge — partitioning survives to the next round
-      val newState = joined.select(
+      // 3. staged refresh (T6/T7): evaluate the delta-map refresh ONCE per
+      //    row, checkpoint (preserves partitioning), and let the light
+      //    merge/fset expressions read the refreshed columns — without the
+      //    stage, project collapsing would duplicate the heavy refresh
+      //    into every consumer (measured ~2.5x slower)
+      val stage = joined.select(
         col("id"),
         expr(adjExpr(dm)).as("adj"),
-        expr(mergeExpr(dm, "s", "ds", conf.excessListMax)).as("s"),
-        expr(mergeExpr(dm, "t", "dt", conf.excessListMax)).as("t"),
-        expr(fsetExpr(dm, "fsetS", "s", forS = true, conf.maxPathLength)).as("fsetS"),
-        expr(fsetExpr(dm, "fsetT", "t", forS = false, conf.maxPathLength)).as("fsetT"))
+        expr(refreshedPathsExpr(dm, "s")).as("s"),
+        expr(refreshedPathsExpr(dm, "t")).as("t"),
+        col("fsetS"), col("fsetT"),
+        coalesce(col("ds"), array()).as("ds"),
+        coalesce(col("dt"), array()).as("dt"))
+        .localCheckpoint(eager = true)
+
+      // 4. candidates on a typed side branch (reads the cached stage;
+      //    refresh already applied, so the empty delta is passed)
+      val candidates = stage
+        .as[JoinedRow]
+        .flatMap(meetCandidates(_, Map.empty, r, conf))
+        .collect()
+
+      // 5. light merge — partitioning survives to the next round
+      val newState = stage.select(
+        col("id"),
+        col("adj"),
+        expr(mergeExpr("s", "ds", conf.excessListMax)).as("s"),
+        expr(mergeExpr("t", "dt", conf.excessListMax)).as("t"),
+        expr(fsetExpr("fsetS", "s", forS = true, conf.maxPathLength)).as("fsetS"),
+        expr(fsetExpr("fsetT", "t", forS = false, conf.maxPathLength)).as("fsetT"))
         .localCheckpoint(eager = true)
 
       val (got, delta, roundPaths) = MaxFlow.accept(candidates, conf.seed * 31 + round)
