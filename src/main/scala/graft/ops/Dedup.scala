@@ -80,16 +80,18 @@ object Dedup {
           |  ELSE array() END) AS tok""".stripMargin)
       .distinct()
       .persist()
-    // explode + hash-aggregate keeps md5 inside whole-stage codegen, and
-    // partial aggregation halves the signature shuffle
-    val sig = tok
-      .select(col("doc_id"), col("tok"), explode(expr("sequence(0, 7)")).as("i"))
-      .groupBy("doc_id", "i")
-      .agg(min(md5(concat(col("i").cast("string"), lit(":"), col("tok")))).as("h"))
-    val band = sig.groupBy(col("doc_id"), expr("i div 2").as("band"))
-      .agg(md5(concat(
-        min(when(col("i") % 2 === 0, col("h"))),
-        min(when(col("i") % 2 === 1, col("h"))))).as("bh"))
+    // all 8 minhashes as parallel MIN aggregates in ONE groupBy: no 8×
+    // row explosion, a single shuffle (with map-side partial MINs), md5
+    // inside whole-stage codegen; bands derive narrowly from the 8 columns
+    val sig = tok.groupBy("doc_id").agg(
+      min(md5(concat(lit("0:"), col("tok")))).as("h0"),
+      (1 to 7).map(i =>
+        min(md5(concat(lit(s"$i:"), col("tok")))).as(s"h$i")): _*)
+    val band = sig.select(col("doc_id"), explode(array(
+        (0 to 3).map(b => struct(lit(b).as("band"),
+          md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bh"))): _*))
+        .as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
     val cand = band.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
       .join(band.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
         Seq("band", "bh"))
