@@ -64,7 +64,13 @@ object MaxFlow {
         * (potential desc, length asc — ff1/Vertex.java:118-131);
         * "random" = seeded random retention (ff2/ff3/ff4,
         * ff3/ReduceFF.java:60-71). */
-      truncation: String = "priority")
+      truncation: String = "priority",
+      /** Debug invariant layer (SURVEY §5): re-assert the reference's
+        * runtime invariants — |flow| within caps (ff2/Edge.java:34),
+        * path simplicity/acyclicity (ff1/Excess.java:49-50), hop-count
+        * consistency — on every vertex each round. Off by default (costs
+        * a full state pass). */
+      validate: Boolean = false)
 
   case class Result(
       flow: Long,
@@ -317,6 +323,7 @@ object MaxFlow {
         .groupByKey(_.id)
         .mapGroups(mergeVertex(_, _, round, conf))
         .localCheckpoint(eager = true) // materialize: accumulators valid now
+      if (conf.validate) merged.map(_._1).foreach(validateVertex _)
       val candidates = merged.flatMap(_._2).collect()
       val (got, delta, roundPaths) = accept(candidates, conf.seed * 31 + round)
       allPaths ++= roundPaths
@@ -382,6 +389,24 @@ object MaxFlow {
     }
     Result(engineFlow + cleanupFlow, engineFlow, cleanupFlow, round,
       assignment.toMap, allPaths.toSeq)
+  }
+
+  /** Reference invariant set, applied to one vertex (Config.validate). */
+  private[graph] def validateVertex(v: VertexState): Unit = {
+    v.adj.foreach { a =>
+      require(a.flow <= a.capOut && -a.flow <= a.capIn,
+        s"flow out of bounds at ${v.id}->${a.nbr}: $a")
+    }
+    (v.s ++ v.t).foreach { p =>
+      require(p.nodes.distinct.length == p.nodes.length,
+        s"non-simple path at ${v.id}: ${p.nodes.mkString(":")}")
+      require(p.flows.length == p.nodes.length - 1 &&
+        p.caps.length == p.nodes.length - 1,
+        s"hop arity mismatch at ${v.id}")
+    }
+    val nbrs = v.adj.map(_.nbr)
+    require(nbrs.distinct.length == nbrs.length,
+      s"duplicate adjacency at ${v.id}")
   }
 
   private[graph] def applyDeltaOnly(v: VertexState, d: FlowDelta): VertexState = {

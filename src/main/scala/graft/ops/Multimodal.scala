@@ -89,8 +89,39 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** One sampled frame of a media record. */
+  case class FrameRecord(media_id: Long, frame_idx: Long, frame_offset: Long,
+                         frame_hash: String)
+
+  /** Frame sampling pass: one row per sampled frame (video records carry
+    * n_frames > 1), emitted by a typed flatMap — the same batched
+    * partition-pass shape as decodeAll. Offsets/hashes are deterministic
+    * stub arithmetic mirrored by the SQL oracle.
+    */
+  def frameSample(ds: Dataset[DecodedMedia]): Dataset[FrameRecord] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { d =>
+      val stride = d.n_bytes / d.n_frames
+      (0L until d.n_frames.toLong).map { i =>
+        FrameRecord(d.media_id, i, stride * i, md5HexStr(s"${d.feature_hash}:$i"))
+      }
+    }
+  }
+
+  private def md5HexStr(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Driver-checkable query: decode → frame-sample over the synthesized
+    * media table.
+    */
+  def mmFrames(s: SparkSession, dir: String): DataFrame =
+    frameSample(decodeAll(mediaFromDocs(s, dir), StubDecoder))
+      .toDF().orderBy("media_id", "frame_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_decode" -> (mmDecode _))
+    "mm_decode" -> (mmDecode _),
+    "mm_frames" -> (mmFrames _))
 
   val oracleSql: Map[String, String] = Map(
     "mm_decode" ->
@@ -102,5 +133,20 @@ object Multimodal {
         |  (CASE WHEN doc_id % 3 = 2 THEN 1 + octet_length(encode(text)) % 16
         |        ELSE 1 END)::INT AS n_frames,
         |  md5(text) AS feature_hash
-        |FROM documents ORDER BY media_id""".stripMargin.replaceAll("\n", " "))
+        |FROM documents ORDER BY media_id""".stripMargin.replaceAll("\n", " "),
+    "mm_frames" ->
+      """WITH dec AS (
+        |  SELECT doc_id AS media_id,
+        |    octet_length(encode(text))::BIGINT AS n_bytes,
+        |    (CASE WHEN doc_id % 3 = 2 THEN 1 + octet_length(encode(text)) % 16
+        |          ELSE 1 END)::BIGINT AS n_frames,
+        |    md5(text) AS feature_hash
+        |  FROM documents)
+        |SELECT media_id, i AS frame_idx,
+        |       (n_bytes // n_frames) * i AS frame_offset,
+        |       md5(feature_hash || ':' || i) AS frame_hash
+        |FROM (SELECT media_id, n_bytes, n_frames, feature_hash,
+        |             unnest(generate_series(0, n_frames - 1)) AS i
+        |      FROM dec)
+        |ORDER BY media_id, frame_idx""".stripMargin.replaceAll("\n", " "))
 }

@@ -96,9 +96,62 @@ object Similarity {
         |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin)
   }
 
+  /** IVF-style approximate NN: a coarse quantizer (centroids = the first
+    * 16 vectors — a deterministic stand-in for k-means, which a real
+    * deployment would train) assigns every vector to its best cluster via
+    * a broadcast N×16 scoring; queries (vec_id 20..24) probe their 2
+    * nearest clusters and run exact cosine only inside them. Scale story:
+    * the centroid table broadcasts, assignment is a narrow pass, and the
+    * probe join touches |probed clusters| of the corpus instead of all of
+    * it — the classic IVF recall/cost dial (nprobe).
+    */
+  def ssIvfAnn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.load(s, dir, "embeddings").createOrReplaceTempView("__emb")
+    s.sql(
+      """WITH norms AS (
+        |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM __emb),
+        |n2 AS (
+        |  SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM norms),
+        |cent AS (
+        |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n2 WHERE vec_id < 16),
+        |scoredc AS (
+        |  SELECT n.vec_id, n.v, n.nrm, c.cid,
+        |         ROUND(graft_dot(n.v, c.cv) / (n.nrm * c.cnrm), 6) AS cs
+        |  FROM n2 n CROSS JOIN cent c),
+        |assign AS (
+        |  SELECT vec_id, v, nrm, cid FROM (
+        |    SELECT vec_id, v, nrm, cid,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        |    FROM scoredc) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS qid, cid FROM (
+        |    SELECT vec_id, cid,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        |    FROM scoredc WHERE vec_id BETWEEN 20 AND 24) WHERE rn <= 2),
+        |qv AS (
+        |  SELECT vec_id AS qid, v AS qvec, nrm AS qnrm FROM n2
+        |  WHERE vec_id BETWEEN 20 AND 24),
+        |scored AS (
+        |  SELECT p.qid, a.vec_id AS neighbor_id,
+        |         ROUND(graft_dot(q.qvec, a.v) / (q.qnrm * a.nrm), 6) AS cos
+        |  FROM probes p
+        |  JOIN assign a ON a.cid = p.cid
+        |  JOIN qv q ON q.qid = p.qid
+        |  WHERE a.vec_id <> p.qid)
+        |SELECT qid AS query_id, neighbor_id, cos, rn FROM (
+        |  SELECT qid, neighbor_id, cos,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+        |                ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
+        |  FROM scored)
+        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ss_cosine_topk" -> (ssCosineTopk _),
-    "ss_lsh_ann" -> (ssLshAnn _))
+    "ss_lsh_ann" -> (ssLshAnn _),
+    "ss_ivf_ann" -> (ssIvfAnn _))
 
   val oracleSql: Map[String, String] = Map(
     "ss_cosine_topk" ->
@@ -142,6 +195,47 @@ object Similarity {
         |SELECT query_id, neighbor_id, cos, rn FROM (
         |  SELECT query_id, neighbor_id, cos,
         |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |           ORDER BY cos DESC, neighbor_id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin.replaceAll("\n", " "),
+    "ss_ivf_ann" ->
+      """WITH norms AS (
+        |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),
+        |n2 AS (
+        |  SELECT vec_id, v, sqrt(list_sum([x * x FOR x IN v])) AS nrm FROM norms),
+        |cent AS (
+        |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n2 WHERE vec_id < 16),
+        |scoredc AS (
+        |  SELECT n.vec_id, n.v, n.nrm, c.cid,
+        |         ROUND(list_sum([n.v[i] * c.cv[i]
+        |                 FOR i IN generate_series(1, len(n.v))])
+        |               / (n.nrm * c.cnrm), 6) AS cs
+        |  FROM n2 n CROSS JOIN cent c),
+        |assign AS (
+        |  SELECT vec_id, v, nrm, cid FROM (
+        |    SELECT vec_id, v, nrm, cid,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        |    FROM scoredc) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS qid, cid FROM (
+        |    SELECT vec_id, cid,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        |    FROM scoredc WHERE vec_id BETWEEN 20 AND 24) WHERE rn <= 2),
+        |qv AS (
+        |  SELECT vec_id AS qid, v AS qvec, nrm AS qnrm FROM n2
+        |  WHERE vec_id BETWEEN 20 AND 24),
+        |scored AS (
+        |  SELECT p.qid, a.vec_id AS neighbor_id,
+        |         ROUND(list_sum([q.qvec[i] * a.v[i]
+        |                 FOR i IN generate_series(1, len(q.qvec))])
+        |               / (q.qnrm * a.nrm), 6) AS cos
+        |  FROM probes p
+        |  JOIN assign a ON a.cid = p.cid
+        |  JOIN qv q ON q.qid = p.qid
+        |  WHERE a.vec_id <> p.qid)
+        |SELECT qid AS query_id, neighbor_id, cos, rn FROM (
+        |  SELECT qid, neighbor_id, cos,
+        |         ROW_NUMBER() OVER (PARTITION BY qid
         |           ORDER BY cos DESC, neighbor_id) AS rn
         |  FROM scored)
         |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin.replaceAll("\n", " "))

@@ -71,6 +71,13 @@ class MaxFlowSpec extends AnyFunSuite {
     }
   }
 
+  test("invariant layer holds through a full run (Config.validate)") {
+    val (edges, sources, sinks) = GraphSources.readDimacs(spark, fixture("clrs.dimacs"))
+    val r = MaxFlow.run(spark, edges, sources, sinks,
+      MaxFlow.Config(validate = true))
+    assert(r.flow == 23L)
+  }
+
   test("path concat splices cycles (ff1/Excess.java:48-68)") {
     // S: 1→3→4, T: 4→3→5→2 — shared node 3 must splice to 1→3→5→2
     val sp = PathState(Array(1L, 3L, 4L), Array(0L, 0L), Array(5L, 5L))
