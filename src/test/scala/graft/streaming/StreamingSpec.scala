@@ -56,6 +56,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(want == lagBased)
   }
 
+  test("custom flatMapGroupsWithState sessionizer == built-in session_window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = eventsBatch.as[Ev].collect().sortBy(_.ts.getTime)
+    val maxTs = data.map(_.ts.getTime).max
+    val stream = MemoryStream[Ev]
+    val sessions = EventSessionizer.sessionize(
+      stream.toDF().withWatermark("ts", "0 seconds")
+        .select("event_id", "ts", "user_id", "value")
+        .as[EventSessionizer.Ev])
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("custom_sess").start()
+    stream.addData(data.toIndexedSeq)
+    q.processAllAvailable()
+    // two sentinel batches: the first advances the watermark past every
+    // session, the second lets the state-timeout fire under it
+    stream.addData(Ev(-1L, new Timestamp(maxTs + 24L * 3600 * 1000), -1L, "x", 0.0))
+    q.processAllAvailable()
+    stream.addData(Ev(-2L, new Timestamp(maxTs + 25L * 3600 * 1000), -1L, "x", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("custom_sess")
+      .filter(col("user_id") =!= -1L).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3), r.getLong(4)))
+      .toSet
+    // built-in session_window reference: (user, start, n, cents)
+    val want = Streams.sessionWindowAgg(eventsBatch).collect()
+      .map(r => (r.getLong(1), r.getTimestamp(0), r.getLong(2),
+        math.round(r.getDouble(3) * 100)))
+      .toSet
+    assert(got == want)
+  }
+
   test("tumbling window streaming == batch") {
     val got = runStreaming(Streams.tumblingAgg, "tumb_out", col("event_type") =!= "x")
       .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
