@@ -46,6 +46,31 @@ class PlanSpec extends AnyFunSuite {
       s"rank-limit pushdown lost:\n$plan")
   }
 
+  test("bucketed fact-fact join runs with zero exchanges (S5 for relational workloads)") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      graft.Tables.load(spark, sf, "orders")
+        .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("b_orders")
+      graft.Tables.load(spark, sf, "lineitem")
+        .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("b_lineitem")
+      val joined = spark.table("b_orders").join(spark.table("b_lineitem"),
+        org.apache.spark.sql.functions.col("o_orderkey") ===
+          org.apache.spark.sql.functions.col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("graft_dot: codegen over distributed input, interpreted over local relations") {
     graft.functions.GraftFunctions.register(spark)
     // distributed input → whole-stage codegen path
