@@ -52,6 +52,15 @@ class PlanSpec extends AnyFunSuite {
     try {
       spark.sql("DROP TABLE IF EXISTS b_orders")
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      // a previous JVM's warehouse dir survives the in-memory catalog;
+      // remove the physical locations or saveAsTable collides
+      for (t <- Seq("b_orders", "b_lineitem")) {
+        val dir = new java.io.File(s"spark-warehouse/$t")
+        if (dir.exists()) {
+          import scala.reflect.io.Directory
+          new Directory(dir).deleteRecursively()
+        }
+      }
       graft.Tables.load(spark, sf, "orders")
         .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
         .mode("overwrite").saveAsTable("b_orders")
