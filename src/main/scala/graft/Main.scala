@@ -1,0 +1,111 @@
+package graft
+
+import graft.graph.{Bfs, GraphModel, MaxFlow, MaxFlowSchimmy}
+import graft.sources.{GraphSources, StateIO}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** CLI dispatcher — the engine's equivalent of the reference's `main.java`
+  * program table (main.java:10-55) and `run` script parameter surface
+  * (`mf.sources`, `mf.sinks`, `mf.excess.list.max`, `mf.max.epath.length`,
+  * `mf.approx`, … — run:123-139).
+  *
+  * Usage:
+  *   graft.Main mf  --format dimacs|facebook --input PATH
+  *                  [--sources 1,2] [--sinks 3] [--cap 1] [--max-cap N]
+  *                  [--k 32] [--max-path-length 30] [--engine v1|schimmy]
+  *                  [--approx] [--flowpaths DIR] [--state DIR]
+  *   graft.Main bfs --format dimacs|facebook --input PATH --sources 4
+  *                  [--max-depth N] [--out DIR]
+  *
+  * DIMACS `n` lines supply sources/sinks when the flags are omitted.
+  */
+object Main {
+
+  private def parseArgs(args: Array[String]): Map[String, String] = {
+    val m = scala.collection.mutable.HashMap.empty[String, String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      require(a.startsWith("--"), s"expected --flag, got $a")
+      if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+        m.update(a.drop(2), args(i + 1)); i += 2
+      } else { m.update(a.drop(2), "true"); i += 1 }
+    }
+    m.toMap
+  }
+
+  private def ids(s: String): Seq[Long] = s.split(",").map(_.trim.toLong).toSeq
+
+  private def session(): SparkSession = {
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Load the edge relation + default terminals for the chosen format. */
+  private def load(spark: SparkSession, opts: Map[String, String])
+      : (DataFrame, Seq[Long], Seq[Long]) = {
+    val path = opts.getOrElse("input", sys.error("--input required"))
+    opts.getOrElse("format", "dimacs") match {
+      case "dimacs" =>
+        GraphSources.readDimacs(spark, path)
+      case "facebook" =>
+        val cap = opts.get("cap").map(_.toLong).getOrElse(1L)
+        var edges = GraphSources.readFacebook(spark, path, cap)
+        opts.get("max-cap").foreach { mc =>
+          edges = GraphSources.withRandomCaps(edges, mc.toLong)
+        }
+        (edges, Seq.empty, Seq.empty)
+      case other => sys.error(s"unknown --format $other")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: graft.Main <mf|bfs> --input PATH …")
+    val prog = args.head
+    val opts = parseArgs(args.tail)
+    val spark = session()
+    try prog match {
+      case "mf" =>
+        val (edges, dSources, dSinks) = load(spark, opts)
+        val sources = opts.get("sources").map(ids).getOrElse(dSources)
+        val sinks = opts.get("sinks").map(ids).getOrElse(dSinks)
+        val conf = MaxFlow.Config(
+          excessListMax = opts.get("k").map(_.toInt).getOrElse(32),
+          maxPathLength = opts.get("max-path-length").map(_.toInt).getOrElse(30),
+          exactCleanup = !opts.contains("approx")) // mf.approx
+        val r =
+          if (opts.get("engine").contains("schimmy"))
+            MaxFlowSchimmy.run(spark, edges, sources, sinks, conf)
+          else MaxFlow.run(spark, edges, sources, sinks, conf)
+        r.rounds_report.foreach { case (round, acc, moves) =>
+          // the reference's per-round "Flows=a/b" echo (ff1/FordFulkerson.java:229-235)
+          println(s"round $round: accepted=$acc moves=$moves")
+        }
+        println(s"maxflow=${r.flow} (engine=${r.engineFlow}, cleanup=${r.cleanupFlow}, " +
+          s"rounds=${r.rounds})")
+        opts.get("flowpaths").foreach(StateIO.writeFlowPaths(spark, r.paths, _))
+        opts.get("state").foreach { dir =>
+          StateIO.flowsToDf(spark, r.assignment)
+            .write.mode("overwrite").parquet(dir)
+        }
+      case "bfs" =>
+        val (edges, dSources, _) = load(spark, opts)
+        val sources = opts.get("sources").map(ids).getOrElse(dSources)
+        require(sources.nonEmpty, "--sources required for bfs")
+        val dist = Bfs.run(spark, edges.select("src", "dst"), sources,
+          opts.get("max-depth").map(_.toInt).getOrElse(Int.MaxValue))
+        val n = dist.count()
+        println(s"bfs: reached $n vertices from ${sources.mkString(",")}")
+        opts.get("out").foreach(dist.write.mode("overwrite").parquet(_))
+      case other => sys.error(s"unknown program $other (mf|bfs)")
+    } finally spark.stop()
+  }
+}

@@ -81,7 +81,10 @@ object MaxFlow {
       assignment: Map[(Long, Long), Long],
       /** accepted augmenting paths (vertex sequence, admitted flow) —
         * the reference's flowpaths output (ff1/Vertex.java:171-188) */
-      paths: Seq[(Seq[Long], Long)])
+      paths: Seq[(Seq[Long], Long)],
+      /** per-round counters (round, acceptedFlow, moves) — the reference's
+        * round report (A8; ff2/FordFulkerson.java:438-445) */
+      rounds_report: Seq[(Int, Long, Long)] = Seq.empty)
 
   /** Directed intra/inter-round flow deltas: (u,v) → additional flow u→v. */
   type FlowDelta = Map[(Long, Long), Long]
@@ -311,6 +314,7 @@ object MaxFlow {
     var pending: FlowDelta = Map.empty
     val assignment = mutable.HashMap.empty[(Long, Long), Long]
     val allPaths = mutable.ArrayBuffer.empty[(Seq[Long], Long)]
+    val reports = mutable.ArrayBuffer.empty[(Int, Long, Long)]
     var done = false
     var zeroStreak = 0
 
@@ -331,6 +335,7 @@ object MaxFlow {
         assignment.update(k, assignment.getOrElse(k, 0L) + v)
       }
       engineFlow += got
+      reports += ((round, got, moves.value))
       pending = delta
       state = merged.map(_._1)
       bc.destroy()
@@ -388,7 +393,7 @@ object MaxFlow {
       }
     }
     Result(engineFlow + cleanupFlow, engineFlow, cleanupFlow, round,
-      assignment.toMap, allPaths.toSeq)
+      assignment.toMap, allPaths.toSeq, reports.toSeq)
   }
 
   /** Reference invariant set, applied to one vertex (Config.validate). */
