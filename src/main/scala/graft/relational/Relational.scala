@@ -152,6 +152,20 @@ object Relational {
         |GROUP BY ROLLUP(r_name, n_name) ORDER BY g, rn, nn""".stripMargin)
   }
 
+  /** CUBE over two dimensions with grouping flags (SURVEY §2.6). */
+  def q21_cube(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "orders").createOrReplaceTempView("__orders")
+    s.sql(
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS st,
+        |       COALESCE(o_orderpriority, 'ALL') AS pri,
+        |       COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       CAST(GROUPING(o_orderstatus) + GROUPING(o_orderpriority) AS BIGINT) AS g
+        |FROM __orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY g, st, pri""".stripMargin)
+  }
+
   /** Distinct aggregation (SURVEY §2.6). */
   def q18_distinct_agg(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "part")
@@ -181,6 +195,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_rollup" -> (q17_rollup _),
+    "q21_cube" -> (q21_cube _),
     "q18_distinct_agg" -> (q18_distinct_agg _),
     "q19_strings" -> (q19_strings _),
     "q20_approx_distinct" -> (q20_approx_distinct _),
@@ -205,6 +220,13 @@ object Relational {
         "COUNT(*) AS cnt, (GROUPING(r_name) + GROUPING(n_name))::BIGINT AS g " +
         "FROM region JOIN nation ON r_regionkey = n_regionkey " +
         "GROUP BY ROLLUP(r_name, n_name) ORDER BY g, rn, nn"),
+    "q21_cube" ->
+      ("SELECT COALESCE(o_orderstatus, 'ALL') AS st, " +
+        "COALESCE(o_orderpriority, 'ALL') AS pri, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, " +
+        "(GROUPING(o_orderstatus) + GROUPING(o_orderpriority))::BIGINT AS g " +
+        "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) " +
+        "ORDER BY g, st, pri"),
     "q18_distinct_agg" ->
       ("SELECT p_brand, COUNT(DISTINCT p_type) AS n_types, COUNT(*) AS cnt " +
         "FROM part GROUP BY p_brand ORDER BY p_brand"),
