@@ -7,13 +7,14 @@ object MfProbe {
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val edges = graph.GraphQueries.q16Edges(spark, "/root/testdata/sf0.1").persist()
-    println(s"PROBE edges=${edges.count()}")
-    var t0 = System.nanoTime()
-    val v1 = graph.MaxFlow.run(spark, edges, 10L to 12L, 1000010L to 1000012L)
-    println(f"PROBE v1 flow=${v1.flow} rounds=${v1.rounds} t=${(System.nanoTime()-t0)/1e9}%.1f s")
-    t0 = System.nanoTime()
-    val v2 = graph.MaxFlowSchimmy.run(spark, edges, 10L to 12L, 1000010L to 1000012L)
-    println(f"PROBE v2-schimmy flow=${v2.flow} rounds=${v2.rounds} t=${(System.nanoTime()-t0)/1e9}%.1f s")
+    edges.count()
+    for (n <- Seq(3, 8)) {
+      val sources = (10L until 10L + n)
+      val sinks = (1000010L until 1000010L + n)
+      val t0 = System.nanoTime()
+      val r = graph.MaxFlow.run(spark, edges, sources, sinks)
+      println(f"PROBE n=$n flow=${r.flow} engine=${r.engineFlow} rounds=${r.rounds} t=${(System.nanoTime()-t0)/1e9}%.1f s")
+    }
     spark.stop()
   }
 }

@@ -44,8 +44,8 @@ object GraphQueries {
       |""".stripMargin.replaceAll("\n", " ").trim
 
   /** The max-flow "query" (SURVEY §3.1): supplier/part bipartite graph with
-    * lineitem-count capacities; flow from the first 3 suppliers to the
-    * first 3 parts. Exact (engine + cleanup), hence deterministic.
+    * lineitem-count capacities; flow from the first 8 suppliers to the
+    * first 8 parts. Exact (engine + cleanup), hence deterministic.
     */
   def q16_maxflow(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -56,8 +56,8 @@ object GraphQueries {
       .agg(count(lit(1)).as("cap"))
     val edges = pairs.select(col("su").as("src"), col("pu").as("dst"), col("cap"))
       .unionAll(pairs.select(col("pu").as("src"), col("su").as("dst"), col("cap")))
-    val sources = (10L to 12L)                          // suppkeys 0..2
-    val sinks = (PartOffset + 10L to PartOffset + 12L)  // partkeys 0..2
+    val sources = (10L to 17L)                          // suppkeys 0..7
+    val sinks = (PartOffset + 10L to PartOffset + 17L)  // partkeys 0..7
     val r = MaxFlow.run(s, edges, sources, sinks)
     Seq(r.flow).toDF("maxflow")
   }

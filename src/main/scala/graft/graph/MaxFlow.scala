@@ -65,6 +65,12 @@ object MaxFlow {
         * "random" = seeded random retention (ff2/ff3/ff4,
         * ff3/ReduceFF.java:60-71). */
       truncation: String = "priority",
+      /** Durable round-state checkpointing (S7; the reference's
+        * round-<i>/master dirs, ff3/FordFulkerson.java:155-162): when set,
+        * the flushed state is written here every `checkpointEvery` rounds
+        * and at convergence, and `MaxFlow.resume` can continue from it. */
+      stateDir: Option[String] = None,
+      checkpointEvery: Int = 10,
       /** Debug invariant layer (SURVEY §5): re-assert the reference's
         * runtime invariants — |flow| within caps (ff2/Edge.java:34),
         * path simplicity/acyclicity (ff1/Excess.java:49-50), hop-count
@@ -295,20 +301,26 @@ object MaxFlow {
     spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
 
     try {
-      runLoop(spark, edges, sources, sinks, conf)
+      val init = GraphBuilder.buildState(spark, edges, sources, sinks)
+      runLoop(spark, init, conf)
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
   }
 
-  private def runLoop(spark: SparkSession, edges: DataFrame, sources: Seq[Long],
-                      sinks: Seq[Long], conf: Config): Result = {
+  /** Continue a run from durable round state written via Config.stateDir
+    * (the reference's restart-from-round-<i> capability).
+    */
+  def resume(spark: SparkSession, stateDir: String,
+             conf: Config = Config()): Result =
+    runLoop(spark, graft.sources.StateIO.readState(spark, stateDir), conf)
+
+  private def runLoop(spark: SparkSession, initial: Dataset[VertexState],
+                      conf: Config): Result = {
     import spark.implicits._
     val sc = spark.sparkContext
 
-    var state: Dataset[VertexState] =
-      GraphBuilder.buildState(spark, edges, sources, sinks)
-        .localCheckpoint(eager = true)
+    var state: Dataset[VertexState] = initial.localCheckpoint(eager = true)
     var engineFlow = 0L
     var round = 0
     var pending: FlowDelta = Map.empty
@@ -343,6 +355,15 @@ object MaxFlow {
       // C3 quiescence, or early stop once found flow has gone stale
       done = (got == 0 && moves.value == 0) ||
         (engineFlow > 0 && zeroStreak >= conf.acceptPatience)
+      conf.stateDir.foreach { dir =>
+        if (done || round % conf.checkpointEvery == 0) {
+          // persist the FLUSHED view so resume starts with no pending delta
+          val bcF = sc.broadcast(pending)
+          graft.sources.StateIO.writeState(
+            state.map(applyDeltaOnly(_, bcF.value)), dir)
+          bcF.destroy()
+        }
+      }
     }
     // flush any un-applied deltas into the state before cleanup
     if (pending.nonEmpty) {

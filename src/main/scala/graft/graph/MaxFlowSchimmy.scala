@@ -208,11 +208,20 @@ object MaxFlowSchimmy {
     require(sources.toSet.intersect(sinks.toSet).isEmpty,
       "sources and sinks must be disjoint")
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = spark.conf.get(coalesceKey, "true")
     val nEdges = edges.count()
     val loopParts = math.max(2L, math.min(prevParts.toLong, nEdges / 20000 + 1))
     spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    // SURVEY §4: AQE partition coalescing would shrink the delta exchange
+    // below the master state's partition count, silently forcing the
+    // master side of the schimmy join to re-shuffle — pin it off here
+    spark.conf.set(coalesceKey, "false")
     try runLoop(spark, edges, sources, sinks, conf, loopParts.toInt)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set(coalesceKey, prevCoalesce)
+    }
   }
 
   private def runLoop(spark: SparkSession, edges: DataFrame, sources: Seq[Long],

@@ -12,7 +12,7 @@ class GraphQueriesSpec extends AnyFunSuite {
     import spark.implicits._
     val edges = GraphQueries.q16Edges(spark, sf)
       .as[(Long, Long, Long)].collect().toSeq
-    val want = EdmondsKarp.maxFlow(edges, 10L to 12L, 1000010L to 1000012L)
+    val want = EdmondsKarp.maxFlow(edges, 10L to 17L, 1000010L to 1000017L)
     val got = GraphQueries.q16_maxflow(spark, sf).head().getLong(0)
     assert(got == want, s"engine=$got oracle=$want")
   }

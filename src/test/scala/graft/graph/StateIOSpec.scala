@@ -50,6 +50,19 @@ class StateIOSpec extends AnyFunSuite {
     assert(s.size == 1 && t.size == 1 && s.head != t.head)
   }
 
+  test("round-state checkpoint + resume reaches the exact flow (S7 restart)") {
+    val (edges, sources, sinks) = GraphSources.readDimacs(spark, fixture("clrs.dimacs"))
+    val dir = java.nio.file.Files.createTempDirectory("resume").toString + "/rounds"
+    // cut the first run short, no cleanup: it must leave flow on the table
+    val first = MaxFlow.run(spark, edges, sources, sinks,
+      MaxFlow.Config(maxRounds = 2, exactCleanup = false,
+        stateDir = Some(dir), checkpointEvery = 1))
+    assert(first.flow < 23L)
+    val rest = MaxFlow.resume(spark, dir)
+    assert(first.flow + rest.flow == 23L,
+      s"first=${first.flow} rest=${rest.flow}")
+  }
+
   test("random-K truncation (A6) stays exact (oracle equality)") {
     val edges = EdmondsKarp.randomGraph(n = 10, edgeProb = 0.3, maxCap = 8, seed = 5)
     val ids = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
