@@ -142,6 +142,45 @@ object Dedup {
         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   }
 
+  /** SimHash near-dup PAIRS over the twin corpus: 16-bit shingle-based
+    * signatures (token-based ones are degenerate on this vocabulary),
+    * bucketed by the signature's high byte so the pair join is an equality
+    * join, verified by Hamming distance ≤ 3 (bit_count of xor).
+    */
+  def ddSimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      s"""WITH ${corpusSqlSparkified()},
+         |tok AS (
+         |  SELECT DISTINCT doc_id, explode(
+         |    CASE WHEN size(toks) >= 3
+         |         THEN transform(sequence(1, size(toks) - 2),
+         |                i -> concat(element_at(toks, i), ' ',
+         |                            element_at(toks, i + 1), ' ',
+         |                            element_at(toks, i + 2)))
+         |         ELSE array() END) AS tok
+         |  FROM corpus),
+         |bits AS (
+         |  SELECT doc_id, k,
+         |         2 * ((shiftright(instr('0123456789abcdef',
+         |                    substring(md5(tok), 1 + k div 4, 1)) - 1,
+         |                 k % 4)) & 1) - 1 AS vote
+         |  FROM tok LATERAL VIEW explode(sequence(0, 15)) AS k),
+         |votes AS (SELECT doc_id, k, SUM(vote) AS sv FROM bits GROUP BY doc_id, k),
+         |sig AS (
+         |  SELECT doc_id,
+         |         CAST(SUM(CASE WHEN sv > 0 THEN shiftleft(1, k) ELSE 0 END) AS BIGINT)
+         |           AS simhash
+         |  FROM votes GROUP BY doc_id)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b
+         |  ON shiftright(a.simhash, 8) = shiftright(b.simhash, 8)
+         | AND a.doc_id < b.doc_id
+         |WHERE bit_count(a.simhash ^ b.simhash) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin)
+  }
+
   /** Word-bigram (2-shingle) Jaccard of each document against its 80%-prefix
     * twin — the n-gram near-dup scoring primitive.
     */
@@ -207,6 +246,7 @@ object Dedup {
     "dd_exact" -> (ddExact _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_simhash" -> (ddSimhash _),
+    "dd_simhash_pairs" -> (ddSimhashPairs _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_embed_cos" -> (ddEmbedCos _))
 
@@ -269,6 +309,32 @@ object Dedup {
         |SELECT doc_id,
         |       SUM(CASE WHEN s > 0 THEN 1 << k ELSE 0 END)::BIGINT AS simhash
         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "dd_simhash_pairs" ->
+      s"""WITH $corpusSql,
+         |tok AS (
+         |  SELECT DISTINCT doc_id, unnest(
+         |    CASE WHEN len(toks) >= 3
+         |         THEN [toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+         |               FOR i IN generate_series(1, len(toks) - 2)]
+         |         ELSE [] END) AS tok
+         |  FROM corpus),
+         |bits AS (
+         |  SELECT doc_id, g.k,
+         |         2 * (((strpos('0123456789abcdef',
+         |                  substr(md5(tok), 1 + k // 4, 1)) - 1)
+         |               >> (k % 4)) & 1) - 1 AS vote
+         |  FROM tok CROSS JOIN generate_series(0, 15) g(k)),
+         |votes AS (SELECT doc_id, k, SUM(vote) AS sv FROM bits GROUP BY doc_id, k),
+         |sig AS (
+         |  SELECT doc_id,
+         |         SUM(CASE WHEN sv > 0 THEN 1 << k ELSE 0 END)::BIGINT AS simhash
+         |  FROM votes GROUP BY doc_id)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+         |FROM sig a JOIN sig b
+         |  ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin.replaceAll("\n", " "),
     "dd_ngram_jaccard" ->
       s"""WITH $corpusSql,
          |sh AS (

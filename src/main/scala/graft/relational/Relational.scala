@@ -184,6 +184,31 @@ object Relational {
         "concat_ws('|', p_brand, p_type) AS tag",
         "length(p_name) AS len")
 
+  /** Skew-safe two-stage salted aggregation: the skewed key (3 giant
+    * l_returnflag groups at any scale) is widened with a 16-way
+    * deterministic salt for the first shuffle, then combined. Results are
+    * identical to the direct aggregation (decimal-exact sums are
+    * associative) — which is exactly what the plain-SQL oracle computes.
+    */
+  def q22_salted_agg(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .withColumn("salt", pmod(xxhash64(col("l_orderkey")), lit(16)))
+      .groupBy("l_returnflag", "salt")
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("partial_qty"),
+        count(lit(1)).as("partial_cnt"))
+      .groupBy("l_returnflag")
+      .agg(sum(col("partial_qty")).cast(DoubleType).as("sum_qty"),
+        sum(col("partial_cnt")).as("cnt"))
+      .orderBy("l_returnflag")
+
+  /** JSON scalar functions over the events.props column (SURVEY §2.6). */
+  def q23_json(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .selectExpr("CAST(get_json_object(props, '$.k') AS BIGINT) AS k", "value")
+      .groupBy("k")
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+      .orderBy("k")
+
   /** HLL approximate distinct (SURVEY §2.6) — sketches differ across
     * engines, so this is rows-only checked; the exact q18 is the oracle
     * analogue. A spec asserts the estimate is within 5% of exact.
@@ -199,6 +224,8 @@ object Relational {
     "q18_distinct_agg" -> (q18_distinct_agg _),
     "q19_strings" -> (q19_strings _),
     "q20_approx_distinct" -> (q20_approx_distinct _),
+    "q22_salted_agg" -> (q22_salted_agg _),
+    "q23_json" -> (q23_json _),
     "q1_scan" -> (q1_scan _),
     "q2_filter" -> (q2_filter _),
     "q3_agg" -> (q3_agg _),
@@ -230,6 +257,13 @@ object Relational {
     "q18_distinct_agg" ->
       ("SELECT p_brand, COUNT(DISTINCT p_type) AS n_types, COUNT(*) AS cnt " +
         "FROM part GROUP BY p_brand ORDER BY p_brand"),
+    "q22_salted_agg" ->
+      (s"SELECT l_returnflag, ${sqlDsum("l_quantity")} AS sum_qty, " +
+        "COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q23_json" ->
+      (s"SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k, " +
+        s"COUNT(*) AS cnt, ${sqlDsum("value")} AS sum_value " +
+        "FROM events GROUP BY k ORDER BY k"),
     "q19_strings" ->
       ("SELECT p_partkey, upper(p_name) AS up, " +
         "replace(substr(p_name, 1, 8), ' ', '_') AS frag, " +

@@ -89,6 +89,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("late data behind the watermark is dropped (late-data handling)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = Streams.tumblingAgg(stream.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:10:00")
+    stream.addData(Ev(1L, t0, 1L, "click", 1.0))
+    q.processAllAvailable()
+    // advance the watermark far past t0's window…
+    stream.addData(Ev(2L, java.sql.Timestamp.valueOf("2024-06-01 14:00:00"), 1L, "view", 1.0))
+    q.processAllAvailable()
+    // …then replay an event inside the already-closed 10:00 window
+    stream.addData(Ev(3L, java.sql.Timestamp.valueOf("2024-06-01 10:20:00"), 1L, "click", 9.0))
+    q.processAllAvailable()
+    stream.addData(Ev(4L, java.sql.Timestamp.valueOf("2024-06-01 20:00:00"), 1L, "x", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("late_out")
+      .filter(col("w_start") === java.sql.Timestamp.valueOf("2024-06-01 10:00:00"))
+      .collect()
+    // the late event must NOT have joined the closed 10:00 window
+    assert(closed.length == 1 && closed.head.getLong(2) == 1L &&
+      closed.head.getDouble(3) == 1.0, closed.mkString(";"))
+  }
+
   test("tumbling window streaming == batch") {
     val got = runStreaming(Streams.tumblingAgg, "tumb_out", col("event_type") =!= "x")
       .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
