@@ -71,6 +71,15 @@ class MaxFlowSpec extends AnyFunSuite {
     }
   }
 
+  test("ff5 'unlimited K' mode stays exact (no excess-list cap)") {
+    val edges = EdmondsKarp.randomGraph(n = 10, edgeProb = 0.3, maxCap = 7, seed = 21)
+    val ids = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val want = EdmondsKarp.maxFlow(edges, Seq(ids.head), Seq(ids.last))
+    val got = MaxFlow.run(spark, toDf(edges), Seq(ids.head), Seq(ids.last),
+      MaxFlow.Config(excessListMax = Int.MaxValue))
+    assert(got.flow == want)
+  }
+
   test("invariant layer holds through a full run (Config.validate)") {
     val (edges, sources, sinks) = GraphSources.readDimacs(spark, fixture("clrs.dimacs"))
     val r = MaxFlow.run(spark, edges, sources, sinks,
