@@ -43,8 +43,35 @@ object AsOf {
       .orderBy("event_id")
   }
 
+  /** Range (interval) join, composed for scale: find how many events fall
+    * within ±5 minutes of each probe event (the first 200 events). A naive
+    * theta join is O(probes × events); instead both sides are bucketed by
+    * a 5-minute epoch bin and probes explode into their 3 candidate bins —
+    * the join becomes an equality join on (bin) with a final exact range
+    * filter. The oracle is DuckDB's native inequality join, so the
+    * bucketed rewrite is verified against first-class range semantics.
+    */
+  def evRangeCount(s: SparkSession, dir: String): DataFrame = {
+    val binUs = 300000000L // 5 minutes in micros
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+    val all = ev.withColumn("bin", expr(s"us div $binUs"))
+    val probes = ev.filter(col("event_id") < 200)
+      .select(col("event_id").as("probe_id"), col("us").as("pus"))
+      .withColumn("bin", explode(array(
+        expr(s"pus div $binUs - 1"), expr(s"pus div $binUs"),
+        expr(s"pus div $binUs + 1"))))
+    probes.join(all, Seq("bin"))
+      .filter(col("event_id") =!= col("probe_id") &&
+        abs(col("us") - col("pus")) <= binUs)
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("n_nearby"))
+      .orderBy("probe_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ev_asof" -> (evAsof _))
+    "ev_asof" -> (evAsof _),
+    "ev_range_count" -> (evRangeCount _))
 
   val oracleSql: Map[String, String] = Map(
     "ev_asof" ->
@@ -54,5 +81,12 @@ object AsOf {
         |SELECT e.event_id, o.okey
         |FROM events e ASOF LEFT JOIN o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
-        |ORDER BY e.event_id""".stripMargin.replaceAll("\n", " "))
+        |ORDER BY e.event_id""".stripMargin.replaceAll("\n", " "),
+    "ev_range_count" ->
+      """SELECT p.event_id AS probe_id, COUNT(*) AS n_nearby
+        |FROM events p JOIN events e
+        |  ON e.event_id <> p.event_id
+        | AND abs(epoch_us(e.ts) - epoch_us(p.ts)) <= 300000000
+        |WHERE p.event_id < 200
+        |GROUP BY p.event_id ORDER BY probe_id""".stripMargin.replaceAll("\n", " "))
 }
