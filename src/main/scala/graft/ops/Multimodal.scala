@@ -119,9 +119,32 @@ object Multimodal {
     frameSample(decodeAll(mediaFromDocs(s, dir), StubDecoder))
       .toDF().orderBy("media_id", "frame_idx")
 
+  /** Resize stage: scale decoded dims so the longest side is `maxDim`,
+    * preserving aspect ratio in integer arithmetic (floor) — the stub's
+    * deterministic stand-in for an image-resample kernel; mirrored by the
+    * SQL oracle.
+    */
+  def resize(ds: Dataset[DecodedMedia], maxDim: Int = 128): Dataset[DecodedMedia] = {
+    import ds.sparkSession.implicits._
+    ds.map { d =>
+      val longSide = math.max(d.width, d.height).toLong
+      if (longSide <= maxDim) d
+      else d.copy(
+        width = (d.width.toLong * maxDim / longSide).toInt,
+        height = (d.height.toLong * maxDim / longSide).toInt)
+    }
+  }
+
+  /** Driver-checkable query: decode → resize pass. */
+  def mmResize(s: SparkSession, dir: String): DataFrame =
+    resize(decodeAll(mediaFromDocs(s, dir), StubDecoder))
+      .toDF().select("media_id", "width", "height")
+      .orderBy("media_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode" -> (mmDecode _),
-    "mm_frames" -> (mmFrames _))
+    "mm_frames" -> (mmFrames _),
+    "mm_resize" -> (mmResize _))
 
   val oracleSql: Map[String, String] = Map(
     "mm_decode" ->
@@ -148,5 +171,17 @@ object Multimodal {
         |FROM (SELECT media_id, n_bytes, n_frames, feature_hash,
         |             unnest(generate_series(0, n_frames - 1)) AS i
         |      FROM dec)
-        |ORDER BY media_id, frame_idx""".stripMargin.replaceAll("\n", " "))
+        |ORDER BY media_id, frame_idx""".stripMargin.replaceAll("\n", " "),
+    "mm_resize" ->
+      """WITH dec AS (
+        |  SELECT doc_id AS media_id,
+        |    (64 + octet_length(encode(text)) % 576)::BIGINT AS w,
+        |    (64 + (octet_length(encode(text))::BIGINT * 7) % 456)::BIGINT AS h
+        |  FROM documents)
+        |SELECT media_id,
+        |  (CASE WHEN greatest(w, h) <= 128 THEN w
+        |        ELSE w * 128 // greatest(w, h) END)::INT AS width,
+        |  (CASE WHEN greatest(w, h) <= 128 THEN h
+        |        ELSE h * 128 // greatest(w, h) END)::INT AS height
+        |FROM dec ORDER BY media_id""".stripMargin.replaceAll("\n", " "))
 }

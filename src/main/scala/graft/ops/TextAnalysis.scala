@@ -41,10 +41,12 @@ object TextAnalysis {
     Tables.load(s, dir, "documents").selectExpr(
       "doc_id",
       s"size($toks) AS n_tokens",
-      s"size(filter($toks, t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'to')) AS n_stop")
+      s"size(filter($toks, t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'to')) AS n_stop",
+      "size(regexp_extract_all(text, '[.!?,;:]', 0)) AS n_punct", "text")
       .selectExpr(
         "doc_id", "n_tokens", "n_stop",
         "round(n_stop / n_tokens, 6) AS stop_ratio",
+        "round(n_punct / length(text), 6) AS punct_ratio",
         // CAST: Spark parses the 60.0 literal as DECIMAL and a decimal
         // division would truncate the quotient; force double arithmetic
         "round((CAST(n_tokens AS DOUBLE) / 60.0) * (1 - n_stop / n_tokens), 6) AS quality")
@@ -99,9 +101,11 @@ object TextAnalysis {
         "length(text) AS n_chars_calc FROM documents ORDER BY doc_id"),
     "ta_quality" ->
       (s"SELECT doc_id, n_tokens, n_stop, round(n_stop / n_tokens, 6) AS stop_ratio, " +
+        "round(n_punct / length(text), 6) AS punct_ratio, " +
         "round((n_tokens::DOUBLE / 60.0) * (1 - n_stop / n_tokens), 6) AS quality FROM (" +
         s"SELECT doc_id, len($sqlToks) AS n_tokens, " +
-        s"len(list_filter($sqlToks, t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'to')) AS n_stop " +
+        s"len(list_filter($sqlToks, t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'to')) AS n_stop, " +
+        "len(regexp_extract_all(text, '[.!?,;:]')) AS n_punct, text " +
         "FROM documents) ORDER BY doc_id"),
     "ta_langid" ->
       ("SELECT doc_id, CASE WHEN sc_en >= sc_de AND sc_en >= sc_fr AND sc_en >= sc_es THEN 'en' " +

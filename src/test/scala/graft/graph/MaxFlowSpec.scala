@@ -71,6 +71,14 @@ class MaxFlowSpec extends AnyFunSuite {
     }
   }
 
+  test("approx mode (mf.approx ≙ exactCleanup=false): engine-only flow ≤ exact") {
+    val (edges, sources, sinks) = GraphSources.readDimacs(spark, fixture("clrs.dimacs"))
+    val approx = MaxFlow.run(spark, edges, sources, sinks,
+      MaxFlow.Config(exactCleanup = false))
+    assert(approx.cleanupFlow == 0L)
+    assert(approx.flow <= 23L && approx.flow >= 0L)
+  }
+
   test("ff5 'unlimited K' mode stays exact (no excess-list cap)") {
     val edges = EdmondsKarp.randomGraph(n = 10, edgeProb = 0.3, maxCap = 7, seed = 21)
     val ids = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
