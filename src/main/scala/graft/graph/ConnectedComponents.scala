@@ -1,0 +1,51 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components by min-label propagation — a second iterative
+  * fixpoint algorithm on the same superstep substrate as Bfs/MaxFlow
+  * (SURVEY §7 stage 2's loop shape, generalized).
+  *
+  * Per round: propagate each node's current component label to its
+  * neighbors and keep the minimum — one join + one aggregate, both
+  * hash-partitioned on node. Convergence is detected by the label-sum,
+  * which strictly decreases until the fixpoint (one scalar per round, no
+  * row-diff join). Rounds ≤ the largest component's diameter.
+  */
+object ConnectedComponents {
+
+  /** @param edges directed edge relation (src, dst); pass both directions
+    *              for undirected connectivity
+    * @return DataFrame(node: Long, comp: Long) — comp = min node id of the
+    *         component
+    */
+  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val adj = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = adj.select(col("src").as("node"))
+      .union(adj.select(col("dst").as("node")))
+      .distinct()
+      .withColumn("comp", col("node"))
+      .localCheckpoint(eager = true)
+    var prevSum = labels.agg(sum("comp")).head().getLong(0)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      iter += 1
+      val prop = adj.join(labels, adj("src") === labels("node"))
+        .select(adj("dst").as("node"), col("comp"))
+      val next = labels.unionAll(prop)
+        .groupBy("node").agg(min("comp").as("comp"))
+        .localCheckpoint(eager = true)
+      val s = next.agg(sum("comp")).head().getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
+    }
+    adj.unpersist()
+    labels
+  }
+}

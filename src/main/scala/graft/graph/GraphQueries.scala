@@ -75,10 +75,44 @@ object GraphQueries {
       .unionAll(pairs.select(col("pu").as("src"), col("su").as("dst"), col("cap")))
   }
 
+  /** Q24: connected components of the user co-occurrence graph (users with
+    * events in the same 10-second epoch bucket are linked). Oracle =
+    * transitive closure via recursive CTE + MIN — tractable because the
+    * user set is small; the Spark side is the general label-propagation
+    * loop.
+    */
+  def q24_cc(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .selectExpr("user_id", "unix_micros(ts) div 10000000 AS b")
+    val edges = ev.as("a").join(ev.as("b"), "b")
+      .select(col("a.user_id").as("src"), col("b.user_id").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    ConnectedComponents.run(s, edges, maxIter = 30)
+      .withColumnRenamed("node", "user_id")
+      .orderBy("user_id")
+  }
+
+  val q24OracleSql: String =
+    """WITH RECURSIVE e0 AS (
+      |  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      |  FROM (SELECT user_id, epoch_us(ts) // 10000000 AS b FROM events) a
+      |  JOIN (SELECT user_id, epoch_us(ts) // 10000000 AS b FROM events) b
+      |    USING (b)
+      |  WHERE a.user_id <> b.user_id),
+      |reach(u, v) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM e0)
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN e0 e ON e.u = r.v)
+      |SELECT u AS user_id, MIN(v) AS comp FROM reach GROUP BY u
+      |ORDER BY user_id""".stripMargin.replaceAll("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_bfs" -> (q13_bfs _),
-    "q16_maxflow" -> (q16_maxflow _))
+    "q16_maxflow" -> (q16_maxflow _),
+    "q24_cc" -> (q24_cc _))
 
   val oracleSql: Map[String, String] = Map(
-    "q13_bfs" -> q13OracleSql)
+    "q13_bfs" -> q13OracleSql,
+    "q24_cc" -> q24OracleSql)
 }

@@ -17,6 +17,30 @@ class GraphQueriesSpec extends AnyFunSuite {
     assert(got == want, s"engine=$got oracle=$want")
   }
 
+  test("q24_cc equals union-find on the same co-occurrence edges") {
+    import spark.implicits._
+    val ev = graft.Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "unix_micros(ts) div 10000000 AS b")
+    val edges = ev.as("a").join(ev.as("b"), "b")
+      .selectExpr("a.user_id AS src", "b.user_id AS dst")
+      .filter("src <> dst").distinct()
+      .as[(Long, Long)].collect()
+    // in-memory union-find oracle
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(k => k -> find(k)).toMap
+    val got = GraphQueries.q24_cc(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("q13_bfs returns supplier 1 at distance 0 and rows > 0") {
     val rows = GraphQueries.q13_bfs(spark, sf).collect()
     assert(rows.nonEmpty)
