@@ -107,12 +107,91 @@ object GraphQueries {
       |SELECT u AS user_id, MIN(v) AS comp FROM reach GROUP BY u
       |ORDER BY user_id""".stripMargin.replaceAll("\n", " ")
 
+  /** Q25: triangle count on the user co-occurrence graph — the canonical
+    * ordered two-join formulation (u < v < w prunes each triangle to one
+    * orientation), integer-exact in both engines.
+    */
+  def q25_triangles(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .selectExpr("user_id", "unix_micros(ts) div 10000000 AS b")
+    val und = ev.as("a").join(ev.as("b"), "b")
+      .select(col("a.user_id").as("u"), col("b.user_id").as("v"))
+      .filter(col("u") < col("v"))
+      .distinct()
+      .localCheckpoint(eager = false) // reused 3× below; cache once
+    und.as("e1")
+      .join(und.as("e2"), col("e1.v") === col("e2.u"))
+      .join(und.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  val q25OracleSql: String =
+    """WITH und AS (
+      |  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      |  FROM (SELECT user_id, epoch_us(ts) // 10000000 AS b FROM events) a
+      |  JOIN (SELECT user_id, epoch_us(ts) // 10000000 AS b FROM events) b
+      |    USING (b)
+      |  WHERE a.user_id < b.user_id)
+      |SELECT COUNT(*) AS n_triangles
+      |FROM und e1
+      |JOIN und e2 ON e2.u = e1.v
+      |JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin
+      .replaceAll("\n", " ")
+
+  /** Q26: hop-bounded weighted shortest paths (≤6 hops) from supplier 1
+    * over the supplier↔part graph with lineitem-count weights — 6 rounds
+    * of Bellman-Ford relaxation; the hop bound makes the semantics
+    * identical to the oracle's bounded recursion, and all arithmetic is
+    * integer.
+    */
+  def q26_sssp(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{min => fmin}
+    val li = Tables.load(s, dir, "lineitem")
+    val fwd = li.groupBy(col("l_suppkey").as("u"),
+        (col("l_partkey") + PartOffset).as("v"))
+      .agg(count(lit(1)).as("w"))
+    val edges = fwd.select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .unionAll(fwd.select(col("v").as("src"), col("u").as("dst"), col("w")))
+      .repartition(col("src"))
+      .localCheckpoint(eager = false)
+    var dist = s.range(1).selectExpr("CAST(1 AS BIGINT) AS node", "CAST(0 AS BIGINT) AS cost")
+    for (_ <- 1 to 6) {
+      val relaxed = dist.join(edges, dist("node") === edges("src"))
+        .select(edges("dst").as("node"), (col("cost") + col("w")).as("cost"))
+      dist = dist.unionAll(relaxed)
+        .groupBy("node").agg(fmin("cost").as("cost"))
+        .localCheckpoint(eager = true)
+    }
+    dist.orderBy("node")
+  }
+
+  val q26OracleSql: String =
+    """WITH RECURSIVE edges AS (
+      |  SELECT l_suppkey AS u, l_partkey + 1000000 AS v, COUNT(*) AS w
+      |  FROM lineitem GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT l_partkey + 1000000, l_suppkey, COUNT(*)
+      |  FROM lineitem GROUP BY l_partkey + 1000000, l_suppkey),
+      |walk(node, cost, hops) AS (
+      |  SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT), 0
+      |  UNION
+      |  SELECT e.v, w.cost + e.w, w.hops + 1
+      |  FROM walk w JOIN edges e ON e.u = w.node
+      |  WHERE w.hops < 6)
+      |SELECT node, MIN(cost) AS cost FROM walk GROUP BY node
+      |ORDER BY node""".stripMargin.replaceAll("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_bfs" -> (q13_bfs _),
     "q16_maxflow" -> (q16_maxflow _),
-    "q24_cc" -> (q24_cc _))
+    "q24_cc" -> (q24_cc _),
+    "q25_triangles" -> (q25_triangles _),
+    "q26_sssp" -> (q26_sssp _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_bfs" -> q13OracleSql,
-    "q24_cc" -> q24OracleSql)
+    "q24_cc" -> q24OracleSql,
+    "q25_triangles" -> q25OracleSql,
+    "q26_sssp" -> q26OracleSql)
 }
