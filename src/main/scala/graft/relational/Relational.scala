@@ -209,6 +209,45 @@ object Relational {
       .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
       .orderBy("k")
 
+  /** Date/time scalar functions (SURVEY §2.6): calendar parts + an
+    * integer epoch-day — formulations chosen to be dialect-safe (no
+    * day-of-week numbering or month-arithmetic edge cases).
+    */
+  def q27_datefuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .orderBy("o_orderkey")
+      .selectExpr("o_orderkey",
+        "year(o_orderdate) AS y",
+        "month(o_orderdate) AS m",
+        "day(o_orderdate) AS d",
+        "quarter(o_orderdate) AS q",
+        // o_orderdate reads as TIMESTAMP_NTZ; the cast is identity under
+        // the UTC session timezone
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000 AS epoch_day")
+
+  /** Window functions with frames (SURVEY §2.6): running decimal-exact
+    * totals over an explicit ROWS frame, lag/lead, rank and dense_rank —
+    * all on a unique total ordering.
+    */
+  def q28_window_frames(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "orders").createOrReplaceTempView("__orders")
+    s.sql(
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |       AS DOUBLE) AS running_total,
+        |  LAG(o_orderkey) OVER w AS prev_key,
+        |  LEAD(o_orderkey) OVER w AS next_key,
+        |  CAST(RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus)
+        |       AS BIGINT) AS status_rank,
+        |  CAST(DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus)
+        |       AS BIGINT) AS status_drank
+        |FROM __orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+  }
+
   /** HLL approximate distinct (SURVEY §2.6) — sketches differ across
     * engines, so this is rows-only checked; the exact q18 is the oracle
     * analogue. A spec asserts the estimate is within 5% of exact.
@@ -226,6 +265,8 @@ object Relational {
     "q20_approx_distinct" -> (q20_approx_distinct _),
     "q22_salted_agg" -> (q22_salted_agg _),
     "q23_json" -> (q23_json _),
+    "q27_datefuncs" -> (q27_datefuncs _),
+    "q28_window_frames" -> (q28_window_frames _),
     "q1_scan" -> (q1_scan _),
     "q2_filter" -> (q2_filter _),
     "q3_agg" -> (q3_agg _),
@@ -264,6 +305,21 @@ object Relational {
       (s"SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k, " +
         s"COUNT(*) AS cnt, ${sqlDsum("value")} AS sum_value " +
         "FROM events GROUP BY k ORDER BY k"),
+    "q27_datefuncs" ->
+      ("SELECT o_orderkey, year(o_orderdate)::INT AS y, month(o_orderdate)::INT AS m, " +
+        "day(o_orderdate)::INT AS d, quarter(o_orderdate)::INT AS q, " +
+        "epoch_us(o_orderdate) // 86400000000 AS epoch_day " +
+        "FROM orders ORDER BY o_orderkey"),
+    "q28_window_frames" ->
+      ("SELECT o_custkey, o_orderkey, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) " +
+        "OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total, " +
+        "LAG(o_orderkey) OVER w AS prev_key, LEAD(o_orderkey) OVER w AS next_key, " +
+        "RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS status_rank, " +
+        "DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS status_drank " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) " +
+        "ORDER BY o_custkey, o_orderkey"),
     "q19_strings" ->
       ("SELECT p_partkey, upper(p_name) AS up, " +
         "replace(substr(p_name, 1, 8), ' ', '_') AS frag, " +
