@@ -248,6 +248,30 @@ object Relational {
         |ORDER BY o_custkey, o_orderkey""".stripMargin)
   }
 
+  /** EXCEPT set operation (SURVEY §2.6 set ops, complementing q12's
+    * INTERSECT): part keys never ordered.
+    */
+  def q29_except(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(s, dir, "part").select(col("p_partkey").as("k"))
+    val li = Tables.load(s, dir, "lineitem")
+      .filter(col("l_quantity") > 45) // parts never ordered in bulk remain
+      .select(col("l_partkey").as("k"))
+    p.except(li).orderBy("k")
+  }
+
+  /** Manual pivot (conditional aggregation — the engine-portable crosstab):
+    * order totals per customer spread across status columns.
+    */
+  def q30_pivot(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "orders").createOrReplaceTempView("__orders")
+    s.sql(
+      """SELECT o_custkey,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS open_total,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS filled_total,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS partial_total
+        |FROM __orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+  }
+
   /** HLL approximate distinct (SURVEY §2.6) — sketches differ across
     * engines, so this is rows-only checked; the exact q18 is the oracle
     * analogue. A spec asserts the estimate is within 5% of exact.
@@ -267,6 +291,8 @@ object Relational {
     "q23_json" -> (q23_json _),
     "q27_datefuncs" -> (q27_datefuncs _),
     "q28_window_frames" -> (q28_window_frames _),
+    "q29_except" -> (q29_except _),
+    "q30_pivot" -> (q30_pivot _),
     "q1_scan" -> (q1_scan _),
     "q2_filter" -> (q2_filter _),
     "q3_agg" -> (q3_agg _),
@@ -305,6 +331,15 @@ object Relational {
       (s"SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k, " +
         s"COUNT(*) AS cnt, ${sqlDsum("value")} AS sum_value " +
         "FROM events GROUP BY k ORDER BY k"),
+    "q29_except" ->
+      ("SELECT p_partkey AS k FROM part EXCEPT " +
+        "SELECT l_partkey FROM lineitem WHERE l_quantity > 45 ORDER BY k"),
+    "q30_pivot" ->
+      ("SELECT o_custkey, " +
+        "CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS open_total, " +
+        "CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS filled_total, " +
+        "CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS partial_total " +
+        "FROM orders GROUP BY o_custkey ORDER BY o_custkey"),
     "q27_datefuncs" ->
       ("SELECT o_orderkey, year(o_orderdate)::INT AS y, month(o_orderdate)::INT AS m, " +
         "day(o_orderdate)::INT AS d, quarter(o_orderdate)::INT AS q, " +
