@@ -148,12 +148,14 @@ object GraphQueries {
   def q26_sssp(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{min => fmin}
     val li = Tables.load(s, dir, "lineitem")
+    // aggregate ONCE, checkpoint, then derive both directions — the union
+    // would otherwise re-run the 600k-row aggregation per branch
     val fwd = li.groupBy(col("l_suppkey").as("u"),
         (col("l_partkey") + PartOffset).as("v"))
       .agg(count(lit(1)).as("w"))
+      .localCheckpoint(eager = false)
     val edges = fwd.select(col("u").as("src"), col("v").as("dst"), col("w"))
       .unionAll(fwd.select(col("v").as("src"), col("u").as("dst"), col("w")))
-      .repartition(col("src"))
       .localCheckpoint(eager = false)
     var dist = s.range(1).selectExpr("CAST(1 AS BIGINT) AS node", "CAST(0 AS BIGINT) AS cost")
     for (_ <- 1 to 6) {

@@ -128,12 +128,14 @@ object Dedup {
     s.sql(
       """WITH tok AS (
         |  SELECT DISTINCT doc_id, explode(split(text, ' ')) AS tok FROM __docs),
+        |-- hash once per token; the 16 bit-votes slice the cached digest
+        |tokh AS (SELECT doc_id, md5(tok) AS h FROM tok),
         |bits AS (
         |  SELECT doc_id, k,
         |         2 * ((shiftright(instr('0123456789abcdef',
-        |                    substring(md5(tok), 1 + k div 4, 1)) - 1,
+        |                    substring(h, 1 + k div 4, 1)) - 1,
         |                 k % 4)) & 1) - 1 AS vote
-        |  FROM tok LATERAL VIEW explode(sequence(0, 15)) AS k),
+        |  FROM tokh LATERAL VIEW explode(sequence(0, 15)) AS k),
         |votes AS (
         |  SELECT doc_id, k, SUM(vote) AS s FROM bits GROUP BY doc_id, k)
         |SELECT doc_id,
@@ -160,12 +162,13 @@ object Dedup {
          |                            element_at(toks, i + 2)))
          |         ELSE array() END) AS tok
          |  FROM corpus),
+         |tokh AS (SELECT doc_id, md5(tok) AS h FROM tok),
          |bits AS (
          |  SELECT doc_id, k,
          |         2 * ((shiftright(instr('0123456789abcdef',
-         |                    substring(md5(tok), 1 + k div 4, 1)) - 1,
+         |                    substring(h, 1 + k div 4, 1)) - 1,
          |                 k % 4)) & 1) - 1 AS vote
-         |  FROM tok LATERAL VIEW explode(sequence(0, 15)) AS k),
+         |  FROM tokh LATERAL VIEW explode(sequence(0, 15)) AS k),
          |votes AS (SELECT doc_id, k, SUM(vote) AS sv FROM bits GROUP BY doc_id, k),
          |sig AS (
          |  SELECT doc_id,
