@@ -62,7 +62,79 @@ object GraftFunctions {
   /** Idempotent session registration; afterwards `graft_dot` is usable in
     * any SQL/selectExpr string.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    RewriteDotProduct.install(spark)
+  }
+}
+
+/** Optimizer rule: rewrite the interpreted higher-order-function dot
+  * product
+  *   aggregate(zip_with(a, b, (x, y) -> x * y), 0.0, (acc, x) -> acc + x)
+  * into the codegen'd [[DotProduct]] kernel. Users (and the engine's own
+  * SQL) can write the declarative HOF form and still get the fast path —
+  * the summation order is identical, so results are bit-equal.
+  *
+  * Registered per-session via `install` (and by GraftFunctions.register);
+  * `GraftExtensions` exposes the same through the standard
+  * `spark.sql.extensions` mechanism.
+  */
+object RewriteDotProduct
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+
+  import org.apache.spark.sql.catalyst.expressions.{
+    Add, ArrayAggregate, LambdaFunction, Literal, Multiply, NamedLambdaVariable, ZipWith}
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  private def isZero(e: Expression): Boolean = e match {
+    case Literal(0.0d, org.apache.spark.sql.types.DoubleType) => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      // aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)
+      case ArrayAggregate(
+            ZipWith(a, b,
+              LambdaFunction(Multiply(x1: NamedLambdaVariable, y1: NamedLambdaVariable, _),
+                Seq(x2: NamedLambdaVariable, y2: NamedLambdaVariable), _)),
+            zero,
+            LambdaFunction(Add(acc1: NamedLambdaVariable, v1: NamedLambdaVariable, _),
+              Seq(acc2: NamedLambdaVariable, v2: NamedLambdaVariable), _),
+            finish @ LambdaFunction(fv: NamedLambdaVariable, Seq(fv2: NamedLambdaVariable), _))
+          if isZero(zero) &&
+            x1.exprId == x2.exprId && y1.exprId == y2.exprId &&
+            acc1.exprId == acc2.exprId && v1.exprId == v2.exprId &&
+            fv.exprId == fv2.exprId =>
+        DotProduct(a, b)
+    }
+
+  private val installed =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+
+  def install(spark: SparkSession): Unit =
+    if (installed.add(spark.sessionState.toString)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ this
+    }
+}
+
+/** Standard extension entry point:
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`
+  * injects graft_dot and the rewrite rule into every session.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    e.injectOptimizerRule(_ => RewriteDotProduct)
+  }
 }

@@ -80,6 +80,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("optimizer rule rewrites the HOF dot-product pattern into graft_dot") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = spark.range(4)
+      .selectExpr("id", "array(cast(id as double), 3.0d) AS a",
+        "array(2.0d, 5.0d) AS b")
+      .selectExpr("id",
+        "aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v) AS d")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_dot"), s"rule did not fire:\n$optimized")
+    assert(df.orderBy("id").collect().map(_.getDouble(1)).toSeq ==
+      Seq(15.0, 17.0, 19.0, 21.0))
+  }
+
   test("graft_dot: codegen over distributed input, interpreted over local relations") {
     graft.functions.GraftFunctions.register(spark)
     // distributed input → whole-stage codegen path
