@@ -79,7 +79,7 @@ object Dedup {
           |                     element_at(toks, i + 2)))
           |  ELSE array() END) AS tok""".stripMargin)
       .distinct()
-      .persist()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // all 8 minhashes as parallel MIN aggregates in ONE groupBy: no 8×
     // row explosion, a single shuffle (with map-side partial MINs), md5
     // inside whole-stage codegen; bands derive narrowly from the 8 columns
