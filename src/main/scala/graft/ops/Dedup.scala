@@ -144,15 +144,21 @@ object Dedup {
         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   }
 
-  /** SimHash near-dup PAIRS over the twin corpus: 16-bit shingle-based
-    * signatures (token-based ones are degenerate on this vocabulary),
-    * bucketed by the signature's high byte so the pair join is an equality
-    * join, verified by Hamming distance ≤ 3 (bit_count of xor).
+  /** 64-bit shingle SimHash signatures over a 95%-prefix twin corpus
+    * (the near-dup pair query needs twins inside the Hamming-3 radius that
+    * the banded index guarantees; the 80% twins of the Jaccard-family
+    * queries land at distance 9-12). Exposed for the pair query and the
+    * bucket-bound spec.
     */
-  def ddSimhashPairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def simhash64(s: SparkSession, dir: String): DataFrame = {
     docs(s, dir)
     s.sql(
-      s"""WITH ${corpusSqlSparkified()},
+      s"""WITH corpus AS (
+         |  SELECT doc_id, split(text, ' ') AS toks FROM __docs
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id,
+         |         slice(toks, 1, (size(toks) * 19) div 20) AS toks
+         |  FROM (SELECT doc_id, split(text, ' ') AS toks FROM __docs)),
          |tok AS (
          |  SELECT DISTINCT doc_id, explode(
          |    CASE WHEN size(toks) >= 3
@@ -168,20 +174,36 @@ object Dedup {
          |         2 * ((shiftright(instr('0123456789abcdef',
          |                    substring(h, 1 + k div 4, 1)) - 1,
          |                 k % 4)) & 1) - 1 AS vote
-         |  FROM tokh LATERAL VIEW explode(sequence(0, 15)) AS k),
-         |votes AS (SELECT doc_id, k, SUM(vote) AS sv FROM bits GROUP BY doc_id, k),
-         |sig AS (
-         |  SELECT doc_id,
-         |         CAST(SUM(CASE WHEN sv > 0 THEN shiftleft(1, k) ELSE 0 END) AS BIGINT)
-         |           AS simhash
-         |  FROM votes GROUP BY doc_id)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |       CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT) AS hamming
-         |FROM sig a JOIN sig b
-         |  ON shiftright(a.simhash, 8) = shiftright(b.simhash, 8)
-         | AND a.doc_id < b.doc_id
-         |WHERE bit_count(a.simhash ^ b.simhash) <= 3
-         |ORDER BY doc_a, doc_b""".stripMargin)
+         |  FROM tokh LATERAL VIEW explode(sequence(0, 63)) AS k),
+         |votes AS (SELECT doc_id, k, SUM(vote) AS sv FROM bits GROUP BY doc_id, k)
+         |SELECT doc_id,
+         |       SUM(CASE WHEN sv > 0 THEN shiftleft(CAST(1 AS BIGINT), k)
+         |           ELSE CAST(0 AS BIGINT) END) AS simhash
+         |FROM votes GROUP BY doc_id""".stripMargin)
+  }
+
+  /** SimHash near-dup PAIRS, standard banded Hamming-LSH: 64-bit shingle
+    * signatures split into 4×16-bit bands; any pair within Hamming
+    * distance 3 agrees exactly on ≥1 band (pigeonhole), so the candidate
+    * join is an equality join on (band#, band value) over a 4×65536-key
+    * space — per-bucket fan-in stays ~N/65536 per band at scale instead of
+    * the N/256 of a high-byte bucket. Candidates verified by
+    * bit_count(xor) ≤ 3; the result is therefore EXACTLY the all-pairs
+    * Hamming-≤3 set (locked by DedupScaleSpec).
+    */
+  def ddSimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    simhash64(s, dir).createOrReplaceTempView("__sig64")
+    s.sql(
+      """WITH band AS (
+        |  SELECT doc_id, simhash, bno,
+        |         shiftright(simhash, 16 * bno) & 65535 AS bk
+        |  FROM __sig64 LATERAL VIEW explode(sequence(0, 3)) AS bno)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT) AS hamming
+        |FROM band a JOIN band b
+        |  ON a.bno = b.bno AND a.bk = b.bk AND a.doc_id < b.doc_id
+        |WHERE bit_count(a.simhash ^ b.simhash) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin)
   }
 
   /** Word-bigram (2-shingle) Jaccard of each document against its 80%-prefix
@@ -211,36 +233,59 @@ object Dedup {
          |ORDER BY i.doc_a""".stripMargin)
   }
 
-  /** Embedding-cosine near-dup: corpus ∪ perturbed twins (first component
-    * ×1.5), label-blocked pair join, cosine ≥ 0.9. Dot/norm are sequential
-    * left-to-right folds over doubles — identical in both engines.
+  /** Signature relation for the embedding near-dup: corpus ∪ perturbed
+    * twins (first component ×1.5) with per-vector norm and an 8-plane
+    * hyperplane-LSH bucket (md5-parity ±1 planes, shared with
+    * Similarity.ssLshAnn). Exposed for the pair query and the block-bound
+    * spec.
+    */
+  private[graft] def embedSig(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.load(s, dir, "embeddings").createOrReplaceTempView("__emb")
+    val planesLit = Similarity.planesSql(8, 64)
+    s.sql(
+      s"""WITH base AS (
+         |  SELECT vec_id, label,
+         |         transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM __emb),
+         |corpus AS (
+         |  SELECT vec_id, label, v FROM base
+         |  UNION ALL
+         |  SELECT vec_id + 100000, label,
+         |         transform(v, (x, i) -> CASE WHEN i = 0 THEN x * 1.5 ELSE x END)
+         |  FROM base)
+         |SELECT vec_id, label, v, sqrt(graft_dot(v, v)) AS nrm,
+         |       aggregate(transform(sequence(0, 7), j ->
+         |         CASE WHEN graft_dot(v, element_at($planesLit, j + 1)) > 0D
+         |              THEN shiftleft(1, j) ELSE 0 END),
+         |         0, (acc, x) -> acc + x) AS bucket
+         |FROM corpus""".stripMargin)
+  }
+
+  /** Embedding-cosine near-dup with two-level blocking: label × 8-plane
+    * LSH bucket. The pair join is an equality join on (label, bucket) with
+    * distance-1 multiprobe (each vector probes its own bucket plus the 8
+    * single-bit flips), so within-block all-pairs is bounded by the bucket
+    * granularity instead of the label cardinality — the 100 TB-safe shape.
+    * Cosine ≥ 0.9; dot/norm are sequential left-to-right folds over
+    * doubles — identical in both engines.
     */
   def ddEmbedCos(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
-    graft.functions.GraftFunctions.register(s)
-    Tables.load(s, dir, "embeddings").createOrReplaceTempView("__emb")
+    embedSig(s, dir).createOrReplaceTempView("__esig")
     // scored pairs are persisted before the threshold filter: predicate
     // pushdown would otherwise substitute the cosine fold into the WHERE
     // clause and evaluate the 64-element aggregate twice per pair
     val scored = s.sql(
-      """WITH base AS (
-        |  SELECT vec_id, label,
-        |         transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM __emb),
-        |corpus AS (
-        |  SELECT vec_id, label, v FROM base
-        |  UNION ALL
-        |  SELECT vec_id + 100000, label,
-        |         transform(v, (x, i) -> CASE WHEN i = 0 THEN x * 1.5 ELSE x END)
-        |  FROM base),
-        |norms AS (
-        |  SELECT vec_id, label, v,
-        |         sqrt(graft_dot(v, v)) AS nrm
-        |  FROM corpus)
-        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      """WITH probes AS (
+        |  SELECT vec_id, label, v, nrm,
+        |         explode(concat(array(bucket),
+        |           transform(sequence(0, 7), j -> bucket ^ shiftleft(1, j)))) AS pb
+        |  FROM __esig)
+        |SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |       ROUND(graft_dot(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
-        |FROM norms a JOIN norms b
-        |  ON a.label = b.label AND a.vec_id < b.vec_id""".stripMargin)
+        |FROM probes a JOIN __esig b
+        |  ON a.label = b.label AND a.pb = b.bucket AND a.vec_id < b.vec_id""".stripMargin)
       .localCheckpoint(eager = false)
     scored.filter(col("cos") >= 0.9).orderBy("vec_a", "vec_b")
   }
@@ -313,7 +358,11 @@ object Dedup {
         |       SUM(CASE WHEN s > 0 THEN 1 << k ELSE 0 END)::BIGINT AS simhash
         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "dd_simhash_pairs" ->
-      s"""WITH $corpusSql,
+      """WITH corpus AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, toks[1:(len(toks) * 19) // 20] AS toks
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
          |tok AS (
          |  SELECT DISTINCT doc_id, unnest(
          |    CASE WHEN len(toks) >= 3
@@ -326,16 +375,23 @@ object Dedup {
          |         2 * (((strpos('0123456789abcdef',
          |                  substr(md5(tok), 1 + k // 4, 1)) - 1)
          |               >> (k % 4)) & 1) - 1 AS vote
-         |  FROM tok CROSS JOIN generate_series(0, 15) g(k)),
+         |  FROM tok CROSS JOIN generate_series(0, 63) g(k)),
          |votes AS (SELECT doc_id, k, SUM(vote) AS sv FROM bits GROUP BY doc_id, k),
          |sig AS (
          |  SELECT doc_id,
-         |         SUM(CASE WHEN sv > 0 THEN 1 << k ELSE 0 END)::BIGINT AS simhash
-         |  FROM votes GROUP BY doc_id)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         SUM(CASE WHEN sv > 0 THEN
+         |               CASE WHEN k = 63 THEN (-9223372036854775807 - 1)
+         |                    ELSE (1::BIGINT << k) END
+         |             ELSE 0 END)::BIGINT AS simhash
+         |  FROM votes GROUP BY doc_id),
+         |band AS (
+         |  SELECT doc_id, simhash, g.bno,
+         |         (simhash >> (16 * bno)) & 65535 AS bk
+         |  FROM sig CROSS JOIN generate_series(0, 3) g(bno))
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
-         |FROM sig a JOIN sig b
-         |  ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
+         |FROM band a JOIN band b
+         |  ON a.bno = b.bno AND a.bk = b.bk AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin.replaceAll("\n", " "),
     "dd_ngram_jaccard" ->
@@ -370,16 +426,25 @@ object Dedup {
         |         [CASE WHEN i = 1 THEN v[i] * 1.5 ELSE v[i] END
         |          FOR i IN generate_series(1, len(v))]
         |  FROM base),
-        |norms AS (
+        |sig AS (
         |  SELECT vec_id, label, v,
-        |         sqrt(list_sum([x * x FOR x IN v])) AS nrm
+        |         sqrt(list_sum([x * x FOR x IN v])) AS nrm,
+        |         list_sum([CASE WHEN list_sum([v[i] *
+        |             (CASE WHEN (strpos('0123456789abcdef',
+        |                    substr(md5(j::VARCHAR || ':' || i::VARCHAR), 1, 1)) - 1)
+        |                   % 2 = 0
+        |                   THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END)
+        |             FOR i IN generate_series(1, len(v))]) > 0
+        |           THEN 1 << j ELSE 0 END
+        |           FOR j IN generate_series(0, 7)])::INT AS bucket
         |  FROM corpus)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |       ROUND(list_sum([a.v[i] * b.v[i]
         |                       FOR i IN generate_series(1, len(a.v))])
         |             / (a.nrm * b.nrm), 6) AS cos
-        |FROM norms a JOIN norms b
+        |FROM sig a JOIN sig b
         |  ON a.label = b.label AND a.vec_id < b.vec_id
+        | AND bit_count(xor(a.bucket::BIGINT, b.bucket::BIGINT)) <= 1
         |WHERE ROUND(list_sum([a.v[i] * b.v[i]
         |                      FOR i IN generate_series(1, len(a.v))])
         |            / (a.nrm * b.nrm), 6) >= 0.9

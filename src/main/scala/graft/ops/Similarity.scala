@@ -60,6 +60,14 @@ object Similarity {
     (0 until nPlanes).map(j => (1 to dim).map(i => coef(j, i)))
   }
 
+  /** The plane matrix as a SQL array-of-arrays literal (shared by the LSH
+    * ANN query and Dedup's bucket-blocked embedding near-dup).
+    */
+  private[ops] def planesSql(nPlanes: Int, dim: Int): String =
+    planes(nPlanes, dim)
+      .map(p => s"array(${p.map(c => s"${c}D").mkString(",")})")
+      .mkString("array(", ",", ")")
+
   /** LSH-bucketed approximate NN: 4 md5-derived random hyperplanes (±1
     * coefficients) → 16 buckets; exact cosine top-5 among bucket-mates of
     * each query vector vec_id < 20. Bucketing is a narrow map; the only
@@ -68,9 +76,7 @@ object Similarity {
   def ssLshAnn(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.load(s, dir, "embeddings").createOrReplaceTempView("__emb")
-    val planesSql = planes(4, 64)
-      .map(p => s"array(${p.map(c => s"${c}D").mkString(",")})")
-      .mkString("array(", ",", ")")
+    val planesLit = planesSql(4, 64)
     s.sql(
       s"""WITH base AS (
         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -79,7 +85,7 @@ object Similarity {
         |  SELECT vec_id, v,
         |         sqrt(graft_dot(v, v)) AS nrm,
         |         aggregate(transform(sequence(0, 3), j ->
-        |           CASE WHEN graft_dot(v, element_at($planesSql, j + 1)) > 0D
+        |           CASE WHEN graft_dot(v, element_at($planesLit, j + 1)) > 0D
         |                THEN shiftleft(1, j) ELSE 0 END),
         |           0, (acc, x) -> acc + x) AS bucket
         |  FROM base),
