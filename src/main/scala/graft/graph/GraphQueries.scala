@@ -140,10 +140,16 @@ object GraphQueries {
       .replaceAll("\n", " ")
 
   /** Q26: hop-bounded weighted shortest paths (≤6 hops) from supplier 1
-    * over the supplier↔part graph with lineitem-count weights — 6 rounds
-    * of Bellman-Ford relaxation; the hop bound makes the semantics
-    * identical to the oracle's bounded recursion, and all arithmetic is
-    * integer.
+    * over the supplier↔part graph with lineitem-count weights. 6 rounds of
+    * FRONTIER-DELTA Bellman-Ford (VERDICT r1 #2): each round relaxes only
+    * the nodes improved in the previous round and merges only the strictly
+    * improving candidates back into `dist` (anti-join + union), with early
+    * exit when a round improves nothing — instead of re-aggregating the
+    * full dist×edges product every round. Per-round frontier-only
+    * relaxation reaches the same per-round fixpoint as full Bellman-Ford
+    * (an unimproved node's outgoing relaxations already fired the round
+    * after its last improvement), so the hop-bound semantics stay
+    * identical to the oracle's bounded recursion; all arithmetic integer.
     */
   def q26_sssp(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{min => fmin}
@@ -156,14 +162,28 @@ object GraphQueries {
       .localCheckpoint(eager = false)
     val edges = fwd.select(col("u").as("src"), col("v").as("dst"), col("w"))
       .unionAll(fwd.select(col("v").as("src"), col("u").as("dst"), col("w")))
-      .localCheckpoint(eager = false)
-    var dist = s.range(1).selectExpr("CAST(1 AS BIGINT) AS node", "CAST(0 AS BIGINT) AS cost")
-    for (_ <- 1 to 6) {
-      val relaxed = dist.join(edges, dist("node") === edges("src"))
+      .localCheckpoint(eager = true) // probed every round
+    var dist = s.range(1)
+      .selectExpr("CAST(1 AS BIGINT) AS node", "CAST(0 AS BIGINT) AS cost")
+      .localCheckpoint(eager = true)
+    var frontier = dist
+    var hops = 0
+    while (hops < 6 && !frontier.isEmpty) {
+      hops += 1
+      val cand = frontier.join(edges, frontier("node") === edges("src"))
         .select(edges("dst").as("node"), (col("cost") + col("w")).as("cost"))
-      dist = dist.unionAll(relaxed)
         .groupBy("node").agg(fmin("cost").as("cost"))
+      val improved = cand.as("c")
+        .join(dist.as("d"), Seq("node"), "left_outer")
+        .filter(col("d.cost").isNull || col("c.cost") < col("d.cost"))
+        .select(col("node"), col("c.cost").as("cost"))
         .localCheckpoint(eager = true)
+      if (!improved.isEmpty) {
+        dist = dist.join(improved, Seq("node"), "left_anti")
+          .unionAll(improved)
+          .localCheckpoint(eager = true)
+      }
+      frontier = improved
     }
     dist.orderBy("node")
   }
