@@ -17,8 +17,11 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * of the interpreted higher-order-function evaluator (one virtual call
   * per *vector* rather than several per *element*).
   *
-  * Null elements inside the arrays are not expected (embedding columns);
-  * a null array yields null (BinaryExpression null-intolerance).
+  * NULL semantics mirror the HOF form exactly (RewriteDotProduct swaps one
+  * for the other session-wide, so any divergence would silently change
+  * user answers): a null array → null; unequal lengths → null (zip_with
+  * null-pads the shorter side and `x * y` is null-intolerant); any null
+  * element → null (the fold's `acc + v` absorbs it).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -27,14 +30,20 @@ case class DotProduct(left: Expression, right: Expression)
   // call sites cast explicitly)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -44,12 +53,17 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

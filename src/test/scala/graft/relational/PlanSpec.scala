@@ -93,6 +93,38 @@ class PlanSpec extends AnyFunSuite {
       Seq(15.0, 17.0, 19.0, 21.0))
   }
 
+  test("graft_dot NULL/length semantics are identical to the HOF it rewrites") {
+    graft.functions.GraftFunctions.register(spark)
+    // `rewritten` matches RewriteDotProduct's pattern; `hof` folds with
+    // `v + acc` (operands flipped) so the rule cannot fire and it runs as a
+    // genuine higher-order function — the semantic oracle on the same rows.
+    // rows keyed off a non-foldable `id` so ConvertToLocalRelation cannot
+    // pre-evaluate the columns before the rewrite rule runs
+    val df = spark.range(5)
+      .selectExpr("id",
+        """CASE id WHEN 0 THEN array(1D, 2D)
+          |        WHEN 1 THEN array(1D, 2D, 5D)
+          |        WHEN 2 THEN array(1D, CAST(NULL AS double))
+          |        WHEN 3 THEN CAST(NULL AS array<double>)
+          |        ELSE CAST(array() AS array<double>) END AS a""".stripMargin,
+        """CASE id WHEN 4 THEN CAST(array() AS array<double>)
+          |        ELSE array(3D, 4D) END AS b""".stripMargin)
+      .selectExpr("id",
+        "aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v) AS rewritten",
+        "aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> v + acc) AS hof",
+        "graft_dot(a, b) AS direct")
+      .orderBy("id").drop("id")
+    assert(df.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+      "rewrite rule did not fire on the `rewritten` column")
+    val rows = df.collect().map { r =>
+      (0 to 2).map(i => if (r.isNullAt(i)) null else r.getDouble(i))
+    }
+    val expected = Seq(Seq(11.0, 11.0, 11.0),
+      Seq(null, null, null), Seq(null, null, null),
+      Seq(null, null, null), Seq(0.0, 0.0, 0.0))
+    assert(rows.toSeq == expected, s"semantics diverge: ${rows.toSeq}")
+  }
+
   test("graft_dot: codegen over distributed input, interpreted over local relations") {
     graft.functions.GraftFunctions.register(spark)
     // distributed input → whole-stage codegen path
