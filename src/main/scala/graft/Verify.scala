@@ -38,7 +38,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(o => keep(o._1))
+    // oracle_sql.json always carries the FULL map: a filtered dev run must
+    // not clobber the artifact a prior full run left in the same outDir
+    // (the driver's DuckDB compare would silently skip the missing queries)
+    val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -41,6 +41,52 @@ class GraphQueriesSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("co-occurrence scale shape: star edges linear, capped pairs bounded on a flash-crowd bucket") {
+    import spark.implicits._
+    // one flash-crowd bucket with 600 distinct users + two normal buckets
+    val users = ((1 to 600).map(u => (u.toLong * 7, 0L)) ++
+      Seq((1L, 1L), (2L, 1L), (3L, 2L))).toDF("user_id", "b")
+    // star: one spoke per non-hub user per bucket, symmetrized — O(k), not k²
+    assert(GraphQueries.ccStarEdges(users).count() == 2L * (599 + 1))
+    // capped pairing: the flash bucket emits C(cap,2), not C(600,2)
+    val capped = GraphQueries.cooccurPairs(users, cap = 64)
+    assert(capped.count() == 64L * 63 / 2 + 1)
+    // with cap >= every bucket size the capped build IS the exact clique
+    val exact = GraphQueries.cooccurPairs(users, cap = 100000)
+      .orderBy("u", "v").collect().toSeq
+    val brute = users.as("a").join(users.as("b"), "b")
+      .select($"a.user_id".as("u"), $"b.user_id".as("v"))
+      .filter($"u" < $"v").distinct()
+      .orderBy("u", "v").collect().toSeq
+    assert(exact == brute)
+  }
+
+  test("star edge build preserves the clique build's components") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val users = Seq.fill(400)((rnd.nextInt(120).toLong + 1, rnd.nextInt(40).toLong))
+      .distinct.toDF("user_id", "b")
+    val clique = users.as("a").join(users.as("b"), "b")
+      .selectExpr("a.user_id AS src", "b.user_id AS dst")
+      .filter("src <> dst").distinct()
+    def comps(e: org.apache.spark.sql.DataFrame) =
+      ConnectedComponents.run(spark, e).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(GraphQueries.ccStarEdges(users)) == comps(clique))
+  }
+
+  test("CC convergence is exact under ids whose Long sum overflows") {
+    import spark.implicits._
+    // 7-node path over ids ~ Long.MaxValue/2: a sum(long) convergence probe
+    // wraps (7 × 4.6e18 ≈ 3.2e19 > Long.MaxValue); decimal(38,0) cannot
+    val base = Long.MaxValue / 2
+    val path = (0 until 6).map(i => (base + i, base + i + 1))
+    val edges = (path ++ path.map(_.swap)).toDF("src", "dst")
+    val cc = ConnectedComponents.run(spark, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 7 && cc.values.forall(_ == base))
+  }
+
   test("q13_bfs returns supplier 1 at distance 0 and rows > 0") {
     val rows = GraphQueries.q13_bfs(spark, sf).collect()
     assert(rows.nonEmpty)
