@@ -1,9 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: every SparkEntry query at SPARK_GRAFT_SF_DIR,
+  * one JSON line on stdout.
+  *
+  * Each query is timed over SPARK_GRAFT_BENCH_RUNS runs (default 3) and
+  * reported as the MEDIAN — the single-run protocol twice produced 4–16×
+  * phantom swings from host contention (VERDICT r2 "headline
+  * adjudication"). The JSON keeps the driver contract
+  * (`queries` = name → seconds) and adds `detail` = name →
+  * {median, runs[], err} so a failing query is visible instead of
+  * silently distorting the total with a -1.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -15,20 +28,49 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id * 2)").collect()
     spark.range(10000).selectExpr("id % 10 AS k", "id AS v")
       .groupBy("k").sum("v").collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+
+    def cleanup(): Unit = {
       // drop caches/checkpoints the query left behind so later queries
       // aren't taxed by accumulated memory pressure (cleanup untimed)
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    case class Res(median: Double, runs: Seq[Double], err: Option[String])
+
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      var err: Option[String] = None
+      val runs = (1 to nRuns).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+            false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        cleanup()
+        if (ok) Some(dt) else None
+      }
+      val median =
+        if (runs.isEmpty) -1.0
+        else runs.sorted.apply((runs.size - 1) / 2)
+      name -> Res(median, runs, err)
+    }
+
+    def jq(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\x00-\\x1f]", " ") + "\""
+    def jn(d: Double) = if (d.isNaN || d.isInfinite) "-1" else f"$d%.3f"
+    val qs = results.map { case (k, r) => s"${jq(k)}:${jn(r.median)}" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val detail = results.map { case (k, r) =>
+      val runsJson = r.runs.map(jn).mkString("[", ",", "]")
+      val errJson = r.err.map(jq).getOrElse("null")
+      s"""${jq(k)}:{"median":${jn(r.median)},"runs":$runsJson,"err":$errJson}"""
+    }.mkString("{", ",", "}")
+    val total = results.values.collect { case r if r.median >= 0 => r.median }.sum
+    val nErr = results.values.count(_.err.isDefined)
+    println(s"""{"metric":"total","value":${jn(total)},"unit":"sec","queries":$qs,"detail":$detail,"n_err":$nErr,"runs_per_query":$nRuns,"sf":${jq(sfDir)}}""")
     spark.stop()
   }
 }
