@@ -49,8 +49,8 @@ object EventSessionizer {
   private def toSess(user: Long, s: OpenSess): Sess =
     Sess(user, usToTs(s.startUs), usToTs(s.endUs), s.n, s.cents)
 
-  private def stateFn(user: Long, events: Iterator[Ev],
-                      state: GroupState[OpenSess]): Iterator[Sess] = {
+  private[streaming] def stateFn(user: Long, events: Iterator[Ev],
+                                 state: GroupState[OpenSess]): Iterator[Sess] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Sess]
     if (state.hasTimedOut) {
       state.getOption.foreach(s => out += toSess(user, s))
@@ -74,11 +74,24 @@ object EventSessionizer {
       }
       cur.foreach { s =>
         state.update(s)
-        // stream: schedule the event-time timeout that closes the session;
-        // batch: timeouts don't exist — the call is a no-op/throws, and the
-        // open tail session is simply not emitted (closed sessions only)
-        try state.setTimeoutTimestamp(s.endUs / 1000 + GapMicros / 1000)
-        catch { case _: Throwable => () }
+        val desiredMs = s.endUs / 1000 + GapMicros / 1000
+        try {
+          // Event-time timeouts must be strictly ahead of the watermark; if
+          // the session's natural close time is already at/behind it, clamp
+          // to watermark+1 ms so the session still times out on the next
+          // batch. Swallowing the rejection instead (the old `catch
+          // Throwable`) would park the open session in state forever —
+          // silent data loss on a stream.
+          val timeoutMs =
+            try math.max(desiredMs, state.getCurrentWatermarkMs() + 1)
+            catch { case _: UnsupportedOperationException => desiredMs }
+          state.setTimeoutTimestamp(timeoutMs)
+        } catch {
+          // batch mode only: event-time timeouts don't exist there; the
+          // open tail session is intentionally not emitted (closed
+          // sessions only). Anything else propagates.
+          case _: UnsupportedOperationException => ()
+        }
       }
     }
     out.iterator

@@ -116,6 +116,38 @@ class StreamingSpec extends AnyFunSuite {
       closed.head.getDouble(3) == 1.0, closed.mkString(";"))
   }
 
+  test("session close time behind the watermark: timeout clamped to wm+1, not silently dropped") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    val wmMs = Timestamp.valueOf("2024-06-01 12:00:00").getTime
+    // an event whose session would close at 10:30, already 90 min behind
+    // the 12:00 watermark: the raw setTimeoutTimestamp is rejected by
+    // Spark; the old `catch Throwable` swallowed that and parked the open
+    // session in state forever. The clamp must register wm+1 instead.
+    val st = TestGroupState.create[EventSessionizer.OpenSess](
+      Optional.empty(), GroupStateTimeout.EventTimeTimeout, 0L,
+      Optional.of(wmMs), hasTimedOut = false)
+    val ev = EventSessionizer.Ev(1L, Timestamp.valueOf("2024-06-01 10:00:00"), 7L, 2.5)
+    val out = EventSessionizer.stateFn(7L, Iterator(ev), st).toList
+    assert(out.isEmpty && st.exists, "session should stay open in state")
+    assert(st.getTimeoutTimestampMs.get() == wmMs + 1,
+      s"expected clamp to wm+1, got ${st.getTimeoutTimestampMs}")
+    // a session comfortably ahead of the watermark keeps its natural close
+    val st2 = TestGroupState.create[EventSessionizer.OpenSess](
+      Optional.empty(), GroupStateTimeout.EventTimeTimeout, 0L,
+      Optional.of(wmMs), hasTimedOut = false)
+    val t2 = Timestamp.valueOf("2024-06-01 13:00:00")
+    EventSessionizer.stateFn(7L, Iterator(EventSessionizer.Ev(2L, t2, 7L, 1.0)), st2)
+    assert(st2.getTimeoutTimestampMs.get() == t2.getTime + 30L * 60 * 1000)
+    // timeout firing emits the open session and clears state
+    val st3 = TestGroupState.create[EventSessionizer.OpenSess](
+      Optional.of(EventSessionizer.OpenSess(1000000L, 2000000L, 3L, 250L)),
+      GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(wmMs), hasTimedOut = true)
+    val fired = EventSessionizer.stateFn(7L, Iterator.empty, st3).toList
+    assert(fired.map(s => (s.user_id, s.n_events, s.sum_value_cents)) ==
+      List((7L, 3L, 250L)) && st3.isRemoved)
+  }
+
   test("tumbling window streaming == batch") {
     val got = runStreaming(Streams.tumblingAgg, "tumb_out", col("event_type") =!= "x")
       .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
