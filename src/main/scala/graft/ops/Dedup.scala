@@ -169,15 +169,29 @@ object Dedup {
          |         ELSE array() END) AS tok
          |  FROM corpus),
          |tokh AS (SELECT doc_id, md5(tok) AS h FROM tok),
-         |bits AS (
-         |  SELECT doc_id, k,
-         |         2 * ((shiftright(instr('0123456789abcdef',
-         |                    substring(h, 1 + k div 4, 1)) - 1,
-         |                 k % 4)) & 1) - 1 AS vote
-         |  FROM tokh LATERAL VIEW explode(sequence(0, 63)) AS k),
-         |votes AS (SELECT doc_id, k, SUM(vote) AS sv FROM bits GROUP BY doc_id, k)
+         |-- one row per hex DIGIT (16), not per bit (64): each digit carries
+         |-- bits 4d..4d+3, whose votes accumulate as four parallel SUMs in
+         |-- the same groupBy — 4x less explode fan-out for identical per-bit
+         |-- vote totals (VERDICT r2 "wrong" #4)
+         |dig AS (
+         |  SELECT doc_id, d,
+         |         instr('0123456789abcdef', substring(h, 1 + d, 1)) - 1 AS nd
+         |  FROM tokh LATERAL VIEW explode(sequence(0, 15)) AS d),
+         |votes AS (
+         |  SELECT doc_id, d,
+         |         SUM(2 * (nd & 1) - 1)                 AS s0,
+         |         SUM(2 * (shiftright(nd, 1) & 1) - 1)  AS s1,
+         |         SUM(2 * (shiftright(nd, 2) & 1) - 1)  AS s2,
+         |         SUM(2 * (shiftright(nd, 3) & 1) - 1)  AS s3
+         |  FROM dig GROUP BY doc_id, d)
          |SELECT doc_id,
-         |       SUM(CASE WHEN sv > 0 THEN shiftleft(CAST(1 AS BIGINT), k)
+         |       SUM(CASE WHEN s0 > 0 THEN shiftleft(CAST(1 AS BIGINT), 4 * d)
+         |           ELSE CAST(0 AS BIGINT) END
+         |         + CASE WHEN s1 > 0 THEN shiftleft(CAST(1 AS BIGINT), 4 * d + 1)
+         |           ELSE CAST(0 AS BIGINT) END
+         |         + CASE WHEN s2 > 0 THEN shiftleft(CAST(1 AS BIGINT), 4 * d + 2)
+         |           ELSE CAST(0 AS BIGINT) END
+         |         + CASE WHEN s3 > 0 THEN shiftleft(CAST(1 AS BIGINT), 4 * d + 3)
          |           ELSE CAST(0 AS BIGINT) END) AS simhash
          |FROM votes GROUP BY doc_id""".stripMargin)
   }
