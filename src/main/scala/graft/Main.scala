@@ -85,10 +85,8 @@ object Main {
           if (opts.get("engine").contains("schimmy"))
             MaxFlowSchimmy.run(spark, edges, sources, sinks, conf)
           else MaxFlow.run(spark, edges, sources, sinks, conf)
-        r.rounds_report.foreach { case (round, acc, moves) =>
-          // the reference's per-round "Flows=a/b" echo (ff1/FordFulkerson.java:229-235)
-          println(s"round $round: accepted=$acc moves=$moves")
-        }
+        // the reference's per-round echo line (ff2/FordFulkerson.java:438-445)
+        r.rounds_report.foreach(rc => println(rc.echo))
         println(s"maxflow=${r.flow} (engine=${r.engineFlow}, cleanup=${r.cleanupFlow}, " +
           s"rounds=${r.rounds})")
         opts.get("flowpaths").foreach(StateIO.writeFlowPaths(spark, r.paths, _))

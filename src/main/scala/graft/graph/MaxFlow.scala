@@ -78,6 +78,59 @@ object MaxFlow {
         * a full state pass). */
       validate: Boolean = false)
 
+  /** Per-round counter set (A8) — the reference's MFCounter family
+    * (mf/MFCounter.java:3-49) as one record per round:
+    * acceptedFlow/totalFlow = ACCEPTED_FLOWS (per-round / cumulative),
+    * acceptedPaths = ACCEPTED_AUGPATHS, candidates = AUGPATH_CANDIDATES,
+    * loseExcess = LOSE_EXCESS (vertices whose whole S or T list
+    * saturated, ff2/FordFulkerson.java:103-115), moveS/moveT =
+    * SOURCE_MOVE/SINK_MOVE (masters newly alive,
+    * ff2/FordFulkerson.java:222-226), extendS/extendT =
+    * EXTEND_SOURCE_E/EXTEND_SINK_E, satS/satT =
+    * SOURCE_E_SATURATED/SINK_E_SATURATED (paths pruned on refresh),
+    * dropS/dropT = SOURCE_E_DROPPED/SINK_E_DROPPED (merge-time dedup +
+    * K-truncation losses), aliveS/aliveT = SOURCE_EPATH_COUNT/
+    * SINK_EPATH_COUNT (vertices holding S/T paths after the merge).
+    */
+  case class RoundCounters(
+      round: Int,
+      acceptedFlow: Long, totalFlow: Long,
+      acceptedPaths: Long, candidates: Long,
+      loseExcess: Long,
+      moveS: Long, moveT: Long,
+      extendS: Long, extendT: Long,
+      satS: Long, satT: Long,
+      dropS: Long, dropT: Long,
+      aliveS: Long, aliveT: Long) {
+    def moves: Long = extendS + extendT
+    /** The reference's per-round echo line
+      * (ff2/FordFulkerson.java:438-445, minus the wall-clock fields). */
+    def echo: String =
+      s"i=$round; Flows=$acceptedFlow/$totalFlow; LE=$loseExcess; " +
+        s"So=$moveS/$aliveS; Si=$moveT/$aliveT"
+  }
+
+  /** The round's live accumulator bundle behind [[RoundCounters]]. */
+  private[graph] case class Ctrs(
+      extendS: LongAccumulator, extendT: LongAccumulator,
+      satS: LongAccumulator, satT: LongAccumulator,
+      loseExcess: LongAccumulator,
+      moveS: LongAccumulator, moveT: LongAccumulator,
+      dropS: LongAccumulator, dropT: LongAccumulator,
+      aliveS: LongAccumulator, aliveT: LongAccumulator) extends Serializable {
+    def moves: Long = extendS.value + extendT.value
+  }
+
+  private[graph] object Ctrs {
+    def apply(sc: org.apache.spark.SparkContext, tag: String): Ctrs = Ctrs(
+      sc.longAccumulator(s"$tag-extendS"), sc.longAccumulator(s"$tag-extendT"),
+      sc.longAccumulator(s"$tag-satS"), sc.longAccumulator(s"$tag-satT"),
+      sc.longAccumulator(s"$tag-loseExcess"),
+      sc.longAccumulator(s"$tag-moveS"), sc.longAccumulator(s"$tag-moveT"),
+      sc.longAccumulator(s"$tag-dropS"), sc.longAccumulator(s"$tag-dropT"),
+      sc.longAccumulator(s"$tag-aliveS"), sc.longAccumulator(s"$tag-aliveT"))
+  }
+
   case class Result(
       flow: Long,
       engineFlow: Long,
@@ -88,9 +141,9 @@ object MaxFlow {
       /** accepted augmenting paths (vertex sequence, admitted flow) —
         * the reference's flowpaths output (ff1/Vertex.java:171-188) */
       paths: Seq[(Seq[Long], Long)],
-      /** per-round counters (round, acceptedFlow, moves) — the reference's
-        * round report (A8; ff2/FordFulkerson.java:438-445) */
-      rounds_report: Seq[(Int, Long, Long)] = Seq.empty)
+      /** per-round counter records — the reference's round report
+        * (A8; ff2/FordFulkerson.java:438-445) */
+      rounds_report: Seq[RoundCounters] = Seq.empty)
 
   /** Directed intra/inter-round flow deltas: (u,v) → additional flow u→v. */
   type FlowDelta = Map[(Long, Long), Long]
@@ -102,7 +155,7 @@ object MaxFlow {
     * master plus one delta-vertex per extension target.
     */
   private def stepVertex(v: VertexState, d: FlowDelta, round: Int, conf: Config,
-                         moves: LongAccumulator): Iterator[VertexState] = {
+                         ctrs: Ctrs): Iterator[VertexState] = {
     val adj2 = if (d.isEmpty) v.adj else v.adj.map { a =>
       a.copy(flow = effFlow(a.flow, v.id, a.nbr, d))
     }
@@ -119,6 +172,12 @@ object MaxFlow {
       }
     val s2 = v.s.map(refresh).filter(_.potential > 0)
     val t2 = v.t.map(refresh).filter(_.potential > 0)
+    ctrs.satS.add(v.s.length - s2.length)
+    ctrs.satT.add(v.t.length - t2.length)
+    // LOSE_EXCESS (ff2/FordFulkerson.java:103-115): the vertex held paths
+    // and every one of them just saturated
+    if (v.s.nonEmpty && s2.isEmpty) ctrs.loseExcess.add(1)
+    if (v.t.nonEmpty && t2.isEmpty) ctrs.loseExcess.add(1)
 
     // seeded randomness, ff1's Random(key*round) discipline
     // (ff1/FordFulkerson.java:74) — reproducible across retries
@@ -140,7 +199,7 @@ object MaxFlow {
             val np = PathState(p.nodes :+ a.nbr, p.flows :+ a.flow, p.caps :+ a.capOut)
             msgs += VertexState(a.nbr, noAdj, Array(np), empty, noIds, noIds)
             fs += a.nbr
-            moves.add(1)
+            ctrs.extendS.add(1)
           }
         }
       }
@@ -156,7 +215,7 @@ object MaxFlow {
             val np = PathState(a.nbr +: p.nodes, (-a.flow) +: p.flows, a.capIn +: p.caps)
             msgs += VertexState(a.nbr, noAdj, empty, Array(np), noIds, noIds)
             ft += a.nbr
-            moves.add(1)
+            ctrs.extendT.add(1)
           }
         }
       }
@@ -204,12 +263,21 @@ object MaxFlow {
     * generation from pairs involving at least one newly-arrived path.
     */
   private[graph] def mergeVertex(id: Long, it: Iterator[VertexState], round: Int,
-                          conf: Config): (VertexState, Array[Candidate]) = {
+                          conf: Config,
+                          ctrs: Option[Ctrs] = None): (VertexState, Array[Candidate]) = {
     val all = it.toArray
     val master = all.find(_.adj.nonEmpty).getOrElse(all.head)
     val deltas = all.filter(_ ne master)
+    val inS = deltas.map(_.s.length.toLong).sum
+    val inT = deltas.map(_.t.length.toLong).sum
     val newS = dedupPaths(deltas.flatMap(_.s), master.s)
     val newT = dedupPaths(deltas.flatMap(_.t), master.t)
+    ctrs.foreach { c =>
+      // SOURCE_MOVE / SINK_MOVE (ff2/FordFulkerson.java:222-226): the
+      // master held no paths of this side and just received some
+      if (master.s.isEmpty && newS.nonEmpty) c.moveS.add(1)
+      if (master.t.isEmpty && newT.nonEmpty) c.moveT.add(1)
+    }
 
     val rng = new Random(id * 0xBF58476D1CE4E5B9L + round)
     val cands = mutable.ArrayBuffer.empty[Candidate]
@@ -223,6 +291,13 @@ object MaxFlow {
 
     val s = truncate(master.s ++ newS, conf, id, round)
     val t = truncate(master.t ++ newT, conf, id, round)
+    ctrs.foreach { c =>
+      // merge-time losses (dedup + K-truncation) and post-merge alive gauges
+      c.dropS.add(master.s.length + inS - s.length)
+      c.dropT.add(master.t.length + inT - t.length)
+      if (s.nonEmpty) c.aliveS.add(1)
+      if (t.nonEmpty) c.aliveT.add(1)
+    }
     (VertexState(id, master.adj, s, t, master.fsetS, master.fsetT), cands.toArray)
   }
 
@@ -326,18 +401,18 @@ object MaxFlow {
     var pending: FlowDelta = Map.empty
     val assignment = mutable.HashMap.empty[(Long, Long), Long]
     val allPaths = mutable.ArrayBuffer.empty[(Seq[Long], Long)]
-    val reports = mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    val reports = mutable.ArrayBuffer.empty[RoundCounters]
     var done = false
     var zeroStreak = 0
 
     while (!done && round < conf.maxRounds) {
       round += 1
       val bc = sc.broadcast(pending)
-      val moves = sc.longAccumulator(s"moves-$round")
+      val ctrs = Ctrs(sc, s"mf-r$round")
       val merged = state
-        .flatMap(stepVertex(_, bc.value, round, conf, moves))
+        .flatMap(stepVertex(_, bc.value, round, conf, ctrs))
         .groupByKey(_.id)
-        .mapGroups(mergeVertex(_, _, round, conf))
+        .mapGroups(mergeVertex(_, _, round, conf, Some(ctrs)))
         .localCheckpoint(eager = true) // materialize: accumulators valid now
       if (conf.validate) merged.map(_._1).foreach(validateVertex _)
       val candidates = merged.flatMap(_._2).collect()
@@ -347,13 +422,24 @@ object MaxFlow {
         assignment.update(k, assignment.getOrElse(k, 0L) + v)
       }
       engineFlow += got
-      reports += ((round, got, moves.value))
+      reports += RoundCounters(round, got, engineFlow,
+        roundPaths.size, candidates.length, ctrs.loseExcess.value,
+        ctrs.moveS.value, ctrs.moveT.value,
+        ctrs.extendS.value, ctrs.extendT.value,
+        ctrs.satS.value, ctrs.satT.value,
+        ctrs.dropS.value, ctrs.dropT.value,
+        ctrs.aliveS.value, ctrs.aliveT.value)
       pending = delta
       state = merged.map(_._1)
       bc.destroy()
       zeroStreak = if (got == 0) zeroStreak + 1 else 0
-      // C3 quiescence, or early stop once found flow has gone stale
-      done = (got == 0 && moves.value == 0) ||
+      // C3 quiescence; the ff2 counter rule (no flow, no lost excess, one
+      // frontier stalled — ff2/FordFulkerson.java:447-451); or early stop
+      // once found flow has gone stale. The exactness cleanup guarantees
+      // the same final flow under any of the three.
+      done = (got == 0 && ctrs.moves == 0) ||
+        (round > 1 && got == 0 && ctrs.loseExcess.value == 0 &&
+          (ctrs.moveS.value == 0 || ctrs.moveT.value == 0)) ||
         (engineFlow > 0 && zeroStreak >= conf.acceptPatience)
       conf.stateDir.foreach { dir =>
         if (done || round % conf.checkpointEvery == 0) {

@@ -2,7 +2,6 @@ package graft.graph
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.util.LongAccumulator
 
 import scala.collection.mutable
 import scala.util.Random
@@ -131,7 +130,7 @@ object MaxFlowSchimmy {
     */
   private def extendOnly(v: VertexState, d: MaxFlow.FlowDelta, round: Int,
                          conf: MaxFlow.Config,
-                         moves: LongAccumulator): Iterator[DeltaMsg] = {
+                         ctrs: MaxFlow.Ctrs): Iterator[DeltaMsg] = {
     val adj2 = if (d.isEmpty) v.adj else v.adj.map { a =>
       a.copy(flow = MaxFlow.effFlow(a.flow, v.id, a.nbr, d))
     }
@@ -142,6 +141,10 @@ object MaxFlowSchimmy {
           MaxFlow.effFlow(p.flows(i), p.nodes(i), p.nodes(i + 1), d)), p.caps)
     val s2 = v.s.map(refresh).filter(_.potential > 0)
     val t2 = v.t.map(refresh).filter(_.potential > 0)
+    ctrs.satS.add(v.s.length - s2.length)
+    ctrs.satT.add(v.t.length - t2.length)
+    if (v.s.nonEmpty && s2.isEmpty) ctrs.loseExcess.add(1)
+    if (v.t.nonEmpty && t2.isEmpty) ctrs.loseExcess.add(1)
     val rng = new Random(v.id * 0x9E3779B97F4A7C15L + round)
     val out = mutable.ArrayBuffer.empty[DeltaMsg]
     if (s2.nonEmpty && v.id != GraphModel.SuperSink) {
@@ -154,7 +157,7 @@ object MaxFlowSchimmy {
           val p = eligible(rng.nextInt(eligible.length))
           out += DeltaMsg(a.nbr, isS = true,
             PathState(p.nodes :+ a.nbr, p.flows :+ a.flow, p.caps :+ a.capOut))
-          moves.add(1)
+          ctrs.extendS.add(1)
         }
       }
     }
@@ -168,7 +171,7 @@ object MaxFlowSchimmy {
           val p = eligible(rng.nextInt(eligible.length))
           out += DeltaMsg(a.nbr, isS = false,
             PathState(a.nbr +: p.nodes, (-a.flow) +: p.flows, a.capIn +: p.caps))
-          moves.add(1)
+          ctrs.extendT.add(1)
         }
       }
     }
@@ -179,7 +182,8 @@ object MaxFlowSchimmy {
     * pairs involve at least one newly-arrived path, as in v1.
     */
   private def meetCandidates(r: JoinedRow, d: MaxFlow.FlowDelta, round: Int,
-                             conf: MaxFlow.Config): Iterator[Candidate] = {
+                             conf: MaxFlow.Config,
+                             ctrs: MaxFlow.Ctrs): Iterator[Candidate] = {
     def refresh(p: PathState): PathState =
       if (d.isEmpty || p.length == 0) p
       else PathState(p.nodes,
@@ -189,6 +193,15 @@ object MaxFlowSchimmy {
     val t2 = r.t.map(refresh).filter(_.potential > 0)
     val newS = MaxFlow.dedupPaths(r.ds, s2)
     val newT = MaxFlow.dedupPaths(r.dt, t2)
+    // counter gauges for the round report (this branch walks every master
+    // row once per round, so it doubles as the counting pass; the SQL
+    // merge itself can't carry accumulators)
+    if (s2.nonEmpty || newS.nonEmpty) ctrs.aliveS.add(1)
+    if (t2.nonEmpty || newT.nonEmpty) ctrs.aliveT.add(1)
+    if (s2.isEmpty && newS.nonEmpty) ctrs.moveS.add(1)
+    if (t2.isEmpty && newT.nonEmpty) ctrs.moveT.add(1)
+    ctrs.dropS.add(math.max(0, s2.length + newS.length - conf.excessListMax))
+    ctrs.dropT.add(math.max(0, t2.length + newT.length - conf.excessListMax))
     if (newS.isEmpty && newT.isEmpty) Iterator.empty
     else {
       val rng = new Random(r.id * 0xBF58476D1CE4E5B9L + round)
@@ -244,6 +257,7 @@ object MaxFlowSchimmy {
     var pending: MaxFlow.FlowDelta = Map.empty
     val assignment = mutable.HashMap.empty[(Long, Long), Long]
     val allPaths = mutable.ArrayBuffer.empty[(Seq[Long], Long)]
+    val reports = mutable.ArrayBuffer.empty[MaxFlow.RoundCounters]
     var zeroStreak = 0
     var done = false
 
@@ -251,12 +265,12 @@ object MaxFlowSchimmy {
       round += 1
       val bc = sc.broadcast(pending)
       val dm = deltaMapLit(pending)
-      val moves = sc.longAccumulator(s"schimmy-moves-$round")
+      val ctrs = MaxFlow.Ctrs(sc, s"schimmy-r$round")
       val r = round
 
       // 1. extension pass → delta messages (the ONLY shuffled data)
       val deltas = state.as[VertexState]
-        .flatMap(extendOnly(_, bc.value, r, conf, moves))
+        .flatMap(extendOnly(_, bc.value, r, conf, ctrs))
       val grouped = deltas
         .groupBy(col("dst"))
         .agg(
@@ -286,7 +300,7 @@ object MaxFlowSchimmy {
       //    refresh already applied, so the empty delta is passed)
       val candidates = stage
         .as[JoinedRow]
-        .flatMap(meetCandidates(_, Map.empty, r, conf))
+        .flatMap(meetCandidates(_, Map.empty, r, conf, ctrs))
         .collect()
 
       // 5. light merge — partitioning survives to the next round
@@ -305,11 +319,20 @@ object MaxFlowSchimmy {
         assignment.update(k, assignment.getOrElse(k, 0L) + v)
       }
       engineFlow += got
+      reports += MaxFlow.RoundCounters(round, got, engineFlow,
+        roundPaths.size, candidates.length, ctrs.loseExcess.value,
+        ctrs.moveS.value, ctrs.moveT.value,
+        ctrs.extendS.value, ctrs.extendT.value,
+        ctrs.satS.value, ctrs.satT.value,
+        ctrs.dropS.value, ctrs.dropT.value,
+        ctrs.aliveS.value, ctrs.aliveT.value)
       pending = delta
       state = newState
       bc.destroy()
       zeroStreak = if (got == 0) zeroStreak + 1 else 0
-      done = (got == 0 && moves.value == 0) ||
+      done = (got == 0 && ctrs.moves == 0) ||
+        (round > 1 && got == 0 && ctrs.loseExcess.value == 0 &&
+          (ctrs.moveS.value == 0 || ctrs.moveT.value == 0)) ||
         (engineFlow > 0 && zeroStreak >= conf.acceptPatience)
     }
 
@@ -336,6 +359,6 @@ object MaxFlowSchimmy {
       }
     }
     MaxFlow.Result(engineFlow + cleanupFlow, engineFlow, cleanupFlow, round,
-      assignment.toMap, allPaths.toSeq)
+      assignment.toMap, allPaths.toSeq, reports.toSeq)
   }
 }

@@ -16,6 +16,14 @@ class MaxFlowSchimmySpec extends AnyFunSuite {
     val r = MaxFlowSchimmy.run(spark, edges, sources, sinks)
     assert(r.flow == 23L, s"got $r")
     assert(StateIO.conservationHolds(r.assignment, r.flow))
+    // the schimmy engine fills the same round report as v1 (A8 parity;
+    // `Main --engine schimmy` prints it via RoundCounters.echo)
+    val rep = r.rounds_report
+    assert(rep.nonEmpty && rep.map(_.round) == (1 to r.rounds))
+    assert(rep.map(_.acceptedFlow).sum == r.engineFlow)
+    assert(rep.map(_.extendS).sum > 0 && rep.map(_.extendT).sum > 0)
+    assert(rep.exists(c => c.aliveS > 0 && c.aliveT > 0))
+    assert(rep.head.moveS > 0 && rep.head.moveT > 0)
   }
 
   test("schimmy engine equals Edmonds-Karp oracle on random graphs") {

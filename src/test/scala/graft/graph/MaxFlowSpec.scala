@@ -95,6 +95,33 @@ class MaxFlowSpec extends AnyFunSuite {
     assert(r.flow == 23L)
   }
 
+  test("round report carries the MFCounter set (A8; mf/MFCounter.java:3-49)") {
+    val (edges, sources, sinks) = GraphSources.readDimacs(spark, fixture("clrs.dimacs"))
+    val r = MaxFlow.run(spark, edges, sources, sinks)
+    val rep = r.rounds_report
+    assert(rep.nonEmpty && rep.map(_.round) == (1 to r.rounds))
+    // per-round accepted flow must reconcile with the engine total
+    assert(rep.map(_.acceptedFlow).sum == r.engineFlow)
+    assert(rep.last.totalFlow == r.engineFlow)
+    // the engine must actually have worked: extensions on both sides,
+    // candidates generated, paths accepted, frontiers alive
+    assert(rep.map(_.extendS).sum > 0 && rep.map(_.extendT).sum > 0)
+    assert(rep.map(_.candidates).sum >= rep.map(_.acceptedPaths).sum)
+    assert(rep.map(_.acceptedPaths).sum > 0)
+    assert(rep.exists(c => c.aliveS > 0 && c.aliveT > 0))
+    // round 1: source/sink neighbors newly become alive (SOURCE/SINK_MOVE)
+    assert(rep.head.moveS > 0 && rep.head.moveT > 0)
+    // counters are non-negative throughout
+    rep.foreach { c =>
+      assert(Seq(c.acceptedFlow, c.acceptedPaths, c.candidates, c.loseExcess,
+        c.moveS, c.moveT, c.extendS, c.extendT, c.satS, c.satT,
+        c.dropS, c.dropT, c.aliveS, c.aliveT).forall(_ >= 0), c.toString)
+    }
+    // the echo line renders in the reference's report shape
+    assert(rep.head.echo.matches(
+      """i=1; Flows=\d+/\d+; LE=\d+; So=\d+/\d+; Si=\d+/\d+"""))
+  }
+
   test("path concat splices cycles (ff1/Excess.java:48-68)") {
     // S: 1→3→4, T: 4→3→5→2 — shared node 3 must splice to 1→3→5→2
     val sp = PathState(Array(1L, 3L, 4L), Array(0L, 0L), Array(5L, 5L))
