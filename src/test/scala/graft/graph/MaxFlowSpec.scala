@@ -122,6 +122,28 @@ class MaxFlowSpec extends AnyFunSuite {
       """i=1; Flows=\d+/\d+; LE=\d+; So=\d+/\d+; Si=\d+/\d+"""))
   }
 
+  test("distributed cleanup fallback (driverCleanupMaxEdges=0) stays exact") {
+    // maxRounds=0 disables the excess-path engine entirely and
+    // driverCleanupMaxEdges=0 forbids the one-shot driver EK, so the whole
+    // flow must come from the batched distributed-BFS fallback
+    val (edges, sources, sinks) = GraphSources.readDimacs(spark, fixture("clrs.dimacs"))
+    val r = MaxFlow.run(spark, edges, sources, sinks,
+      MaxFlow.Config(maxRounds = 0, driverCleanupMaxEdges = 0L))
+    assert(r.flow == 23L && r.engineFlow == 0L && r.cleanupFlow == 23L, s"got $r")
+    // and on a random graph vs the in-memory oracle
+    val redges = EdmondsKarp.randomGraph(n = 10, edgeProb = 0.3, maxCap = 10, seed = 5)
+    val ids = redges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val want = EdmondsKarp.maxFlow(redges, Seq(ids.head), Seq(ids.last))
+    val got = MaxFlow.run(spark, toDf(redges), Seq(ids.head), Seq(ids.last),
+      MaxFlow.Config(maxRounds = 0, driverCleanupMaxEdges = 0L))
+    assert(got.flow == want, s"want=$want got=$got")
+    // fallback paths are recorded like engine paths (flowpaths parity)
+    assert(r.paths.nonEmpty && r.paths.map(_._2).sum == 23L)
+    r.paths.foreach { case (p, q) =>
+      assert(p.head == 1L && p.last == 2L && q > 0)
+    }
+  }
+
   test("path concat splices cycles (ff1/Excess.java:48-68)") {
     // S: 1→3→4, T: 4→3→5→2 — shared node 3 must splice to 1→3→5→2
     val sp = PathState(Array(1L, 3L, 4L), Array(0L, 0L), Array(5L, 5L))
