@@ -4,15 +4,21 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Similarity search over the `embeddings` table (builder brief): exact
-  * brute-force cosine top-k as the baseline, and an LSH-bucketed
-  * (random-hyperplane SimHash) variant as the scale path.
+  * brute-force cosine top-k as the baseline, and two scale paths — an
+  * LSH-bucketed (random-hyperplane SimHash) variant with multiprobe, and
+  * an IVF variant with k-means-trained coarse centroids.
   *
   * Scale design (100 TB): brute force is a query-side broadcast against a
   * full scan — linear per query vector, the right baseline but O(Q·N).
-  * The LSH variant buckets both sides by a 4-bit hyperplane signature so
-  * the candidate join is an equality join on `bucket` (shuffle-partitioned,
-  * no cross product); recall is tunable by planes/probes. Cosine folds are
-  * sequential left-to-right over doubles → bit-identical in DuckDB.
+  * The LSH variant buckets both sides by a hyperplane signature so the
+  * candidate join is an equality join on `bucket` (shuffle-partitioned,
+  * no cross product); queries probe their own bucket plus all distance-1
+  * flips. The plane count is the recall/cost dial: it should grow with
+  * log2(N / target bucket size) — 8 planes (256 buckets) suits the test
+  * corpus (500–2k vectors → bucket ≈ N/256), 16–24 planes suit a 1e9+
+  * vector corpus; SimilaritySpec locks the 16-plane configuration's
+  * recall on planted near-duplicates. Cosine folds are sequential
+  * left-to-right over doubles → bit-identical in DuckDB.
   *
   * Tie-breaking: ranking uses the 6-decimal-rounded cosine with vec_id as
   * tiebreaker, so rank order is stable across engines even at FP edges.
@@ -44,9 +50,9 @@ object Similarity {
         |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin)
   }
 
-  /** The ±1 hyperplane coefficient matrix (4 planes × 64 dims), derived
-    * from md5 parity — computed ONCE on the driver and shipped as a
-    * literal, instead of re-evaluating 256 md5 calls per row (the DuckDB
+  /** The ±1 hyperplane coefficient matrix (nPlanes × dim), derived from
+    * md5 parity — computed ONCE on the driver and shipped as a literal,
+    * instead of re-evaluating nPlanes·dim md5 calls per row (the DuckDB
     * oracle recomputes the same family inline; values are identical).
     */
   private[ops] def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
@@ -68,96 +74,229 @@ object Similarity {
       .map(p => s"array(${p.map(c => s"${c}D").mkString(",")})")
       .mkString("array(", ",", ")")
 
-  /** LSH-bucketed approximate NN: 4 md5-derived random hyperplanes (±1
-    * coefficients) → 16 buckets; exact cosine top-5 among bucket-mates of
-    * each query vector vec_id < 20. Bucketing is a narrow map; the only
-    * shuffle is the equality join on `bucket`.
+  /** Spark SQL for the multiprobe LSH ANN over view `__emb`:
+    * nPlanes-bit hyperplane signature → 2^nPlanes buckets; each query
+    * probes its own bucket plus the nPlanes distance-1 flips (the same
+    * asymmetric probe pattern as Dedup.ddEmbedCos), then exact cosine
+    * top-`topK` among candidates.
+    */
+  private[ops] def lshAnnSparkSql(nPlanes: Int, queryPred: String,
+                                  topK: Int): String = {
+    val planesLit = planesSql(nPlanes, 64)
+    s"""WITH base AS (
+       |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM __emb),
+       |sig AS (
+       |  SELECT vec_id, v,
+       |         sqrt(graft_dot(v, v)) AS nrm,
+       |         aggregate(transform(sequence(0, ${nPlanes - 1}), j ->
+       |           CASE WHEN graft_dot(v, element_at($planesLit, j + 1)) > 0D
+       |                THEN shiftleft(1, j) ELSE 0 END),
+       |           0, (acc, x) -> acc + x) AS bucket
+       |  FROM base),
+       |probes AS (
+       |  SELECT vec_id, v, nrm,
+       |         explode(concat(array(bucket),
+       |           transform(sequence(0, ${nPlanes - 1}),
+       |             j -> bucket ^ shiftleft(1, j)))) AS pb
+       |  FROM sig WHERE $queryPred),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         ROUND(graft_dot(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos
+       |  FROM probes q JOIN sig c
+       |    ON q.pb = c.bucket AND c.vec_id <> q.vec_id)
+       |SELECT query_id, neighbor_id, cos, rn FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |                ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
+       |  FROM scored)
+       |WHERE rn <= $topK ORDER BY query_id, rn""".stripMargin
+  }
+
+  /** LSH-bucketed approximate NN with distance-1 multiprobe: 8 planes
+    * (256 buckets) at the test corpus size; exact cosine top-5 among
+    * probed bucket-mates of each query vector vec_id < 20.
     */
   def ssLshAnn(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.load(s, dir, "embeddings").createOrReplaceTempView("__emb")
-    val planesLit = planesSql(4, 64)
-    s.sql(
-      s"""WITH base AS (
-        |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM __emb),
-        |sig AS (
-        |  SELECT vec_id, v,
-        |         sqrt(graft_dot(v, v)) AS nrm,
-        |         aggregate(transform(sequence(0, 3), j ->
-        |           CASE WHEN graft_dot(v, element_at($planesLit, j + 1)) > 0D
-        |                THEN shiftleft(1, j) ELSE 0 END),
-        |           0, (acc, x) -> acc + x) AS bucket
-        |  FROM base),
-        |scored AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |         ROUND(graft_dot(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos
-        |  FROM (SELECT * FROM sig WHERE vec_id < 20) q JOIN sig c
-        |    ON q.bucket = c.bucket AND c.vec_id <> q.vec_id)
-        |SELECT query_id, neighbor_id, cos, rn FROM (
-        |  SELECT query_id, neighbor_id, cos,
-        |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-        |                ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
-        |  FROM scored)
-        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin)
+    s.sql(lshAnnSparkSql(nPlanes = 8, queryPred = "vec_id < 20", topK = 5))
   }
 
-  /** IVF-style approximate NN: a coarse quantizer (centroids = the first
-    * 16 vectors — a deterministic stand-in for k-means, which a real
-    * deployment would train) assigns every vector to its best cluster via
-    * a broadcast N×16 scoring; queries (vec_id 20..24) probe their 2
-    * nearest clusters and run exact cosine only inside them. Scale story:
-    * the centroid table broadcasts, assignment is a narrow pass, and the
-    * probe join touches |probed clusters| of the corpus instead of all of
-    * it — the classic IVF recall/cost dial (nprobe).
+  /** Spec entry: the same LSH ANN over an arbitrary (vec_id, embedding)
+    * frame at any plane count — used to lock the 16–24-plane scale
+    * configuration's recall on planted near-duplicates.
+    */
+  private[graft] def ssLshAnnOn(s: SparkSession, emb: DataFrame,
+                                nPlanes: Int, queryPred: String,
+                                topK: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    emb.createOrReplaceTempView("__emb")
+    s.sql(lshAnnSparkSql(nPlanes, queryPred, topK))
+  }
+
+  /** Number of k-means refinement iterations of the IVF coarse quantizer
+    * (each = assign-to-nearest + decimal-exact per-dimension mean).
+    */
+  private val IvfIters = 2
+
+  /** Spark SQL for the IVF ANN over view `__emb`: seeded deterministic
+    * k-means init (the 16 vectors with the smallest md5('km42:'||vec_id)
+    * digest — a data-independent pseudo-random draw), `IvfIters`
+    * assign/update rounds, then nprobe=2 search for `queryPred` vectors.
+    *
+    * The per-dimension centroid mean is computed on DECIMAL(27,12) — an
+    * exact, order-independent sum, so Spark and DuckDB derive bit-equal
+    * centroids — and rounded to 6 decimals (ties at the decimal cast are
+    * impossible for binary-fraction inputs, so HALF_UP/HALF_EVEN agree).
+    * Empty clusters drop out in both engines identically.
+    */
+  private[ops] def ivfSparkSql(queryPred: String, topK: Int): String = {
+    val iters = (1 to IvfIters).map { k =>
+      s"""a$k AS (
+         |  SELECT vec_id, v, nrm, cid FROM (
+         |    SELECT n.vec_id, n.v, n.nrm, c.cid,
+         |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+         |             ORDER BY ROUND(graft_dot(n.v, c.cv) / (n.nrm * c.cnrm), 6)
+         |                        DESC, c.cid) AS rn
+         |    FROM n3 n CROSS JOIN cent${k - 1} c) WHERE rn = 1),
+         |m$k AS (
+         |  SELECT cid, i,
+         |         ROUND(CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE)
+         |               / COUNT(1), 6) AS mx
+         |  FROM a$k LATERAL VIEW posexplode(v) AS i, x
+         |  GROUP BY cid, i),
+         |cent$k AS (
+         |  SELECT cid, cv, sqrt(graft_dot(cv, cv)) AS cnrm FROM (
+         |    SELECT cid,
+         |           transform(array_sort(collect_list(struct(i, mx))),
+         |                     p -> p.mx) AS cv
+         |    FROM m$k GROUP BY cid))""".stripMargin
+    }.mkString(",\n")
+    val C = s"cent$IvfIters"
+    s"""WITH base AS (
+       |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM __emb),
+       |n3 AS (
+       |  SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM base),
+       |cent0 AS (
+       |  SELECT cid, cv, cnrm FROM (
+       |    SELECT CAST(ROW_NUMBER() OVER (
+       |             ORDER BY md5(concat('km42:', CAST(vec_id AS STRING))),
+       |                      vec_id) AS INT) - 1 AS cid,
+       |           v AS cv, nrm AS cnrm
+       |    FROM n3) WHERE cid < 16),
+       |$iters,
+       |assign AS (
+       |  SELECT vec_id, v, nrm, cid FROM (
+       |    SELECT n.vec_id, n.v, n.nrm, c.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |             ORDER BY ROUND(graft_dot(n.v, c.cv) / (n.nrm * c.cnrm), 6)
+       |                        DESC, c.cid) AS rn
+       |    FROM n3 n CROSS JOIN $C c) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, cid FROM (
+       |    SELECT n.vec_id, c.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |             ORDER BY ROUND(graft_dot(n.v, c.cv) / (n.nrm * c.cnrm), 6)
+       |                        DESC, c.cid) AS rn
+       |    FROM n3 n CROSS JOIN $C c WHERE $queryPred) WHERE rn <= 2),
+       |qv AS (
+       |  SELECT n.vec_id AS qid, n.v AS qvec, n.nrm AS qnrm FROM n3 n
+       |  WHERE $queryPred),
+       |scored AS (
+       |  SELECT p.qid, a.vec_id AS neighbor_id,
+       |         ROUND(graft_dot(q.qvec, a.v) / (q.qnrm * a.nrm), 6) AS cos
+       |  FROM probes p
+       |  JOIN assign a ON a.cid = p.cid
+       |  JOIN qv q ON q.qid = p.qid
+       |  WHERE a.vec_id <> p.qid)
+       |SELECT qid AS query_id, neighbor_id, cos, rn FROM (
+       |  SELECT qid, neighbor_id, cos,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |                ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
+       |  FROM scored)
+       |WHERE rn <= $topK ORDER BY query_id, rn""".stripMargin
+  }
+
+  /** IVF-style approximate NN with a k-means-trained coarse quantizer
+    * (seeded deterministic init + `IvfIters` decimal-exact refinement
+    * rounds); queries (vec_id 20..24) probe their 2 nearest clusters and
+    * run exact cosine only inside them. Scale story: the centroid table
+    * broadcasts, assignment is a narrow pass, and the probe join touches
+    * |probed clusters| of the corpus instead of all of it — the classic
+    * IVF recall/cost dial (nprobe).
     */
   def ssIvfAnn(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.load(s, dir, "embeddings").createOrReplaceTempView("__emb")
+    s.sql(ivfSparkSql("n.vec_id BETWEEN 20 AND 24", topK = 5))
+  }
+
+  /** Spec entry: IVF ANN over an arbitrary (vec_id, embedding) frame —
+    * used for the trained-centroid recall lock on planted clusters.
+    */
+  private[graft] def ssIvfAnnOn(s: SparkSession, emb: DataFrame,
+                                queryPred: String, topK: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    emb.createOrReplaceTempView("__emb")
+    s.sql(ivfSparkSql(queryPred, topK))
+  }
+
+  /** Spec entry: brute-force cosine top-k over an arbitrary frame (the
+    * recall denominator for the ANN specs).
+    */
+  private[graft] def bruteTopkOn(s: SparkSession, emb: DataFrame,
+                                 queryPred: String, topK: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    emb.createOrReplaceTempView("__emb")
     s.sql(
-      """WITH norms AS (
-        |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM __emb),
-        |n2 AS (
-        |  SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM norms),
-        |cent AS (
-        |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n2 WHERE vec_id < 16),
-        |scoredc AS (
-        |  SELECT n.vec_id, n.v, n.nrm, c.cid,
-        |         ROUND(graft_dot(n.v, c.cv) / (n.nrm * c.cnrm), 6) AS cs
-        |  FROM n2 n CROSS JOIN cent c),
-        |assign AS (
-        |  SELECT vec_id, v, nrm, cid FROM (
-        |    SELECT vec_id, v, nrm, cid,
-        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
-        |    FROM scoredc) WHERE rn = 1),
-        |probes AS (
-        |  SELECT vec_id AS qid, cid FROM (
-        |    SELECT vec_id, cid,
-        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
-        |    FROM scoredc WHERE vec_id BETWEEN 20 AND 24) WHERE rn <= 2),
-        |qv AS (
-        |  SELECT vec_id AS qid, v AS qvec, nrm AS qnrm FROM n2
-        |  WHERE vec_id BETWEEN 20 AND 24),
-        |scored AS (
-        |  SELECT p.qid, a.vec_id AS neighbor_id,
-        |         ROUND(graft_dot(q.qvec, a.v) / (q.qnrm * a.nrm), 6) AS cos
-        |  FROM probes p
-        |  JOIN assign a ON a.cid = p.cid
-        |  JOIN qv q ON q.qid = p.qid
-        |  WHERE a.vec_id <> p.qid)
-        |SELECT qid AS query_id, neighbor_id, cos, rn FROM (
-        |  SELECT qid, neighbor_id, cos,
-        |         CAST(ROW_NUMBER() OVER (PARTITION BY qid
-        |                ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
-        |  FROM scored)
-        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin)
+      s"""WITH base AS (
+         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM __emb),
+         |norms AS (
+         |  SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM base),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         ROUND(graft_dot(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos
+         |  FROM (SELECT * FROM norms WHERE $queryPred) q
+         |  JOIN norms c ON c.vec_id <> q.vec_id)
+         |SELECT query_id, neighbor_id, cos, rn FROM (
+         |  SELECT query_id, neighbor_id, cos,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |                ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
+         |  FROM scored)
+         |WHERE rn <= $topK ORDER BY query_id, rn""".stripMargin)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ss_cosine_topk" -> (ssCosineTopk _),
     "ss_lsh_ann" -> (ssLshAnn _),
     "ss_ivf_ann" -> (ssIvfAnn _))
+
+  /** DuckDB mirror of the k-means iteration chain (bit-equal centroids:
+    * same seeded init order, same decimal-exact means, same rounding).
+    */
+  private def ivfDuckIters: String = (1 to IvfIters).map { k =>
+    def cos(v: String, c: String): String =
+      s"ROUND(list_sum([$v[i] * $c[i] FOR i IN generate_series(1, len($v))])"
+    s"""a$k AS (
+       |  SELECT vec_id, v, nrm, cid FROM (
+       |    SELECT n.vec_id, n.v, n.nrm, c.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |             ORDER BY ${cos("n.v", "c.cv")} / (n.nrm * c.cnrm), 6)
+       |                        DESC, c.cid) AS rn
+       |    FROM n3 n CROSS JOIN cent${k - 1} c) WHERE rn = 1),
+       |m$k AS (
+       |  SELECT cid, g.i,
+       |         ROUND((SUM((v[g.i])::DECIMAL(27,12)))::DOUBLE / COUNT(*), 6) AS mx
+       |  FROM a$k CROSS JOIN generate_series(1, 64) g(i)
+       |  GROUP BY cid, g.i),
+       |cent$k AS (
+       |  SELECT cid, cv,
+       |         sqrt(list_sum([x * x FOR x IN cv])) AS cnrm FROM (
+       |    SELECT cid, list(mx ORDER BY i) AS cv FROM m$k GROUP BY cid))""".stripMargin
+  }.mkString(",\n")
 
   val oracleSql: Map[String, String] = Map(
     "ss_cosine_topk" ->
@@ -178,6 +317,9 @@ object Similarity {
         |  FROM scored)
         |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin.replaceAll("\n", " "),
     "ss_lsh_ann" ->
+      // multiprobe ≤1 expressed as bit_count(xor) <= 1 — identical to the
+      // probe-list formulation (a query's probes are exactly the buckets
+      // at Hamming distance ≤ 1 from its own)
       """WITH base AS (
         |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),
         |sig AS (
@@ -189,7 +331,7 @@ object Similarity {
         |                   THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END)
         |             FOR i IN generate_series(1, len(v))]) > 0
         |           THEN 1 << j ELSE 0 END
-        |           FOR j IN generate_series(0, 3)])::INT AS bucket
+        |           FOR j IN generate_series(0, 7)])::INT AS bucket
         |  FROM base),
         |scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -197,7 +339,8 @@ object Similarity {
         |                 FOR i IN generate_series(1, len(q.v))])
         |               / (q.nrm * c.nrm), 6) AS cos
         |  FROM sig q JOIN sig c
-        |    ON q.bucket = c.bucket AND q.vec_id < 20 AND c.vec_id <> q.vec_id)
+        |    ON bit_count(xor(q.bucket::BIGINT, c.bucket::BIGINT)) <= 1
+        |   AND q.vec_id < 20 AND c.vec_id <> q.vec_id)
         |SELECT query_id, neighbor_id, cos, rn FROM (
         |  SELECT query_id, neighbor_id, cos,
         |         ROW_NUMBER() OVER (PARTITION BY query_id
@@ -205,44 +348,51 @@ object Similarity {
         |  FROM scored)
         |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin.replaceAll("\n", " "),
     "ss_ivf_ann" ->
-      """WITH norms AS (
-        |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),
-        |n2 AS (
-        |  SELECT vec_id, v, sqrt(list_sum([x * x FOR x IN v])) AS nrm FROM norms),
-        |cent AS (
-        |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n2 WHERE vec_id < 16),
-        |scoredc AS (
-        |  SELECT n.vec_id, n.v, n.nrm, c.cid,
-        |         ROUND(list_sum([n.v[i] * c.cv[i]
-        |                 FOR i IN generate_series(1, len(n.v))])
-        |               / (n.nrm * c.cnrm), 6) AS cs
-        |  FROM n2 n CROSS JOIN cent c),
-        |assign AS (
-        |  SELECT vec_id, v, nrm, cid FROM (
-        |    SELECT vec_id, v, nrm, cid,
-        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
-        |    FROM scoredc) WHERE rn = 1),
-        |probes AS (
-        |  SELECT vec_id AS qid, cid FROM (
-        |    SELECT vec_id, cid,
-        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
-        |    FROM scoredc WHERE vec_id BETWEEN 20 AND 24) WHERE rn <= 2),
-        |qv AS (
-        |  SELECT vec_id AS qid, v AS qvec, nrm AS qnrm FROM n2
-        |  WHERE vec_id BETWEEN 20 AND 24),
-        |scored AS (
-        |  SELECT p.qid, a.vec_id AS neighbor_id,
-        |         ROUND(list_sum([q.qvec[i] * a.v[i]
-        |                 FOR i IN generate_series(1, len(q.qvec))])
-        |               / (q.qnrm * a.nrm), 6) AS cos
-        |  FROM probes p
-        |  JOIN assign a ON a.cid = p.cid
-        |  JOIN qv q ON q.qid = p.qid
-        |  WHERE a.vec_id <> p.qid)
-        |SELECT qid AS query_id, neighbor_id, cos, rn FROM (
-        |  SELECT qid, neighbor_id, cos,
-        |         ROW_NUMBER() OVER (PARTITION BY qid
-        |           ORDER BY cos DESC, neighbor_id) AS rn
-        |  FROM scored)
-        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin.replaceAll("\n", " "))
+      s"""WITH base AS (
+         |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),
+         |n3 AS (
+         |  SELECT vec_id, v, sqrt(list_sum([x * x FOR x IN v])) AS nrm FROM base),
+         |cent0 AS (
+         |  SELECT cid, cv, cnrm FROM (
+         |    SELECT (ROW_NUMBER() OVER (
+         |             ORDER BY md5('km42:' || vec_id::VARCHAR), vec_id))::INT
+         |             - 1 AS cid,
+         |           v AS cv, nrm AS cnrm
+         |    FROM n3) WHERE cid < 16),
+         |$ivfDuckIters,
+         |assign AS (
+         |  SELECT vec_id, v, nrm, cid FROM (
+         |    SELECT n.vec_id, n.v, n.nrm, c.cid,
+         |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+         |             ORDER BY ROUND(list_sum([n.v[i] * c.cv[i]
+         |                        FOR i IN generate_series(1, len(n.v))])
+         |                      / (n.nrm * c.cnrm), 6) DESC, c.cid) AS rn
+         |    FROM n3 n CROSS JOIN cent$IvfIters c) WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS qid, cid FROM (
+         |    SELECT n.vec_id, c.cid,
+         |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+         |             ORDER BY ROUND(list_sum([n.v[i] * c.cv[i]
+         |                        FOR i IN generate_series(1, len(n.v))])
+         |                      / (n.nrm * c.cnrm), 6) DESC, c.cid) AS rn
+         |    FROM n3 n CROSS JOIN cent$IvfIters c
+         |    WHERE n.vec_id BETWEEN 20 AND 24) WHERE rn <= 2),
+         |qv AS (
+         |  SELECT vec_id AS qid, v AS qvec, nrm AS qnrm FROM n3
+         |  WHERE vec_id BETWEEN 20 AND 24),
+         |scored AS (
+         |  SELECT p.qid, a.vec_id AS neighbor_id,
+         |         ROUND(list_sum([q.qvec[i] * a.v[i]
+         |                 FOR i IN generate_series(1, len(q.qvec))])
+         |               / (q.qnrm * a.nrm), 6) AS cos
+         |  FROM probes p
+         |  JOIN assign a ON a.cid = p.cid
+         |  JOIN qv q ON q.qid = p.qid
+         |  WHERE a.vec_id <> p.qid)
+         |SELECT qid AS query_id, neighbor_id, cos, rn FROM (
+         |  SELECT qid, neighbor_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY qid
+         |           ORDER BY cos DESC, neighbor_id) AS rn
+         |  FROM scored)
+         |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin.replaceAll("\n", " "))
 }

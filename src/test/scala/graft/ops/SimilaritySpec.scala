@@ -1,0 +1,93 @@
+package graft.ops
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** Recall locks for the ANN scale paths on PLANTED structure (the driver
+  * corpus is isotropic noise, where no sublinear index can have recall —
+  * these specs build data with real cluster/near-duplicate structure and
+  * assert the index finds it).
+  */
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def unit(rng: Random, dim: Int): Array[Double] = {
+    val v = Array.fill(dim)(rng.nextGaussian())
+    val n = math.sqrt(v.map(x => x * x).sum)
+    v.map(_ / n)
+  }
+
+  private def toEmb(rows: Seq[(Long, Array[Double])]) =
+    rows.map { case (id, v) => (id, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+
+  test("IVF with k-means-trained centroids: recall >= 0.8 vs brute force at nprobe=2") {
+    val rng = new Random(7)
+    val dim = 64
+    // 16 tight clusters x 30 members; member = center + 0.15-noise
+    val rows = for {
+      c <- 0 until 16
+      center = unit(rng, dim)
+      m <- 0 until 30
+    } yield {
+      val noise = unit(rng, dim)
+      val v = center.zip(noise).map { case (a, b) => a + 0.15 * b }
+      (c * 1000L + m, v)
+    }
+    val emb = toEmb(rows)
+    val pred = "n.vec_id % 1000 = 0" // one query per cluster
+    val ivf = Similarity.ssIvfAnnOn(spark, emb, pred, topK = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val brute = Similarity.bruteTopkOn(spark, emb, "vec_id % 1000 = 0", topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val recalls = brute.map { case (q, exact) =>
+      val got = ivf.getOrElse(q, Array.empty).map(_._2).toSet
+      exact.map(_._2).count(got) / exact.length.toDouble
+    }
+    val recall = recalls.sum / recalls.size
+    assert(recalls.size == 16, s"expected 16 queries, got ${recalls.size}")
+    assert(recall >= 0.8, s"IVF recall $recall < 0.8 (per-query: $recalls)")
+  }
+
+  test("16-plane multiprobe LSH ANN finds planted near-duplicate twins (scale config)") {
+    val rng = new Random(11)
+    val dim = 64
+    val base = (0 until 200).map(i => (i.toLong, unit(rng, dim)))
+    // twin = base + 0.06-noise → cos ≈ 0.998
+    val twins = base.map { case (id, v) =>
+      val noise = unit(rng, dim)
+      (id + 100000L, v.zip(noise).map { case (a, b) => a + 0.06 * b })
+    }
+    val emb = toEmb(base ++ twins)
+    val top = Similarity.ssLshAnnOn(spark, emb, nPlanes = 16,
+        queryPred = "vec_id < 100000", topK = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val hit = base.count { case (id, _) =>
+      top.getOrElse(id, Array.empty).exists(_._2 == id + 100000L)
+    }
+    val recall = hit / base.length.toDouble
+    assert(recall >= 0.8, s"16-plane multiprobe twin recall $recall < 0.8")
+  }
+
+  test("8-plane multiprobe LSH ANN (oracled config) also recovers twins") {
+    val rng = new Random(13)
+    val dim = 64
+    val base = (0 until 100).map(i => (i.toLong, unit(rng, dim)))
+    val twins = base.map { case (id, v) =>
+      val noise = unit(rng, dim)
+      (id + 100000L, v.zip(noise).map { case (a, b) => a + 0.06 * b })
+    }
+    val emb = toEmb(base ++ twins)
+    val top = Similarity.ssLshAnnOn(spark, emb, nPlanes = 8,
+        queryPred = "vec_id < 100000", topK = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val hit = base.count { case (id, _) =>
+      top.getOrElse(id, Array.empty).exists(_._2 == id + 100000L)
+    }
+    assert(hit / base.length.toDouble >= 0.9,
+      s"8-plane twin recall ${hit / base.length.toDouble} < 0.9")
+  }
+}
