@@ -252,6 +252,13 @@ object Dedup {
     * hyperplane-LSH bucket (md5-parity ±1 planes, shared with
     * Similarity.ssLshAnn). Exposed for the pair query and the block-bound
     * spec.
+    *
+    * Engine-parity note (same discipline as the cosine folds): each bucket
+    * bit is the SIGN of a plane dot product, and both engines compute that
+    * dot as a sequential left-to-right double fold (graft_dot here,
+    * list_sum in DuckDB) — identical summation order, so a dot at an FP
+    * sign boundary buckets identically. Re-ordering either side's sum
+    * would let a boundary vector change buckets and alter the pair set.
     */
   private[graft] def embedSig(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)

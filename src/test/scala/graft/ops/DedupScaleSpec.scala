@@ -58,6 +58,21 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(maxBlock <= math.max(4L, n / 10), s"block of $maxBlock vs n=$n")
   }
 
+  test("ddEmbedCos is non-vacuous: the planted twin pairs survive the bucket filter") {
+    // block-bound + probe-equivalence specs alone cannot see recall loss
+    // (both engines apply the same Hamming<=1 filter) — assert the query
+    // actually recovers the (vec_id, vec_id+100000) twins it plants
+    val pairs = Dedup.ddEmbedCos(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val n = Dedup.embedSig(spark, sf).count() / 2 // embedSig doubles the corpus
+    val twinHits = pairs.count { case (a, b) => b == a + 100000L }
+    // the x1.5-first-component twin stays at cosine >= 0.9 for nearly all
+    // vectors; Hamming<=1 multiprobe must keep the overwhelming majority
+    assert(twinHits >= (0.8 * n).toLong,
+      s"only $twinHits/$n twin pairs survived the bucket filter")
+  }
+
   test("multiprobe covers exactly the Hamming<=1 bucket pairs") {
     Dedup.embedSig(spark, sf).createOrReplaceTempView("__esig_chk")
     val direct = spark.sql(
