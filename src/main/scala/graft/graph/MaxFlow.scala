@@ -154,8 +154,22 @@ object MaxFlow {
   /** Phase 1: refresh + prune + extend (SURVEY T6–T9). Emits the updated
     * master plus one delta-vertex per extension target.
     */
-  private def stepVertex(v: VertexState, d: FlowDelta, round: Int, conf: Config,
-                         ctrs: Ctrs): Iterator[VertexState] = {
+  private[graph] def stepVertex(v: VertexState, d: FlowDelta, round: Int,
+                                conf: Config, ctrs: Ctrs): Iterator[VertexState] = {
+    val (master, msgs) = stepVertexCore(v, d, round, conf, Some(ctrs))
+    Iterator(master) ++ msgs.iterator
+  }
+
+  /** The refresh/prune/extend core shared by both engines: returns the
+    * updated master (refreshed flows, pruned paths, grown fsets) and the
+    * extension messages. All choices are seeded by (vertex, round), so a
+    * re-run over the same state reproduces the same output — the schimmy
+    * engine exploits this to recompute the master update at merge time
+    * without shuffling it (counters are passed only on the counting pass).
+    */
+  private[graph] def stepVertexCore(v: VertexState, d: FlowDelta, round: Int,
+                                    conf: Config, ctrsOpt: Option[Ctrs])
+      : (VertexState, Array[VertexState]) = {
     val adj2 = if (d.isEmpty) v.adj else v.adj.map { a =>
       a.copy(flow = effFlow(a.flow, v.id, a.nbr, d))
     }
@@ -172,12 +186,14 @@ object MaxFlow {
       }
     val s2 = v.s.map(refresh).filter(_.potential > 0)
     val t2 = v.t.map(refresh).filter(_.potential > 0)
-    ctrs.satS.add(v.s.length - s2.length)
-    ctrs.satT.add(v.t.length - t2.length)
-    // LOSE_EXCESS (ff2/FordFulkerson.java:103-115): the vertex held paths
-    // and every one of them just saturated
-    if (v.s.nonEmpty && s2.isEmpty) ctrs.loseExcess.add(1)
-    if (v.t.nonEmpty && t2.isEmpty) ctrs.loseExcess.add(1)
+    ctrsOpt.foreach { ctrs =>
+      ctrs.satS.add(v.s.length - s2.length)
+      ctrs.satT.add(v.t.length - t2.length)
+      // LOSE_EXCESS (ff2/FordFulkerson.java:103-115): the vertex held paths
+      // and every one of them just saturated
+      if (v.s.nonEmpty && s2.isEmpty) ctrs.loseExcess.add(1)
+      if (v.t.nonEmpty && t2.isEmpty) ctrs.loseExcess.add(1)
+    }
 
     // seeded randomness, ff1's Random(key*round) discipline
     // (ff1/FordFulkerson.java:74) — reproducible across retries
@@ -199,7 +215,7 @@ object MaxFlow {
             val np = PathState(p.nodes :+ a.nbr, p.flows :+ a.flow, p.caps :+ a.capOut)
             msgs += VertexState(a.nbr, noAdj, Array(np), empty, noIds, noIds)
             fs += a.nbr
-            ctrs.extendS.add(1)
+            ctrsOpt.foreach(_.extendS.add(1))
           }
         }
       }
@@ -215,13 +231,13 @@ object MaxFlow {
             val np = PathState(a.nbr +: p.nodes, (-a.flow) +: p.flows, a.capIn +: p.caps)
             msgs += VertexState(a.nbr, noAdj, empty, Array(np), noIds, noIds)
             ft += a.nbr
-            ctrs.extendT.add(1)
+            ctrsOpt.foreach(_.extendT.add(1))
           }
         }
       }
     }
     val master = VertexState(v.id, adj2, s2, t2, fs.toArray.sorted, ft.toArray.sorted)
-    Iterator(master) ++ msgs.iterator
+    (master, msgs.toArray)
   }
 
   /** Meet-in-the-middle concat with cycle splice (J3; ff1/Excess.java:48-68):
@@ -322,39 +338,58 @@ object MaxFlow {
   }
 
   /** Phase 3: driver-side greedy acceptance (C1/C2; ff1/Excess.java:265-305,
-    * ff2/ApServer.java:19-49). Candidates are shuffled (hotspot avoidance,
-    * ff2/ApServer.java:32-33) and admitted one by one against the
-    * intra-round delta map; admitted flow = min hop residual.
+    * ff2/ApServer.java:19-49) as an INCREMENTAL service — the reference's
+    * RMI ApServer accepts paths while the job still runs; here candidate
+    * batches are `offer`ed as map partitions finish (see runLoop) and
+    * admitted against the intra-round delta map. Batches are shuffled
+    * (hotspot avoidance, ff2/ApServer.java:32-33); admitted flow = min hop
+    * residual.
+    */
+  private[graph] final class Acceptor(seed: Long) {
+    private val rng = new Random(seed)
+    private val delta = mutable.HashMap.empty[(Long, Long), Long]
+    private val accepted = mutable.ArrayBuffer.empty[(Seq[Long], Long)]
+    private var total = 0L
+    private var nCands = 0L
+    private def get(k: (Long, Long)) = delta.getOrElse(k, 0L)
+
+    def offer(batch: Array[Candidate]): Unit = {
+      nCands += batch.length
+      for (c <- rng.shuffle(batch.toVector)) {
+        var q = Long.MaxValue
+        var i = 0
+        while (i < c.flows.length) {
+          val a = c.nodes(i); val b = c.nodes(i + 1)
+          val eff = c.flows(i) + get((a, b)) - get((b, a))
+          q = math.min(q, c.caps(i) - eff)
+          i += 1
+        }
+        if (c.flows.length > 0 && q > 0) {
+          i = 0
+          while (i < c.flows.length) {
+            val k = (c.nodes(i), c.nodes(i + 1))
+            delta.update(k, get(k) + q)
+            i += 1
+          }
+          total += q
+          accepted += ((c.nodes.toSeq, q))
+        }
+      }
+    }
+
+    def candidateCount: Long = nCands
+    def result: (Long, FlowDelta, Seq[(Seq[Long], Long)]) =
+      (total, delta.toMap, accepted.toSeq)
+  }
+
+  /** One-shot barrier acceptance over a full candidate array (the schimmy
+    * engine and the specs use this; v1 streams through [[Acceptor]]).
     */
   private[graph] def accept(cands: Array[Candidate],
       seed: Long): (Long, FlowDelta, Seq[(Seq[Long], Long)]) = {
-    val rng = new Random(seed)
-    val order = rng.shuffle(cands.toVector)
-    val delta = mutable.HashMap.empty[(Long, Long), Long]
-    val accepted = mutable.ArrayBuffer.empty[(Seq[Long], Long)]
-    def get(k: (Long, Long)) = delta.getOrElse(k, 0L)
-    var total = 0L
-    for (c <- order) {
-      var q = Long.MaxValue
-      var i = 0
-      while (i < c.flows.length) {
-        val a = c.nodes(i); val b = c.nodes(i + 1)
-        val eff = c.flows(i) + get((a, b)) - get((b, a))
-        q = math.min(q, c.caps(i) - eff)
-        i += 1
-      }
-      if (c.flows.length > 0 && q > 0) {
-        i = 0
-        while (i < c.flows.length) {
-          val k = (c.nodes(i), c.nodes(i + 1))
-          delta.update(k, get(k) + q)
-          i += 1
-        }
-        total += q
-        accepted += ((c.nodes.toSeq, q))
-      }
-    }
-    (total, delta.toMap, accepted.toSeq)
+    val a = new Acceptor(seed)
+    a.offer(cands)
+    a.result
   }
 
   /** Run max-flow between `sources` and `sinks` over the directed edge
@@ -409,28 +444,56 @@ object MaxFlow {
       round += 1
       val bc = sc.broadcast(pending)
       val ctrs = Ctrs(sc, s"mf-r$round")
-      val merged = state
+      val mrdd = state
         .flatMap(stepVertex(_, bc.value, round, conf, ctrs))
         .groupByKey(_.id)
         .mapGroups(mergeVertex(_, _, round, conf, Some(ctrs)))
-        .localCheckpoint(eager = true) // materialize: accumulators valid now
-      if (conf.validate) merged.map(_._1).foreach(validateVertex _)
-      val candidates = merged.flatMap(_._2).collect()
-      val (got, delta, roundPaths) = accept(candidates, conf.seed * 31 + round)
+        .rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Mid-round acceptance overlap (the reference's RMI ApServer,
+      // ff2/ApServer.java:19-49): ONE parallel job materializes the merged
+      // state into cache, and each partition's candidates are offered to
+      // the driver-side acceptor the moment the partition finishes — in
+      // partition order, so acceptance stays deterministic while it
+      // overlaps the computation of the remaining partitions.
+      val acceptor = new Acceptor(conf.seed * 31 + round)
+      val nParts = mrdd.getNumPartitions
+      val partCands = new Array[Array[Candidate]](nParts)
+      val partDone = new Array[Boolean](nParts)
+      val lock = new Object
+      var nextOffer = 0
+      sc.runJob(mrdd,
+        (it: Iterator[(VertexState, Array[Candidate])]) =>
+          it.flatMap(_._2).toArray,
+        (idx: Int, cs: Array[Candidate]) => lock.synchronized {
+          partCands(idx) = cs
+          partDone(idx) = true
+          while (nextOffer < nParts && partDone(nextOffer)) {
+            acceptor.offer(partCands(nextOffer))
+            partCands(nextOffer) = null
+            nextOffer += 1
+          }
+        })
+      // runJob returns after every handler ran: acceptance is complete and
+      // the round's accumulators are final
+      if (conf.validate) mrdd.foreach(p => validateVertex(p._1))
+      val (got, delta, roundPaths) = acceptor.result
       allPaths ++= roundPaths
       delta.foreach { case (k, v) =>
         assignment.update(k, assignment.getOrElse(k, 0L) + v)
       }
       engineFlow += got
       reports += RoundCounters(round, got, engineFlow,
-        roundPaths.size, candidates.length, ctrs.loseExcess.value,
+        roundPaths.size, acceptor.candidateCount, ctrs.loseExcess.value,
         ctrs.moveS.value, ctrs.moveT.value,
         ctrs.extendS.value, ctrs.extendT.value,
         ctrs.satS.value, ctrs.satT.value,
         ctrs.dropS.value, ctrs.dropT.value,
         ctrs.aliveS.value, ctrs.aliveT.value)
       pending = delta
-      state = merged.map(_._1)
+      // next round's state: project off the candidate arrays and truncate
+      // lineage (reads the warm mrdd cache), then drop the cache
+      state = spark.createDataset(mrdd.map(_._1)).localCheckpoint(eager = true)
+      mrdd.unpersist(blocking = false)
       bc.destroy()
       zeroStreak = if (got == 0) zeroStreak + 1 else 0
       // C3 quiescence; the ff2 counter rule (no flow, no lost excess, one

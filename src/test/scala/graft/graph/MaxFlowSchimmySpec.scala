@@ -39,6 +39,44 @@ class MaxFlowSchimmySpec extends AnyFunSuite {
     }
   }
 
+  test("schimmy shuffles a fraction of v1's bytes (S5/J1 — the no-state-shuffle contract)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    class Meter extends SparkListener {
+      @volatile var bytes = 0L
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        bytes += sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+    }
+    import spark.implicits._
+    val edges = graft.ScaleProbe.smallWorld(n = 4000, k = 4, rewireP = 0.1,
+      maxC = 10, seed = 3L).toDF("src", "dst", "cap").persist()
+    edges.count()
+    val ids = (10L until 4010L)
+    val sources = Seq(ids.head, ids(1))
+    val sinks = Seq(ids.last, ids(ids.length - 2))
+    def metered(run: => MaxFlow.Result): (MaxFlow.Result, Long) = {
+      val m = new Meter
+      spark.sparkContext.addSparkListener(m)
+      val r = run
+      Thread.sleep(500) // listener bus drains asynchronously
+      spark.sparkContext.removeSparkListener(m)
+      (r, m.bytes)
+    }
+    // cleanup off so the meter sees ONLY the superstep loop (the BFS
+    // cleanup is shared machinery and would dilute the contrast)
+    val conf = MaxFlow.Config(exactCleanup = false)
+    val (r1, b1) = metered(MaxFlow.run(spark, edges, sources, sinks, conf))
+    val (r2, b2) = metered(MaxFlowSchimmy.run(spark, edges, sources, sinks, conf))
+    edges.unpersist()
+    assert(r1.engineFlow > 0 && r2.engineFlow > 0)
+    // v1 shuffles masters+deltas every round; schimmy shuffles deltas only.
+    // The master state (1M+ bytes/round here) must show up as a large gap —
+    // not a rounding error. Guards the regression this spec was born from:
+    // an optimizer-inferred partitioning silently degrading to a full
+    // state re-exchange per round.
+    assert(b2 < b1 / 2,
+      s"schimmy shuffled $b2 bytes vs v1 $b1 — the no-state-shuffle contract is broken")
+  }
+
   test("schimmy and v1 agree (multi-source/multi-sink)") {
     val edges = EdmondsKarp.randomGraph(n = 12, edgeProb = 0.25, maxCap = 5, seed = 99)
     val ids = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
