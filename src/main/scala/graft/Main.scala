@@ -13,7 +13,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   graft.Main mf  --format dimacs|facebook --input PATH
   *                  [--sources 1,2] [--sinks 3] [--cap 1] [--max-cap N]
   *                  [--k 32] [--max-path-length 30] [--engine v1|schimmy]
-  *                  [--approx] [--flowpaths DIR] [--state DIR]
+  *                  [--approx] [--no-sink-excess]
+  *                  [--random-terminals N [--min-degree 3000]]
+  *                  [--flowpaths DIR] [--state DIR]
   *   graft.Main bfs --format dimacs|facebook --input PATH --sources 4
   *                  [--max-depth N] [--out DIR]
   *
@@ -75,12 +77,21 @@ object Main {
     try prog match {
       case "mf" =>
         val (edges, dSources, dSinks) = load(spark, opts)
-        val sources = opts.get("sources").map(ids).getOrElse(dSources)
-        val sinks = opts.get("sinks").map(ids).getOrElse(dSinks)
+        // mf.random.source.sink (ff5): seeded high-degree terminal draw
+        val (sources, sinks) = opts.get("random-terminals") match {
+          case Some(n) =>
+            val pool = graph.TerminalSelection.candidatePool(spark, edges,
+              minDegree = opts.get("min-degree").map(_.toLong).getOrElse(3000L))
+            graph.TerminalSelection.pickSourcesAndSinks(pool, n.toInt)
+          case None =>
+            (opts.get("sources").map(ids).getOrElse(dSources),
+              opts.get("sinks").map(ids).getOrElse(dSinks))
+        }
         val conf = MaxFlow.Config(
           excessListMax = opts.get("k").map(_.toInt).getOrElse(32),
           maxPathLength = opts.get("max-path-length").map(_.toInt).getOrElse(30),
-          exactCleanup = !opts.contains("approx")) // mf.approx
+          exactCleanup = !opts.contains("approx"), // mf.approx
+          useSinkExcess = !opts.contains("no-sink-excess")) // mf.sink.excess
         val r =
           if (opts.get("engine").contains("schimmy"))
             MaxFlowSchimmy.run(spark, edges, sources, sinks, conf)

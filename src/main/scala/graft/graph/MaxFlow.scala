@@ -71,6 +71,12 @@ object MaxFlow {
         * and at convergence, and `MaxFlow.resume` can continue from it. */
       stateDir: Option[String] = None,
       checkpointEvery: Int = 10,
+      /** mf.sink.excess (ff1/FordFulkerson.java:29, default true): when
+        * false the search is source-only — T-side paths are never
+        * extended, and S paths complete by reaching the supersink's
+        * initial empty T excess (exactly the reference's unidirectional
+        * mode). */
+      useSinkExcess: Boolean = true,
       /** Debug invariant layer (SURVEY §5): re-assert the reference's
         * runtime invariants — |flow| within caps (ff2/Edge.java:34),
         * path simplicity/acyclicity (ff1/Excess.java:49-50), hop-count
@@ -220,7 +226,7 @@ object MaxFlow {
         }
       }
     }
-    if (t2.nonEmpty && v.id != GraphModel.SuperSource) {
+    if (conf.useSinkExcess && t2.nonEmpty && v.id != GraphModel.SuperSource) {
       for (a <- adj2) {
         if (a.residualIn > 0 && !ft(a.nbr) && a.nbr != GraphModel.SuperSink) {
           val eligible = t2.filter(p =>
@@ -500,9 +506,14 @@ object MaxFlow {
       // frontier stalled — ff2/FordFulkerson.java:447-451); or early stop
       // once found flow has gone stale. The exactness cleanup guarantees
       // the same final flow under any of the three.
+      // "a frontier stalled" is one-sided in unidirectional mode: the
+      // sink frontier never moves when useSinkExcess=false, so only the
+      // source side counts (else the ff2 rule fires at round 2)
+      val frontierStalled =
+        if (conf.useSinkExcess) ctrs.moveS.value == 0 || ctrs.moveT.value == 0
+        else ctrs.moveS.value == 0
       done = (got == 0 && ctrs.moves == 0) ||
-        (round > 1 && got == 0 && ctrs.loseExcess.value == 0 &&
-          (ctrs.moveS.value == 0 || ctrs.moveT.value == 0)) ||
+        (round > 1 && got == 0 && ctrs.loseExcess.value == 0 && frontierStalled) ||
         (engineFlow > 0 && zeroStreak >= conf.acceptPatience)
       conf.stateDir.foreach { dir =>
         if (done || round % conf.checkpointEvery == 0) {

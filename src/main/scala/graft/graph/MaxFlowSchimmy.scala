@@ -166,9 +166,14 @@ object MaxFlowSchimmy {
       pending = delta
       bc.destroy()
       zeroStreak = if (got == 0) zeroStreak + 1 else 0
+      // "a frontier stalled" is one-sided in unidirectional mode: the
+      // sink frontier never moves when useSinkExcess=false, so only the
+      // source side counts (else the ff2 rule fires at round 2)
+      val frontierStalled =
+        if (conf.useSinkExcess) ctrs.moveS.value == 0 || ctrs.moveT.value == 0
+        else ctrs.moveS.value == 0
       done = (got == 0 && ctrs.moves == 0) ||
-        (round > 1 && got == 0 && ctrs.loseExcess.value == 0 &&
-          (ctrs.moveS.value == 0 || ctrs.moveT.value == 0)) ||
+        (round > 1 && got == 0 && ctrs.loseExcess.value == 0 && frontierStalled) ||
         (engineFlow > 0 && zeroStreak >= conf.acceptPatience)
     }
 

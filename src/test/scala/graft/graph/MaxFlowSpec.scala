@@ -144,6 +144,18 @@ class MaxFlowSpec extends AnyFunSuite {
     }
   }
 
+  test("source-only search (mf.sink.excess=false, ff1/FordFulkerson.java:29) stays exact") {
+    val (edges, sources, sinks) = GraphSources.readDimacs(spark, fixture("clrs.dimacs"))
+    val r = MaxFlow.run(spark, edges, sources, sinks,
+      MaxFlow.Config(useSinkExcess = false))
+    assert(r.flow == 23L, s"got $r")
+    // unidirectional: the sink side never extends, so SINK_MOVE stays 0
+    // after round 1 fans out from the supersink's initial empty excess
+    assert(r.rounds_report.forall(_.extendT == 0))
+    // the engine still finds flow (S paths completing at the supersink)
+    assert(r.rounds_report.map(_.acceptedFlow).sum == r.engineFlow)
+  }
+
   test("path concat splices cycles (ff1/Excess.java:48-68)") {
     // S: 1→3→4, T: 4→3→5→2 — shared node 3 must splice to 1→3→5→2
     val sp = PathState(Array(1L, 3L, 4L), Array(0L, 0L), Array(5L, 5L))
