@@ -21,11 +21,11 @@ object SparkEntry {
     relational.Relational.queries ++ graph.GraphQueries.queries ++
       ops.TextAnalysis.queries ++ ops.Dedup.queries ++
       ops.Similarity.queries ++ ops.Sessionize.queries ++
-      ops.Multimodal.queries ++ ops.AsOf.queries
+      ops.Multimodal.queries ++ ops.AsOf.queries ++ ops.Pipeline.queries
 
   def oracleSql: Map[String, String] =
     relational.Relational.oracleSql ++ graph.GraphQueries.oracleSql ++
       ops.TextAnalysis.oracleSql ++ ops.Dedup.oracleSql ++
       ops.Similarity.oracleSql ++ ops.Sessionize.oracleSql ++
-      ops.Multimodal.oracleSql ++ ops.AsOf.oracleSql
+      ops.Multimodal.oracleSql ++ ops.AsOf.oracleSql ++ ops.Pipeline.oracleSql
 }

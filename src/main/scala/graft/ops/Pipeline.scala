@@ -1,0 +1,173 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pipeline assembly operators — the steps that turn the primitive ops
+  * (dedup pairs, token counts) into an actionable training-data pipeline:
+  * near-dup CLUSTER RESOLUTION (pairs → transitive components → one
+  * canonical survivor), context-window CHUNKING, PII REDACTION, and a
+  * deterministic stratified TRAIN/VAL/TEST SPLIT.
+  *
+  * Scale design (100 TB): resolution rides the banded-LSH pair relation
+  * (bucket-bounded, never all-pairs) plus label-propagation components
+  * (one join + one agg per round, rounds ≤ cluster diameter — near-dup
+  * clusters are shallow); chunking/redaction/split are narrow single-pass
+  * transforms with only presentation ORDER BYs. All arithmetic and hash
+  * families are engine-exact (md5 digests, integer division), so the
+  * DuckDB oracle compare is hash-exact.
+  */
+object Pipeline {
+
+  /** Near-dup cluster resolution: the transitive closure of the 64-bit
+    * banded SimHash pair relation (Hamming ≤ 3, see Dedup.ddSimhashPairs),
+    * with each document mapped to the minimum doc_id of its cluster — the
+    * keep-first rule applied across CHAINS of near-duplicates (a≈b, b≈c ⇒
+    * a,b,c share one canonical id even when a,c are not within radius).
+    */
+  def ddResolve(s: SparkSession, dir: String): DataFrame = {
+    // checkpoint before self-union: Spark's InlineCTE x DeduplicateRelations
+    // throws on a self-union of a CTE-bearing plan, and the pair relation
+    // is reused by both direction branches anyway
+    val pairs = Dedup.ddSimhashPairs(s, dir).localCheckpoint(eager = true)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    graft.graph.ConnectedComponents.run(s, edges, maxIter = 20)
+      .withColumnRenamed("node", "doc_id")
+      .withColumnRenamed("comp", "canon_id")
+      .orderBy("doc_id")
+  }
+
+  /** Context-window chunking: fixed 32-token windows with stride 24
+    * (8-token overlap). Chunk count = 1 + ceil((len-32)/24) for len > 32,
+    * computed with the integer identity ceil((len-32)/24) = (len-9) div 24
+    * so both engines agree exactly.
+    */
+  def taChunk(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "documents").createOrReplaceTempView("__docs")
+    s.sql(
+      """WITH tok AS (SELECT doc_id, split(text, ' ') AS toks FROM __docs),
+        |chunks AS (
+        |  SELECT doc_id, ck,
+        |         slice(toks, 1 + ck * 24, 32) AS ctoks
+        |  FROM tok LATERAL VIEW explode(sequence(0,
+        |    CASE WHEN size(toks) > 32 THEN (size(toks) - 9) div 24
+        |         ELSE 0 END)) AS ck)
+        |SELECT doc_id, CAST(ck AS BIGINT) AS chunk_id,
+        |       size(ctoks) AS n_tokens,
+        |       array_join(ctoks, ' ') AS chunk_text
+        |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin)
+  }
+
+  /** PII redaction: global regex replacement of emails and phone numbers.
+    * The synthetic corpus has no PII, so every third document gets a
+    * deterministic fake contact line appended before redaction — the op
+    * is exercised non-vacuously and the redacted output plus match counts
+    * are oracle-checked.
+    */
+  def taRedact(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "documents").createOrReplaceTempView("__docs")
+    s.sql(
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 3 = 0
+        |              THEN concat(text, ' contact user', CAST(doc_id AS STRING),
+        |                          '@example.com or +1-555-',
+        |                          substring(CAST(1000 + doc_id % 9000 AS STRING), 1, 4))
+        |              ELSE text END AS text
+        |  FROM __docs)
+        |SELECT doc_id,
+        |       size(regexp_extract_all(text, '[a-z0-9]+@[a-z]+\\.[a-z]+', 0)) AS n_emails,
+        |       size(regexp_extract_all(text, '\\+1-555-[0-9]{4}', 0)) AS n_phones,
+        |       regexp_replace(regexp_replace(text,
+        |         '[a-z0-9]+@[a-z]+\\.[a-z]+', '<EMAIL>'),
+        |         '\\+1-555-[0-9]{4}', '<PHONE>') AS redacted
+        |FROM aug ORDER BY doc_id""".stripMargin)
+  }
+
+  /** Deterministic stratified train/val/test split: the first hex digit of
+    * md5('split:'||doc_id) buckets 75/12.5/12.5 — reproducible across
+    * engines and runs, independent of row order, stratified implicitly by
+    * being uniform within every (lang, source) stratum.
+    */
+  def dsSplit(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "documents").createOrReplaceTempView("__docs")
+    s.sql(
+      """SELECT doc_id, lang, source,
+        |       CASE WHEN d < 12 THEN 'train' WHEN d < 14 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id, lang, source,
+        |         instr('0123456789abcdef',
+        |           substring(md5(concat('split:', CAST(doc_id AS STRING))), 1, 1))
+        |           - 1 AS d
+        |  FROM __docs)
+        |ORDER BY doc_id""".stripMargin)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_resolve" -> (ddResolve _),
+    "ta_chunk" -> (taChunk _),
+    "ta_redact" -> (taRedact _),
+    "ds_split" -> (dsSplit _))
+
+  /** dd_resolve oracle: the full simhash-pair SQL (nested as a CTE
+    * subquery) + recursive min-label transitive closure.
+    */
+  private def ddResolveOracle: String = {
+    val pairsSql = Dedup.oracleSql("dd_simhash_pairs")
+      .replace("ORDER BY doc_a, doc_b", "")
+    s"""WITH RECURSIVE pairs AS ($pairsSql),
+       |e0 AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |       UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM e0)
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN e0 e ON e.u = r.v)
+       |SELECT u AS doc_id, MIN(v) AS canon_id FROM reach GROUP BY u
+       |ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "dd_resolve" -> ddResolveOracle,
+    "ta_chunk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |cks AS (
+        |  SELECT doc_id, toks,
+        |         unnest(generate_series(0,
+        |           CASE WHEN len(toks) > 32 THEN (len(toks) - 9) // 24
+        |                ELSE 0 END)) AS ck
+        |  FROM tok)
+        |SELECT doc_id, ck AS chunk_id,
+        |       len(toks[1 + ck * 24 : ck * 24 + 32]) AS n_tokens,
+        |       array_to_string(toks[1 + ck * 24 : ck * 24 + 32], ' ') AS chunk_text
+        |FROM cks ORDER BY doc_id, chunk_id""".stripMargin.replaceAll("\n", " "),
+    "ta_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 3 = 0
+        |              THEN text || ' contact user' || doc_id::VARCHAR ||
+        |                   '@example.com or +1-555-' ||
+        |                   substr((1000 + doc_id % 9000)::VARCHAR, 1, 4)
+        |              ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |       len(regexp_extract_all(text, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS n_emails,
+        |       len(regexp_extract_all(text, '\+1-555-[0-9]{4}')) AS n_phones,
+        |       regexp_replace(regexp_replace(text,
+        |         '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+        |         '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        |FROM aug ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "ds_split" ->
+      """SELECT doc_id, lang, source,
+        |       CASE WHEN d < 12 THEN 'train' WHEN d < 14 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id, lang, source,
+        |         strpos('0123456789abcdef',
+        |           substr(md5('split:' || doc_id::VARCHAR), 1, 1)) - 1 AS d
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin.replaceAll("\n", " "))
+}
