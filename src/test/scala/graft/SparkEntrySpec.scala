@@ -16,7 +16,8 @@ class SparkEntrySpec extends AnyFunSuite {
     val all = Seq(
       relational.Relational.queries, graph.GraphQueries.queries,
       ops.TextAnalysis.queries, ops.Dedup.queries, ops.Similarity.queries,
-      ops.Sessionize.queries, ops.Multimodal.queries, ops.AsOf.queries)
+      ops.Sessionize.queries, ops.Multimodal.queries, ops.AsOf.queries,
+      ops.Pipeline.queries)
     val names = all.flatMap(_.keys)
     assert(names.distinct.size == names.size,
       s"duplicates: ${names.groupBy(identity).filter(_._2.size > 1).keys}")
