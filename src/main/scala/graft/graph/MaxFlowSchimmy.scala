@@ -54,20 +54,32 @@ object MaxFlowSchimmy {
     val nEdges = edges.count()
     val loopParts = math.max(2L, math.min(prevParts.toLong, nEdges / 20000 + 1))
     spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-    try runLoop(spark, edges, sources, sinks, conf, loopParts.toInt)
+    try runLoop(spark,
+      GraphBuilder.buildState(spark, edges, sources, sinks), conf,
+      loopParts.toInt)
     finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
-  private def runLoop(spark: SparkSession, edges: DataFrame, sources: Seq[Long],
-                      sinks: Seq[Long], conf: MaxFlow.Config,
-                      nParts: Int): MaxFlow.Result = {
+  /** Continue from durable round state written via Config.stateDir — the
+    * reference's restart-from-round-<i> capability (S7), engine-parity
+    * with [[MaxFlow.resume]].
+    */
+  def resume(spark: SparkSession, stateDir: String,
+             conf: MaxFlow.Config = MaxFlow.Config()): MaxFlow.Result = {
+    val st = graft.sources.StateIO.readState(spark, stateDir)
+    runLoop(spark, st, conf,
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+  }
+
+  private def runLoop(spark: SparkSession, initial: Dataset[VertexState],
+                      conf: MaxFlow.Config, nParts: Int): MaxFlow.Result = {
     import spark.implicits._
     val sc = spark.sparkContext
     val part = new HashPartitioner(nParts)
 
     // master layout: partitioned ONCE by vertex id; localCheckpoint keeps
     // the partitioner AND truncates lineage, so the layout is permanent
-    var state = GraphBuilder.buildState(spark, edges, sources, sinks)
+    var state = initial
       .rdd.map(v => (v.id, v))
       .partitionBy(part)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -175,6 +187,16 @@ object MaxFlowSchimmy {
       done = (got == 0 && ctrs.moves == 0) ||
         (round > 1 && got == 0 && ctrs.loseExcess.value == 0 && frontierStalled) ||
         (engineFlow > 0 && zeroStreak >= conf.acceptPatience)
+      conf.stateDir.foreach { dir =>
+        if (done || round % conf.checkpointEvery == 0) {
+          // persist the FLUSHED view so resume starts with no pending delta
+          val bcF = sc.broadcast(pending)
+          graft.sources.StateIO.writeState(
+            spark.createDataset(state.values)
+              .map(MaxFlow.applyDeltaOnly(_, bcF.value)), dir)
+          bcF.destroy()
+        }
+      }
     }
 
     // flush pending deltas, then exactness cleanup — identical to v1

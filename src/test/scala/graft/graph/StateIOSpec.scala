@@ -63,6 +63,18 @@ class StateIOSpec extends AnyFunSuite {
       s"first=${first.flow} rest=${rest.flow}")
   }
 
+  test("schimmy round-state checkpoint + resume reaches the exact flow (S7 parity)") {
+    val (edges, sources, sinks) = GraphSources.readDimacs(spark, fixture("clrs.dimacs"))
+    val dir = java.nio.file.Files.createTempDirectory("resume-v2").toString + "/rounds"
+    val first = MaxFlowSchimmy.run(spark, edges, sources, sinks,
+      MaxFlow.Config(maxRounds = 2, exactCleanup = false,
+        stateDir = Some(dir), checkpointEvery = 1))
+    assert(first.flow < 23L)
+    val rest = MaxFlowSchimmy.resume(spark, dir)
+    assert(first.flow + rest.flow == 23L,
+      s"first=${first.flow} rest=${rest.flow}")
+  }
+
   test("random-K truncation (A6) stays exact (oracle equality)") {
     val edges = EdmondsKarp.randomGraph(n = 10, edgeProb = 0.3, maxCap = 8, seed = 5)
     val ids = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
