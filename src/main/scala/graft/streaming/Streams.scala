@@ -44,4 +44,17 @@ object Streams {
       .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
       .select(col("window.start").as("w_start"), col("event_type"),
         col("cnt"), col("sum_value"))
+
+  /** Streaming exact dedup on event_id — the streaming counterpart of
+    * ops.Dedup.ddExact: `dropDuplicatesWithinWatermark` keys the state
+    * store on event_id and evicts entries once the watermark passes their
+    * event time (bounded state — a plain dropDuplicates on a stream would
+    * grow its key set forever; the 1-hour delay tolerates that much
+    * duplicate lateness). Batch mode degrades to ordinary dropDuplicates
+    * semantics on the same key.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
 }

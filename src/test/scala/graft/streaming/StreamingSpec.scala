@@ -148,6 +148,25 @@ class StreamingSpec extends AnyFunSuite {
       List((7L, 3L, 250L)) && st3.isRemoved)
   }
 
+  test("streaming exact dedup drops replayed event_ids (bounded state)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = Streams.dedupStream(stream.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    val t0 = Timestamp.valueOf("2024-06-01 10:00:00")
+    stream.addData(Ev(1L, t0, 1L, "click", 1.0), Ev(2L, t0, 2L, "view", 2.0))
+    q.processAllAvailable()
+    // replay event 1 (same id, same batch-window) plus a genuine new event
+    stream.addData(Ev(1L, t0, 1L, "click", 1.0),
+      Ev(3L, Timestamp.valueOf("2024-06-01 10:05:00"), 3L, "click", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_out").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
+  }
+
   test("tumbling window streaming == batch") {
     val got = runStreaming(Streams.tumblingAgg, "tumb_out", col("event_type") =!= "x")
       .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
