@@ -46,6 +46,19 @@ class PlanSpec extends AnyFunSuite {
       s"rank-limit pushdown lost:\n$plan")
   }
 
+  test("pipeline ops prune the documents scan to the touched columns") {
+    // chunking touches doc_id+text only; the split touches metadata only —
+    // neither may drag the other's columns (or n_chars) through the scan
+    val chunkScan = graft.ops.Pipeline.taChunk(spark, sf).queryExecution
+      .executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    assert(chunkScan.contains("text") && !chunkScan.contains("n_chars") &&
+      !chunkScan.contains("lang"), s"ta_chunk scan not pruned:\n$chunkScan")
+    val splitScan = graft.ops.Pipeline.dsSplit(spark, sf).queryExecution
+      .executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    assert(splitScan.contains("lang") && !splitScan.contains("text"),
+      s"ds_split scan not pruned:\n$splitScan")
+  }
+
   test("bucketed fact-fact join runs with zero exchanges (S5 for relational workloads)") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
