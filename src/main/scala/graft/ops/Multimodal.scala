@@ -141,10 +141,61 @@ object Multimodal {
       .toDF().select("media_id", "width", "height")
       .orderBy("media_id")
 
+  /** 64-bit perceptual hash (dHash family) over the decoded payload: 65
+    * evenly-spaced byte samples, bit i = sample(i) < sample(i+1). A local
+    * pixel/byte mutation moves at most the few bits whose sample positions
+    * hit it, so near-identical media land within a small Hamming radius —
+    * the modality-agnostic analogue of the text SimHash. Computed in the
+    * typed partition pass (where a real image dHash would run on decoded
+    * grayscale), mirrored bit-for-bit by the SQL oracle.
+    */
+  private[ops] def phash64(b: Array[Byte]): Long = {
+    val n = b.length
+    var h = 0L
+    var i = 0
+    while (i < 64) {
+      val p = (i.toLong * (n - 1) / 64).toInt
+      val q = ((i + 1).toLong * (n - 1) / 64).toInt
+      if ((b(p) & 0xff) < (b(q) & 0xff)) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
+  /** Media perceptual near-dup pairs: corpus ∪ single-byte-mutated twins
+    * (media_id+100000, payload byte n/2 flipped to 'x' — same length, so
+    * the sample grid is unchanged and the twin stays within Hamming ≤ 2),
+    * then the SAME banded Hamming-LSH the text dedup uses (4×16-bit bands,
+    * pigeonhole-exact for radius 3). Image dedup at 100 TB is exactly this
+    * pipeline with a real dHash kernel in the decode pass.
+    */
+  def mmPhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sig = mediaFromDocs(s, dir).flatMap { r =>
+      val twin = r.payload.clone()
+      twin(twin.length / 2) = 'x'.toByte
+      Seq((r.media_id, phash64(r.payload)),
+        (r.media_id + 100000L, phash64(twin)))
+    }.toDF("media_id", "phash")
+    sig.createOrReplaceTempView("__phash")
+    s.sql(
+      """WITH band AS (
+        |  SELECT media_id, phash, bno,
+        |         shiftright(phash, 16 * bno) & 65535 AS bk
+        |  FROM __phash LATERAL VIEW explode(sequence(0, 3)) AS bno)
+        |SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+        |       CAST(bit_count(a.phash ^ b.phash) AS BIGINT) AS hamming
+        |FROM band a JOIN band b
+        |  ON a.bno = b.bno AND a.bk = b.bk AND a.media_id < b.media_id
+        |WHERE bit_count(a.phash ^ b.phash) <= 3
+        |ORDER BY media_a, media_b""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode" -> (mmDecode _),
     "mm_frames" -> (mmFrames _),
-    "mm_resize" -> (mmResize _))
+    "mm_resize" -> (mmResize _),
+    "mm_phash_pairs" -> (mmPhashPairs _))
 
   val oracleSql: Map[String, String] = Map(
     "mm_decode" ->
@@ -183,5 +234,36 @@ object Multimodal {
         |        ELSE w * 128 // greatest(w, h) END)::INT AS width,
         |  (CASE WHEN greatest(w, h) <= 128 THEN h
         |        ELSE h * 128 // greatest(w, h) END)::INT AS height
-        |FROM dec ORDER BY media_id""".stripMargin.replaceAll("\n", " "))
+        |FROM dec ORDER BY media_id""".stripMargin.replaceAll("\n", " "),
+    "mm_phash_pairs" ->
+      // text is ASCII, so ascii(substr(..)) == the payload byte the typed
+      // pass samples; bit 63 uses the same min-long literal as the simhash
+      // oracle (1<<63 overflows DuckDB's signed shift)
+      """WITH corpus AS (
+        |  SELECT doc_id AS media_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |         substr(text, 1, len(text) // 2) || 'x' ||
+        |         substr(text, len(text) // 2 + 2)
+        |  FROM documents),
+        |sig AS (
+        |  SELECT media_id,
+        |         list_sum([CASE WHEN
+        |             ascii(substr(text, 1 + (i * (len(text) - 1)) // 64, 1))
+        |           < ascii(substr(text, 1 + ((i + 1) * (len(text) - 1)) // 64, 1))
+        |           THEN CASE WHEN i = 63 THEN (-9223372036854775807 - 1)
+        |                ELSE (1::BIGINT << i) END
+        |           ELSE 0 END
+        |           FOR i IN generate_series(0, 63)])::BIGINT AS phash
+        |  FROM corpus),
+        |band AS (
+        |  SELECT media_id, phash, g.bno,
+        |         (phash >> (16 * bno)) & 65535 AS bk
+        |  FROM sig CROSS JOIN generate_series(0, 3) g(bno))
+        |SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+        |       bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
+        |FROM band a JOIN band b
+        |  ON a.bno = b.bno AND a.bk = b.bk AND a.media_id < b.media_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        |ORDER BY media_a, media_b""".stripMargin.replaceAll("\n", " "))
 }

@@ -37,4 +37,24 @@ class MultimodalSpec extends AnyFunSuite {
     val out = Multimodal.decodeAll(media, constDecoder).collect()
     assert(out.forall(d => d.width == 1 && d.feature_hash == "p"))
   }
+
+  test("phash near-dup: every planted twin is found, banded == brute force") {
+    val sf = "/root/testdata/sf0.001"
+    val pairs = Multimodal.mmPhashPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = graft.Tables.load(spark, sf, "documents").count()
+    // a single-byte mutation moves at most the 2 sampled bits that touch
+    // it, so every (id, id+100000) twin must appear within Hamming <= 2
+    val twinPairs = pairs.filter { case (a, b, _) => b == a + 100000L }
+    assert(twinPairs.length == nDocs, s"${twinPairs.length} of $nDocs twins found")
+    assert(twinPairs.forall(_._3 <= 2))
+    // the banded index is exact w.r.t. brute-force Hamming <= 3 (pigeonhole)
+    val sig = spark.table("__phash").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (a, ha) <- sig; (b, hb) <- sig if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d.toLong)).sortBy(p => (p._1, p._2))
+    assert(pairs.toSeq == brute.toSeq)
+  }
 }
