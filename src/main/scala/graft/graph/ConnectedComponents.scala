@@ -27,6 +27,19 @@ object ConnectedComponents {
     *         component
     */
   def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    // size the loop's exchanges to the graph (the MaxFlow discipline): a
+    // few-hundred-edge near-dup cluster graph shouldn't pay 32-partition
+    // fixed costs on every propagation round
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val nEdges = edges.count()
+    val loopParts = math.max(2L, math.min(prevParts.toLong, nEdges / 20000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    try runLoop(spark, edges, maxIter)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def runLoop(spark: SparkSession, edges: DataFrame,
+                      maxIter: Int): DataFrame = {
     val adj = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
