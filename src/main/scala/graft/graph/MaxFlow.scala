@@ -251,9 +251,9 @@ object MaxFlow {
     * path truncates it there (splicing the loop out), otherwise append.
     */
   private[graph] def concat(sp: PathState, tp: PathState): Option[Candidate] = {
-    val nodes = mutable.ArrayBuffer(sp.nodes: _*)
-    val flows = mutable.ArrayBuffer(sp.flows: _*)
-    val caps = mutable.ArrayBuffer(sp.caps: _*)
+    val nodes = mutable.ArrayBuffer.empty[Long] ++= sp.nodes
+    val flows = mutable.ArrayBuffer.empty[Long] ++= sp.flows
+    val caps = mutable.ArrayBuffer.empty[Long] ++= sp.caps
     var j = 1
     while (j < tp.nodes.length) {
       val n = tp.nodes(j)
