@@ -28,6 +28,17 @@ object Bfs {
     */
   def run(spark: SparkSession, edges: DataFrame, sources: Seq[Long],
           maxDepth: Int = Int.MaxValue): DataFrame = {
+    // size the per-level exchanges to the graph (the MaxFlow discipline)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val nEdges = edges.count()
+    val loopParts = math.max(2L, math.min(prevParts.toLong, nEdges / 20000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    try runLoop(spark, edges, sources, maxDepth)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def runLoop(spark: SparkSession, edges: DataFrame, sources: Seq[Long],
+                      maxDepth: Int): DataFrame = {
     import spark.implicits._
     val adj = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .repartition(col("src"))

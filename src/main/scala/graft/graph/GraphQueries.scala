@@ -195,6 +195,15 @@ object GraphQueries {
     * identical to the oracle's bounded recursion; all arithmetic integer.
     */
   def q26_sssp(s: SparkSession, dir: String): DataFrame = {
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions",
+        math.max(4, prevParts.toInt / 4).toString)
+      q26Loop(s, dir)
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def q26Loop(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{min => fmin}
     val li = Tables.load(s, dir, "lineitem")
     // aggregate ONCE, checkpoint, then derive both directions — the union
