@@ -281,12 +281,33 @@ object Relational {
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
 
+  /** Exact interpolated percentiles (data-statistics op): quarter
+    * percentiles over l_quantity per return flag. l_quantity holds
+    * integral values and the quartile fractions are binary fractions, so
+    * `lower + (higher-lower)·frac` is EXACT double arithmetic — Spark's
+    * percentile and DuckDB's quantile_cont agree bit-for-bit (an
+    * approximate-sketch percentile could only be rows-only checked, like
+    * q20).
+    */
+  def q31_percentiles(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "lineitem").createOrReplaceTempView("__li31")
+    s.sql(
+      """SELECT l_returnflag,
+        |  percentile(l_quantity, 0.25D) AS p25,
+        |  percentile(l_quantity, 0.5D)  AS p50,
+        |  percentile(l_quantity, 0.75D) AS p75,
+        |  CAST(MIN(l_quantity) AS DOUBLE) AS qmin,
+        |  CAST(MAX(l_quantity) AS DOUBLE) AS qmax
+        |FROM __li31 GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_rollup" -> (q17_rollup _),
     "q21_cube" -> (q21_cube _),
     "q18_distinct_agg" -> (q18_distinct_agg _),
     "q19_strings" -> (q19_strings _),
     "q20_approx_distinct" -> (q20_approx_distinct _),
+    "q31_percentiles" -> (q31_percentiles _),
     "q22_salted_agg" -> (q22_salted_agg _),
     "q23_json" -> (q23_json _),
     "q27_datefuncs" -> (q27_datefuncs _),
@@ -309,6 +330,13 @@ object Relational {
     "q15_date_trunc" -> (q15_date_trunc _))
 
   val oracleSql: Map[String, String] = Map(
+    "q31_percentiles" ->
+      ("SELECT l_returnflag, " +
+        "quantile_cont(l_quantity, 0.25) AS p25, " +
+        "quantile_cont(l_quantity, 0.5) AS p50, " +
+        "quantile_cont(l_quantity, 0.75) AS p75, " +
+        "MIN(l_quantity)::DOUBLE AS qmin, MAX(l_quantity)::DOUBLE AS qmax " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q17_rollup" ->
       ("SELECT COALESCE(r_name, 'ALL') AS rn, COALESCE(n_name, 'ALL') AS nn, " +
         "COUNT(*) AS cnt, (GROUPING(r_name) + GROUPING(n_name))::BIGINT AS g " +
