@@ -301,7 +301,22 @@ object Relational {
         |FROM __li31 GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
 
+  /** Fixed-width histogram (data-statistics op): 5000-wide price buckets,
+    * capped at bucket 19. Identical doubles through identical IEEE
+    * division/floor in both engines; the per-bucket money total uses the
+    * decimal-exact sum discipline.
+    */
+  def q32_histogram(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "lineitem").createOrReplaceTempView("__li32")
+    s.sql(
+      """SELECT CAST(LEAST(19, FLOOR(l_extendedprice / 5000.0)) AS BIGINT) AS bucket,
+        |       COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM __li32 GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_histogram" -> (q32_histogram _),
     "q17_rollup" -> (q17_rollup _),
     "q21_cube" -> (q21_cube _),
     "q18_distinct_agg" -> (q18_distinct_agg _),
@@ -330,6 +345,11 @@ object Relational {
     "q15_date_trunc" -> (q15_date_trunc _))
 
   val oracleSql: Map[String, String] = Map(
+    "q32_histogram" ->
+      ("SELECT LEAST(19, FLOOR(l_extendedprice / 5000.0))::BIGINT AS bucket, " +
+        "COUNT(*) AS cnt, " +
+        "(SUM(l_extendedprice::DECIMAL(18,2)))::DOUBLE AS total " +
+        "FROM lineitem GROUP BY 1 ORDER BY 1"),
     "q31_percentiles" ->
       ("SELECT l_returnflag, " +
         "quantile_cont(l_quantity, 0.25) AS p25, " +
