@@ -38,7 +38,15 @@ object Bench {
 
     case class Res(median: Double, runs: Seq[Double], err: Option[String])
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // dev-only: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts to named queries
+    // (the driver never sets it, so the full-protocol contract is intact)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       var err: Option[String] = None
       val runs = (1 to nRuns).flatMap { _ =>
         val t0 = System.nanoTime()

@@ -97,10 +97,17 @@ object Dedup {
         Seq("band", "bh"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val cnt = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // Verification joins on 8-byte xxhash64 shingle keys, not the ~25-byte
+    // shingle strings: the intersection join ships each doc's shingle set
+    // twice, so the narrow key cuts that shuffle ~3×. Counts stay exact —
+    // `tok` is already distinct so row counts are hash-independent, and a
+    // cross-doc key collision needs ~2^32 distinct shingles to matter.
+    // The md5 signature family above is untouched (oracle-shared).
+    val tokh = tok.select(col("doc_id"), xxhash64(col("tok")).as("tk"))
+    val cnt = tokh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
-      .join(tok.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
-      .join(tok.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+      .join(tokh.select(col("doc_id").as("doc_a"), col("tk")), Seq("doc_a"))
+      .join(tokh.select(col("doc_id").as("doc_b"), col("tk")), Seq("doc_b", "tk"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     inter
       .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
