@@ -13,7 +13,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   graft.Main mf  --format dimacs|facebook --input PATH
   *                  [--sources 1,2] [--sinks 3] [--cap 1] [--max-cap N]
   *                  [--k 32] [--max-path-length 30] [--engine v1|schimmy]
-  *                  [--approx] [--no-sink-excess]
+  *                  [--approx] [--no-sink-excess] [--lenient]
   *                  [--random-terminals N [--min-degree 3000]]
   *                  [--flowpaths DIR] [--state DIR]
   *   graft.Main bfs --format dimacs|facebook --input PATH --sources 4
@@ -60,7 +60,10 @@ object Main {
         GraphSources.readDimacs(spark, path)
       case "facebook" =>
         val cap = opts.get("cap").map(_.toLong).getOrElse(1L)
-        var edges = GraphSources.readFacebook(spark, path, cap)
+        // ff5 ingest guards by default; --lenient restores ff1's
+        // silent-drop of reserved ids
+        var edges = GraphSources.readFacebook(spark, path, cap,
+          strict = !opts.contains("lenient"))
         opts.get("max-cap").foreach { mc =>
           edges = GraphSources.withRandomCaps(edges, mc.toLong)
         }
@@ -70,11 +73,19 @@ object Main {
   }
 
   def main(args: Array[String]): Unit = {
+    val spark = session()
+    try run(spark, args)
+    finally spark.stop()
+  }
+
+  /** Full CLI dispatch on a caller-owned session (main() adds the process
+    * lifecycle; tests drive this directly so the shared session survives).
+    */
+  def run(spark: SparkSession, args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: graft.Main <mf|bfs> --input PATH …")
     val prog = args.head
     val opts = parseArgs(args.tail)
-    val spark = session()
-    try prog match {
+    prog match {
       case "mf" =>
         val (edges, dSources, dSinks) = load(spark, opts)
         // mf.random.source.sink (ff5): seeded high-degree terminal draw
@@ -115,6 +126,6 @@ object Main {
         println(s"bfs: reached $n vertices from ${sources.mkString(",")}")
         opts.get("out").foreach(dist.write.mode("overwrite").parquet(_))
       case other => sys.error(s"unknown program $other (mf|bfs)")
-    } finally spark.stop()
+    }
   }
 }

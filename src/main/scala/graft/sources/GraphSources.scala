@@ -32,22 +32,42 @@ object GraphSources {
 
   /** Facebook adjacency-list text (S1, FIXTURES §1):
     * `id \t <ignored> \t nbr1 \t nbr2 …`, optionally gzipped. Drops
-    * self-loops, malformed tokens, reserved ids; undirected edges are
-    * canonicalized (least, greatest) and deduplicated; unit capacity
+    * self-loops and malformed tokens; undirected edges are canonicalized
+    * (least, greatest) and deduplicated; unit capacity
     * (`mf.max.random.capacity=1` default — ff1/FordFulkerson.java:28).
+    *
+    * `strict` (default, ff5 parity — ff5/FordFulkerson.java:75-97): an
+    * adjacency line with >5100 fields or a reserved id 0/1/2 (post-fold,
+    * owner or neighbor) is data corruption and FAILS the job via
+    * `raise_error` inside the scan, exactly where the reference throws;
+    * malformed tokens are still skipped leniently (ff5 echoes and
+    * continues). `strict = false` silently drops reserved ids instead
+    * (ff1's behavior).
     */
-  def readFacebook(spark: SparkSession, path: String, cap: Long = 1L): DataFrame = {
+  def readFacebook(spark: SparkSession, path: String, cap: Long = 1L,
+                   strict: Boolean = true): DataFrame = {
+    // guards ride the value path (a separate assert column would be
+    // pruned away by Catalyst); raise_error's NullType coerces to the
+    // otherwise-branch type
+    def guardLine(f: org.apache.spark.sql.Column) =
+      if (!strict) f
+      else when(size(f) > 5100,
+        raise_error(concat(lit("E = "), size(f).cast("string")))).otherwise(f)
+    def guardId(c: org.apache.spark.sql.Column) =
+      if (!strict) c
+      else when(c.isin(0L, 1L, 2L),
+        raise_error(concat(lit("Reserved ID : "), c.cast("string")))).otherwise(c)
     val lines = spark.read.text(path)
-    val toks = lines.select(split(col("value"), "\t").as("f"))
+    val toks = lines.select(guardLine(split(col("value"), "\t")).as("f"))
       .filter(size(col("f")) >= 3)
     val pairs = toks.select(
         // try_cast: malformed ids become null and are skipped, matching
-        // ff1's lenient parse (ANSI cast would throw)
-        foldCol(expr("try_cast(element_at(f, 1) AS long)")).as("src"),
+        // the reference's lenient neighbor parse (ANSI cast would throw)
+        guardId(foldCol(expr("try_cast(element_at(f, 1) AS long)"))).as("src"),
         explode(expr("slice(f, 3, size(f) - 2)")).as("nbrTok"))
-      .withColumn("dst", foldCol(expr("try_cast(nbrTok AS long)")))
-      // malformed tokens cast to null (ff1 skips them); reserved 0/1/2 and
-      // self-loops dropped (T1/T2)
+      .withColumn("dst", guardId(foldCol(expr("try_cast(nbrTok AS long)"))))
+      // malformed tokens cast to null and are skipped; self-loops dropped
+      // (T1/T2); in lenient mode reserved 0/1/2 are dropped here too
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst") &&
         !col("src").isin(0L, 1L, 2L) && !col("dst").isin(0L, 1L, 2L))

@@ -33,6 +33,70 @@ class GraphSourcesSpec extends AnyFunSuite {
     assert(m((10L, 11L)) == 16L && m((14L, 15L)) == 4L && m.size == 9)
   }
 
+  test("facebook .gz end-to-end through the CLI + ff5 ingest guards") {
+    import java.util.zip.GZIPOutputStream
+    import org.apache.spark.sql.functions.{coalesce, lit, sum}
+    def gz(lines: Seq[String]): String = {
+      val p = java.nio.file.Files.createTempFile("fb", ".txt.gz")
+      val o = new GZIPOutputStream(java.nio.file.Files.newOutputStream(p))
+      o.write(lines.mkString("\n").getBytes("UTF-8")); o.close()
+      p.toString
+    }
+    def allMsgs(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage}\n${allMsgs(t.getCause)}"
+
+    // unit-cap 4-cycle: two vertex-disjoint 10→13 paths ⇒ maxflow 2,
+    // driven through `Main mf --format facebook` on a gzipped fixture and
+    // read back from the --state parquet (locks the CLI path end-to-end
+    // the way the DIMACS path already is)
+    val good = gz(Seq(
+      "10\tx\t11\t12",
+      "11\tx\t10\t13",
+      "12\tx\t10\t13",
+      "13\tx\t11\t12"))
+    val stateDir = java.nio.file.Files.createTempDirectory("mfstate").toString
+    graft.Main.run(spark, Array("mf", "--format", "facebook", "--input", good,
+      "--sources", "10", "--sinks", "13", "--state", stateDir))
+    val st = spark.read.parquet(stateDir)
+    def netAt(id: Long): Long =
+      st.agg(sum(org.apache.spark.sql.functions.when(st("u") === id, st("f"))
+          .otherwise(org.apache.spark.sql.functions.when(st("v") === id, -st("f"))
+            .otherwise(lit(0L))))).head().getLong(0)
+    assert(netAt(graft.graph.GraphModel.SuperSource) == 2L)
+
+    // >5100-field line is rejected loudly (ff5/FordFulkerson.java:91) —
+    // 5099 neighbors + id + ignored col = 5101 fields, one over the limit
+    val wide = gz(Seq(("10" +: "x" +: (11L to 5109L).map(_.toString)).mkString("\t")))
+    val eWide = intercept[Exception] {
+      GraphSources.readFacebook(spark, wide).collect()
+    }
+    assert(allMsgs(eWide).contains("E = 5101"), allMsgs(eWide))
+    // exactly 5100 fields (5098 neighbors) passes the guard
+    val atCap = gz(Seq(("10" +: "x" +: (11L to 5108L).map(_.toString)).mkString("\t")))
+    assert(GraphSources.readFacebook(spark, atCap).count() == 2L * 5098)
+
+    // reserved NEIGHBOR id fails through the CLI path (strict default)
+    val badNbr = gz(Seq("10\tx\t2\t11"))
+    val eNbr = intercept[Exception] {
+      graft.Main.run(spark, Array("mf", "--format", "facebook", "--input", badNbr,
+        "--sources", "10", "--sinks", "11"))
+    }
+    assert(allMsgs(eNbr).contains("Reserved ID : 2"), allMsgs(eNbr))
+
+    // reserved OWNER id — via the id fold (10^14 folds to 0), locking the
+    // fold→guard order (ff5 check() folds before rejecting)
+    val badOwner = gz(Seq("100000000000000\tx\t11"))
+    val eOwn = intercept[Exception] {
+      GraphSources.readFacebook(spark, badOwner).collect()
+    }
+    assert(allMsgs(eOwn).contains("Reserved ID : 0"), allMsgs(eOwn))
+
+    // --lenient / strict=false restores ff1's silent drop of reserved ids
+    val dropped = GraphSources.readFacebook(spark, badNbr, strict = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dropped == Set((10L, 11L), (11L, 10L)))
+  }
+
   test("dimacs reader: parallel arcs are capacity-summed (ff1/InputDimacs.java:36-39)") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempFile("par", ".dimacs")
