@@ -106,8 +106,55 @@ object Pipeline {
         |ORDER BY doc_id""".stripMargin)
   }
 
+  /** Benchmark decontamination (the training-data step that removes eval
+    * leakage): flag every training document sharing at least one 13-token
+    * gram with the synthetic eval set. The corpus has no natural
+    * contamination, so — mirroring the planted-twin discipline of the
+    * dedup queries — the eval set is CARVED FROM the corpus itself:
+    * documents with doc_id % 11 = 0 contribute tokens 6..26 as a 21-token
+    * eval snippet, so those documents (and their 80%-prefix twins, when
+    * long enough) are contaminated by construction and everything else is
+    * clean. Returns (doc_id, n_eval_hits) for contaminated docs only.
+    *
+    * Scale design: grams join on their md5 (32-byte fixed key, shared
+    * hash family with the oracle) — an equality join bounded by gram
+    * frequency, never a cross product; distinct-per-doc grams first, so a
+    * doc repeating a leaked gram counts each eval snippet once.
+    */
+  def ddDecontam(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "documents").createOrReplaceTempView("__docs")
+    s.sql(
+      """WITH corpus AS (
+        |  SELECT doc_id, split(text, ' ') AS toks FROM __docs
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |         slice(toks, 1, (size(toks) * 4) div 5) AS toks
+        |  FROM (SELECT doc_id, split(text, ' ') AS toks FROM __docs)),
+        |eval AS (
+        |  SELECT doc_id AS eval_id, slice(split(text, ' '), 6, 21) AS toks
+        |  FROM __docs WHERE doc_id % 11 = 0),
+        |egrams AS (
+        |  SELECT DISTINCT eval_id, md5(g) AS g FROM (
+        |    SELECT eval_id, explode(CASE WHEN size(toks) >= 13
+        |      THEN transform(sequence(1, size(toks) - 12),
+        |             i -> array_join(slice(toks, i, 13), ' '))
+        |      ELSE array() END) AS g
+        |    FROM eval)),
+        |tgrams AS (
+        |  SELECT DISTINCT doc_id, md5(g) AS g FROM (
+        |    SELECT doc_id, explode(CASE WHEN size(toks) >= 13
+        |      THEN transform(sequence(1, size(toks) - 12),
+        |             i -> array_join(slice(toks, i, 13), ' '))
+        |      ELSE array() END) AS g
+        |    FROM corpus))
+        |SELECT t.doc_id, COUNT(DISTINCT e.eval_id) AS n_eval_hits
+        |FROM tgrams t JOIN egrams e ON t.g = e.g
+        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_resolve" -> (ddResolve _),
+    "dd_decontam" -> (ddDecontam _),
     "ta_chunk" -> (taChunk _),
     "ta_redact" -> (taRedact _),
     "ds_split" -> (dsSplit _))
@@ -131,6 +178,32 @@ object Pipeline {
 
   val oracleSql: Map[String, String] = Map(
     "dd_resolve" -> ddResolveOracle,
+    "dd_decontam" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, toks[1:(len(toks) * 4) // 5] AS toks
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |eval AS (
+        |  SELECT doc_id AS eval_id, string_split(text, ' ')[6:26] AS toks
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |egrams AS (
+        |  SELECT DISTINCT eval_id, md5(g) AS g FROM (
+        |    SELECT eval_id, unnest(CASE WHEN len(toks) >= 13
+        |      THEN [array_to_string(toks[i:i+12], ' ')
+        |            FOR i IN generate_series(1, len(toks) - 12)]
+        |      ELSE [] END) AS g
+        |    FROM eval)),
+        |tgrams AS (
+        |  SELECT DISTINCT doc_id, md5(g) AS g FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(toks) >= 13
+        |      THEN [array_to_string(toks[i:i+12], ' ')
+        |            FOR i IN generate_series(1, len(toks) - 12)]
+        |      ELSE [] END) AS g
+        |    FROM corpus))
+        |SELECT t.doc_id, COUNT(DISTINCT e.eval_id) AS n_eval_hits
+        |FROM tgrams t JOIN egrams e ON t.g = e.g
+        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "ta_chunk" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -86,11 +86,34 @@ object TextAnalysis {
          |  0L, (acc, x) -> acc + x) % 1000000007 AS fp""".stripMargin)
       .orderBy("doc_id")
 
+  /** Document-frequency vocabulary stats: for every token appearing in at
+    * least 10 % of documents, its document frequency and total term
+    * frequency. The threshold is RELATIVE (df*10 >= corpus size) so the
+    * result is scale-invariant: stopword-tier tokens qualify at any SF and
+    * the output stays vocabulary-sized, never corpus-sized.
+    *
+    * Scale design: explode → two-level aggregate. `COUNT(DISTINCT doc_id)`
+    * over an exploded corpus is the canonical partial-agg shuffle (Spark
+    * plans it as two exchanges on token — no row ever carries more than
+    * (token, doc_id)); the corpus-size scalar subquery is one count job
+    * broadcast into the HAVING. Integer-exact throughout.
+    */
+  def taDf(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "documents").createOrReplaceTempView("__ta_docs")
+    s.sql(
+      s"""WITH tok AS (SELECT doc_id, explode($toks) AS token FROM __ta_docs)
+         |SELECT token, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf
+         |FROM tok GROUP BY token
+         |HAVING COUNT(DISTINCT doc_id) * 10 >= (SELECT COUNT(*) FROM __ta_docs)
+         |ORDER BY token""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_tokens" -> (taTokens _),
     "ta_quality" -> (taQuality _),
     "ta_langid" -> (taLangid _),
-    "ta_fingerprint" -> (taFingerprint _))
+    "ta_fingerprint" -> (taFingerprint _),
+    "ta_df" -> (taDf _))
 
   private val sqlToks = "string_split(text, ' ')"
 
@@ -117,6 +140,12 @@ object TextAnalysis {
         s"len(list_filter($sqlToks, t -> t = 'le' OR t = 'les' OR t = 'et')) AS sc_fr, " +
         s"len(list_filter($sqlToks, t -> t = 'el' OR t = 'los' OR t = 'y')) AS sc_es " +
         "FROM documents) ORDER BY doc_id"),
+    "ta_df" ->
+      (s"WITH tok AS (SELECT doc_id, unnest($sqlToks) AS token FROM documents) " +
+        "SELECT token, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf " +
+        "FROM tok GROUP BY token " +
+        "HAVING COUNT(DISTINCT doc_id) * 10 >= (SELECT COUNT(*) FROM documents) " +
+        "ORDER BY token"),
     "ta_fingerprint" ->
       ("SELECT doc_id, (COALESCE(list_sum(" +
         "[(ascii(t[i])::BIGINT * 131 + length(t[i])) * ((i::BIGINT * 2654435761) % 1000003) " +

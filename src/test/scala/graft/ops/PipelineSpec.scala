@@ -60,6 +60,52 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("dd_decontam: matches an in-memory 13-gram overlap oracle") {
+    // recompute the whole construction in memory (500 docs at sf0.001):
+    // corpus = docs + 80%-prefix twins, eval = tokens 6..26 of docs with
+    // doc_id % 11 = 0, contamination = shared distinct 13-token gram
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    def grams(toks: Array[String]): Set[String] =
+      if (toks.length < 13) Set.empty
+      else (0 to toks.length - 13).map(i => toks.slice(i, i + 13).mkString(" ")).toSet
+    val corpus = docs.map { case (id, t) => id -> grams(t) } ++
+      docs.map { case (id, t) => (id + 100000L) -> grams(t.take(t.length * 4 / 5)) }
+    val eval = docs.collect { case (id, t) if id % 11 == 0 =>
+      id -> grams(t.slice(5, 26)) }
+    val expected = corpus.flatMap { case (id, gs) =>
+      val hits = eval.count { case (_, egs) => gs.exists(egs) }
+      if (hits > 0) Some(id -> hits.toLong) else None
+    }.sortBy(_._1)
+    val got = Pipeline.ddDecontam(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty)
+    assert(got.toSeq == expected.toSeq)
+    // recall by construction: every eval doc long enough to emit a gram
+    // is contaminated by its own corpus copy
+    val flagged = got.map(_._1).toSet
+    eval.filter(_._2.nonEmpty).foreach { case (id, _) =>
+      assert(flagged(id), s"eval doc $id not flagged") }
+  }
+
+  test("ta_df: matches an in-memory document-frequency oracle") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    val n = docs.length
+    val df = docs.flatMap { case (_, t) => t.distinct }.groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    val tf = docs.flatMap(_._2).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    val expected = df.collect { case (tok, d) if d * 10 >= n => (tok, d, tf(tok)) }
+      .toSeq.sortBy(_._1)
+    val got = TextAnalysis.taDf(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty) // stopword-tier tokens must qualify at any SF
+    assert(got == expected)
+  }
+
   test("ds_split: deterministic, total, and near the 75/12.5/12.5 design") {
     val a = Pipeline.dsSplit(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(3)))
