@@ -116,10 +116,13 @@ object Pipeline {
     * long enough) are contaminated by construction and everything else is
     * clean. Returns (doc_id, n_eval_hits) for contaminated docs only.
     *
-    * Scale design: grams join on their md5 (32-byte fixed key, shared
-    * hash family with the oracle) — an equality join bounded by gram
-    * frequency, never a cross product; distinct-per-doc grams first, so a
-    * doc repeating a leaked gram counts each eval snippet once.
+    * Scale design: grams join on 8-byte xxhash64 keys (same discipline as
+    * dd_minhash_lsh's verification join — the oracle hashes with md5
+    * instead, which is fine because the RESULT is hash-family-independent:
+    * distinct-per-doc grams first, so any injective-enough key yields the
+    * same distinct-eval-hit counts) — an equality join bounded by gram
+    * frequency, never a cross product. A doc repeating a leaked gram
+    * counts each eval snippet once.
     */
   def ddDecontam(s: SparkSession, dir: String): DataFrame = {
     Tables.load(s, dir, "documents").createOrReplaceTempView("__docs")
@@ -134,14 +137,14 @@ object Pipeline {
         |  SELECT doc_id AS eval_id, slice(split(text, ' '), 6, 21) AS toks
         |  FROM __docs WHERE doc_id % 11 = 0),
         |egrams AS (
-        |  SELECT DISTINCT eval_id, md5(g) AS g FROM (
+        |  SELECT DISTINCT eval_id, xxhash64(g) AS g FROM (
         |    SELECT eval_id, explode(CASE WHEN size(toks) >= 13
         |      THEN transform(sequence(1, size(toks) - 12),
         |             i -> array_join(slice(toks, i, 13), ' '))
         |      ELSE array() END) AS g
         |    FROM eval)),
         |tgrams AS (
-        |  SELECT DISTINCT doc_id, md5(g) AS g FROM (
+        |  SELECT DISTINCT doc_id, xxhash64(g) AS g FROM (
         |    SELECT doc_id, explode(CASE WHEN size(toks) >= 13
         |      THEN transform(sequence(1, size(toks) - 12),
         |             i -> array_join(slice(toks, i, 13), ' '))
