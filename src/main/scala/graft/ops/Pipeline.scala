@@ -106,6 +106,36 @@ object Pipeline {
         |ORDER BY doc_id""".stripMargin)
   }
 
+  /** Sequence packing (the training-batch assembly step): greedily pack
+    * documents into fixed 256-token budgets, contiguous first-fit in
+    * doc_id order within an md5 shard. pack_id = prev-cumulative-tokens
+    * div budget, so a document straddling a boundary opens the next pack —
+    * the standard contiguous-fill discipline.
+    *
+    * Scale design: packing is inherently sequential, so it is SHARDED —
+    * each md5 bucket is one window partition = one task, and the digit
+    * count of the bucket key is the scale knob (1 hex digit = 16 shards
+    * here; at 100 TB you take 4–5 digits so each shard's sort fits a
+    * task). No global sort, no driver loop: one hash exchange + per-shard
+    * sort, same md5 bucket family as ds_split so the oracle shares it.
+    */
+  def dsPack(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "documents").createOrReplaceTempView("__docs")
+    s.sql(
+      """WITH tok AS (
+        |  SELECT doc_id, size(split(text, ' ')) AS n_tokens,
+        |         instr('0123456789abcdef',
+        |           substring(md5(concat('pack:', CAST(doc_id AS STRING))), 1, 1))
+        |           - 1 AS bucket
+        |  FROM __docs)
+        |SELECT doc_id, bucket, n_tokens,
+        |       ((SUM(n_tokens) OVER w) - n_tokens) div 256 AS pack_id
+        |FROM tok
+        |WINDOW w AS (PARTITION BY bucket ORDER BY doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY doc_id""".stripMargin)
+  }
+
   /** Benchmark decontamination (the training-data step that removes eval
     * leakage): flag every training document sharing at least one 13-token
     * gram with the synthetic eval set. The corpus has no natural
@@ -160,7 +190,8 @@ object Pipeline {
     "dd_decontam" -> (ddDecontam _),
     "ta_chunk" -> (taChunk _),
     "ta_redact" -> (taRedact _),
-    "ds_split" -> (dsSplit _))
+    "ds_split" -> (dsSplit _),
+    "ds_pack" -> (dsPack _))
 
   /** dd_resolve oracle: the full simhash-pair SQL (nested as a CTE
     * subquery) + recursive min-label transitive closure.
@@ -245,5 +276,17 @@ object Pipeline {
         |         strpos('0123456789abcdef',
         |           substr(md5('split:' || doc_id::VARCHAR), 1, 1)) - 1 AS d
         |  FROM documents)
+        |ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "ds_pack" ->
+      """WITH tok AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |         strpos('0123456789abcdef',
+        |           substr(md5('pack:' || doc_id::VARCHAR), 1, 1)) - 1 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket, n_tokens,
+        |       CAST(((SUM(n_tokens) OVER w) - n_tokens) // 256 AS BIGINT) AS pack_id
+        |FROM tok
+        |WINDOW w AS (PARTITION BY bucket ORDER BY doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY doc_id""".stripMargin.replaceAll("\n", " "))
 }

@@ -106,6 +106,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("ds_pack: matches an in-memory contiguous-fill packing oracle") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "size(split(text, ' ')) AS n").collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    val expected = docs
+      .map { case (id, n) =>
+        (id, "0123456789abcdef".indexOf(md5hex(s"pack:$id").head).toLong, n) }
+      .groupBy(_._2).toSeq.flatMap { case (bucket, rows) =>
+        var cum = 0L
+        rows.sortBy(_._1).map { case (id, _, n) =>
+          val packId = cum / 256; cum += n; (id, bucket, n.toLong, packId) }
+      }.sortBy(_._1)
+    val got = Pipeline.dsPack(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2).toLong, r.getLong(3))).toSeq
+    assert(got.map(t => (t._1, t._2.toLong, t._3, t._4)) == expected)
+    // non-vacuity: the budget actually rolls over into multiple packs
+    assert(got.map(_._4).max >= 1, "packing never exceeded one budget")
+  }
+
   test("ds_split: deterministic, total, and near the 75/12.5/12.5 design") {
     val a = Pipeline.dsSplit(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(3)))
