@@ -59,6 +59,17 @@ class PlanSpec extends AnyFunSuite {
       s"ds_split scan not pruned:\n$splitScan")
   }
 
+  test("ds_pack: one hash exchange on the shard key feeds the packing window") {
+    // the packing window must partition by the md5 shard bucket — a plan
+    // that windows over a single partition (empty partition spec) would
+    // serialize the whole corpus through one task at scale
+    val plan = formatted(graft.ops.Pipeline.dsPack(spark, sf))
+    assert(plan.contains("Window"), s"no window operator:\n$plan")
+    val exchanges = "Exchange hashpartitioning\\(bucket".r
+      .findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 bucket exchange, got $exchanges:\n$plan")
+  }
+
   test("bucketed fact-fact join runs with zero exchanges (S5 for relational workloads)") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
