@@ -108,12 +108,43 @@ object TextAnalysis {
          |ORDER BY token""".stripMargin)
   }
 
+  /** Keyword extraction: each document's top-3 tokens by df-normalized
+    * term weight tf_d(t)/df(t) — same ranking as tf·idf with idf = n/df
+    * (both monotone in tf/df), ties broken by token so ranks are total.
+    *
+    * Engine-exactness: the score is ONE double division of two exact
+    * integers — IEEE 754 rounds a single division identically in any
+    * engine, and no summation-order freedom exists (contrast the cosine
+    * folds). The score is used only inside ORDER BY; the output carries
+    * the integers and the rank.
+    *
+    * Scale design: per-(doc,token) counts are one explode + partial-agg
+    * shuffle; the document-frequency relation is vocabulary-sized (≪
+    * corpus) so its join back is broadcast-able; the per-doc top-3 is a
+    * rank window that Spark pushes map-side (WindowGroupLimit, same plan
+    * family PlanSpec locks for q8).
+    */
+  def taTfidf(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "documents").createOrReplaceTempView("__ta_docs")
+    s.sql(
+      s"""WITH tok AS (SELECT doc_id, explode($toks) AS token FROM __ta_docs),
+         |tfd AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+         |dfv AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token)
+         |SELECT doc_id, token, tf, df, rn FROM (
+         |  SELECT t.doc_id, t.token, t.tf, d.df,
+         |         ROW_NUMBER() OVER (PARTITION BY t.doc_id
+         |           ORDER BY CAST(t.tf AS DOUBLE) / d.df DESC, t.token) AS rn
+         |  FROM tfd t JOIN dfv d ON t.token = d.token)
+         |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_tokens" -> (taTokens _),
     "ta_quality" -> (taQuality _),
     "ta_langid" -> (taLangid _),
     "ta_fingerprint" -> (taFingerprint _),
-    "ta_df" -> (taDf _))
+    "ta_df" -> (taDf _),
+    "ta_tfidf" -> (taTfidf _))
 
   private val sqlToks = "string_split(text, ' ')"
 
@@ -140,6 +171,16 @@ object TextAnalysis {
         s"len(list_filter($sqlToks, t -> t = 'le' OR t = 'les' OR t = 'et')) AS sc_fr, " +
         s"len(list_filter($sqlToks, t -> t = 'el' OR t = 'los' OR t = 'y')) AS sc_es " +
         "FROM documents) ORDER BY doc_id"),
+    "ta_tfidf" ->
+      (s"WITH tok AS (SELECT doc_id, unnest($sqlToks) AS token FROM documents), " +
+        "tfd AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token), " +
+        "dfv AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token) " +
+        "SELECT doc_id, token, tf, df, rn FROM (" +
+        "  SELECT t.doc_id, t.token, t.tf, d.df, " +
+        "         ROW_NUMBER() OVER (PARTITION BY t.doc_id " +
+        "           ORDER BY t.tf::DOUBLE / d.df DESC, t.token) AS rn " +
+        "  FROM tfd t JOIN dfv d ON t.token = d.token) " +
+        "WHERE rn <= 3 ORDER BY doc_id, rn"),
     "ta_df" ->
       (s"WITH tok AS (SELECT doc_id, unnest($sqlToks) AS token FROM documents) " +
         "SELECT token, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf " +

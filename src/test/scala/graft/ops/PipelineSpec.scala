@@ -106,6 +106,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("ta_tfidf: matches an in-memory top-3 keyword oracle") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    val df = docs.flatMap { case (_, t) => t.distinct }.groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    val expected = docs.flatMap { case (id, toks) =>
+      toks.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+        .map { case (tok, tf) => (tok, tf, df(tok), tf.toDouble / df(tok)) }
+        .sortBy { case (tok, _, _, score) => (-score, tok) }
+        .take(3).zipWithIndex
+        .map { case ((tok, tf, d, _), i) => (id, tok, tf, d, (i + 1).toLong) }
+    }.sortBy(t => (t._1, t._5))
+    val got = TextAnalysis.taTfidf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getInt(4).toLong)).toSeq
+    assert(got.nonEmpty)
+    assert(got == expected.toSeq)
+  }
+
   test("ds_pack: matches an in-memory contiguous-fill packing oracle") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
