@@ -78,7 +78,14 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.values.collect { case r if r.median >= 0 => r.median }.sum
     val nErr = results.values.count(_.err.isDefined)
-    println(s"""{"metric":"total","value":${jn(total)},"unit":"sec","queries":$qs,"detail":$detail,"n_err":$nErr,"runs_per_query":$nRuns,"sf":${jq(sfDir)}}""")
+    val json = s"""{"metric":"total","value":${jn(total)},"unit":"sec","queries":$qs,"detail":$detail,"n_err":$nErr,"runs_per_query":$nRuns,"sf":${jq(sfDir)}}"""
+    println(json)
+    // stdout goes through sbt's logger, which prefixes "[info] " and has
+    // truncated/garbled every driver-side BENCH artifact to date — the file
+    // is the canonical machine-readable result
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

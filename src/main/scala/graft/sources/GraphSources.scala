@@ -36,13 +36,23 @@ object GraphSources {
     * (least, greatest) and deduplicated; unit capacity
     * (`mf.max.random.capacity=1` default — ff1/FordFulkerson.java:28).
     *
-    * `strict` (default, ff5 parity — ff5/FordFulkerson.java:75-97): an
-    * adjacency line with >5100 fields or a reserved id 0/1/2 (post-fold,
-    * owner or neighbor) is data corruption and FAILS the job via
-    * `raise_error` inside the scan, exactly where the reference throws;
-    * malformed tokens are still skipped leniently (ff5 echoes and
-    * continues). `strict = false` silently drops reserved ids instead
-    * (ff1's behavior).
+    * `strict` (default, ff5 parity — ff5/FordFulkerson.java:75-97): only
+    * the OWNER path is fatal in ff5 — the owner token goes through an
+    * uncaught `Long.parseLong` + `check()`, so a malformed owner, a
+    * post-fold id outside Int range ("fail : id"), or a reserved id 0/1/2
+    * ("Reserved ID : id") FAILS the job; graft raises the same messages
+    * via `raise_error` inside the scan. NEIGHBOR tokens are never fatal:
+    * `check()`'s throws for them are swallowed by the map loop's
+    * catch(Exception) ("Invalid Edge", echo-and-continue,
+    * ff5/FordFulkerson.java:84-86), so graft silently drops malformed /
+    * reserved / out-of-Int-range neighbors — the closest Spark analogue of
+    * echo-and-skip. A >5100-field line is fatal ("E = N") on any path.
+    * `strict = false` (ff1's behavior) drops reserved ids silently on both
+    * columns and keeps full-Long ids (no Int-range rejection).
+    * Documented divergence: lines with <3 fields carry no edges and are
+    * skipped wholesale (ff5 would still run its fatal owner check on
+    * them, but an isolated vertex contributes nothing to an edge
+    * relation).
     */
   def readFacebook(spark: SparkSession, path: String, cap: Long = 1L,
                    strict: Boolean = true): DataFrame = {
@@ -53,24 +63,39 @@ object GraphSources {
       if (!strict) f
       else when(size(f) > 5100,
         raise_error(concat(lit("E = "), size(f).cast("string")))).otherwise(f)
-    def guardId(c: org.apache.spark.sql.Column) =
-      if (!strict) c
-      else when(c.isin(0L, 1L, 2L),
-        raise_error(concat(lit("Reserved ID : "), c.cast("string")))).otherwise(c)
+    // ff5 check() discipline for the owner only: fold, then range, then
+    // reserved — each fatal with the reference's message (the malformed
+    // case reproduces Long.parseLong's NumberFormatException text)
+    def guardOwner(raw: org.apache.spark.sql.Column,
+                   folded: org.apache.spark.sql.Column) =
+      if (!strict) folded
+      else when(raw.isNull,
+          raise_error(concat(lit("For input string: \""),
+            element_at(col("f"), 1), lit("\""))))
+        .when(folded < Int.MinValue.toLong || folded > Int.MaxValue.toLong,
+          raise_error(concat(lit("fail : "), folded.cast("string"))))
+        .when(folded.isin(0L, 1L, 2L),
+          raise_error(concat(lit("Reserved ID : "), folded.cast("string"))))
+        .otherwise(folded)
     val lines = spark.read.text(path)
     val toks = lines.select(guardLine(split(col("value"), "\t")).as("f"))
       .filter(size(col("f")) >= 3)
+    // try_cast: malformed ids become null (ANSI cast would throw); for the
+    // owner the strict guard converts that null into ff5's fatal parse
+    val rawSrc = expr("try_cast(element_at(f, 1) AS long)")
     val pairs = toks.select(
-        // try_cast: malformed ids become null and are skipped, matching
-        // the reference's lenient neighbor parse (ANSI cast would throw)
-        guardId(foldCol(expr("try_cast(element_at(f, 1) AS long)"))).as("src"),
+        guardOwner(rawSrc, foldCol(rawSrc)).as("src"),
         explode(expr("slice(f, 3, size(f) - 2)")).as("nbrTok"))
-      .withColumn("dst", guardId(foldCol(expr("try_cast(nbrTok AS long)"))))
-      // malformed tokens cast to null and are skipped; self-loops dropped
-      // (T1/T2); in lenient mode reserved 0/1/2 are dropped here too
+      .withColumn("dst", foldCol(expr("try_cast(nbrTok AS long)")))
+      // neighbor drops (never fatal, both modes): malformed → null,
+      // self-loops (T1/T2), reserved 0/1/2; strict additionally drops
+      // post-fold out-of-Int-range neighbors (ff5's caught check() throw)
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst") &&
-        !col("src").isin(0L, 1L, 2L) && !col("dst").isin(0L, 1L, 2L))
+        !col("src").isin(0L, 1L, 2L) && !col("dst").isin(0L, 1L, 2L) &&
+        (if (strict) col("dst") >= Int.MinValue.toLong &&
+                     col("dst") <= Int.MaxValue.toLong
+         else lit(true)))
     val undirected = pairs.select(
         least(col("src"), col("dst")).as("src"),
         greatest(col("src"), col("dst")).as("dst"))

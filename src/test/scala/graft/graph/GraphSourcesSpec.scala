@@ -75,13 +75,14 @@ class GraphSourcesSpec extends AnyFunSuite {
     val atCap = gz(Seq(("10" +: "x" +: (11L to 5108L).map(_.toString)).mkString("\t")))
     assert(GraphSources.readFacebook(spark, atCap).count() == 2L * 5098)
 
-    // reserved NEIGHBOR id fails through the CLI path (strict default)
+    // reserved NEIGHBOR ids are dropped silently even in strict mode:
+    // ff5's check() throw for neighbor tokens is caught by the map loop
+    // (catch(Exception) → "Invalid Edge" echo, ff5/FordFulkerson.java:84-86)
+    // — only the OWNER path is fatal
     val badNbr = gz(Seq("10\tx\t2\t11"))
-    val eNbr = intercept[Exception] {
-      graft.Main.run(spark, Array("mf", "--format", "facebook", "--input", badNbr,
-        "--sources", "10", "--sinks", "11"))
-    }
-    assert(allMsgs(eNbr).contains("Reserved ID : 2"), allMsgs(eNbr))
+    val nbrEdges = GraphSources.readFacebook(spark, badNbr)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nbrEdges == Set((10L, 11L), (11L, 10L)))
 
     // reserved OWNER id — via the id fold (10^14 folds to 0), locking the
     // fold→guard order (ff5 check() folds before rejecting)
@@ -90,6 +91,28 @@ class GraphSourcesSpec extends AnyFunSuite {
       GraphSources.readFacebook(spark, badOwner).collect()
     }
     assert(allMsgs(eOwn).contains("Reserved ID : 0"), allMsgs(eOwn))
+
+    // malformed OWNER is fatal in strict mode (ff5 parses the owner with
+    // an uncaught Long.parseLong), reproducing NumberFormatException text
+    val badParse = gz(Seq("abc\tx\t11"))
+    val ePar = intercept[Exception] {
+      GraphSources.readFacebook(spark, badParse).collect()
+    }
+    assert(allMsgs(ePar).contains("For input string: \"abc\""), allMsgs(ePar))
+
+    // post-fold Int-range (ff5/FordFulkerson.java:77-78): fatal for the
+    // owner ("fail : id"), silent drop for the neighbor
+    val bigOwner = gz(Seq("5000000000\tx\t11")) // 5e9 > Int.MaxValue
+    val eRange = intercept[Exception] {
+      GraphSources.readFacebook(spark, bigOwner).collect()
+    }
+    assert(allMsgs(eRange).contains("fail : 5000000000"), allMsgs(eRange))
+    val bigNbr = gz(Seq("10\tx\t5000000000\t11"))
+    val rangeDropped = GraphSources.readFacebook(spark, bigNbr)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rangeDropped == Set((10L, 11L), (11L, 10L)))
+    // lenient keeps full-Long ids (ff1 — no Int-range rejection)
+    assert(GraphSources.readFacebook(spark, bigNbr, strict = false).count() == 4L)
 
     // --lenient / strict=false restores ff1's silent drop of reserved ids
     val dropped = GraphSources.readFacebook(spark, badNbr, strict = false)
