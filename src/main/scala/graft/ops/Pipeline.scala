@@ -136,58 +136,70 @@ object Pipeline {
         |ORDER BY doc_id""".stripMargin)
   }
 
-  /** Benchmark decontamination (the training-data step that removes eval
-    * leakage): flag every training document sharing at least one 13-token
-    * gram with the synthetic eval set. The corpus has no natural
+  /** Benchmark decontamination — the parameterized production entry: flag
+    * every training document sharing at least one n-token gram with the
+    * eval set. `train` carries (doc_id LONG, text STRING); `eval` carries
+    * (eval_id LONG, text STRING). Returns (doc_id, n_eval_hits) for
+    * contaminated documents only; a doc repeating a leaked gram counts
+    * each eval snippet once.
+    *
+    * Scale design: grams join on 8-byte xxhash64 keys (same discipline as
+    * dd_minhash_lsh's verification join) after a distinct-per-doc pass,
+    * so the equality join is bounded by gram frequency — never all-pairs,
+    * and the shuffled key is 8 bytes regardless of gram width.
+    */
+  def ddDecontam(train: DataFrame, eval: DataFrame, n: Int): DataFrame = {
+    def gramKeys(df: DataFrame, idCol: String): DataFrame =
+      df.select(col(idCol), split(col("text"), " ").as("toks"))
+        .select(col(idCol), explode(expr(
+          s"""CASE WHEN size(toks) >= $n
+             |THEN transform(sequence(1, size(toks) - ${n - 1}),
+             |       i -> xxhash64(array_join(slice(toks, i, $n), ' ')))
+             |ELSE array() END""".stripMargin)).as("g"))
+        .distinct()
+    gramKeys(train, "doc_id")
+      .join(gramKeys(eval, "eval_id"), "g")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("eval_id")).as("n_eval_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** Twin doc_ids live in a disjoint high range: real corpora keep
+    * doc_id < 2^40 (≈10^12 — far above any document count), so the flipped
+    * bit can never collide a twin with a real document.
+    */
+  val TwinIdOffset: Long = 1L << 40
+
+  /** The oracle-checked decontamination query. The corpus has no natural
     * contamination, so — mirroring the planted-twin discipline of the
     * dedup queries — the eval set is CARVED FROM the corpus itself:
     * documents with doc_id % 11 = 0 contribute tokens 6..26 as a 21-token
     * eval snippet, so those documents (and their 80%-prefix twins, when
     * long enough) are contaminated by construction and everything else is
-    * clean. Returns (doc_id, n_eval_hits) for contaminated docs only.
-    *
-    * Scale design: grams join on 8-byte xxhash64 keys (same discipline as
-    * dd_minhash_lsh's verification join — the oracle hashes with md5
-    * instead, which is fine because the RESULT is hash-family-independent:
-    * distinct-per-doc grams first, so any injective-enough key yields the
-    * same distinct-eval-hit counts) — an equality join bounded by gram
-    * frequency, never a cross product. A doc repeating a leaked gram
-    * counts each eval snippet once.
+    * clean. Train = documents ∪ prefix twins (ids offset by
+    * [[TwinIdOffset]]); the gram work delegates to the parameterized
+    * [[ddDecontam(train:*]] entry with n = 13. The DuckDB oracle hashes
+    * grams with md5 instead of xxhash64, which is fine because the RESULT
+    * is hash-family-independent: distinct-per-doc grams first, so any
+    * injective-enough key yields the same distinct-eval-hit counts.
     */
   def ddDecontam(s: SparkSession, dir: String): DataFrame = {
-    Tables.load(s, dir, "documents").createOrReplaceTempView("__docs")
-    s.sql(
-      """WITH corpus AS (
-        |  SELECT doc_id, split(text, ' ') AS toks FROM __docs
-        |  UNION ALL
-        |  SELECT doc_id + 100000 AS doc_id,
-        |         slice(toks, 1, (size(toks) * 4) div 5) AS toks
-        |  FROM (SELECT doc_id, split(text, ' ') AS toks FROM __docs)),
-        |eval AS (
-        |  SELECT doc_id AS eval_id, slice(split(text, ' '), 6, 21) AS toks
-        |  FROM __docs WHERE doc_id % 11 = 0),
-        |egrams AS (
-        |  SELECT DISTINCT eval_id, xxhash64(g) AS g FROM (
-        |    SELECT eval_id, explode(CASE WHEN size(toks) >= 13
-        |      THEN transform(sequence(1, size(toks) - 12),
-        |             i -> array_join(slice(toks, i, 13), ' '))
-        |      ELSE array() END) AS g
-        |    FROM eval)),
-        |tgrams AS (
-        |  SELECT DISTINCT doc_id, xxhash64(g) AS g FROM (
-        |    SELECT doc_id, explode(CASE WHEN size(toks) >= 13
-        |      THEN transform(sequence(1, size(toks) - 12),
-        |             i -> array_join(slice(toks, i, 13), ' '))
-        |      ELSE array() END) AS g
-        |    FROM corpus))
-        |SELECT t.doc_id, COUNT(DISTINCT e.eval_id) AS n_eval_hits
-        |FROM tgrams t JOIN egrams e ON t.g = e.g
-        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin)
+    val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+    // 80%-prefix twins; array_join∘slice∘split round-trips exactly (tokens
+    // are space-free by construction of split)
+    val twins = docs.select(
+      (col("doc_id") + TwinIdOffset).as("doc_id"),
+      expr("array_join(slice(split(text, ' '), 1, " +
+        "(size(split(text, ' ')) * 4) div 5), ' ')").as("text"))
+    val eval = docs.filter(col("doc_id") % 11 === 0).select(
+      col("doc_id").as("eval_id"),
+      expr("array_join(slice(split(text, ' '), 6, 21), ' ')").as("text"))
+    ddDecontam(docs.unionAll(twins), eval, n = 13)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_resolve" -> (ddResolve _),
-    "dd_decontam" -> (ddDecontam _),
+    "dd_decontam" -> ((s: SparkSession, dir: String) => ddDecontam(s, dir)),
     "ta_chunk" -> (taChunk _),
     "ta_redact" -> (taRedact _),
     "ds_split" -> (dsSplit _),
@@ -216,7 +228,7 @@ object Pipeline {
       """WITH corpus AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 100000 AS doc_id, toks[1:(len(toks) * 4) // 5] AS toks
+        |  SELECT doc_id + 1099511627776 AS doc_id, toks[1:(len(toks) * 4) // 5] AS toks
         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
         |eval AS (
         |  SELECT doc_id AS eval_id, string_split(text, ' ')[6:26] AS toks

@@ -71,7 +71,8 @@ class PipelineSpec extends AnyFunSuite {
       if (toks.length < 13) Set.empty
       else (0 to toks.length - 13).map(i => toks.slice(i, i + 13).mkString(" ")).toSet
     val corpus = docs.map { case (id, t) => id -> grams(t) } ++
-      docs.map { case (id, t) => (id + 100000L) -> grams(t.take(t.length * 4 / 5)) }
+      docs.map { case (id, t) =>
+        (id + Pipeline.TwinIdOffset) -> grams(t.take(t.length * 4 / 5)) }
     val eval = docs.collect { case (id, t) if id % 11 == 0 =>
       id -> grams(t.slice(5, 26)) }
     val expected = corpus.flatMap { case (id, gs) =>
@@ -87,6 +88,33 @@ class PipelineSpec extends AnyFunSuite {
     val flagged = got.map(_._1).toSet
     eval.filter(_._2.nonEmpty).foreach { case (id, _) =>
       assert(flagged(id), s"eval doc $id not flagged") }
+  }
+
+  test("ddDecontam(train, eval): parameterized entry against an external eval fixture") {
+    import spark.implicits._
+    // a real pipeline feeds an ACTUAL benchmark set — here a committed
+    // fixture file, not a carve-out of the corpus
+    val train = Seq(
+      1L -> ("the quick brown fox jumps over the lazy dog while seven " +
+        "wizards brew strong coffee at dawn"),
+      2L -> ("red orange yellow green blue indigo violet cyan magenta " +
+        "teal maroon olive navy silver gold"),
+      3L -> ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu brown fox jumps over the lazy dog while seven " +
+        "wizards brew strong coffee")
+    ).toDF("doc_id", "text")
+    val eval = spark.read
+      .text(getClass.getResource("/fixtures/decontam_eval.txt").getPath)
+      .selectExpr("CAST(split(value, '\t')[0] AS BIGINT) AS eval_id",
+        "split(value, '\t')[1] AS text")
+    assert(eval.count() == 2)
+    // doc 1 embeds eval 900's 13-token snippet (one hit); doc 2 is clean;
+    // doc 3 embeds both snippets (two hits)
+    val got = Pipeline.ddDecontam(train, eval, n = 13).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq(1L -> 1L, 3L -> 2L))
+    // gram width is honored: 14-grams cannot exist in 13-token snippets
+    assert(Pipeline.ddDecontam(train, eval, n = 14).count() == 0L)
   }
 
   test("ta_df: matches an in-memory document-frequency oracle") {
