@@ -58,7 +58,11 @@ object GraphQueries {
       .unionAll(pairs.select(col("pu").as("src"), col("su").as("dst"), col("cap")))
     val sources = (10L to 17L)                          // suppkeys 0..7
     val sinks = (PartOffset + 10L to PartOffset + 17L)  // partkeys 0..7
-    val r = MaxFlow.run(s, edges, sources, sinks)
+    // per-workload tuning in the spirit of the reference's mf.* configs:
+    // the bipartite graph meets in 3 hops, so one stale round suffices
+    // before handing the (tiny) remainder to the exactness cleanup
+    val r = MaxFlow.run(s, edges, sources, sinks,
+      MaxFlow.Config(acceptPatience = 2))
     Seq(r.flow).toDF("maxflow")
   }
 

@@ -429,7 +429,12 @@ object MaxFlow {
     import spark.implicits._
     val sc = spark.sparkContext
 
-    var state: Dataset[VertexState] = initial.localCheckpoint(eager = true)
+    // LAZY checkpoint: the first round's single runJob materializes the
+    // graph build — the loop never pays a standalone materialization job
+    // (same one-job-per-round discipline as the CC/BFS loops)
+    var state: Dataset[VertexState] = initial.localCheckpoint(eager = false)
+    var prevMrdd: org.apache.spark.rdd.RDD[(VertexState, Array[Candidate])] = null
+    var prevBc: org.apache.spark.broadcast.Broadcast[FlowDelta] = null
     var engineFlow = 0L
     var round = 0
     var pending: FlowDelta = Map.empty
@@ -473,7 +478,16 @@ object MaxFlow {
           }
         })
       // runJob returns after every handler ran: acceptance is complete and
-      // the round's accumulators are final
+      // the round's accumulators are final. It also materialized mrdd into
+      // cache — and, through its lineage, the previous round's lazily-
+      // checkpointed state (truncated by doCheckpoint when the job ended),
+      // so the previous round's cache AND broadcast are now droppable.
+      // They could not be dropped a round earlier: this job's tasks
+      // serialize the untruncated lineage, which still references them
+      // (counters are not double-counted: the projection map over the
+      // previous cached mrdd carries no accumulators).
+      if (prevMrdd != null) prevMrdd.unpersist(blocking = false)
+      if (prevBc != null) prevBc.destroy()
       if (conf.validate) mrdd.foreach(p => validateVertex(p._1))
       val (got, delta, roundPaths) = acceptor.result
       allPaths ++= roundPaths
@@ -489,11 +503,13 @@ object MaxFlow {
         ctrs.dropS.value, ctrs.dropT.value,
         ctrs.aliveS.value, ctrs.aliveT.value)
       pending = delta
-      // next round's state: project off the candidate arrays and truncate
-      // lineage (reads the warm mrdd cache), then drop the cache
-      state = spark.createDataset(mrdd.map(_._1)).localCheckpoint(eager = true)
-      mrdd.unpersist(blocking = false)
-      bc.destroy()
+      // next round's state: project off the candidate arrays, checkpoint
+      // LAZILY — the next action (the following round's runJob, a stateDir
+      // write, or the cleanup's residual count) materializes it from the
+      // warm mrdd cache, so each round costs exactly one job
+      state = spark.createDataset(mrdd.map(_._1)).localCheckpoint(eager = false)
+      prevMrdd = mrdd
+      prevBc = bc // destroyed after the NEXT job truncates this lineage
       zeroStreak = if (got == 0) zeroStreak + 1 else 0
       // C3 quiescence; the ff2 counter rule (no flow, no lost excess, one
       // frontier stalled — ff2/FordFulkerson.java:447-451); or early stop
@@ -518,10 +534,12 @@ object MaxFlow {
         }
       }
     }
-    // flush any un-applied deltas into the state before cleanup
+    // flush any un-applied deltas into the state before cleanup — lazy:
+    // the cleanup's first action (residual count) materializes flush +
+    // count in one pass
     if (pending.nonEmpty) {
       val bc = sc.broadcast(pending)
-      state = state.map(applyDeltaOnly(_, bc.value)).localCheckpoint(eager = true)
+      state = state.map(applyDeltaOnly(_, bc.value)).localCheckpoint(eager = false)
       pending = Map.empty
     }
 
@@ -542,8 +560,12 @@ object MaxFlow {
           delta.foreach { case (k, v) =>
             assignment.update(k, assignment.getOrElse(k, 0L) + v)
           }
-          val bc = sc.broadcast(delta)
-          state = state.map(applyDeltaOnly(_, bc.value)).localCheckpoint(eager = true)
+          // the refreshed state is only observable through a durable
+          // checkpoint — skip the extra full-state job when none is asked
+          if (conf.stateDir.nonEmpty) {
+            val bc = sc.broadcast(delta)
+            state = state.map(applyDeltaOnly(_, bc.value)).localCheckpoint(eager = true)
+          }
           cleanupFlow = extra
         }
       } else {
@@ -581,6 +603,8 @@ object MaxFlow {
         }
       }
     }
+    if (prevMrdd != null) prevMrdd.unpersist(blocking = false)
+    if (prevBc != null) prevBc.destroy()
     Result(engineFlow + cleanupFlow, engineFlow, cleanupFlow, round,
       assignment.toMap, allPaths.toSeq, reports.toSeq)
   }
