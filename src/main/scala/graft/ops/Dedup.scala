@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
   * exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine).
   *
   * The test corpus has no natural duplicates, so each query synthesizes a
-  * *deterministic near-duplicate twin* per document (doc_id+100000, first
+  * *deterministic near-duplicate twin* per document (doc_id + 2^40 —
+  * TwinIdOffset, collision-free at any corpus size — first
   * 80% of tokens / a perturbed first vector component) inside the query —
   * the dedup pipeline must then find exactly the twin pairs. Everything is
   * expressed so Spark and the DuckDB oracle compute bit-identical results
@@ -28,12 +29,20 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Token corpus ∪ 80%-prefix twins (doc_id+100000), DuckDB side. */
+  /** Twin doc/vec ids live in a disjoint high range: real corpora keep
+    * ids < 2^40 (~10^12, far above any corpus size), so the planted twin
+    * can never collide with a real id. (Defined here, aliased by
+    * TwinIdOffset — Pipeline's oracle init reads Dedup, so the
+    * constant must not point the other way.)
+    */
+  val TwinIdOffset: Long = 1L << 40
+
+  /** Token corpus ∪ 80%-prefix twins (doc_id + TwinIdOffset), DuckDB side. */
   private val corpusSql =
-    """corpus AS (
+    s"""corpus AS (
       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 100000 AS doc_id, toks[1:(len(toks) * 4) // 5] AS toks
+      |  SELECT doc_id + ${TwinIdOffset} AS doc_id, toks[1:(len(toks) * 4) // 5] AS toks
       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))""".stripMargin
 
   private def docs(s: SparkSession, dir: String): Unit =
@@ -46,12 +55,12 @@ object Dedup {
   def ddExact(s: SparkSession, dir: String): DataFrame = {
     docs(s, dir)
     s.sql(
-      """SELECT doc_id FROM (
+      s"""SELECT doc_id FROM (
         |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text)
         |                                    ORDER BY doc_id) AS rn
         |  FROM (SELECT doc_id, text FROM __docs
         |        UNION ALL
-        |        SELECT doc_id + 100000, text FROM __docs)
+        |        SELECT doc_id + ${TwinIdOffset}, text FROM __docs)
         |) WHERE rn = 1 ORDER BY doc_id""".stripMargin)
   }
 
@@ -123,7 +132,7 @@ object Dedup {
     s"""corpus AS (
        |  SELECT doc_id, split(text, ' ') AS toks FROM __docs
        |  UNION ALL
-       |  SELECT doc_id + 100000 AS doc_id,
+       |  SELECT doc_id + ${TwinIdOffset} AS doc_id,
        |         slice(toks, 1, (size(toks) * 4) div 5) AS toks
        |  FROM (SELECT doc_id, split(text, ' ') AS toks FROM __docs))""".stripMargin
 
@@ -163,7 +172,7 @@ object Dedup {
       s"""WITH corpus AS (
          |  SELECT doc_id, split(text, ' ') AS toks FROM __docs
          |  UNION ALL
-         |  SELECT doc_id + 100000 AS doc_id,
+         |  SELECT doc_id + ${TwinIdOffset} AS doc_id,
          |         slice(toks, 1, (size(toks) * 19) div 20) AS toks
          |  FROM (SELECT doc_id, split(text, ' ') AS toks FROM __docs)),
          |tok AS (
@@ -244,13 +253,13 @@ object Dedup {
          |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
          |inter AS (
          |  SELECT a.doc_id AS doc_a, COUNT(*) AS inter
-         |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 100000 AND b.sh = a.sh
+         |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + ${TwinIdOffset} AND b.sh = a.sh
          |  GROUP BY a.doc_id)
          |SELECT i.doc_a, i.inter, ca.n + cb.n - i.inter AS uni,
          |       ROUND(i.inter / (ca.n + cb.n - i.inter), 6) AS jaccard
          |FROM inter i
          |JOIN cnt ca ON ca.doc_id = i.doc_a
-         |JOIN cnt cb ON cb.doc_id = i.doc_a + 100000
+         |JOIN cnt cb ON cb.doc_id = i.doc_a + ${TwinIdOffset}
          |ORDER BY i.doc_a""".stripMargin)
   }
 
@@ -279,7 +288,7 @@ object Dedup {
          |corpus AS (
          |  SELECT vec_id, label, v FROM base
          |  UNION ALL
-         |  SELECT vec_id + 100000, label,
+         |  SELECT vec_id + ${TwinIdOffset}, label,
          |         transform(v, (x, i) -> CASE WHEN i = 0 THEN x * 1.5 ELSE x END)
          |  FROM base)
          |SELECT vec_id, label, v, sqrt(graft_dot(v, v)) AS nrm,
@@ -328,12 +337,12 @@ object Dedup {
 
   val oracleSql: Map[String, String] = Map(
     "dd_exact" ->
-      """SELECT doc_id FROM (
+      s"""SELECT doc_id FROM (
         |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text)
         |                                    ORDER BY doc_id) AS rn
         |  FROM (SELECT doc_id, text FROM documents
         |        UNION ALL
-        |        SELECT doc_id + 100000, text FROM documents)
+        |        SELECT doc_id + ${TwinIdOffset}, text FROM documents)
         |) WHERE rn = 1 ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "dd_minhash_lsh" ->
       s"""WITH $corpusSql,
@@ -386,10 +395,10 @@ object Dedup {
         |       SUM(CASE WHEN s > 0 THEN 1 << k ELSE 0 END)::BIGINT AS simhash
         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "dd_simhash_pairs" ->
-      """WITH corpus AS (
+      s"""WITH corpus AS (
          |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 100000 AS doc_id, toks[1:(len(toks) * 19) // 20] AS toks
+         |  SELECT doc_id + ${TwinIdOffset} AS doc_id, toks[1:(len(toks) * 19) // 20] AS toks
          |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
          |tok AS (
          |  SELECT DISTINCT doc_id, unnest(
@@ -434,23 +443,23 @@ object Dedup {
          |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
          |inter AS (
          |  SELECT a.doc_id AS doc_a, COUNT(*) AS inter
-         |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 100000 AND b.sh = a.sh
+         |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + ${TwinIdOffset} AND b.sh = a.sh
          |  GROUP BY a.doc_id)
          |SELECT i.doc_a, i.inter, ca.n + cb.n - i.inter AS uni,
          |       ROUND(i.inter / (ca.n + cb.n - i.inter), 6) AS jaccard
          |FROM inter i
          |JOIN cnt ca ON ca.doc_id = i.doc_a
-         |JOIN cnt cb ON cb.doc_id = i.doc_a + 100000
+         |JOIN cnt cb ON cb.doc_id = i.doc_a + ${TwinIdOffset}
          |ORDER BY i.doc_a""".stripMargin.replaceAll("\n", " "),
     "dd_embed_cos" ->
-      """WITH base AS (
+      s"""WITH base AS (
         |  SELECT vec_id, label,
         |         [x::DOUBLE FOR x IN embedding] AS v
         |  FROM embeddings),
         |corpus AS (
         |  SELECT vec_id, label, v FROM base
         |  UNION ALL
-        |  SELECT vec_id + 100000, label,
+        |  SELECT vec_id + ${TwinIdOffset}, label,
         |         [CASE WHEN i = 1 THEN v[i] * 1.5 ELSE v[i] END
         |          FOR i IN generate_series(1, len(v))]
         |  FROM base),

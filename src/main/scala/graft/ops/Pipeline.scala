@@ -164,11 +164,10 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
-  /** Twin doc_ids live in a disjoint high range: real corpora keep
-    * doc_id < 2^40 (≈10^12 — far above any document count), so the flipped
-    * bit can never collide a twin with a real document.
+  /** Twin doc_ids live in a disjoint high range — see Dedup.TwinIdOffset
+    * (shared by the whole planted-twin query family).
     */
-  val TwinIdOffset: Long = 1L << 40
+  val TwinIdOffset: Long = Dedup.TwinIdOffset
 
   /** The oracle-checked decontamination query. The corpus has no natural
     * contamination, so — mirroring the planted-twin discipline of the

@@ -61,12 +61,12 @@ class DedupScaleSpec extends AnyFunSuite {
   test("ddEmbedCos is non-vacuous: the planted twin pairs survive the bucket filter") {
     // block-bound + probe-equivalence specs alone cannot see recall loss
     // (both engines apply the same Hamming<=1 filter) — assert the query
-    // actually recovers the (vec_id, vec_id+100000) twins it plants
+    // actually recovers the (vec_id, vec_id+TwinIdOffset) twins it plants
     val pairs = Dedup.ddEmbedCos(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.nonEmpty)
     val n = Dedup.embedSig(spark, sf).count() / 2 // embedSig doubles the corpus
-    val twinHits = pairs.count { case (a, b) => b == a + 100000L }
+    val twinHits = pairs.count { case (a, b) => b == a + Pipeline.TwinIdOffset }
     // the x1.5-first-component twin stays at cosine >= 0.9 for nearly all
     // vectors; Hamming<=1 multiprobe must keep the overwhelming majority
     assert(twinHits >= (0.8 * n).toLong,
