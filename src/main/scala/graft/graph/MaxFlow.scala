@@ -418,14 +418,29 @@ object MaxFlow {
   }
 
   /** Continue a run from durable round state written via Config.stateDir
-    * (the reference's restart-from-round-<i> capability).
+    * (the reference's restart-from-round-<i> capability). The state dir
+    * holds round-tagged checkpoints (`round-<i>/`, StateIO.writeRound);
+    * resume picks the newest COMPLETE one — so a kill that interrupts a
+    * checkpoint write costs at most `checkpointEvery` rounds of work —
+    * and continues with ROUND-INDEX CONTINUITY: the first resumed
+    * RoundCounters record carries round i+1, and `maxRounds` keeps its
+    * meaning as a total-rounds budget across restarts. A flat dir written
+    * directly by StateIO.writeState is still accepted (round restarts
+    * at 1).
     */
   def resume(spark: SparkSession, stateDir: String,
-             conf: Config = Config()): Result =
-    runLoop(spark, graft.sources.StateIO.readState(spark, stateDir), conf)
+             conf: Config = Config()): Result = {
+    val io = graft.sources.StateIO
+    io.latestRound(spark, stateDir) match {
+      case Some(r) =>
+        runLoop(spark, io.readState(spark, io.roundDir(stateDir, r)), conf, r)
+      case None =>
+        runLoop(spark, io.readState(spark, stateDir), conf)
+    }
+  }
 
   private def runLoop(spark: SparkSession, initial: Dataset[VertexState],
-                      conf: Config): Result = {
+                      conf: Config, startRound: Int = 0): Result = {
     import spark.implicits._
     val sc = spark.sparkContext
 
@@ -436,7 +451,7 @@ object MaxFlow {
     var prevMrdd: org.apache.spark.rdd.RDD[(VertexState, Array[Candidate])] = null
     var prevBc: org.apache.spark.broadcast.Broadcast[FlowDelta] = null
     var engineFlow = 0L
-    var round = 0
+    var round = startRound
     var pending: FlowDelta = Map.empty
     val assignment = mutable.HashMap.empty[(Long, Long), Long]
     val allPaths = mutable.ArrayBuffer.empty[(Seq[Long], Long)]
@@ -526,10 +541,12 @@ object MaxFlow {
         (engineFlow > 0 && zeroStreak >= conf.acceptPatience)
       conf.stateDir.foreach { dir =>
         if (done || round % conf.checkpointEvery == 0) {
-          // persist the FLUSHED view so resume starts with no pending delta
+          // persist the FLUSHED view so resume starts with no pending
+          // delta; round-tagged dir (kill-safe) + prune to bound storage
           val bcF = sc.broadcast(pending)
-          graft.sources.StateIO.writeState(
-            state.map(applyDeltaOnly(_, bcF.value)), dir)
+          graft.sources.StateIO.writeRound(
+            state.map(applyDeltaOnly(_, bcF.value)), dir, round)
+          graft.sources.StateIO.pruneRounds(spark, dir)
           bcF.destroy()
         }
       }

@@ -64,17 +64,25 @@ object MaxFlowSchimmy {
 
   /** Continue from durable round state written via Config.stateDir — the
     * reference's restart-from-round-<i> capability (S7), engine-parity
-    * with [[MaxFlow.resume]].
+    * with [[MaxFlow.resume]]: newest COMPLETE `round-<i>/` checkpoint,
+    * round-index continuity, flat-dir fallback.
     */
   def resume(spark: SparkSession, stateDir: String,
              conf: MaxFlow.Config = MaxFlow.Config()): MaxFlow.Result = {
-    val st = graft.sources.StateIO.readState(spark, stateDir)
-    runLoop(spark, st, conf,
-      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    val io = graft.sources.StateIO
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    io.latestRound(spark, stateDir) match {
+      case Some(r) =>
+        runLoop(spark, io.readState(spark, io.roundDir(stateDir, r)), conf,
+          parts, r)
+      case None =>
+        runLoop(spark, io.readState(spark, stateDir), conf, parts)
+    }
   }
 
   private def runLoop(spark: SparkSession, initial: Dataset[VertexState],
-                      conf: MaxFlow.Config, nParts: Int): MaxFlow.Result = {
+                      conf: MaxFlow.Config, nParts: Int,
+                      startRound: Int = 0): MaxFlow.Result = {
     import spark.implicits._
     val sc = spark.sparkContext
     val part = new HashPartitioner(nParts)
@@ -89,7 +97,7 @@ object MaxFlowSchimmy {
     state.count()
 
     var engineFlow = 0L
-    var round = 0
+    var round = startRound
     var pending: MaxFlow.FlowDelta = Map.empty
     val assignment = mutable.HashMap.empty[(Long, Long), Long]
     val allPaths = mutable.ArrayBuffer.empty[(Seq[Long], Long)]
@@ -191,11 +199,13 @@ object MaxFlowSchimmy {
         (engineFlow > 0 && zeroStreak >= conf.acceptPatience)
       conf.stateDir.foreach { dir =>
         if (done || round % conf.checkpointEvery == 0) {
-          // persist the FLUSHED view so resume starts with no pending delta
+          // persist the FLUSHED view so resume starts with no pending
+          // delta; round-tagged dir (kill-safe) + prune to bound storage
           val bcF = sc.broadcast(pending)
-          graft.sources.StateIO.writeState(
+          graft.sources.StateIO.writeRound(
             spark.createDataset(state.values)
-              .map(MaxFlow.applyDeltaOnly(_, bcF.value)), dir)
+              .map(MaxFlow.applyDeltaOnly(_, bcF.value)), dir, round)
+          graft.sources.StateIO.pruneRounds(spark, dir)
           bcF.destroy()
         }
       }

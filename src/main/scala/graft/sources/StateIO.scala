@@ -26,6 +26,58 @@ object StateIO {
     spark.read.parquet(dir).as[VertexState]
   }
 
+  /** Round-tagged checkpoints — the reference's `round-<i>/` layout
+    * (ff3/FordFulkerson.java:155-162). Each checkpoint is a NEW dir
+    * `base/round-<i>`, so a kill mid-write can only leave an incomplete
+    * in-progress dir, never destroy the previous good one (a flat
+    * overwrite would). Spark's `_SUCCESS` marker is the completeness
+    * certificate; resume picks the newest complete round and inherits its
+    * round index. Paths go through the Hadoop FileSystem API so the same
+    * code runs on local disk, HDFS, or an object store.
+    */
+  def roundDir(base: String, round: Int): String = f"$base/round-$round%06d"
+
+  def writeRound(state: Dataset[VertexState], base: String, round: Int,
+                 parts: Int = 32): Unit =
+    writeState(state, roundDir(base, round), parts)
+
+  /** Newest round index under `base` whose dir carries `_SUCCESS`. */
+  def latestRound(spark: SparkSession, base: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .flatMap { d =>
+        val n = d.getName
+        if (n.startsWith("round-") &&
+            fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
+          Some(n.stripPrefix("round-").toInt)
+        else None
+      } match {
+        case Nil => None
+        case rs  => Some(rs.max)
+      }
+  }
+
+  /** Bound checkpoint storage: drop all but the newest `keep` complete
+    * rounds (plus any incomplete dirs, which are overwritten in place if
+    * the same round index recurs).
+    */
+  def pruneRounds(spark: SparkSession, base: String, keep: Int = 2): Unit = {
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val complete = fs.listStatus(p).toSeq
+        .filter(_.isDirectory).map(_.getPath)
+        .filter(d => d.getName.startsWith("round-") &&
+          fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
+        .sortBy(_.getName)
+      complete.dropRight(keep).foreach(fs.delete(_, true))
+    }
+  }
+
   /** S8: accepted flow assignment as a small relation (u, v, f). */
   def flowsToDf(spark: SparkSession, assignment: Map[(Long, Long), Long]): DataFrame = {
     import spark.implicits._

@@ -58,9 +58,17 @@ class StateIOSpec extends AnyFunSuite {
       MaxFlow.Config(maxRounds = 2, exactCleanup = false,
         stateDir = Some(dir), checkpointEvery = 1))
     assert(first.flow < 23L)
+    // round-tagged layout: checkpoints land in round-<i>/ dirs (kill-safe —
+    // a crash mid-write can never destroy the previous complete round),
+    // pruned to the newest 2
+    assert(StateIO.latestRound(spark, dir).contains(2))
     val rest = MaxFlow.resume(spark, dir)
     assert(first.flow + rest.flow == 23L,
       s"first=${first.flow} rest=${rest.flow}")
+    // round-index continuity: the resumed loop continues the reference's
+    // round numbering from the checkpoint instead of restarting at 1
+    assert(rest.rounds_report.head.round == first.rounds_report.last.round + 1)
+    assert(rest.rounds == rest.rounds_report.last.round)
   }
 
   test("schimmy round-state checkpoint + resume reaches the exact flow (S7 parity)") {
@@ -73,6 +81,7 @@ class StateIOSpec extends AnyFunSuite {
     val rest = MaxFlowSchimmy.resume(spark, dir)
     assert(first.flow + rest.flow == 23L,
       s"first=${first.flow} rest=${rest.flow}")
+    assert(rest.rounds_report.head.round == first.rounds_report.last.round + 1)
   }
 
   test("random-K truncation (A6) stays exact (oracle equality)") {
