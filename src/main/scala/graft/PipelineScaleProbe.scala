@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: stress the dedup/pipeline tier at 50–100× sf0.1 (VERDICT r5
+  * "what's missing" #1) — the counterpart of ScaleProbe's 5.1M-vertex run
+  * for the beyond-reference tier. Generates a synthetic corpus with a
+  * zipf-ish vocabulary (log-uniform ranks — heavy stopword tier, long
+  * unique tail, the shape real web text has), runs the REAL query code
+  * paths (`SparkEntry`'s entries, unmodified) end-to-end to parquet, and
+  * measures the invariants the small-N specs lock:
+  *
+  *  - MinHash LSH band buckets stay pair-sized (no quadratic block);
+  *  - SimHash band buckets stay far from the corpus size;
+  *  - dd_resolve's label propagation converges in few rounds, components
+  *    stay chain-sized;
+  *  - dd_decontam's gram-frequency fan-in stays bounded;
+  *  - ds_pack's md5 shards stay balanced;
+  *  - ta_df's output stays vocabulary-sized.
+  *
+  * Run with `sbt "runMain graft.PipelineScaleProbe [nDocs] [outBase]"`
+  * (default 500000 docs = 100× sf0.1; the dedup queries double that with
+  * planted twins). Not part of the driver contract.
+  */
+object PipelineScaleProbe {
+
+  /** Deterministic per-doc text — a pure function of (id, seed), so
+    * executors generate their slice without anything being shipped
+    * (ScaleProbe's edgesFor discipline). Token ranks are log-uniform over
+    * a 10k-word vocabulary: rank-1 words land in nearly every doc (the
+    * stopword tier ta_df must keep) while the tail is near-unique.
+    */
+  def docFor(id: Long, seed: Long): (Long, String, String, String, Long) = {
+    val rng = new scala.util.Random(seed ^ (id * 0x9E3779B97F4A7C15L))
+    val len = 20 + rng.nextInt(71) // 20..90 tokens, like the sf tables
+    val lnV = math.log(10000.0)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < len) {
+      if (i > 0) sb.append(' ')
+      sb.append('w').append((math.exp(rng.nextDouble() * lnV)).toLong.max(1L))
+      i += 1
+    }
+    val text = sb.toString
+    val lang = Seq("en", "zh", "de", "fr", "es")(rng.nextInt(5))
+    (id, text, lang, s"src${rng.nextInt(10)}", text.length.toLong)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toInt).getOrElse(500000)
+    val outBase = args.lift(1).getOrElse("target/pscale")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // heap comes from SPARK_DRIVER_MEM via build.sbt's -Xmx (local mode:
+    // spark.driver.memory is ignored once the JVM is up)
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val seed = 2026L
+    val dir = s"$outBase/sf${nDocs}"
+    spark.range(0L, nDocs.toLong).map(docFor(_, seed))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val nTok = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("explode(split(text, ' ')) AS t")
+    println(s"PSCALE gen nDocs=$nDocs totalTokens=${nTok.count()} " +
+      s"distinctTokens=${nTok.distinct().count()}")
+
+    def timed(tag: String)(df: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val d = df
+      d.write.mode("overwrite").parquet(s"$dir/results/$tag.parquet")
+      val dt = (System.nanoTime() - t0) / 1e9
+      val rows = spark.read.parquet(s"$dir/results/$tag.parquet").count()
+      println(f"PSCALE q=$tag t=$dt%.1f s rows=$rows")
+      dt
+    }
+
+    // --- dd_minhash_lsh: run + band-bucket distribution on the real index
+    timed("dd_minhash_lsh")(ops.Dedup.ddMinhashLsh(spark, dir))
+    val (tok, band) = ops.Dedup.minhashShinglesAndBands(spark, dir)
+    // Bucket fan-in: docs sharing the globally-commonest shingles co-bucket
+    // (that IS the LSH design), so the scale invariants are (a) no bucket
+    // approaches the corpus size and (b) the total candidate-pair fan-in
+    // Σ C(bucket, 2) — the real join cost — stays O(n), not O(n²).
+    val buckets = band.groupBy("band", "bh").count()
+      .agg(max("count").as("mx"), expr("percentile(count, 0.99)").as("p99"),
+        avg("count").as("mean"), count(lit(1)).as("nBuckets"),
+        sum(expr("count * (count - 1) div 2")).as("candPairs"))
+      .head()
+    val corpusN = 2L * nDocs
+    println(f"PSCALE mh_buckets max=${buckets.getLong(0)} " +
+      f"p99=${buckets.getDouble(1)}%.1f mean=${buckets.getDouble(2)}%.2f " +
+      f"n=${buckets.getLong(3)} candPairs=${buckets.getLong(4)} " +
+      f"corpus=$corpusN")
+    require(buckets.getLong(0) <= math.max(64L, corpusN / 100),
+      s"minhash bucket blow-up: ${buckets.getLong(0)}")
+    require(buckets.getLong(4) <= 10L * corpusN,
+      s"candidate fan-in superlinear: ${buckets.getLong(4)}")
+    tok.unpersist()
+
+    // --- dd_resolve: run (counted) + simhash band buckets + component sizes
+    val t0 = System.nanoTime()
+    val (resolved, ccRounds) = ops.Pipeline.ddResolveCounted(spark, dir)
+    resolved.write.mode("overwrite").parquet(s"$dir/results/dd_resolve.parquet")
+    println(f"PSCALE q=dd_resolve t=${(System.nanoTime() - t0) / 1e9}%.1f s " +
+      s"rows=${spark.read.parquet(s"$dir/results/dd_resolve.parquet").count()} " +
+      s"ccRounds=$ccRounds")
+    val comp = spark.read.parquet(s"$dir/results/dd_resolve.parquet")
+      .groupBy("canon_id").count()
+      .agg(max("count").as("mx"), count(lit(1)).as("nComps")).head()
+    println(s"PSCALE resolve maxComponent=${comp.getLong(0)} " +
+      s"nComponents=${comp.getLong(1)}")
+    require(ccRounds < 20, s"label propagation hit maxIter: $ccRounds")
+    ops.Dedup.simhash64(spark, dir).createOrReplaceTempView("__sig_probe")
+    val sb = spark.sql(
+      """SELECT MAX(c) AS mx, percentile(c, 0.99) AS p99, AVG(c) AS mean FROM (
+        |  SELECT COUNT(*) AS c
+        |  FROM (SELECT doc_id, shiftright(simhash, 16 * bno) & 65535 AS bk, bno
+        |        FROM __sig_probe LATERAL VIEW explode(sequence(0, 3)) AS bno)
+        |  GROUP BY bno, bk)""".stripMargin).head()
+    println(f"PSCALE sh_buckets max=${sb.getLong(0)} p99=${sb.getDouble(1)}%.1f " +
+      f"mean=${sb.getDouble(2)}%.2f corpus=$corpusN")
+    require(sb.getLong(0) <= math.max(16L, corpusN / 10),
+      s"simhash bucket blow-up: ${sb.getLong(0)}")
+
+    // --- dd_decontam: run + gram-frequency fan-in on the same carve
+    timed("dd_decontam")(ops.Pipeline.ddDecontam(spark, dir))
+    val docsDf = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    def grams(df: DataFrame, idCol: String): DataFrame =
+      df.select(col(idCol), explode(expr(
+        """CASE WHEN size(split(text, ' ')) >= 13
+          |THEN transform(sequence(1, size(split(text, ' ')) - 12),
+          |       i -> xxhash64(array_join(slice(split(text, ' '), i, 13), ' ')))
+          |ELSE array() END""".stripMargin)).as("g")).distinct()
+    val twins = docsDf.select((col("doc_id") + ops.Pipeline.TwinIdOffset).as("doc_id"),
+      expr("array_join(slice(split(text, ' '), 1, " +
+        "(size(split(text, ' ')) * 4) div 5), ' ')").as("text"))
+    val gf = grams(docsDf.unionAll(twins), "doc_id").groupBy("g").count()
+      .agg(max("count").as("mx"), avg("count").as("mean")).head()
+    println(f"PSCALE decontam_gram_freq max=${gf.getLong(0)} " +
+      f"mean=${gf.getDouble(1)}%.3f")
+    require(gf.getLong(0) <= 64, s"gram fan-in blow-up: ${gf.getLong(0)}")
+
+    // --- ds_pack: run + shard balance
+    timed("ds_pack")(ops.Pipeline.dsPack(spark, dir))
+    val shards = spark.read.parquet(s"$dir/results/ds_pack.parquet")
+      .groupBy("bucket").count()
+      .agg(min("count").as("mn"), max("count").as("mx"), count(lit(1)).as("k"))
+      .head()
+    println(s"PSCALE pack_shards min=${shards.getLong(0)} " +
+      s"max=${shards.getLong(1)} k=${shards.getLong(2)}")
+    require(shards.getLong(2) == 16 &&
+      shards.getLong(1) <= (shards.getLong(0) * 1.2).toLong,
+      "md5 shard imbalance > 20%")
+
+    // --- ta_df: run; output must stay vocabulary-sized
+    timed("ta_df")(ops.TextAnalysis.taDf(spark, dir))
+    val dfRows = spark.read.parquet(s"$dir/results/ta_df.parquet").count()
+    require(dfRows > 0 && dfRows < 10000, s"ta_df not vocabulary-sized: $dfRows")
+
+    println("PSCALE done")
+    spark.stop()
+  }
+}

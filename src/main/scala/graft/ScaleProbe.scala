@@ -43,6 +43,18 @@ object ScaleProbe {
                  seed: Long): Seq[(Long, Long, Long)] =
     (0L until n.toLong).flatMap(edgesFor(_, n, k, rewireP, maxC, seed))
 
+  /** The probe family's fixed terminal pick — 8 source / 8 sink samples
+    * from a seeded rng, shared with MfResumeProbe so its killed and
+    * uninterrupted runs solve the exact same instance.
+    */
+  def terminals(n: Int): (Seq[Long], Seq[Long]) = {
+    val rng = new scala.util.Random(13L)
+    val ids = (10L until 10L + n)
+    val sources = Seq.fill(8)(ids(rng.nextInt(n))).distinct
+    val sinks = Seq.fill(8)(ids(rng.nextInt(n))).distinct.filterNot(sources.contains)
+    (sources, sinks)
+  }
+
   /** Sums shuffle write traffic across all stages while registered. */
   private class ShuffleMeter extends SparkListener {
     @volatile var bytes = 0L
@@ -68,10 +80,7 @@ object ScaleProbe {
     import spark.implicits._
 
     val (k, rewireP, maxC, seed) = (4, 0.1, 10, 7L)
-    val rng = new scala.util.Random(13L)
-    val ids = (10L until 10L + n)
-    val sources = Seq.fill(8)(ids(rng.nextInt(n))).distinct
-    val sinks = Seq.fill(8)(ids(rng.nextInt(n))).distinct.filterNot(sources.contains)
+    val (sources, sinks) = terminals(n)
 
     // executors regenerate their slice of the ring — nothing is shipped
     val df = spark.range(0L, n.toLong)

@@ -26,7 +26,14 @@ object ConnectedComponents {
     * @return DataFrame(node: Long, comp: Long) — comp = min node id of the
     *         component
     */
-  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 50): DataFrame =
+    runCounted(spark, edges, maxIter)._1
+
+  /** As [[run]], also reporting the rounds executed (the final, no-change
+    * round included) — the convergence diagnostic the scale probes record.
+    */
+  def runCounted(spark: SparkSession, edges: DataFrame,
+                 maxIter: Int = 50): (DataFrame, Int) = {
     // Exchange sizing is left to AQE partition coalescing — the previous
     // set/restore of spark.sql.shuffle.partitions could leak the shrunken
     // value into a concurrent query planned mid-loop (VERDICT r4 "wrong"
@@ -62,6 +69,6 @@ object ConnectedComponents {
       labels = next
     }
     adj.unpersist()
-    labels
+    (labels, iter)
   }
 }

@@ -72,8 +72,14 @@ object Dedup {
     * 4 bands × 2 rows; bucket-join on (band, bandhash); candidates verified
     * by exact shingle-set Jaccard ≥ 1/2 (integer test 3·|∩| ≥ |A|+|B|).
     */
-  def ddMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions._
+  /** The distinct (doc, 3-shingle) relation and the (doc, band, bandhash)
+    * LSH index behind [[ddMinhashLsh]] — exposed so the scale probe can
+    * measure bucket-size distributions on the REAL relations the query
+    * joins (not a reconstruction). `tok` comes back persisted; the caller
+    * owning the run unpersists it.
+    */
+  private[graft] def minhashShinglesAndBands(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     docs(s, dir)
     // DataFrame API so the exploded shingle relation can be persisted:
     // SQL CTEs are inlined and `tok` (the largest intermediate) would be
@@ -101,6 +107,12 @@ object Dedup {
           md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bh"))): _*))
         .as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    (tok, band)
+  }
+
+  def ddMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (tok, band) = minhashShinglesAndBands(s, dir)
     val cand = band.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
       .join(band.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
         Seq("band", "bh"))

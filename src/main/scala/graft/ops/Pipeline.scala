@@ -26,17 +26,27 @@ object Pipeline {
     * keep-first rule applied across CHAINS of near-duplicates (a≈b, b≈c ⇒
     * a,b,c share one canonical id even when a,c are not within radius).
     */
-  def ddResolve(s: SparkSession, dir: String): DataFrame = {
+  def ddResolve(s: SparkSession, dir: String): DataFrame =
+    ddResolveCounted(s, dir)._1
+
+  /** [[ddResolve]] plus the label-propagation rounds it took to converge —
+    * the diagnostic the pipeline scale probe records (rounds ≤ deepest
+    * near-dup chain).
+    */
+  private[graft] def ddResolveCounted(s: SparkSession,
+                                      dir: String): (DataFrame, Int) = {
     // checkpoint before self-union: Spark's InlineCTE x DeduplicateRelations
     // throws on a self-union of a CTE-bearing plan, and the pair relation
     // is reused by both direction branches anyway
     val pairs = Dedup.ddSimhashPairs(s, dir).localCheckpoint(eager = true)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    graft.graph.ConnectedComponents.run(s, edges, maxIter = 20)
+    val (comps, rounds) =
+      graft.graph.ConnectedComponents.runCounted(s, edges, maxIter = 20)
+    (comps
       .withColumnRenamed("node", "doc_id")
       .withColumnRenamed("comp", "canon_id")
-      .orderBy("doc_id")
+      .orderBy("doc_id"), rounds)
   }
 
   /** Context-window chunking: fixed 32-token windows with stride 24
