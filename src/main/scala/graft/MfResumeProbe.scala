@@ -64,6 +64,10 @@ object MfResumeProbe {
         val n = ns.toInt
         val spark = session()
         val (sources, sinks) = ScaleProbe.terminals(n)
+        // sbt forks this JVM via an @argfile, so the class name is invisible
+        // to pkill/proc-scans — publish our own pid for the kill harness
+        java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/mfresume.pid"),
+          ProcessHandle.current().pid().toString.getBytes("UTF-8"))
         println(s"RESUMEPROBE run started n=$n stateDir=$dir (kill me mid-flight)")
         val r = graft.graph.MaxFlowSchimmy.run(spark, buildGraph(spark, n),
           sources, sinks,
