@@ -28,6 +28,16 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id * 2)").collect()
     spark.range(10000).selectExpr("id % 10 AS k", "id AS v")
       .groupBy("k").sum("v").collect()
+    // …including the TYPED path the iterative engines run on (Dataset
+    // encoders + groupByKey/mapGroups + lazy localCheckpoint): its codegen
+    // is disjoint from the relational warm-up above, and the first loop
+    // query otherwise absorbs ~3 s of it
+    locally {
+      import spark.implicits._
+      spark.range(10000).map(i => (i % 100, i)).groupByKey(_._1)
+        .mapGroups((_, it) => it.foldLeft(0L)(_ + _._2)).collect()
+      spark.range(1000).toDF("id").localCheckpoint(eager = false).count()
+    }
 
     def cleanup(): Unit = {
       // drop caches/checkpoints the query left behind so later queries

@@ -59,10 +59,12 @@ object GraphQueries {
     val sources = (10L to 17L)                          // suppkeys 0..7
     val sinks = (PartOffset + 10L to PartOffset + 17L)  // partkeys 0..7
     // per-workload tuning in the spirit of the reference's mf.* configs:
-    // the bipartite graph meets in 3 hops, so one stale round suffices
-    // before handing the (tiny) remainder to the exactness cleanup
+    // the bipartite graph meets in 3 hops and its accepted flow arrives in
+    // one contiguous burst (measured: rounds 5-7 of 8), so the FIRST stale
+    // round already signals exhaustion — hand the remainder straight to
+    // the exactness cleanup (which guarantees the flow either way)
     val r = MaxFlow.run(s, edges, sources, sinks,
-      MaxFlow.Config(acceptPatience = 2))
+      MaxFlow.Config(acceptPatience = 1))
     Seq(r.flow).toDF("maxflow")
   }
 
