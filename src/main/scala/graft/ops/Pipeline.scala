@@ -146,6 +146,57 @@ object Pipeline {
         |ORDER BY doc_id""".stripMargin)
   }
 
+  /** Deterministic exact-k stratified sampling (the eval-set / ablation
+    * carve-out step): within every (lang, source) stratum keep the k=5
+    * documents with the smallest md5('sample:'||doc_id), rank totalized by
+    * (hash, doc_id). Unlike ds_split's rate-based buckets this yields an
+    * EXACT per-stratum count (≤ k), reproducible across engines, runs and
+    * row orders.
+    *
+    * Scale design: one hash exchange on the stratum key + a rank window
+    * that Spark pushes map-side (WindowGroupLimit — each task keeps only
+    * its local top-k before the shuffle, so the exchange carries
+    * O(strata × k), not the corpus; the q8/ta_tfidf plan family, locked
+    * by PlanSpec for that family).
+    */
+  def dsSample(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "documents").createOrReplaceTempView("__docs")
+    s.sql(
+      """SELECT doc_id, lang, source, rk FROM (
+        |  SELECT doc_id, lang, source,
+        |         ROW_NUMBER() OVER (PARTITION BY lang, source
+        |           ORDER BY md5(concat('sample:', CAST(doc_id AS STRING))),
+        |                    doc_id) AS rk
+        |  FROM __docs)
+        |WHERE rk <= 5 ORDER BY lang, source, rk""".stripMargin)
+  }
+
+  /** Deterministic epoch shuffle (the training-data writer's last step):
+    * every document gets a shard (first hex digit of
+    * md5('shuffle:'||doc_id) — 16 shards here) and an intra-shard
+    * position (rank of the full digest within the shard), i.e. a
+    * reproducible global permutation materialized as (shard, pos) — what
+    * a trainer consumes as shard files read in order.
+    *
+    * Scale design: one hash exchange + per-shard sort — ds_pack's shape;
+    * the shard-digit count is the scale knob (4-5 hex digits at 100 TB so
+    * each shard's sort fits one task). No global sort anywhere: the
+    * final ORDER BY is presentation-only.
+    */
+  def dsShuffle(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "documents").createOrReplaceTempView("__docs")
+    s.sql(
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         md5(concat('shuffle:', CAST(doc_id AS STRING))) AS hx
+        |  FROM __docs)
+        |SELECT doc_id,
+        |       instr('0123456789abcdef', substring(hx, 1, 1)) - 1 AS shard,
+        |       ROW_NUMBER() OVER (
+        |         PARTITION BY substring(hx, 1, 1) ORDER BY hx, doc_id) AS pos
+        |FROM h ORDER BY shard, pos""".stripMargin)
+  }
+
   /** Benchmark decontamination — the parameterized production entry: flag
     * every training document sharing at least one n-token gram with the
     * eval set. `train` carries (doc_id LONG, text STRING); `eval` carries
@@ -212,7 +263,9 @@ object Pipeline {
     "ta_chunk" -> (taChunk _),
     "ta_redact" -> (taRedact _),
     "ds_split" -> (dsSplit _),
-    "ds_pack" -> (dsPack _))
+    "ds_pack" -> (dsPack _),
+    "ds_sample" -> (dsSample _),
+    "ds_shuffle" -> (dsShuffle _))
 
   /** dd_resolve oracle: the full simhash-pair SQL (nested as a CTE
     * subquery) + recursive min-label transitive closure.
@@ -298,6 +351,22 @@ object Pipeline {
         |           substr(md5('split:' || doc_id::VARCHAR), 1, 1)) - 1 AS d
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "ds_sample" ->
+      """SELECT doc_id, lang, source, rk FROM (
+        |  SELECT doc_id, lang, source,
+        |         ROW_NUMBER() OVER (PARTITION BY lang, source
+        |           ORDER BY md5('sample:' || doc_id::VARCHAR), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5 ORDER BY lang, source, rk""".stripMargin.replaceAll("\n", " "),
+    "ds_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5('shuffle:' || doc_id::VARCHAR) AS hx
+        |  FROM documents)
+        |SELECT doc_id,
+        |       strpos('0123456789abcdef', substr(hx, 1, 1)) - 1 AS shard,
+        |       ROW_NUMBER() OVER (
+        |         PARTITION BY substr(hx, 1, 1) ORDER BY hx, doc_id) AS pos
+        |FROM h ORDER BY shard, pos""".stripMargin.replaceAll("\n", " "),
     "ds_pack" ->
       """WITH tok AS (
         |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,

@@ -154,10 +154,11 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == expected.toSeq)
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
   test("ds_pack: matches an in-memory contiguous-fill packing oracle") {
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
     val docs = graft.Tables.load(spark, sf, "documents")
       .selectExpr("doc_id", "size(split(text, ' ')) AS n").collect()
       .map(r => r.getLong(0) -> r.getInt(1))
@@ -188,5 +189,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(frac("train") - 0.75) < 0.08, frac.toString)
     assert(math.abs(frac.getOrElse("val", 0.0) - 0.125) < 0.06, frac.toString)
     assert(math.abs(frac.getOrElse("test", 0.0) - 0.125) < 0.06, frac.toString)
+  }
+
+  test("ds_sample: exact per-stratum k, deterministic, hash-min selection") {
+    val rows = Pipeline.dsSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "lang", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val strata = docs.groupBy(t => (t._2, t._3)).view.mapValues(_.map(_._1))
+    for (((lang, src), got) <- rows.groupBy(t => (t._2, t._3))) {
+      val pool = strata((lang, src))
+      // exact size: min(k, stratum size); ranks contiguous from 1
+      assert(got.length == math.min(5, pool.length), s"stratum ($lang,$src)")
+      assert(got.map(_._4).sorted.toSeq == (1 to got.length))
+      // selection = the k hash-smallest members of the stratum
+      val expect = pool.sortBy(id => (md5hex(s"sample:$id"), id)).take(5).toSet
+      assert(got.map(_._1).toSet == expect, s"stratum ($lang,$src) picks")
+    }
+    val again = Pipeline.dsSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
+  test("ds_shuffle: a reproducible permutation in (shard, pos) order") {
+    val rows = Pipeline.dsShuffle(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val nDocs = graft.Tables.load(spark, sf, "documents").count()
+    // every doc exactly once
+    assert(rows.length.toLong == nDocs)
+    assert(rows.map(_._1).distinct.length.toLong == nDocs)
+    // shards are hex digits; positions contiguous 1..|shard| within each
+    assert(rows.forall(t => t._2 >= 0 && t._2 <= 15))
+    for ((_, inShard) <- rows.groupBy(_._2))
+      assert(inShard.map(_._3).sorted.toSeq == (1 to inShard.length))
+    // the permutation is the md5 order, not the doc_id order (non-vacuous:
+    // some shard holds consecutive positions with descending doc ids)
+    assert(rows.groupBy(_._2).values.exists(s =>
+      s.sortBy(_._3).sliding(2).exists {
+        case Array(a, b) => b._1 < a._1
+        case _ => false
+      }))
   }
 }
