@@ -43,10 +43,52 @@ object Sessionize {
          |ORDER BY user_id, sess_idx""".stripMargin)
   }
 
+  /** Ordered conversion funnel: per user, the first 'view', the first
+    * 'click' STRICTLY AFTER it, and the first 'purchase' strictly after
+    * that — `depth` = how far the user got (1..3). The strict ordering is
+    * what distinguishes a funnel from three independent MINs: a click
+    * before the first view does not count.
+    *
+    * Engine-exactness: MIN over micros timestamps and strict > compares —
+    * integer-exact in both engines. Scale: three user_id hash aggregations
+    * + two user_id equi-joins — one co-partitioning reused end-to-end; the
+    * per-step relations shrink monotonically (funnel property), so each
+    * later join is against a smaller build side.
+    */
+  def evFunnel(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    s.sql(funnelSql("__events"))
+  }
+
+  private def funnelSql(tbl: String): String =
+    s"""WITH v AS (
+       |  SELECT user_id, MIN(ts) AS t_view FROM $tbl
+       |  WHERE event_type = 'view' GROUP BY user_id),
+       |c AS (
+       |  SELECT e.user_id, MIN(e.ts) AS t_click
+       |  FROM $tbl e JOIN v ON v.user_id = e.user_id
+       |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+       |  GROUP BY e.user_id),
+       |p AS (
+       |  SELECT e.user_id, MIN(e.ts) AS t_purchase
+       |  FROM $tbl e JOIN c ON c.user_id = e.user_id
+       |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+       |  GROUP BY e.user_id)
+       |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+       |       CASE WHEN p.t_purchase IS NOT NULL THEN 3
+       |            WHEN c.t_click IS NOT NULL THEN 2
+       |            ELSE 1 END AS depth
+       |FROM v
+       |LEFT JOIN c ON c.user_id = v.user_id
+       |LEFT JOIN p ON p.user_id = v.user_id
+       |ORDER BY v.user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ev_sessionize" -> (evSessionize _))
+    "ev_sessionize" -> (evSessionize _),
+    "ev_funnel" -> (evFunnel _))
 
   val oracleSql: Map[String, String] = Map(
+    "ev_funnel" -> funnelSql("events").replaceAll("\n", " "),
     "ev_sessionize" ->
       s"""WITH flagged AS (
          |  SELECT user_id, ts, event_id, value,

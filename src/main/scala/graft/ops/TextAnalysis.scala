@@ -138,17 +138,68 @@ object TextAnalysis {
          |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin)
   }
 
+  /** Repetition scoring (the Gopher/MassiveText cleaning rule): per
+    * document, the fraction of duplicate 3-grams — highly repetitive
+    * machine-generated text scores high and gets filtered. The corpus has
+    * no natural repetition, so every 5th document gets its first 8 tokens
+    * appended twice (the ta_redact synthesis discipline) — those documents
+    * must then score visibly above their peers.
+    *
+    * Engine-exactness: two exact integer counts and ONE double division
+    * rounded to 6 (the ta_tfidf discipline). Scale: one explode + one
+    * two-level aggregate per doc — COUNT + COUNT(DISTINCT) on (doc,gram),
+    * partial-agg friendly, no joins.
+    */
+  def taDerep(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "documents").createOrReplaceTempView("__ta_docs")
+    s.sql(
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 5 = 0
+         |              THEN concat(text, ' ', rep, ' ', rep) ELSE text END AS text
+         |  FROM (SELECT doc_id, text,
+         |               array_join(slice($toks, 1, 8), ' ') AS rep
+         |        FROM __ta_docs)),
+         |g AS (
+         |  SELECT doc_id, explode(transform(sequence(1, size($toks) - 2),
+         |           i -> concat(element_at($toks, i), ' ',
+         |                       element_at($toks, i + 1), ' ',
+         |                       element_at($toks, i + 2)))) AS g
+         |  FROM aug WHERE size($toks) >= 3)
+         |SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT g) AS d_grams,
+         |       ROUND(1 - CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*), 6)
+         |         AS dup_ratio
+         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_tokens" -> (taTokens _),
     "ta_quality" -> (taQuality _),
     "ta_langid" -> (taLangid _),
     "ta_fingerprint" -> (taFingerprint _),
     "ta_df" -> (taDf _),
-    "ta_tfidf" -> (taTfidf _))
+    "ta_tfidf" -> (taTfidf _),
+    "ta_derep" -> (taDerep _))
 
   private val sqlToks = "string_split(text, ' ')"
 
   val oracleSql: Map[String, String] = Map(
+    "ta_derep" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 5 = 0
+        |              THEN text || ' ' || rep || ' ' || rep ELSE text END AS text
+        |  FROM (SELECT doc_id, text,
+        |               array_to_string(string_split(text, ' ')[1:8], ' ') AS rep
+        |        FROM documents)),
+        |g AS (
+        |  SELECT doc_id, unnest([toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+        |                         FOR i IN generate_series(1, len(toks) - 2)]) AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM aug)
+        |  WHERE len(toks) >= 3)
+        |SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT g) AS d_grams,
+        |       ROUND(1 - COUNT(DISTINCT g)::DOUBLE / COUNT(*), 6) AS dup_ratio
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "ta_tokens" ->
       (s"SELECT doc_id, len($sqlToks) AS n_tokens, " +
         "len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS n_re_tokens, " +

@@ -213,6 +213,61 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("ta_derep: planted repetition scores above the natural baseline") {
+    val rows = TextAnalysis.taDerep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val nDocs = graft.Tables.load(spark, sf, "documents").count()
+    assert(rows.length.toLong == nDocs) // every doc scored
+    assert(rows.forall { case (_, n, d, ratio) =>
+      d <= n && ratio >= 0.0 && ratio <= 1.0 })
+    val (rep, clean) = rows.partition(_._1 % 5 == 0)
+    def meanRatio(xs: Array[(Long, Long, Long, Double)]) =
+      xs.map(_._4).sum / xs.length
+    // the synthesized 2x-appended 8-token prefix must lift the duplicate-
+    // 3-gram fraction well above the small-vocabulary natural baseline
+    assert(meanRatio(rep) > meanRatio(clean) + 0.05,
+      s"rep=${meanRatio(rep)} clean=${meanRatio(clean)}")
+  }
+
+  test("ev_funnel: strict-order depths match an in-memory replay") {
+    val funnel = Sessionize.evFunnel(spark, sf).collect()
+      .map(r => r.getLong(0) -> (Option(r.getTimestamp(1)),
+        Option(r.getTimestamp(2)), Option(r.getTimestamp(3)), r.getInt(4)))
+      .toMap
+    val events = graft.Tables.load(spark, sf, "events")
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+    val byUser = events.groupBy(_._1)
+    val expected = byUser.flatMap { case (u, evs) =>
+      // strict >: Timestamp.compareTo is micros-exact (millis + nanos)
+      def firstAfter(tpe: String, after: Option[java.sql.Timestamp]) = {
+        val c = evs.filter(e => e._2 == tpe &&
+          after.forall(a => e._3.compareTo(a) > 0))
+        if (c.isEmpty) None
+        else Some(c.map(_._3).minBy(t => (t.getTime, t.getNanos)))
+      }
+      firstAfter("view", None).map { tv =>
+        val tc = firstAfter("click", Some(tv))
+        val tp = tc.flatMap(t => firstAfter("purchase", Some(t)))
+        u -> (Some(tv), tc, tp,
+          if (tp.isDefined) 3 else if (tc.isDefined) 2 else 1)
+      }
+    }
+    assert(funnel.keySet == expected.keySet)
+    expected.foreach { case (u, want) =>
+      assert(funnel(u) == want, s"user $u: ${funnel(u)} vs $want") }
+    // non-vacuous: completions exist AND the strict ordering did real work
+    // somewhere — some user's funnel click is LATER than their global first
+    // click (an early click before the first view was excluded)
+    assert(funnel.values.exists(_._4 == 3))
+    val excluded = byUser.exists { case (u, evs) =>
+      funnel.get(u).flatMap(_._2).exists { tc =>
+        evs.exists(e => e._2 == "click" && e._3.compareTo(tc) < 0)
+      }
+    }
+    assert(excluded, "strict ordering never excluded an early click")
+  }
+
   test("ds_shuffle: a reproducible permutation in (shard, pos) order") {
     val rows = Pipeline.dsShuffle(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))

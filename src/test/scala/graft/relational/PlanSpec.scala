@@ -70,6 +70,25 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 bucket exchange, got $exchanges:\n$plan")
   }
 
+  test("ds_sample: stratum top-k rides map-side WindowGroupLimit") {
+    // the exact-k sampler must stay in the q8 plan family: each task keeps
+    // only its local k per stratum before the exchange — a plan without
+    // the partial WindowGroupLimit ships whole strata to the sort
+    val plan = formatted(graft.ops.Pipeline.dsSample(spark, sf))
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"stratified-sample rank pushdown lost:\n$plan")
+  }
+
+  test("ds_shuffle: one shard exchange feeds the permutation window, no global sort before it") {
+    val plan = formatted(graft.ops.Pipeline.dsShuffle(spark, sf))
+    assert(plan.contains("Window"), s"no window operator:\n$plan")
+    // exactly one hash exchange on the shard key; the only range exchange
+    // allowed is the presentation ORDER BY above the window
+    val shardEx = "Exchange hashpartitioning\\(_w".r.findAllIn(plan).length +
+      "Exchange hashpartitioning\\(substring".r.findAllIn(plan).length
+    assert(shardEx == 1, s"expected 1 shard hash exchange, got $shardEx:\n$plan")
+  }
+
   test("bucketed fact-fact join runs with zero exchanges (S5 for relational workloads)") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
