@@ -146,9 +146,13 @@ object TextAnalysis {
     * must then score visibly above their peers.
     *
     * Engine-exactness: two exact integer counts and ONE double division
-    * rounded to 6 (the ta_tfidf discipline). Scale: one explode + one
-    * two-level aggregate per doc — COUNT + COUNT(DISTINCT) on (doc,gram),
-    * partial-agg friendly, no joins.
+    * rounded to 6 (the ta_tfidf discipline). The distinct count runs on
+    * 8-byte xxhash64 gram keys, not the ~25-byte gram strings (the
+    * dd_minhash_lsh verification-key discipline): counts agree with the
+    * string-keyed oracle unless two DISTINCT grams of the SAME document
+    * collide in 64 bits — ~50 grams/doc puts that around 2^-54 per doc.
+    * Scale: one explode + one two-level aggregate per doc — COUNT +
+    * COUNT(DISTINCT) on (doc, gramkey), partial-agg friendly, no joins.
     */
   def taDerep(s: SparkSession, dir: String): DataFrame = {
     Tables.load(s, dir, "documents").createOrReplaceTempView("__ta_docs")
@@ -160,12 +164,15 @@ object TextAnalysis {
          |  FROM (SELECT doc_id, text,
          |               array_join(slice($toks, 1, 8), ' ') AS rep
          |        FROM __ta_docs)),
+         |tok AS (SELECT doc_id, $toks AS toks FROM aug),
          |g AS (
-         |  SELECT doc_id, explode(transform(sequence(1, size($toks) - 2),
-         |           i -> concat(element_at($toks, i), ' ',
-         |                       element_at($toks, i + 1), ' ',
-         |                       element_at($toks, i + 2)))) AS g
-         |  FROM aug WHERE size($toks) >= 3)
+         |  -- toks bound as a column: the lambda's element_at must not
+         |  -- re-split the text per element (O(L^2) otherwise)
+         |  SELECT doc_id, explode(transform(sequence(1, size(toks) - 2),
+         |           i -> xxhash64(concat(element_at(toks, i), ' ',
+         |                         element_at(toks, i + 1), ' ',
+         |                         element_at(toks, i + 2))))) AS g
+         |  FROM tok WHERE size(toks) >= 3)
          |SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT g) AS d_grams,
          |       ROUND(1 - CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*), 6)
          |         AS dup_ratio
