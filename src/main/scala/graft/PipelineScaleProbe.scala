@@ -48,6 +48,10 @@ object PipelineScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
+    // addendum mode: run the round-6 additions against an ALREADY
+    // generated corpus dir (documents.parquet inside), with their own
+    // invariants — `runMain graft.PipelineScaleProbe addendum <dir>`
+    if (args.headOption.contains("addendum")) { addendum(args(1)); return }
     val nDocs = args.headOption.map(_.toInt).getOrElse(500000)
     val outBase = args.lift(1).getOrElse("target/pscale")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -165,6 +169,57 @@ object PipelineScaleProbe {
     require(dfRows > 0 && dfRows < 10000, s"ta_df not vocabulary-sized: $dfRows")
 
     println("PSCALE done")
+    spark.stop()
+  }
+
+  private def addendum(dir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val nDocs = Tables.load(spark, dir, "documents").count()
+
+    def timed(tag: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val d = df
+      d.write.mode("overwrite").parquet(s"$dir/results/$tag.parquet")
+      val dt = (System.nanoTime() - t0) / 1e9
+      val rows = spark.read.parquet(s"$dir/results/$tag.parquet").count()
+      println(f"PSCALE q=$tag t=$dt%.1f s rows=$rows")
+    }
+
+    timed("ta_derep")(ops.TextAnalysis.taDerep(spark, dir))
+    val derep = spark.read.parquet(s"$dir/results/ta_derep.parquet")
+    require(derep.count() == nDocs, "ta_derep lost documents")
+    val means = derep.selectExpr(
+      "avg(CASE WHEN doc_id % 5 = 0 THEN dup_ratio END) AS rep",
+      "avg(CASE WHEN doc_id % 5 != 0 THEN dup_ratio END) AS clean").head()
+    println(f"PSCALE derep repMean=${means.getDouble(0)}%.4f " +
+      f"cleanMean=${means.getDouble(1)}%.4f")
+    require(means.getDouble(0) > means.getDouble(1) + 0.05,
+      "planted repetition not separable at scale")
+
+    timed("ds_sample")(ops.Pipeline.dsSample(spark, dir))
+    val sample = spark.read.parquet(s"$dir/results/ds_sample.parquet")
+    val maxPerStratum = sample.groupBy("lang", "source").count()
+      .agg(max("count")).head().getLong(0)
+    println(s"PSCALE sample rows=${sample.count()} maxPerStratum=$maxPerStratum")
+    require(maxPerStratum <= 5, "stratum k exceeded")
+
+    timed("ds_shuffle")(ops.Pipeline.dsShuffle(spark, dir))
+    val shuffle = spark.read.parquet(s"$dir/results/ds_shuffle.parquet")
+    require(shuffle.count() == nDocs &&
+      shuffle.select("doc_id").distinct().count() == nDocs,
+      "ds_shuffle is not a permutation")
+    val sb = shuffle.groupBy("shard").count()
+      .agg(min("count").as("mn"), max("count").as("mx")).head()
+    println(s"PSCALE shuffle shards min=${sb.getLong(0)} max=${sb.getLong(1)}")
+    require(sb.getLong(1) <= (sb.getLong(0) * 1.2).toLong,
+      "shuffle shard imbalance > 20%")
+
+    println("PSCALE addendum done")
     spark.stop()
   }
 }
