@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import java.sql.Timestamp
+
+/** Streaming counterpart of `ops.Sessionize.evFunnel` (the strict-order
+  * view→click→purchase funnel) via `mapGroupsWithState`-family state:
+  * per-user state is THREE micros timestamps (earliest view, earliest
+  * click strictly after it, earliest purchase strictly after that) —
+  * O(1), co-partitioned by user, evicted on event-time timeout, at which
+  * point the user's final funnel row is emitted.
+  *
+  * Ordering: events within a trigger batch are sorted before folding (the
+  * EventSessionizer discipline); the fold itself is order-robust for the
+  * view step (an earlier view never invalidates a chosen click — the
+  * eligibility window only widens) and relies on the watermark to bound
+  * cross-trigger disorder for the click/purchase steps, like every
+  * incremental funnel. Batch mode (`funnelBatch`) sees each group whole,
+  * so it is EXACT and parity-checked against the oracle-checked SQL query
+  * in StreamingSpec.
+  */
+object FunnelTracker {
+
+  case class FEv(ts: Timestamp, user_id: Long, event_type: String)
+  /** -1 = unset (plain longs keep the state encoder flat). */
+  case class FState(tView: Long, tClick: Long, tPurchase: Long)
+  case class FunnelRow(user_id: Long, t_view: Timestamp, t_click: Timestamp,
+                       t_purchase: Timestamp, depth: Int)
+
+  val Unset: Long = -1L
+
+  private[streaming] def tsToUs(t: Timestamp): Long =
+    EventSessionizer.tsToUs(t)
+
+  /** The shared pure core: fold ts-sorted events into the funnel state.
+    * view keeps the global min; click the min strictly after the view;
+    * purchase the min strictly after the click.
+    */
+  private[streaming] def fold(state: FState, sorted: Seq[(Long, String)]): FState = {
+    var (v, c, p) = (state.tView, state.tClick, state.tPurchase)
+    for ((us, tpe) <- sorted) tpe match {
+      case "view" =>
+        if (v == Unset || us < v) v = us
+      case "click" =>
+        if (v != Unset && us > v && (c == Unset || us < c)) c = us
+      case "purchase" =>
+        if (c != Unset && us > c && (p == Unset || us < p)) p = us
+      case _ => ()
+    }
+    FState(v, c, p)
+  }
+
+  private def toRow(user: Long, s: FState): Option[FunnelRow] =
+    if (s.tView == Unset) None
+    else Some(FunnelRow(user,
+      EventSessionizer.usToTs(s.tView),
+      if (s.tClick == Unset) null else EventSessionizer.usToTs(s.tClick),
+      if (s.tPurchase == Unset) null else EventSessionizer.usToTs(s.tPurchase),
+      if (s.tPurchase != Unset) 3 else if (s.tClick != Unset) 2 else 1))
+
+  private[streaming] def stateFn(user: Long, events: Iterator[FEv],
+                                 state: GroupState[FState]): Iterator[FunnelRow] = {
+    if (state.hasTimedOut) {
+      val out = state.getOption.flatMap(toRow(user, _))
+      state.remove()
+      out.iterator
+    } else {
+      val sorted = events.toArray.map(e => (tsToUs(e.ts), e.event_type))
+        .sortBy(_._1).toSeq
+      val next = fold(state.getOption.getOrElse(FState(Unset, Unset, Unset)),
+        sorted)
+      state.update(next)
+      val maxUs = if (sorted.isEmpty) 0L else sorted.map(_._1).max
+      try {
+        // quiesce rule: emit the funnel row once the user has been silent
+        // past the watermark (30 min after their newest event here)
+        val desiredMs = maxUs / 1000 + EventSessionizer.GapMicros / 1000
+        val timeoutMs =
+          try math.max(desiredMs, state.getCurrentWatermarkMs() + 1)
+          catch { case _: UnsupportedOperationException => desiredMs }
+        state.setTimeoutTimestamp(timeoutMs)
+      } catch {
+        // batch mode: no event-time timeouts — funnelBatch emits directly
+        case _: UnsupportedOperationException => ()
+      }
+      Iterator.empty
+    }
+  }
+
+  /** Streaming entry: rows emit when a user times out past the watermark. */
+  def funnelStream(events: Dataset[FEv]): Dataset[FunnelRow] = {
+    implicit val rowEnc = Encoders.product[FunnelRow]
+    implicit val stEnc = Encoders.product[FState]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(stateFn)
+  }
+
+  /** Batch entry: each group is seen whole, so the same fold is exact. */
+  def funnelBatch(events: Dataset[FEv]): Dataset[FunnelRow] = {
+    implicit val rowEnc = Encoders.product[FunnelRow]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroups { (user, it) =>
+        val sorted = it.map(e => (tsToUs(e.ts), e.event_type)).toArray
+          .sortBy(_._1).toSeq
+        toRow(user, fold(FState(Unset, Unset, Unset), sorted)).iterator
+      }
+  }
+}

@@ -89,6 +89,75 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("funnel: stateful batch == the oracle-checked SQL funnel query") {
+    import spark.implicits._
+    val got = FunnelTracker.funnelBatch(
+      eventsBatch.select("ts", "user_id", "event_type")
+        .as[FunnelTracker.FEv]).collect()
+      .map(r => (r.user_id, r.t_view, Option(r.t_click),
+        Option(r.t_purchase), r.depth)).toSet
+    val want = graft.ops.Sessionize.evFunnel(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), Option(r.getTimestamp(2)),
+        Option(r.getTimestamp(3)), r.getInt(4))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("funnel: streaming (timeout-emitted) == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = eventsBatch.as[Ev].collect().sortBy(_.ts.getTime)
+    val maxTs = data.map(_.ts.getTime).max
+    val stream = MemoryStream[Ev]
+    val rows = FunnelTracker.funnelStream(
+      stream.toDF().withWatermark("ts", "0 seconds")
+        .select("ts", "user_id", "event_type")
+        .as[FunnelTracker.FEv])
+    val q = rows.writeStream.outputMode("append")
+      .format("memory").queryName("funnel_out").start()
+    stream.addData(data.toIndexedSeq)
+    q.processAllAvailable()
+    // sentinel pair: advance the watermark, then let timeouts fire under it
+    stream.addData(Ev(-1L, new Timestamp(maxTs + 24L * 3600 * 1000), -1L, "x", 0.0))
+    q.processAllAvailable()
+    stream.addData(Ev(-2L, new Timestamp(maxTs + 25L * 3600 * 1000), -1L, "x", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("funnel_out")
+      .filter(col("user_id") =!= -1L).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), Option(r.getTimestamp(2)),
+        Option(r.getTimestamp(3)), r.getInt(4))).toSet
+    val want = FunnelTracker.funnelBatch(
+      eventsBatch.select("ts", "user_id", "event_type")
+        .as[FunnelTracker.FEv]).collect()
+      .map(r => (r.user_id, r.t_view, Option(r.t_click),
+        Option(r.t_purchase), r.depth)).toSet
+    assert(got == want)
+  }
+
+  test("funnel fold: strict ordering and order-robust view refinement") {
+    import FunnelTracker.{FState, Unset, fold}
+    def us(s: String) = FunnelTracker.tsToUs(Timestamp.valueOf(s))
+    // click before the first view never counts
+    val a = fold(FState(Unset, Unset, Unset), Seq(
+      us("2024-06-01 09:00:00") -> "click",
+      us("2024-06-01 10:00:00") -> "view",
+      us("2024-06-01 11:00:00") -> "click",
+      us("2024-06-01 12:00:00") -> "purchase"))
+    assert(a == FState(us("2024-06-01 10:00:00"),
+      us("2024-06-01 11:00:00"), us("2024-06-01 12:00:00")))
+    // a later-arriving EARLIER view refines tView without invalidating the
+    // already-chosen click (the eligibility window only widens)
+    val b = fold(a, Seq(us("2024-06-01 08:00:00") -> "view"))
+    assert(b.tView == us("2024-06-01 08:00:00") &&
+      b.tClick == a.tClick && b.tPurchase == a.tPurchase)
+    // purchases without a click never count
+    val c = fold(FState(Unset, Unset, Unset), Seq(
+      us("2024-06-01 10:00:00") -> "view",
+      us("2024-06-01 11:00:00") -> "purchase"))
+    assert(c == FState(us("2024-06-01 10:00:00"), Unset, Unset))
+  }
+
   test("late data behind the watermark is dropped (late-data handling)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
