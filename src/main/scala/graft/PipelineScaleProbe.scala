@@ -52,6 +52,13 @@ object PipelineScaleProbe {
     // generated corpus dir (documents.parquet inside), with their own
     // invariants — `runMain graft.PipelineScaleProbe addendum <dir>`
     if (args.headOption.contains("addendum")) { addendum(args(1)); return }
+    // ANN + events families at 100x: generate embeddings/events, probe
+    // ss_lsh_ann / ss_ivf_ann (with measured recall vs in-probe brute
+    // force), dd_embed_cos twin recall, ev_sessionize, ev_funnel —
+    // `runMain graft.PipelineScaleProbe scale2 <nVec> <nEvents> <dir>`
+    if (args.headOption.contains("scale2")) {
+      scale2(args(1).toInt, args(2).toInt, args(3)); return
+    }
     val nDocs = args.headOption.map(_.toInt).getOrElse(500000)
     val outBase = args.lift(1).getOrElse("target/pscale")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -220,6 +227,134 @@ object PipelineScaleProbe {
       "shuffle shard imbalance > 20%")
 
     println("PSCALE addendum done")
+    spark.stop()
+  }
+
+  /** Deterministic embedding: per-label gaussian direction + per-vector
+    * noise — the testdata's label-cluster shape (what makes label blocking
+    * meaningful) at any scale.
+    */
+  def vecFor(i: Long, dims: Int, nLabels: Int,
+             seed: Long): (Long, Array[Float], Int) = {
+    val label = (i % nLabels).toInt
+    val lr = new scala.util.Random(seed ^ (label * 0xC2B2AE3D27D4EB4FL))
+    // weak label signal (mean intra-label cosine ~0.26, like the testdata):
+    // same-label vectors are CLOSER (blocking stays meaningful) but only
+    // the planted twins cross dd_embed_cos's 0.9 threshold — a strong
+    // signal (0.25 base / 0.12 noise) makes the >=0.9 pair set quadratic
+    // in the block size and exploded the first 100k run's shuffle spill
+    val base = Array.fill(dims)(lr.nextGaussian().toFloat * 0.15f)
+    val vr = new scala.util.Random(seed ^ (i * 0x9E3779B97F4A7C15L))
+    (i, base.map(b => b + vr.nextGaussian().toFloat * 0.25f), label)
+  }
+
+  /** Deterministic event row; ts is NANOS-in-a-long (the driver table's
+    * on-disk convention Tables.load converts).
+    */
+  def evFor(i: Long, nUsers: Int, seed: Long): (Long, Long, Long, String, Double, String) = {
+    val rng = new scala.util.Random(seed ^ (i * 0xD6E8FEB86659FD93L))
+    val types = Array("view", "click", "purchase", "signup", "error")
+    val baseUs = 1717200000000000L // 2024-06-01 UTC, micros
+    val us = baseUs + math.abs(rng.nextLong() % (30L * 24 * 3600 * 1000000))
+    (i, us * 1000, math.abs(rng.nextLong()) % nUsers,
+      types(rng.nextInt(types.length)),
+      math.round(rng.nextDouble() * 10000) / 100.0, s"""{"k":${rng.nextInt(10)}}""")
+  }
+
+  private def scale2(nVec: Int, nEvents: Int, dir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val seed = 2026L
+
+    spark.range(0L, nVec.toLong).map(vecFor(_, 64, 10, seed))
+      .toDF("vec_id", "embedding", "label")
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val nUsers = math.max(100, nEvents / 666) // ~events-per-user of sf0.1
+    spark.range(0L, nEvents.toLong).map(evFor(_, nUsers, seed))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    println(s"PSCALE gen2 nVec=$nVec nEvents=$nEvents nUsers=$nUsers")
+
+    def timed(tag: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val d = df
+      d.write.mode("overwrite").parquet(s"$dir/results/$tag.parquet")
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"PSCALE q=$tag t=$dt%.1f s " +
+        s"rows=${spark.read.parquet(s"$dir/results/$tag.parquet").count()}")
+    }
+
+    // exact top-5 for the 20 LSH query vectors — the recall ground truth,
+    // one brute pass (20 x nVec dots), cheap at any nVec
+    Tables.load(spark, dir, "embeddings").createOrReplaceTempView("__emb_p")
+    val brute = spark.sql(
+      """WITH n AS (
+        |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM __emb_p),
+        |norms AS (SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM n),
+        |scored AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |         graft_dot(q.v, c.v) / (q.nrm * c.nrm) AS cos
+        |  FROM (SELECT * FROM norms WHERE vec_id < 20) q
+        |  JOIN norms c ON c.vec_id <> q.vec_id)
+        |SELECT qid, cid FROM (
+        |  SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY cos DESC, cid) AS rk FROM scored)
+        |WHERE rk <= 5""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    def recall(tag: String, df: DataFrame, qCol: Int, cCol: Int): Unit = {
+      val got = df.collect().map(r => (r.getLong(qCol), r.getLong(cCol))).toSet
+      val r = got.intersect(brute).size.toDouble / brute.size
+      println(f"PSCALE $tag recall@5=${r}%.3f (${got.intersect(brute).size}/${brute.size})")
+    }
+
+    timed("ss_lsh_ann")(ops.Similarity.ssLshAnn(spark, dir))
+    recall("ss_lsh_ann",
+      spark.read.parquet(s"$dir/results/ss_lsh_ann.parquet"), 0, 1)
+    // the scale knob: more planes = smaller buckets + more probes — the
+    // 16-plane configuration the Similarity docstring prescribes beyond
+    // the 8-plane oracle baseline
+    timed("ss_lsh_ann16")(ops.Similarity.ssLshAnnOn(spark,
+      Tables.load(spark, dir, "embeddings"), nPlanes = 16,
+      queryPred = "vec_id < 20", topK = 5))
+    recall("ss_lsh_ann16",
+      spark.read.parquet(s"$dir/results/ss_lsh_ann16.parquet"), 0, 1)
+    timed("ss_ivf_ann")(ops.Similarity.ssIvfAnnOn(spark,
+      Tables.load(spark, dir, "embeddings"), "n.vec_id < 20", 5))
+    recall("ss_ivf_ann",
+      spark.read.parquet(s"$dir/results/ss_ivf_ann.parquet"), 0, 1)
+
+    val t0 = System.nanoTime()
+    val twins = ops.Dedup.ddEmbedCos(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    println(f"PSCALE q=dd_embed_cos t=${(System.nanoTime() - t0) / 1e9}%.1f s " +
+      s"rows=${twins.length}")
+    val twinHits = twins.count { case (a, b) => b == a + ops.Dedup.TwinIdOffset }
+    println(f"PSCALE embed_twin_recall=${twinHits.toDouble / nVec}%.3f")
+    require(twinHits >= (0.8 * nVec).toLong, "twin recall collapsed at scale")
+
+    timed("ev_sessionize")(ops.Sessionize.evSessionize(spark, dir))
+    timed("ev_funnel")(ops.Sessionize.evFunnel(spark, dir))
+    val f = spark.read.parquet(s"$dir/results/ev_funnel.parquet")
+    val depths = f.groupBy("depth").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    println(s"PSCALE funnel depths=$depths")
+    val viewers = spark.sql(
+      "SELECT COUNT(DISTINCT user_id) FROM __events WHERE event_type = 'view'")
+    // __events registered by evFunnel via Tables.load
+    require(f.count() == viewers.head().getLong(0),
+      "funnel rows != users with a view")
+
+    println("PSCALE scale2 done")
     spark.stop()
   }
 }
