@@ -82,11 +82,20 @@ object PipelineScaleProbe {
     println(s"PSCALE gen nDocs=$nDocs totalTokens=${nTok.count()} " +
       s"distinctTokens=${nTok.distinct().count()}")
 
+    // drop caches/checkpoints a query left behind (operators persist
+    // internally, e.g. ddMinhashLsh's shingle relation) so later queries
+    // aren't taxed by pinned memory — the Bench cleanup discipline
+    def cleanup(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+
     def timed(tag: String)(df: => DataFrame): Double = {
       val t0 = System.nanoTime()
       val d = df
       d.write.mode("overwrite").parquet(s"$dir/results/$tag.parquet")
       val dt = (System.nanoTime() - t0) / 1e9
+      cleanup()
       val rows = spark.read.parquet(s"$dir/results/$tag.parquet").count()
       println(f"PSCALE q=$tag t=$dt%.1f s rows=$rows")
       dt
@@ -114,6 +123,7 @@ object PipelineScaleProbe {
     require(buckets.getLong(4) <= 10L * corpusN,
       s"candidate fan-in superlinear: ${buckets.getLong(4)}")
     tok.unpersist()
+    cleanup()
 
     // --- dd_resolve: run (counted) + simhash band buckets + component sizes
     val t0 = System.nanoTime()
@@ -127,7 +137,10 @@ object PipelineScaleProbe {
       .agg(max("count").as("mx"), count(lit(1)).as("nComps")).head()
     println(s"PSCALE resolve maxComponent=${comp.getLong(0)} " +
       s"nComponents=${comp.getLong(1)}")
-    require(ccRounds < 20, s"label propagation hit maxIter: $ccRounds")
+    // the invariant is that rounds do NOT grow with corpus size (near-dup
+    // chains are shallow; measured 2 at every scale) — a bound well under
+    // ddResolve's maxIter also avoids the converged-at-cap ambiguity
+    require(ccRounds <= 10, s"label propagation rounds grew to $ccRounds")
     ops.Dedup.simhash64(spark, dir).createOrReplaceTempView("__sig_probe")
     val sb = spark.sql(
       """SELECT MAX(c) AS mx, percentile(c, 0.99) AS p99, AVG(c) AS mean FROM (
@@ -293,22 +306,10 @@ object PipelineScaleProbe {
     }
 
     // exact top-5 for the 20 LSH query vectors — the recall ground truth,
-    // one brute pass (20 x nVec dots), cheap at any nVec
-    Tables.load(spark, dir, "embeddings").createOrReplaceTempView("__emb_p")
-    val brute = spark.sql(
-      """WITH n AS (
-        |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM __emb_p),
-        |norms AS (SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM n),
-        |scored AS (
-        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
-        |         graft_dot(q.v, c.v) / (q.nrm * c.nrm) AS cos
-        |  FROM (SELECT * FROM norms WHERE vec_id < 20) q
-        |  JOIN norms c ON c.vec_id <> q.vec_id)
-        |SELECT qid, cid FROM (
-        |  SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
-        |    ORDER BY cos DESC, cid) AS rk FROM scored)
-        |WHERE rk <= 5""".stripMargin).collect()
+    // via the SAME helper the ANN specs use as their denominator (one
+    // brute pass, 20 x nVec dots, cheap at any nVec)
+    val brute = ops.Similarity.bruteTopkOn(spark,
+      Tables.load(spark, dir, "embeddings"), "vec_id < 20", 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
     def recall(tag: String, df: DataFrame, qCol: Int, cCol: Int): Unit = {

@@ -430,13 +430,9 @@ object MaxFlow {
     */
   def resume(spark: SparkSession, stateDir: String,
              conf: Config = Config()): Result = {
-    val io = graft.sources.StateIO
-    io.latestRound(spark, stateDir) match {
-      case Some(r) =>
-        runLoop(spark, io.readState(spark, io.roundDir(stateDir, r)), conf, r)
-      case None =>
-        runLoop(spark, io.readState(spark, stateDir), conf)
-    }
+    val (st, startRound) =
+      graft.sources.StateIO.readLatestForResume(spark, stateDir)
+    runLoop(spark, st, conf, startRound)
   }
 
   private def runLoop(spark: SparkSession, initial: Dataset[VertexState],
@@ -578,10 +574,16 @@ object MaxFlow {
             assignment.update(k, assignment.getOrElse(k, 0L) + v)
           }
           // the refreshed state is only observable through a durable
-          // checkpoint — skip the extra full-state job when none is asked
-          if (conf.stateDir.nonEmpty) {
+          // checkpoint — when one is asked, refresh AND WRITE it (the
+          // final round dir then includes the cleanup flow; a resume sees
+          // a quiescent graph). Overwriting the newest round is kill-safe:
+          // pruning keeps 2, so the previous complete round survives a
+          // crash mid-write.
+          conf.stateDir.foreach { dir =>
             val bc = sc.broadcast(delta)
-            state = state.map(applyDeltaOnly(_, bc.value)).localCheckpoint(eager = true)
+            state = state.map(applyDeltaOnly(_, bc.value))
+              .localCheckpoint(eager = false)
+            graft.sources.StateIO.writeRound(state, dir, round)
           }
           cleanupFlow = extra
         }

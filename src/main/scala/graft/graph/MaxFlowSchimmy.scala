@@ -69,15 +69,10 @@ object MaxFlowSchimmy {
     */
   def resume(spark: SparkSession, stateDir: String,
              conf: MaxFlow.Config = MaxFlow.Config()): MaxFlow.Result = {
-    val io = graft.sources.StateIO
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    io.latestRound(spark, stateDir) match {
-      case Some(r) =>
-        runLoop(spark, io.readState(spark, io.roundDir(stateDir, r)), conf,
-          parts, r)
-      case None =>
-        runLoop(spark, io.readState(spark, stateDir), conf, parts)
-    }
+    val (st, startRound) =
+      graft.sources.StateIO.readLatestForResume(spark, stateDir)
+    runLoop(spark, st, conf,
+      spark.conf.get("spark.sql.shuffle.partitions").toInt, startRound)
   }
 
   private def runLoop(spark: SparkSession, initial: Dataset[VertexState],
@@ -230,6 +225,14 @@ object MaxFlowSchimmy {
         allPaths ++= cleanPaths
         delta.foreach { case (k, v) =>
           assignment.update(k, assignment.getOrElse(k, 0L) + v)
+        }
+        // durable parity with v1: the final round checkpoint must include
+        // the cleanup flow so a resume sees a quiescent graph
+        conf.stateDir.foreach { dir =>
+          val bcD = sc.broadcast(delta)
+          graft.sources.StateIO.writeRound(
+            typedState.map(MaxFlow.applyDeltaOnly(_, bcD.value)), dir, round)
+          bcD.destroy()
         }
         cleanupFlow = extra
       }

@@ -64,14 +64,6 @@ object Dedup {
         |) WHERE rn = 1 ORDER BY doc_id""".stripMargin)
   }
 
-  /** MinHash + LSH banding near-dup detection over 3-word shingles
-    * (token-level sets are degenerate on a ~30-word vocabulary — nearly
-    * all pairs exceed the Jaccard threshold; shingles restore selectivity):
-    * 8 minhashes h_i = min over distinct shingles of md5(i:shingle) (the
-    * lexicographic min of a hex digest is a valid minhash permutation),
-    * 4 bands × 2 rows; bucket-join on (band, bandhash); candidates verified
-    * by exact shingle-set Jaccard ≥ 1/2 (integer test 3·|∩| ≥ |A|+|B|).
-    */
   /** The distinct (doc, 3-shingle) relation and the (doc, band, bandhash)
     * LSH index behind [[ddMinhashLsh]] — exposed so the scale probe can
     * measure bucket-size distributions on the REAL relations the query
@@ -110,6 +102,14 @@ object Dedup {
     (tok, band)
   }
 
+  /** MinHash + LSH banding near-dup detection over 3-word shingles
+    * (token-level sets are degenerate on a ~30-word vocabulary — nearly
+    * all pairs exceed the Jaccard threshold; shingles restore selectivity):
+    * 8 minhashes h_i = min over distinct shingles of md5(i:shingle) (the
+    * lexicographic min of a hex digest is a valid minhash permutation),
+    * 4 bands × 2 rows; bucket-join on (band, bandhash); candidates verified
+    * by exact shingle-set Jaccard ≥ 1/2 (integer test 3·|∩| ≥ |A|+|B|).
+    */
   def ddMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val (tok, band) = minhashShinglesAndBands(s, dir)

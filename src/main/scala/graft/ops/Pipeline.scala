@@ -287,10 +287,10 @@ object Pipeline {
   val oracleSql: Map[String, String] = Map(
     "dd_resolve" -> ddResolveOracle,
     "dd_decontam" ->
-      """WITH corpus AS (
+      s"""WITH corpus AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1099511627776 AS doc_id, toks[1:(len(toks) * 4) // 5] AS toks
+        |  SELECT doc_id + ${TwinIdOffset} AS doc_id, toks[1:(len(toks) * 4) // 5] AS toks
         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
         |eval AS (
         |  SELECT doc_id AS eval_id, string_split(text, ' ')[6:26] AS toks

@@ -61,6 +61,28 @@ object StateIO {
       }
   }
 
+  /** Resume source: state + start-round from the newest COMPLETE round
+    * dir; a CLEAR error when only in-progress round dirs exist (a crash
+    * during the first-ever checkpoint write) — a raw parquet read of the
+    * base dir would surface as a baffling schema-inference failure; flat
+    * dirs written directly by [[writeState]] still resume at round 0.
+    */
+  def readLatestForResume(spark: SparkSession,
+                          base: String): (Dataset[VertexState], Int) =
+    latestRound(spark, base) match {
+      case Some(r) => (readState(spark, roundDir(base, r)), r)
+      case None =>
+        val p = new org.apache.hadoop.fs.Path(base)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val onlyIncomplete = fs.exists(p) && fs.listStatus(p).exists(st =>
+          st.isDirectory && st.getPath.getName.startsWith("round-"))
+        if (onlyIncomplete)
+          sys.error(s"no COMPLETE round checkpoint under $base — only " +
+            "in-progress round-* dirs without _SUCCESS (crash during the " +
+            "first checkpoint write); nothing usable to resume from")
+        (readState(spark, base), 0)
+    }
+
   /** Bound checkpoint storage: drop all but the newest `keep` complete
     * rounds (plus any incomplete dirs, which are overwritten in place if
     * the same round index recurs).

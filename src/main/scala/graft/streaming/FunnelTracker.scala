@@ -24,8 +24,13 @@ import java.sql.Timestamp
 object FunnelTracker {
 
   case class FEv(ts: Timestamp, user_id: Long, event_type: String)
-  /** -1 = unset (plain longs keep the state encoder flat). */
-  case class FState(tView: Long, tClick: Long, tPurchase: Long)
+  /** -1 = unset (plain longs keep the state encoder flat). `tMax` is the
+    * newest event micros ever seen for the user — the quiesce deadline
+    * must be computed from it, NOT from the current batch alone: a
+    * late-arriving older event would otherwise SHRINK the deadline and
+    * emit the funnel row prematurely (dropping later in-time events).
+    */
+  case class FState(tView: Long, tClick: Long, tPurchase: Long, tMax: Long)
   case class FunnelRow(user_id: Long, t_view: Timestamp, t_click: Timestamp,
                        t_purchase: Timestamp, depth: Int)
 
@@ -49,7 +54,7 @@ object FunnelTracker {
         if (c != Unset && us > c && (p == Unset || us < p)) p = us
       case _ => ()
     }
-    FState(v, c, p)
+    FState(v, c, p, state.tMax)
   }
 
   private def toRow(user: Long, s: FState): Option[FunnelRow] =
@@ -69,14 +74,16 @@ object FunnelTracker {
     } else {
       val sorted = events.toArray.map(e => (tsToUs(e.ts), e.event_type))
         .sortBy(_._1).toSeq
-      val next = fold(state.getOption.getOrElse(FState(Unset, Unset, Unset)),
-        sorted)
+      val prev = state.getOption.getOrElse(FState(Unset, Unset, Unset, 0L))
+      val batchMax = if (sorted.isEmpty) 0L else sorted.map(_._1).max
+      val next = fold(prev, sorted)
+        .copy(tMax = math.max(prev.tMax, batchMax))
       state.update(next)
-      val maxUs = if (sorted.isEmpty) 0L else sorted.map(_._1).max
       try {
         // quiesce rule: emit the funnel row once the user has been silent
-        // past the watermark (30 min after their newest event here)
-        val desiredMs = maxUs / 1000 + EventSessionizer.GapMicros / 1000
+        // past the watermark — 30 min after the newest event EVER seen
+        // (monotone across batches even under late data)
+        val desiredMs = next.tMax / 1000 + EventSessionizer.GapMicros / 1000
         val timeoutMs =
           try math.max(desiredMs, state.getCurrentWatermarkMs() + 1)
           catch { case _: UnsupportedOperationException => desiredMs }
@@ -105,7 +112,7 @@ object FunnelTracker {
       .flatMapGroups { (user, it) =>
         val sorted = it.map(e => (tsToUs(e.ts), e.event_type)).toArray
           .sortBy(_._1).toSeq
-        toRow(user, fold(FState(Unset, Unset, Unset), sorted)).iterator
+        toRow(user, fold(FState(Unset, Unset, Unset, 0L), sorted)).iterator
       }
   }
 }

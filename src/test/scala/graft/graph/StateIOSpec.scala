@@ -84,6 +84,19 @@ class StateIOSpec extends AnyFunSuite {
     assert(rest.rounds_report.head.round == first.rounds_report.last.round + 1)
   }
 
+  test("cleanup flow reaches the durable checkpoint (resume sees a quiescent graph)") {
+    val (edges, sources, sinks) = GraphSources.readDimacs(spark, fixture("clrs.dimacs"))
+    val dir = java.nio.file.Files.createTempDirectory("resume-clean").toString + "/rounds"
+    // stop the loop early so the exactness cleanup carries real flow, with
+    // checkpoints on: the final round dir must be REWRITTEN post-cleanup
+    val first = MaxFlow.run(spark, edges, sources, sinks,
+      MaxFlow.Config(maxRounds = 2, stateDir = Some(dir), checkpointEvery = 1))
+    assert(first.flow == 23L && first.cleanupFlow > 0L)
+    val rest = MaxFlow.resume(spark, dir)
+    assert(rest.flow == 0L,
+      s"checkpoint missing cleanup flow: resume re-found ${rest.flow}")
+  }
+
   test("random-K truncation (A6) stays exact (oracle equality)") {
     val edges = EdmondsKarp.randomGraph(n = 10, edgeProb = 0.3, maxCap = 8, seed = 5)
     val ids = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted

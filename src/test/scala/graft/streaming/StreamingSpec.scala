@@ -139,23 +139,23 @@ class StreamingSpec extends AnyFunSuite {
     import FunnelTracker.{FState, Unset, fold}
     def us(s: String) = FunnelTracker.tsToUs(Timestamp.valueOf(s))
     // click before the first view never counts
-    val a = fold(FState(Unset, Unset, Unset), Seq(
+    val a = fold(FState(Unset, Unset, Unset, 0L), Seq(
       us("2024-06-01 09:00:00") -> "click",
       us("2024-06-01 10:00:00") -> "view",
       us("2024-06-01 11:00:00") -> "click",
       us("2024-06-01 12:00:00") -> "purchase"))
     assert(a == FState(us("2024-06-01 10:00:00"),
-      us("2024-06-01 11:00:00"), us("2024-06-01 12:00:00")))
+      us("2024-06-01 11:00:00"), us("2024-06-01 12:00:00"), 0L))
     // a later-arriving EARLIER view refines tView without invalidating the
     // already-chosen click (the eligibility window only widens)
     val b = fold(a, Seq(us("2024-06-01 08:00:00") -> "view"))
     assert(b.tView == us("2024-06-01 08:00:00") &&
       b.tClick == a.tClick && b.tPurchase == a.tPurchase)
     // purchases without a click never count
-    val c = fold(FState(Unset, Unset, Unset), Seq(
+    val c = fold(FState(Unset, Unset, Unset, 0L), Seq(
       us("2024-06-01 10:00:00") -> "view",
       us("2024-06-01 11:00:00") -> "purchase"))
-    assert(c == FState(us("2024-06-01 10:00:00"), Unset, Unset))
+    assert(c == FState(us("2024-06-01 10:00:00"), Unset, Unset, 0L))
   }
 
   test("late data behind the watermark is dropped (late-data handling)") {
