@@ -196,32 +196,31 @@ object Dedup {
          |                            element_at(toks, i + 2)))
          |         ELSE array() END) AS tok
          |  FROM corpus),
-         |tokh AS (SELECT doc_id, md5(tok) AS h FROM tok),
-         |-- one row per hex DIGIT (16), not per bit (64): each digit carries
-         |-- bits 4d..4d+3, whose votes accumulate as four parallel SUMs in
-         |-- the same groupBy — 4x less explode fan-out for identical per-bit
-         |-- vote totals (VERDICT r2 "wrong" #4)
+         |-- NO explode at all (r6; previously one row per hex digit): the
+         |-- digest's 16 digits become 16 columns, and all 64 bit-votes run
+         |-- as parallel SUMs in ONE groupBy — at 500k docs this is a 55M-row
+         |-- aggregate instead of an 880M-row one. Vote arithmetic per bit
+         |-- (sum of ±1 over distinct shingles, sign rule s > 0) is
+         |-- unchanged, so the signature is bit-identical to the oracle's.
          |dig AS (
-         |  SELECT doc_id, d,
-         |         instr('0123456789abcdef', substring(h, 1 + d, 1)) - 1 AS nd
-         |  FROM tokh LATERAL VIEW explode(sequence(0, 15)) AS d),
+         |  SELECT doc_id,
+         |         ${(0 to 15).map(d =>
+              s"instr('0123456789abcdef', substring(h, ${1 + d}, 1)) - 1 AS nd$d")
+              .mkString(", ")}
+         |  FROM (SELECT doc_id, md5(tok) AS h FROM tok)),
          |votes AS (
-         |  SELECT doc_id, d,
-         |         SUM(2 * (nd & 1) - 1)                 AS s0,
-         |         SUM(2 * (shiftright(nd, 1) & 1) - 1)  AS s1,
-         |         SUM(2 * (shiftright(nd, 2) & 1) - 1)  AS s2,
-         |         SUM(2 * (shiftright(nd, 3) & 1) - 1)  AS s3
-         |  FROM dig GROUP BY doc_id, d)
+         |  SELECT doc_id,
+         |         ${(0 to 63).map { k =>
+              val (d, b) = (k / 4, k % 4)
+              val bit = if (b == 0) s"nd$d & 1" else s"shiftright(nd$d, $b) & 1"
+              s"SUM(2 * ($bit) - 1) AS s$k"
+            }.mkString(", ")}
+         |  FROM dig GROUP BY doc_id)
          |SELECT doc_id,
-         |       SUM(CASE WHEN s0 > 0 THEN shiftleft(CAST(1 AS BIGINT), 4 * d)
-         |           ELSE CAST(0 AS BIGINT) END
-         |         + CASE WHEN s1 > 0 THEN shiftleft(CAST(1 AS BIGINT), 4 * d + 1)
-         |           ELSE CAST(0 AS BIGINT) END
-         |         + CASE WHEN s2 > 0 THEN shiftleft(CAST(1 AS BIGINT), 4 * d + 2)
-         |           ELSE CAST(0 AS BIGINT) END
-         |         + CASE WHEN s3 > 0 THEN shiftleft(CAST(1 AS BIGINT), 4 * d + 3)
-         |           ELSE CAST(0 AS BIGINT) END) AS simhash
-         |FROM votes GROUP BY doc_id""".stripMargin)
+         |       ${(0 to 63).map(k =>
+              s"CASE WHEN s$k > 0 THEN shiftleft(CAST(1 AS BIGINT), $k) " +
+                "ELSE CAST(0 AS BIGINT) END").mkString(" +\n         ")} AS simhash
+         |FROM votes""".stripMargin)
   }
 
   /** SimHash near-dup PAIRS, standard banded Hamming-LSH: 64-bit shingle
