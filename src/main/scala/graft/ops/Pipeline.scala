@@ -197,6 +197,33 @@ object Pipeline {
         |FROM h ORDER BY shard, pos""".stripMargin)
   }
 
+  /** Deterministic source-mixture weighting (the data-mixing step: each
+    * source contributes at its configured rate, e.g. wiki oversampled,
+    * crawl downsampled). A document survives iff its first two md5 hex
+    * digits (a uniform 0..255 draw, keyed 'mix:'||doc_id so it is
+    * independent of ds_split's and ds_sample's draws) fall under the
+    * source's threshold. Rates here: src<k> keeps (k+1)/10 — every source
+    * present, ratios visibly distinct, integer-exact in both engines.
+    *
+    * Scale design: narrow single-pass filter — no shuffle at all except
+    * the presentation ORDER BY; the mixing decision is a pure function of
+    * (doc_id, source), so it is reproducible shard-by-shard with no
+    * coordination, at any corpus size.
+    */
+  def dsMix(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "documents").createOrReplaceTempView("__docs")
+    s.sql(
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |         (instr('0123456789abcdef',
+        |            substring(md5(concat('mix:', CAST(doc_id AS STRING))), 1, 1)) - 1) * 16
+        |         + instr('0123456789abcdef',
+        |             substring(md5(concat('mix:', CAST(doc_id AS STRING))), 2, 1)) - 1 AS d,
+        |         (CAST(substring(source, 4) AS INT) + 1) * 256 div 10 AS thr
+        |  FROM __docs)
+        |WHERE d < thr ORDER BY doc_id""".stripMargin)
+  }
+
   /** Benchmark decontamination — the parameterized production entry: flag
     * every training document sharing at least one n-token gram with the
     * eval set. `train` carries (doc_id LONG, text STRING); `eval` carries
@@ -265,7 +292,8 @@ object Pipeline {
     "ds_split" -> (dsSplit _),
     "ds_pack" -> (dsPack _),
     "ds_sample" -> (dsSample _),
-    "ds_shuffle" -> (dsShuffle _))
+    "ds_shuffle" -> (dsShuffle _),
+    "ds_mix" -> (dsMix _))
 
   /** dd_resolve oracle: the full simhash-pair SQL (nested as a CTE
     * subquery) + recursive min-label transitive closure.
@@ -351,6 +379,16 @@ object Pipeline {
         |           substr(md5('split:' || doc_id::VARCHAR), 1, 1)) - 1 AS d
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "ds_mix" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |         (strpos('0123456789abcdef',
+        |            substr(md5('mix:' || doc_id::VARCHAR), 1, 1)) - 1) * 16
+        |         + strpos('0123456789abcdef',
+        |             substr(md5('mix:' || doc_id::VARCHAR), 2, 1)) - 1 AS d,
+        |         (substr(source, 4)::INT + 1) * 256 // 10 AS thr
+        |  FROM documents)
+        |WHERE d < thr ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "ds_sample" ->
       """SELECT doc_id, lang, source, rk FROM (
         |  SELECT doc_id, lang, source,

@@ -268,6 +268,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(excluded, "strict ordering never excluded an early click")
   }
 
+  test("ds_mix: per-source keep rates track the configured weights") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val kept = Pipeline.dsMix(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.nonEmpty && kept.toSet.subsetOf(docs.toSet))
+    // in-memory oracle: exact same hash threshold per doc
+    val expect = docs.filter { case (id, src) =>
+      val h = md5hex(s"mix:$id")
+      val d = "0123456789abcdef".indexOf(h(0)) * 16 +
+        "0123456789abcdef".indexOf(h(1))
+      d < (src.stripPrefix("src").toInt + 1) * 256 / 10
+    }.toSet
+    assert(kept.toSet == expect)
+    // rates are visibly ordered: src9 keeps (nearly) everything it has,
+    // src0's keep fraction is far below it
+    val byDocs = docs.groupBy(_._2).view.mapValues(_.length.toDouble)
+    val byKept = kept.groupBy(_._2).view.mapValues(_.length.toDouble)
+    val r0 = byKept.getOrElse("src0", 0.0) / byDocs("src0")
+    val r9 = byKept.getOrElse("src9", 0.0) / byDocs("src9")
+    assert(r9 > r0 + 0.3, s"src0=$r0 src9=$r9")
+  }
+
   test("ds_shuffle: a reproducible permutation in (shard, pos) order") {
     val rows = Pipeline.dsShuffle(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
