@@ -574,16 +574,19 @@ object MaxFlow {
             assignment.update(k, assignment.getOrElse(k, 0L) + v)
           }
           // the refreshed state is only observable through a durable
-          // checkpoint — when one is asked, refresh AND WRITE it (the
-          // final round dir then includes the cleanup flow; a resume sees
-          // a quiescent graph). Overwriting the newest round is kill-safe:
-          // pruning keeps 2, so the previous complete round survives a
-          // crash mid-write.
+          // checkpoint — when one is asked, refresh AND WRITE it as round
+          // round+1 (a NEW dir, the writeRound never-overwrite discipline):
+          // an in-place rewrite of the newest round dir would open a
+          // delete-then-write window that, when it is the ONLY complete
+          // round, can leave zero resumable checkpoints after a kill. A
+          // resume then sees a quiescent graph under the next round index.
           conf.stateDir.foreach { dir =>
             val bc = sc.broadcast(delta)
             state = state.map(applyDeltaOnly(_, bc.value))
               .localCheckpoint(eager = false)
-            graft.sources.StateIO.writeRound(state, dir, round)
+            graft.sources.StateIO.writeRound(state, dir, round + 1)
+            graft.sources.StateIO.pruneRounds(spark, dir)
+            bc.destroy() // writeRound materialized the lazy checkpoint
           }
           cleanupFlow = extra
         }
@@ -618,7 +621,15 @@ object MaxFlow {
             }
             val bc = sc.broadcast(delta.toMap)
             state = state.map(applyDeltaOnly(_, bc.value)).localCheckpoint(eager = true)
+            bc.destroy() // eager: already materialized
           }
+        }
+        // same durable contract as the driver-side path: when the fallback
+        // found flow, a resume must see the quiescent post-cleanup graph —
+        // written as round+1 (never overwriting the newest complete dir)
+        if (cleanupFlow > 0) conf.stateDir.foreach { dir =>
+          graft.sources.StateIO.writeRound(state, dir, round + 1)
+          graft.sources.StateIO.pruneRounds(spark, dir)
         }
       }
     }

@@ -97,6 +97,24 @@ class StateIOSpec extends AnyFunSuite {
       s"checkpoint missing cleanup flow: resume re-found ${rest.flow}")
   }
 
+  test("distributed-fallback cleanup also reaches the durable checkpoint") {
+    val (edges, sources, sinks) = GraphSources.readDimacs(spark, fixture("clrs.dimacs"))
+    val dir = java.nio.file.Files.createTempDirectory("resume-fb").toString + "/rounds"
+    // driverCleanupMaxEdges = 0 forces the distributed BFS fallback; it
+    // must honor the same durable contract as the driver-side path
+    val first = MaxFlow.run(spark, edges, sources, sinks,
+      MaxFlow.Config(maxRounds = 2, stateDir = Some(dir), checkpointEvery = 1,
+        driverCleanupMaxEdges = 0L))
+    assert(first.flow == 23L && first.cleanupFlow > 0L)
+    // the cleanup state lands in a NEW round dir (round+1) — never an
+    // in-place overwrite of the newest complete checkpoint
+    assert(StateIO.latestRound(spark, dir).exists(_ > first.rounds),
+      s"latest=${StateIO.latestRound(spark, dir)} rounds=${first.rounds}")
+    val rest = MaxFlow.resume(spark, dir)
+    assert(rest.flow == 0L,
+      s"fallback checkpoint missing cleanup flow: resume re-found ${rest.flow}")
+  }
+
   test("random-K truncation (A6) stays exact (oracle equality)") {
     val edges = EdmondsKarp.randomGraph(n = 10, edgeProb = 0.3, maxCap = 8, seed = 5)
     val ids = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
