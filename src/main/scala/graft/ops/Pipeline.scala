@@ -70,30 +70,47 @@ object Pipeline {
         |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin)
   }
 
-  /** PII redaction: global regex replacement of emails and phone numbers.
-    * The synthetic corpus has no PII, so every third document gets a
-    * deterministic fake contact line appended before redaction — the op
-    * is exercised non-vacuously and the redacted output plus match counts
-    * are oracle-checked.
+  /** One redaction rule: match counts surface as column `n_<name>`, and
+    * every match of `pattern` (Java regex) is replaced by `replacement`.
+    */
+  case class RedactRule(name: String, pattern: String, replacement: String)
+
+  /** PII redaction over an arbitrary (doc_id, text) corpus with a
+    * caller-supplied rule set — the production entry ("redact MY patterns
+    * from MY corpus"). Counts are measured on the ORIGINAL text (so a
+    * later rule's replacement cannot mask an earlier rule's count);
+    * replacements chain in rule order. Narrow single-pass at any scale —
+    * only the presentation ORDER BY exchanges.
+    */
+  def taRedact(docs: DataFrame, rules: Seq[RedactRule]): DataFrame = {
+    val counts = rules.map(r =>
+      size(regexp_extract_all(col("text"), lit(r.pattern), lit(0)))
+        .as(s"n_${r.name}"))
+    val redacted = rules.foldLeft(col("text")) { (c, r) =>
+      regexp_replace(c, r.pattern, r.replacement)
+    }
+    docs.select(col("doc_id") +: counts :+ redacted.as("redacted"): _*)
+      .orderBy("doc_id")
+  }
+
+  /** The oracle-checked redaction query: the synthetic corpus has no PII,
+    * so every third document gets a deterministic fake contact line
+    * appended, then the email/phone rule set delegates to the
+    * parameterized [[taRedact(docs:*]] entry.
     */
   def taRedact(s: SparkSession, dir: String): DataFrame = {
     Tables.load(s, dir, "documents").createOrReplaceTempView("__docs")
-    s.sql(
-      """WITH aug AS (
-        |  SELECT doc_id,
-        |         CASE WHEN doc_id % 3 = 0
-        |              THEN concat(text, ' contact user', CAST(doc_id AS STRING),
-        |                          '@example.com or +1-555-',
-        |                          substring(CAST(1000 + doc_id % 9000 AS STRING), 1, 4))
-        |              ELSE text END AS text
-        |  FROM __docs)
-        |SELECT doc_id,
-        |       size(regexp_extract_all(text, '[a-z0-9]+@[a-z]+\\.[a-z]+', 0)) AS n_emails,
-        |       size(regexp_extract_all(text, '\\+1-555-[0-9]{4}', 0)) AS n_phones,
-        |       regexp_replace(regexp_replace(text,
-        |         '[a-z0-9]+@[a-z]+\\.[a-z]+', '<EMAIL>'),
-        |         '\\+1-555-[0-9]{4}', '<PHONE>') AS redacted
-        |FROM aug ORDER BY doc_id""".stripMargin)
+    val aug = s.sql(
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 3 = 0
+        |            THEN concat(text, ' contact user', CAST(doc_id AS STRING),
+        |                        '@example.com or +1-555-',
+        |                        substring(CAST(1000 + doc_id % 9000 AS STRING), 1, 4))
+        |            ELSE text END AS text
+        |FROM __docs""".stripMargin)
+    taRedact(aug, Seq(
+      RedactRule("emails", "[a-z0-9]+@[a-z]+\\.[a-z]+", "<EMAIL>"),
+      RedactRule("phones", "\\+1-555-[0-9]{4}", "<PHONE>")))
   }
 
   /** Deterministic stratified train/val/test split: the first hex digit of
@@ -211,17 +228,51 @@ object Pipeline {
     * coordination, at any corpus size.
     */
   def dsMix(s: SparkSession, dir: String): DataFrame = {
-    Tables.load(s, dir, "documents").createOrReplaceTempView("__docs")
-    s.sql(
-      """SELECT doc_id, source FROM (
-        |  SELECT doc_id, source,
-        |         (instr('0123456789abcdef',
-        |            substring(md5(concat('mix:', CAST(doc_id AS STRING))), 1, 1)) - 1) * 16
-        |         + instr('0123456789abcdef',
-        |             substring(md5(concat('mix:', CAST(doc_id AS STRING))), 2, 1)) - 1 AS d,
-        |         (CAST(substring(source, 4) AS INT) + 1) * 256 div 10 AS thr
-        |  FROM __docs)
-        |WHERE d < thr ORDER BY doc_id""".stripMargin)
+    val docs = Tables.load(s, dir, "documents")
+    // the synthetic taxonomy's configured rates (src<k> keeps (k+1)/10),
+    // derived from the DISTINCT source relation — a driver-side collect
+    // bounded by source-taxonomy cardinality, never corpus size. floor of
+    // rate*256 is integer-exact against the oracle's (k+1)*256 div 10 for
+    // every k (the product's FP error is ~1e-13, never astride an integer).
+    val rates = docs.select("source").distinct().collect()
+      .map(_.getString(0))
+      .map(n => n -> (n.stripPrefix("src").toInt + 1) / 10.0)
+      .toMap
+    dsMix(docs, rates)
+  }
+
+  /** Source-mixture weighting over an arbitrary (doc_id, source, …) corpus
+    * with a caller-supplied rate map — the production entry ("mix MY
+    * sources at MY rates"). `rates` maps source → keep-rate: a document of
+    * source s survives iff its uniform 0..255 draw (first two md5 hex
+    * digits of 'mix:'||doc_id — independent of ds_split's and ds_sample's
+    * draws) falls below floor(rate*256); rates ≥ 1 keep everything, and
+    * sources absent from the map are dropped (rate 0). Oversampling is
+    * deliberately out of scope — repetition across epochs belongs to the
+    * epoch shuffle (ds_shuffle), not the mixture filter.
+    *
+    * Scale design: the rate map is a broadcast join against a
+    * taxonomy-sized relation, then a narrow single-pass filter — the
+    * mixing decision stays a pure function of (doc_id, source), so it is
+    * reproducible shard-by-shard with no coordination, at any corpus size.
+    */
+  def dsMix(docs: DataFrame, rates: Map[String, Double]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(rates.values.forall(_ >= 0), "negative keep-rate")
+    val thr = rates.toSeq
+      .map { case (src, r) => (src, math.floor(r * 256).toInt) }
+      .toDF("source", "thr")
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(thr), "source")
+      .where(expr(
+        """(instr('0123456789abcdef',
+          |   substring(md5(concat('mix:', CAST(doc_id AS STRING))), 1, 1)) - 1) * 16
+          | + instr('0123456789abcdef',
+          |     substring(md5(concat('mix:', CAST(doc_id AS STRING))), 2, 1)) - 1
+          |""".stripMargin) < col("thr"))
+      .select("doc_id", "source")
+      .orderBy("doc_id")
   }
 
   /** Benchmark decontamination — the parameterized production entry: flag
@@ -288,12 +339,12 @@ object Pipeline {
     "dd_resolve" -> (ddResolve _),
     "dd_decontam" -> ((s: SparkSession, dir: String) => ddDecontam(s, dir)),
     "ta_chunk" -> (taChunk _),
-    "ta_redact" -> (taRedact _),
+    "ta_redact" -> ((s: SparkSession, dir: String) => taRedact(s, dir)),
     "ds_split" -> (dsSplit _),
     "ds_pack" -> (dsPack _),
     "ds_sample" -> (dsSample _),
     "ds_shuffle" -> (dsShuffle _),
-    "ds_mix" -> (dsMix _))
+    "ds_mix" -> ((s: SparkSession, dir: String) => dsMix(s, dir)))
 
   /** dd_resolve oracle: the full simhash-pair SQL (nested as a CTE
     * subquery) + recursive min-label transitive closure.

@@ -156,28 +156,36 @@ object TextAnalysis {
     */
   def taDerep(s: SparkSession, dir: String): DataFrame = {
     Tables.load(s, dir, "documents").createOrReplaceTempView("__ta_docs")
-    s.sql(
-      s"""WITH aug AS (
-         |  SELECT doc_id,
-         |         CASE WHEN doc_id % 5 = 0
-         |              THEN concat(text, ' ', rep, ' ', rep) ELSE text END AS text
-         |  FROM (SELECT doc_id, text,
-         |               array_join(slice($toks, 1, 8), ' ') AS rep
-         |        FROM __ta_docs)),
-         |tok AS (SELECT doc_id, $toks AS toks FROM aug),
-         |g AS (
-         |  -- toks bound as a column: the lambda's element_at must not
-         |  -- re-split the text per element (O(L^2) otherwise)
-         |  SELECT doc_id, explode(transform(sequence(1, size(toks) - 2),
-         |           i -> xxhash64(concat(element_at(toks, i), ' ',
-         |                         element_at(toks, i + 1), ' ',
-         |                         element_at(toks, i + 2))))) AS g
-         |  FROM tok WHERE size(toks) >= 3)
-         |SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT g) AS d_grams,
-         |       ROUND(1 - CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*), 6)
-         |         AS dup_ratio
-         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    taDerep(s.sql(
+      s"""SELECT doc_id,
+         |       CASE WHEN doc_id % 5 = 0
+         |            THEN concat(text, ' ', rep, ' ', rep) ELSE text END AS text
+         |FROM (SELECT doc_id, text,
+         |             array_join(slice($toks, 1, 8), ' ') AS rep
+         |      FROM __ta_docs)""".stripMargin))
   }
+
+  /** Repetition scoring over an arbitrary (doc_id, text) corpus — the
+    * production entry ("score repetition on MY corpus"); the oracle form
+    * above plants its repetition and delegates here (the ddDecontam
+    * parameterization pattern). Documents under 3 tokens carry no grams
+    * and are absent from the output (no defined ratio).
+    */
+  def taDerep(docs: DataFrame): DataFrame =
+    docs.selectExpr("doc_id", s"$toks AS toks")
+      .where("size(toks) >= 3")
+      // toks bound as a column: the lambda's element_at must not re-split
+      // the text per element (O(L^2) otherwise)
+      .selectExpr("doc_id",
+        """explode(transform(sequence(1, size(toks) - 2),
+          |  i -> xxhash64(concat(element_at(toks, i), ' ',
+          |                element_at(toks, i + 1), ' ',
+          |                element_at(toks, i + 2))))) AS g""".stripMargin)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), countDistinct(col("g")).as("d_grams"))
+      .selectExpr("doc_id", "n_grams", "d_grams",
+        "ROUND(1 - CAST(d_grams AS DOUBLE) / n_grams, 6) AS dup_ratio")
+      .orderBy("doc_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_tokens" -> (taTokens _),
@@ -186,7 +194,7 @@ object TextAnalysis {
     "ta_fingerprint" -> (taFingerprint _),
     "ta_df" -> (taDf _),
     "ta_tfidf" -> (taTfidf _),
-    "ta_derep" -> (taDerep _))
+    "ta_derep" -> ((s: SparkSession, dir: String) => taDerep(s, dir)))
 
   private val sqlToks = "string_split(text, ' ')"
 

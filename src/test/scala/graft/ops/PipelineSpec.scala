@@ -117,6 +117,78 @@ class PipelineSpec extends AnyFunSuite {
     assert(Pipeline.ddDecontam(train, eval, n = 14).count() == 0L)
   }
 
+  private def fixtureCorpus(): Seq[(Long, String)] = {
+    val src = scala.io.Source.fromFile(
+      getClass.getResource("/fixtures/pipeline_corpus.txt").getPath)
+    try src.getLines().toList.map { l =>
+      val Array(id, text) = l.split("\\|", 2); (id.toLong, text)
+    } finally src.close()
+  }
+
+  test("taDerep(docs): parameterized entry matches an in-memory oracle on a fixture corpus") {
+    import spark.implicits._
+    val docs = fixtureCorpus()
+    val got = TextAnalysis.taDerep(docs.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val expected = docs.flatMap { case (id, text) =>
+      val gs = text.split(" ").sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSeq
+      if (gs.isEmpty) None
+      else Some((id, gs.size.toLong, gs.distinct.size.toLong,
+        BigDecimal(1.0 - gs.distinct.size.toDouble / gs.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    assert(got == expected.sortBy(_._1))
+    // the repetitive fixture doc scores visibly high; prose scores 0
+    assert(got.find(_._1 == 2L).exists(_._4 > 0.5))
+    assert(got.find(_._1 == 1L).exists(_._4 == 0.0))
+    // the 2-token doc carries no grams and is absent
+    assert(!got.exists(_._1 == 3L))
+  }
+
+  test("taRedact(docs, rules): caller-supplied rule set on a fixture corpus") {
+    import spark.implicits._
+    val docs = fixtureCorpus()
+    val got = Pipeline.taRedact(docs.toDF("doc_id", "text"), Seq(
+        Pipeline.RedactRule("ssn", "[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+        Pipeline.RedactRule("tickets", "[A-Z]{2}-[0-9]{4}", "<TICKET>")))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3))))
+      .toMap
+    assert(got.keySet == docs.map(_._1).toSet) // every doc, redacted or not
+    assert(got(4L) == ((2, 1,
+      "report SSN <SSN> and ticket <TICKET> filed SSN <SSN>")))
+    assert(got(5L) == ((0, 0, "clean line with no sensitive tokens at all")))
+    // rule-set is caller-defined: the oracle query's PII rules don't leak in
+    assert(!got.values.exists(v => v._3.contains("<EMAIL>")))
+  }
+
+  test("dsMix(docs, rates): caller-supplied taxonomy and rates") {
+    import spark.implicits._
+    val srcs = Vector("wiki", "crawl", "forum")
+    val rows = (0L until 300L).map(i => (i, srcs((i % 3).toInt))) :+
+      ((1000L, "unlisted")) // absent from the rate map -> dropped
+    val rates = Map("wiki" -> 1.0, "crawl" -> 0.25, "forum" -> 0.0)
+    val got = Pipeline.dsMix(rows.toDF("doc_id", "source"), rates).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // independent oracle: same md5 draw recomputed with MessageDigest
+    def draw(id: Long): Int = {
+      val hex = md5hex(s"mix:$id")
+      "0123456789abcdef".indexOf(hex(0)) * 16 +
+        "0123456789abcdef".indexOf(hex(1))
+    }
+    val expected = rows.flatMap { case (i, src) =>
+      val thr = math.floor(rates.getOrElse(src, 0.0) * 256).toInt
+      if (draw(i) < thr) Some((i, src)) else None
+    }
+    assert(got == expected.sortBy(_._1))
+    assert(got.count(_._2 == "wiki") == 100)  // rate 1.0 keeps every doc
+    assert(!got.exists(_._2 == "forum"))      // rate 0.0 drops every doc
+    assert(!got.exists(_._2 == "unlisted"))   // unmapped source dropped
+    val crawl = got.count(_._2 == "crawl")
+    assert(crawl > 0 && crawl < 50, s"crawl kept $crawl of 100 at rate 0.25")
+  }
+
   test("ta_df: matches an in-memory document-frequency oracle") {
     val docs = graft.Tables.load(spark, sf, "documents")
       .selectExpr("doc_id", "text").collect()
