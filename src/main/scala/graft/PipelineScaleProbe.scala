@@ -59,6 +59,13 @@ object PipelineScaleProbe {
     if (args.headOption.contains("scale2")) {
       scale2(args(1).toInt, args(2).toInt, args(3)); return
     }
+    // the TIGHT-cluster config that filled the disk unguarded in the r6
+    // probe (strong label signal -> quadratic >=0.9 pair density), re-run
+    // under the dd_embed_cos density guard —
+    // `runMain graft.PipelineScaleProbe scale2tight <nVec> <dir>`
+    if (args.headOption.contains("scale2tight")) {
+      scale2tight(args(1).toInt, args(2)); return
+    }
     val nDocs = args.headOption.map(_.toInt).getOrElse(500000)
     val outBase = args.lift(1).getOrElse("target/pscale")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -247,18 +254,20 @@ object PipelineScaleProbe {
     * noise — the testdata's label-cluster shape (what makes label blocking
     * meaningful) at any scale.
     */
-  def vecFor(i: Long, dims: Int, nLabels: Int,
-             seed: Long): (Long, Array[Float], Int) = {
+  def vecFor(i: Long, dims: Int, nLabels: Int, seed: Long,
+             baseScale: Float = 0.15f, noiseScale: Float = 0.25f
+            ): (Long, Array[Float], Int) = {
     val label = (i % nLabels).toInt
     val lr = new scala.util.Random(seed ^ (label * 0xC2B2AE3D27D4EB4FL))
     // weak label signal (mean intra-label cosine ~0.26, like the testdata):
     // same-label vectors are CLOSER (blocking stays meaningful) but only
     // the planted twins cross dd_embed_cos's 0.9 threshold — a strong
-    // signal (0.25 base / 0.12 noise) makes the >=0.9 pair set quadratic
-    // in the block size and exploded the first 100k run's shuffle spill
-    val base = Array.fill(dims)(lr.nextGaussian().toFloat * 0.15f)
+    // signal (0.25 base / 0.12 noise, the scale2tight config) makes the
+    // >=0.9 pair set quadratic in the block size and exploded the first
+    // unguarded 100k run's shuffle spill
+    val base = Array.fill(dims)(lr.nextGaussian().toFloat * baseScale)
     val vr = new scala.util.Random(seed ^ (i * 0x9E3779B97F4A7C15L))
-    (i, base.map(b => b + vr.nextGaussian().toFloat * 0.25f), label)
+    (i, base.map(b => b + vr.nextGaussian().toFloat * noiseScale), label)
   }
 
   /** Deterministic event row; ts is NANOS-in-a-long (the driver table's
@@ -356,6 +365,72 @@ object PipelineScaleProbe {
       "funnel rows != users with a view")
 
     println("PSCALE scale2 done")
+    spark.stop()
+  }
+
+  /** The r6 scale hazard, re-run to completion under the density guard:
+    * tight clusters (0.25 base / 0.12 noise — mean intra-label cosine
+    * ~0.8) whose unguarded ≥0.9 pair relation is quadratic in block
+    * density (the 100k run filled the sandbox disk). The guarded default
+    * must finish with a bounded pair set, and fail mode must abort with
+    * its diagnostic BEFORE materializing pairs.
+    */
+  private def scale2tight(nVec: Int, dir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+
+    spark.range(0L, nVec.toLong)
+      .map(vecFor(_, 64, 10, 2026L, baseScale = 0.25f, noiseScale = 0.12f))
+      .toDF("vec_id", "embedding", "label")
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    println(s"PSCALE gen2tight nVec=$nVec")
+
+    // block census on the REAL twin-planted signature relation the query
+    // joins — the density the guard is sized against
+    val sig = ops.Dedup.embedSig(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val blocks = sig.groupBy("label", "bucket").count()
+      .agg(org.apache.spark.sql.functions.max("count"),
+        org.apache.spark.sql.functions.expr("sum(count * (count - 1) / 2)"))
+      .head()
+    println(f"PSCALE tight max_block=${blocks.getLong(0)} " +
+      f"unguarded_pair_volume=${blocks.getDouble(1)}%.3g")
+
+    // fail mode: the pre-flight diagnostic must fire without touching the
+    // pair join
+    val t1 = System.nanoTime()
+    try {
+      ops.Dedup.ddEmbedCosOn(spark, sig, onOverflow = "fail").count()
+      println("PSCALE tight FAIL-MODE DID NOT TRIP (unexpected)")
+    } catch {
+      case e: IllegalStateException =>
+        println(f"PSCALE tight fail_mode_tripped_in=${(System.nanoTime() - t1) / 1e9}%.1f s: " +
+          e.getMessage.takeWhile(_ != ';'))
+    }
+
+    // guarded sample mode: must COMPLETE with a bounded pair set. The cap
+    // is the sizing knob — scored-pair volume is bounded by ~9·cap·N/2
+    // (N = corpus incl. twins), so a single 128-GiB box takes cap ≈ 512
+    // (≈4.6e8 worst-case scored rows) where a 1000-executor cluster can
+    // afford the 4096 default; the BOUND is what the guard guarantees,
+    // the cap prices it to the hardware.
+    val cap = sys.env.getOrElse("SPARK_GRAFT_COS_CAP", "512").toInt
+    val corpusN = sig.count()
+    val t2 = System.nanoTime()
+    val n = ops.Dedup.ddEmbedCosOn(spark, sig, maxBlockRows = cap).count()
+    val dt = (System.nanoTime() - t2) / 1e9
+    println(f"PSCALE q=dd_embed_cos_guarded cap=$cap t=$dt%.1f s rows=$n " +
+      f"bound=${9L * cap * corpusN / 2}")
+    require(n > 0 && n < 9L * cap * corpusN / 2,
+      s"guarded pair set out of bounds: $n")
+    println("PSCALE scale2tight done")
     spark.stop()
   }
 }

@@ -290,25 +290,42 @@ object Dedup {
   private[graft] def embedSig(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.load(s, dir, "embeddings").createOrReplaceTempView("__emb")
-    val planesLit = Similarity.planesSql(8, 64)
-    s.sql(
+    embedSigOf(s, s.sql(
       s"""WITH base AS (
          |  SELECT vec_id, label,
          |         transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM __emb),
-         |corpus AS (
-         |  SELECT vec_id, label, v FROM base
-         |  UNION ALL
-         |  SELECT vec_id + ${TwinIdOffset}, label,
-         |         transform(v, (x, i) -> CASE WHEN i = 0 THEN x * 1.5 ELSE x END)
-         |  FROM base)
-         |SELECT vec_id, label, v, sqrt(graft_dot(v, v)) AS nrm,
+         |  FROM __emb)
+         |SELECT vec_id, label, v FROM base
+         |UNION ALL
+         |SELECT vec_id + ${TwinIdOffset}, label,
+         |       transform(v, (x, i) -> CASE WHEN i = 0 THEN x * 1.5 ELSE x END)
+         |FROM base""".stripMargin))
+  }
+
+  /** The (vec_id, label, v, nrm, bucket) signature relation for an
+    * arbitrary (vec_id, label, v: ARRAY&lt;DOUBLE&gt;) frame — the reusable
+    * half of [[embedSig]] (which feeds it the twin-planted test corpus).
+    */
+  private[graft] def embedSigOf(s: SparkSession, corpus: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val planesLit = Similarity.planesSql(8, 64)
+    corpus.createOrReplaceTempView("__ecorpus")
+    s.sql(
+      s"""SELECT vec_id, label, v, sqrt(graft_dot(v, v)) AS nrm,
          |       aggregate(transform(sequence(0, 7), j ->
          |         CASE WHEN graft_dot(v, element_at($planesLit, j + 1)) > 0D
          |              THEN shiftleft(1, j) ELSE 0 END),
          |         0, (acc, x) -> acc + x) AS bucket
-         |FROM corpus""".stripMargin)
+         |FROM __ecorpus""".stripMargin)
   }
+
+  /** Default per-(label, bucket) block cap for [[ddEmbedCosOn]]: far above
+    * any healthy block (the 8-plane bucket targets blocks of N/256 per
+    * label and the multiprobe fan-in stays ~9 blocks per vector), low
+    * enough that a degenerate corpus is caught before its pair relation
+    * materializes.
+    */
+  val EmbedCosMaxBlockRows: Int = 4096
 
   /** Embedding-cosine near-dup with two-level blocking: label × 8-plane
     * LSH bucket. The pair join is an equality join on (label, bucket) with
@@ -316,11 +333,68 @@ object Dedup {
     * single-bit flips), so within-block all-pairs is bounded by the bucket
     * granularity instead of the label cardinality — the 100 TB-safe shape.
     * Cosine ≥ 0.9; dot/norm are sequential left-to-right folds over
-    * doubles — identical in both engines.
+    * doubles — identical in both engines. Guarded by [[ddEmbedCosOn]]'s
+    * block-density cap (a no-op on healthy corpora — blocks at the test
+    * SFs are orders of magnitude under the cap, so the oracle result is
+    * untouched).
     */
-  def ddEmbedCos(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    embedSig(s, dir).createOrReplaceTempView("__esig")
+  def ddEmbedCos(s: SparkSession, dir: String): DataFrame =
+    ddEmbedCosOn(s, embedSig(s, dir))
+
+  /** The guarded pair engine over a signature relation (from [[embedSig]]
+    * / [[embedSigOf]]).
+    *
+    * DENSITY GUARD (the 100 TB outage the 100k-vector probe measured:
+    * with tight clusters — mean intra-label cosine ~0.8 — the ≥0.9 pair
+    * relation grows QUADRATICALLY in block density, and the distinct-pairs
+    * shuffle of an unguarded run filled the disk): a cheap pre-aggregation
+    * counts each (label, bucket) block first. Blocks over `maxBlockRows`
+    * are handled per `onOverflow`:
+    *  - "sample" (default): deterministic per-vector down-sampling to an
+    *    expected `maxBlockRows` rows per block (keyed md5-family draw on
+    *    vec_id — reproducible, order-independent), so the scored-pair
+    *    volume is bounded by ~9·maxBlockRows·N/2 instead of Σ 9·n_b²;
+    *    under-cap blocks are untouched, so healthy corpora are bit-exact.
+    *  - "fail": abort BEFORE materializing any pair, with the offending
+    *    blocks and the estimated pair volume in the diagnostic — for
+    *    pipelines that would rather re-block (more planes) than sample.
+    */
+  def ddEmbedCosOn(s: SparkSession, sig: DataFrame,
+                   maxBlockRows: Int = EmbedCosMaxBlockRows,
+                   onOverflow: String = "sample"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sigP = sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = sigP.groupBy("label", "bucket").agg(count(lit(1)).as("block_n"))
+    val guarded = onOverflow match {
+      case "fail" =>
+        val over = counts.filter(col("block_n") > maxBlockRows)
+          .orderBy(col("block_n").desc)
+        val top = over.limit(5).collect()
+        if (top.nonEmpty) {
+          val est = over
+            .agg(sum(col("block_n") * (col("block_n") - 1) / 2)).head().getDouble(0)
+          throw new IllegalStateException(
+            s"dd_embed_cos density guard: ${top.length}+ (label,bucket) blocks " +
+              s"exceed maxBlockRows=$maxBlockRows — worst " +
+              top.map(r => s"(label=${r.get(0)},bucket=${r.get(1)})=${r.getLong(2)}")
+                .mkString(", ") +
+              f"; unguarded in-block pair volume ≥ $est%.3g. " +
+              "Re-block with more planes, raise the cap, or use onOverflow=sample.")
+        }
+        sigP
+      case "sample" =>
+        // integer-exact rate test: keep iff draw/1e6 < cap/block_n, i.e.
+        // draw · block_n < cap · 1e6 (draw = uniform 0..999999 from
+        // xxhash64, independent of the signature hash family)
+        sigP.join(counts, Seq("label", "bucket"))
+          .where(col("block_n") <= maxBlockRows ||
+            pmod(xxhash64(concat(lit("cosguard:"), col("vec_id"))), lit(1000000L))
+              * col("block_n") < lit(maxBlockRows.toLong * 1000000L))
+          .drop("block_n")
+      case other =>
+        throw new IllegalArgumentException(s"onOverflow=$other (fail|sample)")
+    }
+    guarded.createOrReplaceTempView("__esig")
     // scored pairs are persisted before the threshold filter: predicate
     // pushdown would otherwise substitute the cosine fold into the WHERE
     // clause and evaluate the 64-element aggregate twice per pair

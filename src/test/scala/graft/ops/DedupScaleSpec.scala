@@ -73,6 +73,63 @@ class DedupScaleSpec extends AnyFunSuite {
       s"only $twinHits/$n twin pairs survived the bucket filter")
   }
 
+  /** A pathologically tight cluster (the shape that filled the disk in the
+    * 100k-vector probe): n near-identical 64-dim vectors — one (label,
+    * bucket) block, every pair at cosine ≥ 0.9 — plus a handful of spread
+    * decoys. Unguarded pair volume is C(n,2).
+    */
+  private def tightCorpus(n: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val rng = new scala.util.Random(7L)
+    val base = Array.fill(64)(rng.nextGaussian())
+    val dense = (0 until n).map { i =>
+      val r = new scala.util.Random(i.toLong * 0x9E3779B97F4A7C15L)
+      (i.toLong, 0, base.map(_ + r.nextGaussian() * 0.01))
+    }
+    val decoys = (0 until 20).map { i =>
+      val r = new scala.util.Random(1000L + i)
+      ((100000 + i).toLong, 1, Array.fill(64)(r.nextGaussian()))
+    }
+    (dense ++ decoys).toDF("vec_id", "label", "v")
+  }
+
+  test("density guard: a planted dense cluster completes capped instead of going quadratic") {
+    val n = 3000
+    val sig = Dedup.embedSigOf(spark, tightCorpus(n))
+    val got = Dedup.ddEmbedCosOn(spark, sig, maxBlockRows = 64,
+      onOverflow = "sample").collect()
+    // unguarded, this block alone yields C(3000,2) ≈ 4.5M pairs; the cap
+    // bounds the expected surviving block at 64 rows -> pairs stay small
+    assert(got.length > 0, "sampling must keep a representative pair set")
+    assert(got.length < 50000,
+      s"guard failed to bound the pair set: ${got.length} pairs")
+    // sampling only DROPS vectors — every surviving pair is a true >=0.9
+    // pair of the dense block (decoys are spread and never match)
+    got.foreach { r =>
+      assert(r.getDouble(2) >= 0.9)
+      assert(r.getLong(0) < n && r.getLong(1) < n)
+    }
+  }
+
+  test("density guard: fail mode aborts before materializing pairs, with a diagnostic") {
+    val sig = Dedup.embedSigOf(spark, tightCorpus(2000))
+    val e = intercept[IllegalStateException] {
+      Dedup.ddEmbedCosOn(spark, sig, maxBlockRows = 64, onOverflow = "fail")
+    }
+    assert(e.getMessage.contains("density guard"))
+    assert(e.getMessage.contains("maxBlockRows=64"))
+    assert(e.getMessage.contains("pair volume"))
+  }
+
+  test("density guard is a no-op on healthy corpora (bit-exact vs unguarded)") {
+    // the real twin-planted sig at sf0.001: every block is far under the
+    // cap, so the guarded result must equal the cap-free result exactly
+    val guarded = Dedup.ddEmbedCos(spark, sf).collect().toSeq
+    val unguarded = Dedup.ddEmbedCosOn(spark, Dedup.embedSig(spark, sf),
+      maxBlockRows = Int.MaxValue).collect().toSeq
+    assert(guarded == unguarded && guarded.nonEmpty)
+  }
+
   test("multiprobe covers exactly the Hamming<=1 bucket pairs") {
     Dedup.embedSig(spark, sf).createOrReplaceTempView("__esig_chk")
     val direct = spark.sql(
