@@ -116,6 +116,15 @@ object Similarity {
   /** LSH-bucketed approximate NN with distance-1 multiprobe: 8 planes
     * (256 buckets) at the test corpus size; exact cosine top-5 among
     * probed bucket-mates of each query vector vec_id < 20.
+    *
+    * REGIME CONTRACT (measured at 100k vectors, PERF.md round-6/7):
+    * hyperplane LSH is the NEAR-DUPLICATE tool — recall 0.986 on ≥0.9
+    * cosine twins — and the WRONG tool for mid-similarity top-k, where
+    * its recall@5 collapses to 0.28 (a mid-similarity neighbor flips too
+    * many plane signs for a distance-1 probe to reach). For that regime
+    * use [[ssIvfAnn]] (0.94 measured) / [[ssIvfAnnAuto]]; for exactness,
+    * [[bruteTopkOn]]. Plane count is the bucket-size dial: it should grow
+    * with log2(N / target bucket) — [[ssLshAnnOn]] exposes it.
     */
   def ssLshAnn(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
@@ -123,13 +132,13 @@ object Similarity {
     s.sql(lshAnnSparkSql(nPlanes = 8, queryPred = "vec_id < 20", topK = 5))
   }
 
-  /** Spec entry: the same LSH ANN over an arbitrary (vec_id, embedding)
-    * frame at any plane count — used to lock the 16–24-plane scale
-    * configuration's recall on planted near-duplicates.
+  /** The same LSH ANN over an arbitrary (vec_id, embedding) frame at any
+    * plane count — the production entry (16–24 planes suit 1e9+ corpora;
+    * the specs lock the 16-plane configuration's near-dup recall).
     */
-  private[graft] def ssLshAnnOn(s: SparkSession, emb: DataFrame,
-                                nPlanes: Int, queryPred: String,
-                                topK: Int): DataFrame = {
+  def ssLshAnnOn(s: SparkSession, emb: DataFrame,
+                 nPlanes: Int, queryPred: String,
+                 topK: Int): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     emb.createOrReplaceTempView("__emb")
     s.sql(lshAnnSparkSql(nPlanes, queryPred, topK))
@@ -141,9 +150,10 @@ object Similarity {
   private val IvfIters = 2
 
   /** Spark SQL for the IVF ANN over view `__emb`: seeded deterministic
-    * k-means init (the 16 vectors with the smallest md5('km42:'||vec_id)
-    * digest — a data-independent pseudo-random draw), `IvfIters`
-    * assign/update rounds, then nprobe=2 search for `queryPred` vectors.
+    * k-means init (the `nlist` vectors with the smallest
+    * md5('km42:'||vec_id) digest — a data-independent pseudo-random
+    * draw), `IvfIters` assign/update rounds, then `nprobe` search for
+    * `queryPred` vectors.
     *
     * The per-dimension centroid mean is computed on DECIMAL(27,12) — an
     * exact, order-independent sum, so Spark and DuckDB derive bit-equal
@@ -151,7 +161,8 @@ object Similarity {
     * impossible for binary-fraction inputs, so HALF_UP/HALF_EVEN agree).
     * Empty clusters drop out in both engines identically.
     */
-  private[ops] def ivfSparkSql(queryPred: String, topK: Int): String = {
+  private[ops] def ivfSparkSql(queryPred: String, topK: Int,
+                               nlist: Int = 16, nprobe: Int = 2): String = {
     val iters = (1 to IvfIters).map { k =>
       s"""a$k AS (
          |  SELECT vec_id, v, nrm, cid FROM (
@@ -185,7 +196,7 @@ object Similarity {
        |             ORDER BY md5(concat('km42:', CAST(vec_id AS STRING))),
        |                      vec_id) AS INT) - 1 AS cid,
        |           v AS cv, nrm AS cnrm
-       |    FROM n3) WHERE cid < 16),
+       |    FROM n3) WHERE cid < $nlist),
        |$iters,
        |assign AS (
        |  SELECT vec_id, v, nrm, cid FROM (
@@ -200,7 +211,7 @@ object Similarity {
        |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
        |             ORDER BY ROUND(graft_dot(n.v, c.cv) / (n.nrm * c.cnrm), 6)
        |                        DESC, c.cid) AS rn
-       |    FROM n3 n CROSS JOIN $C c WHERE $queryPred) WHERE rn <= 2),
+       |    FROM n3 n CROSS JOIN $C c WHERE $queryPred) WHERE rn <= $nprobe),
        |qv AS (
        |  SELECT n.vec_id AS qid, n.v AS qvec, n.nrm AS qnrm FROM n3 n
        |  WHERE $queryPred),
@@ -226,6 +237,13 @@ object Similarity {
     * broadcasts, assignment is a narrow pass, and the probe join touches
     * |probed clusters| of the corpus instead of all of it — the classic
     * IVF recall/cost dial (nprobe).
+    *
+    * REGIME CONTRACT (measured at 100k vectors, PERF.md round-6/7):
+    * IVF is the MID-SIMILARITY top-k tool — recall@5 ≈ 0.94 on clustered
+    * corpora where 8-plane LSH collapses to 0.28. This oracle entry is
+    * pinned at nlist=16/nprobe=2 (the DuckDB mirror's configuration);
+    * production corpora size the quantizer with [[ssIvfAnnAuto]]
+    * (nlist ≈ √N) and dial recall with `nprobe`.
     */
   def ssIvfAnn(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
@@ -233,21 +251,39 @@ object Similarity {
     s.sql(ivfSparkSql("n.vec_id BETWEEN 20 AND 24", topK = 5))
   }
 
-  /** Spec entry: IVF ANN over an arbitrary (vec_id, embedding) frame —
-    * used for the trained-centroid recall lock on planted clusters.
+  /** IVF ANN over an arbitrary (vec_id, embedding) frame at an explicit
+    * quantizer configuration — the production entry behind the recall
+    * locks and [[ssIvfAnnAuto]].
     */
-  private[graft] def ssIvfAnnOn(s: SparkSession, emb: DataFrame,
-                                queryPred: String, topK: Int): DataFrame = {
+  def ssIvfAnnOn(s: SparkSession, emb: DataFrame,
+                 queryPred: String, topK: Int,
+                 nlist: Int = 16, nprobe: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     emb.createOrReplaceTempView("__emb")
-    s.sql(ivfSparkSql(queryPred, topK))
+    s.sql(ivfSparkSql(queryPred, topK, nlist, nprobe))
   }
 
-  /** Spec entry: brute-force cosine top-k over an arbitrary frame (the
-    * recall denominator for the ANN specs).
+  /** [[ssIvfAnnOn]] with the coarse quantizer SIZED TO THE CORPUS:
+    * nlist = round(√N) (clamped to ≥ 1) — the classical IVF sizing rule
+    * (per-cluster scan cost ≈ N/nlist balances the nlist-wide centroid
+    * scan at √N each). 16 centroids are right at the 500-vector oracle
+    * scale and wrong at 100M (clusters of ~6M vectors would make every
+    * probe a near-full scan); √N keeps both sides of the cost balanced at
+    * any corpus size. The one extra job is a count of `emb`. `nprobe`
+    * stays the caller's recall/cost dial.
     */
-  private[graft] def bruteTopkOn(s: SparkSession, emb: DataFrame,
-                                 queryPred: String, topK: Int): DataFrame = {
+  def ssIvfAnnAuto(s: SparkSession, emb: DataFrame, queryPred: String,
+                   topK: Int, nprobe: Int = 2): DataFrame = {
+    val nlist = math.max(1L, math.round(math.sqrt(emb.count().toDouble))).toInt
+    ssIvfAnnOn(s, emb, queryPred, topK, nlist, nprobe)
+  }
+
+  /** Brute-force cosine top-k over an arbitrary frame: the EXACT baseline
+    * (and the recall denominator for the ANN specs) — O(Q·N), the right
+    * tool when Q is small or exactness is required.
+    */
+  def bruteTopkOn(s: SparkSession, emb: DataFrame,
+                  queryPred: String, topK: Int): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     emb.createOrReplaceTempView("__emb")
     s.sql(

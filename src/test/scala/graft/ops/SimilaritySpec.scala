@@ -52,6 +52,66 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF recall $recall < 0.8 (per-query: $recalls)")
   }
 
+  test("IVF auto-sizing (nlist = sqrt(N)) keeps recall at an 8x larger corpus") {
+    val rng = new Random(19)
+    val dim = 64
+    // 64 tight clusters x 60 members = 3840 vectors — the second corpus
+    // size of the recall lock: a fixed 16-centroid quantizer underfits
+    // here (4 clusters per centroid), sqrt(N) = 62 centroids track it
+    val rows = for {
+      c <- 0 until 64
+      center = unit(rng, dim)
+      m <- 0 until 60
+    } yield {
+      val noise = unit(rng, dim)
+      (c * 1000L + m, center.zip(noise).map { case (a, b) => a + 0.15 * b })
+    }
+    val emb = toEmb(rows)
+    val ivf = Similarity.ssIvfAnnAuto(spark, emb, "n.vec_id % 1000 = 0", topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val brute = Similarity.bruteTopkOn(spark, emb, "vec_id % 1000 = 0", topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val recalls = brute.map { case (q, exact) =>
+      val got = ivf.getOrElse(q, Array.empty).map(_._2).toSet
+      exact.map(_._2).count(got) / exact.length.toDouble
+    }
+    val recall = recalls.sum / recalls.size
+    assert(recalls.size == 64, s"expected 64 queries, got ${recalls.size}")
+    assert(recall >= 0.8, s"auto-sized IVF recall $recall < 0.8")
+  }
+
+  test("nprobe is a monotone recall dial (candidate supersets)") {
+    val rng = new Random(23)
+    val dim = 64
+    val rows = for {
+      c <- 0 until 16
+      center = unit(rng, dim)
+      m <- 0 until 30
+    } yield {
+      val noise = unit(rng, dim)
+      (c * 1000L + m, center.zip(noise).map { case (a, b) => a + 0.2 * b })
+    }
+    val emb = toEmb(rows)
+    val brute = Similarity.bruteTopkOn(spark, emb, "vec_id % 1000 = 0", topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    def recallAt(nprobe: Int): Double = {
+      val ivf = Similarity.ssIvfAnnOn(spark, emb, "n.vec_id % 1000 = 0",
+          topK = 5, nlist = 16, nprobe = nprobe)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      val rs = brute.map { case (q, exact) =>
+        val got = ivf.getOrElse(q, Array.empty).map(_._2).toSet
+        exact.map(_._2).count(got) / exact.length.toDouble
+      }
+      rs.sum / rs.size
+    }
+    val r1 = recallAt(1)
+    val r4 = recallAt(4)
+    // probing more clusters only ADDS candidates, and ranking is by true
+    // cosine — recall cannot go down, and must be high by nprobe=4
+    assert(r4 >= r1, s"nprobe dial not monotone: $r1 -> $r4")
+    assert(r4 >= 0.9, s"nprobe=4 recall $r4 < 0.9")
+  }
+
   test("16-plane multiprobe LSH ANN finds planted near-duplicate twins (scale config)") {
     val rng = new Random(11)
     val dim = 64
