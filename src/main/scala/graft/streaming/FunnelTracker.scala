@@ -13,13 +13,20 @@ import java.sql.Timestamp
   * point the user's final funnel row is emitted.
   *
   * Ordering: events within a trigger batch are sorted before folding (the
-  * EventSessionizer discipline); the fold itself is order-robust for the
+  * EventSessionizer discipline). The O(1) fold is order-robust for the
   * view step (an earlier view never invalidates a chosen click — the
-  * eligibility window only widens) and relies on the watermark to bound
-  * cross-trigger disorder for the click/purchase steps, like every
-  * incremental funnel. Batch mode (`funnelBatch`) sees each group whole,
-  * so it is EXACT and parity-checked against the oracle-checked SQL query
-  * in StreamingSpec.
+  * eligibility window only widens) and for a late-but-in-time click that
+  * slots between the view and the current click. It is APPROXIMATE under
+  * any other cross-trigger disorder on the click/purchase steps — not
+  * just watermark-late data: a purchase rejected against the then-current
+  * click is unrecoverable even if a later trigger delivers an earlier
+  * in-time click that would have admitted it (StreamingSpec documents the
+  * divergence). Pipelines that need exactness under in-watermark disorder
+  * use [[funnelStreamExact]], which buffers the user's events until the
+  * quiesce timeout and folds them whole — O(events in the active window)
+  * state instead of O(1), the classic exactness/state trade. Batch mode
+  * (`funnelBatch`) sees each group whole, so it is EXACT and
+  * parity-checked against the oracle-checked SQL query in StreamingSpec.
   */
 object FunnelTracker {
 
@@ -103,6 +110,59 @@ object FunnelTracker {
     events.groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(stateFn)
+  }
+
+  /** Buffered per-user events awaiting the quiesce timeout (parallel
+    * arrays keep the state encoder flat); `tMax` as in [[FState]].
+    */
+  case class FBuf(ts: Seq[Long], types: Seq[String], tMax: Long)
+
+  private[streaming] def stateFnExact(user: Long, events: Iterator[FEv],
+                                      state: GroupState[FBuf]): Iterator[FunnelRow] = {
+    if (state.hasTimedOut) {
+      val out = state.getOption.flatMap { b =>
+        // the whole in-watermark event set, folded once in ts order —
+        // cross-trigger disorder cannot have discarded anything
+        toRow(user, fold(FState(Unset, Unset, Unset, 0L),
+          b.ts.zip(b.types).sortBy(_._1)))
+      }
+      state.remove()
+      out.iterator
+    } else {
+      val evs = events.toArray
+      val prev = state.getOption.getOrElse(FBuf(Nil, Nil, 0L))
+      val batchMax =
+        if (evs.isEmpty) prev.tMax else evs.map(e => tsToUs(e.ts)).max
+      val next = FBuf(prev.ts ++ evs.map(e => tsToUs(e.ts)),
+        prev.types ++ evs.map(_.event_type),
+        math.max(prev.tMax, batchMax))
+      state.update(next)
+      try {
+        // same monotone quiesce rule as stateFn
+        val desiredMs = next.tMax / 1000 + EventSessionizer.GapMicros / 1000
+        val timeoutMs =
+          try math.max(desiredMs, state.getCurrentWatermarkMs() + 1)
+          catch { case _: UnsupportedOperationException => desiredMs }
+        state.setTimeoutTimestamp(timeoutMs)
+      } catch {
+        case _: UnsupportedOperationException => ()
+      }
+      Iterator.empty
+    }
+  }
+
+  /** EXACT streaming entry: buffers each user's events until the quiesce
+    * timeout, then folds them whole — identical to [[funnelBatch]] for
+    * every event the watermark admitted, whatever the trigger-arrival
+    * order. State is O(events in the user's active window) — the
+    * exactness price; [[funnelStream]] is the O(1) approximation.
+    */
+  def funnelStreamExact(events: Dataset[FEv]): Dataset[FunnelRow] = {
+    implicit val rowEnc = Encoders.product[FunnelRow]
+    implicit val stEnc = Encoders.product[FBuf]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(stateFnExact)
   }
 
   /** Batch entry: each group is seen whole, so the same fold is exact. */

@@ -103,36 +103,100 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
-  test("funnel: streaming (timeout-emitted) == batch") {
+  /** Drive a funnel streaming entry over explicit trigger batches (with a
+    * watermark delay so cross-trigger out-of-order events stay IN-time),
+    * flush via the sentinel pair, return rows keyed by user.
+    */
+  private def runFunnelBatches(
+      entry: org.apache.spark.sql.Dataset[FunnelTracker.FEv] =>
+        org.apache.spark.sql.Dataset[FunnelTracker.FunnelRow],
+      name: String, batches: Seq[Seq[Ev]], delay: String = "2 hours"
+  ): Map[Long, (Timestamp, Option[Timestamp], Option[Timestamp], Int)] = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val data = eventsBatch.as[Ev].collect().sortBy(_.ts.getTime)
-    val maxTs = data.map(_.ts.getTime).max
     val stream = MemoryStream[Ev]
-    val rows = FunnelTracker.funnelStream(
-      stream.toDF().withWatermark("ts", "0 seconds")
-        .select("ts", "user_id", "event_type")
-        .as[FunnelTracker.FEv])
-    val q = rows.writeStream.outputMode("append")
-      .format("memory").queryName("funnel_out").start()
-    stream.addData(data.toIndexedSeq)
-    q.processAllAvailable()
+    val q = entry(stream.toDF().withWatermark("ts", delay)
+        .select("ts", "user_id", "event_type").as[FunnelTracker.FEv])
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    for (b <- batches) { stream.addData(b); q.processAllAvailable() }
+    val maxTs = batches.flatten.map(_.ts.getTime).max
     // sentinel pair: advance the watermark, then let timeouts fire under it
     stream.addData(Ev(-1L, new Timestamp(maxTs + 24L * 3600 * 1000), -1L, "x", 0.0))
     q.processAllAvailable()
     stream.addData(Ev(-2L, new Timestamp(maxTs + 25L * 3600 * 1000), -1L, "x", 0.0))
     q.processAllAvailable()
     q.stop()
-    val got = spark.table("funnel_out")
-      .filter(col("user_id") =!= -1L).collect()
-      .map(r => (r.getLong(0), r.getTimestamp(1), Option(r.getTimestamp(2)),
-        Option(r.getTimestamp(3)), r.getInt(4))).toSet
-    val want = FunnelTracker.funnelBatch(
-      eventsBatch.select("ts", "user_id", "event_type")
-        .as[FunnelTracker.FEv]).collect()
-      .map(r => (r.user_id, r.t_view, Option(r.t_click),
-        Option(r.t_purchase), r.depth)).toSet
-    assert(got == want)
+    spark.table(name).filter(col("user_id") =!= -1L).collect()
+      .map(r => r.getLong(0) -> ((r.getTimestamp(1), Option(r.getTimestamp(2)),
+        Option(r.getTimestamp(3)), r.getInt(4)))).toMap
+  }
+
+  private def funnelBatchRows(
+      evs: org.apache.spark.sql.DataFrame
+  ): Map[Long, (Timestamp, Option[Timestamp], Option[Timestamp], Int)] = {
+    import spark.implicits._
+    FunnelTracker.funnelBatch(
+      evs.select("ts", "user_id", "event_type").as[FunnelTracker.FEv])
+      .collect()
+      .map(r => r.user_id -> ((r.t_view, Option(r.t_click),
+        Option(r.t_purchase), r.depth))).toMap
+  }
+
+  test("funnel: streaming (timeout-emitted) == batch") {
+    import spark.implicits._
+    val data = eventsBatch.as[Ev].collect().sortBy(_.ts.getTime)
+    val got = runFunnelBatches(FunnelTracker.funnelStream, "funnel_out",
+      Seq(data.toSeq), delay = "0 seconds")
+    assert(got == funnelBatchRows(eventsBatch) && got.nonEmpty)
+  }
+
+  test("funnel: buffered-exact streaming == batch on the full corpus") {
+    import spark.implicits._
+    val data = eventsBatch.as[Ev].collect().sortBy(_.ts.getTime)
+    val got = runFunnelBatches(FunnelTracker.funnelStreamExact, "funnel_ex_out",
+      Seq(data.toSeq), delay = "0 seconds")
+    assert(got == funnelBatchRows(eventsBatch) && got.nonEmpty)
+  }
+
+  test("funnel: an in-watermark cross-trigger click lands in the emitted row") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val got = runFunnelBatches(FunnelTracker.funnelStream, "funnel_late_click", Seq(
+      Seq(Ev(1L, ts("2024-06-01 10:00:00"), 7L, "view", 0.0),
+        Ev(2L, ts("2024-06-01 11:30:00"), 7L, "click", 0.0),
+        Ev(3L, ts("2024-06-01 12:00:00"), 7L, "purchase", 0.0)),
+      // a LATER trigger delivers an EARLIER (still in-watermark) click:
+      // it must refine t_click in the final row without losing the
+      // already-admitted purchase (12:00 > 11:00 keeps it valid)
+      Seq(Ev(4L, ts("2024-06-01 11:00:00"), 7L, "click", 0.0))))
+    assert(got(7L) == ((ts("2024-06-01 10:00:00"),
+      Some(ts("2024-06-01 11:00:00")), Some(ts("2024-06-01 12:00:00")), 3)))
+  }
+
+  test("funnel: cross-trigger disorder — O(1) divergence documented, buffered-exact == batch") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val batches = Seq(
+      // the purchase arrives while the only known click is LATER than it:
+      // the O(1) fold must reject it (nothing admissible precedes it yet)
+      Seq(Ev(1L, ts("2024-06-01 10:00:00"), 9L, "view", 0.0),
+        Ev(2L, ts("2024-06-01 11:15:00"), 9L, "purchase", 0.0),
+        Ev(3L, ts("2024-06-01 11:30:00"), 9L, "click", 0.0)),
+      // a later trigger's EARLIER in-watermark click widens the window:
+      // exact semantics now admit the 11:15 purchase
+      Seq(Ev(4L, ts("2024-06-01 10:30:00"), 9L, "click", 0.0)))
+    val approx = runFunnelBatches(FunnelTracker.funnelStream, "funnel_div_a", batches)
+    val exact = runFunnelBatches(FunnelTracker.funnelStreamExact, "funnel_div_b", batches)
+    val batch = funnelBatchRows(batches.flatten.toDF()
+      .select(col("ts"), col("user_id"), col("event_type")))
+    // the O(1) fold cannot resurrect the discarded purchase — the
+    // DOCUMENTED approximation under in-watermark cross-trigger disorder
+    assert(approx(9L) == ((ts("2024-06-01 10:00:00"),
+      Some(ts("2024-06-01 10:30:00")), None, 2)))
+    // the buffered variant recovers it and matches batch exactly
+    assert(exact(9L) == ((ts("2024-06-01 10:00:00"),
+      Some(ts("2024-06-01 10:30:00")), Some(ts("2024-06-01 11:15:00")), 3)))
+    assert(exact == batch)
   }
 
   test("funnel fold: strict ordering and order-robust view refinement") {
