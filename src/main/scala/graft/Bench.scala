@@ -37,6 +37,17 @@ object Bench {
       spark.range(10000).map(i => (i % 100, i)).groupByKey(_._1)
         .mapGroups((_, it) => it.foldLeft(0L)(_ + _._2)).collect()
       spark.range(1000).toDF("id").localCheckpoint(eager = false).count()
+      // …and the max-flow ENGINE itself (VERDICT r6 "wrong" #4): the
+      // stepVertex/mergeVertex/acceptor/EK-cleanup classes JIT on first
+      // use, and with only the generic typed warm-up above that first use
+      // was q16's run 1 — a 16-vertex bipartite graph (q16's shape, meets
+      // in 3 hops, exercises engine + acceptor + driver cleanup) absorbs
+      // it untimed
+      val pairs = for { s <- 0L to 3L; t <- 10L to 13L } yield (s, t, 2L)
+      val wedges = (pairs ++ pairs.map(p => (p._2, p._1, p._3)))
+        .toDF("src", "dst", "cap")
+      graft.graph.MaxFlow.run(spark, wedges, Seq(0L, 1L), Seq(10L, 11L),
+        graft.graph.MaxFlow.Config(acceptPatience = 1))
     }
 
     def cleanup(): Unit = {
