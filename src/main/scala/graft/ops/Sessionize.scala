@@ -83,11 +83,75 @@ object Sessionize {
        |LEFT JOIN p ON p.user_id = v.user_id
        |ORDER BY v.user_id""".stripMargin
 
+  /** Cohort retention (the growth-analytics staple): each user's cohort is
+    * their FIRST active day; for every (cohort_day, day_offset) cell,
+    * count the distinct users active again offset days later, with the
+    * cohort size and the retention ratio. Days are integer epoch-days
+    * (micros div 86.4e9) — timezone-free and integer-exact in both
+    * engines; the ratio is one int/int double division rounded to 6 (the
+    * ta_tfidf discipline).
+    *
+    * Scale design: one DISTINCT (user, day) agg + a user_id-partitioned
+    * MIN agg + a user_id equi-join (all co-partitioned — the ev_funnel
+    * shuffle-reuse discipline), then a final agg keyed by (cohort_day,
+    * offset) whose output is days²-sized, and a broadcast-sized join
+    * against the day-cardinality cohort-size relation. No window over the
+    * raw event stream, so nothing is per-event sorted.
+    */
+  def evRetention(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evRetention(s.table("__events"))
+  }
+
+  /** The parameterized production entry: any frame with (user_id, ts). */
+  def evRetention(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__ret_events")
+    s.sql(
+      """WITH active AS (
+        |  SELECT DISTINCT user_id,
+        |         unix_micros(ts) div 86400000000 AS day
+        |  FROM __ret_events),
+        |cohort AS (
+        |  SELECT user_id, MIN(day) AS cohort_day FROM active GROUP BY user_id),
+        |sizes AS (
+        |  SELECT cohort_day, COUNT(*) AS cohort_size FROM cohort
+        |  GROUP BY cohort_day),
+        |cells AS (
+        |  SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+        |         COUNT(DISTINCT a.user_id) AS n_users
+        |  FROM active a JOIN cohort c ON c.user_id = a.user_id
+        |  GROUP BY c.cohort_day, a.day - c.cohort_day)
+        |SELECT x.cohort_day, x.day_offset, x.n_users, s.cohort_size,
+        |       ROUND(CAST(x.n_users AS DOUBLE) / s.cohort_size, 6) AS retention
+        |FROM cells x JOIN sizes s ON s.cohort_day = x.cohort_day
+        |ORDER BY x.cohort_day, x.day_offset""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_sessionize" -> (evSessionize _),
-    "ev_funnel" -> (evFunnel _))
+    "ev_funnel" -> (evFunnel _),
+    "ev_retention" -> ((s: SparkSession, dir: String) => evRetention(s, dir)))
 
   val oracleSql: Map[String, String] = Map(
+    "ev_retention" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |cohort AS (
+        |  SELECT user_id, MIN(day) AS cohort_day FROM active GROUP BY user_id),
+        |sizes AS (
+        |  SELECT cohort_day, COUNT(*) AS cohort_size FROM cohort
+        |  GROUP BY cohort_day),
+        |cells AS (
+        |  SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+        |         COUNT(DISTINCT a.user_id) AS n_users
+        |  FROM active a JOIN cohort c ON c.user_id = a.user_id
+        |  GROUP BY c.cohort_day, a.day - c.cohort_day)
+        |SELECT x.cohort_day, x.day_offset, x.n_users, s.cohort_size,
+        |       ROUND(x.n_users::DOUBLE / s.cohort_size, 6) AS retention
+        |FROM cells x JOIN sizes s ON s.cohort_day = x.cohort_day
+        |ORDER BY x.cohort_day, x.day_offset""".stripMargin.replaceAll("\n", " "),
     "ev_funnel" -> funnelSql("events").replaceAll("\n", " "),
     "ev_sessionize" ->
       s"""WITH flagged AS (

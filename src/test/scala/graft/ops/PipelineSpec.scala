@@ -301,6 +301,51 @@ class PipelineSpec extends AnyFunSuite {
       s"rep=${meanRatio(rep)} clean=${meanRatio(clean)}")
   }
 
+  test("ev_retention: matches an in-memory cohort replay") {
+    val active = graft.Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "unix_micros(ts) div 86400000000 AS day")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val cohort = active.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val sizes = cohort.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // (u, day) is distinct, so each user hits a (cohort, offset) cell at
+    // most once -> the group size IS the distinct-user count
+    val expected = active.map { case (u, d) => (cohort(u), d - cohort(u)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((cd, off), n) =>
+        (cd, off, n, sizes(cd),
+          BigDecimal(n.toDouble / sizes(cd))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy(t => (t._1, t._2))
+    val got = Sessionize.evRetention(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == expected && got.nonEmpty)
+    // day-0 cells retain the whole cohort by construction
+    got.filter(_._2 == 0L).foreach(c => assert(c._3 == c._4 && c._5 == 1.0))
+  }
+
+  test("evRetention(events): parameterized entry on a hand-built activity log") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1 and u2 join day D, u3 joins D+1; u1 returns on D+1 (twice, same
+    // day -> dedups), u3 returns on D+3
+    val evs = Seq(
+      (1L, ts("2024-06-01 10:00:00")), (1L, ts("2024-06-02 09:00:00")),
+      (1L, ts("2024-06-02 11:00:00")),
+      (2L, ts("2024-06-01 12:00:00")),
+      (3L, ts("2024-06-02 08:00:00")), (3L, ts("2024-06-04 08:00:00"))
+    ).toDF("user_id", "ts")
+    val got = Sessionize.evRetention(evs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    val d1 = got.head._1 // epoch-day of 2024-06-01
+    assert(got == Seq(
+      (d1, 0L, 2L, 2L, 1.0),      // both D-cohort users active day 0
+      (d1, 1L, 1L, 2L, 0.5),      // only u1 returns next day
+      (d1 + 1, 0L, 1L, 1L, 1.0),  // u3's own cohort day
+      (d1 + 1, 2L, 1L, 1L, 1.0))) // u3 back two days later
+  }
+
   test("ev_funnel: strict-order depths match an in-memory replay") {
     val funnel = Sessionize.evFunnel(spark, sf).collect()
       .map(r => r.getLong(0) -> (Option(r.getTimestamp(1)),
