@@ -128,12 +128,88 @@ object Sessionize {
         |ORDER BY x.cohort_day, x.day_offset""".stripMargin)
   }
 
+  /** Last-touch attribution (the marketing-analytics staple): every
+    * purchase is attributed to the user's most recent PRECEDING click —
+    * click priority: a click wins over any view, however recent the view
+    * — falling back to the most recent preceding view, else unattributed
+    * (organic). Emits one row per purchase with the touch's type/id/ts
+    * and the purchase value as attributed revenue.
+    *
+    * Engine-exactness: pure window bookkeeping over (ts, event_id) order
+    * — no arithmetic at all (value passes through bit-unchanged), so the
+    * oracle compare is trivially exact. Scale: ONE user_id exchange + one
+    * per-user sort shared by all four IGNORE-NULLS running lasts (the
+    * ev_sessionize window shape); no joins.
+    */
+  def evAttribution(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evAttribution(s.table("__events"))
+  }
+
+  /** The parameterized production entry: any frame with
+    * (event_id, ts, user_id, event_type, value).
+    */
+  def evAttribution(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__attr_events")
+    s.sql(
+      """WITH ordered AS (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |         LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END)
+        |           IGNORE NULLS OVER w AS last_click_id,
+        |         LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END)
+        |           IGNORE NULLS OVER w AS last_click_ts,
+        |         LAST_VALUE(CASE WHEN event_type = 'view' THEN event_id END)
+        |           IGNORE NULLS OVER w AS last_view_id,
+        |         LAST_VALUE(CASE WHEN event_type = 'view' THEN ts END)
+        |           IGNORE NULLS OVER w AS last_view_ts
+        |  FROM __attr_events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id AS purchase_id, ts AS t_purchase, value,
+        |       CASE WHEN last_click_id IS NOT NULL THEN 'click'
+        |            WHEN last_view_id IS NOT NULL THEN 'view'
+        |            ELSE 'organic' END AS touch_type,
+        |       CASE WHEN last_click_id IS NOT NULL THEN last_click_id
+        |            ELSE last_view_id END AS touch_id,
+        |       CASE WHEN last_click_id IS NOT NULL THEN last_click_ts
+        |            ELSE last_view_ts END AS t_touch
+        |FROM ordered WHERE event_type = 'purchase'
+        |ORDER BY user_id, purchase_id""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_sessionize" -> (evSessionize _),
     "ev_funnel" -> (evFunnel _),
-    "ev_retention" -> ((s: SparkSession, dir: String) => evRetention(s, dir)))
+    "ev_retention" -> ((s: SparkSession, dir: String) => evRetention(s, dir)),
+    "ev_attribution" -> ((s: SparkSession, dir: String) => evAttribution(s, dir)))
 
   val oracleSql: Map[String, String] = Map(
+    // DuckDB puts IGNORE NULLS inside the call parens; semantics identical
+    "ev_attribution" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |         LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END
+        |           IGNORE NULLS) OVER w AS last_click_id,
+        |         LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END
+        |           IGNORE NULLS) OVER w AS last_click_ts,
+        |         LAST_VALUE(CASE WHEN event_type = 'view' THEN event_id END
+        |           IGNORE NULLS) OVER w AS last_view_id,
+        |         LAST_VALUE(CASE WHEN event_type = 'view' THEN ts END
+        |           IGNORE NULLS) OVER w AS last_view_ts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id AS purchase_id, ts AS t_purchase, value,
+        |       CASE WHEN last_click_id IS NOT NULL THEN 'click'
+        |            WHEN last_view_id IS NOT NULL THEN 'view'
+        |            ELSE 'organic' END AS touch_type,
+        |       CASE WHEN last_click_id IS NOT NULL THEN last_click_id
+        |            ELSE last_view_id END AS touch_id,
+        |       CASE WHEN last_click_id IS NOT NULL THEN last_click_ts
+        |            ELSE last_view_ts END AS t_touch
+        |FROM ordered WHERE event_type = 'purchase'
+        |ORDER BY user_id, purchase_id""".stripMargin.replaceAll("\n", " "),
     "ev_retention" ->
       """WITH active AS (
         |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day

@@ -346,6 +346,35 @@ class PipelineSpec extends AnyFunSuite {
       (d1 + 1, 2L, 1L, 1L, 1.0))) // u3 back two days later
   }
 
+  test("ev_attribution: matches an in-memory last-touch replay") {
+    val evs = graft.Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS us", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expected = evs.groupBy(_._1).toSeq.flatMap { case (user, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      var lastClick: Option[(Long, Long)] = None
+      var lastView: Option[(Long, Long)] = None
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, String, Option[Long])]
+      for ((_, id, us, tpe) <- sorted) {
+        if (tpe == "purchase") out += ((user, id,
+          if (lastClick.isDefined) "click"
+          else if (lastView.isDefined) "view" else "organic",
+          lastClick.orElse(lastView).map(_._1)))
+        if (tpe == "click") lastClick = Some((id, us))
+        if (tpe == "view") lastView = Some((id, us))
+      }
+      out
+    }.sortBy(t => (t._1, t._2))
+    val got = Sessionize.evAttribution(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(4),
+        Option(r.get(5)).map(_.asInstanceOf[Long]))).toSeq
+    assert(got == expected && got.nonEmpty)
+    // non-vacuous across the branch space: all three touch types occur
+    assert(Set("click", "view", "organic").subsetOf(got.map(_._3).toSet))
+  }
+
   test("ev_funnel: strict-order depths match an in-memory replay") {
     val funnel = Sessionize.evFunnel(spark, sf).collect()
       .map(r => r.getLong(0) -> (Option(r.getTimestamp(1)),
