@@ -66,6 +66,12 @@ object PipelineScaleProbe {
     if (args.headOption.contains("scale2tight")) {
       scale2tight(args(1).toInt, args(2)); return
     }
+    // round-7 events additions (ev_retention, ev_attribution) at the
+    // scale2 events volume —
+    // `runMain graft.PipelineScaleProbe scale3 <nEvents> <dir>`
+    if (args.headOption.contains("scale3")) {
+      scale3(args(1).toInt, args(2)); return
+    }
     val nDocs = args.headOption.map(_.toInt).getOrElse(500000)
     val outBase = args.lift(1).getOrElse("target/pscale")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -431,6 +437,59 @@ object PipelineScaleProbe {
     require(n > 0 && n < 9L * cap * corpusN / 2,
       s"guarded pair set out of bounds: $n")
     println("PSCALE scale2tight done")
+    spark.stop()
+  }
+
+  /** ev_retention + ev_attribution at the scale2 events volume (10M
+    * events / ~15k users over 30 days): wall-clock plus the structural
+    * invariants the small-N specs lock — day-0 retention is exactly 1.0
+    * per cohort, the cell space is days²-bounded, attribution emits one
+    * row per purchase and never attributes to a touch after it.
+    */
+  private def scale3(nEvents: Int, dir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val nUsers = math.max(100, nEvents / 666)
+    spark.range(0L, nEvents.toLong).map(evFor(_, nUsers, 2026L))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    println(s"PSCALE gen3 nEvents=$nEvents nUsers=$nUsers")
+
+    def timed(tag: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      df.write.mode("overwrite").parquet(s"$dir/results/$tag.parquet")
+      println(f"PSCALE q=$tag t=${(System.nanoTime() - t0) / 1e9}%.1f s " +
+        s"rows=${spark.read.parquet(s"$dir/results/$tag.parquet").count()}")
+    }
+
+    timed("ev_retention")(ops.Sessionize.evRetention(spark, dir))
+    val ret = spark.read.parquet(s"$dir/results/ev_retention.parquet")
+    val cells = ret.count()
+    val badDay0 = ret.filter("day_offset = 0 AND (n_users <> cohort_size OR retention <> 1.0)")
+      .count()
+    require(badDay0 == 0, s"$badDay0 day-0 cells lost cohort members")
+    require(cells <= 31L * 31, s"cell space not days^2-bounded: $cells")
+    println(s"PSCALE retention cells=$cells (days^2-bounded)")
+
+    timed("ev_attribution")(ops.Sessionize.evAttribution(spark, dir))
+    val attr = spark.read.parquet(s"$dir/results/ev_attribution.parquet")
+    val nPurch = spark.read.parquet(s"$dir/events.parquet")
+      .filter("event_type = 'purchase'").count()
+    require(attr.count() == nPurch,
+      s"attribution rows ${attr.count()} != purchases $nPurch")
+    val badOrder = attr.filter("t_touch IS NOT NULL AND t_touch >= t_purchase").count()
+    require(badOrder == 0, s"$badOrder touches at/after their purchase")
+    val mix = attr.groupBy("touch_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    println(s"PSCALE attribution purchases=$nPurch mix=$mix")
+    println("PSCALE scale3 done")
     spark.stop()
   }
 }

@@ -89,6 +89,29 @@ class PlanSpec extends AnyFunSuite {
     assert(shardEx == 1, s"expected 1 shard hash exchange, got $shardEx:\n$plan")
   }
 
+  test("ev_attribution: all four running lasts share ONE user_id window exchange") {
+    // four IGNORE-NULLS last_value columns over the same (user_id; ts,
+    // event_id) window must collapse into one Window operator fed by one
+    // hash exchange — a plan that re-exchanges per column would 4x the
+    // shuffle at scale; the only other exchange is the presentation sort
+    val plan = formatted(graft.ops.Sessionize.evAttribution(spark, sf))
+    val userEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length
+    assert(userEx == 1, s"expected 1 user_id exchange, got $userEx:\n$plan")
+    val windows = "\\bWindow\\b".r.findAllIn(plan).length
+    assert(windows == 1, s"expected 1 Window operator, got $windows:\n$plan")
+  }
+
+  test("ev_retention: aggregates run partial+final, no window over raw events") {
+    val plan = formatted(graft.ops.Sessionize.evRetention(spark, sf))
+    // per-event work is aggregation (map-side combinable), never a sorted
+    // window over the raw stream
+    assert(!plan.contains("Window"), s"unexpected window operator:\n$plan")
+    assert(plan.contains("partial_min") && plan.contains("partial_count"),
+      s"no partial aggregation:\n$plan")
+    // the day-cardinality size relation must come in as a broadcast
+    assert(plan.contains("BroadcastHashJoin"), s"size join not broadcast:\n$plan")
+  }
+
   test("bucketed fact-fact join runs with zero exchanges (S5 for relational workloads)") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
