@@ -275,6 +275,64 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Deterministic proportional source interleaving (the training-order
+    * step between mixing and sharding: a reader consuming (shard, pos)
+    * order sees sources woven at their configured ratios instead of in
+    * blocks). Within each md5 shard, every document gets a per-source
+    * digest rank r, and the shard's global order is by r/weight — the
+    * classic proportional-fill key: a source of weight 2 places a
+    * document at every 0.5 rank-units, weight 1 at every 1.0, so a
+    * weight-2 source appears twice as often at every prefix of the
+    * stream. The division is one int/int IEEE double op — bit-identical
+    * in both engines — with (source, doc_id) tiebreak.
+    */
+  def dsInterleave(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    // synthetic taxonomy weights: src<k> weighs k+1 (the ds_mix rate
+    // family as integers) — driver-side distinct over the taxonomy only
+    val weights = docs.select("source").distinct().collect()
+      .map(_.getString(0)).map(n => n -> (n.stripPrefix("src").toInt + 1))
+      .toMap
+    dsInterleave(docs, weights)
+  }
+
+  /** The parameterized production entry: any (doc_id, source, …) frame
+    * with integer source weights; sources absent from `weights` are
+    * dropped.
+    *
+    * Scale design: ds_shuffle's shard discipline — the md5 shard digit
+    * count is the scale knob; per shard, one (shard, source) rank window
+    * and one shard-local interleave window (two hash exchanges, no
+    * global sort; the final ORDER BY is presentation-only), and the
+    * weight map rides a broadcast join.
+    */
+  def dsInterleave(docs: DataFrame, weights: Map[String, Int]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    require(weights.values.forall(_ > 0), "weights must be positive")
+    val w = weights.toSeq.toDF("source", "w")
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(w), "source")
+      .createOrReplaceTempView("__il_docs")
+    s.sql(
+      """WITH sharded AS (
+        |  SELECT doc_id, source, w,
+        |         instr('0123456789abcdef',
+        |           substring(md5(concat('il:', CAST(doc_id AS STRING))), 1, 1))
+        |           - 1 AS shard,
+        |         md5(concat('il:', CAST(doc_id AS STRING))) AS hx
+        |  FROM __il_docs),
+        |ranked AS (
+        |  SELECT doc_id, source, w, shard,
+        |         ROW_NUMBER() OVER (PARTITION BY shard, source
+        |                            ORDER BY hx, doc_id) AS r
+        |  FROM sharded)
+        |SELECT doc_id, source, shard,
+        |       ROW_NUMBER() OVER (PARTITION BY shard
+        |         ORDER BY CAST(r AS DOUBLE) / w, source, doc_id) AS pos
+        |FROM ranked ORDER BY shard, pos""".stripMargin)
+  }
+
   /** Benchmark decontamination — the parameterized production entry: flag
     * every training document sharing at least one n-token gram with the
     * eval set. `train` carries (doc_id LONG, text STRING); `eval` carries
@@ -344,7 +402,8 @@ object Pipeline {
     "ds_pack" -> (dsPack _),
     "ds_sample" -> (dsSample _),
     "ds_shuffle" -> (dsShuffle _),
-    "ds_mix" -> ((s: SparkSession, dir: String) => dsMix(s, dir)))
+    "ds_mix" -> ((s: SparkSession, dir: String) => dsMix(s, dir)),
+    "ds_interleave" -> ((s: SparkSession, dir: String) => dsInterleave(s, dir)))
 
   /** dd_resolve oracle: the full simhash-pair SQL (nested as a CTE
     * subquery) + recursive min-label transitive closure.
@@ -364,6 +423,22 @@ object Pipeline {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ds_interleave" ->
+      """WITH sharded AS (
+        |  SELECT doc_id, source, substr(source, 4)::INT + 1 AS w,
+        |         strpos('0123456789abcdef',
+        |           substr(md5('il:' || doc_id::VARCHAR), 1, 1)) - 1 AS shard,
+        |         md5('il:' || doc_id::VARCHAR) AS hx
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT doc_id, source, w, shard,
+        |         ROW_NUMBER() OVER (PARTITION BY shard, source
+        |                            ORDER BY hx, doc_id) AS r
+        |  FROM sharded)
+        |SELECT doc_id, source, shard,
+        |       ROW_NUMBER() OVER (PARTITION BY shard
+        |         ORDER BY r::DOUBLE / w, source, doc_id) AS pos
+        |FROM ranked ORDER BY shard, pos""".stripMargin.replaceAll("\n", " "),
     "dd_resolve" -> ddResolveOracle,
     "dd_decontam" ->
       s"""WITH corpus AS (

@@ -301,6 +301,52 @@ class PipelineSpec extends AnyFunSuite {
       s"rep=${meanRatio(rep)} clean=${meanRatio(clean)}")
   }
 
+  test("ds_interleave: matches an in-memory proportional-fill replay") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.map { case (id, src) =>
+      val hx = md5hex(s"il:$id")
+      (id, src, "0123456789abcdef".indexOf(hx(0)), hx)
+    }.groupBy(_._3).toSeq.flatMap { case (shard, rows) =>
+      val ranked = rows.groupBy(_._2).toSeq.flatMap { case (src, rs) =>
+        val w = src.stripPrefix("src").toInt + 1
+        rs.sortBy(r => (r._4, r._1)).zipWithIndex
+          .map { case (r, i) => (r._1, src, (i + 1).toDouble / w) }
+      }
+      ranked.sortBy { case (id, src, key) => (key, src, id) }.zipWithIndex
+        .map { case ((id, src, _), p) => (id, src, shard, (p + 1).toLong) }
+    }.sortBy(t => (t._3, t._4))
+    val got = Pipeline.dsInterleave(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3).toLong))
+      .toSeq
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("dsInterleave(docs, weights): heavier sources fill faster in every prefix") {
+    import spark.implicits._
+    val rows = (0L until 120L).map(i => (i, "alpha")) ++
+      (1000L until 1120L).map(i => (i, "beta")) ++
+      (2000L until 2020L).map(i => (i, "gamma")) // unmapped -> dropped
+    val got = Pipeline.dsInterleave(rows.toDF("doc_id", "source"),
+        Map("alpha" -> 3, "beta" -> 1)).collect()
+      .map(r => (r.getString(1), r.getInt(2), r.getInt(3)))
+    assert(!got.exists(_._1 == "gamma"))
+    assert(got.count(_._1 == "alpha") == 120 && got.count(_._1 == "beta") == 120)
+    // weight-3 alpha places its k-th doc at key k/3 vs beta's k: at every
+    // shard prefix alpha count >= beta count until alpha exhausts
+    got.groupBy(_._2).foreach { case (shard, rs) =>
+      val inOrder = rs.sortBy(_._3).map(_._1)
+      val nAlpha = inOrder.count(_ == "alpha")
+      var (a, b) = (0, 0)
+      inOrder.foreach { src =>
+        if (src == "alpha") a += 1 else b += 1
+        assert(a >= b || a == nAlpha,
+          s"shard $shard prefix a=$a b=$b of ${inOrder.mkString(",")}")
+      }
+    }
+  }
+
   test("ev_retention: matches an in-memory cohort replay") {
     val active = graft.Tables.load(spark, sf, "events")
       .selectExpr("user_id", "unix_micros(ts) div 86400000000 AS day")
