@@ -262,7 +262,54 @@ object GraphQueries {
       |SELECT node, MIN(cost) AS cost FROM walk GROUP BY node
       |ORDER BY node""".stripMargin.replaceAll("\n", " ")
 
+  /** Q33: 3-iteration fixed-point PageRank over the q13 supplier↔part
+    * graph (see [[PageRank]] for the integer-arithmetic contract that makes
+    * the result exact on any partitioning and hash-comparable to the
+    * oracle's unrolled CTE chain). The symmetric graph guarantees every
+    * node has in- and out-edges, so no dangling-mass term is needed.
+    */
+  def q33_pagerank(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val fwd = li.select(col("l_suppkey").as("src"),
+      (col("l_partkey") + PartOffset).as("dst")).distinct()
+      .localCheckpoint(eager = false) // both directions derive from it
+    val edges = fwd.unionAll(
+      fwd.select(col("dst").as("src"), col("src").as("dst")))
+    PageRank.run(s, edges, iters = 3).orderBy("node")
+  }
+
+  val q33OracleSql: String =
+    """WITH fwd AS (
+      |  SELECT DISTINCT l_suppkey AS u, l_partkey + 1000000 AS v FROM lineitem),
+      |edges AS (SELECT u AS src, v AS dst FROM fwd
+      |          UNION ALL SELECT v AS src, u AS dst FROM fwd),
+      |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+      |n AS (SELECT COUNT(*) AS n FROM deg),
+      |pr0 AS (SELECT src AS node, outdeg,
+      |               (SELECT 1000000000000 // n FROM n) AS pr FROM deg),
+      |i1 AS (SELECT e.dst AS node, SUM(p.pr // p.outdeg) AS inflow
+      |       FROM pr0 p JOIN edges e ON e.src = p.node GROUP BY e.dst),
+      |pr1 AS (SELECT i.node, d.outdeg,
+      |               ((SELECT (15 * (1000000000000 // n)) // 100 FROM n)
+      |                + (85 * i.inflow) // 100)::BIGINT AS pr
+      |        FROM i1 i JOIN deg d ON d.src = i.node),
+      |i2 AS (SELECT e.dst AS node, SUM(p.pr // p.outdeg) AS inflow
+      |       FROM pr1 p JOIN edges e ON e.src = p.node GROUP BY e.dst),
+      |pr2 AS (SELECT i.node, d.outdeg,
+      |               ((SELECT (15 * (1000000000000 // n)) // 100 FROM n)
+      |                + (85 * i.inflow) // 100)::BIGINT AS pr
+      |        FROM i2 i JOIN deg d ON d.src = i.node),
+      |i3 AS (SELECT e.dst AS node, SUM(p.pr // p.outdeg) AS inflow
+      |       FROM pr2 p JOIN edges e ON e.src = p.node GROUP BY e.dst),
+      |pr3 AS (SELECT i.node,
+      |               ((SELECT (15 * (1000000000000 // n)) // 100 FROM n)
+      |                + (85 * i.inflow) // 100)::BIGINT AS pr
+      |        FROM i3 i JOIN deg d ON d.src = i.node)
+      |SELECT node, pr FROM pr3 ORDER BY node""".stripMargin
+      .replaceAll("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_pagerank" -> (q33_pagerank _),
     "q13_bfs" -> (q13_bfs _),
     "q16_maxflow" -> (q16_maxflow _),
     "q24_cc" -> (q24_cc _),
@@ -270,6 +317,7 @@ object GraphQueries {
     "q26_sssp" -> (q26_sssp _))
 
   val oracleSql: Map[String, String] = Map(
+    "q33_pagerank" -> q33OracleSql,
     "q13_bfs" -> q13OracleSql,
     "q24_cc" -> q24OracleSql,
     "q25_triangles" -> q25OracleSql,

@@ -1,0 +1,63 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Damped PageRank in FIXED-POINT integer arithmetic (scores scaled by
+  * 1e12, every division an integer `div`). The fixed-point choice is a
+  * scale decision, not a test convenience: float PageRank sums in-neighbor
+  * contributions in partition order, so two runs of the same job on a
+  * 1000-executor cluster can disagree in the last ulps and a Spark result
+  * can never hash-match an external engine. Integer contributions make the
+  * per-iteration aggregation exact and order-free — the same answer on any
+  * partitioning, any engine (same reasoning as the DECIMAL folds in
+  * ta_perplexity / ev_sessionize).
+  *
+  * Semantics (declared, mirrored exactly by the q33 oracle):
+  *   pr_0        = SCALE div N
+  *   teleport    = (15 * (SCALE div N)) div 100
+  *   contrib(e)  = pr(src) div outdeg(src)
+  *   pr_{i+1}(v) = teleport + (85 * Σ_in contrib) div 100
+  * Truncation error per node per iteration is < 1e-12 of total mass —
+  * invisible at ranking granularity. Callers must pass a graph where every
+  * node has at least one outgoing AND one incoming edge (symmetric graphs
+  * qualify); dangling-mass redistribution is out of scope.
+  *
+  * Scale design: one outdegree aggregation up front, then per iteration ONE
+  * join of the rank relation against edges on src (both hash-partitioned on
+  * the same key — AQE reuses the layout) and ONE aggregation on dst; the
+  * degree re-join keys on the same node id. Lazy `localCheckpoint` per
+  * iteration truncates the growing lineage so round R plans O(1) stages,
+  * not O(R) (the q26_sssp discipline). One job per iteration; no windows,
+  * no driver-side data.
+  */
+object PageRank {
+
+  /** 1e12 fixed-point scale: 12 significant decimals of rank mass. */
+  val Scale: Long = 1000000000000L
+
+  /** @param edges directed (src, dst) BIGINT pairs, pre-deduplicated. */
+  def run(s: SparkSession, edges: DataFrame, iters: Int): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(eager = true) // reused every iteration
+    val n = deg.count()
+    val pr0 = Scale / n
+    val teleport = 15L * pr0 / 100L
+
+    // qualified dataset aliases throughout: pr re-enters the join against
+    // edges/deg every iteration, so unqualified columns would trip Spark's
+    // ambiguous-self-join lineage check
+    var pr = deg.select(col("src").as("node"), col("outdeg"),
+      lit(pr0).as("pr"))
+    for (_ <- 1 to iters) {
+      val inflow = pr.as("p").join(edges.as("e"), expr("p.node = e.src"))
+        .selectExpr("e.dst AS node", "p.pr div p.outdeg AS contrib")
+        .groupBy("node").agg(sum("contrib").as("inflow"))
+      pr = inflow.as("i").join(deg.as("d"), expr("i.node = d.src"))
+        .selectExpr("i.node", "d.outdeg",
+          s"$teleport + (85 * i.inflow) div 100 AS pr")
+        .localCheckpoint(eager = false)
+    }
+    pr.select("node", "pr")
+  }
+}

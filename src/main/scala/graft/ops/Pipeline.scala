@@ -393,7 +393,49 @@ object Pipeline {
     ddDecontam(docs.unionAll(twins), eval, n = 13)
   }
 
+  /** Length-bucketed batch assembly (the padding-waste killer: batching
+    * similar-length sequences means a batch pads to its own band's width,
+    * not the corpus max). Every document lands in a token-length band
+    * (`n_tokens div bandWidth`), and within each (band, md5-shard) cell
+    * gets a deterministic batch id and intra-batch position by digest
+    * order — a reproducible batch plan, independent of row order.
+    *
+    * Scale design: the window partition is (band, shard), NOT band alone —
+    * token lengths are heavily concentrated, so a band-keyed window would
+    * put most of the corpus in one straggler task; the md5 shard digit
+    * bounds every partition at ~1/16 of a band (more digits at 100 TB, the
+    * ds_pack/ds_shuffle knob). One hash exchange + per-cell sort, no
+    * global sort; batches stay length-homogeneous because homogeneity is a
+    * band property, not a shard property.
+    */
+  def dsLenBucket(docs: DataFrame, bandWidth: Int, batchSize: Int): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__lenb_docs")
+    s.sql(
+      s"""WITH t AS (
+         |  SELECT doc_id, size(split(text, ' ')) AS n_tokens,
+         |         md5(concat('lenb:', CAST(doc_id AS STRING))) AS hx
+         |  FROM __lenb_docs)
+         |SELECT doc_id, n_tokens, band, shard,
+         |       (rn - 1) div $batchSize AS batch_id,
+         |       (rn - 1) % $batchSize AS pos
+         |FROM (
+         |  SELECT doc_id, n_tokens, n_tokens div $bandWidth AS band,
+         |         instr('0123456789abcdef', substring(hx, 1, 1)) - 1 AS shard,
+         |         ROW_NUMBER() OVER (
+         |           PARTITION BY n_tokens div $bandWidth, substring(hx, 1, 1)
+         |           ORDER BY hx, doc_id) AS rn
+         |  FROM t)
+         |ORDER BY doc_id""".stripMargin)
+  }
+
+  /** The oracle-checked form: 16-token bands, 32-doc batches. */
+  def dsLenBucket(s: SparkSession, dir: String): DataFrame =
+    dsLenBucket(Tables.load(s, dir, "documents"), bandWidth = 16,
+      batchSize = 32)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_lenbucket" -> ((s: SparkSession, dir: String) => dsLenBucket(s, dir)),
     "dd_resolve" -> (ddResolve _),
     "dd_decontam" -> ((s: SparkSession, dir: String) => ddDecontam(s, dir)),
     "ta_chunk" -> (taChunk _),
@@ -423,6 +465,21 @@ object Pipeline {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ds_lenbucket" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |         md5('lenb:' || doc_id) AS hx
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, band, shard,
+        |       (rn - 1) // 32 AS batch_id, (rn - 1) % 32 AS pos
+        |FROM (
+        |  SELECT doc_id, n_tokens, n_tokens // 16 AS band,
+        |         strpos('0123456789abcdef', substring(hx, 1, 1)) - 1 AS shard,
+        |         ROW_NUMBER() OVER (
+        |           PARTITION BY n_tokens // 16, substring(hx, 1, 1)
+        |           ORDER BY hx, doc_id) AS rn
+        |  FROM t)
+        |ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "ds_interleave" ->
       """WITH sharded AS (
         |  SELECT doc_id, source, substr(source, 4)::INT + 1 AS w,

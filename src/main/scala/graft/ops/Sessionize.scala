@@ -178,13 +178,77 @@ object Sessionize {
         |ORDER BY user_id, purchase_id""".stripMargin)
   }
 
+  /** Active-user rollup (the growth-analytics DAU/WAU staple): per observed
+    * day, the distinct users active that day (dau), the distinct users
+    * active in the trailing 7-day window (wau_7d), and the dau/wau
+    * stickiness ratio. Days are integer epoch-days (the ev_retention
+    * discipline); the ratio is one int/int double division rounded to 6.
+    *
+    * Scale design: the raw stream is compacted to DISTINCT (user, day)
+    * FIRST (one shuffle — a user firing 10k events in a day contributes one
+    * row), then the trailing window is a ×7 fan-out of that compacted
+    * relation (`sequence(day, day+6)` explode), NOT a range self-join over
+    * events and NOT a per-event window sort: win_day w collects exactly the
+    * users active in [w-6, w]. The wau aggregation is the canonical
+    * two-level COUNT(DISTINCT) partial-agg shuffle on day; the dau and
+    * observed-days joins are day-cardinality (broadcast-sized at any SF).
+    */
+  def evActiveUsers(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evActiveUsers(s.table("__events"))
+  }
+
+  /** The parameterized production entry: any frame with (user_id, ts). */
+  def evActiveUsers(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__au_events")
+    s.sql(
+      """WITH active AS (
+        |  SELECT DISTINCT user_id,
+        |         unix_micros(ts) div 86400000000 AS day
+        |  FROM __au_events),
+        |days AS (SELECT DISTINCT day FROM active),
+        |fan AS (
+        |  SELECT user_id, explode(sequence(day, day + 6)) AS win_day
+        |  FROM active),
+        |wau AS (
+        |  SELECT win_day AS day, COUNT(DISTINCT user_id) AS wau_7d
+        |  FROM fan GROUP BY win_day),
+        |dau AS (SELECT day, COUNT(*) AS dau FROM active GROUP BY day)
+        |SELECT d.day, dau.dau, wau.wau_7d,
+        |       ROUND(CAST(dau.dau AS DOUBLE) / wau.wau_7d, 6) AS stickiness
+        |FROM days d
+        |JOIN dau ON dau.day = d.day
+        |JOIN wau ON wau.day = d.day
+        |ORDER BY d.day""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_sessionize" -> (evSessionize _),
     "ev_funnel" -> (evFunnel _),
     "ev_retention" -> ((s: SparkSession, dir: String) => evRetention(s, dir)),
-    "ev_attribution" -> ((s: SparkSession, dir: String) => evAttribution(s, dir)))
+    "ev_attribution" -> ((s: SparkSession, dir: String) => evAttribution(s, dir)),
+    "ev_active_users" -> ((s: SparkSession, dir: String) => evActiveUsers(s, dir)))
 
   val oracleSql: Map[String, String] = Map(
+    "ev_active_users" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM active),
+        |fan AS (
+        |  SELECT user_id, unnest(generate_series(day, day + 6)) AS win_day
+        |  FROM active),
+        |wau AS (
+        |  SELECT win_day AS day, COUNT(DISTINCT user_id) AS wau_7d
+        |  FROM fan GROUP BY win_day),
+        |dau AS (SELECT day, COUNT(*) AS dau FROM active GROUP BY day)
+        |SELECT d.day, dau.dau, wau.wau_7d,
+        |       ROUND(dau.dau::DOUBLE / wau.wau_7d, 6) AS stickiness
+        |FROM days d
+        |JOIN dau ON dau.day = d.day
+        |JOIN wau ON wau.day = d.day
+        |ORDER BY d.day""".stripMargin.replaceAll("\n", " "),
     // DuckDB puts IGNORE NULLS inside the call parens; semantics identical
     "ev_attribution" ->
       """WITH ordered AS (

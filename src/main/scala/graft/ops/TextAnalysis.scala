@@ -187,7 +187,57 @@ object TextAnalysis {
         "ROUND(1 - CAST(d_grams AS DOUBLE) / n_grams, 6) AS dup_ratio")
       .orderBy("doc_id")
 
+  /** Unigram-LM cross-entropy scoring (the CCNet/Gopher "perplexity
+    * filtering" staple): each document's mean negative log-likelihood under
+    * the corpus's own unigram model — text whose tokens are corpus-typical
+    * scores low; rare-token-heavy (or boilerplate-junk) text scores high.
+    * Emits the per-doc token count, the cross-entropy in nats (`xent`) and
+    * the perplexity `e^xent`.
+    *
+    * Engine-exactness: a transcendental (ln) enters the compare, so the
+    * fold discipline matters twice. Each per-token term −ln(c/T) is rounded
+    * to 9 dp and cast to DECIMAL(28,9) BEFORE summation: libm ln may differ
+    * across engines in the last ulp (~1e-16 relative — absorbed by the 9 dp
+    * round), and DECIMAL summation is exact and order-free where a double
+    * fold would depend on partition order. The per-doc mean is then ONE
+    * double division rounded to 6, and ppl is exp() of that already-rounded
+    * value (identical input ⇒ ≤1 ulp output, absorbed by its round 6).
+    *
+    * Scale design: explode → token-count aggregate (vocabulary-sized
+    * output), join back to the exploded stream on token — the count
+    * relation is vocabulary-sized so Spark broadcasts it (plan-verified:
+    * BroadcastHashJoin); the corpus total folds from that same relation
+    * (SUM over vocabulary rows), so the corpus is exploded exactly twice,
+    * never a third time. Per-doc reduce is a partial-agg-friendly
+    * SUM/COUNT keyed by doc_id. No window, no per-doc sort.
+    */
+  def taPerplexity(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "documents").createOrReplaceTempView("__ta_docs")
+    taPerplexity(s.table("__ta_docs"))
+  }
+
+  /** The parameterized production entry: any corpus with (doc_id, text). */
+  def taPerplexity(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__ppl_docs")
+    s.sql(
+      s"""WITH tok AS (SELECT doc_id, explode($toks) AS token FROM __ppl_docs),
+         |cnt AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+         |tot AS (SELECT SUM(c) AS t FROM cnt),
+         |terms AS (
+         |  SELECT k.doc_id,
+         |         CAST(ROUND(-ln(CAST(c.c AS DOUBLE) / t.t), 9)
+         |              AS DECIMAL(28,9)) AS term
+         |  FROM tok k JOIN cnt c ON c.token = k.token CROSS JOIN tot t)
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         |       ROUND(CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) AS xent,
+         |       ROUND(exp(ROUND(CAST(SUM(term) AS DOUBLE) / COUNT(*), 6)), 6)
+         |         AS ppl
+         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_perplexity" -> ((s: SparkSession, dir: String) => taPerplexity(s, dir)),
     "ta_tokens" -> (taTokens _),
     "ta_quality" -> (taQuality _),
     "ta_langid" -> (taLangid _),
@@ -199,6 +249,18 @@ object TextAnalysis {
   private val sqlToks = "string_split(text, ' ')"
 
   val oracleSql: Map[String, String] = Map(
+    "ta_perplexity" ->
+      (s"WITH tok AS (SELECT doc_id, unnest($sqlToks) AS token FROM documents), " +
+        "cnt AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token), " +
+        "tot AS (SELECT SUM(c)::BIGINT AS t FROM cnt), " +
+        "terms AS (" +
+        "  SELECT k.doc_id, " +
+        "         CAST(ROUND(-ln(c.c::DOUBLE / t.t), 9) AS DECIMAL(28,9)) AS term " +
+        "  FROM tok k JOIN cnt c ON c.token = k.token CROSS JOIN tot t) " +
+        "SELECT doc_id, COUNT(*) AS n_tokens, " +
+        "       ROUND(SUM(term)::DOUBLE / COUNT(*), 6) AS xent, " +
+        "       ROUND(exp(ROUND(SUM(term)::DOUBLE / COUNT(*), 6)), 6) AS ppl " +
+        "FROM terms GROUP BY doc_id ORDER BY doc_id"),
     "ta_derep" ->
       """WITH aug AS (
         |  SELECT doc_id,

@@ -95,6 +95,48 @@ class GraphQueriesSpec extends AnyFunSuite {
     assert(d.values.forall(_ <= 6))
   }
 
+  test("q33_pagerank matches an in-memory fixed-point replay") {
+    // the exact integer recurrence PageRank declares, replayed in memory
+    // (Scala Long '/' truncates like Spark 'div' for the all-positive ranks)
+    def replay(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+      val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val pr0 = PageRank.Scale / deg.size
+      val tp = 15L * pr0 / 100L
+      var pr = deg.keys.map(_ -> pr0).toMap
+      for (_ <- 1 to iters) pr = edges.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => pr(u) / deg(u) }.sum)
+        .map { case (v, in) => v -> (tp + 85L * in / 100L) }.toMap
+      pr
+    }
+    val fwd = graft.Tables.load(spark, sf, "lineitem")
+      .selectExpr("CAST(l_suppkey AS BIGINT) AS s",
+        "CAST(l_partkey + 1000000 AS BIGINT) AS p")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val expected = replay((fwd ++ fwd.map(_.swap)).toSeq, iters = 3)
+    val got = GraphQueries.q33_pagerank(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected && got.nonEmpty)
+    // rank mass: teleport+damping conserve up to per-node truncation (<1e-10
+    // of total each), so 3 iterations stay within a hair of full mass
+    val total = got.values.sum
+    assert(total > PageRank.Scale * 99L / 100 && total <= PageRank.Scale)
+    // non-vacuous: ranks differentiated (a hub outranks a leaf somewhere)
+    assert(got.values.toSet.size > 1)
+  }
+
+  test("PageRank.run on a symmetric triangle keeps the uniform fixpoint") {
+    import spark.implicits._
+    val fwd = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val edges = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+    val pr = PageRank.run(spark, edges, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // uniform in-degree = uniform ranks, each ~Scale/3 (minus truncation)
+    assert(pr.keySet == Set(1L, 2L, 3L))
+    assert(pr.values.toSet.size == 1)
+    val third = PageRank.Scale / 3
+    assert(math.abs(pr(1L) - third) < 10)
+  }
+
   test("iterative loops leave session conf intact for concurrent queries") {
     // VERDICT r4 "wrong" #2: operator loops used to set/restore
     // spark.sql.shuffle.partitions session-globally, so a concurrent query

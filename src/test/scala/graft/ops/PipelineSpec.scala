@@ -484,6 +484,114 @@ class PipelineSpec extends AnyFunSuite {
     assert(r9 > r0 + 0.3, s"src0=$r0 src9=$r9")
   }
 
+  test("ev_active_users: matches an in-memory trailing-window replay") {
+    val active = graft.Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "unix_micros(ts) div 86400000000 AS day")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val days = active.map(_._2).distinct.sorted
+    val expected = days.map { d =>
+      val dau = active.count(_._2 == d).toLong
+      val wau = active.filter(a => a._2 >= d - 6 && a._2 <= d)
+        .map(_._1).distinct.length.toLong
+      (d, dau, wau, BigDecimal(dau.toDouble / wau)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq
+    val got = Sessionize.evActiveUsers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected && got.nonEmpty)
+    // non-vacuous: the window did real work (wau > dau somewhere)
+    assert(got.exists(r => r._3 > r._2))
+  }
+
+  test("evActiveUsers(events): parameterized entry pins the window semantics") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1 active day 0 only; u2 active days 0 and 8 (outside u1's window);
+    // day 7 is unobserved -> no output row for it
+    val evs = Seq(
+      (1L, ts("2024-06-01 10:00:00")), (1L, ts("2024-06-01 11:00:00")),
+      (2L, ts("2024-06-01 12:00:00")), (2L, ts("2024-06-09 12:00:00"))
+    ).toDF("user_id", "ts")
+    val got = Sessionize.evActiveUsers(evs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val d0 = got.head._1
+    // day 0: both users; day 8: only u2 (u1's day-0 activity is 8 days
+    // old, beyond the trailing 7) — and no phantom rows for days 1..7
+    assert(got.toSeq == Seq((d0, 2L, 2L, 1.0), (d0 + 8, 1L, 1L, 1.0)))
+  }
+
+  test("ta_perplexity: matches an in-memory unigram cross-entropy replay") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val toks = docs.map { case (id, t) => (id, t.split(" ", -1).toSeq) }
+    val cnt = toks.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val total = toks.map(_._2.size.toLong).sum
+    def term(c: Long): java.math.BigDecimal =
+      // replicate Spark ROUND(double, 9): HALF_UP on the shortest decimal
+      // repr (BigDecimal.valueOf); math.log is the same JVM libm call
+      java.math.BigDecimal.valueOf(-math.log(c.toDouble / total))
+        .setScale(9, java.math.RoundingMode.HALF_UP)
+    val expected = toks.map { case (id, ts) =>
+      val sum = ts.map(t => term(cnt(t)))
+        .foldLeft(java.math.BigDecimal.ZERO)(_ add _)
+      val xent = BigDecimal(sum.doubleValue / ts.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val ppl = BigDecimal(math.exp(xent))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, ts.size.toLong, xent, ppl)
+    }.sortBy(_._1).toSeq
+    val got = TextAnalysis.taPerplexity(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("taPerplexity(docs): parameterized entry on a hand corpus") {
+    import spark.implicits._
+    // corpus LM: c(x)=3, c(y)=2, c(z)=1, T=6
+    val docs = Seq((1L, "x x y"), (2L, "x y z")).toDF("doc_id", "text")
+    val got = TextAnalysis.taPerplexity(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    def m(ps: Double*) = BigDecimal(ps.map(p =>
+      java.math.BigDecimal.valueOf(-math.log(p))
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue).sum
+      / ps.size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(
+      (1L, 3L, m(0.5, 0.5, 2.0 / 6)), (2L, 3L, m(0.5, 2.0 / 6, 1.0 / 6))))
+    // doc 2 carries the rarer tokens -> strictly higher cross-entropy
+    assert(got(1)._3 > got(0)._3)
+  }
+
+  test("ds_lenbucket: bands homogeneous, batches bounded, order-independent") {
+    // Spark 'div' yields BIGINT: band and batch_id are Long
+    val rows = Pipeline.dsLenBucket(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getInt(5)))
+    val nDocs = graft.Tables.load(spark, sf, "documents").count()
+    assert(rows.length.toLong == nDocs)
+    // band is the declared n_tokens div 16; batches hold <= 32 docs with
+    // contiguous positions 0..k-1
+    rows.foreach(t => assert(t._3 == t._2 / 16))
+    for ((_, batch) <- rows.groupBy(t => (t._3, t._4, t._5))) {
+      assert(batch.length <= 32)
+      assert(batch.map(_._6).sorted.toSeq == (0 until batch.length))
+      // homogeneity: a batch never spans bands (keys include band), so
+      // intra-batch length spread is bounded by the band width
+      assert(batch.map(_._2).max - batch.map(_._2).min < 16)
+    }
+    // order independence: the assignment is a pure function of the corpus,
+    // not its physical layout
+    val reshuffled = Pipeline.dsLenBucket(
+      graft.Tables.load(spark, sf, "documents").repartition(7),
+      bandWidth = 16, batchSize = 32).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getInt(5)))
+    assert(reshuffled.toSet == rows.toSet)
+  }
+
   test("ds_shuffle: a reproducible permutation in (shard, pos) order") {
     val rows = Pipeline.dsShuffle(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
