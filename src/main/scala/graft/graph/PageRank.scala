@@ -44,20 +44,25 @@ object PageRank {
     val pr0 = Scale / n
     val teleport = 15L * pr0 / 100L
 
-    // qualified dataset aliases throughout: pr re-enters the join against
-    // edges/deg every iteration, so unqualified columns would trip Spark's
-    // ambiguous-self-join lineage check
     var pr = deg.select(col("src").as("node"), col("outdeg"),
       lit(pr0).as("pr"))
-    for (_ <- 1 to iters) {
-      val inflow = pr.as("p").join(edges.as("e"), expr("p.node = e.src"))
-        .selectExpr("e.dst AS node", "p.pr div p.outdeg AS contrib")
-        .groupBy("node").agg(sum("contrib").as("inflow"))
-      pr = inflow.as("i").join(deg.as("d"), expr("i.node = d.src"))
-        .selectExpr("i.node", "d.outdeg",
-          s"$teleport + (85 * i.inflow) div 100 AS pr")
-        .localCheckpoint(eager = false)
-    }
+    for (_ <- 1 to iters)
+      pr = step(pr, edges, deg, teleport).localCheckpoint(eager = false)
     pr.select("node", "pr")
+  }
+
+  /** One rank iteration — exposed so PlanSpec can lock the pre-checkpoint
+    * plan shape (partial+final inflow combine). Qualified dataset aliases
+    * throughout: pr re-enters the join against edges/deg every iteration,
+    * so unqualified columns would trip Spark's ambiguous-self-join check.
+    */
+  private[graft] def step(pr: DataFrame, edges: DataFrame, deg: DataFrame,
+      teleport: Long): DataFrame = {
+    val inflow = pr.as("p").join(edges.as("e"), expr("p.node = e.src"))
+      .selectExpr("e.dst AS node", "p.pr div p.outdeg AS contrib")
+      .groupBy("node").agg(sum("contrib").as("inflow"))
+    inflow.as("i").join(deg.as("d"), expr("i.node = d.src"))
+      .selectExpr("i.node", "d.outdeg",
+        s"$teleport + (85 * i.inflow) div 100 AS pr")
   }
 }

@@ -112,6 +112,59 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"size join not broadcast:\n$plan")
   }
 
+  test("ev_active_users: no window over raw events; fan-out follows the distinct compaction") {
+    // the trailing 7-day window is a x7 explode of the DISTINCT (user,day)
+    // relation — a plan that windows or range-joins over raw events would
+    // per-event sort at scale; distinct + counts must stay partial+final
+    val plan = formatted(graft.ops.Sessionize.evActiveUsers(spark, sf))
+    assert(!plan.contains("Window"), s"unexpected window operator:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"range-join shape crept in:\n$plan")
+    assert(plan.contains("Generate explode") && plan.contains("partial_"),
+      s"fan-out/partial-agg shape lost:\n$plan")
+  }
+
+  test("ta_perplexity: vocabulary relation joins as broadcast, never sort-merge") {
+    // the token->count relation is vocabulary-sized; if a stats change ever
+    // flips this to SortMergeJoin the corpus-sized probe side gets sorted
+    val plan = formatted(graft.ops.TextAnalysis.taPerplexity(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocabulary join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"SMJ on the token join:\n$plan")
+    // per-doc reduce is map-side combinable
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"no partial aggregation:\n$plan")
+  }
+
+  test("ds_lenbucket: one (band, shard) exchange feeds the batching window") {
+    // the window must partition by (band, shard) — band alone makes the
+    // dominant length band one straggler task; empty partition spec would
+    // serialize the corpus
+    val plan = formatted(graft.ops.Pipeline.dsLenBucket(spark, sf))
+    assert(plan.contains("Window"), s"no window operator:\n$plan")
+    val cellEx = "Exchange hashpartitioning\\(_w".r.findAllIn(plan).length
+    assert(cellEx == 1, s"expected 1 cell hash exchange, got $cellEx:\n$plan")
+    // both keys present in the window partition spec
+    val winLine = plan.linesIterator.find(_.contains("Window")).getOrElse("")
+    assert(winLine.contains("_w") || plan.contains("windowspecdefinition"),
+      s"window partition spec missing:\n$plan")
+  }
+
+  test("q33_pagerank: per-iteration inflow aggregation is partial+final") {
+    // the final frame is post-checkpoint, so lock the ITERATION plan: the
+    // dst-keyed SUM must combine map-side (the A2 combiner discipline);
+    // fixed-point Long sums make that combine exact
+    import org.apache.spark.sql.functions._
+    val edges = spark.range(100).selectExpr("id AS src", "(id + 1) % 100 AS dst")
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(eager = true)
+    val pr = deg.select(col("src").as("node"), col("outdeg"),
+      lit(1000L).as("pr"))
+    val plan = formatted(graft.graph.PageRank.step(pr, edges, deg, 150L))
+    assert(plan.contains("partial_sum"), s"no partial inflow combine:\n$plan")
+  }
+
   test("bucketed fact-fact join runs with zero exchanges (S5 for relational workloads)") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
