@@ -52,6 +52,10 @@ object PipelineScaleProbe {
     // generated corpus dir (documents.parquet inside), with their own
     // invariants — `runMain graft.PipelineScaleProbe addendum <dir>`
     if (args.headOption.contains("addendum")) { addendum(args(1)); return }
+    // round-7 additions: `addendum7 <docsDir> <eventsDir>`
+    if (args.headOption.contains("addendum7")) {
+      addendum7(args(1), args(2)); return
+    }
     // ANN + events families at 100x: generate embeddings/events, probe
     // ss_lsh_ann / ss_ivf_ann (with measured recall vs in-probe brute
     // force), dd_embed_cos twin recall, ev_sessionize, ev_funnel —
@@ -253,6 +257,92 @@ object PipelineScaleProbe {
       "shuffle shard imbalance > 20%")
 
     println("PSCALE addendum done")
+    spark.stop()
+  }
+
+  /** Round-7 additions against already-generated corpora:
+    * `runMain graft.PipelineScaleProbe addendum7 <docsDir> <eventsDir>` —
+    * ta_perplexity + ds_lenbucket at the 100× doc corpus, ev_active_users
+    * at the 10M-event corpus, and a 1M-vertex PageRank leg on the
+    * ScaleProbe small-world generator (executor-side, never shipped),
+    * locking the fixed-point determinism claim: an input repartition must
+    * reproduce the rank vector BIT-EXACTLY, which float PR cannot do.
+    */
+  private def addendum7(docsDir: String, eventsDir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+
+    def timed(tag: String, dir: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      df.write.mode("overwrite").parquet(s"$dir/results/$tag.parquet")
+      val dt = (System.nanoTime() - t0) / 1e9
+      val rows = spark.read.parquet(s"$dir/results/$tag.parquet").count()
+      println(f"PSCALE q=$tag t=$dt%.1f s rows=$rows")
+    }
+
+    val nDocs = Tables.load(spark, docsDir, "documents").count()
+
+    timed("ta_perplexity", docsDir)(
+      ops.TextAnalysis.taPerplexity(spark, docsDir))
+    val ppl = spark.read.parquet(s"$docsDir/results/ta_perplexity.parquet")
+    require(ppl.count() == nDocs, "ta_perplexity lost documents")
+    val px = ppl.agg(min("xent"), max("xent")).head()
+    println(f"PSCALE perplexity xent=[${px.getDouble(0)}%.3f, " +
+      f"${px.getDouble(1)}%.3f]")
+    require(px.getDouble(0) > 0 && px.getDouble(1) < 30,
+      "cross-entropy out of sane range")
+
+    timed("ds_lenbucket", docsDir)(ops.Pipeline.dsLenBucket(
+      Tables.load(spark, docsDir, "documents"), bandWidth = 16,
+      batchSize = 32))
+    val lb = spark.read.parquet(s"$docsDir/results/ds_lenbucket.parquet")
+    require(lb.count() == nDocs, "ds_lenbucket lost documents")
+    val batches = lb.groupBy("band", "shard", "batch_id").agg(
+      count(lit(1)).as("k"), (max("pos") + 1).as("kp"),
+      (max("n_tokens") - min("n_tokens")).as("spread"))
+    val bad = batches.filter("k > 32 OR kp <> k OR spread >= 16").count()
+    require(bad == 0, s"$bad batches violate size/contiguity/homogeneity")
+    println(s"PSCALE lenbucket batches=${batches.count()} (all <=32, " +
+      "contiguous, band-homogeneous)")
+
+    timed("ev_active_users", eventsDir)(
+      ops.Sessionize.evActiveUsers(spark, eventsDir))
+    val au = spark.read.parquet(s"$eventsDir/results/ev_active_users.parquet")
+    val days = au.count()
+    require(days <= 31, s"more output days than the 30-day corpus: $days")
+    require(au.filter("wau_7d < dau").count() == 0, "wau below dau somewhere")
+    println(s"PSCALE active_users days=$days " +
+      s"maxWau=${au.agg(max("wau_7d")).head().getLong(0)}")
+
+    // PageRank at 1M vertices: the small-world generator runs executor-side
+    val nV = 1000000
+    import spark.implicits._
+    val fwd = spark.range(0L, nV.toLong)
+      .flatMap(ScaleProbe.edgesFor(_, nV, 3, 0.1, 5, 77L))
+      .select($"_1".as("src"), $"_2".as("dst")).distinct()
+      .localCheckpoint(eager = true)
+    val t0 = System.nanoTime()
+    val pr = graph.PageRank.run(spark, fwd, iters = 3)
+    val agg1 = pr.agg(sum("pr"), count(lit(1)),
+      sum(expr("pr * node"))).head()
+    println(f"PSCALE pagerank nV=${agg1.getLong(1)} " +
+      f"t=${(System.nanoTime() - t0) / 1e9}%.1f s mass=${agg1.getLong(0)}")
+    require(agg1.getLong(0) > graph.PageRank.Scale * 99L / 100 &&
+      agg1.getLong(0) <= graph.PageRank.Scale, "rank mass not conserved")
+    // fixed-point determinism: a different physical layout, the same bits
+    val pr2 = graph.PageRank.run(spark, fwd.repartition(7), iters = 3)
+    val agg2 = pr2.agg(sum("pr"), count(lit(1)),
+      sum(expr("pr * node"))).head()
+    require(agg1 == agg2,
+      s"rank vector depends on partitioning: $agg1 vs $agg2")
+    println("PSCALE pagerank repartition-invariant (bit-exact)")
+    println("PSCALE addendum7 done")
     spark.stop()
   }
 
