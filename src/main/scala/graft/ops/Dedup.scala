@@ -412,7 +412,67 @@ object Dedup {
     scored.filter(col("cos") >= 0.9).orderBy("vec_a", "vec_b")
   }
 
+  /** Repeated-span detection (the exact-substring dedup signal of Lee et
+    * al.'s "Deduplicating Training Data Makes Language Models Better",
+    * at n-gram granularity): for every document, how many of its n-token
+    * gram positions also occur in ANOTHER document. A high dup_fraction
+    * marks boilerplate/mirrored spans that near-dup signatures (which
+    * hash whole documents) miss.
+    *
+    * Scale design: grams travel as 8-byte xxhash64 keys (the
+    * dd_minhash/ddDecontam discipline). The document-frequency aggregate
+    * is gram-vocabulary-sized, but the join back touches ONLY the df≥2
+    * subset — on a healthy corpus that relation is tiny (boilerplate
+    * vocabulary, not corpus positions), so Spark broadcasts it; per-doc
+    * totals are a partial-agg count. Docs under n tokens carry no grams
+    * and are absent (no defined fraction).
+    */
+  def ddSubstring(docs: DataFrame, n: Int): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__sub_docs")
+    s.sql(
+      s"""WITH tok AS (
+         |  SELECT doc_id, split(text, ' ') AS toks FROM __sub_docs),
+         |g AS (
+         |  SELECT doc_id,
+         |         explode(transform(sequence(1, size(toks) - ${n - 1}),
+         |           i -> xxhash64(array_join(slice(toks, i, $n), ' ')))) AS g
+         |  FROM tok WHERE size(toks) >= $n),
+         |dups AS (
+         |  SELECT g FROM (
+         |    SELECT g, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY g)
+         |  WHERE df >= 2)
+         |SELECT g.doc_id, COUNT(*) AS n_grams,
+         |       COUNT(d.g) AS n_dup,
+         |       ROUND(COUNT(d.g) / COUNT(*), 6) AS dup_fraction
+         |FROM g LEFT JOIN dups d ON d.g = g.g
+         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin)
+  }
+
+  /** The oracle-checked form: every 7th document gets a fixed 20-token
+    * boilerplate phrase appended TWICE (21 pure-phrase rotation positions
+    * per planted doc, all shared across the planted set); n = 20. The
+    * corpus's own whole-document duplicates surface too (dup_fraction
+    * 1.0) — the dual signal PipelineSpec pins.
+    */
+  def ddSubstring(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "documents").createOrReplaceTempView("__docs")
+    val aug = s.sql(
+      s"""SELECT doc_id,
+         |       CASE WHEN doc_id % 7 = 0
+         |            THEN concat(text, ' ', '$BoilerPhrase', ' ', '$BoilerPhrase')
+         |            ELSE text END AS text
+         |FROM __docs""".stripMargin)
+    ddSubstring(aug, n = 20)
+  }
+
+  /** 20 tokens of deterministic boilerplate shared by the planted docs. */
+  private[graft] val BoilerPhrase: String =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_substring" -> ((s: SparkSession, dir: String) => ddSubstring(s, dir)),
     "dd_exact" -> (ddExact _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_simhash" -> (ddSimhash _),
@@ -421,6 +481,29 @@ object Dedup {
     "dd_embed_cos" -> (ddEmbedCos _))
 
   val oracleSql: Map[String, String] = Map(
+    // string grams (ground truth): the result is hash-family-independent —
+    // per-position df≥2 flags agree for any injective keying
+    "dd_substring" ->
+      s"""WITH aug AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 0
+        |              THEN text || ' ' || '$BoilerPhrase' || ' ' || '$BoilerPhrase'
+        |              ELSE text END AS text
+        |  FROM documents),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM aug),
+        |g AS (
+        |  SELECT doc_id, unnest([array_to_string(toks[i:i+19], ' ')
+        |                         FOR i IN generate_series(1, len(toks) - 19)]) AS g
+        |  FROM tok WHERE len(toks) >= 20),
+        |dups AS (
+        |  SELECT g FROM (
+        |    SELECT g, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY g)
+        |  WHERE df >= 2)
+        |SELECT g.doc_id, COUNT(*) AS n_grams, COUNT(d.g) AS n_dup,
+        |       ROUND(COUNT(d.g) / COUNT(*), 6) AS dup_fraction
+        |FROM g LEFT JOIN dups d ON d.g = g.g
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+        .replaceAll("\n", " "),
     "dd_exact" ->
       s"""SELECT doc_id FROM (
         |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text)

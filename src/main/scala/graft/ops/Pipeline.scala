@@ -113,6 +113,53 @@ object Pipeline {
       RedactRule("phones", "\\+1-555-[0-9]{4}", "<PHONE>")))
   }
 
+  /** Text canonicalization (the cleaning pass every corpus ingest runs
+    * first): lowercase, strip a declared noise-character class
+    * ([*#@~^]), collapse whitespace runs, trim. Emits the normalized
+    * text plus before/after lengths and a `changed` flag. Narrow
+    * single-pass — no shuffle but the presentation ORDER BY; regex
+    * classes chosen to evaluate identically under Java regex and RE2.
+    */
+  def taNormalize(docs: DataFrame): DataFrame =
+    docs.selectExpr("doc_id", "text", "length(text) AS n_chars_in",
+      "trim(regexp_replace(regexp_replace(lower(text), '[*#@~^]', ''), " +
+        "' +', ' ')) AS text_norm")
+      .selectExpr("doc_id", "n_chars_in", "length(text_norm) AS n_chars_out",
+        "text_norm <> text AS changed", "text_norm")
+      .orderBy("doc_id")
+
+  /** The oracle-checked (and SELF-CHECKING) normalization query: the
+    * corpus is already clean, so deterministic noise is synthesized first
+    * (every 2nd doc uppercased, every 3rd wrapped in ' ** ' markers, every
+    * 5th with doubled spaces) and normalization must recover EXACTLY the
+    * original text — `recovered` is part of the compared output, so the
+    * oracle hash proves the roundtrip, not just engine agreement.
+    */
+  def taNormalize(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "documents").createOrReplaceTempView("__docs")
+    val aug = s.sql(
+      """SELECT doc_id, text,
+        |       CASE WHEN doc_id % 5 = 0
+        |            THEN replace(noisy, ' ', '  ') ELSE noisy END AS noisy
+        |FROM (
+        |  SELECT doc_id, text,
+        |         CASE WHEN doc_id % 3 = 0 THEN concat(' ** ', up, ' ** ')
+        |              ELSE up END AS noisy
+        |  FROM (SELECT doc_id, text,
+        |               CASE WHEN doc_id % 2 = 0 THEN upper(text)
+        |                    ELSE text END AS up
+        |        FROM __docs))""".stripMargin)
+    aug.createOrReplaceTempView("__norm_aug")
+    val s2 = aug.sparkSession
+    taNormalize(aug.selectExpr("doc_id", "noisy AS text"))
+      .createOrReplaceTempView("__norm_out")
+    s2.sql(
+      """SELECT o.doc_id, o.n_chars_in, o.n_chars_out, o.changed,
+        |       o.text_norm = a.text AS recovered
+        |FROM __norm_out o JOIN __norm_aug a ON a.doc_id = o.doc_id
+        |ORDER BY o.doc_id""".stripMargin)
+  }
+
   /** Deterministic stratified train/val/test split: the first hex digit of
     * md5('split:'||doc_id) buckets 75/12.5/12.5 — reproducible across
     * engines and runs, independent of row order, stratified implicitly by
@@ -440,6 +487,7 @@ object Pipeline {
     "dd_decontam" -> ((s: SparkSession, dir: String) => ddDecontam(s, dir)),
     "ta_chunk" -> (taChunk _),
     "ta_redact" -> ((s: SparkSession, dir: String) => taRedact(s, dir)),
+    "ta_normalize" -> ((s: SparkSession, dir: String) => taNormalize(s, dir)),
     "ds_split" -> (dsSplit _),
     "ds_pack" -> (dsPack _),
     "ds_sample" -> (dsSample _),
@@ -465,6 +513,27 @@ object Pipeline {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ta_normalize" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN doc_id % 5 = 0
+        |              THEN replace(noisy, ' ', '  ') ELSE noisy END AS noisy
+        |  FROM (
+        |    SELECT doc_id, text,
+        |           CASE WHEN doc_id % 3 = 0 THEN ' ** ' || up || ' ** '
+        |                ELSE up END AS noisy
+        |    FROM (SELECT doc_id, text,
+        |                 CASE WHEN doc_id % 2 = 0 THEN upper(text)
+        |                      ELSE text END AS up
+        |          FROM documents))),
+        |norm AS (
+        |  SELECT doc_id, text, noisy, length(noisy) AS n_chars_in,
+        |         trim(regexp_replace(regexp_replace(lower(noisy),
+        |           '[*#@~^]', '', 'g'), ' +', ' ', 'g')) AS text_norm
+        |  FROM aug)
+        |SELECT doc_id, n_chars_in, length(text_norm) AS n_chars_out,
+        |       text_norm <> noisy AS changed, text_norm = text AS recovered
+        |FROM norm ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "ds_lenbucket" ->
       """WITH t AS (
         |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,

@@ -592,6 +592,66 @@ class PipelineSpec extends AnyFunSuite {
     assert(reshuffled.toSet == rows.toSet)
   }
 
+  test("ta_normalize: the synthesized noise roundtrips to the original corpus") {
+    val rows = Pipeline.taNormalize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getBoolean(3),
+        r.getBoolean(4)))
+    val nDocs = graft.Tables.load(spark, sf, "documents").count()
+    assert(rows.length.toLong == nDocs)
+    // every noised doc recovers its original text exactly
+    rows.foreach(t => assert(t._5, s"doc ${t._1} did not roundtrip"))
+    // the noise classes really changed the text; untouched docs didn't
+    rows.foreach { t =>
+      val noised = t._1 % 2 == 0 || t._1 % 3 == 0 || t._1 % 5 == 0
+      assert(t._4 == noised, s"doc ${t._1}: changed=${t._4}, noised=$noised")
+    }
+  }
+
+  test("taNormalize(docs): parameterized entry on hand-messy strings") {
+    import spark.implicits._
+    val docs = Seq((1L, "  The  QUICK ** brown ~fox  "),
+      (2L, "already clean")).toDF("doc_id", "text")
+    val got = Pipeline.taNormalize(docs).collect()
+      .map(r => (r.getLong(0), r.getString(4), r.getBoolean(3)))
+    assert(got.toSeq == Seq((1L, "the quick brown fox", true),
+      (2L, "already clean", false)))
+  }
+
+  test("dd_substring: matches an in-memory repeated-span replay") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val aug = docs.map { case (id, t) =>
+      (id, if (id % 7 == 0)
+        s"$t ${Dedup.BoilerPhrase} ${Dedup.BoilerPhrase}" else t)
+    }
+    val grams = aug.map { case (id, t) =>
+      val toks = t.split(" ", -1)
+      (id, (0 to toks.length - 20).map(i =>
+        toks.slice(i, i + 20).mkString(" ")))
+    }.filter(_._2.nonEmpty)
+    val df = grams.flatMap { case (id, gs) => gs.distinct.map((_, id)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val expected = grams.map { case (id, gs) =>
+      val dup = gs.count(g => df(g) >= 2)
+      (id, gs.size.toLong, dup.toLong,
+        BigDecimal(dup.toDouble / gs.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1).toSeq
+    val got = Dedup.ddSubstring(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected && got.nonEmpty)
+    // the planted boilerplate yields the 21 rotation positions (plus any
+    // natural repeats): every planted doc flags >= 21 spans
+    got.filter(_._1 % 7 == 0).foreach(t =>
+      assert(t._3 >= 21, s"doc ${t._1}: only ${t._3} dup spans"))
+    // the detector also finds the corpus's own whole-document duplicates
+    // (dup_fraction 1.0 on unplanted docs) — dual-signal, non-vacuous
+    assert(got.exists(t => t._1 % 7 != 0 && t._4 == 1.0))
+    assert(got.exists(t => t._1 % 7 != 0 && t._4 == 0.0))
+  }
+
   test("ds_shuffle: a reproducible permutation in (shard, pos) order") {
     val rows = Pipeline.dsShuffle(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))

@@ -165,6 +165,24 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_sum"), s"no partial inflow combine:\n$plan")
   }
 
+  test("dd_substring: the df>=2 gram set joins as broadcast, never sort-merge") {
+    // the duplicated-gram relation is boilerplate-vocabulary-sized; an SMJ
+    // here would sort the corpus-positions gram stream
+    val plan = formatted(graft.ops.Dedup.ddSubstring(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dup-gram join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"SMJ on the gram join:\n$plan")
+  }
+
+  test("taNormalize: narrow single-pass — no exchange but the presentation sort") {
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text")
+    val plan = formatted(graft.ops.Pipeline.taNormalize(docs))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty,
+      s"unexpected hash exchange in a narrow transform:\n$plan")
+  }
+
   test("bucketed fact-fact join runs with zero exchanges (S5 for relational workloads)") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
