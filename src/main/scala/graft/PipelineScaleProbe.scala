@@ -311,6 +311,16 @@ object PipelineScaleProbe {
     println(s"PSCALE lenbucket batches=${batches.count()} (all <=32, " +
       "contiguous, band-homogeneous)")
 
+    // dd_substring at 100×: the gram-df aggregate runs over ~corpus-position
+    // rows, but the df≥2 join-back set must stay boilerplate-sized (the
+    // broadcast the plan lock depends on) even with planted twins around
+    timed("dd_substring", docsDir)(ops.Dedup.ddSubstring(
+      Tables.load(spark, docsDir, "documents"), n = 20))
+    val sub = spark.read.parquet(s"$docsDir/results/dd_substring.parquet")
+    val dupDocs = sub.filter("n_dup > 0").count()
+    println(s"PSCALE substring docs=${sub.count()} withDupSpans=$dupDocs")
+    require(sub.filter("n_dup > n_grams").count() == 0, "dup > total grams")
+
     timed("ev_active_users", eventsDir)(
       ops.Sessionize.evActiveUsers(spark, eventsDir))
     val au = spark.read.parquet(s"$eventsDir/results/ev_active_users.parquet")

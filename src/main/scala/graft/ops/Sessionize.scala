@@ -223,7 +223,52 @@ object Sessionize {
         |ORDER BY d.day""".stripMargin)
   }
 
+  /** Daily event-rate anomaly (the ops-dashboard staple): for every
+    * (event_type, day), today's event count against the mean of the
+    * STRICTLY PRECEDING 7 days, as `rate_ratio = n·base_days/base_n` —
+    * one integer product and ONE double division rounded to 6 (the
+    * ev_retention discipline), `spike` flags ratio ≥ 2. Days with no
+    * preceding baseline (the stream's first day per type) are absent —
+    * no baseline, no score.
+    *
+    * Scale design: ALL per-event work is one combinable COUNT keyed by
+    * (event_type, day) — the `daily` relation is (types × days)-sized,
+    * so the ×7 baseline fan-out, the baseline aggregate and the join
+    * back are near-free at any corpus size; nothing per-event is sorted
+    * or windowed (the ev_active_users compaction-first discipline).
+    */
+  def evSpike(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evSpike(s.table("__events"))
+  }
+
+  /** The parameterized production entry: any frame with (ts, event_type). */
+  def evSpike(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__spk_events")
+    s.sql(
+      """WITH daily AS (
+        |  SELECT event_type, unix_micros(ts) div 86400000000 AS day,
+        |         COUNT(*) AS n
+        |  FROM __spk_events GROUP BY 1, 2),
+        |base AS (
+        |  SELECT event_type, win_day AS day, SUM(n) AS base_n,
+        |         COUNT(*) AS base_days
+        |  FROM (SELECT event_type, n,
+        |               explode(sequence(day + 1, day + 7)) AS win_day
+        |        FROM daily)
+        |  GROUP BY event_type, win_day)
+        |SELECT d.event_type, d.day, d.n, b.base_n, b.base_days,
+        |       ROUND(CAST(d.n * b.base_days AS DOUBLE) / b.base_n, 6)
+        |         AS rate_ratio,
+        |       d.n * b.base_days >= 2 * b.base_n AS spike
+        |FROM daily d
+        |JOIN base b ON b.event_type = d.event_type AND b.day = d.day
+        |ORDER BY d.event_type, d.day""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_spike" -> ((s: SparkSession, dir: String) => evSpike(s, dir)),
     "ev_sessionize" -> (evSessionize _),
     "ev_funnel" -> (evFunnel _),
     "ev_retention" -> ((s: SparkSession, dir: String) => evRetention(s, dir)),
@@ -231,6 +276,25 @@ object Sessionize {
     "ev_active_users" -> ((s: SparkSession, dir: String) => evActiveUsers(s, dir)))
 
   val oracleSql: Map[String, String] = Map(
+    "ev_spike" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |base AS (
+        |  SELECT event_type, win_day AS day, SUM(n)::BIGINT AS base_n,
+        |         COUNT(*) AS base_days
+        |  FROM (SELECT event_type, n,
+        |               unnest(generate_series(day + 1, day + 7)) AS win_day
+        |        FROM daily)
+        |  GROUP BY event_type, win_day)
+        |SELECT d.event_type, d.day, d.n, b.base_n, b.base_days,
+        |       ROUND((d.n * b.base_days)::DOUBLE / b.base_n, 6)
+        |         AS rate_ratio,
+        |       d.n * b.base_days >= 2 * b.base_n AS spike
+        |FROM daily d
+        |JOIN base b ON b.event_type = d.event_type AND b.day = d.day
+        |ORDER BY d.event_type, d.day""".stripMargin.replaceAll("\n", " "),
     "ev_active_users" ->
       """WITH active AS (
         |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day

@@ -652,6 +652,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.exists(t => t._1 % 7 != 0 && t._4 == 0.0))
   }
 
+  test("ev_spike: matches an in-memory trailing-baseline replay") {
+    val daily = graft.Tables.load(spark, sf, "events")
+      .selectExpr("event_type", "unix_micros(ts) div 86400000000 AS day")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = daily.keys.toSeq.flatMap { case (tpe, d) =>
+      val preceding = (d - 7 to d - 1).flatMap(pd => daily.get((tpe, pd)))
+      if (preceding.isEmpty) None
+      else {
+        val (baseN, baseDays) = (preceding.sum, preceding.length.toLong)
+        val n = daily((tpe, d))
+        Some((tpe, d, n, baseN, baseDays,
+          BigDecimal((n * baseDays).toDouble / baseN)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          n * baseDays >= 2 * baseN))
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = Sessionize.evSpike(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getBoolean(6))).toSeq
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("evSpike(events): parameterized entry flags a planted 4x burst") {
+    import spark.implicits._
+    def ts(d: Int, i: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-06-01 00:00:00").getTime
+        + d * 86400000L + i * 1000L)
+    val evs = (1 to 10).map(i => (ts(0, i), "a")) ++
+      (1 to 10).map(i => (ts(1, i), "a")) ++
+      (1 to 40).map(i => (ts(2, i), "a"))
+    val got = Sessionize.evSpike(evs.toDF("ts", "event_type")).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(5), r.getBoolean(6)))
+    val d0 = got.map(_._1).min - 1 // day 1 is the first scored day
+    // day 0 has no baseline (absent); day 1 rides day 0 (ratio 1); day 2's
+    // 40 events against mean(10, 10) = 4x -> spike
+    assert(got.toSeq == Seq((d0 + 1, 10L, 1.0, false),
+      (d0 + 2, 40L, 4.0, true)))
+  }
+
   test("ds_shuffle: a reproducible permutation in (shard, pos) order") {
     val rows = Pipeline.dsShuffle(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
