@@ -198,29 +198,33 @@ object Sessionize {
     evActiveUsers(s.table("__events"))
   }
 
-  /** The parameterized production entry: any frame with (user_id, ts). */
-  def evActiveUsers(events: DataFrame): DataFrame = {
+  /** The parameterized production entry: any frame with (user_id, ts),
+    * any trailing-window width ("MY window", the ddDecontam pattern —
+    * the oracle form fixes windowDays = 7).
+    */
+  def evActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
     val s = events.sparkSession
     events.createOrReplaceTempView("__au_events")
     s.sql(
-      """WITH active AS (
-        |  SELECT DISTINCT user_id,
-        |         unix_micros(ts) div 86400000000 AS day
-        |  FROM __au_events),
-        |days AS (SELECT DISTINCT day FROM active),
-        |fan AS (
-        |  SELECT user_id, explode(sequence(day, day + 6)) AS win_day
-        |  FROM active),
-        |wau AS (
-        |  SELECT win_day AS day, COUNT(DISTINCT user_id) AS wau_7d
-        |  FROM fan GROUP BY win_day),
-        |dau AS (SELECT day, COUNT(*) AS dau FROM active GROUP BY day)
-        |SELECT d.day, dau.dau, wau.wau_7d,
-        |       ROUND(CAST(dau.dau AS DOUBLE) / wau.wau_7d, 6) AS stickiness
-        |FROM days d
-        |JOIN dau ON dau.day = d.day
-        |JOIN wau ON wau.day = d.day
-        |ORDER BY d.day""".stripMargin)
+      s"""WITH active AS (
+         |  SELECT DISTINCT user_id,
+         |         unix_micros(ts) div 86400000000 AS day
+         |  FROM __au_events),
+         |days AS (SELECT DISTINCT day FROM active),
+         |fan AS (
+         |  SELECT user_id, explode(sequence(day, day + ${windowDays - 1}))
+         |           AS win_day
+         |  FROM active),
+         |wau AS (
+         |  SELECT win_day AS day, COUNT(DISTINCT user_id) AS wau_7d
+         |  FROM fan GROUP BY win_day),
+         |dau AS (SELECT day, COUNT(*) AS dau FROM active GROUP BY day)
+         |SELECT d.day, dau.dau, wau.wau_7d,
+         |       ROUND(CAST(dau.dau AS DOUBLE) / wau.wau_7d, 6) AS stickiness
+         |FROM days d
+         |JOIN dau ON dau.day = d.day
+         |JOIN wau ON wau.day = d.day
+         |ORDER BY d.day""".stripMargin)
   }
 
   /** Daily event-rate anomaly (the ops-dashboard staple): for every
@@ -242,29 +246,34 @@ object Sessionize {
     evSpike(s.table("__events"))
   }
 
-  /** The parameterized production entry: any frame with (ts, event_type). */
-  def evSpike(events: DataFrame): DataFrame = {
+  /** The parameterized production entry: any frame with (ts, event_type),
+    * any baseline width and spike threshold. `threshold` is integral so
+    * the flag stays an exact integer comparison (n·base_days ≥
+    * threshold·base_n) in both engines; the oracle form fixes (7, 2).
+    */
+  def evSpike(events: DataFrame, windowDays: Int = 7,
+      threshold: Int = 2): DataFrame = {
     val s = events.sparkSession
     events.createOrReplaceTempView("__spk_events")
     s.sql(
-      """WITH daily AS (
-        |  SELECT event_type, unix_micros(ts) div 86400000000 AS day,
-        |         COUNT(*) AS n
-        |  FROM __spk_events GROUP BY 1, 2),
-        |base AS (
-        |  SELECT event_type, win_day AS day, SUM(n) AS base_n,
-        |         COUNT(*) AS base_days
-        |  FROM (SELECT event_type, n,
-        |               explode(sequence(day + 1, day + 7)) AS win_day
-        |        FROM daily)
-        |  GROUP BY event_type, win_day)
-        |SELECT d.event_type, d.day, d.n, b.base_n, b.base_days,
-        |       ROUND(CAST(d.n * b.base_days AS DOUBLE) / b.base_n, 6)
-        |         AS rate_ratio,
-        |       d.n * b.base_days >= 2 * b.base_n AS spike
-        |FROM daily d
-        |JOIN base b ON b.event_type = d.event_type AND b.day = d.day
-        |ORDER BY d.event_type, d.day""".stripMargin)
+      s"""WITH daily AS (
+         |  SELECT event_type, unix_micros(ts) div 86400000000 AS day,
+         |         COUNT(*) AS n
+         |  FROM __spk_events GROUP BY 1, 2),
+         |base AS (
+         |  SELECT event_type, win_day AS day, SUM(n) AS base_n,
+         |         COUNT(*) AS base_days
+         |  FROM (SELECT event_type, n,
+         |               explode(sequence(day + 1, day + $windowDays)) AS win_day
+         |        FROM daily)
+         |  GROUP BY event_type, win_day)
+         |SELECT d.event_type, d.day, d.n, b.base_n, b.base_days,
+         |       ROUND(CAST(d.n * b.base_days AS DOUBLE) / b.base_n, 6)
+         |         AS rate_ratio,
+         |       d.n * b.base_days >= $threshold * b.base_n AS spike
+         |FROM daily d
+         |JOIN base b ON b.event_type = d.event_type AND b.day = d.day
+         |ORDER BY d.event_type, d.day""".stripMargin)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

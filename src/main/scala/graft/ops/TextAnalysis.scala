@@ -236,6 +236,42 @@ object TextAnalysis {
          |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   }
 
+  /** Cross-entropy of `docs` under a FOREIGN reference LM corpus — the
+    * real CCNet shape ("score MY crawl against the wikipedia LM"). A
+    * foreign model makes out-of-vocabulary tokens possible, so the
+    * estimate is Laplace-smoothed: p(t) = (c(t)+1)/(T+V+1) with c = 0
+    * for OOV (V = the LM vocabulary size; the +1 in the denominator is
+    * the OOV type). [[taPerplexity(docs:*]] self-scoring keeps the
+    * unsmoothed estimate — no OOV is possible there and its oracle is
+    * already locked.
+    *
+    * Same fold discipline (per-term round-to-9 → DECIMAL sum) and same
+    * shape: the LM count relation is vocabulary-sized and joins
+    * broadcast; LEFT join so OOV tokens survive with c = 0.
+    */
+  def taPerplexityAgainst(docs: DataFrame, lm: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__pplx_docs")
+    lm.createOrReplaceTempView("__pplx_lm")
+    s.sql(
+      s"""WITH tok AS (SELECT doc_id, explode($toks) AS token FROM __pplx_docs),
+         |cnt AS (SELECT token, COUNT(*) AS c
+         |        FROM (SELECT explode($toks) AS token FROM __pplx_lm)
+         |        GROUP BY token),
+         |tot AS (SELECT SUM(c) AS t, COUNT(*) AS v FROM cnt),
+         |terms AS (
+         |  SELECT k.doc_id,
+         |         CAST(ROUND(-ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
+         |                        / (t.t + t.v + 1)), 9)
+         |              AS DECIMAL(28,9)) AS term
+         |  FROM tok k LEFT JOIN cnt c ON c.token = k.token CROSS JOIN tot t)
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         |       ROUND(CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) AS xent,
+         |       ROUND(exp(ROUND(CAST(SUM(term) AS DOUBLE) / COUNT(*), 6)), 6)
+         |         AS ppl
+         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_perplexity" -> ((s: SparkSession, dir: String) => taPerplexity(s, dir)),
     "ta_tokens" -> (taTokens _),

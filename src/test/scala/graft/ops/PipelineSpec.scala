@@ -565,6 +565,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(1)._3 > got(0)._3)
   }
 
+  test("evActiveUsers(events, windowDays): caller-set window changes the rollup") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1 on day 0, u2 on day 2: a 2-day window at day 2 misses u1, a
+    // 7-day window catches them both
+    val evs = Seq((1L, ts("2024-06-01 10:00:00")),
+      (2L, ts("2024-06-03 10:00:00"))).toDF("user_id", "ts")
+    val w2 = Sessionize.evActiveUsers(evs, windowDays = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val w7 = Sessionize.evActiveUsers(evs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val d0 = w2.keys.min
+    assert(w2 == Map(d0 -> 1L, (d0 + 2) -> 1L))
+    assert(w7 == Map(d0 -> 1L, (d0 + 2) -> 2L))
+  }
+
+  test("evSpike(events, windowDays, threshold): caller-set knobs change the flag") {
+    import spark.implicits._
+    def ts(d: Int, i: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-06-01 00:00:00").getTime
+        + d * 86400000L + i * 1000L)
+    // day 0: 10, day 1: 30 — a 3x day
+    val evs = ((1 to 10).map(i => (ts(0, i), "a")) ++
+      (1 to 30).map(i => (ts(1, i), "a"))).toDF("ts", "event_type")
+    def flag(th: Int) = Sessionize.evSpike(evs, windowDays = 7,
+      threshold = th).collect().map(r => r.getLong(1) -> r.getBoolean(6)).toMap
+    val d1 = flag(2).keys.head
+    assert(flag(2) == Map(d1 -> true))   // 3x >= 2x
+    assert(flag(4) == Map(d1 -> false))  // 3x < 4x
+  }
+
+  test("taPerplexityAgainst(docs, lm): foreign LM with Laplace-smoothed OOV") {
+    import spark.implicits._
+    // LM corpus: c(x)=3, c(y)=1, T=4, V=2 -> denom T+V+1 = 7
+    val lm = Seq((100L, "x x x y")).toDF("doc_id", "text")
+    // doc 1 is in-vocabulary; doc 2 carries an OOV token z (c=0 -> p=1/7)
+    val docs = Seq((1L, "x y"), (2L, "x z")).toDF("doc_id", "text")
+    val got = TextAnalysis.taPerplexityAgainst(docs, lm).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    def term(p: Double) = java.math.BigDecimal.valueOf(-math.log(p))
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+    def mean(ps: Double*) = BigDecimal(ps.map(term).sum / ps.size)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == mean(4.0 / 7, 2.0 / 7))
+    assert(got(2L) == mean(4.0 / 7, 1.0 / 7))
+    // the OOV doc is strictly more surprising
+    assert(got(2L) > got(1L))
+  }
+
   test("ds_lenbucket: bands homogeneous, batches bounded, order-independent") {
     // Spark 'div' yields BIGINT: band and batch_id are Long
     val rows = Pipeline.dsLenBucket(spark, sf).collect()
