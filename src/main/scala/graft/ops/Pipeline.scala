@@ -49,26 +49,34 @@ object Pipeline {
       .orderBy("doc_id"), rounds)
   }
 
-  /** Context-window chunking: fixed 32-token windows with stride 24
-    * (8-token overlap). Chunk count = 1 + ceil((len-32)/24) for len > 32,
-    * computed with the integer identity ceil((len-32)/24) = (len-9) div 24
-    * so both engines agree exactly.
+  /** Context-window chunking over an arbitrary (doc_id, text) corpus with
+    * caller-set window/stride ("chunk MY corpus at MY context length") —
+    * chunk count = 1 + ceil((len-window)/stride) for len > window,
+    * computed with the integer identity ceil((len-w)/s) =
+    * (len - w + s - 1) div s so both engines agree exactly.
     */
-  def taChunk(s: SparkSession, dir: String): DataFrame = {
-    Tables.load(s, dir, "documents").createOrReplaceTempView("__docs")
+  def taChunk(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__chunk_docs")
     s.sql(
-      """WITH tok AS (SELECT doc_id, split(text, ' ') AS toks FROM __docs),
-        |chunks AS (
-        |  SELECT doc_id, ck,
-        |         slice(toks, 1 + ck * 24, 32) AS ctoks
-        |  FROM tok LATERAL VIEW explode(sequence(0,
-        |    CASE WHEN size(toks) > 32 THEN (size(toks) - 9) div 24
-        |         ELSE 0 END)) AS ck)
-        |SELECT doc_id, CAST(ck AS BIGINT) AS chunk_id,
-        |       size(ctoks) AS n_tokens,
-        |       array_join(ctoks, ' ') AS chunk_text
-        |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin)
+      s"""WITH tok AS (
+         |  SELECT doc_id, split(text, ' ') AS toks FROM __chunk_docs),
+         |chunks AS (
+         |  SELECT doc_id, ck,
+         |         slice(toks, 1 + ck * $stride, $window) AS ctoks
+         |  FROM tok LATERAL VIEW explode(sequence(0,
+         |    CASE WHEN size(toks) > $window
+         |         THEN (size(toks) - ${window - stride + 1}) div $stride
+         |         ELSE 0 END)) AS ck)
+         |SELECT doc_id, CAST(ck AS BIGINT) AS chunk_id,
+         |       size(ctoks) AS n_tokens,
+         |       array_join(ctoks, ' ') AS chunk_text
+         |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin)
   }
+
+  /** The oracle-checked form: 32-token windows, stride 24. */
+  def taChunk(s: SparkSession, dir: String): DataFrame =
+    taChunk(Tables.load(s, dir, "documents"), window = 32, stride = 24)
 
   /** One redaction rule: match counts surface as column `n_<name>`, and
     * every match of `pattern` (Java regex) is replaced by `replacement`.
@@ -193,22 +201,29 @@ object Pipeline {
     * task). No global sort, no driver loop: one hash exchange + per-shard
     * sort, same md5 bucket family as ds_split so the oracle shares it.
     */
-  def dsPack(s: SparkSession, dir: String): DataFrame = {
-    Tables.load(s, dir, "documents").createOrReplaceTempView("__docs")
+  def dsPack(docs: DataFrame, budget: Int): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__pack_docs")
     s.sql(
-      """WITH tok AS (
-        |  SELECT doc_id, size(split(text, ' ')) AS n_tokens,
-        |         instr('0123456789abcdef',
-        |           substring(md5(concat('pack:', CAST(doc_id AS STRING))), 1, 1))
-        |           - 1 AS bucket
-        |  FROM __docs)
-        |SELECT doc_id, bucket, n_tokens,
-        |       ((SUM(n_tokens) OVER w) - n_tokens) div 256 AS pack_id
-        |FROM tok
-        |WINDOW w AS (PARTITION BY bucket ORDER BY doc_id
-        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |ORDER BY doc_id""".stripMargin)
+      s"""WITH tok AS (
+         |  SELECT doc_id, size(split(text, ' ')) AS n_tokens,
+         |         instr('0123456789abcdef',
+         |           substring(md5(concat('pack:', CAST(doc_id AS STRING))), 1, 1))
+         |           - 1 AS bucket
+         |  FROM __pack_docs)
+         |SELECT doc_id, bucket, n_tokens,
+         |       ((SUM(n_tokens) OVER w) - n_tokens) div $budget AS pack_id
+         |FROM tok
+         |WINDOW w AS (PARTITION BY bucket ORDER BY doc_id
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |ORDER BY doc_id""".stripMargin)
   }
+
+  /** The oracle-checked form: 256-token pack budget ("pack MY corpus at
+    * MY budget" is the DataFrame-in overload above).
+    */
+  def dsPack(s: SparkSession, dir: String): DataFrame =
+    dsPack(Tables.load(s, dir, "documents"), budget = 256)
 
   /** Deterministic exact-k stratified sampling (the eval-set / ablation
     * carve-out step): within every (lang, source) stratum keep the k=5
@@ -223,17 +238,22 @@ object Pipeline {
     * O(strata × k), not the corpus; the q8/ta_tfidf plan family, locked
     * by PlanSpec for that family).
     */
-  def dsSample(s: SparkSession, dir: String): DataFrame = {
-    Tables.load(s, dir, "documents").createOrReplaceTempView("__docs")
+  def dsSample(docs: DataFrame, k: Int): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__sample_docs")
     s.sql(
-      """SELECT doc_id, lang, source, rk FROM (
-        |  SELECT doc_id, lang, source,
-        |         ROW_NUMBER() OVER (PARTITION BY lang, source
-        |           ORDER BY md5(concat('sample:', CAST(doc_id AS STRING))),
-        |                    doc_id) AS rk
-        |  FROM __docs)
-        |WHERE rk <= 5 ORDER BY lang, source, rk""".stripMargin)
+      s"""SELECT doc_id, lang, source, rk FROM (
+         |  SELECT doc_id, lang, source,
+         |         ROW_NUMBER() OVER (PARTITION BY lang, source
+         |           ORDER BY md5(concat('sample:', CAST(doc_id AS STRING))),
+         |                    doc_id) AS rk
+         |  FROM __sample_docs)
+         |WHERE rk <= $k ORDER BY lang, source, rk""".stripMargin)
   }
+
+  /** The oracle-checked form: k = 5 per (lang, source) stratum. */
+  def dsSample(s: SparkSession, dir: String): DataFrame =
+    dsSample(Tables.load(s, dir, "documents"), k = 5)
 
   /** Deterministic epoch shuffle (the training-data writer's last step):
     * every document gets a shard (first hex digit of
@@ -247,19 +267,24 @@ object Pipeline {
     * each shard's sort fits one task). No global sort anywhere: the
     * final ORDER BY is presentation-only.
     */
-  def dsShuffle(s: SparkSession, dir: String): DataFrame = {
-    Tables.load(s, dir, "documents").createOrReplaceTempView("__docs")
+  def dsShuffle(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__shuf_docs")
     s.sql(
       """WITH h AS (
         |  SELECT doc_id,
         |         md5(concat('shuffle:', CAST(doc_id AS STRING))) AS hx
-        |  FROM __docs)
+        |  FROM __shuf_docs)
         |SELECT doc_id,
         |       instr('0123456789abcdef', substring(hx, 1, 1)) - 1 AS shard,
         |       ROW_NUMBER() OVER (
         |         PARTITION BY substring(hx, 1, 1) ORDER BY hx, doc_id) AS pos
         |FROM h ORDER BY shard, pos""".stripMargin)
   }
+
+  /** The oracle-checked form over the testdata corpus. */
+  def dsShuffle(s: SparkSession, dir: String): DataFrame =
+    dsShuffle(Tables.load(s, dir, "documents"))
 
   /** Deterministic source-mixture weighting (the data-mixing step: each
     * source contributes at its configured rate, e.g. wiki oversampled,

@@ -484,6 +484,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(r9 > r0 + 0.3, s"src0=$r0 src9=$r9")
   }
 
+  test("parameterized knobs: taChunk/dsPack/dsSample honor caller values") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 25).map(i => s"t$i").mkString(" ")), // 25 tokens
+      (2L, "a b c")).toDF("doc_id", "text")
+    // window 10 / stride 5: 25 tokens -> chunks at offsets 0,5,10,15
+    // (ceil((25-10)/5)=3 +1); the 3-token doc yields one short chunk
+    val chunks = Pipeline.taChunk(docs, window = 10, stride = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(chunks.count(_._1 == 1L) == 4)
+    assert(chunks.filter(_._1 == 1L).map(_._3).toSeq == Seq(10, 10, 10, 10))
+    assert(chunks.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 3)))
+    // pack budget 8: doc lengths 25 and 3 -> cumulative fills shift packs
+    val packs = Pipeline.dsPack(docs, budget = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(packs.length == 2)
+    // stratified k=1 returns exactly one row per stratum
+    val strat = Seq((1L, "en", "s0"), (2L, "en", "s0"), (3L, "de", "s1"))
+      .toDF("doc_id", "lang", "source")
+    val k1 = Pipeline.dsSample(strat, k = 1).collect()
+    assert(k1.length == 2 && k1.forall(_.getInt(3) == 1))
+  }
+
   test("ev_active_users: matches an in-memory trailing-window replay") {
     val active = graft.Tables.load(spark, sf, "events")
       .selectExpr("user_id", "unix_micros(ts) div 86400000000 AS day")
