@@ -54,13 +54,24 @@ object Dedup {
     */
   def ddExact(s: SparkSession, dir: String): DataFrame = {
     docs(s, dir)
+    ddExactOn(s.sql(
+      s"""SELECT doc_id, text FROM __docs
+         |UNION ALL
+         |SELECT doc_id + ${TwinIdOffset}, text FROM __docs""".stripMargin))
+  }
+
+  /** Exact dedup (md5 keep-first) over an arbitrary (doc_id, text) corpus
+    * — the production entry; the oracle form above plants its exact twins
+    * and delegates here.
+    */
+  def ddExactOn(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__exact_docs")
     s.sql(
-      s"""SELECT doc_id FROM (
+      """SELECT doc_id FROM (
         |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text)
         |                                    ORDER BY doc_id) AS rn
-        |  FROM (SELECT doc_id, text FROM __docs
-        |        UNION ALL
-        |        SELECT doc_id + ${TwinIdOffset}, text FROM __docs)
+        |  FROM __exact_docs
         |) WHERE rn = 1 ORDER BY doc_id""".stripMargin)
   }
 
@@ -73,11 +84,20 @@ object Dedup {
   private[graft] def minhashShinglesAndBands(
       s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     docs(s, dir)
+    minhashShinglesAndBandsOn(
+      s.sql(s"WITH ${corpusSqlSparkified()} SELECT * FROM corpus"))
+  }
+
+  /** The same relations over an arbitrary (doc_id, toks ARRAY<STRING>)
+    * corpus — the core both the oracle form (twin-planted) and the
+    * production entry [[ddMinhashLshOn]] share.
+    */
+  private[graft] def minhashShinglesAndBandsOn(
+      corpus: DataFrame): (DataFrame, DataFrame) = {
     // DataFrame API so the exploded shingle relation can be persisted:
     // SQL CTEs are inlined and `tok` (the largest intermediate) would be
     // recomputed for the signatures, the counts, and both sides of the
     // intersection join — measured 3× slower.
-    val corpus = s.sql(s"WITH ${corpusSqlSparkified()} SELECT * FROM corpus")
     val tok = corpus.selectExpr("doc_id",
         """explode(CASE WHEN size(toks) >= 3
           |  THEN transform(sequence(1, size(toks) - 2),
@@ -110,9 +130,21 @@ object Dedup {
     * 4 bands × 2 rows; bucket-join on (band, bandhash); candidates verified
     * by exact shingle-set Jaccard ≥ 1/2 (integer test 3·|∩| ≥ |A|+|B|).
     */
-  def ddMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+  def ddMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    minhashVerify(minhashShinglesAndBands(s, dir))
+
+  /** MinHash+LSH near-dup pairs over an arbitrary (doc_id, text) corpus —
+    * the production entry ("find near-dups in MY corpus", the ddDecontam
+    * delegation pattern); same signatures, banding and exact-Jaccard
+    * verification as the oracle-checked query, no twin planting.
+    */
+  def ddMinhashLshOn(docs: DataFrame): DataFrame =
+    minhashVerify(minhashShinglesAndBandsOn(
+      docs.selectExpr("doc_id", "split(text, ' ') AS toks")))
+
+  private def minhashVerify(tokBand: (DataFrame, DataFrame)): DataFrame = {
     import org.apache.spark.sql.functions._
-    val (tok, band) = minhashShinglesAndBands(s, dir)
+    val (tok, band) = tokBand
     val cand = band.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
       .join(band.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
         Seq("band", "bh"))

@@ -22,14 +22,24 @@ object Sessionize {
 
   def evSessionize(s: SparkSession, dir: String): DataFrame = {
     Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evSessionize(s.table("__events"), GapMicros)
+  }
+
+  /** The parameterized production entry: any frame with (user_id, ts,
+    * event_id, value), any inactivity gap ("MY session timeout") — the
+    * oracle form fixes the 30-minute gap.
+    */
+  def evSessionize(events: DataFrame, gapMicros: Long): DataFrame = {
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__sess_events")
     s.sql(
       s"""WITH flagged AS (
          |  SELECT user_id, ts, event_id, value,
          |         CASE WHEN unix_micros(ts) -
-         |                   LAG(unix_micros(ts)) OVER w > $GapMicros
+         |                   LAG(unix_micros(ts)) OVER w > $gapMicros
          |              OR LAG(ts) OVER w IS NULL
          |              THEN 1 ELSE 0 END AS new_sess
-         |  FROM __events
+         |  FROM __sess_events
          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          |tagged AS (
          |  SELECT user_id, ts, event_id, value,

@@ -507,6 +507,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(k1.length == 2 && k1.forall(_.getInt(3) == 1))
   }
 
+  test("ddExactOn / ddMinhashLshOn: production entries on an unplanted corpus") {
+    import spark.implicits._
+    // 0 and 2 are byte-identical; 3 is a near-dup (one token changed) of
+    // 0 with heavy shingle overlap; 4 is unrelated
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val near = (("w1x" +: (2 to 30).map(i => s"w$i"))).mkString(" ")
+    val other = (1 to 30).map(i => s"z$i").mkString(" ")
+    val docs = Seq((0L, base), (2L, base), (3L, near), (4L, other))
+      .toDF("doc_id", "text")
+    val kept = Dedup.ddExactOn(docs).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 3L, 4L)) // keep-first drops the exact twin 2
+    val pairs = Dedup.ddMinhashLshOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 2L)) && pairs.contains((0L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("evSessionize(events, gapMicros): caller-set gap changes the session split") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // two events 10 minutes apart: one session at a 30-min gap, two at 5
+    val evs = Seq((7L, ts("2024-06-01 10:00:00"), 1L, 1.0),
+      (7L, ts("2024-06-01 10:10:00"), 2L, 1.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    assert(Sessionize.evSessionize(evs, 30L * 60 * 1000000).count() == 1)
+    assert(Sessionize.evSessionize(evs, 5L * 60 * 1000000).count() == 2)
+  }
+
   test("ev_active_users: matches an in-memory trailing-window replay") {
     val active = graft.Tables.load(spark, sf, "events")
       .selectExpr("user_id", "unix_micros(ts) div 86400000000 AS day")
