@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Event sessionization over the `events` table: 30-minute-gap sessions per
   * user, aggregated to (start, end, n_events, value sum).
@@ -67,7 +68,46 @@ object Sessionize {
     */
   def evFunnel(s: SparkSession, dir: String): DataFrame = {
     Tables.load(s, dir, "events").createOrReplaceTempView("__events")
-    s.sql(funnelSql("__events"))
+    evFunnel(s.table("__events"), Seq("view", "click", "purchase"))
+      .select(col("user_id"), col("t0").as("t_view"), col("t1").as("t_click"),
+        col("t2").as("t_purchase"), col("depth"))
+  }
+
+  /** Generic k-step strict-order funnel over an arbitrary (user_id, ts,
+    * event_type) frame — the production entry ("MY funnel steps"): step i
+    * is each user's first `steps(i)` event STRICTLY AFTER their step-(i−1)
+    * time. Emits t0..t(k−1) and `depth` = the deepest reached step (1-
+    * based). The oracle-checked 3-step query delegates here (aliasing
+    * t0..t2 to its fixed column names), so the generated chain is
+    * hash-locked for k = 3; the generic shape keeps the per-step
+    * co-partitioned MIN-agg + shrinking-join-side structure at any k.
+    */
+  def evFunnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__fun_events")
+    val ctes = steps.zipWithIndex.map { case (st, i) =>
+      if (i == 0)
+        s"""s0 AS (SELECT user_id, MIN(ts) AS t0 FROM __fun_events
+           |       WHERE event_type = '$st' GROUP BY user_id)""".stripMargin
+      else
+        s"""s$i AS (SELECT e.user_id, MIN(e.ts) AS t$i
+           |        FROM __fun_events e
+           |        JOIN s${i - 1} p ON p.user_id = e.user_id
+           |        WHERE e.event_type = '$st' AND e.ts > p.t${i - 1}
+           |        GROUP BY e.user_id)""".stripMargin
+    }
+    val joins = steps.indices.drop(1)
+      .map(i => s"LEFT JOIN s$i ON s$i.user_id = s0.user_id").mkString(" ")
+    val depth =
+      if (steps.size == 1) "1 AS depth"
+      else "CASE " + steps.indices.reverse.dropRight(1)
+        .map(i => s"WHEN t$i IS NOT NULL THEN ${i + 1}").mkString(" ") +
+        " ELSE 1 END AS depth"
+    val cols = steps.indices.map(i => s"t$i").mkString(", ")
+    s.sql(s"""WITH ${ctes.mkString(", ")}
+             |SELECT s0.user_id, $cols, $depth
+             |FROM s0 $joins ORDER BY s0.user_id""".stripMargin)
   }
 
   private def funnelSql(tbl: String): String =

@@ -421,6 +421,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(Set("click", "view", "organic").subsetOf(got.map(_._3).toSet))
   }
 
+  test("evFunnel(events, steps): caller-defined step chain, any depth") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // a 2-step signup->purchase funnel the fixed 3-step query can't express
+    val evs = Seq(
+      (1L, ts("2024-06-01 10:00:00"), "signup"),
+      (1L, ts("2024-06-01 11:00:00"), "purchase"),
+      (2L, ts("2024-06-01 09:00:00"), "purchase"), // before signup: no count
+      (2L, ts("2024-06-01 10:00:00"), "signup"),
+      (3L, ts("2024-06-01 12:00:00"), "purchase")  // never signed up: absent
+    ).toDF("user_id", "ts", "event_type")
+    val got = Sessionize.evFunnel(evs, Seq("signup", "purchase")).collect()
+      .map(r => (r.getLong(0), r.getInt(3))).toMap
+    assert(got == Map(1L -> 2, 2L -> 1))
+    // 4-step chain on the corpus: depth can only shrink vs the 3-step
+    // prefix (monotone funnel property)
+    val d3 = Sessionize.evFunnel(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(4)).toMap
+    val d4 = Sessionize.evFunnel(
+      graft.Tables.load(spark, sf, "events"),
+      Seq("view", "click", "purchase", "click")).collect()
+      .map(r => r.getLong(0) -> r.getInt(5)).toMap
+    assert(d4.keySet == d3.keySet)
+    d3.foreach { case (u, d) =>
+      assert(d4(u) >= d, s"user $u: 4-step depth ${d4(u)} below prefix $d")
+      assert(d4(u) <= d + 1)
+    }
+    // non-vacuous: someone clicked again after purchasing
+    assert(d4.values.exists(_ == 4))
+  }
+
   test("ev_funnel: strict-order depths match an in-memory replay") {
     val funnel = Sessionize.evFunnel(spark, sf).collect()
       .map(r => r.getLong(0) -> (Option(r.getTimestamp(1)),
