@@ -165,6 +165,14 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_sum"), s"no partial inflow combine:\n$plan")
   }
 
+  test("ev_spike: per-event work is one combinable count, no window") {
+    // the daily relation is (types x days)-sized; everything after it is
+    // near-free — a plan that windows or sorts the raw stream regressed
+    val plan = formatted(graft.ops.Sessionize.evSpike(spark, sf))
+    assert(!plan.contains("Window"), s"unexpected window operator:\n$plan")
+    assert(plan.contains("partial_count"), s"no map-side count combine:\n$plan")
+  }
+
   test("dd_substring: the df>=2 gram set joins as broadcast, never sort-merge") {
     // the duplicated-gram relation is boilerplate-vocabulary-sized; an SMJ
     // here would sort the corpus-positions gram stream
