@@ -41,6 +41,7 @@ object PageRank {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .localCheckpoint(eager = true) // reused every iteration
     val n = deg.count()
+    require(n > 0, "PageRank.run: empty edge relation (no nodes to rank)")
     val pr0 = Scale / n
     val teleport = 15L * pr0 / 100L
 

@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Degenerate-input contract: every DataFrame-in production entry either
+  * returns an EMPTY result or fails fast with a clear message on an empty
+  * corpus — never an obscure executor crash.
+  */
+class EmptyInputSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private def emptyEvents = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+    .toDF("user_id", "ts", "event_id", "event_type", "value")
+
+  test("doc-corpus entries return empty on an empty corpus") {
+    assert(Pipeline.taNormalize(emptyDocs).count() == 0)
+    assert(Pipeline.taChunk(emptyDocs, 32, 24).count() == 0)
+    assert(Pipeline.dsPack(emptyDocs, 256).count() == 0)
+    assert(Pipeline.dsShuffle(emptyDocs).count() == 0)
+    assert(Pipeline.dsLenBucket(emptyDocs, 16, 32).count() == 0)
+    assert(Dedup.ddExactOn(emptyDocs).count() == 0)
+    assert(Dedup.ddMinhashLshOn(emptyDocs).count() == 0)
+    assert(Dedup.ddSubstring(emptyDocs, 20).count() == 0)
+    assert(TextAnalysis.taPerplexity(emptyDocs).count() == 0)
+    assert(TextAnalysis.taDerep(emptyDocs).count() == 0)
+  }
+
+  test("event entries return empty on an empty stream") {
+    assert(Sessionize.evSessionize(emptyEvents, 1000000L).count() == 0)
+    assert(Sessionize.evFunnel(emptyEvents, Seq("view", "click")).count() == 0)
+    assert(Sessionize.evRetention(emptyEvents).count() == 0)
+    assert(Sessionize.evAttribution(emptyEvents).count() == 0)
+    assert(Sessionize.evActiveUsers(emptyEvents).count() == 0)
+    assert(Sessionize.evSpike(emptyEvents).count() == 0)
+  }
+
+  test("PageRank on an empty graph fails fast with a clear message") {
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      graft.graph.PageRank.run(spark, edges, 3)
+    }
+    assert(e.getMessage.contains("empty"))
+  }
+}
