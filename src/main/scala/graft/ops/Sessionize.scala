@@ -326,7 +326,56 @@ object Sessionize {
          |ORDER BY d.event_type, d.day""".stripMargin)
   }
 
+  /** Top event-type paths (the product-analytics "common journeys" view):
+    * the k most frequent CONSECUTIVE event-type trigrams inside sessions
+    * (the ev_sessionize 30-minute-gap sessions), ties broken by path so
+    * the rank is total. A trigram never crosses a session boundary: the
+    * LEADs are windowed by (user_id, sess_idx) and go null at the edge.
+    *
+    * Scale design: one user_id exchange + per-user sort shared by the
+    * session tagging and both LEADs (same (partition, order) spec ⇒ ONE
+    * Window operator); the aggregate output is ≤ |event types|³ rows, so
+    * the global top-k ORDER BY runs on a relation of trivial size.
+    */
+  def evPaths(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evPaths(s.table("__events"), GapMicros, k = 10)
+  }
+
+  /** The parameterized production entry: any frame with (user_id, ts,
+    * event_id, event_type), any session gap, any k.
+    */
+  def evPaths(events: DataFrame, gapMicros: Long, k: Int): DataFrame = {
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__path_events")
+    s.sql(
+      s"""WITH flagged AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |         CASE WHEN unix_micros(ts) -
+         |                   LAG(unix_micros(ts)) OVER w > $gapMicros
+         |              OR LAG(ts) OVER w IS NULL
+         |              THEN 1 ELSE 0 END AS new_sess
+         |  FROM __path_events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |tagged AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                             ROWS UNBOUNDED PRECEDING) AS sess_idx
+         |  FROM flagged),
+         |tri AS (
+         |  SELECT concat(event_type, '>',
+         |                LEAD(event_type, 1) OVER v, '>',
+         |                LEAD(event_type, 2) OVER v) AS path,
+         |         LEAD(event_type, 2) OVER v AS t2
+         |  FROM tagged
+         |  WINDOW v AS (PARTITION BY user_id, sess_idx ORDER BY ts, event_id))
+         |SELECT path, COUNT(*) AS n
+         |FROM tri WHERE t2 IS NOT NULL
+         |GROUP BY path ORDER BY n DESC, path LIMIT $k""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_paths" -> ((s: SparkSession, dir: String) => evPaths(s, dir)),
     "ev_spike" -> ((s: SparkSession, dir: String) => evSpike(s, dir)),
     "ev_sessionize" -> (evSessionize _),
     "ev_funnel" -> (evFunnel _),
@@ -335,6 +384,31 @@ object Sessionize {
     "ev_active_users" -> ((s: SparkSession, dir: String) => evActiveUsers(s, dir)))
 
   val oracleSql: Map[String, String] = Map(
+    "ev_paths" ->
+      s"""WITH flagged AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |         CASE WHEN epoch_us(ts) -
+         |                   LAG(epoch_us(ts)) OVER w > $GapMicros
+         |              OR LAG(ts) OVER w IS NULL
+         |              THEN 1 ELSE 0 END AS new_sess
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |tagged AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                             ROWS UNBOUNDED PRECEDING) AS sess_idx
+         |  FROM flagged),
+         |tri AS (
+         |  SELECT event_type || '>' ||
+         |         LEAD(event_type, 1) OVER v || '>' ||
+         |         LEAD(event_type, 2) OVER v AS path,
+         |         LEAD(event_type, 2) OVER v AS t2
+         |  FROM tagged
+         |  WINDOW v AS (PARTITION BY user_id, sess_idx ORDER BY ts, event_id))
+         |SELECT path, COUNT(*) AS n
+         |FROM tri WHERE t2 IS NOT NULL
+         |GROUP BY path ORDER BY n DESC, path LIMIT 10""".stripMargin
+        .replaceAll("\n", " "),
     "ev_spike" ->
       """WITH daily AS (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,

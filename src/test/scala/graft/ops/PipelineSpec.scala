@@ -452,6 +452,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(d4.values.exists(_ == 4))
   }
 
+  test("ev_paths: matches an in-memory session-trigram replay") {
+    val evs = graft.Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val trigrams = evs.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      // split into 30-min-gap sessions, emit consecutive type trigrams
+      val sessions = sorted.foldLeft(List.empty[List[(Long, String)]]) {
+        case (acc, (_, us, _, tpe)) => acc match {
+          case (cur @ ((lastUs, _) :: _)) :: rest
+            if us - lastUs <= Sessionize.GapMicros =>
+            ((us, tpe) :: cur) :: rest
+          case _ => List((us, tpe)) :: acc
+        }
+      }.map(_.reverse.map(_._2))
+      sessions.flatMap(types => types.sliding(3).filter(_.size == 3)
+        .map(_.mkString(">")))
+    }
+    val expected = trigrams.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.map { case (p, n) => (p, n) }
+      .sortBy { case (p, n) => (-n, p) }.take(10)
+    val got = Sessionize.evPaths(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("evPaths(events, gapMicros, k): caller-set gap splits the path") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // four events 10 min apart: one session at a 30-min gap (two
+    // trigrams), but a 5-min gap isolates every event (no trigram)
+    val evs = Seq(
+      (1L, ts("2024-06-01 10:00:00"), 1L, "view"),
+      (1L, ts("2024-06-01 10:10:00"), 2L, "click"),
+      (1L, ts("2024-06-01 10:20:00"), 3L, "view"),
+      (1L, ts("2024-06-01 10:30:00"), 4L, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val wide = Sessionize.evPaths(evs, 30L * 60 * 1000000, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(wide == Set(("view>click>view", 1L), ("click>view>purchase", 1L)))
+    assert(Sessionize.evPaths(evs, 5L * 60 * 1000000, k = 10).count() == 0)
+    // k truncates
+    assert(Sessionize.evPaths(evs, 30L * 60 * 1000000, k = 1).count() == 1)
+  }
+
   test("ev_funnel: strict-order depths match an in-memory replay") {
     val funnel = Sessionize.evFunnel(spark, sf).collect()
       .map(r => r.getLong(0) -> (Option(r.getTimestamp(1)),
