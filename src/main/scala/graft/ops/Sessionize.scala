@@ -332,10 +332,14 @@ object Sessionize {
     * the rank is total. A trigram never crosses a session boundary: the
     * LEADs are windowed by (user_id, sess_idx) and go null at the edge.
     *
-    * Scale design: one user_id exchange + per-user sort shared by the
-    * session tagging and both LEADs (same (partition, order) spec ⇒ ONE
-    * Window operator); the aggregate output is ≤ |event types|³ rows, so
-    * the global top-k ORDER BY runs on a relation of trivial size.
+    * Scale design: ONE user_id exchange feeds all three Window execs
+    * (the (user_id, sess_idx) trigram window is satisfied by
+    * hashpartitioning(user_id) under the subset rule — only a re-sort,
+    * no re-shuffle; Spark keeps LAG / running-SUM / LEAD in separate
+    * Window operators by function class). The aggregate output is
+    * ≤ |event types|³ rows, so the global top-k is a
+    * TakeOrderedAndProject over a relation of trivial size
+    * (PlanSpec-locked).
     */
   def evPaths(s: SparkSession, dir: String): DataFrame = {
     Tables.load(s, dir, "events").createOrReplaceTempView("__events")

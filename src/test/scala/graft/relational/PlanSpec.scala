@@ -173,6 +173,25 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_count"), s"no map-side count combine:\n$plan")
   }
 
+  test("ev_paths: both windows share ONE user_id exchange; top-k never global-sorts") {
+    // the (user_id, sess_idx) trigram window must be satisfied by the
+    // session window's hashpartitioning(user_id) (subset rule) — a plan
+    // that re-exchanges on (user_id, sess_idx) would double the event
+    // shuffle; the final top-k must ride TakeOrderedAndProject on the
+    // (types^3)-sized aggregate, never a range exchange of events
+    val plan = formatted(graft.ops.Sessionize.evPaths(spark, sf))
+    val userEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length
+    assert(userEx == 1, s"expected 1 user_id exchange, got $userEx:\n$plan")
+    // 3 Window execs is the floor: Spark keeps offset functions (LAG,
+    // LEAD) and frame aggregates (running SUM) in separate operators
+    val windows = "\\bWindow\\b".r.findAllIn(plan).length
+    assert(windows == 3, s"expected 3 Window operators, got $windows:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k lost its TakeOrdered shape:\n$plan")
+    assert("Exchange rangepartitioning".r.findAllIn(plan).isEmpty,
+      s"unexpected range exchange:\n$plan")
+  }
+
   test("dd_substring: the df>=2 gram set joins as broadcast, never sort-merge") {
     // the duplicated-gram relation is boilerplate-vocabulary-sized; an SMJ
     // here would sort the corpus-positions gram stream
