@@ -56,6 +56,8 @@ object PipelineScaleProbe {
     if (args.headOption.contains("addendum7")) {
       addendum7(args(1), args(2)); return
     }
+    // ev_paths leg: `addendum8 <eventsDir>`
+    if (args.headOption.contains("addendum8")) { addendum8(args(1)); return }
     // ANN + events families at 100x: generate embeddings/events, probe
     // ss_lsh_ann / ss_ivf_ann (with measured recall vs in-probe brute
     // force), dd_embed_cos twin recall, ev_sessionize, ev_funnel —
@@ -353,6 +355,60 @@ object PipelineScaleProbe {
       s"rank vector depends on partitioning: $agg1 vs $agg2")
     println("PSCALE pagerank repartition-invariant (bit-exact)")
     println("PSCALE addendum7 done")
+    spark.stop()
+  }
+
+  /** ev_paths at the scale3 events volume (10M events / ~15k users):
+    * wall-clock plus the invariants the small-N specs lock — the top-k
+    * relation is min(k, |paths|)-sized with a total (n DESC, path)
+    * order, the full path histogram is bounded by |types|³ = 125 rows
+    * and Σn ≤ nEvents (each event starts at most one trigram), session
+    * splitting is monotone (a tighter gap can only shrink Σn), and the
+    * result is deterministic across independent runs.
+    */
+  private def addendum8(eventsDir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+
+    val events = Tables.load(spark, eventsDir, "events")
+    val nEvents = events.count()
+
+    val t0 = System.nanoTime()
+    val top = ops.Sessionize.evPaths(events, ops.Sessionize.GapMicros, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    println(f"PSCALE q=ev_paths t=${(System.nanoTime() - t0) / 1e9}%.1f s " +
+      s"rows=${top.length}")
+    require(top.length == 10, s"expected 10 top paths, got ${top.length}")
+    require(top.forall(_._2 > 0), "non-positive path count")
+    require(top.sameElements(top.sortBy { case (p, n) => (-n, p) }),
+      "top-k order not total")
+
+    // full histogram: |types|^3-bounded, Σn ≤ nEvents, gap-monotone
+    def hist(gapMicros: Long) = ops.Sessionize
+      .evPaths(events, gapMicros, 200).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val wide = hist(ops.Sessionize.GapMicros)
+    val tight = hist(60L * 1000000)
+    require(wide.length <= 125 && tight.length <= 125,
+      s"path space not types^3-bounded: ${wide.length}/${tight.length}")
+    val (sumW, sumT) = (wide.map(_._2).sum, tight.map(_._2).sum)
+    require(sumW <= nEvents, s"more trigrams than events: $sumW > $nEvents")
+    require(sumT <= sumW,
+      s"tighter gap grew the trigram count: $sumT > $sumW")
+    println(s"PSCALE paths hist=${wide.length} sum30m=$sumW sum60s=$sumT " +
+      s"top1=${top.head}")
+
+    // determinism across independent runs
+    val again = ops.Sessionize.evPaths(events, ops.Sessionize.GapMicros, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(top.sameElements(again), "ev_paths result not deterministic")
+    println("PSCALE addendum8 done")
     spark.stop()
   }
 
