@@ -306,6 +306,72 @@ object Dedup {
          |ORDER BY i.doc_a""".stripMargin)
   }
 
+  /** Word-bigram shingle CONTAINMENT against the 80%-prefix twin — the
+    * asymmetric near-dup primitive symmetric Jaccard misses: a document
+    * embedded inside a larger one scores containment ≈ 1.0 even when
+    * Jaccard is arbitrarily low (quote inclusion, boilerplate wrapping,
+    * prefix truncation). The oracle form makes the property exact: the
+    * prefix twin's shingle set is a true SUBSET of the original's, so
+    * c_ba (twin-in-original) is 1.0 for every pair while c_ab tracks the
+    * prefix ratio. Reference analog: the same shingle relation as
+    * [[ddNgramJaccard]] (run.sh pipelines score candidate pairs off one
+    * shared shingle index).
+    */
+  def ddContainment(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    val base = s.sql("SELECT doc_id, text FROM __docs")
+    val corpus = base.union(base.selectExpr(
+      s"doc_id + ${TwinIdOffset} AS doc_id",
+      "array_join(slice(split(text, ' '), 1, " +
+        "(size(split(text, ' ')) * 4) div 5), ' ') AS text"))
+    val pairs = base.selectExpr(
+      "doc_id AS doc_a", s"doc_id + ${TwinIdOffset} AS doc_b")
+    ddContainment(corpus, pairs)
+  }
+
+  /** The production entry: score CALLER-SUPPLIED candidate pairs (doc_a,
+    * doc_b) — e.g. the output of [[ddMinhashLshOn]]'s bucket join — by
+    * bigram-shingle containment in both directions over an arbitrary
+    * (doc_id, text) corpus.
+    *
+    * Scale design: the shingle relation is built once (distinct per doc),
+    * the pair join touches only docs that appear in `pairs` (the first
+    * equality join is the semi-filter), and the per-pair cost is
+    * Σ|shingles| over the candidate set — linear in candidates × doc
+    * length, never all-pairs. Zero-shingle sides surface as n=0 with
+    * NULL containment rather than dividing by zero.
+    */
+  def ddContainment(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sh = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(toks) >= 2
+          |     THEN transform(sequence(1, size(toks) - 1),
+          |            i -> concat(element_at(toks, i), ' ',
+          |                        element_at(toks, i + 1)))
+          |     ELSE array() END""".stripMargin)).as("sh"))
+      .distinct()
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
+        Seq("doc_a"), "left")
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
+        Seq("doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("inter"), lit(0L)).as("inter"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        round(coalesce(col("inter"), lit(0L)) / col("n_a"), 6).as("c_ab"),
+        round(coalesce(col("inter"), lit(0L)) / col("n_b"), 6).as("c_ba"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Signature relation for the embedding near-dup: corpus ∪ perturbed
     * twins (first component ×1.5) with per-vector norm and an 8-plane
     * hyperplane-LSH bucket (md5-parity ±1 planes, shared with
@@ -510,6 +576,7 @@ object Dedup {
     "dd_simhash" -> (ddSimhash _),
     "dd_simhash_pairs" -> (ddSimhashPairs _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
+    "dd_containment" -> ((s: SparkSession, dir: String) => ddContainment(s, dir)),
     "dd_embed_cos" -> (ddEmbedCos _))
 
   val oracleSql: Map[String, String] = Map(
@@ -647,6 +714,28 @@ object Dedup {
          |  GROUP BY a.doc_id)
          |SELECT i.doc_a, i.inter, ca.n + cb.n - i.inter AS uni,
          |       ROUND(i.inter / (ca.n + cb.n - i.inter), 6) AS jaccard
+         |FROM inter i
+         |JOIN cnt ca ON ca.doc_id = i.doc_a
+         |JOIN cnt cb ON cb.doc_id = i.doc_a + ${TwinIdOffset}
+         |ORDER BY i.doc_a""".stripMargin.replaceAll("\n", " "),
+    "dd_containment" ->
+      s"""WITH $corpusSql,
+         |sh AS (
+         |  SELECT DISTINCT doc_id, unnest(
+         |    CASE WHEN len(toks) >= 2
+         |         THEN [toks[i] || ' ' || toks[i + 1]
+         |               FOR i IN generate_series(1, len(toks) - 1)]
+         |         ELSE [] END) AS sh
+         |  FROM corpus),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + ${TwinIdOffset} AND b.sh = a.sh
+         |  GROUP BY a.doc_id)
+         |SELECT i.doc_a, i.doc_a + ${TwinIdOffset} AS doc_b, i.inter,
+         |       ca.n AS n_a, cb.n AS n_b,
+         |       ROUND(i.inter / ca.n, 6) AS c_ab,
+         |       ROUND(i.inter / cb.n, 6) AS c_ba
          |FROM inter i
          |JOIN cnt ca ON ca.doc_id = i.doc_a
          |JOIN cnt cb ON cb.doc_id = i.doc_a + ${TwinIdOffset}

@@ -130,6 +130,44 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(guarded == unguarded && guarded.nonEmpty)
   }
 
+  test("dd_containment: prefix twins contain exactly (the asymmetry Jaccard misses)") {
+    // the 80%-prefix twin's shingle set is a true subset of the
+    // original's, so twin-in-original containment must be EXACTLY 1.0 on
+    // every pair, while original-in-twin tracks the prefix ratio (< 1)
+    val rows = Dedup.ddContainment(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getDouble(6) == 1.0), "c_ba (twin in orig) != 1.0")
+    assert(rows.forall(r => r.getDouble(5) < 1.0 && r.getDouble(5) > 0.5),
+      "c_ab should track the 80% prefix ratio")
+    // consistency with the symmetric score: jaccard = inter/(na+nb-inter)
+    rows.foreach { r =>
+      val (inter, na, nb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(inter == nb && inter <= na, "subset property violated")
+    }
+  }
+
+  test("ddContainment(docs, pairs): caller pairs, both directions, zero-shingle edge") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),      // shingles {a b, b c, c d, d e}
+      (2L, "b c d"),          // {b c, c d} — contained in 1
+      (3L, "x y"),            // {x y} — disjoint from 1
+      (4L, "solo"))           // 1 token — zero shingles
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val got = Dedup.ddContainment(docs, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    val r12 = got((1L, 2L))
+    assert(r12.getLong(2) == 2 && r12.getDouble(5) == 0.5 &&
+      r12.getDouble(6) == 1.0) // 2 embedded in 1: full containment
+    val r13 = got((1L, 3L))
+    assert(r13.getLong(2) == 0 && r13.getDouble(5) == 0.0 &&
+      r13.getDouble(6) == 0.0) // disjoint
+    val r14 = got((1L, 4L))
+    assert(r14.getLong(4) == 0 && r14.isNullAt(6),
+      "zero-shingle side must surface NULL containment, not an error")
+  }
+
   test("multiprobe covers exactly the Hamming<=1 bucket pairs") {
     Dedup.embedSig(spark, sf).createOrReplaceTempView("__esig_chk")
     val direct = spark.sql(
