@@ -255,6 +255,49 @@ object Pipeline {
   def dsSample(s: SparkSession, dir: String): DataFrame =
     dsSample(Tables.load(s, dir, "documents"), k = 5)
 
+  /** Per-source quality-percentile filtering (the curation step that
+    * drops the worst of each source rather than applying one global
+    * cutoff: a uniformly weak source still keeps its best documents, a
+    * strong source still sheds its worst). Keeps the top ceil(keepFrac·n)
+    * rows of every source by `scoreCol` — exact rank with a doc_id
+    * tiebreak, so the kept set is deterministic at any parallelism and
+    * identical across engines.
+    *
+    * Scale design: ONE source exchange feeds both windows (the ordered
+    * ROW_NUMBER and the unordered per-source COUNT share the partition
+    * key); no global sort — the trailing ORDER BY is presentation-only
+    * (plan-locked). Per-source ranking is inherently a per-source sort;
+    * if one source dominates a 100 TB corpus, pre-split it into (source,
+    * shard) cells the way ds_lenbucket shards its bands and filter per
+    * cell — the fraction rule is shard-decomposable.
+    */
+  def dsQualityFilter(scored: DataFrame, scoreCol: String,
+      keepFrac: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+    scored
+      .withColumn("__rn", row_number().over(
+        w.orderBy(col(scoreCol).desc, col("doc_id"))))
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__rn") <= ceil(lit(keepFrac) * col("__n")).cast("long"))
+      .drop("__rn", "__n")
+      .orderBy("doc_id")
+  }
+
+  /** The oracle-checked form: ta_quality's score, keep the top half of
+    * every source.
+    */
+  def dsQualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val toks = "split(text, ' ')"
+    val scored = Tables.load(s, dir, "documents").selectExpr(
+      "doc_id", "source",
+      s"size($toks) AS n_tokens",
+      s"size(filter($toks, t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'to')) AS n_stop")
+      .selectExpr("doc_id", "source",
+        "round((CAST(n_tokens AS DOUBLE) / 60.0) * (1 - n_stop / n_tokens), 6) AS quality")
+    dsQualityFilter(scored, "quality", keepFrac = 0.5)
+  }
+
   /** Deterministic epoch shuffle (the training-data writer's last step):
     * every document gets a shard (first hex digit of
     * md5('shuffle:'||doc_id) — 16 shards here) and an intra-shard
@@ -516,6 +559,7 @@ object Pipeline {
     "ds_split" -> (dsSplit _),
     "ds_pack" -> (dsPack _),
     "ds_sample" -> (dsSample _),
+    "ds_qfilter" -> ((s: SparkSession, dir: String) => dsQualityFilter(s, dir)),
     "ds_shuffle" -> (dsShuffle _),
     "ds_mix" -> ((s: SparkSession, dir: String) => dsMix(s, dir)),
     "ds_interleave" -> ((s: SparkSession, dir: String) => dsInterleave(s, dir)))
@@ -673,6 +717,24 @@ object Pipeline {
         |           ORDER BY md5('sample:' || doc_id::VARCHAR), doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 5 ORDER BY lang, source, rk""".stripMargin.replaceAll("\n", " "),
+    "ds_qfilter" ->
+      """WITH q AS (
+        |  SELECT doc_id, source,
+        |         round((n_tokens::DOUBLE / 60.0) * (1 - n_stop / n_tokens), 6) AS quality
+        |  FROM (SELECT doc_id, source,
+        |               len(string_split(text, ' ')) AS n_tokens,
+        |               len(list_filter(string_split(text, ' '),
+        |                 t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'to')) AS n_stop
+        |        FROM documents)),
+        |r AS (
+        |  SELECT doc_id, source, quality,
+        |         ROW_NUMBER() OVER (PARTITION BY source
+        |           ORDER BY quality DESC, doc_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM q)
+        |SELECT doc_id, source, quality FROM r
+        |WHERE rn <= CAST(ceil(0.5 * n) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "ds_shuffle" ->
       """WITH h AS (
         |  SELECT doc_id, md5('shuffle:' || doc_id::VARCHAR) AS hx

@@ -498,6 +498,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(Sessionize.evPaths(evs, 30L * 60 * 1000000, k = 1).count() == 1)
   }
 
+  test("dsQualityFilter: exact per-source ceil(frac*n) keep, score-ranked") {
+    import spark.implicits._
+    val scored = Seq(
+      // src "a": 3 docs, keep ceil(1.5)=2 — the two highest scores
+      (1L, "a", 0.9), (2L, "a", 0.1), (3L, "a", 0.5),
+      // src "b": 1 doc, keep ceil(0.5)=1 — a tiny source never empties
+      (4L, "b", 0.0),
+      // src "c": tie on score — doc_id breaks it deterministically
+      (5L, "c", 0.7), (6L, "c", 0.7), (7L, "c", 0.2))
+      .toDF("doc_id", "source", "score")
+    val kept = Pipeline.dsQualityFilter(scored, "score", 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L, 5L, 6L))
+    // keepFrac=1.0 keeps everything; the schema passes through untouched
+    val all = Pipeline.dsQualityFilter(scored, "score", 1.0)
+    assert(all.count() == 7 && all.columns.toSeq ==
+      Seq("doc_id", "source", "score"))
+    // oracle-form sanity: exactly ceil(n/2) of every source survives
+    val frac = Pipeline.dsQualityFilter(spark, sf)
+      .groupBy("source").count().collect()
+    val full = graft.Tables.load(spark, sf, "documents")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(frac.nonEmpty && frac.forall(r =>
+      r.getLong(1) == (full(r.getString(0)) + 1) / 2))
+  }
+
   test("ev_funnel: strict-order depths match an in-memory replay") {
     val funnel = Sessionize.evFunnel(spark, sf).collect()
       .map(r => r.getLong(0) -> (Option(r.getTimestamp(1)),

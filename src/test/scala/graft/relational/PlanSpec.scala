@@ -192,6 +192,15 @@ class PlanSpec extends AnyFunSuite {
       s"unexpected range exchange:\n$plan")
   }
 
+  test("ds_qfilter: both windows share ONE source exchange") {
+    // the per-source COUNT and the ordered ROW_NUMBER must ride the same
+    // hashpartitioning(source) — a second exchange would double the
+    // corpus shuffle; no non-presentation global sort may appear
+    val plan = formatted(graft.ops.Pipeline.dsQualityFilter(spark, sf))
+    val srcEx = "Exchange hashpartitioning\\(source".r.findAllIn(plan).length
+    assert(srcEx == 1, s"expected 1 source exchange, got $srcEx:\n$plan")
+  }
+
   test("dd_substring: the df>=2 gram set joins as broadcast, never sort-merge") {
     // the duplicated-gram relation is boilerplate-vocabulary-sized; an SMJ
     // here would sort the corpus-positions gram stream
