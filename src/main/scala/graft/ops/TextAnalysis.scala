@@ -52,6 +52,46 @@ object TextAnalysis {
         "round((CAST(n_tokens AS DOUBLE) / 60.0) * (1 - n_stop / n_tokens), 6) AS quality")
       .orderBy("doc_id")
 
+  /** Gopher-rule quality signals (Rae et al. 2021 §A1.1, public): mean
+    * word length, type-token ratio, symbol-to-char ratio, and the
+    * composite keep/drop flag (mean word length in [3,10], TTR above
+    * 0.2, symbol ratio below 0.1 — the published document-level bounds).
+    * All ratios are int/int divisions rounded to 6, so the DuckDB
+    * compare is hash-exact; the flag compares the ROUNDED values, which
+    * keeps the boolean engine-stable at the thresholds.
+    *
+    * Scale design: narrow single-pass projection — no shuffle but the
+    * presentation ORDER BY; at 100 TB this is a map-only stage fused
+    * into whatever scan feeds it.
+    */
+  def taGopher(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__gopher_docs")
+    s.sql(
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |         size($toks) AS n_tokens,
+         |         length(replace(text, ' ', '')) AS n_word_chars,
+         |         size(array_distinct($toks)) AS n_types,
+         |         size(regexp_extract_all(text, '[#*&^~|]', 0)) AS n_symbols,
+         |         length(text) AS n_chars
+         |  FROM __gopher_docs),
+         |r AS (
+         |  SELECT doc_id, n_tokens,
+         |         round(n_word_chars / n_tokens, 6) AS mean_word_len,
+         |         round(n_types / n_tokens, 6) AS ttr,
+         |         round(n_symbols / n_chars, 6) AS symbol_ratio
+         |  FROM m)
+         |SELECT doc_id, n_tokens, mean_word_len, ttr, symbol_ratio,
+         |       mean_word_len >= 3 AND mean_word_len <= 10
+         |         AND ttr > 0.2 AND symbol_ratio < 0.1 AS keep
+         |FROM r ORDER BY doc_id""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata corpus. */
+  def taGopher(s: SparkSession, dir: String): DataFrame =
+    taGopher(Tables.load(s, dir, "documents").select("doc_id", "text"))
+
   /** Language ID: marker-token voting (n-gram-heuristic family). Ties
     * resolve in fixed order en > de > fr > es.
     */
@@ -280,11 +320,26 @@ object TextAnalysis {
     "ta_fingerprint" -> (taFingerprint _),
     "ta_df" -> (taDf _),
     "ta_tfidf" -> (taTfidf _),
-    "ta_derep" -> ((s: SparkSession, dir: String) => taDerep(s, dir)))
+    "ta_derep" -> ((s: SparkSession, dir: String) => taDerep(s, dir)),
+    "ta_gopher" -> ((s: SparkSession, dir: String) => taGopher(s, dir)))
 
   private val sqlToks = "string_split(text, ' ')"
 
   val oracleSql: Map[String, String] = Map(
+    "ta_gopher" ->
+      (s"WITH m AS (SELECT doc_id, len($sqlToks) AS n_tokens, " +
+        "length(replace(text, ' ', '')) AS n_word_chars, " +
+        s"len(list_distinct($sqlToks)) AS n_types, " +
+        "len(regexp_extract_all(text, '[#*&^~|]')) AS n_symbols, " +
+        "length(text) AS n_chars FROM documents), " +
+        "r AS (SELECT doc_id, n_tokens, " +
+        "round(n_word_chars / n_tokens, 6) AS mean_word_len, " +
+        "round(n_types / n_tokens, 6) AS ttr, " +
+        "round(n_symbols / n_chars, 6) AS symbol_ratio FROM m) " +
+        "SELECT doc_id, n_tokens, mean_word_len, ttr, symbol_ratio, " +
+        "mean_word_len >= 3 AND mean_word_len <= 10 " +
+        "AND ttr > 0.2 AND symbol_ratio < 0.1 AS keep " +
+        "FROM r ORDER BY doc_id"),
     "ta_perplexity" ->
       (s"WITH tok AS (SELECT doc_id, unnest($sqlToks) AS token FROM documents), " +
         "cnt AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token), " +

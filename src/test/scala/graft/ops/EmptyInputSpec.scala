@@ -26,10 +26,17 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Dedup.ddSubstring(emptyDocs, 20).count() == 0)
     assert(TextAnalysis.taPerplexity(emptyDocs).count() == 0)
     assert(TextAnalysis.taDerep(emptyDocs).count() == 0)
+    assert(TextAnalysis.taGopher(emptyDocs).count() == 0)
+    assert(Dedup.ddContainment(emptyDocs,
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() == 0)
+    assert(Pipeline.dsQualityFilter(
+      Seq.empty[(Long, String, Double)].toDF("doc_id", "source", "score"),
+      "score", 0.5).count() == 0)
   }
 
   test("event entries return empty on an empty stream") {
     assert(Sessionize.evSessionize(emptyEvents, 1000000L).count() == 0)
+    assert(Sessionize.evPaths(emptyEvents, 1000000L, 10).count() == 0)
     assert(Sessionize.evFunnel(emptyEvents, Seq("view", "click")).count() == 0)
     assert(Sessionize.evRetention(emptyEvents).count() == 0)
     assert(Sessionize.evAttribution(emptyEvents).count() == 0)

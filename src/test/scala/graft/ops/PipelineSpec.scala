@@ -525,6 +525,24 @@ class PipelineSpec extends AnyFunSuite {
       r.getLong(1) == (full(r.getString(0)) + 1) / 2))
   }
 
+  test("taGopher: signals and the keep flag on hand-built documents") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),        // healthy: keep
+      (2L, "aa aa aa aa aa aa aa aa aa aa"),    // TTR 0.1 <= 0.2: drop
+      (3L, "x y z w"),                          // mean word len 1 < 3: drop
+      (4L, "#### #### #### normal words"))      // symbol-heavy: drop
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.taGopher(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getBoolean(5))
+    assert(got(1L).getDouble(3) == 1.0) // 5 distinct / 5 tokens
+    assert(!got(2L).getBoolean(5) && got(2L).getDouble(3) == 0.1)
+    assert(!got(3L).getBoolean(5) && got(3L).getDouble(2) == 1.0)
+    assert(!got(4L).getBoolean(5) &&
+      got(4L).getDouble(4) > 0.1) // 12 symbols / 27 chars
+  }
+
   test("ev_funnel: strict-order depths match an in-memory replay") {
     val funnel = Sessionize.evFunnel(spark, sf).collect()
       .map(r => r.getLong(0) -> (Option(r.getTimestamp(1)),
