@@ -308,7 +308,46 @@ object GraphQueries {
       |SELECT node, pr FROM pr3 ORDER BY node""".stripMargin
       .replaceAll("\n", " ")
 
+  /** Q34: 4-core of the symmetric order↔part bipartite graph (orders
+    * with ≥4 distinct parts whose parts survive, and vice versa —
+    * cascades until stable). The peeling fixpoint is deletion-order
+    * independent, so the oracle's statically unrolled 4-round peel
+    * hash-matches the engine's run-to-fixpoint loop (the test graph
+    * converges in ≤2 rounds at every SF; rounds 3-4 are no-op margin).
+    */
+  def q34_kcore(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val fwd = li.select(col("l_orderkey").as("src"),
+      (col("l_partkey") + OrderPartOffset).as("dst")).distinct()
+      .localCheckpoint(eager = false)
+    val edges = fwd.unionAll(
+      fwd.select(col("dst").as("src"), col("src").as("dst")))
+    KCore.run(s, edges, k = 4)
+  }
+
+  private val OrderPartOffset = 10000000L
+
+  val q34OracleSql: String = {
+    // statically unrolled peel: k_i = vertices of e_{i-1} with deg >= 4,
+    // e_i = edges of e_{i-1} with BOTH endpoints in k_i
+    val rounds = (1 to 4).map { i =>
+      s"""k$i AS (SELECT src FROM e${i - 1} GROUP BY src HAVING COUNT(*) >= 4),
+         |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+         |        JOIN k$i a ON a.src = e.src
+         |        JOIN k$i b ON b.src = e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH fwd AS (
+       |  SELECT DISTINCT l_orderkey AS u, l_partkey + $OrderPartOffset AS v
+       |  FROM lineitem),
+       |e0 AS (SELECT u AS src, v AS dst FROM fwd
+       |       UNION ALL SELECT v, u FROM fwd),
+       |$rounds
+       |SELECT src AS node, COUNT(*) AS deg FROM e4 GROUP BY src
+       |ORDER BY node""".stripMargin.replaceAll("\n", " ")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_kcore" -> (q34_kcore _),
     "q33_pagerank" -> (q33_pagerank _),
     "q13_bfs" -> (q13_bfs _),
     "q16_maxflow" -> (q16_maxflow _),
@@ -317,6 +356,7 @@ object GraphQueries {
     "q26_sssp" -> (q26_sssp _))
 
   val oracleSql: Map[String, String] = Map(
+    "q34_kcore" -> q34OracleSql,
     "q33_pagerank" -> q33OracleSql,
     "q13_bfs" -> q13OracleSql,
     "q24_cc" -> q24OracleSql,

@@ -1,0 +1,56 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** k-core decomposition by iterative peeling: repeatedly delete every
+  * vertex whose degree in the SURVIVING graph is below k, until none
+  * remains to delete. The fixpoint — the maximal subgraph with minimum
+  * degree ≥ k — is unique regardless of deletion order (the classic
+  * peeling invariant), so the result is deterministic at any parallelism
+  * and expressible in DuckDB as a statically unrolled peel (the q34
+  * oracle unrolls 4 rounds, a proven margin for the test graph).
+  *
+  * Scale design: each round is ONE map-side-combinable degree
+  * aggregation plus two hash semi-joins that SHRINK the edge relation
+  * monotonically — the round cost is proportional to the surviving
+  * graph, the round count to the peeling depth (shallow on heavy-tailed
+  * graphs: dense cores stabilize after the fringe cascades off). Lazy
+  * `localCheckpoint` per round truncates lineage so round R plans O(1)
+  * stages (the q26_sssp/q33 discipline). No windows, no driver-side
+  * vertex data — only the per-round survivor COUNT reaches the driver.
+  */
+object KCore {
+
+  /** @param edges symmetric deduplicated (src, dst) BIGINT pairs — every
+    *              undirected edge present in both directions, so the
+    *              src-degree IS the vertex degree.
+    * @return surviving (node, deg) with deg the degree INSIDE the core,
+    *         ordered by node; empty when no vertex sustains k neighbors.
+    */
+  def run(s: SparkSession, edges: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"KCore.run: k must be >= 1, got $k")
+    var cur = edges.localCheckpoint(eager = false)
+    var nPrev = cur.select("src").distinct().count()
+    var changed = nPrev > 0
+    while (changed) {
+      val keep = cur.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("node"))
+        .localCheckpoint(eager = true) // reused by both semi-joins + count
+      val nKeep = keep.count()
+      if (nKeep == nPrev) changed = false
+      else {
+        cur = cur
+          .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+          .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+          .select("src", "dst")
+          .localCheckpoint(eager = false)
+        nPrev = nKeep
+        changed = nKeep > 0
+      }
+    }
+    cur.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+      .orderBy("node")
+  }
+}

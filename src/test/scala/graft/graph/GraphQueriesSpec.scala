@@ -8,6 +8,51 @@ class GraphQueriesSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("KCore: deep peel on a path graph (cascade from the endpoints)") {
+    import spark.implicits._
+    // path 0-1-...-19 with k=2: endpoints peel first, the cascade eats
+    // inward one vertex per round from each side — 10 rounds to empty.
+    // The engine must survive a round count proportional to graph
+    // diameter, not just the shallow heavy-tailed case q34 exercises.
+    val fwd = (0L until 19L).map(i => (i, i + 1)).toDF("src", "dst")
+    val edges = fwd.unionAll(fwd.select($"dst".as("src"), $"src".as("dst")))
+    assert(KCore.run(spark, edges, 2).count() == 0)
+    // a 4-cycle welded to the path center survives as the entire 2-core
+    val cyc = Seq((100L, 101L), (101L, 102L), (102L, 103L), (103L, 100L),
+      (100L, 10L)).toDF("src", "dst")
+    val edges2 = fwd.unionAll(cyc)
+      .unionAll(fwd.unionAll(cyc).select($"dst".as("src"), $"src".as("dst")))
+    val core = KCore.run(spark, edges2, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core.keySet == Set(100L, 101L, 102L, 103L))
+    assert(core.values.forall(_ == 2L)) // in-CORE degree: bridge edge gone
+  }
+
+  test("KCore equals in-memory peeling on the q34 graph (order-invariance)") {
+    import spark.implicits._
+    val fwd = graft.Tables.load(spark, sf, "lineitem")
+      .selectExpr("l_orderkey AS src", "l_partkey + 10000000 AS dst")
+      .distinct().as[(Long, Long)].collect()
+    val adj = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.Set[Long]]
+    fwd.foreach { case (u, v) =>
+      adj.getOrElseUpdate(u, scala.collection.mutable.Set.empty) += v
+      adj.getOrElseUpdate(v, scala.collection.mutable.Set.empty) += u
+    }
+    // in-memory oracle peels ONE vertex at a time (a different deletion
+    // order than the engine's bulk rounds) — the fixpoint must agree
+    val alive = scala.collection.mutable.Set.empty[Long] ++ adj.keys
+    var next = alive.find(u => adj(u).count(alive) < 4)
+    while (next.isDefined) {
+      alive -= next.get
+      next = alive.find(u => adj(u).count(alive) < 4)
+    }
+    val want = alive.map(u => u -> adj(u).count(alive).toLong).toMap
+    val got = GraphQueries.q34_kcore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("q16_maxflow equals in-memory Edmonds-Karp on the same derived graph") {
     import spark.implicits._
     val edges = GraphQueries.q16Edges(spark, sf)
