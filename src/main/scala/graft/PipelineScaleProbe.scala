@@ -58,6 +58,9 @@ object PipelineScaleProbe {
     }
     // ev_paths leg: `addendum8 <eventsDir>`
     if (args.headOption.contains("addendum8")) { addendum8(args(1)); return }
+    // dd_containment / ds_qfilter / ta_gopher / k-core legs:
+    // `addendum9 <docsDir>`
+    if (args.headOption.contains("addendum9")) { addendum9(args(1)); return }
     // ANN + events families at 100x: generate embeddings/events, probe
     // ss_lsh_ann / ss_ivf_ann (with measured recall vs in-probe brute
     // force), dd_embed_cos twin recall, ev_sessionize, ev_funnel —
@@ -409,6 +412,120 @@ object PipelineScaleProbe {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     require(top.sameElements(again), "ev_paths result not deterministic")
     println("PSCALE addendum8 done")
+    spark.stop()
+  }
+
+  /** The round-7 second-batch ops at scale: dd_containment scoring the
+    * REAL MinHash-LSH candidate pairs of a twin-planted 550k-doc corpus
+    * (the composition a production pipeline runs), ds_qfilter + ta_gopher
+    * over the 500k corpus, and k-core peeling at 1M vertices with the
+    * nesting invariant core(k+1) ⊆ core(k).
+    */
+  private def addendum9(docsDir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+
+    val docs = Tables.load(spark, docsDir, "documents")
+      .select("doc_id", "text").localCheckpoint(eager = true)
+    val nDocs = docs.count()
+
+    // containment over REAL LSH candidates: plant 80%-prefix twins for
+    // every 10th doc, generate MinHash candidates, score them
+    val twinned = docs.unionAll(docs.filter("doc_id % 10 = 0").selectExpr(
+      s"doc_id + ${ops.Dedup.TwinIdOffset} AS doc_id",
+      "array_join(slice(split(text, ' '), 1, " +
+        "(size(split(text, ' ')) * 4) div 5), ' ') AS text"))
+      .localCheckpoint(eager = true)
+    var t0 = System.nanoTime()
+    val cand = ops.Dedup.ddMinhashLshOn(twinned)
+      .select("doc_a", "doc_b").localCheckpoint(eager = true)
+    val nCand = cand.count()
+    println(f"PSCALE minhash_cand t=${(System.nanoTime() - t0) / 1e9}%.1f s " +
+      s"pairs=$nCand")
+    t0 = System.nanoTime()
+    val scored = ops.Dedup.ddContainment(twinned, cand)
+      .localCheckpoint(eager = true)
+    val nScored = scored.count()
+    println(f"PSCALE q=dd_containment t=${(System.nanoTime() - t0) / 1e9}%.1f s " +
+      s"rows=$nScored")
+    require(nScored == nCand, s"scored $nScored != candidates $nCand")
+    require(scored.filter(
+      "c_ab < 0 OR c_ab > 1 OR c_ba < 0 OR c_ba > 1").count() == 0,
+      "containment out of [0,1]")
+    // every candidate pair that IS an (orig, prefix-twin) pair must score
+    // twin-in-original containment exactly 1.0 — the subset property at 550k
+    val twinPairs = scored.filter(
+      s"doc_b = doc_a + ${ops.Dedup.TwinIdOffset}")
+    val nTwinPairs = twinPairs.count()
+    require(nTwinPairs > 0, "LSH found no planted twin pairs")
+    require(twinPairs.filter("c_ba <> 1.0").count() == 0,
+      s"prefix twins must contain exactly (n=$nTwinPairs)")
+    println(s"PSCALE containment twinPairs=$nTwinPairs all c_ba=1.0")
+
+    t0 = System.nanoTime()
+    val qf = ops.Pipeline.dsQualityFilter(spark, docsDir)
+      .localCheckpoint(eager = true)
+    println(f"PSCALE q=ds_qfilter t=${(System.nanoTime() - t0) / 1e9}%.1f s " +
+      s"rows=${qf.count()}")
+    val fullBySrc = Tables.load(spark, docsDir, "documents")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val badSrc = qf.groupBy("source").count().collect()
+      .count(r => r.getLong(1) != (fullBySrc(r.getString(0)) + 1) / 2)
+    require(badSrc == 0, s"$badSrc sources kept != ceil(n/2)")
+    println(s"PSCALE qfilter sources=${fullBySrc.size} all ceil(n/2)")
+
+    t0 = System.nanoTime()
+    val go = ops.TextAnalysis.taGopher(docs).localCheckpoint(eager = true)
+    val nGo = go.count()
+    println(f"PSCALE q=ta_gopher t=${(System.nanoTime() - t0) / 1e9}%.1f s " +
+      s"rows=$nGo")
+    require(nGo == nDocs, "ta_gopher lost documents")
+    require(go.filter("ttr < 0 OR ttr > 1 OR symbol_ratio < 0").count() == 0,
+      "gopher ratios out of range")
+    println("PSCALE gopher keepFrac=" +
+      f"${go.filter("keep").count().toDouble / nGo}%.3f")
+
+    // k-core at 1M vertices on the small-world graph; nesting invariant
+    val nV = 1000000
+    val fwd = spark.range(0L, nV.toLong)
+      .flatMap(ScaleProbe.edgesFor(_, nV, 3, 0.1, 5, 77L))
+      .select($"_1".as("src"), $"_2".as("dst")).distinct()
+      .localCheckpoint(eager = true)
+    val edges = fwd.unionAll(fwd.select($"dst".as("src"), $"src".as("dst")))
+      .distinct().localCheckpoint(eager = true)
+    // the generator's symmetric degree centers on 6, but rewires create
+    // degree-5 vertices whose removal unzips the ring lattice — k-core
+    // percolation collapses the 6-core (and possibly lower) to EMPTY in a
+    // deep cascade. That collapse is itself the scale stressor: peel down
+    // from k=6 to the largest non-empty core, then verify nesting
+    var kSel = 7
+    var nCore = 0L
+    var core: org.apache.spark.sql.DataFrame = null
+    while (nCore == 0 && kSel > 3) {
+      kSel -= 1
+      t0 = System.nanoTime()
+      core = graph.KCore.run(spark, edges, kSel).localCheckpoint(eager = true)
+      nCore = core.count()
+      println(f"PSCALE q=kcore k=$kSel t=${(System.nanoTime() - t0) / 1e9}%.1f s " +
+        s"core=$nCore of $nV")
+    }
+    require(nCore > 0, "even the 4-core is empty")
+    require(core.agg(min("deg")).head().getLong(0) >= kSel,
+      "a core vertex is below the k threshold")
+    val coreUp = graph.KCore.run(spark, edges, kSel + 1)
+      .localCheckpoint(eager = true)
+    require(coreUp.join(core, Seq("node"), "left_anti").count() == 0,
+      s"core(${kSel + 1}) not nested in core($kSel)")
+    println(s"PSCALE kcore nesting holds: ${coreUp.count()} <= $nCore <= $nV")
+    println("PSCALE addendum9 done")
     spark.stop()
   }
 
