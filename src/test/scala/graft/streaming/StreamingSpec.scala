@@ -405,6 +405,70 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
   }
 
+  test("spike: batch twin == the oracle-checked SQL query") {
+    import spark.implicits._
+    val got = SpikeTracker.spikeBatch(
+      eventsBatch.select("ts", "event_type").as[SpikeTracker.SpEv])
+      .collect()
+      .map(r => (r.event_type, r.day, r.n, r.base_n, r.base_days,
+        r.rate_ratio, r.spike)).toSet
+    val want = graft.ops.Sessionize.evSpike(eventsBatch).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getBoolean(6))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("spike: streaming == batch; a day emits once, when the watermark ends it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val b1 = Seq( // days 0-2 of a local epoch; type A ramps, type B flat
+      Ev(1L, ts("2024-06-01 10:00:00"), 1L, "A", 0.0),
+      Ev(2L, ts("2024-06-01 11:00:00"), 1L, "A", 0.0),
+      Ev(3L, ts("2024-06-02 10:00:00"), 1L, "A", 0.0),
+      Ev(4L, ts("2024-06-01 10:00:00"), 1L, "B", 0.0),
+      Ev(5L, ts("2024-06-02 10:00:00"), 1L, "B", 0.0))
+    val b2 = Seq( // trigger 2: day 3 burst for A — and a LATE-but-in-time
+      // event for day 2 (watermark still open) that must land in day 2
+      Ev(6L, ts("2024-06-03 09:00:00"), 1L, "A", 0.0),
+      Ev(7L, ts("2024-06-03 09:30:00"), 1L, "A", 0.0),
+      Ev(8L, ts("2024-06-03 10:00:00"), 1L, "A", 0.0),
+      Ev(9L, ts("2024-06-03 11:00:00"), 1L, "A", 0.0),
+      Ev(10L, ts("2024-06-02 23:00:00"), 1L, "A", 0.0),
+      Ev(11L, ts("2024-06-03 10:00:00"), 1L, "B", 0.0))
+    val stream = MemoryStream[Ev]
+    val q = SpikeTracker.spikeStream(
+      stream.toDF().withWatermark("ts", "2 hours")
+        .select("ts", "event_type").as[SpikeTracker.SpEv])
+      .writeStream.outputMode("append")
+      .format("memory").queryName("spike_out").start()
+    for (b <- Seq(b1, b2)) { stream.addData(b); q.processAllAvailable() }
+    val maxTs = b2.map(_.ts.getTime).max
+    stream.addData(Ev(-1L, new Timestamp(maxTs + 9L * 24 * 3600 * 1000), -1L, "x", 0.0))
+    q.processAllAvailable()
+    stream.addData(Ev(-2L, new Timestamp(maxTs + 10L * 24 * 3600 * 1000), -1L, "x", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("spike_out")
+      .filter(col("event_type") =!= "x").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getBoolean(6)))
+    // exactly-once per (type, day)
+    assert(rows.map(t => (t._1, t._2)).distinct.length == rows.length)
+    val batch = SpikeTracker.spikeBatch((b1 ++ b2).toDF()
+      .select("ts", "event_type").as[SpikeTracker.SpEv]).collect()
+      .map(r => (r.event_type, r.day, r.n, r.base_n, r.base_days,
+        r.rate_ratio, r.spike))
+    assert(rows.toSet == batch.toSet && rows.nonEmpty)
+    // the late event counted: day-2 A has n=2, and day-3 A (n=4) spikes
+    // against base (2+2)/2 days => ratio 2.0
+    val a = rows.map(t => (t._1, t._2) -> t).toMap
+    val day2 = EventSessionizer.tsToUs(ts("2024-06-02 10:00:00")) /
+      SpikeTracker.DayUs
+    assert(a(("A", day2))._3 == 2L)
+    assert(a(("A", day2 + 1))._6 == 2.0 && a(("A", day2 + 1))._7)
+  }
+
   test("tumbling window streaming == batch") {
     val got = runStreaming(Streams.tumblingAgg, "tumb_out", col("event_type") =!= "x")
       .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
