@@ -49,6 +49,30 @@ object Pipeline {
       .orderBy("doc_id"), rounds)
   }
 
+  /** Near-dup cluster resolution over CALLER-SUPPLIED candidate pairs
+    * (doc_a, doc_b) — e.g. [[graft.ops.Dedup.ddMinhashLshOn]] output, or
+    * containment-scored pairs after a threshold — the production entry
+    * completing the candidates → score → resolve composition: transitive
+    * components by label propagation, each doc mapped to the minimum
+    * doc_id of its cluster. Docs not in any pair are their own canon and
+    * are absent from the output (join back with a coalesce to default).
+    */
+  def ddResolve(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    val p = pairs.select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(eager = true) // self-union of one relation (see above)
+    if (p.isEmpty) // the degenerate-input contract: empty in, empty out
+      p.select(col("doc_a").as("doc_id"), col("doc_b").as("canon_id"))
+    else {
+      val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionAll(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      graft.graph.ConnectedComponents.run(s, edges)
+        .withColumnRenamed("node", "doc_id")
+        .withColumnRenamed("comp", "canon_id")
+        .orderBy("doc_id")
+    }
+  }
+
   /** Context-window chunking over an arbitrary (doc_id, text) corpus with
     * caller-set window/stride ("chunk MY corpus at MY context length") —
     * chunk count = 1 + ceil((len-window)/stride) for len > window,

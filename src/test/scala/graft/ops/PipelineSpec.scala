@@ -525,6 +525,17 @@ class PipelineSpec extends AnyFunSuite {
       r.getLong(1) == (full(r.getString(0)) + 1) / 2))
   }
 
+  test("ddResolve(pairs): caller pairs resolve to min-id canon clusters") {
+    import spark.implicits._
+    // {1,2,3} chained, {10,11} direct, 20 unpaired (absent from output)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Pipeline.ddResolve(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    assert(Pipeline.ddResolve(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() == 0)
+  }
+
   test("taGopher: signals and the keep flag on hand-built documents") {
     import spark.implicits._
     val docs = Seq(
