@@ -190,13 +190,20 @@ object Similarity {
        |  FROM __emb),
        |n3 AS (
        |  SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM base),
+       |cand0 AS (
+       |  -- the nlist smallest digests as a distributed TOP-K
+       |  -- (TakeOrderedAndProject), NOT a global rank of all N vectors:
+       |  -- the leftover unpartitioned ROW_NUMBER below then sorts only
+       |  -- nlist rows, so centroid seeding never single-partitions the
+       |  -- corpus
+       |  SELECT md5(concat('km42:', CAST(vec_id AS STRING))) AS h,
+       |         vec_id, v AS cv, nrm AS cnrm
+       |  FROM n3 ORDER BY h, vec_id LIMIT $nlist),
        |cent0 AS (
-       |  SELECT cid, cv, cnrm FROM (
-       |    SELECT CAST(ROW_NUMBER() OVER (
-       |             ORDER BY md5(concat('km42:', CAST(vec_id AS STRING))),
-       |                      vec_id) AS INT) - 1 AS cid,
-       |           v AS cv, nrm AS cnrm
-       |    FROM n3) WHERE cid < $nlist),
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) AS INT) - 1
+       |           AS cid,
+       |         cv, cnrm
+       |  FROM cand0),
        |$iters,
        |assign AS (
        |  SELECT vec_id, v, nrm, cid FROM (

@@ -192,6 +192,15 @@ class PlanSpec extends AnyFunSuite {
       s"unexpected range exchange:\n$plan")
   }
 
+  test("ss_ivf_ann: centroid seeding is a distributed top-nlist, never a global rank") {
+    // the km42 seed draw must ride TakeOrderedAndProject (map-side local
+    // top-nlist); a global ROW_NUMBER over all N vectors single-partitions
+    // the corpus — the WindowExec warning this lock keeps dead
+    val plan = formatted(graft.ops.Similarity.ssIvfAnn(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"centroid seed top-k lost its TakeOrdered shape:\n$plan")
+  }
+
   test("ds_qfilter: both windows share ONE source exchange") {
     // the per-source COUNT and the ordered ROW_NUMBER must ride the same
     // hashpartitioning(source) — a second exchange would double the
