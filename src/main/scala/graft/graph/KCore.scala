@@ -12,10 +12,13 @@ import org.apache.spark.sql.functions._
   * oracle unrolls 4 rounds, a proven margin for the test graph).
   *
   * Scale design: each round is ONE map-side-combinable degree
-  * aggregation plus two hash semi-joins that SHRINK the edge relation
-  * monotonically — the round cost is proportional to the surviving
-  * graph, the round count to the peeling depth (shallow on heavy-tailed
-  * graphs: dense cores stabilize after the fringe cascades off). Lazy
+  * aggregation plus two anti-joins against the round's DROP set — the
+  * fringe below k, the SMALL side (empty at the fixpoint), which AQE
+  * broadcasts — so the edge relation shrinks monotonically and no round
+  * hashes the survivor relation. Round cost is proportional to the
+  * surviving graph, round count to the peeling depth (shallow on
+  * heavy-tailed graphs: dense cores stabilize after the fringe cascades
+  * off). Lazy
   * `localCheckpoint` per round truncates lineage so round R plans O(1)
   * stages (the q26_sssp/q33 discipline). No windows, no driver-side
   * vertex data — only the per-round survivor COUNT reaches the driver.
@@ -31,23 +34,23 @@ object KCore {
   def run(s: SparkSession, edges: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"KCore.run: k must be >= 1, got $k")
     var cur = edges.localCheckpoint(eager = false)
-    var nPrev = cur.select("src").distinct().count()
-    var changed = nPrev > 0
+    var changed = true
     while (changed) {
-      val keep = cur.groupBy("src").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select(col("src").as("node"))
-        .localCheckpoint(eager = true) // reused by both semi-joins + count
-      val nKeep = keep.count()
-      if (nKeep == nPrev) changed = false
-      else {
-        cur = cur
-          .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
-          .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
-          .select("src", "dst")
-          .localCheckpoint(eager = false)
-        nPrev = nKeep
-        changed = nKeep > 0
-      }
+      // peel by the DROP set, not the keep set: per round it is the small
+      // side (the fringe below k — empty at the fixpoint), so AQE turns
+      // both anti-joins into broadcasts; a keep-side semi-join would hash
+      // the near-corpus-sized survivor relation every round. A vertex
+      // whose neighbors all drop loses its edges and leaves the degree
+      // relation implicitly — same fixpoint.
+      val drop = cur.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") < k).select(col("src").as("node"))
+        .localCheckpoint(eager = true) // reused by both anti-joins + count
+      if (drop.isEmpty) changed = false
+      else cur = cur
+        .join(drop.select(col("node").as("src")), Seq("src"), "left_anti")
+        .join(drop.select(col("node").as("dst")), Seq("dst"), "left_anti")
+        .select("src", "dst")
+        .localCheckpoint(eager = false)
     }
     cur.groupBy("src").agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"))
