@@ -569,8 +569,71 @@ object Dedup {
     "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"
 
+  /** Duplicate-paragraph REMOVAL (the CCNet/C4 cleaning staple): segment
+    * every document into consecutive `segTokens`-token spans, count each
+    * span's corpus-wide document frequency, DROP spans appearing in
+    * ≥ `minDf` distinct documents (shared boilerplate — headers, footers,
+    * license blocks), and reassemble the surviving spans in order. Unlike
+    * [[ddSubstring]] (which *scores* repeated spans) this one returns the
+    * cleaned corpus — a transform a training pipeline feeds downstream.
+    *
+    * Scale design (100 TB): the df leg travels as 8-byte xxhash64 keys
+    * through a partial-agg COUNT(DISTINCT doc) — gram-vocabulary-sized
+    * output, corpus-sized input but map-side combinable. The df ≥ minDf
+    * relation is boilerplate-vocabulary-sized (tiny on a healthy corpus),
+    * so the join back broadcasts. Reassembly is the one unavoidable
+    * corpus shuffle (groupBy doc_id over span text); on a corpus bucketed
+    * by doc_id it would be exchange-free.
+    */
+  def ddParagraphOn(docs: DataFrame, segTokens: Int = 20,
+                    minDf: Int = 2): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__par_docs")
+    s.sql(
+      s"""WITH tok AS (SELECT doc_id, split(text, ' ') AS toks FROM __par_docs),
+         |seg AS (
+         |  SELECT doc_id, sg.i AS seg_idx, sg.seg
+         |  FROM tok
+         |  LATERAL VIEW explode(transform(
+         |    sequence(1, CAST(ceil(size(toks) / ${segTokens}.0) AS INT)),
+         |    i -> struct(i AS i,
+         |                array_join(slice(toks, (i - 1) * $segTokens + 1,
+         |                                 $segTokens), ' ') AS seg))) sgt AS sg),
+         |dup AS (
+         |  SELECT h FROM (
+         |    SELECT xxhash64(seg) AS h, COUNT(DISTINCT doc_id) AS df
+         |    FROM seg GROUP BY xxhash64(seg))
+         |  WHERE df >= $minDf)
+         |SELECT s2.doc_id, COUNT(*) AS n_seg, COUNT(d.h) AS n_dropped,
+         |       array_join(transform(array_sort(collect_list(
+         |           CASE WHEN d.h IS NULL
+         |                THEN struct(s2.seg_idx AS i, s2.seg AS seg) END)),
+         |         x -> x.seg), ' ') AS text_clean
+         |FROM seg s2 LEFT JOIN dup d ON d.h = xxhash64(s2.seg)
+         |GROUP BY s2.doc_id ORDER BY s2.doc_id""".stripMargin)
+  }
+
+  /** Oracle-query form: every 5th document gets [[BoilerPhrase]] (exactly
+    * `segTokens` = 20 tokens) PREPENDED, so it occupies precisely span 1
+    * and every later span realigns with the unplanted segmentation — the
+    * planted boilerplate is corpus-frequent (df ≈ n/5) and must vanish,
+    * while genuine spans survive untouched. The corpus's natural
+    * whole-document duplicates lose all their spans (text_clean = ''),
+    * the same dual signal ddSubstring pins.
+    */
+  def ddParagraph(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "documents").createOrReplaceTempView("__docs")
+    ddParagraphOn(s.sql(
+      s"""SELECT doc_id,
+         |       CASE WHEN doc_id % 5 = 0
+         |            THEN concat('$BoilerPhrase', ' ', text)
+         |            ELSE text END AS text
+         |FROM __docs""".stripMargin))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_substring" -> ((s: SparkSession, dir: String) => ddSubstring(s, dir)),
+    "dd_paragraph" -> ((s: SparkSession, dir: String) => ddParagraph(s, dir)),
     "dd_exact" -> (ddExact _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_simhash" -> (ddSimhash _),
@@ -603,6 +666,32 @@ object Dedup {
         |FROM g LEFT JOIN dups d ON d.g = g.g
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
         .replaceAll("\n", " "),
+    "dd_paragraph" ->
+      s"""WITH aug AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 5 = 0
+        |              THEN '$BoilerPhrase' || ' ' || text
+        |              ELSE text END AS text
+        |  FROM documents),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM aug),
+        |pos AS (
+        |  SELECT doc_id, toks,
+        |         unnest(generate_series(1,
+        |           CAST(ceil(len(toks) / 20.0) AS INT))) AS i
+        |  FROM tok),
+        |seg AS (
+        |  SELECT doc_id, i AS seg_idx,
+        |         array_to_string(toks[((i - 1) * 20 + 1):(i * 20)], ' ') AS seg
+        |  FROM pos),
+        |dup AS (
+        |  SELECT seg FROM (
+        |    SELECT seg, COUNT(DISTINCT doc_id) AS df FROM seg GROUP BY seg)
+        |  WHERE df >= 2)
+        |SELECT s.doc_id, COUNT(*) AS n_seg, COUNT(d.seg) AS n_dropped,
+        |       COALESCE(string_agg(CASE WHEN d.seg IS NULL THEN s.seg END,
+        |                           ' ' ORDER BY s.seg_idx), '') AS text_clean
+        |FROM seg s LEFT JOIN dup d ON d.seg = s.seg
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin.replaceAll("\n", " "),
     "dd_exact" ->
       s"""SELECT doc_id FROM (
         |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text)

@@ -312,8 +312,80 @@ object Similarity {
          |WHERE rn <= $topK ORDER BY query_id, rn""".stripMargin)
   }
 
+  /** Int8 scalar-quantized top-k with exact rescoring (the FAISS "SQ8"
+    * memory path): each vector is quantized per-vector-symmetrically to
+    * integers in [−127,127] (q_i = round(x_i · 127 / max|x|)); candidate
+    * generation ranks by the QUANTIZED cosine (the per-vector scale
+    * cancels in cosine, so no dequantization is needed), keeps the top
+    * `mult`·k per query, and only those are rescored with the exact
+    * float cosine. Output carries both scores, so the SQ-vs-exact gap is
+    * visible per row.
+    *
+    * Scale rationale (100 TB): int8 codes are 8× smaller than float64
+    * vectors — the candidate scan streams the quantized corpus from
+    * memory where the float corpus would spill, and only `mult`·k rows
+    * per query ever touch the full-precision vectors (joined back by
+    * vec_id — a broadcast-sized relation). Composes with [[ssIvfAnnOn]]
+    * (IVF restricts WHICH vectors are scanned; SQ shrinks HOW MUCH each
+    * scanned vector costs — together they are the standard IVF-SQ8).
+    *
+    * Exactness discipline: quantized codes are integer-valued doubles, so
+    * graft_dot partials are exact and order-free; the quantized and exact
+    * cosines both round to 6 with vec_id tiebreaks — candidate cut and
+    * final rank are deterministic in both engines.
+    */
+  def ssSqTopkOn(s: SparkSession, emb: DataFrame, queryPred: String,
+                 topK: Int, mult: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    emb.createOrReplaceTempView("__emb_sq")
+    s.sql(
+      s"""WITH base AS (
+         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM __emb_sq),
+         |qv AS (
+         |  SELECT vec_id, v,
+         |         transform(v, x -> CAST(round(x * 127 /
+         |           array_max(transform(v, y -> abs(y)))) AS DOUBLE)) AS q
+         |  FROM base),
+         |qn AS (
+         |  SELECT vec_id, v, q, sqrt(graft_dot(v, v)) AS nrm,
+         |         sqrt(graft_dot(q, q)) AS qnrm
+         |  FROM qv),
+         |cand AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         ROUND(graft_dot(a.q, b.q) / (a.qnrm * b.qnrm), 6) AS cosq
+         |  FROM (SELECT * FROM qn WHERE $queryPred) a
+         |  JOIN qn b ON b.vec_id <> a.vec_id),
+         |topc AS (
+         |  SELECT query_id, neighbor_id, cosq FROM (
+         |    SELECT query_id, neighbor_id, cosq,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id
+         |             ORDER BY cosq DESC, neighbor_id) AS rnq
+         |    FROM cand)
+         |  WHERE rnq <= ${mult * topK}),
+         |res AS (
+         |  SELECT t.query_id, t.neighbor_id, t.cosq,
+         |         ROUND(graft_dot(qa.v, qb.v) / (qa.nrm * qb.nrm), 6) AS cos
+         |  FROM topc t
+         |  JOIN qn qa ON qa.vec_id = t.query_id
+         |  JOIN qn qb ON qb.vec_id = t.neighbor_id)
+         |SELECT query_id, neighbor_id, cos, cosq, rn FROM (
+         |  SELECT query_id, neighbor_id, cos, cosq,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |                ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
+         |  FROM res)
+         |WHERE rn <= $topK ORDER BY query_id, rn""".stripMargin)
+  }
+
+  /** Oracle-query form: SQ8 top-10 for query vectors vec_id < 5 —
+    * directly comparable against [[ssCosineTopk]]'s exact rows.
+    */
+  def ssSqTopk(s: SparkSession, dir: String): DataFrame =
+    ssSqTopkOn(s, Tables.load(s, dir, "embeddings"), "vec_id < 5", 10)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ss_cosine_topk" -> (ssCosineTopk _),
+    "ss_sq_topk" -> (ssSqTopk _),
     "ss_lsh_ann" -> (ssLshAnn _),
     "ss_ivf_ann" -> (ssIvfAnn _))
 
@@ -358,6 +430,44 @@ object Similarity {
         |         ROW_NUMBER() OVER (PARTITION BY query_id
         |           ORDER BY cos DESC, neighbor_id) AS rn
         |  FROM scored)
+        |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin.replaceAll("\n", " "),
+    "ss_sq_topk" ->
+      """WITH base AS (
+        |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),
+        |qv AS (
+        |  SELECT vec_id, v,
+        |         [round(x * 127 / list_max([abs(y) FOR y IN v]))::DOUBLE
+        |          FOR x IN v] AS q
+        |  FROM base),
+        |qn AS (
+        |  SELECT vec_id, v, q, sqrt(list_sum([x * x FOR x IN v])) AS nrm,
+        |         sqrt(list_sum([x * x FOR x IN q])) AS qnrm
+        |  FROM qv),
+        |cand AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |         ROUND(list_sum([a.q[i] * b.q[i]
+        |                 FOR i IN generate_series(1, len(a.q))])
+        |               / (a.qnrm * b.qnrm), 6) AS cosq
+        |  FROM qn a JOIN qn b ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
+        |topc AS (
+        |  SELECT query_id, neighbor_id, cosq FROM (
+        |    SELECT query_id, neighbor_id, cosq,
+        |           ROW_NUMBER() OVER (PARTITION BY query_id
+        |             ORDER BY cosq DESC, neighbor_id) AS rnq
+        |    FROM cand) WHERE rnq <= 30),
+        |res AS (
+        |  SELECT t.query_id, t.neighbor_id, t.cosq,
+        |         ROUND(list_sum([qa.v[i] * qb.v[i]
+        |                 FOR i IN generate_series(1, len(qa.v))])
+        |               / (qa.nrm * qb.nrm), 6) AS cos
+        |  FROM topc t
+        |  JOIN qn qa ON qa.vec_id = t.query_id
+        |  JOIN qn qb ON qb.vec_id = t.neighbor_id)
+        |SELECT query_id, neighbor_id, cos, cosq, rn FROM (
+        |  SELECT query_id, neighbor_id, cos, cosq,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |           ORDER BY cos DESC, neighbor_id) AS rn
+        |  FROM res)
         |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin.replaceAll("\n", " "),
     "ss_lsh_ann" ->
       // multiprobe ≤1 expressed as bit_count(xor) <= 1 — identical to the

@@ -312,7 +312,52 @@ object TextAnalysis {
          |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   }
 
+  /** Token-distribution entropy (quality signal): the Shannon entropy of
+    * each document's own unigram distribution, H = log2(n) − Σc·log2(c)/n,
+    * plus the top-token mass `top_ratio` = max(c)/n. Degenerate text is
+    * flagged from both ends: token-spam ("buy buy buy …") collapses H
+    * toward 0 with top_ratio → 1, while natural prose at this corpus's
+    * length sits near its type-count ceiling. Complements [[taDerep]]
+    * (positional repeats) and [[taPerplexity]] (corpus-typicality): this
+    * one is intra-document and model-free.
+    *
+    * Engine-exactness: same fold discipline as [[taPerplexity(docs:*]] —
+    * the only transcendentals (c·log2 c per type, log2 n per doc) are
+    * rounded to 9 dp first (libm ulp absorbed), the per-type terms are
+    * summed as DECIMAL(28,9) (exact, order-free), and the final H is one
+    * double subtraction/division rounded to 6.
+    *
+    * Scale design: explode → partial-agg COUNT keyed (doc_id, token) —
+    * one corpus shuffle; the per-doc reduce re-keys only the per-doc type
+    * counts (vocabulary-per-doc-sized, far smaller than the corpus). No
+    * window, no join: unlike perplexity there is no corpus-wide model to
+    * broadcast, so the whole op is two cascading aggregates.
+    */
+  def taEntropy(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__ent_docs")
+    s.sql(
+      s"""WITH tok AS (SELECT doc_id, explode($toks) AS token FROM __ent_docs),
+         |cnt AS (SELECT doc_id, token, COUNT(*) AS c
+         |        FROM tok GROUP BY doc_id, token),
+         |terms AS (
+         |  SELECT doc_id, c,
+         |         CAST(ROUND(c * log2(CAST(c AS DOUBLE)), 9)
+         |              AS DECIMAL(28,9)) AS term
+         |  FROM cnt)
+         |SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_types,
+         |       ROUND(ROUND(log2(CAST(SUM(c) AS DOUBLE)), 9)
+         |             - CAST(SUM(term) AS DOUBLE) / SUM(c), 6) AS entropy,
+         |       ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_ratio
+         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  }
+
+  /** Oracle-query form of [[taEntropy(docs:*]] over the documents table. */
+  def taEntropy(s: SparkSession, dir: String): DataFrame =
+    taEntropy(Tables.load(s, dir, "documents"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_entropy" -> ((s: SparkSession, dir: String) => taEntropy(s, dir)),
     "ta_perplexity" -> ((s: SparkSession, dir: String) => taPerplexity(s, dir)),
     "ta_tokens" -> (taTokens _),
     "ta_quality" -> (taQuality _),
@@ -326,6 +371,15 @@ object TextAnalysis {
   private val sqlToks = "string_split(text, ' ')"
 
   val oracleSql: Map[String, String] = Map(
+    "ta_entropy" ->
+      (s"WITH tok AS (SELECT doc_id, unnest($sqlToks) AS token FROM documents), " +
+        "cnt AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY doc_id, token), " +
+        "terms AS (SELECT doc_id, c, " +
+        "CAST(ROUND(c * log2(c::DOUBLE), 9) AS DECIMAL(28,9)) AS term FROM cnt) " +
+        "SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_types, " +
+        "ROUND(ROUND(log2(SUM(c)::DOUBLE), 9) - SUM(term)::DOUBLE / SUM(c), 6) AS entropy, " +
+        "ROUND(MAX(c)::DOUBLE / SUM(c), 6) AS top_ratio " +
+        "FROM terms GROUP BY doc_id ORDER BY doc_id"),
     "ta_gopher" ->
       (s"WITH m AS (SELECT doc_id, len($sqlToks) AS n_tokens, " +
         "length(replace(text, ' ', '')) AS n_word_chars, " +

@@ -315,8 +315,29 @@ object Relational {
         |FROM __li32 GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** Explicit GROUPING SETS (SURVEY §2.6) — the third member of the
+    * rollup/cube/grouping-sets trio, with a set that NEITHER rollup nor
+    * cube produces: (status, priority), (status), (priority) but no
+    * grand total. One shuffle; Spark expands the sets with a single
+    * Expand node feeding one hash aggregate (same plan family as q17).
+    */
+  def q35_grouping_sets(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "orders").createOrReplaceTempView("__orders35")
+    s.sql(
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS st,
+        |       COALESCE(o_orderpriority, 'ALL') AS pri,
+        |       COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       CAST(GROUPING(o_orderstatus) + GROUPING(o_orderpriority) AS BIGINT) AS g
+        |FROM __orders35
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), (o_orderpriority))
+        |ORDER BY g, st, pri""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_histogram" -> (q32_histogram _),
+    "q35_grouping_sets" -> (q35_grouping_sets _),
     "q17_rollup" -> (q17_rollup _),
     "q21_cube" -> (q21_cube _),
     "q18_distinct_agg" -> (q18_distinct_agg _),
@@ -362,6 +383,13 @@ object Relational {
         "COUNT(*) AS cnt, (GROUPING(r_name) + GROUPING(n_name))::BIGINT AS g " +
         "FROM region JOIN nation ON r_regionkey = n_regionkey " +
         "GROUP BY ROLLUP(r_name, n_name) ORDER BY g, rn, nn"),
+    "q35_grouping_sets" ->
+      ("SELECT COALESCE(o_orderstatus, 'ALL') AS st, " +
+        "COALESCE(o_orderpriority, 'ALL') AS pri, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, " +
+        "(GROUPING(o_orderstatus) + GROUPING(o_orderpriority))::BIGINT AS g " +
+        "FROM orders GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), " +
+        "(o_orderstatus), (o_orderpriority)) ORDER BY g, st, pri"),
     "q21_cube" ->
       ("SELECT COALESCE(o_orderstatus, 'ALL') AS st, " +
         "COALESCE(o_orderpriority, 'ALL') AS pri, COUNT(*) AS cnt, " +

@@ -25,6 +25,8 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Dedup.ddMinhashLshOn(emptyDocs).count() == 0)
     assert(Dedup.ddSubstring(emptyDocs, 20).count() == 0)
     assert(TextAnalysis.taPerplexity(emptyDocs).count() == 0)
+    assert(TextAnalysis.taEntropy(emptyDocs).count() == 0)
+    assert(Dedup.ddParagraphOn(emptyDocs).count() == 0)
     assert(TextAnalysis.taDerep(emptyDocs).count() == 0)
     assert(TextAnalysis.taGopher(emptyDocs).count() == 0)
     assert(Dedup.ddContainment(emptyDocs,
@@ -32,6 +34,12 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Pipeline.dsQualityFilter(
       Seq.empty[(Long, String, Double)].toDF("doc_id", "source", "score"),
       "score", 0.5).count() == 0)
+  }
+
+  test("embedding entries return empty on an empty corpus") {
+    val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.ssSqTopkOn(spark, emptyEmb, "vec_id < 5", 10).count() == 0)
+    assert(Similarity.bruteTopkOn(spark, emptyEmb, "vec_id < 5", 10).count() == 0)
   }
 
   test("event entries return empty on an empty stream") {

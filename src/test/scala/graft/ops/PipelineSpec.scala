@@ -944,4 +944,79 @@ class PipelineSpec extends AnyFunSuite {
         case _ => false
       }))
   }
+
+  test("ddParagraphOn: shared spans vanish, unique spans survive in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"), // "a b" shared with doc 2 -> dropped
+      (2L, "a b x y"),
+      (3L, "p q"), // untouched
+      (4L, "z z"), // exact duplicate pair: both fully emptied
+      (5L, "z z"),
+      (6L, "m n o") // odd length: partial last span "o" kept
+    ).toDF("doc_id", "text")
+    val got = Dedup.ddParagraphOn(docs, segTokens = 2, minDf = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 1L, "c d e f"),
+      (2L, 2L, 1L, "x y"),
+      (3L, 1L, 0L, "p q"),
+      (4L, 1L, 1L, ""),
+      (5L, 1L, 1L, ""),
+      (6L, 2L, 0L, "m n o")))
+  }
+
+  test("ddParagraphOn: minDf dial — raising the bar keeps df=2 spans") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "a b"), (3L, "a b a b"))
+      .toDF("doc_id", "text")
+    // "a b" appears in 3 docs (df=3); "c d" in 1 — at minDf=4 nothing drops
+    val keep = Dedup.ddParagraphOn(docs, segTokens = 2, minDf = 4).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(keep == Map(1L -> "a b c d", 2L -> "a b", 3L -> "a b a b"))
+    // at minDf=3 the shared span drops everywhere (both copies in doc 3)
+    val drop = Dedup.ddParagraphOn(docs, segTokens = 2, minDf = 3).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(drop == Map(1L -> "c d", 2L -> "", 3L -> ""))
+  }
+
+  test("taEntropy: hand corpus hits the closed-form entropies") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a"), // degenerate: H = 0, top_ratio 1
+      (2L, "a b c d"), // uniform over 4 types: H = 2
+      (3L, "a a b b"), // uniform over 2 types: H = 1
+      (4L, "a a a b") // H = 2 - 0.75*log2(3) = 0.811278
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.taEntropy(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (1L, 4L, 1L, 0.0, 1.0),
+      (2L, 4L, 4L, 2.0, 0.25),
+      (3L, 4L, 2L, 1.0, 0.5),
+      (4L, 4L, 2L, 0.811278, 0.75)))
+  }
+
+  test("ta_entropy: matches an in-memory replay on the sf corpus") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.map { case (id, t) =>
+      val toks = t.split(" ", -1)
+      val cnt = toks.groupBy(identity).view.mapValues(_.length.toDouble)
+      val n = toks.length.toDouble
+      val h = cnt.values.map(c => -(c / n) * (math.log(c / n) / math.log(2))).sum
+      (id, toks.length.toLong, cnt.size.toLong, h, cnt.values.max / n)
+    }.sortBy(_._1)
+    val got = TextAnalysis.taEntropy(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case ((gi, gn, gt, gh, gr), (ei, en, et, eh, er)) =>
+      assert(gi == ei && gn == en && gt == et)
+      assert(math.abs(gh - eh) < 1e-5, s"doc $gi entropy $gh vs replay $eh")
+      assert(math.abs(gr - er) < 1e-6)
+    }
+  }
 }

@@ -150,4 +150,44 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hit / base.length.toDouble >= 0.9,
       s"8-plane twin recall ${hit / base.length.toDouble} < 0.9")
   }
+
+  test("SQ8 top-k: recall >= 0.95 vs brute force, quantized score within 0.02") {
+    val rng = new Random(29)
+    val dim = 64
+    // the IVF mid-similarity regime: 16 clusters x 30, noisy members —
+    // exactly where coarse candidates go wrong if quantization loses rank
+    val rows = for {
+      c <- 0 until 16
+      center = unit(rng, dim)
+      m <- 0 until 30
+    } yield {
+      val noise = unit(rng, dim)
+      val v = center.zip(noise).map { case (a, b) => a + 0.15 * b }
+      (c * 1000L + m, v)
+    }
+    val emb = toEmb(rows)
+    val sq = Similarity.ssSqTopkOn(spark, emb, "vec_id % 1000 = 0", topK = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val brute = Similarity.bruteTopkOn(spark, emb, "vec_id % 1000 = 0", topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    // int8 keeps ~2.4 significant digits of each coordinate: the exact
+    // rescore must recover nearly all of brute's top-5
+    val recalls = brute.map { case (q, exact) =>
+      val got = sq.filter(_._1 == q).map(_._2).toSet
+      exact.map(_._2).count(got) / exact.length.toDouble
+    }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.95, s"SQ8 recall $recall < 0.95 (per-query: $recalls)")
+    // the emitted quantized score tracks the exact score closely
+    sq.foreach { case (q, n, cos, cosq) =>
+      assert(math.abs(cos - cosq) < 0.02,
+        s"($q,$n): |cos $cos - cosq $cosq| >= 0.02")
+    }
+    // exact cosine is the final rank key: rows arrive sorted per query
+    sq.groupBy(_._1).values.foreach { g =>
+      val cs = g.map(_._3).toSeq
+      assert(cs == cs.sorted.reverse, s"rescore order broken: $cs")
+    }
+  }
 }

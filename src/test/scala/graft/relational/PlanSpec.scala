@@ -219,6 +219,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"SMJ on the gram join:\n$plan")
   }
 
+  test("dd_paragraph: the df>=minDf span set joins as broadcast, never sort-merge") {
+    // same contract as dd_substring: the duplicated-span relation is
+    // boilerplate-sized; an SMJ would sort the corpus-spans stream
+    val plan = formatted(graft.ops.Dedup.ddParagraph(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dup-span join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"SMJ on the span join:\n$plan")
+  }
+
+  test("q35_grouping_sets: one Expand feeds one partial+final aggregate") {
+    val plan = formatted(Relational.q35_grouping_sets(spark, sf))
+    assert(plan.contains("Expand"), s"grouping sets lost the Expand:\n$plan")
+    assert("Expand".r.findAllIn(plan).size == 1,
+      s"grouping sets expanded more than once:\n$plan")
+    assert(plan.contains("partial_"), s"no map-side combine after Expand:\n$plan")
+  }
+
+  test("ss_sq_topk: candidate generation is quantized-only; float vectors join back broadcast") {
+    // the exact-rescore joins touch mult*k rows per query — they must be
+    // broadcast joins, and no cartesian product may appear anywhere
+    val plan = formatted(graft.ops.Similarity.ssSqTopk(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"rescore join not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in SQ topk:\n$plan")
+  }
+
   test("taNormalize: narrow single-pass — no exchange but the presentation sort") {
     import spark.implicits._
     val docs = graft.Tables.load(spark, sf, "documents")
