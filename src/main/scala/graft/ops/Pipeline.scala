@@ -573,7 +573,69 @@ object Pipeline {
     dsLenBucket(Tables.load(s, dir, "documents"), bandWidth = 16,
       batchSize = 32)
 
+  /** Token-budget data selection (the "pick the best B tokens" curriculum
+    * step): documents are ranked by score (ties on doc_id), and the
+    * greedy prefix whose running token total stays within the budget is
+    * kept. The spec is a single global ordered prefix-sum — which is
+    * exactly what must NOT run as one global window at scale — so the
+    * implementation is the classic two-pass distributed prefix-sum:
+    *
+    *   1. coarse score band = floor(sc·16): per-band token totals
+    *      (one map-side-combined agg, ≤17 rows);
+    *   2. each band's offset = Σ totals of strictly-higher bands (window
+    *      over the 17-row relation — the only unpartitioned window, same
+    *      dispensation as the IVF candidate relation);
+    *   3. per-row cum = band offset + running sum within the band
+    *      (window PARTITIONED BY band — the corpus-sized window never
+    *      single-partitions).
+    *
+    * Band order aligns with score order because floor(sc·16) is monotone
+    * in sc, so the two-pass cum equals the global-window cum row for row
+    * — the DuckDB oracle computes the naive global window and the hash
+    * comparison proves the decomposition exact. Emits every row with its
+    * kept flag (kept = cum ≤ budget) rather than filtering, so the
+    * selection boundary is visible and row count is corpus-stable.
+    */
+  def dsTokBudget(scored: DataFrame, budget: Long): DataFrame = {
+    val s = scored.sparkSession
+    scored.createOrReplaceTempView("__tb_scored")
+    s.sql(
+      s"""WITH b AS (
+         |  SELECT doc_id, n_tok, sc, CAST(floor(sc * 16) AS INT) AS band
+         |  FROM __tb_scored),
+         |btot AS (
+         |  SELECT band, SUM(n_tok) AS btok FROM b GROUP BY band),
+         |boff AS (
+         |  SELECT band,
+         |         COALESCE(SUM(btok) OVER (ORDER BY band DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |           0L) AS off
+         |  FROM btot),
+         |c AS (
+         |  SELECT b.doc_id, b.n_tok, b.sc,
+         |         o.off + SUM(b.n_tok) OVER (PARTITION BY b.band
+         |           ORDER BY b.sc DESC, b.doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM b JOIN boff o ON o.band = b.band)
+         |SELECT doc_id, n_tok, sc, cum, cum <= $budget AS kept
+         |FROM c ORDER BY doc_id""".stripMargin)
+  }
+
+  /** The oracle-checked form: score = type-token ratio (rounded 6, exact
+    * int/int division), budget fixed at 100k tokens (≈45 % of the sf0.01
+    * corpus, so the boundary lands mid-corpus and both flag values are
+    * exercised at every SF).
+    */
+  def dsTokBudget(s: SparkSession, dir: String): DataFrame =
+    dsTokBudget(
+      Tables.load(s, dir, "documents").selectExpr(
+        "doc_id",
+        "size(split(text, ' ')) AS n_tok",
+        "round(size(array_distinct(split(text, ' '))) / size(split(text, ' ')), 6) AS sc"),
+      budget = 100000L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_tokbudget" -> ((s: SparkSession, dir: String) => dsTokBudget(s, dir)),
     "ds_lenbucket" -> ((s: SparkSession, dir: String) => dsLenBucket(s, dir)),
     "dd_resolve" -> (ddResolve _),
     "dd_decontam" -> ((s: SparkSession, dir: String) => ddDecontam(s, dir)),
@@ -627,6 +689,20 @@ object Pipeline {
         |SELECT doc_id, n_chars_in, length(text_norm) AS n_chars_out,
         |       text_norm <> noisy AS changed, text_norm = text AS recovered
         |FROM norm ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "ds_tokbudget" ->
+      """WITH m AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+        |         round(len(list_distinct(string_split(text, ' ')))
+        |               / len(string_split(text, ' ')), 6) AS sc
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tok, sc,
+        |         SUM(n_tok) OVER (ORDER BY sc DESC, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM m)
+        |SELECT doc_id, n_tok, sc, CAST(cum AS BIGINT) AS cum,
+        |       cum <= 100000 AS kept
+        |FROM c ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "ds_lenbucket" ->
       """WITH t AS (
         |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,

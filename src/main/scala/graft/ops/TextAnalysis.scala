@@ -92,6 +92,72 @@ object TextAnalysis {
   def taGopher(s: SparkSession, dir: String): DataFrame =
     taGopher(Tables.load(s, dir, "documents").select("doc_id", "text"))
 
+  /** C4 line-level cleaning rules (Raffel et al. 2020 §2.2, public): a
+    * line survives iff it ends in terminal punctuation, has at least five
+    * words, and does not mention javascript; the document keep flag drops
+    * pages containing "lorem ipsum" or a curly brace (code boilerplate)
+    * and pages with fewer than three surviving lines. Complements
+    * [[taGopher]]: Gopher scores the DOCUMENT's ratio statistics, C4
+    * edits the document LINE by line.
+    *
+    * Scale design: the line array never leaves its row — the split,
+    * per-line predicate, and rejoin all run as filter()/transform() HOFs,
+    * so the corpus is never exploded; at 100 TB this is the same narrow
+    * single-pass map-stage shape as the rest of the ta_ family.
+    */
+  def taC4Filter(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__c4_docs")
+    s.sql(
+      """WITH k AS (
+        |  SELECT doc_id, size(split(text, chr(10))) AS n_lines,
+        |         filter(split(text, chr(10)),
+        |                x -> x rlike '[.!?]$'
+        |                     AND size(split(x, ' ')) >= 5
+        |                     AND NOT contains(lower(x), 'javascript')) AS kept,
+        |         contains(lower(text), 'lorem ipsum')
+        |           OR contains(text, '{') AS boiler
+        |  FROM __c4_docs)
+        |SELECT doc_id, n_lines, size(kept) AS n_kept,
+        |       length(array_join(kept, chr(10))) AS clean_chars,
+        |       NOT boiler AND size(kept) >= 3 AS keep_doc
+        |FROM k ORDER BY doc_id""".stripMargin)
+  }
+
+  /** The oracle-checked form. The corpus has no newlines, so pseudo-lines
+    * are synthesized first (the ta_derep planting pattern, identical SQL
+    * in both engines): 12-token lines, a terminal period on two of every
+    * three lines, plus planted boilerplate — a lorem-ipsum line on every
+    * 7th doc, a javascript line on every 11th, a brace line on every
+    * 13th — so each rule fires somewhere in the corpus and the oracle
+    * hash proves all of them.
+    */
+  def taC4Filter(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "documents").createOrReplaceTempView("__c4_raw")
+    val aug = s.sql(
+      s"""SELECT doc_id,
+         |  concat(
+         |    array_join(
+         |      transform(sequence(0, (size($toks) + 11) div 12 - 1),
+         |        i -> concat(
+         |          array_join(slice($toks, i * 12 + 1, 12), ' '),
+         |          CASE WHEN (doc_id + i) % 3 = 0 THEN '' ELSE '.' END)),
+         |      chr(10)),
+         |    CASE WHEN doc_id % 7 = 0
+         |         THEN concat(chr(10),
+         |           'lorem ipsum dolor sit amet consectetur elit.')
+         |         ELSE '' END,
+         |    CASE WHEN doc_id % 11 = 0
+         |         THEN concat(chr(10),
+         |           'inline javascript snippet was detected on this page.')
+         |         ELSE '' END,
+         |    CASE WHEN doc_id % 13 = 0
+         |         THEN concat(chr(10), 'if (x) { return y; }')
+         |         ELSE '' END) AS text
+         |FROM __c4_raw""".stripMargin)
+    taC4Filter(aug)
+  }
+
   /** Language ID: marker-token voting (n-gram-heuristic family). Ties
     * resolve in fixed order en > de > fr > es.
     */
@@ -366,11 +432,36 @@ object TextAnalysis {
     "ta_df" -> (taDf _),
     "ta_tfidf" -> (taTfidf _),
     "ta_derep" -> ((s: SparkSession, dir: String) => taDerep(s, dir)),
-    "ta_gopher" -> ((s: SparkSession, dir: String) => taGopher(s, dir)))
+    "ta_gopher" -> ((s: SparkSession, dir: String) => taGopher(s, dir)),
+    "ta_c4filter" -> ((s: SparkSession, dir: String) => taC4Filter(s, dir)))
 
   private val sqlToks = "string_split(text, ' ')"
 
   val oracleSql: Map[String, String] = Map(
+    "ta_c4filter" ->
+      (s"WITH aug AS (SELECT doc_id, " +
+        "array_to_string([array_to_string(toks[(i*12+1):(i*12+12)], ' ') || " +
+        "(CASE WHEN (doc_id + i) % 3 = 0 THEN '' ELSE '.' END) " +
+        "FOR i IN generate_series(0, (len(toks) + 11) // 12 - 1)], chr(10)) || " +
+        "(CASE WHEN doc_id % 7 = 0 THEN chr(10) || " +
+        "'lorem ipsum dolor sit amet consectetur elit.' ELSE '' END) || " +
+        "(CASE WHEN doc_id % 11 = 0 THEN chr(10) || " +
+        "'inline javascript snippet was detected on this page.' ELSE '' END) || " +
+        "(CASE WHEN doc_id % 13 = 0 THEN chr(10) || " +
+        "'if (x) { return y; }' ELSE '' END) AS text " +
+        s"FROM (SELECT doc_id, $sqlToks AS toks FROM documents)), " +
+        "k AS (SELECT doc_id, len(string_split(text, chr(10))) AS n_lines, " +
+        "list_filter(string_split(text, chr(10)), " +
+        "x -> regexp_matches(x, '[.!?]$') " +
+        "AND len(string_split(x, ' ')) >= 5 " +
+        "AND NOT contains(lower(x), 'javascript')) AS kept, " +
+        "contains(lower(text), 'lorem ipsum') OR contains(text, '{') AS boiler " +
+        "FROM aug) " +
+        "SELECT doc_id, n_lines, len(kept) AS n_kept, " +
+        // DuckDB array_to_string([]) is NULL where Spark array_join is ''
+        "COALESCE(length(array_to_string(kept, chr(10))), 0) AS clean_chars, " +
+        "NOT boiler AND len(kept) >= 3 AS keep_doc " +
+        "FROM k ORDER BY doc_id"),
     "ta_entropy" ->
       (s"WITH tok AS (SELECT doc_id, unnest($sqlToks) AS token FROM documents), " +
         "cnt AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY doc_id, token), " +

@@ -335,7 +335,47 @@ object Relational {
         |ORDER BY g, st, pri""".stripMargin)
   }
 
+  /** Bivariate statistics (corr / covariance / stddev) per group — the
+    * moment-sum route: COUNT and the five decimal-EXACT moment sums
+    * (Σx, Σy, Σxy, Σx², Σy²) come out of one partial+final aggregate,
+    * and the statistics are closed-form double arithmetic on those six
+    * exact scalars. Spark's own corr()/covar_samp() stream doubles in
+    * partial-aggregation order, so their low bits vary run to run; the
+    * moment route is order-free (decimal addition is associative), which
+    * is what makes the DuckDB hash comparison possible at all — both
+    * engines evaluate the identical closed-form expression on identical
+    * exact inputs.
+    *
+    * Scale design: one map-side-combined aggregate over the fact table —
+    * the same single-shuffle shape as q3; the closed-form math runs on
+    * |groups| rows.
+    */
+  def q36_corr(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "lineitem").createOrReplaceTempView("__li36")
+    s.sql(
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |             * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |             * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |             * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        |  FROM __li36 GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  ROUND((n * sxy - sx * sy)
+        |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_price,
+        |  ROUND((sxy - sx * sy / n) / (n - 1), 6) AS cov_qty_price,
+        |  ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS std_qty,
+        |  ROUND(sqrt((syy - sy * sy / n) / (n - 1)), 6) AS std_price
+        |FROM m ORDER BY l_returnflag""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_corr" -> (q36_corr _),
     "q32_histogram" -> (q32_histogram _),
     "q35_grouping_sets" -> (q35_grouping_sets _),
     "q17_rollup" -> (q17_rollup _),
@@ -366,6 +406,25 @@ object Relational {
     "q15_date_trunc" -> (q15_date_trunc _))
 
   val oracleSql: Map[String, String] = Map(
+    "q36_corr" ->
+      ("WITH m AS (SELECT l_returnflag, " +
+        "CAST(COUNT(*) AS DOUBLE) AS n, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) " +
+        "* CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) " +
+        "* CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) " +
+        "* CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy " +
+        "FROM lineitem GROUP BY l_returnflag) " +
+        "SELECT l_returnflag, CAST(n AS BIGINT) AS n, " +
+        "ROUND((n * sxy - sx * sy) " +
+        "/ sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_price, " +
+        "ROUND((sxy - sx * sy / n) / (n - 1), 6) AS cov_qty_price, " +
+        "ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS std_qty, " +
+        "ROUND(sqrt((syy - sy * sy / n) / (n - 1)), 6) AS std_price " +
+        "FROM m ORDER BY l_returnflag"),
     "q32_histogram" ->
       ("SELECT LEAST(19, FLOOR(l_extendedprice / 5000.0))::BIGINT AS bucket, " +
         "COUNT(*) AS cnt, " +

@@ -1019,4 +1019,69 @@ class PipelineSpec extends AnyFunSuite {
       assert(math.abs(gr - er) < 1e-6)
     }
   }
+
+  test("dsTokBudget(scored, budget): two-pass cum equals the global-order prefix sum") {
+    import spark.implicits._
+    // scores span three bands; d5/d2/d3 share band 12 (tie order inside
+    // a band must follow (sc desc, doc_id)); d2 lands EXACTLY on the
+    // budget boundary (<= keeps it)
+    val scored = Seq(
+      (1L, 40, 0.9), (2L, 50, 0.8), (3L, 20, 0.8),
+      (4L, 30, 0.5), (5L, 10, 0.81)).toDF("doc_id", "n_tok", "sc")
+    val got = Pipeline.dsTokBudget(scored, budget = 100L).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4))).toSeq
+    // global greedy order: d1(40) d5(50) d2(100) d3(120) d4(150)
+    assert(got == Seq((1L, 40L, true), (2L, 100L, true), (3L, 120L, false),
+      (4L, 150L, false), (5L, 50L, true)))
+  }
+
+  test("ds_tokbudget: sf corpus matches an in-memory global prefix-sum replay") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val scored = docs.map { case (id, t) =>
+      val toks = t.split(" ", -1)
+      val sc = BigDecimal(toks.distinct.length.toDouble / toks.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, toks.length, sc)
+    }
+    var cum = 0L
+    val expected = scored.sortBy { case (id, _, sc) => (-sc, id) }
+      .map { case (id, n, sc) => cum += n; (id, n.toLong, sc, cum, cum <= 100000L) }
+      .sortBy(_._1)
+    val got = Pipeline.dsTokBudget(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getDouble(2), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    assert(got == expected.toSeq)
+  }
+
+  test("taC4Filter(docs): every C4 rule fires on a hand corpus") {
+    import spark.implicits._
+    val nl = "\n"
+    val docs = Seq(
+      // 5 lines: 2 survive (short line, unterminated line, javascript
+      // line all drop) -> below the 3-line doc floor
+      (1L, Seq("this line has five words.", "too short.",
+        "no terminal punctuation here at all",
+        "the javascript runtime is mentioned right here.",
+        "another good line with plenty of words!").mkString(nl)),
+      // 3 clean surviving lines -> kept document
+      (2L, Seq("the first perfectly valid line stays.",
+        "the second perfectly valid line stays?",
+        "the third perfectly valid line stays.").mkString(nl)),
+      // enough good lines, but lorem ipsum marks the page as boilerplate
+      (3L, Seq("good line number one right here.",
+        "good line number two right here.",
+        "Lorem Ipsum dolor sit amet filler.").mkString(nl)),
+      // curly brace -> code boilerplate page
+      (4L, Seq("good line number one right here.",
+        "good line number two right here.",
+        "if (x) { return; } style content here.").mkString(nl)))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.taC4Filter(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (1L, 5, 2, false), (2L, 3, 3, true), (3L, 3, 3, false),
+      (4L, 3, 3, false)))
+  }
 }

@@ -228,6 +228,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"SMJ on the span join:\n$plan")
   }
 
+  test("q36_corr: moment sums ride one partial+final aggregate") {
+    // six moments and the count must come out of a single map-side-combined
+    // aggregate over the fact table — a plan with two aggregates (or none
+    // partial) scans or shuffles lineitem twice
+    val plan = formatted(Relational.q36_corr(spark, sf))
+    assert(plan.contains("partial_"), s"no map-side combine:\n$plan")
+    val aggs = "HashAggregate".r.findAllIn(plan).length
+    assert(aggs == 2, s"expected partial+final (2 HashAggregates), got $aggs:\n$plan")
+  }
+
+  test("ds_tokbudget: corpus window partitions by band; band offsets join broadcast") {
+    // the two-pass prefix-sum contract: the corpus-sized running sum must
+    // window PARTITION BY band (never a global unpartitioned window over
+    // the corpus), and the 17-row band-offset relation must join back as
+    // a broadcast, not an SMJ
+    val plan = formatted(graft.ops.Pipeline.dsTokBudget(spark, sf))
+    assert("Exchange hashpartitioning\\(band".r.findAllIn(plan).nonEmpty,
+      s"corpus window lost its band partitioning:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"band-offset join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"SMJ on the offset join:\n$plan")
+  }
+
+  test("ta_c4filter: line filtering never explodes the corpus") {
+    // the line array must stay inside per-row HOFs — a Generate (explode)
+    // node would multiply the corpus by its line count before filtering
+    val plan = formatted(graft.ops.TextAnalysis.taC4Filter(spark, sf))
+    assert(!plan.contains("Generate"), s"line explode appeared:\n$plan")
+  }
+
   test("q35_grouping_sets: one Expand feeds one partial+final aggregate") {
     val plan = formatted(Relational.q35_grouping_sets(spark, sf))
     assert(plan.contains("Expand"), s"grouping sets lost the Expand:\n$plan")

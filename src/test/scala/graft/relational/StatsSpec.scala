@@ -1,0 +1,44 @@
+package graft.relational
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q36_corr correctness: the moment-sum route must reproduce the
+  * textbook two-pass statistics computed in memory with exact decimal
+  * accumulation (the same arithmetic the DuckDB oracle runs).
+  */
+class StatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q36_corr: matches an exact-decimal in-memory replay") {
+    val rows = graft.Tables.load(spark, sf, "lineitem")
+      .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val expected = rows.groupBy(_._1).map { case (flag, g) =>
+      def d2(x: Double) =
+        BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      val n = g.length.toDouble
+      val sx = g.map(t => d2(t._2)).sum.toDouble
+      val sy = g.map(t => d2(t._3)).sum.toDouble
+      val sxy = g.map(t => d2(t._2) * d2(t._3)).sum.toDouble
+      val sxx = g.map(t => d2(t._2) * d2(t._2)).sum.toDouble
+      val syy = g.map(t => d2(t._3) * d2(t._3)).sum.toDouble
+      val corr = (n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      val cov = (sxy - sx * sy / n) / (n - 1)
+      flag -> (g.length.toLong, corr, cov)
+    }
+    val got = Relational.q36_corr(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length == expected.size)
+    got.foreach { case (flag, n, corr, cov) =>
+      val (en, ecorr, ecov) = expected(flag)
+      assert(n == en)
+      assert(math.abs(corr - ecorr) < 1e-6, s"$flag corr $corr vs $ecorr")
+      assert(math.abs(cov - ecov) < 1e-4 * math.abs(ecov),
+        s"$flag cov $cov vs $ecov")
+      assert(corr >= -1.0 && corr <= 1.0)
+    }
+  }
+}
