@@ -61,6 +61,11 @@ object PipelineScaleProbe {
     // dd_containment / ds_qfilter / ta_gopher / k-core legs:
     // `addendum9 <docsDir>`
     if (args.headOption.contains("addendum9")) { addendum9(args(1)); return }
+    // ds_tokbudget / ta_c4filter legs (generates its own corpus):
+    // `addendum10 <nDocs> <dir>`
+    if (args.headOption.contains("addendum10")) {
+      addendum10(args(1).toInt, args(2)); return
+    }
     // ANN + events families at 100x: generate embeddings/events, probe
     // ss_lsh_ann / ss_ivf_ann (with measured recall vs in-probe brute
     // force), dd_embed_cos twin recall, ev_sessionize, ev_funnel —
@@ -526,6 +531,80 @@ object PipelineScaleProbe {
       s"core(${kSel + 1}) not nested in core($kSel)")
     println(s"PSCALE kcore nesting holds: ${coreUp.count()} <= $nCore <= $nV")
     println("PSCALE addendum9 done")
+    spark.stop()
+  }
+
+  /** Third-batch round-7 ops at 100x: token-budget selection's two-pass
+    * prefix-sum (the greedy-prefix contract must hold exactly at any
+    * corpus size — cum strictly increasing along the selection order,
+    * kept = the maximal prefix within budget) and the C4 line rules
+    * (linear single pass; the planted boilerplate docs must all flag).
+    */
+  private def addendum10(nDocs: Int, outBase: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+
+    val seed = 2026L
+    val dir = s"$outBase/sf$nDocs"
+    spark.range(0L, nDocs.toLong).map(docFor(_, seed))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // ds_tokbudget at a budget of ~25% of the corpus tokens
+    val scored = Tables.load(spark, dir, "documents").selectExpr(
+      "doc_id", "size(split(text, ' ')) AS n_tok",
+      "round(size(array_distinct(split(text, ' '))) " +
+        "/ size(split(text, ' ')), 6) AS sc")
+      .localCheckpoint(eager = true)
+    val total = scored.agg(sum("n_tok")).head().getLong(0)
+    val budget = total / 4
+    var t0 = System.nanoTime()
+    val sel = ops.Pipeline.dsTokBudget(scored, budget)
+      .localCheckpoint(eager = true)
+    val nSel = sel.count()
+    println(f"PSCALE q=ds_tokbudget t=${(System.nanoTime() - t0) / 1e9}%.1f s " +
+      s"rows=$nSel totalTok=$total budget=$budget")
+    require(nSel == nDocs.toLong, s"row count $nSel != corpus $nDocs")
+    // cum is a permutation-free exact prefix sum: max == total, strictly
+    // increasing along the selection order (all values distinct since
+    // every doc has >= 1 token)
+    require(sel.agg(max("cum")).head().getLong(0) == total,
+      "cum does not close to the corpus total")
+    require(sel.select("cum").distinct().count() == nSel,
+      "cum values not strictly increasing")
+    // the greedy-prefix contract: every kept cum <= budget < every
+    // dropped cum, and the kept token mass is within one doc of budget
+    val keptTok = sel.filter("kept").agg(sum("n_tok")).head().getLong(0)
+    val maxKeptCum = sel.filter("kept").agg(max("cum")).head().getLong(0)
+    val minDropCum = sel.filter("NOT kept").agg(min("cum")).head().getLong(0)
+    require(maxKeptCum == keptTok && keptTok <= budget && minDropCum > budget,
+      s"prefix contract broken: $maxKeptCum/$keptTok/$budget/$minDropCum")
+    println(s"PSCALE tokbudget keptTok=$keptTok (<= $budget), " +
+      s"nextCum=$minDropCum (> budget): greedy prefix exact at $nDocs docs")
+
+    // ta_c4filter over the same corpus (line synthesis as the sf form)
+    t0 = System.nanoTime()
+    val c4 = ops.TextAnalysis.taC4Filter(spark, dir)
+      .localCheckpoint(eager = true)
+    val nC4 = c4.count()
+    println(f"PSCALE q=ta_c4filter t=${(System.nanoTime() - t0) / 1e9}%.1f s " +
+      s"rows=$nC4")
+    require(nC4 == nDocs.toLong, s"c4 rows $nC4 != corpus $nDocs")
+    // every planted boilerplate page (lorem-ipsum or brace docs) flags
+    require(c4.filter("doc_id % 7 = 0 OR doc_id % 13 = 0")
+      .filter("keep_doc").count() == 0, "a planted boilerplate doc kept")
+    val keepFrac = c4.filter("keep_doc").count().toDouble / nC4
+    println(f"PSCALE c4 keepFrac=$keepFrac%.4f " +
+      s"(planted boilerplate all flagged)")
+    println("PSCALE addendum10 done")
     spark.stop()
   }
 
