@@ -322,6 +322,56 @@ object TextAnalysis {
     taPerplexity(s.table("__ta_docs"))
   }
 
+  /** Bigram conditional cross-entropy / perplexity — the next model up
+    * from [[taPerplexity]]'s unigram: each transition is scored under
+    * the corpus bigram model with Laplace smoothing over the next-token
+    * vocabulary, p(cur|prev) = (c(prev,cur)+1)/(c(prev)+V). A repetitive
+    * corpus compresses (low ppl2); high-entropy text does not — the
+    * bigram/unigram ppl gap is itself a quality signal.
+    *
+    * Fold discipline as the unigram op: per-term round-to-9 → decimal
+    * sum, so the cross-engine hash is exact on any partitioning. Scale
+    * shape: ONE explode pass emits the transition stream; the bigram and
+    * context count relations are MODEL-sized (≪ corpus — vocabulary²
+    * bounded, Zipf-concentrated in practice) and join back broadcast
+    * below the threshold, as an ordinary model-sized equality shuffle
+    * above it — the standard distributed LM-scoring shape.
+    */
+  def taBigramPpl(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__big_docs")
+    s.sql(
+      s"""WITH tk AS (
+         |  SELECT doc_id, $toks AS toks FROM __big_docs
+         |  WHERE size($toks) >= 2),
+         |big AS (
+         |  SELECT doc_id, b.prev AS prev, b.cur AS cur FROM (
+         |    SELECT doc_id, explode(transform(sequence(2, size(toks)),
+         |      i -> named_struct('prev', element_at(toks, i - 1),
+         |                        'cur', element_at(toks, i)))) AS b
+         |    FROM tk)),
+         |bcnt AS (SELECT prev, cur, COUNT(*) AS cb FROM big GROUP BY prev, cur),
+         |ccnt AS (SELECT prev, SUM(cb) AS cp FROM bcnt GROUP BY prev),
+         |voc AS (SELECT COUNT(DISTINCT cur) AS v FROM bcnt),
+         |terms AS (
+         |  SELECT g.doc_id,
+         |         CAST(ROUND(-ln(CAST(b.cb + 1 AS DOUBLE) / (c.cp + t.v)), 9)
+         |              AS DECIMAL(28,9)) AS term
+         |  FROM big g
+         |  JOIN bcnt b ON b.prev = g.prev AND b.cur = g.cur
+         |  JOIN ccnt c ON c.prev = g.prev
+         |  CROSS JOIN voc t)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |       ROUND(CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) AS xent2,
+         |       ROUND(exp(ROUND(CAST(SUM(term) AS DOUBLE) / COUNT(*), 6)), 6)
+         |         AS ppl2
+         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata corpus. */
+  def taBigramPpl(s: SparkSession, dir: String): DataFrame =
+    taBigramPpl(Tables.load(s, dir, "documents").select("doc_id", "text"))
+
   /** The parameterized production entry: any corpus with (doc_id, text). */
   def taPerplexity(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
@@ -433,7 +483,8 @@ object TextAnalysis {
     "ta_tfidf" -> (taTfidf _),
     "ta_derep" -> ((s: SparkSession, dir: String) => taDerep(s, dir)),
     "ta_gopher" -> ((s: SparkSession, dir: String) => taGopher(s, dir)),
-    "ta_c4filter" -> ((s: SparkSession, dir: String) => taC4Filter(s, dir)))
+    "ta_c4filter" -> ((s: SparkSession, dir: String) => taC4Filter(s, dir)),
+    "ta_bigram_ppl" -> ((s: SparkSession, dir: String) => taBigramPpl(s, dir)))
 
   private val sqlToks = "string_split(text, ' ')"
 
@@ -485,6 +536,23 @@ object TextAnalysis {
         "mean_word_len >= 3 AND mean_word_len <= 10 " +
         "AND ttr > 0.2 AND symbol_ratio < 0.1 AS keep " +
         "FROM r ORDER BY doc_id"),
+    "ta_bigram_ppl" ->
+      (s"WITH tk AS (SELECT doc_id, $sqlToks AS toks FROM documents " +
+        s"WHERE len($sqlToks) >= 2), " +
+        "big AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS prev, " +
+        "unnest(toks[2:len(toks)]) AS cur FROM tk), " +
+        "bcnt AS (SELECT prev, cur, COUNT(*) AS cb FROM big GROUP BY prev, cur), " +
+        "ccnt AS (SELECT prev, SUM(cb)::BIGINT AS cp FROM bcnt GROUP BY prev), " +
+        "voc AS (SELECT COUNT(DISTINCT cur) AS v FROM bcnt), " +
+        "terms AS (SELECT g.doc_id, " +
+        "CAST(ROUND(-ln((b.cb + 1)::DOUBLE / (c.cp + t.v)), 9) " +
+        "AS DECIMAL(28,9)) AS term " +
+        "FROM big g JOIN bcnt b ON b.prev = g.prev AND b.cur = g.cur " +
+        "JOIN ccnt c ON c.prev = g.prev CROSS JOIN voc t) " +
+        "SELECT doc_id, COUNT(*) AS n_bigrams, " +
+        "ROUND(SUM(term)::DOUBLE / COUNT(*), 6) AS xent2, " +
+        "ROUND(exp(ROUND(SUM(term)::DOUBLE / COUNT(*), 6)), 6) AS ppl2 " +
+        "FROM terms GROUP BY doc_id ORDER BY doc_id"),
     "ta_perplexity" ->
       (s"WITH tok AS (SELECT doc_id, unnest($sqlToks) AS token FROM documents), " +
         "cnt AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token), " +

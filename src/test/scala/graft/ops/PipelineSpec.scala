@@ -1055,6 +1055,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == expected.toSeq)
   }
 
+  test("taBigramPpl(docs): Laplace bigram model on a closed-form hand corpus") {
+    import spark.implicits._
+    // model over both docs: c(a,b)=3 c(b,a)=2, c(a)=3 c(b)=2, V=|{a,b}|=2
+    // -> p(b|a)=(3+1)/(3+2)=0.8, p(a|b)=(2+1)/(2+2)=0.75
+    val docs = Seq((1L, "a b a b a"), (2L, "a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.taBigramPpl(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.map(t => (t._1, t._2)).toSeq == Seq((1L, 4L), (2L, 1L)))
+    val x1 = (2 * -math.log(0.8) + 2 * -math.log(0.75)) / 4
+    val x2 = -math.log(0.8)
+    assert(math.abs(got(0)._3 - x1) < 1e-6 && math.abs(got(1)._3 - x2) < 1e-6)
+    assert(math.abs(got(0)._4 - math.exp(x1)) < 1e-5)
+    // the repetitive doc compresses better than chance (ppl2 < V)
+    assert(got(0)._4 < 2.0)
+  }
+
+  test("ta_bigram_ppl: matches an in-memory replay on the sf corpus") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+      .filter(_._2.length >= 2)
+    val bigrams = docs.flatMap { case (id, t) =>
+      t.sliding(2).map(p => (id, p(0), p(1))) }
+    val cb = bigrams.groupBy(b => (b._2, b._3)).view.mapValues(_.length).toMap
+    val cp = cb.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val v = cb.keySet.map(_._2).size
+    val expected = bigrams.groupBy(_._1).map { case (id, bs) =>
+      val terms = bs.map { case (_, p, c) =>
+        BigDecimal(-math.log((cb((p, c)) + 1.0) / (cp(p) + v)))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP) }
+      id -> (bs.length.toLong, (terms.sum / bs.length).toDouble)
+    }
+    val got = TextAnalysis.taBigramPpl(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == expected.size)
+    got.foreach { case (id, n, xent) =>
+      val (en, ex) = expected(id)
+      assert(n == en, s"doc $id bigram count $n vs $en")
+      assert(math.abs(xent - ex) < 1e-5, s"doc $id xent $xent vs $ex")
+    }
+  }
+
   test("taC4Filter(docs): every C4 rule fires on a hand corpus") {
     import spark.implicits._
     val nl = "\n"

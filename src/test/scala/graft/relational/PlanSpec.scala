@@ -251,6 +251,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"SMJ on the offset join:\n$plan")
   }
 
+  test("ta_bigram_ppl: model relations join back broadcast, never sort-merge") {
+    // bcnt/ccnt are vocabulary-bounded aggregates — an SMJ would sort the
+    // corpus-positions transition stream against a model-sized relation
+    val plan = formatted(graft.ops.TextAnalysis.taBigramPpl(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"model join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"SMJ on the model join:\n$plan")
+  }
+
   test("ta_c4filter: line filtering never explodes the corpus") {
     // the line array must stay inside per-row HOFs — a Generate (explode)
     // node would multiply the corpus by its line count before filtering
