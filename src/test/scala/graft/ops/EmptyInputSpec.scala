@@ -34,6 +34,11 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Pipeline.dsQualityFilter(
       Seq.empty[(Long, String, Double)].toDF("doc_id", "source", "score"),
       "score", 0.5).count() == 0)
+    assert(TextAnalysis.taC4Filter(emptyDocs).count() == 0)
+    assert(TextAnalysis.taBigramPpl(emptyDocs).count() == 0)
+    assert(Pipeline.dsTokBudget(
+      Seq.empty[(Long, Int, Double)].toDF("doc_id", "n_tok", "sc"),
+      100L).count() == 0)
   }
 
   test("embedding entries return empty on an empty corpus") {
