@@ -604,6 +604,24 @@ object PipelineScaleProbe {
     val keepFrac = c4.filter("keep_doc").count().toDouble / nC4
     println(f"PSCALE c4 keepFrac=$keepFrac%.4f " +
       s"(planted boilerplate all flagged)")
+
+    // ta_bigram_ppl: the bigram model relation must stay
+    // vocabulary-bounded (|V|^2 at worst) no matter the corpus size, and
+    // the zipf corpus must compress under its own bigram model
+    t0 = System.nanoTime()
+    val big = ops.TextAnalysis.taBigramPpl(
+      Tables.load(spark, dir, "documents").select("doc_id", "text"))
+      .localCheckpoint(eager = true)
+    val nBig = big.count()
+    println(f"PSCALE q=ta_bigram_ppl t=${(System.nanoTime() - t0) / 1e9}%.1f s " +
+      s"rows=$nBig")
+    require(nBig == nDocs.toLong, s"bigram rows $nBig != corpus $nDocs")
+    val vocab = Tables.load(spark, dir, "documents")
+      .selectExpr("explode(split(text, ' ')) AS t").distinct().count()
+    val maxPpl = big.agg(max("ppl2")).head().getDouble(0)
+    require(maxPpl > 0 && maxPpl < vocab.toDouble,
+      s"ppl2 $maxPpl outside (0, V=$vocab): model not compressing")
+    println(s"PSCALE bigram maxPpl=$maxPpl < V=$vocab at $nDocs docs")
     println("PSCALE addendum10 done")
     spark.stop()
   }
