@@ -322,6 +322,43 @@ object Pipeline {
     dsQualityFilter(scored, "quality", keepFrac = 0.5)
   }
 
+  /** Class-balanced exact-k downsampling (the "equalize my sources /
+    * languages / labels" step): every class keeps exactly
+    * k = min(class sizes) documents, chosen by the reproducible md5-rank
+    * order (the ds_shuffle/ds_split digest family — order-independent,
+    * identical in both engines). Differs from [[dsSample]] in that k is
+    * DATA-DRIVEN: the cap is discovered from the smallest class, not
+    * passed as a literal, so the plan joins the ranked corpus against a
+    * broadcast 1-row scalar instead of a WindowGroupLimit literal.
+    *
+    * Scale design: one hash exchange on the class key carries both the
+    * rank and the class-count windows (the ds_qfilter discipline); the
+    * min-k scalar is a global aggregate of the per-class counts and
+    * broadcasts back. Class skew at 100 TB: the per-class sort is the
+    * same per-source sort ds_qfilter documents — shard-decomposable if
+    * one class dominates.
+    */
+  def dsBalance(docs: DataFrame, classCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(classCol))
+    val ranked = docs
+      .withColumn("__hx", md5(concat(lit("bal:"), col("doc_id").cast("string"))))
+      .withColumn("__rk", row_number().over(
+        w.orderBy(col("__hx"), col("doc_id"))))
+      .withColumn("__n", count(lit(1)).over(w))
+    val kDf = ranked.agg(min("__n").as("__k"))
+    ranked.crossJoin(broadcast(kDf))
+      .filter(col("__rk") <= col("__k"))
+      .select(col("doc_id"), col(classCol).as("cls"),
+        col("__rk").cast("long").as("rk"), col("__k").as("k"))
+      .orderBy("cls", "rk")
+  }
+
+  /** The oracle-checked form: balance the corpus across languages. */
+  def dsBalance(s: SparkSession, dir: String): DataFrame =
+    dsBalance(Tables.load(s, dir, "documents").select("doc_id", "lang"),
+      "lang")
+
   /** Deterministic epoch shuffle (the training-data writer's last step):
     * every document gets a shard (first hex digit of
     * md5('shuffle:'||doc_id) — 16 shards here) and an intra-shard
@@ -635,6 +672,7 @@ object Pipeline {
       budget = 100000L)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_balance" -> ((s: SparkSession, dir: String) => dsBalance(s, dir)),
     "ds_tokbudget" -> ((s: SparkSession, dir: String) => dsTokBudget(s, dir)),
     "ds_lenbucket" -> ((s: SparkSession, dir: String) => dsLenBucket(s, dir)),
     "dd_resolve" -> (ddResolve _),
@@ -689,6 +727,19 @@ object Pipeline {
         |SELECT doc_id, n_chars_in, length(text_norm) AS n_chars_out,
         |       text_norm <> noisy AS changed, text_norm = text AS recovered
         |FROM norm ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "ds_balance" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang AS cls, md5('bal:' || doc_id) AS hx
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, cls,
+        |         ROW_NUMBER() OVER (PARTITION BY cls ORDER BY hx, doc_id) AS rk,
+        |         COUNT(*) OVER (PARTITION BY cls) AS n
+        |  FROM t),
+        |mn AS (SELECT MIN(n)::BIGINT AS k FROM r)
+        |SELECT doc_id, cls, rk, mn.k AS k
+        |FROM r CROSS JOIN mn WHERE rk <= mn.k
+        |ORDER BY cls, rk""".stripMargin.replaceAll("\n", " "),
     "ds_tokbudget" ->
       """WITH m AS (
         |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok,

@@ -374,7 +374,32 @@ object Relational {
         |FROM m ORDER BY l_returnflag""".stripMargin)
   }
 
+  /** Robust statistics per group — median + MAD (median absolute
+    * deviation) + the 90th deviation percentile: the outlier-resistant
+    * complement to q36's moment statistics. Inherently TWO passes over
+    * the fact (MAD is a percentile of deviations FROM a percentile): the
+    * 3-row median relation broadcasts back onto the scan, then one more
+    * exact-percentile aggregate — the canonical exact-two-pass shape
+    * (approximate one-pass sketches are the q20 family's trade).
+    * Quantities are integer-valued and interpolation points are dyadic,
+    * so every value is FP-exact in both engines (the q31 discipline).
+    */
+  def q37_mad(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "lineitem").createOrReplaceTempView("__li37")
+    s.sql(
+      """WITH med AS (
+        |  SELECT l_returnflag, percentile(l_quantity, 0.5D) AS med
+        |  FROM __li37 GROUP BY l_returnflag)
+        |SELECT l.l_returnflag, COUNT(*) AS n, m.med AS med_qty,
+        |       percentile(abs(l.l_quantity - m.med), 0.5D) AS mad_qty,
+        |       percentile(abs(l.l_quantity - m.med), 0.9D) AS dev_p90
+        |FROM __li37 l JOIN med m ON m.l_returnflag = l.l_returnflag
+        |GROUP BY l.l_returnflag, m.med
+        |ORDER BY l.l_returnflag""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_mad" -> (q37_mad _),
     "q36_corr" -> (q36_corr _),
     "q32_histogram" -> (q32_histogram _),
     "q35_grouping_sets" -> (q35_grouping_sets _),
@@ -406,6 +431,15 @@ object Relational {
     "q15_date_trunc" -> (q15_date_trunc _))
 
   val oracleSql: Map[String, String] = Map(
+    "q37_mad" ->
+      ("WITH med AS (SELECT l_returnflag, " +
+        "quantile_cont(l_quantity, 0.5) AS med " +
+        "FROM lineitem GROUP BY l_returnflag) " +
+        "SELECT l.l_returnflag, COUNT(*) AS n, m.med AS med_qty, " +
+        "quantile_cont(abs(l.l_quantity - m.med), 0.5) AS mad_qty, " +
+        "quantile_cont(abs(l.l_quantity - m.med), 0.9) AS dev_p90 " +
+        "FROM lineitem l JOIN med m ON m.l_returnflag = l.l_returnflag " +
+        "GROUP BY l.l_returnflag, m.med ORDER BY l.l_returnflag"),
     "q36_corr" ->
       ("WITH m AS (SELECT l_returnflag, " +
         "CAST(COUNT(*) AS DOUBLE) AS n, " +

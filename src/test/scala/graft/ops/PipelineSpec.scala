@@ -1097,6 +1097,26 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("dsBalance(docs, classCol): every class keeps exactly min-class-size rows") {
+    import spark.implicits._
+    val docs = Seq((1L, "en"), (2L, "en"), (3L, "en"), (4L, "de"),
+      (5L, "de"), (6L, "fr"), (7L, "fr"), (8L, "fr"), (9L, "fr"))
+      .toDF("doc_id", "lang")
+    val got = Pipeline.dsBalance(docs, "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // min class (de) has 2 -> every class keeps exactly 2, k column = 2
+    assert(got.length == 6)
+    assert(got.forall(_._4 == 2L))
+    assert(got.groupBy(_._2).view.mapValues(_.length).toMap ==
+      Map("en" -> 2, "de" -> 2, "fr" -> 2))
+    // ranks are 1..k per class and the draw is deterministic
+    got.groupBy(_._2).values.foreach(g =>
+      assert(g.map(_._3).sorted.toSeq == Seq(1L, 2L)))
+    val again = Pipeline.dsBalance(docs, "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == again.toSeq)
+  }
+
   test("taC4Filter(docs): every C4 rule fires on a hand corpus") {
     import spark.implicits._
     val nl = "\n"

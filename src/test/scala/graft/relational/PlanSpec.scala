@@ -251,6 +251,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"SMJ on the offset join:\n$plan")
   }
 
+  test("q37_mad: the 3-row median relation joins back broadcast") {
+    val plan = formatted(Relational.q37_mad(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"median join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"SMJ on the median join:\n$plan")
+  }
+
+  test("ds_balance: the min-k scalar joins broadcast; class windows partition") {
+    // the data-driven cap must come back as a broadcast 1-row relation —
+    // never a shuffle — and the corpus-sized windows must partition by
+    // the class key (no unpartitioned window over the corpus)
+    val plan = formatted(graft.ops.Pipeline.dsBalance(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), s"k scalar not broadcast:\n$plan")
+    assert("Exchange hashpartitioning\\(lang".r.findAllIn(plan).nonEmpty,
+      s"class windows lost their partitioning:\n$plan")
+  }
+
   test("ta_bigram_ppl: model relations join back broadcast, never sort-merge") {
     // bcnt/ccnt are vocabulary-bounded aggregates — an SMJ would sort the
     // corpus-positions transition stream against a model-sized relation

@@ -41,4 +41,34 @@ class StatsSpec extends AnyFunSuite {
       assert(corr >= -1.0 && corr <= 1.0)
     }
   }
+
+  test("q37_mad: matches an in-memory interpolated-percentile replay") {
+    def pct(xs: Array[Double], q: Double): Double = {
+      val s = xs.sorted
+      val pos = q * (s.length - 1)
+      val lo = pos.toInt
+      if (lo == s.length - 1) s(lo)
+      else s(lo) + (pos - lo) * (s(lo + 1) - s(lo))
+    }
+    val rows = graft.Tables.load(spark, sf, "lineitem")
+      .select("l_returnflag", "l_quantity").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val expected = rows.groupBy(_._1).map { case (flag, g) =>
+      val xs = g.map(_._2)
+      val med = pct(xs, 0.5)
+      val devs = xs.map(x => math.abs(x - med))
+      flag -> (xs.length.toLong, med, pct(devs, 0.5), pct(devs, 0.9))
+    }
+    val got = Relational.q37_mad(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.length == expected.size)
+    got.foreach { case (flag, n, med, mad, p90) =>
+      val (en, emed, emad, ep90) = expected(flag)
+      assert(n == en)
+      assert(med == emed, s"$flag median $med vs $emed")
+      assert(mad == emad, s"$flag MAD $mad vs $emad")
+      assert(p90 == ep90, s"$flag dev_p90 $p90 vs $ep90")
+    }
+  }
 }
