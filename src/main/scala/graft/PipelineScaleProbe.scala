@@ -622,6 +622,25 @@ object PipelineScaleProbe {
     require(maxPpl > 0 && maxPpl < vocab.toDouble,
       s"ppl2 $maxPpl outside (0, V=$vocab): model not compressing")
     println(s"PSCALE bigram maxPpl=$maxPpl < V=$vocab at $nDocs docs")
+
+    // ds_balance: the data-driven cap must equal the independently
+    // computed min class size, every class must land exactly on it
+    t0 = System.nanoTime()
+    val bal = ops.Pipeline.dsBalance(
+      Tables.load(spark, dir, "documents").select("doc_id", "source"),
+      "source").localCheckpoint(eager = true)
+    val nBal = bal.count()
+    println(f"PSCALE q=ds_balance t=${(System.nanoTime() - t0) / 1e9}%.1f s " +
+      s"rows=$nBal")
+    val minClass = Tables.load(spark, dir, "documents")
+      .groupBy("source").count().agg(min("count")).head().getLong(0)
+    val perClass = bal.groupBy("cls").count()
+      .select("count").distinct().collect().map(_.getLong(0))
+    require(perClass.length == 1 && perClass.head == minClass,
+      s"classes not balanced to min=$minClass: ${perClass.mkString(",")}")
+    require(bal.select("k").distinct().head().getLong(0) == minClass,
+      "k column disagrees with the independent min class size")
+    println(s"PSCALE balance k=$minClass, every class exact at $nDocs docs")
     println("PSCALE addendum10 done")
     spark.stop()
   }
