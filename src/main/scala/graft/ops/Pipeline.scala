@@ -632,6 +632,12 @@ object Pipeline {
     * comparison proves the decomposition exact. Emits every row with its
     * kept flag (kept = cum ≤ budget) rather than filtering, so the
     * selection boundary is visible and row count is corpus-stable.
+    *
+    * Contract: `sc` is a BOUNDED score (a ratio/quality in ≈[0,1], as
+    * every scorer in this library emits) — the band ladder has
+    * ~16·range(sc) rungs, and only a bounded range keeps the offset
+    * relation trivially small. Normalize (e.g. rank/percentile) before
+    * feeding an unbounded score.
     */
   def dsTokBudget(scored: DataFrame, budget: Long): DataFrame = {
     val s = scored.sparkSession
