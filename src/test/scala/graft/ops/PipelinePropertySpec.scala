@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.scalacheck.{Gen, Prop}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Property-based invariants for the round-7 pipeline additions: each
+  * case generates a small corpus, runs the REAL Spark operator, and
+  * compares against an in-memory replay of its spec — the PropertySpec
+  * discipline applied to the DataFrame layer (few cases, real plans).
+  */
+class PipelinePropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def check(p: Prop): Unit = {
+    val params = org.scalacheck.Test.Parameters.default
+      .withMinSuccessfulTests(10)
+    val res = org.scalacheck.Test.check(params, p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val genScored: Gen[(List[(Long, Int, Double)], Long)] = for {
+    n <- Gen.choose(1, 30)
+    toks <- Gen.listOfN(n, Gen.choose(1, 50))
+    scs <- Gen.listOfN(n, Gen.choose(0, 1000000).map(_ / 1e6))
+    budget <- Gen.choose(0L, toks.map(_.toLong).sum)
+  } yield (toks.indices.map(i => ((i + 1).toLong, toks(i), scs(i))).toList,
+    budget)
+
+  test("dsTokBudget: two-pass cum == naive global prefix sum, any scores/budget") {
+    import spark.implicits._
+    check(Prop.forAll(genScored) { case (rows, budget) =>
+      var cum = 0L
+      val expected = rows.sortBy { case (id, _, sc) => (-sc, id) }
+        .map { case (id, n, _) => cum += n; (id, cum, cum <= budget) }
+        .sortBy(_._1)
+      val got = Pipeline.dsTokBudget(rows.toDF("doc_id", "n_tok", "sc"), budget)
+        .collect().map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4)))
+        .toList
+      got == expected
+    })
+  }
+
+  private val genClassed: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(1, 40)
+    cls <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d"))
+  } yield cls.indices.map(i => ((i + 1).toLong, cls(i))).toList
+
+  test("dsBalance: every present class lands exactly on the min class size") {
+    import spark.implicits._
+    check(Prop.forAll(genClassed) { rows =>
+      val k = rows.groupBy(_._2).values.map(_.size).min.toLong
+      val got = Pipeline.dsBalance(rows.toDF("doc_id", "lang"), "lang")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3)))
+      val byCls = got.groupBy(_._2)
+      got.forall(_._4 == k) &&
+        byCls.keySet == rows.map(_._2).toSet &&
+        byCls.values.forall(g =>
+          g.length == k && g.map(_._3).sorted.toSeq == (1L to k)) &&
+        // the kept rows are a subset of the input ids in the right class
+        got.forall { case (id, cls, _, _) => rows.contains((id, cls)) }
+    })
+  }
+
+  private val genLinedDoc: Gen[String] = {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "javascript",
+      "lorem", "ipsum", "{x}", "plain")
+    val line = for {
+      nw <- Gen.choose(1, 8)
+      ws <- Gen.listOfN(nw, word)
+      end <- Gen.oneOf(".", "!", "?", "", "", "")
+    } yield ws.mkString(" ") + end
+    for {
+      nl <- Gen.choose(1, 6)
+      ls <- Gen.listOfN(nl, line)
+    } yield ls.mkString("\n")
+  }
+
+  test("taC4Filter: Spark rules == an in-memory replay on arbitrary line docs") {
+    import spark.implicits._
+    check(Prop.forAll(Gen.listOfN(5, genLinedDoc)) { texts =>
+      val rows = texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+      val expected = rows.map { case (id, t) =>
+        val lines = t.split("\n", -1)
+        val kept = lines.filter(l => l.matches(".*[.!?]$") &&
+          l.split(" ", -1).length >= 5 &&
+          !l.toLowerCase.contains("javascript"))
+        val boiler = t.toLowerCase.contains("lorem ipsum") || t.contains("{")
+        (id, lines.length, kept.length, kept.mkString("\n").length,
+          !boiler && kept.length >= 3)
+      }
+      val got = TextAnalysis.taC4Filter(rows.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+          r.getInt(3), r.getBoolean(4))).toList
+      got == expected
+    })
+  }
+}
