@@ -94,6 +94,15 @@ object Dedup {
     */
   private[graft] def minhashShinglesAndBandsOn(
       corpus: DataFrame): (DataFrame, DataFrame) = {
+    val (tok, _, band) = minhashRelationsOn(corpus)
+    (tok, band)
+  }
+
+  /** Shingle, signature, AND band relations — [[ddMinhashEstOn]] needs
+    * the 8-column signature itself; everything else drops it.
+    */
+  private[graft] def minhashRelationsOn(
+      corpus: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     // DataFrame API so the exploded shingle relation can be persisted:
     // SQL CTEs are inlined and `tok` (the largest intermediate) would be
     // recomputed for the signatures, the counts, and both sides of the
@@ -119,7 +128,65 @@ object Dedup {
           md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bh"))): _*))
         .as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
-    (tok, band)
+    (tok, sig, band)
+  }
+
+  /** Signature-estimate calibration (the LSH tuning query): every LSH
+    * candidate pair UNFILTERED, carrying the minhash estimate of Jaccard
+    * (the fraction of the 8 signature slots that agree — granularity
+    * 1/8), the EXACT shingle Jaccard, and the absolute error. This is
+    * the measurement that tunes the signature-length/band trade: the
+    * error column is exactly what lengthening the signature would buy,
+    * and rows where est_j clears a threshold the exact value misses are
+    * the band family's false positives.
+    *
+    * Scale design: candidates are LSH-bounded (bucket equality — never
+    * all pairs); the signature side is 8 fixed columns per doc; the
+    * exact leg reuses the persisted shingle relation with the 8-byte-key
+    * intersection join (the [[ddMinhashLshOn]] discipline). All three
+    * ratios are int/int double divisions — identical in both engines.
+    */
+  def ddMinhashEstOn(corpus: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (tok, sig, band) = minhashRelationsOn(corpus)
+    val cand = band.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+      .join(band.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sigA = sig.select(col("doc_id").as("doc_a") +:
+      (0 to 7).map(i => col(s"h$i").as(s"a$i")): _*)
+    val sigB = sig.select(col("doc_id").as("doc_b") +:
+      (0 to 7).map(i => col(s"h$i").as(s"b$i")): _*)
+    val m = (0 to 7).map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
+    val est = cand.join(sigA, "doc_a").join(sigB, "doc_b")
+      .select(col("doc_a"), col("doc_b"), m.cast("long").as("m"))
+    val tokh = tok.select(col("doc_id"), xxhash64(col("tok")).as("tk"))
+    val cnt = tokh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(tokh.select(col("doc_id").as("doc_a"), col("tk")), Seq("doc_a"))
+      .join(tokh.select(col("doc_id").as("doc_b"), col("tk")), Seq("doc_b", "tk"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    est.join(inter, Seq("doc_a", "doc_b"))
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("m") / lit(8.0), 6).as("est_j"),
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 6)
+          .as("exact_j"),
+        round(abs(col("m") / lit(8.0) -
+          col("inter") / (col("na") + col("nb") - col("inter"))), 6)
+          .as("abs_err"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The oracle-checked form over the twin-planted corpus (the
+    * dd_minhash_lsh corpus, so real near-dup candidates exist).
+    */
+  def ddMinhashEst(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    ddMinhashEstOn(s.sql(s"WITH ${corpusSqlSparkified()} SELECT * FROM corpus"))
   }
 
   /** MinHash + LSH banding near-dup detection over 3-word shingles
@@ -636,6 +703,7 @@ object Dedup {
     "dd_paragraph" -> ((s: SparkSession, dir: String) => ddParagraph(s, dir)),
     "dd_exact" -> (ddExact _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
+    "dd_minhash_est" -> (ddMinhashEst _),
     "dd_simhash" -> (ddSimhash _),
     "dd_simhash_pairs" -> (ddSimhashPairs _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
@@ -735,6 +803,52 @@ object Dedup {
          |JOIN cnt cb ON cb.doc_id = i.doc_b
          |WHERE 3 * i.inter >= ca.n + cb.n
          |ORDER BY i.doc_a, i.doc_b""".stripMargin.replaceAll("\n", " "),
+    "dd_minhash_est" ->
+      s"""WITH $corpusSql,
+         |tok AS (
+         |  SELECT DISTINCT doc_id, unnest(
+         |    CASE WHEN len(toks) >= 3
+         |         THEN [toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+         |               FOR i IN generate_series(1, len(toks) - 2)]
+         |         ELSE [] END) AS tok
+         |  FROM corpus),
+         |sig AS (
+         |  SELECT doc_id, g.i, MIN(md5(i::VARCHAR || ':' || tok)) AS h
+         |  FROM tok CROSS JOIN generate_series(0, 7) g(i)
+         |  GROUP BY doc_id, g.i),
+         |band AS (
+         |  SELECT doc_id, i // 2 AS band,
+         |         md5(MIN(CASE WHEN i % 2 = 0 THEN h END) ||
+         |             MIN(CASE WHEN i % 2 = 1 THEN h END)) AS bh
+         |  FROM sig GROUP BY doc_id, i // 2),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh
+         |  WHERE a.doc_id < b.doc_id),
+         |est AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |         SUM(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) AS m
+         |  FROM cand c
+         |  JOIN sig sa ON sa.doc_id = c.doc_a
+         |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+         |  GROUP BY c.doc_a, c.doc_b),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+         |  FROM cand c
+         |  JOIN tok ta ON ta.doc_id = c.doc_a
+         |  JOIN tok tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+         |  GROUP BY c.doc_a, c.doc_b)
+         |SELECT e.doc_a, e.doc_b,
+         |       ROUND(e.m / 8.0, 6) AS est_j,
+         |       ROUND(i.inter / (ca.n + cb.n - i.inter), 6) AS exact_j,
+         |       ROUND(abs(e.m / 8.0
+         |                 - i.inter / (ca.n + cb.n - i.inter)), 6) AS abs_err
+         |FROM est e
+         |JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+         |JOIN cnt ca ON ca.doc_id = e.doc_a
+         |JOIN cnt cb ON cb.doc_id = e.doc_b
+         |ORDER BY e.doc_a, e.doc_b""".stripMargin.replaceAll("\n", " "),
     "dd_simhash" ->
       """WITH tok AS (
         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok

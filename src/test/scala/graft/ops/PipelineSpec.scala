@@ -1097,6 +1097,44 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("dd_minhash_est: estimates calibrate against an exact-Jaccard replay") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // the twin-planted corpus the oracle form runs on
+    val corpus = docs ++ docs.map { case (id, t) =>
+      val toks = t.split(" ", -1)
+      (id + Dedup.TwinIdOffset, toks.take(toks.length * 4 / 5).mkString(" "))
+    }
+    def shingles(t: String): Set[String] = {
+      val toks = t.split(" ", -1)
+      if (toks.length < 3) Set.empty
+      else (0 to toks.length - 3).map(i =>
+        s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}").toSet
+    }
+    val sets = corpus.map { case (id, t) => id -> shingles(t) }.toMap
+    val got = Dedup.ddMinhashEst(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, est, exact, err) =>
+      // est has signature granularity; exact matches the set replay
+      assert((est * 8).round / 8.0 == est && est >= 0 && est <= 1)
+      val (sa, sb) = (sets(a), sets(b))
+      val replay = BigDecimal(
+        sa.intersect(sb).size.toDouble / sa.union(sb).size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(exact == replay, s"pair ($a,$b) exact $exact vs replay $replay")
+      assert(math.abs(err - math.abs(est - exact)) < 2e-6)
+    }
+    // the verified near-dup pairs are a subset of the calibration pairs
+    val verified = Dedup.ddMinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val estPairs = got.map(t => (t._1, t._2)).toSet
+    assert(verified.subsetOf(estPairs),
+      s"${verified.diff(estPairs).size} verified pairs missing")
+  }
+
   test("dsBalance(docs, classCol): every class keeps exactly min-class-size rows") {
     import spark.implicits._
     val docs = Seq((1L, "en"), (2L, "en"), (3L, "en"), (4L, "de"),
