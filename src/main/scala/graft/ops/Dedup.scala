@@ -698,7 +698,58 @@ object Dedup {
          |FROM __docs""".stripMargin))
   }
 
+  /** Cluster-representative selection (the KEEP side of near-dup dedup):
+    * given cluster membership rows (cluster_id, doc_id, score), retain the
+    * argmax-score document of every cluster (doc_id ascending breaks
+    * ties), emitting the survivor with its score and the cluster's member
+    * count. This is the step between [[graft.ops.Pipeline.ddResolve]]'s
+    * component labels and the final corpus: resolve says WHICH documents
+    * are the same, keep-best says WHICH COPY survives (the highest-quality
+    * one — not the arbitrary first, the discipline used when near-dup
+    * groups mix a clean original with truncated or boilerplated mirrors).
+    *
+    * Scale design: one hash exchange on cluster_id; the member count and
+    * the rank share that partitioning (a single Window stage, no second
+    * shuffle). Cluster cardinality is bounded by near-dup group size —
+    * the upstream banding already guarantees no corpus-sized cluster.
+    */
+  def ddKeepBest(members: DataFrame): DataFrame = {
+    val s = members.sparkSession
+    members.createOrReplaceTempView("__kb_members")
+    s.sql(
+      """SELECT cluster_id, doc_id, score, n_members FROM (
+        |  SELECT cluster_id, doc_id, score,
+        |         COUNT(1) OVER (PARTITION BY cluster_id) AS n_members,
+        |         ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |           ORDER BY score DESC, doc_id) AS rn
+        |  FROM __kb_members)
+        |WHERE rn = 1 ORDER BY cluster_id""".stripMargin)
+  }
+
+  /** The oracle-checked form: every 4th document spawns a truncated twin
+    * (its first-8-token prefix, id offset by TwinIdOffset — the planting
+    * discipline of the dedup family), clusters are the md5 of that prefix
+    * (so each planted pair lands in one cluster), and score is the text
+    * length — keep-best must surface the ORIGINAL of every planted pair
+    * (longer beats its own prefix) while singletons survive untouched.
+    */
+  def ddKeepBest(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "documents").createOrReplaceTempView("__docs")
+    ddKeepBest(s.sql(
+      s"""WITH aug AS (
+         |  SELECT doc_id, text FROM __docs
+         |  UNION ALL
+         |  SELECT doc_id + ${TwinIdOffset}L,
+         |         array_join(slice(split(text, ' '), 1, 8), ' ')
+         |  FROM __docs WHERE doc_id % 4 = 0)
+         |SELECT md5(array_join(slice(split(text, ' '), 1, 8), ' '))
+         |         AS cluster_id,
+         |       doc_id, length(text) AS score
+         |FROM aug""".stripMargin))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_keepbest" -> ((s: SparkSession, dir: String) => ddKeepBest(s, dir)),
     "dd_substring" -> ((s: SparkSession, dir: String) => ddSubstring(s, dir)),
     "dd_paragraph" -> ((s: SparkSession, dir: String) => ddParagraph(s, dir)),
     "dd_exact" -> (ddExact _),
@@ -711,6 +762,19 @@ object Dedup {
     "dd_embed_cos" -> (ddEmbedCos _))
 
   val oracleSql: Map[String, String] = Map(
+    "dd_keepbest" ->
+      (s"""WITH aug AS (SELECT doc_id, text FROM documents """ +
+        s"""UNION ALL SELECT doc_id + ${TwinIdOffset}, """ +
+        """array_to_string(string_split(text, ' ')[1:8], ' ') """ +
+        """FROM documents WHERE doc_id % 4 = 0), """ +
+        """mem AS (SELECT md5(array_to_string(string_split(text, ' ')[1:8], ' ')) """ +
+        """AS cluster_id, doc_id, length(text) AS score FROM aug) """ +
+        """SELECT cluster_id, doc_id, score, n_members FROM ( """ +
+        """SELECT cluster_id, doc_id, score, """ +
+        """COUNT(*) OVER (PARTITION BY cluster_id) AS n_members, """ +
+        """ROW_NUMBER() OVER (PARTITION BY cluster_id """ +
+        """ORDER BY score DESC, doc_id) AS rn FROM mem) """ +
+        """WHERE rn = 1 ORDER BY cluster_id"""),
     // string grams (ground truth): the result is hash-family-independent —
     // per-position df≥2 flags agree for any injective keying
     "dd_substring" ->

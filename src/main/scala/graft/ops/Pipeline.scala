@@ -145,6 +145,67 @@ object Pipeline {
       RedactRule("phones", "\\+1-555-[0-9]{4}", "<PHONE>")))
   }
 
+  /** PII detection (the report-before-redact pass of corpus compliance):
+    * per document the match count of each caller-supplied pattern on the
+    * ORIGINAL text, their total, and a `clean` flag — the filtering
+    * decision ("drop documents with any PII") without rewriting anything.
+    * Complements [[taRedact(docs:*]]: redact EDITS, this MEASURES; a real
+    * pipeline runs detection over the whole corpus to size the problem,
+    * then redacts (or drops) the flagged shard.
+    *
+    * Scale design: narrow single-pass projection — the regex counters all
+    * evaluate inside one codegen stage, no shuffle but the presentation
+    * ORDER BY. Patterns are Java-regex/RE2-common (character classes and
+    * bounded quantifiers only) so both engines count identically.
+    */
+  def taPiiCount(docs: DataFrame,
+                 patterns: Seq[(String, String)]): DataFrame = {
+    val counts = patterns.map { case (n, p) =>
+      size(regexp_extract_all(col("text"), lit(p), lit(0))).as(s"n_$n")
+    }
+    val total = patterns.map { case (n, _) => col(s"n_$n") }
+      .reduce(_ + _)
+    docs.select(col("doc_id") +: counts: _*)
+      .withColumn("n_pii", total)
+      .withColumn("clean", col("n_pii") === 0)
+      .orderBy("doc_id")
+  }
+
+  /** The oracle-checked detection query: the corpus has no PII, so four
+    * deterministic classes are planted on disjoint residues (the taRedact
+    * synthesis discipline — email+phone on every 3rd doc, an SSN-shaped
+    * id on every 7th, an IPv4 on every 11th), then the four-rule set
+    * delegates to the parameterized entry. Docs on no residue must come
+    * out `clean` — the oracle hash proves counts AND the flag.
+    */
+  def taPiiCount(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "documents").createOrReplaceTempView("__pii_docs")
+    val aug = s.sql(
+      """SELECT doc_id,
+        |  concat(text,
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN concat(' contact user', CAST(doc_id AS STRING),
+        |                     '@example.com or +1-555-',
+        |                     substring(CAST(1000 + doc_id % 9000 AS STRING),
+        |                               1, 4))
+        |         ELSE '' END,
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN concat(' id 987-65-',
+        |                     substring(CAST(1000 + doc_id % 9000 AS STRING),
+        |                               1, 4))
+        |         ELSE '' END,
+        |    CASE WHEN doc_id % 11 = 0
+        |         THEN concat(' from 10.0.', CAST(doc_id % 256 AS STRING),
+        |                     '.', CAST((doc_id * 7) % 256 AS STRING))
+        |         ELSE '' END) AS text
+        |FROM __pii_docs""".stripMargin)
+    taPiiCount(aug, Seq(
+      "emails" -> "[a-z0-9]+@[a-z]+\\.[a-z]+",
+      "phones" -> "\\+1-555-[0-9]{4}",
+      "ssns" -> "[0-9]{3}-[0-9]{2}-[0-9]{4}",
+      "ips" -> "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"))
+  }
+
   /** Text canonicalization (the cleaning pass every corpus ingest runs
     * first): lowercase, strip a declared noise-character class
     * ([*#@~^]), collapse whitespace runs, trim. Emits the normalized
@@ -211,6 +272,39 @@ object Pipeline {
         |  FROM __docs)
         |ORDER BY doc_id""".stripMargin)
   }
+
+  /** Deterministic k-fold assignment (cross-validation / sharded-eval
+    * bookkeeping): fold = (first two hex digits of md5('fold:'||doc_id))
+    * mod k — reproducible across engines, runs, and row orders, and
+    * independent of the ds_split/ds_shuffle/ds_mix digest draws (distinct
+    * salt). Fold f's validation set is `fold = f`; its training set is
+    * everything else — the assignment column expresses all k splits at
+    * once. The 256-value draw carries a ≤ ⌈256/k⌉/⌊256/k⌋ bias (≈2 % at
+    * k=5) — negligible for CV and the price of an engine-portable digest;
+    * callers needing exact-k balance compose [[dsBalance]] downstream.
+    *
+    * Scale design: narrow single-pass projection, no shuffle but the
+    * presentation ORDER BY — the fold column costs one md5 per row.
+    */
+  def dsKfold(docs: DataFrame, k: Int): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__kfold_docs")
+    s.sql(
+      s"""SELECT doc_id, lang, source,
+         |       CAST(((d1 - 1) * 16 + (d2 - 1)) % $k AS INT) AS fold
+         |FROM (
+         |  SELECT doc_id, lang, source,
+         |         instr('0123456789abcdef', substring(h, 1, 1)) AS d1,
+         |         instr('0123456789abcdef', substring(h, 2, 1)) AS d2
+         |  FROM (SELECT doc_id, lang, source,
+         |               md5(concat('fold:', CAST(doc_id AS STRING))) AS h
+         |        FROM __kfold_docs))
+         |ORDER BY doc_id""".stripMargin)
+  }
+
+  /** The oracle-checked form: 5 folds over the documents table. */
+  def dsKfold(s: SparkSession, dir: String): DataFrame =
+    dsKfold(Tables.load(s, dir, "documents"), k = 5)
 
   /** Sequence packing (the training-batch assembly step): greedily pack
     * documents into fixed 256-token budgets, contiguous first-fit in
@@ -685,6 +779,8 @@ object Pipeline {
     "dd_decontam" -> ((s: SparkSession, dir: String) => ddDecontam(s, dir)),
     "ta_chunk" -> (taChunk _),
     "ta_redact" -> ((s: SparkSession, dir: String) => taRedact(s, dir)),
+    "ta_pii_count" -> ((s: SparkSession, dir: String) => taPiiCount(s, dir)),
+    "ds_kfold" -> ((s: SparkSession, dir: String) => dsKfold(s, dir)),
     "ta_normalize" -> ((s: SparkSession, dir: String) => taNormalize(s, dir)),
     "ds_split" -> (dsSplit _),
     "ds_pack" -> (dsPack _),
@@ -712,6 +808,33 @@ object Pipeline {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ta_pii_count" ->
+      ("""WITH aug AS (SELECT doc_id, text """ +
+        """|| (CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id::VARCHAR """ +
+        """|| '@example.com or +1-555-' """ +
+        """|| substr((1000 + doc_id % 9000)::VARCHAR, 1, 4) ELSE '' END) """ +
+        """|| (CASE WHEN doc_id % 7 = 0 THEN ' id 987-65-' """ +
+        """|| substr((1000 + doc_id % 9000)::VARCHAR, 1, 4) ELSE '' END) """ +
+        """|| (CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.' """ +
+        """|| (doc_id % 256)::VARCHAR || '.' || ((doc_id * 7) % 256)::VARCHAR """ +
+        """ELSE '' END) AS text FROM documents), """ +
+        """c AS (SELECT doc_id, """ +
+        """len(regexp_extract_all(text, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS n_emails, """ +
+        """len(regexp_extract_all(text, '\+1-555-[0-9]{4}')) AS n_phones, """ +
+        """len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS n_ssns, """ +
+        """len(regexp_extract_all(text, '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+')) AS n_ips """ +
+        """FROM aug) """ +
+        """SELECT doc_id, n_emails, n_phones, n_ssns, n_ips, """ +
+        """n_emails + n_phones + n_ssns + n_ips AS n_pii, """ +
+        """n_emails + n_phones + n_ssns + n_ips = 0 AS clean """ +
+        """FROM c ORDER BY doc_id"""),
+    "ds_kfold" ->
+      ("""SELECT doc_id, lang, source, """ +
+        """(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 """ +
+        """+ strpos('0123456789abcdef', substr(h, 2, 1)) - 1) % 5)::INT AS fold """ +
+        """FROM (SELECT doc_id, lang, source, """ +
+        """md5('fold:' || doc_id::VARCHAR) AS h FROM documents) """ +
+        """ORDER BY doc_id"""),
     "ta_normalize" ->
       """WITH aug AS (
         |  SELECT doc_id, text,

@@ -472,6 +472,63 @@ object TextAnalysis {
   def taEntropy(s: SparkSession, dir: String): DataFrame =
     taEntropy(Tables.load(s, dir, "documents"))
 
+  /** Flesch reading-ease scoring (Flesch 1948, public; the readability
+    * band filter of classic corpus curation): per document the word count,
+    * sentence count (runs of terminal punctuation, clamped to ≥ 1 so
+    * punctuation-free text still scores), a vowel-group syllable heuristic
+    * (runs of [aeiouy] — the standard dictionary-free estimator), and
+    * flesch = 206.835 − 1.015·(W/S) − 84.6·(Syll/W).
+    *
+    * Engine-exactness: three exact integer counts feed ONE fixed-shape
+    * double expression (two divisions, two multiplies, two subtractions,
+    * evaluated left-to-right in both engines — no fold-order freedom),
+    * rounded to 6; constants are cast to DOUBLE explicitly so neither
+    * engine routes through DECIMAL arithmetic.
+    *
+    * Scale design: narrow single-pass projection like the rest of the
+    * ta_ family — no shuffle but the presentation ORDER BY.
+    */
+  def taReadability(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__read_docs")
+    s.sql(
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |         size($toks) AS n_words,
+         |         greatest(size(regexp_extract_all(text, '[.!?]+', 0)), 1)
+         |           AS n_sents,
+         |         size(regexp_extract_all(text, '[aeiouy]+', 0)) AS n_syll
+         |  FROM __read_docs)
+         |SELECT doc_id, n_words, n_sents, n_syll,
+         |       ROUND(CAST(206.835 AS DOUBLE)
+         |             - CAST(1.015 AS DOUBLE)
+         |               * (CAST(n_words AS DOUBLE) / n_sents)
+         |             - CAST(84.6 AS DOUBLE)
+         |               * (CAST(n_syll AS DOUBLE) / n_words), 6) AS flesch
+         |FROM m ORDER BY doc_id""".stripMargin)
+  }
+
+  /** The oracle-checked form. The corpus has no sentence punctuation, so
+    * sentences are synthesized first (the ta_c4filter planting
+    * discipline): tokens group into (8 + doc_id % 5)-word sentences — the
+    * length VARIES per document so the W/S term is exercised, not constant
+    * — terminated by '.' or (every third sentence) '!'.
+    */
+  def taReadability(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "documents").createOrReplaceTempView("__read_raw")
+    val aug = s.sql(
+      s"""SELECT doc_id,
+         |  array_join(
+         |    transform(sequence(0, (size($toks) + k - 1) div k - 1),
+         |      i -> concat(
+         |        array_join(slice($toks, i * k + 1, k), ' '),
+         |        CASE WHEN (doc_id + i) % 3 = 0 THEN '!' ELSE '.' END)),
+         |    ' ') AS text
+         |FROM (SELECT doc_id, text, 8 + CAST(doc_id % 5 AS INT) AS k
+         |      FROM __read_raw)""".stripMargin)
+    taReadability(aug)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_entropy" -> ((s: SparkSession, dir: String) => taEntropy(s, dir)),
     "ta_perplexity" -> ((s: SparkSession, dir: String) => taPerplexity(s, dir)),
@@ -484,11 +541,28 @@ object TextAnalysis {
     "ta_derep" -> ((s: SparkSession, dir: String) => taDerep(s, dir)),
     "ta_gopher" -> ((s: SparkSession, dir: String) => taGopher(s, dir)),
     "ta_c4filter" -> ((s: SparkSession, dir: String) => taC4Filter(s, dir)),
-    "ta_bigram_ppl" -> ((s: SparkSession, dir: String) => taBigramPpl(s, dir)))
+    "ta_bigram_ppl" -> ((s: SparkSession, dir: String) => taBigramPpl(s, dir)),
+    "ta_readability" -> ((s: SparkSession, dir: String) => taReadability(s, dir)))
 
   private val sqlToks = "string_split(text, ' ')"
 
   val oracleSql: Map[String, String] = Map(
+    "ta_readability" ->
+      (s"WITH p AS (SELECT doc_id, $sqlToks AS toks, " +
+        "8 + (doc_id % 5)::INT AS k FROM documents), " +
+        "aug AS (SELECT doc_id, " +
+        "array_to_string([array_to_string(toks[(i*k+1):(i*k+k)], ' ') || " +
+        "(CASE WHEN (doc_id + i) % 3 = 0 THEN '!' ELSE '.' END) " +
+        "FOR i IN generate_series(0, (len(toks) + k - 1) // k - 1)], ' ') " +
+        "AS text FROM p), " +
+        "m AS (SELECT doc_id, len(string_split(text, ' ')) AS n_words, " +
+        "greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sents, " +
+        "len(regexp_extract_all(text, '[aeiouy]+')) AS n_syll FROM aug) " +
+        "SELECT doc_id, n_words, n_sents, n_syll, " +
+        "ROUND(CAST(206.835 AS DOUBLE) " +
+        "- CAST(1.015 AS DOUBLE) * (n_words::DOUBLE / n_sents) " +
+        "- CAST(84.6 AS DOUBLE) * (n_syll::DOUBLE / n_words), 6) AS flesch " +
+        "FROM m ORDER BY doc_id"),
     "ta_c4filter" ->
       (s"WITH aug AS (SELECT doc_id, " +
         "array_to_string([array_to_string(toks[(i*12+1):(i*12+12)], ' ') || " +

@@ -39,6 +39,15 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Pipeline.dsTokBudget(
       Seq.empty[(Long, Int, Double)].toDF("doc_id", "n_tok", "sc"),
       100L).count() == 0)
+    assert(TextAnalysis.taReadability(emptyDocs).count() == 0)
+    assert(Pipeline.taPiiCount(emptyDocs,
+      Seq("emails" -> "[a-z0-9]+@[a-z]+\\.[a-z]+")).count() == 0)
+    assert(Pipeline.dsKfold(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "source"),
+      5).count() == 0)
+    assert(Dedup.ddKeepBest(
+      Seq.empty[(String, Long, Int)].toDF("cluster_id", "doc_id", "score"))
+      .count() == 0)
   }
 
   test("embedding entries return empty on an empty corpus") {

@@ -1184,4 +1184,85 @@ class PipelineSpec extends AnyFunSuite {
       (1L, 5, 2, false), (2L, 3, 3, true), (3L, 3, 3, false),
       (4L, 3, 3, false)))
   }
+
+  test("taReadability(docs): hand-computed Flesch on a known corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      // 6 words, 2 sentences, syllable groups: the(1) cat(1) sat(1)
+      // it(1) was(1) flat(1) = 6
+      (1L, "the cat sat. it was flat!"),
+      // no terminal punctuation: n_sents clamps to 1
+      (2L, "row row row a boat"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.taReadability(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getDouble(4)))
+    def flesch(w: Int, st: Int, sy: Int): Double =
+      BigDecimal(206.835 - 1.015 * (w.toDouble / st)
+        - 84.6 * (sy.toDouble / w))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0) == ((1L, 6, 2, 6, flesch(6, 2, 6))))
+    // "row row row a boat": 5 words, vowel groups o/o/o/a/oa = 5 syll
+    assert(got(1) == ((2L, 5, 1, 5, flesch(5, 1, 5))))
+  }
+
+  test("taPiiCount(docs): counts and clean flag on a hand corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "reach me at bob1@mail.com or alice@web.org today"),
+      (2L, "server 192.168.0.1 and ssn 123-45-6789 leaked"),
+      (3L, "perfectly clean text with no identifiers at all"))
+      .toDF("doc_id", "text")
+    val got = Pipeline.taPiiCount(docs, Seq(
+      "emails" -> "[a-z0-9]+@[a-z]+\\.[a-z]+",
+      "ssns" -> "[0-9]{3}-[0-9]{2}-[0-9]{4}",
+      "ips" -> "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getBoolean(5)))
+    assert(got.toSeq == Seq(
+      (1L, 2, 0, 0, 2, false),
+      (2L, 0, 1, 1, 2, false),
+      (3L, 0, 0, 0, 0, true)))
+  }
+
+  test("ds_kfold: total partition, determinism, rough balance") {
+    val a = Pipeline.dsKfold(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(3))
+    val b = Pipeline.dsKfold(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(3))
+    assert(a.toSeq == b.toSeq, "fold assignment must be deterministic")
+    assert(a.forall { case (_, f) => f >= 0 && f < 5 })
+    val sizes = a.groupBy(_._2).view.mapValues(_.length)
+    assert(sizes.keySet == Set(0, 1, 2, 3, 4), "every fold non-empty")
+    // expected total/5 per fold; md5 uniformity keeps each within 2x
+    val exp = a.length / 5
+    assert(sizes.values.forall(n => n >= exp / 2 && n <= exp * 2),
+      sizes.toMap.toString)
+  }
+
+  test("ddKeepBest: planted twins lose to their originals") {
+    val rows = Dedup.ddKeepBest(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // every survivor of a multi-member cluster is an original (the
+    // truncated twin carries a strictly smaller score), and no cluster
+    // appears twice
+    assert(rows.map(_._1).distinct.length == rows.length)
+    rows.filter(_._4 >= 2).foreach { case (c, id, _, _) =>
+      assert(id < Dedup.TwinIdOffset, s"twin survived in cluster $c")
+    }
+    // twins exist at this SF, so some cluster must be multi-member
+    assert(rows.exists(_._4 >= 2))
+  }
+
+  test("ddKeepBest(members): argmax with doc_id tiebreak on hand input") {
+    import spark.implicits._
+    val members = Seq(
+      ("c1", 10L, 5), ("c1", 11L, 9), ("c1", 12L, 9),
+      ("c2", 20L, 1))
+      .toDF("cluster_id", "doc_id", "score")
+    val got = Dedup.ddKeepBest(members).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("c1", 11L, 9, 3L), ("c2", 20L, 1, 1L)))
+  }
 }
