@@ -383,9 +383,168 @@ object Similarity {
   def ssSqTopk(s: SparkSession, dir: String): DataFrame =
     ssSqTopkOn(s, Tables.load(s, dir, "embeddings"), "vec_id < 5", 10)
 
+  /** Spark SQL for the product-quantized top-k over view `__emb_pq`:
+    * the 64-dim vector splits into `nSub` orthogonal subspaces of
+    * 64/nSub dims; each subspace trains a `nCode`-codeword codebook
+    * (seeded deterministic init — the nCode vectors with the smallest
+    * md5('pq42:'||vec_id) digests donate their subvectors, the IVF cand0
+    * discipline — plus one decimal-exact k-means refinement round);
+    * every vector then encodes as nSub small codes. Query scoring is
+    * ADC (asymmetric distance computation): the query's exact dot
+    * against every codeword forms an (nSub × nCode) lookup table, the
+    * approximate dot of a database vector is the sum of its codes'
+    * table entries, and the approximate norm is the reconstruction norm
+    * √Σ|c_{m,code}|² (exact because the subspaces are coordinate-
+    * disjoint). The top mult·k by approximate cosine are rescored with
+    * the exact float cosine.
+    *
+    * Engine-exactness: codeword means are DECIMAL(27,12) sums rounded
+    * to 6 (the IVF discipline); the ADC fold and the reconstruction
+    * norm are per-term ROUND(·,9) → DECIMAL(28,9) sums (the
+    * taPerplexity discipline — order-free where a double SUM would
+    * depend on partitioning); every rank key is a 6-decimal round with
+    * code/vec_id tiebreaks.
+    */
+  private[ops] def pqSparkSql(queryPred: String, topK: Int,
+                              nSub: Int = 8, nCode: Int = 16,
+                              mult: Int = 3): String = {
+    val d = 64 / nSub
+    s"""WITH base AS (
+       |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM __emb_pq),
+       |n3 AS (
+       |  SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM base),
+       |sub AS (
+       |  SELECT vec_id, m, slice(v, m * $d + 1, $d) AS sv
+       |  FROM n3 LATERAL VIEW explode(sequence(0, ${nSub - 1})) AS m),
+       |seed AS (
+       |  -- the nCode smallest digests as a distributed TOP-K
+       |  -- (TakeOrderedAndProject) — the codebook draw never
+       |  -- single-partitions the corpus; the leftover unpartitioned
+       |  -- ROW_NUMBER ranks only nCode rows
+       |  SELECT md5(concat('pq42:', CAST(vec_id AS STRING))) AS h, vec_id, v
+       |  FROM n3 ORDER BY h, vec_id LIMIT $nCode),
+       |cb0 AS (
+       |  SELECT m, code, slice(v, m * $d + 1, $d) AS cv FROM (
+       |    SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) AS INT) - 1
+       |             AS code, v
+       |    FROM seed) LATERAL VIEW explode(sequence(0, ${nSub - 1})) AS m),
+       |a1 AS (
+       |  SELECT vec_id, m, sv, code FROM (
+       |    SELECT u.vec_id, u.m, u.sv, c.code,
+       |           ROW_NUMBER() OVER (PARTITION BY u.vec_id, u.m
+       |             ORDER BY ROUND(graft_dot(c.cv, c.cv)
+       |                            - 2 * graft_dot(u.sv, c.cv), 6) ASC,
+       |                      c.code) AS rn
+       |    FROM sub u JOIN cb0 c ON c.m = u.m) WHERE rn = 1),
+       |m1 AS (
+       |  SELECT m, code, i,
+       |         ROUND(CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE)
+       |               / COUNT(1), 6) AS mx
+       |  FROM a1 LATERAL VIEW posexplode(sv) AS i, x
+       |  GROUP BY m, code, i),
+       |cb1 AS (
+       |  SELECT m, code, cv, graft_dot(cv, cv) AS cn2 FROM (
+       |    SELECT m, code,
+       |           transform(array_sort(collect_list(struct(i, mx))),
+       |                     p -> p.mx) AS cv
+       |    FROM m1 GROUP BY m, code)),
+       |enc AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT u.vec_id, u.m, c.code,
+       |           ROW_NUMBER() OVER (PARTITION BY u.vec_id, u.m
+       |             ORDER BY ROUND(c.cn2 - 2 * graft_dot(u.sv, c.cv), 6) ASC,
+       |                      c.code) AS rn
+       |    FROM sub u JOIN cb1 c ON c.m = u.m) WHERE rn = 1),
+       |recn AS (
+       |  SELECT e.vec_id,
+       |         CAST(SUM(CAST(ROUND(c.cn2, 9) AS DECIMAL(28,9))) AS DOUBLE)
+       |           AS rn2
+       |  FROM enc e JOIN cb1 c ON c.m = e.m AND c.code = e.code
+       |  GROUP BY e.vec_id),
+       |qv AS (
+       |  SELECT vec_id AS qid, v AS qvec, nrm AS qnrm FROM n3 WHERE $queryPred),
+       |lut AS (
+       |  SELECT q.qid, c.m, c.code,
+       |         graft_dot(slice(q.qvec, c.m * $d + 1, $d), c.cv) AS pdot
+       |  FROM qv q CROSS JOIN cb1 c),
+       |adc AS (
+       |  SELECT l.qid, e.vec_id AS neighbor_id,
+       |         CAST(SUM(CAST(ROUND(l.pdot, 9) AS DECIMAL(28,9))) AS DOUBLE)
+       |           AS adot
+       |  FROM enc e JOIN lut l ON l.m = e.m AND l.code = e.code
+       |  WHERE e.vec_id <> l.qid
+       |  GROUP BY l.qid, e.vec_id),
+       |cand AS (
+       |  SELECT a.qid, a.neighbor_id,
+       |         ROUND(a.adot / (q.qnrm * sqrt(r.rn2)), 6) AS cosq
+       |  FROM adc a
+       |  JOIN qv q ON q.qid = a.qid
+       |  JOIN recn r ON r.vec_id = a.neighbor_id),
+       |topc AS (
+       |  SELECT qid, neighbor_id, cosq FROM (
+       |    SELECT qid, neighbor_id, cosq,
+       |           ROW_NUMBER() OVER (PARTITION BY qid
+       |             ORDER BY cosq DESC, neighbor_id) AS rnq
+       |    FROM cand) WHERE rnq <= ${mult * topK}),
+       |res AS (
+       |  SELECT t.qid, t.neighbor_id, t.cosq,
+       |         ROUND(graft_dot(q.qvec, b.v) / (q.qnrm * b.nrm), 6) AS cos
+       |  FROM topc t
+       |  JOIN qv q ON q.qid = t.qid
+       |  JOIN n3 b ON b.vec_id = t.neighbor_id)
+       |SELECT qid AS query_id, neighbor_id, cos, cosq, rn FROM (
+       |  SELECT qid, neighbor_id, cos, cosq,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |                ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
+       |  FROM res)
+       |WHERE rn <= $topK ORDER BY query_id, rn""".stripMargin
+  }
+
+  /** Product-quantized approximate top-k with exact rescoring (the FAISS
+    * "PQ" memory path, one tier beyond [[ssSqTopkOn]]'s SQ8): codes cost
+    * nSub·log2(nCode) bits per vector — 8 bytes here against 512 for the
+    * float64 vector, a 64× compression — so the ADC candidate scan
+    * streams a corpus whose quantized form fits in memory three orders of
+    * magnitude past where floats spill. Composes with IVF exactly as SQ
+    * does (IVF restricts WHICH vectors are scanned, PQ shrinks WHAT each
+    * scanned vector costs — together the standard IVF-PQ).
+    *
+    * Scale shape: the codebook relation is (nSub·nCode) rows — broadcast
+    * everywhere it joins; encoding is one narrow pass over the subvector
+    * stream; the ADC join keys on (m, code) against a Q·nSub·nCode-row
+    * query LUT (broadcast for any sane Q) and reduces per (query,
+    * vector) with a partial-agg-friendly SUM. Training assignment is the
+    * one corpus-wide rank (vec_id, m windows) — production systems train
+    * the codebook on a sample; the `trainPred`-less form here trains on
+    * the full corpus because the oracle must be deterministic end-to-end.
+    *
+    * REGIME CONTRACT (measured, SimilaritySpec): 8-byte codes collapse
+    * cluster-mates to near-identical ADC scores, so within-cluster rank
+    * lives in the exact rescore — the cut depth `mult` is PQ's recall
+    * dial (the nprobe analog): clustered-regime recall@5 is ~0.51 at
+    * mult=3 and ≥0.7 at mult=12, monotone in between (spec-locked).
+    * `nSub` is the memory/fidelity dial (codes cost nSub·log2(nCode)
+    * bits); dial it up for finer quantization, down for compression.
+    */
+  def ssPqTopkOn(s: SparkSession, emb: DataFrame, queryPred: String,
+                 topK: Int, nSub: Int = 8, nCode: Int = 16,
+                 mult: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    emb.createOrReplaceTempView("__emb_pq")
+    s.sql(pqSparkSql(queryPred, topK, nSub, nCode, mult))
+  }
+
+  /** Oracle-query form: PQ top-10 for query vectors vec_id < 5 —
+    * row-comparable with [[ssCosineTopk]] (exact) and [[ssSqTopk]] (SQ8).
+    */
+  def ssPqTopk(s: SparkSession, dir: String): DataFrame =
+    ssPqTopkOn(s, Tables.load(s, dir, "embeddings"), "vec_id < 5", 10)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ss_cosine_topk" -> (ssCosineTopk _),
     "ss_sq_topk" -> (ssSqTopk _),
+    "ss_pq_topk" -> (ssPqTopk _),
     "ss_lsh_ann" -> (ssLshAnn _),
     "ss_ivf_ann" -> (ssIvfAnn _))
 
@@ -414,6 +573,99 @@ object Similarity {
   }.mkString(",\n")
 
   val oracleSql: Map[String, String] = Map(
+    "ss_pq_topk" ->
+      """WITH base AS (
+        |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),
+        |n3 AS (
+        |  SELECT vec_id, v, sqrt(list_sum([x * x FOR x IN v])) AS nrm FROM base),
+        |sub AS (
+        |  SELECT vec_id, g.m, v[(g.m*8+1):(g.m*8+8)] AS sv
+        |  FROM n3 CROSS JOIN generate_series(0, 7) g(m)),
+        |seedranked AS (
+        |  SELECT (ROW_NUMBER() OVER (
+        |           ORDER BY md5('pq42:' || vec_id::VARCHAR), vec_id))::INT - 1
+        |           AS code, v
+        |  FROM n3),
+        |cb0 AS (
+        |  SELECT g.m, code, v[(g.m*8+1):(g.m*8+8)] AS cv
+        |  FROM seedranked CROSS JOIN generate_series(0, 7) g(m)
+        |  WHERE code < 16),
+        |a1 AS (
+        |  SELECT vec_id, m, sv, code FROM (
+        |    SELECT u.vec_id, u.m, u.sv, c.code,
+        |           ROW_NUMBER() OVER (PARTITION BY u.vec_id, u.m
+        |             ORDER BY ROUND(
+        |               list_sum([c.cv[i] * c.cv[i]
+        |                 FOR i IN generate_series(1, len(c.cv))])
+        |               - 2 * list_sum([u.sv[i] * c.cv[i]
+        |                 FOR i IN generate_series(1, len(u.sv))]), 6) ASC,
+        |               c.code) AS rn
+        |    FROM sub u JOIN cb0 c ON c.m = u.m) WHERE rn = 1),
+        |m1 AS (
+        |  SELECT m, code, g.i,
+        |         ROUND((SUM((sv[g.i])::DECIMAL(27,12)))::DOUBLE
+        |               / COUNT(*), 6) AS mx
+        |  FROM a1 CROSS JOIN generate_series(1, 8) g(i)
+        |  GROUP BY m, code, g.i),
+        |cb1 AS (
+        |  SELECT m, code, cv, list_sum([x * x FOR x IN cv]) AS cn2 FROM (
+        |    SELECT m, code, list(mx ORDER BY i) AS cv FROM m1
+        |    GROUP BY m, code)),
+        |enc AS (
+        |  SELECT vec_id, m, code FROM (
+        |    SELECT u.vec_id, u.m, c.code,
+        |           ROW_NUMBER() OVER (PARTITION BY u.vec_id, u.m
+        |             ORDER BY ROUND(c.cn2
+        |               - 2 * list_sum([u.sv[i] * c.cv[i]
+        |                 FOR i IN generate_series(1, len(u.sv))]), 6) ASC,
+        |               c.code) AS rn
+        |    FROM sub u JOIN cb1 c ON c.m = u.m) WHERE rn = 1),
+        |recn AS (
+        |  SELECT e.vec_id,
+        |         (SUM(CAST(ROUND(c.cn2, 9) AS DECIMAL(28,9))))::DOUBLE AS rn2
+        |  FROM enc e JOIN cb1 c ON c.m = e.m AND c.code = e.code
+        |  GROUP BY e.vec_id),
+        |qv AS (
+        |  SELECT vec_id AS qid, v AS qvec, nrm AS qnrm FROM n3
+        |  WHERE vec_id < 5),
+        |lut AS (
+        |  SELECT q.qid, c.m, c.code,
+        |         list_sum([q.qvec[c.m*8 + i] * c.cv[i]
+        |           FOR i IN generate_series(1, len(c.cv))]) AS pdot
+        |  FROM qv q CROSS JOIN cb1 c),
+        |adc AS (
+        |  SELECT l.qid, e.vec_id AS neighbor_id,
+        |         (SUM(CAST(ROUND(l.pdot, 9) AS DECIMAL(28,9))))::DOUBLE
+        |           AS adot
+        |  FROM enc e JOIN lut l ON l.m = e.m AND l.code = e.code
+        |  WHERE e.vec_id <> l.qid
+        |  GROUP BY l.qid, e.vec_id),
+        |cand AS (
+        |  SELECT a.qid, a.neighbor_id,
+        |         ROUND(a.adot / (q.qnrm * sqrt(r.rn2)), 6) AS cosq
+        |  FROM adc a
+        |  JOIN qv q ON q.qid = a.qid
+        |  JOIN recn r ON r.vec_id = a.neighbor_id),
+        |topc AS (
+        |  SELECT qid, neighbor_id, cosq FROM (
+        |    SELECT qid, neighbor_id, cosq,
+        |           ROW_NUMBER() OVER (PARTITION BY qid
+        |             ORDER BY cosq DESC, neighbor_id) AS rnq
+        |    FROM cand) WHERE rnq <= 30),
+        |res AS (
+        |  SELECT t.qid, t.neighbor_id, t.cosq,
+        |         ROUND(list_sum([q.qvec[i] * b.v[i]
+        |                 FOR i IN generate_series(1, len(q.qvec))])
+        |               / (q.qnrm * b.nrm), 6) AS cos
+        |  FROM topc t
+        |  JOIN qv q ON q.qid = t.qid
+        |  JOIN n3 b ON b.vec_id = t.neighbor_id)
+        |SELECT qid AS query_id, neighbor_id, cos, cosq, rn FROM (
+        |  SELECT qid, neighbor_id, cos, cosq,
+        |         ROW_NUMBER() OVER (PARTITION BY qid
+        |           ORDER BY cos DESC, neighbor_id) AS rn
+        |  FROM res)
+        |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin.replaceAll("\n", " "),
     "ss_cosine_topk" ->
       """WITH base AS (
         |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),

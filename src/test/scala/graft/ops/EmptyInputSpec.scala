@@ -53,6 +53,7 @@ class EmptyInputSpec extends AnyFunSuite {
   test("embedding entries return empty on an empty corpus") {
     val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(Similarity.ssSqTopkOn(spark, emptyEmb, "vec_id < 5", 10).count() == 0)
+    assert(Similarity.ssPqTopkOn(spark, emptyEmb, "vec_id < 5", 10).count() == 0)
     assert(Similarity.bruteTopkOn(spark, emptyEmb, "vec_id < 5", 10).count() == 0)
   }
 

@@ -190,4 +190,56 @@ class SimilaritySpec extends AnyFunSuite {
       assert(cs == cs.sorted.reverse, s"rescore order broken: $cs")
     }
   }
+
+  test("PQ top-k: clustered-regime recall vs brute force, deterministic") {
+    val rng = new Random(31)
+    val dim = 64
+    // the same mid-similarity regime as the SQ8/IVF locks: 16 clusters of
+    // 30 noisy members — PQ's 16-codeword-per-subspace budget matches the
+    // cluster count, the shape it should capture
+    val rows = for {
+      c <- 0 until 16
+      center = unit(rng, dim)
+      m <- 0 until 30
+    } yield {
+      val noise = unit(rng, dim)
+      val v = center.zip(noise).map { case (a, b) => a + 0.15 * b }
+      (c * 1000L + m, v)
+    }
+    val emb = toEmb(rows)
+    def recallAt(mult: Int): Double = {
+      val pq = Similarity.ssPqTopkOn(spark, emb, "vec_id % 1000 = 0",
+        topK = 5, mult = mult).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      val brute = Similarity.bruteTopkOn(spark, emb, "vec_id % 1000 = 0",
+        topK = 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      val rs = brute.map { case (q, exact) =>
+        val got = pq.getOrElse(q, Array.empty).map(_._2).toSet
+        exact.map(_._2).count(got) / exact.length.toDouble
+      }
+      rs.sum / rs.size
+    }
+    // 8-byte codes collapse CLUSTER-MATES to near-identical ADC scores —
+    // within-cluster rank lives in the exact rescore, so the cut depth
+    // `mult` is PQ's recall dial (the nprobe analog): deep cut must beat
+    // the shallow one, and at 12x the rescore recovers most of brute top-5
+    val shallow = recallAt(3)
+    val deep = recallAt(12)
+    assert(deep >= shallow, s"cut depth not a recall dial: $shallow -> $deep")
+    assert(deep >= 0.7, s"PQ recall $deep < 0.7 at mult=12")
+    val pq = Similarity.ssPqTopkOn(spark, emb, "vec_id % 1000 = 0", topK = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // exact cosine is the final rank key: rows arrive sorted per query
+    pq.groupBy(_._1).values.foreach { g =>
+      val cs = g.map(_._3).toSeq
+      assert(cs == cs.sorted.reverse, s"rescore order broken: $cs")
+    }
+    // seeded codebooks: a second run is row-identical
+    val again = Similarity.ssPqTopkOn(spark, emb, "vec_id % 1000 = 0", topK = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(pq.toSeq == again.toSeq, "PQ result not deterministic")
+  }
 }

@@ -201,6 +201,18 @@ class PlanSpec extends AnyFunSuite {
       s"centroid seed top-k lost its TakeOrdered shape:\n$plan")
   }
 
+  test("ss_pq_topk: codebook seeding rides TakeOrdered; codebook joins broadcast") {
+    // the pq42 seed draw is the same distributed top-nCode discipline as
+    // IVF's (no global rank of the corpus), and every codebook-side join
+    // (assign / encode / ADC) must broadcast the (nSub*nCode)-row relation
+    // — an SMJ there would sort the corpus-sized subvector stream
+    val plan = formatted(graft.ops.Similarity.ssPqTopk(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"codebook seed top-k lost its TakeOrdered shape:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"codebook join not broadcast:\n$plan")
+  }
+
   test("ds_qfilter: both windows share ONE source exchange") {
     // the per-source COUNT and the ordered ROW_NUMBER must ride the same
     // hashpartitioning(source) — a second exchange would double the
