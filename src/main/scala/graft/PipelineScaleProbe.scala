@@ -66,6 +66,11 @@ object PipelineScaleProbe {
     if (args.headOption.contains("addendum10")) {
       addendum10(args(1).toInt, args(2)); return
     }
+    // `addendum11 <nDocs> <nVec> <outBase>` — readability/pii/kfold/
+    // keepbest at corpus scale + PQ recall regimes at vector scale
+    if (args.headOption.contains("addendum11")) {
+      addendum11(args(1).toInt, args(2).toInt, args(3)); return
+    }
     // ANN + events families at 100x: generate embeddings/events, probe
     // ss_lsh_ann / ss_ivf_ann (with measured recall vs in-probe brute
     // force), dd_embed_cos twin recall, ev_sessionize, ev_funnel —
@@ -642,6 +647,129 @@ object PipelineScaleProbe {
       "k column disagrees with the independent min class size")
     println(s"PSCALE balance k=$minClass, every class exact at $nDocs docs")
     println("PSCALE addendum10 done")
+    spark.stop()
+  }
+
+  /** Scale legs for the round-7 fourth-batch operators: the narrow text
+    * passes (ta_readability, ta_pii_count, ds_kfold) and the keep-best
+    * window at `nDocs`; PQ recall regimes at `nVec` (the scale2 label-
+    * cluster corpus — the mid-similarity regime where LSH collapses).
+    */
+  private def addendum11(nDocs: Int, nVec: Int, outBase: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+
+    val seed = 2026L
+    val dir = s"$outBase/sf$nDocs"
+    spark.range(0L, nDocs.toLong).map(docFor(_, seed))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.range(0L, nVec.toLong).map(vecFor(_, 64, 10, seed))
+      .toDF("vec_id", "embedding", "label")
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    println(s"PSCALE gen11 nDocs=$nDocs nVec=$nVec")
+
+    // ta_readability: narrow single pass; every row scores, sentences >= 1
+    var t0 = System.nanoTime()
+    val rd = ops.TextAnalysis.taReadability(spark, dir)
+      .localCheckpoint(eager = true)
+    val nRd = rd.count()
+    println(f"PSCALE q=ta_readability t=${(System.nanoTime() - t0) / 1e9}%.1f s " +
+      s"rows=$nRd")
+    require(nRd == nDocs.toLong, s"readability rows $nRd != corpus $nDocs")
+    require(rd.filter("n_sents < 1 OR n_words < 1").count() == 0,
+      "degenerate sentence/word counts")
+    val fl = rd.agg(min("flesch"), max("flesch")).head()
+    println(s"PSCALE readability flesch range [${fl.get(0)}, ${fl.get(1)}]")
+
+    // ta_pii_count: the clean flag must EXACTLY complement the planted
+    // residues at any corpus size
+    t0 = System.nanoTime()
+    val pii = ops.Pipeline.taPiiCount(spark, dir)
+      .localCheckpoint(eager = true)
+    val nPii = pii.count()
+    println(f"PSCALE q=ta_pii_count t=${(System.nanoTime() - t0) / 1e9}%.1f s " +
+      s"rows=$nPii")
+    require(nPii == nDocs.toLong, s"pii rows $nPii != corpus $nDocs")
+    val wrongFlag = pii.filter(
+      "clean = (doc_id % 3 = 0 OR doc_id % 7 = 0 OR doc_id % 11 = 0)")
+      .count()
+    require(wrongFlag == 0, s"$wrongFlag docs with a wrong clean flag")
+    println(s"PSCALE pii clean flag exact on all $nPii docs")
+
+    // ds_kfold: balance within 5% of N/5 at this scale (the declared
+    // <=2% draw bias + sampling noise)
+    t0 = System.nanoTime()
+    val kf = ops.Pipeline.dsKfold(spark, dir).localCheckpoint(eager = true)
+    val nKf = kf.count()
+    println(f"PSCALE q=ds_kfold t=${(System.nanoTime() - t0) / 1e9}%.1f s " +
+      s"rows=$nKf")
+    val sizes = kf.groupBy("fold").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    require(sizes.keySet == Set(0, 1, 2, 3, 4), s"folds missing: $sizes")
+    val expF = nDocs / 5.0
+    require(sizes.values.forall(n => math.abs(n - expF) / expF < 0.05),
+      s"fold imbalance beyond 5%: $sizes")
+    println(s"PSCALE kfold sizes=$sizes (within 5% of ${expF.toLong})")
+
+    // dd_keepbest: every planted multi-member cluster keeps its original
+    t0 = System.nanoTime()
+    val kb = ops.Dedup.ddKeepBest(spark, dir).localCheckpoint(eager = true)
+    val nKb = kb.count()
+    println(f"PSCALE q=dd_keepbest t=${(System.nanoTime() - t0) / 1e9}%.1f s " +
+      s"rows=$nKb")
+    val multi = kb.filter("n_members >= 2")
+    val nMulti = multi.count()
+    val twinSurvivors = multi
+      .filter(s"doc_id >= ${ops.Dedup.TwinIdOffset}L").count()
+    require(twinSurvivors == 0, s"$twinSurvivors truncated twins survived")
+    // every 4th doc plants a twin; prefix collisions can merge clusters
+    // but at least 90% of the planted pairs must surface as multi-member
+    require(nMulti >= (0.9 * nDocs / 4).toLong,
+      s"only $nMulti multi-member clusters for ${nDocs / 4} planted twins")
+    println(s"PSCALE keepbest clusters=$nKb multi=$nMulti twinSurvivors=0")
+
+    // ss_pq_topk recall regimes at nVec (mid-similarity label clusters):
+    // the exact brute top-5 is the denominator, as in scale2
+    val emb = Tables.load(spark, dir, "embeddings")
+    val brute = ops.Similarity.bruteTopkOn(spark, emb, "vec_id < 20", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def pqRecall(tag: String, nSub: Int, nCode: Int, mult: Int): Double = {
+      val t = System.nanoTime()
+      val got = ops.Similarity.ssPqTopkOn(spark, emb, "vec_id < 20", 5,
+        nSub = nSub, nCode = nCode, mult = mult)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val r = got.intersect(brute).size.toDouble / brute.size
+      println(f"PSCALE q=ss_pq_topk($tag) t=${(System.nanoTime() - t) / 1e9}%.1f s " +
+        f"recall@5=$r%.3f")
+      r
+    }
+    val rBase = pqRecall("nSub=8,nCode=16,mult=3", 8, 16, 3)
+    val rCut = pqRecall("nSub=8,nCode=16,mult=40", 8, 16, 40)
+    val rRich = pqRecall("nSub=16,nCode=64,mult=40", 16, 64, 40)
+    println(f"PSCALE pq regimes base=$rBase%.3f cut=$rCut%.3f rich=$rRich%.3f")
+    require(rRich >= rBase,
+      "richer codebook + deeper cut must not lose recall")
+    // the IVF-PQ composition at the rich-PQ config: the coarse filter
+    // cuts the ADC scan to ~nprobe/nlist of the corpus
+    val t1 = System.nanoTime()
+    val ivfpq = ops.Similarity.ssIvfPqTopkOn(spark, emb, "vec_id < 20", 5,
+      nlist = 16, nprobe = 2, nSub = 16, nCode = 64, mult = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rIvfPq = ivfpq.intersect(brute).size.toDouble / brute.size
+    println(f"PSCALE q=ss_ivfpq_topk(nSub=16,nCode=64,mult=40) " +
+      f"t=${(System.nanoTime() - t1) / 1e9}%.1f s recall@5=$rIvfPq%.3f")
+    println("PSCALE addendum11 done")
     spark.stop()
   }
 

@@ -748,7 +748,64 @@ object Dedup {
          |FROM aug""".stripMargin))
   }
 
+  /** Semantic deduplication (the SemDeDup shape, Abbas et al. 2023,
+    * public): embeddings are clustered by the SAME deterministic k-means
+    * quantizer as ss_ivf_ann ([[Similarity.ivfTrainAssignCtes]]), and
+    * within each cluster every vector whose cosine to a LOWER-id
+    * cluster-mate reaches `tau` is marked dropped (keep-first, the
+    * dd_exact discipline) — near-identical meaning collapses to one
+    * surviving copy even when the surface text differs entirely. Output
+    * is corpus-sized: (vec_id, cid, keep).
+    *
+    * Scale design: training + assignment are the IVF shapes (broadcast
+    * centroid relation, narrow assignment). The within-cluster pair join
+    * is an equality join on cid — SemDeDup's cost contract: pairs are
+    * bounded by Σ|cluster|², so `nlist` is the safety dial (nlist ≈ √N
+    * keeps E|cluster| = √N and total pair work ≈ N^1.5; the
+    * dd_embed_cos density lesson applies — a near-duplicate-heavy shard
+    * concentrates mass in one cluster, so production corpora should
+    * pre-pass [[ddEmbedCos]]'s guarded exact-twin removal first).
+    */
+  def ddSemDedupOn(s: SparkSession, emb: DataFrame,
+                   nlist: Int, tau: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    emb.createOrReplaceTempView("__emb")
+    s.sql(
+      s"""WITH ${Similarity.ivfTrainAssignCtes(nlist)},
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM assign a JOIN assign b
+         |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE ROUND(graft_dot(a.v, b.v) / (a.nrm * b.nrm), 6) >= ${tau}D)
+         |SELECT a.vec_id, a.cid, d.vec_id IS NULL AS keep
+         |FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+         |ORDER BY a.vec_id""".stripMargin)
+  }
+
+  /** The oracle-checked form: the corpus carries no ≥0.9 pairs (measured
+    * max natural cosine 0.51), so every 10th vector spawns a planted
+    * semantic twin — its double-cast embedding with +0.1 on the first
+    * coordinate (cosine ≈ 1, id offset by TwinIdOffset) — and SemDeDup
+    * at nlist=16, tau=0.9 must drop exactly the twins that share their
+    * original's cluster while every natural vector keeps.
+    */
+  def ddSemDedup(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "embeddings").createOrReplaceTempView("__emb_raw")
+    val aug = s.sql(
+      s"""SELECT vec_id,
+         |       transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+         |FROM __emb_raw
+         |UNION ALL
+         |SELECT vec_id + ${TwinIdOffset}L,
+         |       transform(embedding, (x, i) -> CAST(x AS DOUBLE)
+         |         + CASE WHEN i = 0 THEN CAST(0.1 AS DOUBLE)
+         |                ELSE CAST(0 AS DOUBLE) END)
+         |FROM __emb_raw WHERE vec_id % 10 = 0""".stripMargin)
+    ddSemDedupOn(s, aug, nlist = 16, tau = 0.9)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_semdedup" -> ((s: SparkSession, dir: String) => ddSemDedup(s, dir)),
     "dd_keepbest" -> ((s: SparkSession, dir: String) => ddKeepBest(s, dir)),
     "dd_substring" -> ((s: SparkSession, dir: String) => ddSubstring(s, dir)),
     "dd_paragraph" -> ((s: SparkSession, dir: String) => ddParagraph(s, dir)),
@@ -762,6 +819,45 @@ object Dedup {
     "dd_embed_cos" -> (ddEmbedCos _))
 
   val oracleSql: Map[String, String] = Map(
+    "dd_semdedup" ->
+      (s"""WITH base AS (
+          |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v
+          |  FROM embeddings
+          |  UNION ALL
+          |  SELECT vec_id + ${TwinIdOffset},
+          |         [embedding[i]::DOUBLE
+          |          + (CASE WHEN i = 1 THEN 0.1::DOUBLE ELSE 0.0::DOUBLE END)
+          |          FOR i IN generate_series(1, len(embedding))]
+          |  FROM embeddings WHERE vec_id % 10 = 0),
+          |n3 AS (
+          |  SELECT vec_id, v, sqrt(list_sum([x * x FOR x IN v])) AS nrm
+          |  FROM base),
+          |cent0 AS (
+          |  SELECT cid, cv, cnrm FROM (
+          |    SELECT (ROW_NUMBER() OVER (
+          |             ORDER BY md5('km42:' || vec_id::VARCHAR), vec_id))::INT
+          |             - 1 AS cid,
+          |           v AS cv, nrm AS cnrm
+          |    FROM n3) WHERE cid < 16),
+          |${Similarity.ivfDuckIters},
+          |assign AS (
+          |  SELECT vec_id, v, nrm, cid FROM (
+          |    SELECT n.vec_id, n.v, n.nrm, c.cid,
+          |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+          |             ORDER BY ROUND(list_sum([n.v[i] * c.cv[i]
+          |                        FOR i IN generate_series(1, len(n.v))])
+          |                      / (n.nrm * c.cnrm), 6) DESC, c.cid) AS rn
+          |    FROM n3 n CROSS JOIN cent${Similarity.IvfIters} c) WHERE rn = 1),
+          |dropped AS (
+          |  SELECT DISTINCT b.vec_id
+          |  FROM assign a JOIN assign b
+          |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+          |  WHERE ROUND(list_sum([a.v[i] * b.v[i]
+          |           FOR i IN generate_series(1, len(a.v))])
+          |        / (a.nrm * b.nrm), 6) >= 0.9)
+          |SELECT a.vec_id, a.cid, d.vec_id IS NULL AS keep
+          |FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+          |ORDER BY a.vec_id""".stripMargin.replaceAll("\n", " ")),
     "dd_keepbest" ->
       (s"""WITH aug AS (SELECT doc_id, text FROM documents """ +
         s"""UNION ALL SELECT doc_id + ${TwinIdOffset}, """ +

@@ -378,7 +378,120 @@ object Sessionize {
          |GROUP BY path ORDER BY n DESC, path LIMIT $k""".stripMargin)
   }
 
+  /** Event-type transition matrix — the first-order Markov estimate over
+    * each user's time-ordered stream: every prev→cur transition count and
+    * the row-normalized probability p(cur|prev). Complements [[evPaths]]
+    * (which surfaces only the top session TRIGRAMS): this is the full
+    * bigram model relation, |types|²-bounded regardless of event volume —
+    * the input to next-event prediction, anomaly scoring (improbable
+    * transitions), and simulation. Transitions span the user's whole
+    * stream (session-agnostic by design; compose with sessionized input
+    * for within-session transitions).
+    *
+    * Engine-exactness: integer counts, one double division rounded 6
+    * (the ta_tfidf discipline). Scale: ONE user_id exchange for the LAG
+    * window, then a partial-agg count to the types²-sized model — the
+    * same shape as the evPaths session windows minus the session tagging.
+    */
+  def evMarkov(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__mk_events")
+    s.sql(
+      """WITH tr AS (
+        |  SELECT LAG(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS prev,
+        |         event_type AS cur
+        |  FROM __mk_events),
+        |cnt AS (
+        |  SELECT prev, cur, COUNT(*) AS n FROM tr
+        |  WHERE prev IS NOT NULL GROUP BY prev, cur),
+        |row_tot AS (SELECT prev, SUM(n) AS tot FROM cnt GROUP BY prev)
+        |SELECT c.prev, c.cur, c.n,
+        |       ROUND(CAST(c.n AS DOUBLE) / t.tot, 6) AS p
+        |FROM cnt c JOIN row_tot t ON t.prev = c.prev
+        |ORDER BY prev, cur""".stripMargin)
+  }
+
+  /** The oracle-checked form over the events table. */
+  def evMarkov(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evMarkov(s.table("__events"))
+  }
+
+  /** RFM segmentation (the classic marketing-analytics rollup): per user
+    * the recency (whole days from their last event to the corpus's last
+    * event), frequency (event count), and monetary (decimal-exact value
+    * sum), each scored 1–5 against the corpus's own 20/40/60/80th
+    * percentile cuts (recency inverted — recent = 5), plus the composite
+    * 'rfm' digit string.
+    *
+    * Engine-exactness: recency/freq are integer-exact; monetary is the
+    * dsum discipline (decimal sum cast to double once); the percentile
+    * cuts are the q31 interpolated-percentile parity (identical
+    * (n−1)·q arithmetic in both engines on identical exact inputs), and
+    * the band compares are strict CASE chains.
+    *
+    * Scale design: one user_id aggregate over events; the cut relation
+    * is ONE row (an exact-percentile aggregate over the user rollup)
+    * broadcast back onto it — the q37 broadcast-back shape; no window,
+    * no global sort but the presentation ORDER BY.
+    */
+  def evRfm(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__rfm_events")
+    s.sql(
+      """WITH m AS (
+        |  SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS freq,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        |  FROM __rfm_events GROUP BY user_id),
+        |ref AS (SELECT MAX(last_ts) AS now_ts FROM m),
+        |b AS (
+        |  SELECT m.user_id,
+        |         (unix_micros(r.now_ts) - unix_micros(m.last_ts))
+        |           div 86400000000 AS recency_days,
+        |         m.freq, m.monetary
+        |  FROM m CROSS JOIN ref r),
+        |cuts AS (
+        |  SELECT percentile(recency_days, 0.2D) AS r20,
+        |         percentile(recency_days, 0.4D) AS r40,
+        |         percentile(recency_days, 0.6D) AS r60,
+        |         percentile(recency_days, 0.8D) AS r80,
+        |         percentile(freq, 0.2D) AS f20, percentile(freq, 0.4D) AS f40,
+        |         percentile(freq, 0.6D) AS f60, percentile(freq, 0.8D) AS f80,
+        |         percentile(monetary, 0.2D) AS m20,
+        |         percentile(monetary, 0.4D) AS m40,
+        |         percentile(monetary, 0.6D) AS m60,
+        |         percentile(monetary, 0.8D) AS m80
+        |  FROM b),
+        |sc AS (
+        |  SELECT b.user_id, b.recency_days, b.freq, b.monetary,
+        |    CASE WHEN b.recency_days <= c.r20 THEN 5
+        |         WHEN b.recency_days <= c.r40 THEN 4
+        |         WHEN b.recency_days <= c.r60 THEN 3
+        |         WHEN b.recency_days <= c.r80 THEN 2 ELSE 1 END AS r_score,
+        |    CASE WHEN b.freq > c.f80 THEN 5 WHEN b.freq > c.f60 THEN 4
+        |         WHEN b.freq > c.f40 THEN 3 WHEN b.freq > c.f20 THEN 2
+        |         ELSE 1 END AS f_score,
+        |    CASE WHEN b.monetary > c.m80 THEN 5 WHEN b.monetary > c.m60 THEN 4
+        |         WHEN b.monetary > c.m40 THEN 3 WHEN b.monetary > c.m20 THEN 2
+        |         ELSE 1 END AS m_score
+        |  FROM b CROSS JOIN cuts c)
+        |SELECT user_id, recency_days, freq, monetary, r_score, f_score,
+        |       m_score,
+        |       concat(CAST(r_score AS STRING), CAST(f_score AS STRING),
+        |              CAST(m_score AS STRING)) AS rfm
+        |FROM sc ORDER BY user_id""".stripMargin)
+  }
+
+  /** The oracle-checked form over the events table. */
+  def evRfm(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evRfm(s.table("__events"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_rfm" -> ((s: SparkSession, dir: String) => evRfm(s, dir)),
+    "ev_markov" -> ((s: SparkSession, dir: String) => evMarkov(s, dir)),
     "ev_paths" -> ((s: SparkSession, dir: String) => evPaths(s, dir)),
     "ev_spike" -> ((s: SparkSession, dir: String) => evSpike(s, dir)),
     "ev_sessionize" -> (evSessionize _),
@@ -388,6 +501,48 @@ object Sessionize {
     "ev_active_users" -> ((s: SparkSession, dir: String) => evActiveUsers(s, dir)))
 
   val oracleSql: Map[String, String] = Map(
+    "ev_rfm" ->
+      ("""WITH m AS (SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS freq, """ +
+        """CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary """ +
+        """FROM events GROUP BY user_id), """ +
+        """ref AS (SELECT MAX(last_ts) AS now_ts FROM m), """ +
+        """b AS (SELECT m.user_id, """ +
+        """(epoch_us(r.now_ts) - epoch_us(m.last_ts)) // 86400000000 """ +
+        """AS recency_days, m.freq, m.monetary FROM m CROSS JOIN ref r), """ +
+        """cuts AS (SELECT quantile_cont(recency_days, 0.2) AS r20, """ +
+        """quantile_cont(recency_days, 0.4) AS r40, """ +
+        """quantile_cont(recency_days, 0.6) AS r60, """ +
+        """quantile_cont(recency_days, 0.8) AS r80, """ +
+        """quantile_cont(freq, 0.2) AS f20, quantile_cont(freq, 0.4) AS f40, """ +
+        """quantile_cont(freq, 0.6) AS f60, quantile_cont(freq, 0.8) AS f80, """ +
+        """quantile_cont(monetary, 0.2) AS m20, """ +
+        """quantile_cont(monetary, 0.4) AS m40, """ +
+        """quantile_cont(monetary, 0.6) AS m60, """ +
+        """quantile_cont(monetary, 0.8) AS m80 FROM b), """ +
+        """sc AS (SELECT b.user_id, b.recency_days, b.freq, b.monetary, """ +
+        """CASE WHEN b.recency_days <= c.r20 THEN 5 """ +
+        """WHEN b.recency_days <= c.r40 THEN 4 """ +
+        """WHEN b.recency_days <= c.r60 THEN 3 """ +
+        """WHEN b.recency_days <= c.r80 THEN 2 ELSE 1 END AS r_score, """ +
+        """CASE WHEN b.freq > c.f80 THEN 5 WHEN b.freq > c.f60 THEN 4 """ +
+        """WHEN b.freq > c.f40 THEN 3 WHEN b.freq > c.f20 THEN 2 """ +
+        """ELSE 1 END AS f_score, """ +
+        """CASE WHEN b.monetary > c.m80 THEN 5 WHEN b.monetary > c.m60 THEN 4 """ +
+        """WHEN b.monetary > c.m40 THEN 3 WHEN b.monetary > c.m20 THEN 2 """ +
+        """ELSE 1 END AS m_score FROM b CROSS JOIN cuts c) """ +
+        """SELECT user_id, recency_days, freq, monetary, r_score, f_score, """ +
+        """m_score, r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR """ +
+        """AS rfm FROM sc ORDER BY user_id"""),
+    "ev_markov" ->
+      ("""WITH tr AS (SELECT LAG(event_type) OVER (PARTITION BY user_id """ +
+        """ORDER BY ts, event_id) AS prev, event_type AS cur FROM events), """ +
+        """cnt AS (SELECT prev, cur, COUNT(*) AS n FROM tr """ +
+        """WHERE prev IS NOT NULL GROUP BY prev, cur), """ +
+        """row_tot AS (SELECT prev, SUM(n)::BIGINT AS tot FROM cnt GROUP BY prev) """ +
+        """SELECT c.prev, c.cur, c.n, """ +
+        """ROUND(c.n::DOUBLE / t.tot, 6) AS p """ +
+        """FROM cnt c JOIN row_tot t ON t.prev = c.prev """ +
+        """ORDER BY c.prev, c.cur"""),
     "ev_paths" ->
       s"""WITH flagged AS (
          |  SELECT user_id, ts, event_id, event_type,

@@ -147,7 +147,7 @@ object Similarity {
   /** Number of k-means refinement iterations of the IVF coarse quantizer
     * (each = assign-to-nearest + decimal-exact per-dimension mean).
     */
-  private val IvfIters = 2
+  private[ops] val IvfIters = 2
 
   /** Spark SQL for the IVF ANN over view `__emb`: seeded deterministic
     * k-means init (the `nlist` vectors with the smallest
@@ -161,8 +161,12 @@ object Similarity {
     * impossible for binary-fraction inputs, so HALF_UP/HALF_EVEN agree).
     * Empty clusters drop out in both engines identically.
     */
-  private[ops] def ivfSparkSql(queryPred: String, topK: Int,
-                               nlist: Int = 16, nprobe: Int = 2): String = {
+  /** The k-means training + full-corpus assignment CTE chain over view
+    * `__emb` (base → n3 → seeded cand0/cent0 → `IvfIters` refinement
+    * rounds → assign), shared by [[ivfSparkSql]] and the SemDeDup
+    * operator so both run the IDENTICAL deterministic quantizer.
+    */
+  private[ops] def ivfTrainAssignCtes(nlist: Int): String = {
     val iters = (1 to IvfIters).map { k =>
       s"""a$k AS (
          |  SELECT vec_id, v, nrm, cid FROM (
@@ -185,7 +189,7 @@ object Similarity {
          |    FROM m$k GROUP BY cid))""".stripMargin
     }.mkString(",\n")
     val C = s"cent$IvfIters"
-    s"""WITH base AS (
+    s"""base AS (
        |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM __emb),
        |n3 AS (
@@ -211,7 +215,13 @@ object Similarity {
        |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
        |             ORDER BY ROUND(graft_dot(n.v, c.cv) / (n.nrm * c.cnrm), 6)
        |                        DESC, c.cid) AS rn
-       |    FROM n3 n CROSS JOIN $C c) WHERE rn = 1),
+       |    FROM n3 n CROSS JOIN $C c) WHERE rn = 1)""".stripMargin
+  }
+
+  private[ops] def ivfSparkSql(queryPred: String, topK: Int,
+                               nlist: Int = 16, nprobe: Int = 2): String = {
+    val C = s"cent$IvfIters"
+    s"""WITH ${ivfTrainAssignCtes(nlist)},
        |probes AS (
        |  SELECT vec_id AS qid, cid FROM (
        |    SELECT n.vec_id, c.cid,
@@ -405,16 +415,16 @@ object Similarity {
     * depend on partitioning); every rank key is a 6-decimal round with
     * code/vec_id tiebreaks.
     */
-  private[ops] def pqSparkSql(queryPred: String, topK: Int,
-                              nSub: Int = 8, nCode: Int = 16,
-                              mult: Int = 3): String = {
+  /** The PQ codebook-training + corpus-encoding CTE chain over an
+    * existing `n3` (vec_id, v, nrm) relation: subvector stream → seeded
+    * codebook init → one decimal-exact refinement → per-vector codes
+    * (`enc`) and reconstruction norms (`recn`). Shared by the standalone
+    * [[pqSparkSql]] and the IVF-PQ composition (CTE names are prefixed
+    * pq- where they would collide with the IVF training chain's).
+    */
+  private[ops] def pqTrainEncodeCtes(nSub: Int, nCode: Int): String = {
     val d = 64 / nSub
-    s"""WITH base AS (
-       |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM __emb_pq),
-       |n3 AS (
-       |  SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM base),
-       |sub AS (
+    s"""sub AS (
        |  SELECT vec_id, m, slice(v, m * $d + 1, $d) AS sv
        |  FROM n3 LATERAL VIEW explode(sequence(0, ${nSub - 1})) AS m),
        |seed AS (
@@ -429,7 +439,7 @@ object Similarity {
        |    SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) AS INT) - 1
        |             AS code, v
        |    FROM seed) LATERAL VIEW explode(sequence(0, ${nSub - 1})) AS m),
-       |a1 AS (
+       |pqa1 AS (
        |  SELECT vec_id, m, sv, code FROM (
        |    SELECT u.vec_id, u.m, u.sv, c.code,
        |           ROW_NUMBER() OVER (PARTITION BY u.vec_id, u.m
@@ -437,18 +447,18 @@ object Similarity {
        |                            - 2 * graft_dot(u.sv, c.cv), 6) ASC,
        |                      c.code) AS rn
        |    FROM sub u JOIN cb0 c ON c.m = u.m) WHERE rn = 1),
-       |m1 AS (
+       |pqm1 AS (
        |  SELECT m, code, i,
        |         ROUND(CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE)
        |               / COUNT(1), 6) AS mx
-       |  FROM a1 LATERAL VIEW posexplode(sv) AS i, x
+       |  FROM pqa1 LATERAL VIEW posexplode(sv) AS i, x
        |  GROUP BY m, code, i),
        |cb1 AS (
        |  SELECT m, code, cv, graft_dot(cv, cv) AS cn2 FROM (
        |    SELECT m, code,
        |           transform(array_sort(collect_list(struct(i, mx))),
        |                     p -> p.mx) AS cv
-       |    FROM m1 GROUP BY m, code)),
+       |    FROM pqm1 GROUP BY m, code)),
        |enc AS (
        |  SELECT vec_id, m, code FROM (
        |    SELECT u.vec_id, u.m, c.code,
@@ -461,8 +471,19 @@ object Similarity {
        |         CAST(SUM(CAST(ROUND(c.cn2, 9) AS DECIMAL(28,9))) AS DOUBLE)
        |           AS rn2
        |  FROM enc e JOIN cb1 c ON c.m = e.m AND c.code = e.code
-       |  GROUP BY e.vec_id),
-       |qv AS (
+       |  GROUP BY e.vec_id)""".stripMargin
+  }
+
+  /** The ADC query tail shared by the standalone PQ and IVF-PQ queries:
+    * query LUT → ADC fold (optionally over an externally restricted
+    * candidate relation `candSrc` instead of the whole `enc`) → approx-
+    * cosine cut at mult·topK → exact rescore → final top-k.
+    */
+  private[ops] def pqQueryTail(queryPred: String, topK: Int, nSub: Int,
+                               mult: Int, candJoin: String = "",
+                               lutQidCond: String = ""): String = {
+    val d = 64 / nSub
+    s"""qv AS (
        |  SELECT vec_id AS qid, v AS qvec, nrm AS qnrm FROM n3 WHERE $queryPred),
        |lut AS (
        |  SELECT q.qid, c.m, c.code,
@@ -472,7 +493,9 @@ object Similarity {
        |  SELECT l.qid, e.vec_id AS neighbor_id,
        |         CAST(SUM(CAST(ROUND(l.pdot, 9) AS DECIMAL(28,9))) AS DOUBLE)
        |           AS adot
-       |  FROM enc e JOIN lut l ON l.m = e.m AND l.code = e.code
+       |  FROM enc e
+       |  $candJoin
+       |  JOIN lut l ON ${lutQidCond}l.m = e.m AND l.code = e.code
        |  WHERE e.vec_id <> l.qid
        |  GROUP BY l.qid, e.vec_id),
        |cand AS (
@@ -500,6 +523,17 @@ object Similarity {
        |  FROM res)
        |WHERE rn <= $topK ORDER BY query_id, rn""".stripMargin
   }
+
+  private[ops] def pqSparkSql(queryPred: String, topK: Int,
+                              nSub: Int = 8, nCode: Int = 16,
+                              mult: Int = 3): String =
+    s"""WITH base AS (
+       |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM __emb_pq),
+       |n3 AS (
+       |  SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM base),
+       |${pqTrainEncodeCtes(nSub, nCode)},
+       |${pqQueryTail(queryPred, topK, nSub, mult)}""".stripMargin
 
   /** Product-quantized approximate top-k with exact rescoring (the FAISS
     * "PQ" memory path, one tier beyond [[ssSqTopkOn]]'s SQ8): codes cost
@@ -541,17 +575,67 @@ object Similarity {
   def ssPqTopk(s: SparkSession, dir: String): DataFrame =
     ssPqTopkOn(s, Tables.load(s, dir, "embeddings"), "vec_id < 5", 10)
 
+  /** IVF-PQ: the canonical 100 TB ANN composition — the IVF coarse
+    * quantizer restricts WHICH vectors each query scans (nprobe of nlist
+    * clusters, [[ssIvfAnnOn]]'s dial), and PQ codes shrink WHAT each
+    * scanned vector costs (the ADC fold over 8-byte codes instead of a
+    * 512-byte float dot, [[ssPqTopkOn]]'s dial); survivors rescore
+    * exactly. Both quantizers are the library's deterministic seeded
+    * chains verbatim ([[ivfTrainAssignCtes]] + [[pqTrainEncodeCtes]]),
+    * so the composed result is oracle-able end-to-end. This simplified
+    * composition encodes RAW vectors, not per-cluster residuals — the
+    * residual refinement is a fidelity upgrade the plain-SQL formulation
+    * trades away for cross-engine exactness, and the `mult` rescore cut
+    * absorbs most of the difference.
+    *
+    * Scale shape: training/encoding as the component ops; the per-query
+    * candidate set is |probed clusters| of the corpus (an equality join
+    * probes→assign on cid), and only that subset enters the ADC fold —
+    * at nlist ≈ √N and nprobe ≪ nlist the scan is ~nprobe·√N codes per
+    * query instead of N.
+    */
+  def ssIvfPqTopkOn(s: SparkSession, emb: DataFrame, queryPred: String,
+                    topK: Int, nlist: Int = 16, nprobe: Int = 2,
+                    nSub: Int = 8, nCode: Int = 16,
+                    mult: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    emb.createOrReplaceTempView("__emb")
+    val C = s"cent$IvfIters"
+    s.sql(
+      s"""WITH ${ivfTrainAssignCtes(nlist)},
+         |${pqTrainEncodeCtes(nSub, nCode)},
+         |qprobes AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT n.vec_id AS qid, c.cid,
+         |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+         |             ORDER BY ROUND(graft_dot(n.v, c.cv) / (n.nrm * c.cnrm), 6)
+         |                        DESC, c.cid) AS rn
+         |    FROM n3 n CROSS JOIN $C c WHERE $queryPred) WHERE rn <= $nprobe),
+         |${pqQueryTail(queryPred, topK, nSub, mult,
+           candJoin = "JOIN assign s2 ON s2.vec_id = e.vec_id\n" +
+             "  JOIN qprobes p ON p.cid = s2.cid",
+           lutQidCond = "l.qid = p.qid AND ")}""".stripMargin)
+  }
+
+  /** Oracle-query form: IVF-PQ top-10 for query vectors vec_id < 5 at
+    * nlist=16/nprobe=2 — row-comparable with the exact/SQ8/PQ entries;
+    * the rank differences ARE the composition's candidate truncation.
+    */
+  def ssIvfPqTopk(s: SparkSession, dir: String): DataFrame =
+    ssIvfPqTopkOn(s, Tables.load(s, dir, "embeddings"), "vec_id < 5", 10)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ss_cosine_topk" -> (ssCosineTopk _),
     "ss_sq_topk" -> (ssSqTopk _),
     "ss_pq_topk" -> (ssPqTopk _),
+    "ss_ivfpq_topk" -> (ssIvfPqTopk _),
     "ss_lsh_ann" -> (ssLshAnn _),
     "ss_ivf_ann" -> (ssIvfAnn _))
 
   /** DuckDB mirror of the k-means iteration chain (bit-equal centroids:
     * same seeded init order, same decimal-exact means, same rounding).
     */
-  private def ivfDuckIters: String = (1 to IvfIters).map { k =>
+  private[ops] def ivfDuckIters: String = (1 to IvfIters).map { k =>
     def cos(v: String, c: String): String =
       s"ROUND(list_sum([$v[i] * $c[i] FOR i IN generate_series(1, len($v))])"
     s"""a$k AS (
@@ -573,6 +657,127 @@ object Similarity {
   }.mkString(",\n")
 
   val oracleSql: Map[String, String] = Map(
+    "ss_ivfpq_topk" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),
+         |n3 AS (
+         |  SELECT vec_id, v, sqrt(list_sum([x * x FOR x IN v])) AS nrm FROM base),
+         |cent0 AS (
+         |  SELECT cid, cv, cnrm FROM (
+         |    SELECT (ROW_NUMBER() OVER (
+         |             ORDER BY md5('km42:' || vec_id::VARCHAR), vec_id))::INT
+         |             - 1 AS cid,
+         |           v AS cv, nrm AS cnrm
+         |    FROM n3) WHERE cid < 16),
+         |$ivfDuckIters,
+         |assign AS (
+         |  SELECT vec_id, v, nrm, cid FROM (
+         |    SELECT n.vec_id, n.v, n.nrm, c.cid,
+         |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+         |             ORDER BY ROUND(list_sum([n.v[i] * c.cv[i]
+         |                        FOR i IN generate_series(1, len(n.v))])
+         |                      / (n.nrm * c.cnrm), 6) DESC, c.cid) AS rn
+         |    FROM n3 n CROSS JOIN cent$IvfIters c) WHERE rn = 1),
+         |sub AS (
+         |  SELECT vec_id, g.m, v[(g.m*8+1):(g.m*8+8)] AS sv
+         |  FROM n3 CROSS JOIN generate_series(0, 7) g(m)),
+         |seedranked AS (
+         |  SELECT (ROW_NUMBER() OVER (
+         |           ORDER BY md5('pq42:' || vec_id::VARCHAR), vec_id))::INT - 1
+         |           AS code, v
+         |  FROM n3),
+         |cb0 AS (
+         |  SELECT g.m, code, v[(g.m*8+1):(g.m*8+8)] AS cv
+         |  FROM seedranked CROSS JOIN generate_series(0, 7) g(m)
+         |  WHERE code < 16),
+         |pqa1 AS (
+         |  SELECT vec_id, m, sv, code FROM (
+         |    SELECT u.vec_id, u.m, u.sv, c.code,
+         |           ROW_NUMBER() OVER (PARTITION BY u.vec_id, u.m
+         |             ORDER BY ROUND(
+         |               list_sum([c.cv[i] * c.cv[i]
+         |                 FOR i IN generate_series(1, len(c.cv))])
+         |               - 2 * list_sum([u.sv[i] * c.cv[i]
+         |                 FOR i IN generate_series(1, len(u.sv))]), 6) ASC,
+         |               c.code) AS rn
+         |    FROM sub u JOIN cb0 c ON c.m = u.m) WHERE rn = 1),
+         |pqm1 AS (
+         |  SELECT m, code, g.i,
+         |         ROUND((SUM((sv[g.i])::DECIMAL(27,12)))::DOUBLE
+         |               / COUNT(*), 6) AS mx
+         |  FROM pqa1 CROSS JOIN generate_series(1, 8) g(i)
+         |  GROUP BY m, code, g.i),
+         |cb1 AS (
+         |  SELECT m, code, cv, list_sum([x * x FOR x IN cv]) AS cn2 FROM (
+         |    SELECT m, code, list(mx ORDER BY i) AS cv FROM pqm1
+         |    GROUP BY m, code)),
+         |enc AS (
+         |  SELECT vec_id, m, code FROM (
+         |    SELECT u.vec_id, u.m, c.code,
+         |           ROW_NUMBER() OVER (PARTITION BY u.vec_id, u.m
+         |             ORDER BY ROUND(c.cn2
+         |               - 2 * list_sum([u.sv[i] * c.cv[i]
+         |                 FOR i IN generate_series(1, len(u.sv))]), 6) ASC,
+         |               c.code) AS rn
+         |    FROM sub u JOIN cb1 c ON c.m = u.m) WHERE rn = 1),
+         |recn AS (
+         |  SELECT e.vec_id,
+         |         (SUM(CAST(ROUND(c.cn2, 9) AS DECIMAL(28,9))))::DOUBLE AS rn2
+         |  FROM enc e JOIN cb1 c ON c.m = e.m AND c.code = e.code
+         |  GROUP BY e.vec_id),
+         |qv AS (
+         |  SELECT vec_id AS qid, v AS qvec, nrm AS qnrm FROM n3
+         |  WHERE vec_id < 5),
+         |qprobes AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT n.vec_id AS qid, c.cid,
+         |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+         |             ORDER BY ROUND(list_sum([n.v[i] * c.cv[i]
+         |                        FOR i IN generate_series(1, len(n.v))])
+         |                      / (n.nrm * c.cnrm), 6) DESC, c.cid) AS rn
+         |    FROM n3 n CROSS JOIN cent$IvfIters c
+         |    WHERE n.vec_id < 5) WHERE rn <= 2),
+         |lut AS (
+         |  SELECT q.qid, c.m, c.code,
+         |         list_sum([q.qvec[c.m*8 + i] * c.cv[i]
+         |           FOR i IN generate_series(1, len(c.cv))]) AS pdot
+         |  FROM qv q CROSS JOIN cb1 c),
+         |adc AS (
+         |  SELECT l.qid, e.vec_id AS neighbor_id,
+         |         (SUM(CAST(ROUND(l.pdot, 9) AS DECIMAL(28,9))))::DOUBLE
+         |           AS adot
+         |  FROM enc e
+         |  JOIN assign s2 ON s2.vec_id = e.vec_id
+         |  JOIN qprobes p ON p.cid = s2.cid
+         |  JOIN lut l ON l.qid = p.qid AND l.m = e.m AND l.code = e.code
+         |  WHERE e.vec_id <> l.qid
+         |  GROUP BY l.qid, e.vec_id),
+         |cand AS (
+         |  SELECT a.qid, a.neighbor_id,
+         |         ROUND(a.adot / (q.qnrm * sqrt(r.rn2)), 6) AS cosq
+         |  FROM adc a
+         |  JOIN qv q ON q.qid = a.qid
+         |  JOIN recn r ON r.vec_id = a.neighbor_id),
+         |topc AS (
+         |  SELECT qid, neighbor_id, cosq FROM (
+         |    SELECT qid, neighbor_id, cosq,
+         |           ROW_NUMBER() OVER (PARTITION BY qid
+         |             ORDER BY cosq DESC, neighbor_id) AS rnq
+         |    FROM cand) WHERE rnq <= 30),
+         |res AS (
+         |  SELECT t.qid, t.neighbor_id, t.cosq,
+         |         ROUND(list_sum([q.qvec[i] * b.v[i]
+         |                 FOR i IN generate_series(1, len(q.qvec))])
+         |               / (q.qnrm * b.nrm), 6) AS cos
+         |  FROM topc t
+         |  JOIN qv q ON q.qid = t.qid
+         |  JOIN n3 b ON b.vec_id = t.neighbor_id)
+         |SELECT qid AS query_id, neighbor_id, cos, cosq, rn FROM (
+         |  SELECT qid, neighbor_id, cos, cosq,
+         |         ROW_NUMBER() OVER (PARTITION BY qid
+         |           ORDER BY cos DESC, neighbor_id) AS rn
+         |  FROM res)
+         |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin.replaceAll("\n", " "),
     "ss_pq_topk" ->
       """WITH base AS (
         |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),

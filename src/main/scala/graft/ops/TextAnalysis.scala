@@ -428,6 +428,26 @@ object TextAnalysis {
          |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   }
 
+  /** The oracle-checked form of [[taPerplexityAgainst]] — previously a
+    * production-only entry, now wired into the correctness gate: even
+    * doc_ids form the reference LM corpus, odd doc_ids are scored against
+    * it, and every 5th scored doc gets a synthetic token ('zzqx0..2')
+    * guaranteed absent from the LM vocabulary — so the Laplace OOV path
+    * (c = 0) is exercised and hash-proven, not just spec-tested.
+    */
+  def taPplForeign(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "documents").createOrReplaceTempView("__pplf_docs")
+    val scored = s.sql(
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 5 = 0
+        |            THEN concat(text, ' zzqx', CAST(doc_id % 3 AS STRING))
+        |            ELSE text END AS text
+        |FROM __pplf_docs WHERE doc_id % 2 = 1""".stripMargin)
+    val lm = s.sql(
+      "SELECT doc_id, text FROM __pplf_docs WHERE doc_id % 2 = 0")
+    taPerplexityAgainst(scored, lm)
+  }
+
   /** Token-distribution entropy (quality signal): the Shannon entropy of
     * each document's own unigram distribution, H = log2(n) − Σc·log2(c)/n,
     * plus the top-token mass `top_ratio` = max(c)/n. Degenerate text is
@@ -516,15 +536,18 @@ object TextAnalysis {
     */
   def taReadability(s: SparkSession, dir: String): DataFrame = {
     Tables.load(s, dir, "documents").createOrReplaceTempView("__read_raw")
+    // toks bound as a column: a lambda that re-split the text per
+    // sentence would be O(L^2) per doc (the ta_derep trap — measured
+    // 100.9 s -> 3 s at 500k docs)
     val aug = s.sql(
       s"""SELECT doc_id,
          |  array_join(
-         |    transform(sequence(0, (size($toks) + k - 1) div k - 1),
+         |    transform(sequence(0, (size(toks) + k - 1) div k - 1),
          |      i -> concat(
-         |        array_join(slice($toks, i * k + 1, k), ' '),
+         |        array_join(slice(toks, i * k + 1, k), ' '),
          |        CASE WHEN (doc_id + i) % 3 = 0 THEN '!' ELSE '.' END)),
          |    ' ') AS text
-         |FROM (SELECT doc_id, text, 8 + CAST(doc_id % 5 AS INT) AS k
+         |FROM (SELECT doc_id, $toks AS toks, 8 + CAST(doc_id % 5 AS INT) AS k
          |      FROM __read_raw)""".stripMargin)
     taReadability(aug)
   }
@@ -542,11 +565,29 @@ object TextAnalysis {
     "ta_gopher" -> ((s: SparkSession, dir: String) => taGopher(s, dir)),
     "ta_c4filter" -> ((s: SparkSession, dir: String) => taC4Filter(s, dir)),
     "ta_bigram_ppl" -> ((s: SparkSession, dir: String) => taBigramPpl(s, dir)),
-    "ta_readability" -> ((s: SparkSession, dir: String) => taReadability(s, dir)))
+    "ta_readability" -> ((s: SparkSession, dir: String) => taReadability(s, dir)),
+    "ta_ppl_foreign" -> ((s: SparkSession, dir: String) => taPplForeign(s, dir)))
 
   private val sqlToks = "string_split(text, ' ')"
 
   val oracleSql: Map[String, String] = Map(
+    "ta_ppl_foreign" ->
+      ("WITH sc AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 " +
+        "THEN text || ' zzqx' || (doc_id % 3)::VARCHAR ELSE text END AS text " +
+        "FROM documents WHERE doc_id % 2 = 1), " +
+        "lm AS (SELECT text FROM documents WHERE doc_id % 2 = 0), " +
+        "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM sc), " +
+        "cnt AS (SELECT token, COUNT(*) AS c FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS token FROM lm) GROUP BY token), " +
+        "tot AS (SELECT SUM(c)::BIGINT AS t, COUNT(*) AS v FROM cnt), " +
+        "terms AS (SELECT k.doc_id, " +
+        "CAST(ROUND(-ln((COALESCE(c.c, 0) + 1)::DOUBLE / (t.t + t.v + 1)), 9) " +
+        "AS DECIMAL(28,9)) AS term " +
+        "FROM tok k LEFT JOIN cnt c ON c.token = k.token CROSS JOIN tot t) " +
+        "SELECT doc_id, COUNT(*) AS n_tokens, " +
+        "ROUND(SUM(term)::DOUBLE / COUNT(*), 6) AS xent, " +
+        "ROUND(exp(ROUND(SUM(term)::DOUBLE / COUNT(*), 6)), 6) AS ppl " +
+        "FROM terms GROUP BY doc_id ORDER BY doc_id"),
     "ta_readability" ->
       (s"WITH p AS (SELECT doc_id, $sqlToks AS toks, " +
         "8 + (doc_id % 5)::INT AS k FROM documents), " +

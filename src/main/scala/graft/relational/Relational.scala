@@ -374,6 +374,39 @@ object Relational {
         |FROM m ORDER BY l_returnflag""".stripMargin)
   }
 
+  /** Simple linear regression per group — slope, intercept, and R² of
+    * extendedprice on quantity, all in CLOSED FORM from the same six
+    * decimal-exact moment sums as q36 (one partial+final aggregate, the
+    * q3 single-shuffle shape). Spark's own regr_slope/regr_r2 stream
+    * doubles in partition order — unusable for a cross-engine hash; the
+    * moment formulation evaluates identical expressions on identical
+    * exact scalars in both engines. Intercept uses the direct closed
+    * form (sy·sxx − sx·sxy)/(n·sxx − sx²) rather than chaining through
+    * the rounded slope, so each output is ONE fixed-shape expression.
+    */
+  def q38_regr(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "lineitem").createOrReplaceTempView("__li38")
+    s.sql(
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |             * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |             * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |             * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        |  FROM __li38 GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  ROUND((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 6) AS intercept,
+        |  ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |FROM m ORDER BY l_returnflag""".stripMargin)
+  }
+
   /** Robust statistics per group — median + MAD (median absolute
     * deviation) + the 90th deviation percentile: the outlier-resistant
     * complement to q36's moment statistics. Inherently TWO passes over
@@ -400,6 +433,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_mad" -> (q37_mad _),
+    "q38_regr" -> (q38_regr _),
     "q36_corr" -> (q36_corr _),
     "q32_histogram" -> (q32_histogram _),
     "q35_grouping_sets" -> (q35_grouping_sets _),
@@ -440,6 +474,24 @@ object Relational {
         "quantile_cont(abs(l.l_quantity - m.med), 0.9) AS dev_p90 " +
         "FROM lineitem l JOIN med m ON m.l_returnflag = l.l_returnflag " +
         "GROUP BY l.l_returnflag, m.med ORDER BY l.l_returnflag"),
+    "q38_regr" ->
+      ("WITH m AS (SELECT l_returnflag, " +
+        "CAST(COUNT(*) AS DOUBLE) AS n, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) " +
+        "* CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) " +
+        "* CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) " +
+        "* CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy " +
+        "FROM lineitem GROUP BY l_returnflag) " +
+        "SELECT l_returnflag, CAST(n AS BIGINT) AS n, " +
+        "ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope, " +
+        "ROUND((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 6) AS intercept, " +
+        "ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy) " +
+        "/ ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2 " +
+        "FROM m ORDER BY l_returnflag"),
     "q36_corr" ->
       ("WITH m AS (SELECT l_returnflag, " +
         "CAST(COUNT(*) AS DOUBLE) AS n, " +

@@ -54,6 +54,9 @@ class EmptyInputSpec extends AnyFunSuite {
     val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(Similarity.ssSqTopkOn(spark, emptyEmb, "vec_id < 5", 10).count() == 0)
     assert(Similarity.ssPqTopkOn(spark, emptyEmb, "vec_id < 5", 10).count() == 0)
+    assert(Dedup.ddSemDedupOn(spark, emptyEmb, 16, 0.9).count() == 0)
+    assert(Similarity.ssIvfPqTopkOn(spark, emptyEmb, "vec_id < 5", 10)
+      .count() == 0)
     assert(Similarity.bruteTopkOn(spark, emptyEmb, "vec_id < 5", 10).count() == 0)
   }
 
@@ -65,6 +68,8 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Sessionize.evAttribution(emptyEvents).count() == 0)
     assert(Sessionize.evActiveUsers(emptyEvents).count() == 0)
     assert(Sessionize.evSpike(emptyEvents).count() == 0)
+    assert(Sessionize.evMarkov(emptyEvents).count() == 0)
+    assert(Sessionize.evRfm(emptyEvents).count() == 0)
   }
 
   test("PageRank on an empty graph fails fast with a clear message") {

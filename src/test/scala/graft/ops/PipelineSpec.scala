@@ -1255,6 +1255,76 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.exists(_._4 >= 2))
   }
 
+  test("ev_markov: transition rows sum to each prev's outflow; probs to 1") {
+    val rows = Sessionize.evMarkov(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (prev, g) =>
+      val pSum = g.map(_._4).sum
+      assert(math.abs(pSum - 1.0) < 1e-4, s"$prev rows sum to $pSum")
+    }
+    // cross-check one cell against an in-memory lag over the same events
+    val ev = graft.Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val mem = ev.groupBy(_._1).values.flatMap { g =>
+      val sorted = g.sortBy(e => (e._2.getTime, e._3))
+      sorted.sliding(2).collect { case Array(a, b) => (a._4, b._4) }
+    }.toSeq.groupBy(identity).view.mapValues(_.size)
+    rows.foreach { case (p, c, n, _) =>
+      assert(mem.getOrElse((p, c), 0) == n, s"count mismatch for $p>$c")
+    }
+  }
+
+  test("ev_rfm: scores are quintile-monotone and metrics replay exactly") {
+    val rows = Sessionize.evRfm(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4), r.getInt(5), r.getInt(6), r.getString(7)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, _, _, rs, fs, ms, rfm) =>
+      assert(rs >= 1 && rs <= 5 && fs >= 1 && fs <= 5 && ms >= 1 && ms <= 5)
+      assert(rfm == s"$rs$fs$ms")
+    }
+    // monotonicity: sorting users by a metric must sort its score the
+    // same way (recency inverted)
+    val byRec = rows.sortBy(_._2)
+    assert(byRec.map(_._5).sliding(2).forall(p => p(0) >= p(1)),
+      "r_score not anti-monotone in recency_days")
+    val byFreq = rows.sortBy(_._3)
+    assert(byFreq.map(_._6).sliding(2).forall(p => p(0) <= p(1)),
+      "f_score not monotone in freq")
+    // exact metric replay for one user
+    val ev = graft.Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "ts", "CAST(value AS DECIMAL(18,2)) AS v")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        r.getDecimal(2)))
+    val freqs = ev.groupBy(_._1).view.mapValues(_.length)
+    rows.foreach { case (u, _, f, _, _, _, _, _) =>
+      assert(freqs(u) == f, s"user $u freq $f vs ${freqs(u)}")
+    }
+  }
+
+  test("ddSemDedup: planted semantic twins drop, natural vectors keep") {
+    val rows = Dedup.ddSemDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    val (twins, naturals) = rows.partition(_._1 >= Dedup.TwinIdOffset)
+    // nothing natural is ever dropped (measured max natural cosine 0.51
+    // vs tau = 0.9)
+    assert(naturals.forall(_._3), "a natural vector was dropped")
+    // a twin survives only by landing in a different cluster than its
+    // original — rare at nlist=16; most planted twins must drop
+    val dropped = twins.count(!_._3)
+    assert(dropped >= 0.8 * twins.length,
+      s"only $dropped/${twins.length} planted twins dropped")
+    // every dropped twin's original is kept (keep-first)
+    val keptIds = rows.filter(_._3).map(_._1).toSet
+    twins.filter(!_._3).foreach { case (id, _, _) =>
+      assert(keptIds.contains(id - Dedup.TwinIdOffset),
+        s"twin $id dropped but original missing")
+    }
+  }
+
   test("ddKeepBest(members): argmax with doc_id tiebreak on hand input") {
     import spark.implicits._
     val members = Seq(

@@ -242,4 +242,41 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
     assert(pq.toSeq == again.toSeq, "PQ result not deterministic")
   }
+
+  test("IVF-PQ: composed recall tracks plain PQ at matched cut depth") {
+    val rng = new Random(37)
+    val dim = 64
+    val rows = for {
+      c <- 0 until 16
+      center = unit(rng, dim)
+      m <- 0 until 30
+    } yield {
+      val noise = unit(rng, dim)
+      val v = center.zip(noise).map { case (a, b) => a + 0.15 * b }
+      (c * 1000L + m, v)
+    }
+    val emb = toEmb(rows)
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      val brute = Similarity.bruteTopkOn(spark, emb, "vec_id % 1000 = 0",
+        topK = 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      val rs = brute.map { case (q, exact) =>
+        val g = got.getOrElse(q, Array.empty).map(_._2).toSet
+        exact.map(_._2).count(g) / exact.length.toDouble
+      }
+      rs.sum / rs.size
+    }
+    val pq = recallOf(Similarity.ssPqTopkOn(spark, emb,
+      "vec_id % 1000 = 0", topK = 5, mult = 12))
+    val ivfpq = recallOf(Similarity.ssIvfPqTopkOn(spark, emb,
+      "vec_id % 1000 = 0", topK = 5, mult = 12))
+    // nprobe=2 of 16 covers each query's own cluster, where brute's top-5
+    // live in this regime — the coarse filter must cost little recall
+    // while cutting the ADC scan ~8x
+    assert(ivfpq >= pq - 0.15,
+      s"IVF-PQ recall $ivfpq collapsed vs PQ $pq at the same cut")
+    assert(ivfpq >= 0.6, s"IVF-PQ recall $ivfpq < 0.6")
+  }
 }

@@ -42,6 +42,30 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q38_regr: r2 = corr^2, line passes through the mean point") {
+    val corr = Relational.q36_corr(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val means = graft.Tables.load(spark, sf, "lineitem")
+      .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (f, g) =>
+        f -> (g.map(_._2).sum / g.length, g.map(_._3).sum / g.length)
+      }
+    val got = Relational.q38_regr(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    got.foreach { case (flag, _, slope, intercept, r2) =>
+      val c = corr(flag)
+      assert(math.abs(r2 - c * c) < 1e-5, s"$flag r2 $r2 vs corr^2 ${c * c}")
+      // least squares: y-mean = slope * x-mean + intercept
+      val (mx, my) = means(flag)
+      assert(math.abs(my - (slope * mx + intercept)) < 1e-2 * math.abs(my),
+        s"$flag line misses the mean point")
+      assert(r2 >= 0.0 && r2 <= 1.0)
+    }
+  }
+
   test("q37_mad: matches an in-memory interpolated-percentile replay") {
     def pct(xs: Array[Double], q: Double): Double = {
       val s = xs.sorted
