@@ -484,6 +484,53 @@ object Pipeline {
   def dsShuffle(s: SparkSession, dir: String): DataFrame =
     dsShuffle(Tables.load(s, dir, "documents"))
 
+  /** Curriculum ordering (the easy-to-hard training schedule): each
+    * document lands in a quality PHASE — floor(sc·phases) on a bounded
+    * score, the dsTokBudget band discipline, clamped to [0, phases) — and
+    * gets a reproducible within-(phase, shard) position from the
+    * ds_shuffle digest draw ('cur:' salt, independent of the other
+    * draws). Consuming order is (phase DESC, shard, pos): highest-quality
+    * phase first, deterministically shuffled inside each phase.
+    *
+    * Scale design: the ds_shuffle contract — phases × 16 md5 shards keep
+    * every rank window a task-sized partition (more digest digits at
+    * larger SF), one hash exchange, no global sort but the presentation
+    * ORDER BY; NO corpus-wide ntile (a global quantile rank would
+    * single-partition the corpus — phases come from the score's own
+    * bounded scale instead).
+    *
+    * Contract: `sc` is a bounded score in ≈[0,1] (the dsTokBudget
+    * contract) — normalize first if not.
+    */
+  def dsCurriculum(scored: DataFrame, phases: Int): DataFrame = {
+    val s = scored.sparkSession
+    scored.createOrReplaceTempView("__cur_scored")
+    s.sql(
+      s"""WITH h AS (
+         |  SELECT doc_id, sc,
+         |         least($phases - 1, greatest(0,
+         |           CAST(floor(sc * $phases) AS INT))) AS phase,
+         |         md5(concat('cur:', CAST(doc_id AS STRING))) AS hx
+         |  FROM __cur_scored)
+         |SELECT doc_id, sc, phase,
+         |       instr('0123456789abcdef', substring(hx, 1, 1)) - 1 AS shard,
+         |       ROW_NUMBER() OVER (
+         |         PARTITION BY phase, substring(hx, 1, 1)
+         |         ORDER BY hx, doc_id) AS pos
+         |FROM h ORDER BY phase DESC, shard, pos""".stripMargin)
+  }
+
+  /** The oracle-checked form: score = type-token ratio (the dsTokBudget
+    * scorer), 4 phases.
+    */
+  def dsCurriculum(s: SparkSession, dir: String): DataFrame =
+    dsCurriculum(
+      Tables.load(s, dir, "documents").selectExpr(
+        "doc_id",
+        "round(size(array_distinct(split(text, ' '))) " +
+          "/ size(split(text, ' ')), 6) AS sc"),
+      phases = 4)
+
   /** Deterministic source-mixture weighting (the data-mixing step: each
     * source contributes at its configured rate, e.g. wiki oversampled,
     * crawl downsampled). A document survives iff its first two md5 hex
@@ -781,6 +828,7 @@ object Pipeline {
     "ta_redact" -> ((s: SparkSession, dir: String) => taRedact(s, dir)),
     "ta_pii_count" -> ((s: SparkSession, dir: String) => taPiiCount(s, dir)),
     "ds_kfold" -> ((s: SparkSession, dir: String) => dsKfold(s, dir)),
+    "ds_curriculum" -> ((s: SparkSession, dir: String) => dsCurriculum(s, dir)),
     "ta_normalize" -> ((s: SparkSession, dir: String) => taNormalize(s, dir)),
     "ds_split" -> (dsSplit _),
     "ds_pack" -> (dsPack _),
@@ -828,6 +876,18 @@ object Pipeline {
         """n_emails + n_phones + n_ssns + n_ips AS n_pii, """ +
         """n_emails + n_phones + n_ssns + n_ips = 0 AS clean """ +
         """FROM c ORDER BY doc_id"""),
+    "ds_curriculum" ->
+      ("""WITH h AS (SELECT doc_id, """ +
+        """round(len(list_distinct(string_split(text, ' '))) """ +
+        """/ len(string_split(text, ' ')), 6) AS sc, """ +
+        """md5('cur:' || doc_id::VARCHAR) AS hx FROM documents), """ +
+        """p AS (SELECT doc_id, sc, """ +
+        """least(3, greatest(0, floor(sc * 4)::INT)) AS phase, hx FROM h) """ +
+        """SELECT doc_id, sc, phase, """ +
+        """strpos('0123456789abcdef', substr(hx, 1, 1)) - 1 AS shard, """ +
+        """ROW_NUMBER() OVER (PARTITION BY phase, substr(hx, 1, 1) """ +
+        """ORDER BY hx, doc_id) AS pos """ +
+        """FROM p ORDER BY phase DESC, shard, pos"""),
     "ds_kfold" ->
       ("""SELECT doc_id, lang, source, """ +
         """(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 """ +

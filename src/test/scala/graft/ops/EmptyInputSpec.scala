@@ -45,6 +45,8 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Pipeline.dsKfold(
       Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "source"),
       5).count() == 0)
+    assert(Pipeline.dsCurriculum(
+      Seq.empty[(Long, Double)].toDF("doc_id", "sc"), 4).count() == 0)
     assert(Dedup.ddKeepBest(
       Seq.empty[(String, Long, Int)].toDF("cluster_id", "doc_id", "score"))
       .count() == 0)

@@ -1276,6 +1276,26 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ds_curriculum: phases partition by score band; positions dense per shard") {
+    val rows = Pipeline.dsCurriculum(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getInt(3),
+        r.getInt(4)))
+    assert(rows.nonEmpty && rows.length == 500)
+    rows.foreach { case (_, sc, phase, shard, _) =>
+      assert(phase >= 0 && phase <= 3 && shard >= 0 && shard <= 15)
+      // the band law on the bounded score
+      assert(phase == math.min(3, math.max(0, math.floor(sc * 4).toInt)))
+    }
+    // positions are dense 1..n within every (phase, shard)
+    rows.groupBy(t => (t._3, t._4)).values.foreach { g =>
+      assert(g.map(_._5).sorted.toSeq == (1 to g.length).toSeq)
+    }
+    // determinism
+    val again = Pipeline.dsCurriculum(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(4)))
+    assert(again.toSeq == rows.map(t => (t._1, t._5)).toSeq)
+  }
+
   test("ev_rfm: scores are quintile-monotone and metrics replay exactly") {
     val rows = Sessionize.evRfm(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),

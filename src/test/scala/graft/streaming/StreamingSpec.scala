@@ -476,4 +476,80 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
     assert(got == want)
   }
+
+  /** Drive a markov streaming entry over explicit trigger batches. */
+  private def runMarkovBatches(
+      entry: org.apache.spark.sql.Dataset[MarkovTracker.KEv] =>
+        org.apache.spark.sql.Dataset[MarkovTracker.TransRow],
+      name: String, batches: Seq[Seq[Ev]], delay: String = "2 hours"
+  ): Seq[(Long, String, String, Timestamp)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = entry(stream.toDF().withWatermark("ts", delay)
+        .select("ts", "user_id", "event_id", "event_type")
+        .as[MarkovTracker.KEv])
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    for (b <- batches) { stream.addData(b); q.processAllAvailable() }
+    val maxTs = batches.flatten.map(_.ts.getTime).max
+    stream.addData(Ev(-1L, new Timestamp(maxTs + 24L * 3600 * 1000), -1L, "x", 0.0))
+    q.processAllAvailable()
+    stream.addData(Ev(-2L, new Timestamp(maxTs + 25L * 3600 * 1000), -1L, "x", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).filter(col("user_id") =!= -1L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getTimestamp(3))).toSeq
+  }
+
+  private def markovBatchRows: Seq[(Long, String, String, Timestamp)] = {
+    import spark.implicits._
+    MarkovTracker.markovBatch(
+      eventsBatch.select("ts", "user_id", "event_id", "event_type")
+        .as[MarkovTracker.KEv]).collect()
+      .map(r => (r.user_id, r.prev, r.cur, r.t_cur)).toSeq
+  }
+
+  test("markov: batch transition counts == the oracle-checked SQL matrix") {
+    val want = graft.ops.Sessionize.evMarkov(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val got = markovBatchRows.groupBy(t => (t._2, t._3)).view
+      .mapValues(_.length.toLong).toMap
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("markov: streaming (emit-on-arrival) == batch on ordered input") {
+    import spark.implicits._
+    val data = eventsBatch.as[Ev].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val got = runMarkovBatches(MarkovTracker.markovStream,
+      "mk_out", Seq(data.toSeq), delay = "0 seconds")
+    assert(got.toSet == markovBatchRows.toSet && got.nonEmpty)
+  }
+
+  test("markov: cross-trigger disorder — late event dropped in O(1), recovered buffered-exact") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    val batches = Seq(
+      // trigger 1 sequences view(9:00) -> purchase(11:00)
+      Seq(Ev(1L, t("2024-06-01 09:00:00"), 7L, "view", 0.0),
+        Ev(2L, t("2024-06-01 11:00:00"), 7L, "purchase", 5.0)),
+      // trigger 2 delivers the 10:00 click that truly sat between them
+      Seq(Ev(3L, t("2024-06-01 10:00:00"), 7L, "click", 0.0)))
+    val approx = runMarkovBatches(MarkovTracker.markovStream,
+      "mk_div_a", batches)
+    val exact = runMarkovBatches(MarkovTracker.markovStreamExact,
+      "mk_div_b", batches)
+    // O(1): the late click's transitions are DROPPED, never mis-ordered
+    assert(approx.map(x => (x._2, x._3)).toSet ==
+      Set(("view", "purchase")))
+    // buffered-exact recovers the true chain view->click->purchase
+    assert(exact.map(x => (x._2, x._3)).toSet ==
+      Set(("view", "click"), ("click", "purchase")))
+    val batch = MarkovTracker.markovBatch(batches.flatten.toDF()
+      .select("ts", "user_id", "event_id", "event_type")
+      .as[MarkovTracker.KEv]).collect()
+      .map(r => (r.user_id, r.prev, r.cur, r.t_cur))
+    assert(exact.toSet == batch.toSet)
+  }
 }
