@@ -804,7 +804,48 @@ object Dedup {
     ddSemDedupOn(s, aug, nlist = 16, tau = 0.9)
   }
 
+  /** Cross-corpus exact dedup: flag every corpus document whose exact text
+    * already exists in a REFERENCE corpus (the "dedup the new crawl against
+    * last month's snapshot" primitive — cross-SET, where [[ddExactOn]] is
+    * within-set). Equality is md5-of-text, the ddExact discipline;
+    * [[ddDecontam]] is the n-gram (partial-overlap) sibling.
+    *
+    * Scale design: one DISTINCT hash compaction of the reference, one
+    * equality join on the 128-bit digest — the canonical hash anti-join.
+    * The corpus side never shuffles its text, only (doc_id, digest); a
+    * snapshot-sized reference relation is still tiny next to the corpus
+    * and AQE broadcasts it when it fits.
+    */
+  def ddCrossDedup(corpus: DataFrame, ref: DataFrame): DataFrame = {
+    val s = corpus.sparkSession
+    corpus.createOrReplaceTempView("__xd_corpus")
+    ref.createOrReplaceTempView("__xd_ref")
+    s.sql(
+      """WITH rh AS (SELECT DISTINCT md5(text) AS h FROM __xd_ref)
+        |SELECT c.doc_id, rh.h IS NOT NULL AS dup_in_ref
+        |FROM (SELECT doc_id, md5(text) AS h FROM __xd_corpus) c
+        |LEFT JOIN rh ON rh.h = c.h
+        |ORDER BY c.doc_id""".stripMargin)
+  }
+
+  /** The oracle-checked form: corpus = odd docs with every doc_id%10=5
+    * text replaced by its even neighbour's text (the planted cross-set
+    * duplicates, the ta_ppl_foreign planting discipline); reference =
+    * even docs. Delegates to the production entry.
+    */
+  def ddCrossDedup(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    val corpus = s.sql(
+      """SELECT a.doc_id,
+        |       CASE WHEN a.doc_id % 10 = 5 THEN b.text ELSE a.text END AS text
+        |FROM __docs a LEFT JOIN __docs b ON b.doc_id = a.doc_id - 1
+        |WHERE a.doc_id % 2 = 1""".stripMargin)
+    val ref = s.sql("SELECT doc_id, text FROM __docs WHERE doc_id % 2 = 0")
+    ddCrossDedup(corpus, ref)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_crossdedup" -> ((s: SparkSession, dir: String) => ddCrossDedup(s, dir)),
     "dd_semdedup" -> ((s: SparkSession, dir: String) => ddSemDedup(s, dir)),
     "dd_keepbest" -> ((s: SparkSession, dir: String) => ddKeepBest(s, dir)),
     "dd_substring" -> ((s: SparkSession, dir: String) => ddSubstring(s, dir)),
@@ -819,6 +860,17 @@ object Dedup {
     "dd_embed_cos" -> (ddEmbedCos _))
 
   val oracleSql: Map[String, String] = Map(
+    "dd_crossdedup" ->
+      ("""WITH corpus AS (SELECT a.doc_id, """ +
+        """CASE WHEN a.doc_id % 10 = 5 THEN b.text ELSE a.text END AS text """ +
+        """FROM documents a LEFT JOIN documents b ON b.doc_id = a.doc_id - 1 """ +
+        """WHERE a.doc_id % 2 = 1), """ +
+        """rh AS (SELECT DISTINCT md5(text) AS h FROM documents """ +
+        """WHERE doc_id % 2 = 0) """ +
+        """SELECT c.doc_id, rh.h IS NOT NULL AS dup_in_ref """ +
+        """FROM (SELECT doc_id, md5(text) AS h FROM corpus) c """ +
+        """LEFT JOIN rh ON rh.h = c.h """ +
+        """ORDER BY c.doc_id"""),
     "dd_semdedup" ->
       (s"""WITH base AS (
           |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v

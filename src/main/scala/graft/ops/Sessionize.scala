@@ -489,7 +489,86 @@ object Sessionize {
     evRfm(s.table("__events"))
   }
 
+  /** Consecutive-day activity streaks per user (the gaps-and-islands
+    * rollup): total active days, number of streaks, and the longest run of
+    * consecutive calendar days with at least one event. Days are integer
+    * epoch-days (the ev_retention discipline); islands come from the
+    * classic `day − ROW_NUMBER()` group key, which is constant exactly on
+    * a consecutive run.
+    *
+    * Scale design: the raw stream is compacted to DISTINCT (user, day)
+    * FIRST (the ev_active_users discipline — a user firing 10k events in a
+    * day contributes one row), so the window sort and both aggregations
+    * run on the compacted relation; all three shuffles key on user_id and
+    * AQE coalesces the tiny tail. Nothing per-event is windowed.
+    */
+  def evStreaks(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evStreaks(s.table("__events"))
+  }
+
+  /** The parameterized production entry: any frame with (user_id, ts). */
+  def evStreaks(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__stk_events")
+    s.sql(
+      """WITH active AS (
+        |  SELECT DISTINCT user_id,
+        |         unix_micros(ts) div 86400000000 AS day
+        |  FROM __stk_events),
+        |isl AS (
+        |  SELECT user_id, day,
+        |         day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+        |           AS grp
+        |  FROM active),
+        |runs AS (
+        |  SELECT user_id, grp, COUNT(*) AS len FROM isl GROUP BY user_id, grp)
+        |SELECT user_id, SUM(len) AS active_days, COUNT(*) AS n_streaks,
+        |       MAX(len) AS max_streak
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin)
+  }
+
+  /** Per-event ML feature assembly (the training-pipeline "lag features"
+    * view): previous value, inter-event gap, per-user sequence index, and
+    * a trailing-3-event mean — the standard inputs to a sequence model
+    * fed straight from the event log.
+    *
+    * Scale design: every feature is a window over the SAME
+    * (user_id, ts, event_id) sort, so the plan carries ONE exchange and
+    * one sort (the ev_paths subset rule); the trailing mean divides an
+    * exact DECIMAL frame sum by the frame count so the distributed fold
+    * is order-free and oracle-exact (the ta_perplexity discipline).
+    * Output is corpus-sized but narrow; nothing aggregates globally.
+    */
+  def evFeatures(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evFeatures(s.table("__events"))
+  }
+
+  /** The parameterized production entry: any frame with (user_id, ts,
+    * event_id, event_type, value), any trailing-mean width (the oracle
+    * form fixes rollN = 3).
+    */
+  def evFeatures(events: DataFrame, rollN: Int = 3): DataFrame = {
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__ft_events")
+    s.sql(
+      s"""SELECT user_id, event_id, ts, event_type, value,
+         |       LAG(value) OVER w AS prev_value,
+         |       unix_micros(ts) - LAG(unix_micros(ts)) OVER w AS gap_us,
+         |       CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq_idx,
+         |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER v AS DOUBLE)
+         |             / COUNT(*) OVER v, 6) AS roll_avg
+         |FROM __ft_events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+         |       v AS (PARTITION BY user_id ORDER BY ts, event_id
+         |             ROWS BETWEEN ${rollN - 1} PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, seq_idx""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_streaks" -> ((s: SparkSession, dir: String) => evStreaks(s, dir)),
+    "ev_features" -> ((s: SparkSession, dir: String) => evFeatures(s, dir)),
     "ev_rfm" -> ((s: SparkSession, dir: String) => evRfm(s, dir)),
     "ev_markov" -> ((s: SparkSession, dir: String) => evMarkov(s, dir)),
     "ev_paths" -> ((s: SparkSession, dir: String) => evPaths(s, dir)),
@@ -501,6 +580,29 @@ object Sessionize {
     "ev_active_users" -> ((s: SparkSession, dir: String) => evActiveUsers(s, dir)))
 
   val oracleSql: Map[String, String] = Map(
+    "ev_streaks" ->
+      ("""WITH active AS (SELECT DISTINCT user_id, """ +
+        """epoch_us(ts) // 86400000000 AS day FROM events), """ +
+        """isl AS (SELECT user_id, day, """ +
+        """day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) """ +
+        """AS grp FROM active), """ +
+        """runs AS (SELECT user_id, grp, COUNT(*) AS len """ +
+        """FROM isl GROUP BY user_id, grp) """ +
+        """SELECT user_id, SUM(len)::BIGINT AS active_days, """ +
+        """COUNT(*) AS n_streaks, MAX(len) AS max_streak """ +
+        """FROM runs GROUP BY user_id ORDER BY user_id"""),
+    "ev_features" ->
+      ("""SELECT user_id, event_id, ts, event_type, value, """ +
+        """LAG(value) OVER w AS prev_value, """ +
+        """epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us, """ +
+        """CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq_idx, """ +
+        """ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER v AS DOUBLE) """ +
+        """/ COUNT(*) OVER v, 6) AS roll_avg """ +
+        """FROM events """ +
+        """WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id), """ +
+        """v AS (PARTITION BY user_id ORDER BY ts, event_id """ +
+        """ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) """ +
+        """ORDER BY user_id, seq_idx"""),
     "ev_rfm" ->
       ("""WITH m AS (SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS freq, """ +
         """CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary """ +

@@ -72,6 +72,9 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Sessionize.evSpike(emptyEvents).count() == 0)
     assert(Sessionize.evMarkov(emptyEvents).count() == 0)
     assert(Sessionize.evRfm(emptyEvents).count() == 0)
+    assert(Sessionize.evStreaks(emptyEvents).count() == 0)
+    assert(Sessionize.evFeatures(emptyEvents).count() == 0)
+    assert(Dedup.ddCrossDedup(emptyDocs, emptyDocs).count() == 0)
   }
 
   test("PageRank on an empty graph fails fast with a clear message") {

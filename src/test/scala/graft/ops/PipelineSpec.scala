@@ -1355,4 +1355,51 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
     assert(got.toSeq == Seq(("c1", 11L, 9, 3L), ("c2", 20L, 1, 1L)))
   }
+
+  test("evStreaks(events): gaps-and-islands runs on hand input") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1: days {1,2,3, 7,8} -> streaks of 3 and 2; two events on day 2
+    // collapse to one active day. u2: one day -> one streak of 1.
+    val evs = Seq(
+      (1L, ts("2024-06-01 10:00:00")), (1L, ts("2024-06-02 09:00:00")),
+      (1L, ts("2024-06-02 23:00:00")), (1L, ts("2024-06-03 01:00:00")),
+      (1L, ts("2024-06-07 12:00:00")), (1L, ts("2024-06-08 12:00:00")),
+      (2L, ts("2024-06-05 00:30:00"))
+    ).toDF("user_id", "ts")
+    val got = Sessionize.evStreaks(evs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 5L, 2L, 3L), (2L, 1L, 1L, 1L)))
+  }
+
+  test("evFeatures(events, rollN): lag/gap/rolling mean on hand input") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val evs = Seq(
+      (1L, 10L, ts("2024-06-01 10:00:00"), "view", 1.0),
+      (1L, 11L, ts("2024-06-01 10:00:30"), "click", 2.0),
+      (1L, 12L, ts("2024-06-01 10:02:30"), "purchase", 6.0)
+    ).toDF("user_id", "event_id", "ts", "event_type", "value")
+    val got = Sessionize.evFeatures(evs, rollN = 2).collect().map { r =>
+      (r.getLong(1), Option(r.get(5)).map(_.asInstanceOf[Double]),
+        Option(r.get(6)).map(_.asInstanceOf[Long]), r.getLong(7),
+        r.getDouble(8))
+    }
+    // rollN=2: trailing mean over {self, prev}; gaps are exact micros
+    assert(got.toSeq == Seq(
+      (10L, None, None, 1L, 1.0),
+      (11L, Some(1.0), Some(30000000L), 2L, 1.5),
+      (12L, Some(2.0), Some(120000000L), 3L, 4.0)))
+  }
+
+  test("ddCrossDedup(corpus, ref): flags exact text present in the reference") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "unique"))
+      .toDF("doc_id", "text")
+    val ref = Seq((100L, "gamma delta"), (101L, "alpha beta"),
+      (102L, "other")).toDF("doc_id", "text")
+    val got = Dedup.ddCrossDedup(corpus, ref).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1)))
+    assert(got.toSeq == Seq((1L, true), (2L, true), (3L, false)))
+  }
 }

@@ -192,6 +192,21 @@ class PlanSpec extends AnyFunSuite {
       s"unexpected range exchange:\n$plan")
   }
 
+  test("ev_features: every window rides ONE user_id exchange, no per-feature re-shuffle") {
+    // the offset features (LAG, ROW_NUMBER) and the sliding-frame
+    // aggregates (SUM/COUNT ROWS 2 PRECEDING) sort identically, so the
+    // whole feature block must reuse a single hashpartitioning(user_id)
+    // exchange — one feature re-exchanging would double the event shuffle
+    val plan = formatted(graft.ops.Sessionize.evFeatures(spark, sf))
+    val userEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length
+    assert(userEx == 1, s"expected 1 user_id exchange, got $userEx:\n$plan")
+    // ONE Window exec is the floor and Spark reaches it: LAG/ROW_NUMBER
+    // and the sliding SUM/COUNT are all RowFrame specs over the same
+    // (partition, order), so they fuse into a single operator
+    val windows = "\\bWindow\\b".r.findAllIn(plan).length
+    assert(windows == 1, s"expected 1 Window operator, got $windows:\n$plan")
+  }
+
   test("ss_ivf_ann: centroid seeding is a distributed top-nlist, never a global rank") {
     // the km42 seed draw must ride TakeOrderedAndProject (map-side local
     // top-nlist); a global ROW_NUMBER over all N vectors single-partitions
