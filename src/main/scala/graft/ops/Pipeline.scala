@@ -373,6 +373,45 @@ object Pipeline {
   def dsSample(s: SparkSession, dir: String): DataFrame =
     dsSample(Tables.load(s, dir, "documents"), k = 5)
 
+  /** Deterministic quality-WEIGHTED sampling without replacement
+    * (Efraimidis–Spirakis exponential race): document i wins a slot iff
+    * its race time −ln(u_i)/w_i is among the k smallest, u_i a uniform
+    * drawn from the first 15 hex digits of md5('ws:'||doc_id) — so a
+    * doc with twice the weight is twice as likely per slot, and the draw
+    * is reproducible across engines, runs and row orders. This is the
+    * curation step between [[dsSample]] (uniform within strata) and
+    * [[dsQualityFilter]] (hard percentile cut): soft preference for
+    * quality that still explores the tail. Race keys are rounded to 9 dp
+    * BEFORE ranking (the ta_perplexity transcendental discipline) so the
+    * order both engines rank is bit-identical; w ≤ 0 docs never race.
+    *
+    * Scale design: the race key is a per-row map expression and the
+    * global smallest-k rides TakeOrderedAndProject — each task keeps a
+    * local k, the single reduce sees O(tasks × k) rows; the corpus is
+    * never exchanged (the q8 top-k family, plan-locked).
+    */
+  def dsWeightedSample(scored: DataFrame, weightCol: String,
+      k: Int): DataFrame = {
+    val s = scored.sparkSession
+    scored.createOrReplaceTempView("__ws_docs")
+    s.sql(
+      s"""SELECT doc_id, weight, race
+         |FROM (
+         |  SELECT doc_id, CAST($weightCol AS DOUBLE) AS weight,
+         |         ROUND(-ln((CAST(conv(substring(md5(
+         |                      concat('ws:', CAST(doc_id AS STRING))), 1, 15),
+         |                    16, 10) AS BIGINT) + 1)
+         |                   / 1152921504606846976.0D)
+         |               / CAST($weightCol AS DOUBLE), 9) AS race
+         |  FROM __ws_docs WHERE CAST($weightCol AS DOUBLE) > 0)
+         |ORDER BY race, doc_id LIMIT $k""".stripMargin)
+  }
+
+  /** The oracle-checked form: weight = n_chars (longer docs
+    * proportionally more likely), k = 100 of the corpus. */
+  def dsWeightedSample(s: SparkSession, dir: String): DataFrame =
+    dsWeightedSample(Tables.load(s, dir, "documents"), "n_chars", k = 100)
+
   /** Per-source quality-percentile filtering (the curation step that
     * drops the worst of each source rather than applying one global
     * cutoff: a uniformly weak source still keeps its best documents, a
@@ -833,6 +872,7 @@ object Pipeline {
     "ds_split" -> (dsSplit _),
     "ds_pack" -> (dsPack _),
     "ds_sample" -> (dsSample _),
+    "ds_wsample" -> ((s: SparkSession, dir: String) => dsWeightedSample(s, dir)),
     "ds_qfilter" -> ((s: SparkSession, dir: String) => dsQualityFilter(s, dir)),
     "ds_shuffle" -> (dsShuffle _),
     "ds_mix" -> ((s: SparkSession, dir: String) => dsMix(s, dir)),
@@ -856,6 +896,13 @@ object Pipeline {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ds_wsample" ->
+      ("""SELECT doc_id, weight, race FROM ( """ +
+        """SELECT doc_id, n_chars::DOUBLE AS weight, """ +
+        """ROUND(-ln((('0x' || substr(md5('ws:' || doc_id::VARCHAR), 1, 15))::BIGINT + 1) """ +
+        """/ 1152921504606846976.0) / n_chars::DOUBLE, 9) AS race """ +
+        """FROM documents WHERE n_chars::DOUBLE > 0) """ +
+        """ORDER BY race, doc_id LIMIT 100"""),
     "ta_pii_count" ->
       ("""WITH aug AS (SELECT doc_id, text """ +
         """|| (CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id::VARCHAR """ +

@@ -75,6 +75,8 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Sessionize.evStreaks(emptyEvents).count() == 0)
     assert(Sessionize.evFeatures(emptyEvents).count() == 0)
     assert(Dedup.ddCrossDedup(emptyDocs, emptyDocs).count() == 0)
+    assert(Pipeline.dsWeightedSample(
+      Seq.empty[(Long, Double)].toDF("doc_id", "w"), "w", 5).count() == 0)
   }
 
   test("PageRank on an empty graph fails fast with a clear message") {

@@ -1356,6 +1356,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("c1", 11L, 9, 3L), ("c2", 20L, 1, 1L)))
   }
 
+  test("dsWeightedSample(scored, w, k): race favors weight, k exact, reproducible") {
+    import spark.implicits._
+    // one overwhelming weight: its race key rounds to ~0 -> always drawn
+    val docs = (1L to 50L).map(i => (i, if (i == 7L) 1e12 else 1.0))
+      .toDF("doc_id", "w")
+    val top1 = Pipeline.dsWeightedSample(docs, "w", 1).collect()
+    assert(top1.map(_.getLong(0)).toSeq == Seq(7L))
+    // k >= eligible population: everything with w > 0 comes back
+    val all = Pipeline.dsWeightedSample(docs, "w", 100)
+    assert(all.count() == 50)
+    // w <= 0 never races
+    val some = Pipeline.dsWeightedSample(
+      Seq((1L, 0.0), (2L, -3.0), (3L, 2.0)).toDF("doc_id", "w"), "w", 10)
+      .collect().map(_.getLong(0))
+    assert(some.toSeq == Seq(3L))
+    // byte-deterministic across runs (the md5 race, not an RNG)
+    val a = Pipeline.dsWeightedSample(docs, "w", 10).collect().map(_.getLong(0))
+    val b = Pipeline.dsWeightedSample(docs, "w", 10).collect().map(_.getLong(0))
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("evStreaks(events): gaps-and-islands runs on hand input") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)

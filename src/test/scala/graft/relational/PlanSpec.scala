@@ -207,6 +207,14 @@ class PlanSpec extends AnyFunSuite {
     assert(windows == 1, s"expected 1 Window operator, got $windows:\n$plan")
   }
 
+  test("ds_wsample: the race top-k is map-side TakeOrdered, corpus never exchanged") {
+    val plan = formatted(graft.ops.Pipeline.dsWeightedSample(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"weighted-sample top-k lost its TakeOrdered shape:\n$plan")
+    assert("\\bExchange\\b".r.findAllIn(plan).isEmpty,
+      s"unexpected exchange in a map-side top-k:\n$plan")
+  }
+
   test("ss_ivf_ann: centroid seeding is a distributed top-nlist, never a global rank") {
     // the km42 seed draw must ride TakeOrderedAndProject (map-side local
     // top-nlist); a global ROW_NUMBER over all N vectors single-partitions

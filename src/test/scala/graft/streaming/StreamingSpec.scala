@@ -552,4 +552,81 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.user_id, r.prev, r.cur, r.t_cur))
     assert(exact.toSet == batch.toSet)
   }
+
+  private def runStreaksBatches(
+      entry: org.apache.spark.sql.Dataset[StreaksTracker.SEv] =>
+        org.apache.spark.sql.Dataset[StreaksTracker.StreakRow],
+      name: String, batches: Seq[Seq[Ev]], delay: String = "2 hours"
+  ): Seq[(Long, Long, Long, Long)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = entry(stream.toDF().withWatermark("ts", delay)
+        .select("ts", "user_id").as[StreaksTracker.SEv])
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    for (b <- batches) { stream.addData(b); q.processAllAvailable() }
+    // quiesce sentinels far past maxTs + any delay under test (≤ 3 days)
+    val maxTs = batches.flatten.map(_.ts.getTime).max
+    stream.addData(Ev(-1L, new Timestamp(maxTs + 8L * 24 * 3600 * 1000), -1L, "x", 0.0))
+    q.processAllAvailable()
+    stream.addData(Ev(-2L, new Timestamp(maxTs + 9L * 24 * 3600 * 1000), -1L, "x", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).filter(col("user_id") =!= -1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+  }
+
+  private def streaksBatchRows: Seq[(Long, Long, Long, Long)] = {
+    import spark.implicits._
+    StreaksTracker.streaksBatch(
+      eventsBatch.select("ts", "user_id").as[StreaksTracker.SEv]).collect()
+      .map(r => (r.user_id, r.active_days, r.n_streaks, r.max_streak)).toSeq
+  }
+
+  test("streaks: batch rollup == the oracle-checked SQL query") {
+    val want = graft.ops.Sessionize.evStreaks(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val got = streaksBatchRows.toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("streaks: streaming last row per user == batch on ordered input") {
+    import spark.implicits._
+    val data = eventsBatch.as[Ev].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val rows = runStreaksBatches(StreaksTracker.streaksStream,
+      "stk_out", Seq(data.toSeq), delay = "0 seconds")
+    // the feed emits intermediate rollups; the LAST per user is current
+    val last = rows.groupBy(_._1).view.mapValues(_.last).values.toSet
+    assert(last == streaksBatchRows.toSet && last.nonEmpty)
+    // exact variant emits exactly once per user, already final
+    val ex = runStreaksBatches(StreaksTracker.streaksStreamExact,
+      "stk_out_ex", Seq(data.toSeq))
+    assert(ex.toSet == streaksBatchRows.toSet && ex.size == last.size)
+  }
+
+  test("streaks: cross-trigger late DAY dropped in O(1), recovered buffered-exact") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    // trigger 1: days 10 and 12 (two islands); trigger 2 delivers day 11
+    // late — it would SPLICE the islands into one 3-day run
+    val batches = Seq(
+      Seq(Ev(1L, t("2024-06-10 09:00:00"), 7L, "view", 0.0),
+        Ev(2L, t("2024-06-12 09:00:00"), 7L, "view", 0.0)),
+      Seq(Ev(3L, t("2024-06-11 09:00:00"), 7L, "view", 0.0)))
+    val approx = runStreaksBatches(StreaksTracker.streaksStream,
+      "stk_div_a", batches, delay = "3 days")
+    val exact = runStreaksBatches(StreaksTracker.streaksStreamExact,
+      "stk_div_b", batches, delay = "3 days")
+    // O(1): day 11 dropped — final rollup stays 2 islands of length 1
+    assert(approx.last == ((7L, 2L, 2L, 1L)))
+    // buffered-exact recovers the spliced 3-day streak == batch
+    assert(exact.toSet == Set((7L, 3L, 1L, 3L)))
+    val batch = StreaksTracker.streaksBatch(batches.flatten.toDF()
+      .select("ts", "user_id").as[StreaksTracker.SEv]).collect()
+      .map(r => (r.user_id, r.active_days, r.n_streaks, r.max_streak))
+    assert(exact.toSet == batch.toSet)
+  }
 }
