@@ -71,6 +71,11 @@ object PipelineScaleProbe {
     if (args.headOption.contains("addendum11")) {
       addendum11(args(1).toInt, args(2).toInt, args(3)); return
     }
+    // `addendum12 <nDocs> <nEvents> <outBase>` — streaks/features at
+    // event scale, crossdedup/wsample at corpus scale
+    if (args.headOption.contains("addendum12")) {
+      addendum12(args(1).toInt, args(2).toInt, args(3)); return
+    }
     // ANN + events families at 100x: generate embeddings/events, probe
     // ss_lsh_ann / ss_ivf_ann (with measured recall vs in-probe brute
     // force), dd_embed_cos twin recall, ev_sessionize, ev_funnel —
@@ -1007,6 +1012,106 @@ object PipelineScaleProbe {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     println(s"PSCALE attribution purchases=$nPurch mix=$mix")
     println("PSCALE scale3 done")
+    spark.stop()
+  }
+
+  /** Round-7 fifth-batch legs: ev_streaks / ev_features at event scale,
+    * dd_crossdedup / ds_wsample at corpus scale —
+    * `runMain graft.PipelineScaleProbe addendum12 <nDocs> <nEvents> <outBase>`
+    */
+  private def addendum12(nDocs: Int, nEvents: Int, outBase: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions.{avg, max, sum}
+    import spark.implicits._
+    val seed = 2026L
+    val dir = s"$outBase/sf$nDocs"
+    spark.range(0L, nDocs.toLong).map(docFor(_, seed))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val nUsers = scala.math.max(100, nEvents / 666)
+    spark.range(0L, nEvents.toLong).map(evFor(_, nUsers, seed))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    println(s"PSCALE gen12 nDocs=$nDocs nEvents=$nEvents nUsers=$nUsers")
+
+    def timed(tag: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      df.write.mode("overwrite").parquet(s"$dir/results/$tag.parquet")
+      println(f"PSCALE q=$tag t=${(System.nanoTime() - t0) / 1e9}%.1f s " +
+        s"rows=${spark.read.parquet(s"$dir/results/$tag.parquet").count()}")
+    }
+
+    // ev_streaks: rollup rows == users; the island algebra must close —
+    // Σ active_days over users == |DISTINCT (user, day)|, every
+    // max_streak bounded by its active_days
+    timed("ev_streaks")(ops.Sessionize.evStreaks(spark, dir))
+    val stk = spark.read.parquet(s"$dir/results/ev_streaks.parquet")
+    val events = graft.Tables.load(spark, dir, "events")
+    val userDays = events
+      .selectExpr("user_id", "unix_micros(ts) div 86400000000 AS day")
+      .distinct().count()
+    val sumActive = stk.agg(sum("active_days")).head().getLong(0)
+    require(sumActive == userDays,
+      s"island algebra broke: sum(active_days)=$sumActive != (user,day)=$userDays")
+    val badStk = stk.filter(
+      "max_streak > active_days OR n_streaks > active_days OR " +
+        "max_streak < 1 OR n_streaks < 1").count()
+    require(badStk == 0, s"$badStk rollups violate streak bounds")
+    // 10M events over 30 days at ~15k users saturates every day: the
+    // dense regime (streak == observed span) must actually occur
+    println(s"PSCALE streaks users=${stk.count()} userDays=$userDays " +
+      s"maxStreak=${stk.agg(max("max_streak")).head().getLong(0)}")
+
+    // ev_features: corpus-sized output, ONE user exchange; the window
+    // algebra must close — exactly one seq_idx=1 (null lag) per user,
+    // gaps never negative
+    timed("ev_features")(ops.Sessionize.evFeatures(spark, dir))
+    val ft = spark.read.parquet(s"$dir/results/ev_features.parquet")
+    require(ft.count() == nEvents.toLong, "features lost rows")
+    val nU = events.select("user_id").distinct().count()
+    val firsts = ft.filter("seq_idx = 1").count()
+    require(firsts == nU, s"seq_idx=1 rows $firsts != users $nU")
+    val badFt = ft.filter(
+      "(seq_idx = 1) != (prev_value IS NULL) OR gap_us < 0").count()
+    require(badFt == 0, s"$badFt feature rows break the lag algebra")
+    println(s"PSCALE features rows=${ft.count()} users=$nU")
+
+    // dd_crossdedup: the planted doc_id%10=5 cross-set duplicates are
+    // flagged EXACTLY (docFor texts are unique, so nothing else may flag)
+    timed("dd_crossdedup")(ops.Dedup.ddCrossDedup(spark, dir))
+    val xd = spark.read.parquet(s"$dir/results/dd_crossdedup.parquet")
+    val flagged = xd.filter("dup_in_ref").count()
+    val planted = xd.filter("doc_id % 10 = 5").count()
+    val wrong = xd.filter("dup_in_ref != (doc_id % 10 = 5)").count()
+    require(wrong == 0,
+      s"$wrong docs mis-flagged (flagged=$flagged planted=$planted)")
+    println(s"PSCALE crossdedup corpus=${xd.count()} planted=$planted exact")
+
+    // ds_wsample: k exact; the race must actually pull weight — the
+    // sample's mean n_chars strictly above the corpus mean
+    val k = scala.math.min(10000, nDocs / 5)
+    val t0 = System.nanoTime()
+    val ws = ops.Pipeline.dsWeightedSample(
+      graft.Tables.load(spark, dir, "documents"), "n_chars", k)
+      .localCheckpoint(eager = true)
+    println(f"PSCALE q=ds_wsample t=${(System.nanoTime() - t0) / 1e9}%.1f s " +
+      s"rows=${ws.count()}")
+    require(ws.count() == k.toLong, s"wsample rows ${ws.count()} != k=$k")
+    val meanS = ws.agg(avg("weight")).head().getDouble(0)
+    val meanC = spark.read.parquet(s"$dir/documents.parquet")
+      .agg(avg("n_chars")).head().getDouble(0)
+    require(meanS > meanC,
+      f"race did not pull weight: sample mean $meanS%.1f <= corpus $meanC%.1f")
+    println(f"PSCALE wsample meanW sample=$meanS%.1f corpus=$meanC%.1f")
+    println("PSCALE addendum12 done")
     spark.stop()
   }
 }
