@@ -583,6 +583,78 @@ object Pipeline {
     * (doc_id, source), so it is reproducible shard-by-shard with no
     * coordination, at any corpus size.
     */
+  /** Source repeat-factor ("epochs") assignment — the data-mixing design
+    * step: given per-source token counts, integral mixture weights, a
+    * total token budget and a max-epochs cap, allocate the budget
+    * proportionally to weight, cap any source at maxEpochs passes over
+    * its data, and redistribute the surplus among the uncapped sources —
+    * the exact water-filling fixpoint, solved in CLOSED FORM: sources
+    * sorted ascending by capacity-to-weight ratio E·tok/w cap as a
+    * PREFIX, and row i is capped iff E·tok_i·(W−W_{i−1}) ≤
+    * (T−C_{i−1})·w_i — an all-INTEGER (DECIMAL(38,0)) comparison on
+    * prefix sums, so the capped set is engine-exact; only the final
+    * epochs/alloc ratios are (fixed-order, 6 dp) doubles.
+    *
+    * Scale design: the input is the (source, tokens, weight) relation —
+    * taxonomy-sized (tens of rows) at any corpus SF, so the sort window
+    * is micro; the corpus-sized work (token counting) happens upstream.
+    * The oracle form derives it from `documents` in one combinable agg.
+    */
+  def dsEpochs(srcTokens: DataFrame, budget: Long,
+      maxEpochs: Int): DataFrame = {
+    val s = srcTokens.sparkSession
+    srcTokens.createOrReplaceTempView("__ep_src")
+    val E = maxEpochs
+    s.sql(
+      s"""WITH tw AS (SELECT SUM(w) AS sw FROM __ep_src),
+         |r AS (
+         |  SELECT source, tokens, w,
+         |         SUM(w) OVER (ORDER BY CAST($E AS DOUBLE) * tokens / w,
+         |                      source) - w AS cumw,
+         |         SUM($E * tokens) OVER (ORDER BY
+         |             CAST($E AS DOUBLE) * tokens / w, source)
+         |           - $E * tokens AS cumcap
+         |  FROM __ep_src),
+         |fl AS (
+         |  SELECT r.*,
+         |         CAST($E AS DECIMAL(38,0)) * tokens * (t.sw - cumw)
+         |           <= CAST($budget - cumcap AS DECIMAL(38,0)) * w AS capped
+         |  FROM r CROSS JOIN tw t),
+         |fin AS (
+         |  SELECT SUM(CASE WHEN capped THEN $E * tokens ELSE 0 END) AS ccap,
+         |         SUM(CASE WHEN capped THEN 0 ELSE w END) AS uw
+         |  FROM fl)
+         |SELECT source, tokens, w, capped,
+         |       CASE WHEN capped THEN CAST($E AS DOUBLE)
+         |            ELSE ROUND(CAST($budget - f.ccap AS DOUBLE) * w
+         |                       / (CAST(f.uw AS DOUBLE)
+         |                          * CAST(tokens AS DOUBLE)), 6) END
+         |         AS epochs,
+         |       CASE WHEN capped THEN CAST($E AS DOUBLE)
+         |                             * CAST(tokens AS DOUBLE)
+         |            ELSE ROUND(CAST($budget - f.ccap AS DOUBLE) * w
+         |                       / CAST(f.uw AS DOUBLE), 6) END
+         |         AS alloc_tokens
+         |FROM fl CROSS JOIN fin f
+         |ORDER BY source""".stripMargin)
+  }
+
+  /** The oracle-checked form: tokens = whitespace tokens per source,
+    * weights (src<k> → k%5+1), budget = half the corpus tokens, cap 3.
+    * The budget scalar is ONE driver-side row (the dsMix bounded-collect
+    * discipline).
+    */
+  def dsEpochs(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "documents").createOrReplaceTempView("__docs")
+    val src = s.sql(
+      """SELECT source, SUM(size(split(text, ' '))) AS tokens,
+        |       CAST(substring(source, 4) AS INT) % 5 + 1 AS w
+        |FROM __docs GROUP BY source,
+        |     CAST(substring(source, 4) AS INT) % 5 + 1""".stripMargin)
+    val budget = src.selectExpr("SUM(tokens) div 2").head().getLong(0)
+    dsEpochs(src, budget, maxEpochs = 3)
+  }
+
   def dsMix(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
     // the synthetic taxonomy's configured rates (src<k> keeps (k+1)/10),
@@ -873,6 +945,7 @@ object Pipeline {
     "ds_pack" -> (dsPack _),
     "ds_sample" -> (dsSample _),
     "ds_wsample" -> ((s: SparkSession, dir: String) => dsWeightedSample(s, dir)),
+    "ds_epochs" -> ((s: SparkSession, dir: String) => dsEpochs(s, dir)),
     "ds_qfilter" -> ((s: SparkSession, dir: String) => dsQualityFilter(s, dir)),
     "ds_shuffle" -> (dsShuffle _),
     "ds_mix" -> ((s: SparkSession, dir: String) => dsMix(s, dir)),
@@ -896,6 +969,32 @@ object Pipeline {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ds_epochs" ->
+      ("""WITH src AS (SELECT source, """ +
+        """SUM(len(string_split(text, ' ')))::BIGINT AS tokens, """ +
+        """(substr(source, 4)::INT % 5 + 1) AS w FROM documents """ +
+        """GROUP BY source, substr(source, 4)::INT % 5 + 1), """ +
+        """bud AS (SELECT SUM(tokens)::BIGINT // 2 AS t FROM src), """ +
+        """tw AS (SELECT SUM(w)::BIGINT AS sw FROM src), """ +
+        """r AS (SELECT source, tokens, w, """ +
+        """SUM(w) OVER (ORDER BY 3::DOUBLE * tokens / w, source) - w AS cumw, """ +
+        """SUM(3 * tokens) OVER (ORDER BY 3::DOUBLE * tokens / w, source) """ +
+        """- 3 * tokens AS cumcap FROM src), """ +
+        """fl AS (SELECT r.*, b.t, """ +
+        """3::DECIMAL(38,0) * tokens * (tw.sw - cumw) """ +
+        """<= (b.t - cumcap)::DECIMAL(38,0) * w AS capped """ +
+        """FROM r CROSS JOIN tw CROSS JOIN bud b), """ +
+        """fin AS (SELECT """ +
+        """SUM(CASE WHEN capped THEN 3 * tokens ELSE 0 END)::BIGINT AS ccap, """ +
+        """SUM(CASE WHEN capped THEN 0 ELSE w END)::BIGINT AS uw FROM fl) """ +
+        """SELECT source, tokens, w, capped, """ +
+        """CASE WHEN capped THEN 3::DOUBLE """ +
+        """ELSE ROUND((t - f.ccap)::DOUBLE * w / (f.uw::DOUBLE * tokens::DOUBLE), 6) """ +
+        """END AS epochs, """ +
+        """CASE WHEN capped THEN 3::DOUBLE * tokens::DOUBLE """ +
+        """ELSE ROUND((t - f.ccap)::DOUBLE * w / f.uw::DOUBLE, 6) END """ +
+        """AS alloc_tokens """ +
+        """FROM fl CROSS JOIN fin f ORDER BY source"""),
     "ds_wsample" ->
       ("""SELECT doc_id, weight, race FROM ( """ +
         """SELECT doc_id, n_chars::DOUBLE AS weight, """ +

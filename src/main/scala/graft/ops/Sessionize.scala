@@ -566,7 +566,67 @@ object Sessionize {
          |ORDER BY user_id, seq_idx""".stripMargin)
   }
 
+  /** Exact Gini/Lorenz concentration of activity (the heavy-tail
+    * diagnostic: "how unequal is the per-user event distribution", with
+    * the top-decile share alongside) — one row: n_users, total_events,
+    * gini, top-decile user count / events / share.
+    *
+    * Scale design: NO global rank over users. After the combinable
+    * per-user COUNT, everything runs on the DISTINCT-count relation
+    * (|distinct n| rows — hundreds at any corpus size): users tied at the
+    * same n occupy a consecutive rank run, so their Σ rank·n collapses to
+    * the arithmetic-series closed form n·(c·off + c(c+1)/2), and the only
+    * window sorts that micro relation. Rank sums accumulate in
+    * DECIMAL(38,0) (BIGINT would overflow near 1e9 users × 1e12 events);
+    * the two ratios are fixed-order double ops rounded to 6 — identical
+    * in both engines. Tie order never matters: tied users carry equal n.
+    */
+  def evGini(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evGini(s.table("__events"))
+  }
+
+  /** The parameterized production entry: any frame with a user_id. */
+  def evGini(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__gini_events")
+    events.sparkSession.sql(
+      "SELECT user_id AS id, COUNT(*) AS n FROM __gini_events GROUP BY user_id")
+      .createOrReplaceTempView("__gini_counts")
+    giniCounts(s)
+  }
+
+  /** The core over any (id, n) count relation (view __gini_counts). */
+  private def giniCounts(s: SparkSession): DataFrame =
+    s.sql(
+      """WITH g AS (SELECT n, COUNT(*) AS c FROM __gini_counts GROUP BY n),
+        |o AS (
+        |  SELECT n, c,
+        |         SUM(c) OVER (ORDER BY n) - c AS off,
+        |         SUM(c) OVER (ORDER BY n DESC) AS cumd
+        |  FROM g),
+        |t AS (
+        |  SELECT SUM(c) AS nu, SUM(n * c) AS tn,
+        |         SUM(CAST(n AS DECIMAL(38,0)) * (c * off + c * (c + 1) div 2))
+        |           AS sin
+        |  FROM o),
+        |top AS (
+        |  SELECT SUM(n * LEAST(c, GREATEST(0, t.nu div 10 - (cumd - c))))
+        |           AS tope
+        |  FROM o CROSS JOIN t)
+        |SELECT t.nu AS n_users, t.tn AS total_events,
+        |       ROUND(2D * CAST(t.sin AS DOUBLE)
+        |             / (CAST(t.nu AS DOUBLE) * CAST(t.tn AS DOUBLE))
+        |           - (CAST(t.nu AS DOUBLE) + 1D) / CAST(t.nu AS DOUBLE), 6)
+        |         AS gini,
+        |       t.nu div 10 AS top_decile_users, top.tope AS top_decile_events,
+        |       ROUND(CAST(top.tope AS DOUBLE) / CAST(t.tn AS DOUBLE), 6)
+        |         AS top_decile_share
+        |FROM t CROSS JOIN top
+        |WHERE t.nu IS NOT NULL""".stripMargin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_gini" -> ((s: SparkSession, dir: String) => evGini(s, dir)),
     "ev_streaks" -> ((s: SparkSession, dir: String) => evStreaks(s, dir)),
     "ev_features" -> ((s: SparkSession, dir: String) => evFeatures(s, dir)),
     "ev_rfm" -> ((s: SparkSession, dir: String) => evRfm(s, dir)),
@@ -580,6 +640,24 @@ object Sessionize {
     "ev_active_users" -> ((s: SparkSession, dir: String) => evActiveUsers(s, dir)))
 
   val oracleSql: Map[String, String] = Map(
+    "ev_gini" ->
+      ("""WITH cnt AS (SELECT user_id, COUNT(*) AS n FROM events """ +
+        """GROUP BY user_id), """ +
+        """g AS (SELECT n, COUNT(*) AS c FROM cnt GROUP BY n), """ +
+        """o AS (SELECT n, c, """ +
+        """SUM(c) OVER (ORDER BY n) - c AS off, """ +
+        """SUM(c) OVER (ORDER BY n DESC) AS cumd FROM g), """ +
+        """t AS (SELECT SUM(c)::BIGINT AS nu, SUM(n * c)::BIGINT AS tn, """ +
+        """SUM(n::DECIMAL(38,0) * (c * off + c * (c + 1) // 2)) AS sin """ +
+        """FROM o), """ +
+        """top AS (SELECT SUM(n * LEAST(c, GREATEST(0, t.nu // 10 """ +
+        """- (cumd - c))))::BIGINT AS tope FROM o CROSS JOIN t) """ +
+        """SELECT t.nu AS n_users, t.tn AS total_events, """ +
+        """ROUND(2 * t.sin::DOUBLE / (t.nu::DOUBLE * t.tn::DOUBLE) """ +
+        """- (t.nu::DOUBLE + 1) / t.nu::DOUBLE, 6) AS gini, """ +
+        """t.nu // 10 AS top_decile_users, top.tope AS top_decile_events, """ +
+        """ROUND(top.tope::DOUBLE / t.tn::DOUBLE, 6) AS top_decile_share """ +
+        """FROM t CROSS JOIN top WHERE t.nu IS NOT NULL"""),
     "ev_streaks" ->
       ("""WITH active AS (SELECT DISTINCT user_id, """ +
         """epoch_us(ts) // 86400000000 AS day FROM events), """ +

@@ -73,10 +73,14 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Sessionize.evMarkov(emptyEvents).count() == 0)
     assert(Sessionize.evRfm(emptyEvents).count() == 0)
     assert(Sessionize.evStreaks(emptyEvents).count() == 0)
+    assert(Sessionize.evGini(emptyEvents).count() == 0)
     assert(Sessionize.evFeatures(emptyEvents).count() == 0)
     assert(Dedup.ddCrossDedup(emptyDocs, emptyDocs).count() == 0)
     assert(Pipeline.dsWeightedSample(
       Seq.empty[(Long, Double)].toDF("doc_id", "w"), "w", 5).count() == 0)
+    assert(Pipeline.dsEpochs(
+      Seq.empty[(String, Long, Int)].toDF("source", "tokens", "w"),
+      100L, 3).count() == 0)
   }
 
   test("PageRank on an empty graph fails fast with a clear message") {

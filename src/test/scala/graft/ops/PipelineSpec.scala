@@ -1377,6 +1377,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("dsEpochs(srcTokens, budget, cap): water-filling matches the hand fixpoint") {
+    import spark.implicits._
+    // E=2, T=150: C (ratio 10) caps at 2 epochs = 20 tokens; the 130
+    // surplus splits evenly over A and B (w 1:1) -> 65 each = 0.65 epochs
+    val src = Seq(("A", 100L, 1), ("B", 100L, 1), ("C", 10L, 2))
+      .toDF("source", "tokens", "w")
+    val got = Pipeline.dsEpochs(src, 150L, 2).collect()
+      .map(r => (r.getString(0), r.getBoolean(3), r.getDouble(4),
+        r.getDouble(5)))
+    assert(got.toSeq == Seq(("A", false, 0.65, 65.0),
+      ("B", false, 0.65, 65.0), ("C", true, 2.0, 20.0)))
+    // budget beyond the cap ceiling: every source caps, allocation is
+    // exactly E passes over its tokens (the budget is honestly unfilled)
+    val all = Pipeline.dsEpochs(src, 1000L, 2).collect()
+      .map(r => (r.getString(0), r.getBoolean(3), r.getDouble(4)))
+    assert(all.forall(t => t._2 && t._3 == 2.0))
+    // boundary budget: C's proportional share 40·2/4 = 20 EQUALS its cap
+    // 2·10 — the ≤ test marks it capped, the remainder splits over A/B
+    val tiny = Pipeline.dsEpochs(src, 40L, 2).collect()
+      .map(r => (r.getString(0), r.getBoolean(3), r.getDouble(5)))
+    assert(tiny.toSeq == Seq(("A", false, 10.0), ("B", false, 10.0),
+      ("C", true, 20.0)))
+  }
+
+  test("evGini(events): closed-form rank sum matches the hand Lorenz numbers") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // 9 users with 1 event + 1 user with 11: sorted x = [1×9, 11],
+    // Σ rank·x = 45 + 110 = 155 -> gini = 2·155/(10·20) − 11/10 = 0.45;
+    // top decile = 1 user holding 11/20 = 0.55 of events
+    val evs = ((1L to 9L).map(u => (u, ts("2024-06-01 10:00:00"))) ++
+      (1 to 11).map(i => (10L, ts(f"2024-06-01 11:$i%02d:00"))))
+      .toDF("user_id", "ts")
+    val got = Sessionize.evGini(evs).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+      r.getLong(4), r.getDouble(5)) == ((10L, 20L, 0.45, 1L, 11L, 0.55)))
+    // uniform activity -> gini 0 exactly (ties collapse to one run)
+    val flat = (1L to 8L).map(u => (u, ts("2024-06-01 10:00:00")))
+      .toDF("user_id", "ts")
+    assert(Sessionize.evGini(flat).head().getDouble(2) == 0.0)
+  }
+
   test("evStreaks(events): gaps-and-islands runs on hand input") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
