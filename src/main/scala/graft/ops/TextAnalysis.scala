@@ -372,6 +372,42 @@ object TextAnalysis {
   def taBigramPpl(s: SparkSession, dir: String): DataFrame =
     taBigramPpl(Tables.load(s, dir, "documents").select("doc_id", "text"))
 
+  /** Boilerplate phrase mining: the k most frequent word n-grams across
+    * the corpus, with occurrence count and document frequency — the
+    * "what IS the shared boilerplate" ranking that complements
+    * [[graft.ops.Dedup.ddSubstring]]'s per-document flags.
+    *
+    * Scale design: the n-gram relation is token-stream-sized but
+    * everything downstream is combinable — one partial+final COUNT per
+    * gram keyed by (gram, doc) first so df and n fall out of the SAME
+    * compacted relation, then the global top-k rides
+    * TakeOrderedAndProject (map-side heaps, O(tasks·k) at the single
+    * reduce). Ties rank by gram text so the cut is deterministic.
+    */
+  def taNgramTop(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__ngt_docs")
+    s.sql(
+      s"""WITH tk AS (
+         |  SELECT doc_id, $toks AS toks FROM __ngt_docs
+         |  WHERE size($toks) >= $n),
+         |grams AS (
+         |  SELECT doc_id, explode(transform(sequence(1, size(toks) - ${n - 1}),
+         |           i -> concat_ws(' ', slice(toks, i, $n)))) AS gram
+         |  FROM tk),
+         |per_doc AS (
+         |  SELECT gram, doc_id, COUNT(*) AS nd
+         |  FROM grams GROUP BY gram, doc_id)
+         |SELECT gram, SUM(nd) AS n, COUNT(*) AS df
+         |FROM per_doc GROUP BY gram
+         |ORDER BY n DESC, gram LIMIT $k""".stripMargin)
+  }
+
+  /** The oracle-checked form: trigrams, top 20. */
+  def taNgramTop(s: SparkSession, dir: String): DataFrame =
+    taNgramTop(Tables.load(s, dir, "documents").select("doc_id", "text"),
+      n = 3, k = 20)
+
   /** The parameterized production entry: any corpus with (doc_id, text). */
   def taPerplexity(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
@@ -553,6 +589,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_ngram_top" -> ((s: SparkSession, dir: String) => taNgramTop(s, dir)),
     "ta_entropy" -> ((s: SparkSession, dir: String) => taEntropy(s, dir)),
     "ta_perplexity" -> ((s: SparkSession, dir: String) => taPerplexity(s, dir)),
     "ta_tokens" -> (taTokens _),
@@ -571,6 +608,16 @@ object TextAnalysis {
   private val sqlToks = "string_split(text, ' ')"
 
   val oracleSql: Map[String, String] = Map(
+    "ta_ngram_top" ->
+      (s"WITH tk AS (SELECT doc_id, $sqlToks AS toks FROM documents " +
+        s"WHERE len($sqlToks) >= 3), " +
+        "grams AS (SELECT doc_id, unnest([array_to_string(toks[i:i+2], ' ') " +
+        "FOR i IN generate_series(1, len(toks) - 2)]) AS gram FROM tk), " +
+        "per_doc AS (SELECT gram, doc_id, COUNT(*) AS nd " +
+        "FROM grams GROUP BY gram, doc_id) " +
+        "SELECT gram, SUM(nd)::BIGINT AS n, COUNT(*) AS df " +
+        "FROM per_doc GROUP BY gram " +
+        "ORDER BY n DESC, gram LIMIT 20"),
     "ta_ppl_foreign" ->
       ("WITH sc AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 " +
         "THEN text || ' zzqx' || (doc_id % 3)::VARCHAR ELSE text END AS text " +

@@ -36,6 +36,7 @@ class EmptyInputSpec extends AnyFunSuite {
       "score", 0.5).count() == 0)
     assert(TextAnalysis.taC4Filter(emptyDocs).count() == 0)
     assert(TextAnalysis.taBigramPpl(emptyDocs).count() == 0)
+    assert(TextAnalysis.taNgramTop(emptyDocs, 3, 20).count() == 0)
     assert(Pipeline.dsTokBudget(
       Seq.empty[(Long, Int, Double)].toDF("doc_id", "n_tok", "sc"),
       100L).count() == 0)

@@ -1377,6 +1377,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("taNgramTop(docs, n, k): counts and df on hand input, deterministic cut") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c a b c"), (2L, "a b c"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.taNgramTop(docs, 3, 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // doc1 trigrams: "a b c"(2) "b c a" "c a b"; doc2: "a b c";
+    // doc3 too short -> "a b c" n=3 df=2 leads; tie at n=1 cut by gram
+    assert(got.toSeq == Seq(("a b c", 3L, 2L), ("b c a", 1L, 1L)))
+  }
+
   test("dsEpochs(srcTokens, budget, cap): water-filling matches the hand fixpoint") {
     import spark.implicits._
     // E=2, T=150: C (ratio 10) caps at 2 epochs = 20 tokens; the 130

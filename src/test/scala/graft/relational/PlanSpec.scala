@@ -207,6 +207,18 @@ class PlanSpec extends AnyFunSuite {
     assert(windows == 1, s"expected 1 Window operator, got $windows:\n$plan")
   }
 
+  test("ta_ngram_top: partial-agg count + TakeOrdered top-k, never a global sort") {
+    val plan = formatted(graft.ops.TextAnalysis.taNgramTop(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"ngram top-k lost its TakeOrdered shape:\n$plan")
+    assert("Exchange rangepartitioning".r.findAllIn(plan).isEmpty,
+      s"unexpected range exchange:\n$plan")
+    // both aggregations (per-doc compaction, per-gram rollup) must be
+    // partial+final — 4 HashAggregates, 2 exchanges
+    val aggs = "HashAggregate".r.findAllIn(plan).length
+    assert(aggs == 4, s"expected 4 HashAggregates (2 partial+final), got $aggs:\n$plan")
+  }
+
   test("ds_wsample: the race top-k is map-side TakeOrdered, corpus never exchanged") {
     val plan = formatted(graft.ops.Pipeline.dsWeightedSample(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"),
