@@ -346,7 +346,43 @@ object GraphQueries {
        |ORDER BY node""".stripMargin.replaceAll("\n", " ")
   }
 
+  /** Q39: minimum spanning forest of the supplier↔part co-occurrence
+    * graph (lineitem-count weights, the q16 l_orderkey bound so the
+    * oracle's per-edge reachability CTE stays polynomial at sf0.01) —
+    * Borůvka rounds under the total (w, u, v) edge order, which makes
+    * the forest unique; the DuckDB oracle checks the cycle property
+    * edge-for-edge.
+    */
+  def q39_mst(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem").filter(col("l_orderkey") < 400)
+    val pairs = li.groupBy(
+        col("l_suppkey").as("u"),
+        (col("l_partkey") + PartOffset).as("v"))
+      .agg(count(lit(1)).as("w"))
+    Mst.run(s, pairs)
+  }
+
+  val q39OracleSql: String =
+    """WITH RECURSIVE pairs AS (
+      |  SELECT l_suppkey AS u, l_partkey + 1000000 AS v, COUNT(*) AS w
+      |  FROM lineitem WHERE l_orderkey < 400 GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT u, v, w, ROW_NUMBER() OVER (ORDER BY w, u, v) AS rk
+      |  FROM pairs),
+      |sym AS (
+      |  SELECT u, v, rk FROM ranked UNION ALL SELECT v, u, rk FROM ranked),
+      |walk(erank, node) AS (
+      |  SELECT rk, u FROM ranked
+      |  UNION
+      |  SELECT wk.erank, x.v FROM walk wk
+      |  JOIN sym x ON x.rk < wk.erank AND x.u = wk.node)
+      |SELECT r.u, r.v, r.w::BIGINT AS w FROM ranked r
+      |WHERE NOT EXISTS (SELECT 1 FROM walk wk
+      |                  WHERE wk.erank = r.rk AND wk.node = r.v)
+      |ORDER BY w, r.u, r.v""".stripMargin.replaceAll("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_mst" -> (q39_mst _),
     "q34_kcore" -> (q34_kcore _),
     "q33_pagerank" -> (q33_pagerank _),
     "q13_bfs" -> (q13_bfs _),
@@ -356,6 +392,7 @@ object GraphQueries {
     "q26_sssp" -> (q26_sssp _))
 
   val oracleSql: Map[String, String] = Map(
+    "q39_mst" -> q39OracleSql,
     "q34_kcore" -> q34OracleSql,
     "q33_pagerank" -> q33OracleSql,
     "q13_bfs" -> q13OracleSql,

@@ -1,0 +1,102 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Minimum spanning forest by Borůvka rounds on the same superstep
+  * substrate as Bfs/ConnectedComponents (SURVEY §7 stage 2's loop shape):
+  * every round each current component picks its minimum outgoing edge
+  * (one join + one struct-min aggregate, hash-partitioned on the
+  * component label), the picked edges merge components (label propagation
+  * over the COMPONENT graph — geometrically smaller than the input every
+  * round), repeat until no component has an outgoing edge. Component
+  * count at least halves per round, so rounds ≤ log2(V).
+  *
+  * Edges are totally ordered by the lexicographic (w, u, v) struct —
+  * ties in w are broken by endpoint ids — which makes the forest UNIQUE
+  * (the classic distinct-weights argument applied to the totalized
+  * order), so any correct MST algorithm over the same order produces the
+  * same edge set: the ScalaTest oracle is in-memory Kruskal under the
+  * identical comparator, and the DuckDB oracle is the cycle property
+  * (an edge is in the MSF iff its endpoints are NOT connected by
+  * strictly smaller edges).
+  *
+  * Scale: the expensive relation (input edges joined to labels) shuffles
+  * on the component label; the merge runs on the picked-edge graph
+  * (≤ one edge per component). Parallel undirected multi-edges collapse
+  * to their minimum weight up front — only a min edge can enter the MSF.
+  */
+object Mst {
+
+  /** @param edges undirected edge relation (u, v, w) — one row per edge,
+    *              either orientation; parallel edges collapse to min w
+    * @return DataFrame(u: Long, v: Long, w: Long) — the MSF edges,
+    *         canonicalized u < v, ordered by (w, u, v)
+    */
+  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    import spark.implicits._
+    val canon = edges
+      .select(least(col("u"), col("v")).cast("long").as("u"),
+        greatest(col("u"), col("v")).cast("long").as("v"),
+        col("w").cast("long").as("w"))
+      .filter(col("u") =!= col("v"))
+      .groupBy("u", "v").agg(min("w").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = canon.unionAll(
+      canon.select(col("v").as("u"), col("u").as("v"), col("w")))
+
+    var labels = canon.select(col("u").as("node"))
+      .union(canon.select(col("v").as("node")))
+      .distinct()
+      .withColumn("comp", col("node"))
+      .localCheckpoint(eager = false)
+    var picked: DataFrame =
+      Seq.empty[(Long, Long, Long)].toDF("u", "v", "w")
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      iter += 1
+      // each edge orientation under its tail's component label; an edge
+      // is OUTGOING iff its endpoints' components differ
+      val lab = labels
+      val out = sym
+        .join(lab, sym("u") === lab("node"))
+        .select(col("comp").as("cu"), col("u"), col("v"), col("w"))
+        .join(lab.select(col("node").as("vn"), col("comp").as("cv")),
+          col("v") === col("vn"))
+        .filter(col("cu") =!= col("cv"))
+      // per-component minimum outgoing edge under the total (w, u, v)
+      // order; least/greatest re-canonicalize the orientation row
+      val pick = out
+        .select(col("cu"),
+          struct(col("w"), least(col("u"), col("v")).as("u"),
+            greatest(col("u"), col("v")).as("v"), col("cv")).as("e"))
+        .groupBy("cu").agg(min("e").as("e"))
+        .select(col("cu"), col("e.u").as("u"), col("e.v").as("v"),
+          col("e.w").as("w"), col("e.cv").as("cv"))
+        .localCheckpoint(eager = false)
+      if (pick.isEmpty) done = true
+      else {
+        picked = picked
+          .unionAll(pick.select("u", "v", "w").distinct())
+          .localCheckpoint(eager = false)
+        // merge: components linked by picked edges collapse to one label
+        // (min-label propagation over the component graph — ≤ 1 edge per
+        // component, so this inner fixpoint is tiny and shrinks further
+        // every outer round)
+        val compEdges = pick.select(col("cu").as("src"), col("cv").as("dst"))
+          .unionAll(pick.select(col("cv").as("src"), col("cu").as("dst")))
+        val merged = ConnectedComponents.run(spark, compEdges)
+          .withColumnRenamed("node", "mn")
+          .withColumnRenamed("comp", "mc")
+        labels = labels
+          .join(merged, labels("comp") === col("mn"), "left")
+          .select(col("node"), coalesce(col("mc"), col("comp")).as("comp"))
+          .localCheckpoint(eager = false)
+      }
+    }
+    canon.unpersist()
+    picked.orderBy("w", "u", "v")
+  }
+}
