@@ -68,7 +68,53 @@ object ScaleProbe {
     }
   }
 
+  /** MST leg: Borůvka on the small-world graph vs in-memory Kruskal
+    * under the identical total order — edge-for-edge at probe scale.
+    * `runMain graft.ScaleProbe mst <n>`
+    */
+  private def mstProbe(n: Int): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val (k, rewireP, maxC, seed) = (4, 0.1, 10, 7L)
+    val df = spark.range(0L, n.toLong)
+      .flatMap(edgesFor(_, n, k, rewireP, maxC, seed))
+      .toDF("u", "v", "w")
+    val t0 = System.nanoTime()
+    val got = graph.Mst.run(spark, df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val dt = (System.nanoTime() - t0) / 1e9
+    // in-memory Kruskal, same canonicalization + same (w, u, v) order
+    val t1 = System.nanoTime()
+    val canon = smallWorld(n, k, rewireP, maxC, seed)
+      .filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2), e._3))
+      .groupBy(e => (e._1, e._2))
+      .map { case ((u, v), es) => (u, v, es.map(_._3).min) }.toSeq
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val want = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    for ((u, v, w) <- canon.sortBy(e => (e._3, e._1, e._2))) {
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) { parent(ru) = rv; want += ((u, v, w)) }
+    }
+    val dtK = (System.nanoTime() - t1) / 1e9
+    println(f"SCALE mst n=$n edges=${canon.size} msf=${got.size} " +
+      f"weight=${got.toSeq.map(_._3).sum} boruvka=$dt%.1f s kruskal=$dtK%.1f s " +
+      f"exact=${got == want.toSet}")
+    spark.stop()
+    if (got != want.toSet) sys.exit(1)
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("mst")) { mstProbe(args(1).toInt); return }
     val n = args.headOption.map(_.toInt).getOrElse(20000)
     val oracleCap = sys.env.getOrElse("SCALE_ORACLE_CAP", "200000").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
