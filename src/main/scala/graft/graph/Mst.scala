@@ -31,10 +31,19 @@ object Mst {
 
   /** @param edges undirected edge relation (u, v, w) — one row per edge,
     *              either orientation; parallel edges collapse to min w
+    * @param driverMergeMaxEdges picked-edge count up to which the
+    *              component merge folds on the DRIVER (union-find over
+    *              the round's picks — the q16_maxflow bounded-collect
+    *              discipline: the merge relation is ≤ one edge per
+    *              component and shrinks geometrically, so at bench scales
+    *              every round folds in microseconds instead of an inner
+    *              label-propagation fixpoint of small jobs); above the
+    *              cap the merge runs as distributed min-label propagation
     * @return DataFrame(u: Long, v: Long, w: Long) — the MSF edges,
     *         canonicalized u < v, ordered by (w, u, v)
     */
-  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 30): DataFrame = {
+  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 30,
+          driverMergeMaxEdges: Long = 5000000L): DataFrame = {
     import spark.implicits._
     val canon = edges
       .select(least(col("u"), col("v")).cast("long").as("u"),
@@ -76,22 +85,45 @@ object Mst {
         .select(col("cu"), col("e.u").as("u"), col("e.v").as("v"),
           col("e.w").as("w"), col("e.cv").as("cv"))
         .localCheckpoint(eager = false)
-      if (pick.isEmpty) done = true
+      val nPicked = pick.count()
+      if (nPicked == 0) done = true
       else {
         picked = picked
           .unionAll(pick.select("u", "v", "w").distinct())
           .localCheckpoint(eager = false)
         // merge: components linked by picked edges collapse to one label
-        // (min-label propagation over the component graph — ≤ 1 edge per
-        // component, so this inner fixpoint is tiny and shrinks further
-        // every outer round)
-        val compEdges = pick.select(col("cu").as("src"), col("cv").as("dst"))
-          .unionAll(pick.select(col("cv").as("src"), col("cu").as("dst")))
-        val merged = ConnectedComponents.run(spark, compEdges)
-          .withColumnRenamed("node", "mn")
-          .withColumnRenamed("comp", "mc")
+        val merged: DataFrame =
+          if (nPicked <= driverMergeMaxEdges) {
+            // bounded driver fold: union-find over the round's (cu, cv)
+            // pairs, re-broadcast as a (old comp → merged min label) map
+            val pairs = pick.select("cu", "cv").collect()
+              .map(r => (r.getLong(0), r.getLong(1)))
+            val parent = scala.collection.mutable.Map.empty[Long, Long]
+            def find(x: Long): Long = {
+              val p = parent.getOrElseUpdate(x, x)
+              if (p == x) x else { val r = find(p); parent(x) = r; r }
+            }
+            pairs.foreach { case (a, b) =>
+              val (ra, rb) = (find(a), find(b))
+              if (ra != rb) parent(ra) = rb
+            }
+            val minOf = parent.keys
+              .groupBy(find).map { case (r, ks) => r -> ks.min }
+            parent.keys.toSeq.map(k => (k, minOf(find(k))))
+              .toDF("mn", "mc")
+          } else {
+            // distributed fallback: min-label propagation over the
+            // component graph (≤ 1 edge per component, shrinking)
+            val compEdges = pick
+              .select(col("cu").as("src"), col("cv").as("dst"))
+              .unionAll(pick.select(col("cv").as("src"), col("cu").as("dst")))
+            ConnectedComponents.run(spark, compEdges)
+              .withColumnRenamed("node", "mn")
+              .withColumnRenamed("comp", "mc")
+          }
         labels = labels
-          .join(merged, labels("comp") === col("mn"), "left")
+          .join(broadcastIfSmall(merged, nPicked <= driverMergeMaxEdges),
+            labels("comp") === col("mn"), "left")
           .select(col("node"), coalesce(col("mc"), col("comp")).as("comp"))
           .localCheckpoint(eager = false)
       }
@@ -99,4 +131,7 @@ object Mst {
     canon.unpersist()
     picked.orderBy("w", "u", "v")
   }
+
+  private def broadcastIfSmall(df: DataFrame, small: Boolean): DataFrame =
+    if (small) broadcast(df) else df
 }

@@ -77,6 +77,19 @@ class MstSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed merge fallback (cap 0) == driver union-find path") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val edges = Seq.fill(120)(
+      (rng.nextInt(40).toLong, rng.nextInt(40).toLong,
+        (rng.nextInt(5) + 1).toLong))
+    val viaDriver = runSpark(edges)
+    val viaCc = Mst.run(spark, edges.toDF("u", "v", "w"),
+        driverMergeMaxEdges = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaCc == viaDriver && viaDriver == kruskal(edges))
+  }
+
   test("disconnected graph yields a spanning FOREST (one tree per component)") {
     val e = Seq((1L, 2L, 5L), (2L, 3L, 1L), (10L, 11L, 2L),
       (1L, 3L, 9L), (11L, 12L, 2L), (10L, 12L, 1L))
