@@ -625,7 +625,56 @@ object Sessionize {
         |FROM t CROSS JOIN top
         |WHERE t.nu IS NOT NULL""".stripMargin)
 
+  /** Inter-arrival spectrum: per event type, the histogram of consecutive
+    * same-(user, type) gaps in log2 microsecond buckets (bucket k holds
+    * gaps in [2^k, 2^(k+1)) µs; bucket 0 also catches the 0–1 µs
+    * degenerates) plus each type's exact gap count and integer-exact mean
+    * — the temporal-process diagnostic ("is this type bursty or
+    * periodic?") that stays combinable at any scale: an exact percentile
+    * per type would buffer a type's full gap population, the log2
+    * histogram is ONE extra groupBy key. The bucket index is
+    * length(bin(gap))−1 — pure integer string length, no floating log2
+    * whose 1-ulp error could flip a boundary gap between engines.
+    *
+    * Scale design: one (user_id, event_type) window for the lag (same
+    * exchange family as ev_features), then combinable COUNTs keyed by
+    * (type, bucket); the per-type rollup joins back on the
+    * types-cardinality relation.
+    */
+  def evGaps(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evGaps(s.table("__events"))
+  }
+
+  /** The parameterized production entry: any frame with (user_id, ts,
+    * event_id, event_type).
+    */
+  def evGaps(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__gap_events")
+    s.sql(
+      """WITH gaps AS (
+        |  SELECT event_type,
+        |         unix_micros(ts) - LAG(unix_micros(ts)) OVER (
+        |           PARTITION BY user_id, event_type
+        |           ORDER BY ts, event_id) AS gap
+        |  FROM __gap_events),
+        |g AS (SELECT event_type, gap FROM gaps WHERE gap IS NOT NULL),
+        |hist AS (
+        |  SELECT event_type, CAST(length(bin(gap)) - 1 AS BIGINT) AS bucket,
+        |         COUNT(*) AS n
+        |  FROM g GROUP BY event_type, length(bin(gap)) - 1),
+        |tot AS (
+        |  SELECT event_type, COUNT(*) AS n_gaps, SUM(gap) AS sum_gap
+        |  FROM g GROUP BY event_type)
+        |SELECT h.event_type, h.bucket, h.n, t.n_gaps,
+        |       t.sum_gap div t.n_gaps AS mean_gap_us
+        |FROM hist h JOIN tot t ON t.event_type = h.event_type
+        |ORDER BY h.event_type, h.bucket""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_gaps" -> ((s: SparkSession, dir: String) => evGaps(s, dir)),
     "ev_gini" -> ((s: SparkSession, dir: String) => evGini(s, dir)),
     "ev_streaks" -> ((s: SparkSession, dir: String) => evStreaks(s, dir)),
     "ev_features" -> ((s: SparkSession, dir: String) => evFeatures(s, dir)),
@@ -640,6 +689,21 @@ object Sessionize {
     "ev_active_users" -> ((s: SparkSession, dir: String) => evActiveUsers(s, dir)))
 
   val oracleSql: Map[String, String] = Map(
+    "ev_gaps" ->
+      ("""WITH gaps AS (SELECT event_type, """ +
+        """epoch_us(ts) - LAG(epoch_us(ts)) OVER ( """ +
+        """PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap """ +
+        """FROM events), """ +
+        """g AS (SELECT event_type, gap FROM gaps WHERE gap IS NOT NULL), """ +
+        """hist AS (SELECT event_type, """ +
+        """length(format('{:b}', gap)) - 1 AS bucket, COUNT(*) AS n """ +
+        """FROM g GROUP BY event_type, length(format('{:b}', gap)) - 1), """ +
+        """tot AS (SELECT event_type, COUNT(*) AS n_gaps, """ +
+        """SUM(gap)::BIGINT AS sum_gap FROM g GROUP BY event_type) """ +
+        """SELECT h.event_type, h.bucket, h.n, t.n_gaps, """ +
+        """t.sum_gap // t.n_gaps AS mean_gap_us """ +
+        """FROM hist h JOIN tot t ON t.event_type = h.event_type """ +
+        """ORDER BY h.event_type, h.bucket"""),
     "ev_gini" ->
       ("""WITH cnt AS (SELECT user_id, COUNT(*) AS n FROM events """ +
         """GROUP BY user_id), """ +

@@ -75,6 +75,7 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Sessionize.evRfm(emptyEvents).count() == 0)
     assert(Sessionize.evStreaks(emptyEvents).count() == 0)
     assert(Sessionize.evGini(emptyEvents).count() == 0)
+    assert(Sessionize.evGaps(emptyEvents).count() == 0)
     assert(Sessionize.evFeatures(emptyEvents).count() == 0)
     assert(Dedup.ddCrossDedup(emptyDocs, emptyDocs).count() == 0)
     assert(Pipeline.dsWeightedSample(

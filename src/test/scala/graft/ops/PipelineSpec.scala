@@ -1377,6 +1377,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("evGaps(events): log2 buckets and integer mean on hand input") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-06-01 10:00:00")
+    def at(us: Long) = new java.sql.Timestamp(base.getTime + us / 1000)
+    // 3 views with gaps 2s and 6s -> buckets len(bin(2e6))-1 = 20 and
+    // len(bin(6e6))-1 = 22; mean = 8e6/2 integer-exact
+    val evs = Seq(
+      (1L, 1L, at(0L), "view"), (1L, 2L, at(2000000L), "view"),
+      (1L, 3L, at(8000000L), "view"),
+      (2L, 4L, at(0L), "click")) // single event: no gap, type absent
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = Sessionize.evGaps(evs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq(("view", 20L, 1L, 2L, 4000000L),
+      ("view", 22L, 1L, 2L, 4000000L)))
+  }
+
   test("taNgramTop(docs, n, k): counts and df on hand input, deterministic cut") {
     import spark.implicits._
     val docs = Seq((1L, "a b c a b c"), (2L, "a b c"), (3L, "x y"))
