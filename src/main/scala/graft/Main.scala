@@ -125,7 +125,28 @@ object Main {
         val n = dist.count()
         println(s"bfs: reached $n vertices from ${sources.mkString(",")}")
         opts.get("out").foreach(dist.write.mode("overwrite").parquet(_))
-      case other => sys.error(s"unknown program $other (mf|bfs)")
+      case "cc" =>
+        val (edges, _, _) = load(spark, opts)
+        val comps = graph.ConnectedComponents.run(spark,
+          edges.select("src", "dst"))
+        val n = comps.select("comp").distinct().count()
+        println(s"cc: ${comps.count()} vertices in $n components")
+        opts.get("out").foreach(comps.write.mode("overwrite").parquet(_))
+      case "mst" =>
+        val (edges, _, _) = load(spark, opts)
+        val msf = graph.Mst.run(spark, edges.select(
+          edges("src").as("u"), edges("dst").as("v"), edges("cap").as("w")))
+        val (ne, w) = (msf.count(),
+          msf.agg(org.apache.spark.sql.functions.sum("w")).head().getLong(0))
+        println(s"mst: $ne forest edges, total weight $w")
+        opts.get("out").foreach(msf.write.mode("overwrite").parquet(_))
+      case "pagerank" =>
+        val (edges, _, _) = load(spark, opts)
+        val pr = graph.PageRank.run(spark, edges.select("src", "dst"),
+          iters = opts.get("iters").map(_.toInt).getOrElse(10))
+        println(s"pagerank: ${pr.count()} vertices ranked")
+        opts.get("out").foreach(pr.write.mode("overwrite").parquet(_))
+      case other => sys.error(s"unknown program $other (mf|bfs|cc|mst|pagerank)")
     }
   }
 }

@@ -33,6 +33,23 @@ class EndToEndSpec extends AnyFunSuite {
     assert(c1.forall(e => e._3 >= 1 && e._3 <= 5))
   }
 
+  test("CLI graph programs (cc/mst/pagerank) drive end-to-end on the CLRS fixture") {
+    // Main.run on the live session — the same dispatcher path the shell
+    // entry uses, minus the session lifecycle
+    graft.Main.run(spark, Array("cc", "--format", "dimacs",
+      "--input", fixture("clrs.dimacs")))
+    graft.Main.run(spark, Array("mst", "--format", "dimacs",
+      "--input", fixture("clrs.dimacs")))
+    graft.Main.run(spark, Array("pagerank", "--format", "dimacs",
+      "--input", fixture("clrs.dimacs"), "--iters", "3"))
+    // and the MSF of the CLRS capacity network is itself checkable
+    val (edges, _, _) = (GraphSources.readDimacs(spark, fixture("clrs.dimacs")))
+    val msf = Mst.run(spark, edges.select(
+      edges("src").as("u"), edges("dst").as("v"), edges("cap").as("w")))
+    assert(msf.count() == msf.select("u").unionAll(msf.select("v"))
+      .distinct().count() - 1) // connected: V-1 edges
+  }
+
   test("approx_count_distinct lands within 5% of exact (q20, HLL)") {
     val sf = "/root/testdata/sf0.001"
     val row = Relational.q20_approx_distinct(spark, sf).head()
