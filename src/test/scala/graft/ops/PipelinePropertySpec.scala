@@ -97,4 +97,88 @@ class PipelinePropertySpec extends AnyFunSuite {
       got == expected
     })
   }
+
+  private val genEvents: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(1, 60)
+    us <- Gen.listOfN(n, Gen.choose(1L, 6L))
+    ds <- Gen.listOfN(n, Gen.choose(0L, 15L))
+  } yield us.zip(ds)
+
+  test("evStreaks: Spark rollup == an in-memory island replay on arbitrary (user, day) sets") {
+    import spark.implicits._
+    check(Prop.forAll(genEvents) { rows =>
+      val expected = rows.distinct.groupBy(_._1).map { case (u, uds) =>
+        val days = uds.map(_._2).distinct.sorted
+        val runs = days.zipWithIndex.map { case (d, i) => d - i }
+          .groupBy(identity).values.map(_.size.toLong).toList
+        (u, days.size.toLong, runs.size.toLong, runs.max)
+      }.toSet
+      // days → timestamps at midday of each epoch-day
+      val evs = rows.map { case (u, d) =>
+        (u, new java.sql.Timestamp(d * 86400000L + 43200000L))
+      }.toDF("user_id", "ts")
+      val got = Sessionize.evStreaks(evs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      got == expected
+    })
+  }
+
+  test("evGini: closed-form tie-run rank sum == naive sorted-rank Gini") {
+    import spark.implicits._
+    check(Prop.forAll(genEvents) { rows =>
+      val counts = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val xs = counts.values.toList.sorted
+      val (nu, tn) = (xs.size.toLong, xs.sum)
+      val sin = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      val gini = BigDecimal(2d * sin / (nu.toDouble * tn) - (nu + 1d) / nu)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val evs = rows.map { case (u, d) =>
+        (u, new java.sql.Timestamp(d * 86400000L + 43200000L))
+      }.toDF("user_id", "ts")
+      val r = Sessionize.evGini(evs).head()
+      r.getLong(0) == nu && r.getLong(1) == tn &&
+        math.abs(r.getDouble(2) - gini) < 1e-9
+    })
+  }
+
+  private val genMix: Gen[(List[(String, Long, Int)], Long, Int)] = for {
+    n <- Gen.choose(1, 8)
+    toks <- Gen.listOfN(n, Gen.choose(1L, 1000L))
+    ws <- Gen.listOfN(n, Gen.choose(1, 9))
+    cap <- Gen.choose(1, 4)
+    budget <- Gen.choose(0L, toks.sum * (cap + 2))
+  } yield (toks.indices.map(i => (s"s$i", toks(i), ws(i))).toList, budget, cap)
+
+  test("dsEpochs: budget conservation, cap respected, capped iff at cap") {
+    import spark.implicits._
+    check(Prop.forAll(genMix) { case (src, budget, cap) =>
+      val rows = Pipeline.dsEpochs(src.toDF("source", "tokens", "w"),
+        budget, cap).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getBoolean(3),
+          r.getDouble(4), r.getDouble(5)))
+      val capTotal = src.map { case (_, t, _) => cap * t }.sum
+      val totalAlloc = rows.map(_._5).sum
+      val conserve = math.abs(totalAlloc - math.min(budget, capTotal)) <
+        1e-3 * math.max(1d, totalAlloc)
+      rows.forall { case (_, tok, capped, ep, alloc) =>
+        ep <= cap + 1e-9 &&                        // never beyond the cap
+        (capped == (math.abs(ep - cap) < 1e-9)) && // flag ⟺ at the cap
+        math.abs(alloc - ep * tok) < 1e-2 * math.max(1d, alloc)
+      } && conserve
+    })
+  }
+
+  test("dsWeightedSample: prefix-monotone in k and deterministic") {
+    import spark.implicits._
+    check(Prop.forAll(Gen.choose(1, 25), Gen.choose(1, 10)) { (n, k) =>
+      val docs = (1L to n.toLong).map(i => (i, (i % 7 + 1).toDouble))
+        .toDF("doc_id", "w")
+      val small = Pipeline.dsWeightedSample(docs, "w", k).collect()
+        .map(_.getLong(0)).toList
+      val large = Pipeline.dsWeightedSample(docs, "w", k + 5).collect()
+        .map(_.getLong(0)).toList
+      large.take(small.size) == small && small.size == math.min(k, n)
+    })
+  }
 }
