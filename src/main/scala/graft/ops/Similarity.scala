@@ -50,6 +50,44 @@ object Similarity {
         |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin)
   }
 
+  /** Cosine RANGE search: every corpus vector within `tau` of each query
+    * — the retrieval-filter primitive ("all candidates above the match
+    * threshold") where the `ss_*_topk` family answers "the k best". Exact
+    * brute scan: |Q|·N codegen'd graft_dot scores, a broadcast of the
+    * (small) query set against a corpus that never shuffles — the honest
+    * contract for SMALL query sets; a large query set should go through
+    * the LSH/IVF entries, and a corpus-vs-itself threshold join is
+    * [[graft.ops.Dedup.ddEmbedCosOn]] (density-guarded there, because
+    * the pair relation grows quadratically in cluster density).
+    *
+    * Output is (query, neighbor, cos ≥ tau), cos rounded to 6 before the
+    * threshold compare so the boundary is engine-exact.
+    */
+  def ssRangeSearch(s: SparkSession, emb: DataFrame, queryPred: String,
+      tau: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    emb.createOrReplaceTempView("__emb_rs")
+    s.sql(
+      s"""WITH base AS (
+         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM __emb_rs),
+         |norms AS (
+         |  SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM base)
+         |SELECT query_id, neighbor_id, cos FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         ROUND(graft_dot(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos
+         |  FROM (SELECT * FROM norms WHERE $queryPred) q
+         |  JOIN norms c ON c.vec_id <> q.vec_id)
+         |WHERE cos >= ${tau}D
+         |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin)
+  }
+
+  /** The oracle-checked form: queries vec_id < 5, tau = 0.2. */
+  def ssRangeSearch(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "embeddings").createOrReplaceTempView("__emb_raw_rs")
+    ssRangeSearch(s, s.table("__emb_raw_rs"), "vec_id < 5", 0.2)
+  }
+
   /** The ±1 hyperplane coefficient matrix (nPlanes × dim), derived from
     * md5 parity — computed ONCE on the driver and shipped as a literal,
     * instead of re-evaluating nPlanes·dim md5 calls per row (the DuckDB
@@ -626,6 +664,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ss_cosine_topk" -> (ssCosineTopk _),
+    "ss_range" -> ((s: SparkSession, dir: String) => ssRangeSearch(s, dir)),
     "ss_sq_topk" -> (ssSqTopk _),
     "ss_pq_topk" -> (ssPqTopk _),
     "ss_ivfpq_topk" -> (ssIvfPqTopk _),
@@ -871,6 +910,20 @@ object Similarity {
         |           ORDER BY cos DESC, neighbor_id) AS rn
         |  FROM res)
         |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin.replaceAll("\n", " "),
+    "ss_range" ->
+      """WITH base AS (
+        |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),
+        |norms AS (
+        |  SELECT vec_id, v, sqrt(list_sum([x * x FOR x IN v])) AS nrm FROM base)
+        |SELECT query_id, neighbor_id, cos FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         ROUND(list_sum([q.v[i] * c.v[i]
+        |                 FOR i IN generate_series(1, len(q.v))])
+        |               / (q.nrm * c.nrm), 6) AS cos
+        |  FROM norms q JOIN norms c ON q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        |WHERE cos >= 0.2
+        |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin
+        .replaceAll("\n", " "),
     "ss_cosine_topk" ->
       """WITH base AS (
         |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),

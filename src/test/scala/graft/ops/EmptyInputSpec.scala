@@ -58,6 +58,8 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Similarity.ssSqTopkOn(spark, emptyEmb, "vec_id < 5", 10).count() == 0)
     assert(Similarity.ssPqTopkOn(spark, emptyEmb, "vec_id < 5", 10).count() == 0)
     assert(Dedup.ddSemDedupOn(spark, emptyEmb, 16, 0.9).count() == 0)
+    assert(Similarity.ssRangeSearch(spark, emptyEmb, "vec_id < 5", 0.5)
+      .count() == 0)
     assert(Similarity.ssIvfPqTopkOn(spark, emptyEmb, "vec_id < 5", 10)
       .count() == 0)
     assert(Similarity.bruteTopkOn(spark, emptyEmb, "vec_id < 5", 10).count() == 0)

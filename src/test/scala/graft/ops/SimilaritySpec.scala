@@ -24,6 +24,28 @@ class SimilaritySpec extends AnyFunSuite {
     rows.map { case (id, v) => (id, v.map(_.toFloat)) }
       .toDF("vec_id", "embedding")
 
+  test("range search: exactly the >= tau slice of the in-memory cosine matrix") {
+    val rng = new Random(42)
+    // round-trip through Float first: the operator reads float32 columns,
+    // so the in-memory oracle must score the same truncated values
+    val rows = (0L until 60L).map(i =>
+      (i, unit(rng, 16).map(x => x.toFloat.toDouble)))
+    val tau = 0.3
+    val want = (for {
+      (q, qv) <- rows if q < 5
+      (c, cv) <- rows if c != q
+      cos = BigDecimal(qv.zip(cv).map(t => t._1 * t._2).sum /
+        (math.sqrt(qv.map(x => x * x).sum) * math.sqrt(cv.map(x => x * x).sum)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if cos >= tau
+    } yield (q, c)).toSet
+    val got = Similarity.ssRangeSearch(spark, toEmb(rows), "vec_id < 5", tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && want.nonEmpty)
+    // the threshold slices the same scores the top-k family ranks
+    assert(got.forall { case (q, _) => q < 5 })
+  }
+
   test("IVF with k-means-trained centroids: recall >= 0.8 vs brute force at nprobe=2") {
     val rng = new Random(7)
     val dim = 64
