@@ -76,6 +76,11 @@ object PipelineScaleProbe {
     if (args.headOption.contains("addendum12")) {
       addendum12(args(1).toInt, args(2).toInt, args(3)); return
     }
+    // `addendum13 <nDocs> <nEvents> <nVec> <outBase>` — gaps/gini at
+    // event scale, epochs/ngram at corpus scale, range at vector scale
+    if (args.headOption.contains("addendum13")) {
+      addendum13(args(1).toInt, args(2).toInt, args(3).toInt, args(4)); return
+    }
     // ANN + events families at 100x: generate embeddings/events, probe
     // ss_lsh_ann / ss_ivf_ann (with measured recall vs in-probe brute
     // force), dd_embed_cos twin recall, ev_sessionize, ev_funnel —
@@ -1112,6 +1117,106 @@ object PipelineScaleProbe {
       f"race did not pull weight: sample mean $meanS%.1f <= corpus $meanC%.1f")
     println(f"PSCALE wsample meanW sample=$meanS%.1f corpus=$meanC%.1f")
     println("PSCALE addendum12 done")
+    spark.stop()
+  }
+
+  /** Round-7 sixth-batch legs: ev_gaps / ev_gini at event scale,
+    * ds_epochs / ta_ngram_top at corpus scale, ss_range at vector scale —
+    * `runMain graft.PipelineScaleProbe addendum13 <nDocs> <nEvents> <nVec> <outBase>`
+    */
+  private def addendum13(nDocs: Int, nEvents: Int, nVec: Int,
+      outBase: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions.{countDistinct, expr, sum => fsum}
+    import spark.implicits._
+    val seed = 2026L
+    val dir = s"$outBase/sf$nDocs"
+    spark.range(0L, nDocs.toLong).map(docFor(_, seed))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val nUsers = scala.math.max(100, nEvents / 666)
+    spark.range(0L, nEvents.toLong).map(evFor(_, nUsers, seed))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    spark.range(0L, nVec.toLong).map(vecFor(_, 64, 10, seed))
+      .toDF("vec_id", "embedding", "label")
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    println(s"PSCALE gen13 nDocs=$nDocs nEvents=$nEvents nVec=$nVec")
+
+    def timed(tag: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      df.write.mode("overwrite").parquet(s"$dir/results/$tag.parquet")
+      println(f"PSCALE q=$tag t=${(System.nanoTime() - t0) / 1e9}%.1f s " +
+        s"rows=${spark.read.parquet(s"$dir/results/$tag.parquet").count()}")
+    }
+    val events = graft.Tables.load(spark, dir, "events")
+
+    // ev_gaps: output is (types × ≤64 buckets)-bounded; the gap algebra
+    // closes — Σ n per type == count(type) − |users seen for type|
+    timed("ev_gaps")(ops.Sessionize.evGaps(spark, dir))
+    val gp = spark.read.parquet(s"$dir/results/ev_gaps.parquet")
+    val byType = gp.groupBy("event_type").agg(fsum("n").as("hist_n"))
+    val wantGaps = events.groupBy("event_type")
+      .agg(expr("count(*) - count(distinct user_id) AS want_n"))
+    val gapMismatch = byType.join(wantGaps, "event_type")
+      .filter("hist_n != want_n").count()
+    require(gapMismatch == 0, s"$gapMismatch types break the gap algebra")
+    println(s"PSCALE gaps rows=${gp.count()} (types x log2 buckets) algebra exact")
+
+    // ev_gini: one row; totals exact, top decile at least proportional
+    timed("ev_gini")(ops.Sessionize.evGini(spark, dir))
+    val gn = spark.read.parquet(s"$dir/results/ev_gini.parquet").head()
+    val nU = events.agg(countDistinct("user_id")).head().getLong(0)
+    require(gn.getLong(0) == nU && gn.getLong(1) == nEvents.toLong,
+      s"gini totals off: ${gn.getLong(0)}/$nU ${gn.getLong(1)}/$nEvents")
+    val share = gn.getDouble(5)
+    require(share >= (nU / 10).toDouble / nU - 1e-6,
+      s"top decile below proportional: $share")
+    println(f"PSCALE gini=${gn.getDouble(2)}%.6f topDecileShare=$share%.6f")
+
+    // ds_epochs: conservation at corpus scale (taxonomy-sized relation)
+    val t0e = System.nanoTime()
+    val ep = ops.Pipeline.dsEpochs(spark, dir).localCheckpoint(eager = true)
+    println(f"PSCALE q=ds_epochs t=${(System.nanoTime() - t0e) / 1e9}%.1f s " +
+      s"rows=${ep.count()}")
+    val alloc = ep.agg(fsum("alloc_tokens")).head().getDouble(0)
+    val toks = ep.agg(fsum("tokens")).head().getLong(0)
+    val budget = toks / 2
+    val capTotal = 3.0 * toks
+    val target = math.min(budget.toDouble, capTotal)
+    require(math.abs(alloc - target) < 1e-6 * target,
+      s"budget not conserved: alloc=$alloc target=$target")
+    println(f"PSCALE epochs alloc=$alloc%.1f == min(budget, cap) exact")
+
+    // ta_ngram_top: k rows, occurrence >= doc frequency, sorted
+    timed("ta_ngram_top")(ops.TextAnalysis.taNgramTop(spark, dir))
+    val ng = spark.read.parquet(s"$dir/results/ta_ngram_top.parquet")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    require(ng.length == 20 && ng.forall(t => t._1 >= t._2),
+      "ngram top-k shape broken")
+    require(ng.map(_._1).sliding(2).forall(p => p.head >= p.last),
+      "ngram ranking not sorted")
+    println(s"PSCALE ngram top n=${ng.head._1} df=${ng.head._2}")
+
+    // ss_range: 5 queries against nVec vectors, threshold slice only
+    val t0r = System.nanoTime()
+    val rs = ops.Similarity.ssRangeSearch(spark,
+      graft.Tables.load(spark, dir, "embeddings"), "vec_id < 5", 0.5)
+      .localCheckpoint(eager = true)
+    println(f"PSCALE q=ss_range t=${(System.nanoTime() - t0r) / 1e9}%.1f s " +
+      s"rows=${rs.count()}")
+    require(rs.filter("cos < 0.5").count() == 0, "threshold leak")
+    require(rs.select("query_id").distinct().count() <= 5, "query leak")
+    println("PSCALE addendum13 done")
     spark.stop()
   }
 }
