@@ -655,6 +655,67 @@ object Pipeline {
     dsEpochs(src, budget, maxEpochs = 3)
   }
 
+  /** Temperature-scaled source mixture (the multilingual-corpus staple,
+    * mC4/T5-style: sample source s with probability ∝ n_s^α, α < 1
+    * flattening the head so low-resource sources are boosted): per
+    * source, the natural token share, the temperature weight n^α, the
+    * resampling probability p = w/Σw, and the boost factor p/share.
+    *
+    * Engine-exactness: the oracle form fixes α = 0.5, where n^α is
+    * `sqrt` — IEEE-754 requires sqrt correctly rounded, so the weight is
+    * bit-identical in both engines (POWER(x, 0.5) carries no such
+    * guarantee; see the production entry's contract). The weights are
+    * quantized to DECIMAL(28,6) before summing, so Σw is an exact decimal
+    * fold (order-free); every emitted ratio is then ONE fixed-shape
+    * double expression over identical exact scalars, rounded to 6 (the
+    * q36 moment discipline).
+    *
+    * Scale design: the input is the (source, n_docs, tokens) relation —
+    * taxonomy-sized at any corpus SF, so everything after the upstream
+    * combinable token count is micro; the Σ scalar is ONE cross-joined
+    * row (the dsEpochs broadcast-back shape). No window, no
+    * corpus-sized shuffle anywhere.
+    */
+  def dsTemperature(srcStats: DataFrame, alpha: Double): DataFrame = {
+    val s = srcStats.sparkSession
+    require(alpha > 0 && alpha <= 1, s"alpha out of (0,1]: $alpha")
+    // α = 0.5 lowers to sqrt (correctly rounded by IEEE-754, so
+    // engine-exact); any other α uses libm pow, whose last-ulp behaviour
+    // is implementation-defined — fine in production, not oracle-gradable.
+    val w =
+      if (alpha == 0.5) "SQRT(CAST(tokens AS DOUBLE))"
+      else s"POWER(CAST(tokens AS DOUBLE), CAST($alpha AS DOUBLE))"
+    srcStats.createOrReplaceTempView("__temp_src")
+    s.sql(
+      s"""WITH w AS (
+         |  SELECT source, n_docs, tokens,
+         |         CAST(ROUND($w, 6) AS DECIMAL(28,6)) AS wq
+         |  FROM __temp_src),
+         |t AS (SELECT SUM(wq) AS sw, SUM(tokens) AS st FROM w)
+         |SELECT source, n_docs, tokens AS n_tokens,
+         |       CAST(wq AS DOUBLE) AS weight,
+         |       ROUND(CAST(tokens AS DOUBLE) / CAST(t.st AS DOUBLE), 6)
+         |         AS share,
+         |       ROUND(CAST(wq AS DOUBLE) / CAST(t.sw AS DOUBLE), 6) AS p,
+         |       ROUND((CAST(wq AS DOUBLE) / CAST(t.sw AS DOUBLE))
+         |             / (CAST(tokens AS DOUBLE) / CAST(t.st AS DOUBLE)), 6)
+         |         AS boost
+         |FROM w CROSS JOIN t ORDER BY source""".stripMargin)
+  }
+
+  /** The oracle-checked form: per-source doc/whitespace-token counts from
+    * `documents` (one combinable agg), α = 0.5 (the sqrt-exact point).
+    */
+  def dsTemperature(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "documents").createOrReplaceTempView("__docs")
+    dsTemperature(
+      s.sql(
+        """SELECT source, COUNT(*) AS n_docs,
+          |       SUM(size(split(text, ' '))) AS tokens
+          |FROM __docs GROUP BY source""".stripMargin),
+      alpha = 0.5)
+  }
+
   def dsMix(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
     // the synthetic taxonomy's configured rates (src<k> keeps (k+1)/10),
@@ -948,6 +1009,7 @@ object Pipeline {
     "ds_epochs" -> ((s: SparkSession, dir: String) => dsEpochs(s, dir)),
     "ds_qfilter" -> ((s: SparkSession, dir: String) => dsQualityFilter(s, dir)),
     "ds_shuffle" -> (dsShuffle _),
+    "ds_temperature" -> ((s: SparkSession, dir: String) => dsTemperature(s, dir)),
     "ds_mix" -> ((s: SparkSession, dir: String) => dsMix(s, dir)),
     "ds_interleave" -> ((s: SparkSession, dir: String) => dsInterleave(s, dir)))
 
@@ -969,6 +1031,20 @@ object Pipeline {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ds_temperature" ->
+      ("""WITH src AS (SELECT source, COUNT(*) AS n_docs, """ +
+        """SUM(len(string_split(text, ' ')))::BIGINT AS tokens """ +
+        """FROM documents GROUP BY source), """ +
+        """w AS (SELECT source, n_docs, tokens, """ +
+        """ROUND(SQRT(tokens::DOUBLE), 6)::DECIMAL(28,6) AS wq FROM src), """ +
+        """t AS (SELECT SUM(wq) AS sw, SUM(tokens)::BIGINT AS st FROM w) """ +
+        """SELECT source, n_docs, tokens AS n_tokens, """ +
+        """wq::DOUBLE AS weight, """ +
+        """ROUND(tokens::DOUBLE / t.st::DOUBLE, 6) AS share, """ +
+        """ROUND(wq::DOUBLE / t.sw::DOUBLE, 6) AS p, """ +
+        """ROUND((wq::DOUBLE / t.sw::DOUBLE) """ +
+        """/ (tokens::DOUBLE / t.st::DOUBLE), 6) AS boost """ +
+        """FROM w CROSS JOIN t ORDER BY source"""),
     "ds_epochs" ->
       ("""WITH src AS (SELECT source, """ +
         """SUM(len(string_split(text, ' ')))::BIGINT AS tokens, """ +

@@ -1496,4 +1496,32 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getBoolean(1)))
     assert(got.toSeq == Seq((1L, true), (2L, true), (3L, false)))
   }
+
+  test("dsTemperature(stats, alpha): sqrt weights and boosts on hand numbers") {
+    import spark.implicits._
+    // tokens 100/400/2500 -> sqrt weights 10/20/50, Σw=80, Σtok=3000
+    val src = Seq(("A", 10L, 100L), ("B", 20L, 400L), ("C", 30L, 2500L))
+      .toDF("source", "n_docs", "tokens")
+    val got = Pipeline.dsTemperature(src, alpha = 0.5).collect()
+      .map(r => (r.getString(0), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6)))
+    assert(got.toSeq == Seq(
+      ("A", 10.0, 0.033333, 0.125, 3.75),
+      ("B", 20.0, 0.133333, 0.25, 1.875),
+      ("C", 50.0, 0.833333, 0.625, 0.75)))
+    // α < 1 flattens: the smallest source is boosted above 1, the
+    // largest suppressed below 1, and Σp closes to 1 within rounding
+    assert(math.abs(got.map(_._4).sum - 1.0) < 1e-5)
+    // α = 1 is the identity mixture: p == share, boost == 1 everywhere
+    val id = Pipeline.dsTemperature(src, alpha = 1.0).collect()
+      .map(r => (r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    id.foreach { case (share, p, boost) =>
+      assert(math.abs(p - share) < 1e-6 && math.abs(boost - 1.0) < 1e-6)
+    }
+    // the oracle form: one row per source, probabilities close to 1
+    val orc = Pipeline.dsTemperature(spark, sf).collect()
+    assert(orc.length == spark.read
+      .parquet(s"$sf/documents.parquet").select("source").distinct().count())
+    assert(math.abs(orc.map(_.getDouble(5)).sum - 1.0) < 1e-4)
+  }
 }
