@@ -673,7 +673,74 @@ object Sessionize {
         |ORDER BY h.event_type, h.bucket""".stripMargin)
   }
 
+  /** Within-session event-type co-occurrence (the market-basket view of
+    * the event stream): for every unordered type pair {a,b}, the number
+    * of sessions containing BOTH, each type's own session count, and two
+    * association scores — lift = n_ab·S/(n_a·n_b) (>1 ⇒ the types attract)
+    * and the session-set Jaccard n_ab/(n_a+n_b−n_ab). Sessions are the
+    * ev_sessionize 30-minute-gap sessions; a type counts once per session
+    * however many times it fires (set semantics — the presence relation).
+    *
+    * Engine-exactness: integer counts; lift and jaccard are ONE
+    * fixed-shape double expression each, rounded to 6 (the ta_tfidf
+    * discipline).
+    *
+    * Scale design: the per-event stream is compacted FIRST to the
+    * DISTINCT (user, session, type) presence relation — (sessions ×
+    * types)-bounded, the ev_active_users compaction discipline — and the
+    * pair self-join runs on that compacted relation, co-partitioned on
+    * (user_id, sess_idx) (one exchange, reused by both sides), so the
+    * fan-out per session is ≤ C(|types present|, 2) — |types|²-bounded
+    * regardless of session length. The aggregate output is |types|²
+    * rows; the count joins against it are broadcast-sized.
+    */
+  def evCooccur(events: DataFrame, gapMicros: Long): DataFrame = {
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__co_events")
+    s.sql(
+      s"""WITH flagged AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |         CASE WHEN unix_micros(ts) -
+         |                   LAG(unix_micros(ts)) OVER w > $gapMicros
+         |              OR LAG(ts) OVER w IS NULL
+         |              THEN 1 ELSE 0 END AS new_sess
+         |  FROM __co_events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |tagged AS (
+         |  SELECT user_id, event_type,
+         |         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                             ROWS UNBOUNDED PRECEDING) AS sess_idx
+         |  FROM flagged),
+         |st AS (SELECT DISTINCT user_id, sess_idx, event_type FROM tagged),
+         |sess AS (SELECT DISTINCT user_id, sess_idx FROM st),
+         |ns AS (SELECT COUNT(*) AS n_sessions FROM sess),
+         |ta AS (SELECT event_type, COUNT(*) AS n FROM st GROUP BY event_type),
+         |pairs AS (
+         |  SELECT a.event_type AS t1, b.event_type AS t2, COUNT(*) AS n_ab
+         |  FROM st a JOIN st b
+         |    ON b.user_id = a.user_id AND b.sess_idx = a.sess_idx
+         |   AND a.event_type < b.event_type
+         |  GROUP BY a.event_type, b.event_type)
+         |SELECT p.t1, p.t2, p.n_ab, x.n AS n_a, y.n AS n_b, ns.n_sessions,
+         |       ROUND(CAST(p.n_ab AS DOUBLE) * ns.n_sessions
+         |             / (CAST(x.n AS DOUBLE) * y.n), 6) AS lift,
+         |       ROUND(CAST(p.n_ab AS DOUBLE) / (x.n + y.n - p.n_ab), 6)
+         |         AS jaccard
+         |FROM pairs p
+         |JOIN ta x ON x.event_type = p.t1
+         |JOIN ta y ON y.event_type = p.t2
+         |CROSS JOIN ns
+         |ORDER BY p.t1, p.t2""".stripMargin)
+  }
+
+  /** The oracle-checked form over the events table (30-minute gap). */
+  def evCooccur(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evCooccur(s.table("__events"), GapMicros)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_cooccur" -> ((s: SparkSession, dir: String) => evCooccur(s, dir)),
     "ev_gaps" -> ((s: SparkSession, dir: String) => evGaps(s, dir)),
     "ev_gini" -> ((s: SparkSession, dir: String) => evGini(s, dir)),
     "ev_streaks" -> ((s: SparkSession, dir: String) => evStreaks(s, dir)),
@@ -689,6 +756,39 @@ object Sessionize {
     "ev_active_users" -> ((s: SparkSession, dir: String) => evActiveUsers(s, dir)))
 
   val oracleSql: Map[String, String] = Map(
+    "ev_cooccur" ->
+      (s"""WITH flagged AS (
+          |  SELECT user_id, ts, event_id, event_type,
+          |         CASE WHEN epoch_us(ts) -
+          |                   LAG(epoch_us(ts)) OVER w > $GapMicros
+          |              OR LAG(ts) OVER w IS NULL
+          |              THEN 1 ELSE 0 END AS new_sess
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |tagged AS (
+          |  SELECT user_id, event_type,
+          |         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                             ROWS UNBOUNDED PRECEDING) AS sess_idx
+          |  FROM flagged),
+          |st AS (SELECT DISTINCT user_id, sess_idx, event_type FROM tagged),
+          |sess AS (SELECT DISTINCT user_id, sess_idx FROM st),
+          |ns AS (SELECT COUNT(*) AS n_sessions FROM sess),
+          |ta AS (SELECT event_type, COUNT(*) AS n FROM st GROUP BY event_type),
+          |pairs AS (
+          |  SELECT a.event_type AS t1, b.event_type AS t2, COUNT(*) AS n_ab
+          |  FROM st a JOIN st b
+          |    ON b.user_id = a.user_id AND b.sess_idx = a.sess_idx
+          |   AND a.event_type < b.event_type
+          |  GROUP BY a.event_type, b.event_type)
+          |SELECT p.t1, p.t2, p.n_ab, x.n AS n_a, y.n AS n_b, ns.n_sessions,
+          |       ROUND(p.n_ab::DOUBLE * ns.n_sessions
+          |             / (x.n::DOUBLE * y.n), 6) AS lift,
+          |       ROUND(p.n_ab::DOUBLE / (x.n + y.n - p.n_ab), 6) AS jaccard
+          |FROM pairs p
+          |JOIN ta x ON x.event_type = p.t1
+          |JOIN ta y ON y.event_type = p.t2
+          |CROSS JOIN ns
+          |ORDER BY p.t1, p.t2""".stripMargin.replaceAll("\n", " ")),
     "ev_gaps" ->
       ("""WITH gaps AS (SELECT event_type, """ +
         """epoch_us(ts) - LAG(epoch_us(ts)) OVER ( """ +

@@ -1497,6 +1497,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, true), (2L, true), (3L, false)))
   }
 
+  test("evCooccur(events, gap): session presence pairs, lift and jaccard") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: session A = {view, click, view} -> presence {click, view};
+    //         session B (past the 30-min gap) = {view};
+    // user 2: one session {click, purchase} -> 3 sessions total
+    val evs = Seq(
+      (1L, 10L, ts("2024-06-01 10:00:00"), "view"),
+      (1L, 11L, ts("2024-06-01 10:01:00"), "click"),
+      (1L, 12L, ts("2024-06-01 10:02:00"), "view"),
+      (1L, 13L, ts("2024-06-01 12:00:00"), "view"),
+      (2L, 20L, ts("2024-06-01 09:00:00"), "click"),
+      (2L, 21L, ts("2024-06-01 09:05:00"), "purchase")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got = Sessionize.evCooccur(evs, Sessionize.GapMicros).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7)))
+    assert(got.toSeq == Seq(
+      ("click", "purchase", 1L, 2L, 1L, 3L, 1.5, 0.5),
+      ("click", "view", 1L, 2L, 2L, 3L, 0.75, 0.333333)))
+    // set semantics: the doubled 'view' in session A counts once
+    assert(got.forall(g => g._3 <= math.min(g._4, g._5)))
+  }
+
   test("dsTemperature(stats, alpha): sqrt weights and boosts on hand numbers") {
     import spark.implicits._
     // tokens 100/400/2500 -> sqrt weights 10/20/50, Σw=80, Σtok=3000
