@@ -73,12 +73,37 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object GraftFunctions {
-  /** Idempotent session registration; afterwards `graft_dot` is usable in
-    * any SQL/selectExpr string.
+
+  import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+  import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+
+  /** Idempotent session registration; afterwards `graft_dot`,
+    * `graft_bloom_agg` and `graft_might_contain` are usable in any
+    * SQL/selectExpr string.
+    *
+    * The bloom pair surfaces Spark's own runtime-filter machinery
+    * (`BloomFilterAggregate` / `BloomFilterMightContain`, the engine
+    * behind joinside bloom pruning) as callable functions, so an operator
+    * can BUILD a filter over a reference relation in one distributed
+    * aggregate (partial blooms OR-merge — combiner-friendly at any
+    * parallelism) and APPLY it map-side as a plain Filter predicate over
+    * a corpus that then never shuffles. `graft_bloom_agg(xxhash64(x), n
+    * [, bits])` → binary; `graft_might_contain(bloomBinary,
+    * xxhash64(x))` → boolean (the binary must be foldable — a literal —
+    * exactly like the runtime-filter rewrite emits).
     */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg",
+      exprs =>
+        if (exprs.length >= 3) new BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+        else new BloomFilterAggregate(exprs(0), exprs(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_might_contain",
+      exprs => BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
     RewriteDotProduct.install(spark)
   }
 }

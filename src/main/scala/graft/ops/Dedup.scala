@@ -844,7 +844,82 @@ object Dedup {
     ddCrossDedup(corpus, ref)
   }
 
+  /** Bloom-filter cross-corpus dedup: [[ddCrossDedup]]'s exact semantics
+    * (flag every corpus document whose text exists verbatim in a
+    * reference corpus) with the ZERO-CORPUS-SHUFFLE plan: the reference
+    * is folded into a Bloom filter by ONE distributed aggregate (partial
+    * filters OR-merge, so the build is combiner-shaped at any
+    * parallelism — Spark's own runtime-filter machinery, surfaced via
+    * graft_bloom_agg), the filter rides to every task as a literal, and
+    * the corpus splits map-side into a definitely-clean leg (no false
+    * negatives — flagged false with NO shuffle at all) and a candidate
+    * leg (true dups + ~fpp·|corpus| false positives) that alone pays the
+    * exact md5 verification join. The result is EXACT — the bloom only
+    * prunes, the md5 join decides.
+    *
+    * At 100 TB this is the design you want when the reference is big
+    * enough that broadcasting its hash set is infeasible but the DUP RATE
+    * is low: [[ddCrossDedup]] shuffles the full corpus digest relation;
+    * this shuffles only candidates. Filter sizing: numBits =
+    * −n·ln(fpp)/ln²2 (≈1.2 MB per million refs at fpp 1 %) — the literal
+    * is the broadcast cost, so fpp trades task-side bytes against
+    * verification traffic. The reference count used for sizing is one
+    * COUNT scalar (the dsMix bounded-collect discipline).
+    */
+  def ddBloomDedup(corpus: DataFrame, ref: DataFrame,
+      fpp: Double = 0.01): DataFrame = {
+    val s = corpus.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    require(fpp > 0 && fpp < 1, s"fpp out of (0,1): $fpp")
+    val nRef = ref.count()
+    if (nRef == 0)
+      return corpus.select(col("doc_id"), lit(false).as("dup_in_ref"))
+        .orderBy("doc_id")
+    val numBits = math.max(64L,
+      math.ceil(-nRef * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bf = ref
+      .selectExpr(s"graft_bloom_agg(xxhash64(text), ${nRef}L, ${numBits}L) AS bf")
+      .head().getAs[Array[Byte]](0)
+    val might = call_function("graft_might_contain", lit(bf),
+      expr("xxhash64(text)"))
+    val base = corpus.select(col("doc_id"), col("text"))
+      .withColumn("__might", might)
+    // leg 1: bloom-clean — a Bloom filter has no false negatives, so
+    // these rows are decided map-side, never shuffled, never joined
+    val clean = base.where(!col("__might"))
+      .select(col("doc_id"), lit(false).as("dup_in_ref"))
+    // leg 2: candidates — exact md5 verification (the ddExact digest
+    // discipline) over the pruned relation only
+    val cand = base.where(col("__might"))
+      .select(col("doc_id"), expr("md5(text)").as("h"))
+    val refH = ref.select(expr("md5(text)").as("h")).distinct()
+    val verified = cand
+      .join(refH.withColumn("__m", lit(true)), Seq("h"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__m"), lit(false)).as("dup_in_ref"))
+    clean.unionByName(verified).orderBy("doc_id")
+  }
+
+  /** The oracle-checked form: reference = the doc_id%10=0 docs; corpus =
+    * the rest, with every doc_id%10=7 text replaced by the (doc_id−7)
+    * reference text — planted cross-set duplicates on a DIFFERENT key
+    * family than dd_crossdedup's, so the two entries stay independently
+    * checkable. Delegates to the production entry at fpp 1 %.
+    */
+  def ddBloomDedup(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    val corpus = s.sql(
+      """SELECT a.doc_id,
+        |       CASE WHEN a.doc_id % 10 = 7 THEN coalesce(b.text, a.text)
+        |            ELSE a.text END AS text
+        |FROM __docs a LEFT JOIN __docs b ON b.doc_id = a.doc_id - 7
+        |WHERE a.doc_id % 10 <> 0""".stripMargin)
+    val ref = s.sql("SELECT doc_id, text FROM __docs WHERE doc_id % 10 = 0")
+    ddBloomDedup(corpus, ref, fpp = 0.01)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_bloom" -> ((s: SparkSession, dir: String) => ddBloomDedup(s, dir)),
     "dd_crossdedup" -> ((s: SparkSession, dir: String) => ddCrossDedup(s, dir)),
     "dd_semdedup" -> ((s: SparkSession, dir: String) => ddSemDedup(s, dir)),
     "dd_keepbest" -> ((s: SparkSession, dir: String) => ddKeepBest(s, dir)),
@@ -860,6 +935,20 @@ object Dedup {
     "dd_embed_cos" -> (ddEmbedCos _))
 
   val oracleSql: Map[String, String] = Map(
+    // the bloom is a pruning detail — the EXACT contract is the same
+    // digest semi-join as dd_crossdedup, on the %10 planting
+    "dd_bloom" ->
+      ("""WITH corpus AS (SELECT a.doc_id, """ +
+        """CASE WHEN a.doc_id % 10 = 7 THEN coalesce(b.text, a.text) """ +
+        """ELSE a.text END AS text """ +
+        """FROM documents a LEFT JOIN documents b ON b.doc_id = a.doc_id - 7 """ +
+        """WHERE a.doc_id % 10 <> 0), """ +
+        """rh AS (SELECT DISTINCT md5(text) AS h FROM documents """ +
+        """WHERE doc_id % 10 = 0) """ +
+        """SELECT c.doc_id, rh.h IS NOT NULL AS dup_in_ref """ +
+        """FROM (SELECT doc_id, md5(text) AS h FROM corpus) c """ +
+        """LEFT JOIN rh ON rh.h = c.h """ +
+        """ORDER BY c.doc_id"""),
     "dd_crossdedup" ->
       ("""WITH corpus AS (SELECT a.doc_id, """ +
         """CASE WHEN a.doc_id % 10 = 5 THEN b.text ELSE a.text END AS text """ +

@@ -1497,6 +1497,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, true), (2L, true), (3L, false)))
   }
 
+  test("ddBloomDedup(corpus, ref): exact under heavy bloom false-positive load") {
+    import spark.implicits._
+    val ref = (0 until 40).map(k => (1000L + k, s"ref text $k"))
+      .toDF("doc_id", "text")
+    val corpus = (1L to 200L)
+      .map(i => (i, if (i % 5 == 0) s"ref text ${i % 40}" else s"corpus $i"))
+      .toDF("doc_id", "text")
+    // fpp 0.4 -> a deliberately tiny filter (heavy false-positive load):
+    // the verification join must keep the answer exact regardless
+    val got = Dedup.ddBloomDedup(corpus, ref, fpp = 0.4).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1))
+    assert(got.length == 200 && got.map(_._1).toSeq == (1L to 200L))
+    got.foreach { case (id, dup) => assert(dup == (id % 5 == 0), s"doc $id") }
+    // mechanism-independence: bit-for-bit the ddCrossDedup answer
+    val viaJoin = Dedup.ddCrossDedup(corpus, ref).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1))
+    assert(got.toSeq == viaJoin.toSeq)
+    // empty reference: everything clean, no bloom built
+    val none = Dedup.ddBloomDedup(corpus, ref.where("doc_id < 0")).collect()
+    assert(none.length == 200 && none.forall(!_.getBoolean(1)))
+  }
+
   test("evCooccur(events, gap): session presence pairs, lift and jaccard") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)

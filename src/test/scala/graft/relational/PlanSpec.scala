@@ -350,6 +350,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian in SQ topk:\n$plan")
   }
 
+  test("dd_bloom: corpus decided map-side — bloom predicate present, no corpus-keyed exchange") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text")
+    val out = graft.ops.Dedup.ddBloomDedup(
+      docs.where("doc_id % 10 <> 0"), docs.where("doc_id % 10 = 0"))
+    val plan = formatted(out)
+    assert(plan.contains("might_contain"),
+      s"bloom predicate missing from the corpus filter:\n$plan")
+    // the only hash exchanges permitted are the md5-digest verification
+    // join's (column h) — the corpus itself is never hash-shuffled (the
+    // whole point vs dd_crossdedup); the final rangepartitioning is the
+    // presentation sort
+    val hashEx = "Exchange hashpartitioning\\(([a-zA-Z_0-9#]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(hashEx.forall(_.startsWith("h#")),
+      s"corpus-keyed exchange leaked into the bloom plan: $hashEx\n$plan")
+  }
+
   test("taNormalize: narrow single-pass — no exchange but the presentation sort") {
     import spark.implicits._
     val docs = graft.Tables.load(spark, sf, "documents")
