@@ -381,7 +381,130 @@ object GraphQueries {
       |                  WHERE wk.erank = r.rk AND wk.node = r.v)
       |ORDER BY w, r.u, r.v""".stripMargin.replaceAll("\n", " ")
 
+  /** Q40: degree assortativity of the supplier→part bipartite graph —
+    * the Pearson correlation between endpoint degrees across edges (the
+    * Newman 2002 mixing coefficient, public): negative = high-degree
+    * suppliers attach to low-degree parts (disassortative, the typical
+    * bipartite shape), positive = hubs prefer hubs.
+    *
+    * Engine-exactness: degrees are integers, so the six moment sums
+    * accumulate in DECIMAL (the q36 discipline — order-free exact folds);
+    * corr/means are ONE fixed-shape double expression each, rounded 6.
+    *
+    * Scale design: one DISTINCT edge compaction, two node-sized degree
+    * aggregates joined back (each a co-partitioned equality join), one
+    * partial+final global moment aggregate → a SINGLE output row. Nothing
+    * quadratic, no window.
+    */
+  def q40_assortativity(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "lineitem").createOrReplaceTempView("__li40")
+    s.sql(
+      """WITH e AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+        |           FROM __li40),
+        |sd AS (SELECT sk, COUNT(*) AS ds FROM e GROUP BY sk),
+        |pd AS (SELECT pk, COUNT(*) AS dp FROM e GROUP BY pk),
+        |j AS (
+        |  SELECT CAST(sd.ds AS DECIMAL(18,0)) AS x,
+        |         CAST(pd.dp AS DECIMAL(18,0)) AS y
+        |  FROM e JOIN sd ON sd.sk = e.sk JOIN pd ON pd.pk = e.pk),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+        |         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        |         CAST(SUM(y * y) AS DOUBLE) AS syy
+        |  FROM j)
+        |SELECT CAST(n AS BIGINT) AS n_edges,
+        |       ROUND(sx / n, 6) AS mean_sdeg, ROUND(sy / n, 6) AS mean_pdeg,
+        |       ROUND((n * sxy - sx * sy)
+        |             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        |         AS assortativity
+        |FROM m""".stripMargin)
+  }
+
+  val q40OracleSql: String =
+    ("""WITH e AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk """ +
+      """FROM lineitem), """ +
+      """sd AS (SELECT sk, COUNT(*) AS ds FROM e GROUP BY sk), """ +
+      """pd AS (SELECT pk, COUNT(*) AS dp FROM e GROUP BY pk), """ +
+      """j AS (SELECT sd.ds::DECIMAL(18,0) AS x, pd.dp::DECIMAL(18,0) AS y """ +
+      """FROM e JOIN sd ON sd.sk = e.sk JOIN pd ON pd.pk = e.pk), """ +
+      """m AS (SELECT COUNT(*)::DOUBLE AS n, """ +
+      """SUM(x)::DOUBLE AS sx, SUM(y)::DOUBLE AS sy, """ +
+      """SUM(x * y)::DOUBLE AS sxy, SUM(x * x)::DOUBLE AS sxx, """ +
+      """SUM(y * y)::DOUBLE AS syy FROM j) """ +
+      """SELECT n::BIGINT AS n_edges, """ +
+      """ROUND(sx / n, 6) AS mean_sdeg, ROUND(sy / n, 6) AS mean_pdeg, """ +
+      """ROUND((n * sxy - sx * sy) """ +
+      """/ sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) """ +
+      """AS assortativity FROM m""")
+
+  /** The per-part supplier-degree cap for Q41's pair fan-out — the
+    * minhash-family candidate-bounding discipline: a part shared by d
+    * suppliers spawns C(d,2) pairs, so hub parts above the cap are
+    * excluded from evidence (documented, identical in the oracle), and
+    * the fan-out is ≤ C(cap,2) per part at ANY scale.
+    */
+  val LinkPredCap = 50
+
+  /** Q41: common-neighbor link prediction over the supplier projection —
+    * for every supplier pair sharing at least one (non-hub) part, the
+    * shared-part count and the neighborhood Jaccard
+    * common/(deg_a + deg_b − common); top-100 by Jaccard with a total
+    * (score, s1, s2) tie-break. The classic "who should be connected"
+    * primitive (Liben-Nowell & Kleinberg 2003, public).
+    *
+    * Engine-exactness: integer counts; Jaccard is one int/int double
+    * division rounded 6; the rank key is the ROUNDED score (identical in
+    * both engines) with an integer tie-break, so the LIMIT cut is total.
+    *
+    * Scale design: the pair generation joins the capped edge relation to
+    * itself ON the shared part — co-partitioned on pk, fan-out bounded by
+    * C(cap,2) per part; degrees join back on node-sized relations; the
+    * global top-k is a TakeOrderedAndProject over the pair aggregate (the
+    * q8/ev_paths discipline), never a full sort.
+    */
+  def q41_linkpred(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "lineitem").createOrReplaceTempView("__li41")
+    s.sql(
+      s"""WITH e AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+         |           FROM __li41),
+         |pdeg AS (SELECT pk, COUNT(*) AS d FROM e GROUP BY pk),
+         |ek AS (SELECT e.sk, e.pk FROM e JOIN pdeg ON pdeg.pk = e.pk
+         |       WHERE pdeg.d <= $LinkPredCap),
+         |sdeg AS (SELECT sk, COUNT(*) AS deg FROM ek GROUP BY sk),
+         |cn AS (
+         |  SELECT a.sk AS s1, b.sk AS s2, COUNT(*) AS common
+         |  FROM ek a JOIN ek b ON b.pk = a.pk AND a.sk < b.sk
+         |  GROUP BY a.sk, b.sk)
+         |SELECT c.s1, c.s2, c.common, d1.deg AS deg1, d2.deg AS deg2,
+         |       ROUND(CAST(c.common AS DOUBLE)
+         |             / (d1.deg + d2.deg - c.common), 6) AS jaccard
+         |FROM cn c
+         |JOIN sdeg d1 ON d1.sk = c.s1
+         |JOIN sdeg d2 ON d2.sk = c.s2
+         |ORDER BY jaccard DESC, c.s1, c.s2 LIMIT 100""".stripMargin)
+  }
+
+  val q41OracleSql: String =
+    (s"""WITH e AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk """ +
+      """FROM lineitem), """ +
+      """pdeg AS (SELECT pk, COUNT(*) AS d FROM e GROUP BY pk), """ +
+      s"""ek AS (SELECT e.sk, e.pk FROM e JOIN pdeg ON pdeg.pk = e.pk """ +
+      s"""WHERE pdeg.d <= $LinkPredCap), """ +
+      """sdeg AS (SELECT sk, COUNT(*) AS deg FROM ek GROUP BY sk), """ +
+      """cn AS (SELECT a.sk AS s1, b.sk AS s2, COUNT(*) AS common """ +
+      """FROM ek a JOIN ek b ON b.pk = a.pk AND a.sk < b.sk """ +
+      """GROUP BY a.sk, b.sk) """ +
+      """SELECT c.s1, c.s2, c.common, d1.deg AS deg1, d2.deg AS deg2, """ +
+      """ROUND(c.common::DOUBLE / (d1.deg + d2.deg - c.common), 6) """ +
+      """AS jaccard FROM cn c """ +
+      """JOIN sdeg d1 ON d1.sk = c.s1 JOIN sdeg d2 ON d2.sk = c.s2 """ +
+      """ORDER BY jaccard DESC, c.s1, c.s2 LIMIT 100""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_assortativity" -> (q40_assortativity _),
+    "q41_linkpred" -> (q41_linkpred _),
     "q39_mst" -> (q39_mst _),
     "q34_kcore" -> (q34_kcore _),
     "q33_pagerank" -> (q33_pagerank _),
@@ -392,6 +515,8 @@ object GraphQueries {
     "q26_sssp" -> (q26_sssp _))
 
   val oracleSql: Map[String, String] = Map(
+    "q40_assortativity" -> q40OracleSql,
+    "q41_linkpred" -> q41OracleSql,
     "q39_mst" -> q39OracleSql,
     "q34_kcore" -> q34OracleSql,
     "q33_pagerank" -> q33OracleSql,

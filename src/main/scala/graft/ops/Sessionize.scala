@@ -687,17 +687,20 @@ object Sessionize {
     *
     * Scale design: the per-event stream is compacted FIRST to the
     * DISTINCT (user, session, type) presence relation — (sessions ×
-    * types)-bounded, the ev_active_users compaction discipline — and the
-    * pair self-join runs on that compacted relation, co-partitioned on
-    * (user_id, sess_idx) (one exchange, reused by both sides), so the
-    * fan-out per session is ≤ C(|types present|, 2) — |types|²-bounded
-    * regardless of session length. The aggregate output is |types|²
-    * rows; the count joins against it are broadcast-sized.
+    * types)-bounded, the ev_active_users compaction discipline — and
+    * MATERIALIZED once (lazy localCheckpoint, the dd_resolve InlineCTE
+    * workaround: four consumers would otherwise each re-run the raw-event
+    * session window). The pair self-join runs on that compacted relation,
+    * so the fan-out per session is ≤ C(|types present|, 2) —
+    * |types|²-bounded regardless of session length. The aggregate output
+    * is |types|² rows; the count joins against it are broadcast-sized.
     */
   def evCooccur(events: DataFrame, gapMicros: Long): DataFrame = {
     val s = events.sparkSession
     events.createOrReplaceTempView("__co_events")
-    s.sql(
+    // the presence relation: ONE raw-event window pass, then a hard
+    // materialization boundary shared by every downstream consumer
+    val st = s.sql(
       s"""WITH flagged AS (
          |  SELECT user_id, ts, event_id, event_type,
          |         CASE WHEN unix_micros(ts) -
@@ -710,27 +713,32 @@ object Sessionize {
          |  SELECT user_id, event_type,
          |         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
          |                             ROWS UNBOUNDED PRECEDING) AS sess_idx
-         |  FROM flagged),
-         |st AS (SELECT DISTINCT user_id, sess_idx, event_type FROM tagged),
-         |sess AS (SELECT DISTINCT user_id, sess_idx FROM st),
-         |ns AS (SELECT COUNT(*) AS n_sessions FROM sess),
-         |ta AS (SELECT event_type, COUNT(*) AS n FROM st GROUP BY event_type),
-         |pairs AS (
-         |  SELECT a.event_type AS t1, b.event_type AS t2, COUNT(*) AS n_ab
-         |  FROM st a JOIN st b
-         |    ON b.user_id = a.user_id AND b.sess_idx = a.sess_idx
-         |   AND a.event_type < b.event_type
-         |  GROUP BY a.event_type, b.event_type)
-         |SELECT p.t1, p.t2, p.n_ab, x.n AS n_a, y.n AS n_b, ns.n_sessions,
-         |       ROUND(CAST(p.n_ab AS DOUBLE) * ns.n_sessions
-         |             / (CAST(x.n AS DOUBLE) * y.n), 6) AS lift,
-         |       ROUND(CAST(p.n_ab AS DOUBLE) / (x.n + y.n - p.n_ab), 6)
-         |         AS jaccard
-         |FROM pairs p
-         |JOIN ta x ON x.event_type = p.t1
-         |JOIN ta y ON y.event_type = p.t2
-         |CROSS JOIN ns
-         |ORDER BY p.t1, p.t2""".stripMargin)
+         |  FROM flagged)
+         |SELECT DISTINCT user_id, sess_idx, event_type FROM tagged"""
+        .stripMargin)
+      .localCheckpoint(eager = false)
+    st.createOrReplaceTempView("__co_st")
+    s.sql(
+      """WITH sess AS (SELECT DISTINCT user_id, sess_idx FROM __co_st),
+        |ns AS (SELECT COUNT(*) AS n_sessions FROM sess),
+        |ta AS (SELECT event_type, COUNT(*) AS n FROM __co_st
+        |       GROUP BY event_type),
+        |pairs AS (
+        |  SELECT a.event_type AS t1, b.event_type AS t2, COUNT(*) AS n_ab
+        |  FROM __co_st a JOIN __co_st b
+        |    ON b.user_id = a.user_id AND b.sess_idx = a.sess_idx
+        |   AND a.event_type < b.event_type
+        |  GROUP BY a.event_type, b.event_type)
+        |SELECT p.t1, p.t2, p.n_ab, x.n AS n_a, y.n AS n_b, ns.n_sessions,
+        |       ROUND(CAST(p.n_ab AS DOUBLE) * ns.n_sessions
+        |             / (CAST(x.n AS DOUBLE) * y.n), 6) AS lift,
+        |       ROUND(CAST(p.n_ab AS DOUBLE) / (x.n + y.n - p.n_ab), 6)
+        |         AS jaccard
+        |FROM pairs p
+        |JOIN ta x ON x.event_type = p.t1
+        |JOIN ta y ON y.event_type = p.t2
+        |CROSS JOIN ns
+        |ORDER BY p.t1, p.t2""".stripMargin)
   }
 
   /** The oracle-checked form over the events table (30-minute gap). */

@@ -215,4 +215,42 @@ class GraphQueriesSpec extends AnyFunSuite {
       s"probe observed shuffle.partitions values $seen, expected only $before")
     assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
   }
+
+  test("q40_assortativity: moments close against a brute in-memory correlation") {
+    val row = GraphQueries.q40_assortativity(spark, sf).collect().head
+    val (nEdges, r) = (row.getLong(0), row.getDouble(3))
+    assert(r >= -1.0 && r <= 1.0)
+    // brute: recompute the same coefficient from the raw edge list
+    val edges = graft.Tables.load(spark, sf, "lineitem")
+      .selectExpr("l_suppkey AS s", "l_partkey AS p").distinct().collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    assert(nEdges == edges.length)
+    val sd = edges.groupBy(_._1).view.mapValues(_.length.toDouble).toMap
+    val pd = edges.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+    val xs = edges.map(e => sd(e._1)); val ys = edges.map(e => pd(e._2))
+    val n = xs.length.toDouble
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum; val syy = ys.map(a => a * a).sum
+    val brute = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert(math.abs(r - brute) < 1e-5, s"got $r, brute $brute")
+  }
+
+  test("q41_linkpred: jaccard algebra and the total top-k cut hold") {
+    val rows = GraphQueries.q41_linkpred(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getDouble(5)))
+    assert(rows.nonEmpty && rows.length <= 100)
+    rows.foreach { case (s1, s2, common, d1, d2, j) =>
+      assert(s1 < s2)
+      assert(common >= 1 && common <= math.min(d1, d2))
+      val expect = BigDecimal(common.toDouble / (d1 + d2 - common))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(j == expect, s"pair ($s1,$s2)")
+    }
+    // the cut is ordered by (jaccard DESC, s1, s2) — a total order
+    val key = rows.map(r => (-r._6, r._1, r._2))
+    assert(key.sameElements(key.sorted))
+  }
 }

@@ -350,6 +350,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian in SQ topk:\n$plan")
   }
 
+  test("q41_linkpred: global top-k is TakeOrdered, never a full sort") {
+    val plan = formatted(graft.graph.GraphQueries.q41_linkpred(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k lost its TakeOrdered shape:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in linkpred:\n$plan")
+  }
+
+  test("ev_cooccur: pair join runs on the compacted presence relation, one user window") {
+    val events = graft.Tables.load(spark, sf, "events")
+    val plan = formatted(
+      graft.ops.Sessionize.evCooccur(events, graft.ops.Sessionize.GapMicros))
+    // the raw-event session window is computed ONCE behind the lazy
+    // checkpoint boundary (the dd_resolve InlineCTE workaround) — the
+    // outer plan must consume the materialized presence relation (an RDD
+    // scan), never re-run a Window over raw events
+    assert(plan.contains("Scan ExistingRDD"),
+      s"presence relation not materialized once:\n$plan")
+    assert(!plan.contains("Window"),
+      s"outer plan re-runs the session window per consumer:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in cooccur:\n$plan")
+  }
+
   test("dd_bloom: corpus decided map-side — bloom predicate present, no corpus-keyed exchange") {
     val docs = graft.Tables.load(spark, sf, "documents")
       .select("doc_id", "text")
