@@ -607,6 +607,91 @@ class StreamingSpec extends AnyFunSuite {
     assert(ex.toSet == streaksBatchRows.toSet && ex.size == last.size)
   }
 
+  private def runGapsBatches(
+      entry: org.apache.spark.sql.Dataset[GapsTracker.GEv] =>
+        org.apache.spark.sql.Dataset[GapsTracker.GapRow],
+      name: String, batches: Seq[Seq[Ev]], delay: String = "2 hours"
+  ): Seq[(Long, String, Long, Long)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = entry(stream.toDF().withWatermark("ts", delay)
+        .select("ts", "event_id", "user_id", "event_type")
+        .as[GapsTracker.GEv])
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    for (b <- batches) { stream.addData(b); q.processAllAvailable() }
+    val maxTs = batches.flatten.map(_.ts.getTime).max
+    stream.addData(Ev(-1L, new Timestamp(maxTs + 8L * 24 * 3600 * 1000), -1L, "x", 0.0))
+    q.processAllAvailable()
+    stream.addData(Ev(-2L, new Timestamp(maxTs + 9L * 24 * 3600 * 1000), -1L, "x", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).filter(col("user_id") =!= -1L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+  }
+
+  /** Aggregate gap increment rows into the evGaps output shape. */
+  private def gapsHist(rows: Seq[(Long, String, Long, Long)])
+      : Set[(String, Long, Long, Long, Long)] = {
+    val byType = rows.groupBy(_._2)
+    byType.flatMap { case (tpe, rs) =>
+      val nGaps = rs.size.toLong
+      val mean = rs.map(_._4).sum / nGaps
+      rs.groupBy(_._3).map { case (bucket, bs) =>
+        (tpe, bucket, bs.size.toLong, nGaps, mean)
+      }
+    }.toSet
+  }
+
+  test("gaps: batch increments aggregate to the oracle-checked SQL histogram") {
+    import spark.implicits._
+    val got = gapsHist(GapsTracker.gapsBatch(
+      eventsBatch.select("ts", "event_id", "user_id", "event_type")
+        .as[GapsTracker.GEv]).collect()
+      .map(r => (r.user_id, r.event_type, r.bucket, r.gap_us)).toSeq)
+    val want = graft.ops.Sessionize.evGaps(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("gaps: streaming increments == batch on ordered input") {
+    import spark.implicits._
+    val data = eventsBatch.as[Ev].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val stream = runGapsBatches(GapsTracker.gapsStream, "gap_out",
+      Seq(data.toSeq), delay = "0 seconds")
+    val batch = GapsTracker.gapsBatch(
+      eventsBatch.select("ts", "event_id", "user_id", "event_type")
+        .as[GapsTracker.GEv]).collect()
+      .map(r => (r.user_id, r.event_type, r.bucket, r.gap_us))
+    assert(gapsHist(stream) == gapsHist(batch.toSeq) && stream.nonEmpty)
+    val exact = runGapsBatches(GapsTracker.gapsStreamExact, "gap_out_ex",
+      Seq(data.toSeq), delay = "0 seconds")
+    assert(gapsHist(exact) == gapsHist(batch.toSeq))
+  }
+
+  test("gaps: cross-trigger late event dropped in O(1), recovered buffered-exact") {
+    def t(s: String) = Timestamp.valueOf(s)
+    // trigger 1: user 7 'view' at :00 and :10 (one 10 s gap); trigger 2
+    // delivers :04 late (in-watermark) — it would SPLIT the gap into 4+6 s
+    val batches = Seq(
+      Seq(Ev(1L, t("2024-06-10 10:00:00"), 7L, "view", 0.0),
+        Ev(3L, t("2024-06-10 10:00:10"), 7L, "view", 0.0)),
+      Seq(Ev(2L, t("2024-06-10 10:00:04"), 7L, "view", 0.0)))
+    val approx = runGapsBatches(GapsTracker.gapsStream, "gap_div_a",
+      batches, delay = "1 hour")
+    val exact = runGapsBatches(GapsTracker.gapsStreamExact, "gap_div_b",
+      batches, delay = "1 hour")
+    // O(1): the late :04 sorts before the carried :10 — dropped; the
+    // emitted spectrum keeps the single 10 s gap (bucket 23)
+    assert(approx == Seq((7L, "view", 23L, 10000000L)))
+    // buffered-exact recovers both sub-gaps: 4 s (bucket 21) + 6 s (22)
+    assert(exact.toSet == Set((7L, "view", 21L, 4000000L),
+      (7L, "view", 22L, 6000000L)))
+  }
+
   test("streaks: cross-trigger late DAY dropped in O(1), recovered buffered-exact") {
     import spark.implicits._
     def t(s: String) = Timestamp.valueOf(s)
