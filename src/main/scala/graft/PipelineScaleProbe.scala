@@ -76,6 +76,11 @@ object PipelineScaleProbe {
     if (args.headOption.contains("addendum12")) {
       addendum12(args(1).toInt, args(2).toInt, args(3)); return
     }
+    // `addendum14 <nDocs> <nEvents> <outBase>` — cooccur at event scale,
+    // bloom-vs-join cross-dedup at corpus scale
+    if (args.headOption.contains("addendum14")) {
+      addendum14(args(1).toInt, args(2).toInt, args(3)); return
+    }
     // `addendum13 <nDocs> <nEvents> <nVec> <outBase>` — gaps/gini at
     // event scale, epochs/ngram at corpus scale, range at vector scale
     if (args.headOption.contains("addendum13")) {
@@ -1124,6 +1129,110 @@ object PipelineScaleProbe {
     * ds_epochs / ta_ngram_top at corpus scale, ss_range at vector scale —
     * `runMain graft.PipelineScaleProbe addendum13 <nDocs> <nEvents> <nVec> <outBase>`
     */
+  /** Round-7 seventh-batch legs: ev_cooccur against nEvents events
+    * (presence-compaction + bounded pair fan-out invariants), dd_bloom
+    * against nDocs docs (planted exactness + the bloom pruning ratio,
+    * head-to-head with the dd_crossdedup shuffle join).
+    */
+  private def addendum14(nDocs: Int, nEvents: Int, outBase: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val seed = 2026L
+    val dir = s"$outBase/sf$nDocs"
+    spark.range(0L, nDocs.toLong).map(docFor(_, seed))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val nUsers = scala.math.max(100, nEvents / 666)
+    spark.range(0L, nEvents.toLong).map(evFor(_, nUsers, seed))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    println(s"PSCALE gen14 nDocs=$nDocs nEvents=$nEvents")
+
+    def timed(tag: String)(df: => org.apache.spark.sql.DataFrame): Long = {
+      val t0 = System.nanoTime()
+      df.write.mode("overwrite").parquet(s"$dir/results/$tag.parquet")
+      val rows = spark.read.parquet(s"$dir/results/$tag.parquet").count()
+      println(f"PSCALE q=$tag t=${(System.nanoTime() - t0) / 1e9}%.1f s " +
+        s"rows=$rows")
+      rows
+    }
+
+    // ev_cooccur: output is C(types,2)-bounded at any event volume; the
+    // association algebra holds row-by-row (n_ab ≤ min(n_a, n_b) ≤ S)
+    timed("ev_cooccur")(ops.Sessionize.evCooccur(spark, dir))
+    val co = spark.read.parquet(s"$dir/results/ev_cooccur.parquet").collect()
+    val nTypes = spark.read.parquet(s"$dir/events.parquet")
+      .select("event_type").distinct().count()
+    require(co.length <= nTypes * (nTypes - 1) / 2, "pair fan-out leak")
+    val sess = co.map(_.getLong(5)).distinct
+    require(sess.length == 1, s"inconsistent session total: ${sess.toSeq}")
+    co.foreach { r =>
+      val (ab, a, b) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      require(ab >= 1 && ab <= math.min(a, b) && math.max(a, b) <= sess.head,
+        s"presence algebra broken: $r")
+    }
+    println(s"PSCALE cooccur pairs=${co.length} sessions=${sess.head} " +
+      "algebra exact")
+
+    // dd_bloom vs dd_crossdedup on the SAME planted corpus: identical
+    // answers, and the bloom decides (corpus − candidates) rows map-side
+    val tB = System.nanoTime()
+    val bloom = ops.Dedup.ddBloomDedup(spark, dir)
+      .localCheckpoint(eager = true)
+    val bloomWall = (System.nanoTime() - tB) / 1e9
+    val nCorpus = bloom.count()
+    val flagged = bloom.filter("dup_in_ref").count()
+    val planted = spark.read.parquet(s"$dir/documents.parquet")
+      .filter("doc_id % 10 = 7 AND doc_id - 7 >= 0").count()
+    require(flagged == planted,
+      s"bloom flags $flagged != planted $planted")
+    println(f"PSCALE q=dd_bloom t=$bloomWall%.1f s rows=$nCorpus " +
+      s"flagged=$flagged (= planted, 0 mis-flags)")
+    // pruning ratio: rebuild the same filter, count candidates map-side
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val ref = docs.filter("doc_id % 10 = 0").select("doc_id", "text")
+    val nRef = ref.count()
+    val numBits = math.max(64L, math.ceil(-nRef * math.log(0.01)
+      / (math.log(2) * math.log(2))).toLong)
+    val bf = ref.selectExpr(
+      s"graft_bloom_agg(xxhash64(text), ${nRef}L, ${numBits}L) AS bf")
+      .head().getAs[Array[Byte]](0)
+    val corpus = spark.sql(
+      """SELECT a.doc_id,
+        |       CASE WHEN a.doc_id % 10 = 7 THEN coalesce(b.text, a.text)
+        |            ELSE a.text END AS text
+        |FROM __docs a LEFT JOIN __docs b ON b.doc_id = a.doc_id - 7
+        |WHERE a.doc_id % 10 <> 0""".stripMargin)
+    val cand = corpus.withColumn("m",
+      org.apache.spark.sql.functions.call_function("graft_might_contain",
+        org.apache.spark.sql.functions.lit(bf),
+        org.apache.spark.sql.functions.expr("xxhash64(text)")))
+      .filter("m").count()
+    println(f"PSCALE bloom bits=$numBits (${numBits / 8 / 1024} KiB) " +
+      f"candidates=$cand of $nCorpus " +
+      f"(fp=${(cand - planted).toDouble / (nCorpus - planted)}%.4f, " +
+      "rest decided map-side, zero shuffle)")
+    val tJ = System.nanoTime()
+    val viaJoin = ops.Dedup.ddCrossDedup(corpus, ref)
+      .localCheckpoint(eager = true)
+    val joinWall = (System.nanoTime() - tJ) / 1e9
+    require(viaJoin.filter("dup_in_ref").count() == flagged,
+      "bloom and shuffle-join answers diverge")
+    println(f"PSCALE q=dd_crossdedup(same corpus) t=$joinWall%.1f s " +
+      "(answers identical)")
+    println("PSCALE addendum14 done")
+    spark.stop()
+  }
+
   private def addendum13(nDocs: Int, nEvents: Int, nVec: Int,
       outBase: String): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -655,6 +655,84 @@ object Pipeline {
     dsEpochs(src, budget, maxEpochs = 3)
   }
 
+  /** End-to-end curation pipeline in ONE pass (the "assemble the
+    * training set" showcase: a user of the standalone operators composes
+    * exactly this): per document — exact-dedup canonicality (md5
+    * keep-first, the ddExact rule), Gopher quality keep (the taGopher
+    * bounds), source-mixture keep (the dsMix digest draw against
+    * caller-supplied rates), the train/val/test split (the dsSplit
+    * digest), and the conjunction `train_keep` = canonical ∧ quality ∧
+    * mixed ∧ split='train' — the final training-set membership flag.
+    *
+    * Each rule is BYTE-IDENTICAL to its standalone entry (PipelineSpec
+    * locks the agreement per column on a real corpus), so composing here
+    * changes no decisions — it changes the PLAN: the standalone chain
+    * costs one md5-window shuffle plus three doc_id joins to reassemble
+    * the flags; this single pass costs the md5-window shuffle and
+    * nothing else (every other rule is a narrow function of the row,
+    * computed in the same projection; the rate map joins broadcast,
+    * PlanSpec-locked). At 100 TB that is the difference between one
+    * corpus shuffle and four.
+    */
+  def dsPipeline(docs: DataFrame, rates: Map[String, Double]): DataFrame = {
+    val s = docs.sparkSession
+    require(rates.values.forall(_ >= 0), "negative keep-rate")
+    val thr = {
+      import s.implicits._
+      rates.toSeq.map { case (src, r) => (src, math.floor(r * 256).toInt) }
+        .toDF("source", "thr")
+    }
+    docs.createOrReplaceTempView("__pipe_docs")
+    broadcast(thr).createOrReplaceTempView("__pipe_rates")
+    s.sql(
+      """WITH flags AS (
+        |  SELECT d.doc_id, d.source,
+        |         ROW_NUMBER() OVER (PARTITION BY md5(d.text)
+        |                            ORDER BY d.doc_id) AS rn,
+        |         size(split(d.text, ' ')) AS n_tokens,
+        |         length(replace(d.text, ' ', '')) AS n_word_chars,
+        |         size(array_distinct(split(d.text, ' '))) AS n_types,
+        |         size(regexp_extract_all(d.text, '[#*&^~|]', 0)) AS n_symbols,
+        |         length(d.text) AS n_chars,
+        |         (instr('0123456789abcdef',
+        |            substring(md5(concat('mix:', CAST(d.doc_id AS STRING))), 1, 1)) - 1) * 16
+        |         + instr('0123456789abcdef',
+        |             substring(md5(concat('mix:', CAST(d.doc_id AS STRING))), 2, 1)) - 1
+        |           AS draw,
+        |         instr('0123456789abcdef',
+        |           substring(md5(concat('split:', CAST(d.doc_id AS STRING))), 1, 1))
+        |           - 1 AS sd,
+        |         r.thr
+        |  FROM __pipe_docs d JOIN __pipe_rates r ON r.source = d.source),
+        |scored AS (
+        |  SELECT doc_id, source, rn = 1 AS canonical,
+        |         round(n_word_chars / n_tokens, 6) >= 3
+        |           AND round(n_word_chars / n_tokens, 6) <= 10
+        |           AND round(n_types / n_tokens, 6) > 0.2
+        |           AND round(n_symbols / n_chars, 6) < 0.1 AS quality_keep,
+        |         draw < thr AS mix_keep,
+        |         CASE WHEN sd < 12 THEN 'train' WHEN sd < 14 THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM flags)
+        |SELECT doc_id, source, canonical, quality_keep, mix_keep, split,
+        |       canonical AND quality_keep AND mix_keep AND split = 'train'
+        |         AS train_keep
+        |FROM scored ORDER BY doc_id""".stripMargin)
+  }
+
+  /** The oracle-checked form: the synthetic taxonomy's rates (src<k>
+    * keeps (k+1)/10 — the dsMix oracle family), derived from the DISTINCT
+    * source relation (taxonomy-bounded driver collect).
+    */
+  def dsPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val rates = docs.select("source").distinct().collect()
+      .map(_.getString(0))
+      .map(n => n -> (n.stripPrefix("src").toInt + 1) / 10.0)
+      .toMap
+    dsPipeline(docs, rates)
+  }
+
   /** Temperature-scaled source mixture (the multilingual-corpus staple,
     * mC4/T5-style: sample source s with probability ∝ n_s^α, α < 1
     * flattening the head so low-resource sources are boosted): per
@@ -1009,6 +1087,7 @@ object Pipeline {
     "ds_epochs" -> ((s: SparkSession, dir: String) => dsEpochs(s, dir)),
     "ds_qfilter" -> ((s: SparkSession, dir: String) => dsQualityFilter(s, dir)),
     "ds_shuffle" -> (dsShuffle _),
+    "ds_pipeline" -> ((s: SparkSession, dir: String) => dsPipeline(s, dir)),
     "ds_temperature" -> ((s: SparkSession, dir: String) => dsTemperature(s, dir)),
     "ds_mix" -> ((s: SparkSession, dir: String) => dsMix(s, dir)),
     "ds_interleave" -> ((s: SparkSession, dir: String) => dsInterleave(s, dir)))
@@ -1031,6 +1110,34 @@ object Pipeline {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ds_pipeline" ->
+      ("""WITH flags AS (SELECT d.doc_id, d.source, """ +
+        """ROW_NUMBER() OVER (PARTITION BY md5(d.text) ORDER BY d.doc_id) """ +
+        """AS rn, """ +
+        """len(string_split(d.text, ' ')) AS n_tokens, """ +
+        """length(replace(d.text, ' ', '')) AS n_word_chars, """ +
+        """len(list_distinct(string_split(d.text, ' '))) AS n_types, """ +
+        """len(regexp_extract_all(d.text, '[#*&^~|]')) AS n_symbols, """ +
+        """length(d.text) AS n_chars, """ +
+        """(strpos('0123456789abcdef', """ +
+        """substr(md5('mix:' || d.doc_id::VARCHAR), 1, 1)) - 1) * 16 """ +
+        """+ strpos('0123456789abcdef', """ +
+        """substr(md5('mix:' || d.doc_id::VARCHAR), 2, 1)) - 1 AS draw, """ +
+        """strpos('0123456789abcdef', """ +
+        """substr(md5('split:' || d.doc_id::VARCHAR), 1, 1)) - 1 AS sd, """ +
+        """(substr(d.source, 4)::INT + 1) * 256 // 10 AS thr """ +
+        """FROM documents d), """ +
+        """scored AS (SELECT doc_id, source, rn = 1 AS canonical, """ +
+        """round(n_word_chars / n_tokens, 6) >= 3 """ +
+        """AND round(n_word_chars / n_tokens, 6) <= 10 """ +
+        """AND round(n_types / n_tokens, 6) > 0.2 """ +
+        """AND round(n_symbols / n_chars, 6) < 0.1 AS quality_keep, """ +
+        """draw < thr AS mix_keep, """ +
+        """CASE WHEN sd < 12 THEN 'train' WHEN sd < 14 THEN 'val' """ +
+        """ELSE 'test' END AS split FROM flags) """ +
+        """SELECT doc_id, source, canonical, quality_keep, mix_keep, split, """ +
+        """canonical AND quality_keep AND mix_keep AND split = 'train' """ +
+        """AS train_keep FROM scored ORDER BY doc_id"""),
     "ds_temperature" ->
       ("""WITH src AS (SELECT source, COUNT(*) AS n_docs, """ +
         """SUM(len(string_split(text, ' ')))::BIGINT AS tokens """ +

@@ -1497,6 +1497,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, true), (2L, true), (3L, false)))
   }
 
+  test("dsPipeline: composed flags agree column-for-column with each standalone op") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val rates = docs.select("source").distinct().collect()
+      .map(_.getString(0))
+      .map(n => n -> (n.stripPrefix("src").toInt + 1) / 10.0).toMap
+    val got = Pipeline.dsPipeline(docs, rates).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getString(5), r.getBoolean(6)))).toMap
+    assert(got.nonEmpty)
+    val canon = Dedup.ddExactOn(docs.select("doc_id", "text")).collect()
+      .map(_.getLong(0)).toSet
+    val keep = TextAnalysis.taGopher(docs.select("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    val mixed = Pipeline.dsMix(docs, rates).collect()
+      .map(_.getLong(0)).toSet
+    val split = Pipeline.dsSplit(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    got.foreach { case (id, (c, q, m, sp, t)) =>
+      assert(c == canon.contains(id), s"canonical flag differs on $id")
+      assert(q == keep(id), s"quality flag differs on $id")
+      assert(m == mixed.contains(id), s"mix flag differs on $id")
+      assert(sp == split(id), s"split differs on $id")
+      assert(t == (c && q && m && sp == "train"), s"conjunction broken on $id")
+    }
+    // the composition is selective but non-degenerate on this corpus
+    assert(got.values.exists(_._5) && got.values.exists(!_._5))
+  }
+
   test("ddBloomDedup(corpus, ref): exact under heavy bloom false-positive load") {
     import spark.implicits._
     val ref = (0 until 40).map(k => (1000L + k, s"ref text $k"))

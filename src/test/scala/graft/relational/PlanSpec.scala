@@ -372,6 +372,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian in cooccur:\n$plan")
   }
 
+  test("ds_pipeline: one corpus exchange (the md5 window); the rate map joins broadcast") {
+    val plan = formatted(graft.ops.Pipeline.dsPipeline(spark, sf))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1,
+      s"expected exactly the md5-window exchange, got $hashEx:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rate-map join not broadcast:\n$plan")
+  }
+
   test("dd_bloom: corpus decided map-side — bloom predicate present, no corpus-keyed exchange") {
     val docs = graft.Tables.load(spark, sf, "documents")
       .select("doc_id", "text")
