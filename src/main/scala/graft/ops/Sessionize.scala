@@ -747,7 +747,78 @@ object Sessionize {
     evCooccur(s.table("__events"), GapMicros)
   }
 
+  /** A/B experiment readout (the growth-experimentation staple): users
+    * are hash-split 50/50 into variants (first md5 hex digit of
+    * 'ab:'||user_id < 8 → A — deterministic, independent of the ds_*
+    * digest draws), a user CONVERTS iff they fire ≥1 `convType` event,
+    * and the readout is the per-variant user/conversion counts, rates,
+    * the pooled two-proportion z-score, and the |z| ≥ 1.96 significance
+    * flag (the 95 % two-sided normal test, public-textbook form).
+    *
+    * Engine-exactness: counts are integers off ONE combinable per-user
+    * aggregate; rates and z are fixed-shape double expressions over those
+    * exact scalars (sqrt is IEEE-correctly-rounded), rounded to 6; the
+    * flag compares the ROUNDED z (the taGopher threshold discipline).
+    *
+    * Scale design: one user_id hash aggregate (the conversion flag is a
+    * MAX inside it — no second pass), then a 2-row variant rollup and a
+    * single-row pivot. Nothing windowed, nothing joined; at any corpus
+    * size the post-user-rollup work is constant.
+    */
+  def evAbTest(events: DataFrame, convType: String, minCount: Int = 1,
+      salt: String = "ab"): DataFrame = {
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__ab_events")
+    val z = """(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+      | / SQRT((CAST(ca + cb AS DOUBLE) / (na + nb))
+      |        * (1 - CAST(ca + cb AS DOUBLE) / (na + nb))
+      |        * (CAST(1 AS DOUBLE) / na + CAST(1 AS DOUBLE) / nb))"""
+      .stripMargin.replaceAll("\n", " ")
+    // a degenerate pool (nobody / everybody converts) has no variance:
+    // the pooled test is undefined — z NULL, significant false (guarded
+    // here rather than left to 0/0, which ANSI mode rejects)
+    s.sql(
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |         CASE WHEN instr('0123456789abcdef',
+         |                substring(md5(concat('$salt:',
+         |                  CAST(user_id AS STRING))), 1, 1)) - 1 < 8
+         |              THEN 'A' ELSE 'B' END AS variant,
+         |         CASE WHEN SUM(CASE WHEN event_type = '$convType'
+         |                           THEN 1 ELSE 0 END) >= $minCount
+         |              THEN 1 ELSE 0 END AS conv
+         |  FROM __ab_events GROUP BY user_id),
+         |v AS (SELECT variant, COUNT(*) AS n, SUM(conv) AS c
+         |      FROM u GROUP BY variant),
+         |w AS (SELECT
+         |        MAX(CASE WHEN variant = 'A' THEN n END) AS na,
+         |        MAX(CASE WHEN variant = 'A' THEN c END) AS ca,
+         |        MAX(CASE WHEN variant = 'B' THEN n END) AS nb,
+         |        MAX(CASE WHEN variant = 'B' THEN c END) AS cb
+         |      FROM v)
+         |SELECT na, ca, nb, cb,
+         |       ROUND(CAST(ca AS DOUBLE) / na, 6) AS rate_a,
+         |       ROUND(CAST(cb AS DOUBLE) / nb, 6) AS rate_b,
+         |       CASE WHEN ca + cb = 0 OR ca + cb = na + nb
+         |            THEN CAST(NULL AS DOUBLE)
+         |            ELSE ROUND($z, 6) END AS z,
+         |       CASE WHEN ca + cb = 0 OR ca + cb = na + nb THEN false
+         |            ELSE ABS(ROUND($z, 6)) >= 1.96 END AS significant
+         |FROM w""".stripMargin)
+  }
+
+  /** The oracle-checked form: converter = a user with ≥14 'purchase'
+    * events (the corpus median — interior rates on the synthetic stream,
+    * where EVERY user purchases at least once and a ≥1 rule would be
+    * the guarded degenerate).
+    */
+  def evAbTest(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evAbTest(s.table("__events"), "purchase", minCount = 14)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_abtest" -> ((s: SparkSession, dir: String) => evAbTest(s, dir)),
     "ev_cooccur" -> ((s: SparkSession, dir: String) => evCooccur(s, dir)),
     "ev_gaps" -> ((s: SparkSession, dir: String) => evGaps(s, dir)),
     "ev_gini" -> ((s: SparkSession, dir: String) => evGini(s, dir)),
@@ -763,7 +834,36 @@ object Sessionize {
     "ev_attribution" -> ((s: SparkSession, dir: String) => evAttribution(s, dir)),
     "ev_active_users" -> ((s: SparkSession, dir: String) => evActiveUsers(s, dir)))
 
+  private val abZDuck: String =
+    ("(ca::DOUBLE / na - cb::DOUBLE / nb) " +
+      "/ SQRT(((ca + cb)::DOUBLE / (na + nb)) " +
+      "* (1 - (ca + cb)::DOUBLE / (na + nb)) " +
+      "* (1::DOUBLE / na + 1::DOUBLE / nb))")
+
   val oracleSql: Map[String, String] = Map(
+    "ev_abtest" ->
+      ("""WITH u AS (SELECT user_id, """ +
+        """CASE WHEN strpos('0123456789abcdef', """ +
+        """substr(md5('ab:' || user_id::VARCHAR), 1, 1)) - 1 < 8 """ +
+        """THEN 'A' ELSE 'B' END AS variant, """ +
+        """CASE WHEN SUM(CASE WHEN event_type = 'purchase' """ +
+        """THEN 1 ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS conv """ +
+        """FROM events GROUP BY user_id), """ +
+        """v AS (SELECT variant, COUNT(*) AS n, SUM(conv)::BIGINT AS c """ +
+        """FROM u GROUP BY variant), """ +
+        """w AS (SELECT """ +
+        """MAX(CASE WHEN variant = 'A' THEN n END) AS na, """ +
+        """MAX(CASE WHEN variant = 'A' THEN c END) AS ca, """ +
+        """MAX(CASE WHEN variant = 'B' THEN n END) AS nb, """ +
+        """MAX(CASE WHEN variant = 'B' THEN c END) AS cb FROM v) """ +
+        """SELECT na, ca, nb, cb, """ +
+        """ROUND(ca::DOUBLE / na, 6) AS rate_a, """ +
+        """ROUND(cb::DOUBLE / nb, 6) AS rate_b, """ +
+        s"""CASE WHEN ca + cb = 0 OR ca + cb = na + nb """ +
+        s"""THEN NULL::DOUBLE ELSE ROUND($abZDuck, 6) END AS z, """ +
+        s"""CASE WHEN ca + cb = 0 OR ca + cb = na + nb THEN false """ +
+        s"""ELSE ABS(ROUND($abZDuck, 6)) >= 1.96 END AS significant """ +
+        """FROM w"""),
     "ev_cooccur" ->
       (s"""WITH flagged AS (
           |  SELECT user_id, ts, event_id, event_type,

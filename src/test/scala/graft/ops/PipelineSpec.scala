@@ -1497,6 +1497,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, true), (2L, true), (3L, false)))
   }
 
+  test("evAbTest(events, conv): hash split and z-score match the brute fold") {
+    import spark.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-06-01 10:$m%02d:00")
+    // users 1..40; every third converts (fires one purchase); variant is
+    // the same md5 digit rule the engine applies, replicated here
+    def variant(u: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ab:$u".getBytes("UTF-8"))
+      if (((d(0) >> 4) & 0xf) < 8) "A" else "B"
+    }
+    val evs = (1L to 40L).flatMap { u =>
+      Seq((u * 10, ts((u % 50).toInt), u, "view", 1.0)) ++
+        (if (u % 3 == 0) Seq((u * 10 + 1, ts((u % 50).toInt), u, "purchase", 5.0))
+         else Nil)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Sessionize.evAbTest(evs, "purchase").collect().head
+    val (na, ca, nb, cb) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val users = (1L to 40L).map(u => (variant(u), u % 3 == 0))
+    assert(na == users.count(_._1 == "A"))
+    assert(ca == users.count(u => u._1 == "A" && u._2))
+    assert(nb == users.count(_._1 == "B"))
+    assert(cb == users.count(u => u._1 == "B" && u._2))
+    assert(na + nb == 40 && ca + cb == users.count(_._2))
+    val (ra, rb) = (ca.toDouble / na, cb.toDouble / nb)
+    val p = (ca + cb).toDouble / (na + nb)
+    val z = (ra - rb) / math.sqrt(p * (1 - p) * (1.0 / na + 1.0 / nb))
+    assert(math.abs(r.getDouble(6) - z) < 1e-6)
+    assert(r.getBoolean(7) == (math.abs(r.getDouble(6)) >= 1.96))
+    // degenerate pool (every user converts): no variance — z is NULL and
+    // the flag is false, never a 0/0
+    val degen = Sessionize.evAbTest(evs, "view").collect().head
+    assert(degen.isNullAt(6) && !degen.getBoolean(7))
+  }
+
   test("dsPipeline: composed flags agree column-for-column with each standalone op") {
     val docs = graft.Tables.load(spark, sf, "documents")
     val rates = docs.select("source").distinct().collect()
