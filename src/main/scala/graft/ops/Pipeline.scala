@@ -655,6 +655,58 @@ object Pipeline {
     dsEpochs(src, budget, maxEpochs = 3)
   }
 
+  /** Deterministic span-corruption masks (the T5 denoising-objective
+    * prep, Raffel et al. 2020 §3.1.4, public): every document's token
+    * stream is tiled into length-`spanLen` blocks, and each block masks
+    * iff its md5 draw ('mask:'||doc_id||':'||start, the dsMix digest
+    * idiom with an independent salt) falls under floor(rate·256) — one
+    * row per masked span (doc_id, n_tokens, span_start, span_len), the
+    * tail span truncated to the document edge. Block-aligned starts make
+    * the mask set NON-OVERLAPPING and reproducible shard-by-shard with
+    * no coordination (true T5 sampling is sequential; the block draw
+    * keeps the corruption rate and mean span length while staying a
+    * pure function of (doc_id, start) — engine-exact, so the oracle
+    * checks every span byte-for-byte).
+    *
+    * Scale design: narrow single pass (sequence/filter/transform HOFs
+    * over each row's own block indices — n/spanLen elements, never the
+    * token array), one explode bounded by rate·n/spanLen rows per doc;
+    * no shuffle but the presentation ORDER BY.
+    */
+  def dsSpanMask(docs: DataFrame, rate: Double, spanLen: Int): DataFrame = {
+    val s = docs.sparkSession
+    require(rate > 0 && rate <= 1, s"rate out of (0,1]: $rate")
+    require(spanLen >= 1, s"spanLen < 1: $spanLen")
+    val thr = math.floor(rate * 256).toInt
+    docs.createOrReplaceTempView("__mask_docs")
+    s.sql(
+      s"""WITH t AS (
+         |  SELECT doc_id, size(split(text, ' ')) AS n FROM __mask_docs),
+         |sp AS (
+         |  SELECT doc_id, n,
+         |         explode(filter(
+         |           transform(sequence(0, CAST((n - 1) div $spanLen AS INT)),
+         |                     i -> CAST(i * $spanLen AS BIGINT)),
+         |           p -> (instr('0123456789abcdef',
+         |                   substring(md5(concat('mask:', CAST(doc_id AS STRING),
+         |                     ':', CAST(p AS STRING))), 1, 1)) - 1) * 16
+         |                + instr('0123456789abcdef',
+         |                    substring(md5(concat('mask:', CAST(doc_id AS STRING),
+         |                      ':', CAST(p AS STRING))), 2, 1)) - 1 < $thr))
+         |           AS span_start
+         |  FROM t)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, span_start,
+         |       LEAST(CAST($spanLen AS BIGINT), n - span_start) AS span_len
+         |FROM sp ORDER BY doc_id, span_start""".stripMargin)
+  }
+
+  /** The oracle-checked form: the published T5 defaults — 15 % corruption
+    * target (thr 38/256 ≈ 14.8 %), span length 3.
+    */
+  def dsSpanMask(s: SparkSession, dir: String): DataFrame =
+    dsSpanMask(Tables.load(s, dir, "documents").select("doc_id", "text"),
+      rate = 0.15, spanLen = 3)
+
   /** End-to-end curation pipeline in ONE pass (the "assemble the
     * training set" showcase: a user of the standalone operators composes
     * exactly this): per document — exact-dedup canonicality (md5
@@ -1087,6 +1139,7 @@ object Pipeline {
     "ds_epochs" -> ((s: SparkSession, dir: String) => dsEpochs(s, dir)),
     "ds_qfilter" -> ((s: SparkSession, dir: String) => dsQualityFilter(s, dir)),
     "ds_shuffle" -> (dsShuffle _),
+    "ds_spanmask" -> ((s: SparkSession, dir: String) => dsSpanMask(s, dir)),
     "ds_pipeline" -> ((s: SparkSession, dir: String) => dsPipeline(s, dir)),
     "ds_temperature" -> ((s: SparkSession, dir: String) => dsTemperature(s, dir)),
     "ds_mix" -> ((s: SparkSession, dir: String) => dsMix(s, dir)),
@@ -1110,6 +1163,20 @@ object Pipeline {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ds_spanmask" ->
+      ("""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n """ +
+        """FROM documents), """ +
+        """sp AS (SELECT doc_id, n, unnest( """ +
+        """[p FOR p IN [i * 3 FOR i IN generate_series(0, (n - 1) // 3)] """ +
+        """IF (strpos('0123456789abcdef', """ +
+        """substr(md5('mask:' || doc_id::VARCHAR || ':' || p::VARCHAR), """ +
+        """1, 1)) - 1) * 16 """ +
+        """+ strpos('0123456789abcdef', """ +
+        """substr(md5('mask:' || doc_id::VARCHAR || ':' || p::VARCHAR), """ +
+        """2, 1)) - 1 < 38]) AS span_start FROM t) """ +
+        """SELECT doc_id, n AS n_tokens, span_start, """ +
+        """LEAST(3, n - span_start) AS span_len """ +
+        """FROM sp ORDER BY doc_id, span_start"""),
     "ds_pipeline" ->
       ("""WITH flags AS (SELECT d.doc_id, d.source, """ +
         """ROW_NUMBER() OVER (PARTITION BY md5(d.text) ORDER BY d.doc_id) """ +

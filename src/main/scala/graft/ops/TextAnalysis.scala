@@ -588,7 +588,43 @@ object TextAnalysis {
     taReadability(aug)
   }
 
+  /** Feature-hashed document vectors (the hashing trick, Weinberger et
+    * al. 2009, public): each token maps to one of 256 features via its
+    * first two md5 hex digits (the dsMix draw idiom applied to the TOKEN
+    * — model-free, vocabulary-free), and the document's vector is the
+    * sparse (doc_id, feat, n) count relation — the cheap embedding that
+    * feeds cosine near-dup or clustering without a model, at a fixed
+    * 256-dim budget no matter the vocabulary. Emitted SPARSE (rows only
+    * for present features) so the relation is ≤ min(distinct tokens,
+    * 256) rows per document and the oracle checks every cell.
+    *
+    * Scale design: one explode + one (doc_id, feat) partial+final count
+    * — the ta_df shape; the per-doc output is 256-bounded regardless of
+    * document length. Downstream cosine composes via graft_dot after a
+    * dense pivot, or directly on the sparse rows via a (feat) equi-join.
+    */
+  def taHashEmbed(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__he_docs")
+    s.sql(
+      s"""WITH tk AS (
+         |  SELECT doc_id, explode(split(text, ' ')) AS tok FROM __he_docs)
+         |SELECT doc_id,
+         |       CAST((instr('0123456789abcdef', substring(md5(tok), 1, 1)) - 1)
+         |            * 16
+         |            + instr('0123456789abcdef', substring(md5(tok), 2, 1)) - 1
+         |            AS BIGINT) AS feat,
+         |       COUNT(*) AS n
+         |FROM tk GROUP BY doc_id, 2
+         |ORDER BY doc_id, feat""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata corpus. */
+  def taHashEmbed(s: SparkSession, dir: String): DataFrame =
+    taHashEmbed(Tables.load(s, dir, "documents").select("doc_id", "text"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_hashembed" -> ((s: SparkSession, dir: String) => taHashEmbed(s, dir)),
     "ta_ngram_top" -> ((s: SparkSession, dir: String) => taNgramTop(s, dir)),
     "ta_entropy" -> ((s: SparkSession, dir: String) => taEntropy(s, dir)),
     "ta_perplexity" -> ((s: SparkSession, dir: String) => taPerplexity(s, dir)),
@@ -608,6 +644,15 @@ object TextAnalysis {
   private val sqlToks = "string_split(text, ' ')"
 
   val oracleSql: Map[String, String] = Map(
+    "ta_hashembed" ->
+      (s"""WITH tk AS (SELECT doc_id, unnest($sqlToks) AS tok """ +
+        """FROM documents) """ +
+        """SELECT doc_id, """ +
+        """((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16 """ +
+        """+ strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1)::BIGINT """ +
+        """AS feat, COUNT(*) AS n """ +
+        """FROM tk GROUP BY doc_id, 2 """ +
+        """ORDER BY doc_id, feat"""),
     "ta_ngram_top" ->
       (s"WITH tk AS (SELECT doc_id, $sqlToks AS toks FROM documents " +
         s"WHERE len($sqlToks) >= 3), " +

@@ -1497,6 +1497,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, true), (2L, true), (3L, false)))
   }
 
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("dsSpanMask(docs, rate, spanLen): block draws match the brute md5 fold") {
+    import spark.implicits._
+    def draw(doc: Long, p: Long): Int =
+      Integer.parseInt(md5Hex(s"mask:$doc:$p").take(2), 16)
+    val text = (0 until 11).map(i => s"t$i").mkString(" ") // 11 tokens
+    val docs = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    val got = Pipeline.dsSpanMask(docs, rate = 0.15, spanLen = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = for {
+      doc <- Seq(1L, 2L); p <- Seq(0L, 3L, 6L, 9L) if draw(doc, p) < 38
+    } yield (doc, 11L, p, math.min(3L, 11L - p))
+    assert(got.toSeq == want)
+    // block alignment and bounds hold on the real corpus; the realized
+    // corruption rate lands near the configured 38/256
+    val corpus = Pipeline.dsSpanMask(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(corpus.nonEmpty)
+    corpus.foreach { case (_, n, st, len) =>
+      assert(st % 3 == 0 && st < n && len >= 1 && len <= 3 && st + len <= n)
+    }
+    val nTok = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("SUM(size(split(text, ' ')))").head().getLong(0)
+    val ratio = corpus.map(_._4).sum.toDouble / nTok
+    assert(ratio > 0.10 && ratio < 0.20, s"corruption ratio drifted: $ratio")
+  }
+
+  test("taHashEmbed(docs): sparse hashed counts match the brute token fold") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a c"), (2L, "a")).toDF("doc_id", "text")
+    val got = TextAnalysis.taHashEmbed(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def feat(tok: String): Long = Integer.parseInt(md5Hex(tok).take(2), 16)
+    val want = Seq(1L -> Seq("a", "b", "a", "c"), 2L -> Seq("a")).flatMap {
+      case (doc, toks) => toks.groupBy(feat).toSeq.map {
+        case (f, ts) => (doc, f, ts.size.toLong)
+      }
+    }.sorted
+    assert(got.toSeq == want)
+    got.foreach { case (_, f, n) => assert(f >= 0 && f < 256 && n >= 1) }
+    // vectors are conserving: Σn per doc == the doc's token count
+    assert(got.filter(_._1 == 1L).map(_._3).sum == 4L)
+  }
+
   test("evAbTest(events, conv): hash split and z-score match the brute fold") {
     import spark.implicits._
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-06-01 10:$m%02d:00")
