@@ -278,6 +278,47 @@ object GraphQueries {
     PageRank.run(s, edges, iters = 3).orderBy("node")
   }
 
+  /** Q42: 2-iteration fixed-point HITS over the DIRECTED supplier→part
+    * graph (see [[Hits]] for the integer max-normalization contract that
+    * makes the result exact on any partitioning and hash-comparable to
+    * the oracle's unrolled CTE chain). Where q33 ranks the symmetrized
+    * graph by stationary mass, HITS keeps the direction and ranks the two
+    * sides separately: suppliers as hubs (they endorse many
+    * well-endorsed parts), parts as authorities — the natural query on a
+    * bipartite who-supplies-what relation.
+    */
+  def q42_hits(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val fwd = li.select(col("l_suppkey").as("src"),
+      (col("l_partkey") + PartOffset).as("dst")).distinct()
+      .localCheckpoint(eager = true) // re-joined every half-iteration
+    Hits.run(s, fwd, iters = 2)
+  }
+
+  val q42OracleSql: String =
+    """WITH fwd AS (
+      |  SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000 AS dst
+      |  FROM lineitem),
+      |a1r AS (SELECT dst AS node, 1000000 * COUNT(*) AS s
+      |        FROM fwd GROUP BY dst),
+      |a1 AS (SELECT node, (s * 1000000) // (SELECT MAX(s) FROM a1r) AS s
+      |       FROM a1r),
+      |h1r AS (SELECT f.src AS node, SUM(a.s)::BIGINT AS s
+      |        FROM fwd f JOIN a1 a ON a.node = f.dst GROUP BY f.src),
+      |h1 AS (SELECT node, (s * 1000000) // (SELECT MAX(s) FROM h1r) AS s
+      |       FROM h1r),
+      |a2r AS (SELECT f.dst AS node, SUM(h.s)::BIGINT AS s
+      |        FROM fwd f JOIN h1 h ON h.node = f.src GROUP BY f.dst),
+      |a2 AS (SELECT node, (s * 1000000) // (SELECT MAX(s) FROM a2r) AS s
+      |       FROM a2r),
+      |h2r AS (SELECT f.src AS node, SUM(a.s)::BIGINT AS s
+      |        FROM fwd f JOIN a2 a ON a.node = f.dst GROUP BY f.src),
+      |h2 AS (SELECT node, (s * 1000000) // (SELECT MAX(s) FROM h2r) AS s
+      |       FROM h2r)
+      |SELECT 'hub' AS kind, node, s AS score FROM h2
+      |UNION ALL SELECT 'auth' AS kind, node, s AS score FROM a2
+      |ORDER BY kind, node""".stripMargin.replaceAll("\n", " ")
+
   val q33OracleSql: String =
     """WITH fwd AS (
       |  SELECT DISTINCT l_suppkey AS u, l_partkey + 1000000 AS v FROM lineitem),
@@ -508,6 +549,7 @@ object GraphQueries {
     "q39_mst" -> (q39_mst _),
     "q34_kcore" -> (q34_kcore _),
     "q33_pagerank" -> (q33_pagerank _),
+    "q42_hits" -> (q42_hits _),
     "q13_bfs" -> (q13_bfs _),
     "q16_maxflow" -> (q16_maxflow _),
     "q24_cc" -> (q24_cc _),
@@ -520,6 +562,7 @@ object GraphQueries {
     "q39_mst" -> q39OracleSql,
     "q34_kcore" -> q34OracleSql,
     "q33_pagerank" -> q33OracleSql,
+    "q42_hits" -> q42OracleSql,
     "q13_bfs" -> q13OracleSql,
     "q24_cc" -> q24OracleSql,
     "q25_triangles" -> q25OracleSql,

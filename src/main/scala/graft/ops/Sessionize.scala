@@ -817,7 +817,84 @@ object Sessionize {
     evAbTest(s.table("__events"), "purchase", minCount = 14)
   }
 
+  /** Bot / automation detection by inter-arrival regularity: per user,
+    * the coefficient of variation (stddev/mean) of the gaps between
+    * consecutive events. Human traffic is bursty — exponential-ish gaps
+    * put cv near 1 — while scripted clients fire on a timer and land
+    * near 0; `is_bot` flags users below `cvMax` with at least `minGaps`
+    * observed gaps (rate alone can't distinguish a power user from a
+    * cron job; regularity can). The reference has no behavioral-abuse
+    * operator; this is the events-table member of the curation family
+    * (a training pipeline drops scripted/synthetic actors the same way
+    * ta_c4filter drops boilerplate).
+    *
+    * Engine-exactness: gaps are exact integer micros; n/Σgap/Σgap² are
+    * exact integer aggregates (Σgap² in DECIMAL(38,0) — a month of
+    * micros squared overflows int64); cv is ONE fixed-shape double
+    * expression over their casts (the q38_regr sum-then-cast
+    * discipline), GREATEST-clamped at 0 before the sqrt so the
+    * catastrophic-cancellation corner (a perfectly metronomic bot) can
+    * never produce a NaN, rounded to 6.
+    *
+    * Scale design: one user_id-partitioned LAG window + one user_id
+    * partial+final aggregate — two exchanges on the same key (AQE merges
+    * them when bucketing aligns), output user-cardinality. The
+    * O(1)-state streaming twin is the Gaps/Streaks tracker family.
+    */
+  def evBots(events: DataFrame, cvMax: Double = 0.3,
+      minGaps: Int = 10): DataFrame = {
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__bot_events")
+    s.sql(
+      s"""WITH g AS (
+         |  SELECT user_id,
+         |         unix_micros(ts) - LAG(unix_micros(ts)) OVER (
+         |           PARTITION BY user_id ORDER BY ts, event_id) AS gap
+         |  FROM __bot_events),
+         |m AS (
+         |  SELECT user_id, COUNT(*) AS n_gaps,
+         |         SUM(gap) AS sx,
+         |         SUM(CAST(gap AS DECIMAL(38,0)) * gap) AS sxx
+         |  FROM g WHERE gap IS NOT NULL GROUP BY user_id
+         |  HAVING COUNT(*) >= 2),
+         |sel AS (
+         |  SELECT user_id, n_gaps, sx div n_gaps AS mean_gap_us,
+         |         ROUND(sqrt(GREATEST(
+         |                 (CAST(n_gaps AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |                 / (CAST(n_gaps AS DOUBLE) * (n_gaps - 1)), 0D))
+         |               / (CAST(sx AS DOUBLE) / n_gaps), 6) AS cv_gap
+         |  FROM m)
+         |SELECT user_id, n_gaps, mean_gap_us, cv_gap,
+         |       cv_gap < ${cvMax}D AND n_gaps >= $minGaps AS is_bot
+         |FROM sel ORDER BY user_id""".stripMargin)
+  }
+
+  /** The oracle-checked form: the corpus has no scripted actors, so every
+    * user_id % 29 = 3 user's timestamps are replaced by a metronomic
+    * 60-second grid from a fixed epoch (the ta_derep planting
+    * discipline — synthesize the pathology, then require the detector to
+    * find exactly it). Delegates to the production entry.
+    */
+  def evBots(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    val planted = s.sql(
+      """WITH ranked AS (
+        |  SELECT user_id, event_id, ts,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS rn
+        |  FROM __events)
+        |SELECT user_id, event_id,
+        |       CASE WHEN user_id % 29 = 3
+        |            THEN timestampadd(SECOND, CAST(60 * (rn - 1) AS INT),
+        |                              TIMESTAMP '2024-01-01 00:00:00')
+        |            ELSE ts END AS ts
+        |FROM ranked""".stripMargin)
+    evBots(planted)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_bots" -> ((s: SparkSession, dir: String) => evBots(s, dir)),
     "ev_abtest" -> ((s: SparkSession, dir: String) => evAbTest(s, dir)),
     "ev_cooccur" -> ((s: SparkSession, dir: String) => evCooccur(s, dir)),
     "ev_gaps" -> ((s: SparkSession, dir: String) => evGaps(s, dir)),
@@ -841,6 +918,32 @@ object Sessionize {
       "* (1::DOUBLE / na + 1::DOUBLE / nb))")
 
   val oracleSql: Map[String, String] = Map(
+    "ev_bots" ->
+      ("""WITH ranked AS (SELECT user_id, event_id, ts, """ +
+        """ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) """ +
+        """AS rn FROM events), """ +
+        """planted AS (SELECT user_id, event_id, """ +
+        """CASE WHEN user_id % 29 = 3 """ +
+        """THEN TIMESTAMP '2024-01-01 00:00:00' """ +
+        """     + INTERVAL (60 * (rn - 1)) SECOND """ +
+        """ELSE ts END AS ts FROM ranked), """ +
+        """g AS (SELECT user_id, """ +
+        """epoch_us(ts) - LAG(epoch_us(ts)) OVER ( """ +
+        """PARTITION BY user_id ORDER BY ts, event_id) AS gap """ +
+        """FROM planted), """ +
+        """m AS (SELECT user_id, COUNT(*) AS n_gaps, """ +
+        """SUM(gap)::BIGINT AS sx, """ +
+        """SUM(gap::HUGEINT * gap) AS sxx """ +
+        """FROM g WHERE gap IS NOT NULL GROUP BY user_id """ +
+        """HAVING COUNT(*) >= 2), """ +
+        """sel AS (SELECT user_id, n_gaps, sx // n_gaps AS mean_gap_us, """ +
+        """ROUND(sqrt(GREATEST( """ +
+        """(n_gaps::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) """ +
+        """/ (n_gaps::DOUBLE * (n_gaps - 1)), 0)) """ +
+        """/ (sx::DOUBLE / n_gaps), 6) AS cv_gap FROM m) """ +
+        """SELECT user_id, n_gaps, mean_gap_us, cv_gap, """ +
+        """cv_gap < 0.3 AND n_gaps >= 10 AS is_bot """ +
+        """FROM sel ORDER BY user_id"""),
     "ev_abtest" ->
       ("""WITH u AS (SELECT user_id, """ +
         """CASE WHEN strpos('0123456789abcdef', """ +

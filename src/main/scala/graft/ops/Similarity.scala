@@ -662,7 +662,72 @@ object Similarity {
   def ssIvfPqTopk(s: SparkSession, dir: String): DataFrame =
     ssIvfPqTopkOn(s, Tables.load(s, dir, "embeddings"), "vec_id < 5", 10)
 
+  /** Mutual k-nearest-neighbor graph: the edge set {a,b} where b is in
+    * a's cosine top-k AND a is in b's — the symmetric backbone that
+    * k-NN-graph clustering (semdedup shards, spectral methods, UMAP-ish
+    * layouts) builds on; mutuality prunes hub vectors that appear in
+    * everyone's top-k but reciprocate none. Each edge carries the score
+    * and both directed ranks.
+    *
+    * Exact brute contract (the ss_range discipline): all-pairs codegen'd
+    * graft_dot scores, one rank window per direction; the directed top-k
+    * relation is k·N rows and is MATERIALIZED once (lazy localCheckpoint,
+    * the dd_resolve InlineCTE workaround) so the mutuality self-join —
+    * (a,b)=(b,a) over k·N rows, never the N² score relation — does not
+    * recompute the brute scan twice. At 100 TB the same shape runs with
+    * the IVF/LSH candidate generators in this file replacing the
+    * all-pairs scored relation; mutuality and ranks compose unchanged.
+    *
+    * Engine-exactness: graft_dot folds in array-index order — identical
+    * IEEE sums in both engines (the ss_cosine_topk contract); ranks are
+    * integer; cos rounds to 6 before ranking ties break on vec_id.
+    */
+  def ssKnnGraph(emb: DataFrame, k: Int = 5): DataFrame = {
+    val s = emb.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    emb.createOrReplaceTempView("__emb_knn")
+    // cosine is symmetric: score each unordered pair ONCE (a < b — half
+    // the graft_dot work of the naive a <> b cross), materialize, then
+    // mirror the cheap (a, b, cos) triple for the per-direction ranking
+    val half = s.sql(
+      """WITH base AS (
+        |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM __emb_knn),
+        |norms AS (
+        |  SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM base)
+        |SELECT q.vec_id AS a, c.vec_id AS b,
+        |       ROUND(graft_dot(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos
+        |FROM norms q JOIN norms c ON c.vec_id > q.vec_id""".stripMargin)
+      .localCheckpoint(eager = false)
+    half.createOrReplaceTempView("__knn_half")
+    val topk = s.sql(
+      s"""WITH scored AS (
+         |  SELECT a, b, cos FROM __knn_half
+         |  UNION ALL SELECT b AS a, a AS b, cos FROM __knn_half)
+         |SELECT a, b, cos, CAST(rn AS BIGINT) AS rn FROM (
+         |  SELECT a, b, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY a
+         |           ORDER BY cos DESC, b) AS rn
+         |  FROM scored)
+         |WHERE rn <= $k""".stripMargin)
+      .localCheckpoint(eager = false)
+    topk.createOrReplaceTempView("__knn_topk")
+    s.sql(
+      """SELECT x.a AS vec_a, x.b AS vec_b, x.cos,
+        |       x.rn AS rank_ab, y.rn AS rank_ba
+        |FROM __knn_topk x JOIN __knn_topk y ON y.a = x.b AND y.b = x.a
+        |WHERE x.a < x.b
+        |ORDER BY vec_a, vec_b""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata embeddings at k = 5. */
+  def ssKnnGraph(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "embeddings").createOrReplaceTempView("__emb_knn_src")
+    ssKnnGraph(s.table("__emb_knn_src"), k = 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ss_knn_graph" -> ((s: SparkSession, dir: String) => ssKnnGraph(s, dir)),
     "ss_cosine_topk" -> (ssCosineTopk _),
     "ss_range" -> ((s: SparkSession, dir: String) => ssRangeSearch(s, dir)),
     "ss_sq_topk" -> (ssSqTopk _),
@@ -696,6 +761,30 @@ object Similarity {
   }.mkString(",\n")
 
   val oracleSql: Map[String, String] = Map(
+    "ss_knn_graph" ->
+      """WITH base AS (
+        |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),
+        |norms AS (
+        |  SELECT vec_id, v, sqrt(list_sum([x * x FOR x IN v])) AS nrm
+        |  FROM base),
+        |scored AS (
+        |  SELECT q.vec_id AS a, c.vec_id AS b,
+        |         ROUND(list_sum([q.v[i] * c.v[i]
+        |                 FOR i IN generate_series(1, len(q.v))])
+        |               / (q.nrm * c.nrm), 6) AS cos
+        |  FROM norms q JOIN norms c ON c.vec_id <> q.vec_id),
+        |topk AS (
+        |  SELECT a, b, cos, rn FROM (
+        |    SELECT a, b, cos,
+        |           ROW_NUMBER() OVER (PARTITION BY a
+        |             ORDER BY cos DESC, b) AS rn
+        |    FROM scored)
+        |  WHERE rn <= 5)
+        |SELECT x.a AS vec_a, x.b AS vec_b, x.cos,
+        |       x.rn AS rank_ab, y.rn AS rank_ba
+        |FROM topk x JOIN topk y ON y.a = x.b AND y.b = x.a
+        |WHERE x.a < x.b
+        |ORDER BY vec_a, vec_b""".stripMargin.replaceAll("\n", " "),
     "ss_ivfpq_topk" ->
       s"""WITH base AS (
          |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),

@@ -623,7 +623,48 @@ object TextAnalysis {
   def taHashEmbed(s: SparkSession, dir: String): DataFrame =
     taHashEmbed(Tables.load(s, dir, "documents").select("doc_id", "text"))
 
+  /** Zipf's-law conformance table: the corpus's top-20 tokens by total
+    * term frequency with their rank, tf, the rank·tf product (Zipf
+    * predicts it near-constant), and the product normalized by the rank-1
+    * frequency. The classic corpus-health check: a natural corpus decays
+    * ~1/rank (rel ≈ 1 down the table); boilerplate-flooded or
+    * deduplication-damaged corpora bend visibly. The statistic is kept
+    * log-free on purpose — ln() differs by ±1 ulp between libm
+    * implementations, so a log-log regression slope could not be
+    * hash-compared across engines; rank·tf is integer-exact and `rel` is
+    * ONE double division (the ta_tfidf discipline).
+    *
+    * Scale design: one explode + one (token) partial+final count — the
+    * ta_df shape — then a vocabulary-sized (≪ corpus) total-order top-20,
+    * which Spark runs as TakeOrderedAndProject (no full sort of the
+    * vocabulary ever materializes). Nothing downstream of the first
+    * aggregate is corpus-sized.
+    */
+  def taZipf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__zipf_docs")
+    s.sql(
+      s"""WITH tf AS (
+         |  SELECT tok, COUNT(*) AS tf
+         |  FROM (SELECT explode(split(text, ' ')) AS tok FROM __zipf_docs)
+         |  GROUP BY tok),
+         |ranked AS (
+         |  SELECT tok, tf,
+         |         CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, tok) AS BIGINT)
+         |           AS rank
+         |  FROM tf)
+         |SELECT rank, tok, tf, rank * tf AS zipf_c,
+         |       ROUND(CAST(rank * tf AS DOUBLE)
+         |             / (SELECT MAX(tf) FROM tf), 6) AS rel
+         |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata corpus. */
+  def taZipf(s: SparkSession, dir: String): DataFrame =
+    taZipf(Tables.load(s, dir, "documents").select("doc_id", "text"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_zipf" -> ((s: SparkSession, dir: String) => taZipf(s, dir)),
     "ta_hashembed" -> ((s: SparkSession, dir: String) => taHashEmbed(s, dir)),
     "ta_ngram_top" -> ((s: SparkSession, dir: String) => taNgramTop(s, dir)),
     "ta_entropy" -> ((s: SparkSession, dir: String) => taEntropy(s, dir)),
@@ -644,6 +685,14 @@ object TextAnalysis {
   private val sqlToks = "string_split(text, ' ')"
 
   val oracleSql: Map[String, String] = Map(
+    "ta_zipf" ->
+      (s"WITH tf AS (SELECT tok, COUNT(*) AS tf " +
+        s"FROM (SELECT unnest($sqlToks) AS tok FROM documents) GROUP BY tok), " +
+        "ranked AS (SELECT tok, tf, " +
+        "ROW_NUMBER() OVER (ORDER BY tf DESC, tok) AS rank FROM tf) " +
+        "SELECT rank, tok, tf, rank * tf AS zipf_c, " +
+        "ROUND((rank * tf)::DOUBLE / (SELECT MAX(tf) FROM tf), 6) AS rel " +
+        "FROM ranked WHERE rank <= 20 ORDER BY rank"),
     "ta_hashembed" ->
       (s"""WITH tk AS (SELECT doc_id, unnest($sqlToks) AS tok """ +
         """FROM documents) """ +

@@ -253,4 +253,56 @@ class GraphQueriesSpec extends AnyFunSuite {
     val key = rows.map(r => (-r._6, r._1, r._2))
     assert(key.sameElements(key.sorted))
   }
+
+  test("Hits: engine matches the in-memory integer recurrence on a hand graph") {
+    import spark.implicits._
+    // bipartite: s1 endorses 3 parts, s3 endorses 2, s2 endorses 1 —
+    // hub order must come out s1 > s3 > s2; p1 (endorsed by all) tops auth
+    val edges = Seq((1L, 101L), (1L, 102L), (1L, 103L),
+      (2L, 101L), (3L, 101L), (3L, 102L)).toDF("src", "dst")
+    val iters = 2
+    // brute fold of the declared recurrence
+    val S = Hits.Scale
+    val es = Seq(1L -> 101L, 1L -> 102L, 1L -> 103L,
+      2L -> 101L, 3L -> 101L, 3L -> 102L)
+    var h = es.map(_._1).distinct.map(_ -> S).toMap
+    var a = Map.empty[Long, Long]
+    def norm(m: Map[Long, Long]): Map[Long, Long] = {
+      val mx = m.values.max; m.map { case (k, v) => k -> (v * S) / mx }
+    }
+    for (_ <- 1 to iters) {
+      a = norm(es.groupBy(_._2).map { case (p, e) =>
+        p -> e.map(x => h(x._1)).sum })
+      h = norm(es.groupBy(_._1).map { case (s, e) =>
+        s -> e.map(x => a(x._2)).sum })
+    }
+    val got = Hits.run(spark, edges, iters).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = (h.toSeq.map { case (n, s) => ("hub", n, s) } ++
+      a.toSeq.map { case (n, s) => ("auth", n, s) }).sortBy(x => (x._1, x._2))
+    assert(got == want)
+    // max-normalization: each relation's top score is exactly Scale
+    assert(got.filter(_._1 == "hub").map(_._3).max == S)
+    assert(got.filter(_._1 == "auth").map(_._3).max == S)
+    // ranking sanity on the hand graph
+    val hub = got.filter(_._1 == "hub").map(x => x._2 -> x._3).toMap
+    assert(hub(1L) > hub(3L) && hub(3L) > hub(2L))
+    val auth = got.filter(_._1 == "auth").map(x => x._2 -> x._3).toMap
+    assert(auth(101L) == auth.values.max)
+  }
+
+  test("q42_hits: bipartite sides separate, scores max-normalized, deterministic") {
+    val rows = GraphQueries.q42_hits(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val (hubs, auths) = rows.partition(_._1 == "hub")
+    assert(hubs.nonEmpty && auths.nonEmpty)
+    // hubs are suppliers (< 1000000), authorities are offset parts
+    assert(hubs.forall(_._2 < 1000000L) && auths.forall(_._2 >= 1000000L))
+    assert(hubs.map(_._3).max == Hits.Scale && auths.map(_._3).max == Hits.Scale)
+    assert(rows.forall(_._3 >= 0))
+    // byte-deterministic across independent runs
+    val again = GraphQueries.q42_hits(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == again.toSeq)
+  }
 }

@@ -1680,4 +1680,64 @@ class PipelineSpec extends AnyFunSuite {
       .parquet(s"$sf/documents.parquet").select("source").distinct().count())
     assert(math.abs(orc.map(_.getDouble(5)).sum - 1.0) < 1e-4)
   }
+
+  test("evBots(events): metronomic user flags, bursty user passes, short regular user spared") {
+    import spark.implicits._
+    def t(us: Long) = new java.sql.Timestamp(us / 1000) // ms precision rows
+    // user 1: 12 events on an exact 60s grid -> 11 gaps, cv = 0, BOT
+    val bot = (0 until 12).map(i => (100L + i, t(i * 60000000L), 1L))
+    // user 2: 12 events with alternating 10s/300s gaps -> cv >> 0.3
+    var acc = 0L
+    val bursty = (0 until 12).map { i =>
+      if (i > 0) acc += (if (i % 2 == 1) 10000000L else 300000000L)
+      (200L + i, t(acc), 2L)
+    }
+    // user 3: 4 events on the grid -> only 3 gaps (< minGaps), cv = 0, SPARED
+    val short = (0 until 4).map(i => (300L + i, t(i * 60000000L), 3L))
+    val events = (bot ++ bursty ++ short)
+      .toDF("event_id", "ts", "user_id")
+    val got = Sessionize.evBots(events, cvMax = 0.3, minGaps = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(got.map(x => (x._1, x._2)) == Seq((1L, 11L), (2L, 11L), (3L, 3L)))
+    val byUser = got.map(x => x._1 -> x).toMap
+    assert(byUser(1L)._4 == 0.0 && byUser(1L)._5) // metronomic -> bot
+    // bursty: brute-fold the cv from the planted gaps and compare
+    val gaps = (1 until 12).map(i => if (i % 2 == 1) 10000000.0 else 300000000.0)
+    val n = gaps.size; val mean = gaps.sum / n
+    val sd = math.sqrt(gaps.map(g => (g - mean) * (g - mean)).sum / (n - 1))
+    assert(math.abs(byUser(2L)._4 - sd / mean) < 1e-4)
+    assert(byUser(2L)._4 > 0.3 && !byUser(2L)._5)
+    assert(byUser(3L)._4 == 0.0 && !byUser(3L)._5) // regular but too few gaps
+    assert(byUser(3L)._3 == 60000000L) // integer mean gap
+    // oracle form: planted user_id % 29 == 3 users all flag, and they are
+    // the ONLY flags (natural traffic is exponential-ish, cv ~ 1)
+    val orc = Sessionize.evBots(spark, sf).collect()
+    val flagged = orc.filter(_.getBoolean(4)).map(_.getLong(0)).toSet
+    assert(flagged.nonEmpty && flagged.forall(_ % 29 == 3))
+    val planted = orc.map(_.getLong(0)).filter(_ % 29 == 3).toSet
+    assert(flagged == planted.filter(u =>
+      orc.find(_.getLong(0) == u).get.getLong(1) >= 10))
+  }
+
+  test("taZipf(docs): rank/tf table matches the brute count, rel is rank*tf/tf1") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a b b c"), (2L, "a a b d")).toDF("doc_id", "text")
+    val got = TextAnalysis.taZipf(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // tf: a=5 b=3 c=1 d=1 -> ranks 1..4 with c before d on the tie
+    assert(got.toSeq == Seq(
+      (1L, "a", 5L, 5L, 1.0),
+      (2L, "b", 3L, 6L, 1.2),
+      (3L, "c", 1L, 3L, 0.6),
+      (4L, "d", 1L, 4L, 0.8)))
+    // oracle form: exactly 20 rows, ranks dense 1..20, tf non-increasing
+    val orc = TextAnalysis.taZipf(spark, sf).collect()
+    assert(orc.length == 20)
+    assert(orc.map(_.getLong(0)).toSeq == (1L to 20L))
+    val tfs = orc.map(_.getLong(2)).toSeq
+    assert(tfs == tfs.sorted.reverse)
+    assert(orc.head.getDouble(4) == 1.0) // rank-1 row normalizes to itself
+  }
 }

@@ -301,4 +301,44 @@ class SimilaritySpec extends AnyFunSuite {
       s"IVF-PQ recall $ivfpq collapsed vs PQ $pq at the same cut")
     assert(ivfpq >= 0.6, s"IVF-PQ recall $ivfpq < 0.6")
   }
+
+  test("mutual kNN graph: edges == the brute mutual-top-k relation, ranks honest") {
+    val rng = new Random(7)
+    // two tight clusters of 6 + 4 isotropic strays: mutual edges should
+    // concentrate inside the clusters, and every edge must be reciprocal
+    val c1 = unit(rng, 16); val c2 = unit(rng, 16)
+    def near(c: Array[Double]): Array[Double] = {
+      val v = c.zip(unit(rng, 16)).map { case (a, b) => a + 0.1 * b }
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val rows = (0L until 6L).map(i => (i, near(c1))) ++
+      (6L until 12L).map(i => (i, near(c2))) ++
+      (12L until 16L).map(i => (i, unit(rng, 16)))
+    val emb = toEmb(rows)
+    val k = 3
+    val got = Similarity.ssKnnGraph(emb, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    // brute oracle on the SAME float-truncated vectors
+    val vs = rows.map { case (id, v) => id -> v.map(_.toFloat.toDouble) }.toMap
+    def cos(a: Long, b: Long): Double = {
+      val (x, y) = (vs(a), vs(b))
+      val d = x.zip(y).map { case (p, q) => p * q }.sum
+      BigDecimal(d / (math.sqrt(x.map(p => p * p).sum)
+        * math.sqrt(y.map(p => p * p).sum)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val ids = rows.map(_._1)
+    val topk = ids.map { a =>
+      a -> ids.filter(_ != a).sortBy(b => (-cos(a, b), b)).take(k).zipWithIndex
+        .map { case (b, i) => b -> (i + 1L) }.toMap
+    }.toMap
+    val want = (for {
+      a <- ids; (b, ra) <- topk(a); if a < b; rb <- topk(b).get(a)
+    } yield (a, b, ra, rb)).sortBy(e => (e._1, e._2))
+    assert(got.toSeq.sortBy(e => (e._1, e._2)) == want)
+    // mutuality pruned at least the strays' one-way edges: every surviving
+    // edge is reciprocal by construction, and cluster cores are connected
+    assert(want.forall { case (_, _, ra, rb) => ra <= k && rb <= k })
+    assert(want.count { case (a, b, _, _) => a < 6 && b < 6 } >= 4)
+  }
 }
