@@ -81,6 +81,15 @@ object PipelineScaleProbe {
     if (args.headOption.contains("addendum14")) {
       addendum14(args(1).toInt, args(2).toInt, args(3)); return
     }
+    // `addendum15 <nDocs> <nEvents> <nVec> <outBase>` — zipf/bots at
+    // corpus scale, exact mutual-kNN at 10k vectors, HITS on a
+    // power-law bipartite graph
+    if (args.headOption.contains("addendum15")) {
+      addendum15(args(1).toInt, args(2).toInt, args(3).toInt, args(4)); return
+    }
+    // `zipfleg <dir>` — re-time just ta_zipf against an existing corpus
+    // (used to measure the single-agg-pass rewrite on the same data)
+    if (args.headOption.contains("zipfleg")) { zipfLeg(args(1)); return }
     // `addendum13 <nDocs> <nEvents> <nVec> <outBase>` — gaps/gini at
     // event scale, epochs/ngram at corpus scale, range at vector scale
     if (args.headOption.contains("addendum13")) {
@@ -1230,6 +1239,144 @@ object PipelineScaleProbe {
     println(f"PSCALE q=dd_crossdedup(same corpus) t=$joinWall%.1f s " +
       "(answers identical)")
     println("PSCALE addendum14 done")
+    spark.stop()
+  }
+
+  private def zipfLeg(dir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    val rows = ops.TextAnalysis.taZipf(spark, dir).collect()
+    println(f"PSCALE q=ta_zipf t=${(System.nanoTime() - t0) / 1e9}%.1f s " +
+      s"rows=${rows.length} top_tf=${rows.head.getLong(2)} " +
+      s"rel20=${rows.last.getDouble(4)}")
+    spark.stop()
+  }
+
+  /** Scale legs for the eighth ops batch: ta_zipf / ev_bots at corpus
+    * scale, exact mutual-kNN at 5× the bench corpus, and integer HITS on
+    * a skewed synthetic bipartite graph ~17× the sf0.1 feed. Invariants,
+    * not just wall-clock: zipf stays 20 rows with a dense rank order,
+    * bots flags exactly the planted metronomic cohort (zero false
+    * positives against exponential-ish natural traffic), every kNN edge
+    * is reciprocal within rank k and the edge count respects the k·N/2
+    * budget, and HITS max-normalization pins both score relations to
+    * SCALE with everything in range.
+    */
+  private def addendum15(nDocs: Int, nEvents: Int, nVec: Int,
+      outBase: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val seed = 2026L
+    val dir = s"$outBase/sf$nDocs"
+    spark.range(0L, nDocs.toLong).map(docFor(_, seed))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val nUsers = scala.math.max(100, nEvents / 666)
+    spark.range(0L, nEvents.toLong).map(evFor(_, nUsers, seed))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    spark.range(0L, nVec.toLong).map(vecFor(_, 64, 10, seed))
+      .toDF("vec_id", "embedding", "label")
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    println(s"PSCALE gen15 nDocs=$nDocs nEvents=$nEvents nVec=$nVec")
+
+    def timed(tag: String)(df: => org.apache.spark.sql.DataFrame): Long = {
+      val t0 = System.nanoTime()
+      df.write.mode("overwrite").parquet(s"$dir/results/$tag.parquet")
+      val rows = spark.read.parquet(s"$dir/results/$tag.parquet").count()
+      println(f"PSCALE q=$tag t=${(System.nanoTime() - t0) / 1e9}%.1f s " +
+        s"rows=$rows")
+      rows
+    }
+
+    // ta_zipf: the output is 20 rows at ANY corpus size — the aggregate
+    // is vocabulary-sized, the cut is a TakeOrderedAndProject
+    timed("ta_zipf")(ops.TextAnalysis.taZipf(spark, dir))
+    val zipf = spark.read.parquet(s"$dir/results/ta_zipf.parquet")
+      .orderBy("rank").collect()
+    require(zipf.length == 20, s"zipf rows ${zipf.length} != 20")
+    require(zipf.map(_.getLong(0)).toSeq == (1L to 20L), "ranks not dense")
+    val tfs = zipf.map(_.getLong(2)).toSeq
+    require(tfs == tfs.sorted.reverse, "tf not non-increasing")
+    println(s"PSCALE zipf top tf=${tfs.head} rel20=${zipf.last.getDouble(4)}")
+
+    // ev_bots: the planted metronomic cohort (user_id % 29 = 3) flags,
+    // natural exponential-ish traffic does not — at ANY event volume
+    timed("ev_bots")(ops.Sessionize.evBots(spark, dir))
+    val bots = spark.read.parquet(s"$dir/results/ev_bots.parquet").collect()
+    val flagged = bots.filter(_.getBoolean(4)).map(_.getLong(0))
+    val planted = bots.map(_.getLong(0))
+      .filter(u => u % 29 == 3).toSet
+    require(flagged.nonEmpty, "no bots flagged")
+    require(flagged.forall(_ % 29 == 3),
+      s"false positives: ${flagged.filterNot(_ % 29 == 3).take(5).toSeq}")
+    val missed = bots.filter(r => r.getLong(0) % 29 == 3 &&
+      r.getLong(1) >= 10 && !r.getBoolean(4))
+    require(missed.isEmpty, s"missed planted bots: ${missed.take(5).toSeq}")
+    println(s"PSCALE bots flagged=${flagged.length} " +
+      s"planted=${planted.size} users=${bots.length} (0 false flags)")
+
+    // ss_knn_graph: exact mutual top-5 at nVec — every edge reciprocal
+    // within rank k, edge count within the k·N/2 slot budget
+    val k = 5
+    graft.functions.GraftFunctions.register(spark)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val t0 = System.nanoTime()
+    val knn = ops.Similarity.ssKnnGraph(emb, k)
+      .localCheckpoint(eager = true)
+    val nEdges = knn.count()
+    println(f"PSCALE q=ss_knn_graph t=${(System.nanoTime() - t0) / 1e9}%.1f s " +
+      s"rows=$nEdges")
+    require(nEdges <= nVec.toLong * k / 2,
+      s"edge count $nEdges exceeds k*N/2 slot budget")
+    val bad = knn.filter(s"rank_ab > $k OR rank_ba > $k OR vec_a >= vec_b")
+      .count()
+    require(bad == 0, s"$bad edges break the mutual-rank contract")
+    println(s"PSCALE knn edges=$nEdges budget=${nVec.toLong * k / 2} " +
+      "all reciprocal")
+
+    // HITS on a skewed bipartite graph: 200k hubs × 20k authorities,
+    // preferential attachment on the authority side (u^3 law) — the
+    // integer max-normalization contract must hold at any skew
+    val nS = 200000L; val nD = 20000L
+    val edges = spark.range(0L, (nEvents / 2).toLong).map { i =>
+      val r = new scala.util.Random(seed ^ (i * 0xA0761D6478BD642FL))
+      val u = r.nextDouble()
+      (i % nS, math.min(nD - 1, (u * u * u * nD).toLong) + 10000000L)
+    }.toDF("src", "dst").distinct()
+      .localCheckpoint(eager = true)
+    val tH = System.nanoTime()
+    val hits = graph.Hits.run(spark, edges, iters = 2)
+      .localCheckpoint(eager = true)
+    val hitsWall = (System.nanoTime() - tH) / 1e9
+    val nNodes = hits.count()
+    val mx = hits.groupBy("kind")
+      .agg(org.apache.spark.sql.functions.max("score").as("mx"),
+        org.apache.spark.sql.functions.min("score").as("mn"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    require(mx("hub")._1 == graph.Hits.Scale && mx("auth")._1 == graph.Hits.Scale,
+      s"max-normalization broken: $mx")
+    require(mx.values.forall(_._2 >= 0), s"negative score: $mx")
+    println(f"PSCALE q=q42_hits t=$hitsWall%.1f s nodes=$nNodes " +
+      s"edges=${edges.count()} max=SCALE both sides")
+
+    println("PSCALE addendum15 done")
     spark.stop()
   }
 

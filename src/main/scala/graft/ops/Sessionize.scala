@@ -845,17 +845,32 @@ object Sessionize {
       minGaps: Int = 10): DataFrame = {
     val s = events.sparkSession
     events.createOrReplaceTempView("__bot_events")
+    botsFromGaps(s.sql(
+      """SELECT user_id, gap FROM (
+        |  SELECT user_id,
+        |         unix_micros(ts) - LAG(unix_micros(ts)) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM __bot_events)
+        |WHERE gap IS NOT NULL""".stripMargin), cvMax, minGaps)
+  }
+
+  /** The cv aggregation over an already-materialized (user_id, gap µs)
+    * relation — shared by [[evBots]] (whose LAG window produces the gaps)
+    * and the streaming twin (`streaming.RateTracker`, whose O(1) state
+    * emits the SAME gap rows incrementally): n/Σgap/Σgap² are combinable,
+    * so the streaming sink aggregated through this entry equals the batch
+    * operator exactly (the GapsTracker preimage discipline).
+    */
+  def botsFromGaps(gaps: DataFrame, cvMax: Double = 0.3,
+      minGaps: Int = 10): DataFrame = {
+    val s = gaps.sparkSession
+    gaps.createOrReplaceTempView("__bot_gaps")
     s.sql(
-      s"""WITH g AS (
-         |  SELECT user_id,
-         |         unix_micros(ts) - LAG(unix_micros(ts)) OVER (
-         |           PARTITION BY user_id ORDER BY ts, event_id) AS gap
-         |  FROM __bot_events),
-         |m AS (
+      s"""WITH m AS (
          |  SELECT user_id, COUNT(*) AS n_gaps,
          |         SUM(gap) AS sx,
          |         SUM(CAST(gap AS DECIMAL(38,0)) * gap) AS sxx
-         |  FROM g WHERE gap IS NOT NULL GROUP BY user_id
+         |  FROM __bot_gaps GROUP BY user_id
          |  HAVING COUNT(*) >= 2),
          |sel AS (
          |  SELECT user_id, n_gaps, sx div n_gaps AS mean_gap_us,

@@ -634,11 +634,15 @@ object TextAnalysis {
     * hash-compared across engines; rank·tf is integer-exact and `rel` is
     * ONE double division (the ta_tfidf discipline).
     *
-    * Scale design: one explode + one (token) partial+final count — the
-    * ta_df shape — then a vocabulary-sized (≪ corpus) total-order top-20,
-    * which Spark runs as TakeOrderedAndProject (no full sort of the
-    * vocabulary ever materializes). Nothing downstream of the first
-    * aggregate is corpus-sized.
+    * Scale design: one explode + ONE (token) partial+final count — the
+    * ta_df shape — then `ORDER BY tf DESC LIMIT 20`, which Spark runs as
+    * TakeOrderedAndProject (map-side partial top-k; the vocabulary is
+    * never globally sorted), and the rank / rank-1-frequency windows run
+    * over the 20 surviving rows only. The first cut of this query put the
+    * rank window on the FULL vocabulary and took the rank-1 frequency as
+    * a scalar subquery on the tf CTE — Spark inlines CTEs, so that
+    * re-ran the corpus-sized aggregation twice (72 s at 500k docs vs
+    * 12 s for this shape on the same corpus, addendum15).
     */
   def taZipf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
@@ -648,15 +652,16 @@ object TextAnalysis {
          |  SELECT tok, COUNT(*) AS tf
          |  FROM (SELECT explode(split(text, ' ')) AS tok FROM __zipf_docs)
          |  GROUP BY tok),
+         |top AS (SELECT tok, tf FROM tf ORDER BY tf DESC, tok LIMIT 20),
          |ranked AS (
          |  SELECT tok, tf,
          |         CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, tok) AS BIGINT)
-         |           AS rank
-         |  FROM tf)
+         |           AS rank,
+         |         MAX(tf) OVER () AS tf1
+         |  FROM top)
          |SELECT rank, tok, tf, rank * tf AS zipf_c,
-         |       ROUND(CAST(rank * tf AS DOUBLE)
-         |             / (SELECT MAX(tf) FROM tf), 6) AS rel
-         |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin)
+         |       ROUND(CAST(rank * tf AS DOUBLE) / tf1, 6) AS rel
+         |FROM ranked ORDER BY rank""".stripMargin)
   }
 
   /** The oracle-checked form over the testdata corpus. */

@@ -714,4 +714,76 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.user_id, r.active_days, r.n_streaks, r.max_streak))
     assert(exact.toSet == batch.toSet)
   }
+
+  private def runRateBatches(
+      entry: org.apache.spark.sql.Dataset[RateTracker.REv] =>
+        org.apache.spark.sql.Dataset[RateTracker.RateRow],
+      name: String, batches: Seq[Seq[Ev]], delay: String = "2 hours"
+  ): Seq[(Long, Long)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = entry(stream.toDF().withWatermark("ts", delay)
+        .select("ts", "event_id", "user_id")
+        .as[RateTracker.REv])
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    for (b <- batches) { stream.addData(b); q.processAllAvailable() }
+    val maxTs = batches.flatten.map(_.ts.getTime).max
+    stream.addData(Ev(-1L, new Timestamp(maxTs + 8L * 24 * 3600 * 1000), -1L, "x", 0.0))
+    q.processAllAvailable()
+    stream.addData(Ev(-2L, new Timestamp(maxTs + 9L * 24 * 3600 * 1000), -1L, "x", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).filter(col("user_id") =!= -1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+  }
+
+  test("rate: batch gap rows aggregate to the evBots table hash-exactly") {
+    import spark.implicits._
+    val gapRows = RateTracker.rateBatch(
+      eventsBatch.select("ts", "event_id", "user_id")
+        .as[RateTracker.REv]).toDF()
+    val got = graft.ops.Sessionize.botsFromGaps(gapRows).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4))).toSeq
+    val want = graft.ops.Sessionize.evBots(eventsBatch).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4))).toSeq
+    // EXACT equality including the decimal-sum cv doubles: the streaming
+    // preimage and the batch LAG window produce the same gap multiset
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("rate: streaming increments == batch on ordered input") {
+    import spark.implicits._
+    val data = eventsBatch.as[Ev].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val stream = runRateBatches(RateTracker.rateStream, "rate_out",
+      Seq(data.toSeq), delay = "0 seconds")
+    val batch = RateTracker.rateBatch(
+      eventsBatch.select("ts", "event_id", "user_id")
+        .as[RateTracker.REv]).collect().map(r => (r.user_id, r.gap))
+    assert(stream.sorted == batch.toSeq.sorted && stream.nonEmpty)
+    val exact = runRateBatches(RateTracker.rateStreamExact, "rate_out_ex",
+      Seq(data.toSeq), delay = "0 seconds")
+    assert(exact.sorted == batch.toSeq.sorted)
+  }
+
+  test("rate: cross-trigger late event dropped in O(1), recovered buffered-exact") {
+    def t(s: String) = Timestamp.valueOf(s)
+    // trigger 1: user 7 at :00 and :10 (one 10 s gap); trigger 2 delivers
+    // :04 late (in-watermark) — it would SPLIT the gap into 4 s + 6 s
+    val batches = Seq(
+      Seq(Ev(1L, t("2024-06-10 10:00:00"), 7L, "view", 0.0),
+        Ev(3L, t("2024-06-10 10:00:10"), 7L, "view", 0.0)),
+      Seq(Ev(2L, t("2024-06-10 10:00:04"), 7L, "view", 0.0)))
+    val approx = runRateBatches(RateTracker.rateStream, "rate_div_a",
+      batches, delay = "1 hour")
+    val exact = runRateBatches(RateTracker.rateStreamExact, "rate_div_b",
+      batches, delay = "1 hour")
+    // O(1): the late :04 sorts before the carried :10 — dropped
+    assert(approx == Seq((7L, 10000000L)))
+    // buffered-exact recovers both sub-gaps
+    assert(exact.toSet == Set((7L, 4000000L), (7L, 6000000L)))
+  }
 }
