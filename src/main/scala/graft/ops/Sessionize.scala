@@ -908,7 +908,53 @@ object Sessionize {
     evBots(planted)
   }
 
+  /** Daily-volume EWMA per event type (α = 1/2): the one-step smoothed
+    * forecast a monitoring pipeline lays over ev_spike's z-scores —
+    * ewma_d = ½·n_d + ½·ewma_{d−1}, seeded ewma_0 = n_0. The α = ½
+    * choice is an exactness decision, not a smoothing opinion: every
+    * weight is a power of two, so each term n_i·2^(i−1) is an exact
+    * double, the running sum stays under 53 bits at any realistic daily
+    * volume (counts 2^20 × 30 days × 2^29 scale ≈ 2^50), and the final
+    * 2^(−k) rescale is exponent arithmetic — the recurrence is therefore
+    * EXACT and summation-order-free in BOTH engines, with no sequential
+    * fold needed: the closed form ewma_k = 2^(−k)·Σ_{i≤k} n_i·2^(max(i−1,0))
+    * turns the recurrence into ONE running-window SUM.
+    *
+    * Scale design: one (type, day) partial+final count (output
+    * days×types-bounded at any event volume), then two windows over that
+    * tiny relation. The streaming twin is SpikeTracker's per-type state
+    * family; the EWMA itself is one multiply-add per trigger there.
+    */
+  def evEwma(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__ewma_events")
+    s.sql(
+      """WITH d AS (
+        |  SELECT event_type, date_trunc('DAY', ts) AS day, COUNT(*) AS n
+        |  FROM __ewma_events GROUP BY event_type, date_trunc('DAY', ts)),
+        |w AS (
+        |  SELECT event_type, day, n,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |           ORDER BY day) AS BIGINT) - 1 AS k
+        |  FROM d),
+        |acc AS (
+        |  SELECT event_type, day, n, k,
+        |         SUM(n * POWER(2.0D, GREATEST(k - 1, 0L))) OVER (
+        |           PARTITION BY event_type ORDER BY k) AS s
+        |  FROM w)
+        |SELECT event_type, day, n,
+        |       s * POWER(0.5D, k) AS ewma
+        |FROM acc ORDER BY event_type, day""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata events. */
+  def evEwma(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evEwma(s.table("__events"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_ewma" -> ((s: SparkSession, dir: String) => evEwma(s, dir)),
     "ev_bots" -> ((s: SparkSession, dir: String) => evBots(s, dir)),
     "ev_abtest" -> ((s: SparkSession, dir: String) => evAbTest(s, dir)),
     "ev_cooccur" -> ((s: SparkSession, dir: String) => evCooccur(s, dir)),
@@ -933,6 +979,18 @@ object Sessionize {
       "* (1::DOUBLE / na + 1::DOUBLE / nb))")
 
   val oracleSql: Map[String, String] = Map(
+    "ev_ewma" ->
+      ("""WITH d AS (SELECT event_type, date_trunc('day', ts) AS day, """ +
+        """COUNT(*) AS n FROM events """ +
+        """GROUP BY event_type, date_trunc('day', ts)), """ +
+        """w AS (SELECT event_type, day, n, """ +
+        """ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) - 1 """ +
+        """AS k FROM d), """ +
+        """acc AS (SELECT event_type, day, n, k, """ +
+        """SUM(n * POWER(2.0, GREATEST(k - 1, 0))) OVER ( """ +
+        """PARTITION BY event_type ORDER BY k) AS s FROM w) """ +
+        """SELECT event_type, day, n, s * POWER(0.5, k) AS ewma """ +
+        """FROM acc ORDER BY event_type, day"""),
     "ev_bots" ->
       ("""WITH ranked AS (SELECT user_id, event_id, ts, """ +
         """ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) """ +

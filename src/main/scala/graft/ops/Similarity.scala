@@ -726,7 +726,78 @@ object Similarity {
     ssKnnGraph(s.table("__emb_knn_src"), k = 5)
   }
 
+  /** Late-interaction (ColBERT-style) MaxSim retrieval: each 64-dim
+    * vector is treated as FOUR 16-dim token sub-vectors, and the score of
+    * candidate c for query q is Σ_i max_j cos(q_i, c_j) — every query
+    * token matches its best candidate token, the multi-vector relevance
+    * model that beats single-vector cosine when documents are long and
+    * queries touch only part of them. The testdata table is
+    * single-vector, so the fixed 4-way split IS the multi-vector shape
+    * (a real corpus would store the token matrix directly; the operator
+    * only needs the subs array).
+    *
+    * Engine-exactness: each of the 16 sub-cosines is a graft_dot
+    * array-order fold rounded to 6; max is order-free; the 4-term sum is
+    * written as ONE fixed left-to-right expression tree in both engines
+    * (never a list_sum whose iteration order is an implementation
+    * detail), rounded to 6.
+    *
+    * Scale design: |Q|·N score pairs like ss_cosine_topk (the small
+    * query-set contract), each scoring 16 codegen'd 16-dim dots — the
+    * same FLOP count as a single 256-dim dot; the per-query top-10 is
+    * the WindowGroupLimit rank family. At corpus scale the candidate set
+    * comes from the IVF/LSH generators and MaxSim re-ranks only their
+    * survivors — exactly how late-interaction systems deploy.
+    */
+  def ssMaxSim(emb: DataFrame, queryPred: String = "vec_id < 5",
+      topK: Int = 10): DataFrame = {
+    val s = emb.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    emb.createOrReplaceTempView("__emb_ms")
+    // per-(i, j) sub-cosine expressions, fixed order
+    def sub(side: String, i: Int) = s"element_at($side.subs, ${i + 1})"
+    def nrm(side: String, i: Int) = s"element_at($side.nrms, ${i + 1})"
+    val maxTerms = (0 to 3).map { i =>
+      "GREATEST(" + (0 to 3).map { j =>
+        s"ROUND(graft_dot(${sub("q", i)}, ${sub("c", j)})" +
+          s" / (${nrm("q", i)} * ${nrm("c", j)}), 6)"
+      }.mkString(", ") + ")"
+    }
+    val sumExpr = maxTerms.mkString(" + ") // fixed left-to-right tree
+    s.sql(
+      s"""WITH base AS (
+         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM __emb_ms),
+         |sub AS (
+         |  SELECT vec_id,
+         |         array(slice(v, 1, 16), slice(v, 17, 16),
+         |               slice(v, 33, 16), slice(v, 49, 16)) AS subs
+         |  FROM base),
+         |n AS (
+         |  SELECT vec_id, subs,
+         |         transform(subs, t -> sqrt(graft_dot(t, t))) AS nrms
+         |  FROM sub),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |         ROUND($sumExpr, 6) AS maxsim
+         |  FROM (SELECT * FROM n WHERE $queryPred) q
+         |  JOIN n c ON c.vec_id <> q.vec_id)
+         |SELECT query_id, cand_id, maxsim, rn FROM (
+         |  SELECT query_id, cand_id, maxsim,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |           ORDER BY maxsim DESC, cand_id) AS BIGINT) AS rn
+         |  FROM scored)
+         |WHERE rn <= $topK ORDER BY query_id, rn""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata embeddings. */
+  def ssMaxSim(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "embeddings").createOrReplaceTempView("__emb_ms_src")
+    ssMaxSim(s.table("__emb_ms_src"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ss_maxsim" -> ((s: SparkSession, dir: String) => ssMaxSim(s, dir)),
     "ss_knn_graph" -> ((s: SparkSession, dir: String) => ssKnnGraph(s, dir)),
     "ss_cosine_topk" -> (ssCosineTopk _),
     "ss_range" -> ((s: SparkSession, dir: String) => ssRangeSearch(s, dir)),
@@ -760,7 +831,40 @@ object Similarity {
        |    SELECT cid, list(mx ORDER BY i) AS cv FROM m$k GROUP BY cid))""".stripMargin
   }.mkString(",\n")
 
+  /** DuckDB mirror of the MaxSim score: the same fixed 4×4 sub-cosine
+    * grid, max per query token, one left-to-right 4-term sum — built by
+    * the same loop so the expression trees cannot drift apart.
+    */
+  private def maxSimDuck: String = {
+    def dot(a: String, b: String) =
+      s"list_sum([$a[i] * $b[i] FOR i IN generate_series(1, 16)])"
+    val maxTerms = (0 to 3).map { i =>
+      "GREATEST(" + (0 to 3).map { j =>
+        s"ROUND(${dot(s"q.subs[${i + 1}]", s"c.subs[${j + 1}]")}" +
+          s" / (q.nrms[${i + 1}] * c.nrms[${j + 1}]), 6)"
+      }.mkString(", ") + ")"
+    }
+    val sumExpr = maxTerms.mkString(" + ")
+    ("WITH base AS (SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v " +
+      "FROM embeddings), " +
+      "sub AS (SELECT vec_id, " +
+      "[v[1:16], v[17:32], v[33:48], v[49:64]] AS subs FROM base), " +
+      "n AS (SELECT vec_id, subs, " +
+      "[sqrt(list_sum([x * x FOR x IN t])) FOR t IN subs] AS nrms " +
+      "FROM sub), " +
+      "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, " +
+      s"ROUND($sumExpr, 6) AS maxsim " +
+      "FROM (SELECT * FROM n WHERE vec_id < 5) q " +
+      "JOIN n c ON c.vec_id <> q.vec_id) " +
+      "SELECT query_id, cand_id, maxsim, rn FROM ( " +
+      "SELECT query_id, cand_id, maxsim, " +
+      "ROW_NUMBER() OVER (PARTITION BY query_id " +
+      "ORDER BY maxsim DESC, cand_id) AS rn FROM scored) " +
+      "WHERE rn <= 10 ORDER BY query_id, rn")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "ss_maxsim" -> maxSimDuck,
     "ss_knn_graph" ->
       """WITH base AS (
         |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),

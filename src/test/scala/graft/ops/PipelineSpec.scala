@@ -1720,6 +1720,34 @@ class PipelineSpec extends AnyFunSuite {
       orc.find(_.getLong(0) == u).get.getLong(1) >= 10))
   }
 
+  test("evEwma(events): dyadic closed form equals the sequential recurrence EXACTLY") {
+    import spark.implicits._
+    def t(d: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-06-$d%02d $h%02d:00:00")
+    // type A daily counts 4, 2, 8 -> ewma 4, 3, 5.5; type B: 1, 5 -> 1, 3
+    val evs = (Seq.fill(4)(1) ++ Seq.fill(2)(2) ++ Seq.fill(8)(3)).zipWithIndex
+      .map { case (d, i) => (i.toLong, t(d, i % 8), 1L, "A", 0.0) } ++
+      (Seq.fill(1)(1) ++ Seq.fill(5)(2)).zipWithIndex
+        .map { case (d, i) => (100L + i, t(d, i % 8), 2L, "B", 0.0) }
+    val events = evs.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Sessionize.evEwma(events).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3))).toSeq
+    // EXACT equality — alpha = 1/2 makes every value a dyadic rational
+    assert(got == Seq(("A", 4L, 4.0), ("A", 2L, 3.0), ("A", 8L, 5.5),
+      ("B", 1L, 1.0), ("B", 5L, 3.0)))
+    // replay the recurrence over the oracle-form output: closed form ==
+    // sequential fold bit-for-bit on real data too
+    val orc = Sessionize.evEwma(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    orc.groupBy(_._1).foreach { case (_, rows) =>
+      var e = rows.head._2.toDouble
+      rows.zipWithIndex.foreach { case ((_, n, ewma), i) =>
+        if (i > 0) e = 0.5 * n + 0.5 * e
+        assert(ewma == e, s"closed form diverged at row $i")
+      }
+    }
+    assert(orc.nonEmpty)
+  }
+
   test("taZipf(docs): rank/tf table matches the brute count, rel is rank*tf/tf1") {
     import spark.implicits._
     val docs = Seq((1L, "a a a b b c"), (2L, "a a b d")).toDF("doc_id", "text")

@@ -302,6 +302,44 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivfpq >= 0.6, s"IVF-PQ recall $ivfpq < 0.6")
   }
 
+  test("MaxSim: 4x4 sub-cosine grid matches the brute fold; beats pooled cosine on partial match") {
+    val rng = new Random(11)
+    // candidate 1 shares ONE 16-dim block with the query exactly and is
+    // noise elsewhere; candidate 2 is a faint full-vector echo. MaxSim
+    // must rank the partial-but-exact match ABOVE the diluted echo even
+    // when single-vector cosine prefers the echo.
+    val q = unit(rng, 64)
+    val c1 = unit(rng, 64); Array.copy(q, 16, c1, 16, 16)
+    val c2 = q.zip(unit(rng, 64)).map { case (a, b) => 0.25 * a + b * 0.97 }
+    val strays = (3L until 20L).map(i => (i, unit(rng, 64)))
+    val rows = Seq((0L, q), (1L, c1), (2L, c2)) ++ strays
+    val got = Similarity.ssMaxSim(toEmb(rows), "vec_id = 0", topK = 19)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // brute fold on the float-truncated vectors, same rounding discipline
+    val vs = rows.map { case (id, v) => id -> v.map(_.toFloat.toDouble) }.toMap
+    def maxsim(a: Long, b: Long): Double = {
+      val (x, y) = (vs(a), vs(b))
+      def slice(v: Array[Double], i: Int) = v.slice(16 * i, 16 * i + 16)
+      def nrm(v: Array[Double]) = math.sqrt(v.map(p => p * p).sum)
+      val terms = (0 to 3).map { i =>
+        (0 to 3).map { j =>
+          val (xi, yj) = (slice(x, i), slice(y, j))
+          BigDecimal(xi.zip(yj).map(t => t._1 * t._2).sum / (nrm(xi) * nrm(yj)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }.max
+      }
+      BigDecimal(terms(0) + terms(1) + terms(2) + terms(3))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    got.foreach { case (cand, score, _) =>
+      assert(score == maxsim(0L, cand), s"cand $cand")
+    }
+    // the exact-block match c1 carries a full 1.0 term, so it must rank
+    // in the top 2 even though 3/4 of its vector is noise
+    assert(got.take(2).map(_._1).contains(1L))
+    assert(got.forall(_._2 <= 4.000001))
+  }
+
   test("mutual kNN graph: edges == the brute mutual-top-k relation, ranks honest") {
     val rng = new Random(7)
     // two tight clusters of 6 + 4 isotropic strays: mutual edges should
