@@ -191,13 +191,86 @@ object Multimodal {
         |ORDER BY media_a, media_b""".stripMargin)
   }
 
+  /** WebDataset-style shard manifest: assign every media record to a
+    * byte-budgeted shard and an offset inside it — the layout step that
+    * turns a curated media table into the sequential-read tar shards a
+    * training loader streams. Records are permuted by md5 digest first
+    * (the ds_shuffle reproducible-permutation discipline — shards must
+    * mix sources, not preserve ingest order), split across `groups`
+    * independent writer groups (no global sequence: each group packs in
+    * parallel, the ds_pack md5-sharding discipline), and packed
+    * sequentially within the group: shard = floor(cumulative-bytes-before
+    * / budget), offset = bytes before the member since its shard began.
+    * Members straddle budget boundaries rather than triggering a
+    * stateful close-on-overflow — the window-expressible rule whose
+    * shard sizes stay within one member of the budget.
+    *
+    * Scale design: three windows, ALL partitioned by writer group (and
+    * shard for the MIN) — never a global window; integer-exact
+    * throughout. Group count scales with writer parallelism, budget with
+    * shard-file size (both surfaced parameters).
+    */
+  def mmShard(media: DataFrame, groups: Int = 8,
+      budgetBytes: Long = 4096L): DataFrame = {
+    val s = media.sparkSession
+    media.createOrReplaceTempView("__mm_shard_src")
+    s.sql(
+      s"""WITH sized AS (
+         |  SELECT media_id, CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+         |         md5(CAST(media_id AS STRING)) AS digest,
+         |         CAST((instr('0123456789abcdef',
+         |                     substring(md5(CAST(media_id AS STRING)), 1, 1))
+         |               - 1) % $groups AS BIGINT) AS grp
+         |  FROM __mm_shard_src),
+         |cum AS (
+         |  SELECT media_id, n_bytes, grp,
+         |         COALESCE(SUM(n_bytes) OVER (PARTITION BY grp
+         |           ORDER BY digest, media_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L)
+         |           AS cum_before
+         |  FROM sized),
+         |sh AS (
+         |  SELECT media_id, n_bytes, grp, cum_before,
+         |         cum_before div ${budgetBytes}L AS shard_local
+         |  FROM cum)
+         |SELECT media_id,
+         |       grp * 1000000 + shard_local AS shard_id,
+         |       cum_before - MIN(cum_before) OVER (
+         |         PARTITION BY grp, shard_local) AS offset_bytes,
+         |       n_bytes
+         |FROM sh ORDER BY media_id""".stripMargin)
+  }
+
+  /** The oracle-checked form over the synthesized media table. */
+  def mmShard(s: SparkSession, dir: String): DataFrame =
+    mmShard(mediaFromDocs(s, dir).toDF())
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_shard" -> ((s: SparkSession, dir: String) => mmShard(s, dir)),
     "mm_decode" -> (mmDecode _),
     "mm_frames" -> (mmFrames _),
     "mm_resize" -> (mmResize _),
     "mm_phash_pairs" -> (mmPhashPairs _))
 
   val oracleSql: Map[String, String] = Map(
+    "mm_shard" ->
+      ("""WITH sized AS (SELECT doc_id AS media_id, """ +
+        """octet_length(encode(text))::BIGINT AS n_bytes, """ +
+        """md5(doc_id::VARCHAR) AS digest, """ +
+        """((strpos('0123456789abcdef', """ +
+        """substr(md5(doc_id::VARCHAR), 1, 1)) - 1) % 8)::BIGINT AS grp """ +
+        """FROM documents), """ +
+        """cum AS (SELECT media_id, n_bytes, grp, """ +
+        """COALESCE(SUM(n_bytes) OVER (PARTITION BY grp """ +
+        """ORDER BY digest, media_id """ +
+        """ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT """ +
+        """AS cum_before FROM sized), """ +
+        """sh AS (SELECT media_id, n_bytes, grp, cum_before, """ +
+        """cum_before // 4096 AS shard_local FROM cum) """ +
+        """SELECT media_id, grp * 1000000 + shard_local AS shard_id, """ +
+        """cum_before - MIN(cum_before) OVER ( """ +
+        """PARTITION BY grp, shard_local) AS offset_bytes, n_bytes """ +
+        """FROM sh ORDER BY media_id"""),
     "mm_decode" ->
       """SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

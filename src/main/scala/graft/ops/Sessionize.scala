@@ -953,7 +953,40 @@ object Sessionize {
     evEwma(s.table("__events"))
   }
 
+  /** Day-of-week seasonality profile per event type: volume count and
+    * within-type share for each ISO weekday (1 = Monday … 7 = Sunday) —
+    * the baseline that separates "weekend dip" from a real ev_spike /
+    * ev_ewma anomaly. ISO numbering on BOTH engines (Spark weekday()+1 ≡
+    * DuckDB isodow — their default dayofweek() disagree on where Sunday
+    * lives, a real cross-engine trap). Share is ONE double division of
+    * two exact counts, rounded to 6 (the ta_tfidf discipline).
+    *
+    * Scale design: one (type, dow) partial+final count — output is
+    * 7×types-bounded at any event volume; the per-type total reuses the
+    * counted relation via a window over ≤ 7 rows per type.
+    */
+  def evDow(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__dow_events")
+    s.sql(
+      """WITH d AS (
+        |  SELECT event_type, CAST(weekday(ts) + 1 AS BIGINT) AS dow,
+        |         COUNT(*) AS n
+        |  FROM __dow_events GROUP BY event_type, weekday(ts) + 1)
+        |SELECT event_type, dow, n,
+        |       ROUND(CAST(n AS DOUBLE)
+        |             / SUM(n) OVER (PARTITION BY event_type), 6) AS share
+        |FROM d ORDER BY event_type, dow""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata events. */
+  def evDow(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evDow(s.table("__events"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_dow" -> ((s: SparkSession, dir: String) => evDow(s, dir)),
     "ev_ewma" -> ((s: SparkSession, dir: String) => evEwma(s, dir)),
     "ev_bots" -> ((s: SparkSession, dir: String) => evBots(s, dir)),
     "ev_abtest" -> ((s: SparkSession, dir: String) => evAbTest(s, dir)),
@@ -979,6 +1012,12 @@ object Sessionize {
       "* (1::DOUBLE / na + 1::DOUBLE / nb))")
 
   val oracleSql: Map[String, String] = Map(
+    "ev_dow" ->
+      ("""WITH d AS (SELECT event_type, isodow(ts)::BIGINT AS dow, """ +
+        """COUNT(*) AS n FROM events GROUP BY event_type, isodow(ts)) """ +
+        """SELECT event_type, dow, n, """ +
+        """ROUND(n::DOUBLE / SUM(n) OVER (PARTITION BY event_type), 6) """ +
+        """AS share FROM d ORDER BY event_type, dow"""),
     "ev_ewma" ->
       ("""WITH d AS (SELECT event_type, date_trunc('day', ts) AS day, """ +
         """COUNT(*) AS n FROM events """ +

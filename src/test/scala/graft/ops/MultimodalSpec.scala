@@ -57,4 +57,40 @@ class MultimodalSpec extends AnyFunSuite {
     } yield (a, b, d.toLong)).sortBy(p => (p._1, p._2))
     assert(pairs.toSeq == brute.toSeq)
   }
+
+  test("mmShard: members tile each shard contiguously, shards respect the budget rule") {
+    import spark.implicits._
+    val media = (0L until 200L)
+      .map(i => (i, "x" * (50 + (i % 37)).toInt))
+      .toDF("media_id", "payload_str")
+      .selectExpr("media_id", "encode(payload_str, 'UTF-8') AS payload")
+    val budget = 512L
+    val got = Multimodal.mmShard(media, groups = 4, budgetBytes = budget)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 200)
+    // within every shard, member byte ranges [offset, offset+n) tile
+    // [0, shard_bytes) with no gaps and no overlaps
+    got.groupBy(_._2).foreach { case (shard, ms) =>
+      val ranges = ms.map(m => (m._3, m._3 + m._4)).sortBy(_._1)
+      assert(ranges.head._1 == 0L, s"shard $shard does not start at 0")
+      ranges.sliding(2).foreach {
+        case Array((_, e1), (s2, _)) =>
+          assert(e1 == s2, s"gap/overlap in shard $shard at byte $e1")
+        case _ =>
+      }
+      // budget rule: every member except possibly the last STARTS below
+      // the budget (members may straddle; a shard never starts past it)
+      assert(ranges.dropRight(1).forall(_._1 < budget),
+        s"shard $shard has a member starting past the budget")
+    }
+    // the permutation mixed ids: consecutive media_ids do not all land
+    // in the same shard (md5 order, not ingest order)
+    val byId = got.sortBy(_._1).map(_._2)
+    assert(byId.sliding(2).count { case Array(a, b) => a != b; case _ => false } > 50)
+    // deterministic across runs
+    val again = Multimodal.mmShard(media, groups = 4, budgetBytes = budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == again.toSeq)
+  }
 }

@@ -1748,6 +1748,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(orc.nonEmpty)
   }
 
+  test("evDow(events): ISO weekday counts and shares on pinned dates") {
+    import spark.implicits._
+    // 2024-06-03 was a Monday; 2024-06-09 a Sunday
+    def t(d: Int) = java.sql.Timestamp.valueOf(f"2024-06-$d%02d 10:00:00")
+    val evs = Seq((1L, t(3), 1L, "A", 0.0), (2L, t(3), 2L, "A", 0.0),
+      (3L, t(9), 3L, "A", 0.0), (4L, t(4), 1L, "B", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Sessionize.evDow(evs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(("A", 1L, 2L, 0.666667), ("A", 7L, 1L, 0.333333),
+      ("B", 2L, 1L, 1.0)))
+    // oracle form: shares close to 1 per type, dow always in 1..7
+    val orc = Sessionize.evDow(spark, sf).collect()
+    assert(orc.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= 7))
+    orc.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+    }
+  }
+
   test("taZipf(docs): rank/tf table matches the brute count, rel is rank*tf/tf1") {
     import spark.implicits._
     val docs = Seq((1L, "a a a b b c"), (2L, "a a b d")).toDF("doc_id", "text")

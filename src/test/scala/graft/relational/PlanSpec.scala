@@ -372,6 +372,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian in cooccur:\n$plan")
   }
 
+  test("ta_zipf: ONE token aggregate, top-20 via TakeOrdered — never a vocabulary sort") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text")
+    val plan = formatted(graft.ops.TextAnalysis.taZipf(docs))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 lost its TakeOrdered shape:\n$plan")
+    // the corpus-sized aggregation must appear ONCE: the first cut's
+    // scalar MAX(tf) subquery inlined the CTE and ran it twice (6x the
+    // query at 500k docs, addendum15)
+    val aggs = "HashAggregate".r.findAllIn(plan).size
+    assert(aggs <= 4, s"token aggregate duplicated ($aggs HashAggregates):\n$plan")
+  }
+
+  test("ev_bots: one LAG window + one user aggregate on the same key") {
+    val events = graft.Tables.load(spark, sf, "events")
+    val plan = formatted(graft.ops.Sessionize.evBots(events))
+    assert("Window".r.findAllIn(plan).size == 1,
+      s"expected exactly one window:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in ev_bots:\n$plan")
+  }
+
+  test("ev_ewma: windows run on the days-x-types relation, after the count aggregate") {
+    val events = graft.Tables.load(spark, sf, "events")
+    val plan = formatted(graft.ops.Sessionize.evEwma(events))
+    // the (type, day) count must be a partial+final aggregate (map-side
+    // combine over the corpus); both windows rank its tiny output
+    assert(plan.contains("HashAggregate"), s"no aggregate:\n$plan")
+    assert("Window".r.findAllIn(plan).size <= 2,
+      s"window count grew:\n$plan")
+  }
+
   test("ds_pipeline: one corpus exchange (the md5 window); the rate map joins broadcast") {
     val plan = formatted(graft.ops.Pipeline.dsPipeline(spark, sf))
     val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
