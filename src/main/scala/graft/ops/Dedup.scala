@@ -918,7 +918,76 @@ object Dedup {
     ddBloomDedup(corpus, ref, fpp = 0.01)
   }
 
+  /** Fuzzy cross-corpus near-dup — the LSH sibling of [[ddCrossDedup]]
+    * (exact text) and `ddDecontam` (exact n-grams): flag every corpus
+    * document whose 3-shingle Jaccard with ANY reference document clears
+    * 1/2, catching the paraphrased/lightly-edited benchmark leakage that
+    * exact matching misses. Per corpus document: the number of verified
+    * reference matches and the smallest matching reference id (−1 when
+    * clean).
+    *
+    * Scale design: both sides go through the shared minhash pipeline
+    * (ONE persisted distinct-shingle relation each, 8 parallel MIN
+    * signatures in one groupBy); candidates are the CROSS bucket join on
+    * (band, bandhash) — corpus×ref pairs never materialize beyond bucket
+    * collisions — and only candidates pay the exact 8-byte-key
+    * intersection join (the [[ddMinhashLshOn]] verification discipline,
+    * same 2^-54-per-doc collision caveat vs the string-keyed oracle).
+    * The rollup is a corpus-keyed LEFT join, output corpus-cardinality.
+    */
+  def ddCrossFuzzy(corpus: DataFrame, ref: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (tokC, _, bandC) = minhashRelationsOn(
+      corpus.selectExpr("doc_id", "split(text, ' ') AS toks"))
+    val (tokR, _, bandR) = minhashRelationsOn(
+      ref.selectExpr("doc_id", "split(text, ' ') AS toks"))
+    val cand = bandC.select(col("doc_id").as("doc_c"), col("band"), col("bh"))
+      .join(bandR.select(col("doc_id").as("doc_r"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .select("doc_c", "doc_r").distinct()
+    val tokhC = tokC.select(col("doc_id").as("doc_c"),
+      xxhash64(col("tok")).as("tk"))
+    val tokhR = tokR.select(col("doc_id").as("doc_r"),
+      xxhash64(col("tok")).as("tk"))
+    val cntC = tokhC.groupBy("doc_c").agg(count(lit(1)).as("nc"))
+    val cntR = tokhR.groupBy("doc_r").agg(count(lit(1)).as("nr"))
+    val inter = cand
+      .join(tokhC, Seq("doc_c")).join(tokhR, Seq("doc_r", "tk"))
+      .groupBy("doc_c", "doc_r").agg(count(lit(1)).as("inter"))
+    val verified = inter.join(cntC, "doc_c").join(cntR, "doc_r")
+      .filter(lit(3) * col("inter") >= col("nc") + col("nr"))
+    val rollup = verified.groupBy("doc_c").agg(
+      count(lit(1)).as("n_matches"), min("doc_r").as("best_ref"))
+    corpus.select("doc_id").distinct()
+      .join(rollup.withColumnRenamed("doc_c", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("best_ref"), lit(-1L)).as("best_ref"))
+      .orderBy("doc_id")
+  }
+
+  /** The oracle-checked form: corpus = odd docs with every doc_id%10=5
+    * text replaced by its even neighbour's text plus three appended
+    * tokens — a NEAR duplicate (shingle Jaccard (n−2)/(n+1), above the
+    * 1/2 bar but below 1, exactly what ddCrossDedup's exact-hash check
+    * cannot see); reference = even docs. Delegates to the production
+    * entry.
+    */
+  def ddCrossFuzzy(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    val corpus = s.sql(
+      """SELECT a.doc_id,
+        |       CASE WHEN a.doc_id % 10 = 5
+        |            THEN concat(b.text, ' zz qq ww')
+        |            ELSE a.text END AS text
+        |FROM __docs a LEFT JOIN __docs b ON b.doc_id = a.doc_id - 1
+        |WHERE a.doc_id % 2 = 1""".stripMargin)
+    val ref = s.sql("SELECT doc_id, text FROM __docs WHERE doc_id % 2 = 0")
+    ddCrossFuzzy(corpus, ref)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_crossfuzzy" -> ((s: SparkSession, dir: String) => ddCrossFuzzy(s, dir)),
     "dd_bloom" -> ((s: SparkSession, dir: String) => ddBloomDedup(s, dir)),
     "dd_crossdedup" -> ((s: SparkSession, dir: String) => ddCrossDedup(s, dir)),
     "dd_semdedup" -> ((s: SparkSession, dir: String) => ddSemDedup(s, dir)),
@@ -935,6 +1004,79 @@ object Dedup {
     "dd_embed_cos" -> (ddEmbedCos _))
 
   val oracleSql: Map[String, String] = Map(
+    "dd_crossfuzzy" ->
+      """WITH corpus AS (
+        |  SELECT a.doc_id,
+        |         CASE WHEN a.doc_id % 10 = 5
+        |              THEN b.text || ' zz qq ww'
+        |              ELSE a.text END AS text
+        |  FROM documents a LEFT JOIN documents b ON b.doc_id = a.doc_id - 1
+        |  WHERE a.doc_id % 2 = 1),
+        |ref AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        |tc AS (
+        |  SELECT DISTINCT doc_id, unnest(
+        |    CASE WHEN len(string_split(text, ' ')) >= 3
+        |         THEN [string_split(text, ' ')[i] || ' ' ||
+        |               string_split(text, ' ')[i + 1] || ' ' ||
+        |               string_split(text, ' ')[i + 2]
+        |               FOR i IN generate_series(1,
+        |                 len(string_split(text, ' ')) - 2)]
+        |         ELSE [] END) AS tok
+        |  FROM corpus),
+        |tr AS (
+        |  SELECT DISTINCT doc_id, unnest(
+        |    CASE WHEN len(string_split(text, ' ')) >= 3
+        |         THEN [string_split(text, ' ')[i] || ' ' ||
+        |               string_split(text, ' ')[i + 1] || ' ' ||
+        |               string_split(text, ' ')[i + 2]
+        |               FOR i IN generate_series(1,
+        |                 len(string_split(text, ' ')) - 2)]
+        |         ELSE [] END) AS tok
+        |  FROM ref),
+        |sc AS (
+        |  SELECT doc_id, g.i, MIN(md5(i::VARCHAR || ':' || tok)) AS h
+        |  FROM tc CROSS JOIN generate_series(0, 7) g(i)
+        |  GROUP BY doc_id, g.i),
+        |sr AS (
+        |  SELECT doc_id, g.i, MIN(md5(i::VARCHAR || ':' || tok)) AS h
+        |  FROM tr CROSS JOIN generate_series(0, 7) g(i)
+        |  GROUP BY doc_id, g.i),
+        |bc AS (
+        |  SELECT doc_id, i // 2 AS band,
+        |         md5(MIN(CASE WHEN i % 2 = 0 THEN h END) ||
+        |             MIN(CASE WHEN i % 2 = 1 THEN h END)) AS bh
+        |  FROM sc GROUP BY doc_id, i // 2),
+        |br AS (
+        |  SELECT doc_id, i // 2 AS band,
+        |         md5(MIN(CASE WHEN i % 2 = 0 THEN h END) ||
+        |             MIN(CASE WHEN i % 2 = 1 THEN h END)) AS bh
+        |  FROM sr GROUP BY doc_id, i // 2),
+        |cand AS (
+        |  SELECT DISTINCT c.doc_id AS doc_c, r.doc_id AS doc_r
+        |  FROM bc c JOIN br r ON c.band = r.band AND c.bh = r.bh),
+        |cc AS (SELECT doc_id, COUNT(*) AS n FROM tc GROUP BY doc_id),
+        |cr AS (SELECT doc_id, COUNT(*) AS n FROM tr GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.doc_c, c.doc_r, COUNT(*) AS inter
+        |  FROM cand c
+        |  JOIN tc ON tc.doc_id = c.doc_c
+        |  JOIN tr ON tr.doc_id = c.doc_r AND tr.tok = tc.tok
+        |  GROUP BY c.doc_c, c.doc_r),
+        |verified AS (
+        |  SELECT i.doc_c, i.doc_r
+        |  FROM inter i
+        |  JOIN cc ON cc.doc_id = i.doc_c
+        |  JOIN cr ON cr.doc_id = i.doc_r
+        |  WHERE 3 * i.inter >= cc.n + cr.n),
+        |rollup AS (
+        |  SELECT doc_c, COUNT(*) AS n_matches, MIN(doc_r) AS best_ref
+        |  FROM verified GROUP BY doc_c)
+        |SELECT c.doc_id,
+        |       COALESCE(r.n_matches, 0)::BIGINT AS n_matches,
+        |       COALESCE(r.best_ref, -1)::BIGINT AS best_ref
+        |FROM (SELECT DISTINCT doc_id FROM corpus) c
+        |LEFT JOIN rollup r ON r.doc_c = c.doc_id
+        |ORDER BY c.doc_id""".stripMargin.replaceAll("\n", " "),
     // the bloom is a pruning detail — the EXACT contract is the same
     // digest semi-join as dd_crossdedup, on the %10 planting
     "dd_bloom" ->

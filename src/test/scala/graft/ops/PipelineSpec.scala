@@ -1748,6 +1748,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(orc.nonEmpty)
   }
 
+  test("ddCrossFuzzy(corpus, ref): near-dups above the Jaccard bar flag, edits below pass") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val ref = Seq((100L, base),
+      (102L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, base + " tail1 tail2 tail3"), // J = 8/11 >= 1/2 -> match
+      (3L, "alpha beta gamma nope1 nope2 nope3 nope4 nope5 nope6 nope7"),
+      (5L, "unrelated words entirely different from every reference doc x"))
+      .toDF("doc_id", "text")
+    val got = Dedup.ddCrossFuzzy(corpus, ref).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc 1: one verified match (ref 100); doc 3 shares only ONE shingle
+    // of base (J = 1/17 < 1/2); doc 5 shares none
+    assert(got == Seq((1L, 1L, 100L), (3L, 0L, -1L), (5L, 0L, -1L)))
+    // oracle form: every planted %10=5 doc flags (the corpus ALSO holds
+    // natural near-dup twins across the odd/even split — the same ones
+    // dd_minhash_lsh finds — so planted is a subset of flagged, not all
+    // of it), best_ref is always an even (reference-side) id
+    val orc = Dedup.ddCrossFuzzy(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val flagged = orc.filter(_._2 > 0)
+    assert(flagged.nonEmpty)
+    val planted = orc.filter(r => r._1 % 10 == 5 && r._1 >= 5)
+    assert(planted.forall(_._2 >= 1), "a planted near-dup went undetected")
+    assert(flagged.forall { case (_, _, ref0) => ref0 % 2 == 0 })
+  }
+
   test("evDow(events): ISO weekday counts and shares on pinned dates") {
     import spark.implicits._
     // 2024-06-03 was a Monday; 2024-06-09 a Sunday
