@@ -94,4 +94,23 @@ class EmptyInputSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("empty"))
   }
+
+  test("eighth-to-tenth-batch entries honor the empty-input contract") {
+    val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Sessionize.evBots(emptyEvents).count() == 0)
+    assert(Sessionize.botsFromGaps(
+      Seq.empty[(Long, Long)].toDF("user_id", "gap")).count() == 0)
+    assert(Sessionize.evEwma(emptyEvents).count() == 0)
+    assert(Sessionize.evDow(emptyEvents).count() == 0)
+    assert(TextAnalysis.taZipf(emptyDocs).count() == 0)
+    assert(Similarity.ssKnnGraph(emptyEmb, 5).count() == 0)
+    assert(Similarity.ssMaxSim(emptyEmb).count() == 0)
+    assert(Multimodal.mmShard(
+      Seq.empty[(Long, Array[Byte])].toDF("media_id", "payload")).count() == 0)
+    assert(Dedup.ddCrossFuzzy(emptyDocs, emptyDocs).count() == 0)
+    // HITS degenerates to the empty relation (no driver-side action to
+    // trip on), matching the lazy-empty side of the contract
+    assert(graft.graph.Hits.run(spark,
+      Seq.empty[(Long, Long)].toDF("src", "dst"), 2).count() == 0)
+  }
 }
