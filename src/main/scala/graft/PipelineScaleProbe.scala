@@ -90,6 +90,10 @@ object PipelineScaleProbe {
     // `zipfleg <dir>` — re-time just ta_zipf against an existing corpus
     // (used to measure the single-agg-pass rewrite on the same data)
     if (args.headOption.contains("zipfleg")) { zipfLeg(args(1)); return }
+    // `addendum16 <existingDir>` — ninth/tenth-batch ops against the
+    // addendum15 corpus: cross-corpus LSH decontam at 250k×250k docs,
+    // shard manifest at 500k media, ewma/dow at 10M events
+    if (args.headOption.contains("addendum16")) { addendum16(args(1)); return }
     // `addendum13 <nDocs> <nEvents> <nVec> <outBase>` — gaps/gini at
     // event scale, epochs/ngram at corpus scale, range at vector scale
     if (args.headOption.contains("addendum13")) {
@@ -1239,6 +1243,117 @@ object PipelineScaleProbe {
     println(f"PSCALE q=dd_crossdedup(same corpus) t=$joinWall%.1f s " +
       "(answers identical)")
     println("PSCALE addendum14 done")
+    spark.stop()
+  }
+
+  /** Ninth/tenth-batch scale legs against an already-generated addendum15
+    * corpus dir: the cross-corpus LSH near-dup at 250k corpus × 250k
+    * reference docs (the decontamination shape: candidates must stay
+    * bucket-bounded across the two sides), the shard manifest at 500k
+    * media records (tiling invariant in SQL), and the two events-table
+    * profiles at 10M events (outputs days×types / 7×types bounded; the
+    * EWMA closed form replayed against the sequential recurrence on the
+    * driver — it must be EXACT, not close).
+    */
+  private def addendum16(dir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // dd_crossfuzzy: odd docs (with the %10=5 near-dup planting) vs even
+    // refs — 250k × 250k at nDocs=500k
+    graft.Tables.load(spark, dir, "documents")
+      .createOrReplaceTempView("__docs16")
+    val corpus = spark.sql(
+      """SELECT a.doc_id,
+        |       CASE WHEN a.doc_id % 10 = 5
+        |            THEN concat(b.text, ' zz qq ww')
+        |            ELSE a.text END AS text
+        |FROM __docs16 a LEFT JOIN __docs16 b ON b.doc_id = a.doc_id - 1
+        |WHERE a.doc_id % 2 = 1""".stripMargin)
+    val ref = spark.sql(
+      "SELECT doc_id, text FROM __docs16 WHERE doc_id % 2 = 0")
+    val t0 = System.nanoTime()
+    val cf = ops.Dedup.ddCrossFuzzy(corpus, ref)
+      .localCheckpoint(eager = true)
+    val nC = cf.count()
+    val cfWall = (System.nanoTime() - t0) / 1e9
+    val flagged = cf.filter("n_matches > 0")
+    val nFlagged = flagged.count()
+    val planted = cf.filter("doc_id % 10 = 5 AND doc_id >= 5").count()
+    val plantedHit = cf.filter(
+      "doc_id % 10 = 5 AND doc_id >= 5 AND n_matches > 0").count()
+    // LSH is probabilistic: a 20-token doc's 4-band signature misses its
+    // near-dup with p ≈ 0.3^4 ≈ 0.6 % — at 50k plants a handful of
+    // misses IS the honest contract (first run: 4 of 50,000, recall
+    // 0.99992). Lock recall, not perfection.
+    require(plantedHit * 1000 >= planted * 999,
+      s"planted recall collapsed: $plantedHit of $planted")
+    val badRef = flagged.filter("best_ref % 2 <> 0").count()
+    require(badRef == 0, s"$badRef flags point at a non-reference doc")
+    println(f"PSCALE q=dd_crossfuzzy t=$cfWall%.1f s corpus=$nC " +
+      s"flagged=$nFlagged planted=$planted hit=$plantedHit " +
+      "(refs all even)")
+
+    // mm_shard at 500k media: tiling invariant in SQL — every shard
+    // starts at 0 and its member sizes sum exactly to its byte span
+    val media = spark.sql(
+      "SELECT doc_id AS media_id, encode(text, 'UTF-8') AS payload " +
+        "FROM __docs16")
+    val t1 = System.nanoTime()
+    val manifest = ops.Multimodal.mmShard(media, groups = 32,
+      budgetBytes = 1L << 20)
+      .localCheckpoint(eager = true)
+    val nM = manifest.count()
+    val shWall = (System.nanoTime() - t1) / 1e9
+    manifest.createOrReplaceTempView("__manifest16")
+    val tile = spark.sql(
+      """SELECT COUNT(*) AS bad FROM (
+        |  SELECT shard_id,
+        |         MIN(offset_bytes) AS mn,
+        |         MAX(offset_bytes + n_bytes) AS mxe,
+        |         SUM(n_bytes) AS total
+        |  FROM __manifest16 GROUP BY shard_id)
+        |WHERE mn <> 0 OR mxe <> total""".stripMargin).head().getLong(0)
+    require(tile == 0, s"$tile shards break the tiling invariant")
+    val nShards = spark.sql(
+      "SELECT COUNT(DISTINCT shard_id) FROM __manifest16").head().getLong(0)
+    println(f"PSCALE q=mm_shard t=$shWall%.1f s members=$nM " +
+      s"shards=$nShards tiling exact (32 writer groups, 1 MiB budget)")
+
+    // ev_ewma at 10M events: output days×types; the closed form must
+    // equal the sequential recurrence EXACTLY on the collected rows
+    val t2 = System.nanoTime()
+    val ew = ops.Sessionize.evEwma(spark, dir).collect()
+    val ewWall = (System.nanoTime() - t2) / 1e9
+    ew.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      var e = rows.head.getLong(2).toDouble
+      rows.zipWithIndex.foreach { case (r, i) =>
+        if (i > 0) e = 0.5 * r.getLong(2) + 0.5 * e
+        require(r.getDouble(3) == e,
+          s"closed form diverged from the recurrence at row $i")
+      }
+    }
+    println(f"PSCALE q=ev_ewma t=$ewWall%.1f s rows=${ew.length} " +
+      "closed form == recurrence bit-for-bit")
+
+    // ev_dow at 10M events: 7×types rows, shares close to 1 per type
+    val t3 = System.nanoTime()
+    val dw = ops.Sessionize.evDow(spark, dir).collect()
+    val dwWall = (System.nanoTime() - t3) / 1e9
+    require(dw.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= 7),
+      "dow out of ISO range")
+    dw.groupBy(_.getString(0)).foreach { case (t, rows) =>
+      require(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-4,
+        s"shares for $t do not close")
+    }
+    println(f"PSCALE q=ev_dow t=$dwWall%.1f s rows=${dw.length}")
+
+    println("PSCALE addendum16 done")
     spark.stop()
   }
 

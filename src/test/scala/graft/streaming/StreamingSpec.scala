@@ -739,6 +739,83 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
   }
 
+  private def runEwmaBatches(
+      entry: org.apache.spark.sql.Dataset[EwmaTracker.EEv] =>
+        org.apache.spark.sql.Dataset[EwmaTracker.EwmaRow],
+      name: String, batches: Seq[Seq[Ev]], delay: String = "2 hours"
+  ): Seq[(String, Timestamp, Long, Double)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = entry(stream.toDF().withWatermark("ts", delay)
+        .select("ts", "event_type")
+        .as[EwmaTracker.EEv])
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    for (b <- batches) { stream.addData(b); q.processAllAvailable() }
+    val maxTs = batches.flatten.map(_.ts.getTime).max
+    stream.addData(Ev(-1L, new Timestamp(maxTs + 8L * 24 * 3600 * 1000), -1L, "zzz", 0.0))
+    q.processAllAvailable()
+    stream.addData(Ev(-2L, new Timestamp(maxTs + 9L * 24 * 3600 * 1000), -1L, "zzz", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).filter(col("event_type") =!= "zzz").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+  }
+
+  test("ewma: batch fold == the oracle-checked evEwma table EXACTLY") {
+    import spark.implicits._
+    val got = EwmaTracker.ewmaBatch(
+      eventsBatch.select("ts", "event_type").as[EwmaTracker.EEv])
+      .collect().map(r => (r.event_type, r.day, r.n, r.ewma))
+      .sortBy(x => (x._1, x._2.getTime))
+    val want = graft.ops.Sessionize.evEwma(spark, sf).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // dyadic alpha: the incremental multiply-add must equal the batch
+    // closed form bit-for-bit, including the doubles
+    assert(got.toSeq == want && got.nonEmpty)
+  }
+
+  test("ewma: streaming day rollover == batch on ordered input") {
+    import spark.implicits._
+    val data = eventsBatch.as[Ev].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val stream = runEwmaBatches(EwmaTracker.ewmaStream, "ewma_out",
+      Seq(data.toSeq), delay = "0 seconds")
+    val batch = EwmaTracker.ewmaBatch(
+      eventsBatch.select("ts", "event_type").as[EwmaTracker.EEv])
+      .collect().map(r => (r.event_type, r.day, r.n, r.ewma))
+    assert(stream.sortBy(x => (x._1, x._2.getTime)) ==
+      batch.toSeq.sortBy(x => (x._1, x._2.getTime)) && stream.nonEmpty)
+    val exact = runEwmaBatches(EwmaTracker.ewmaStreamExact, "ewma_out_ex",
+      Seq(data.toSeq), delay = "0 seconds")
+    assert(exact.sortBy(x => (x._1, x._2.getTime)) ==
+      batch.toSeq.sortBy(x => (x._1, x._2.getTime)))
+  }
+
+  test("ewma: late day dropped in O(1) after rollover, recovered buffered-exact") {
+    def t(s: String) = Timestamp.valueOf(s)
+    // trigger 1: days 10 and 12 (day 10 completes at the rollover);
+    // trigger 2 delivers a day-11 event late — O(1) cannot reopen the
+    // already-emitted sequence; buffered-exact refolds 10, 11, 12
+    val batches = Seq(
+      Seq(Ev(1L, t("2024-06-10 09:00:00"), 1L, "A", 0.0),
+        Ev(2L, t("2024-06-12 09:00:00"), 1L, "A", 0.0)),
+      Seq(Ev(3L, t("2024-06-11 09:00:00"), 1L, "A", 0.0)))
+    val approx = runEwmaBatches(EwmaTracker.ewmaStream, "ewma_div_a",
+      batches, delay = "3 days")
+    val exact = runEwmaBatches(EwmaTracker.ewmaStreamExact, "ewma_div_b",
+      batches, delay = "3 days")
+    def d(s: String) = Timestamp.valueOf(s)
+    // O(1): day 11 dropped -> 10 (ewma 1.0) then 12 (0.5+0.5 = 1.0)
+    assert(approx.sortBy(_._2.getTime) == Seq(
+      ("A", d("2024-06-10 00:00:00"), 1L, 1.0),
+      ("A", d("2024-06-12 00:00:00"), 1L, 1.0)))
+    // buffered-exact: 10 (1.0), 11 (1.0), 12 (1.0) — all three days
+    assert(exact.sortBy(_._2.getTime).map(_._2.getTime).length == 3)
+  }
+
   test("rate: batch gap rows aggregate to the evBots table hash-exactly") {
     import spark.implicits._
     val gapRows = RateTracker.rateBatch(
