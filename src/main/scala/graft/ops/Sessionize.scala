@@ -985,7 +985,66 @@ object Sessionize {
     evDow(s.table("__events"))
   }
 
+  /** Cohort lifetime-value curve: users cohorted by first-seen week,
+    * then per (cohort, age-in-weeks): active users, the week's exact
+    * revenue, the cohort's CUMULATIVE revenue, and cumulative revenue per
+    * cohort user (the LTV curve a growth dashboard plots; ev_retention
+    * answers "did they come back", this answers "what are they worth by
+    * week N"). Monday-start weeks in both engines (Spark
+    * date_trunc('WEEK') ≡ DuckDB date_trunc('week')).
+    *
+    * Engine-exactness: revenue sums run in DECIMAL(18,2) — the event
+    * `value` column is generated with 2 decimals, so the sums are exact
+    * integers in cents and the single ltv division rounds identically
+    * (the q38_regr sum-then-cast discipline); the cumulative window is a
+    * sum of exact decimals.
+    *
+    * Scale design: one user-keyed window (first-seen), one (cohort, age)
+    * partial+final aggregate, then a window over the weeks×weeks-bounded
+    * curve; the cohort-size relation is cohort-cardinality and joins
+    * broadcast.
+    */
+  def evLtv(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__ltv_events")
+    s.sql(
+      """WITH seen AS (
+        |  SELECT user_id, ts, value,
+        |         MIN(date_trunc('WEEK', ts)) OVER (PARTITION BY user_id)
+        |           AS cohort
+        |  FROM __ltv_events),
+        |sized AS (
+        |  SELECT cohort, COUNT(DISTINCT user_id) AS cohort_users
+        |  FROM seen GROUP BY cohort),
+        |wk AS (
+        |  SELECT cohort,
+        |         datediff(date_trunc('WEEK', ts), cohort) div 7 AS age_weeks,
+        |         COUNT(DISTINCT user_id) AS active_users,
+        |         SUM(CAST(value AS DECIMAL(18,2))) AS revenue
+        |  FROM seen GROUP BY cohort, datediff(date_trunc('WEEK', ts), cohort) div 7),
+        |cum AS (
+        |  SELECT cohort, age_weeks, active_users, revenue,
+        |         SUM(revenue) OVER (PARTITION BY cohort ORDER BY age_weeks)
+        |           AS cum_revenue
+        |  FROM wk)
+        |SELECT c.cohort, c.age_weeks, c.active_users,
+        |       CAST(c.revenue AS DOUBLE) AS revenue,
+        |       CAST(c.cum_revenue AS DOUBLE) AS cum_revenue,
+        |       s.cohort_users,
+        |       ROUND(CAST(c.cum_revenue AS DOUBLE) / s.cohort_users, 6)
+        |         AS ltv
+        |FROM cum c JOIN sized s ON s.cohort = c.cohort
+        |ORDER BY c.cohort, c.age_weeks""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata events. */
+  def evLtv(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evLtv(s.table("__events"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_ltv" -> ((s: SparkSession, dir: String) => evLtv(s, dir)),
     "ev_dow" -> ((s: SparkSession, dir: String) => evDow(s, dir)),
     "ev_ewma" -> ((s: SparkSession, dir: String) => evEwma(s, dir)),
     "ev_bots" -> ((s: SparkSession, dir: String) => evBots(s, dir)),
@@ -1012,6 +1071,27 @@ object Sessionize {
       "* (1::DOUBLE / na + 1::DOUBLE / nb))")
 
   val oracleSql: Map[String, String] = Map(
+    "ev_ltv" ->
+      ("""WITH seen AS (SELECT user_id, ts, value, """ +
+        """MIN(date_trunc('week', ts)) OVER (PARTITION BY user_id) """ +
+        """AS cohort FROM events), """ +
+        """sized AS (SELECT cohort, COUNT(DISTINCT user_id) AS """ +
+        """cohort_users FROM seen GROUP BY cohort), """ +
+        """wk AS (SELECT cohort, """ +
+        """date_diff('day', cohort, date_trunc('week', ts)) // 7 """ +
+        """AS age_weeks, COUNT(DISTINCT user_id) AS active_users, """ +
+        """SUM(value::DECIMAL(18,2)) AS revenue """ +
+        """FROM seen GROUP BY cohort, """ +
+        """date_diff('day', cohort, date_trunc('week', ts)) // 7), """ +
+        """cum AS (SELECT cohort, age_weeks, active_users, revenue, """ +
+        """SUM(revenue) OVER (PARTITION BY cohort ORDER BY age_weeks) """ +
+        """AS cum_revenue FROM wk) """ +
+        """SELECT c.cohort, c.age_weeks, c.active_users, """ +
+        """c.revenue::DOUBLE AS revenue, """ +
+        """c.cum_revenue::DOUBLE AS cum_revenue, s.cohort_users, """ +
+        """ROUND(c.cum_revenue::DOUBLE / s.cohort_users, 6) AS ltv """ +
+        """FROM cum c JOIN sized s ON s.cohort = c.cohort """ +
+        """ORDER BY c.cohort, c.age_weeks"""),
     "ev_dow" ->
       ("""WITH d AS (SELECT event_type, isodow(ts)::BIGINT AS dow, """ +
         """COUNT(*) AS n FROM events GROUP BY event_type, isodow(ts)) """ +

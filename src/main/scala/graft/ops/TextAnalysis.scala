@@ -668,7 +668,57 @@ object TextAnalysis {
   def taZipf(s: SparkSession, dir: String): DataFrame =
     taZipf(Tables.load(s, dir, "documents").select("doc_id", "text"))
 
+  /** Vocabulary coverage / OOV profiling: learn the top-`vocabSize`
+    * corpus tokens (by total tf, ties by token — the ta_zipf cut), then
+    * score every document's out-of-vocabulary token count and rate. The
+    * tokenizer-budget question every training pipeline asks: how much of
+    * the corpus does a K-entry vocabulary actually cover, and which
+    * documents are OOV-heavy (code, foreign text, mojibake) and should
+    * route to ta_langid / ta_quality scrutiny.
+    *
+    * Engine-exactness: integer counts; the rate is ONE double division
+    * rounded to 6, zero-guarded for empty documents (CASE, not NaN).
+    *
+    * Scale design: the vocabulary pass is the ta_zipf shape (one
+    * partial+final count, TakeOrdered cut — never a vocabulary sort) and
+    * its output is vocabSize rows, so the coverage join BROADCASTS the
+    * vocab to the exploded corpus (left-join + per-doc count: one
+    * corpus-keyed shuffle total). Nothing corpus-sized crosses the wire
+    * twice.
+    */
+  def taVocabCoverage(docs: DataFrame, vocabSize: Int = 1000): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__vc_docs")
+    s.sql(
+      s"""WITH tok AS (
+         |  SELECT doc_id, explode(split(text, ' ')) AS tok FROM __vc_docs),
+         |vocab AS (
+         |  SELECT tok FROM (
+         |    SELECT tok, COUNT(*) AS tf FROM tok GROUP BY tok
+         |    ORDER BY tf DESC, tok LIMIT $vocabSize)),
+         |cov AS (
+         |  SELECT t.doc_id,
+         |         COUNT(*) AS n_tokens,
+         |         COUNT(CASE WHEN v.tok IS NULL THEN 1 END) AS n_oov
+         |  FROM tok t LEFT JOIN vocab v ON v.tok = t.tok
+         |  GROUP BY t.doc_id)
+         |SELECT doc_id, n_tokens, n_oov,
+         |       CASE WHEN n_tokens = 0 THEN CAST(0 AS DOUBLE)
+         |            ELSE ROUND(CAST(n_oov AS DOUBLE) / n_tokens, 6)
+         |       END AS oov_rate
+         |FROM cov ORDER BY doc_id""".stripMargin)
+  }
+
+  /** The oracle-checked form: a 16-entry vocabulary over the testdata
+    * corpus (its full vocabulary is 31 tokens at every SF, so 16 leaves
+    * real OOV mass for the rate to measure).
+    */
+  def taVocabCoverage(s: SparkSession, dir: String): DataFrame =
+    taVocabCoverage(
+      Tables.load(s, dir, "documents").select("doc_id", "text"), 16)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_vocab" -> ((s: SparkSession, dir: String) => taVocabCoverage(s, dir)),
     "ta_zipf" -> ((s: SparkSession, dir: String) => taZipf(s, dir)),
     "ta_hashembed" -> ((s: SparkSession, dir: String) => taHashEmbed(s, dir)),
     "ta_ngram_top" -> ((s: SparkSession, dir: String) => taNgramTop(s, dir)),
@@ -690,6 +740,19 @@ object TextAnalysis {
   private val sqlToks = "string_split(text, ' ')"
 
   val oracleSql: Map[String, String] = Map(
+    "ta_vocab" ->
+      (s"WITH tok AS (SELECT doc_id, unnest($sqlToks) AS tok FROM documents), " +
+        "vocab AS (SELECT tok FROM (" +
+        "SELECT tok, COUNT(*) AS tf FROM tok GROUP BY tok " +
+        "ORDER BY tf DESC, tok LIMIT 16)), " +
+        "cov AS (SELECT t.doc_id, COUNT(*) AS n_tokens, " +
+        "COUNT(CASE WHEN v.tok IS NULL THEN 1 END) AS n_oov " +
+        "FROM tok t LEFT JOIN vocab v ON v.tok = t.tok " +
+        "GROUP BY t.doc_id) " +
+        "SELECT doc_id, n_tokens, n_oov, " +
+        "CASE WHEN n_tokens = 0 THEN 0.0::DOUBLE " +
+        "ELSE ROUND(n_oov::DOUBLE / n_tokens, 6) END AS oov_rate " +
+        "FROM cov ORDER BY doc_id"),
     "ta_zipf" ->
       (s"WITH tf AS (SELECT tok, COUNT(*) AS tf " +
         s"FROM (SELECT unnest($sqlToks) AS tok FROM documents) GROUP BY tok), " +

@@ -1777,6 +1777,61 @@ class PipelineSpec extends AnyFunSuite {
     assert(flagged.forall { case (_, _, ref0) => ref0 % 2 == 0 })
   }
 
+  test("taVocabCoverage(docs, k): OOV counts against the learned top-k vocab") {
+    import spark.implicits._
+    // tf: a=4 b=3 c=2 d=1 -> vocab(2) = {a, b}
+    val docs = Seq((1L, "a a b c"), (2L, "a b b d c"), (3L, "a"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.taVocabCoverage(docs, vocabSize = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 4L, 1L, 0.25), (2L, 5L, 2L, 0.4),
+      (3L, 1L, 0L, 0.0)))
+    // oracle form: rate algebra holds row-by-row, OOV mass exists
+    val orc = TextAnalysis.taVocabCoverage(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(orc.nonEmpty && orc.exists(_._2 > 0))
+    orc.foreach { case (n, oov, rate) =>
+      assert(oov <= n)
+      val want = BigDecimal(oov.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rate == want)
+    }
+  }
+
+  test("evLtv(events): cohort curve matches the hand fold, cumulative monotone") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // one cohort (week of Mon 2024-06-03): users 1, 2 both first seen
+    // that week; week 0 revenue 10.50 + 4.25, week 1 revenue 2.25 (only
+    // user 1 active)
+    val evs = Seq(
+      (1L, t("2024-06-03 10:00:00"), 1L, "purchase", 10.50),
+      (2L, t("2024-06-05 11:00:00"), 2L, "purchase", 4.25),
+      (3L, t("2024-06-12 09:00:00"), 1L, "purchase", 2.25))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Sessionize.evLtv(evs).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+        r.getLong(5), r.getDouble(6)))
+    assert(got.toSeq == Seq(
+      (0L, 2L, 14.75, 14.75, 2L, 7.375),
+      (1L, 1L, 2.25, 17.0, 2L, 8.5)))
+    // oracle form: per cohort the cumulative revenue is monotone and the
+    // ltv algebra replays exactly
+    val orc = Sessionize.evLtv(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(4), r.getLong(5),
+        r.getDouble(6)))
+    assert(orc.nonEmpty)
+    orc.groupBy(_._1).foreach { case (_, rows) =>
+      val byAge = rows.sortBy(_._2).map(_._3).toSeq
+      assert(byAge == byAge.sorted)
+    }
+    orc.foreach { case (_, _, cum, users, ltv) =>
+      val want = BigDecimal(cum / users)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(ltv == want)
+    }
+  }
+
   test("evDow(events): ISO weekday counts and shares on pinned dates") {
     import spark.implicits._
     // 2024-06-03 was a Monday; 2024-06-09 a Sunday
