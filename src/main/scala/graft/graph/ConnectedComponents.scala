@@ -41,6 +41,13 @@ object ConnectedComponents {
     val adj = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    if (adj.limit(1).count() == 0) {
+      // no edges — no labels (the exact-sum convergence test is
+      // undefined on an empty relation; callers fold isolated nodes
+      // back in themselves, e.g. Scc's coalesce)
+      adj.unpersist()
+      return (adj.select(col("src").as("node"), col("src").as("comp")), 0)
+    }
     def exactSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("comp").cast("decimal(38,0)"))).head()
         .getDecimal(0)

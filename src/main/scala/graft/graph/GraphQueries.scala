@@ -319,6 +319,47 @@ object GraphQueries {
       |UNION ALL SELECT 'auth' AS kind, node, s AS score FROM a2
       |ORDER BY kind, node""".stripMargin.replaceAll("\n", " ")
 
+  /** Q43: strongly connected components of a DIRECTED supplier↔part
+    * graph with asymmetric thresholds (supplier→part for quantity ≥ 30,
+    * part→supplier for quantity ≤ 5 — the sparse back-edges leave ~100
+    * SCCs: one giant mutual core plus a peel tail, measured in DuckDB).
+    * See [[Scc]] for the FW-BW min-label peeling algorithm; the contract
+    * — scc = min mutually reachable node id — is exactly what the
+    * oracle's recursive-closure query computes, so the iterative engine
+    * hash-matches a declarative transitive closure.
+    */
+  def q43_scc(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val fwd = li.filter(col("l_quantity") >= 30)
+      .select(col("l_suppkey").as("src"),
+        (col("l_partkey") + PartOffset).as("dst"))
+    val back = li.filter(col("l_quantity") <= 5)
+      .select((col("l_partkey") + PartOffset).as("src"),
+        col("l_suppkey").as("dst"))
+    Scc.run(s, fwd.unionAll(back).distinct())
+  }
+
+  val q43OracleSql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000 AS dst
+      |  FROM lineitem WHERE l_quantity >= 30
+      |  UNION
+      |  SELECT DISTINCT l_partkey + 1000000, l_suppkey
+      |  FROM lineitem WHERE l_quantity <= 5),
+      |nodes AS (
+      |  SELECT DISTINCT src AS node FROM e
+      |  UNION SELECT DISTINCT dst FROM e),
+      |reach(a, b) AS (
+      |  SELECT src, dst FROM e
+      |  UNION
+      |  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),
+      |mutual AS (
+      |  SELECT r1.a AS v, r1.b AS w
+      |  FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a)
+      |SELECT n.node, LEAST(n.node, COALESCE(MIN(m.w), n.node)) AS scc
+      |FROM nodes n LEFT JOIN mutual m ON m.v = n.node
+      |GROUP BY n.node ORDER BY n.node""".stripMargin.replaceAll("\n", " ")
+
   val q33OracleSql: String =
     """WITH fwd AS (
       |  SELECT DISTINCT l_suppkey AS u, l_partkey + 1000000 AS v FROM lineitem),
@@ -550,6 +591,7 @@ object GraphQueries {
     "q34_kcore" -> (q34_kcore _),
     "q33_pagerank" -> (q33_pagerank _),
     "q42_hits" -> (q42_hits _),
+    "q43_scc" -> (q43_scc _),
     "q13_bfs" -> (q13_bfs _),
     "q16_maxflow" -> (q16_maxflow _),
     "q24_cc" -> (q24_cc _),
@@ -563,6 +605,7 @@ object GraphQueries {
     "q34_kcore" -> q34OracleSql,
     "q33_pagerank" -> q33OracleSql,
     "q42_hits" -> q42OracleSql,
+    "q43_scc" -> q43OracleSql,
     "q13_bfs" -> q13OracleSql,
     "q24_cc" -> q24OracleSql,
     "q25_triangles" -> q25OracleSql,

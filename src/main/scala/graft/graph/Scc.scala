@@ -1,0 +1,97 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Strongly connected components by forward-backward min-label peeling
+  * (the coloring algorithm of Orzan / FW-BW, distributed-friendly): per
+  * peel round,
+  *
+  *   1. f(v) = min node id with a directed path TO v — one
+  *      [[ConnectedComponents]] min-propagation over the DIRECTED edges
+  *      (CC on a directed relation computes exactly forward-min labels);
+  *   2. b(v) = min id v can reach through nodes of the SAME color f —
+  *      the same propagation over the color-restricted REVERSED edges;
+  *   3. every v with f(v) = b(v) = p belongs to SCC(p) (classic FW-BW
+  *      argument: f(v)=p means p reaches v; b(v)=p within color means v
+  *      reaches p through nodes p also reaches — mutual reachability,
+  *      and p is the component minimum), so the contract matches the
+  *      oracle's mutual-reachability closure: scc = min mutually
+  *      reachable id;
+  *   4. peel the settled nodes, keep edges between survivors, repeat.
+  *
+  * Rounds: each peel settles every color root's full SCC — the
+  * condensation DAG loses all its current source-color components per
+  * round, so peel count is bounded by the condensation's chain depth,
+  * not the SCC count. Each propagation is the CC loop: one join + one
+  * min aggregate per iteration, exact-decimal-sum convergence, lazy
+  * checkpoints. No driver-side graph data beyond one count per peel.
+  */
+object Scc {
+
+  /** @param edges directed (src, dst) pairs
+    * @return DataFrame(node: Long, scc: Long) — scc = min node id of the
+    *         strongly connected component
+    */
+  def run(spark: SparkSession, edges: DataFrame,
+          maxPeels: Int = 50): DataFrame = {
+    var cur = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    var remaining = cur.select(col("src").as("node"))
+      .union(cur.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(eager = true)
+    var result: DataFrame = null
+    var peels = 0
+    while (remaining.limit(1).count() > 0 && peels < maxPeels) {
+      peels += 1
+      if (cur.limit(1).count() == 0) {
+        // every survivor is edge-isolated — all singleton SCCs (also
+        // guards CC's exact-sum convergence, undefined on no labels)
+        val singles = remaining.select(col("node"), col("node").as("scc"))
+        result = if (result == null) singles else result.unionAll(singles)
+        result = result.localCheckpoint(eager = true)
+        remaining = remaining.limit(0).localCheckpoint(eager = true)
+      } else {
+      // 1. forward-min colors over the surviving directed subgraph;
+      // CC's node set comes from edge endpoints, so fold isolated
+      // survivors (all their edges peeled) back in as their own color
+      val fEdges = ConnectedComponents.run(spark, cur)
+      val f = remaining.join(fEdges, Seq("node"), "left")
+        .select(col("node"), coalesce(col("comp"), col("node")).as("f"))
+        .localCheckpoint(eager = false)
+      // 2. backward-min within color: reverse only the edges whose both
+      // endpoints share a color
+      val fs = f.select(col("node").as("s"), col("f").as("sf"))
+      val fd = f.select(col("node").as("d"), col("f").as("df"))
+      val colorRev = cur.join(fs, cur("src") === fs("s"))
+        .join(fd, cur("dst") === fd("d"))
+        .filter(col("sf") === col("df"))
+        .select(cur("dst").as("src"), cur("src").as("dst"))
+      val bEdges = ConnectedComponents.run(spark, colorRev)
+      val b = f.join(bEdges, Seq("node"), "left")
+        .select(col("node"), col("f"),
+          coalesce(col("comp"), col("node")).as("b"))
+      // 3. settled: f == b
+      val settled = b.filter(col("f") === col("b"))
+        .select(col("node"), col("f").as("scc"))
+        .localCheckpoint(eager = true)
+      result = if (result == null) settled
+        else result.unionAll(settled).localCheckpoint(eager = true)
+      // 4. peel
+      remaining = remaining.join(settled.select("node"), Seq("node"),
+          "left_anti")
+        .localCheckpoint(eager = true)
+      val rs = remaining.select(col("node").as("s"))
+      val rd = remaining.select(col("node").as("d"))
+      cur = cur.join(rs, cur("src") === rs("s"))
+        .join(rd, cur("dst") === rd("d"))
+        .select(cur("src"), cur("dst"))
+        .localCheckpoint(eager = true)
+      }
+    }
+    require(remaining.limit(1).count() == 0,
+      s"Scc.run: not converged after $maxPeels peels")
+    result.orderBy("node")
+  }
+}

@@ -291,6 +291,42 @@ class GraphQueriesSpec extends AnyFunSuite {
     assert(auth(101L) == auth.values.max)
   }
 
+  test("Scc: hand graph with two cycles, a chain, a self-loop, and a tail") {
+    import spark.implicits._
+    // cycle {1,2,3} -> 4 -> cycle {5,6}; 7 self-loops; 8 -> 1
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 5L), (7L, 7L), (8L, 1L)).toDF("src", "dst")
+    val got = Scc.run(spark, edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L,
+      6L -> 5L, 7L -> 7L, 8L -> 8L))
+  }
+
+  test("Scc: random directed graphs match the in-memory mutual-reachability closure") {
+    import spark.implicits._
+    val rng = new scala.util.Random(19)
+    for (trial <- 1 to 3) {
+      val n = 24
+      val edges = (1 to 70).map(_ =>
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      // Floyd-Warshall closure
+      val reach = Array.fill(n, n)(false)
+      edges.foreach { case (a, b) => reach(a.toInt)(b.toInt) = true }
+      for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+        if (reach(i)(k) && reach(k)(j)) reach(i)(j) = true
+      val present = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val want = present.map { v =>
+        val mut = (0 until n).filter(w =>
+          reach(v.toInt)(w) && reach(w)(v.toInt)).map(_.toLong)
+        v -> (mut :+ v).min
+      }
+      val got = Scc.run(spark, edges.toDF("src", "dst")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == want, s"trial $trial")
+    }
+  }
+
   test("q42_hits: bipartite sides separate, scores max-normalized, deterministic") {
     val rows = GraphQueries.q42_hits(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
