@@ -1043,7 +1043,65 @@ object Sessionize {
     evLtv(s.table("__events"))
   }
 
+  /** Discrete survival analysis (Nelson-Aalen cumulative hazard) over
+    * arbitrary subjects: rows (t: integer duration units, censored:
+    * BOOLEAN) — e.g. session lengths, days-to-churn, time-to-conversion.
+    * For every duration t with at least one EVENT (non-censored exit):
+    * the risk set n_risk (subjects surviving to t), the event count, the
+    * discrete hazard d/n, and the Nelson-Aalen cumulative hazard
+    * H(t) = Σ_{u ≤ t} d_u/n_u. Right-censored subjects leave the risk set
+    * at their t without contributing an event — the estimator every
+    * retention/reliability dashboard uses when observation windows cut
+    * lifetimes short.
+    *
+    * Engine-exactness: counts are integers; each hazard is ONE double
+    * division; the cumulative sum runs over ROUND(d/n, 9) DECIMAL(28,9)
+    * terms (the ta_entropy fixed-point discipline — double cumulative
+    * sums are order-exact but decimal terms make the window sum
+    * bit-identical by construction), cast+rounded once at the end.
+    *
+    * Scale design: the corpus-sized work is ONE (t) partial+final
+    * aggregate; the risk-set table is duration-vocabulary-sized (bounded
+    * by the distinct duration values, not the corpus), so its global
+    * cumulative window is a deliberate single-partition stage over a tiny
+    * relation — same shape as the ev_gaps spectrum.
+    */
+  def evSurvival(subjects: DataFrame): DataFrame = {
+    val s = subjects.sparkSession
+    subjects.createOrReplaceTempView("__surv_subj")
+    s.sql(
+      """WITH tot AS (SELECT COUNT(*) AS n FROM __surv_subj),
+        |bins AS (
+        |  SELECT t, COUNT(*) AS n_t,
+        |         SUM(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS d_t
+        |  FROM __surv_subj GROUP BY t),
+        |risk AS (
+        |  SELECT t, d_t,
+        |         tot.n - COALESCE(SUM(n_t) OVER (ORDER BY t
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS n_risk
+        |  FROM bins CROSS JOIN tot)
+        |SELECT t, n_risk, d_t AS n_events,
+        |       ROUND(CAST(d_t AS DOUBLE) / n_risk, 6) AS hazard,
+        |       ROUND(CAST(SUM(CAST(ROUND(CAST(d_t AS DOUBLE) / n_risk, 9)
+        |             AS DECIMAL(28,9))) OVER (ORDER BY t) AS DOUBLE), 6)
+        |         AS cum_hazard
+        |FROM risk WHERE d_t > 0 ORDER BY t""".stripMargin)
+  }
+
+  /** The oracle-checked form: subjects are the 30-minute-gap sessions of
+    * the testdata events, t = session duration in whole minutes, no
+    * censoring (every session in the window is complete) — the session-
+    * length hazard curve. Delegates to the production entry; the spec
+    * exercises censoring on hand data.
+    */
+  def evSurvival(s: SparkSession, dir: String): DataFrame =
+    evSurvival(evSessionize(s, dir).selectExpr(
+      "(unix_micros(sess_end) - unix_micros(sess_start)) div 60000000 AS t",
+      "false AS censored"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_survival" -> ((s: SparkSession, dir: String) => evSurvival(s, dir)),
     "ev_ltv" -> ((s: SparkSession, dir: String) => evLtv(s, dir)),
     "ev_dow" -> ((s: SparkSession, dir: String) => evDow(s, dir)),
     "ev_ewma" -> ((s: SparkSession, dir: String) => evEwma(s, dir)),
@@ -1071,6 +1129,35 @@ object Sessionize {
       "* (1::DOUBLE / na + 1::DOUBLE / nb))")
 
   val oracleSql: Map[String, String] = Map(
+    "ev_survival" ->
+      (s"""WITH flagged AS (
+         |  SELECT user_id, ts, event_id,
+         |         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > $GapMicros
+         |              OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |tagged AS (
+         |  SELECT user_id, ts,
+         |         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                             ROWS UNBOUNDED PRECEDING) AS sess_idx
+         |  FROM flagged),
+         |subj AS (
+         |  SELECT (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 60000000 AS t
+         |  FROM tagged GROUP BY user_id, sess_idx),
+         |tot AS (SELECT COUNT(*) AS n FROM subj),
+         |bins AS (SELECT t, COUNT(*) AS n_t, COUNT(*) AS d_t FROM subj GROUP BY t),
+         |risk AS (
+         |  SELECT t, d_t,
+         |         (tot.n - COALESCE(SUM(n_t) OVER (ORDER BY t
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT
+         |           AS n_risk
+         |  FROM bins CROSS JOIN tot)
+         |SELECT t, n_risk, d_t AS n_events,
+         |       ROUND(d_t::DOUBLE / n_risk, 6) AS hazard,
+         |       ROUND(CAST(SUM(CAST(ROUND(d_t::DOUBLE / n_risk, 9)
+         |             AS DECIMAL(28,9))) OVER (ORDER BY t) AS DOUBLE), 6)
+         |         AS cum_hazard
+         |FROM risk WHERE d_t > 0 ORDER BY t""".stripMargin
+        .replaceAll("\n", " ")),
     "ev_ltv" ->
       ("""WITH seen AS (SELECT user_id, ts, value, """ +
         """MIN(date_trunc('week', ts)) OVER (PARTITION BY user_id) """ +

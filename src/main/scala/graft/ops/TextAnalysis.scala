@@ -717,7 +717,73 @@ object TextAnalysis {
     taVocabCoverage(
       Tables.load(s, dir, "documents").select("doc_id", "text"), 16)
 
+  /** Collocation mining (the log-free PMI variant): adjacent token pairs
+    * whose observed corpus frequency exceeds the independence expectation
+    * by ≥ `minLift`, with a `minPair` support floor. lift =
+    * P(w1,w2) / (P(w1)·P(w2)) = c_pair·T² / (B·c_w1·c_w2) — the exact
+    * exp(PMI), emitted as the ratio instead of the log because ln()
+    * differs by ±1 ulp between libm implementations (the ta_zipf
+    * discipline). The phrase-discovery staple: "aurora borealis" collocate;
+    * uniform fillers don't.
+    *
+    * Engine-exactness: all counts are integers; the lift is computed as
+    * (c::DOUBLE·T·T) / (B::DOUBLE·c1·c2) — the same left-associated IEEE
+    * sequence in both engines, one final ROUND.
+    *
+    * Scale design: unigram and bigram counts are partial+final aggregates
+    * over one corpus pass each (the bigram explode is position-bounded);
+    * both count relations are VOCABULARY-sized (≤V and ≤V² keys), so the
+    * two enrichment joins broadcast and the T/B scalars ride along as
+    * single-row cross joins. Nothing corpus-sized is joined or sorted.
+    */
+  def taColloc(docs: DataFrame, minPair: Long = 5,
+               minLift: Double = 2.0): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__col_docs")
+    s.sql(
+      s"""WITH tok AS (SELECT split(text, ' ') AS toks FROM __col_docs),
+         |uni AS (
+         |  SELECT w, COUNT(*) AS c FROM (
+         |    SELECT explode(toks) AS w FROM tok) GROUP BY w),
+         |tt AS (SELECT SUM(c) AS t FROM uni),
+         |big AS (
+         |  SELECT w1, w2, COUNT(*) AS c FROM (
+         |    SELECT element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2
+         |    FROM tok
+         |    LATERAL VIEW explode(CASE WHEN size(toks) >= 2
+         |      THEN sequence(1, size(toks) - 1) ELSE array() END) AS i)
+         |  GROUP BY w1, w2),
+         |bt AS (SELECT SUM(c) AS b FROM big)
+         |SELECT g.w1, g.w2, g.c AS c_pair, a.c AS c_w1, z.c AS c_w2,
+         |       ROUND(CAST(g.c AS DOUBLE) * tt.t * tt.t /
+         |             (CAST(bt.b AS DOUBLE) * a.c * z.c), 6) AS lift
+         |FROM big g CROSS JOIN tt CROSS JOIN bt
+         |JOIN uni a ON a.w = g.w1 JOIN uni z ON z.w = g.w2
+         |WHERE g.c >= $minPair
+         |  AND CAST(g.c AS DOUBLE) * tt.t * tt.t /
+         |      (CAST(bt.b AS DOUBLE) * a.c * z.c) >= ${minLift}D
+         |ORDER BY g.w1, g.w2""".stripMargin)
+  }
+
+  /** The oracle-checked form: the testdata corpus is near-uniform over a
+    * 31-token vocabulary (every adjacent pair's lift ≈ 1), so every 5th
+    * document gets ' aurora borealis aurora borealis' appended — a planted
+    * collocation whose member tokens only ever co-occur with each other,
+    * which the lift ≥ 2 cut must surface (and only it plus its reversal;
+    * natural pairs stay under the cut at every SF).
+    */
+  def taColloc(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "documents").createOrReplaceTempView("__docs")
+    taColloc(s.sql(
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 5 = 0
+        |            THEN concat(text, ' aurora borealis aurora borealis')
+        |            ELSE text END AS text
+        |FROM __docs""".stripMargin))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_colloc" -> ((s: SparkSession, dir: String) => taColloc(s, dir)),
     "ta_vocab" -> ((s: SparkSession, dir: String) => taVocabCoverage(s, dir)),
     "ta_zipf" -> ((s: SparkSession, dir: String) => taZipf(s, dir)),
     "ta_hashembed" -> ((s: SparkSession, dir: String) => taHashEmbed(s, dir)),
@@ -740,6 +806,26 @@ object TextAnalysis {
   private val sqlToks = "string_split(text, ' ')"
 
   val oracleSql: Map[String, String] = Map(
+    "ta_colloc" ->
+      ("WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 " +
+        "THEN text || ' aurora borealis aurora borealis' ELSE text END " +
+        "AS text FROM documents), " +
+        "tok AS (SELECT string_split(text, ' ') AS toks FROM aug), " +
+        "uni AS (SELECT w, COUNT(*) AS c FROM " +
+        "(SELECT unnest(toks) AS w FROM tok) GROUP BY w), " +
+        "tt AS (SELECT SUM(c) AS t FROM uni), " +
+        "big AS (SELECT w1, w2, COUNT(*) AS c FROM " +
+        "(SELECT toks[i] AS w1, toks[i+1] AS w2 FROM tok, " +
+        "LATERAL (SELECT unnest(range(1, len(toks))) AS i)) GROUP BY w1, w2), " +
+        "bt AS (SELECT SUM(c) AS b FROM big) " +
+        "SELECT g.w1, g.w2, g.c AS c_pair, a.c AS c_w1, z.c AS c_w2, " +
+        "ROUND(g.c::DOUBLE * tt.t * tt.t / (bt.b::DOUBLE * a.c * z.c), 6) " +
+        "AS lift " +
+        "FROM big g CROSS JOIN tt CROSS JOIN bt " +
+        "JOIN uni a ON a.w = g.w1 JOIN uni z ON z.w = g.w2 " +
+        "WHERE g.c >= 5 AND g.c::DOUBLE * tt.t * tt.t / " +
+        "(bt.b::DOUBLE * a.c * z.c) >= 2.0 " +
+        "ORDER BY g.w1, g.w2"),
     "ta_vocab" ->
       (s"WITH tok AS (SELECT doc_id, unnest($sqlToks) AS tok FROM documents), " +
         "vocab AS (SELECT tok FROM (" +

@@ -79,6 +79,9 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Sessionize.evGini(emptyEvents).count() == 0)
     assert(Sessionize.evGaps(emptyEvents).count() == 0)
     assert(Sessionize.evFeatures(emptyEvents).count() == 0)
+    assert(Sessionize.evSurvival(
+      Seq.empty[(Long, Boolean)].toDF("t", "censored")).count() == 0)
+    assert(TextAnalysis.taColloc(emptyDocs).count() == 0)
     assert(Dedup.ddCrossDedup(emptyDocs, emptyDocs).count() == 0)
     assert(Pipeline.dsWeightedSample(
       Seq.empty[(Long, Double)].toDF("doc_id", "w"), "w", 5).count() == 0)

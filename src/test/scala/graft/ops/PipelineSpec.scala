@@ -1832,6 +1832,51 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("evSurvival(subjects): risk sets, censoring, and the hazard fold") {
+    import spark.implicits._
+    // 5 subjects: two events at t=1, one censored at t=1, one event at
+    // t=2, one censored at t=3 (never emits a row — d_t = 0)
+    val subj = Seq((1L, false), (1L, false), (1L, true), (2L, false),
+      (3L, true)).toDF("t", "censored")
+    val got = Sessionize.evSurvival(subj).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(got.toSeq == Seq((1L, 5L, 2L, 0.4, 0.4), (2L, 2L, 1L, 0.5, 0.9)))
+    // oracle form (session durations, uncensored): risk sets start at the
+    // session count, decrease monotonically, and the hazard replays d/n
+    val sessions = Sessionize.evSessionize(spark, sf).count()
+    val orc = Sessionize.evSurvival(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(orc.nonEmpty && orc.head._2 == sessions)
+    assert(orc.map(_._2).toSeq == orc.map(_._2).sorted.reverse.toSeq)
+    orc.foreach { case (_, n, d, hz) =>
+      assert(d > 0 && d <= n)
+      val want = BigDecimal(d.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(hz == want)
+    }
+  }
+
+  test("taColloc(docs): lift algebra on a hand corpus; planted pair surfaces") {
+    import spark.implicits._
+    // T=12 tokens, B=10 pairs; (p,q)=3, (q,p)=2, (a,a)=5
+    val docs = Seq((1L, "p q p q p q"), (2L, "a a a a a a"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.taColloc(docs, minPair = 2, minLift = 2.0).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(("a", "a", 5L, 6L, 6L, 2.0),
+      ("p", "q", 3L, 3L, 3L, 4.8), ("q", "p", 2L, 3L, 3L, 3.2)))
+    // oracle form: the planted collocation dominates; every natural pair
+    // stays under the cut
+    val orc = TextAnalysis.taColloc(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(5)))
+    assert(orc.exists { case (w1, w2, l) =>
+      w1 == "aurora" && w2 == "borealis" && l > 50.0 })
+    assert(orc.forall { case (w1, w2, _) =>
+      Set(w1, w2).exists(Set("aurora", "borealis")) })
+  }
+
   test("evDow(events): ISO weekday counts and shares on pinned dates") {
     import spark.implicits._
     // 2024-06-03 was a Monday; 2024-06-09 a Sunday
