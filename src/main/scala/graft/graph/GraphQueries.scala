@@ -339,6 +339,61 @@ object GraphQueries {
     Scc.run(s, fwd.unionAll(back).distinct())
   }
 
+  /** DAG longest-path layering (q44): a three-class dependency DAG —
+    * supplier → part (l_quantity ≥ 30), part → order (same cut, order ids
+    * offset by 2M), and per-(customer, quarter) order chains (each order
+    * points at the customer's next order that quarter, LAG by date) — so
+    * layers mix a fixed 2-hop backbone with variable-depth chains (max
+    * chain ≈ 6 orders/quarter). Strictly acyclic: supplier < part < order
+    * classes, chains follow a strict (date, orderkey) order. See
+    * [[Layers.run]] for the superstep discipline.
+    */
+  def q44_layers(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val e1 = li.filter(col("l_quantity") >= 30)
+      .select(col("l_suppkey").as("src"),
+        (col("l_partkey") + PartOffset).as("dst"))
+    val e2 = li.filter(col("l_quantity") >= 30)
+      .select((col("l_partkey") + PartOffset).as("src"),
+        (col("l_orderkey") + 2L * PartOffset).as("dst"))
+    Tables.load(s, dir, "orders").createOrReplaceTempView("__q44_orders")
+    val e3 = s.sql(
+      s"""SELECT prev + ${2 * PartOffset} AS src,
+         |       o_orderkey + ${2 * PartOffset} AS dst
+         |FROM (
+         |  SELECT o_orderkey,
+         |         LAG(o_orderkey) OVER (
+         |           PARTITION BY o_custkey, date_trunc('QUARTER', o_orderdate)
+         |           ORDER BY o_orderdate, o_orderkey) AS prev
+         |  FROM __q44_orders)
+         |WHERE prev IS NOT NULL""".stripMargin)
+    Layers.run(s, e1.unionAll(e2).unionAll(e3)).orderBy("node")
+  }
+
+  val q44OracleSql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000 AS dst
+      |  FROM lineitem WHERE l_quantity >= 30
+      |  UNION
+      |  SELECT DISTINCT l_partkey + 1000000, l_orderkey + 2000000
+      |  FROM lineitem WHERE l_quantity >= 30
+      |  UNION
+      |  SELECT prev + 2000000, o_orderkey + 2000000 FROM (
+      |    SELECT o_orderkey,
+      |           LAG(o_orderkey) OVER (
+      |             PARTITION BY o_custkey, date_trunc('quarter', o_orderdate)
+      |             ORDER BY o_orderdate, o_orderkey) AS prev
+      |    FROM orders) WHERE prev IS NOT NULL),
+      |nodes AS (
+      |  SELECT DISTINCT src AS node FROM e
+      |  UNION SELECT DISTINCT dst FROM e),
+      |walk(node, d) AS (
+      |  SELECT node, 0 FROM nodes
+      |  UNION
+      |  SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.node)
+      |SELECT node, MAX(d)::BIGINT AS layer
+      |FROM walk GROUP BY node ORDER BY node""".stripMargin.replaceAll("\n", " ")
+
   val q43OracleSql: String =
     """WITH RECURSIVE e AS (
       |  SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000 AS dst
@@ -591,6 +646,7 @@ object GraphQueries {
     "q34_kcore" -> (q34_kcore _),
     "q33_pagerank" -> (q33_pagerank _),
     "q42_hits" -> (q42_hits _),
+    "q44_layers" -> (q44_layers _),
     "q43_scc" -> (q43_scc _),
     "q13_bfs" -> (q13_bfs _),
     "q16_maxflow" -> (q16_maxflow _),
@@ -605,6 +661,7 @@ object GraphQueries {
     "q34_kcore" -> q34OracleSql,
     "q33_pagerank" -> q33OracleSql,
     "q42_hits" -> q42OracleSql,
+    "q44_layers" -> q44OracleSql,
     "q43_scc" -> q43OracleSql,
     "q13_bfs" -> q13OracleSql,
     "q24_cc" -> q24OracleSql,

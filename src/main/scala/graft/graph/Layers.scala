@@ -1,0 +1,80 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** DAG longest-path layering (topological levels): layer(v) = length of the
+  * longest directed path ending at v — the level assignment a scheduler /
+  * dependency planner uses (ASAP schedule), and the layered drawing every
+  * DAG visualizer computes. The same superstep discipline as the other
+  * iterative graph ops (Bfs/Sssp/KCore): the reference's engine family runs
+  * iterative vertex programs as one MapReduce job per round
+  * (ff1/FordFulkerson.java:186-190 round-i output → round-i+1 input); here
+  * each round is ONE Spark job over a frontier-delta.
+  *
+  * Algorithm: every vertex starts at layer 0; each round relaxes
+  * layer(dst) ← max(layer(dst), layer(src)+1) over edges whose src improved
+  * last round (Bellman-Ford-max restricted to the frontier). On a DAG this
+  * reaches the longest-path fixpoint in depth(DAG) rounds; a cycle would
+  * relax forever, so `maxRounds` is a cycle guard that fails fast with a
+  * clear message instead of looping.
+  *
+  * Scale notes: the edge relation is persisted partitioned by src once and
+  * every superstep reuses that exchange; the frontier shrinks to the deep
+  * tail after the first rounds (most vertices settle at small layers), so
+  * late rounds join a tiny frontier against the pre-partitioned edges.
+  * `localCheckpoint` keeps the plan O(1) in rounds.
+  */
+object Layers {
+
+  /** @param edges directed edge relation (src, dst); must be acyclic
+    * @param maxRounds cycle guard — more rounds than any DAG this deep
+    * @return DataFrame(node: Long, layer: Long)
+    */
+  def run(spark: SparkSession, edges: DataFrame, maxRounds: Int = 64): DataFrame = {
+    val adj = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var layer = adj.select(col("src").as("node"))
+      .unionAll(adj.select(col("dst").as("node")))
+      .distinct()
+      .select(col("node"), lit(0L).as("layer"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = layer
+    var round = 0
+    var improvedN = frontier.count()
+
+    while (improvedN > 0) {
+      round += 1
+      if (round > maxRounds) {
+        adj.unpersist()
+        throw new IllegalStateException(
+          s"Layers: no fixpoint after $maxRounds rounds — the edge relation " +
+            "has a cycle (or raise maxRounds for a deeper DAG)")
+      }
+      val cand = frontier
+        .select(col("node").as("fnode"), (col("layer") + 1L).as("cl"))
+        .join(adj, col("fnode") === col("src"))
+        .groupBy(col("dst"))
+        .agg(max(col("cl")).as("cand"))
+        .select(col("dst").as("node"), col("cand"))
+      val improved = cand
+        .join(layer.select(col("node"), col("layer").as("cur")), Seq("node"))
+        .where(col("cand") > col("cur"))
+        .select(col("node"), col("cand").as("layer"))
+        .localCheckpoint(eager = false)
+      improvedN = improved.count()
+      if (improvedN > 0) {
+        layer = layer.join(improved.select("node"), Seq("node"), "left_anti")
+          .unionAll(improved)
+          .localCheckpoint(eager = false)
+        frontier = improved
+      }
+    }
+    adj.unpersist()
+    layer
+  }
+}

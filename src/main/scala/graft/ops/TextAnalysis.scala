@@ -782,7 +782,64 @@ object TextAnalysis {
         |FROM __docs""".stripMargin))
   }
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003, the
+    * MOSS algorithm): hash every `k`-token gram, slide a `w`-gram window,
+    * and in each window select the RIGHTMOST gram achieving the window
+    * minimum; the distinct selected (position, hash) pairs are the
+    * document's fingerprint set. The guarantee the paper proves: any
+    * shared substring of ≥ k+w−1 tokens produces at least one shared
+    * fingerprint, while the fingerprint density stays ~2/(w+1) — the
+    * local-similarity sibling of the whole-document minhash family
+    * (ta_fingerprint is the per-doc rolling hash; this is the selectable
+    * span index plagiarism/overlap detectors build).
+    *
+    * Engine-exactness: the gram hash is the md5 hex digest (the minhash
+    * discipline — lexicographic string MIN is a valid selection order and
+    * identical in both engines); selection is integer window algebra.
+    *
+    * Scale design: grams are one narrow explode; the window MIN and the
+    * per-doc gram count share ONE doc_id-partitioned window stage; the
+    * selection join fans each gram into ≤ w windows (equality on doc_id +
+    * a w-bounded BETWEEN), so candidate volume is w·grams — linear in the
+    * corpus, never quadratic. Output is ~2·grams/(w+1) rows.
+    */
+  def taWinnow(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"k=$k, w=$w must be >= 1")
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__win_docs")
+    s.sql(
+      s"""WITH tok AS (SELECT doc_id, split(text, ' ') AS toks FROM __win_docs),
+         |g AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |         md5(array_join(slice(toks, i, $k), ' ')) AS h
+         |  FROM tok
+         |  LATERAL VIEW explode(CASE WHEN size(toks) >= $k
+         |    THEN sequence(1, size(toks) - ${k - 1}) ELSE array() END) AS i),
+         |win AS (
+         |  SELECT doc_id, pos AS i,
+         |         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |                      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING)
+         |           AS wmin,
+         |         COUNT(*) OVER (PARTITION BY doc_id) AS ng
+         |  FROM g),
+         |sel AS (
+         |  SELECT wn.doc_id, wn.wmin AS fp, MAX(g.pos) AS pos
+         |  FROM (SELECT doc_id, i, wmin FROM win WHERE i <= ng - ${w - 1}) wn
+         |  JOIN g ON g.doc_id = wn.doc_id
+         |    AND g.pos BETWEEN wn.i AND wn.i + ${w - 1} AND g.h = wn.wmin
+         |  GROUP BY wn.doc_id, wn.i, wn.wmin)
+         |SELECT DISTINCT doc_id, pos, fp
+         |FROM sel ORDER BY doc_id, pos""".stripMargin)
+  }
+
+  /** The oracle-checked form: k=3-token grams, w=4 windows over the
+    * testdata corpus.
+    */
+  def taWinnow(s: SparkSession, dir: String): DataFrame =
+    taWinnow(Tables.load(s, dir, "documents").select("doc_id", "text"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_winnow" -> ((s: SparkSession, dir: String) => taWinnow(s, dir)),
     "ta_colloc" -> ((s: SparkSession, dir: String) => taColloc(s, dir)),
     "ta_vocab" -> ((s: SparkSession, dir: String) => taVocabCoverage(s, dir)),
     "ta_zipf" -> ((s: SparkSession, dir: String) => taZipf(s, dir)),
@@ -806,6 +863,22 @@ object TextAnalysis {
   private val sqlToks = "string_split(text, ' ')"
 
   val oracleSql: Map[String, String] = Map(
+    "ta_winnow" ->
+      (s"WITH tok AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
+        "g AS (SELECT doc_id, i::BIGINT AS pos, " +
+        "md5(array_to_string(toks[i:i+2], ' ')) AS h " +
+        "FROM tok, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) " +
+        "WHERE len(toks) >= 3), " +
+        "win AS (SELECT doc_id, pos AS i, " +
+        "MIN(h) OVER (PARTITION BY doc_id ORDER BY pos " +
+        "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin, " +
+        "COUNT(*) OVER (PARTITION BY doc_id) AS ng FROM g), " +
+        "sel AS (SELECT wn.doc_id, wn.wmin AS fp, MAX(g.pos) AS pos " +
+        "FROM (SELECT doc_id, i, wmin FROM win WHERE i <= ng - 3) wn " +
+        "JOIN g ON g.doc_id = wn.doc_id " +
+        "AND g.pos BETWEEN wn.i AND wn.i + 3 AND g.h = wn.wmin " +
+        "GROUP BY wn.doc_id, wn.i, wn.wmin) " +
+        "SELECT DISTINCT doc_id, pos, fp FROM sel ORDER BY doc_id, pos"),
     "ta_colloc" ->
       ("WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 " +
         "THEN text || ' aurora borealis aurora borealis' ELSE text END " +

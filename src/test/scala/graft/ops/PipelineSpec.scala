@@ -1877,6 +1877,49 @@ class PipelineSpec extends AnyFunSuite {
       Set(w1, w2).exists(Set("aurora", "borealis")) })
   }
 
+  test("taWinnow(docs): matches the reference winnowing fold, coverage holds") {
+    import spark.implicits._
+    // reference implementation straight from the paper: k-gram md5 hashes,
+    // w-windows, rightmost window-minimum selected, distinct
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(x.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def winnowRef(text: String, k: Int, w: Int): Seq[(Long, String)] = {
+      val toks = text.split(' ')
+      val grams = toks.sliding(k).filter(_.length == k)
+        .map(_.mkString(" ")).map(md5hex).toArray
+      (0 to grams.length - w).flatMap { i =>
+        val m = grams.slice(i, i + w).min
+        val j = (i until i + w).filter(p => grams(p) == m).max
+        Some(((j + 1).toLong, grams(j)))
+      }.distinct.sorted
+    }
+    // repeated tokens force hash ties inside windows (rightmost rule)
+    val texts = Seq(
+      (1L, "a b a b a b a b a b"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "x y z"),  // exactly one gram, no full window
+      (4L, "p q"))    // under k tokens: no grams at all
+    val got = TextAnalysis.taWinnow(texts.toDF("doc_id", "text"), 3, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val want = texts.flatMap { case (id, t) =>
+      winnowRef(t, 3, 4).map { case (p, h) => (id, p, h) } }
+    assert(got.toSeq == want)
+    // corpus: the paper's guarantee — within every w consecutive gram
+    // positions of a long-enough doc there is at least one fingerprint
+    val orc = TextAnalysis.taWinnow(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    assert(orc.nonEmpty)
+    orc.foreach { case (_, rows) =>
+      val ps = rows.map(_._2).sorted
+      ps.sliding(2).foreach {
+        case Array(a, b) => assert(b - a <= 4)
+        case _ =>
+      }
+      assert(ps.head <= 4)
+    }
+  }
+
   test("evDow(events): ISO weekday counts and shares on pinned dates") {
     import spark.implicits._
     // 2024-06-03 was a Monday; 2024-06-09 a Sunday
