@@ -245,7 +245,53 @@ object Multimodal {
   def mmShard(s: SparkSession, dir: String): DataFrame =
     mmShard(mediaFromDocs(s, dir).toDF())
 
+  /** Frame-to-segment alignment (the audio/video ↔ transcript step of a
+    * multimodal training pipeline: which caption span does each sampled
+    * frame belong to): every frame row (media_id, frame_idx, frame_offset)
+    * is matched to the unique segment row (media_id, seg_idx, seg_start,
+    * seg_end) whose half-open [seg_start, seg_end) span contains its
+    * offset. With a real codec the offsets are timestamps and the segments
+    * subtitle cues; the join shape is identical.
+    *
+    * Scale design: ONE co-partitioned equality join on media_id with the
+    * range predicate applied inside the matched key group — per-media
+    * fan-in is the per-media segment count (caption cues, tens), so
+    * candidate volume is segments-per-media × frames, linear in the frame
+    * relation. Never a global range join.
+    */
+  def mmAlign(frames: DataFrame, segments: DataFrame): DataFrame = {
+    val s = frames.sparkSession
+    frames.createOrReplaceTempView("__al_frames")
+    segments.createOrReplaceTempView("__al_segs")
+    s.sql(
+      """SELECT f.media_id, f.frame_idx, f.frame_offset,
+        |       g.seg_idx, g.seg_start, g.seg_end
+        |FROM __al_frames f JOIN __al_segs g
+        |  ON g.media_id = f.media_id
+        | AND f.frame_offset >= g.seg_start AND f.frame_offset < g.seg_end
+        |ORDER BY f.media_id, f.frame_idx""".stripMargin)
+  }
+
+  /** The oracle-checked form: frames from the decode → frame-sample chain;
+    * segments are four equal byte-quarter spans per media (floor
+    * boundaries — the quarters tile [0, n_bytes) exactly, so every frame
+    * lands in exactly one span).
+    */
+  def mmAlign(s: SparkSession, dir: String): DataFrame = {
+    val dec = decodeAll(mediaFromDocs(s, dir), StubDecoder)
+    val frames = frameSample(dec)
+      .toDF().select("media_id", "frame_idx", "frame_offset")
+    dec.toDF().select("media_id", "n_bytes").createOrReplaceTempView("__al_dec")
+    val segments = s.sql(
+      """SELECT media_id, CAST(j AS BIGINT) AS seg_idx,
+        |       (n_bytes * j) div 4 AS seg_start,
+        |       (n_bytes * (j + 1)) div 4 AS seg_end
+        |FROM __al_dec LATERAL VIEW explode(sequence(0, 3)) AS j""".stripMargin)
+    mmAlign(frames, segments)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_align" -> ((s: SparkSession, dir: String) => mmAlign(s, dir)),
     "mm_shard" -> ((s: SparkSession, dir: String) => mmShard(s, dir)),
     "mm_decode" -> (mmDecode _),
     "mm_frames" -> (mmFrames _),
@@ -253,6 +299,25 @@ object Multimodal {
     "mm_phash_pairs" -> (mmPhashPairs _))
 
   val oracleSql: Map[String, String] = Map(
+    "mm_align" ->
+      ("""WITH dec AS (SELECT doc_id AS media_id, """ +
+        """octet_length(encode(text))::BIGINT AS n_bytes, """ +
+        """(CASE WHEN doc_id % 3 = 2 THEN 1 + octet_length(encode(text)) % 16 """ +
+        """ELSE 1 END)::BIGINT AS n_frames FROM documents), """ +
+        """fr AS (SELECT media_id, i AS frame_idx, """ +
+        """(n_bytes // n_frames) * i AS frame_offset """ +
+        """FROM (SELECT media_id, n_bytes, n_frames, """ +
+        """unnest(generate_series(0, n_frames - 1)) AS i FROM dec)), """ +
+        """seg AS (SELECT media_id, j AS seg_idx, """ +
+        """(n_bytes * j) // 4 AS seg_start, """ +
+        """(n_bytes * (j + 1)) // 4 AS seg_end """ +
+        """FROM (SELECT media_id, n_bytes, """ +
+        """unnest(generate_series(0, 3)) AS j FROM dec)) """ +
+        """SELECT f.media_id, f.frame_idx, f.frame_offset, """ +
+        """g.seg_idx, g.seg_start, g.seg_end """ +
+        """FROM fr f JOIN seg g ON g.media_id = f.media_id """ +
+        """AND f.frame_offset >= g.seg_start AND f.frame_offset < g.seg_end """ +
+        """ORDER BY f.media_id, f.frame_idx"""),
     "mm_shard" ->
       ("""WITH sized AS (SELECT doc_id AS media_id, """ +
         """octet_length(encode(text))::BIGINT AS n_bytes, """ +

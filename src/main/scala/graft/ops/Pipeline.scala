@@ -1120,7 +1120,58 @@ object Pipeline {
         "round(size(array_distinct(split(text, ' '))) / size(split(text, ' ')), 6) AS sc"),
       budget = 100000L)
 
+  /** Duplicate-aware training weights (the SoftDeDup idea — down-weight
+    * near-duplicate clusters instead of dropping members): given cluster
+    * membership rows (doc_id, canon_id) — e.g. [[ddResolve]]'s output —
+    * every corpus document gets weight 1/|its cluster| (1.0 when it
+    * belongs to no cluster), so each near-dup GROUP contributes one
+    * document's worth of gradient mass while keeping all surface variants
+    * in the mix. The soft alternative to [[graft.ops.Dedup.ddKeepBest]]'s
+    * hard selection.
+    *
+    * Engine-exactness: cluster sizes are integer counts; the weight is
+    * ONE double division rounded to 6.
+    *
+    * Scale design: one canon_id-keyed count (cluster-cardinality output),
+    * one doc_id join back to members, one left join onto the corpus —
+    * members are near-dup-pair-bounded (tiny next to the corpus), so both
+    * enrichment joins broadcast; the corpus itself crosses the wire once.
+    */
+  def dsSoftDedup(corpus: DataFrame, members: DataFrame): DataFrame = {
+    val s = corpus.sparkSession
+    corpus.createOrReplaceTempView("__sd_corpus")
+    members.createOrReplaceTempView("__sd_members")
+    s.sql(
+      """WITH sz AS (
+        |  SELECT canon_id, COUNT(*) AS n FROM __sd_members GROUP BY canon_id),
+        |m AS (
+        |  SELECT mb.doc_id, sz.n FROM __sd_members mb
+        |  JOIN sz ON sz.canon_id = mb.canon_id)
+        |SELECT c.doc_id,
+        |       COALESCE(m.n, CAST(1 AS BIGINT)) AS cluster_size,
+        |       ROUND(CAST(1 AS DOUBLE) / COALESCE(m.n, CAST(1 AS BIGINT)), 6)
+        |         AS weight
+        |FROM __sd_corpus c LEFT JOIN m ON m.doc_id = c.doc_id
+        |ORDER BY c.doc_id""".stripMargin)
+  }
+
+  /** The oracle-checked form: corpus = the dd_simhash_pairs twin-planted
+    * id space, members = [[ddResolve]]'s simhash near-dup clusters — every
+    * planted (doc, twin) pair must land at weight 0.5 (or lower when
+    * natural duplicates chain the cluster wider) and unclustered docs at
+    * 1.0.
+    */
+  def dsSoftDedup(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "documents").createOrReplaceTempView("__docs")
+    val corpus = s.sql(
+      s"""SELECT doc_id FROM __docs
+         |UNION ALL
+         |SELECT doc_id + ${Dedup.TwinIdOffset} FROM __docs""".stripMargin)
+    dsSoftDedup(corpus, ddResolve(s, dir))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_softdedup" -> ((s: SparkSession, dir: String) => dsSoftDedup(s, dir)),
     "ds_balance" -> ((s: SparkSession, dir: String) => dsBalance(s, dir)),
     "ds_tokbudget" -> ((s: SparkSession, dir: String) => dsTokBudget(s, dir)),
     "ds_lenbucket" -> ((s: SparkSession, dir: String) => dsLenBucket(s, dir)),
@@ -1160,6 +1211,24 @@ object Pipeline {
        |  SELECT r.u, e.v FROM reach r JOIN e0 e ON e.u = r.v)
        |SELECT u AS doc_id, MIN(v) AS canon_id FROM reach GROUP BY u
        |ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+  }
+
+  /** ds_softdedup oracle: dd_resolve's closure + cluster sizes, left-joined
+    * onto the twin-planted corpus id space with the 1/n weight.
+    */
+  private def dsSoftDedupOracle: String = {
+    val membSql = ddResolveOracle.replace("ORDER BY doc_id", "")
+    s"""WITH memb AS ($membSql),
+       |sz AS (SELECT canon_id, COUNT(*) AS n FROM memb GROUP BY canon_id),
+       |m AS (SELECT memb.doc_id, sz.n FROM memb
+       |      JOIN sz ON sz.canon_id = memb.canon_id),
+       |corpus AS (SELECT doc_id FROM documents
+       |           UNION ALL
+       |           SELECT doc_id + ${Dedup.TwinIdOffset} FROM documents)
+       |SELECT c.doc_id, COALESCE(m.n, 1)::BIGINT AS cluster_size,
+       |       ROUND(1::DOUBLE / COALESCE(m.n, 1), 6) AS weight
+       |FROM corpus c LEFT JOIN m ON m.doc_id = c.doc_id
+       |ORDER BY c.doc_id""".stripMargin.replaceAll("\n", " ")
   }
 
   val oracleSql: Map[String, String] = Map(
@@ -1371,6 +1440,7 @@ object Pipeline {
         |         ORDER BY r::DOUBLE / w, source, doc_id) AS pos
         |FROM ranked ORDER BY shard, pos""".stripMargin.replaceAll("\n", " "),
     "dd_resolve" -> ddResolveOracle,
+    "ds_softdedup" -> dsSoftDedupOracle,
     "dd_decontam" ->
       s"""WITH corpus AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

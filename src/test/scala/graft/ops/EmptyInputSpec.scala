@@ -82,6 +82,10 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Sessionize.evSurvival(
       Seq.empty[(Long, Boolean)].toDF("t", "censored")).count() == 0)
     assert(TextAnalysis.taColloc(emptyDocs).count() == 0)
+    assert(TextAnalysis.taWinnow(emptyDocs).count() == 0)
+    assert(Pipeline.dsSoftDedup(
+      Seq.empty[Long].toDF("doc_id"),
+      Seq.empty[(Long, Long)].toDF("doc_id", "canon_id")).count() == 0)
     assert(Dedup.ddCrossDedup(emptyDocs, emptyDocs).count() == 0)
     assert(Pipeline.dsWeightedSample(
       Seq.empty[(Long, Double)].toDF("doc_id", "w"), "w", 5).count() == 0)

@@ -93,4 +93,23 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq == again.toSeq)
   }
+
+  test("mmAlign: boundary offsets land in the right half-open segment") {
+    import spark.implicits._
+    val frames = Seq((1L, 0L, 0L), (1L, 1L, 10L), (1L, 2L, 19L),
+      (2L, 0L, 5L)).toDF("media_id", "frame_idx", "frame_offset")
+    // media 1: spans [0,10) [10,20); media 2: [0,10) — offset 10 must hit
+    // seg 1, not seg 0 (half-open rule)
+    val segs = Seq((1L, 0L, 0L, 10L), (1L, 1L, 10L, 20L), (2L, 0L, 0L, 10L))
+      .toDF("media_id", "seg_idx", "seg_start", "seg_end")
+    val got = Multimodal.mmAlign(frames, segs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 0L, 0L), (1L, 1L, 1L), (1L, 2L, 1L),
+      (2L, 0L, 0L)))
+    // oracle form: every sampled frame aligns to exactly one quarter-span
+    val frameCount = Multimodal.mmFrames(spark, "/root/testdata/sf0.001").count()
+    val aligned = Multimodal.mmAlign(spark, "/root/testdata/sf0.001")
+    assert(aligned.count() == frameCount)
+    assert(aligned.select("media_id", "frame_idx").distinct().count() == frameCount)
+  }
 }

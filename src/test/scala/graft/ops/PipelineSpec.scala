@@ -1877,6 +1877,29 @@ class PipelineSpec extends AnyFunSuite {
       Set(w1, w2).exists(Set("aurora", "borealis")) })
   }
 
+  test("dsSoftDedup(corpus, members): 1/|cluster| weights, singletons at 1.0") {
+    import spark.implicits._
+    val corpus = (1L to 6L).toDF("doc_id")
+    // two clusters: {1,2} and {4,5,6}; doc 3 unclustered
+    val members = Seq((1L, 1L), (2L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("doc_id", "canon_id")
+    val got = Pipeline.dsSoftDedup(corpus, members).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 0.5), (2L, 2L, 0.5), (3L, 1L, 1.0),
+      (4L, 3L, 0.333333), (5L, 3L, 0.333333), (6L, 3L, 0.333333)))
+    // oracle form: every clustered doc's weight replays 1/cluster_size,
+    // the twin-planted clusters exist, and effective mass < raw count
+    val orc = Pipeline.dsSoftDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(orc.exists(_._2 >= 2L))
+    orc.foreach { case (_, n, w) =>
+      val want = BigDecimal(1.0 / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(w == want)
+    }
+    assert(orc.map(_._3).sum < orc.length)
+  }
+
   test("taWinnow(docs): matches the reference winnowing fold, coverage holds") {
     import spark.implicits._
     // reference implementation straight from the paper: k-gram md5 hashes,
