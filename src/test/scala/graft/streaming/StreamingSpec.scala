@@ -863,4 +863,80 @@ class StreamingSpec extends AnyFunSuite {
     // buffered-exact recovers both sub-gaps
     assert(exact.toSet == Set((7L, 4000000L), (7L, 6000000L)))
   }
+
+  private def runTopkBatches(name: String, batches: Seq[Seq[Ev]],
+      k: Int, delay: String = "0 seconds"): Seq[(String, Long, Long, Long, Long)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = TopKTracker.topkStream(stream.toDF().withWatermark("ts", delay)
+        .select("ts", "event_id", "user_id", "event_type")
+        .as[TopKTracker.KEv], k)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    for (b <- batches) { stream.addData(b); q.processAllAvailable() }
+    val maxTs = batches.flatten.map(_.ts.getTime).max
+    stream.addData(Ev(-1L, new Timestamp(maxTs + 24L * 3600 * 1000), -1L, "zz", 0.0))
+    q.processAllAvailable()
+    stream.addData(Ev(-2L, new Timestamp(maxTs + 25L * 3600 * 1000), -1L, "zz", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).filter(col("event_type") =!= "zz").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+  }
+
+  test("topk fold: space-saving capacity, eviction order, overestimate bars") {
+    val z = TopKTracker.KState(Nil, Nil, Nil, 0L, 0L)
+    // k=2: a a b c — c must evict b (the (count,id)-minimal counter)
+    val st = TopKTracker.foldSS(z, Seq(10L, 10L, 20L, 30L), k = 2)
+    assert(st.ids == Seq(10L, 30L) && st.counts == Seq(2L, 2L) &&
+      st.errs == Seq(0L, 1L) && st.n == 4L)
+    // count ties evict the smaller id: d at n=5 must replace 10, not 30
+    val st2 = TopKTracker.foldSS(st, Seq(40L), k = 2)
+    assert(st2.ids.contains(40L) && !st2.ids.contains(10L))
+    // overestimate bars: est - err <= true <= est for the planted stream
+    assert(st.counts.zip(st.errs).forall { case (c, e) => c - e >= 1 })
+  }
+
+  test("topk: batch summary carries every true heavy hitter within bars") {
+    import spark.implicits._
+    val k = 8
+    // plant a true heavy hitter: every user_id % 5 == 0 event collapses
+    // onto user 999 (~20 % of each type's stream — far above n/k)
+    val planted = eventsBatch.withColumn("user_id",
+      expr("CASE WHEN user_id % 5 = 0 THEN 999L ELSE user_id END"))
+    val evs = planted.select("ts", "event_id", "user_id", "event_type")
+      .as[TopKTracker.KEv]
+    val got = TopKTracker.topkBatch(evs, k).collect()
+      .map(r => (r.event_type, r.user_id, r.est, r.err, r.n))
+    assert(got.nonEmpty)
+    val truth = planted.groupBy("event_type", "user_id").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // (a) est bars hold for every summary row
+    got.foreach { case (t, u, est, err, _) =>
+      val tru = truth.getOrElse((t, u), 0L)
+      assert(est - err <= tru && tru <= est, s"bars broken for ($t,$u)")
+    }
+    // (b) every id with true count > n/k is present (no false dismissal)
+    val byType = got.groupBy(_._1)
+    byType.foreach { case (t, rows) =>
+      val n = rows.head._5
+      val present = rows.map(_._2).toSet
+      truth.collect { case ((`t`, u), c) if c > n / k => u }
+        .foreach(u => assert(present(u), s"heavy hitter ($t,$u) dismissed"))
+      assert(rows.length <= k)
+    }
+  }
+
+  test("topk: ordered streaming == batch fold, emitted at quiesce") {
+    import spark.implicits._
+    val data = eventsBatch.as[Ev].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val stream = runTopkBatches("topk_out", Seq(data.toSeq), k = 8)
+    val batch = TopKTracker.topkBatch(
+      eventsBatch.select("ts", "event_id", "user_id", "event_type")
+        .as[TopKTracker.KEv], 8).collect()
+      .map(r => (r.event_type, r.user_id, r.est, r.err, r.n)).toSeq
+    assert(stream.sorted == batch.sorted && stream.nonEmpty)
+  }
 }
