@@ -62,4 +62,46 @@ object Bfs {
     adj.unpersist()
     dist
   }
+
+  /** Multi-source BFS in ONE superstep loop: per-landmark distances
+    * d(node, src) for every source in `sources`, computed simultaneously —
+    * the frontier carries (node, src) pairs, so the round count stays the
+    * graph's diameter (NOT diameter × |sources| as separate runs would
+    * pay) and each round is still one frontier⋈edges job. The landmark-
+    * distance primitive behind closeness/harmonic centrality estimates at
+    * scale (a handful of landmarks stands in for all-pairs BFS).
+    *
+    * State is |reached (node, src)| rows ≤ nodes × |sources| — linear in
+    * the landmark count, the budget a caller sizes.
+    */
+  def runMulti(spark: SparkSession, edges: DataFrame, sources: Seq[Long],
+               maxDepth: Int = Int.MaxValue): DataFrame = {
+    import spark.implicits._
+    val adj = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var dist = sources.distinct.toDF("landmark")
+      .select(col("landmark").cast("long").as("node"),
+        col("landmark").cast("long").as("src"), lit(0).as("dist"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = dist
+    var level = 0
+    var frontierSize = frontier.count()
+
+    while (frontierSize > 0 && level < maxDepth) {
+      level += 1
+      val next = frontier.select(col("node").as("fnode"), col("src").as("lsrc"))
+        .join(adj, col("fnode") === adj("src"))
+        .select(col("dst").as("node"), col("lsrc").as("src")).distinct()
+        .join(dist.select("node", "src"), Seq("node", "src"), "left_anti")
+        .select(col("node"), col("src"), lit(level).as("dist"))
+        .localCheckpoint(eager = false)
+      frontierSize = next.count()
+      dist = dist.unionAll(next)
+      frontier = next
+    }
+    adj.unpersist()
+    dist
+  }
 }

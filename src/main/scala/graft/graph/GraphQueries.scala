@@ -370,6 +370,50 @@ object GraphQueries {
     Layers.run(s, e1.unionAll(e2).unionAll(e3)).orderBy("node")
   }
 
+  /** Landmark harmonic centrality (q45): the all-pairs-BFS estimate used
+    * on graphs too big for exact centrality — pick L landmark vertices,
+    * run ONE multi-source BFS ([[Bfs.runMulti]]: diameter rounds total,
+    * not diameter × L), and score every vertex by Σ_l 1/d(v, l) over the
+    * landmarks it reaches. Landmarks are suppliers 1-4 on the q13
+    * supplier↔part graph; a vertex's own landmark row (d = 0) is excluded.
+    *
+    * Engine-exactness: distances are integers; each 1/d is rounded to 9
+    * and summed as DECIMAL(28,9) (the ta_entropy fixed-point discipline),
+    * cast+rounded once.
+    */
+  def q45_closeness(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val fwd = li.select(col("l_suppkey").as("src"),
+      (col("l_partkey") + PartOffset).as("dst")).distinct()
+    val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    Bfs.runMulti(s, edges, Seq(1L, 2L, 3L, 4L), maxDepth = 8)
+      .createOrReplaceTempView("__q45_d")
+    s.sql(
+      """SELECT node, COUNT(*) AS n_landmarks,
+        |       ROUND(CAST(SUM(CAST(ROUND(CAST(1 AS DOUBLE) / dist, 9)
+        |             AS DECIMAL(28,9))) AS DOUBLE), 6) AS harmonic
+        |FROM __q45_d WHERE dist > 0
+        |GROUP BY node ORDER BY node""".stripMargin)
+  }
+
+  val q45OracleSql: String =
+    """WITH RECURSIVE edges AS (
+      |  SELECT DISTINCT l_suppkey AS u, l_partkey + 1000000 AS v FROM lineitem
+      |  UNION
+      |  SELECT DISTINCT l_partkey + 1000000 AS u, l_suppkey AS v FROM lineitem),
+      |walk(node, src, dist) AS (
+      |  SELECT lm::BIGINT, lm::BIGINT, 0
+      |  FROM (SELECT unnest([1, 2, 3, 4]) AS lm)
+      |  UNION
+      |  SELECT e.v, w.src, w.dist + 1 FROM walk w JOIN edges e ON e.u = w.node
+      |  WHERE w.dist < 8),
+      |d AS (SELECT node, src, MIN(dist) AS dist FROM walk GROUP BY node, src)
+      |SELECT node, COUNT(*) AS n_landmarks,
+      |       ROUND(CAST(SUM(CAST(ROUND(1::DOUBLE / dist, 9)
+      |             AS DECIMAL(28,9))) AS DOUBLE), 6) AS harmonic
+      |FROM d WHERE dist > 0
+      |GROUP BY node ORDER BY node""".stripMargin.replaceAll("\n", " ")
+
   val q44OracleSql: String =
     """WITH RECURSIVE e AS (
       |  SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000 AS dst
@@ -646,6 +690,7 @@ object GraphQueries {
     "q34_kcore" -> (q34_kcore _),
     "q33_pagerank" -> (q33_pagerank _),
     "q42_hits" -> (q42_hits _),
+    "q45_closeness" -> (q45_closeness _),
     "q44_layers" -> (q44_layers _),
     "q43_scc" -> (q43_scc _),
     "q13_bfs" -> (q13_bfs _),
@@ -661,6 +706,7 @@ object GraphQueries {
     "q34_kcore" -> q34OracleSql,
     "q33_pagerank" -> q33OracleSql,
     "q42_hits" -> q42OracleSql,
+    "q45_closeness" -> q45OracleSql,
     "q44_layers" -> q44OracleSql,
     "q43_scc" -> q43OracleSql,
     "q13_bfs" -> q13OracleSql,

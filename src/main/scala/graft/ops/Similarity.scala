@@ -360,6 +360,50 @@ object Similarity {
          |WHERE rn <= $topK ORDER BY query_id, rn""".stripMargin)
   }
 
+  /** ANN recall audit: per-query recall@k of an approximate index against
+    * the exact brute-force top-k — the measurement that turns the LSH/IVF
+    * regime contract (scaladoc'd on [[ssLshAnn]]) into a CHECKED table: a
+    * pipeline runs this on a sample before trusting an index
+    * configuration, exactly as the reference sweeps its K/reducer
+    * configurations before a production run (run:267-307). `approx` and
+    * `exact` are (query_id, neighbor_id[, ...]) result relations — e.g.
+    * [[ssLshAnnOn]] and [[bruteTopkOn]] at the same k.
+    *
+    * Scale design: both inputs are query-set-sized (|Q|·k rows), so the
+    * overlap join and the per-query aggregate are metadata-scale no
+    * matter how big the corpus behind them was.
+    */
+  def ssRecall(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val s = approx.sparkSession
+    approx.createOrReplaceTempView("__rc_approx")
+    exact.createOrReplaceTempView("__rc_exact")
+    s.sql(
+      """WITH a AS (SELECT DISTINCT query_id, neighbor_id FROM __rc_approx),
+        |e AS (SELECT DISTINCT query_id, neighbor_id FROM __rc_exact)
+        |SELECT e.query_id, COUNT(*) AS n_exact,
+        |       COUNT(a.neighbor_id) AS n_hit,
+        |       ROUND(CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*), 6)
+        |         AS recall
+        |FROM e LEFT JOIN a
+        |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin)
+  }
+
+  /** The oracle-checked form: recall@5 of the 8-plane multiprobe LSH
+    * (ss_lsh_ann's exact configuration) against the brute top-5 for
+    * queries vec_id < 20 — the mid-similarity regime, so the table SHOWS
+    * the documented LSH recall collapse per query (the honest artifact;
+    * the IVF entries are the tool for this regime).
+    */
+  def ssRecall(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "embeddings").createOrReplaceTempView("__emb_rc")
+    val emb = s.table("__emb_rc")
+    val approx = ssLshAnnOn(s, emb, nPlanes = 8, queryPred = "vec_id < 20",
+      topK = 5)
+    val exact = bruteTopkOn(s, emb, queryPred = "vec_id < 20", topK = 5)
+    ssRecall(approx, exact)
+  }
+
   /** Int8 scalar-quantized top-k with exact rescoring (the FAISS "SQ8"
     * memory path): each vector is quantized per-vector-symmetrically to
     * integers in [−127,127] (q_i = round(x_i · 127 / max|x|)); candidate
@@ -799,6 +843,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ss_maxsim" -> ((s: SparkSession, dir: String) => ssMaxSim(s, dir)),
     "ss_knn_graph" -> ((s: SparkSession, dir: String) => ssKnnGraph(s, dir)),
+    "ss_recall" -> ((s: SparkSession, dir: String) => ssRecall(s, dir)),
     "ss_cosine_topk" -> (ssCosineTopk _),
     "ss_range" -> ((s: SparkSession, dir: String) => ssRangeSearch(s, dir)),
     "ss_sq_topk" -> (ssSqTopk _),
@@ -1116,6 +1161,52 @@ object Similarity {
         |  FROM norms q JOIN norms c ON q.vec_id < 5 AND c.vec_id <> q.vec_id)
         |WHERE cos >= 0.2
         |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin
+        .replaceAll("\n", " "),
+    "ss_recall" ->
+      """WITH base AS (
+        |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),
+        |sig AS (
+        |  SELECT vec_id, v, sqrt(list_sum([x * x FOR x IN v])) AS nrm,
+        |         list_sum([CASE WHEN list_sum([v[i] *
+        |             (CASE WHEN (strpos('0123456789abcdef',
+        |                    substr(md5(j::VARCHAR || ':' || i::VARCHAR), 1, 1)) - 1)
+        |                   % 2 = 0
+        |                   THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END)
+        |             FOR i IN generate_series(1, len(v))]) > 0
+        |           THEN 1 << j ELSE 0 END
+        |           FOR j IN generate_series(0, 7)])::INT AS bucket
+        |  FROM base),
+        |lsh AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           ROW_NUMBER() OVER (PARTITION BY query_id
+        |             ORDER BY cos DESC, neighbor_id) AS rn
+        |    FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |                 ROUND(list_sum([q.v[i] * c.v[i]
+        |                         FOR i IN generate_series(1, len(q.v))])
+        |                       / (q.nrm * c.nrm), 6) AS cos
+        |          FROM sig q JOIN sig c
+        |            ON bit_count(xor(q.bucket::BIGINT, c.bucket::BIGINT)) <= 1
+        |           AND q.vec_id < 20 AND c.vec_id <> q.vec_id))
+        |  WHERE rn <= 5),
+        |ex AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           ROW_NUMBER() OVER (PARTITION BY query_id
+        |             ORDER BY cos DESC, neighbor_id) AS rn
+        |    FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |                 ROUND(list_sum([q.v[i] * c.v[i]
+        |                         FOR i IN generate_series(1, len(q.v))])
+        |                       / (q.nrm * c.nrm), 6) AS cos
+        |          FROM sig q JOIN sig c
+        |            ON q.vec_id < 20 AND c.vec_id <> q.vec_id))
+        |  WHERE rn <= 5)
+        |SELECT ex.query_id, COUNT(*) AS n_exact,
+        |       COUNT(l.neighbor_id) AS n_hit,
+        |       ROUND(COUNT(l.neighbor_id)::DOUBLE / COUNT(*), 6) AS recall
+        |FROM ex LEFT JOIN lsh l
+        |  ON l.query_id = ex.query_id AND l.neighbor_id = ex.neighbor_id
+        |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
         .replaceAll("\n", " "),
     "ss_cosine_topk" ->
       """WITH base AS (

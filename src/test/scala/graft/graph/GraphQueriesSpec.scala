@@ -341,4 +341,30 @@ class GraphQueriesSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(rows.toSeq == again.toSeq)
   }
+
+  test("runMulti == per-landmark Bfs.run; q45 harmonic replays the decimal fold") {
+    import spark.implicits._
+    // hand graph: path 1-2-3-4 plus a spur 2-5, undirected
+    val und = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 2L -> 5L)
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val multi = graft.graph.Bfs.runMulti(spark, edges, Seq(1L, 4L))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    for (lm <- Seq(1L, 4L)) {
+      val single = graft.graph.Bfs.run(spark, edges, Seq(lm))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      single.foreach { case (n, d) => assert(multi((n, lm)) == d) }
+    }
+    // q45: harmonic = Σ round(1/d, 9) over reached landmarks, d > 0 only
+    val rows = GraphQueries.q45_closeness(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nl, h) =>
+      assert(nl >= 1 && nl <= 4)
+      // harmonic of nl landmarks at distance >= 1 is bounded by nl
+      assert(h > 0.0 && h <= nl.toDouble)
+    }
+    // landmarks themselves: node 1 reaches landmarks 2..4 but not itself
+    val lm1 = rows.find(_._1 == 1L)
+    assert(lm1.exists(_._2 <= 3))
+  }
 }

@@ -379,4 +379,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(want.forall { case (_, _, ra, rb) => ra <= k && rb <= k })
     assert(want.count { case (a, b, _, _) => a < 6 && b < 6 } >= 4)
   }
+
+  test("ssRecall: replays the approx∩exact overlap, algebra exact") {
+    val sf = "/root/testdata/sf0.001"
+    graft.Tables.load(spark, sf, "embeddings")
+      .createOrReplaceTempView("__emb_rct")
+    val emb = spark.table("__emb_rct")
+    val approx = Similarity.ssLshAnnOn(spark, emb, 8, "vec_id < 20", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.bruteTopkOn(spark, emb, "vec_id < 20", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.ssRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty && got.length == exact.map(_._1).size)
+    got.foreach { case (q, nExact, nHit, recall) =>
+      val e = exact.filter(_._1 == q)
+      assert(nExact == e.size && nExact <= 5)
+      assert(nHit == e.count(approx))
+      val want = BigDecimal(nHit.toDouble / nExact)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(recall == want)
+    }
+  }
 }
