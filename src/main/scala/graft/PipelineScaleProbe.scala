@@ -94,6 +94,12 @@ object PipelineScaleProbe {
     // addendum15 corpus: cross-corpus LSH decontam at 250k×250k docs,
     // shard manifest at 500k media, ewma/dow at 10M events
     if (args.headOption.contains("addendum16")) { addendum16(args(1)); return }
+    // `addendum17 <nDocs> <nEvents> <outBase>` — round-7 batch-A..E ops:
+    // colloc/winnow/softdedup/align at corpus scale, survival at event
+    // scale
+    if (args.headOption.contains("addendum17")) {
+      addendum17(args(1).toInt, args(2).toInt, args(3)); return
+    }
     // `addendum13 <nDocs> <nEvents> <nVec> <outBase>` — gaps/gini at
     // event scale, epochs/ngram at corpus scale, range at vector scale
     if (args.headOption.contains("addendum13")) {
@@ -1255,6 +1261,127 @@ object PipelineScaleProbe {
     * EWMA closed form replayed against the sequential recurrence on the
     * driver — it must be EXACT, not close).
     */
+  /** Round-7 new-op legs at 100× the bench SF: generates a fresh zipf
+    * corpus + event stream (the addendum15 generators), then runs each
+    * new operator's REAL query path with its scale invariant.
+    */
+  private def addendum17(nDocs: Int, nEvents: Int, outBase: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val seed = 2026L
+    val dir = s"$outBase/sf$nDocs"
+    spark.range(0L, nDocs.toLong).map(docFor(_, seed))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val nUsers = scala.math.max(100, nEvents / 666)
+    spark.range(0L, nEvents.toLong).map(evFor(_, nUsers, seed))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    println(s"PSCALE gen17 nDocs=$nDocs nEvents=$nEvents")
+
+    def wall[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // ta_colloc: count relations are vocabulary-sized at ANY corpus —
+    // the planted pair must carry the table's max lift
+    val (colloc, cw) = wall(ops.TextAnalysis.taColloc(spark, dir).collect())
+    require(colloc.nonEmpty, "colloc empty")
+    val maxLift = colloc.map(_.getDouble(5)).max
+    val planted = colloc.find(r =>
+      r.getString(0) == "aurora" && r.getString(1) == "borealis")
+    require(planted.exists(_.getDouble(5) == maxLift),
+      "planted collocation does not dominate")
+    println(f"PSCALE q=ta_colloc t=$cw%.1f s rows=${colloc.length} " +
+      f"planted lift=${planted.get.getDouble(5)}%.1f (table max)")
+
+    // ta_winnow: fingerprint density ~2/(w+1); the paper's coverage bound
+    // (no gap over w between selected positions) must hold corpus-wide
+    val (_, ww) = wall {
+      ops.TextAnalysis.taWinnow(spark, dir)
+        .write.mode("overwrite").parquet(s"$dir/results/ta_winnow.parquet")
+    }
+    val fp = spark.read.parquet(s"$dir/results/ta_winnow.parquet")
+    fp.createOrReplaceTempView("__fp17")
+    val nFp = fp.count()
+    val badGap = spark.sql(
+      """SELECT COUNT(*) FROM (
+        |  SELECT pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+        |           AS gap
+        |  FROM __fp17)
+        |WHERE gap > 4""".stripMargin).head().getLong(0)
+    require(badGap == 0, s"$badGap fingerprint gaps exceed the window")
+    val nGrams = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("SUM(GREATEST(size(split(text, ' ')) - 2, 0)) AS g")
+      .head().getLong(0)
+    val density = nFp.toDouble / nGrams
+    require(density > 0.2 && density < 0.6,
+      f"winnow density $density%.3f outside the 2/(w+1) band")
+    println(f"PSCALE q=ta_winnow t=$ww%.1f s fp=$nFp " +
+      f"density=$density%.3f (theory 0.4) maxgap<=4 corpus-wide")
+
+    // ev_survival: the risk-set table is duration-vocabulary-sized; risk
+    // sets strictly decrease and bins close to the subject total
+    val (surv, sw) = wall(ops.Sessionize.evSurvival(spark, dir).collect())
+    require(surv.nonEmpty, "survival empty")
+    val risks = surv.map(_.getLong(1)).toSeq
+    require(risks == risks.sorted.reverse, "risk sets not non-increasing")
+    require(surv.map(_.getLong(2)).sum == risks.head,
+      "uncensored bins do not close to the subject total")
+    println(f"PSCALE q=ev_survival t=$sw%.1f s bins=${surv.length} " +
+      s"subjects=${risks.head} (risk sets monotone, bins close)")
+
+    // mm_align: one segment per frame, exactly — parity with the frame
+    // relation at media scale
+    val (nFrames, fw) = wall(ops.Multimodal.mmFrames(spark, dir).count())
+    val (al, aw) = wall {
+      ops.Multimodal.mmAlign(spark, dir)
+        .write.mode("overwrite").parquet(s"$dir/results/mm_align.parquet")
+      spark.read.parquet(s"$dir/results/mm_align.parquet")
+    }
+    val nAl = al.count()
+    require(nAl == nFrames, s"aligned $nAl != frames $nFrames")
+    val dup = nAl - al.select("media_id", "frame_idx").distinct().count()
+    require(dup == 0, s"$dup frames aligned to more than one segment")
+    println(f"PSCALE q=mm_align t=$aw%.1f s frames=$nFrames " +
+      f"(frame pass $fw%.1f s) one-segment-per-frame exact")
+
+    // ds_softdedup: the full simhash+resolve chain at corpus scale, then
+    // the weight algebra corpus-wide in SQL (no driver collect)
+    val (sd, dw) = wall {
+      ops.Pipeline.dsSoftDedup(spark, dir)
+        .write.mode("overwrite").parquet(s"$dir/results/ds_softdedup.parquet")
+      spark.read.parquet(s"$dir/results/ds_softdedup.parquet")
+    }
+    sd.createOrReplaceTempView("__sd17")
+    val badW = spark.sql(
+      """SELECT COUNT(*) FROM __sd17
+        |WHERE weight <> ROUND(CAST(1 AS DOUBLE) / cluster_size, 6)""".stripMargin)
+      .head().getLong(0)
+    require(badW == 0, s"$badW rows break the 1/n weight algebra")
+    val agg = spark.sql(
+      "SELECT COUNT(*), SUM(weight), SUM(CASE WHEN cluster_size >= 2 " +
+        "THEN 1 ELSE 0 END) FROM __sd17").head()
+    val (rows, mass, clustered) =
+      (agg.getLong(0), agg.getDouble(1), agg.getLong(2))
+    require(mass < rows && clustered > 0, "no dedup mass reduction")
+    println(f"PSCALE q=ds_softdedup t=$dw%.1f s rows=$rows " +
+      f"effective=$mass%.0f clustered=$clustered")
+
+    println("PSCALE addendum17 done")
+    spark.stop()
+  }
+
   private def addendum16(dir: String): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")

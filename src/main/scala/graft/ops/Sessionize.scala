@@ -1100,7 +1100,44 @@ object Sessionize {
       "(unix_micros(sess_end) - unix_micros(sess_start)) div 60000000 AS t",
       "false AS censored"))
 
+  /** Per-day activity leaderboard: the top `k` users of every
+    * (event_type, day) cell by event count, deterministic (count DESC,
+    * user_id) tiebreak — the exact-top-k batch sibling of the streaming
+    * Space-Saving summary ([[graft.streaming.TopKTracker]]); a dashboard
+    * reads this, the tracker approximates it online.
+    *
+    * Scale design: one (type, day, user) partial+final count, then a
+    * rank window over (type, day) groups that Spark executes with a
+    * map-side WindowGroupLimit (each task keeps k rows per group before
+    * the exchange — the ds_sample plan shape), so the exchange carries
+    * O(groups × k), not the full user×day grid. Days are integer
+    * epoch-days (the ev_retention discipline).
+    */
+  def evDailyTop(events: DataFrame, k: Int = 3): DataFrame = {
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__dt_events")
+    s.sql(
+      s"""WITH d AS (
+         |  SELECT event_type, unix_micros(ts) div 86400000000 AS day,
+         |         user_id, COUNT(*) AS n
+         |  FROM __dt_events GROUP BY event_type, 2, user_id)
+         |SELECT event_type, day, user_id, n, rn FROM (
+         |  SELECT event_type, day, user_id, n,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY event_type, day
+         |                ORDER BY n DESC, user_id) AS BIGINT) AS rn
+         |  FROM d)
+         |WHERE rn <= $k
+         |ORDER BY event_type, day, rn""".stripMargin)
+  }
+
+  /** The oracle-checked form: top-3 per (type, day) over the testdata. */
+  def evDailyTop(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evDailyTop(s.table("__events"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_daily_top" -> ((s: SparkSession, dir: String) => evDailyTop(s, dir)),
     "ev_survival" -> ((s: SparkSession, dir: String) => evSurvival(s, dir)),
     "ev_ltv" -> ((s: SparkSession, dir: String) => evLtv(s, dir)),
     "ev_dow" -> ((s: SparkSession, dir: String) => evDow(s, dir)),
@@ -1129,6 +1166,15 @@ object Sessionize {
       "* (1::DOUBLE / na + 1::DOUBLE / nb))")
 
   val oracleSql: Map[String, String] = Map(
+    "ev_daily_top" ->
+      ("""WITH d AS (SELECT event_type, """ +
+        """epoch_us(ts) // 86400000000 AS day, user_id, COUNT(*) AS n """ +
+        """FROM events GROUP BY event_type, 2, user_id) """ +
+        """SELECT event_type, day, user_id, n, rn FROM ( """ +
+        """SELECT event_type, day, user_id, n, """ +
+        """ROW_NUMBER() OVER (PARTITION BY event_type, day """ +
+        """ORDER BY n DESC, user_id) AS rn FROM d) """ +
+        """WHERE rn <= 3 ORDER BY event_type, day, rn"""),
     "ev_survival" ->
       (s"""WITH flagged AS (
          |  SELECT user_id, ts, event_id,

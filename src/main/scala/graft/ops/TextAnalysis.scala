@@ -838,7 +838,63 @@ object TextAnalysis {
   def taWinnow(s: SparkSession, dir: String): DataFrame =
     taWinnow(Tables.load(s, dir, "documents").select("doc_id", "text"))
 
+  /** Per-source distribution drift: Jensen-Shannon divergence (in bits)
+    * between each source's unigram distribution and the whole corpus's —
+    * the domain-shift monitor a training pipeline runs per ingest source
+    * (a source whose token distribution bends away from the mix gets
+    * routed to language-ID / quality scrutiny). JSD is the symmetric,
+    * bounded ([0,1] bits) alternative to raw KL.
+    *
+    * Engine-exactness: every log2 argument is an EXACT-INTEGER double
+    * (p/m and q/m are rewritten as integer ratios — p/m = 2·c_sw·T /
+    * (c_sw·T + c_w·T_s) — so log2(ratio) becomes log2(int) − log2(int),
+    * the ta_entropy discipline that keeps libm differences out); each
+    * term is rounded to 9 and summed as DECIMAL(28,9).
+    *
+    * Scale design: one corpus pass feeds a (source, token) partial+final
+    * count; everything after is vocabulary × sources sized (the grid is
+    * tiny — broadcast joins), so the divergence table costs one shuffle
+    * regardless of corpus size.
+    */
+  def taJsd(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__jsd_docs")
+    s.sql(
+      """WITH tok AS (
+        |  SELECT source, explode(split(text, ' ')) AS w FROM __jsd_docs),
+        |sw AS (SELECT source, w, COUNT(*) AS c FROM tok GROUP BY source, w),
+        |st AS (SELECT source, SUM(c) AS tsrc FROM sw GROUP BY source),
+        |cw AS (SELECT w, SUM(c) AS cg FROM sw GROUP BY w),
+        |tt AS (SELECT SUM(c) AS t FROM sw),
+        |grid AS (
+        |  SELECT st.source, cw.w, COALESCE(sw.c, 0) AS csw,
+        |         st.tsrc, cw.cg, tt.t
+        |  FROM st CROSS JOIN cw CROSS JOIN tt
+        |  LEFT JOIN sw ON sw.source = st.source AND sw.w = cw.w),
+        |terms AS (
+        |  SELECT source, tsrc,
+        |         CAST(ROUND(CASE WHEN csw = 0 THEN CAST(0 AS DOUBLE) ELSE
+        |           (CAST(csw AS DOUBLE) / tsrc) *
+        |           (log2(CAST(2 * csw AS DOUBLE) * t) -
+        |            log2(CAST(csw AS DOUBLE) * t + CAST(cg AS DOUBLE) * tsrc))
+        |           END, 9) AS DECIMAL(28,9)) AS pterm,
+        |         CAST(ROUND(
+        |           (CAST(cg AS DOUBLE) / t) *
+        |           (log2(CAST(2 * cg AS DOUBLE) * tsrc) -
+        |            log2(CAST(csw AS DOUBLE) * t + CAST(cg AS DOUBLE) * tsrc)),
+        |           9) AS DECIMAL(28,9)) AS qterm
+        |  FROM grid)
+        |SELECT source, MAX(tsrc) AS n_tokens,
+        |       ROUND(CAST(SUM(pterm) + SUM(qterm) AS DOUBLE) / 2, 6) AS jsd
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata corpus's `source` column. */
+  def taJsd(s: SparkSession, dir: String): DataFrame =
+    taJsd(Tables.load(s, dir, "documents").select("doc_id", "text", "source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_jsd" -> ((s: SparkSession, dir: String) => taJsd(s, dir)),
     "ta_winnow" -> ((s: SparkSession, dir: String) => taWinnow(s, dir)),
     "ta_colloc" -> ((s: SparkSession, dir: String) => taColloc(s, dir)),
     "ta_vocab" -> ((s: SparkSession, dir: String) => taVocabCoverage(s, dir)),
@@ -863,6 +919,27 @@ object TextAnalysis {
   private val sqlToks = "string_split(text, ' ')"
 
   val oracleSql: Map[String, String] = Map(
+    "ta_jsd" ->
+      ("WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w " +
+        "FROM documents), " +
+        "sw AS (SELECT source, w, COUNT(*) AS c FROM tok GROUP BY source, w), " +
+        "st AS (SELECT source, SUM(c)::BIGINT AS tsrc FROM sw GROUP BY source), " +
+        "cw AS (SELECT w, SUM(c)::BIGINT AS cg FROM sw GROUP BY w), " +
+        "tt AS (SELECT SUM(c)::BIGINT AS t FROM sw), " +
+        "grid AS (SELECT st.source, cw.w, COALESCE(sw.c, 0) AS csw, " +
+        "st.tsrc, cw.cg, tt.t FROM st CROSS JOIN cw CROSS JOIN tt " +
+        "LEFT JOIN sw ON sw.source = st.source AND sw.w = cw.w), " +
+        "terms AS (SELECT source, tsrc, " +
+        "CAST(ROUND(CASE WHEN csw = 0 THEN 0.0::DOUBLE ELSE " +
+        "(csw::DOUBLE / tsrc) * (log2((2 * csw)::DOUBLE * t) - " +
+        "log2(csw::DOUBLE * t + cg::DOUBLE * tsrc)) END, 9) " +
+        "AS DECIMAL(28,9)) AS pterm, " +
+        "CAST(ROUND((cg::DOUBLE / t) * (log2((2 * cg)::DOUBLE * tsrc) - " +
+        "log2(csw::DOUBLE * t + cg::DOUBLE * tsrc)), 9) " +
+        "AS DECIMAL(28,9)) AS qterm FROM grid) " +
+        "SELECT source, MAX(tsrc) AS n_tokens, " +
+        "ROUND(CAST(SUM(pterm) + SUM(qterm) AS DOUBLE) / 2, 6) AS jsd " +
+        "FROM terms GROUP BY source ORDER BY source"),
     "ta_winnow" ->
       (s"WITH tok AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
         "g AS (SELECT doc_id, i::BIGINT AS pos, " +

@@ -83,6 +83,10 @@ class EmptyInputSpec extends AnyFunSuite {
       Seq.empty[(Long, Boolean)].toDF("t", "censored")).count() == 0)
     assert(TextAnalysis.taColloc(emptyDocs).count() == 0)
     assert(TextAnalysis.taWinnow(emptyDocs).count() == 0)
+    assert(TextAnalysis.taJsd(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source"))
+      .count() == 0)
+    assert(Sessionize.evDailyTop(emptyEvents).count() == 0)
     assert(Pipeline.dsSoftDedup(
       Seq.empty[Long].toDF("doc_id"),
       Seq.empty[(Long, Long)].toDF("doc_id", "canon_id")).count() == 0)

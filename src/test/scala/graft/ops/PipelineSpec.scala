@@ -1877,6 +1877,59 @@ class PipelineSpec extends AnyFunSuite {
       Set(w1, w2).exists(Set("aurora", "borealis")) })
   }
 
+  test("taJsd(docs): identical source == 0, disjoint vocab hand value") {
+    import spark.implicits._
+    // both sources equal the corpus distribution -> jsd exactly 0
+    val same = Seq((1L, "x y", "A"), (2L, "x y", "B"))
+      .toDF("doc_id", "text", "source")
+    val z = TextAnalysis.taJsd(same).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(z.toSeq == Seq(("A", 2L, 0.0), ("B", 2L, 0.0)))
+    // disjoint vocabularies: P=(a:1) vs corpus mix (a:.5, b:.5) — the
+    // closed-form JSD is 0.311278 bits (hand fold in the comment)
+    val dis = Seq((1L, "a a", "A"), (2L, "b b", "B"))
+      .toDF("doc_id", "text", "source")
+    val d = TextAnalysis.taJsd(dis).collect()
+      .map(r => (r.getString(0), r.getDouble(2)))
+    assert(d.toSeq == Seq(("A", 0.311278), ("B", 0.311278)))
+    // oracle form: bounded in [0,1] bits, every source present
+    val orc = TextAnalysis.taJsd(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(2)))
+    assert(orc.nonEmpty)
+    orc.foreach { case (_, j) => assert(j >= 0.0 && j <= 1.0) }
+  }
+
+  test("evDailyTop(events): rank/tiebreak on a hand day, group invariants") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // one (view, day) cell: u2 has 3 events, u1 and u3 have 2 each (u1
+    // wins the tie by id), u4 has 1 and must be cut at k=3
+    val evs = Seq(
+      (1L, t("2024-06-03 10:00:00"), 2L), (2L, t("2024-06-03 10:01:00"), 2L),
+      (3L, t("2024-06-03 10:02:00"), 2L), (4L, t("2024-06-03 11:00:00"), 1L),
+      (5L, t("2024-06-03 11:01:00"), 1L), (6L, t("2024-06-03 12:00:00"), 3L),
+      (7L, t("2024-06-03 12:01:00"), 3L), (8L, t("2024-06-03 13:00:00"), 4L))
+      .map { case (e, ts, u) => (e, ts, u, "view", 0.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Sessionize.evDailyTop(evs, 3).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((2L, 3L, 1L), (1L, 2L, 2L), (3L, 2L, 3L)))
+    // oracle form: <= 3 rows per cell, counts non-increasing down the rank
+    val orc = Sessionize.evDailyTop(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(orc.nonEmpty)
+    orc.groupBy(t => (t._1, t._2)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_._4)
+      assert(byRank.length <= 3 && byRank.map(_._4).toSeq == (1L to byRank.length))
+      val ns = byRank.map(_._3).toSeq
+      assert(ns == ns.sorted.reverse)
+    }
+    // the rank cut rides a map-side WindowGroupLimit (the ds_sample shape)
+    val plan = Sessionize.evDailyTop(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"group-limit pushdown lost")
+  }
+
   test("dsSoftDedup(corpus, members): 1/|cluster| weights, singletons at 1.0") {
     import spark.implicits._
     val corpus = (1L to 6L).toDF("doc_id")
