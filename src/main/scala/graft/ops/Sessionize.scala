@@ -1136,7 +1136,47 @@ object Sessionize {
     evDailyTop(s.table("__events"))
   }
 
+  /** Churn-label generation (the training-label primitive of every churn
+    * model): two adjacent `wDays`-day windows ending at the stream's max
+    * timestamp — every user active in the OBSERVATION window W1
+    * (2w..w days back) gets their W1/W2 activity counts and the label
+    * `churned` = no event in the OUTCOME window W2 (last w days). The
+    * half-open bounds make each event belong to exactly one window.
+    *
+    * Scale design: the window edge is ONE scalar (MAX ts) broadcast via
+    * a single-row cross join; both window counts are user-keyed
+    * partial+final aggregates sharing the user_id partitioning with the
+    * final left join.
+    */
+  def evChurn(events: DataFrame, wDays: Int = 7): DataFrame = {
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__ch_events")
+    s.sql(
+      s"""WITH w AS (SELECT MAX(ts) AS wend FROM __ch_events),
+         |w1 AS (
+         |  SELECT user_id, COUNT(*) AS n_w1 FROM __ch_events CROSS JOIN w
+         |  WHERE ts > wend - INTERVAL ${2 * wDays} DAY
+         |    AND ts <= wend - INTERVAL $wDays DAY
+         |  GROUP BY user_id),
+         |w2 AS (
+         |  SELECT user_id, COUNT(*) AS n_w2 FROM __ch_events CROSS JOIN w
+         |  WHERE ts > wend - INTERVAL $wDays DAY
+         |  GROUP BY user_id)
+         |SELECT w1.user_id, w1.n_w1,
+         |       COALESCE(w2.n_w2, CAST(0 AS BIGINT)) AS n_w2,
+         |       COALESCE(w2.n_w2, CAST(0 AS BIGINT)) = 0 AS churned
+         |FROM w1 LEFT JOIN w2 ON w2.user_id = w1.user_id
+         |ORDER BY w1.user_id""".stripMargin)
+  }
+
+  /** The oracle-checked form: 7-day windows over the testdata events. */
+  def evChurn(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evChurn(s.table("__events"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_churn" -> ((s: SparkSession, dir: String) => evChurn(s, dir)),
     "ev_daily_top" -> ((s: SparkSession, dir: String) => evDailyTop(s, dir)),
     "ev_survival" -> ((s: SparkSession, dir: String) => evSurvival(s, dir)),
     "ev_ltv" -> ((s: SparkSession, dir: String) => evLtv(s, dir)),
@@ -1166,6 +1206,17 @@ object Sessionize {
       "* (1::DOUBLE / na + 1::DOUBLE / nb))")
 
   val oracleSql: Map[String, String] = Map(
+    "ev_churn" ->
+      ("""WITH w AS (SELECT MAX(ts) AS wend FROM events), """ +
+        """w1 AS (SELECT user_id, COUNT(*) AS n_w1 FROM events CROSS JOIN w """ +
+        """WHERE ts > wend - INTERVAL 14 DAY AND ts <= wend - INTERVAL 7 DAY """ +
+        """GROUP BY user_id), """ +
+        """w2 AS (SELECT user_id, COUNT(*) AS n_w2 FROM events CROSS JOIN w """ +
+        """WHERE ts > wend - INTERVAL 7 DAY GROUP BY user_id) """ +
+        """SELECT w1.user_id, w1.n_w1, COALESCE(w2.n_w2, 0)::BIGINT AS n_w2, """ +
+        """COALESCE(w2.n_w2, 0) = 0 AS churned """ +
+        """FROM w1 LEFT JOIN w2 ON w2.user_id = w1.user_id """ +
+        """ORDER BY w1.user_id"""),
     "ev_daily_top" ->
       ("""WITH d AS (SELECT event_type, """ +
         """epoch_us(ts) // 86400000000 AS day, user_id, COUNT(*) AS n """ +

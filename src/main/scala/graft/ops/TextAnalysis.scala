@@ -893,7 +893,50 @@ object TextAnalysis {
   def taJsd(s: SparkSession, dir: String): DataFrame =
     taJsd(Tables.load(s, dir, "documents").select("doc_id", "text", "source"))
 
+  /** Token burstiness (Church & Gale's "Poisson mixtures" diagnostic):
+    * for the corpus's top-20 tokens by total frequency, the Fano factor
+    * of the per-document count distribution — variance-to-mean over ALL
+    * documents (absences count as zero). A Poisson (function) word sits
+    * at fano ≈ 1; a topical/bursty word clumps into few documents and
+    * scores ≫ 1 — the signal keyword extractors and stopword-list
+    * builders split on.
+    *
+    * Engine-exactness: fano = (N·Σc² − (Σc)²) / (N·Σc) computed as ONE
+    * double expression over integer aggregates — same IEEE sequence both
+    * engines, one final ROUND (the ta_colloc discipline).
+    *
+    * Scale design: one (doc, token) partial+final count, one token-level
+    * rollup carrying Σc and Σc² (vocabulary-sized), the ta_zipf
+    * TakeOrdered top-20 cut, and a single-row N cross join. Nothing
+    * corpus-sized is sorted or joined.
+    */
+  def taBurstiness(docs: DataFrame, topK: Int = 20): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__bu_docs")
+    s.sql(
+      s"""WITH nd AS (SELECT COUNT(*) AS n FROM __bu_docs),
+         |dc AS (
+         |  SELECT tok, COUNT(*) AS c FROM (
+         |    SELECT doc_id, explode(split(text, ' ')) AS tok FROM __bu_docs)
+         |  GROUP BY doc_id, tok),
+         |tok AS (
+         |  SELECT tok, SUM(c) AS tf, COUNT(*) AS df,
+         |         SUM(c * c) AS sc2
+         |  FROM dc GROUP BY tok
+         |  ORDER BY tf DESC, tok LIMIT $topK)
+         |SELECT tok, tf, df,
+         |       ROUND((CAST(nd.n AS DOUBLE) * sc2 - CAST(tf AS DOUBLE) * tf)
+         |             / (CAST(nd.n AS DOUBLE) * tf), 6) AS fano
+         |FROM tok CROSS JOIN nd
+         |ORDER BY tf DESC, tok""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata corpus. */
+  def taBurstiness(s: SparkSession, dir: String): DataFrame =
+    taBurstiness(Tables.load(s, dir, "documents").select("doc_id", "text"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_burstiness" -> ((s: SparkSession, dir: String) => taBurstiness(s, dir)),
     "ta_jsd" -> ((s: SparkSession, dir: String) => taJsd(s, dir)),
     "ta_winnow" -> ((s: SparkSession, dir: String) => taWinnow(s, dir)),
     "ta_colloc" -> ((s: SparkSession, dir: String) => taColloc(s, dir)),
@@ -919,6 +962,17 @@ object TextAnalysis {
   private val sqlToks = "string_split(text, ' ')"
 
   val oracleSql: Map[String, String] = Map(
+    "ta_burstiness" ->
+      (s"WITH nd AS (SELECT COUNT(*) AS n FROM documents), " +
+        "dc AS (SELECT tok, COUNT(*) AS c FROM " +
+        s"(SELECT doc_id, unnest($sqlToks) AS tok FROM documents) " +
+        "GROUP BY doc_id, tok), " +
+        "tok AS (SELECT tok, SUM(c)::BIGINT AS tf, COUNT(*) AS df, " +
+        "SUM(c * c)::BIGINT AS sc2 FROM dc GROUP BY tok " +
+        "ORDER BY tf DESC, tok LIMIT 20) " +
+        "SELECT tok, tf, df, " +
+        "ROUND((nd.n::DOUBLE * sc2 - tf::DOUBLE * tf) / (nd.n::DOUBLE * tf), 6) " +
+        "AS fano FROM tok CROSS JOIN nd ORDER BY tf DESC, tok"),
     "ta_jsd" ->
       ("WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w " +
         "FROM documents), " +

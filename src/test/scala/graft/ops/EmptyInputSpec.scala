@@ -87,6 +87,8 @@ class EmptyInputSpec extends AnyFunSuite {
       Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source"))
       .count() == 0)
     assert(Sessionize.evDailyTop(emptyEvents).count() == 0)
+    assert(Sessionize.evChurn(emptyEvents).count() == 0)
+    assert(TextAnalysis.taBurstiness(emptyDocs).count() == 0)
     assert(Pipeline.dsSoftDedup(
       Seq.empty[Long].toDF("doc_id"),
       Seq.empty[(Long, Long)].toDF("doc_id", "canon_id")).count() == 0)

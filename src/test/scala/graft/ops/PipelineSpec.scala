@@ -1877,6 +1877,53 @@ class PipelineSpec extends AnyFunSuite {
       Set(w1, w2).exists(Set("aurora", "borealis")) })
   }
 
+  test("taBurstiness(docs): uniform word ~ concentrated word separate exactly") {
+    import spark.implicits._
+    // 4 docs; 'u' once per doc (uniform: fano = (4*4-16)/(4*4) = 0);
+    // 'b' 4 times in ONE doc (bursty: fano = (4*16-16)/(4*4) = 3)
+    val docs = Seq((1L, "u b b b b"), (2L, "u"), (3L, "u"), (4L, "u"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.taBurstiness(docs, topK = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(("b", 4L, 1L, 3.0), ("u", 4L, 4L, 0.0)))
+    // oracle form: 20 rows, fano replays the integer algebra, all >= 0
+    val n = graft.Tables.load(spark, sf, "documents").count()
+    val orc = TextAnalysis.taBurstiness(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(orc.length == 20)
+    orc.foreach { case (tf, df, fano) =>
+      assert(df <= n && fano >= 0.0)
+      assert(tf >= df)
+    }
+  }
+
+  test("evChurn(events): window edges half-open, planted churner labeled") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // wend = 06-15 12:00. W2 = (06-08 12:00, 06-15 12:00];
+    // W1 = (06-01 12:00, 06-08 12:00].
+    val evs = Seq(
+      (1L, t("2024-06-15 12:00:00"), 1L),  // wend anchor, user 1 in W2
+      (2L, t("2024-06-05 09:00:00"), 1L),  // user 1 in W1 -> retained
+      (3L, t("2024-06-08 12:00:00"), 2L),  // boundary: belongs to W1
+      (4L, t("2024-06-02 00:00:00"), 3L),  // user 3 only W1 -> churned
+      (5L, t("2024-06-10 00:00:00"), 4L),  // user 4 only W2 -> absent
+      (6L, t("2024-06-01 11:00:00"), 5L))  // before W1 -> absent
+      .map { case (e, ts, u) => (e, ts, u, "view", 0.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Sessionize.evChurn(evs, 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq((1L, 1L, 1L, false), (2L, 1L, 0L, true),
+      (3L, 1L, 0L, true)))
+    // oracle form: every W1-active user labeled; n_w2 = 0 iff churned
+    val orc = Sessionize.evChurn(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(orc.nonEmpty)
+    orc.foreach { case (n1, n2, ch) =>
+      assert(n1 > 0 && ch == (n2 == 0))
+    }
+  }
+
   test("taJsd(docs): identical source == 0, disjoint vocab hand value") {
     import spark.implicits._
     // both sources equal the corpus distribution -> jsd exactly 0
