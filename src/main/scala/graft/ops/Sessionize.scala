@@ -1175,7 +1175,46 @@ object Sessionize {
     evChurn(s.table("__events"))
   }
 
+  /** Audience overlap matrix: for every event-type pair (a < b), the
+    * distinct-user intersection, both audience sizes, and the Jaccard —
+    * "do clickers also purchase" as a table. [[evCooccur]] scores
+    * within-SESSION co-occurrence; this is the account-level version a
+    * growth dashboard reads.
+    *
+    * Scale design: the (type, user) incidence is distinct-compacted FIRST
+    * (one shuffle, types×users bounded), so the pair join's fan-in per
+    * user is the type count (single digits) — linear in users, never
+    * events² — and the audience-size relation broadcasts.
+    */
+  def evOverlap(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__ov_events")
+    s.sql(
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM __ov_events),
+        |cnt AS (SELECT event_type, COUNT(*) AS n FROM tu GROUP BY event_type),
+        |inter AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         COUNT(*) AS n_both
+        |  FROM tu a JOIN tu b
+        |    ON b.user_id = a.user_id AND a.event_type < b.event_type
+        |  GROUP BY a.event_type, b.event_type)
+        |SELECT i.type_a, i.type_b, i.n_both, ca.n AS n_a, cb.n AS n_b,
+        |       ROUND(CAST(i.n_both AS DOUBLE) / (ca.n + cb.n - i.n_both), 6)
+        |         AS jaccard
+        |FROM inter i
+        |JOIN cnt ca ON ca.event_type = i.type_a
+        |JOIN cnt cb ON cb.event_type = i.type_b
+        |ORDER BY type_a, type_b""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata events. */
+  def evOverlap(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evOverlap(s.table("__events"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_overlap" -> ((s: SparkSession, dir: String) => evOverlap(s, dir)),
     "ev_churn" -> ((s: SparkSession, dir: String) => evChurn(s, dir)),
     "ev_daily_top" -> ((s: SparkSession, dir: String) => evDailyTop(s, dir)),
     "ev_survival" -> ((s: SparkSession, dir: String) => evSurvival(s, dir)),
@@ -1206,6 +1245,19 @@ object Sessionize {
       "* (1::DOUBLE / na + 1::DOUBLE / nb))")
 
   val oracleSql: Map[String, String] = Map(
+    "ev_overlap" ->
+      ("""WITH tu AS (SELECT DISTINCT event_type, user_id FROM events), """ +
+        """cnt AS (SELECT event_type, COUNT(*) AS n FROM tu """ +
+        """GROUP BY event_type), """ +
+        """inter AS (SELECT a.event_type AS type_a, b.event_type AS type_b, """ +
+        """COUNT(*) AS n_both FROM tu a JOIN tu b """ +
+        """ON b.user_id = a.user_id AND a.event_type < b.event_type """ +
+        """GROUP BY a.event_type, b.event_type) """ +
+        """SELECT i.type_a, i.type_b, i.n_both, ca.n AS n_a, cb.n AS n_b, """ +
+        """ROUND(i.n_both::DOUBLE / (ca.n + cb.n - i.n_both), 6) AS jaccard """ +
+        """FROM inter i JOIN cnt ca ON ca.event_type = i.type_a """ +
+        """JOIN cnt cb ON cb.event_type = i.type_b """ +
+        """ORDER BY type_a, type_b"""),
     "ev_churn" ->
       ("""WITH w AS (SELECT MAX(ts) AS wend FROM events), """ +
         """w1 AS (SELECT user_id, COUNT(*) AS n_w1 FROM events CROSS JOIN w """ +

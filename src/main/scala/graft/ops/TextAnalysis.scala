@@ -935,7 +935,53 @@ object TextAnalysis {
   def taBurstiness(s: SparkSession, dir: String): DataFrame =
     taBurstiness(Tables.load(s, dir, "documents").select("doc_id", "text"))
 
+  /** Heaps'-law vocabulary growth: cumulative docs / tokens / distinct
+    * vocabulary at ten ingest checkpoints (doc-id-range deciles — exact
+    * ingest-order deciles when ids are dense, the testdata/generator
+    * case). A natural corpus grows V(n) ~ K·n^β, β ≈ 0.5-0.7; a flat
+    * curve exposes a capped template vocabulary, a linear one exposes
+    * id-bearing junk tokens — the corpus-health curve next to ta_zipf's.
+    *
+    * Engine-exactness: all integers; the decile of a doc is
+    * ((doc_id − lo)·10) div (hi − lo) from two scalar bounds — no global
+    * sort, no corpus-sized window.
+    *
+    * Scale design: one (token) MIN-aggregate for first appearances
+    * (vocabulary-sized), one per-doc token count (partial+final), both
+    * bucketed to 10 rows; the cumulative window runs over those 10 rows
+    * only. The bounds relation is a single broadcast row.
+    */
+  def taHeaps(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__hp_docs")
+    s.sql(
+      """WITH tok AS (
+        |  SELECT doc_id, explode(split(text, ' ')) AS tok FROM __hp_docs),
+        |b AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) + 1 AS hi FROM __hp_docs),
+        |td AS (SELECT doc_id, COUNT(*) AS nt FROM tok GROUP BY doc_id),
+        |dd AS (
+        |  SELECT ((doc_id - lo) * 10) div (hi - lo) AS decile,
+        |         COUNT(*) AS docs, SUM(nt) AS toks
+        |  FROM td CROSS JOIN b GROUP BY 1),
+        |firsts AS (SELECT tok, MIN(doc_id) AS fd FROM tok GROUP BY tok),
+        |fv AS (
+        |  SELECT ((fd - lo) * 10) div (hi - lo) AS decile, COUNT(*) AS vnew
+        |  FROM firsts CROSS JOIN b GROUP BY 1)
+        |SELECT d.decile,
+        |       SUM(d.docs) OVER w AS docs_cum,
+        |       SUM(d.toks) OVER w AS tokens_cum,
+        |       SUM(COALESCE(fv.vnew, 0)) OVER w AS vocab_cum
+        |FROM dd d LEFT JOIN fv ON fv.decile = d.decile
+        |WINDOW w AS (ORDER BY d.decile)
+        |ORDER BY d.decile""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata corpus. */
+  def taHeaps(s: SparkSession, dir: String): DataFrame =
+    taHeaps(Tables.load(s, dir, "documents").select("doc_id", "text"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_heaps" -> ((s: SparkSession, dir: String) => taHeaps(s, dir)),
     "ta_burstiness" -> ((s: SparkSession, dir: String) => taBurstiness(s, dir)),
     "ta_jsd" -> ((s: SparkSession, dir: String) => taJsd(s, dir)),
     "ta_winnow" -> ((s: SparkSession, dir: String) => taWinnow(s, dir)),
@@ -962,6 +1008,22 @@ object TextAnalysis {
   private val sqlToks = "string_split(text, ' ')"
 
   val oracleSql: Map[String, String] = Map(
+    "ta_heaps" ->
+      (s"WITH tok AS (SELECT doc_id, unnest($sqlToks) AS tok FROM documents), " +
+        "b AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) + 1 AS hi FROM documents), " +
+        "td AS (SELECT doc_id, COUNT(*) AS nt FROM tok GROUP BY doc_id), " +
+        "dd AS (SELECT ((doc_id - lo) * 10) // (hi - lo) AS decile, " +
+        "COUNT(*) AS docs, SUM(nt)::BIGINT AS toks " +
+        "FROM td CROSS JOIN b GROUP BY 1), " +
+        "firsts AS (SELECT tok, MIN(doc_id) AS fd FROM tok GROUP BY tok), " +
+        "fv AS (SELECT ((fd - lo) * 10) // (hi - lo) AS decile, " +
+        "COUNT(*) AS vnew FROM firsts CROSS JOIN b GROUP BY 1) " +
+        "SELECT d.decile, " +
+        "(SUM(d.docs) OVER w)::BIGINT AS docs_cum, " +
+        "(SUM(d.toks) OVER w)::BIGINT AS tokens_cum, " +
+        "(SUM(COALESCE(fv.vnew, 0)) OVER w)::BIGINT AS vocab_cum " +
+        "FROM dd d LEFT JOIN fv ON fv.decile = d.decile " +
+        "WINDOW w AS (ORDER BY d.decile) ORDER BY d.decile"),
     "ta_burstiness" ->
       (s"WITH nd AS (SELECT COUNT(*) AS n FROM documents), " +
         "dc AS (SELECT tok, COUNT(*) AS c FROM " +

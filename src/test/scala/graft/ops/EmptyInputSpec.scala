@@ -89,6 +89,8 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Sessionize.evDailyTop(emptyEvents).count() == 0)
     assert(Sessionize.evChurn(emptyEvents).count() == 0)
     assert(TextAnalysis.taBurstiness(emptyDocs).count() == 0)
+    assert(TextAnalysis.taHeaps(emptyDocs).count() == 0)
+    assert(Sessionize.evOverlap(emptyEvents).count() == 0)
     assert(Pipeline.dsSoftDedup(
       Seq.empty[Long].toDF("doc_id"),
       Seq.empty[(Long, Long)].toDF("doc_id", "canon_id")).count() == 0)

@@ -1877,6 +1877,55 @@ class PipelineSpec extends AnyFunSuite {
       Set(w1, w2).exists(Set("aurora", "borealis")) })
   }
 
+  test("evOverlap(events): hand audiences, jaccard algebra corpus-wide") {
+    import spark.implicits._
+    def t(i: Int) = java.sql.Timestamp.valueOf(f"2024-06-01 10:00:$i%02d")
+    // view: {1,2,3}, click: {2,3}, purchase: {3}
+    val evs = Seq((1L, "view"), (2L, "view"), (3L, "view"), (2L, "click"),
+      (3L, "click"), (3L, "purchase")).zipWithIndex
+      .map { case ((u, ty), i) => (i.toLong, t(i), u, ty, 0.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Sessionize.evOverlap(evs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      ("click", "purchase", 1L, 2L, 1L, 0.5),
+      ("click", "view", 2L, 2L, 3L, 0.666667),
+      ("purchase", "view", 1L, 1L, 3L, 0.333333)))
+    // oracle form: jaccard replays |∩|/|∪| for every pair
+    val orc = Sessionize.evOverlap(spark, sf).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(orc.nonEmpty)
+    orc.foreach { case (b, na, nb, j) =>
+      assert(b <= math.min(na, nb))
+      val want = BigDecimal(b.toDouble / (na + nb - b))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(j == want)
+    }
+  }
+
+  test("taHeaps(docs): dense-id deciles, growth curve monotone and closing") {
+    import spark.implicits._
+    // 10 docs, ids 0..9: 'c' everywhere plus one unique token per doc
+    val docs = (0L to 9L).map(i => (i, s"c u$i")).toDF("doc_id", "text")
+    val got = TextAnalysis.taHeaps(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == (0L to 9L).map(d =>
+      (d, d + 1, 2 * (d + 1), d + 2)))
+    // oracle form: all three curves monotone; the last row closes to the
+    // corpus totals
+    val orc = TextAnalysis.taHeaps(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(orc.nonEmpty && orc.length <= 10)
+    Seq[Array[(Long, Long, Long, Long)] => Seq[Long]](
+      _.map(_._2).toSeq, _.map(_._3).toSeq, _.map(_._4).toSeq).foreach { f =>
+      val xs = f(orc)
+      assert(xs == xs.sorted)
+    }
+    val docsTot = graft.Tables.load(spark, sf, "documents").count()
+    assert(orc.last._2 == docsTot)
+  }
+
   test("taBurstiness(docs): uniform word ~ concentrated word separate exactly") {
     import spark.implicits._
     // 4 docs; 'u' once per doc (uniform: fano = (4*4-16)/(4*4) = 0);
