@@ -100,6 +100,10 @@ object PipelineScaleProbe {
     if (args.headOption.contains("addendum17")) {
       addendum17(args(1).toInt, args(2).toInt, args(3)); return
     }
+    // `addendum18 <existingDir>` — the six grid/vocabulary-bounded ops of
+    // the round-7 close (jsd/burstiness/heaps/daily_top/churn/overlap)
+    // against the addendum17 corpus
+    if (args.headOption.contains("addendum18")) { addendum18(args(1)); return }
     // `addendum13 <nDocs> <nEvents> <nVec> <outBase>` — gaps/gini at
     // event scale, epochs/ngram at corpus scale, range at vector scale
     if (args.headOption.contains("addendum13")) {
@@ -1261,6 +1265,95 @@ object PipelineScaleProbe {
     * EWMA closed form replayed against the sequential recurrence on the
     * driver — it must be EXACT, not close).
     */
+  /** The six closing round-7 ops, all with vocabulary/grid-bounded
+    * outputs: the invariant at 100× is that each one's OUTPUT stays
+    * metadata-sized while the corpus pass scales linearly.
+    */
+  private def addendum18(dir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def wall[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // ta_jsd: sources×1 rows; jsd in [0,1] bits; zipf sources are drawn
+    // from one distribution, so every divergence is small
+    val (jsd, jw) = wall(ops.TextAnalysis.taJsd(spark, dir).collect())
+    require(jsd.nonEmpty, "jsd empty")
+    require(jsd.forall(r => r.getDouble(2) >= 0 && r.getDouble(2) <= 1.0),
+      "jsd out of [0,1]")
+    println(f"PSCALE q=ta_jsd t=$jw%.1f s sources=${jsd.length} " +
+      f"max=${jsd.map(_.getDouble(2)).max}%.4f (same-generator sources stay close)")
+
+    // ta_burstiness: 20 rows at any corpus; fano >= 0, replayed exactly
+    val nDocs = graft.Tables.load(spark, dir, "documents").count()
+    val (bu, bw) = wall(ops.TextAnalysis.taBurstiness(spark, dir).collect())
+    require(bu.length == 20, s"burstiness rows ${bu.length}")
+    bu.foreach { r =>
+      val (tf, df, fano) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      require(df <= nDocs && tf >= df && fano >= 0, s"burstiness row broken")
+    }
+    println(f"PSCALE q=ta_burstiness t=$bw%.1f s rows=20 " +
+      f"maxfano=${bu.map(_.getDouble(3)).max}%.3f")
+
+    // ta_heaps: 10 rows; curves monotone; final row closes to totals
+    val (hp, hw) = wall(ops.TextAnalysis.taHeaps(spark, dir).collect())
+    require(hp.length == 10, s"heaps rows ${hp.length}")
+    Seq(1, 2, 3).foreach { i =>
+      val xs = hp.map(_.getLong(i)).toSeq
+      require(xs == xs.sorted, s"heaps column $i not monotone")
+    }
+    require(hp.last.getLong(1) == nDocs, "heaps does not close to the corpus")
+    println(f"PSCALE q=ta_heaps t=$hw%.1f s vocab(final)=${hp.last.getLong(3)} " +
+      s"docs(final)=${hp.last.getLong(1)}")
+
+    // ev_daily_top: groups × k rows; ranks dense, counts non-increasing
+    val (dt, dw) = wall(ops.Sessionize.evDailyTop(spark, dir).collect())
+    require(dt.nonEmpty, "daily_top empty")
+    dt.groupBy(r => (r.getString(0), r.getLong(1))).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getLong(4))
+      require(byRank.length <= 3 &&
+        byRank.map(_.getLong(4)).toSeq == (1L to byRank.length),
+        "rank not dense")
+      val ns = byRank.map(_.getLong(3)).toSeq
+      require(ns == ns.sorted.reverse, "counts not non-increasing")
+    }
+    println(f"PSCALE q=ev_daily_top t=$dw%.1f s rows=${dt.length} " +
+      s"cells=${dt.map(r => (r.getString(0), r.getLong(1))).distinct.length}")
+
+    // ev_churn: users-bounded; label algebra corpus-wide
+    val (ch, cw) = wall(ops.Sessionize.evChurn(spark, dir).collect())
+    require(ch.nonEmpty, "churn empty")
+    require(ch.forall(r => r.getBoolean(3) == (r.getLong(2) == 0)),
+      "churn label broken")
+    println(f"PSCALE q=ev_churn t=$cw%.1f s users=${ch.length} " +
+      s"churned=${ch.count(_.getBoolean(3))}")
+
+    // ev_overlap: type-pair rows; jaccard replay
+    val (ov, ow) = wall(ops.Sessionize.evOverlap(spark, dir).collect())
+    require(ov.nonEmpty, "overlap empty")
+    ov.foreach { r =>
+      val (b, na, nb, j) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      require(b <= math.min(na, nb), "intersection exceeds audience")
+      val want = BigDecimal(b.toDouble / (na + nb - b))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      require(j == want, "jaccard does not replay")
+    }
+    println(f"PSCALE q=ev_overlap t=$ow%.1f s pairs=${ov.length}")
+
+    println("PSCALE addendum18 done")
+    spark.stop()
+  }
+
   /** Round-7 new-op legs at 100× the bench SF: generates a fresh zipf
     * corpus + event stream (the addendum15 generators), then runs each
     * new operator's REAL query path with its scale invariant.

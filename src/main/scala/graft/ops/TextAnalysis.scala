@@ -858,11 +858,17 @@ object TextAnalysis {
     */
   def taJsd(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
-    docs.createOrReplaceTempView("__jsd_docs")
+    // the (source, token) count is referenced FOUR times downstream (per-
+    // source totals, corpus totals, grand total, grid) — Spark inlines SQL
+    // CTEs, so as a CTE the corpus-sized explode+aggregate would run four
+    // times (measured 78 s vs 8 s at 500k docs, addendum18). Materialize
+    // it once; it is vocabulary × sources sized.
+    docs.select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
+      .createOrReplaceTempView("__jsd_sw")
     s.sql(
-      """WITH tok AS (
-        |  SELECT source, explode(split(text, ' ')) AS w FROM __jsd_docs),
-        |sw AS (SELECT source, w, COUNT(*) AS c FROM tok GROUP BY source, w),
+      """WITH sw AS (SELECT source, w, c FROM __jsd_sw),
         |st AS (SELECT source, SUM(c) AS tsrc FROM sw GROUP BY source),
         |cw AS (SELECT w, SUM(c) AS cg FROM sw GROUP BY w),
         |tt AS (SELECT SUM(c) AS t FROM sw),
