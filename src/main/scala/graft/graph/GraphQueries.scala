@@ -396,6 +396,40 @@ object GraphQueries {
         |GROUP BY node ORDER BY node""".stripMargin)
   }
 
+  /** Landmark eccentricity (q46): per landmark, the reached-vertex count
+    * and the max BFS distance within the `maxDepth` horizon — the
+    * landmark estimate of graph radius/diameter (max ecc lower-bounds the
+    * diameter; min ecc upper-bound-estimates the radius). Shares ONE
+    * [[Bfs.runMulti]] pass across all landmarks; n_reached includes the
+    * landmark itself (dist 0).
+    */
+  def q46_ecc(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val fwd = li.select(col("l_suppkey").as("src"),
+      (col("l_partkey") + PartOffset).as("dst")).distinct()
+    val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    Bfs.runMulti(s, edges, Seq(1L, 2L, 3L, 4L), maxDepth = 8)
+      .createOrReplaceTempView("__q46_d")
+    s.sql(
+      """SELECT src AS landmark, COUNT(*) AS n_reached, MAX(dist) AS ecc
+        |FROM __q46_d GROUP BY src ORDER BY landmark""".stripMargin)
+  }
+
+  val q46OracleSql: String =
+    """WITH RECURSIVE edges AS (
+      |  SELECT DISTINCT l_suppkey AS u, l_partkey + 1000000 AS v FROM lineitem
+      |  UNION
+      |  SELECT DISTINCT l_partkey + 1000000 AS u, l_suppkey AS v FROM lineitem),
+      |walk(node, src, dist) AS (
+      |  SELECT lm::BIGINT, lm::BIGINT, 0
+      |  FROM (SELECT unnest([1, 2, 3, 4]) AS lm)
+      |  UNION
+      |  SELECT e.v, w.src, w.dist + 1 FROM walk w JOIN edges e ON e.u = w.node
+      |  WHERE w.dist < 8),
+      |d AS (SELECT node, src, MIN(dist) AS dist FROM walk GROUP BY node, src)
+      |SELECT src AS landmark, COUNT(*) AS n_reached, MAX(dist) AS ecc
+      |FROM d GROUP BY src ORDER BY landmark""".stripMargin.replaceAll("\n", " ")
+
   val q45OracleSql: String =
     """WITH RECURSIVE edges AS (
       |  SELECT DISTINCT l_suppkey AS u, l_partkey + 1000000 AS v FROM lineitem
@@ -690,6 +724,7 @@ object GraphQueries {
     "q34_kcore" -> (q34_kcore _),
     "q33_pagerank" -> (q33_pagerank _),
     "q42_hits" -> (q42_hits _),
+    "q46_ecc" -> (q46_ecc _),
     "q45_closeness" -> (q45_closeness _),
     "q44_layers" -> (q44_layers _),
     "q43_scc" -> (q43_scc _),
@@ -706,6 +741,7 @@ object GraphQueries {
     "q34_kcore" -> q34OracleSql,
     "q33_pagerank" -> q33OracleSql,
     "q42_hits" -> q42OracleSql,
+    "q46_ecc" -> q46OracleSql,
     "q45_closeness" -> q45OracleSql,
     "q44_layers" -> q44OracleSql,
     "q43_scc" -> q43OracleSql,

@@ -404,6 +404,86 @@ object Similarity {
     ssRecall(approx, exact)
   }
 
+  /** Hybrid retrieval fusion — Reciprocal Rank Fusion (Cormack/Clarke/
+    * Büttcher 2009, the score-free fusion every hybrid search stack
+    * ships): a LEXICAL leg (bigram-shingle Jaccard over `documents`) and
+    * a SEMANTIC leg (exact cosine over `embeddings`, doc_id ≡ vec_id)
+    * each rank their top-10 per query; a candidate's fused score is
+    * Σ 1/(60 + rank) over the legs that retrieved it, and the fused
+    * top-10 is re-ranked on that. RRF needs no score calibration between
+    * legs — exactly why it is the default fusion.
+    *
+    * Engine-exactness: ranks are integers (rounded-cosine / integer-
+    * Jaccard orderings with id tiebreaks), the fused score is two IEEE
+    * divisions and one add — identical in both engines; the final
+    * ordering ties (a lex-1/sem-2 vs lex-2/sem-1 pair) break by
+    * neighbor_id.
+    *
+    * Scale design: each leg is query-set-bounded on its probe side (the
+    * ssRecall discipline); the fusion join and re-rank run over ≤ 2·k
+    * rows per query. At corpus scale the legs swap in their index-backed
+    * variants (minhash-LSH / IVF) with the fusion unchanged.
+    */
+  def ssHybrid(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.load(s, dir, "documents").createOrReplaceTempView("__hy_docs")
+    Tables.load(s, dir, "embeddings").createOrReplaceTempView("__hy_emb")
+    s.sql(
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, explode(
+        |    CASE WHEN size(toks) >= 2
+        |         THEN transform(sequence(1, size(toks) - 1),
+        |                i -> concat(element_at(toks, i), ' ',
+        |                            element_at(toks, i + 1)))
+        |         ELSE array() END) AS sh
+        |  FROM (SELECT doc_id, split(text, ' ') AS toks FROM __hy_docs)),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id,
+        |         COUNT(*) AS i
+        |  FROM sh a JOIN sh b ON b.sh = a.sh AND b.doc_id <> a.doc_id
+        |  WHERE a.doc_id < 5 GROUP BY a.doc_id, b.doc_id),
+        |lexk AS (
+        |  SELECT query_id, neighbor_id, lr FROM (
+        |    SELECT i.query_id, i.neighbor_id,
+        |           CAST(ROW_NUMBER() OVER (PARTITION BY i.query_id
+        |             ORDER BY CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i) DESC,
+        |                      i.neighbor_id) AS BIGINT) AS lr
+        |    FROM inter i JOIN cnt ca ON ca.doc_id = i.query_id
+        |                 JOIN cnt cb ON cb.doc_id = i.neighbor_id)
+        |  WHERE lr <= 10),
+        |norms AS (
+        |  SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM (
+        |    SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |    FROM __hy_emb)),
+        |sem AS (
+        |  SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS sr FROM (
+        |    SELECT query_id, neighbor_id,
+        |           ROW_NUMBER() OVER (PARTITION BY query_id
+        |             ORDER BY cos DESC, neighbor_id) AS rn
+        |    FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |                 ROUND(graft_dot(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos
+        |          FROM (SELECT * FROM norms WHERE vec_id < 5) q
+        |          JOIN norms c ON c.vec_id <> q.vec_id))
+        |  WHERE rn <= 10),
+        |fused AS (
+        |  SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+        |         COALESCE(l.neighbor_id, s.neighbor_id) AS neighbor_id,
+        |         l.lr, s.sr,
+        |         COALESCE(CAST(1 AS DOUBLE) / (60 + l.lr), CAST(0 AS DOUBLE)) +
+        |         COALESCE(CAST(1 AS DOUBLE) / (60 + s.sr), CAST(0 AS DOUBLE))
+        |           AS rrf
+        |  FROM lexk l FULL OUTER JOIN sem s
+        |    ON s.query_id = l.query_id AND s.neighbor_id = l.neighbor_id)
+        |SELECT query_id, neighbor_id, lr, sr, ROUND(rrf, 6) AS rrf, rrf_rank
+        |FROM (
+        |  SELECT query_id, neighbor_id, lr, sr, rrf,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |           ORDER BY rrf DESC, neighbor_id) AS BIGINT) AS rrf_rank
+        |  FROM fused)
+        |WHERE rrf_rank <= 10 ORDER BY query_id, rrf_rank""".stripMargin)
+  }
+
   /** Int8 scalar-quantized top-k with exact rescoring (the FAISS "SQ8"
     * memory path): each vector is quantized per-vector-symmetrically to
     * integers in [−127,127] (q_i = round(x_i · 127 / max|x|)); candidate
@@ -843,6 +923,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ss_maxsim" -> ((s: SparkSession, dir: String) => ssMaxSim(s, dir)),
     "ss_knn_graph" -> ((s: SparkSession, dir: String) => ssKnnGraph(s, dir)),
+    "ss_hybrid" -> ((s: SparkSession, dir: String) => ssHybrid(s, dir)),
     "ss_recall" -> ((s: SparkSession, dir: String) => ssRecall(s, dir)),
     "ss_cosine_topk" -> (ssCosineTopk _),
     "ss_range" -> ((s: SparkSession, dir: String) => ssRangeSearch(s, dir)),
@@ -1161,6 +1242,60 @@ object Similarity {
         |  FROM norms q JOIN norms c ON q.vec_id < 5 AND c.vec_id <> q.vec_id)
         |WHERE cos >= 0.2
         |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin
+        .replaceAll("\n", " "),
+    "ss_hybrid" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest([toks[i] || ' ' || toks[i + 1]
+        |                 FOR i IN generate_series(1, len(toks) - 1)]) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents)),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id,
+        |         COUNT(*) AS i
+        |  FROM sh a JOIN sh b ON b.sh = a.sh AND b.doc_id <> a.doc_id
+        |  WHERE a.doc_id < 5 GROUP BY a.doc_id, b.doc_id),
+        |lexk AS (
+        |  SELECT query_id, neighbor_id, lr FROM (
+        |    SELECT i.query_id, i.neighbor_id,
+        |           ROW_NUMBER() OVER (PARTITION BY i.query_id
+        |             ORDER BY i.i::DOUBLE / (ca.n + cb.n - i.i) DESC,
+        |                      i.neighbor_id) AS lr
+        |    FROM inter i JOIN cnt ca ON ca.doc_id = i.query_id
+        |                 JOIN cnt cb ON cb.doc_id = i.neighbor_id)
+        |  WHERE lr <= 10),
+        |norms AS (
+        |  SELECT vec_id, v, sqrt(list_sum([x * x FOR x IN v])) AS nrm
+        |  FROM (SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v
+        |        FROM embeddings)),
+        |sem AS (
+        |  SELECT query_id, neighbor_id, rn AS sr FROM (
+        |    SELECT query_id, neighbor_id,
+        |           ROW_NUMBER() OVER (PARTITION BY query_id
+        |             ORDER BY cos DESC, neighbor_id) AS rn
+        |    FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |                 ROUND(list_sum([q.v[i] * c.v[i]
+        |                         FOR i IN generate_series(1, len(q.v))])
+        |                       / (q.nrm * c.nrm), 6) AS cos
+        |          FROM (SELECT * FROM norms WHERE vec_id < 5) q
+        |          JOIN norms c ON c.vec_id <> q.vec_id))
+        |  WHERE rn <= 10),
+        |fused AS (
+        |  SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+        |         COALESCE(l.neighbor_id, s.neighbor_id) AS neighbor_id,
+        |         l.lr, s.sr,
+        |         COALESCE(1::DOUBLE / (60 + l.lr), 0::DOUBLE) +
+        |         COALESCE(1::DOUBLE / (60 + s.sr), 0::DOUBLE) AS rrf
+        |  FROM lexk l FULL OUTER JOIN sem s
+        |    ON s.query_id = l.query_id AND s.neighbor_id = l.neighbor_id)
+        |SELECT query_id, neighbor_id, lr, sr, ROUND(rrf, 6) AS rrf, rrf_rank
+        |FROM (
+        |  SELECT query_id, neighbor_id, lr, sr, rrf,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |           ORDER BY rrf DESC, neighbor_id) AS rrf_rank
+        |  FROM fused)
+        |WHERE rrf_rank <= 10 ORDER BY query_id, rrf_rank""".stripMargin
         .replaceAll("\n", " "),
     "ss_recall" ->
       """WITH base AS (

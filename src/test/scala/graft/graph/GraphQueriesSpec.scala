@@ -367,4 +367,21 @@ class GraphQueriesSpec extends AnyFunSuite {
     val lm1 = rows.find(_._1 == 1L)
     assert(lm1.exists(_._2 <= 3))
   }
+
+  test("q46_ecc: per-landmark ecc equals a direct single-source BFS") {
+    val rows = GraphQueries.q46_ecc(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    rows.foreach { case (_, n, e) => assert(n >= 1 && e >= 1 && e <= 8) }
+    // cross-check landmark 1 against the single-source loop at the same
+    // horizon
+    val li = graft.Tables.load(spark, sf, "lineitem")
+    val fwd = li.selectExpr("l_suppkey AS src", "l_partkey + 1000000 AS dst")
+      .distinct()
+    val edges = fwd.unionAll(fwd.selectExpr("dst AS src", "src AS dst"))
+    val single = Bfs.run(spark, edges, Seq(1L), maxDepth = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val (_, n1, e1) = rows.find(_._1 == 1L).get
+    assert(n1 == single.length && e1 == single.map(_._2).max)
+  }
 }

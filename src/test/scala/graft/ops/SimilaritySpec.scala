@@ -380,6 +380,54 @@ class SimilaritySpec extends AnyFunSuite {
     assert(want.count { case (a, b, _, _) => a < 6 && b < 6 } >= 4)
   }
 
+  test("ssHybrid: fused ranks replay RRF over independently computed legs") {
+    val sf = "/root/testdata/sf0.001"
+    // semantic leg: the brute top-10 (same ranking rule as the query)
+    graft.Tables.load(spark, sf, "embeddings")
+      .createOrReplaceTempView("__emb_hyt")
+    val sem = Similarity.bruteTopkOn(spark, spark.table("__emb_hyt"),
+      "vec_id < 5", 10).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3))).toMap
+    // lexical leg recomputed in Scala: bigram-shingle jaccard, top-10 by
+    // (jaccard desc, id)
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(' ').sliding(2)
+        .filter(_.length == 2).map(_.mkString(" ")).toSet))
+    val lex = docs.filter(_._1 < 5).flatMap { case (q, qs) =>
+      docs.filter(_._1 != q)
+        .map { case (c, cs) =>
+          val i = (qs & cs).size
+          (c, i.toDouble / (qs.size + cs.size - i), i) }
+        .filter(_._3 > 0)
+        .sortBy { case (c, j, _) => (-j, c) }
+        .take(10).zipWithIndex
+        .map { case ((c, _, _), r) => ((q, c), (r + 1).toLong) }
+    }.toMap
+    val got = Similarity.ssHybrid(spark, sf).collect().map { r =>
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getDouble(4), r.getLong(5))
+    }
+    assert(got.nonEmpty)
+    got.foreach { case (q, c, lr, sr, rrf, _) =>
+      assert(lr == lex.get((q, c)) && sr == sem.get((q, c)))
+      val want = lr.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        sr.map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      val w6 = BigDecimal(want).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+      assert(rrf == w6, s"rrf mismatch for ($q,$c)")
+    }
+    // per query: ranks dense 1..n, fused scores non-increasing
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_._6)
+      assert(byRank.map(_._6).toSeq == (1L to byRank.length))
+      val scores = byRank.map(_._5).toSeq
+      assert(scores == scores.sorted.reverse)
+    }
+  }
+
   test("ssRecall: replays the approx∩exact overlap, algebra exact") {
     val sf = "/root/testdata/sf0.001"
     graft.Tables.load(spark, sf, "embeddings")
