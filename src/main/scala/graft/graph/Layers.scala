@@ -61,16 +61,20 @@ object Layers {
         .groupBy(col("dst"))
         .agg(max(col("cl")).as("cand"))
         .select(col("dst").as("node"), col("cand"))
-      val improved = cand
-        .join(layer.select(col("node"), col("layer").as("cur")), Seq("node"))
-        .where(col("cand") > col("cur"))
-        .select(col("node"), col("cand").as("layer"))
+      // ONE full-outer join both merges the relaxation into the layer map
+      // and flags the improved rows (the round-7 rewrite: the previous
+      // join + anti-join + union shape paid an extra exchange per round)
+      val merged = layer.join(cand, Seq("node"), "full_outer")
+        .select(col("node"),
+          greatest(coalesce(col("layer"), lit(0L)),
+            coalesce(col("cand"), lit(0L))).as("layer"),
+          (coalesce(col("cand"), lit(-1L)) >
+            coalesce(col("layer"), lit(0L))).as("up"))
         .localCheckpoint(eager = false)
+      val improved = merged.where(col("up")).select("node", "layer")
       improvedN = improved.count()
       if (improvedN > 0) {
-        layer = layer.join(improved.select("node"), Seq("node"), "left_anti")
-          .unionAll(improved)
-          .localCheckpoint(eager = false)
+        layer = merged.select("node", "layer")
         frontier = improved
       }
     }
