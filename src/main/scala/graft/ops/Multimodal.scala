@@ -290,7 +290,40 @@ object Multimodal {
     mmAlign(frames, segments)
   }
 
+  /** Audio frame-window slicing (the wav2vec/Whisper ingest shape): every
+    * audio record is cut into `win`-byte windows at `hop`-byte stride —
+    * one manifest row per window, (media_id, win_idx, off_start,
+    * off_end). With a real codec the units are samples; the overlap
+    * manifest and its downstream batching are identical.
+    *
+    * Scale design: a pure narrow pass — per-record window count is
+    * (n_bytes − win)/hop + 1, the explode is position-bounded, nothing
+    * shuffles. Records shorter than one window emit nothing (the
+    * documented contract).
+    */
+  def mmWindows(decoded: DataFrame, win: Long = 400, hop: Long = 160): DataFrame = {
+    require(win >= 1 && hop >= 1, s"win=$win hop=$hop must be >= 1")
+    val s = decoded.sparkSession
+    decoded.createOrReplaceTempView("__mw_dec")
+    s.sql(
+      s"""SELECT media_id, CAST(i AS BIGINT) AS win_idx,
+         |       i * ${hop}L AS off_start, i * ${hop}L + ${win}L AS off_end
+         |FROM __mw_dec
+         |LATERAL VIEW explode(CASE WHEN n_bytes >= ${win}L
+         |  THEN sequence(0, CAST((n_bytes - ${win}L) div ${hop}L AS INT))
+         |  ELSE array() END) AS i
+         |ORDER BY media_id, win_idx""".stripMargin)
+  }
+
+  /** The oracle-checked form: 400-byte windows at 160-byte stride over
+    * the decode chain's audio records.
+    */
+  def mmWindows(s: SparkSession, dir: String): DataFrame =
+    mmWindows(decodeAll(mediaFromDocs(s, dir), StubDecoder).toDF()
+      .filter(col("kind") === "audio").select("media_id", "n_bytes"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_windows" -> ((s: SparkSession, dir: String) => mmWindows(s, dir)),
     "mm_align" -> ((s: SparkSession, dir: String) => mmAlign(s, dir)),
     "mm_shard" -> ((s: SparkSession, dir: String) => mmShard(s, dir)),
     "mm_decode" -> (mmDecode _),
@@ -299,6 +332,16 @@ object Multimodal {
     "mm_phash_pairs" -> (mmPhashPairs _))
 
   val oracleSql: Map[String, String] = Map(
+    "mm_windows" ->
+      ("""WITH dec AS (SELECT doc_id AS media_id, """ +
+        """octet_length(encode(text))::BIGINT AS n_bytes FROM documents """ +
+        """WHERE doc_id % 3 = 1) """ +
+        """SELECT media_id, i AS win_idx, i * 160 AS off_start, """ +
+        """i * 160 + 400 AS off_end """ +
+        """FROM (SELECT media_id, n_bytes, """ +
+        """unnest(generate_series(0, (n_bytes - 400) // 160)) AS i """ +
+        """FROM dec WHERE n_bytes >= 400) """ +
+        """ORDER BY media_id, win_idx"""),
     "mm_align" ->
       ("""WITH dec AS (SELECT doc_id AS media_id, """ +
         """octet_length(encode(text))::BIGINT AS n_bytes, """ +

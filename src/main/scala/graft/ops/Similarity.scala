@@ -404,6 +404,49 @@ object Similarity {
     ssRecall(approx, exact)
   }
 
+  /** Hard-negative mining (the contrastive-training prep step: for every
+    * anchor, the most-similar vectors that carry a DIFFERENT label —
+    * "close but wrong" examples, the ones a triplet/InfoNCE loss learns
+    * most from). Exact cosine, label-filtered, top-`k` per anchor with
+    * the deterministic (cos DESC, id) cut.
+    *
+    * Scale design: the anchor side is query-predicate-bounded (the brute
+    * family's contract); at corpus scale the candidate side swaps in the
+    * IVF/LSH generators with the label filter applied post-probe,
+    * unchanged ranking.
+    */
+  def ssHardNeg(s: SparkSession, emb: DataFrame, queryPred: String,
+                topK: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    emb.createOrReplaceTempView("__hn_emb")
+    s.sql(
+      s"""WITH norms AS (
+         |  SELECT vec_id, label, v, sqrt(graft_dot(v, v)) AS nrm FROM (
+         |    SELECT vec_id, label,
+         |           transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |    FROM __hn_emb)),
+         |scored AS (
+         |  SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
+         |         c.vec_id AS neg_id, c.label AS neg_label,
+         |         ROUND(graft_dot(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos
+         |  FROM (SELECT * FROM norms WHERE $queryPred) q
+         |  JOIN norms c ON c.label <> q.label)
+         |SELECT anchor_id, anchor_label, neg_id, neg_label, cos, rn FROM (
+         |  SELECT anchor_id, anchor_label, neg_id, neg_label, cos,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id
+         |                ORDER BY cos DESC, neg_id) AS BIGINT) AS rn
+         |  FROM scored)
+         |WHERE rn <= $topK ORDER BY anchor_id, rn""".stripMargin)
+  }
+
+  /** The oracle-checked form: top-3 hard negatives for anchors
+    * vec_id < 5.
+    */
+  def ssHardNeg(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "embeddings").createOrReplaceTempView("__hn_raw")
+    ssHardNeg(s, s.table("__hn_raw"), "vec_id < 5", 3)
+  }
+
   /** Hybrid retrieval fusion — Reciprocal Rank Fusion (Cormack/Clarke/
     * Büttcher 2009, the score-free fusion every hybrid search stack
     * ships): a LEXICAL leg (bigram-shingle Jaccard over `documents`) and
@@ -923,6 +966,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ss_maxsim" -> ((s: SparkSession, dir: String) => ssMaxSim(s, dir)),
     "ss_knn_graph" -> ((s: SparkSession, dir: String) => ssKnnGraph(s, dir)),
+    "ss_hardneg" -> ((s: SparkSession, dir: String) => ssHardNeg(s, dir)),
     "ss_hybrid" -> ((s: SparkSession, dir: String) => ssHybrid(s, dir)),
     "ss_recall" -> ((s: SparkSession, dir: String) => ssRecall(s, dir)),
     "ss_cosine_topk" -> (ssCosineTopk _),
@@ -1242,6 +1286,26 @@ object Similarity {
         |  FROM norms q JOIN norms c ON q.vec_id < 5 AND c.vec_id <> q.vec_id)
         |WHERE cos >= 0.2
         |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin
+        .replaceAll("\n", " "),
+    "ss_hardneg" ->
+      """WITH norms AS (
+        |  SELECT vec_id, label, v, sqrt(list_sum([x * x FOR x IN v])) AS nrm
+        |  FROM (SELECT vec_id, label, [x::DOUBLE FOR x IN embedding] AS v
+        |        FROM embeddings)),
+        |scored AS (
+        |  SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
+        |         c.vec_id AS neg_id, c.label AS neg_label,
+        |         ROUND(list_sum([q.v[i] * c.v[i]
+        |                 FOR i IN generate_series(1, len(q.v))])
+        |               / (q.nrm * c.nrm), 6) AS cos
+        |  FROM (SELECT * FROM norms WHERE vec_id < 5) q
+        |  JOIN norms c ON c.label <> q.label)
+        |SELECT anchor_id, anchor_label, neg_id, neg_label, cos, rn FROM (
+        |  SELECT anchor_id, anchor_label, neg_id, neg_label, cos,
+        |         ROW_NUMBER() OVER (PARTITION BY anchor_id
+        |           ORDER BY cos DESC, neg_id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 3 ORDER BY anchor_id, rn""".stripMargin
         .replaceAll("\n", " "),
     "ss_hybrid" ->
       """WITH sh AS (

