@@ -404,6 +404,68 @@ object Similarity {
     ssRecall(approx, exact)
   }
 
+  /** Embedding drift monitor: per label, the cosine between the centroid
+    * of the EVEN-id half and the ODD-id half of the corpus (a stand-in
+    * for "last month's embeddings vs this month's" — in production the
+    * halves are time slices). A healthy embedding space keeps per-label
+    * centroids stable (cos ≈ 1); drift below a threshold is the signal
+    * to re-embed or re-train. Cosine of centroids equals cosine of
+    * component SUMS (the 1/n scale cancels), so no mean division is
+    * needed.
+    *
+    * Engine-exactness: component sums accumulate as DECIMAL(28,9) over
+    * exact float→double values (order-free — the ta_entropy discipline;
+    * a raw double SUM would be shuffle-order-dependent); the 64 dot-
+    * product terms are ROUND(·,9) decimals summed the same way; one
+    * final double division+round.
+    *
+    * Scale design: one (label, dim) partial+final aggregate over the
+    * exploded components — 64 × labels output rows — then label-level
+    * algebra on that tiny grid. Nothing corpus-sized joins.
+    */
+  def ssDrift(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    emb.createOrReplaceTempView("__dr_emb")
+    s.sql(
+      """WITH comp AS (
+        |  SELECT label, vec_id % 2 AS half, p.pos AS dim,
+        |         CAST(p.x AS DOUBLE) AS x
+        |  FROM __dr_emb LATERAL VIEW posexplode(embedding) p AS pos, x),
+        |sums AS (
+        |  SELECT label, half, dim,
+        |         SUM(CAST(ROUND(x, 9) AS DECIMAL(28,9))) AS sx
+        |  FROM comp GROUP BY label, half, dim),
+        |n AS (
+        |  SELECT label, vec_id % 2 AS half, COUNT(*) AS n
+        |  FROM __dr_emb GROUP BY label, vec_id % 2),
+        |pairs AS (
+        |  SELECT a.label, a.dim,
+        |         CAST(a.sx AS DOUBLE) AS xa, CAST(b.sx AS DOUBLE) AS xb
+        |  FROM (SELECT * FROM sums WHERE half = 0) a
+        |  JOIN (SELECT * FROM sums WHERE half = 1) b
+        |    ON b.label = a.label AND b.dim = a.dim),
+        |dots AS (
+        |  SELECT label,
+        |         SUM(CAST(ROUND(xa * xb, 9) AS DECIMAL(38,9))) AS sab,
+        |         SUM(CAST(ROUND(xa * xa, 9) AS DECIMAL(38,9))) AS saa,
+        |         SUM(CAST(ROUND(xb * xb, 9) AS DECIMAL(38,9))) AS sbb
+        |  FROM pairs GROUP BY label)
+        |SELECT d.label, na.n AS n_a, nb.n AS n_b,
+        |       ROUND(CAST(d.sab AS DOUBLE) /
+        |             (sqrt(CAST(d.saa AS DOUBLE)) *
+        |              sqrt(CAST(d.sbb AS DOUBLE))), 6) AS centroid_cos
+        |FROM dots d
+        |JOIN n na ON na.label = d.label AND na.half = 0
+        |JOIN n nb ON nb.label = d.label AND nb.half = 1
+        |ORDER BY d.label""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata embeddings. */
+  def ssDrift(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "embeddings").createOrReplaceTempView("__dr_raw")
+    ssDrift(s.table("__dr_raw"))
+  }
+
   /** Hard-negative mining (the contrastive-training prep step: for every
     * anchor, the most-similar vectors that carry a DIFFERENT label —
     * "close but wrong" examples, the ones a triplet/InfoNCE loss learns
@@ -966,6 +1028,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ss_maxsim" -> ((s: SparkSession, dir: String) => ssMaxSim(s, dir)),
     "ss_knn_graph" -> ((s: SparkSession, dir: String) => ssKnnGraph(s, dir)),
+    "ss_drift" -> ((s: SparkSession, dir: String) => ssDrift(s, dir)),
     "ss_hardneg" -> ((s: SparkSession, dir: String) => ssHardNeg(s, dir)),
     "ss_hybrid" -> ((s: SparkSession, dir: String) => ssHybrid(s, dir)),
     "ss_recall" -> ((s: SparkSession, dir: String) => ssRecall(s, dir)),
@@ -1287,6 +1350,39 @@ object Similarity {
         |WHERE cos >= 0.2
         |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin
         .replaceAll("\n", " "),
+    "ss_drift" ->
+      """WITH comp AS (
+        |  SELECT label, vec_id % 2 AS half, u.pos AS dim,
+        |         u.x::DOUBLE AS x
+        |  FROM embeddings,
+        |       LATERAL (SELECT unnest(embedding) AS x,
+        |                       generate_subscripts(embedding, 1) AS pos) u),
+        |sums AS (
+        |  SELECT label, half, dim,
+        |         SUM(CAST(ROUND(x, 9) AS DECIMAL(28,9))) AS sx
+        |  FROM comp GROUP BY label, half, dim),
+        |n AS (
+        |  SELECT label, vec_id % 2 AS half, COUNT(*) AS n
+        |  FROM embeddings GROUP BY label, vec_id % 2),
+        |pairs AS (
+        |  SELECT a.label, a.dim, a.sx::DOUBLE AS xa, b.sx::DOUBLE AS xb
+        |  FROM (SELECT * FROM sums WHERE half = 0) a
+        |  JOIN (SELECT * FROM sums WHERE half = 1) b
+        |    ON b.label = a.label AND b.dim = a.dim),
+        |dots AS (
+        |  SELECT label,
+        |         SUM(CAST(ROUND(xa * xb, 9) AS DECIMAL(38,9))) AS sab,
+        |         SUM(CAST(ROUND(xa * xa, 9) AS DECIMAL(38,9))) AS saa,
+        |         SUM(CAST(ROUND(xb * xb, 9) AS DECIMAL(38,9))) AS sbb
+        |  FROM pairs GROUP BY label)
+        |SELECT d.label, na.n AS n_a, nb.n AS n_b,
+        |       ROUND(d.sab::DOUBLE /
+        |             (sqrt(d.saa::DOUBLE) * sqrt(d.sbb::DOUBLE)), 6)
+        |         AS centroid_cos
+        |FROM dots d
+        |JOIN n na ON na.label = d.label AND na.half = 0
+        |JOIN n nb ON nb.label = d.label AND nb.half = 1
+        |ORDER BY d.label""".stripMargin.replaceAll("\n", " "),
     "ss_hardneg" ->
       """WITH norms AS (
         |  SELECT vec_id, label, v, sqrt(list_sum([x * x FOR x IN v])) AS nrm

@@ -96,6 +96,9 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Similarity.ssHardNeg(spark,
       Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label"),
       "vec_id < 5", 3).count() == 0)
+    assert(Similarity.ssDrift(
+      Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label"))
+      .count() == 0)
     assert(Pipeline.dsSoftDedup(
       Seq.empty[Long].toDF("doc_id"),
       Seq.empty[(Long, Long)].toDF("doc_id", "canon_id")).count() == 0)

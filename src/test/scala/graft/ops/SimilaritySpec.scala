@@ -380,6 +380,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(want.count { case (a, b, _, _) => a < 6 && b < 6 } >= 4)
   }
 
+  test("ssDrift: orthogonal halves read 0, aligned halves read 1") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1f, 0f), 0), (2L, Array(1f, 0f), 0),  // even half of 0
+      (1L, Array(0f, 1f), 0),                          // odd half ⊥ even
+      (4L, Array(1f, 1f), 1), (5L, Array(2f, 2f), 1))  // same direction
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.ssDrift(emb).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((0, 2L, 1L, 0.0), (1, 1L, 1L, 1.0)))
+    // oracle form: bounded in [-1, 1], halves partition each label
+    val orc = Similarity.ssDrift(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(orc.nonEmpty)
+    orc.foreach { case (na, nb, c) =>
+      assert(na > 0 && nb > 0 && c >= -1.0 && c <= 1.0)
+    }
+  }
+
   test("ssHardNeg: same-label candidates excluded, nearest wrong-label first") {
     import spark.implicits._
     val emb = Seq(
