@@ -415,6 +415,51 @@ object GraphQueries {
         |FROM __q46_d GROUP BY src ORDER BY landmark""".stripMargin)
   }
 
+  /** 3-truss refinement (q47) on the capped user co-occurrence graph:
+    * two passes dropping every edge outside all triangles (support < 1),
+    * then the final-set support report — the triangle-connected backbone.
+    * See [[Truss.run]].
+    */
+  def q47_ktruss(s: SparkSession, dir: String): DataFrame =
+    Truss.run(s, cooccurPairs(userBuckets(s, dir)), k = 3, rounds = 2)
+
+  val q47OracleSql: String =
+    s"""WITH ub AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 10000000 AS b FROM events),
+      |capped AS (
+      |  SELECT user_id, b FROM ub
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY b ORDER BY user_id) <= $CooccurCap),
+      |e0 AS (
+      |  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      |  FROM capped a JOIN capped b USING (b)
+      |  WHERE a.user_id < b.user_id),
+      |t1 AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM e0 e1
+      |       JOIN e0 e2 ON e2.u = e1.v
+      |       JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |s1 AS (SELECT u, v, COUNT(*) AS sup FROM (
+      |         SELECT a AS u, b AS v FROM t1
+      |         UNION ALL SELECT a, c FROM t1
+      |         UNION ALL SELECT b, c FROM t1) GROUP BY u, v),
+      |e1 AS (SELECT u, v FROM s1 WHERE sup >= 1),
+      |t2 AS (SELECT x.u AS a, x.v AS b, y.v AS c FROM e1 x
+      |       JOIN e1 y ON y.u = x.v
+      |       JOIN e1 z ON z.u = x.u AND z.v = y.v),
+      |s2 AS (SELECT u, v, COUNT(*) AS sup FROM (
+      |         SELECT a AS u, b AS v FROM t2
+      |         UNION ALL SELECT a, c FROM t2
+      |         UNION ALL SELECT b, c FROM t2) GROUP BY u, v),
+      |e2 AS (SELECT u, v FROM s2 WHERE sup >= 1),
+      |t3 AS (SELECT x.u AS a, x.v AS b, y.v AS c FROM e2 x
+      |       JOIN e2 y ON y.u = x.v
+      |       JOIN e2 z ON z.u = x.u AND z.v = y.v),
+      |s3 AS (SELECT u, v, COUNT(*) AS sup FROM (
+      |         SELECT a AS u, b AS v FROM t3
+      |         UNION ALL SELECT a, c FROM t3
+      |         UNION ALL SELECT b, c FROM t3) GROUP BY u, v)
+      |SELECT e2.u, e2.v, COALESCE(s3.sup, 0)::BIGINT AS support
+      |FROM e2 LEFT JOIN s3 ON s3.u = e2.u AND s3.v = e2.v
+      |ORDER BY e2.u, e2.v""".stripMargin.replaceAll("\n", " ")
+
   val q46OracleSql: String =
     """WITH RECURSIVE edges AS (
       |  SELECT DISTINCT l_suppkey AS u, l_partkey + 1000000 AS v FROM lineitem
@@ -724,6 +769,7 @@ object GraphQueries {
     "q34_kcore" -> (q34_kcore _),
     "q33_pagerank" -> (q33_pagerank _),
     "q42_hits" -> (q42_hits _),
+    "q47_ktruss" -> (q47_ktruss _),
     "q46_ecc" -> (q46_ecc _),
     "q45_closeness" -> (q45_closeness _),
     "q44_layers" -> (q44_layers _),
@@ -741,6 +787,7 @@ object GraphQueries {
     "q34_kcore" -> q34OracleSql,
     "q33_pagerank" -> q33OracleSql,
     "q42_hits" -> q42OracleSql,
+    "q47_ktruss" -> q47OracleSql,
     "q46_ecc" -> q46OracleSql,
     "q45_closeness" -> q45OracleSql,
     "q44_layers" -> q44OracleSql,

@@ -368,6 +368,26 @@ class GraphQueriesSpec extends AnyFunSuite {
     assert(lm1.exists(_._2 <= 3))
   }
 
+  test("Truss: K4 survives 4-truss refinement, lone triangle and pendant drop") {
+    import spark.implicits._
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val edges = (k4 ++ Seq((4L, 5L), (6L, 7L), (6L, 8L), (7L, 8L)))
+      .toDF("u", "v")
+    val got = Truss.run(spark, edges, k = 4, rounds = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the pendant (no triangles) and the lone triangle (support 1 < 2)
+    // drop in pass 1; every K4 edge keeps support 2 on the final set
+    assert(got.toSeq == k4.map { case (a, b) => (a, b, 2L) })
+    // q47 on the testdata: survivors only carry support >= 0 and the
+    // relation is a subset of the raw co-occurrence pairs
+    val raw = GraphQueries.cooccurPairs(
+      GraphQueries.userBuckets(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q47 = GraphQueries.q47_ktruss(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(q47.forall { case (u, v, _) => raw((u, v)) })
+  }
+
   test("q46_ecc: per-landmark ecc equals a direct single-source BFS") {
     val rows = GraphQueries.q46_ecc(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
