@@ -104,6 +104,12 @@ object PipelineScaleProbe {
     // the round-7 close (jsd/burstiness/heaps/daily_top/churn/overlap)
     // against the addendum17 corpus
     if (args.headOption.contains("addendum18")) { addendum18(args(1)); return }
+    // `addendum19 <existingDir> <nVec>` — retrieval/graph closers against
+    // the addendum17 corpus + fresh vectors: drift/hardneg/hybrid at 100k
+    // vectors, truss on the 10M-event co-occurrence graph
+    if (args.headOption.contains("addendum19")) {
+      addendum19(args(1), args(2).toInt); return
+    }
     // `addendum13 <nDocs> <nEvents> <nVec> <outBase>` — gaps/gini at
     // event scale, epochs/ngram at corpus scale, range at vector scale
     if (args.headOption.contains("addendum13")) {
@@ -1265,6 +1271,93 @@ object PipelineScaleProbe {
     * EWMA closed form replayed against the sequential recurrence on the
     * driver — it must be EXACT, not close).
     */
+  /** Round-7 retrieval/graph closers at scale: ss_drift / ss_hardneg /
+    * ss_hybrid against `nVec` fresh vectors (+ the existing 500k-doc
+    * corpus for the lexical leg), and Truss.run on the co-occurrence
+    * graph of the existing 10M-event stream.
+    */
+  private def addendum19(dir: String, nVec: Int): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val seed = 2026L
+    // 7 labels, not 10: label = i % nLabels must stay independent of the
+    // drift halves (vec_id % 2) — an even label count puts even labels
+    // ONLY in the even half and the per-label half pairing is empty
+    spark.range(0L, nVec.toLong).map(vecFor(_, 64, 7, seed))
+      .toDF("vec_id", "embedding", "label")
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dir/embeddings19.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings19.parquet")
+    println(s"PSCALE gen19 nVec=$nVec")
+
+    def wall[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // ss_drift: one (label, half, dim) aggregate at 100k vectors; output
+    // 10 rows; halves of the SAME generator must read near-aligned
+    // centroids (the signal a drifted corpus would break)
+    val (dr, dw) = wall(ops.Similarity.ssDrift(emb).collect())
+    require(dr.length == 7, s"drift rows ${dr.length}")
+    dr.foreach { r =>
+      val c = r.getDouble(3)
+      require(c >= -1.0 && c <= 1.0, "cosine out of range")
+    }
+    println(f"PSCALE q=ss_drift t=$dw%.1f s labels=7 " +
+      f"mincos=${dr.map(_.getDouble(3)).min}%.3f " +
+      f"maxcos=${dr.map(_.getDouble(3)).max}%.3f (same-generator halves)")
+
+    // ss_hardneg: anchors vec_id < 5 against 100k candidates — labels
+    // must differ on every row, ranks dense
+    val (hn, hw) = wall(
+      ops.Similarity.ssHardNeg(spark, emb, "vec_id < 5", 10).collect())
+    require(hn.nonEmpty, "hardneg empty")
+    require(hn.forall(r => r.getInt(1) != r.getInt(3)), "same-label negative")
+    hn.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      require(rows.map(_.getLong(5)).sorted.toSeq == (1L to rows.length),
+        "ranks not dense")
+    }
+    println(f"PSCALE q=ss_hardneg t=$hw%.1f s rows=${hn.length} " +
+      s"anchors=${hn.map(_.getLong(0)).distinct.length}")
+
+    // truss on a DENSITY-BOUNDED co-occurrence graph: at 10M events over
+    // 15k users the full 30-day graph approaches a clique (most user
+    // pairs co-bucket eventually) and triangle work is Θ(n³) NO MATTER
+    // the enumeration — the first probe run spilled the disk dry. The
+    // honest contract (recorded in PERF.md): co-occurrence truss needs a
+    // bounded window / finer buckets; the degree-ordered orientation in
+    // Truss.run bounds SKEW (Σ C(outdeg,2) ≤ m^1.5), not clique density.
+    // Probe graph: the stream's first 6 hours.
+    graft.Tables.load(spark, dir, "events").createOrReplaceTempView("__ev19")
+    val windowed = spark.sql(
+      """SELECT user_id, unix_micros(ts) div 10000000 AS b
+        |FROM __ev19 CROSS JOIN (SELECT MIN(ts) AS t0 FROM __ev19)
+        |WHERE ts < t0 + INTERVAL 6 HOUR""".stripMargin).distinct()
+    val pairs = graph.GraphQueries.cooccurPairs(windowed)
+      .localCheckpoint(eager = true)
+    val nPairs = pairs.count()
+    val (tr, tw) = wall {
+      graph.Truss.run(spark, pairs, k = 3, rounds = 2)
+        .localCheckpoint(eager = true)
+    }
+    val nTr = tr.count()
+    require(nTr <= nPairs, "truss grew the edge set")
+    val zeroSup = tr.filter("support = 0").count()
+    println(f"PSCALE q=q47_truss t=$tw%.1f s edges=$nPairs -> kept=$nTr " +
+      s"zero-support-after-peel=$zeroSup (6-hour window graph)")
+
+    println("PSCALE addendum19 done")
+    spark.stop()
+  }
+
   /** The six closing round-7 ops, all with vocabulary/grid-bounded
     * outputs: the invariant at 100× is that each one's OUTPUT stays
     * metadata-sized while the corpus pass scales linearly.

@@ -35,16 +35,42 @@ object Truss {
       .where(col("u") < col("v")).distinct()
       .localCheckpoint(eager = true)
 
+    // Degree-ordered triangle enumeration (Suri & Vassilvitskii's "curse
+    // of the last reducer" fix): orient every edge from its (degree, id)-
+    // smaller endpoint, enumerate each triangle at its unique apex (the
+    // vertex with two out-edges), and check the closing oriented edge.
+    // Fan-out is Σ C(outdeg(x), 2) ≤ O(m^1.5) on ANY graph — the id-
+    // ordered join pays Σ deg² and detonated on a dense co-occurrence
+    // graph (addendum19's first 10M-event run filled the disk).
     def support(cur: DataFrame): DataFrame = {
-      val e1 = cur.select(col("u").as("a"), col("v").as("b"))
-      val e2 = cur.select(col("u").as("b2"), col("v").as("c"))
-      val e3 = cur.select(col("u").as("a3"), col("v").as("c3"))
-      val tri = e1.join(e2, col("b2") === col("b"))
-        .join(e3, col("a3") === col("a") && col("c3") === col("c"))
-        .select("a", "b", "c")
-      tri.select(col("a").as("u"), col("b").as("v"))
-        .unionAll(tri.select(col("a").as("u"), col("c").as("v")))
-        .unionAll(tri.select(col("b").as("u"), col("c").as("v")))
+      val deg = cur.select(col("u").as("node"))
+        .unionAll(cur.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val du = deg.select(col("node").as("u"), col("deg").as("du"))
+      val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
+      val uFirst = col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      val o = cur.join(du, "u").join(dv, "v")
+        .select(
+          when(uFirst, col("u")).otherwise(col("v")).as("x"),
+          when(uFirst, col("v")).otherwise(col("u")).as("y"),
+          when(uFirst, col("dv")).otherwise(col("du")).as("dy"))
+      // wedge at apex x: two out-neighbors y < z in (deg, id) order; the
+      // closing edge y→z is oriented the same way, so ONE equality join
+      val w1 = o.select(col("x"), col("y"), col("dy"))
+      val w2 = o.select(col("x").as("x2"), col("y").as("z"), col("dy").as("dz"))
+      val wedges = w1.join(w2, col("x2") === col("x"))
+        .where(col("dy") < col("dz") ||
+          (col("dy") === col("dz") && col("y") < col("z")))
+        .select("x", "y", "z")
+      val closing = o.select(col("x").as("y"), col("y").as("z"))
+      val tri = wedges.join(closing, Seq("y", "z"))
+      tri.select(least(col("x"), col("y")).as("u"),
+          greatest(col("x"), col("y")).as("v"))
+        .unionAll(tri.select(least(col("x"), col("z")).as("u"),
+          greatest(col("x"), col("z")).as("v")))
+        .unionAll(tri.select(least(col("y"), col("z")).as("u"),
+          greatest(col("y"), col("z")).as("v")))
         .groupBy("u", "v").agg(count(lit(1)).as("support"))
     }
 

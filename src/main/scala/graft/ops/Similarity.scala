@@ -422,6 +422,12 @@ object Similarity {
     * Scale design: one (label, dim) partial+final aggregate over the
     * exploded components — 64 × labels output rows — then label-level
     * algebra on that tiny grid. Nothing corpus-sized joins.
+    *
+    * A label present in only one half emits no row (there is no drift to
+    * measure) — callers comparing id-parity halves should make sure label
+    * assignment is independent of id parity (addendum19's first generated
+    * corpus wasn't: label = id % 10 puts even labels only in the even
+    * half).
     */
   def ssDrift(emb: DataFrame): DataFrame = {
     val s = emb.sparkSession
