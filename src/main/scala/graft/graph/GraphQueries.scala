@@ -423,6 +423,53 @@ object GraphQueries {
   def q47_ktruss(s: SparkSession, dir: String): DataFrame =
     Truss.run(s, cooccurPairs(userBuckets(s, dir)), k = 3, rounds = 2)
 
+  /** Personalized PageRank (q48): rank relative to the seed set
+    * {suppliers 1-4} on the symmetric supplier↔part graph, 3 fixed-point
+    * integer iterations — see [[PageRank.runPersonalized]].
+    */
+  def q48_ppr(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val fwd = li.select(col("l_suppkey").as("src"),
+      (col("l_partkey") + PartOffset).as("dst")).distinct()
+    val edges = fwd.unionAll(
+      fwd.select(col("dst").as("src"), col("src").as("dst")))
+    PageRank.runPersonalized(s, edges, Seq(1L, 2L, 3L, 4L), iters = 3)
+      .orderBy("node")
+  }
+
+  val q48OracleSql: String =
+    """WITH fwd AS (
+      |  SELECT DISTINCT l_suppkey AS u, l_partkey + 1000000 AS v FROM lineitem),
+      |edges AS (SELECT u AS src, v AS dst FROM fwd
+      |          UNION ALL SELECT v AS src, u AS dst FROM fwd),
+      |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+      |pr0 AS (SELECT src AS node, outdeg,
+      |               CASE WHEN src IN (1, 2, 3, 4)
+      |                    THEN 250000000000 ELSE 0 END AS pr FROM deg),
+      |i1 AS (SELECT e.dst AS node, SUM(p.pr // p.outdeg) AS inflow
+      |       FROM pr0 p JOIN edges e ON e.src = p.node GROUP BY e.dst),
+      |pr1 AS (SELECT i.node, d.outdeg,
+      |               (CASE WHEN i.node IN (1, 2, 3, 4)
+      |                     THEN 37500000000 ELSE 0 END
+      |                + (85 * i.inflow) // 100)::BIGINT AS pr
+      |        FROM i1 i JOIN deg d ON d.src = i.node),
+      |i2 AS (SELECT e.dst AS node, SUM(p.pr // p.outdeg) AS inflow
+      |       FROM pr1 p JOIN edges e ON e.src = p.node GROUP BY e.dst),
+      |pr2 AS (SELECT i.node, d.outdeg,
+      |               (CASE WHEN i.node IN (1, 2, 3, 4)
+      |                     THEN 37500000000 ELSE 0 END
+      |                + (85 * i.inflow) // 100)::BIGINT AS pr
+      |        FROM i2 i JOIN deg d ON d.src = i.node),
+      |i3 AS (SELECT e.dst AS node, SUM(p.pr // p.outdeg) AS inflow
+      |       FROM pr2 p JOIN edges e ON e.src = p.node GROUP BY e.dst),
+      |pr3 AS (SELECT i.node,
+      |               (CASE WHEN i.node IN (1, 2, 3, 4)
+      |                     THEN 37500000000 ELSE 0 END
+      |                + (85 * i.inflow) // 100)::BIGINT AS pr
+      |        FROM i3 i JOIN deg d ON d.src = i.node)
+      |SELECT node, pr FROM pr3 ORDER BY node""".stripMargin
+      .replaceAll("\n", " ")
+
   val q47OracleSql: String =
     s"""WITH ub AS (
       |  SELECT DISTINCT user_id, epoch_us(ts) // 10000000 AS b FROM events),
@@ -769,6 +816,7 @@ object GraphQueries {
     "q34_kcore" -> (q34_kcore _),
     "q33_pagerank" -> (q33_pagerank _),
     "q42_hits" -> (q42_hits _),
+    "q48_ppr" -> (q48_ppr _),
     "q47_ktruss" -> (q47_ktruss _),
     "q46_ecc" -> (q46_ecc _),
     "q45_closeness" -> (q45_closeness _),
@@ -787,6 +835,7 @@ object GraphQueries {
     "q34_kcore" -> q34OracleSql,
     "q33_pagerank" -> q33OracleSql,
     "q42_hits" -> q42OracleSql,
+    "q48_ppr" -> q48OracleSql,
     "q47_ktruss" -> q47OracleSql,
     "q46_ecc" -> q46OracleSql,
     "q45_closeness" -> q45OracleSql,

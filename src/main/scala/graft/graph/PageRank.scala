@@ -52,6 +52,37 @@ object PageRank {
     pr.select("node", "pr")
   }
 
+  /** Personalized PageRank: the random surfer teleports ONLY to the
+    * `sources` set (pr_0 = SCALE div |S| on sources, 0 elsewhere; the
+    * teleport term likewise) — the "importance relative to MY seed set"
+    * ranking behind related-item feeds and seed-expansion crawls. Same
+    * fixed-point integer discipline, same per-iteration plan as [[run]].
+    */
+  def runPersonalized(s: SparkSession, edges: DataFrame, sources: Seq[Long],
+                      iters: Int): DataFrame = {
+    require(sources.nonEmpty, "runPersonalized: empty source set")
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(eager = true)
+    require(deg.limit(1).count() > 0,
+      "runPersonalized: empty edge relation")
+    val pr0 = Scale / sources.size
+    val tele = 15L * pr0 / 100L
+    val srcList = sources.distinct.mkString(", ")
+    var pr = deg.selectExpr("src AS node", "outdeg",
+      s"CASE WHEN src IN ($srcList) THEN ${pr0}L ELSE 0L END AS pr")
+    for (_ <- 1 to iters) {
+      val inflow = pr.as("p").join(edges.as("e"), expr("p.node = e.src"))
+        .selectExpr("e.dst AS node", "p.pr div p.outdeg AS contrib")
+        .groupBy("node").agg(sum("contrib").as("inflow"))
+      pr = inflow.as("i").join(deg.as("d"), expr("i.node = d.src"))
+        .selectExpr("i.node", "d.outdeg",
+          s"CASE WHEN i.node IN ($srcList) THEN ${tele}L ELSE 0L END " +
+            "+ (85 * i.inflow) div 100 AS pr")
+        .localCheckpoint(eager = false)
+    }
+    pr.select("node", "pr")
+  }
+
   /** One rank iteration — exposed so PlanSpec can lock the pre-checkpoint
     * plan shape (partial+final inflow combine). Qualified dataset aliases
     * throughout: pr re-enters the join against edges/deg every iteration,

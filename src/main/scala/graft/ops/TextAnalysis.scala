@@ -986,7 +986,44 @@ object TextAnalysis {
   def taHeaps(s: SparkSession, dir: String): DataFrame =
     taHeaps(Tables.load(s, dir, "documents").select("doc_id", "text"))
 
+  /** Ingest-order n-gram novelty: for every document, the fraction of its
+    * 3-gram positions whose gram ALREADY APPEARED in an earlier document
+    * (first occurrence strictly before, by doc_id = ingest order). A
+    * template flood shows up as a run of seen_frac ≈ 1 documents the
+    * moment the template repeats — the streaming-shaped cousin of
+    * [[graft.ops.Dedup.ddSubstring]]'s symmetric df signal.
+    *
+    * Scale design: grams travel as 8-byte xxhash64 keys (the ddSubstring
+    * discipline — the oracle joins the gram strings instead, an
+    * internal-key choice each engine makes independently); first
+    * occurrences are ONE gram-keyed MIN aggregate; the join back is the
+    * corpus-sized gram relation against the vocabulary-sized firsts.
+    */
+  def taNovelty(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__nv_docs")
+    s.sql(
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         xxhash64(array_join(slice(toks, i, 3), ' ')) AS gh
+        |  FROM (SELECT doc_id, split(text, ' ') AS toks FROM __nv_docs)
+        |  LATERAL VIEW explode(CASE WHEN size(toks) >= 3
+        |    THEN sequence(1, size(toks) - 2) ELSE array() END) AS i),
+        |firsts AS (SELECT gh, MIN(doc_id) AS fd FROM g GROUP BY gh)
+        |SELECT g.doc_id, COUNT(*) AS n_grams,
+        |       COUNT(CASE WHEN f.fd < g.doc_id THEN 1 END) AS n_seen,
+        |       ROUND(CAST(COUNT(CASE WHEN f.fd < g.doc_id THEN 1 END)
+        |             AS DOUBLE) / COUNT(*), 6) AS seen_frac
+        |FROM g JOIN firsts f ON f.gh = g.gh
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata corpus. */
+  def taNovelty(s: SparkSession, dir: String): DataFrame =
+    taNovelty(Tables.load(s, dir, "documents").select("doc_id", "text"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_novelty" -> ((s: SparkSession, dir: String) => taNovelty(s, dir)),
     "ta_heaps" -> ((s: SparkSession, dir: String) => taHeaps(s, dir)),
     "ta_burstiness" -> ((s: SparkSession, dir: String) => taBurstiness(s, dir)),
     "ta_jsd" -> ((s: SparkSession, dir: String) => taJsd(s, dir)),
@@ -1014,6 +1051,18 @@ object TextAnalysis {
   private val sqlToks = "string_split(text, ' ')"
 
   val oracleSql: Map[String, String] = Map(
+    "ta_novelty" ->
+      (s"WITH tok AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
+        "g AS (SELECT doc_id, unnest([array_to_string(toks[i:i+2], ' ') " +
+        "FOR i IN generate_series(1, len(toks) - 2)]) AS gh " +
+        "FROM tok WHERE len(toks) >= 3), " +
+        "firsts AS (SELECT gh, MIN(doc_id) AS fd FROM g GROUP BY gh) " +
+        "SELECT g.doc_id, COUNT(*) AS n_grams, " +
+        "COUNT(CASE WHEN f.fd < g.doc_id THEN 1 END) AS n_seen, " +
+        "ROUND(COUNT(CASE WHEN f.fd < g.doc_id THEN 1 END)::DOUBLE " +
+        "/ COUNT(*), 6) AS seen_frac " +
+        "FROM g JOIN firsts f ON f.gh = g.gh " +
+        "GROUP BY g.doc_id ORDER BY g.doc_id"),
     "ta_heaps" ->
       (s"WITH tok AS (SELECT doc_id, unnest($sqlToks) AS tok FROM documents), " +
         "b AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) + 1 AS hi FROM documents), " +

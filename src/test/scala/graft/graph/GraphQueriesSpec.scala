@@ -368,6 +368,25 @@ class GraphQueriesSpec extends AnyFunSuite {
     assert(lm1.exists(_._2 <= 3))
   }
 
+  test("runPersonalized: hand integer fold on a triangle, seed-only teleport") {
+    import spark.implicits._
+    val und = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L)
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = PageRank.runPersonalized(spark, edges, Seq(1L), iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // hand fold (SCALE = 1e12, all degrees 2):
+    //   it1: pr(1) = tele = 150e9; pr(2) = pr(3) = 85%·500e9 = 425e9
+    //   it2: pr(1) = 150e9 + 85%·425e9 = 511.25e9;
+    //        pr(2) = pr(3) = 85%·(75e9 + 212.5e9) = 244.375e9
+    assert(got == Map(1L -> 511250000000L, 2L -> 244375000000L,
+      3L -> 244375000000L))
+    // q48 form: only mass injected at the seeds; every rank non-negative
+    val rows = GraphQueries.q48_ppr(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty && rows.forall(_._2 >= 0))
+    assert(Seq(1L, 2L, 3L, 4L).forall(l => rows.find(_._1 == l).get._2 > 0))
+  }
+
   test("Truss: K4 survives 4-truss refinement, lone triangle and pendant drop") {
     import spark.implicits._
     val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)

@@ -90,6 +90,7 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Sessionize.evChurn(emptyEvents).count() == 0)
     assert(TextAnalysis.taBurstiness(emptyDocs).count() == 0)
     assert(TextAnalysis.taHeaps(emptyDocs).count() == 0)
+    assert(TextAnalysis.taNovelty(emptyDocs).count() == 0)
     assert(Sessionize.evOverlap(emptyEvents).count() == 0)
     assert(Multimodal.mmWindows(
       Seq.empty[(Long, Long)].toDF("media_id", "n_bytes")).count() == 0)

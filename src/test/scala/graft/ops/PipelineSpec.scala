@@ -1877,6 +1877,26 @@ class PipelineSpec extends AnyFunSuite {
       Set(w1, w2).exists(Set("aurora", "borealis")) })
   }
 
+  test("taNovelty(docs): earlier-doc grams count as seen, first doc all-new") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "a b c x"), (3L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.taNovelty(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 2L, 0L, 0.0), (2L, 2L, 1L, 0.5),
+      (3L, 3L, 2L, 0.666667)))
+    // oracle form: fractions replay, the FIRST document is always all-new
+    val orc = TextAnalysis.taNovelty(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(orc.nonEmpty && orc.head._3 == 0L)
+    orc.foreach { case (_, n, seen, f) =>
+      assert(seen <= n)
+      val want = BigDecimal(seen.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(f == want)
+    }
+  }
+
   test("evOverlap(events): hand audiences, jaccard algebra corpus-wide") {
     import spark.implicits._
     def t(i: Int) = java.sql.Timestamp.valueOf(f"2024-06-01 10:00:$i%02d")
