@@ -1170,7 +1170,48 @@ object Pipeline {
     dsSoftDedup(corpus, ddResolve(s, dir))
   }
 
+  /** Deterministic token-dropout augmentation (the EDA random-deletion
+    * move, reproducible): token i of document d survives iff its
+    * md5("drop:<d>:<i>") draw clears `rate` — the block-aligned digest
+    * discipline of ds_spanmask, so the same (doc, position) always makes
+    * the same call on any shard layout, any engine, any rerun. Output
+    * carries the original and kept token counts plus the augmented text.
+    *
+    * Scale design: a pure narrow pass — the filter is a higher-order
+    * function over the token array (no explode, no shuffle), one md5 per
+    * position inside codegen.
+    */
+  def dsDropout(docs: DataFrame, rate: Double = 0.1): DataFrame = {
+    require(rate >= 0 && rate < 1, s"rate out of [0,1): $rate")
+    val s = docs.sparkSession
+    // the draw is the first 3 hex digits of the digest (0..4095) — rate
+    // quantized to /4096, the declared semantics (the md5-digit parse is
+    // the dd_simhash discipline and identical in both engines)
+    val cut = math.round(rate * 4096).toInt
+    docs.createOrReplaceTempView("__do_docs")
+    s.sql(
+      s"""SELECT doc_id, size(toks) AS n_orig, size(kept) AS n_kept,
+         |       array_join(kept, ' ') AS text_aug
+         |FROM (
+         |  SELECT doc_id, toks,
+         |         filter(toks, (x, i) -> aggregate(sequence(1, 3),
+         |           0, (acc, k) -> acc * 16 +
+         |             instr('0123456789abcdef', substring(
+         |               md5(concat('drop:', CAST(doc_id AS STRING), ':',
+         |                          CAST(i + 1 AS STRING))), k, 1)) - 1)
+         |           >= $cut) AS kept
+         |  FROM (SELECT doc_id, split(text, ' ') AS toks FROM __do_docs))
+         |ORDER BY doc_id""".stripMargin)
+  }
+
+  /** The oracle-checked form: 10 % dropout over the testdata corpus. */
+  def dsDropout(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "documents").createOrReplaceTempView("__docs")
+    dsDropout(s.sql("SELECT doc_id, text FROM __docs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_dropout" -> ((s: SparkSession, dir: String) => dsDropout(s, dir)),
     "ds_softdedup" -> ((s: SparkSession, dir: String) => dsSoftDedup(s, dir)),
     "ds_balance" -> ((s: SparkSession, dir: String) => dsBalance(s, dir)),
     "ds_tokbudget" -> ((s: SparkSession, dir: String) => dsTokBudget(s, dir)),
@@ -1441,6 +1482,21 @@ object Pipeline {
         |FROM ranked ORDER BY shard, pos""".stripMargin.replaceAll("\n", " "),
     "dd_resolve" -> ddResolveOracle,
     "ds_softdedup" -> dsSoftDedupOracle,
+    "ds_dropout" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks " +
+        "FROM documents), " +
+        "k AS (SELECT doc_id, toks, " +
+        "[toks[i] FOR i IN generate_series(1, len(toks)) IF " +
+        "(strpos('0123456789abcdef', substr(md5('drop:' || doc_id::VARCHAR " +
+        "|| ':' || i::VARCHAR), 1, 1)) - 1) * 256 + " +
+        "(strpos('0123456789abcdef', substr(md5('drop:' || doc_id::VARCHAR " +
+        "|| ':' || i::VARCHAR), 2, 1)) - 1) * 16 + " +
+        "strpos('0123456789abcdef', substr(md5('drop:' || doc_id::VARCHAR " +
+        "|| ':' || i::VARCHAR), 3, 1)) - 1 >= 410] AS kept FROM tok) " +
+        "SELECT doc_id, len(toks)::BIGINT AS n_orig, " +
+        "len(kept)::BIGINT AS n_kept, " +
+        "array_to_string(kept, ' ') AS text_aug " +
+        "FROM k ORDER BY doc_id"),
     "dd_decontam" ->
       s"""WITH corpus AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

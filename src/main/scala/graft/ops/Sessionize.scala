@@ -1213,7 +1213,43 @@ object Sessionize {
     evOverlap(s.table("__events"))
   }
 
+  /** Per-user behavioral entropy: the Shannon entropy (bits) of each
+    * user's event-type distribution — H = log2(n) − Σ c·log2(c)/n, the
+    * ta_entropy fixed-point discipline applied per user. Low-entropy
+    * accounts hammer one action (scrapers, monitors — the distributional
+    * complement of ev_bots' timing signal); high entropy reads as organic
+    * mixed usage.
+    *
+    * Scale design: one (user, type) partial+final count, one user-level
+    * rollup carrying the decimal term sums; the only transcendentals are
+    * integer-argument log2 (libm-safe, the established contract).
+    */
+  def evEntropy(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__en_events")
+    s.sql(
+      """WITH c AS (
+        |  SELECT user_id, event_type, COUNT(*) AS c
+        |  FROM __en_events GROUP BY user_id, event_type),
+        |t AS (
+        |  SELECT user_id, SUM(c) AS n, COUNT(*) AS n_types,
+        |         SUM(CAST(ROUND(c * log2(CAST(c AS DOUBLE)), 9)
+        |             AS DECIMAL(28,9))) AS sterm
+        |  FROM c GROUP BY user_id)
+        |SELECT user_id, n AS n_events, n_types,
+        |       ROUND(ROUND(log2(CAST(n AS DOUBLE)), 9)
+        |             - CAST(sterm AS DOUBLE) / n, 6) AS entropy
+        |FROM t ORDER BY user_id""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata events. */
+  def evEntropy(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evEntropy(s.table("__events"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_entropy" -> ((s: SparkSession, dir: String) => evEntropy(s, dir)),
     "ev_overlap" -> ((s: SparkSession, dir: String) => evOverlap(s, dir)),
     "ev_churn" -> ((s: SparkSession, dir: String) => evChurn(s, dir)),
     "ev_daily_top" -> ((s: SparkSession, dir: String) => evDailyTop(s, dir)),
@@ -1245,6 +1281,15 @@ object Sessionize {
       "* (1::DOUBLE / na + 1::DOUBLE / nb))")
 
   val oracleSql: Map[String, String] = Map(
+    "ev_entropy" ->
+      ("""WITH c AS (SELECT user_id, event_type, COUNT(*) AS c """ +
+        """FROM events GROUP BY user_id, event_type), """ +
+        """t AS (SELECT user_id, SUM(c)::BIGINT AS n, COUNT(*) AS n_types, """ +
+        """SUM(CAST(ROUND(c * log2(c::DOUBLE), 9) AS DECIMAL(28,9))) """ +
+        """AS sterm FROM c GROUP BY user_id) """ +
+        """SELECT user_id, n AS n_events, n_types, """ +
+        """ROUND(ROUND(log2(n::DOUBLE), 9) - sterm::DOUBLE / n, 6) """ +
+        """AS entropy FROM t ORDER BY user_id"""),
     "ev_overlap" ->
       ("""WITH tu AS (SELECT DISTINCT event_type, user_id FROM events), """ +
         """cnt AS (SELECT event_type, COUNT(*) AS n FROM tu """ +

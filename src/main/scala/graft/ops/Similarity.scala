@@ -404,6 +404,25 @@ object Similarity {
     ssRecall(approx, exact)
   }
 
+  /** IVF index audit: the trained coarse-quantizer centroids with their
+    * member counts and norms — the table an operator reads to SIZE the
+    * index (the nlist/nprobe dial the ss_ivf_ann scaladoc documents): a
+    * lopsided size distribution says re-train or raise nlist; near-zero
+    * norms flag dead centroids. Same deterministic k-means chain as
+    * ss_ivf_ann ([[ivfTrainAssignCtes]]), so the audit describes EXACTLY
+    * the index the queries probe.
+    */
+  def ssCentroids(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.load(s, dir, "embeddings").createOrReplaceTempView("__emb")
+    s.sql(
+      s"""WITH ${ivfTrainAssignCtes(16)}
+         |SELECT c.cid, COUNT(a.vec_id) AS n_members,
+         |       ROUND(c.cnrm, 6) AS cnrm
+         |FROM cent$IvfIters c LEFT JOIN assign a ON a.cid = c.cid
+         |GROUP BY c.cid, c.cnrm ORDER BY c.cid""".stripMargin)
+  }
+
   /** Embedding drift monitor: per label, the cosine between the centroid
     * of the EVEN-id half and the ODD-id half of the corpus (a stand-in
     * for "last month's embeddings vs this month's" — in production the
@@ -1034,6 +1053,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ss_maxsim" -> ((s: SparkSession, dir: String) => ssMaxSim(s, dir)),
     "ss_knn_graph" -> ((s: SparkSession, dir: String) => ssKnnGraph(s, dir)),
+    "ss_centroids" -> ((s: SparkSession, dir: String) => ssCentroids(s, dir)),
     "ss_drift" -> ((s: SparkSession, dir: String) => ssDrift(s, dir)),
     "ss_hardneg" -> ((s: SparkSession, dir: String) => ssHardNeg(s, dir)),
     "ss_hybrid" -> ((s: SparkSession, dir: String) => ssHybrid(s, dir)),
@@ -1355,6 +1375,32 @@ object Similarity {
         |  FROM norms q JOIN norms c ON q.vec_id < 5 AND c.vec_id <> q.vec_id)
         |WHERE cos >= 0.2
         |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin
+        .replaceAll("\n", " "),
+    "ss_centroids" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),
+         |n3 AS (
+         |  SELECT vec_id, v, sqrt(list_sum([x * x FOR x IN v])) AS nrm FROM base),
+         |cent0 AS (
+         |  SELECT cid, cv, cnrm FROM (
+         |    SELECT (ROW_NUMBER() OVER (
+         |             ORDER BY md5('km42:' || vec_id::VARCHAR), vec_id))::INT
+         |             - 1 AS cid,
+         |           v AS cv, nrm AS cnrm
+         |    FROM n3) WHERE cid < 16),
+         |$ivfDuckIters,
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT n.vec_id, c.cid,
+         |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+         |             ORDER BY ROUND(list_sum([n.v[i] * c.cv[i]
+         |                        FOR i IN generate_series(1, len(n.v))])
+         |                      / (n.nrm * c.cnrm), 6) DESC, c.cid) AS rn
+         |    FROM n3 n CROSS JOIN cent$IvfIters c) WHERE rn = 1)
+         |SELECT c.cid, COUNT(a.vec_id) AS n_members,
+         |       ROUND(c.cnrm, 6) AS cnrm
+         |FROM cent$IvfIters c LEFT JOIN assign a ON a.cid = c.cid
+         |GROUP BY c.cid, c.cnrm ORDER BY c.cid""".stripMargin
         .replaceAll("\n", " "),
     "ss_drift" ->
       """WITH comp AS (

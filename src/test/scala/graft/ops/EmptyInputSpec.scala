@@ -91,6 +91,8 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(TextAnalysis.taBurstiness(emptyDocs).count() == 0)
     assert(TextAnalysis.taHeaps(emptyDocs).count() == 0)
     assert(TextAnalysis.taNovelty(emptyDocs).count() == 0)
+    assert(Pipeline.dsDropout(emptyDocs).count() == 0)
+    assert(Sessionize.evEntropy(emptyEvents).count() == 0)
     assert(Sessionize.evOverlap(emptyEvents).count() == 0)
     assert(Multimodal.mmWindows(
       Seq.empty[(Long, Long)].toDF("media_id", "n_bytes")).count() == 0)

@@ -1877,6 +1877,29 @@ class PipelineSpec extends AnyFunSuite {
       Set(w1, w2).exists(Set("aurora", "borealis")) })
   }
 
+  test("dsDropout(docs): reproducible, rate-bounded, zero-rate identity") {
+    import spark.implicits._
+    val docs = (1L to 50L)
+      .map(i => (i, (1 to 40).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val a = Pipeline.dsDropout(docs, 0.1).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    val b = Pipeline.dsDropout(docs, 0.1).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(a.toSeq == b.toSeq)                      // byte-reproducible
+    val (orig, kept) = (a.map(_._2).sum, a.map(_._3).sum)
+    val dropRate = 1.0 - kept.toDouble / orig
+    assert(dropRate > 0.05 && dropRate < 0.15, s"rate off: $dropRate")
+    // kept tokens are a subsequence of the original (order preserved)
+    a.foreach { case (_, _, _, t) =>
+      val ks = t.split(' ').filter(_.nonEmpty).map(_.drop(1).toInt)
+      assert(ks.toSeq == ks.sorted.toSeq)
+    }
+    // zero rate: identity
+    val z = Pipeline.dsDropout(docs, 0.0).collect()
+    assert(z.forall(r => r.getInt(1) == r.getInt(2)))
+  }
+
   test("taNovelty(docs): earlier-doc grams count as seen, first doc all-new") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d"), (2L, "a b c x"), (3L, "a b c d e"))
@@ -1894,6 +1917,28 @@ class PipelineSpec extends AnyFunSuite {
       val want = BigDecimal(seen.toDouble / n)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(f == want)
+    }
+  }
+
+  test("evEntropy(events): hand distributions — uniform=log2(k), single=0") {
+    import spark.implicits._
+    def t(i: Int) = java.sql.Timestamp.valueOf(f"2024-06-01 10:00:$i%02d")
+    // user 1: 2+2 over two types -> H = 1 bit; user 2: one type -> 0;
+    // user 3: 3/1 split -> H = 2 - 0.75*log2(3) = 0.811278
+    val evs = Seq((1L, "a"), (1L, "a"), (1L, "b"), (1L, "b"), (2L, "a"),
+      (3L, "a"), (3L, "a"), (3L, "a"), (3L, "b")).zipWithIndex
+      .map { case ((u, ty), i) => (i.toLong, t(i), u, ty, 0.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Sessionize.evEntropy(evs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 4L, 2L, 1.0), (2L, 1L, 1L, 0.0),
+      (3L, 4L, 2L, 0.811278)))
+    // oracle form: 0 <= H <= log2(n_types), every user present
+    val orc = Sessionize.evEntropy(spark, sf).collect()
+      .map(r => (r.getLong(2), r.getDouble(3)))
+    assert(orc.nonEmpty)
+    orc.foreach { case (k, h) =>
+      assert(h >= 0.0 && h <= math.log(k.toDouble) / math.log(2) + 1e-9)
     }
   }
 

@@ -380,6 +380,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(want.count { case (a, b, _, _) => a < 6 && b < 6 } >= 4)
   }
 
+  test("ssCentroids: 16 live centroids whose members tile the corpus") {
+    val sf = "/root/testdata/sf0.001"
+    val n = graft.Tables.load(spark, sf, "embeddings").count()
+    val got = Similarity.ssCentroids(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == (0 to 15))
+    assert(got.map(_._2).sum == n)   // every vector assigned exactly once
+    assert(got.forall(_._3 > 0.0))   // no dead centroids on this corpus
+  }
+
   test("ssDrift: orthogonal halves read 0, aligned halves read 1") {
     import spark.implicits._
     val emb = Seq(
