@@ -1248,7 +1248,53 @@ object Sessionize {
     evEntropy(s.table("__events"))
   }
 
+  /** Growth accounting (the new/retained/resurrected/churned weekly
+    * decomposition every growth team reports): per epoch week, actives
+    * split into NEW (first-ever week), RETAINED (also active the
+    * previous week) and RESURRECTED (active before, but not last week);
+    * churned = last week's actives who did not return (= prev actives −
+    * this week's retained). All integer set algebra over the distinct
+    * (user, week) incidence.
+    *
+    * Scale design: one distinct compaction of the event stream to (user,
+    * week), one user-keyed window for first/previous weeks, one week
+    * aggregate, and a self-join of the WEEKS-sized summary for the churn
+    * column.
+    */
+  def evGrowth(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__gr_events")
+    s.sql(
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, unix_micros(ts) div 604800000000 AS wk
+        |  FROM __gr_events),
+        |lagd AS (
+        |  SELECT user_id, wk,
+        |         MIN(wk) OVER (PARTITION BY user_id) AS fw,
+        |         LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev
+        |  FROM uw),
+        |agg AS (
+        |  SELECT wk, COUNT(*) AS n_active,
+        |         SUM(CASE WHEN fw = wk THEN 1 ELSE 0 END) AS n_new,
+        |         SUM(CASE WHEN prev = wk - 1 THEN 1 ELSE 0 END) AS n_retained,
+        |         SUM(CASE WHEN prev IS NOT NULL AND prev < wk - 1
+        |                  THEN 1 ELSE 0 END) AS n_resurrected
+        |  FROM lagd GROUP BY wk)
+        |SELECT a.wk, a.n_active, a.n_new, a.n_retained, a.n_resurrected,
+        |       COALESCE(p.n_active, CAST(0 AS BIGINT)) - a.n_retained
+        |         AS n_churned_prev
+        |FROM agg a LEFT JOIN agg p ON p.wk = a.wk - 1
+        |ORDER BY a.wk""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata events. */
+  def evGrowth(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evGrowth(s.table("__events"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_growth" -> ((s: SparkSession, dir: String) => evGrowth(s, dir)),
     "ev_entropy" -> ((s: SparkSession, dir: String) => evEntropy(s, dir)),
     "ev_overlap" -> ((s: SparkSession, dir: String) => evOverlap(s, dir)),
     "ev_churn" -> ((s: SparkSession, dir: String) => evChurn(s, dir)),
@@ -1281,6 +1327,26 @@ object Sessionize {
       "* (1::DOUBLE / na + 1::DOUBLE / nb))")
 
   val oracleSql: Map[String, String] = Map(
+    "ev_growth" ->
+      ("""WITH uw AS (SELECT DISTINCT user_id, """ +
+        """epoch_us(ts) // 604800000000 AS wk FROM events), """ +
+        """lagd AS (SELECT user_id, wk, """ +
+        """MIN(wk) OVER (PARTITION BY user_id) AS fw, """ +
+        """LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev """ +
+        """FROM uw), """ +
+        """agg AS (SELECT wk, COUNT(*) AS n_active, """ +
+        """SUM(CASE WHEN fw = wk THEN 1 ELSE 0 END)::BIGINT AS n_new, """ +
+        """SUM(CASE WHEN prev = wk - 1 THEN 1 ELSE 0 END)::BIGINT """ +
+        """AS n_retained, """ +
+        """SUM(CASE WHEN prev IS NOT NULL AND prev < wk - 1 """ +
+        """THEN 1 ELSE 0 END)::BIGINT AS n_resurrected """ +
+        """FROM lagd GROUP BY wk) """ +
+        """SELECT a.wk, a.n_active, a.n_new, a.n_retained, """ +
+        """a.n_resurrected, """ +
+        """(COALESCE(p.n_active, 0) - a.n_retained)::BIGINT """ +
+        """AS n_churned_prev """ +
+        """FROM agg a LEFT JOIN agg p ON p.wk = a.wk - 1 """ +
+        """ORDER BY a.wk"""),
     "ev_entropy" ->
       ("""WITH c AS (SELECT user_id, event_type, COUNT(*) AS c """ +
         """FROM events GROUP BY user_id, event_type), """ +

@@ -1022,7 +1022,37 @@ object TextAnalysis {
   def taNovelty(s: SparkSession, dir: String): DataFrame =
     taNovelty(Tables.load(s, dir, "documents").select("doc_id", "text"))
 
+  /** Corpus manifest checksum: per source, the document count, token
+    * total, and an ORDER-FREE content checksum (the sum of each text's
+    * leading-6-hex-digit md5 value) — the cheap "did anything change
+    * between snapshot A and B" fingerprint a pipeline stores next to
+    * every materialized corpus. Sum-of-hashes is insertion-order- and
+    * partitioning-independent by construction, so two runs (or two
+    * engines) agree byte-for-byte.
+    *
+    * Scale design: one narrow pass, one source-keyed partial+final
+    * aggregate; output is sources-sized.
+    */
+  def taChecksum(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__ck_docs")
+    val digit = (k: Int) =>
+      s"(instr('0123456789abcdef', substring(md5(text), $k, 1)) - 1)"
+    val hex6 = (1 to 6).map(k =>
+      s"CAST(${digit(k)} AS BIGINT) * ${1L << (4 * (6 - k))}L").mkString(" + ")
+    s.sql(
+      s"""SELECT source, COUNT(*) AS n_docs,
+         |       SUM(size(split(text, ' '))) AS n_tokens,
+         |       SUM($hex6) AS checksum
+         |FROM __ck_docs GROUP BY source ORDER BY source""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata corpus. */
+  def taChecksum(s: SparkSession, dir: String): DataFrame =
+    taChecksum(Tables.load(s, dir, "documents").select("text", "source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_checksum" -> ((s: SparkSession, dir: String) => taChecksum(s, dir)),
     "ta_novelty" -> ((s: SparkSession, dir: String) => taNovelty(s, dir)),
     "ta_heaps" -> ((s: SparkSession, dir: String) => taHeaps(s, dir)),
     "ta_burstiness" -> ((s: SparkSession, dir: String) => taBurstiness(s, dir)),
@@ -1051,6 +1081,16 @@ object TextAnalysis {
   private val sqlToks = "string_split(text, ' ')"
 
   val oracleSql: Map[String, String] = Map(
+    "ta_checksum" -> {
+      val digit = (k: Int) =>
+        s"(strpos('0123456789abcdef', substr(md5(text), $k, 1)) - 1)"
+      val hex6 = (1 to 6).map(k =>
+        s"${digit(k)}::BIGINT * ${1L << (4 * (6 - k))}").mkString(" + ")
+      s"SELECT source, COUNT(*) AS n_docs, " +
+        s"SUM(len($sqlToks))::BIGINT AS n_tokens, " +
+        s"SUM($hex6)::BIGINT AS checksum " +
+        "FROM documents GROUP BY source ORDER BY source"
+    },
     "ta_novelty" ->
       (s"WITH tok AS (SELECT doc_id, $sqlToks AS toks FROM documents), " +
         "g AS (SELECT doc_id, unnest([array_to_string(toks[i:i+2], ' ') " +

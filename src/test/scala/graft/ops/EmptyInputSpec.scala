@@ -93,6 +93,9 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(TextAnalysis.taNovelty(emptyDocs).count() == 0)
     assert(Pipeline.dsDropout(emptyDocs).count() == 0)
     assert(Sessionize.evEntropy(emptyEvents).count() == 0)
+    assert(Sessionize.evGrowth(emptyEvents).count() == 0)
+    assert(TextAnalysis.taChecksum(
+      Seq.empty[(String, String)].toDF("text", "source")).count() == 0)
     assert(Sessionize.evOverlap(emptyEvents).count() == 0)
     assert(Multimodal.mmWindows(
       Seq.empty[(Long, Long)].toDF("media_id", "n_bytes")).count() == 0)

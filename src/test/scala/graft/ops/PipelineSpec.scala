@@ -1877,6 +1877,49 @@ class PipelineSpec extends AnyFunSuite {
       Set(w1, w2).exists(Set("aurora", "borealis")) })
   }
 
+  test("evGrowth(events): new/retained/resurrected/churned decomposition") {
+    import spark.implicits._
+    val week = 604800000L // ms
+    def t(wk: Long, off: Int) = new java.sql.Timestamp(wk * week + off * 1000L)
+    // u1: weeks 0,1,3 (retained in 1, resurrected in 3); u2: week 1 only
+    val evs = Seq((1L, 0L), (1L, 1L), (1L, 3L), (2L, 1L)).zipWithIndex
+      .map { case ((u, wk), i) => (i.toLong, t(wk, i), u, "view", 0.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Sessionize.evGrowth(evs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (0L, 1L, 1L, 0L, 0L, 0L),
+      (1L, 2L, 1L, 1L, 0L, 0L),   // u1 retained, u2 new; none churned
+      (3L, 1L, 0L, 0L, 1L, 0L)))  // u1 resurrected; week 2 has no row
+    // oracle form: decomposition closes every week
+    val orc = Sessionize.evGrowth(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(orc.nonEmpty)
+    orc.foreach { case (act, nw, ret, res) => assert(nw + ret + res == act) }
+  }
+
+  test("taChecksum(docs): order-free sum replays the digest fold") {
+    import spark.implicits._
+    def lead6(text: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.take(6), 16)
+    }
+    val docs = Seq(("a b c", "s1"), ("d e", "s1"), ("f", "s2"))
+      .toDF("text", "source")
+    val got = TextAnalysis.taChecksum(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("s1", 2L, 5L, lead6("a b c") + lead6("d e")),
+      ("s2", 1L, 1L, lead6("f"))))
+    // shuffled input: identical checksums (order-free by construction)
+    val again = TextAnalysis.taChecksum(
+      docs.orderBy(org.apache.spark.sql.functions.rand(7))).collect()
+      .map(r => (r.getString(0), r.getLong(3)))
+    assert(again.toMap == got.map(t => (t._1, t._4)).toMap)
+  }
+
   test("dsDropout(docs): reproducible, rate-bounded, zero-rate identity") {
     import spark.implicits._
     val docs = (1L to 50L)
