@@ -1293,7 +1293,33 @@ object Sessionize {
     evGrowth(s.table("__events"))
   }
 
+  /** Hour-of-day traffic profile per event type (UTC) — ev_dow's intraday
+    * sibling: counts and within-type shares over the 24-hour grid, the
+    * seasonality baseline a spike detector normalizes against. One
+    * (type, hour) partial+final aggregate; the share window runs over the
+    * 24×types grid.
+    */
+  def evHod(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__hod_events")
+    s.sql(
+      """WITH d AS (
+        |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod, COUNT(*) AS n
+        |  FROM __hod_events GROUP BY event_type, hour(ts))
+        |SELECT event_type, hod, n,
+        |       ROUND(CAST(n AS DOUBLE) /
+        |             SUM(n) OVER (PARTITION BY event_type), 6) AS share
+        |FROM d ORDER BY event_type, hod""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata events. */
+  def evHod(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evHod(s.table("__events"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_hod" -> ((s: SparkSession, dir: String) => evHod(s, dir)),
     "ev_growth" -> ((s: SparkSession, dir: String) => evGrowth(s, dir)),
     "ev_entropy" -> ((s: SparkSession, dir: String) => evEntropy(s, dir)),
     "ev_overlap" -> ((s: SparkSession, dir: String) => evOverlap(s, dir)),
@@ -1327,6 +1353,12 @@ object Sessionize {
       "* (1::DOUBLE / na + 1::DOUBLE / nb))")
 
   val oracleSql: Map[String, String] = Map(
+    "ev_hod" ->
+      ("""WITH d AS (SELECT event_type, hour(ts)::BIGINT AS hod, """ +
+        """COUNT(*) AS n FROM events GROUP BY event_type, hour(ts)) """ +
+        """SELECT event_type, hod, n, """ +
+        """ROUND(n::DOUBLE / SUM(n) OVER (PARTITION BY event_type), 6) """ +
+        """AS share FROM d ORDER BY event_type, hod"""),
     "ev_growth" ->
       ("""WITH uw AS (SELECT DISTINCT user_id, """ +
         """epoch_us(ts) // 604800000000 AS wk FROM events), """ +

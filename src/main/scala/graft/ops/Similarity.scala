@@ -404,6 +404,36 @@ object Similarity {
     ssRecall(approx, exact)
   }
 
+  /** Embedding norm QA per label: count, min/max, and the decimal-exact
+    * mean of vector norms — the first-look sanity table before any
+    * cosine work (a near-zero or wildly spread norm distribution breaks
+    * every cosine threshold downstream). Mean accumulates ROUND(·,9)
+    * decimals (order-free); min/max are exact on the rounded norms.
+    */
+  def ssNorms(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    emb.createOrReplaceTempView("__nm_emb")
+    s.sql(
+      """WITH n AS (
+        |  SELECT label,
+        |         ROUND(sqrt(graft_dot(v, v)), 6) AS nrm,
+        |         CAST(ROUND(sqrt(graft_dot(v, v)), 9) AS DECIMAL(28,9))
+        |           AS nrm9
+        |  FROM (SELECT label,
+        |               transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |        FROM __nm_emb))
+        |SELECT label, COUNT(*) AS n, MIN(nrm) AS min_nrm, MAX(nrm) AS max_nrm,
+        |       ROUND(CAST(SUM(nrm9) AS DOUBLE) / COUNT(*), 6) AS mean_nrm
+        |FROM n GROUP BY label ORDER BY label""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata embeddings. */
+  def ssNorms(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "embeddings").createOrReplaceTempView("__nm_raw")
+    ssNorms(s.table("__nm_raw"))
+  }
+
   /** IVF index audit: the trained coarse-quantizer centroids with their
     * member counts and norms — the table an operator reads to SIZE the
     * index (the nlist/nprobe dial the ss_ivf_ann scaladoc documents): a
@@ -1053,6 +1083,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ss_maxsim" -> ((s: SparkSession, dir: String) => ssMaxSim(s, dir)),
     "ss_knn_graph" -> ((s: SparkSession, dir: String) => ssKnnGraph(s, dir)),
+    "ss_norms" -> ((s: SparkSession, dir: String) => ssNorms(s, dir)),
     "ss_centroids" -> ((s: SparkSession, dir: String) => ssCentroids(s, dir)),
     "ss_drift" -> ((s: SparkSession, dir: String) => ssDrift(s, dir)),
     "ss_hardneg" -> ((s: SparkSession, dir: String) => ssHardNeg(s, dir)),
@@ -1375,6 +1406,18 @@ object Similarity {
         |  FROM norms q JOIN norms c ON q.vec_id < 5 AND c.vec_id <> q.vec_id)
         |WHERE cos >= 0.2
         |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin
+        .replaceAll("\n", " "),
+    "ss_norms" ->
+      """WITH n AS (
+        |  SELECT label,
+        |         ROUND(sqrt(list_sum([x * x FOR x IN v])), 6) AS nrm,
+        |         CAST(ROUND(sqrt(list_sum([x * x FOR x IN v])), 9)
+        |           AS DECIMAL(28,9)) AS nrm9
+        |  FROM (SELECT label, [x::DOUBLE FOR x IN embedding] AS v
+        |        FROM embeddings))
+        |SELECT label, COUNT(*) AS n, MIN(nrm) AS min_nrm, MAX(nrm) AS max_nrm,
+        |       ROUND(CAST(SUM(nrm9) AS DOUBLE) / COUNT(*), 6) AS mean_nrm
+        |FROM n GROUP BY label ORDER BY label""".stripMargin
         .replaceAll("\n", " "),
     "ss_centroids" ->
       s"""WITH base AS (

@@ -94,6 +94,10 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Pipeline.dsDropout(emptyDocs).count() == 0)
     assert(Sessionize.evEntropy(emptyEvents).count() == 0)
     assert(Sessionize.evGrowth(emptyEvents).count() == 0)
+    assert(Sessionize.evHod(emptyEvents).count() == 0)
+    assert(Similarity.ssNorms(
+      Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label"))
+      .count() == 0)
     assert(TextAnalysis.taChecksum(
       Seq.empty[(String, String)].toDF("text", "source")).count() == 0)
     assert(Sessionize.evOverlap(emptyEvents).count() == 0)

@@ -1877,6 +1877,25 @@ class PipelineSpec extends AnyFunSuite {
       Set(w1, w2).exists(Set("aurora", "borealis")) })
   }
 
+  test("evHod(events): pinned UTC hours, shares close per type") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val evs = Seq(t("2024-06-01 09:10:00"), t("2024-06-01 09:50:00"),
+      t("2024-06-01 23:00:00")).zipWithIndex
+      .map { case (ts, i) => (i.toLong, ts, 1L, "view", 0.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Sessionize.evHod(evs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(("view", 9L, 2L, 0.666667), ("view", 23L, 1L,
+      0.333333)))
+    val orc = Sessionize.evHod(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+    assert(orc.nonEmpty && orc.forall(t => t._2 >= 0 && t._2 <= 23))
+    orc.groupBy(_._1).foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
+    }
+  }
+
   test("evGrowth(events): new/retained/resurrected/churned decomposition") {
     import spark.implicits._
     val week = 604800000L // ms

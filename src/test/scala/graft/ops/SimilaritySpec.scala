@@ -380,6 +380,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(want.count { case (a, b, _, _) => a < 6 && b < 6 } >= 4)
   }
 
+  test("ssNorms: hand norms fold exactly; corpus table bounded and sane") {
+    import spark.implicits._
+    val emb = Seq((0L, Array(3f, 4f), 0), (1L, Array(0f, 1f), 0),
+      (2L, Array(0f, 2f), 1)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.ssNorms(emb).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(got.toSeq == Seq((0, 2L, 1.0, 5.0, 3.0), (1, 1L, 2.0, 2.0, 2.0)))
+    val orc = Similarity.ssNorms(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(orc.nonEmpty)
+    orc.foreach { case (n, mn, mx, mean) =>
+      assert(n > 0 && mn > 0 && mn <= mean && mean <= mx)
+    }
+  }
+
   test("ssCentroids: 16 live centroids whose members tile the corpus") {
     val sf = "/root/testdata/sf0.001"
     val n = graft.Tables.load(spark, sf, "embeddings").count()
