@@ -804,6 +804,40 @@ object Dedup {
     ddSemDedupOn(s, aug, nlist = 16, tau = 0.9)
   }
 
+  /** Per-source duplication summary: document count, distinct-text count
+    * (md5 digests — the ddExact equality), and the duplicate rate — the
+    * executive table a curation run reports before and after dedup.
+    * One source-keyed partial+final aggregate; COUNT(DISTINCT digest)
+    * is the only expansion and it is md5-compacted first.
+    */
+  def ddStats(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__st_docs")
+    s.sql(
+      """SELECT source, COUNT(*) AS n_docs,
+        |       COUNT(DISTINCT md5(text)) AS n_distinct,
+        |       ROUND(CAST(1 AS DOUBLE)
+        |             - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*),
+        |             6) AS dup_rate
+        |FROM __st_docs GROUP BY source ORDER BY source""".stripMargin)
+  }
+
+  /** The oracle-checked form: every doc_id % 6 == 0 text is replaced by
+    * its source's doc 0 text (planted within-source duplicates), so each
+    * source reads a real dup_rate.
+    */
+  def ddStats(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "documents").createOrReplaceTempView("__docs")
+    ddStats(s.sql(
+      """SELECT a.source,
+        |       CASE WHEN a.doc_id % 6 = 0 THEN coalesce(b.text, a.text)
+        |            ELSE a.text END AS text
+        |FROM __docs a
+        |LEFT JOIN (SELECT source, MIN(doc_id) AS m FROM __docs
+        |           GROUP BY source) mm ON mm.source = a.source
+        |LEFT JOIN __docs b ON b.doc_id = mm.m""".stripMargin))
+  }
+
   /** Cross-corpus exact dedup: flag every corpus document whose exact text
     * already exists in a REFERENCE corpus (the "dedup the new crawl against
     * last month's snapshot" primitive — cross-SET, where [[ddExactOn]] is
@@ -992,6 +1026,7 @@ object Dedup {
     "dd_crossdedup" -> ((s: SparkSession, dir: String) => ddCrossDedup(s, dir)),
     "dd_semdedup" -> ((s: SparkSession, dir: String) => ddSemDedup(s, dir)),
     "dd_keepbest" -> ((s: SparkSession, dir: String) => ddKeepBest(s, dir)),
+    "dd_stats" -> ((s: SparkSession, dir: String) => ddStats(s, dir)),
     "dd_substring" -> ((s: SparkSession, dir: String) => ddSubstring(s, dir)),
     "dd_paragraph" -> ((s: SparkSession, dir: String) => ddParagraph(s, dir)),
     "dd_exact" -> (ddExact _),
@@ -1004,6 +1039,17 @@ object Dedup {
     "dd_embed_cos" -> (ddEmbedCos _))
 
   val oracleSql: Map[String, String] = Map(
+    "dd_stats" ->
+      ("""WITH aug AS (SELECT a.source, """ +
+        """CASE WHEN a.doc_id % 6 = 0 THEN coalesce(b.text, a.text) """ +
+        """ELSE a.text END AS text FROM documents a """ +
+        """LEFT JOIN (SELECT source, MIN(doc_id) AS m FROM documents """ +
+        """GROUP BY source) mm ON mm.source = a.source """ +
+        """LEFT JOIN documents b ON b.doc_id = mm.m) """ +
+        """SELECT source, COUNT(*) AS n_docs, """ +
+        """COUNT(DISTINCT md5(text)) AS n_distinct, """ +
+        """ROUND(1::DOUBLE - COUNT(DISTINCT md5(text))::DOUBLE / COUNT(*), 6) """ +
+        """AS dup_rate FROM aug GROUP BY source ORDER BY source"""),
     "dd_crossfuzzy" ->
       """WITH corpus AS (
         |  SELECT a.doc_id,

@@ -113,6 +113,8 @@ class EmptyInputSpec extends AnyFunSuite {
       Seq.empty[Long].toDF("doc_id"),
       Seq.empty[(Long, Long)].toDF("doc_id", "canon_id")).count() == 0)
     assert(Dedup.ddCrossDedup(emptyDocs, emptyDocs).count() == 0)
+    assert(Dedup.ddStats(
+      Seq.empty[(String, String)].toDF("source", "text")).count() == 0)
     assert(Pipeline.dsWeightedSample(
       Seq.empty[(Long, Double)].toDF("doc_id", "w"), "w", 5).count() == 0)
     assert(Pipeline.dsEpochs(

