@@ -1210,7 +1210,44 @@ object Pipeline {
     dsDropout(s.sql("SELECT doc_id, text FROM __docs"))
   }
 
+  /** Split-hygiene audit: which HELD-OUT documents (val/test under the
+    * ds_split digest rule) share their exact text with ANY train
+    * document — the leakage check every split must pass before an eval
+    * number is trusted. The testdata's natural whole-document duplicates
+    * land on both sides of the random split, so the audit reads real
+    * leaks. Equality is md5-of-text (the ddExact/ddCrossDedup
+    * discipline).
+    *
+    * Scale design: digests compact both sides before the join; the train
+    * digest relation is DISTINCT-compacted and semi-joins the held-out
+    * side (one hash join on 128-bit keys, text never shuffles).
+    */
+  def dsLeakage(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__lk_docs")
+    s.sql(
+      """WITH tagged AS (
+        |  SELECT doc_id, md5(text) AS h,
+        |         CASE WHEN instr('0123456789abcdef',
+        |                substring(md5(concat('split:', CAST(doc_id AS STRING))),
+        |                          1, 1)) - 1 < 12
+        |              THEN 'train' ELSE 'heldout' END AS side
+        |  FROM __lk_docs),
+        |train AS (SELECT DISTINCT h FROM tagged WHERE side = 'train')
+        |SELECT t.doc_id, tr.h IS NOT NULL AS leaked
+        |FROM tagged t LEFT JOIN train tr ON tr.h = t.h
+        |WHERE t.side = 'heldout'
+        |ORDER BY t.doc_id""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata corpus. */
+  def dsLeakage(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "documents").createOrReplaceTempView("__docs")
+    dsLeakage(s.sql("SELECT doc_id, text FROM __docs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_leakage" -> ((s: SparkSession, dir: String) => dsLeakage(s, dir)),
     "ds_dropout" -> ((s: SparkSession, dir: String) => dsDropout(s, dir)),
     "ds_softdedup" -> ((s: SparkSession, dir: String) => dsSoftDedup(s, dir)),
     "ds_balance" -> ((s: SparkSession, dir: String) => dsBalance(s, dir)),
@@ -1482,6 +1519,15 @@ object Pipeline {
         |FROM ranked ORDER BY shard, pos""".stripMargin.replaceAll("\n", " "),
     "dd_resolve" -> ddResolveOracle,
     "ds_softdedup" -> dsSoftDedupOracle,
+    "ds_leakage" ->
+      ("""WITH tagged AS (SELECT doc_id, md5(text) AS h, """ +
+        """CASE WHEN strpos('0123456789abcdef', """ +
+        """substr(md5('split:' || doc_id::VARCHAR), 1, 1)) - 1 < 12 """ +
+        """THEN 'train' ELSE 'heldout' END AS side FROM documents), """ +
+        """train AS (SELECT DISTINCT h FROM tagged WHERE side = 'train') """ +
+        """SELECT t.doc_id, tr.h IS NOT NULL AS leaked """ +
+        """FROM tagged t LEFT JOIN train tr ON tr.h = t.h """ +
+        """WHERE t.side = 'heldout' ORDER BY t.doc_id"""),
     "ds_dropout" ->
       ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks " +
         "FROM documents), " +

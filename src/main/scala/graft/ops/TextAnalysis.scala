@@ -1051,7 +1051,53 @@ object TextAnalysis {
   def taChecksum(s: SparkSession, dir: String): DataFrame =
     taChecksum(Tables.load(s, dir, "documents").select("text", "source"))
 
+  /** Bigram conditional entropy per source: H(w₂|w₁) in bits — how
+    * predictable the next token is given the current one. A templated /
+    * machine-generated source reads near 0 (deterministic transitions);
+    * organic text sits well above. Computed as H(pair) − H(first) =
+    * (Σ c_a·log2 c_a − Σ c_ab·log2 c_ab) / B — every log2 argument an
+    * integer count (the ta_jsd libm-safe rewrite), terms summed as
+    * ROUND(·,9) decimals.
+    *
+    * Scale design: one (source, bigram) partial+final count; the
+    * marginal and both term sums roll up from that vocabulary²-bounded
+    * relation — nothing corpus-sized past the first aggregate.
+    */
+  def taCondEntropy(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__ce_docs")
+    s.sql(
+      """WITH big AS (
+        |  SELECT source, w1, w2, COUNT(*) AS c FROM (
+        |    SELECT source, element_at(toks, i) AS w1,
+        |           element_at(toks, i + 1) AS w2
+        |    FROM (SELECT source, split(text, ' ') AS toks FROM __ce_docs)
+        |    LATERAL VIEW explode(CASE WHEN size(toks) >= 2
+        |      THEN sequence(1, size(toks) - 1) ELSE array() END) AS i)
+        |  GROUP BY source, w1, w2),
+        |firsts AS (SELECT source, w1, SUM(c) AS c FROM big GROUP BY source, w1),
+        |bt AS (SELECT source, SUM(c) AS b FROM big GROUP BY source),
+        |ps AS (
+        |  SELECT source, SUM(CAST(ROUND(CAST(c AS DOUBLE)
+        |           * log2(CAST(c AS DOUBLE)), 9) AS DECIMAL(28,9))) AS s2
+        |  FROM big GROUP BY source),
+        |fs AS (
+        |  SELECT source, SUM(CAST(ROUND(CAST(c AS DOUBLE)
+        |           * log2(CAST(c AS DOUBLE)), 9) AS DECIMAL(28,9))) AS s1
+        |  FROM firsts GROUP BY source)
+        |SELECT bt.source, bt.b AS n_bigrams,
+        |       ROUND(CAST(fs.s1 - ps.s2 AS DOUBLE) / bt.b, 6) AS cond_entropy
+        |FROM bt JOIN ps ON ps.source = bt.source
+        |JOIN fs ON fs.source = bt.source
+        |ORDER BY bt.source""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata corpus. */
+  def taCondEntropy(s: SparkSession, dir: String): DataFrame =
+    taCondEntropy(Tables.load(s, dir, "documents").select("text", "source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_condent" -> ((s: SparkSession, dir: String) => taCondEntropy(s, dir)),
     "ta_checksum" -> ((s: SparkSession, dir: String) => taChecksum(s, dir)),
     "ta_novelty" -> ((s: SparkSession, dir: String) => taNovelty(s, dir)),
     "ta_heaps" -> ((s: SparkSession, dir: String) => taHeaps(s, dir)),
@@ -1081,6 +1127,23 @@ object TextAnalysis {
   private val sqlToks = "string_split(text, ' ')"
 
   val oracleSql: Map[String, String] = Map(
+    "ta_condent" ->
+      (s"WITH big AS (SELECT source, w1, w2, COUNT(*) AS c FROM " +
+        s"(SELECT source, toks[i] AS w1, toks[i+1] AS w2 FROM " +
+        s"(SELECT source, $sqlToks AS toks FROM documents), " +
+        "LATERAL (SELECT unnest(range(1, len(toks))) AS i)) " +
+        "GROUP BY source, w1, w2), " +
+        "firsts AS (SELECT source, w1, SUM(c) AS c FROM big " +
+        "GROUP BY source, w1), " +
+        "bt AS (SELECT source, SUM(c)::BIGINT AS b FROM big GROUP BY source), " +
+        "ps AS (SELECT source, SUM(CAST(ROUND(c::DOUBLE * log2(c::DOUBLE), 9) " +
+        "AS DECIMAL(28,9))) AS s2 FROM big GROUP BY source), " +
+        "fs AS (SELECT source, SUM(CAST(ROUND(c::DOUBLE * log2(c::DOUBLE), 9) " +
+        "AS DECIMAL(28,9))) AS s1 FROM firsts GROUP BY source) " +
+        "SELECT bt.source, bt.b AS n_bigrams, " +
+        "ROUND(CAST(fs.s1 - ps.s2 AS DOUBLE) / bt.b, 6) AS cond_entropy " +
+        "FROM bt JOIN ps ON ps.source = bt.source " +
+        "JOIN fs ON fs.source = bt.source ORDER BY bt.source"),
     "ta_checksum" -> {
       val digit = (k: Int) =>
         s"(strpos('0123456789abcdef', substr(md5(text), $k, 1)) - 1)"

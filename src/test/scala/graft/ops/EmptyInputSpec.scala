@@ -92,6 +92,9 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(TextAnalysis.taHeaps(emptyDocs).count() == 0)
     assert(TextAnalysis.taNovelty(emptyDocs).count() == 0)
     assert(Pipeline.dsDropout(emptyDocs).count() == 0)
+    assert(Pipeline.dsLeakage(emptyDocs).count() == 0)
+    assert(TextAnalysis.taCondEntropy(
+      Seq.empty[(String, String)].toDF("text", "source")).count() == 0)
     assert(Sessionize.evEntropy(emptyEvents).count() == 0)
     assert(Sessionize.evGrowth(emptyEvents).count() == 0)
     assert(Sessionize.evHod(emptyEvents).count() == 0)

@@ -1877,6 +1877,44 @@ class PipelineSpec extends AnyFunSuite {
       Set(w1, w2).exists(Set("aurora", "borealis")) })
   }
 
+  test("dsLeakage(docs): a held-out twin of a train text is flagged") {
+    import spark.implicits._
+    // find one train id and one heldout id under the split digest rule
+    def side(id: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if ("0123456789abcdef".indexOf(h.charAt(0)) < 12) "train" else "heldout"
+    }
+    val trainId = (1L to 100L).find(side(_) == "train").get
+    val heldIds = (1L to 100L).filter(side(_) == "heldout").take(2)
+    val docs = Seq(
+      (trainId, "shared text body"),
+      (heldIds(0), "shared text body"),   // leaked
+      (heldIds(1), "unique held out"))    // clean
+      .toDF("doc_id", "text")
+    val got = Pipeline.dsLeakage(docs).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(got == Map(heldIds(0) -> true, heldIds(1) -> false))
+    // oracle form: natural duplicates leak; flags are a subset of heldout
+    val orc = Pipeline.dsLeakage(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1)))
+    assert(orc.nonEmpty)
+  }
+
+  test("taCondEntropy(docs): deterministic chain = 0, hand split exact") {
+    import spark.implicits._
+    val docs = Seq(("a b a b a b", "s1"), ("x x y y", "s2"))
+      .toDF("text", "source")
+    val got = TextAnalysis.taCondEntropy(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // s1: transitions fully determined by the current token -> 0 bits;
+    // s2: pairs xx,xy,yy each once, firsts x:2 y:1 -> 2/3 bits
+    assert(got.toSeq == Seq(("s1", 5L, 0.0), ("s2", 3L, 0.666667)))
+    val orc = TextAnalysis.taCondEntropy(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(2)))
+    assert(orc.nonEmpty && orc.forall(_._2 >= 0.0))
+  }
+
   test("evHod(events): pinned UTC hours, shares close per type") {
     import spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s)
