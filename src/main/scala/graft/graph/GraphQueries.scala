@@ -437,6 +437,41 @@ object GraphQueries {
       .orderBy("node")
   }
 
+  /** Degree distribution (q49): log2-bucketed histogram of vertex degrees
+    * on the symmetric supplier↔part graph — the first plot of any graph
+    * audit (a power law reads as a straight decay down the buckets; a
+    * truncated tail flags caps or sampling artifacts upstream). Integer
+    * buckets via repeated halving: bucket = floor(log2(deg)) computed as
+    * length-of-binary-string − 1, engine-portable.
+    */
+  def q49_degdist(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val fwd = li.select(col("l_suppkey").as("src"),
+      (col("l_partkey") + PartOffset).as("dst")).distinct()
+    val edges = fwd.unionAll(
+      fwd.select(col("dst").as("src"), col("src").as("dst")))
+    edges.createOrReplaceTempView("__q49_e")
+    s.sql(
+      """WITH deg AS (
+        |  SELECT src AS node, COUNT(*) AS deg FROM __q49_e GROUP BY src)
+        |SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket,
+        |       COUNT(*) AS n_nodes,
+        |       MIN(deg) AS min_deg, MAX(deg) AS max_deg
+        |FROM deg GROUP BY length(bin(deg)) - 1
+        |ORDER BY bucket""".stripMargin)
+  }
+
+  val q49OracleSql: String =
+    """WITH fwd AS (
+      |  SELECT DISTINCT l_suppkey AS u, l_partkey + 1000000 AS v FROM lineitem),
+      |edges AS (SELECT u AS src, v AS dst FROM fwd
+      |          UNION ALL SELECT v AS src, u AS dst FROM fwd),
+      |deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src)
+      |SELECT (length(bin(deg)) - 1)::BIGINT AS bucket, COUNT(*) AS n_nodes,
+      |       MIN(deg) AS min_deg, MAX(deg) AS max_deg
+      |FROM deg GROUP BY length(bin(deg)) - 1
+      |ORDER BY bucket""".stripMargin.replaceAll("\n", " ")
+
   val q48OracleSql: String =
     """WITH fwd AS (
       |  SELECT DISTINCT l_suppkey AS u, l_partkey + 1000000 AS v FROM lineitem),
@@ -816,6 +851,7 @@ object GraphQueries {
     "q34_kcore" -> (q34_kcore _),
     "q33_pagerank" -> (q33_pagerank _),
     "q42_hits" -> (q42_hits _),
+    "q49_degdist" -> (q49_degdist _),
     "q48_ppr" -> (q48_ppr _),
     "q47_ktruss" -> (q47_ktruss _),
     "q46_ecc" -> (q46_ecc _),
@@ -835,6 +871,7 @@ object GraphQueries {
     "q34_kcore" -> q34OracleSql,
     "q33_pagerank" -> q33OracleSql,
     "q42_hits" -> q42OracleSql,
+    "q49_degdist" -> q49OracleSql,
     "q48_ppr" -> q48OracleSql,
     "q47_ktruss" -> q47OracleSql,
     "q46_ecc" -> q46OracleSql,

@@ -1096,7 +1096,39 @@ object TextAnalysis {
   def taCondEntropy(s: SparkSession, dir: String): DataFrame =
     taCondEntropy(Tables.load(s, dir, "documents").select("text", "source"))
 
+  /** Document rarity: the mean IDF of a document's token POSITIONS —
+    * log2(N/df) per token, averaged. Jargon/noise-heavy documents score
+    * high (rare vocabulary); boilerplate scores near 0. IDF splits into
+    * log2(N) − log2(df) so every log2 argument is an integer count (the
+    * ta_jsd libm-safe rewrite); per-position terms sum as ROUND(·,9)
+    * decimals.
+    *
+    * Scale design: document frequencies are ONE (token) distinct-doc
+    * aggregate (vocabulary-sized output, broadcastable); the join back is
+    * the corpus token relation against that vocabulary.
+    */
+  def taRarity(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__ra_docs")
+    s.sql(
+      """WITH tok AS (
+        |  SELECT doc_id, explode(split(text, ' ')) AS w FROM __ra_docs),
+        |nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tok),
+        |df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY w)
+        |SELECT t.doc_id, COUNT(*) AS n_tokens,
+        |       ROUND(CAST(SUM(CAST(ROUND(log2(CAST(nd.n AS DOUBLE))
+        |               - log2(CAST(df.df AS DOUBLE)), 9) AS DECIMAL(28,9)))
+        |             AS DOUBLE) / COUNT(*), 6) AS rarity
+        |FROM tok t CROSS JOIN nd JOIN df ON df.w = t.w
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata corpus. */
+  def taRarity(s: SparkSession, dir: String): DataFrame =
+    taRarity(Tables.load(s, dir, "documents").select("doc_id", "text"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_rarity" -> ((s: SparkSession, dir: String) => taRarity(s, dir)),
     "ta_condent" -> ((s: SparkSession, dir: String) => taCondEntropy(s, dir)),
     "ta_checksum" -> ((s: SparkSession, dir: String) => taChecksum(s, dir)),
     "ta_novelty" -> ((s: SparkSession, dir: String) => taNovelty(s, dir)),
@@ -1127,6 +1159,15 @@ object TextAnalysis {
   private val sqlToks = "string_split(text, ' ')"
 
   val oracleSql: Map[String, String] = Map(
+    "ta_rarity" ->
+      (s"WITH tok AS (SELECT doc_id, unnest($sqlToks) AS w FROM documents), " +
+        "nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tok), " +
+        "df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY w) " +
+        "SELECT t.doc_id, COUNT(*) AS n_tokens, " +
+        "ROUND(CAST(SUM(CAST(ROUND(log2(nd.n::DOUBLE) - log2(df.df::DOUBLE), 9) " +
+        "AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*), 6) AS rarity " +
+        "FROM tok t CROSS JOIN nd JOIN df ON df.w = t.w " +
+        "GROUP BY t.doc_id ORDER BY t.doc_id"),
     "ta_condent" ->
       (s"WITH big AS (SELECT source, w1, w2, COUNT(*) AS c FROM " +
         s"(SELECT source, toks[i] AS w1, toks[i+1] AS w2 FROM " +

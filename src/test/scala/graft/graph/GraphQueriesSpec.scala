@@ -368,6 +368,21 @@ class GraphQueriesSpec extends AnyFunSuite {
     assert(lm1.exists(_._2 <= 3))
   }
 
+  test("q49_degdist: buckets tile degree ranges, nodes sum to the graph") {
+    val rows = GraphQueries.q49_degdist(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // bucket b covers [2^b, 2^(b+1)): min/max must sit inside
+    rows.foreach { case (b, n, mn, mx) =>
+      assert(n > 0 && mn >= (1L << b) && mx < (1L << (b + 1)) && mn <= mx)
+    }
+    // node totals across buckets equal the graph's vertex count
+    val li = graft.Tables.load(spark, sf, "lineitem")
+    val nNodes = li.selectExpr("l_suppkey AS n").distinct().count() +
+      li.selectExpr("l_partkey AS n").distinct().count()
+    assert(rows.map(_._2).sum == nNodes)
+  }
+
   test("runPersonalized: hand integer fold on a triangle, seed-only teleport") {
     import spark.implicits._
     val und = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L)

@@ -93,6 +93,7 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(TextAnalysis.taNovelty(emptyDocs).count() == 0)
     assert(Pipeline.dsDropout(emptyDocs).count() == 0)
     assert(Pipeline.dsLeakage(emptyDocs).count() == 0)
+    assert(TextAnalysis.taRarity(emptyDocs).count() == 0)
     assert(TextAnalysis.taCondEntropy(
       Seq.empty[(String, String)].toDF("text", "source")).count() == 0)
     assert(Sessionize.evEntropy(emptyEvents).count() == 0)

@@ -1877,6 +1877,20 @@ class PipelineSpec extends AnyFunSuite {
       Set(w1, w2).exists(Set("aurora", "borealis")) })
   }
 
+  test("taRarity(docs): ubiquitous tokens read 0, rare tokens lift the mean") {
+    import spark.implicits._
+    // 'c' in all 4 docs (idf 0); 'r' only in doc 1 (idf log2 4 = 2)
+    val docs = Seq((1L, "c r"), (2L, "c"), (3L, "c"), (4L, "c"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.taRarity(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0), (2L, 1L, 0.0), (3L, 1L, 0.0),
+      (4L, 1L, 0.0)))
+    val orc = TextAnalysis.taRarity(spark, sf).collect()
+      .map(r => r.getDouble(2))
+    assert(orc.nonEmpty && orc.forall(_ >= 0.0))
+  }
+
   test("dsLeakage(docs): a held-out twin of a train text is flagged") {
     import spark.implicits._
     // find one train id and one heldout id under the split digest rule
