@@ -1318,7 +1318,45 @@ object Sessionize {
     evHod(s.table("__events"))
   }
 
+  /** Arrival dispersion per event type: the Fano factor (variance/mean)
+    * of per-minute event counts over the type's own [first, last] minute
+    * span, ZEROS INCLUDED — the Poisson test for arrival streams. A
+    * Poisson-ish feed reads ≈ 1; campaign bursts push ≫ 1; a metronome
+    * (load-test traffic) reads ≪ 1. The event-stream sibling of
+    * ta_burstiness, same one-expression integer algebra:
+    * fano = (N·Σc² − (Σc)²) / (N·Σc) with N = span minutes.
+    *
+    * Scale design: one (type, minute) partial+final count, one type-level
+    * rollup carrying Σc/Σc²/min/max — types-sized output.
+    */
+  def evDispersion(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__dp_events")
+    s.sql(
+      """WITH m AS (
+        |  SELECT event_type, unix_micros(ts) div 60000000 AS minute,
+        |         COUNT(*) AS c
+        |  FROM __dp_events GROUP BY event_type, 2),
+        |t AS (
+        |  SELECT event_type,
+        |         MAX(minute) - MIN(minute) + 1 AS n_minutes,
+        |         SUM(c) AS sc, SUM(c * c) AS sc2
+        |  FROM m GROUP BY event_type)
+        |SELECT event_type, n_minutes, sc AS n_events,
+        |       ROUND((CAST(n_minutes AS DOUBLE) * sc2
+        |              - CAST(sc AS DOUBLE) * sc)
+        |             / (CAST(n_minutes AS DOUBLE) * sc), 6) AS fano
+        |FROM t ORDER BY event_type""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata events. */
+  def evDispersion(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evDispersion(s.table("__events"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_dispersion" -> ((s: SparkSession, dir: String) => evDispersion(s, dir)),
     "ev_hod" -> ((s: SparkSession, dir: String) => evHod(s, dir)),
     "ev_growth" -> ((s: SparkSession, dir: String) => evGrowth(s, dir)),
     "ev_entropy" -> ((s: SparkSession, dir: String) => evEntropy(s, dir)),
@@ -1353,6 +1391,17 @@ object Sessionize {
       "* (1::DOUBLE / na + 1::DOUBLE / nb))")
 
   val oracleSql: Map[String, String] = Map(
+    "ev_dispersion" ->
+      ("""WITH m AS (SELECT event_type, epoch_us(ts) // 60000000 AS minute, """ +
+        """COUNT(*) AS c FROM events GROUP BY event_type, 2), """ +
+        """t AS (SELECT event_type, """ +
+        """(MAX(minute) - MIN(minute) + 1)::BIGINT AS n_minutes, """ +
+        """SUM(c)::BIGINT AS sc, SUM(c * c)::BIGINT AS sc2 """ +
+        """FROM m GROUP BY event_type) """ +
+        """SELECT event_type, n_minutes, sc AS n_events, """ +
+        """ROUND((n_minutes::DOUBLE * sc2 - sc::DOUBLE * sc) """ +
+        """/ (n_minutes::DOUBLE * sc), 6) AS fano """ +
+        """FROM t ORDER BY event_type"""),
     "ev_hod" ->
       ("""WITH d AS (SELECT event_type, hour(ts)::BIGINT AS hod, """ +
         """COUNT(*) AS n FROM events GROUP BY event_type, hour(ts)) """ +

@@ -1877,6 +1877,24 @@ class PipelineSpec extends AnyFunSuite {
       Set(w1, w2).exists(Set("aurora", "borealis")) })
   }
 
+  test("evDispersion(events): metronome reads 0, bursty type reads > 1") {
+    import spark.implicits._
+    def t(min: Long, off: Int) =
+      new java.sql.Timestamp(min * 60000L + off * 1000L)
+    // 'a': one event per minute 0..3 (var 0 -> fano 0);
+    // 'b': 3 events in minute 0, 1 in minute 3 -> fano 1.5
+    val evs = (Seq((0L, "a"), (1L, "a"), (2L, "a"), (3L, "a"),
+      (0L, "b"), (0L, "b"), (0L, "b"), (3L, "b")).zipWithIndex)
+      .map { case ((m, ty), i) => (i.toLong, t(m, i % 10), 1L, ty, 0.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Sessionize.evDispersion(evs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(("a", 4L, 4L, 0.0), ("b", 4L, 4L, 1.5)))
+    val orc = Sessionize.evDispersion(spark, sf).collect()
+      .map(r => r.getDouble(3))
+    assert(orc.nonEmpty && orc.forall(_ >= 0.0))
+  }
+
   test("taRarity(docs): ubiquitous tokens read 0, rare tokens lift the mean") {
     import spark.implicits._
     // 'c' in all 4 docs (idf 0); 'r' only in doc 1 (idf log2 4 = 2)
