@@ -1355,7 +1355,85 @@ object Sessionize {
     evDispersion(s.table("__events"))
   }
 
+  /** Conversion-lag spectrum: per converting user, the delay from FIRST
+    * view to FIRST purchase, log2-bucketed in seconds (the ev_gaps
+    * bucketing applied across types instead of within one) — the
+    * time-to-convert curve growth teams read before setting attribution
+    * windows. Lag is integer seconds, so every per-bucket sum is exact;
+    * only the final mean divides. Users who purchase before ever viewing
+    * (gift-link conversions) are excluded by the first_view <=
+    * first_purchase guard, same as a funnel's ordering rule.
+    *
+    * Scale design: ONE user_id aggregate carries both firsts as
+    * conditional MINs (no self-join of two filtered scans), then a
+    * ~32-bucket rollup — nothing user-sized leaves the first exchange.
+    */
+  def evLag(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__lag_events")
+    s.sql(
+      """WITH f AS (
+        |  SELECT user_id,
+        |         MIN(CASE WHEN event_type = 'view' THEN ts END) AS fv,
+        |         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+        |  FROM __lag_events GROUP BY user_id),
+        |l AS (
+        |  SELECT (unix_micros(fp) - unix_micros(fv)) div 1000000 AS lag_s
+        |  FROM f
+        |  WHERE fv IS NOT NULL AND fp IS NOT NULL AND fv <= fp)
+        |SELECT CAST(floor(log2(lag_s + 1)) AS BIGINT) AS bucket,
+        |       COUNT(*) AS n_users, MIN(lag_s) AS min_lag_s,
+        |       MAX(lag_s) AS max_lag_s,
+        |       ROUND(CAST(SUM(lag_s) AS DOUBLE) / COUNT(*), 6) AS mean_lag_s
+        |FROM l GROUP BY 1 ORDER BY bucket""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata events. */
+  def evLag(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evLag(s.table("__events"))
+  }
+
+  /** Weekly stickiness: mean daily active users over weekly active users
+    * per ISO week (the DAU/MAU product metric at the granularity a
+    * 30-day corpus supports) — 1.0 means every weekly user shows up
+    * every active day; 1/7 is the drive-by floor. Daily counts are
+    * integers, so sum_dau is exact and only the final ratio divides.
+    *
+    * Scale design: one (user, day) distinct pass (week is derived from
+    * day, so the distinct carries no extra key), then a days-sized DAU
+    * rollup and a weeks-sized COUNT(DISTINCT user) — both partial-agg
+    * friendly; output is weeks-sized.
+    */
+  def evStickiness(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__st_events")
+    s.sql(
+      """WITH d AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(date_trunc('week', ts) AS DATE) AS week,
+        |         CAST(ts AS DATE) AS day
+        |  FROM __st_events),
+        |dau AS (SELECT week, day, COUNT(*) AS dau FROM d GROUP BY week, day),
+        |wau AS (SELECT week, COUNT(DISTINCT user_id) AS wau FROM d
+        |        GROUP BY week)
+        |SELECT CAST(w.week AS STRING) AS week, COUNT(*) AS n_days,
+        |       SUM(dau.dau) AS sum_dau, w.wau,
+        |       ROUND(CAST(SUM(dau.dau) AS DOUBLE) / COUNT(*) / w.wau, 6)
+        |         AS stickiness
+        |FROM dau JOIN wau w ON w.week = dau.week
+        |GROUP BY w.week, w.wau ORDER BY w.week""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata events. */
+  def evStickiness(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evStickiness(s.table("__events"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_lag" -> ((s: SparkSession, dir: String) => evLag(s, dir)),
+    "ev_stickiness" -> ((s: SparkSession, dir: String) => evStickiness(s, dir)),
     "ev_dispersion" -> ((s: SparkSession, dir: String) => evDispersion(s, dir)),
     "ev_hod" -> ((s: SparkSession, dir: String) => evHod(s, dir)),
     "ev_growth" -> ((s: SparkSession, dir: String) => evGrowth(s, dir)),
@@ -1391,6 +1469,31 @@ object Sessionize {
       "* (1::DOUBLE / na + 1::DOUBLE / nb))")
 
   val oracleSql: Map[String, String] = Map(
+    "ev_lag" ->
+      ("WITH f AS (SELECT user_id, " +
+        "MIN(CASE WHEN event_type = 'view' THEN ts END) AS fv, " +
+        "MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS fp " +
+        "FROM events GROUP BY user_id), " +
+        "l AS (SELECT (epoch_us(fp) - epoch_us(fv)) // 1000000 AS lag_s " +
+        "FROM f WHERE fv IS NOT NULL AND fp IS NOT NULL AND fv <= fp) " +
+        "SELECT CAST(floor(log2(lag_s + 1)) AS BIGINT) AS bucket, " +
+        "COUNT(*) AS n_users, MIN(lag_s) AS min_lag_s, " +
+        "MAX(lag_s) AS max_lag_s, " +
+        "ROUND(SUM(lag_s)::DOUBLE / COUNT(*), 6) AS mean_lag_s " +
+        "FROM l GROUP BY 1 ORDER BY bucket"),
+    "ev_stickiness" ->
+      ("WITH d AS (SELECT DISTINCT user_id, " +
+        "CAST(date_trunc('week', ts) AS DATE) AS week, " +
+        "CAST(ts AS DATE) AS day FROM events), " +
+        "dau AS (SELECT week, day, COUNT(*) AS dau FROM d GROUP BY week, day), " +
+        "wau AS (SELECT week, COUNT(DISTINCT user_id) AS wau FROM d " +
+        "GROUP BY week) " +
+        "SELECT CAST(w.week AS VARCHAR) AS week, COUNT(*) AS n_days, " +
+        "SUM(dau.dau)::BIGINT AS sum_dau, " +
+        "w.wau, ROUND(SUM(dau.dau)::DOUBLE / COUNT(*) / w.wau, 6) " +
+        "AS stickiness " +
+        "FROM dau JOIN wau w ON w.week = dau.week " +
+        "GROUP BY w.week, w.wau ORDER BY w.week"),
     "ev_dispersion" ->
       ("""WITH m AS (SELECT event_type, epoch_us(ts) // 60000000 AS minute, """ +
         """COUNT(*) AS c FROM events GROUP BY event_type, 2), """ +

@@ -100,6 +100,8 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Sessionize.evGrowth(emptyEvents).count() == 0)
     assert(Sessionize.evHod(emptyEvents).count() == 0)
     assert(Sessionize.evDispersion(emptyEvents).count() == 0)
+    assert(Sessionize.evLag(emptyEvents).count() == 0)
+    assert(Sessionize.evStickiness(emptyEvents).count() == 0)
     assert(Similarity.ssNorms(
       Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label"))
       .count() == 0)

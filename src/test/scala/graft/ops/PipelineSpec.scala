@@ -1877,6 +1877,61 @@ class PipelineSpec extends AnyFunSuite {
       Set(w1, w2).exists(Set("aurora", "borealis")) })
   }
 
+  test("evLag(events): conditional-min firsts, ordering guard, log2 buckets") {
+    import spark.implicits._
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // user 1: first view t=100, first purchase t=110 -> lag 10 s, bucket
+    //   floor(log2 11) = 3; the later view (t=105) must not move the min
+    // user 2: view 200, purchase 201 -> lag 1 s, bucket floor(log2 2) = 1
+    // user 3: purchase BEFORE first view -> excluded by the ordering guard
+    // user 4: view only -> excluded (never converts)
+    val evs = Seq(
+      (1L, t(100), 1L, "view", 0.0), (2L, t(110), 1L, "purchase", 0.0),
+      (3L, t(105), 1L, "view", 0.0),
+      (4L, t(200), 2L, "view", 0.0), (5L, t(201), 2L, "purchase", 0.0),
+      (6L, t(300), 3L, "purchase", 0.0), (7L, t(305), 3L, "view", 0.0),
+      (8L, t(400), 4L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Sessionize.evLag(evs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.toSeq == Seq((1L, 1L, 1L, 1L, 1.0), (3L, 1L, 10L, 10L, 10.0)))
+    // oracle form: buckets ordered, counts positive, mean within [min,max]
+    val orc = Sessionize.evLag(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(orc.nonEmpty)
+    orc.foreach { case (_, n, lo, hi, mean) =>
+      assert(n > 0 && lo <= hi && mean >= lo && mean <= hi) }
+  }
+
+  test("evStickiness(events): DAU/WAU algebra on two hand weeks") {
+    import spark.implicits._
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val mon = 4L * 86400 // 1970-01-05, a Monday
+    val tue = mon + 86400
+    val mon2 = mon + 7 * 86400
+    // week 1: u1 active Mon+Tue, u2 Mon only -> DAU 2,1; WAU 2 -> 0.75
+    // week 2: u1 Mon only -> 1.0; duplicate same-day events collapse
+    val evs = Seq(
+      (1L, t(mon), 1L, "view", 0.0), (2L, t(mon + 60), 1L, "click", 0.0),
+      (3L, t(tue), 1L, "view", 0.0), (4L, t(mon + 5), 2L, "view", 0.0),
+      (5L, t(mon2), 1L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Sessionize.evStickiness(evs)
+      .selectExpr("CAST(week AS STRING) AS week", "n_days", "sum_dau", "wau",
+        "stickiness")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.toSeq == Seq(("1970-01-05", 2L, 3L, 2L, 0.75),
+      ("1970-01-12", 1L, 1L, 1L, 1.0)))
+    // oracle form: stickiness bounded by (1/7, 1]
+    val orc = Sessionize.evStickiness(spark, sf).collect()
+      .map(r => r.getDouble(4))
+    assert(orc.nonEmpty && orc.forall(x => x > 1.0 / 7 - 1e-9 && x <= 1.0))
+  }
+
   test("evDispersion(events): metronome reads 0, bursty type reads > 1") {
     import spark.implicits._
     def t(min: Long, off: Int) =
