@@ -1020,7 +1020,40 @@ object Dedup {
     ddCrossFuzzy(corpus, ref)
   }
 
+  /** Prefix-hash duplicate groups: documents sharing their first
+    * `prefixTokens` tokens verbatim — the crawl artifact whole-document
+    * md5 (dd_exact) structurally misses: truncated fetches, pagination
+    * tails, and re-crawls that append a footer all share the head. Each
+    * group reports keep-first's keeper and the token-count spread
+    * (min = max is a likely exact dup; min < max is the
+    * truncation/extension family this op exists to catch).
+    *
+    * Scale design: one narrow map (split + slice + md5 — nothing
+    * corpus-quadratic), one partial-agg COUNT/MIN/MAX on the 16-byte
+    * key; the HAVING > 1 cut makes the output dup-family-sized.
+    */
+  def ddPrefixOn(docs: DataFrame, prefixTokens: Int = 32): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__pf_docs")
+    s.sql(
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |         md5(array_join(slice(split(text, ' '), 1, $prefixTokens),
+         |                        ' ')) AS prefix_md5,
+         |         size(split(text, ' ')) AS n_tokens
+         |  FROM __pf_docs)
+         |SELECT prefix_md5, COUNT(*) AS n_docs, MIN(doc_id) AS keeper,
+         |       MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens
+         |FROM p GROUP BY prefix_md5 HAVING COUNT(*) > 1
+         |ORDER BY prefix_md5""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata corpus (32-token prefix). */
+  def ddPrefix(s: SparkSession, dir: String): DataFrame =
+    ddPrefixOn(Tables.load(s, dir, "documents").select("doc_id", "text"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_prefix" -> ((s: SparkSession, dir: String) => ddPrefix(s, dir)),
     "dd_crossfuzzy" -> ((s: SparkSession, dir: String) => ddCrossFuzzy(s, dir)),
     "dd_bloom" -> ((s: SparkSession, dir: String) => ddBloomDedup(s, dir)),
     "dd_crossdedup" -> ((s: SparkSession, dir: String) => ddCrossDedup(s, dir)),
@@ -1039,6 +1072,15 @@ object Dedup {
     "dd_embed_cos" -> (ddEmbedCos _))
 
   val oracleSql: Map[String, String] = Map(
+    "dd_prefix" ->
+      ("WITH p AS (SELECT doc_id, " +
+        "md5(array_to_string(string_split(text, ' ')[1:32], ' ')) " +
+        "AS prefix_md5, " +
+        "len(string_split(text, ' '))::INT AS n_tokens FROM documents) " +
+        "SELECT prefix_md5, COUNT(*) AS n_docs, MIN(doc_id) AS keeper, " +
+        "MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens " +
+        "FROM p GROUP BY prefix_md5 HAVING COUNT(*) > 1 " +
+        "ORDER BY prefix_md5"),
     "dd_stats" ->
       ("""WITH aug AS (SELECT a.source, """ +
         """CASE WHEN a.doc_id % 6 = 0 THEN coalesce(b.text, a.text) """ +

@@ -1394,6 +1394,45 @@ object Sessionize {
     evLag(s.table("__events"))
   }
 
+  /** Behavioral trigram mining: the top-k most frequent ordered
+    * event-type trigrams over each user's timeline (ts then event_id as
+    * the deterministic tie-break, the ev_markov ordering) — the
+    * sequential-pattern table session-replay products surface, and the
+    * 3-gram generalization of ev_markov's transition matrix. Rank is
+    * fully tie-broken (count desc, then lexicographic), so top-k is a
+    * total order in both engines.
+    *
+    * Scale design: one user_id exchange for the LEAD window (shared with
+    * every other per-user op), then a |types|³-bounded count relation —
+    * the global rank window sorts at most 125 rows for 5 event types,
+    * and the type alphabet, not the corpus, bounds it at any SF.
+    */
+  def evTrigrams(events: DataFrame, topK: Int = 20): DataFrame = {
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__tg_events")
+    s.sql(
+      s"""WITH s AS (
+         |  SELECT event_type AS e1,
+         |         LEAD(event_type, 1) OVER (PARTITION BY user_id
+         |           ORDER BY ts, event_id) AS e2,
+         |         LEAD(event_type, 2) OVER (PARTITION BY user_id
+         |           ORDER BY ts, event_id) AS e3
+         |  FROM __tg_events)
+         |SELECT e1, e2, e3, n, rn FROM (
+         |  SELECT e1, e2, e3, n,
+         |         CAST(ROW_NUMBER() OVER (ORDER BY n DESC, e1, e2, e3)
+         |           AS BIGINT) AS rn
+         |  FROM (SELECT e1, e2, e3, COUNT(*) AS n FROM s
+         |        WHERE e3 IS NOT NULL GROUP BY e1, e2, e3))
+         |WHERE rn <= $topK ORDER BY rn""".stripMargin)
+  }
+
+  /** The oracle-checked form: top-20 trigrams over the testdata events. */
+  def evTrigrams(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evTrigrams(s.table("__events"))
+  }
+
   /** Weekly stickiness: mean daily active users over weekly active users
     * per ISO week (the DAU/MAU product metric at the granularity a
     * 30-day corpus supports) — 1.0 means every weekly user shows up
@@ -1433,6 +1472,7 @@ object Sessionize {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_lag" -> ((s: SparkSession, dir: String) => evLag(s, dir)),
+    "ev_trigrams" -> ((s: SparkSession, dir: String) => evTrigrams(s, dir)),
     "ev_stickiness" -> ((s: SparkSession, dir: String) => evStickiness(s, dir)),
     "ev_dispersion" -> ((s: SparkSession, dir: String) => evDispersion(s, dir)),
     "ev_hod" -> ((s: SparkSession, dir: String) => evHod(s, dir)),
@@ -1481,6 +1521,18 @@ object Sessionize {
         "MAX(lag_s) AS max_lag_s, " +
         "ROUND(SUM(lag_s)::DOUBLE / COUNT(*), 6) AS mean_lag_s " +
         "FROM l GROUP BY 1 ORDER BY bucket"),
+    "ev_trigrams" ->
+      ("WITH s AS (SELECT event_type AS e1, " +
+        "LEAD(event_type, 1) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id) AS e2, " +
+        "LEAD(event_type, 2) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id) AS e3 FROM events) " +
+        "SELECT e1, e2, e3, n, rn FROM (" +
+        "SELECT e1, e2, e3, n, " +
+        "ROW_NUMBER() OVER (ORDER BY n DESC, e1, e2, e3) AS rn " +
+        "FROM (SELECT e1, e2, e3, COUNT(*) AS n FROM s " +
+        "WHERE e3 IS NOT NULL GROUP BY e1, e2, e3)) " +
+        "WHERE rn <= 20 ORDER BY rn"),
     "ev_stickiness" ->
       ("WITH d AS (SELECT DISTINCT user_id, " +
         "CAST(date_trunc('week', ts) AS DATE) AS week, " +

@@ -1080,7 +1080,75 @@ object Similarity {
     ssMaxSim(s.table("__emb_ms_src"))
   }
 
+  /** Matryoshka-prefix retrieval audit (Kusupati et al., "Matryoshka
+    * Representation Learning", 2022 — public): per-query overlap between
+    * the exact top-k retrieved with only the FIRST `dims` dimensions and
+    * the full-dimension exact top-k. This is the measurement behind the
+    * shortened-embedding serving trick (retrieve on a prefix, rerank on
+    * the full vector): overlap near 1 says the prefix is safe to index
+    * at 1/4 the memory; a collapsed overlap says these embeddings were
+    * not matryoshka-trained and the prefix is NOT a valid index. Both
+    * rankings round scores to 6 dp and tie-break by neighbor_id, so the
+    * table is deterministic in both engines.
+    *
+    * Scale design: same shape as [[ssRecall]] — two query-set-bounded
+    * brute scans (|Q|·N scored pairs, the declared exact-baseline cost),
+    * then a |Q|·k overlap join; the prefix leg reads the SAME scan
+    * (slice projects in-row, no second pass over the corpus).
+    */
+  def ssMatryoshkaOn(s: SparkSession, emb: DataFrame, dims: Int,
+                     queryPred: String, topK: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    emb.createOrReplaceTempView("__mat_emb")
+    s.sql(
+      s"""WITH base AS (
+         |  SELECT vec_id,
+         |         transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         |         transform(slice(embedding, 1, $dims),
+         |                   x -> CAST(x AS DOUBLE)) AS p
+         |  FROM __mat_emb),
+         |norms AS (
+         |  SELECT vec_id, v, p, sqrt(graft_dot(v, v)) AS nv,
+         |         sqrt(graft_dot(p, p)) AS np
+         |  FROM base),
+         |sf AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         ROUND(graft_dot(q.v, c.v) / (q.nv * c.nv), 6) AS cos
+         |  FROM (SELECT * FROM norms WHERE $queryPred) q
+         |  JOIN norms c ON c.vec_id <> q.vec_id),
+         |sp AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         ROUND(graft_dot(q.p, c.p) / (q.np * c.np), 6) AS cos
+         |  FROM (SELECT * FROM norms WHERE $queryPred) q
+         |  JOIN norms c ON c.vec_id <> q.vec_id),
+         |tf AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+         |    FROM sf) WHERE rn <= $topK),
+         |tp AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+         |    FROM sp) WHERE rn <= $topK)
+         |SELECT f.query_id, COUNT(*) AS n_full,
+         |       COUNT(p.neighbor_id) AS n_hit,
+         |       ROUND(CAST(COUNT(p.neighbor_id) AS DOUBLE) / COUNT(*), 6)
+         |         AS overlap
+         |FROM tf f LEFT JOIN tp p
+         |  ON p.query_id = f.query_id AND p.neighbor_id = f.neighbor_id
+         |GROUP BY f.query_id ORDER BY f.query_id""".stripMargin)
+  }
+
+  /** The oracle-checked form: 16-of-64-dim prefix top-5 overlap for
+    * queries vec_id < 20 over the testdata embeddings.
+    */
+  def ssMatryoshka(s: SparkSession, dir: String): DataFrame =
+    ssMatryoshkaOn(s, Tables.load(s, dir, "embeddings"), dims = 16,
+      queryPred = "vec_id < 20", topK = 5)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ss_matryoshka" -> ((s: SparkSession, dir: String) => ssMatryoshka(s, dir)),
     "ss_maxsim" -> ((s: SparkSession, dir: String) => ssMaxSim(s, dir)),
     "ss_knn_graph" -> ((s: SparkSession, dir: String) => ssKnnGraph(s, dir)),
     "ss_norms" -> ((s: SparkSession, dir: String) => ssNorms(s, dir)),
@@ -1154,6 +1222,44 @@ object Similarity {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ss_matryoshka" ->
+      """WITH base AS (
+        |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v,
+        |         [x::DOUBLE FOR x IN embedding[1:16]] AS p FROM embeddings),
+        |norms AS (
+        |  SELECT vec_id, v, p, sqrt(list_sum([x * x FOR x IN v])) AS nv,
+        |         sqrt(list_sum([x * x FOR x IN p])) AS np FROM base),
+        |sf AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         ROUND(list_sum([q.v[i] * c.v[i]
+        |                 FOR i IN generate_series(1, len(q.v))])
+        |               / (q.nv * c.nv), 6) AS cos
+        |  FROM norms q JOIN norms c
+        |    ON q.vec_id < 20 AND c.vec_id <> q.vec_id),
+        |sp AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         ROUND(list_sum([q.p[i] * c.p[i]
+        |                 FOR i IN generate_series(1, len(q.p))])
+        |               / (q.np * c.np), 6) AS cos
+        |  FROM norms q JOIN norms c
+        |    ON q.vec_id < 20 AND c.vec_id <> q.vec_id),
+        |tf AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+        |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+        |    FROM sf) WHERE rn <= 5),
+        |tp AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+        |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+        |    FROM sp) WHERE rn <= 5)
+        |SELECT f.query_id, COUNT(*) AS n_full,
+        |       COUNT(p.neighbor_id) AS n_hit,
+        |       ROUND(COUNT(p.neighbor_id)::DOUBLE / COUNT(*), 6) AS overlap
+        |FROM tf f LEFT JOIN tp p
+        |  ON p.query_id = f.query_id AND p.neighbor_id = f.neighbor_id
+        |GROUP BY f.query_id ORDER BY f.query_id""".stripMargin
+        .replaceAll("\n", " "),
     "ss_maxsim" -> maxSimDuck,
     "ss_knn_graph" ->
       """WITH base AS (

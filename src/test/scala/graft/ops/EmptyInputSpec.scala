@@ -102,6 +102,11 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Sessionize.evDispersion(emptyEvents).count() == 0)
     assert(Sessionize.evLag(emptyEvents).count() == 0)
     assert(Sessionize.evStickiness(emptyEvents).count() == 0)
+    assert(Sessionize.evTrigrams(emptyEvents).count() == 0)
+    assert(Dedup.ddPrefixOn(emptyDocs).count() == 0)
+    assert(Similarity.ssMatryoshkaOn(spark,
+      Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label"),
+      dims = 2, queryPred = "vec_id < 5", topK = 3).count() == 0)
     assert(Similarity.ssNorms(
       Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label"))
       .count() == 0)

@@ -1932,6 +1932,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(orc.nonEmpty && orc.forall(x => x > 1.0 / 7 - 1e-9 && x <= 1.0))
   }
 
+  test("ddPrefixOn(docs): shared 32-token heads group, tails don't split") {
+    import spark.implicits._
+    val prefix = (1 to 32).map("p" + _).mkString(" ")
+    // docs 1+2: same 32-token head, one extended tail -> one family
+    // docs 4+5: short exact twins (whole text IS the prefix) -> one family
+    // doc 3: unique head -> no group
+    val docs = Seq(
+      (1L, prefix), (2L, prefix + " tail"), (3L, "something else entirely"),
+      (4L, "short text"), (5L, "short text"))
+      .toDF("doc_id", "text")
+    val got = Dedup.ddPrefixOn(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4)))
+    assert(got.toSet == Set((2L, 1L, 32, 33), (2L, 4L, 2, 2)))
+    // oracle form: families are non-trivial and keeper is the group min
+    val orc = Dedup.ddPrefix(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4)))
+    orc.foreach { case (n, _, lo, hi) => assert(n > 1 && lo <= hi) }
+  }
+
+  test("evTrigrams(events): ordered per-user trigrams, tie-broken rank") {
+    import spark.implicits._
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // user 1: a b c d -> (a,b,c), (b,c,d); user 2: a b c -> (a,b,c)
+    val evs = Seq(
+      (1L, t(10), 1L, "a", 0.0), (2L, t(11), 1L, "b", 0.0),
+      (3L, t(12), 1L, "c", 0.0), (4L, t(13), 1L, "d", 0.0),
+      (5L, t(20), 2L, "a", 0.0), (6L, t(21), 2L, "b", 0.0),
+      (7L, t(22), 2L, "c", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Sessionize.evTrigrams(evs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(("a", "b", "c", 2L, 1L), ("b", "c", "d", 1L, 2L)))
+    // oracle form: ranks are 1..k, counts non-increasing
+    val orc = Sessionize.evTrigrams(spark, sf).collect()
+      .map(r => (r.getLong(3), r.getLong(4)))
+    assert(orc.map(_._2).toSeq == (1L to orc.length).toSeq)
+    assert(orc.map(_._1).toSeq == orc.map(_._1).sortBy(-_).toSeq)
+  }
+
   test("evDispersion(events): metronome reads 0, bursty type reads > 1") {
     import spark.implicits._
     def t(min: Long, off: Int) =

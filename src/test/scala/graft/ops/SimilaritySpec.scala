@@ -518,4 +518,26 @@ class SimilaritySpec extends AnyFunSuite {
       assert(recall == want)
     }
   }
+
+  test("ssMatryoshkaOn: prefix-divergent query reads 0, aligned reads 1") {
+    import spark.implicits._
+    // query 100 = e1: full top-1 is c2 (cos .994) but the 2-dim prefix
+    // ranks c1 first (prefix cos 1.0 vs c2's .994) -> overlap@1 = 0.
+    // query 101 = e2: c3 == e2 exactly, wins both rankings -> overlap 1.
+    val emb = Seq(
+      (1L, Array(1f, 0f, 10f, 0f)), (2L, Array(0.9f, 0.1f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f)),
+      (100L, Array(1f, 0f, 0f, 0f)), (101L, Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.ssMatryoshkaOn(spark, emb, dims = 2,
+      queryPred = "vec_id >= 100", topK = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((100L, 1L, 0L, 0.0), (101L, 1L, 1L, 1.0)))
+    // oracle form: overlap bounded, full leg always returns k rows
+    val orc = Similarity.ssMatryoshka(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(orc.length == 20)
+    orc.foreach { case (nf, nh, ov) =>
+      assert(nf == 5 && nh <= nf && ov >= 0.0 && ov <= 1.0) }
+  }
 }
