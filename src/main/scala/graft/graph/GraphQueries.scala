@@ -188,6 +188,86 @@ object GraphQueries {
       |JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin
       .replaceAll("\n", " ")
 
+  /** Q50: local clustering coefficient distribution over the user
+    * co-occurrence graph — per node, lcc = 2·t / (deg·(deg−1)) where t is
+    * the node's triangle count, histogrammed into tenth-buckets (bucket
+    * 9 holds [0.9, 1.0]). The community-structure fingerprint next to
+    * q49's degree distribution: social graphs read high, random graphs
+    * read ≈ density. Triangle corners come from q25's ordered two-join
+    * (u < v < w), each triangle credited to all three corners; lcc is a
+    * single division of exact integers and the bucket mean accumulates
+    * ROUND(·,6) decimals, so both engines agree bit-for-bit.
+    *
+    * Scale design: same capped pairing as q25 (per-bucket fan-out is
+    * cap-bounded, never k²); the corner relation is 3 rows per triangle,
+    * partial-agg counted; everything after is node-sized, and the final
+    * histogram is 10 rows.
+    */
+  def q50_lcc(s: SparkSession, dir: String): DataFrame =
+    lccOn(cooccurPairs(userBuckets(s, dir)))
+
+  /** DataFrame-in production entry: `und` is the (u, v) u < v distinct
+    * undirected edge relation of ANY graph.
+    */
+  def lccOn(und: DataFrame): DataFrame = {
+    val s = und.sparkSession
+    und.localCheckpoint(eager = false) // reused 4x: 3 triangle legs + degree
+      .createOrReplaceTempView("__lcc_und")
+    s.sql(
+      """WITH sym AS (
+        |  SELECT u, v FROM __lcc_und
+        |  UNION ALL SELECT v AS u, u AS v FROM __lcc_und),
+        |deg AS (SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY u),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM __lcc_und e1
+        |  JOIN __lcc_und e2 ON e2.u = e1.v
+        |  JOIN __lcc_und e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |corner AS (
+        |  SELECT a AS node FROM tri
+        |  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+        |t AS (SELECT node, COUNT(*) AS t FROM corner GROUP BY node),
+        |l AS (
+        |  SELECT d.node,
+        |         ROUND(2.0 * coalesce(t.t, 0) / (d.deg * (d.deg - 1)), 6)
+        |           AS lcc
+        |  FROM deg d LEFT JOIN t ON t.node = d.node WHERE d.deg >= 2)
+        |SELECT LEAST(9, CAST(floor(lcc * 10) AS INT)) AS bucket,
+        |       COUNT(*) AS n_nodes,
+        |       ROUND(CAST(SUM(CAST(lcc AS DECIMAL(28,9))) AS DOUBLE)
+        |             / COUNT(*), 6) AS mean_lcc
+        |FROM l GROUP BY 1 ORDER BY bucket""".stripMargin)
+  }
+
+  val q50OracleSql: String =
+    s"""WITH ub AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 10000000 AS b FROM events),
+      |capped AS (
+      |  SELECT user_id, b FROM ub
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY b ORDER BY user_id) <= $CooccurCap),
+      |und AS (
+      |  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      |  FROM capped a JOIN capped b USING (b)
+      |  WHERE a.user_id < b.user_id),
+      |sym AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+      |deg AS (SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY u),
+      |tri AS (
+      |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM und e1 JOIN und e2 ON e2.u = e1.v
+      |  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |corner AS (
+      |  SELECT a AS node FROM tri
+      |  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+      |t AS (SELECT node, COUNT(*) AS t FROM corner GROUP BY node),
+      |l AS (
+      |  SELECT d.node,
+      |         ROUND(2.0 * coalesce(t.t, 0) / (d.deg * (d.deg - 1)), 6) AS lcc
+      |  FROM deg d LEFT JOIN t ON t.node = d.node WHERE d.deg >= 2)
+      |SELECT LEAST(9, floor(lcc * 10)::INT) AS bucket, COUNT(*) AS n_nodes,
+      |       ROUND((SUM(CAST(lcc AS DECIMAL(28,9))))::DOUBLE / COUNT(*), 6)
+      |         AS mean_lcc
+      |FROM l GROUP BY 1 ORDER BY bucket""".stripMargin.replaceAll("\n", " ")
+
   /** Q26: hop-bounded weighted shortest paths (≤6 hops) from supplier 1
     * over the supplier↔part graph with lineitem-count weights. 6 rounds of
     * FRONTIER-DELTA Bellman-Ford (VERDICT r1 #2): each round relaxes only
@@ -852,6 +932,7 @@ object GraphQueries {
     "q33_pagerank" -> (q33_pagerank _),
     "q42_hits" -> (q42_hits _),
     "q49_degdist" -> (q49_degdist _),
+    "q50_lcc" -> (q50_lcc _),
     "q48_ppr" -> (q48_ppr _),
     "q47_ktruss" -> (q47_ktruss _),
     "q46_ecc" -> (q46_ecc _),
@@ -872,6 +953,7 @@ object GraphQueries {
     "q33_pagerank" -> q33OracleSql,
     "q42_hits" -> q42OracleSql,
     "q49_degdist" -> q49OracleSql,
+    "q50_lcc" -> q50OracleSql,
     "q48_ppr" -> q48OracleSql,
     "q47_ktruss" -> q47OracleSql,
     "q46_ecc" -> q46OracleSql,

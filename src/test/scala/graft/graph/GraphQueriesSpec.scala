@@ -438,4 +438,22 @@ class GraphQueriesSpec extends AnyFunSuite {
     val (_, n1, e1) = rows.find(_._1 == 1L).get
     assert(n1 == single.length && e1 == single.map(_._2).max)
   }
+
+  test("lccOn: triangle-plus-pendant hand graph lands in the right buckets") {
+    import spark.implicits._
+    // triangle 1-2-3, pendant 4 on node 1: node 1 deg 3, t 1 -> lcc 1/3
+    // (bucket 3); nodes 2,3 deg 2, t 1 -> lcc 1.0 (bucket 9, LEAST-capped);
+    // node 4 deg 1 -> excluded (lcc undefined below deg 2)
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("u", "v")
+    val got = GraphQueries.lccOn(und).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((3, 1L, 0.333333), (9, 2L, 1.0)))
+    // oracle form at sf0.01 (sf0.001's co-occurrence graph is a single
+    // edge — no deg>=2 node, legitimately empty): buckets in range
+    val orc = GraphQueries.q50_lcc(spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(orc.nonEmpty)
+    orc.foreach { case (b, n, m) =>
+      assert(b >= 0 && b <= 9 && n > 0 && m >= 0.0 && m <= 1.0) }
+  }
 }

@@ -107,6 +107,8 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Similarity.ssMatryoshkaOn(spark,
       Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label"),
       dims = 2, queryPred = "vec_id < 5", topK = 3).count() == 0)
+    assert(graft.graph.GraphQueries.lccOn(
+      Seq.empty[(Long, Long)].toDF("u", "v")).count() == 0)
     assert(Similarity.ssNorms(
       Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label"))
       .count() == 0)
