@@ -110,6 +110,11 @@ object PipelineScaleProbe {
     if (args.headOption.contains("addendum19")) {
       addendum19(args(1), args(2).toInt); return
     }
+    // `addendum20 <existingDir>` — the continuation-session ops: ev_lag/
+    // ev_stickiness/ev_trigrams at 10M events, dd_prefix with planted
+    // truncation twins at 500k docs, ss_matryoshka at 100k vectors,
+    // lccOn on the 6-hour co-occurrence window graph
+    if (args.headOption.contains("addendum20")) { addendum20(args(1)); return }
     // `addendum13 <nDocs> <nEvents> <nVec> <outBase>` — gaps/gini at
     // event scale, epochs/ngram at corpus scale, range at vector scale
     if (args.headOption.contains("addendum13")) {
@@ -1355,6 +1360,133 @@ object PipelineScaleProbe {
       s"zero-support-after-peel=$zeroSup (6-hour window graph)")
 
     println("PSCALE addendum19 done")
+    spark.stop()
+  }
+
+  /** Continuation-session ops at 100×: the shared invariant is again
+    * metadata-sized outputs behind one linear corpus pass — lag/
+    * stickiness/trigram tables are bucket/week/alphabet-bounded, prefix
+    * families are dup-family-sized, matryoshka overlap is |Q|-sized, and
+    * the LCC histogram is 10 rows.
+    */
+  private def addendum20(dir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+
+    def wall[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val events = graft.Tables.load(spark, dir, "events")
+    val nUsers = events.select("user_id").distinct().count()
+
+    // ev_lag: one conditional-min user aggregate at 10M events; output
+    // is log2-bucket-sized; converting users bounded by the user count
+    val (lag, lw) = wall(ops.Sessionize.evLag(events).collect())
+    require(lag.nonEmpty, "lag empty")
+    val lagBuckets = lag.map(_.getLong(0))
+    require(lagBuckets.sorted.sameElements(lagBuckets), "buckets unsorted")
+    require(lagBuckets.distinct.length == lagBuckets.length, "bucket dup")
+    val nConv = lag.map(_.getLong(1)).sum
+    require(nConv <= nUsers, "more converters than users")
+    lag.foreach { r =>
+      val (lo, hi, m) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      require(lo <= hi && m >= lo && m <= hi, "mean outside [min,max]")
+    }
+    println(f"PSCALE q=ev_lag t=$lw%.1f s buckets=${lag.length} " +
+      s"converters=$nConv of $nUsers users")
+
+    // ev_stickiness: weeks-sized output; a uniform 30-day stream reads
+    // near 1.0 (every user active almost every day at 666 events/user)
+    val (st, sw) = wall(ops.Sessionize.evStickiness(events).collect())
+    require(st.length >= 4 && st.length <= 6, s"weeks ${st.length}")
+    st.foreach { r =>
+      require(r.getLong(1) <= 7, "more than 7 days in a week")
+      val x = r.getDouble(4)
+      require(x > 0.0 && x <= 1.0, s"stickiness $x out of range")
+    }
+    println(f"PSCALE q=ev_stickiness t=$sw%.1f s weeks=${st.length} " +
+      f"min=${st.map(_.getDouble(4)).min}%.3f " +
+      f"max=${st.map(_.getDouble(4)).max}%.3f")
+
+    // ev_trigrams: the LEAD window shuffles once on user_id; the count
+    // relation is 5^3-bounded no matter the event count
+    val (tg, tw) = wall(ops.Sessionize.evTrigrams(events).collect())
+    require(tg.length == 20, s"trigram rows ${tg.length}")
+    require(tg.map(_.getLong(4)).sameElements(1L to 20L), "ranks not dense")
+    val counts = tg.map(_.getLong(3))
+    require(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      "counts not non-increasing")
+    println(f"PSCALE q=ev_trigrams t=$tw%.1f s top=${counts.head} " +
+      s"bottom=${counts.last}")
+
+    // dd_prefix: the 500k corpus has NO natural 32-token-prefix family
+    // (measured) — plant one truncation twin per 1000th doc and require
+    // the families found to be EXACTLY the planted ones
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val planted = docs.filter(col("doc_id") % 1000 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        array_join(slice(split(col("text"), " "), 1, 40), " ").as("text"))
+    val nPlanted = planted.count()
+    val (pf, pw) = wall(
+      ops.Dedup.ddPrefixOn(docs.unionAll(planted)).collect())
+    require(pf.length == nPlanted,
+      s"families ${pf.length} != planted $nPlanted")
+    pf.foreach { r =>
+      require(r.getLong(1) == 2 && r.getLong(2) < 10000000L,
+        "family not a planted pair with the original as keeper")
+    }
+    println(f"PSCALE q=dd_prefix t=$pw%.1f s families=${pf.length} " +
+      s"(all planted, corpus=${500000 + nPlanted})")
+
+    // ss_matryoshka: two brute legs over the SAME scan at 100k vectors;
+    // |Q|*k-bounded output. The probe's gaussian-mixture embeddings are
+    // NOT matryoshka-trained, so the informative number is the measured
+    // mean overlap (recorded, not asserted beyond range).
+    val emb = spark.read.parquet(s"$dir/embeddings19.parquet")
+    val (mt, mw) = wall(
+      ops.Similarity.ssMatryoshkaOn(spark, emb, dims = 16,
+        queryPred = "vec_id < 20", topK = 5).collect())
+    require(mt.length == 20, s"matryoshka rows ${mt.length}")
+    mt.foreach { r =>
+      require(r.getLong(1) == 5 && r.getLong(2) <= 5, "bad overlap counts")
+    }
+    val meanOv = mt.map(_.getDouble(3)).sum / mt.length
+    println(f"PSCALE q=ss_matryoshka t=$mw%.1f s queries=20 " +
+      f"mean_overlap=$meanOv%.3f (16 of 64 dims, untrained embeddings)")
+
+    // lccOn on the 6-hour co-occurrence window (the addendum19 truss
+    // lesson: the full 30-day graph approaches a clique); histogram is
+    // 10 rows whatever the graph
+    events.createOrReplaceTempView("__ev20")
+    val windowed = spark.sql(
+      """SELECT user_id, unix_micros(ts) div 10000000 AS b
+        |FROM __ev20 CROSS JOIN (SELECT MIN(ts) AS t0 FROM __ev20)
+        |WHERE ts < t0 + INTERVAL 6 HOUR""".stripMargin).distinct()
+    val pairs = graph.GraphQueries.cooccurPairs(windowed)
+      .localCheckpoint(eager = true)
+    val nPairs = pairs.count()
+    val (lc, cw) = wall(graph.GraphQueries.lccOn(pairs).collect())
+    require(lc.nonEmpty, "lcc empty")
+    val nNodes = lc.map(_.getLong(1)).sum
+    require(nNodes <= nUsers, "more lcc nodes than users")
+    lc.foreach { r =>
+      val (b, m) = (r.getInt(0), r.getDouble(2))
+      require(b >= 0 && b <= 9 && m >= 0.0 && m <= 1.0, "bucket/mean range")
+    }
+    println(f"PSCALE q=lcc t=$cw%.1f s edges=$nPairs nodes=$nNodes " +
+      s"buckets=${lc.length} (6-hour window graph)")
+
+    println("PSCALE addendum20 done")
     spark.stop()
   }
 
