@@ -268,6 +268,60 @@ object GraphQueries {
       |         AS mean_lcc
       |FROM l GROUP BY 1 ORDER BY bucket""".stripMargin.replaceAll("\n", " ")
 
+  /** Q51: global transitivity (the graph-level closure ratio) —
+    * 3·triangles / wedges, where wedges = Σ C(deg, 2) counts open triads.
+    * The one-row companion to q50's per-node histogram: q50 says WHERE
+    * clustering lives, q51 is the scalar a monitoring dashboard tracks
+    * over time. deg·(deg−1)/2 is integer-exact (consecutive integers),
+    * the triangle count is q25's ordered two-join, and the final ratio
+    * is one double division — bit-equal in both engines.
+    *
+    * Scale design: wedges roll up from the node-sized degree relation;
+    * triangles reuse the capped pairing; output is ONE row.
+    */
+  def q51_transitivity(s: SparkSession, dir: String): DataFrame = {
+    cooccurPairs(userBuckets(s, dir))
+      .localCheckpoint(eager = false) // reused 4x: 3 triangle legs + degree
+      .createOrReplaceTempView("__tr_und")
+    s.sql(
+      """WITH sym AS (
+        |  SELECT u, v FROM __tr_und
+        |  UNION ALL SELECT v AS u, u AS v FROM __tr_und),
+        |deg AS (SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY u),
+        |w AS (SELECT SUM(deg * (deg - 1) div 2) AS n_wedges FROM deg),
+        |t AS (
+        |  SELECT COUNT(*) AS n_triangles
+        |  FROM __tr_und e1
+        |  JOIN __tr_und e2 ON e2.u = e1.v
+        |  JOIN __tr_und e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT t.n_triangles, w.n_wedges,
+        |       ROUND(CAST(3 * t.n_triangles AS DOUBLE) / w.n_wedges, 6)
+        |         AS transitivity
+        |FROM t CROSS JOIN w""".stripMargin)
+  }
+
+  val q51OracleSql: String =
+    s"""WITH ub AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 10000000 AS b FROM events),
+      |capped AS (
+      |  SELECT user_id, b FROM ub
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY b ORDER BY user_id) <= $CooccurCap),
+      |und AS (
+      |  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      |  FROM capped a JOIN capped b USING (b)
+      |  WHERE a.user_id < b.user_id),
+      |sym AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+      |deg AS (SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY u),
+      |w AS (SELECT SUM(deg * (deg - 1) // 2)::BIGINT AS n_wedges FROM deg),
+      |t AS (
+      |  SELECT COUNT(*) AS n_triangles
+      |  FROM und e1 JOIN und e2 ON e2.u = e1.v
+      |  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v)
+      |SELECT t.n_triangles, w.n_wedges,
+      |       ROUND((3 * t.n_triangles)::DOUBLE / w.n_wedges, 6)
+      |         AS transitivity
+      |FROM t CROSS JOIN w""".stripMargin.replaceAll("\n", " ")
+
   /** Q26: hop-bounded weighted shortest paths (≤6 hops) from supplier 1
     * over the supplier↔part graph with lineitem-count weights. 6 rounds of
     * FRONTIER-DELTA Bellman-Ford (VERDICT r1 #2): each round relaxes only
@@ -933,6 +987,7 @@ object GraphQueries {
     "q42_hits" -> (q42_hits _),
     "q49_degdist" -> (q49_degdist _),
     "q50_lcc" -> (q50_lcc _),
+    "q51_transitivity" -> (q51_transitivity _),
     "q48_ppr" -> (q48_ppr _),
     "q47_ktruss" -> (q47_ktruss _),
     "q46_ecc" -> (q46_ecc _),
@@ -954,6 +1009,7 @@ object GraphQueries {
     "q42_hits" -> q42OracleSql,
     "q49_degdist" -> q49OracleSql,
     "q50_lcc" -> q50OracleSql,
+    "q51_transitivity" -> q51OracleSql,
     "q48_ppr" -> q48OracleSql,
     "q47_ktruss" -> q47OracleSql,
     "q46_ecc" -> q46OracleSql,

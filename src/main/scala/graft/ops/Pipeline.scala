@@ -492,6 +492,36 @@ object Pipeline {
     dsBalance(Tables.load(s, dir, "documents").select("doc_id", "lang"),
       "lang")
 
+  /** Inverse-frequency class weights (the class-balanced-loss companion
+    * to [[dsBalance]]): weight_c = N / (K · n_c), so Σ n_c·w_c = N and a
+    * uniform corpus reads 1.0 everywhere. dsBalance THROWS AWAY data to
+    * equalize classes; this keeps every row and hands the trainer the
+    * loss weights instead — the standard alternative when the small
+    * class is too precious to subsample against. Integer counts, one
+    * final division.
+    *
+    * Scale design: one partial-agg count by class; the (K, N) scalar
+    * broadcasts back over the class-sized relation. Nothing corpus-sized
+    * after the first aggregate.
+    */
+  def dsClassWeight(docs: DataFrame, classCol: String): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__cw_docs")
+    s.sql(
+      s"""WITH c AS (
+         |  SELECT $classCol AS cls, COUNT(*) AS n_docs
+         |  FROM __cw_docs GROUP BY $classCol),
+         |t AS (SELECT COUNT(*) AS k, SUM(n_docs) AS n FROM c)
+         |SELECT c.cls, c.n_docs,
+         |       ROUND(CAST(t.n AS DOUBLE) / (t.k * c.n_docs), 6) AS weight
+         |FROM c CROSS JOIN t ORDER BY c.cls""".stripMargin)
+  }
+
+  /** The oracle-checked form: language-class weights over the corpus. */
+  def dsClassWeight(s: SparkSession, dir: String): DataFrame =
+    dsClassWeight(Tables.load(s, dir, "documents").select("doc_id", "lang"),
+      "lang")
+
   /** Deterministic epoch shuffle (the training-data writer's last step):
     * every document gets a shard (first hex digit of
     * md5('shuffle:'||doc_id) — 16 shards here) and an intra-shard
@@ -1251,6 +1281,7 @@ object Pipeline {
     "ds_dropout" -> ((s: SparkSession, dir: String) => dsDropout(s, dir)),
     "ds_softdedup" -> ((s: SparkSession, dir: String) => dsSoftDedup(s, dir)),
     "ds_balance" -> ((s: SparkSession, dir: String) => dsBalance(s, dir)),
+    "ds_classweight" -> ((s: SparkSession, dir: String) => dsClassWeight(s, dir)),
     "ds_tokbudget" -> ((s: SparkSession, dir: String) => dsTokBudget(s, dir)),
     "ds_lenbucket" -> ((s: SparkSession, dir: String) => dsLenBucket(s, dir)),
     "dd_resolve" -> (ddResolve _),
@@ -1459,6 +1490,13 @@ object Pipeline {
         |SELECT doc_id, n_chars_in, length(text_norm) AS n_chars_out,
         |       text_norm <> noisy AS changed, text_norm = text AS recovered
         |FROM norm ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "ds_classweight" ->
+      ("WITH c AS (SELECT lang AS cls, COUNT(*) AS n_docs " +
+        "FROM documents GROUP BY lang), " +
+        "t AS (SELECT COUNT(*) AS k, SUM(n_docs)::BIGINT AS n FROM c) " +
+        "SELECT c.cls, c.n_docs, " +
+        "ROUND(t.n::DOUBLE / (t.k * c.n_docs), 6) AS weight " +
+        "FROM c CROSS JOIN t ORDER BY c.cls"),
     "ds_balance" ->
       """WITH t AS (
         |  SELECT doc_id, lang AS cls, md5('bal:' || doc_id) AS hx

@@ -1147,7 +1147,49 @@ object Similarity {
     ssMatryoshkaOn(s, Tables.load(s, dir, "embeddings"), dims = 16,
       queryPred = "vec_id < 20", topK = 5)
 
+  /** Cosine-similarity calibration histogram: the distribution of
+    * cosines between deterministic id-lag pairs (i, i+1), (i, i+7),
+    * (i, i+29) — the background-similarity table a pipeline reads BEFORE
+    * picking a dedup threshold (dd_embed_cos's 0.9) or an ANN radius
+    * (ss_range): a threshold below the histogram's bulk marks everything
+    * a duplicate; the addendum-probe disk-fill was exactly a
+    * threshold-vs-density mismatch this table makes visible up front.
+    * Id-lag pairs are a deterministic, reproducible sample of the pair
+    * space (no RNG, no all-pairs) — with ids assigned independently of
+    * content they read as random pairs.
+    *
+    * Scale design: 3·N pairs via equality joins on vec_id + lag (hash
+    * join, never a cross product); output is a ≤41-row histogram
+    * (bucket = floor(cos·20), cos rounded to 6 dp first in both
+    * engines).
+    */
+  def ssCosHist(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    emb.createOrReplaceTempView("__ch_emb")
+    s.sql(
+      """WITH base AS (
+        |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM __ch_emb),
+        |norms AS (
+        |  SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM base),
+        |lagged AS (
+        |  SELECT vec_id, v, nrm, explode(array(1, 7, 29)) AS lag
+        |  FROM norms),
+        |pairs AS (
+        |  SELECT ROUND(graft_dot(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+        |  FROM lagged a JOIN norms b ON b.vec_id = a.vec_id + a.lag)
+        |SELECT CAST(floor(cos * 20) AS INT) AS bucket, COUNT(*) AS n_pairs,
+        |       MIN(cos) AS min_cos, MAX(cos) AS max_cos
+        |FROM pairs GROUP BY 1 ORDER BY bucket""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata embeddings. */
+  def ssCosHist(s: SparkSession, dir: String): DataFrame =
+    ssCosHist(Tables.load(s, dir, "embeddings"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ss_coshist" -> ((s: SparkSession, dir: String) => ssCosHist(s, dir)),
     "ss_matryoshka" -> ((s: SparkSession, dir: String) => ssMatryoshka(s, dir)),
     "ss_maxsim" -> ((s: SparkSession, dir: String) => ssMaxSim(s, dir)),
     "ss_knn_graph" -> ((s: SparkSession, dir: String) => ssKnnGraph(s, dir)),
@@ -1222,6 +1264,23 @@ object Similarity {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ss_coshist" ->
+      """WITH base AS (
+        |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),
+        |norms AS (
+        |  SELECT vec_id, v, sqrt(list_sum([x * x FOR x IN v])) AS nrm
+        |  FROM base),
+        |lagged AS (
+        |  SELECT vec_id, v, nrm, unnest([1, 7, 29]) AS lag FROM norms),
+        |pairs AS (
+        |  SELECT ROUND(list_sum([a.v[i] * b.v[i]
+        |           FOR i IN generate_series(1, len(a.v))])
+        |         / (a.nrm * b.nrm), 6) AS cos
+        |  FROM lagged a JOIN norms b ON b.vec_id = a.vec_id + a.lag)
+        |SELECT floor(cos * 20)::INT AS bucket, COUNT(*) AS n_pairs,
+        |       MIN(cos) AS min_cos, MAX(cos) AS max_cos
+        |FROM pairs GROUP BY 1 ORDER BY bucket""".stripMargin
+        .replaceAll("\n", " "),
     "ss_matryoshka" ->
       """WITH base AS (
         |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v,

@@ -1127,7 +1127,57 @@ object TextAnalysis {
   def taRarity(s: SparkSession, dir: String): DataFrame =
     taRarity(Tables.load(s, dir, "documents").select("doc_id", "text"))
 
+  /** Code-likeness per source: a document is code-like when it carries
+    * at least two programming keywords as whitespace tokens OR its
+    * code-symbol density ({}();=<>) exceeds 5 % of characters — the
+    * routing signal a mixed crawl needs before prose-tuned filters
+    * (taGopher's TTR and taReadability both misread source code as
+    * garbage prose and would throw it away). The 5 % cut is the
+    * integer-exact predicate sym·20 > chars; keyword hits count via a
+    * token-set filter, no regex backtracking anywhere.
+    *
+    * Scale design: narrow single-pass per-doc signals, one partial-agg
+    * rollup to sources-sized output.
+    */
+  def taCodeFrac(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__cf_docs")
+    s.sql(
+      """WITH d AS (
+        |  SELECT source,
+        |         size(filter(split(text, ' '),
+        |           t -> t IN ('def', 'return', 'class', 'import',
+        |                      'void', 'int'))) AS kw,
+        |         length(text) AS nc,
+        |         length(text) - length(regexp_replace(text,
+        |           '[{}();=<>]', '')) AS sym
+        |  FROM __cf_docs)
+        |SELECT source, COUNT(*) AS n_docs,
+        |       SUM(CASE WHEN kw >= 2 OR sym * 20 > nc
+        |           THEN 1 ELSE 0 END) AS n_code,
+        |       ROUND(CAST(SUM(CASE WHEN kw >= 2 OR sym * 20 > nc
+        |                 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+        |         AS code_frac
+        |FROM d GROUP BY source ORDER BY source""".stripMargin)
+  }
+
+  /** Oracle-query form: the natural corpus has no code (symbol-free
+    * random words), so every 9th document gets a code line APPENDED —
+    * two keywords + symbols — and the per-source fraction must read the
+    * planting rate (the dd_stats planting discipline).
+    */
+  def taCodeFrac(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "documents").createOrReplaceTempView("__cf_raw")
+    taCodeFrac(s.sql(
+      """SELECT source,
+        |       CASE WHEN doc_id % 9 = 0
+        |            THEN concat(text, ' def run(x); return {x};')
+        |            ELSE text END AS text
+        |FROM __cf_raw""".stripMargin))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_codefrac" -> ((s: SparkSession, dir: String) => taCodeFrac(s, dir)),
     "ta_rarity" -> ((s: SparkSession, dir: String) => taRarity(s, dir)),
     "ta_condent" -> ((s: SparkSession, dir: String) => taCondEntropy(s, dir)),
     "ta_checksum" -> ((s: SparkSession, dir: String) => taChecksum(s, dir)),
@@ -1159,6 +1209,23 @@ object TextAnalysis {
   private val sqlToks = "string_split(text, ' ')"
 
   val oracleSql: Map[String, String] = Map(
+    "ta_codefrac" ->
+      ("WITH aug AS (SELECT source, CASE WHEN doc_id % 9 = 0 " +
+        "THEN concat(text, ' def run(x); return {x};') ELSE text END " +
+        "AS text FROM documents), " +
+        "d AS (SELECT source, " +
+        "len(list_filter(string_split(text, ' '), " +
+        "t -> t IN ('def', 'return', 'class', 'import', 'void', 'int'))) " +
+        "AS kw, " +
+        "length(text) AS nc, " +
+        "length(text) - length(regexp_replace(text, '[{}();=<>]', '', 'g')) " +
+        "AS sym FROM aug) " +
+        "SELECT source, COUNT(*) AS n_docs, " +
+        "SUM(CASE WHEN kw >= 2 OR sym * 20 > nc THEN 1 ELSE 0 END)::BIGINT " +
+        "AS n_code, " +
+        "ROUND(SUM(CASE WHEN kw >= 2 OR sym * 20 > nc THEN 1 ELSE 0 END)" +
+        "::DOUBLE / COUNT(*), 6) AS code_frac " +
+        "FROM d GROUP BY source ORDER BY source"),
     "ta_rarity" ->
       (s"WITH tok AS (SELECT doc_id, unnest($sqlToks) AS w FROM documents), " +
         "nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tok), " +

@@ -456,4 +456,16 @@ class GraphQueriesSpec extends AnyFunSuite {
     orc.foreach { case (b, n, m) =>
       assert(b >= 0 && b <= 9 && n > 0 && m >= 0.0 && m <= 1.0) }
   }
+
+  test("q51_transitivity: triangle leg agrees with q25, ratio bounded") {
+    val dir = "/root/testdata/sf0.01"
+    val t = GraphQueries.q51_transitivity(spark, dir).collect()
+    assert(t.length == 1)
+    val (nTri, nWedge, trans) =
+      (t(0).getLong(0), t(0).getLong(1), t(0).getDouble(2))
+    val q25 = GraphQueries.q25_triangles(spark, dir).collect()(0).getLong(0)
+    assert(nTri == q25, s"q51 triangles $nTri != q25 $q25")
+    // every triangle closes 3 wedges; transitivity = 3T/W must be (0,1]
+    assert(nWedge >= 3 * nTri && trans > 0.0 && trans <= 1.0)
+  }
 }

@@ -109,6 +109,13 @@ class EmptyInputSpec extends AnyFunSuite {
       dims = 2, queryPred = "vec_id < 5", topK = 3).count() == 0)
     assert(graft.graph.GraphQueries.lccOn(
       Seq.empty[(Long, Long)].toDF("u", "v")).count() == 0)
+    assert(Pipeline.dsClassWeight(
+      Seq.empty[(Long, String)].toDF("doc_id", "lang"), "lang").count() == 0)
+    assert(TextAnalysis.taCodeFrac(
+      Seq.empty[(String, String)].toDF("source", "text")).count() == 0)
+    assert(Similarity.ssCosHist(
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"))
+      .count() == 0)
     assert(Similarity.ssNorms(
       Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label"))
       .count() == 0)

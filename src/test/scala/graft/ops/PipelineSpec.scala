@@ -1932,6 +1932,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(orc.nonEmpty && orc.forall(x => x > 1.0 / 7 - 1e-9 && x <= 1.0))
   }
 
+  test("dsClassWeight: inverse-frequency algebra, mass conserved") {
+    import spark.implicits._
+    // N=4, K=2: class a (3 docs) -> 4/(2*3) = 0.666667; b (1) -> 2.0
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"))
+      .toDF("doc_id", "lang")
+    val got = Pipeline.dsClassWeight(docs, "lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(("a", 3L, 0.666667), ("b", 1L, 2.0)))
+    // weighted mass sums back to N (up to 6-dp rounding per class)
+    val orc = Pipeline.dsClassWeight(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    val n = orc.map(_._1).sum
+    val mass = orc.map { case (c, w) => c * w }.sum
+    assert(math.abs(mass - n) < 1e-3 * n)
+  }
+
+  test("taCodeFrac: keyword and symbol-density routes, planted rate") {
+    import spark.implicits._
+    // doc 1: two keywords; doc 3: symbol density 6/10 > 5%; doc 2: prose
+    val docs = Seq(("s", "def foo return x"), ("s", "plain words here"),
+      ("s", "x = (y);{}")).toDF("source", "text")
+    val got = TextAnalysis.taCodeFrac(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(("s", 3L, 2L, 0.666667)))
+    // oracle form: the corpus has ZERO natural keywords/symbols
+    // (measured), so n_code must equal the planted doc_id % 9 == 0 count
+    val planted = graft.Tables.load(spark, sf, "documents")
+      .filter("doc_id % 9 = 0").count()
+    val orc = TextAnalysis.taCodeFrac(spark, sf).collect()
+    assert(orc.map(_.getLong(2)).sum == planted)
+  }
+
+  test("ssCosHist: hand vectors land in the exact lag-pair buckets") {
+    import spark.implicits._
+    // ids 0,1,7: lag-1 pair (0,1) cos 0 -> bucket 0; lag-7 pair (0,7)
+    // cos -1 -> bucket -20; no lag-29 partner exists
+    val emb = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (7L, Array(-1f, 0f))).toDF("vec_id", "embedding")
+    val got = Similarity.ssCosHist(emb).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((-20, 1L, -1.0, -1.0), (0, 1L, 0.0, 0.0)))
+    // oracle form: pair count is exactly the available lag partners
+    val orc = Similarity.ssCosHist(spark, sf).collect()
+    val nPairs = orc.map(_.getLong(1)).sum
+    val nVec = graft.Tables.load(spark, sf, "embeddings").count()
+    assert(nPairs == (nVec - 1) + (nVec - 7) + (nVec - 29))
+  }
+
   test("ddPrefixOn(docs): shared 32-token heads group, tails don't split") {
     import spark.implicits._
     val prefix = (1 to 32).map("p" + _).mkString(" ")
