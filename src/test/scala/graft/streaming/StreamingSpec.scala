@@ -607,6 +607,78 @@ class StreamingSpec extends AnyFunSuite {
     assert(ex.toSet == streaksBatchRows.toSet && ex.size == last.size)
   }
 
+  private def runLagBatches(
+      entry: org.apache.spark.sql.Dataset[LagTracker.LEv] =>
+        org.apache.spark.sql.Dataset[LagTracker.LagRow],
+      name: String, batches: Seq[Seq[Ev]], delay: String = "2 hours"
+  ): Seq[(Long, Long, Long)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = entry(stream.toDF().withWatermark("ts", delay)
+        .select("ts", "user_id", "event_type").as[LagTracker.LEv])
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    for (b <- batches) { stream.addData(b); q.processAllAvailable() }
+    val maxTs = batches.flatten.map(_.ts.getTime).max
+    stream.addData(Ev(-1L, new Timestamp(maxTs + 8L * 24 * 3600 * 1000), -1L, "x", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).filter(col("user_id") =!= -1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+  }
+
+  private def lagBatchRows: Seq[(Long, Long, Long)] = {
+    import spark.implicits._
+    LagTracker.lagBatch(
+      eventsBatch.select("ts", "user_id", "event_type").as[LagTracker.LEv])
+      .collect().map(r => (r.user_id, r.lag_s, r.bucket)).toSeq
+  }
+
+  test("lag: batch fold histogram == the oracle-checked SQL query") {
+    val rows = lagBatchRows
+    assert(rows.nonEmpty)
+    val got = rows.groupBy(_._3).map { case (b, rs) =>
+      val lags = rs.map(_._2)
+      val mean = BigDecimal(lags.sum.toDouble / lags.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (b, rs.length.toLong, lags.min, lags.max, mean)
+    }.toSet
+    val want = graft.ops.Sessionize.evLag(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(got == want)
+  }
+
+  test("lag: streaming emits once per converting user == batch (ordered)") {
+    import spark.implicits._
+    val data = eventsBatch.as[Ev].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val rows = runLagBatches(LagTracker.lagStream, "lag_out",
+      Seq(data.toSeq), delay = "0 seconds")
+    assert(rows.map(_._1).distinct.length == rows.length) // emit-once
+    assert(rows.toSet == lagBatchRows.toSet && rows.nonEmpty)
+  }
+
+  test("lag: cross-trigger earlier view is the documented approximation") {
+    def ev(id: Long, sec: Long, u: Long, tpe: String) =
+      Ev(id, new Timestamp(sec * 1000L), u, tpe, 0.0)
+    // trigger 1: view@100, purchase@200 -> emits lag 100 immediately;
+    // trigger 2: in-watermark view@50 lands AFTER the row is out -> the
+    // emitted row stands (never corrected), while a batch recompute
+    // over all three events reads lag 150
+    val streamed = runLagBatches(LagTracker.lagStream, "lag_late",
+      Seq(Seq(ev(1, 100, 7, "view"), ev(2, 200, 7, "purchase")),
+        Seq(ev(3, 50, 7, "view"))), delay = "2 hours")
+    assert(streamed == Seq((7L, 100L, 6L)))
+    // trigger-2-completed conversion stays EXACT: no premature emission
+    // means the late earlier view still participates
+    val lateExact = runLagBatches(LagTracker.lagStream, "lag_late2",
+      Seq(Seq(ev(1, 200, 8, "purchase")), // no view yet -> nothing emits
+        Seq(ev(2, 100, 8, "view"))), delay = "2 hours")
+    assert(lateExact == Seq((8L, 100L, 6L)))
+  }
+
   private def runGapsBatches(
       entry: org.apache.spark.sql.Dataset[GapsTracker.GEv] =>
         org.apache.spark.sql.Dataset[GapsTracker.GapRow],
