@@ -522,6 +522,44 @@ object Pipeline {
     dsClassWeight(Tables.load(s, dir, "documents").select("doc_id", "lang"),
       "lang")
 
+  /** Context-length packing-efficiency curve: for each candidate context
+    * length L, the bin count and utilization under per-document padding
+    * (every doc rounded up to its own ceil(n/L) windows — what a naive
+    * loader pays) against the cross-document ideal ceil(Σn/L) (what
+    * ds_pack's concatenating writer approaches). The gap between
+    * pad_util and ideal_util IS the business case for packing at a given
+    * L — the table a team reads before fixing the context length. All
+    * ceilings are integer arithmetic ((n + L − 1) div L); the two
+    * utilizations are the only divisions.
+    *
+    * Scale design: one token-count pass; the per-L rollup is a 3-row
+    * CROSS JOIN against a literal array — output is |L|-sized.
+    */
+  def dsPackEff(docs: DataFrame, lens: Seq[Int] = Seq(128, 256, 512))
+      : DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__pe_docs")
+    s.sql(
+      s"""WITH t AS (SELECT size(split(text, ' ')) AS n FROM __pe_docs),
+         |ls AS (SELECT explode(array(${lens.mkString(", ")})) AS len),
+         |agg AS (
+         |  SELECT ls.len, COUNT(*) AS n_docs, SUM(t.n) AS total_tokens,
+         |         SUM((t.n + ls.len - 1) div ls.len) AS pad_bins
+         |  FROM t CROSS JOIN ls GROUP BY ls.len)
+         |SELECT len, n_docs, total_tokens, pad_bins,
+         |       ROUND(CAST(total_tokens AS DOUBLE) / (len * pad_bins), 6)
+         |         AS pad_util,
+         |       (total_tokens + len - 1) div len AS ideal_bins,
+         |       ROUND(CAST(total_tokens AS DOUBLE)
+         |             / (len * ((total_tokens + len - 1) div len)), 6)
+         |         AS ideal_util
+         |FROM agg ORDER BY len""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata corpus. */
+  def dsPackEff(s: SparkSession, dir: String): DataFrame =
+    dsPackEff(Tables.load(s, dir, "documents").select("doc_id", "text"))
+
   /** Deterministic epoch shuffle (the training-data writer's last step):
     * every document gets a shard (first hex digit of
     * md5('shuffle:'||doc_id) — 16 shards here) and an intra-shard
@@ -1282,6 +1320,7 @@ object Pipeline {
     "ds_softdedup" -> ((s: SparkSession, dir: String) => dsSoftDedup(s, dir)),
     "ds_balance" -> ((s: SparkSession, dir: String) => dsBalance(s, dir)),
     "ds_classweight" -> ((s: SparkSession, dir: String) => dsClassWeight(s, dir)),
+    "ds_packeff" -> ((s: SparkSession, dir: String) => dsPackEff(s, dir)),
     "ds_tokbudget" -> ((s: SparkSession, dir: String) => dsTokBudget(s, dir)),
     "ds_lenbucket" -> ((s: SparkSession, dir: String) => dsLenBucket(s, dir)),
     "dd_resolve" -> (ddResolve _),
@@ -1490,6 +1529,19 @@ object Pipeline {
         |SELECT doc_id, n_chars_in, length(text_norm) AS n_chars_out,
         |       text_norm <> noisy AS changed, text_norm = text AS recovered
         |FROM norm ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "ds_packeff" ->
+      ("WITH t AS (SELECT len(string_split(text, ' ')) AS n FROM documents), " +
+        "ls AS (SELECT unnest([128, 256, 512]) AS len), " +
+        "agg AS (SELECT ls.len, COUNT(*) AS n_docs, " +
+        "SUM(t.n)::BIGINT AS total_tokens, " +
+        "SUM((t.n + ls.len - 1) // ls.len)::BIGINT AS pad_bins " +
+        "FROM t CROSS JOIN ls GROUP BY ls.len) " +
+        "SELECT len, n_docs, total_tokens, pad_bins, " +
+        "ROUND(total_tokens::DOUBLE / (len * pad_bins), 6) AS pad_util, " +
+        "(total_tokens + len - 1) // len AS ideal_bins, " +
+        "ROUND(total_tokens::DOUBLE " +
+        "/ (len * ((total_tokens + len - 1) // len)), 6) AS ideal_util " +
+        "FROM agg ORDER BY len"),
     "ds_classweight" ->
       ("WITH c AS (SELECT lang AS cls, COUNT(*) AS n_docs " +
         "FROM documents GROUP BY lang), " +

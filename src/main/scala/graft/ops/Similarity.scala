@@ -1188,7 +1188,61 @@ object Similarity {
   def ssCosHist(s: SparkSession, dir: String): DataFrame =
     ssCosHist(Tables.load(s, dir, "embeddings"))
 
+  /** Label-outlier mining: per label, the `k` vectors FARTHEST (lowest
+    * cosine) from their own label centroid — the mislabeled-sample audit
+    * run before embeddings train a classifier or seed IVF centroids
+    * (ss_centroids audits the INDEX; this audits the DATA). The
+    * normalizing 1/n cancels inside cosine, so the centroid travels as
+    * its decimal-exact component SUM (the ssDrift discipline) and no
+    * mean is ever divided; ranks tie-break (cos ASC, vec_id).
+    *
+    * Scale design: the (label, dim) centroid relation is labels×dims
+    * rows — broadcastable at any corpus size; the per-vector dot is one
+    * join on that tiny relation plus a vec-sized aggregate. No pairwise
+    * anything.
+    */
+  def ssOutliers(emb: DataFrame, topK: Int = 3): DataFrame = {
+    val s = emb.sparkSession
+    emb.createOrReplaceTempView("__ol_emb")
+    s.sql(
+      s"""WITH comp AS (
+         |  SELECT vec_id, label, p.pos AS dim, CAST(p.x AS DOUBLE) AS x
+         |  FROM __ol_emb LATERAL VIEW posexplode(embedding) p AS pos, x),
+         |cent AS (
+         |  SELECT label, dim,
+         |         CAST(SUM(CAST(ROUND(x, 9) AS DECIMAL(28,9))) AS DOUBLE)
+         |           AS cx
+         |  FROM comp GROUP BY label, dim),
+         |cc AS (
+         |  SELECT label, SUM(CAST(ROUND(cx * cx, 9) AS DECIMAL(38,9)))
+         |           AS scc
+         |  FROM cent GROUP BY label),
+         |vd AS (
+         |  SELECT c.vec_id, c.label,
+         |         SUM(CAST(ROUND(c.x * ct.cx, 9) AS DECIMAL(38,9))) AS svc,
+         |         SUM(CAST(ROUND(c.x * c.x, 9) AS DECIMAL(38,9))) AS svv
+         |  FROM comp c JOIN cent ct ON ct.label = c.label AND ct.dim = c.dim
+         |  GROUP BY c.vec_id, c.label),
+         |scored AS (
+         |  SELECT v.label, v.vec_id,
+         |         ROUND(CAST(v.svc AS DOUBLE)
+         |               / (sqrt(CAST(v.svv AS DOUBLE))
+         |                  * sqrt(CAST(cc.scc AS DOUBLE))), 6) AS cos
+         |  FROM vd v JOIN cc ON cc.label = v.label)
+         |SELECT label, vec_id, cos, rn FROM (
+         |  SELECT label, vec_id, cos,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY label
+         |           ORDER BY cos ASC, vec_id) AS BIGINT) AS rn
+         |  FROM scored)
+         |WHERE rn <= $topK ORDER BY label, rn""".stripMargin)
+  }
+
+  /** The oracle-checked form: bottom-3 per label over the testdata. */
+  def ssOutliers(s: SparkSession, dir: String): DataFrame =
+    ssOutliers(Tables.load(s, dir, "embeddings"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ss_outliers" -> ((s: SparkSession, dir: String) => ssOutliers(s, dir)),
     "ss_coshist" -> ((s: SparkSession, dir: String) => ssCosHist(s, dir)),
     "ss_matryoshka" -> ((s: SparkSession, dir: String) => ssMatryoshka(s, dir)),
     "ss_maxsim" -> ((s: SparkSession, dir: String) => ssMaxSim(s, dir)),
@@ -1264,6 +1318,38 @@ object Similarity {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ss_outliers" ->
+      """WITH comp AS (
+        |  SELECT vec_id, label, u.pos AS dim, u.x::DOUBLE AS x
+        |  FROM embeddings,
+        |       LATERAL (SELECT unnest(embedding) AS x,
+        |                       generate_subscripts(embedding, 1) AS pos) u),
+        |cent AS (
+        |  SELECT label, dim,
+        |         (SUM(CAST(ROUND(x, 9) AS DECIMAL(28,9))))::DOUBLE AS cx
+        |  FROM comp GROUP BY label, dim),
+        |cc AS (
+        |  SELECT label, SUM(CAST(ROUND(cx * cx, 9) AS DECIMAL(38,9))) AS scc
+        |  FROM cent GROUP BY label),
+        |vd AS (
+        |  SELECT c.vec_id, c.label,
+        |         SUM(CAST(ROUND(c.x * ct.cx, 9) AS DECIMAL(38,9))) AS svc,
+        |         SUM(CAST(ROUND(c.x * c.x, 9) AS DECIMAL(38,9))) AS svv
+        |  FROM comp c JOIN cent ct ON ct.label = c.label AND ct.dim = c.dim
+        |  GROUP BY c.vec_id, c.label),
+        |scored AS (
+        |  SELECT v.label, v.vec_id,
+        |         ROUND(v.svc::DOUBLE
+        |               / (sqrt(v.svv::DOUBLE) * sqrt(cc.scc::DOUBLE)), 6)
+        |           AS cos
+        |  FROM vd v JOIN cc ON cc.label = v.label)
+        |SELECT label, vec_id, cos, rn FROM (
+        |  SELECT label, vec_id, cos,
+        |         ROW_NUMBER() OVER (PARTITION BY label
+        |           ORDER BY cos ASC, vec_id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 3 ORDER BY label, rn""".stripMargin
+        .replaceAll("\n", " "),
     "ss_coshist" ->
       """WITH base AS (
         |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),

@@ -1176,7 +1176,48 @@ object TextAnalysis {
         |FROM __cf_raw""".stripMargin))
   }
 
+  /** Non-ASCII profile per source: documents carrying any multi-byte
+    * character and the UTF-8 byte overhead — the first-look encoding-QA
+    * table that flags mojibake floods and double-encoded crawls before
+    * language filters misroute them. No regex at all: a character is
+    * multi-byte exactly when octet_length > length contributes, so both
+    * signals are pure integer arithmetic on two built-in lengths.
+    *
+    * Scale design: narrow single-pass over (source, two lengths), one
+    * partial-agg rollup to sources-sized output.
+    */
+  def taNonAscii(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__na_docs")
+    s.sql(
+      """WITH d AS (
+        |  SELECT source, length(text) AS nchar, octet_length(text) AS nbyte
+        |  FROM __na_docs)
+        |SELECT source, COUNT(*) AS n_docs,
+        |       SUM(CASE WHEN nbyte > nchar THEN 1 ELSE 0 END)
+        |         AS n_nonascii,
+        |       SUM(nbyte - nchar) AS extra_bytes,
+        |       ROUND(CAST(SUM(nbyte - nchar) AS DOUBLE) / SUM(nbyte), 6)
+        |         AS byte_overhead
+        |FROM d GROUP BY source ORDER BY source""".stripMargin)
+  }
+
+  /** Oracle-query form: the natural corpus is pure ASCII (measured), so
+    * every 11th document gets an accented suffix APPENDED and the
+    * per-source counts must read exactly the planting rate.
+    */
+  def taNonAscii(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "documents").createOrReplaceTempView("__na_raw")
+    taNonAscii(s.sql(
+      """SELECT source,
+        |       CASE WHEN doc_id % 11 = 0
+        |            THEN concat(text, ' café naïve résumé')
+        |            ELSE text END AS text
+        |FROM __na_raw""".stripMargin))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_nonascii" -> ((s: SparkSession, dir: String) => taNonAscii(s, dir)),
     "ta_codefrac" -> ((s: SparkSession, dir: String) => taCodeFrac(s, dir)),
     "ta_rarity" -> ((s: SparkSession, dir: String) => taRarity(s, dir)),
     "ta_condent" -> ((s: SparkSession, dir: String) => taCondEntropy(s, dir)),
@@ -1209,6 +1250,19 @@ object TextAnalysis {
   private val sqlToks = "string_split(text, ' ')"
 
   val oracleSql: Map[String, String] = Map(
+    "ta_nonascii" ->
+      ("WITH aug AS (SELECT source, CASE WHEN doc_id % 11 = 0 " +
+        "THEN concat(text, ' café naïve résumé') ELSE text END " +
+        "AS text FROM documents), " +
+        "d AS (SELECT source, length(text) AS nchar, " +
+        "strlen(text) AS nbyte FROM aug) " +
+        "SELECT source, COUNT(*) AS n_docs, " +
+        "SUM(CASE WHEN nbyte > nchar THEN 1 ELSE 0 END)::BIGINT " +
+        "AS n_nonascii, " +
+        "SUM(nbyte - nchar)::BIGINT AS extra_bytes, " +
+        "ROUND(SUM(nbyte - nchar)::DOUBLE / SUM(nbyte), 6) " +
+        "AS byte_overhead " +
+        "FROM d GROUP BY source ORDER BY source"),
     "ta_codefrac" ->
       ("WITH aug AS (SELECT source, CASE WHEN doc_id % 9 = 0 " +
         "THEN concat(text, ' def run(x); return {x};') ELSE text END " +

@@ -116,6 +116,12 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Similarity.ssCosHist(
       Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"))
       .count() == 0)
+    assert(Pipeline.dsPackEff(emptyDocs).count() == 0)
+    assert(TextAnalysis.taNonAscii(
+      Seq.empty[(String, String)].toDF("source", "text")).count() == 0)
+    assert(Similarity.ssOutliers(
+      Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label"))
+      .count() == 0)
     assert(Similarity.ssNorms(
       Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label"))
       .count() == 0)

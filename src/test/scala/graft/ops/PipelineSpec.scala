@@ -1980,6 +1980,56 @@ class PipelineSpec extends AnyFunSuite {
     assert(nPairs == (nVec - 1) + (nVec - 7) + (nVec - 29))
   }
 
+  test("dsPackEff: padding vs ideal bin arithmetic on a hand corpus") {
+    import spark.implicits._
+    // tokens 3 and 5 at L=4: pad bins 1+2=3 (util 8/12), ideal 2 (util 1)
+    val docs = Seq((1L, "a b c"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val got = Pipeline.dsPackEff(docs, Seq(4)).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getDouble(6)))
+    assert(got.toSeq == Seq((4, 2L, 8L, 3L, 0.666667, 2L, 1.0)))
+    // oracle form: ideal never needs more bins than padding; utils <= 1
+    val orc = Pipeline.dsPackEff(spark, sf).collect()
+      .map(r => (r.getLong(3), r.getDouble(4), r.getLong(5), r.getDouble(6)))
+    assert(orc.nonEmpty)
+    orc.foreach { case (pb, pu, ib, iu) =>
+      assert(ib <= pb && pu <= iu && iu <= 1.0 && pu > 0.0) }
+  }
+
+  test("taNonAscii: byte-vs-char arithmetic, planted accents surface") {
+    import spark.implicits._
+    val docs = Seq(("s", "abc"), ("s", "café")).toDF("source", "text")
+    val got = TextAnalysis.taNonAscii(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.toSeq == Seq(("s", 2L, 1L, 1L, 0.125)))
+    // oracle form: ASCII corpus (measured) + plant every 11th doc
+    val planted = graft.Tables.load(spark, sf, "documents")
+      .filter("doc_id % 11 = 0").count()
+    val orc = TextAnalysis.taNonAscii(spark, sf).collect()
+    assert(orc.map(_.getLong(2)).sum == planted)
+  }
+
+  test("ssOutliers: the cross-label plant is the farthest from centroid") {
+    import spark.implicits._
+    // label 0: three (1,0) + one (0,1) -> centroid sum (3,1); the odd
+    // vector's cos 1/sqrt(10) = .316 is the bottom rank
+    val emb = Seq((1L, Array(1f, 0f), 0), (2L, Array(1f, 0f), 0),
+      (3L, Array(1f, 0f), 0), (4L, Array(0f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.ssOutliers(emb, topK = 1).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq == Seq((0, 4L, 0.316228, 1L)))
+    // oracle form: ranks dense per label, cosines within [-1, 1]
+    val orc = Similarity.ssOutliers(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getDouble(2), r.getLong(3)))
+    assert(orc.nonEmpty)
+    orc.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length))
+      rs.foreach { case (_, c, _) => assert(c >= -1.0 && c <= 1.0) }
+    }
+  }
+
   test("ddPrefixOn(docs): shared 32-token heads group, tails don't split") {
     import spark.implicits._
     val prefix = (1 to 32).map("p" + _).mkString(" ")
