@@ -115,6 +115,10 @@ object PipelineScaleProbe {
     // truncation twins at 500k docs, ss_matryoshka at 100k vectors,
     // lccOn on the 6-hour co-occurrence window graph
     if (args.headOption.contains("addendum20")) { addendum20(args(1)); return }
+    // `addendum21 <existingDir>` — second continuation batch:
+    // transitivity on the window graph, classweight/codefrac/nonascii/
+    // packeff at 500k docs, coshist/outliers at 100k vectors
+    if (args.headOption.contains("addendum21")) { addendum21(args(1)); return }
     // `addendum13 <nDocs> <nEvents> <nVec> <outBase>` — gaps/gini at
     // event scale, epochs/ngram at corpus scale, range at vector scale
     if (args.headOption.contains("addendum13")) {
@@ -1487,6 +1491,126 @@ object PipelineScaleProbe {
       s"buckets=${lc.length} (6-hour window graph)")
 
     println("PSCALE addendum20 done")
+    spark.stop()
+  }
+
+  /** Second continuation batch at 100×: centroid/class/byte tables stay
+    * labels/classes/sources-sized; the packing curve is |L|-sized; the
+    * calibration histogram is ≤41 rows; transitivity is ONE row on a
+    * 1.6M-edge graph.
+    */
+  private def addendum21(dir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+
+    def wall[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+
+    // ds_classweight over the 5 zipf langs: conservation Σ n_c·w_c = N
+    // up to 6-dp per-class rounding
+    val (cwR, cwW) = wall(
+      ops.Pipeline.dsClassWeight(docs.select("doc_id", "lang"), "lang")
+        .collect())
+    val nTot = cwR.map(_.getLong(1)).sum
+    val mass = cwR.map(r => r.getLong(1) * r.getDouble(2)).sum
+    require(cwR.length == 5 && math.abs(mass - nTot) < 1e-3 * nTot,
+      s"classweight mass $mass vs $nTot")
+    println(f"PSCALE q=ds_classweight t=$cwW%.1f s classes=${cwR.length} " +
+      f"mass_err=${math.abs(mass - nTot) / nTot}%.2e")
+
+    // ta_codefrac with the oracle's planting rule inlined: the corpus
+    // has ZERO natural keywords/symbols (measured), so n_code must be
+    // exactly the planted count
+    docs.createOrReplaceTempView("__a21_docs")
+    val aug = spark.sql(
+      """SELECT source,
+        |       CASE WHEN doc_id % 9 = 0
+        |            THEN concat(text, ' def run(x); return {x};')
+        |            ELSE text END AS text
+        |FROM __a21_docs""".stripMargin)
+    val planted = docs.filter(col("doc_id") % 9 === 0).count()
+    val (cfR, cfW) = wall(ops.TextAnalysis.taCodeFrac(aug).collect())
+    require(cfR.map(_.getLong(2)).sum == planted,
+      s"codefrac ${cfR.map(_.getLong(2)).sum} != planted $planted")
+    println(f"PSCALE q=ta_codefrac t=$cfW%.1f s sources=${cfR.length} " +
+      s"planted=$planted recovered exactly")
+
+    // ta_nonascii with the accent plant: same exact-count contract
+    val augNa = spark.sql(
+      """SELECT source,
+        |       CASE WHEN doc_id % 11 = 0
+        |            THEN concat(text, ' café naïve résumé')
+        |            ELSE text END AS text
+        |FROM __a21_docs""".stripMargin)
+    val plantedNa = docs.filter(col("doc_id") % 11 === 0).count()
+    val (naR, naW) = wall(ops.TextAnalysis.taNonAscii(augNa).collect())
+    require(naR.map(_.getLong(2)).sum == plantedNa,
+      s"nonascii ${naR.map(_.getLong(2)).sum} != planted $plantedNa")
+    println(f"PSCALE q=ta_nonascii t=$naW%.1f s sources=${naR.length} " +
+      s"planted=$plantedNa recovered exactly")
+
+    // ds_packeff: ideal never exceeds padded bins, both utils in (0, 1]
+    val (peR, peW) = wall(
+      ops.Pipeline.dsPackEff(docs.select("doc_id", "text")).collect())
+    require(peR.length == 3, s"packeff rows ${peR.length}")
+    peR.foreach { r =>
+      require(r.getLong(5) <= r.getLong(3) &&
+        r.getDouble(4) <= r.getDouble(6) && r.getDouble(6) <= 1.0,
+        "packing bound violated")
+    }
+    println(f"PSCALE q=ds_packeff t=$peW%.1f s " +
+      peR.map(r => s"L=${r.getInt(0)} pad=${r.getDouble(4)} " +
+        s"ideal=${r.getDouble(6)}").mkString(" "))
+
+    // ss_coshist at 100k vectors: exactly the available lag partners
+    val emb = spark.read.parquet(s"$dir/embeddings19.parquet")
+    val nVec = emb.count()
+    val (chR, chW) = wall(ops.Similarity.ssCosHist(emb).collect())
+    val nPairs = chR.map(_.getLong(1)).sum
+    require(nPairs == (nVec - 1) + (nVec - 7) + (nVec - 29),
+      s"coshist pairs $nPairs")
+    println(f"PSCALE q=ss_coshist t=$chW%.1f s pairs=$nPairs " +
+      s"buckets=${chR.length}")
+
+    // ss_outliers at 100k vectors / 7 labels: ranks dense per label
+    val (olR, olW) = wall(ops.Similarity.ssOutliers(emb).collect())
+    require(olR.map(_.getInt(0)).distinct.length == 7, "labels missing")
+    olR.groupBy(_.getInt(0)).foreach { case (_, rs) =>
+      require(rs.map(_.getLong(3)).sorted.toSeq == (1L to rs.length),
+        "ranks not dense")
+    }
+    println(f"PSCALE q=ss_outliers t=$olW%.1f s rows=${olR.length} " +
+      f"worst=${olR.map(_.getDouble(2)).min}%.3f")
+
+    // transitivity on the 6-hour window graph (the lcc leg's graph)
+    graft.Tables.load(spark, dir, "events").createOrReplaceTempView("__ev21")
+    val windowed = spark.sql(
+      """SELECT user_id, unix_micros(ts) div 10000000 AS b
+        |FROM __ev21 CROSS JOIN (SELECT MIN(ts) AS t0 FROM __ev21)
+        |WHERE ts < t0 + INTERVAL 6 HOUR""".stripMargin).distinct()
+    val pairs = graph.GraphQueries.cooccurPairs(windowed)
+      .localCheckpoint(eager = true)
+    val (trR, trW) = wall(
+      graph.GraphQueries.transitivityOn(pairs).collect())
+    val (nTri, nWedge, trans) =
+      (trR(0).getLong(0), trR(0).getLong(1), trR(0).getDouble(2))
+    require(nWedge >= 3 * nTri && trans > 0.0 && trans <= 1.0,
+      "transitivity bound violated")
+    println(f"PSCALE q=transitivity t=$trW%.1f s triangles=$nTri " +
+      f"wedges=$nWedge ratio=$trans%.4f (6-hour window graph)")
+
+    println("PSCALE addendum21 done")
     spark.stop()
   }
 

@@ -279,9 +279,15 @@ object GraphQueries {
     * Scale design: wedges roll up from the node-sized degree relation;
     * triangles reuse the capped pairing; output is ONE row.
     */
-  def q51_transitivity(s: SparkSession, dir: String): DataFrame = {
-    cooccurPairs(userBuckets(s, dir))
-      .localCheckpoint(eager = false) // reused 4x: 3 triangle legs + degree
+  def q51_transitivity(s: SparkSession, dir: String): DataFrame =
+    transitivityOn(cooccurPairs(userBuckets(s, dir)))
+
+  /** DataFrame-in production entry: `und` is the (u, v) u < v distinct
+    * undirected edge relation of ANY graph.
+    */
+  def transitivityOn(und: DataFrame): DataFrame = {
+    val s = und.sparkSession
+    und.localCheckpoint(eager = false) // reused 4x: 3 triangle legs + degree
       .createOrReplaceTempView("__tr_und")
     s.sql(
       """WITH sym AS (
