@@ -560,6 +560,59 @@ object Pipeline {
   def dsPackEff(s: SparkSession, dir: String): DataFrame =
     dsPackEff(Tables.load(s, dir, "documents").select("doc_id", "text"))
 
+  /** Split-drift audit: the exact two-sample Kolmogorov–Smirnov D
+    * between the token-length distributions of a deterministic 50/50
+    * hash split (the ds_kfold digit rule, seed 'drift:') — the
+    * train/validation sanity check that catches a split accidentally
+    * correlated with document length (a real failure when ids encode
+    * crawl order and length drifts over the crawl). D stays an INTEGER
+    * until the last step: max |ca·nb − cb·na| over the merged length
+    * grid, divided once by na·nb — no floating ECDFs to disagree on.
+    *
+    * Scale design: one corpus pass to (length, split) counts; the
+    * cumulative window runs on the distinct-length relation (hundreds of
+    * rows at any SF — the declared small-relation global window). Output
+    * is ONE row.
+    */
+  def dsSplitDrift(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__sd_docs")
+    s.sql(
+      """WITH g AS (
+        |  SELECT size(split(text, ' ')) AS len,
+        |         ((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16
+        |          + instr('0123456789abcdef', substring(h, 2, 1)) - 1) % 2
+        |           AS grp
+        |  FROM (SELECT text,
+        |               md5(concat('drift:', CAST(doc_id AS STRING))) AS h
+        |        FROM __sd_docs)),
+        |c AS (
+        |  SELECT len, SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS a,
+        |         SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS b
+        |  FROM g GROUP BY len),
+        |t AS (SELECT SUM(a) AS na, SUM(b) AS nb FROM c),
+        |cum AS (
+        |  SELECT len, SUM(a) OVER (ORDER BY len) AS ca,
+        |         SUM(b) OVER (ORDER BY len) AS cb
+        |  FROM c),
+        |m AS (
+        |  SELECT cum.len,
+        |         abs(CAST(cum.ca AS DECIMAL(38,0)) * t.nb
+        |             - CAST(cum.cb AS DECIMAL(38,0)) * t.na) AS num,
+        |         t.na, t.nb
+        |  FROM cum CROSS JOIN t),
+        |mm AS (SELECT len, num, na, nb, MAX(num) OVER () AS mx FROM m)
+        |SELECT na AS n_a, nb AS n_b,
+        |       ROUND(CAST(mx AS DOUBLE) / (CAST(na AS DOUBLE) * nb), 6)
+        |         AS ks_d,
+        |       MIN(len) AS at_len
+        |FROM mm WHERE num = mx GROUP BY na, nb, mx""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata corpus. */
+  def dsSplitDrift(s: SparkSession, dir: String): DataFrame =
+    dsSplitDrift(Tables.load(s, dir, "documents").select("doc_id", "text"))
+
   /** Deterministic epoch shuffle (the training-data writer's last step):
     * every document gets a shard (first hex digit of
     * md5('shuffle:'||doc_id) — 16 shards here) and an intra-shard
@@ -1321,6 +1374,7 @@ object Pipeline {
     "ds_balance" -> ((s: SparkSession, dir: String) => dsBalance(s, dir)),
     "ds_classweight" -> ((s: SparkSession, dir: String) => dsClassWeight(s, dir)),
     "ds_packeff" -> ((s: SparkSession, dir: String) => dsPackEff(s, dir)),
+    "ds_splitdrift" -> ((s: SparkSession, dir: String) => dsSplitDrift(s, dir)),
     "ds_tokbudget" -> ((s: SparkSession, dir: String) => dsTokBudget(s, dir)),
     "ds_lenbucket" -> ((s: SparkSession, dir: String) => dsLenBucket(s, dir)),
     "dd_resolve" -> (ddResolve _),
@@ -1529,6 +1583,28 @@ object Pipeline {
         |SELECT doc_id, n_chars_in, length(text_norm) AS n_chars_out,
         |       text_norm <> noisy AS changed, text_norm = text AS recovered
         |FROM norm ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "ds_splitdrift" ->
+      ("WITH g AS (SELECT len(string_split(text, ' ')) AS len, " +
+        "((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 " +
+        "+ instr('0123456789abcdef', substring(h, 2, 1)) - 1) % 2 AS grp " +
+        "FROM (SELECT text, md5(concat('drift:', CAST(doc_id AS VARCHAR))) " +
+        "AS h FROM documents)), " +
+        "c AS (SELECT len, " +
+        "SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END)::BIGINT AS a, " +
+        "SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END)::BIGINT AS b " +
+        "FROM g GROUP BY len), " +
+        "t AS (SELECT SUM(a)::BIGINT AS na, SUM(b)::BIGINT AS nb FROM c), " +
+        "cum AS (SELECT len, SUM(a) OVER (ORDER BY len)::BIGINT AS ca, " +
+        "SUM(b) OVER (ORDER BY len)::BIGINT AS cb FROM c), " +
+        "m AS (SELECT cum.len, " +
+        "abs(CAST(cum.ca AS DECIMAL(38,0)) * t.nb " +
+        "- CAST(cum.cb AS DECIMAL(38,0)) * t.na) AS num, " +
+        "t.na, t.nb FROM cum CROSS JOIN t), " +
+        "mm AS (SELECT len, num, na, nb, MAX(num) OVER () AS mx FROM m) " +
+        "SELECT na AS n_a, nb AS n_b, " +
+        "ROUND(mx::DOUBLE / (na::DOUBLE * nb), 6) AS ks_d, " +
+        "MIN(len) AS at_len " +
+        "FROM mm WHERE num = mx GROUP BY na, nb, mx"),
     "ds_packeff" ->
       ("WITH t AS (SELECT len(string_split(text, ' ')) AS n FROM documents), " +
         "ls AS (SELECT unnest([128, 256, 512]) AS len), " +

@@ -1394,6 +1394,39 @@ object Sessionize {
     evLag(s.table("__events"))
   }
 
+  /** User-lifespan spectrum: per user, the wall-clock span from first
+    * to last event, log2-bucketed in seconds (the ev_lag bucketing
+    * applied to account age) — the engagement-depth curve that separates
+    * drive-by users (bucket 0: a single touch) from residents, and the
+    * denominator context for ev_churn's window labels. One MIN and one
+    * MAX per user, integer seconds, exact sums.
+    *
+    * Scale design: ONE user_id aggregate carries both extremes; the
+    * ~32-bucket rollup is the only thing after the exchange.
+    */
+  def evLifespan(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__lf_events")
+    s.sql(
+      """WITH f AS (
+        |  SELECT user_id,
+        |         (unix_micros(MAX(ts)) - unix_micros(MIN(ts))) div 1000000
+        |           AS span_s
+        |  FROM __lf_events GROUP BY user_id)
+        |SELECT CAST(floor(log2(span_s + 1)) AS BIGINT) AS bucket,
+        |       COUNT(*) AS n_users, MIN(span_s) AS min_span_s,
+        |       MAX(span_s) AS max_span_s,
+        |       ROUND(CAST(SUM(span_s) AS DOUBLE) / COUNT(*), 6)
+        |         AS mean_span_s
+        |FROM f GROUP BY 1 ORDER BY bucket""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata events. */
+  def evLifespan(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evLifespan(s.table("__events"))
+  }
+
   /** Behavioral trigram mining: the top-k most frequent ordered
     * event-type trigrams over each user's timeline (ts then event_id as
     * the deterministic tie-break, the ev_markov ordering) — the
@@ -1473,6 +1506,7 @@ object Sessionize {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_lag" -> ((s: SparkSession, dir: String) => evLag(s, dir)),
     "ev_trigrams" -> ((s: SparkSession, dir: String) => evTrigrams(s, dir)),
+    "ev_lifespan" -> ((s: SparkSession, dir: String) => evLifespan(s, dir)),
     "ev_stickiness" -> ((s: SparkSession, dir: String) => evStickiness(s, dir)),
     "ev_dispersion" -> ((s: SparkSession, dir: String) => evDispersion(s, dir)),
     "ev_hod" -> ((s: SparkSession, dir: String) => evHod(s, dir)),
@@ -1521,6 +1555,15 @@ object Sessionize {
         "MAX(lag_s) AS max_lag_s, " +
         "ROUND(SUM(lag_s)::DOUBLE / COUNT(*), 6) AS mean_lag_s " +
         "FROM l GROUP BY 1 ORDER BY bucket"),
+    "ev_lifespan" ->
+      ("WITH f AS (SELECT user_id, " +
+        "(epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS span_s " +
+        "FROM events GROUP BY user_id) " +
+        "SELECT CAST(floor(log2(span_s + 1)) AS BIGINT) AS bucket, " +
+        "COUNT(*) AS n_users, MIN(span_s) AS min_span_s, " +
+        "MAX(span_s) AS max_span_s, " +
+        "ROUND(SUM(span_s)::DOUBLE / COUNT(*), 6) AS mean_span_s " +
+        "FROM f GROUP BY 1 ORDER BY bucket"),
     "ev_trigrams" ->
       ("WITH s AS (SELECT event_type AS e1, " +
         "LEAD(event_type, 1) OVER (PARTITION BY user_id " +

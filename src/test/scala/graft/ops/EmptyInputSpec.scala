@@ -117,6 +117,8 @@ class EmptyInputSpec extends AnyFunSuite {
       Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"))
       .count() == 0)
     assert(Pipeline.dsPackEff(emptyDocs).count() == 0)
+    assert(Pipeline.dsSplitDrift(emptyDocs).count() == 0)
+    assert(Sessionize.evLifespan(emptyEvents).count() == 0)
     assert(TextAnalysis.taNonAscii(
       Seq.empty[(String, String)].toDF("source", "text")).count() == 0)
     assert(Similarity.ssOutliers(

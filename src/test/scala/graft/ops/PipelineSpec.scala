@@ -1980,6 +1980,61 @@ class PipelineSpec extends AnyFunSuite {
     assert(nPairs == (nVec - 1) + (nVec - 7) + (nVec - 29))
   }
 
+  test("dsSplitDrift: zero on identical splits, exact KS vs Scala replay") {
+    import spark.implicits._
+    // uniform corpus: both splits see only length 3 -> D = 0 at len 3
+    val same = (1L to 40L).map(i => (i, "a b c")).toDF("doc_id", "text")
+    val z = Pipeline.dsSplitDrift(same).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(z.length == 1 && z(0)._3 == 0.0 && z(0)._4 == 3)
+    assert(z(0)._1 + z(0)._2 == 40L)
+    // full independent replay of the hash split + exact KS on the corpus
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "size(split(text, ' ')) AS len").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def grp(id: Long): Int = {
+      val h = md.digest(s"drift:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val d1 = "0123456789abcdef".indexOf(h(0))
+      val d2 = "0123456789abcdef".indexOf(h(1))
+      (d1 * 16 + d2) % 2
+    }
+    val a = docs.filter(d => grp(d._1) == 0).map(_._2)
+    val b = docs.filter(d => grp(d._1) == 1).map(_._2)
+    val lens = (a ++ b).distinct.sorted
+    val cand = lens.map { l =>
+      val num = math.abs(a.count(_ <= l).toLong * b.length -
+        b.count(_ <= l).toLong * a.length)
+      (num, l)
+    }
+    val mx = cand.map(_._1).max
+    val atLen = cand.filter(_._1 == mx).map(_._2).min
+    val wantD = BigDecimal(mx.toDouble / (a.length.toDouble * b.length))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Pipeline.dsSplitDrift(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.toSeq == Seq((a.length.toLong, b.length.toLong, wantD, atLen)))
+  }
+
+  test("evLifespan: span extremes per user, single-touch lands bucket 0") {
+    import spark.implicits._
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val evs = Seq(
+      (1L, t(100), 1L, "view", 0.0), (2L, t(110), 1L, "click", 0.0),
+      (3L, t(500), 2L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Sessionize.evLifespan(evs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.toSeq == Seq((0L, 1L, 0L, 0L, 0.0), (3L, 1L, 10L, 10L, 10.0)))
+    val orc = Sessionize.evLifespan(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(orc.nonEmpty)
+    orc.foreach { case (n, lo, hi, m) =>
+      assert(n > 0 && lo <= hi && m >= lo && m <= hi) }
+  }
+
   test("dsPackEff: padding vs ideal bin arithmetic on a hand corpus") {
     import spark.implicits._
     // tokens 3 and 5 at L=4: pad bins 1+2=3 (util 8/12), ideal 2 (util 1)
