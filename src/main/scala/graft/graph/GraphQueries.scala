@@ -328,6 +328,50 @@ object GraphQueries {
       |         AS transitivity
       |FROM t CROSS JOIN w""".stripMargin.replaceAll("\n", " ")
 
+  /** Q52: component-size distribution of the user co-occurrence graph —
+    * CC's per-node labels rolled to per-component sizes, log2-bucketed
+    * (q49's degree-distribution discipline applied to components). The
+    * fragmentation fingerprint: one giant component plus dust is a
+    * healthy social graph; many mid-size islands is a partitioned
+    * product. Uses the SAME star edge relation as q24 (component-
+    * equivalent to the clique the oracle walks) and pure integer
+    * arithmetic end to end.
+    *
+    * Scale design: CC is the iterative engine (one job per round); the
+    * rollups after it are component-sized then ~32-bucket-sized.
+    */
+  def q52_compdist(s: SparkSession, dir: String): DataFrame = {
+    ConnectedComponents.run(s, ccStarEdges(userBuckets(s, dir)), maxIter = 30)
+      .createOrReplaceTempView("__cd_comp")
+    s.sql(
+      """WITH sizes AS (
+        |  SELECT comp, COUNT(*) AS sz FROM __cd_comp GROUP BY comp)
+        |SELECT CAST(length(bin(sz)) - 1 AS BIGINT) AS bucket,
+        |       COUNT(*) AS n_comps, SUM(sz) AS n_nodes,
+        |       MIN(sz) AS min_size, MAX(sz) AS max_size
+        |FROM sizes GROUP BY length(bin(sz)) - 1
+        |ORDER BY bucket""".stripMargin)
+  }
+
+  val q52OracleSql: String =
+    """WITH RECURSIVE e0 AS (
+      |  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      |  FROM (SELECT user_id, epoch_us(ts) // 10000000 AS b FROM events) a
+      |  JOIN (SELECT user_id, epoch_us(ts) // 10000000 AS b FROM events) b
+      |    USING (b)
+      |  WHERE a.user_id <> b.user_id),
+      |reach(u, v) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM e0)
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN e0 e ON e.u = r.v),
+      |comp AS (SELECT u AS user_id, MIN(v) AS comp FROM reach GROUP BY u),
+      |sizes AS (SELECT comp, COUNT(*) AS sz FROM comp GROUP BY comp)
+      |SELECT (length(bin(sz)) - 1)::BIGINT AS bucket, COUNT(*) AS n_comps,
+      |       SUM(sz)::BIGINT AS n_nodes, MIN(sz) AS min_size,
+      |       MAX(sz) AS max_size
+      |FROM sizes GROUP BY 1 ORDER BY bucket""".stripMargin
+      .replaceAll("\n", " ")
+
   /** Q26: hop-bounded weighted shortest paths (≤6 hops) from supplier 1
     * over the supplier↔part graph with lineitem-count weights. 6 rounds of
     * FRONTIER-DELTA Bellman-Ford (VERDICT r1 #2): each round relaxes only
@@ -994,6 +1038,7 @@ object GraphQueries {
     "q49_degdist" -> (q49_degdist _),
     "q50_lcc" -> (q50_lcc _),
     "q51_transitivity" -> (q51_transitivity _),
+    "q52_compdist" -> (q52_compdist _),
     "q48_ppr" -> (q48_ppr _),
     "q47_ktruss" -> (q47_ktruss _),
     "q46_ecc" -> (q46_ecc _),
@@ -1016,6 +1061,7 @@ object GraphQueries {
     "q49_degdist" -> q49OracleSql,
     "q50_lcc" -> q50OracleSql,
     "q51_transitivity" -> q51OracleSql,
+    "q52_compdist" -> q52OracleSql,
     "q48_ppr" -> q48OracleSql,
     "q47_ktruss" -> q47OracleSql,
     "q46_ecc" -> q46OracleSql,

@@ -1394,6 +1394,71 @@ object Sessionize {
     evLag(s.table("__events"))
   }
 
+  /** Lag-1 autocorrelation of per-minute arrival counts per event type —
+    * the memory test that complements [[evDispersion]]'s variance test:
+    * a Poisson feed reads ≈ 0, campaign waves read positive, an
+    * alternating load-balancer artifact reads negative. Zero minutes
+    * inside the span count, WITHOUT materializing them: over the span
+    * [lo, hi], Σx/Σx² drop only the hi-minute term, Σy/Σy² drop the lo
+    * term, n = hi − lo, and Σxy needs only the PRESENT consecutive
+    * pairs (an absent neighbor contributes a zero product). Every sum
+    * is an integer carried as DECIMAL(38,0) (overflow-safe at any
+    * event rate); one final division, with a NULL guard on degenerate
+    * variance (a constant series has no defined autocorrelation).
+    *
+    * Scale design: one (type, minute) partial+final count, a self-join
+    * on minute+1 of that minutes-sized relation, and types-sized output.
+    */
+  def evAutocorr(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__ac_events")
+    s.sql(
+      """WITH m AS (
+        |  SELECT event_type, unix_micros(ts) div 60000000 AS minute,
+        |         COUNT(*) AS c
+        |  FROM __ac_events GROUP BY event_type, 2),
+        |t AS (
+        |  SELECT event_type, MIN(minute) AS lo, MAX(minute) AS hi,
+        |         SUM(c) AS s, SUM(c * c) AS q
+        |  FROM m GROUP BY event_type),
+        |xy AS (
+        |  SELECT a.event_type, SUM(CAST(a.c AS DECIMAL(38,0)) * b.c) AS sxy
+        |  FROM m a JOIN m b ON b.event_type = a.event_type
+        |    AND b.minute = a.minute + 1
+        |  GROUP BY a.event_type),
+        |bnd AS (
+        |  SELECT m.event_type,
+        |         SUM(CASE WHEN m.minute = t.lo THEN m.c ELSE 0 END) AS clo,
+        |         SUM(CASE WHEN m.minute = t.hi THEN m.c ELSE 0 END) AS chi
+        |  FROM m JOIN t ON t.event_type = m.event_type
+        |  GROUP BY m.event_type),
+        |f AS (
+        |  SELECT t.event_type, t.hi - t.lo AS n,
+        |         t.s - bnd.chi AS sx, t.s - bnd.clo AS sy,
+        |         t.q - bnd.chi * bnd.chi AS qx,
+        |         t.q - bnd.clo * bnd.clo AS qy,
+        |         coalesce(xy.sxy, 0) AS sxy
+        |  FROM t JOIN bnd ON bnd.event_type = t.event_type
+        |  LEFT JOIN xy ON xy.event_type = t.event_type)
+        |SELECT event_type, n AS n_pairs,
+        |       CASE WHEN n * qx - sx * sx <= 0 OR n * qy - sy * sy <= 0
+        |            THEN NULL
+        |            ELSE ROUND(CAST(CAST(n AS DECIMAL(38,0)) * sxy
+        |                   - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+        |              / (sqrt(CAST(CAST(n AS DECIMAL(38,0)) * qx
+        |                   - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE))
+        |               * sqrt(CAST(CAST(n AS DECIMAL(38,0)) * qy
+        |                   - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE))), 6)
+        |       END AS autocorr
+        |FROM f ORDER BY event_type""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata events. */
+  def evAutocorr(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evAutocorr(s.table("__events"))
+  }
+
   /** User-lifespan spectrum: per user, the wall-clock span from first
     * to last event, log2-bucketed in seconds (the ev_lag bucketing
     * applied to account age) — the engagement-depth curve that separates
@@ -1507,6 +1572,7 @@ object Sessionize {
     "ev_lag" -> ((s: SparkSession, dir: String) => evLag(s, dir)),
     "ev_trigrams" -> ((s: SparkSession, dir: String) => evTrigrams(s, dir)),
     "ev_lifespan" -> ((s: SparkSession, dir: String) => evLifespan(s, dir)),
+    "ev_autocorr" -> ((s: SparkSession, dir: String) => evAutocorr(s, dir)),
     "ev_stickiness" -> ((s: SparkSession, dir: String) => evStickiness(s, dir)),
     "ev_dispersion" -> ((s: SparkSession, dir: String) => evDispersion(s, dir)),
     "ev_hod" -> ((s: SparkSession, dir: String) => evHod(s, dir)),
@@ -1555,6 +1621,34 @@ object Sessionize {
         "MAX(lag_s) AS max_lag_s, " +
         "ROUND(SUM(lag_s)::DOUBLE / COUNT(*), 6) AS mean_lag_s " +
         "FROM l GROUP BY 1 ORDER BY bucket"),
+    "ev_autocorr" ->
+      ("WITH m AS (SELECT event_type, epoch_us(ts) // 60000000 AS minute, " +
+        "COUNT(*) AS c FROM events GROUP BY 1, 2), " +
+        "t AS (SELECT event_type, MIN(minute) AS lo, MAX(minute) AS hi, " +
+        "SUM(c)::BIGINT AS s, SUM(c * c)::BIGINT AS q FROM m GROUP BY 1), " +
+        "xy AS (SELECT a.event_type, " +
+        "SUM(CAST(a.c AS DECIMAL(38,0)) * b.c) AS sxy " +
+        "FROM m a JOIN m b ON b.event_type = a.event_type " +
+        "AND b.minute = a.minute + 1 GROUP BY 1), " +
+        "bnd AS (SELECT m.event_type, " +
+        "SUM(CASE WHEN m.minute = t.lo THEN m.c ELSE 0 END)::BIGINT AS clo, " +
+        "SUM(CASE WHEN m.minute = t.hi THEN m.c ELSE 0 END)::BIGINT AS chi " +
+        "FROM m JOIN t ON t.event_type = m.event_type GROUP BY 1), " +
+        "f AS (SELECT t.event_type, t.hi - t.lo AS n, " +
+        "t.s - bnd.chi AS sx, t.s - bnd.clo AS sy, " +
+        "t.q - bnd.chi * bnd.chi AS qx, t.q - bnd.clo * bnd.clo AS qy, " +
+        "coalesce(xy.sxy, 0) AS sxy " +
+        "FROM t JOIN bnd ON bnd.event_type = t.event_type " +
+        "LEFT JOIN xy ON xy.event_type = t.event_type) " +
+        "SELECT event_type, n AS n_pairs, " +
+        "CASE WHEN n * qx - sx * sx <= 0 OR n * qy - sy * sy <= 0 THEN NULL " +
+        "ELSE ROUND((CAST(n AS DECIMAL(38,0)) * sxy " +
+        "- CAST(sx AS DECIMAL(38,0)) * sy)::DOUBLE " +
+        "/ (sqrt((CAST(n AS DECIMAL(38,0)) * qx " +
+        "- CAST(sx AS DECIMAL(38,0)) * sx)::DOUBLE) " +
+        "* sqrt((CAST(n AS DECIMAL(38,0)) * qy " +
+        "- CAST(sy AS DECIMAL(38,0)) * sy)::DOUBLE)), 6) END AS autocorr " +
+        "FROM f ORDER BY event_type"),
     "ev_lifespan" ->
       ("WITH f AS (SELECT user_id, " +
         "(epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS span_s " +

@@ -1241,7 +1241,48 @@ object Similarity {
   def ssOutliers(s: SparkSession, dir: String): DataFrame =
     ssOutliers(Tables.load(s, dir, "embeddings"))
 
+  /** Label-separation audit on the [[ssCosHist]] pair frame: mean cosine
+    * of same-label vs cross-label id-lag pairs — the two-row
+    * alignment-vs-uniformity summary (Wang & Isola 2020, public) that
+    * says whether these embeddings separate their labels AT ALL before
+    * anyone trains a classifier on them or trusts ss_hardneg's
+    * negatives. Means accumulate ROUND(·,9) decimals (order-free); the
+    * pair sample is the same deterministic 3·N lag set as the
+    * calibration histogram.
+    *
+    * Scale design: identical to ssCosHist — equality joins, no pair
+    * explosion, 2-row output.
+    */
+  def ssLabelSep(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    emb.createOrReplaceTempView("__ls_emb")
+    s.sql(
+      """WITH base AS (
+        |  SELECT vec_id, label,
+        |         transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM __ls_emb),
+        |norms AS (
+        |  SELECT vec_id, label, v, sqrt(graft_dot(v, v)) AS nrm FROM base),
+        |lagged AS (
+        |  SELECT vec_id, label, v, nrm, explode(array(1, 7, 29)) AS lag
+        |  FROM norms),
+        |pairs AS (
+        |  SELECT a.label = b.label AS same_label,
+        |         ROUND(graft_dot(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+        |  FROM lagged a JOIN norms b ON b.vec_id = a.vec_id + a.lag)
+        |SELECT same_label, COUNT(*) AS n_pairs,
+        |       ROUND(CAST(SUM(CAST(ROUND(cos, 9) AS DECIMAL(28,9)))
+        |             AS DOUBLE) / COUNT(*), 6) AS mean_cos
+        |FROM pairs GROUP BY same_label ORDER BY same_label""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata embeddings. */
+  def ssLabelSep(s: SparkSession, dir: String): DataFrame =
+    ssLabelSep(Tables.load(s, dir, "embeddings"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ss_labelsep" -> ((s: SparkSession, dir: String) => ssLabelSep(s, dir)),
     "ss_outliers" -> ((s: SparkSession, dir: String) => ssOutliers(s, dir)),
     "ss_coshist" -> ((s: SparkSession, dir: String) => ssCosHist(s, dir)),
     "ss_matryoshka" -> ((s: SparkSession, dir: String) => ssMatryoshka(s, dir)),
@@ -1318,6 +1359,27 @@ object Similarity {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ss_labelsep" ->
+      """WITH base AS (
+        |  SELECT vec_id, label, [x::DOUBLE FOR x IN embedding] AS v
+        |  FROM embeddings),
+        |norms AS (
+        |  SELECT vec_id, label, v, sqrt(list_sum([x * x FOR x IN v])) AS nrm
+        |  FROM base),
+        |lagged AS (
+        |  SELECT vec_id, label, v, nrm, unnest([1, 7, 29]) AS lag
+        |  FROM norms),
+        |pairs AS (
+        |  SELECT a.label = b.label AS same_label,
+        |         ROUND(list_sum([a.v[i] * b.v[i]
+        |                 FOR i IN generate_series(1, len(a.v))])
+        |               / (a.nrm * b.nrm), 6) AS cos
+        |  FROM lagged a JOIN norms b ON b.vec_id = a.vec_id + a.lag)
+        |SELECT same_label, COUNT(*) AS n_pairs,
+        |       ROUND((SUM(CAST(ROUND(cos, 9) AS DECIMAL(28,9))))::DOUBLE
+        |             / COUNT(*), 6) AS mean_cos
+        |FROM pairs GROUP BY same_label ORDER BY same_label""".stripMargin
+        .replaceAll("\n", " "),
     "ss_outliers" ->
       """WITH comp AS (
         |  SELECT vec_id, label, u.pos AS dim, u.x::DOUBLE AS x

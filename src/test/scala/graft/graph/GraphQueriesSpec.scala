@@ -457,6 +457,21 @@ class GraphQueriesSpec extends AnyFunSuite {
       assert(b >= 0 && b <= 9 && n > 0 && m >= 0.0 && m <= 1.0) }
   }
 
+  test("q52_compdist: histogram replays q24's component labels exactly") {
+    val dir = "/root/testdata/sf0.01"
+    val comps = GraphQueries.q24_cc(spark, dir).collect()
+      .map(r => r.getLong(1))
+    val sizes = comps.groupBy(identity).values.map(_.length).toSeq
+    val want = sizes.groupBy(sz => 63 - java.lang.Long.numberOfLeadingZeros(sz))
+      .map { case (b, ss) =>
+        (b.toLong, ss.length.toLong, ss.map(_.toLong).sum,
+          ss.min.toLong, ss.max.toLong) }.toSet
+    val got = GraphQueries.q52_compdist(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("q51_transitivity: triangle leg agrees with q25, ratio bounded") {
     val dir = "/root/testdata/sf0.01"
     val t = GraphQueries.q51_transitivity(spark, dir).collect()

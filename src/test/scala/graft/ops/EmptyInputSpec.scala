@@ -119,6 +119,10 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Pipeline.dsPackEff(emptyDocs).count() == 0)
     assert(Pipeline.dsSplitDrift(emptyDocs).count() == 0)
     assert(Sessionize.evLifespan(emptyEvents).count() == 0)
+    assert(Sessionize.evAutocorr(emptyEvents).count() == 0)
+    assert(Similarity.ssLabelSep(
+      Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label"))
+      .count() == 0)
     assert(TextAnalysis.taNonAscii(
       Seq.empty[(String, String)].toDF("source", "text")).count() == 0)
     assert(Similarity.ssOutliers(

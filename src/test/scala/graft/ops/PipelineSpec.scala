@@ -2125,6 +2125,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(orc.map(_._1).toSeq == orc.map(_._1).sortBy(-_).toSeq)
   }
 
+  test("evAutocorr: alternating series reads -1, constant series NULL") {
+    import spark.implicits._
+    def t(min: Long, off: Int) =
+      new java.sql.Timestamp(min * 60000L + off * 1000L)
+    // 'a': minute counts 3,1,3,1,3 -> lag-1 r = -1 exactly;
+    // 'b': constant 2,2,2 -> zero variance -> NULL (guard)
+    val aCounts = Seq(0 -> 3, 1 -> 1, 2 -> 3, 3 -> 1, 4 -> 3)
+    val aEvs = aCounts.flatMap { case (m, k) =>
+      (0 until k).map(i => (m.toLong, i, "a")) }
+    val bEvs = (0 to 2).flatMap(m => (0 until 2).map(i => (m.toLong, i, "b")))
+    val evs = (aEvs ++ bEvs).zipWithIndex.map { case ((m, off, ty), i) =>
+      (i.toLong, t(m, off), 1L, ty, 0.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Sessionize.evAutocorr(evs).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(got.toSeq == Seq(("a", 4L, Some(-1.0)), ("b", 2L, None)))
+    // oracle form: the Poisson generator is memoryless -> |r| stays tiny
+    val orc = Sessionize.evAutocorr(spark, sf).collect()
+      .map(r => r.getDouble(2))
+    assert(orc.nonEmpty && orc.forall(r => math.abs(r) < 0.05))
+  }
+
+  test("ssLabelSep: same/cross pair means on hand vectors") {
+    import spark.implicits._
+    // pair (0,1): same label, cos 0; pair (0,7): cross label, cos -1
+    val emb = Seq((0L, Array(1f, 0f), 0), (1L, Array(0f, 1f), 0),
+      (7L, Array(-1f, 0f), 1)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.ssLabelSep(emb).collect()
+      .map(r => (r.getBoolean(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((false, 1L, -1.0), (true, 1L, 0.0)))
+    // oracle form: both rows present, pair total == the coshist total
+    val orc = Similarity.ssLabelSep(spark, sf).collect()
+      .map(r => (r.getBoolean(0), r.getLong(1)))
+    assert(orc.map(_._1).toSet == Set(true, false))
+    val nVec = graft.Tables.load(spark, sf, "embeddings").count()
+    assert(orc.map(_._2).sum == (nVec - 1) + (nVec - 7) + (nVec - 29))
+  }
+
   test("evDispersion(events): metronome reads 0, bursty type reads > 1") {
     import spark.implicits._
     def t(min: Long, off: Int) =
