@@ -146,7 +146,40 @@ object Main {
           iters = opts.get("iters").map(_.toInt).getOrElse(10))
         println(s"pagerank: ${pr.count()} vertices ranked")
         opts.get("out").foreach(pr.write.mode("overwrite").parquet(_))
-      case other => sys.error(s"unknown program $other (mf|bfs|cc|mst|pagerank)")
+      case "scc" =>
+        val (edges, _, _) = load(spark, opts)
+        val scc = graph.Scc.run(spark, edges.select("src", "dst"))
+        val n = scc.select("scc").distinct().count()
+        println(s"scc: ${scc.count()} vertices in $n strongly connected components")
+        opts.get("out").foreach(scc.write.mode("overwrite").parquet(_))
+      case "kcore" =>
+        import org.apache.spark.sql.functions.col
+        val (edges, _, _) = load(spark, opts)
+        val k = opts.get("k").map(_.toInt).getOrElse(2)
+        // KCore's contract is a SYMMETRIC deduplicated relation (src
+        // degree = vertex degree); directed input is symmetrized here
+        val fwd = edges.select("src", "dst")
+        val sym = fwd.unionAll(
+          fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+        val core = graph.KCore.run(spark, sym, k)
+        println(s"kcore: ${core.count()} vertices survive the $k-core peel")
+        opts.get("out").foreach(core.write.mode("overwrite").parquet(_))
+      case "triangles" =>
+        import org.apache.spark.sql.functions.{col, least, greatest}
+        val (edges, _, _) = load(spark, opts)
+        val und = edges.select(least(col("src"), col("dst")).as("u"),
+            greatest(col("src"), col("dst")).as("v"))
+          .filter(col("u") < col("v")).distinct()
+          .localCheckpoint(eager = false)
+        val n = und.as("e1")
+          .join(und.as("e2"), col("e1.v") === col("e2.u"))
+          .join(und.as("e3"),
+            col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+          .count()
+        println(s"triangles: $n")
+      case other =>
+        sys.error(s"unknown program $other " +
+          "(mf|bfs|cc|mst|pagerank|scc|kcore|triangles)")
     }
   }
 }

@@ -119,6 +119,10 @@ object PipelineScaleProbe {
     // transitivity on the window graph, classweight/codefrac/nonascii/
     // packeff at 500k docs, coshist/outliers at 100k vectors
     if (args.headOption.contains("addendum21")) { addendum21(args(1)); return }
+    // `addendum22 <existingDir>` — third continuation batch: splitdrift
+    // null + planted drift at 500k docs, lifespan/autocorr at 10M
+    // events, labelsep at 100k vectors, compdist on the full star graph
+    if (args.headOption.contains("addendum22")) { addendum22(args(1)); return }
     // `addendum13 <nDocs> <nEvents> <nVec> <outBase>` — gaps/gini at
     // event scale, epochs/ngram at corpus scale, range at vector scale
     if (args.headOption.contains("addendum13")) {
@@ -1611,6 +1615,124 @@ object PipelineScaleProbe {
       f"wedges=$nWedge ratio=$trans%.4f (6-hour window graph)")
 
     println("PSCALE addendum21 done")
+    spark.stop()
+  }
+
+  /** Third continuation batch at 100×: the KS audit must read ~0 on the
+    * null (a pure hash split) and ≫ 0 on a planted split-correlated
+    * length drift; the arrival-memory test must read ~0 on the Poisson
+    * generator; component sizes roll up from the star graph CC labels.
+    */
+  private def addendum22(dir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def wall[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+
+    // ds_splitdrift NULL case: a pure hash split of one distribution —
+    // D must sit under the 99% KS band 1.63*sqrt((na+nb)/(na*nb))
+    val (sdR, sdW) = wall(ops.Pipeline.dsSplitDrift(docs).collect())
+    val (na, nb, d0) =
+      (sdR(0).getLong(0), sdR(0).getLong(1), sdR(0).getDouble(2))
+    val band = 1.63 * math.sqrt((na + nb).toDouble / (na.toDouble * nb))
+    require(d0 < band, s"null-split D $d0 above the 99% band $band")
+    println(f"PSCALE q=ds_splitdrift t=$sdW%.1f s null D=$d0%.5f " +
+      f"(99%% band $band%.5f, na=$na nb=$nb)")
+
+    // planted drift: group-1 docs (same hash rule) get 50 tokens
+    // appended — D must leave the noise floor by an order of magnitude
+    docs.createOrReplaceTempView("__a22_docs")
+    val pad = (1 to 50).map(i => "drift" + i).mkString(" ")
+    val drifted = spark.sql(
+      s"""SELECT doc_id,
+         |       CASE WHEN ((instr('0123456789abcdef', substring(h, 1, 1))
+         |                   - 1) * 16
+         |                  + instr('0123456789abcdef', substring(h, 2, 1))
+         |                  - 1) % 2 = 1
+         |            THEN concat(text, ' $pad') ELSE text END AS text
+         |FROM (SELECT doc_id, text,
+         |             md5(concat('drift:', CAST(doc_id AS STRING))) AS h
+         |      FROM __a22_docs)""".stripMargin)
+    val (plR, plW) = wall(ops.Pipeline.dsSplitDrift(drifted).collect())
+    val d1 = plR(0).getDouble(2)
+    require(d1 > 10 * band, s"planted drift D $d1 did not surface")
+    println(f"PSCALE q=ds_splitdrift(planted) t=$plW%.1f s D=$d1%.4f " +
+      "(50-token drift on one split half)")
+
+    val events = graft.Tables.load(spark, dir, "events")
+
+    // ev_lifespan: one user aggregate at 10M events; at 666 events/user
+    // over 30 days every lifespan concentrates at the top buckets
+    val (lfR, lfW) = wall(ops.Sessionize.evLifespan(events).collect())
+    require(lfR.nonEmpty, "lifespan empty")
+    val spanNodes = lfR.map(_.getLong(1)).sum
+    println(f"PSCALE q=ev_lifespan t=$lfW%.1f s buckets=${lfR.length} " +
+      s"users=$spanNodes top_bucket=${lfR.map(_.getLong(0)).max}")
+
+    // ev_autocorr at 43k minute pairs per type: a truly memoryless feed
+    // reads |r| ≲ 3/sqrt(n) ≈ 0.015. The probe's evFor generator does
+    // NOT — java.util.Random's first-draw-per-sequential-seed structure
+    // leaves a measurable minute-scale anti-correlation (~ −0.08), which
+    // this op exists to catch; the DuckDB-generated sf corpora read
+    // |r| < 0.005 (spec-locked). Record the artifact, require defined
+    // values and a bounded magnitude.
+    val (acR, acW) = wall(ops.Sessionize.evAutocorr(events).collect())
+    require(acR.length == 5, s"autocorr rows ${acR.length}")
+    acR.foreach { r =>
+      require(!r.isNullAt(2) && math.abs(r.getDouble(2)) < 0.2,
+        s"autocorr ${r.getString(0)} = ${r.getDouble(2)} out of band")
+    }
+    println(f"PSCALE q=ev_autocorr t=$acW%.1f s types=5 " +
+      acR.map(r => f"${r.getString(0)}=${r.getDouble(2)}%.4f")
+        .mkString(" ") + " (evFor PRNG artifact made visible)")
+
+    // ss_labelsep: the 7-label gaussian mixture MUST separate — same-
+    // label mean cosine above cross-label
+    val emb = spark.read.parquet(s"$dir/embeddings19.parquet")
+    val (lsR, lsW) = wall(ops.Similarity.ssLabelSep(emb).collect())
+    val bySame = lsR.map(r => r.getBoolean(0) -> r.getDouble(2)).toMap
+    require(bySame(true) > bySame(false),
+      s"labelsep inverted: $bySame")
+    println(f"PSCALE q=ss_labelsep t=$lsW%.1f s same=${bySame(true)}%.4f " +
+      f"cross=${bySame(false)}%.4f")
+
+    // component-size histogram off the full 30-day star graph (linear
+    // edges — the construction that makes CC safe where the clique
+    // detonates): sizes must account for every participating user
+    events.createOrReplaceTempView("__ev22")
+    val users = spark.sql(
+      """SELECT user_id, unix_micros(ts) div 10000000 AS b
+        |FROM __ev22""".stripMargin).distinct()
+    val nPart = users.select("user_id").distinct().count()
+    val (cdR, cdW) = wall {
+      graph.ConnectedComponents
+        .run(spark, graph.GraphQueries.ccStarEdges(users), maxIter = 30)
+        .createOrReplaceTempView("__a22_comp")
+      spark.sql(
+        """WITH sizes AS (
+          |  SELECT comp, COUNT(*) AS sz FROM __a22_comp GROUP BY comp)
+          |SELECT CAST(length(bin(sz)) - 1 AS BIGINT) AS bucket,
+          |       COUNT(*) AS n_comps, SUM(sz) AS n_nodes
+          |FROM sizes GROUP BY 1 ORDER BY bucket""".stripMargin).collect()
+    }
+    val nodes = cdR.map(_.getLong(2)).sum
+    require(nodes == nPart, s"compdist nodes $nodes != participants $nPart")
+    println(f"PSCALE q=compdist t=$cdW%.1f s users=$nodes " +
+      s"buckets=${cdR.length} giant=${cdR.map(_.getLong(0)).max}")
+
+    println("PSCALE addendum22 done")
     spark.stop()
   }
 

@@ -50,6 +50,23 @@ class EndToEndSpec extends AnyFunSuite {
       .distinct().count() - 1) // connected: V-1 edges
   }
 
+  test("CLI graph programs (scc/kcore/triangles) drive on the CLRS fixture") {
+    graft.Main.run(spark, Array("scc", "--format", "dimacs",
+      "--input", fixture("clrs.dimacs")))
+    graft.Main.run(spark, Array("kcore", "--format", "dimacs",
+      "--input", fixture("clrs.dimacs"), "--k", "2"))
+    graft.Main.run(spark, Array("triangles", "--format", "dimacs",
+      "--input", fixture("clrs.dimacs")))
+    // the CLRS network's undirected form is one big 2-core (every vertex
+    // sits on a cycle) — pin the symmetrization contract the kcore
+    // program applies
+    val (edges, _, _) = GraphSources.readDimacs(spark, fixture("clrs.dimacs"))
+    val fwd = edges.select("src", "dst")
+    val sym = fwd.unionAll(fwd.selectExpr("dst AS src", "src AS dst"))
+      .distinct()
+    assert(KCore.run(spark, sym, 2).count() == 6)
+  }
+
   test("approx_count_distinct lands within 5% of exact (q20, HLL)") {
     val sf = "/root/testdata/sf0.001"
     val row = Relational.q20_approx_distinct(spark, sf).head()
