@@ -346,6 +346,37 @@ object Dedup {
         |ORDER BY doc_a, doc_b""".stripMargin)
   }
 
+  /** Hamming-distance histogram of the simhash band candidates — the
+    * threshold-calibration table for [[ddSimhashPairs]]'s `<= 3` cut
+    * (the ss_coshist idea transposed to simhash space): cum_pairs at
+    * distance t is exactly how many pairs a threshold-t dedup would
+    * merge, so the elbow in this table IS the threshold decision, read
+    * BEFORE committing to a destructive dedup pass. Same signatures,
+    * same banding, no distance cut — the histogram sees everything the
+    * bands surface.
+    *
+    * Scale design: identical candidate generation to ddSimhashPairs
+    * (band-bounded, never all-pairs); the rollup is a ≤65-row histogram
+    * and the cumulative window runs on that tiny relation.
+    */
+  def ddHammingHist(s: SparkSession, dir: String): DataFrame = {
+    simhash64(s, dir).createOrReplaceTempView("__sig64h")
+    s.sql(
+      """WITH band AS (
+        |  SELECT doc_id, simhash, bno,
+        |         shiftright(simhash, 16 * bno) & 65535 AS bk
+        |  FROM __sig64h LATERAL VIEW explode(sequence(0, 3)) AS bno),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT) AS hamming
+        |  FROM band a JOIN band b
+        |    ON a.bno = b.bno AND a.bk = b.bk AND a.doc_id < b.doc_id)
+        |SELECT hamming, COUNT(*) AS n_pairs,
+        |       CAST(SUM(COUNT(*)) OVER (ORDER BY hamming) AS BIGINT)
+        |         AS cum_pairs
+        |FROM cand GROUP BY hamming ORDER BY hamming""".stripMargin)
+  }
+
   /** Word-bigram (2-shingle) Jaccard of each document against its 80%-prefix
     * twin — the n-gram near-dup scoring primitive.
     */
@@ -1067,9 +1098,51 @@ object Dedup {
     "dd_minhash_est" -> (ddMinhashEst _),
     "dd_simhash" -> (ddSimhash _),
     "dd_simhash_pairs" -> (ddSimhashPairs _),
+    "dd_hamming_hist" -> (ddHammingHist _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_containment" -> ((s: SparkSession, dir: String) => ddContainment(s, dir)),
     "dd_embed_cos" -> (ddEmbedCos _))
+
+  /** The full 3-shingle simhash64 + 16-bit banding DuckDB construction
+    * shared by dd_simhash_pairs and dd_hamming_hist.
+    */
+  private val simhashPairsDuck: String =
+      s"""WITH corpus AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + ${TwinIdOffset} AS doc_id, toks[1:(len(toks) * 19) // 20] AS toks
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         |tok AS (
+         |  SELECT DISTINCT doc_id, unnest(
+         |    CASE WHEN len(toks) >= 3
+         |         THEN [toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+         |               FOR i IN generate_series(1, len(toks) - 2)]
+         |         ELSE [] END) AS tok
+         |  FROM corpus),
+         |bits AS (
+         |  SELECT doc_id, g.k,
+         |         2 * (((strpos('0123456789abcdef',
+         |                  substr(md5(tok), 1 + k // 4, 1)) - 1)
+         |               >> (k % 4)) & 1) - 1 AS vote
+         |  FROM tok CROSS JOIN generate_series(0, 63) g(k)),
+         |votes AS (SELECT doc_id, k, SUM(vote) AS sv FROM bits GROUP BY doc_id, k),
+         |sig AS (
+         |  SELECT doc_id,
+         |         SUM(CASE WHEN sv > 0 THEN
+         |               CASE WHEN k = 63 THEN (-9223372036854775807 - 1)
+         |                    ELSE (1::BIGINT << k) END
+         |             ELSE 0 END)::BIGINT AS simhash
+         |  FROM votes GROUP BY doc_id),
+         |band AS (
+         |  SELECT doc_id, simhash, g.bno,
+         |         (simhash >> (16 * bno)) & 65535 AS bk
+         |  FROM sig CROSS JOIN generate_series(0, 3) g(bno))
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+         |FROM band a JOIN band b
+         |  ON a.bno = b.bno AND a.bk = b.bk AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin.replaceAll("\n", " ")
 
   val oracleSql: Map[String, String] = Map(
     "dd_prefix" ->
@@ -1395,43 +1468,20 @@ object Dedup {
         |SELECT doc_id,
         |       SUM(CASE WHEN s > 0 THEN 1 << k ELSE 0 END)::BIGINT AS simhash
         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
-    "dd_simhash_pairs" ->
-      s"""WITH corpus AS (
-         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + ${TwinIdOffset} AS doc_id, toks[1:(len(toks) * 19) // 20] AS toks
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
-         |tok AS (
-         |  SELECT DISTINCT doc_id, unnest(
-         |    CASE WHEN len(toks) >= 3
-         |         THEN [toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
-         |               FOR i IN generate_series(1, len(toks) - 2)]
-         |         ELSE [] END) AS tok
-         |  FROM corpus),
-         |bits AS (
-         |  SELECT doc_id, g.k,
-         |         2 * (((strpos('0123456789abcdef',
-         |                  substr(md5(tok), 1 + k // 4, 1)) - 1)
-         |               >> (k % 4)) & 1) - 1 AS vote
-         |  FROM tok CROSS JOIN generate_series(0, 63) g(k)),
-         |votes AS (SELECT doc_id, k, SUM(vote) AS sv FROM bits GROUP BY doc_id, k),
-         |sig AS (
-         |  SELECT doc_id,
-         |         SUM(CASE WHEN sv > 0 THEN
-         |               CASE WHEN k = 63 THEN (-9223372036854775807 - 1)
-         |                    ELSE (1::BIGINT << k) END
-         |             ELSE 0 END)::BIGINT AS simhash
-         |  FROM votes GROUP BY doc_id),
-         |band AS (
-         |  SELECT doc_id, simhash, g.bno,
-         |         (simhash >> (16 * bno)) & 65535 AS bk
-         |  FROM sig CROSS JOIN generate_series(0, 3) g(bno))
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
-         |FROM band a JOIN band b
-         |  ON a.bno = b.bno AND a.bk = b.bk AND a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-         |ORDER BY doc_a, doc_b""".stripMargin.replaceAll("\n", " "),
+    "dd_simhash_pairs" -> simhashPairsDuck,
+    "dd_hamming_hist" -> {
+      // same 64-bit signature + banding construction; histogram tail
+      val cut = simhashPairsDuck.indexOf("SELECT DISTINCT a.doc_id")
+      simhashPairsDuck.substring(0, cut) +
+        ", cand AS (SELECT DISTINCT a.doc_id AS doc_a, " +
+        "b.doc_id AS doc_b, " +
+        "bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming " +
+        "FROM band a JOIN band b ON a.bno = b.bno AND a.bk = b.bk " +
+        "AND a.doc_id < b.doc_id) " +
+        "SELECT hamming, COUNT(*) AS n_pairs, " +
+        "SUM(COUNT(*)) OVER (ORDER BY hamming)::BIGINT AS cum_pairs " +
+        "FROM cand GROUP BY hamming ORDER BY hamming"
+    },
     "dd_ngram_jaccard" ->
       s"""WITH $corpusSql,
          |sh AS (

@@ -1394,6 +1394,47 @@ object Sessionize {
     evLag(s.table("__events"))
   }
 
+  /** Sample-ratio-mismatch (SRM) audit: chi-square (1 dof) of the
+    * 50/50 hash assignment the experimentation stack depends on —
+    * [[evAbTest]] trusts its split; THIS op checks the split, the first
+    * thing a trustworthy A/B platform validates (a failed SRM voids the
+    * experiment regardless of its p-value). Assignment is the ds_kfold
+    * digit rule (seed 'srm:') over distinct users; chi2 =
+    * (na−nb)²/(na+nb) exactly for two cells, flagged at the 99 %
+    * critical value 6.635. The flag derives from the ROUNDED chi2, so
+    * both engines agree bit-for-bit.
+    *
+    * Scale design: one distinct pass over users, one 2-cell rollup,
+    * one-row output.
+    */
+  def evSrm(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__srm_events")
+    s.sql(
+      """WITH u AS (SELECT DISTINCT user_id FROM __srm_events),
+        |g AS (
+        |  SELECT ((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16
+        |          + instr('0123456789abcdef', substring(h, 2, 1)) - 1) % 2
+        |           AS grp
+        |  FROM (SELECT md5(concat('srm:', CAST(user_id AS STRING))) AS h
+        |        FROM u)),
+        |c AS (SELECT SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS na,
+        |             SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS nb
+        |      FROM g HAVING COUNT(*) > 0)
+        |SELECT na, nb,
+        |       ROUND(CAST(na - nb AS DOUBLE) * (na - nb) / (na + nb), 6)
+        |         AS chi2,
+        |       ROUND(CAST(na - nb AS DOUBLE) * (na - nb) / (na + nb), 6)
+        |         > 6.635 AS srm
+        |FROM c""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata events. */
+  def evSrm(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evSrm(s.table("__events"))
+  }
+
   /** Lag-1 autocorrelation of per-minute arrival counts per event type —
     * the memory test that complements [[evDispersion]]'s variance test:
     * a Poisson feed reads ≈ 0, campaign waves read positive, an
@@ -1573,6 +1614,7 @@ object Sessionize {
     "ev_trigrams" -> ((s: SparkSession, dir: String) => evTrigrams(s, dir)),
     "ev_lifespan" -> ((s: SparkSession, dir: String) => evLifespan(s, dir)),
     "ev_autocorr" -> ((s: SparkSession, dir: String) => evAutocorr(s, dir)),
+    "ev_srm" -> ((s: SparkSession, dir: String) => evSrm(s, dir)),
     "ev_stickiness" -> ((s: SparkSession, dir: String) => evStickiness(s, dir)),
     "ev_dispersion" -> ((s: SparkSession, dir: String) => evDispersion(s, dir)),
     "ev_hod" -> ((s: SparkSession, dir: String) => evHod(s, dir)),
@@ -1621,6 +1663,20 @@ object Sessionize {
         "MAX(lag_s) AS max_lag_s, " +
         "ROUND(SUM(lag_s)::DOUBLE / COUNT(*), 6) AS mean_lag_s " +
         "FROM l GROUP BY 1 ORDER BY bucket"),
+    "ev_srm" ->
+      ("WITH u AS (SELECT DISTINCT user_id FROM events), " +
+        "g AS (SELECT ((instr('0123456789abcdef', substring(h, 1, 1)) - 1) " +
+        "* 16 + instr('0123456789abcdef', substring(h, 2, 1)) - 1) % 2 " +
+        "AS grp FROM (SELECT md5(concat('srm:', " +
+        "CAST(user_id AS VARCHAR))) AS h FROM u)), " +
+        "c AS (SELECT SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END)::BIGINT " +
+        "AS na, SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END)::BIGINT AS nb " +
+        "FROM g HAVING COUNT(*) > 0) " +
+        "SELECT na, nb, " +
+        "ROUND(CAST(na - nb AS DOUBLE) * (na - nb) / (na + nb), 6) " +
+        "AS chi2, " +
+        "ROUND(CAST(na - nb AS DOUBLE) * (na - nb) / (na + nb), 6) " +
+        "> 6.635 AS srm FROM c"),
     "ev_autocorr" ->
       ("WITH m AS (SELECT event_type, epoch_us(ts) // 60000000 AS minute, " +
         "COUNT(*) AS c FROM events GROUP BY 1, 2), " +

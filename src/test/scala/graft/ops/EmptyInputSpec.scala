@@ -120,6 +120,7 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Pipeline.dsSplitDrift(emptyDocs).count() == 0)
     assert(Sessionize.evLifespan(emptyEvents).count() == 0)
     assert(Sessionize.evAutocorr(emptyEvents).count() == 0)
+    assert(Sessionize.evSrm(emptyEvents).count() == 0)
     assert(Similarity.ssLabelSep(
       Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label"))
       .count() == 0)

@@ -2125,6 +2125,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(orc.map(_._1).toSeq == orc.map(_._1).sortBy(-_).toSeq)
   }
 
+  test("evSrm: hash split replays, planted imbalance trips the flag") {
+    import spark.implicits._
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def grp(id: Long): Int = {
+      val h = md.digest(s"srm:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      ("0123456789abcdef".indexOf(h(0)) * 16 +
+        "0123456789abcdef".indexOf(h(1))) % 2
+    }
+    // planted SRM: 30 grp-0 users, 2 grp-1 users -> chi2 = 28^2/32 = 24.5
+    val zeros = (1L to 1000L).filter(grp(_) == 0).take(30)
+    val ones = (1L to 1000L).filter(grp(_) == 1).take(2)
+    val evs = (zeros ++ ones).zipWithIndex.map { case (u, i) =>
+      (i.toLong, t(i.toLong), u, "view", 0.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Sessionize.evSrm(evs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq((30L, 2L, 24.5, true)))
+    // oracle form: the testdata's hash split is healthy (no SRM), and
+    // the cells replay the Scala-side assignment exactly
+    val users = graft.Tables.load(spark, sf, "events")
+      .select("user_id").distinct().collect().map(_.getLong(0))
+    val wantA = users.count(grp(_) == 0).toLong
+    val orc = Sessionize.evSrm(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    assert(orc.toSeq == Seq((wantA, users.length - wantA, false)))
+  }
+
+  test("ddHammingHist: cumulative histogram is consistent with the pairs cut") {
+    val hist = Dedup.ddHammingHist(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hist.nonEmpty)
+    // cum replays the running sum; pairs at <= 3 equal dd_simhash_pairs
+    var run = 0L
+    hist.foreach { case (_, n, cum) => run += n; assert(cum == run) }
+    val cut3 = hist.filter(_._1 <= 3).map(_._2).sum
+    val pairs = Dedup.ddSimhashPairs(spark, sf).count()
+    assert(cut3 == pairs && pairs > 0)
+  }
+
   test("evAutocorr: alternating series reads -1, constant series NULL") {
     import spark.implicits._
     def t(min: Long, off: Int) =
