@@ -329,7 +329,8 @@ object Multimodal {
     "mm_decode" -> (mmDecode _),
     "mm_frames" -> (mmFrames _),
     "mm_resize" -> (mmResize _),
-    "mm_phash_pairs" -> (mmPhashPairs _))
+    "mm_phash_pairs" -> (mmPhashPairs _),
+    "mm_resolve" -> (mmResolve _))
 
   val oracleSql: Map[String, String] = Map(
     "mm_windows" ->
@@ -416,10 +417,26 @@ object Multimodal {
         |  (CASE WHEN greatest(w, h) <= 128 THEN h
         |        ELSE h * 128 // greatest(w, h) END)::INT AS height
         |FROM dec ORDER BY media_id""".stripMargin.replaceAll("\n", " "),
-    "mm_phash_pairs" ->
-      // text is ASCII, so ascii(substr(..)) == the payload byte the typed
-      // pass samples; bit 63 uses the same min-long literal as the simhash
-      // oracle (1<<63 overflows DuckDB's signed shift)
+    "mm_phash_pairs" -> phashPairsDuck,
+    "mm_resolve" -> {
+      val pairsSql = phashPairsDuck.replace("ORDER BY media_a, media_b", "")
+      s"""WITH RECURSIVE pairs AS ($pairsSql),
+         |e0 AS (SELECT media_a AS u, media_b AS v FROM pairs
+         |       UNION SELECT media_b, media_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM e0)
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN e0 e ON e.u = r.v)
+         |SELECT u AS media_id, MIN(v) AS canon_id FROM reach GROUP BY u
+         |ORDER BY media_id""".stripMargin.replaceAll("\n", " ")
+    })
+
+  /** DuckDB mirror of the typed pHash pass, shared by mm_phash_pairs and
+    * mm_resolve: text is ASCII, so ascii(substr(..)) == the payload byte
+    * the typed pass samples; bit 63 uses the same min-long literal as
+    * the simhash oracle (1<<63 overflows DuckDB's signed shift).
+    */
+  private lazy val phashPairsDuck: String =
       """WITH corpus AS (
         |  SELECT doc_id AS media_id, text FROM documents
         |  UNION ALL
@@ -446,5 +463,25 @@ object Multimodal {
         |FROM band a JOIN band b
         |  ON a.bno = b.bno AND a.bk = b.bk AND a.media_id < b.media_id
         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
-        |ORDER BY media_a, media_b""".stripMargin.replaceAll("\n", " "))
+        |ORDER BY media_a, media_b""".stripMargin.replaceAll("\n", " ")
+
+  /** Near-dup media clusters: the pHash-LSH pairs resolved to transitive
+    * components by the SAME label-propagation engine the text dedup
+    * uses ([[graft.ops.Pipeline.ddResolve]]) — candidates → verify →
+    * resolve is one pipeline shape whatever the modality; each media id
+    * maps to its cluster's minimum. Completes the image-dedup story:
+    * mm_phash_pairs finds the edges, this hands the loader a
+    * keep/replace table.
+    *
+    * Scale design: inherits the pairs' band-bounded candidate volume
+    * and CC's one-job-per-round loop; output is clustered-media-sized.
+    */
+  def mmResolve(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Pipeline.ddResolve(
+      mmPhashPairs(s, dir).select(col("media_a").as("doc_a"),
+        col("media_b").as("doc_b")))
+      .select(col("doc_id").as("media_id"), col("canon_id"))
+      .orderBy("media_id")
+  }
 }

@@ -129,4 +129,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(aligned.count() == frameCount)
     assert(aligned.select("media_id", "frame_idx").distinct().count() == frameCount)
   }
+
+  test("mmResolve: pHash pairs collapse to transitive media clusters") {
+    val sf = "/root/testdata/sf0.001"
+    val pairs = Multimodal.mmPhashPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val canon = Multimodal.mmResolve(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs.nonEmpty && canon.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(canon.contains(a) && canon.contains(b))
+      assert(canon(a) == canon(b), s"pair ($a,$b) split across clusters")
+      assert(canon(a) <= a)
+    }
+    canon.values.foreach(c => assert(canon(c) == c))
+    // the planted twin relation (id + 100000) makes every original its
+    // own keeper unless a natural collision merges further
+    assert(canon.keys.count(_ >= 100000L) > 0)
+  }
 }
