@@ -123,6 +123,9 @@ object PipelineScaleProbe {
     // null + planted drift at 500k docs, lifespan/autocorr at 10M
     // events, labelsep at 100k vectors, compdist on the full star graph
     if (args.headOption.contains("addendum22")) { addendum22(args(1)); return }
+    // `addendum23 <existingDir>` — fourth continuation batch: srm at 10M
+    // events, hamming histogram + media resolve on the 1M twin corpus
+    if (args.headOption.contains("addendum23")) { addendum23(args(1)); return }
     // `addendum13 <nDocs> <nEvents> <nVec> <outBase>` — gaps/gini at
     // event scale, epochs/ngram at corpus scale, range at vector scale
     if (args.headOption.contains("addendum13")) {
@@ -1615,6 +1618,60 @@ object PipelineScaleProbe {
       f"wedges=$nWedge ratio=$trans%.4f (6-hour window graph)")
 
     println("PSCALE addendum21 done")
+    spark.stop()
+  }
+
+  /** Fourth continuation batch at 100×: the SRM chi-square on a healthy
+    * hash split stays under its critical value, the hamming histogram's
+    * ≤3 cut replays dd_simhash_pairs exactly, and the media resolve
+    * collapses every planted pHash twin.
+    */
+  private def addendum23(dir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def wall[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // ev_srm: 15k users, healthy hash split -> chi2 under 6.635
+    val events = graft.Tables.load(spark, dir, "events")
+    val (srmR, srmW) = wall(ops.Sessionize.evSrm(events).collect())
+    val (na, nb, chi2, srm) = (srmR(0).getLong(0), srmR(0).getLong(1),
+      srmR(0).getDouble(2), srmR(0).getBoolean(3))
+    require(!srm && chi2 < 6.635, s"healthy split flagged: chi2=$chi2")
+    println(f"PSCALE q=ev_srm t=$srmW%.1f s na=$na nb=$nb chi2=$chi2%.3f " +
+      "srm=false (healthy split)")
+
+    // dd_hamming_hist on the 1M twin corpus: cum monotone; the <=3 cut
+    // must equal dd_simhash_pairs' own pair count (same signatures)
+    val (hhR, hhW) = wall(ops.Dedup.ddHammingHist(spark, dir).collect())
+    var run = 0L
+    hhR.foreach { r => run += r.getLong(1)
+      require(r.getLong(2) == run, "cum broken") }
+    val cut3 = hhR.filter(_.getLong(0) <= 3).map(_.getLong(1)).sum
+    val (nPairs, spW) = wall(ops.Dedup.ddSimhashPairs(spark, dir).count())
+    require(cut3 == nPairs, s"hist cut $cut3 != pairs $nPairs")
+    println(f"PSCALE q=dd_hamming_hist t=$hhW%.1f s buckets=${hhR.length} " +
+      s"candidates=$run cut3=$cut3 == pairs (pairs leg ${spW.round} s)")
+
+    // mm_resolve on 1M media (500k + planted twins): every twin pair
+    // collapses; canon is idempotent
+    val (mrR, mrW) = wall(ops.Multimodal.mmResolve(spark, dir).collect())
+    val canon = mrR.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    canon.values.foreach(c => require(canon(c) == c, "canon not idempotent"))
+    val twins = canon.keys.count(_ >= ops.Multimodal.TwinOffset)
+    println(f"PSCALE q=mm_resolve t=$mrW%.1f s clustered=${mrR.length} " +
+      s"(twin-side members $twins)")
+
+    println("PSCALE addendum23 done")
     spark.stop()
   }
 

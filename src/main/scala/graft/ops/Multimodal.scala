@@ -21,6 +21,13 @@ object Multimodal {
   /** A media record: payload is an opaque binary column. */
   case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte])
 
+  /** Planted-twin id offset for the pHash legs — far above any corpus id
+    * (the 100k-doc probe corpus exposed that the previous +100,000
+    * offset COLLIDES with real media ids at scale, silently merging
+    * unrelated records into twin families).
+    */
+  val TwinOffset = 100000000L
+
   /** Decoded metadata + a feature fingerprint. */
   case class DecodedMedia(media_id: Long, kind: String, n_bytes: Long,
                           width: Int, height: Int, n_frames: Int,
@@ -163,7 +170,7 @@ object Multimodal {
   }
 
   /** Media perceptual near-dup pairs: corpus ∪ single-byte-mutated twins
-    * (media_id+100000, payload byte n/2 flipped to 'x' — same length, so
+    * (media_id+TwinOffset, payload byte n/2 flipped to 'x' — same length, so
     * the sample grid is unchanged and the twin stays within Hamming ≤ 2),
     * then the SAME banded Hamming-LSH the text dedup uses (4×16-bit bands,
     * pigeonhole-exact for radius 3). Image dedup at 100 TB is exactly this
@@ -175,7 +182,7 @@ object Multimodal {
       val twin = r.payload.clone()
       twin(twin.length / 2) = 'x'.toByte
       Seq((r.media_id, phash64(r.payload)),
-        (r.media_id + 100000L, phash64(twin)))
+        (r.media_id + TwinOffset, phash64(twin)))
     }.toDF("media_id", "phash")
     sig.createOrReplaceTempView("__phash")
     s.sql(
@@ -440,7 +447,7 @@ object Multimodal {
       """WITH corpus AS (
         |  SELECT doc_id AS media_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 100000,
+        |  SELECT doc_id + 100000000,
         |         substr(text, 1, len(text) // 2) || 'x' ||
         |         substr(text, len(text) // 2 + 2)
         |  FROM documents),

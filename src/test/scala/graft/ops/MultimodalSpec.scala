@@ -44,8 +44,8 @@ class MultimodalSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val nDocs = graft.Tables.load(spark, sf, "documents").count()
     // a single-byte mutation moves at most the 2 sampled bits that touch
-    // it, so every (id, id+100000) twin must appear within Hamming <= 2
-    val twinPairs = pairs.filter { case (a, b, _) => b == a + 100000L }
+    // it, so every (id, id+TwinOffset) twin must appear within Hamming <= 2
+    val twinPairs = pairs.filter { case (a, b, _) => b == a + Multimodal.TwinOffset }
     assert(twinPairs.length == nDocs, s"${twinPairs.length} of $nDocs twins found")
     assert(twinPairs.forall(_._3 <= 2))
     // the banded index is exact w.r.t. brute-force Hamming <= 3 (pigeonhole)
@@ -143,8 +143,8 @@ class MultimodalSpec extends AnyFunSuite {
       assert(canon(a) <= a)
     }
     canon.values.foreach(c => assert(canon(c) == c))
-    // the planted twin relation (id + 100000) makes every original its
-    // own keeper unless a natural collision merges further
-    assert(canon.keys.count(_ >= 100000L) > 0)
+    // the planted twin relation (id + TwinOffset) makes every original
+    // its own keeper unless a natural collision merges further
+    assert(canon.keys.count(_ >= Multimodal.TwinOffset) > 0)
   }
 }
