@@ -679,6 +679,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(lateExact == Seq((8L, 100L, 6L)))
   }
 
+  private def runAutocorrBatches(
+      entry: org.apache.spark.sql.Dataset[AutocorrTracker.AEv] =>
+        org.apache.spark.sql.Dataset[AutocorrTracker.AcRow],
+      name: String, batches: Seq[Seq[Ev]], delay: String = "2 hours"
+  ): Seq[(String, Long, Double, Boolean)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = entry(stream.toDF().withWatermark("ts", delay)
+        .select("ts", "event_type").as[AutocorrTracker.AEv])
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    for (b <- batches) { stream.addData(b); q.processAllAvailable() }
+    val maxTs = batches.flatten.map(_.ts.getTime).max
+    stream.addData(Ev(-1L, new Timestamp(maxTs + 8L * 24 * 3600 * 1000), -1L, "zz_sentinel", 0.0))
+    q.processAllAvailable()
+    stream.addData(Ev(-2L, new Timestamp(maxTs + 9L * 24 * 3600 * 1000), -1L, "zz_sentinel", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).filter(col("event_type") =!= "zz_sentinel").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).toSeq
+  }
+
+  private def autocorrBatchRows: Seq[(String, Long, Double, Boolean)] = {
+    import spark.implicits._
+    AutocorrTracker.autocorrBatch(
+      eventsBatch.select("ts", "event_type").as[AutocorrTracker.AEv])
+      .collect()
+      .map(r => (r.event_type, r.n_pairs, r.autocorr, r.defined)).toSeq
+  }
+
+  test("autocorr: batch fold == the oracle-checked SQL query") {
+    val want = graft.ops.Sessionize.evAutocorr(spark, sf).collect()
+      .map { r =>
+        if (r.isNullAt(2)) (r.getString(0), r.getLong(1), 0.0, false)
+        else (r.getString(0), r.getLong(1), r.getDouble(2), true)
+      }.toSet
+    val got = autocorrBatchRows.toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("autocorr: O(1) streaming fold == batch, single and split feeds") {
+    import spark.implicits._
+    val data = eventsBatch.as[Ev].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val one = runAutocorrBatches(AutocorrTracker.autocorrStream,
+      "ac_out", Seq(data.toSeq), delay = "0 seconds")
+    assert(one.toSet == autocorrBatchRows.toSet && one.nonEmpty)
+    // in-order split across triggers stays exact: the open minute
+    // carries across the trigger boundary
+    val (h1, h2) = data.splitAt(data.length / 2)
+    val two = runAutocorrBatches(AutocorrTracker.autocorrStream,
+      "ac_out2", Seq(h1.toSeq, h2.toSeq), delay = "2 hours")
+    assert(two.toSet == autocorrBatchRows.toSet)
+  }
+
   private def runGapsBatches(
       entry: org.apache.spark.sql.Dataset[GapsTracker.GEv] =>
         org.apache.spark.sql.Dataset[GapsTracker.GapRow],
