@@ -104,18 +104,13 @@ object AutocorrTracker {
     s
   }
 
-  /** Quiesce horizon: a full day of per-type silence ends the window.
-    * The session-gap horizon the sibling trackers use is WRONG here — a
-    * no-data micro-batch after every trigger evaluates timeouts, so a
-    * sparse type with gaps past (watermark delay + horizon) would emit a
-    * partial window and restart, silently diverging from batch. A day
-    * bounds that to streams that really did go quiet.
-    */
-  val QuiesceMicros: Long = 86400000000L
-
   private def armTimeout(state: GroupState[_], tMaxUs: Long): Unit =
     try {
-      val desiredMs = tMaxUs / 1000 + QuiesceMicros / 1000
+      // the shared lifetime horizon — this tracker's split-feed parity
+      // spec is what exposed the no-data-batch timeout hazard (see
+      // EventSessionizer.LifetimeQuiesceMicros)
+      val desiredMs =
+        tMaxUs / 1000 + EventSessionizer.LifetimeQuiesceMicros / 1000
       val timeoutMs =
         try math.max(desiredMs, state.getCurrentWatermarkMs() + 1)
         catch { case _: UnsupportedOperationException => desiredMs }

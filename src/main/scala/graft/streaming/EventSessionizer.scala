@@ -29,6 +29,19 @@ object EventSessionizer {
 
   val GapMicros: Long = 30L * 60 * 1000000
 
+  /** State-GC horizon for LIFETIME-scale trackers (streaks, gaps
+    * spectrum, markov, ewma, top-k, conversion lag, autocorr): seven
+    * days of per-key silence. The session gap above is WRONG as a GC
+    * horizon for those statistics — Spark runs a no-data micro-batch
+    * after every trigger to evaluate timeouts, so on a multi-trigger
+    * feed any key quiet for (watermark delay + horizon) would be
+    * flushed-or-dropped mid-stream and its rollup silently restarted,
+    * diverging from batch (found by AutocorrTracker's split-feed parity
+    * spec). Seven days bounds state for keys that really left while
+    * keeping every statistic exact across ordinary quiet spells.
+    */
+  val LifetimeQuiesceMicros: Long = 7L * 86400000000L
+
   /** Monetary sum kept in integer cents — exact and order-independent
     * (matching the decimal-exact discipline of the oracle-checked ops).
     */

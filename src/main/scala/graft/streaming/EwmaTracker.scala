@@ -83,7 +83,7 @@ object EwmaTracker {
 
   private def armTimeout(state: GroupState[_], tMaxUs: Long): Unit =
     try {
-      val desiredMs = tMaxUs / 1000 + EventSessionizer.GapMicros / 1000
+      val desiredMs = tMaxUs / 1000 + EventSessionizer.LifetimeQuiesceMicros / 1000
       val timeoutMs =
         try math.max(desiredMs, state.getCurrentWatermarkMs() + 1)
         catch { case _: UnsupportedOperationException => desiredMs }

@@ -73,7 +73,7 @@ object LagTracker {
 
   private def armTimeout(state: GroupState[_], tMaxUs: Long): Unit =
     try {
-      val desiredMs = tMaxUs / 1000 + EventSessionizer.GapMicros / 1000
+      val desiredMs = tMaxUs / 1000 + EventSessionizer.LifetimeQuiesceMicros / 1000
       val timeoutMs =
         try math.max(desiredMs, state.getCurrentWatermarkMs() + 1)
         catch { case _: UnsupportedOperationException => desiredMs }

@@ -493,9 +493,9 @@ class StreamingSpec extends AnyFunSuite {
       .format("memory").queryName(name).start()
     for (b <- batches) { stream.addData(b); q.processAllAvailable() }
     val maxTs = batches.flatten.map(_.ts.getTime).max
-    stream.addData(Ev(-1L, new Timestamp(maxTs + 24L * 3600 * 1000), -1L, "x", 0.0))
+    stream.addData(Ev(-1L, new Timestamp(maxTs + 15L * 24 * 3600 * 1000), -1L, "x", 0.0))
     q.processAllAvailable()
-    stream.addData(Ev(-2L, new Timestamp(maxTs + 25L * 3600 * 1000), -1L, "x", 0.0))
+    stream.addData(Ev(-2L, new Timestamp(maxTs + 16L * 24 * 3600 * 1000), -1L, "x", 0.0))
     q.processAllAvailable()
     q.stop()
     spark.table(name).filter(col("user_id") =!= -1L).collect()
@@ -568,9 +568,9 @@ class StreamingSpec extends AnyFunSuite {
     for (b <- batches) { stream.addData(b); q.processAllAvailable() }
     // quiesce sentinels far past maxTs + any delay under test (≤ 3 days)
     val maxTs = batches.flatten.map(_.ts.getTime).max
-    stream.addData(Ev(-1L, new Timestamp(maxTs + 8L * 24 * 3600 * 1000), -1L, "x", 0.0))
+    stream.addData(Ev(-1L, new Timestamp(maxTs + 15L * 24 * 3600 * 1000), -1L, "x", 0.0))
     q.processAllAvailable()
-    stream.addData(Ev(-2L, new Timestamp(maxTs + 9L * 24 * 3600 * 1000), -1L, "x", 0.0))
+    stream.addData(Ev(-2L, new Timestamp(maxTs + 16L * 24 * 3600 * 1000), -1L, "x", 0.0))
     q.processAllAvailable()
     q.stop()
     spark.table(name).filter(col("user_id") =!= -1L).collect()
@@ -621,7 +621,7 @@ class StreamingSpec extends AnyFunSuite {
       .format("memory").queryName(name).start()
     for (b <- batches) { stream.addData(b); q.processAllAvailable() }
     val maxTs = batches.flatten.map(_.ts.getTime).max
-    stream.addData(Ev(-1L, new Timestamp(maxTs + 8L * 24 * 3600 * 1000), -1L, "x", 0.0))
+    stream.addData(Ev(-1L, new Timestamp(maxTs + 15L * 24 * 3600 * 1000), -1L, "x", 0.0))
     q.processAllAvailable()
     q.stop()
     spark.table(name).filter(col("user_id") =!= -1L).collect()
@@ -693,9 +693,9 @@ class StreamingSpec extends AnyFunSuite {
       .format("memory").queryName(name).start()
     for (b <- batches) { stream.addData(b); q.processAllAvailable() }
     val maxTs = batches.flatten.map(_.ts.getTime).max
-    stream.addData(Ev(-1L, new Timestamp(maxTs + 8L * 24 * 3600 * 1000), -1L, "zz_sentinel", 0.0))
+    stream.addData(Ev(-1L, new Timestamp(maxTs + 15L * 24 * 3600 * 1000), -1L, "zz_sentinel", 0.0))
     q.processAllAvailable()
-    stream.addData(Ev(-2L, new Timestamp(maxTs + 9L * 24 * 3600 * 1000), -1L, "zz_sentinel", 0.0))
+    stream.addData(Ev(-2L, new Timestamp(maxTs + 16L * 24 * 3600 * 1000), -1L, "zz_sentinel", 0.0))
     q.processAllAvailable()
     q.stop()
     spark.table(name).filter(col("event_type") =!= "zz_sentinel").collect()
@@ -751,9 +751,9 @@ class StreamingSpec extends AnyFunSuite {
       .format("memory").queryName(name).start()
     for (b <- batches) { stream.addData(b); q.processAllAvailable() }
     val maxTs = batches.flatten.map(_.ts.getTime).max
-    stream.addData(Ev(-1L, new Timestamp(maxTs + 8L * 24 * 3600 * 1000), -1L, "x", 0.0))
+    stream.addData(Ev(-1L, new Timestamp(maxTs + 15L * 24 * 3600 * 1000), -1L, "x", 0.0))
     q.processAllAvailable()
-    stream.addData(Ev(-2L, new Timestamp(maxTs + 9L * 24 * 3600 * 1000), -1L, "x", 0.0))
+    stream.addData(Ev(-2L, new Timestamp(maxTs + 16L * 24 * 3600 * 1000), -1L, "x", 0.0))
     q.processAllAvailable()
     q.stop()
     spark.table(name).filter(col("user_id") =!= -1L).collect()
@@ -883,9 +883,9 @@ class StreamingSpec extends AnyFunSuite {
       .format("memory").queryName(name).start()
     for (b <- batches) { stream.addData(b); q.processAllAvailable() }
     val maxTs = batches.flatten.map(_.ts.getTime).max
-    stream.addData(Ev(-1L, new Timestamp(maxTs + 8L * 24 * 3600 * 1000), -1L, "zzz", 0.0))
+    stream.addData(Ev(-1L, new Timestamp(maxTs + 15L * 24 * 3600 * 1000), -1L, "zzz", 0.0))
     q.processAllAvailable()
-    stream.addData(Ev(-2L, new Timestamp(maxTs + 9L * 24 * 3600 * 1000), -1L, "zzz", 0.0))
+    stream.addData(Ev(-2L, new Timestamp(maxTs + 16L * 24 * 3600 * 1000), -1L, "zzz", 0.0))
     q.processAllAvailable()
     q.stop()
     spark.table(name).filter(col("event_type") =!= "zzz").collect()
@@ -1005,9 +1005,9 @@ class StreamingSpec extends AnyFunSuite {
       .format("memory").queryName(name).start()
     for (b <- batches) { stream.addData(b); q.processAllAvailable() }
     val maxTs = batches.flatten.map(_.ts.getTime).max
-    stream.addData(Ev(-1L, new Timestamp(maxTs + 24L * 3600 * 1000), -1L, "zz", 0.0))
+    stream.addData(Ev(-1L, new Timestamp(maxTs + 15L * 24 * 3600 * 1000), -1L, "zz", 0.0))
     q.processAllAvailable()
-    stream.addData(Ev(-2L, new Timestamp(maxTs + 25L * 3600 * 1000), -1L, "zz", 0.0))
+    stream.addData(Ev(-2L, new Timestamp(maxTs + 16L * 24 * 3600 * 1000), -1L, "zz", 0.0))
     q.processAllAvailable()
     q.stop()
     spark.table(name).filter(col("event_type") =!= "zz").collect()
