@@ -613,6 +613,46 @@ object Pipeline {
   def dsSplitDrift(s: SparkSession, dir: String): DataFrame =
     dsSplitDrift(Tables.load(s, dir, "documents").select("doc_id", "text"))
 
+  /** Ingest-order bias audit: Pearson correlation between document id
+    * (ingest order) and token length — the TREND companion to
+    * [[dsSplitDrift]]'s split test (a crawl whose documents shrink over
+    * time biases every id-prefix sample and every resume-from-middle
+    * run; this one number says whether position carries signal). All
+    * five sums are integers carried as DECIMAL(38,0) partial aggregates;
+    * the final formula runs in double on those exact sums, identically
+    * in both engines. The DECIMAL bound holds to ~10^19 total id mass
+    * (id-dense corpora to ~10 B documents).
+    *
+    * Scale design: ONE corpus pass to a 1-row aggregate; nothing else.
+    */
+  def dsIngestBias(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__ib_docs")
+    s.sql(
+      """WITH d AS (
+        |  SELECT doc_id AS x,
+        |         CAST(size(split(text, ' ')) AS BIGINT) AS y
+        |  FROM __ib_docs),
+        |s AS (
+        |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |         SUM(CAST(x AS DECIMAL(38,0)) * x) AS qx,
+        |         SUM(CAST(y AS DECIMAL(38,0)) * y) AS qy,
+        |         SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+        |  FROM d HAVING COUNT(*) > 1)
+        |SELECT n,
+        |       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |              - CAST(sx AS DOUBLE) * sy)
+        |             / (sqrt(CAST(n AS DOUBLE) * CAST(qx AS DOUBLE)
+        |                     - CAST(sx AS DOUBLE) * sx)
+        |                * sqrt(CAST(n AS DOUBLE) * CAST(qy AS DOUBLE)
+        |                       - CAST(sy AS DOUBLE) * sy)), 6) AS bias_r
+        |FROM s""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata corpus. */
+  def dsIngestBias(s: SparkSession, dir: String): DataFrame =
+    dsIngestBias(Tables.load(s, dir, "documents").select("doc_id", "text"))
+
   /** Deterministic epoch shuffle (the training-data writer's last step):
     * every document gets a shard (first hex digit of
     * md5('shuffle:'||doc_id) — 16 shards here) and an intra-shard
@@ -1375,6 +1415,7 @@ object Pipeline {
     "ds_classweight" -> ((s: SparkSession, dir: String) => dsClassWeight(s, dir)),
     "ds_packeff" -> ((s: SparkSession, dir: String) => dsPackEff(s, dir)),
     "ds_splitdrift" -> ((s: SparkSession, dir: String) => dsSplitDrift(s, dir)),
+    "ds_ingestbias" -> ((s: SparkSession, dir: String) => dsIngestBias(s, dir)),
     "ds_tokbudget" -> ((s: SparkSession, dir: String) => dsTokBudget(s, dir)),
     "ds_lenbucket" -> ((s: SparkSession, dir: String) => dsLenBucket(s, dir)),
     "dd_resolve" -> (ddResolve _),
@@ -1583,6 +1624,19 @@ object Pipeline {
         |SELECT doc_id, n_chars_in, length(text_norm) AS n_chars_out,
         |       text_norm <> noisy AS changed, text_norm = text AS recovered
         |FROM norm ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "ds_ingestbias" ->
+      ("WITH d AS (SELECT doc_id AS x, " +
+        "len(string_split(text, ' '))::BIGINT AS y FROM documents), " +
+        "s AS (SELECT COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS sx, " +
+        "SUM(y)::BIGINT AS sy, " +
+        "SUM(CAST(x AS DECIMAL(38,0)) * x) AS qx, " +
+        "SUM(CAST(y AS DECIMAL(38,0)) * y) AS qy, " +
+        "SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy " +
+        "FROM d HAVING COUNT(*) > 1) " +
+        "SELECT n, ROUND((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy) " +
+        "/ (sqrt(n::DOUBLE * qx::DOUBLE - sx::DOUBLE * sx) " +
+        "* sqrt(n::DOUBLE * qy::DOUBLE - sy::DOUBLE * sy)), 6) AS bias_r " +
+        "FROM s"),
     "ds_splitdrift" ->
       ("WITH g AS (SELECT len(string_split(text, ' ')) AS len, " +
         "((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 " +

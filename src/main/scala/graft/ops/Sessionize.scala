@@ -1394,6 +1394,38 @@ object Sessionize {
     evLag(s.table("__events"))
   }
 
+  /** Recency-decayed engagement score: per user, Σ over ACTIVE DAYS of
+    * 2^−(T−d) where T is the stream's last day — half-life exactly one
+    * day, the ev_ewma dyadic discipline applied to engagement scoring
+    * (a user active today scores 1 from today plus a geometric tail; a
+    * lapsed user's score halves daily). Every term is 1 / 2^k computed
+    * by integer shift then ONE exact double division, and with ≤ 2^53 /
+    * 2^span total mass the SUM of dyadics is bit-exact in any order —
+    * no decimal machinery needed, both engines agree to the last bit.
+    *
+    * Scale design: one (user, day) distinct pass, a broadcast 1-row max,
+    * and a user-sized rollup.
+    */
+  def evDecay(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__dc_events")
+    s.sql(
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, unix_micros(ts) div 86400000000 AS day
+        |  FROM __dc_events),
+        |t AS (SELECT MAX(day) AS tday FROM d)
+        |SELECT user_id, COUNT(*) AS n_days,
+        |       ROUND(SUM(1.0 / CAST(shiftleft(CAST(1 AS BIGINT),
+        |               CAST(t.tday - day AS INT)) AS DOUBLE)), 6) AS score
+        |FROM d CROSS JOIN t GROUP BY user_id ORDER BY user_id""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata events. */
+  def evDecay(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evDecay(s.table("__events"))
+  }
+
   /** Sample-ratio-mismatch (SRM) audit: chi-square (1 dof) of the
     * 50/50 hash assignment the experimentation stack depends on —
     * [[evAbTest]] trusts its split; THIS op checks the split, the first
@@ -1615,6 +1647,7 @@ object Sessionize {
     "ev_lifespan" -> ((s: SparkSession, dir: String) => evLifespan(s, dir)),
     "ev_autocorr" -> ((s: SparkSession, dir: String) => evAutocorr(s, dir)),
     "ev_srm" -> ((s: SparkSession, dir: String) => evSrm(s, dir)),
+    "ev_decay" -> ((s: SparkSession, dir: String) => evDecay(s, dir)),
     "ev_stickiness" -> ((s: SparkSession, dir: String) => evStickiness(s, dir)),
     "ev_dispersion" -> ((s: SparkSession, dir: String) => evDispersion(s, dir)),
     "ev_hod" -> ((s: SparkSession, dir: String) => evHod(s, dir)),
@@ -1663,6 +1696,13 @@ object Sessionize {
         "MAX(lag_s) AS max_lag_s, " +
         "ROUND(SUM(lag_s)::DOUBLE / COUNT(*), 6) AS mean_lag_s " +
         "FROM l GROUP BY 1 ORDER BY bucket"),
+    "ev_decay" ->
+      ("WITH d AS (SELECT DISTINCT user_id, " +
+        "epoch_us(ts) // 86400000000 AS day FROM events), " +
+        "t AS (SELECT MAX(day) AS tday FROM d) " +
+        "SELECT user_id, COUNT(*) AS n_days, " +
+        "ROUND(SUM(1.0 / (1::BIGINT << (t.tday - day))), 6) AS score " +
+        "FROM d CROSS JOIN t GROUP BY user_id ORDER BY user_id"),
     "ev_srm" ->
       ("WITH u AS (SELECT DISTINCT user_id FROM events), " +
         "g AS (SELECT ((instr('0123456789abcdef', substring(h, 1, 1)) - 1) " +

@@ -1176,6 +1176,44 @@ object TextAnalysis {
         |FROM __cf_raw""".stripMargin))
   }
 
+  /** Source-vocabulary overlap map: pairwise Jaccard of the DISTINCT
+    * token sets of every source pair — the corpus-redundancy counterpart
+    * to ev_overlap's audience matrix, read before source-mixture
+    * decisions (two sources with near-1 vocabulary Jaccard add diversity
+    * only through composition, not vocabulary). Integer set algebra,
+    * one final division.
+    *
+    * Scale design: the vocabulary relation is (source × vocab)-sized;
+    * the pair join runs on the token key, so fan-in per token is the
+    * number of sources carrying it (≤ |sources|), never corpus-sized.
+    * Output is C(|sources|, 2) rows.
+    */
+  def taVocabJaccard(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__vj_docs")
+    s.sql(
+      """WITH v AS (
+        |  SELECT DISTINCT source, explode(split(text, ' ')) AS w
+        |  FROM __vj_docs),
+        |sz AS (SELECT source, COUNT(*) AS n FROM v GROUP BY source),
+        |inter AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+        |  FROM v a JOIN v b ON b.w = a.w AND a.source < b.source
+        |  GROUP BY a.source, b.source)
+        |SELECT i.src_a, i.src_b, i.inter,
+        |       za.n + zb.n - i.inter AS uni,
+        |       ROUND(CAST(i.inter AS DOUBLE)
+        |             / (za.n + zb.n - i.inter), 6) AS jaccard
+        |FROM inter i
+        |JOIN sz za ON za.source = i.src_a
+        |JOIN sz zb ON zb.source = i.src_b
+        |ORDER BY i.src_a, i.src_b""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata corpus. */
+  def taVocabJaccard(s: SparkSession, dir: String): DataFrame =
+    taVocabJaccard(Tables.load(s, dir, "documents").select("source", "text"))
+
   /** Non-ASCII profile per source: documents carrying any multi-byte
     * character and the UTF-8 byte overhead — the first-look encoding-QA
     * table that flags mojibake floods and double-encoded crawls before
@@ -1218,6 +1256,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_nonascii" -> ((s: SparkSession, dir: String) => taNonAscii(s, dir)),
+    "ta_vocabjaccard" -> ((s: SparkSession, dir: String) => taVocabJaccard(s, dir)),
     "ta_codefrac" -> ((s: SparkSession, dir: String) => taCodeFrac(s, dir)),
     "ta_rarity" -> ((s: SparkSession, dir: String) => taRarity(s, dir)),
     "ta_condent" -> ((s: SparkSession, dir: String) => taCondEntropy(s, dir)),
@@ -1250,6 +1289,19 @@ object TextAnalysis {
   private val sqlToks = "string_split(text, ' ')"
 
   val oracleSql: Map[String, String] = Map(
+    "ta_vocabjaccard" ->
+      ("WITH v AS (SELECT DISTINCT source, " +
+        "unnest(string_split(text, ' ')) AS w FROM documents), " +
+        "sz AS (SELECT source, COUNT(*) AS n FROM v GROUP BY source), " +
+        "inter AS (SELECT a.source AS src_a, b.source AS src_b, " +
+        "COUNT(*) AS inter FROM v a JOIN v b " +
+        "ON b.w = a.w AND a.source < b.source GROUP BY 1, 2) " +
+        "SELECT i.src_a, i.src_b, i.inter, " +
+        "za.n + zb.n - i.inter AS uni, " +
+        "ROUND(i.inter::DOUBLE / (za.n + zb.n - i.inter), 6) AS jaccard " +
+        "FROM inter i JOIN sz za ON za.source = i.src_a " +
+        "JOIN sz zb ON zb.source = i.src_b " +
+        "ORDER BY i.src_a, i.src_b"),
     "ta_nonascii" ->
       ("WITH aug AS (SELECT source, CASE WHEN doc_id % 11 = 0 " +
         "THEN concat(text, ' café naïve résumé') ELSE text END " +

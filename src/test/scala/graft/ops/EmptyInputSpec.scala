@@ -121,6 +121,10 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Sessionize.evLifespan(emptyEvents).count() == 0)
     assert(Sessionize.evAutocorr(emptyEvents).count() == 0)
     assert(Sessionize.evSrm(emptyEvents).count() == 0)
+    assert(Sessionize.evDecay(emptyEvents).count() == 0)
+    assert(TextAnalysis.taVocabJaccard(
+      Seq.empty[(String, String)].toDF("source", "text")).count() == 0)
+    assert(Pipeline.dsIngestBias(emptyDocs).count() == 0)
     assert(Similarity.ssLabelSep(
       Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label"))
       .count() == 0)

@@ -2125,6 +2125,56 @@ class PipelineSpec extends AnyFunSuite {
     assert(orc.map(_._1).toSeq == orc.map(_._1).sortBy(-_).toSeq)
   }
 
+  test("evDecay: dyadic day-decay algebra on hand users") {
+    import spark.implicits._
+    def t(day: Long) = new java.sql.Timestamp(day * 86400000L)
+    // T = 10; u1 active days 10, 9 -> 1 + 1/2; u2 active day 8 -> 1/4;
+    // duplicate same-day events collapse before scoring
+    val evs = Seq(
+      (1L, t(10), 1L, "view", 0.0), (2L, t(9), 1L, "click", 0.0),
+      (3L, t(9), 1L, "view", 0.0), (4L, t(8), 2L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Sessionize.evDecay(evs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1.5), (2L, 1L, 0.25)))
+    // oracle form: scores bounded by the geometric series limit 2
+    val orc = Sessionize.evDecay(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    assert(orc.nonEmpty)
+    orc.foreach { case (n, sc) => assert(sc > 0.0 && sc < 2.0 && n >= 1) }
+  }
+
+  test("taVocabJaccard: set algebra on hand sources") {
+    import spark.implicits._
+    val docs = Seq(("s1", "a b"), ("s2", "b c"), ("s3", "a b"))
+      .toDF("source", "text")
+    val got = TextAnalysis.taVocabJaccard(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.toSeq == Seq(("s1", "s2", 1L, 3L, 0.333333),
+      ("s1", "s3", 2L, 2L, 1.0), ("s2", "s3", 1L, 3L, 0.333333)))
+    // oracle form: C(sources, 2) rows, jaccard within (0, 1]
+    val orc = TextAnalysis.taVocabJaccard(spark, sf).collect()
+      .map(r => r.getDouble(4))
+    val k = graft.Tables.load(spark, sf, "documents")
+      .select("source").distinct().count()
+    assert(orc.length == k * (k - 1) / 2)
+    orc.foreach(j => assert(j > 0.0 && j <= 1.0))
+  }
+
+  test("dsIngestBias: perfect trends read +/-1, random corpus reads ~0") {
+    import spark.implicits._
+    def corpus(lens: Seq[Int]) = lens.zipWithIndex
+      .map { case (l, i) => (i.toLong + 1, (1 to l).map(_ => "w").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val up = Pipeline.dsIngestBias(corpus(Seq(1, 2, 3, 4))).collect()
+    assert(up.map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq((4L, 1.0)))
+    val down = Pipeline.dsIngestBias(corpus(Seq(4, 3, 2, 1))).collect()
+    assert(down(0).getDouble(1) == -1.0)
+    val orc = Pipeline.dsIngestBias(spark, sf).collect()
+    assert(orc.length == 1 && math.abs(orc(0).getDouble(1)) < 0.2)
+  }
+
   test("evSrm: hash split replays, planted imbalance trips the flag") {
     import spark.implicits._
     def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
