@@ -126,6 +126,10 @@ object PipelineScaleProbe {
     // `addendum23 <existingDir>` — fourth continuation batch: srm at 10M
     // events, hamming histogram + media resolve on the 1M twin corpus
     if (args.headOption.contains("addendum23")) { addendum23(args(1)); return }
+    // `addendum24 <existingDir>` — fifth continuation batch: decay at
+    // 10M events, vocab-jaccard + ingest-bias (null and planted trend)
+    // at 500k docs
+    if (args.headOption.contains("addendum24")) { addendum24(args(1)); return }
     // `addendum13 <nDocs> <nEvents> <nVec> <outBase>` — gaps/gini at
     // event scale, epochs/ngram at corpus scale, range at vector scale
     if (args.headOption.contains("addendum13")) {
@@ -1618,6 +1622,72 @@ object PipelineScaleProbe {
       f"wedges=$nWedge ratio=$trans%.4f (6-hour window graph)")
 
     println("PSCALE addendum21 done")
+    spark.stop()
+  }
+
+  /** Fifth continuation batch at 100×: decay scores stay under the
+    * geometric limit, the vocabulary-overlap matrix stays C(sources,2)-
+    * sized, and the ingest-bias Pearson reads ~0 on the id-independent
+    * generator and fires on a planted id-correlated truncation.
+    */
+  private def addendum24(dir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def wall[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val events = graft.Tables.load(spark, dir, "events")
+    val (dcR, dcW) = wall(ops.Sessionize.evDecay(events).collect())
+    require(dcR.nonEmpty, "decay empty")
+    dcR.foreach { r =>
+      // the exact mass is < 2 but a full-month-active user's
+      // 2 - 2^-29 ROUNDS to 2.0 at 6 dp — the bound on rounded values
+      // is inclusive
+      require(r.getDouble(2) > 0.0 && r.getDouble(2) <= 2.0,
+        s"score ${r.getDouble(2)} out of the geometric bound")
+    }
+    println(f"PSCALE q=ev_decay t=$dcW%.1f s users=${dcR.length} " +
+      f"max=${dcR.map(_.getDouble(2)).max}%.6f (<= 2 rounded geometric limit)")
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "text")
+    val (vjR, vjW) = wall(
+      ops.TextAnalysis.taVocabJaccard(docs.select("source", "text"))
+        .collect())
+    require(vjR.length == 45, s"vocab pairs ${vjR.length}") // C(10,2)
+    println(f"PSCALE q=ta_vocabjaccard t=$vjW%.1f s pairs=45 " +
+      f"min=${vjR.map(_.getDouble(4)).min}%.4f " +
+      f"max=${vjR.map(_.getDouble(4)).max}%.4f (shared zipf vocab)")
+
+    // ingest bias: null case ~0 on the id-independent generator
+    val (ibR, ibW) = wall(
+      ops.Pipeline.dsIngestBias(docs.select("doc_id", "text")).collect())
+    val r0 = ibR(0).getDouble(1)
+    require(math.abs(r0) < 0.02, s"null ingest bias $r0 not ~0")
+    // planted trend: truncate each doc to 5 + doc_id/5000 tokens — a
+    // monotone length drift across ingest order (the crawl-shrink story)
+    import org.apache.spark.sql.functions._
+    val planted = docs.select(col("doc_id"),
+      expr("array_join(slice(split(text, ' '), 1, " +
+        "5 + CAST(doc_id div 5000 AS INT)), ' ')").as("text"))
+    val (pbR, pbW) = wall(
+      ops.Pipeline.dsIngestBias(planted).collect())
+    val r1 = pbR(0).getDouble(1)
+    require(math.abs(r1) > 5 * math.abs(r0).max(0.001),
+      s"planted trend $r1 did not separate from null $r0")
+    println(f"PSCALE q=ds_ingestbias t=$ibW%.1f s null=$r0%.5f " +
+      f"planted=$r1%.4f (t=$pbW%.1f s)")
+
+    println("PSCALE addendum24 done")
     spark.stop()
   }
 
