@@ -45,7 +45,7 @@ object LagTracker {
   private def tsToUs(t: Timestamp): Long = EventSessionizer.tsToUs(t)
 
   /** floor(log2(n + 1)) via bit length — exact for any lag ≥ 0. */
-  private[streaming] def bucket(lagS: Long): Long =
+  private[graft] def bucket(lagS: Long): Long =
     63L - java.lang.Long.numberOfLeadingZeros(lagS + 1)
 
   /** The shared pure core: fold (us, type) pairs SORTED by ts onto the

@@ -181,4 +181,80 @@ class PipelinePropertySpec extends AnyFunSuite {
       large.take(small.size) == small && small.size == math.min(k, n)
     })
   }
+
+  test("log2 bucketing: SQL floor(log2(n+1)) == the trackers' bit-length rule") {
+    import spark.implicits._
+    // the cross-engine claim behind ev_lag/ev_lifespan and LagTracker:
+    // double log2 cannot misplace an integer bucket boundary
+    check(Prop.forAll(Gen.listOfN(40, Gen.choose(0L, 1L << 50))) { ns =>
+      val sql = ns.toDF("n")
+        .selectExpr("CAST(floor(log2(n + 1)) AS BIGINT) AS b")
+        .collect().map(_.getLong(0)).toList
+      sql == ns.map(graft.streaming.LagTracker.bucket)
+    })
+  }
+
+  test("LagTracker batch fold == in-memory firsts oracle, any event soup") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 6L)
+        t <- Gen.choose(0L, 5000L)
+        ty <- Gen.oneOf("view", "purchase", "click")
+      } yield (u, t, ty))
+    } yield rows
+    check(Prop.forAll(gen) { rows =>
+      val evs = rows.zipWithIndex.map { case ((u, t, ty), i) =>
+        (new java.sql.Timestamp(t * 1000L), u, ty) }
+        .toDF("ts", "user_id", "event_type")
+      val got = graft.streaming.LagTracker.lagBatch(
+        evs.as[graft.streaming.LagTracker.LEv]).collect()
+        .map(r => r.user_id -> r.lag_s).toMap
+      val want = rows.groupBy(_._1).flatMap { case (u, rs) =>
+        val fv = rs.filter(_._3 == "view").map(_._2).minOption
+        val fp = rs.filter(_._3 == "purchase").map(_._2).minOption
+        (fv, fp) match {
+          case (Some(v), Some(p)) if v <= p => Some(u -> (p - v))
+          case _ => None
+        }
+      }
+      got == want
+    })
+  }
+
+  test("AutocorrTracker batch == direct Pearson over the zero-filled series") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(2, 40)
+      ms <- Gen.listOfN(n, Gen.choose(0L, 60L))
+    } yield ms
+    check(Prop.forAll(gen) { mins =>
+      val evs = mins.map(m => (new java.sql.Timestamp(m * 60000L), "a"))
+        .toDF("ts", "event_type")
+      val got = graft.streaming.AutocorrTracker.autocorrBatch(
+        evs.as[graft.streaming.AutocorrTracker.AEv]).collect()
+        .map(r => (r.n_pairs, r.autocorr, r.defined)).toList
+      // direct replay: counts per minute over [lo, hi] with zeros
+      val cnt = mins.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val series = (mins.min to mins.max).map(m => cnt.getOrElse(m, 0L))
+      val x = series.dropRight(1).map(_.toDouble)
+      val y = series.drop(1).map(_.toDouble)
+      val n = x.length
+      val want =
+        if (n == 0) List((0L, 0.0, false))
+        else {
+          val vx = n * x.map(a => a * a).sum - x.sum * x.sum
+          val vy = n * y.map(a => a * a).sum - y.sum * y.sum
+          if (vx <= 0 || vy <= 0) List((n.toLong, 0.0, false))
+          else {
+            val r = (n * x.zip(y).map { case (a, b) => a * b }.sum
+              - x.sum * y.sum) / (math.sqrt(vx) * math.sqrt(vy))
+            List((n.toLong, BigDecimal(r)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, true))
+          }
+        }
+      got == want
+    })
+  }
 }
