@@ -372,6 +372,27 @@ object GraphQueries {
       |FROM sizes GROUP BY 1 ORDER BY bucket""".stripMargin
       .replaceAll("\n", " ")
 
+  /** Q53: coreness histogram of the supplier↔part bipartite graph — the
+    * full k-core decomposition ([[Coreness]], iterated neighborhood
+    * h-index) rolled to (coreness, n_nodes). q34's KCore answers "who
+    * survives k"; this answers "how deep does EVERY vertex sit", the
+    * engagement-depth fingerprint of the whole graph in one table. Not
+    * DuckDB-expressible (iterative fixpoint; max coreness 33 at sf0.01),
+    * so the driver records a rows-only check and the decomposition is
+    * spec-locked against an in-memory peeling oracle + KCore
+    * cross-checks.
+    */
+  def q53_coreness(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val fwd = li.select(col("l_suppkey").as("src"),
+      (col("l_partkey") + PartOffset).as("dst")).distinct()
+    val sym = fwd.unionAll(
+      fwd.select(col("dst").as("src"), col("src").as("dst")))
+    Coreness.run(s, sym)
+      .groupBy("coreness").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("coreness")
+  }
+
   /** Q26: hop-bounded weighted shortest paths (≤6 hops) from supplier 1
     * over the supplier↔part graph with lineitem-count weights. 6 rounds of
     * FRONTIER-DELTA Bellman-Ford (VERDICT r1 #2): each round relaxes only
@@ -1039,6 +1060,7 @@ object GraphQueries {
     "q50_lcc" -> (q50_lcc _),
     "q51_transitivity" -> (q51_transitivity _),
     "q52_compdist" -> (q52_compdist _),
+    "q53_coreness" -> (q53_coreness _),
     "q48_ppr" -> (q48_ppr _),
     "q47_ktruss" -> (q47_ktruss _),
     "q46_ecc" -> (q46_ecc _),

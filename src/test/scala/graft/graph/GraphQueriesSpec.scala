@@ -472,6 +472,58 @@ class GraphQueriesSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("Coreness: h-index fixpoint == min-heap peeling oracle + KCore") {
+    import spark.implicits._
+    // hand graph: triangle 1-2-3 with pendant 4 -> coreness 2,2,2,1
+    val fwd = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("src", "dst")
+    val sym = fwd.unionAll(fwd.selectExpr("dst AS src", "src AS dst"))
+    val hand = Coreness.run(spark, sym).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(hand.toSeq == Seq((1L, 2L), (2L, 2L), (3L, 2L), (4L, 1L)))
+    // the real graph: in-memory peel on the sf0.001 supplier-part edges
+    val li = graft.Tables.load(spark, sf, "lineitem")
+    val edges = li.selectExpr("l_suppkey AS u", "l_partkey + 1000000 AS v")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+    edges.foreach { case (u, v) =>
+      adj.getOrElseUpdate(u, scala.collection.mutable.Set.empty) += v
+      adj.getOrElseUpdate(v, scala.collection.mutable.Set.empty) += u
+    }
+    val deg = scala.collection.mutable.Map(adj.view.mapValues(_.size).toSeq: _*)
+    val pq = scala.collection.mutable.PriorityQueue.empty[(Int, Long)](
+      Ordering.by[(Int, Long), Int](_._1).reverse)
+    deg.foreach { case (n, d) => pq.enqueue((d, n)) }
+    val core = scala.collection.mutable.Map.empty[Long, Int]
+    var cur = 0
+    while (pq.nonEmpty) {
+      val (d, n) = pq.dequeue()
+      if (!core.contains(n) && d == deg(n)) {
+        cur = math.max(cur, d); core(n) = cur
+        adj(n).foreach { m =>
+          if (!core.contains(m)) { deg(m) -= 1; pq.enqueue((deg(m), m)) }
+        }
+      }
+    }
+    val fwd2 = li.selectExpr("l_suppkey AS src", "l_partkey + 1000000 AS dst")
+      .distinct()
+    val sym2 = fwd2.unionAll(fwd2.selectExpr("dst AS src", "src AS dst"))
+      .localCheckpoint(eager = true)
+    val got = Coreness.run(spark, sym2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == core.map { case (n, c) => n -> c.toLong }.toMap)
+    // KCore cross-check: {coreness >= k} is EXACTLY the k-core, twice
+    for (k <- Seq(2, core.values.max / 2)) {
+      val kc = KCore.run(spark, sym2, k).collect().map(_.getLong(0)).toSet
+      assert(got.filter(_._2 >= k).keySet == kc, s"k=$k mismatch")
+    }
+    // the query form rolls the same decomposition into a histogram
+    val hist = GraphQueries.q53_coreness(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val wantHist = core.values.groupBy(identity).map { case (c, xs) =>
+      c.toLong -> xs.size.toLong }
+    assert(hist == wantHist)
+  }
+
   test("q51_transitivity: triangle leg agrees with q25, ratio bounded") {
     val dir = "/root/testdata/sf0.01"
     val t = GraphQueries.q51_transitivity(spark, dir).collect()
