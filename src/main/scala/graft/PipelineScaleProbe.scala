@@ -130,6 +130,10 @@ object PipelineScaleProbe {
     // 10M events, vocab-jaccard + ingest-bias (null and planted trend)
     // at 500k docs
     if (args.headOption.contains("addendum24")) { addendum24(args(1)); return }
+    // `addendum25 <existingDir>` — coreness decomposition at scale:
+    // sf0.1 bipartite + the 6-hour co-occurrence window graph, each
+    // KCore-cross-checked
+    if (args.headOption.contains("addendum25")) { addendum25(args(1)); return }
     // `addendum13 <nDocs> <nEvents> <nVec> <outBase>` — gaps/gini at
     // event scale, epochs/ngram at corpus scale, range at vector scale
     if (args.headOption.contains("addendum13")) {
@@ -1622,6 +1626,66 @@ object PipelineScaleProbe {
       f"wedges=$nWedge ratio=$trans%.4f (6-hour window graph)")
 
     println("PSCALE addendum21 done")
+    spark.stop()
+  }
+
+  /** Coreness at scale: the h-index fixpoint must agree with KCore's
+    * survivor sets on real graphs two orders apart in density.
+    */
+  private def addendum25(dir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+
+    def wall[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // leg 1: sf0.1 supplier-part bipartite (sparse, ~21k nodes)
+    val li = graft.Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
+    val fwd = li.selectExpr("l_suppkey AS src",
+      "l_partkey + 1000000 AS dst").distinct()
+    val sym = fwd.unionAll(fwd.selectExpr("dst AS src", "src AS dst"))
+      .localCheckpoint(eager = true)
+    val (c1, w1) = wall(graph.Coreness.run(spark, sym).collect())
+    val m1 = c1.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (k <- Seq(2L, m1.values.max / 2)) {
+      val kc = graph.KCore.run(spark, sym, k.toInt).collect()
+        .map(_.getLong(0)).toSet
+      require(m1.filter(_._2 >= k).keySet == kc, s"bipartite k=$k mismatch")
+    }
+    println(f"PSCALE q=coreness(bipartite) t=$w1%.1f s nodes=${m1.size} " +
+      s"max=${m1.values.max}")
+
+    // leg 2: the DENSE 6-hour co-occurrence window graph (1.6M edges,
+    // max degree in the thousands) — the round cost is the window sort
+    // over each vertex's neighbor values, bounded by degree
+    graft.Tables.load(spark, dir, "events").createOrReplaceTempView("__ev25")
+    val windowed = spark.sql(
+      """SELECT user_id, unix_micros(ts) div 10000000 AS b
+        |FROM __ev25 CROSS JOIN (SELECT MIN(ts) AS t0 FROM __ev25)
+        |WHERE ts < t0 + INTERVAL 6 HOUR""".stripMargin).distinct()
+    val und = graph.GraphQueries.cooccurPairs(windowed)
+    val sym2 = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(eager = true)
+    val (c2, w2) = wall(graph.Coreness.run(spark, sym2).collect())
+    val m2 = c2.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kMid = (m2.values.max / 2).toInt
+    val kc2 = graph.KCore.run(spark, sym2, kMid).collect()
+      .map(_.getLong(0)).toSet
+    require(m2.filter(_._2 >= kMid).keySet == kc2, s"dense k=$kMid mismatch")
+    println(f"PSCALE q=coreness(window) t=$w2%.1f s nodes=${m2.size} " +
+      s"max=${m2.values.max} (1.6M-edge dense graph, k=$kMid cross-check)")
+
+    println("PSCALE addendum25 done")
     spark.stop()
   }
 
