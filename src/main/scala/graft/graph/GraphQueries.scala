@@ -1049,7 +1049,57 @@ object GraphQueries {
       """JOIN sdeg d1 ON d1.sk = c.s1 JOIN sdeg d2 ON d2.sk = c.s2 """ +
       """ORDER BY jaccard DESC, c.s1, c.s2 LIMIT 100""")
 
+  /** Q54: deterministic random-walk corpus over the q13 supplier↔part
+    * symmetric graph — one 4-step walk per supplier (walk_id = suppkey),
+    * the DeepWalk skip-gram input a graph-embedding pipeline trains on
+    * (see [[Walks]] for the digest-tape transition contract that makes
+    * every trajectory a pure function of the seed). The oracle replays
+    * the identical unrolled per-step joins in DuckDB, so the check is
+    * hash-exact on whole trajectories, not just step counts.
+    */
+  def q54_walks(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val fwd = li.select(col("l_suppkey").as("src"),
+      (col("l_partkey") + PartOffset).as("dst")).distinct()
+      .localCheckpoint(eager = false) // both directions derive from it
+    val edges = fwd.unionAll(
+      fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = li.select(col("l_suppkey").cast("long").as("walk_id"))
+      .distinct().withColumn("node", col("walk_id"))
+    Walks.run(s, edges, seeds, steps = 4, salt = "42")
+      .orderBy("walk_id", "step")
+  }
+
+  val q54OracleSql: String = {
+    def step(t: Int): String =
+      s"""s$t AS (
+         |  SELECT w.walk_id, n.dst AS node
+         |  FROM s${t - 1} w JOIN nbr n ON n.src = w.node
+         |   AND n.idx = ('0x' || substr(md5('wk42:' || w.walk_id::VARCHAR
+         |                || ':$t'), 1, 15))::BIGINT % n.deg)""".stripMargin
+    ("""WITH fwd AS (
+      |  SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000 AS dst
+      |  FROM lineitem),
+      |edges AS (SELECT src, dst FROM fwd
+      |          UNION ALL SELECT dst, src FROM fwd),
+      |nbr AS (
+      |  SELECT src, dst,
+      |         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+      |         COUNT(*) OVER (PARTITION BY src) AS deg
+      |  FROM edges),
+      |s0 AS (SELECT DISTINCT l_suppkey AS walk_id, l_suppkey AS node
+      |       FROM lineitem),
+      |""".stripMargin + (1 to 4).map(step).mkString(",\n") + """
+      |SELECT walk_id, 0 AS step, node FROM s0
+      |UNION ALL SELECT walk_id, 1, node FROM s1
+      |UNION ALL SELECT walk_id, 2, node FROM s2
+      |UNION ALL SELECT walk_id, 3, node FROM s3
+      |UNION ALL SELECT walk_id, 4, node FROM s4
+      |ORDER BY walk_id, step""".stripMargin).replaceAll("\n", " ")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_walks" -> (q54_walks _),
     "q40_assortativity" -> (q40_assortativity _),
     "q41_linkpred" -> (q41_linkpred _),
     "q39_mst" -> (q39_mst _),
@@ -1074,6 +1124,7 @@ object GraphQueries {
     "q26_sssp" -> (q26_sssp _))
 
   val oracleSql: Map[String, String] = Map(
+    "q54_walks" -> q54OracleSql,
     "q40_assortativity" -> q40OracleSql,
     "q41_linkpred" -> q41OracleSql,
     "q39_mst" -> q39OracleSql,

@@ -535,4 +535,46 @@ class GraphQueriesSpec extends AnyFunSuite {
     // every triangle closes 3 wedges; transitivity = 3T/W must be (0,1]
     assert(nWedge >= 3 * nTri && trans > 0.0 && trans <= 1.0)
   }
+
+  /** The Walks digest-tape transition, replayed in plain JVM code. */
+  private def md5Draw(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(d.substring(0, 15), 16)
+  }
+
+  test("q54_walks equals an in-memory digest-tape replay (full trajectories)") {
+    import spark.implicits._
+    val fwd = graft.Tables.load(spark, sf, "lineitem")
+      .selectExpr("CAST(l_suppkey AS LONG) AS src",
+        "CAST(l_partkey + 1000000 AS LONG) AS dst")
+      .distinct().as[(Long, Long)].collect()
+    val adjS = fwd.flatMap { case (u, v) => Seq(u -> v, v -> u) }.distinct
+      .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).sorted }
+    val seeds = fwd.map(_._1).distinct.sorted
+    val want = seeds.flatMap { seed =>
+      var node = seed
+      (0 to 4).map { t =>
+        if (t > 0) {
+          val ns = adjS(node)
+          node = ns((md5Draw(s"wk42:$seed:$t") % ns.length).toInt)
+        }
+        (seed, t, node)
+      }
+    }.toSet
+    val got = GraphQueries.q54_walks(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
+  test("Walks: a dead-end vertex truncates the walk, steps 0..k emitted") {
+    import spark.implicits._
+    // directed path 1 -> 2 -> 3, nothing out of 3: the walk is forced
+    // down the path and ends at the sink with 3 of the requested 6 rows
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val seeds = Seq((7L, 1L)).toDF("walk_id", "node")
+    val rows = Walks.run(spark, edges, seeds, steps = 5, salt = "x")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(rows == Set((7L, 0, 1L), (7L, 1, 2L), (7L, 2, 3L)))
+  }
 }
