@@ -1281,7 +1281,86 @@ object Similarity {
   def ssLabelSep(s: SparkSession, dir: String): DataFrame =
     ssLabelSep(Tables.load(s, dir, "embeddings"))
 
+  /** Per-label simplified silhouette (Rousseeuw 1987, the centroid
+    * variant: a(i) = cosine to the OWN label centroid, b(i) = best cosine
+    * to any OTHER label centroid; s(i) = (a−b)/max(1−a, 1−b) in cosine-
+    * distance form) — the clustering-quality audit that says whether the
+    * label structure is real BEFORE anyone trains a classifier head or
+    * serves an IVF index partitioned by it. Complements [[ssLabelSep]]
+    * (pair sampling along the id axis) with a per-VECTOR verdict: `n_neg`
+    * counts vectors closer to a foreign centroid than their own — the
+    * would-be misassignments.
+    *
+    * Engine-exactness: centroid components accumulate as DECIMAL(28,9)
+    * over ROUND(x,9) terms (order-free, the ss_drift discipline); cosine
+    * to a centroid is scale-invariant so the component SUM stands in for
+    * the mean and no 1/n division enters; per-vector cosines are one
+    * graft_dot expression rounded to 6; the per-label mean sums the
+    * ROUND(s,6) silhouettes as DECIMAL(18,6) (exact) before ONE double
+    * division.
+    *
+    * Scale design: the centroid grid is one (label, dim) partial+final
+    * aggregate (labels × dims rows — tiny at any SF); the corpus then
+    * joins the L-row centroid relation CROSS (broadcast — same shape as
+    * ss_centroids' assignment pass), so per-vector cost is L dot
+    * products and the only corpus-sized exchange is the final label agg.
+    * The per-vector best-other ranks inside a vec_id window over L rows.
+    */
+  def ssSilhouette(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    emb.createOrReplaceTempView("__sil_emb")
+    s.sql(
+      """WITH base AS (
+        |  SELECT vec_id, label,
+        |         transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM __sil_emb),
+        |comp AS (
+        |  SELECT label, p.pos AS dim, CAST(p.x AS DOUBLE) AS x
+        |  FROM __sil_emb LATERAL VIEW posexplode(embedding) p AS pos, x),
+        |sums AS (
+        |  SELECT label, dim, SUM(CAST(ROUND(x, 9) AS DECIMAL(28,9))) AS sx
+        |  FROM comp GROUP BY label, dim),
+        |cent AS (
+        |  SELECT label AS clabel, cv, sqrt(graft_dot(cv, cv)) AS cnrm FROM (
+        |    SELECT label,
+        |           transform(array_sort(collect_list(
+        |             struct(dim, CAST(sx AS DOUBLE) AS x))), e -> e.x) AS cv
+        |    FROM sums GROUP BY label)),
+        |scored AS (
+        |  SELECT b.vec_id, b.label, c.clabel,
+        |         ROUND(graft_dot(b.v, c.cv)
+        |               / (sqrt(graft_dot(b.v, b.v)) * c.cnrm), 6) AS cos
+        |  FROM base b CROSS JOIN cent c),
+        |own AS (
+        |  SELECT vec_id, label, cos AS own_cos FROM scored
+        |  WHERE clabel = label),
+        |other AS (
+        |  SELECT vec_id, cos AS other_cos FROM (
+        |    SELECT vec_id, cos, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |             ORDER BY cos DESC, clabel) AS rn
+        |    FROM scored WHERE clabel <> label) WHERE rn = 1),
+        |sil AS (
+        |  SELECT o.vec_id, o.label,
+        |         CASE WHEN GREATEST(1 - own_cos, 1 - other_cos) = 0
+        |              THEN CAST(0 AS DOUBLE)
+        |              ELSE ROUND((own_cos - other_cos)
+        |                         / GREATEST(1 - own_cos, 1 - other_cos), 6)
+        |         END AS sil
+        |  FROM own o JOIN other t ON t.vec_id = o.vec_id)
+        |SELECT label, COUNT(*) AS n,
+        |       ROUND(CAST(SUM(CAST(sil AS DECIMAL(18,6))) AS DOUBLE)
+        |             / COUNT(*), 6) AS mean_sil,
+        |       SUM(CASE WHEN sil < 0 THEN 1 ELSE 0 END) AS n_neg
+        |FROM sil GROUP BY label ORDER BY label""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata embeddings. */
+  def ssSilhouette(s: SparkSession, dir: String): DataFrame =
+    ssSilhouette(Tables.load(s, dir, "embeddings"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ss_silhouette" -> ((s: SparkSession, dir: String) => ssSilhouette(s, dir)),
     "ss_labelsep" -> ((s: SparkSession, dir: String) => ssLabelSep(s, dir)),
     "ss_outliers" -> ((s: SparkSession, dir: String) => ssOutliers(s, dir)),
     "ss_coshist" -> ((s: SparkSession, dir: String) => ssCosHist(s, dir)),
@@ -1359,6 +1438,52 @@ object Similarity {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ss_silhouette" ->
+      """WITH base AS (
+        |  SELECT vec_id, label, [x::DOUBLE FOR x IN embedding] AS v
+        |  FROM embeddings),
+        |comp AS (
+        |  SELECT label, u.pos AS dim, u.x::DOUBLE AS x
+        |  FROM embeddings,
+        |       LATERAL (SELECT unnest(embedding) AS x,
+        |                       generate_subscripts(embedding, 1) AS pos) u),
+        |sums AS (
+        |  SELECT label, dim, SUM(CAST(ROUND(x, 9) AS DECIMAL(28,9))) AS sx
+        |  FROM comp GROUP BY label, dim),
+        |cent AS (
+        |  SELECT label AS clabel, cv,
+        |         sqrt(list_sum([c * c FOR c IN cv])) AS cnrm FROM (
+        |    SELECT label, list(sx::DOUBLE ORDER BY dim) AS cv
+        |    FROM sums GROUP BY label)),
+        |scored AS (
+        |  SELECT b.vec_id, b.label, c.clabel,
+        |         ROUND(list_sum([b.v[i] * c.cv[i]
+        |                         FOR i IN generate_series(1, len(b.v))])
+        |               / (sqrt(list_sum([x * x FOR x IN b.v])) * c.cnrm), 6)
+        |           AS cos
+        |  FROM base b CROSS JOIN cent c),
+        |own AS (
+        |  SELECT vec_id, label, cos AS own_cos FROM scored
+        |  WHERE clabel = label),
+        |other AS (
+        |  SELECT vec_id, cos AS other_cos FROM (
+        |    SELECT vec_id, cos, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |             ORDER BY cos DESC, clabel) AS rn
+        |    FROM scored WHERE clabel <> label) WHERE rn = 1),
+        |sil AS (
+        |  SELECT o.vec_id, o.label,
+        |         CASE WHEN GREATEST(1 - own_cos, 1 - other_cos) = 0
+        |              THEN CAST(0 AS DOUBLE)
+        |              ELSE ROUND((own_cos - other_cos)
+        |                         / GREATEST(1 - own_cos, 1 - other_cos), 6)
+        |         END AS sil
+        |  FROM own o JOIN other t ON t.vec_id = o.vec_id)
+        |SELECT label, COUNT(*) AS n,
+        |       ROUND(CAST(SUM(CAST(sil AS DECIMAL(18,6))) AS DOUBLE)
+        |             / COUNT(*), 6) AS mean_sil,
+        |       SUM(CASE WHEN sil < 0 THEN 1 ELSE 0 END)::BIGINT AS n_neg
+        |FROM sil GROUP BY label ORDER BY label"""
+        .stripMargin.replaceAll("\n", " "),
     "ss_labelsep" ->
       """WITH base AS (
         |  SELECT vec_id, label, [x::DOUBLE FOR x IN embedding] AS v

@@ -540,4 +540,32 @@ class SimilaritySpec extends AnyFunSuite {
     orc.foreach { case (nf, nh, ov) =>
       assert(nf == 5 && nh <= nf && ov >= 0.0 && ov <= 1.0) }
   }
+
+  test("ssSilhouette: separated clusters read ~1, a planted mislabel goes negative") {
+    import spark.implicits._
+    // two orthogonal tight clusters: every vector sits on its own
+    // centroid's axis → own_cos = 1, other_cos = 0, silhouette = 1
+    val clean = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(2f, 0f), 0),
+      (2L, Array(0f, 1f), 1), (3L, Array(0f, 3f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.ssSilhouette(clean).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq == Seq((0, 2L, 1.0, 0L), (1, 2L, 1.0, 0L)))
+    // plant a label-0 vector ON the label-1 axis: it drags label 0's mean
+    // down and is counted as that label's single negative
+    val bad = clean.unionAll(
+      Seq((4L, Array(0f, 5f), 0)).toDF("vec_id", "embedding", "label"))
+    val g2 = Similarity.ssSilhouette(bad).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(g2(0)._1 == 3L && g2(0)._3 == 1L && g2(0)._2 < g2(1)._2)
+    assert(g2(1)._3 == 0L)
+    // oracle form: silhouettes bounded, counts tile the corpus
+    val orc = Similarity.ssSilhouette(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(orc.map(_._1).sum == 500L)
+    orc.foreach { case (n, m, nn) =>
+      assert(m >= -1.0 && m <= 1.0 && nn >= 0 && nn <= n) }
+  }
 }
