@@ -1641,7 +1641,73 @@ object Sessionize {
     evStickiness(s.table("__events"))
   }
 
+  /** Market-basket association rules (Agrawal & Srikant 1994, the pair
+    * tier): baskets are (user, epoch-day) purchase sets of the `props.k`
+    * item key; for every DIRECTIONAL item pair with co-occurrence ≥
+    * `minSupport` baskets, the classic rule triple — support (share of
+    * all baskets containing both), confidence (P(cons | ante basket)),
+    * lift (observed co-rate over independence). The "people who bought X
+    * also bought Y" primitive behind recommender candidate generation.
+    * Differs from [[evCooccur]] in every dimension that matters to a
+    * recommender: baskets are calendar days (not 30-min sessions), the
+    * vocabulary is the ITEM key parsed from props (not the 5 event
+    * types), and rules are directional with a support floor.
+    *
+    * Engine-exactness: all counts integral; support/confidence/lift are
+    * ONE fixed-shape double expression each, rounded to 6 (the ta_tfidf
+    * discipline).
+    *
+    * Scale design: the stream compacts FIRST to the DISTINCT (user, day,
+    * item) presence relation (the ev_active_users discipline) — fan-out
+    * for the pair self-join is then C(basket size, 2) per basket,
+    * bounded by daily purchase breadth, never by event volume; the
+    * aggregate output is ≤ |items|² rows, and the count/total joins
+    * against it are broadcast-sized. At a 100 TB item vocabulary the
+    * support floor moves INTO the plan as a frequent-item semi-join
+    * (the Apriori property: no pair can beat minSupport if either leg
+    * does not) — same rule shape, pruned candidate space.
+    */
+  def evBasket(events: DataFrame, minSupport: Int): DataFrame = {
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__bk_events")
+    s.sql(
+      s"""WITH items AS (
+         |  SELECT DISTINCT user_id, unix_micros(ts) div 86400000000 AS day,
+         |         CAST(get_json_object(props, '$$.k') AS BIGINT) AS item
+         |  FROM __bk_events WHERE event_type = 'purchase'),
+         |nb AS (
+         |  SELECT COUNT(*) AS n_baskets FROM (
+         |    SELECT DISTINCT user_id, day FROM items)),
+         |cnt AS (SELECT item, COUNT(*) AS n FROM items GROUP BY item),
+         |pairs AS (
+         |  SELECT a.item AS ante, b.item AS cons, COUNT(*) AS n_ab
+         |  FROM items a JOIN items b
+         |    ON b.user_id = a.user_id AND b.day = a.day AND b.item <> a.item
+         |  GROUP BY a.item, b.item)
+         |SELECT p.ante, p.cons, p.n_ab, ca.n AS n_ante, cc.n AS n_cons,
+         |       ROUND(CAST(p.n_ab AS DOUBLE) / nb.n_baskets, 6) AS support,
+         |       ROUND(CAST(p.n_ab AS DOUBLE) / ca.n, 6) AS confidence,
+         |       ROUND(CAST(p.n_ab AS DOUBLE) * nb.n_baskets
+         |             / (CAST(ca.n AS DOUBLE) * cc.n), 6) AS lift
+         |FROM pairs p
+         |JOIN cnt ca ON ca.item = p.ante
+         |JOIN cnt cc ON cc.item = p.cons
+         |CROSS JOIN nb
+         |WHERE p.n_ab >= $minSupport
+         |ORDER BY ante, cons""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata events (minSupport 2 — the
+    * synthetic stream's daily baskets are thin: ~1.2 distinct items, so a
+    * higher floor returns nothing below sf0.1; a real retail corpus runs
+    * the parameterized entry with a floor in the hundreds). */
+  def evBasket(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evBasket(s.table("__events"), minSupport = 2)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_basket" -> ((s: SparkSession, dir: String) => evBasket(s, dir)),
     "ev_lag" -> ((s: SparkSession, dir: String) => evLag(s, dir)),
     "ev_trigrams" -> ((s: SparkSession, dir: String) => evTrigrams(s, dir)),
     "ev_lifespan" -> ((s: SparkSession, dir: String) => evLifespan(s, dir)),
@@ -1684,6 +1750,31 @@ object Sessionize {
       "* (1::DOUBLE / na + 1::DOUBLE / nb))")
 
   val oracleSql: Map[String, String] = Map(
+    "ev_basket" ->
+      ("""WITH items AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day,
+        |         json_extract_string(props, '$.k')::BIGINT AS item
+        |  FROM events WHERE event_type = 'purchase'),
+        |nb AS (
+        |  SELECT COUNT(*) AS n_baskets FROM (
+        |    SELECT DISTINCT user_id, day FROM items)),
+        |cnt AS (SELECT item, COUNT(*) AS n FROM items GROUP BY item),
+        |pairs AS (
+        |  SELECT a.item AS ante, b.item AS cons, COUNT(*) AS n_ab
+        |  FROM items a JOIN items b
+        |    ON b.user_id = a.user_id AND b.day = a.day AND b.item <> a.item
+        |  GROUP BY a.item, b.item)
+        |SELECT p.ante, p.cons, p.n_ab, ca.n AS n_ante, cc.n AS n_cons,
+        |       ROUND(p.n_ab::DOUBLE / nb.n_baskets, 6) AS support,
+        |       ROUND(p.n_ab::DOUBLE / ca.n, 6) AS confidence,
+        |       ROUND(p.n_ab::DOUBLE * nb.n_baskets
+        |             / (ca.n::DOUBLE * cc.n), 6) AS lift
+        |FROM pairs p
+        |JOIN cnt ca ON ca.item = p.ante
+        |JOIN cnt cc ON cc.item = p.cons
+        |CROSS JOIN nb
+        |WHERE p.n_ab >= 2
+        |ORDER BY ante, cons""".stripMargin.replaceAll("\n", " ")),
     "ev_lag" ->
       ("WITH f AS (SELECT user_id, " +
         "MIN(CASE WHEN event_type = 'view' THEN ts END) AS fv, " +

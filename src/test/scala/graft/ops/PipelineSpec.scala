@@ -2707,4 +2707,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(tfs == tfs.sorted.reverse)
     assert(orc.head.getDouble(4) == 1.0) // rank-1 row normalizes to itself
   }
+
+  test("evBasket(events, minSupport): hand-built baskets replay the rule algebra") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def ev(u: Long, t: String, typ: String, k: Long) =
+      (u, ts(t), typ, s"""{"k": $k}""")
+    // baskets (user, day): u1/d1 {10,20}, u2/d1 {10,20}, u3/d1 {10,30},
+    // u1/d2 {10} — four baskets. A same-day repeat purchase dedups; a
+    // same-day VIEW of item 99 must not create a basket item.
+    val evs = Seq(
+      ev(1, "2024-06-01 10:00:00", "purchase", 10),
+      ev(1, "2024-06-01 11:00:00", "purchase", 20),
+      ev(2, "2024-06-01 09:00:00", "purchase", 10),
+      ev(2, "2024-06-01 09:30:00", "purchase", 10), // dup, same basket
+      ev(2, "2024-06-01 10:15:00", "purchase", 20),
+      ev(2, "2024-06-01 10:20:00", "view", 99),     // wrong type
+      ev(3, "2024-06-01 14:00:00", "purchase", 10),
+      ev(3, "2024-06-01 15:00:00", "purchase", 30),
+      ev(1, "2024-06-02 10:00:00", "purchase", 10)
+    ).toDF("user_id", "ts", "event_type", "props")
+    val got = Sessionize.evBasket(evs, minSupport = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    // only {10,20} co-occurs twice; item 10 is in 4 baskets, 20 in 2:
+    // support 2/4, conf 10→20 = 2/4 vs 20→10 = 2/2, lift 2·4/(4·2) = 1
+    assert(got.toSeq == Seq(
+      (10L, 20L, 2L, 4L, 2L, 0.5, 0.5, 1.0),
+      (20L, 10L, 2L, 2L, 4L, 0.5, 1.0, 1.0)))
+    // floor 3 silences the corpus entirely
+    assert(Sessionize.evBasket(evs, minSupport = 3).count() == 0L)
+    // oracle form: directional symmetry — every (a,b) has its (b,a) with
+    // the same n_ab and lift
+    val orc = Sessionize.evBasket(spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(7)))
+    assert(orc.nonEmpty)
+    val byPair = orc.map { case (a, b, n, l) => (a, b) -> (n, l) }.toMap
+    orc.foreach { case (a, b, n, l) =>
+      assert(byPair((b, a)) == ((n, l)), s"asymmetric rule $a->$b") }
+  }
 }
