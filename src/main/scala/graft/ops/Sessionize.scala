@@ -1706,7 +1706,106 @@ object Sessionize {
     evBasket(s.table("__events"), minSupport = 2)
   }
 
+  /** Weekly-seasonality strength per event type: a one-way ANOVA on the
+    * daily count series grouped by day-of-week — `strength = 1 −
+    * SS_within/SS_total` is the share of daily-traffic variance the
+    * weekly cycle explains (0 = no weekly pattern, → 1 = traffic is a
+    * pure function of the weekday). Quantifies what [[evDow]] only
+    * profiles, and is the calendar-decomposition gate in front of
+    * [[evSpike]]: a high-strength type needs DOW-adjusted baselines or
+    * every Monday reads as an anomaly.
+    *
+    * Engine-exactness: daily counts are integers; each of the 7 per-DOW
+    * sum-of-squares terms is ONE fixed-shape double expression
+    * (Σn² − (Σn)²/n_g) rounded to 6, summed order-free as DECIMAL(28,6);
+    * SS_total is the same shape once; one final division.
+    *
+    * Scale design: ALL per-event work is one combinable COUNT keyed by
+    * (event_type, day) — everything after runs on the (types × days)
+    * grid (the ev_spike compaction discipline).
+    */
+  def evSeasonality(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__sea_events")
+    s.sql(
+      """WITH daily AS (
+        |  SELECT event_type, unix_micros(ts) div 86400000000 AS day,
+        |         COUNT(*) AS n
+        |  FROM __sea_events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT event_type, day % 7 AS dow, COUNT(*) AS n_g,
+        |         SUM(n) AS s_g, SUM(n * n) AS sq_g
+        |  FROM daily GROUP BY event_type, day % 7),
+        |w AS (
+        |  SELECT event_type,
+        |         SUM(CAST(ROUND(CAST(sq_g AS DOUBLE)
+        |               - CAST(s_g AS DOUBLE) * s_g / n_g, 6)
+        |             AS DECIMAL(28,6))) AS ss_w,
+        |         SUM(n_g) AS n_days, SUM(s_g) AS s, SUM(sq_g) AS sq
+        |  FROM g GROUP BY event_type)
+        |SELECT event_type, n_days,
+        |       ROUND(CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s / n_days, 6)
+        |         AS ss_total,
+        |       CAST(ss_w AS DOUBLE) AS ss_within,
+        |       CASE WHEN CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s / n_days
+        |                 = 0 THEN CAST(NULL AS DOUBLE)
+        |            ELSE ROUND(1 - CAST(ss_w AS DOUBLE)
+        |             / (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s / n_days),
+        |             6) END AS strength
+        |FROM w ORDER BY event_type""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata events. */
+  def evSeasonality(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evSeasonality(s.table("__events"))
+  }
+
+  /** Heavy-tail exponent of per-user activity (Clauset-Shalizi-Newman
+    * 2009, the discrete MLE at xmin = 1): per event type, `alpha = 1 +
+    * n/Σ ln(x_u)` over each user's event count. The participation-
+    * inequality audit in one number — alpha near 2 is an extreme
+    * bot-like tail (complementing [[evBots]]' per-user verdicts and
+    * [[evGini]]'s Lorenz view with the generative-model parameter), large
+    * alpha means near-uniform engagement. `max_x` anchors the tail the
+    * estimate summarizes.
+    *
+    * Engine-exactness: counts are integers; each user's ln(x) is rounded
+    * to 9 BEFORE the order-free DECIMAL(28,9) sum (the ta_perplexity
+    * transcendental discipline); one final division.
+    *
+    * Scale design: one combinable (event_type, user) COUNT, then a
+    * types-sized aggregate over the per-user relation — no joins, no
+    * windows, nothing per-event after the first pass.
+    */
+  def evPowerlaw(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__pl_events")
+    s.sql(
+      """WITH peruser AS (
+        |  SELECT event_type, user_id, COUNT(*) AS x
+        |  FROM __pl_events GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT event_type, COUNT(*) AS n_users, MAX(x) AS max_x,
+        |         SUM(CAST(ROUND(ln(CAST(x AS DOUBLE)), 9)
+        |             AS DECIMAL(28,9))) AS sln
+        |  FROM peruser GROUP BY event_type)
+        |SELECT event_type, n_users, max_x,
+        |       CASE WHEN CAST(sln AS DOUBLE) = 0 THEN CAST(NULL AS DOUBLE)
+        |            ELSE ROUND(1 + n_users / CAST(sln AS DOUBLE), 6)
+        |       END AS alpha
+        |FROM agg ORDER BY event_type""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata events. */
+  def evPowerlaw(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evPowerlaw(s.table("__events"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_seasonality" -> ((s: SparkSession, dir: String) => evSeasonality(s, dir)),
+    "ev_powerlaw" -> ((s: SparkSession, dir: String) => evPowerlaw(s, dir)),
     "ev_basket" -> ((s: SparkSession, dir: String) => evBasket(s, dir)),
     "ev_lag" -> ((s: SparkSession, dir: String) => evLag(s, dir)),
     "ev_trigrams" -> ((s: SparkSession, dir: String) => evTrigrams(s, dir)),
@@ -1750,6 +1849,43 @@ object Sessionize {
       "* (1::DOUBLE / na + 1::DOUBLE / nb))")
 
   val oracleSql: Map[String, String] = Map(
+    "ev_seasonality" ->
+      ("""WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT event_type, day % 7 AS dow, COUNT(*) AS n_g,
+        |         SUM(n) AS s_g, SUM(n * n) AS sq_g
+        |  FROM daily GROUP BY event_type, day % 7),
+        |w AS (
+        |  SELECT event_type,
+        |         SUM(CAST(ROUND(sq_g::DOUBLE - s_g::DOUBLE * s_g / n_g, 6)
+        |             AS DECIMAL(28,6))) AS ss_w,
+        |         SUM(n_g) AS n_days, SUM(s_g) AS s, SUM(sq_g) AS sq
+        |  FROM g GROUP BY event_type)
+        |SELECT event_type, n_days::BIGINT AS n_days,
+        |       ROUND(sq::DOUBLE - s::DOUBLE * s / n_days, 6) AS ss_total,
+        |       ss_w::DOUBLE AS ss_within,
+        |       CASE WHEN sq::DOUBLE - s::DOUBLE * s / n_days = 0
+        |            THEN CAST(NULL AS DOUBLE)
+        |            ELSE ROUND(1 - ss_w::DOUBLE
+        |             / (sq::DOUBLE - s::DOUBLE * s / n_days), 6)
+        |       END AS strength
+        |FROM w ORDER BY event_type""".stripMargin.replaceAll("\n", " ")),
+    "ev_powerlaw" ->
+      ("""WITH peruser AS (
+        |  SELECT event_type, user_id, COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT event_type, COUNT(*) AS n_users, MAX(x) AS max_x,
+        |         SUM(CAST(ROUND(ln(x::DOUBLE), 9) AS DECIMAL(28,9))) AS sln
+        |  FROM peruser GROUP BY event_type)
+        |SELECT event_type, n_users, max_x,
+        |       CASE WHEN sln::DOUBLE = 0 THEN CAST(NULL AS DOUBLE)
+        |            ELSE ROUND(1 + n_users / sln::DOUBLE, 6)
+        |       END AS alpha
+        |FROM agg ORDER BY event_type""".stripMargin.replaceAll("\n", " ")),
     "ev_basket" ->
       ("""WITH items AS (
         |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day,

@@ -2746,4 +2746,65 @@ class PipelineSpec extends AnyFunSuite {
     orc.foreach { case (a, b, n, l) =>
       assert(byPair((b, a)) == ((n, l)), s"asymmetric rule $a->$b") }
   }
+
+  test("evSeasonality: pure-DOW series reads 1, anti-aligned 0, constant NULL") {
+    import spark.implicits._
+    def at(day: Int, i: Int) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(day.toLong * 86400 + i))
+    // 'weekly': daily count is a pure function of day%7 over 14 days →
+    // SS_within = 0, strength = 1. 'alt': counts alternate with period 2,
+    // so day d and d+7 (opposite parity) average out per DOW cell →
+    // group means all equal the grand mean, strength = 0. 'flat': the
+    // same count every day → SS_total = 0, strength undefined (NULL).
+    val evs = (for {
+      day <- 0 until 14
+      (typ, cnt) <- Seq(
+        ("weekly", 1 + (day % 7)),
+        ("alt", if (day % 2 == 0) 1 else 3),
+        ("flat", 2))
+      i <- 0 until cnt
+    } yield (1L, at(day, i), typ)).toDF("user_id", "ts", "event_type")
+    val got = Sessionize.evSeasonality(evs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(3), Option(r.get(4)))).toMap
+    assert(got("weekly") == ((14L, 0.0, Some(1.0))))
+    assert(got("alt")._3 == Some(0.0) && got("alt")._2 > 0.0)
+    assert(got("flat") == ((14L, 0.0, None)))
+    // oracle form: strength in [0,1], within never exceeds total
+    val orc = Sessionize.evSeasonality(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(orc.length == 5)
+    orc.foreach { r =>
+      val (tot, win, st) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(win >= -1e-6 && win <= tot + 1e-6 && st >= 0.0 && st <= 1.0)
+    }
+  }
+
+  test("evPowerlaw: alpha replays the CSN discrete MLE; degenerate corpus NULL") {
+    import spark.implicits._
+    def at(i: Int) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(i.toLong))
+    // type 'a': users with counts 1,2,4,8 → alpha = 1 + 4/Σ round(ln x, 9)
+    // (the x=1 user contributes ln 1 = 0 but counts in n). type 'b':
+    // every user exactly once → Σ ln = 0 → NULL.
+    val evs = ((for {
+      (u, cnt) <- Seq((1L, 1), (2L, 2), (3L, 4), (4L, 8))
+      i <- 0 until cnt
+    } yield (u, at(i), "a")) ++ Seq((1L, at(0), "b"), (2L, at(1), "b")))
+      .toDF("user_id", "ts", "event_type")
+    val got = Sessionize.evPowerlaw(evs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)))).toMap
+    def rln(x: Double) = BigDecimal(math.log(x))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = BigDecimal(1 + 4 / (rln(2) + rln(4) + rln(8)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("a") == ((4L, 8L, Some(want))))
+    assert(got("b") == ((2L, 1L, None)))
+    // oracle form: a uniform synthetic stream has a thin tail — alpha
+    // well above the 2-3 band a scale-free heavy tail would read
+    val orc = Sessionize.evPowerlaw(spark, "/root/testdata/sf0.001").collect()
+    assert(orc.length == 5)
+    orc.foreach { r => assert(r.getDouble(3) > 1.0 && r.getLong(2) >= 1L) }
+  }
 }
