@@ -1254,7 +1254,61 @@ object TextAnalysis {
         |FROM __na_raw""".stripMargin))
   }
 
+  /** Per-source distinctive vocabulary by z-scored log-odds ratio with a
+    * Dirichlet prior (Monroe, Colaresi & Quinn 2008 "Fightin' Words",
+    * public; symmetric prior α = 0.01 per type): for every source, the
+    * top-5 tokens whose usage rate most exceeds the REST of the corpus,
+    * scored δ/σ so rare-word noise is variance-damped — the corpus-
+    * curation view that answers "what is this source actually about"
+    * where [[taTfidf]] answers it per document and [[taVocabJaccard]]
+    * only says how much vocabularies overlap.
+    *
+    * Engine-exactness: all inputs to the score are integer counts plus
+    * decimal literals, so the two ln's, the sqrt and the division are ONE
+    * fixed-shape double expression rounded to 6; ranking is (z DESC,
+    * token) — total order, engine-identical.
+    *
+    * Scale design: one (source, token) aggregate (vocabulary-bounded at
+    * any corpus size) joined to the token-global relation; the scalar
+    * (N, V) totals broadcast; the final top-5 ranks inside a per-source
+    * window over vocabulary-sized rows (sources × V, never corpus-sized).
+    */
+  def taLogOdds(docs: DataFrame, k: Int = 5): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__lo_docs")
+    s.sql(
+      s"""WITH tok AS (
+         |  SELECT source, t.token AS token FROM __lo_docs
+         |  LATERAL VIEW explode(split(text, ' ')) t AS token),
+         |y AS (SELECT source, token, COUNT(*) AS y
+         |      FROM tok GROUP BY source, token),
+         |g AS (SELECT token, COUNT(*) AS g FROM tok GROUP BY token),
+         |ni AS (SELECT source, COUNT(*) AS n FROM tok GROUP BY source),
+         |tot AS (SELECT COUNT(*) AS nn, COUNT(DISTINCT token) AS v FROM tok),
+         |m AS (
+         |  SELECT y.source, y.token, y.y, g.g - y.y AS yr, ni.n,
+         |         tot.nn - ni.n AS nr, tot.v
+         |  FROM y JOIN g ON g.token = y.token
+         |  JOIN ni ON ni.source = y.source CROSS JOIN tot),
+         |sc AS (
+         |  SELECT source, token, y,
+         |         ROUND((ln((y + 0.01) / (n + 0.01 * v - y - 0.01))
+         |              - ln((yr + 0.01) / (nr + 0.01 * v - yr - 0.01)))
+         |             / sqrt(1.0 / (y + 0.01) + 1.0 / (yr + 0.01)), 6) AS z
+         |  FROM m)
+         |SELECT source, token, y AS n_tok, z, rnk FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+         |            ORDER BY z DESC, token) AS rnk FROM sc)
+         |WHERE rnk <= $k
+         |ORDER BY source, rnk""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata documents. */
+  def taLogOdds(s: SparkSession, dir: String): DataFrame =
+    taLogOdds(Tables.load(s, dir, "documents").select("source", "text"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_logodds" -> ((s: SparkSession, dir: String) => taLogOdds(s, dir)),
     "ta_nonascii" -> ((s: SparkSession, dir: String) => taNonAscii(s, dir)),
     "ta_vocabjaccard" -> ((s: SparkSession, dir: String) => taVocabJaccard(s, dir)),
     "ta_codefrac" -> ((s: SparkSession, dir: String) => taCodeFrac(s, dir)),
@@ -1289,6 +1343,30 @@ object TextAnalysis {
   private val sqlToks = "string_split(text, ' ')"
 
   val oracleSql: Map[String, String] = Map(
+    "ta_logodds" ->
+      (s"""WITH tok AS (
+         |  SELECT source, unnest($sqlToks) AS token FROM documents),
+         |y AS (SELECT source, token, COUNT(*) AS y
+         |      FROM tok GROUP BY source, token),
+         |g AS (SELECT token, COUNT(*) AS g FROM tok GROUP BY token),
+         |ni AS (SELECT source, COUNT(*) AS n FROM tok GROUP BY source),
+         |tot AS (SELECT COUNT(*) AS nn, COUNT(DISTINCT token) AS v FROM tok),
+         |m AS (
+         |  SELECT y.source, y.token, y.y, g.g - y.y AS yr, ni.n,
+         |         tot.nn - ni.n AS nr, tot.v
+         |  FROM y JOIN g ON g.token = y.token
+         |  JOIN ni ON ni.source = y.source CROSS JOIN tot),
+         |sc AS (
+         |  SELECT source, token, y,
+         |         ROUND((ln((y + 0.01) / (n + 0.01 * v - y - 0.01))
+         |              - ln((yr + 0.01) / (nr + 0.01 * v - yr - 0.01)))
+         |             / sqrt(1.0 / (y + 0.01) + 1.0 / (yr + 0.01)), 6) AS z
+         |  FROM m)
+         |SELECT source, token, y AS n_tok, z, rnk FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+         |            ORDER BY z DESC, token) AS rnk FROM sc)
+         |WHERE rnk <= 5
+         |ORDER BY source, rnk""".stripMargin.replaceAll("\n", " ")),
     "ta_vocabjaccard" ->
       ("WITH v AS (SELECT DISTINCT source, " +
         "unnest(string_split(text, ' ')) AS w FROM documents), " +

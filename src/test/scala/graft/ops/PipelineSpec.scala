@@ -2807,4 +2807,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(orc.length == 5)
     orc.foreach { r => assert(r.getDouble(3) > 1.0 && r.getLong(2) >= 1L) }
   }
+
+  test("taLogOdds: a planted source-exclusive token tops its source; shared vocab does not") {
+    import spark.implicits._
+    // source A says 'zebra' in every doc; the filler vocabulary is split
+    // evenly — the z-score must put zebra first for A and keep the
+    // shared fillers off rank 1 for B
+    val docs = (
+      (0 until 10).map(i => (s"A", s"zebra alpha beta gamma d$i")) ++
+      (0 until 10).map(i => (s"B", s"alpha beta gamma delta d$i"))
+    ).toDF("source", "text")
+    val got = TextAnalysis.taLogOdds(docs, k = 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4)))
+    val aTop = got.filter(_._1 == "A").minBy(_._5)
+    assert(aTop._2 == "zebra" && aTop._3 == 10L && aTop._4 > 0)
+    val bTop = got.filter(_._1 == "B").minBy(_._5)
+    assert(bTop._2 == "delta" && bTop._4 > 0)
+    // replay A/zebra's z in plain scala: y=10, yr=0, n=50, nr=50 and the
+    // 15-token vocabulary {zebra, alpha, beta, gamma, delta, d0..d9}
+    val (y, yr, n, nr, v) = (10.0, 0.0, 50.0, 50.0, 15.0)
+    val z = (math.log((y + 0.01) / (n + 0.01 * v - y - 0.01)) -
+      math.log((yr + 0.01) / (nr + 0.01 * v - yr - 0.01))) /
+      math.sqrt(1.0 / (y + 0.01) + 1.0 / (yr + 0.01))
+    assert(math.abs(aTop._4 - z) < 1e-6)
+    // oracle form: 5 rows per source, ranks dense, z finite
+    val orc = TextAnalysis.taLogOdds(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(orc.groupBy(_.getString(0)).forall { case (_, rs) =>
+      rs.map(_.getInt(4)).sorted.toSeq == (1 to 5) })
+    orc.foreach(r => assert(!r.getDouble(3).isNaN))
+  }
 }
