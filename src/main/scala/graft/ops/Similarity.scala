@@ -1359,7 +1359,59 @@ object Similarity {
   def ssSilhouette(s: SparkSession, dir: String): DataFrame =
     ssSilhouette(Tables.load(s, dir, "embeddings"))
 
+  /** Quantization-fidelity audit for the SQ8 memory path: per label, the
+    * cosine between every vector and its int8 scalar-quantized code (the
+    * EXACT quantizer [[ssSqTopkOn]] ranks with — same `round(x·127/max|x|)`
+    * expression, so this table IS that index's error model). `mean_cos`
+    * says how much ranking signal SQ8 keeps for the label's region of
+    * the space; `min_cos` is the worst single reconstruction — the
+    * go/no-go check a team runs BEFORE switching the candidate scan to
+    * quantized codes, analogous to [[ssRecall]] but measuring the code,
+    * not the index.
+    *
+    * Engine-exactness: quantized codes are integer-valued doubles from
+    * one fixed-shape expression; each cosine is one graft_dot expression
+    * rounded to 6; the label mean sums ROUND(cos,6) as DECIMAL(18,6)
+    * (order-free) before ONE double division.
+    *
+    * Scale design: strictly narrow — per-row quantize + self-cosine,
+    * then one label-keyed partial+final aggregate; no joins, no windows,
+    * nothing corpus-sized shuffles except the labels-sized aggregate.
+    */
+  def ssQuantErr(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    emb.createOrReplaceTempView("__qe_emb")
+    s.sql(
+      """WITH base AS (
+        |  SELECT vec_id, label,
+        |         transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM __qe_emb),
+        |qv AS (
+        |  SELECT vec_id, label, v,
+        |         transform(v, x -> CAST(round(x * 127 /
+        |           array_max(transform(v, y -> abs(y)))) AS DOUBLE)) AS q
+        |  FROM base
+        |  WHERE array_max(transform(v, y -> abs(y))) > 0),
+        |sc AS (
+        |  SELECT vec_id, label,
+        |         ROUND(graft_dot(v, q)
+        |               / (sqrt(graft_dot(v, v)) * sqrt(graft_dot(q, q))), 6)
+        |           AS cos
+        |  FROM qv)
+        |SELECT label, COUNT(*) AS n,
+        |       ROUND(CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)
+        |             / COUNT(*), 6) AS mean_cos,
+        |       MIN(cos) AS min_cos
+        |FROM sc GROUP BY label ORDER BY label""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata embeddings. */
+  def ssQuantErr(s: SparkSession, dir: String): DataFrame =
+    ssQuantErr(Tables.load(s, dir, "embeddings"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ss_quanterr" -> ((s: SparkSession, dir: String) => ssQuantErr(s, dir)),
     "ss_silhouette" -> ((s: SparkSession, dir: String) => ssSilhouette(s, dir)),
     "ss_labelsep" -> ((s: SparkSession, dir: String) => ssLabelSep(s, dir)),
     "ss_outliers" -> ((s: SparkSession, dir: String) => ssOutliers(s, dir)),
@@ -1438,6 +1490,29 @@ object Similarity {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ss_quanterr" ->
+      """WITH base AS (
+        |  SELECT vec_id, label, [x::DOUBLE FOR x IN embedding] AS v
+        |  FROM embeddings),
+        |qv AS (
+        |  SELECT vec_id, label, v,
+        |         [round(x * 127 / list_max([abs(y) FOR y IN v]))::DOUBLE
+        |          FOR x IN v] AS q
+        |  FROM base
+        |  WHERE list_max([abs(y) FOR y IN v]) > 0),
+        |sc AS (
+        |  SELECT vec_id, label,
+        |         ROUND(list_sum([v[i] * q[i]
+        |                         FOR i IN generate_series(1, len(v))])
+        |               / (sqrt(list_sum([x * x FOR x IN v]))
+        |                  * sqrt(list_sum([x * x FOR x IN q]))), 6) AS cos
+        |  FROM qv)
+        |SELECT label, COUNT(*) AS n,
+        |       ROUND(CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)
+        |             / COUNT(*), 6) AS mean_cos,
+        |       MIN(cos) AS min_cos
+        |FROM sc GROUP BY label ORDER BY label"""
+        .stripMargin.replaceAll("\n", " "),
     "ss_silhouette" ->
       """WITH base AS (
         |  SELECT vec_id, label, [x::DOUBLE FOR x IN embedding] AS v

@@ -568,4 +568,31 @@ class SimilaritySpec extends AnyFunSuite {
     orc.foreach { case (n, m, nn) =>
       assert(m >= -1.0 && m <= 1.0 && nn >= 0 && nn <= n) }
   }
+
+  test("ssQuantErr: axis vectors reconstruct exactly; known 2-d code replays") {
+    import spark.implicits._
+    // (127, 0) quantizes to itself's direction → cos 1; (1, 0.5) → codes
+    // (127, round(63.5)=64), cos computed by hand below; an all-zero
+    // vector must be EXCLUDED, not divide by zero
+    val emb = Seq(
+      (0L, Array(5f, 0f), 0),
+      (1L, Array(1f, 0.5f), 1),
+      (2L, Array(0f, 0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.ssQuantErr(emb).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val cos1 = {
+      val (vx, vy, qx, qy) = (1.0, 0.5, 127.0, 64.0)
+      val c = (vx * qx + vy * qy) /
+        (math.sqrt(vx * vx + vy * vy) * math.sqrt(qx * qx + qy * qy))
+      BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got.toSeq == Seq((0, 1L, 1.0, 1.0), (1, 1L, cos1, cos1)))
+    // oracle form: SQ8 on 64-dim gaussian keeps cos ≥ 0.999 everywhere —
+    // the "int8 candidates are safe here" verdict this op exists to issue
+    val orc = Similarity.ssQuantErr(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(orc.map(_._1).sum == 500L)
+    orc.foreach { case (_, m, mn) => assert(m >= 0.999 && mn >= 0.99) }
+  }
 }
