@@ -1710,7 +1710,12 @@ object Sessionize {
     * daily count series grouped by day-of-week — `strength = 1 −
     * SS_within/SS_total` is the share of daily-traffic variance the
     * weekly cycle explains (0 = no weekly pattern, → 1 = traffic is a
-    * pure function of the weekday). Quantifies what [[evDow]] only
+    * pure function of the weekday), plus the ADJUSTED strength
+    * (1 − MS_within/MS_total, the eta²-adjusted form): raw R² inflates
+    * under the null by E[R²] = (k−1)/(n−1) — a 30-day series in 7 DOW
+    * cells reads ~0.2-0.4 of pure noise (addendum26 measured 0.38) —
+    * while the adjusted statistic centers on 0, so `strength_adj` is
+    * the gate and `strength` the effect size. Quantifies what [[evDow]] only
     * profiles, and is the calendar-decomposition gate in front of
     * [[evSpike]]: a high-strength type needs DOW-adjusted baselines or
     * every Monday reads as an anomaly.
@@ -1741,6 +1746,7 @@ object Sessionize {
         |         SUM(CAST(ROUND(CAST(sq_g AS DOUBLE)
         |               - CAST(s_g AS DOUBLE) * s_g / n_g, 6)
         |             AS DECIMAL(28,6))) AS ss_w,
+        |         COUNT(*) AS k_g,
         |         SUM(n_g) AS n_days, SUM(s_g) AS s, SUM(sq_g) AS sq
         |  FROM g GROUP BY event_type)
         |SELECT event_type, n_days,
@@ -1751,7 +1757,14 @@ object Sessionize {
         |                 = 0 THEN CAST(NULL AS DOUBLE)
         |            ELSE ROUND(1 - CAST(ss_w AS DOUBLE)
         |             / (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s / n_days),
-        |             6) END AS strength
+        |             6) END AS strength,
+        |       CASE WHEN n_days <= k_g
+        |                 OR CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s / n_days
+        |                    = 0 THEN CAST(NULL AS DOUBLE)
+        |            ELSE ROUND(1 - (CAST(ss_w AS DOUBLE) / (n_days - k_g))
+        |             / ((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s / n_days)
+        |                / (n_days - 1)),
+        |             6) END AS strength_adj
         |FROM w ORDER BY event_type""".stripMargin)
   }
 
@@ -1766,8 +1779,14 @@ object Sessionize {
     * n/Σ ln(x_u)` over each user's event count. The participation-
     * inequality audit in one number — alpha near 2 is an extreme
     * bot-like tail (complementing [[evBots]]' per-user verdicts and
-    * [[evGini]]'s Lorenz view with the generative-model parameter), large
-    * alpha means near-uniform engagement. `max_x` anchors the tail the
+    * [[evGini]]'s Lorenz view with the generative-model parameter).
+    * Interpretation contract: this is the PLAIN xmin=1 discrete
+    * estimator — alpha near 1 means activity mass sits far ABOVE xmin
+    * (a concentrated, NOT scale-free-from-1 population; re-fit with a
+    * raised xmin before claiming a power law), and a genuinely Pareto
+    * tail reads ~0.8 above its continuous exponent (the known floor
+    * bias CSN's xmin−0.5 correction would remove — measured in
+    * PipelineScaleProbe addendum26). `max_x` anchors the tail the
     * estimate summarizes.
     *
     * Engine-exactness: counts are integers; each user's ln(x) is rounded
@@ -1803,7 +1822,63 @@ object Sessionize {
     evPowerlaw(s.table("__events"))
   }
 
+  /** Benford first-digit audit of the value column (Newcomb 1881 /
+    * Benford 1938; the forensic-accounting staple): per event type, the
+    * observed first-significant-digit distribution of positive values
+    * against the log10(1 + 1/d) law, summarized as the chi-square
+    * statistic and the mean absolute deviation (Nigrini's MAD, the
+    * conformity measure practitioners threshold). A revenue stream whose
+    * digits drift from Benford is the classic synthetic-data / fraud /
+    * unit-mixup tripwire; a uniform synthetic generator (this corpus)
+    * legitimately FAILS the law — the op reports, it does not gate.
+    *
+    * Engine-exactness: the digit is one floor/log10/pow expression on
+    * the raw double; expected shares are double literals of the same
+    * expression in both engines; each digit's chi-square term and
+    * deviation are fixed-shape doubles rounded to 9/6, decimal-summed
+    * over the 9-digit spine (zero-count digits INCLUDED via the
+    * sequence spine — their N·p mass belongs in the statistic).
+    *
+    * Scale design: one combinable (event_type, digit) COUNT is the only
+    * per-event work; the 9-digit spine cross-join, the spine left join
+    * and the final per-type fold all run on (types × 9) rows.
+    */
+  def evBenford(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__bf_events")
+    s.sql(
+      """WITH obs AS (
+        |  SELECT event_type,
+        |         CAST(floor(value / pow(10, floor(log10(value)))) AS INT)
+        |           AS d,
+        |         COUNT(*) AS n
+        |  FROM __bf_events WHERE value > 0
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT event_type, SUM(n) AS nn FROM obs
+        |        GROUP BY event_type),
+        |spine AS (
+        |  SELECT t.event_type, t.nn, s.d, COALESCE(o.n, 0) AS n,
+        |         log10(1 + 1.0 / s.d) AS p
+        |  FROM tot t
+        |  CROSS JOIN (SELECT explode(sequence(1, 9)) AS d) s
+        |  LEFT JOIN obs o ON o.event_type = t.event_type AND o.d = s.d)
+        |SELECT event_type, MAX(nn) AS n_pos,
+        |       ROUND(CAST(SUM(CAST(ROUND(
+        |           (n - nn * p) * (n - nn * p) / (nn * p), 9)
+        |         AS DECIMAL(28,9))) AS DOUBLE), 6) AS chi2,
+        |       ROUND(CAST(SUM(CAST(ROUND(abs(n / CAST(nn AS DOUBLE) - p), 9)
+        |         AS DECIMAL(28,9))) AS DOUBLE) / 9, 6) AS mad
+        |FROM spine GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata events. */
+  def evBenford(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evBenford(s.table("__events"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_benford" -> ((s: SparkSession, dir: String) => evBenford(s, dir)),
     "ev_seasonality" -> ((s: SparkSession, dir: String) => evSeasonality(s, dir)),
     "ev_powerlaw" -> ((s: SparkSession, dir: String) => evPowerlaw(s, dir)),
     "ev_basket" -> ((s: SparkSession, dir: String) => evBasket(s, dir)),
@@ -1849,6 +1924,30 @@ object Sessionize {
       "* (1::DOUBLE / na + 1::DOUBLE / nb))")
 
   val oracleSql: Map[String, String] = Map(
+    "ev_benford" ->
+      ("""WITH obs AS (
+        |  SELECT event_type,
+        |         CAST(floor(value / pow(10, floor(log10(value)))) AS INT)
+        |           AS d,
+        |         COUNT(*) AS n
+        |  FROM events WHERE value > 0
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT event_type, SUM(n)::BIGINT AS nn FROM obs
+        |        GROUP BY event_type),
+        |spine AS (
+        |  SELECT t.event_type, t.nn, s.d, COALESCE(o.n, 0) AS n,
+        |         log10(1 + 1.0 / s.d) AS p
+        |  FROM tot t
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS d) s
+        |  LEFT JOIN obs o ON o.event_type = t.event_type AND o.d = s.d)
+        |SELECT event_type, MAX(nn) AS n_pos,
+        |       ROUND(CAST(SUM(CAST(ROUND(
+        |           (n - nn * p) * (n - nn * p) / (nn * p), 9)
+        |         AS DECIMAL(28,9))) AS DOUBLE), 6) AS chi2,
+        |       ROUND(CAST(SUM(CAST(ROUND(abs(n / nn::DOUBLE - p), 9)
+        |         AS DECIMAL(28,9))) AS DOUBLE) / 9, 6) AS mad
+        |FROM spine GROUP BY event_type ORDER BY event_type"""
+        .stripMargin.replaceAll("\n", " ")),
     "ev_seasonality" ->
       ("""WITH daily AS (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
@@ -1862,6 +1961,7 @@ object Sessionize {
         |  SELECT event_type,
         |         SUM(CAST(ROUND(sq_g::DOUBLE - s_g::DOUBLE * s_g / n_g, 6)
         |             AS DECIMAL(28,6))) AS ss_w,
+        |         COUNT(*) AS k_g,
         |         SUM(n_g) AS n_days, SUM(s_g) AS s, SUM(sq_g) AS sq
         |  FROM g GROUP BY event_type)
         |SELECT event_type, n_days::BIGINT AS n_days,
@@ -1871,7 +1971,14 @@ object Sessionize {
         |            THEN CAST(NULL AS DOUBLE)
         |            ELSE ROUND(1 - ss_w::DOUBLE
         |             / (sq::DOUBLE - s::DOUBLE * s / n_days), 6)
-        |       END AS strength
+        |       END AS strength,
+        |       CASE WHEN n_days <= k_g
+        |                 OR sq::DOUBLE - s::DOUBLE * s / n_days = 0
+        |            THEN CAST(NULL AS DOUBLE)
+        |            ELSE ROUND(1 - (ss_w::DOUBLE / (n_days - k_g))
+        |             / ((sq::DOUBLE - s::DOUBLE * s / n_days)
+        |                / (n_days - 1)), 6)
+        |       END AS strength_adj
         |FROM w ORDER BY event_type""".stripMargin.replaceAll("\n", " ")),
     "ev_powerlaw" ->
       ("""WITH peruser AS (

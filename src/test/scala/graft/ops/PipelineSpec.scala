@@ -2766,17 +2766,24 @@ class PipelineSpec extends AnyFunSuite {
     } yield (1L, at(day, i), typ)).toDF("user_id", "ts", "event_type")
     val got = Sessionize.evSeasonality(evs).collect()
       .map(r => r.getString(0) ->
-        (r.getLong(1), r.getDouble(3), Option(r.get(4)))).toMap
-    assert(got("weekly") == ((14L, 0.0, Some(1.0))))
+        (r.getLong(1), r.getDouble(3), Option(r.get(4)),
+          Option(r.get(5)))).toMap
+    assert(got("weekly") == ((14L, 0.0, Some(1.0), Some(1.0))))
+    // zero between-group signal: raw strength 0, adjusted strength at
+    // its floor 1 − (n−1)/(n−k) = −6/7 for n=14, k=7
     assert(got("alt")._3 == Some(0.0) && got("alt")._2 > 0.0)
-    assert(got("flat") == ((14L, 0.0, None)))
-    // oracle form: strength in [0,1], within never exceeds total
+    assert(got("alt")._4 == Some(BigDecimal(1.0 - 13.0 / 7)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(got("flat") == ((14L, 0.0, None, None)))
+    // oracle form: strength in [0,1], within never exceeds total, the
+    // adjusted statistic never exceeds the raw one
     val orc = Sessionize.evSeasonality(spark, "/root/testdata/sf0.001")
       .collect()
     assert(orc.length == 5)
     orc.foreach { r =>
       val (tot, win, st) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
       assert(win >= -1e-6 && win <= tot + 1e-6 && st >= 0.0 && st <= 1.0)
+      assert(r.getDouble(5) <= st + 1e-9)
     }
   }
 
@@ -2837,5 +2844,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(orc.groupBy(_.getString(0)).forall { case (_, rs) =>
       rs.map(_.getInt(4)).sorted.toSeq == (1 to 5) })
     orc.foreach(r => assert(!r.getDouble(3).isNaN))
+  }
+
+  test("evBenford: digit extraction spans magnitudes, chi2/mad replay, nonpositive excluded") {
+    import spark.implicits._
+    def at(i: Int) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(i.toLong))
+    // digits: 1.0→1, 1.5→1, 19.0→1, 2.0→2, 0.03→3 (sub-unit magnitude);
+    // 0 and −5 must be excluded from the population entirely
+    val vals = Seq(1.0, 1.5, 19.0, 2.0, 0.03, 0.0, -5.0)
+    val evs = vals.zipWithIndex
+      .map { case (v, i) => (1L, at(i), "x", v) }
+      .toDF("user_id", "ts", "event_type", "value")
+    val got = Sessionize.evBenford(evs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nd = Map(1 -> 3L, 2 -> 1L, 3 -> 1L).withDefaultValue(0L)
+    val n = 5.0
+    val chi2 = r6((1 to 9).map { d =>
+      val p = math.log10(1 + 1.0 / d)
+      BigDecimal(r9((nd(d) - n * p) * (nd(d) - n * p) / (n * p)))
+    }.sum.toDouble)
+    val mad = r6((1 to 9).map { d =>
+      val p = math.log10(1 + 1.0 / d)
+      BigDecimal(r9(math.abs(nd(d) / n - p)))
+    }.sum.toDouble / 9)
+    assert(got.toSeq == Seq(("x", 5L, chi2, mad)))
+    // oracle form: statistic well-defined per type (the generator's
+    // value column happens to be near-log-uniform, so it sits CLOSE to
+    // the law at sf0.001 — chi2 single digits; conformity calls belong
+    // to the caller's threshold, not the op)
+    val orc = Sessionize.evBenford(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(orc.length == 5)
+    orc.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getDouble(2) > 0.0 &&
+        r.getDouble(3) > 0.0 && r.getDouble(3) < 1.0)
+    }
   }
 }
