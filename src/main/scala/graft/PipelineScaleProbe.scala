@@ -1726,6 +1726,25 @@ object PipelineScaleProbe {
       f"uniform_min_alpha=${plR.map(_.getDouble(3)).min}%.2f " +
       f"planted_alpha=$alpha%.3f (t=$p2W%.1f s, 200k Pareto users)")
 
+    // ev_benford: the generator's value column is NOT log-uniform at
+    // 10M samples — chi2 grows linearly in n under any fixed deviation,
+    // so the null corpus reads astronomically non-conformant while a
+    // planted log-uniform value (10^u, the Benford-generating family)
+    // must pass the practitioner MAD < 0.012 "close conformity" cut
+    val (bfR, bfW) = wall(ops.Sessionize.evBenford(events).collect())
+    require(bfR.forall(_.getDouble(2) > 100.0),
+      s"10M-sample uniform values read conformant")
+    val logu = events.selectExpr("event_type", "ts",
+      "pow(10, (CAST(conv(substring(md5(concat('bf:', " +
+        "CAST(event_id AS STRING))), 1, 15), 16, 10) AS DOUBLE) " +
+        "/ 1152921504606846976.0) * 3) AS value")
+    val (b2R, b2W) = wall(ops.Sessionize.evBenford(logu).collect())
+    require(b2R.forall(_.getDouble(3) < 0.012),
+      s"planted log-uniform MAD ${b2R.map(_.getDouble(3)).max} not conformant")
+    println(f"PSCALE q=ev_benford t=$bfW%.1f s " +
+      f"null_min_chi2=${bfR.map(_.getDouble(2)).min}%.0f " +
+      f"planted_max_mad=${b2R.map(_.getDouble(3)).max}%.6f (t=$b2W%.1f s)")
+
     // ta_logodds: the shared-zipf sources have no distinctive vocabulary
     // of their own; a token planted into ONE source must take its rank 1
     // with a z far above the shared-vocab noise floor

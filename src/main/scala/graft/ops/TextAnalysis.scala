@@ -1254,14 +1254,20 @@ object TextAnalysis {
         |FROM __na_raw""".stripMargin))
   }
 
-  /** Per-source distinctive vocabulary by z-scored log-odds ratio with a
-    * Dirichlet prior (Monroe, Colaresi & Quinn 2008 "Fightin' Words",
-    * public; symmetric prior α = 0.01 per type): for every source, the
-    * top-5 tokens whose usage rate most exceeds the REST of the corpus,
-    * scored δ/σ so rare-word noise is variance-damped — the corpus-
-    * curation view that answers "what is this source actually about"
-    * where [[taTfidf]] answers it per document and [[taVocabJaccard]]
-    * only says how much vocabularies overlap.
+  /** Per-source distinctive vocabulary by z-scored log-odds ratio with an
+    * INFORMATIVE Dirichlet prior (Monroe, Colaresi & Quinn 2008
+    * "Fightin' Words", public; α_w = 0.01·g_w — prior mass 1 % of the
+    * corpus, apportioned by global frequency, the paper's own
+    * prescription): for every source, the top-5 tokens whose usage rate
+    * most exceeds the REST of the corpus, scored δ/σ so rare-word noise
+    * is variance-damped — the corpus-curation view that answers "what is
+    * this source actually about" where [[taTfidf]] answers it per
+    * document and [[taVocabJaccard]] only says how much vocabularies
+    * overlap. The frequency prior matters at scale: a FLAT tiny α caps
+    * an out-of-corpus token's z at δ·√α (σ² ≈ 1/α however much evidence
+    * accumulates), so a 50k-occurrence source-exclusive token LOSES to
+    * 18M-token sampling noise — found by the addendum26 planted-token
+    * leg; with α ∝ g_w the z grows with √evidence as it should.
     *
     * Engine-exactness: all inputs to the score are integer counts plus
     * decimal literals, so the two ln's, the sqrt and the division are ONE
@@ -1270,7 +1276,7 @@ object TextAnalysis {
     *
     * Scale design: one (source, token) aggregate (vocabulary-bounded at
     * any corpus size) joined to the token-global relation; the scalar
-    * (N, V) totals broadcast; the final top-5 ranks inside a per-source
+    * total broadcasts; the final top-5 ranks inside a per-source
     * window over vocabulary-sized rows (sources × V, never corpus-sized).
     */
   def taLogOdds(docs: DataFrame, k: Int = 5): DataFrame = {
@@ -1284,17 +1290,20 @@ object TextAnalysis {
          |      FROM tok GROUP BY source, token),
          |g AS (SELECT token, COUNT(*) AS g FROM tok GROUP BY token),
          |ni AS (SELECT source, COUNT(*) AS n FROM tok GROUP BY source),
-         |tot AS (SELECT COUNT(*) AS nn, COUNT(DISTINCT token) AS v FROM tok),
+         |tot AS (SELECT COUNT(*) AS nn FROM tok),
          |m AS (
-         |  SELECT y.source, y.token, y.y, g.g - y.y AS yr, ni.n,
-         |         tot.nn - ni.n AS nr, tot.v
+         |  SELECT y.source, y.token, y.y, g.g, g.g - y.y AS yr, ni.n,
+         |         tot.nn - ni.n AS nr, tot.nn
          |  FROM y JOIN g ON g.token = y.token
          |  JOIN ni ON ni.source = y.source CROSS JOIN tot),
          |sc AS (
          |  SELECT source, token, y,
-         |         ROUND((ln((y + 0.01) / (n + 0.01 * v - y - 0.01))
-         |              - ln((yr + 0.01) / (nr + 0.01 * v - yr - 0.01)))
-         |             / sqrt(1.0 / (y + 0.01) + 1.0 / (yr + 0.01)), 6) AS z
+         |         ROUND((ln((y + 0.01 * g)
+         |                   / (n + 0.01 * nn - y - 0.01 * g))
+         |              - ln((yr + 0.01 * g)
+         |                   / (nr + 0.01 * nn - yr - 0.01 * g)))
+         |             / sqrt(1.0 / (y + 0.01 * g)
+         |                    + 1.0 / (yr + 0.01 * g)), 6) AS z
          |  FROM m)
          |SELECT source, token, y AS n_tok, z, rnk FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
@@ -1350,17 +1359,20 @@ object TextAnalysis {
          |      FROM tok GROUP BY source, token),
          |g AS (SELECT token, COUNT(*) AS g FROM tok GROUP BY token),
          |ni AS (SELECT source, COUNT(*) AS n FROM tok GROUP BY source),
-         |tot AS (SELECT COUNT(*) AS nn, COUNT(DISTINCT token) AS v FROM tok),
+         |tot AS (SELECT COUNT(*) AS nn FROM tok),
          |m AS (
-         |  SELECT y.source, y.token, y.y, g.g - y.y AS yr, ni.n,
-         |         tot.nn - ni.n AS nr, tot.v
+         |  SELECT y.source, y.token, y.y, g.g, g.g - y.y AS yr, ni.n,
+         |         tot.nn - ni.n AS nr, tot.nn
          |  FROM y JOIN g ON g.token = y.token
          |  JOIN ni ON ni.source = y.source CROSS JOIN tot),
          |sc AS (
          |  SELECT source, token, y,
-         |         ROUND((ln((y + 0.01) / (n + 0.01 * v - y - 0.01))
-         |              - ln((yr + 0.01) / (nr + 0.01 * v - yr - 0.01)))
-         |             / sqrt(1.0 / (y + 0.01) + 1.0 / (yr + 0.01)), 6) AS z
+         |         ROUND((ln((y + 0.01 * g)
+         |                   / (n + 0.01 * nn - y - 0.01 * g))
+         |              - ln((yr + 0.01 * g)
+         |                   / (nr + 0.01 * nn - yr - 0.01 * g)))
+         |             / sqrt(1.0 / (y + 0.01 * g)
+         |                    + 1.0 / (yr + 0.01 * g)), 6) AS z
          |  FROM m)
          |SELECT source, token, y AS n_tok, z, rnk FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source

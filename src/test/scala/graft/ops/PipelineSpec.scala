@@ -2831,12 +2831,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(aTop._2 == "zebra" && aTop._3 == 10L && aTop._4 > 0)
     val bTop = got.filter(_._1 == "B").minBy(_._5)
     assert(bTop._2 == "delta" && bTop._4 > 0)
-    // replay A/zebra's z in plain scala: y=10, yr=0, n=50, nr=50 and the
-    // 15-token vocabulary {zebra, alpha, beta, gamma, delta, d0..d9}
-    val (y, yr, n, nr, v) = (10.0, 0.0, 50.0, 50.0, 15.0)
-    val z = (math.log((y + 0.01) / (n + 0.01 * v - y - 0.01)) -
-      math.log((yr + 0.01) / (nr + 0.01 * v - yr - 0.01))) /
-      math.sqrt(1.0 / (y + 0.01) + 1.0 / (yr + 0.01))
+    // replay A/zebra's z in plain scala: y=10, yr=0, n=50, nr=50,
+    // nn=100 and the frequency prior α_zebra = 0.01·g = 0.1
+    val (y, yr, n, nr, nn, g) = (10.0, 0.0, 50.0, 50.0, 100.0, 10.0)
+    val aw = 0.01 * g
+    val z = (math.log((y + aw) / (n + 0.01 * nn - y - aw)) -
+      math.log((yr + aw) / (nr + 0.01 * nn - yr - aw))) /
+      math.sqrt(1.0 / (y + aw) + 1.0 / (yr + aw))
     assert(math.abs(aTop._4 - z) < 1e-6)
     // oracle form: 5 rows per source, ranks dense, z finite
     val orc = TextAnalysis.taLogOdds(spark, "/root/testdata/sf0.001")
