@@ -48,6 +48,47 @@ object Dedup {
   private def docs(s: SparkSession, dir: String): Unit =
     Tables.load(s, dir, "documents").createOrReplaceTempView("__docs")
 
+  /** The full minhash→banding→verification chain as DuckDB CTEs ending in
+    * `pairs(doc_a, doc_b, inter, uni)` — shared verbatim by the
+    * dd_minhash_lsh and ds_nearleak oracles so the two expression trees
+    * cannot drift apart.
+    */
+  private lazy val minhashPairsDuckCtes: String =
+    s"""$corpusSql,
+       |tok AS (
+       |  SELECT DISTINCT doc_id, unnest(
+       |    CASE WHEN len(toks) >= 3
+       |         THEN [toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+       |               FOR i IN generate_series(1, len(toks) - 2)]
+       |         ELSE [] END) AS tok
+       |  FROM corpus),
+       |sig AS (
+       |  SELECT doc_id, g.i, MIN(md5(i::VARCHAR || ':' || tok)) AS h
+       |  FROM tok CROSS JOIN generate_series(0, 7) g(i)
+       |  GROUP BY doc_id, g.i),
+       |band AS (
+       |  SELECT doc_id, i // 2 AS band,
+       |         md5(MIN(CASE WHEN i % 2 = 0 THEN h END) ||
+       |             MIN(CASE WHEN i % 2 = 1 THEN h END)) AS bh
+       |  FROM sig GROUP BY doc_id, i // 2),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh
+       |  WHERE a.doc_id < b.doc_id),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+       |  FROM cand c
+       |  JOIN tok ta ON ta.doc_id = c.doc_a
+       |  JOIN tok tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+       |  GROUP BY c.doc_a, c.doc_b),
+       |pairs AS (
+       |  SELECT i.doc_a, i.doc_b, i.inter, ca.n + cb.n - i.inter AS uni
+       |  FROM inter i
+       |  JOIN cnt ca ON ca.doc_id = i.doc_a
+       |  JOIN cnt cb ON cb.doc_id = i.doc_b
+       |  WHERE 3 * i.inter >= ca.n + cb.n)""".stripMargin
+
   /** Exact dedup: duplicate the corpus verbatim (twin keeps the text),
     * group by md5(text), keep the lowest doc_id of each group — the
     * canonical hash-groupBy exact dedup. Result = the original doc ids.
@@ -208,6 +249,68 @@ object Dedup {
   def ddMinhashLshOn(docs: DataFrame): DataFrame =
     minhashVerify(minhashShinglesAndBandsOn(
       docs.selectExpr("doc_id", "split(text, ' ') AS toks")))
+
+  /** Near-duplicate TRAIN/TEST leakage audit (the FineWeb-style
+    * decontamination check): the cross-split contamination matrix over
+    * the minhash-verified near-dup pair relation — [[dsNearLeakOn]]
+    * splits by the ds_split digest rule and reports, per (split, split)
+    * cell, how many near-dup pairs straddle it and how similar they are.
+    * `leak = true` rows are eval answers sitting in the training set in
+    * paraphrased form — the contamination [[Pipeline.ddDecontam]]'s
+    * exact n-gram pass cannot see and ds_leakage's exact-hash pass
+    * cannot see either; this op closes that gap with the same verified
+    * Jaccard evidence dd_minhash_lsh ships.
+    *
+    * Engine-exactness: split digits and pair counts are integers; each
+    * pair's jaccard is ONE double division rounded to 6, and the cell
+    * mean sums those as DECIMAL(18,6) (order-free) before one division.
+    *
+    * Scale design: everything rides the minhash pipeline's bounded
+    * candidate relation (fan-in measured linear at 1M docs, PERF.md
+    * round-6); the split tag is one md5 per PAIR SIDE (pairs-sized, not
+    * corpus-sized) and the matrix aggregate is ≤ 6 cells. At 100 TB the
+    * leak verdict therefore costs nothing beyond the dedup pass a
+    * pipeline already runs.
+    */
+  def dsNearLeakOn(docs: DataFrame): DataFrame =
+    nearLeakAgg(ddMinhashLshOn(docs))
+
+  /** The oracle-checked form: the planted-twin corpus (twins land in a
+    * DIFFERENT digest split than their original with probability ~0.42,
+    * so the matrix has real cross-split mass at every SF).
+    */
+  def dsNearLeak(s: SparkSession, dir: String): DataFrame =
+    nearLeakAgg(ddMinhashLsh(s, dir))
+
+  private def nearLeakAgg(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    pairs.createOrReplaceTempView("__nl_pairs")
+    s.sql(
+      """WITH sp AS (
+        |  SELECT doc_a, doc_b,
+        |         ROUND(CAST(inter AS DOUBLE) / uni, 6) AS j,
+        |         CASE WHEN da < 12 THEN 'train' WHEN da < 14 THEN 'val'
+        |              ELSE 'test' END AS sa,
+        |         CASE WHEN db < 12 THEN 'train' WHEN db < 14 THEN 'val'
+        |              ELSE 'test' END AS sb
+        |  FROM (
+        |    SELECT *,
+        |           instr('0123456789abcdef', substring(md5(
+        |             concat('split:', CAST(doc_a AS STRING))), 1, 1)) - 1
+        |             AS da,
+        |           instr('0123456789abcdef', substring(md5(
+        |             concat('split:', CAST(doc_b AS STRING))), 1, 1)) - 1
+        |             AS db
+        |    FROM __nl_pairs))
+        |SELECT split_a, split_b, split_a <> split_b AS leak,
+        |       COUNT(*) AS n_pairs,
+        |       ROUND(CAST(SUM(CAST(j AS DECIMAL(18,6))) AS DOUBLE)
+        |             / COUNT(*), 6) AS mean_jaccard
+        |FROM (SELECT LEAST(sa, sb) AS split_a, GREATEST(sa, sb) AS split_b,
+        |             j FROM sp)
+        |GROUP BY split_a, split_b
+        |ORDER BY split_a, split_b""".stripMargin)
+  }
 
   private def minhashVerify(tokBand: (DataFrame, DataFrame)): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -1095,6 +1198,7 @@ object Dedup {
     "dd_paragraph" -> ((s: SparkSession, dir: String) => ddParagraph(s, dir)),
     "dd_exact" -> (ddExact _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
+    "ds_nearleak" -> (dsNearLeak _),
     "dd_minhash_est" -> (ddMinhashEst _),
     "dd_simhash" -> (ddSimhash _),
     "dd_simhash_pairs" -> (ddSimhashPairs _),
@@ -1373,40 +1477,32 @@ object Dedup {
         |        SELECT doc_id + ${TwinIdOffset}, text FROM documents)
         |) WHERE rn = 1 ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "dd_minhash_lsh" ->
-      s"""WITH $corpusSql,
-         |tok AS (
-         |  SELECT DISTINCT doc_id, unnest(
-         |    CASE WHEN len(toks) >= 3
-         |         THEN [toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
-         |               FOR i IN generate_series(1, len(toks) - 2)]
-         |         ELSE [] END) AS tok
-         |  FROM corpus),
-         |sig AS (
-         |  SELECT doc_id, g.i, MIN(md5(i::VARCHAR || ':' || tok)) AS h
-         |  FROM tok CROSS JOIN generate_series(0, 7) g(i)
-         |  GROUP BY doc_id, g.i),
-         |band AS (
-         |  SELECT doc_id, i // 2 AS band,
-         |         md5(MIN(CASE WHEN i % 2 = 0 THEN h END) ||
-         |             MIN(CASE WHEN i % 2 = 1 THEN h END)) AS bh
-         |  FROM sig GROUP BY doc_id, i // 2),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh
-         |  WHERE a.doc_id < b.doc_id),
-         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
-         |inter AS (
-         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
-         |  FROM cand c
-         |  JOIN tok ta ON ta.doc_id = c.doc_a
-         |  JOIN tok tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
-         |  GROUP BY c.doc_a, c.doc_b)
-         |SELECT i.doc_a, i.doc_b, i.inter, ca.n + cb.n - i.inter AS uni
-         |FROM inter i
-         |JOIN cnt ca ON ca.doc_id = i.doc_a
-         |JOIN cnt cb ON cb.doc_id = i.doc_b
-         |WHERE 3 * i.inter >= ca.n + cb.n
-         |ORDER BY i.doc_a, i.doc_b""".stripMargin.replaceAll("\n", " "),
+      s"""WITH $minhashPairsDuckCtes
+         |SELECT doc_a, doc_b, inter, uni FROM pairs
+         |ORDER BY doc_a, doc_b""".stripMargin.replaceAll("\n", " "),
+    "ds_nearleak" ->
+      s"""WITH $minhashPairsDuckCtes,
+         |sp AS (
+         |  SELECT ROUND(inter::DOUBLE / uni, 6) AS j,
+         |         CASE WHEN da < 12 THEN 'train' WHEN da < 14 THEN 'val'
+         |              ELSE 'test' END AS sa,
+         |         CASE WHEN db < 12 THEN 'train' WHEN db < 14 THEN 'val'
+         |              ELSE 'test' END AS sb
+         |  FROM (
+         |    SELECT *,
+         |           strpos('0123456789abcdef', substr(md5(
+         |             'split:' || doc_a::VARCHAR), 1, 1)) - 1 AS da,
+         |           strpos('0123456789abcdef', substr(md5(
+         |             'split:' || doc_b::VARCHAR), 1, 1)) - 1 AS db
+         |    FROM pairs))
+         |SELECT split_a, split_b, split_a <> split_b AS leak,
+         |       COUNT(*) AS n_pairs,
+         |       ROUND(CAST(SUM(CAST(j AS DECIMAL(18,6))) AS DOUBLE)
+         |             / COUNT(*), 6) AS mean_jaccard
+         |FROM (SELECT LEAST(sa, sb) AS split_a, GREATEST(sa, sb) AS split_b,
+         |             j FROM sp)
+         |GROUP BY split_a, split_b
+         |ORDER BY split_a, split_b""".stripMargin.replaceAll("\n", " "),
     "dd_minhash_est" ->
       s"""WITH $corpusSql,
          |tok AS (

@@ -2847,6 +2847,31 @@ class PipelineSpec extends AnyFunSuite {
     orc.foreach(r => assert(!r.getDouble(3).isNaN))
   }
 
+  test("dsNearLeakOn: digest-steered twins land in the right matrix cells") {
+    import spark.implicits._
+    // split digits are md5-determined: ids 0,2,3 → train, 10 → test
+    // (verified by the digest rule). 0 and 10 share a text → ONE
+    // cross-split leak pair; 2 and 3 share another → one train-train
+    // pair; 21 is unique noise.
+    val a = "the quick brown fox jumps over the lazy dog every single day"
+    val b = "colorless green ideas sleep furiously under warm summer rain clouds"
+    val docs = Seq(
+      (0L, a), (10L, a), (2L, b), (3L, b),
+      (21L, "totally unrelated words that nobody else ever uses here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dsNearLeakOn(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      ("test", "train", true, 1L, 1.0),
+      ("train", "train", false, 1L, 1.0)))
+    // oracle form: the full matrix's pair mass equals the pair relation
+    val matrix = Dedup.dsNearLeak(spark, "/root/testdata/sf0.001").collect()
+    val nPairs = Dedup.ddMinhashLsh(spark, "/root/testdata/sf0.001").count()
+    assert(matrix.map(_.getLong(3)).sum == nPairs)
+    assert(matrix.exists(_.getBoolean(2))) // twins do straddle splits
+  }
+
   test("evBenford: digit extraction spans magnitudes, chi2/mad replay, nonpositive excluded") {
     import spark.implicits._
     def at(i: Int) = java.sql.Timestamp.from(
