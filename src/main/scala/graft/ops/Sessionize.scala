@@ -1658,7 +1658,10 @@ object Sessionize {
     * discipline).
     *
     * Scale design: the stream compacts FIRST to the DISTINCT (user, day,
-    * item) presence relation (the ev_active_users discipline) — fan-out
+    * item) presence relation (the ev_active_users discipline),
+    * MATERIALIZED once (lazy localCheckpoint — the dd_resolve InlineCTE
+    * workaround: the total, the item counts and both self-join sides
+    * would otherwise each re-run the per-event distinct) — fan-out
     * for the pair self-join is then C(basket size, 2) per basket,
     * bounded by daily purchase breadth, never by event volume; the
     * aggregate output is ≤ |items|² rows, and the count/total joins
@@ -1670,11 +1673,17 @@ object Sessionize {
   def evBasket(events: DataFrame, minSupport: Int): DataFrame = {
     val s = events.sparkSession
     events.createOrReplaceTempView("__bk_events")
+    // compact the raw stream ONCE; the basket relation feeds the total,
+    // the item counts and both sides of the pair self-join — without the
+    // lazy checkpoint InlineCTE re-runs the distinct per consumer
     s.sql(
-      s"""WITH items AS (
-         |  SELECT DISTINCT user_id, unix_micros(ts) div 86400000000 AS day,
-         |         CAST(get_json_object(props, '$$.k') AS BIGINT) AS item
-         |  FROM __bk_events WHERE event_type = 'purchase'),
+      s"""SELECT DISTINCT user_id, unix_micros(ts) div 86400000000 AS day,
+         |       CAST(get_json_object(props, '$$.k') AS BIGINT) AS item
+         |FROM __bk_events WHERE event_type = 'purchase'""".stripMargin)
+      .localCheckpoint(eager = false)
+      .createOrReplaceTempView("__bk_items")
+    s.sql(
+      s"""WITH items AS (SELECT * FROM __bk_items),
          |nb AS (
          |  SELECT COUNT(*) AS n_baskets FROM (
          |    SELECT DISTINCT user_id, day FROM items)),

@@ -1303,8 +1303,11 @@ object Similarity {
     * aggregate (labels × dims rows — tiny at any SF); the corpus then
     * joins the L-row centroid relation CROSS (broadcast — same shape as
     * ss_centroids' assignment pass), so per-vector cost is L dot
-    * products and the only corpus-sized exchange is the final label agg.
-    * The per-vector best-other ranks inside a vec_id window over L rows.
+    * products. own/best-other fold in ONE conditional (vec_id) aggregate
+    * — MAX(cos) needs no rank tiebreak because ties share the cos value
+    * — so the corpus×L relation is consumed exactly once (a window +
+    * self-join here would recompute it per consumer under InlineCTE, the
+    * dd_resolve lesson) and the only corpus-sized exchange is that agg.
     */
   def ssSilhouette(emb: DataFrame): DataFrame = {
     val s = emb.sparkSession
@@ -1332,22 +1335,19 @@ object Similarity {
         |         ROUND(graft_dot(b.v, c.cv)
         |               / (sqrt(graft_dot(b.v, b.v)) * c.cnrm), 6) AS cos
         |  FROM base b CROSS JOIN cent c),
-        |own AS (
-        |  SELECT vec_id, label, cos AS own_cos FROM scored
-        |  WHERE clabel = label),
-        |other AS (
-        |  SELECT vec_id, cos AS other_cos FROM (
-        |    SELECT vec_id, cos, ROW_NUMBER() OVER (PARTITION BY vec_id
-        |             ORDER BY cos DESC, clabel) AS rn
-        |    FROM scored WHERE clabel <> label) WHERE rn = 1),
+        |vecagg AS (
+        |  SELECT vec_id, label,
+        |         MAX(CASE WHEN clabel = label THEN cos END) AS own_cos,
+        |         MAX(CASE WHEN clabel <> label THEN cos END) AS other_cos
+        |  FROM scored GROUP BY vec_id, label),
         |sil AS (
-        |  SELECT o.vec_id, o.label,
+        |  SELECT vec_id, label,
         |         CASE WHEN GREATEST(1 - own_cos, 1 - other_cos) = 0
         |              THEN CAST(0 AS DOUBLE)
         |              ELSE ROUND((own_cos - other_cos)
         |                         / GREATEST(1 - own_cos, 1 - other_cos), 6)
         |         END AS sil
-        |  FROM own o JOIN other t ON t.vec_id = o.vec_id)
+        |  FROM vecagg WHERE other_cos IS NOT NULL)
         |SELECT label, COUNT(*) AS n,
         |       ROUND(CAST(SUM(CAST(sil AS DECIMAL(18,6))) AS DOUBLE)
         |             / COUNT(*), 6) AS mean_sil,

@@ -1274,27 +1274,34 @@ object TextAnalysis {
     * fixed-shape double expression rounded to 6; ranking is (z DESC,
     * token) — total order, engine-identical.
     *
-    * Scale design: one (source, token) aggregate (vocabulary-bounded at
-    * any corpus size) joined to the token-global relation; the scalar
-    * total broadcasts; the final top-5 ranks inside a per-source
-    * window over vocabulary-sized rows (sources × V, never corpus-sized).
+    * Scale design: the exploded token stream is consumed by EXACTLY ONE
+    * (source, token) partial+final aggregate — the global-token,
+    * per-source and grand totals all derive from that vocabulary-bounded
+    * relation (four consumers of the raw explode would each recompute it
+    * under InlineCTE, the dd_resolve lesson); the scalar total
+    * broadcasts; the final top-5 ranks inside a per-source window over
+    * vocabulary-sized rows (sources × V, never corpus-sized).
     */
   def taLogOdds(docs: DataFrame, k: Int = 5): DataFrame = {
     val s = docs.sparkSession
     docs.createOrReplaceTempView("__lo_docs")
+    // one corpus pass; the vocabulary-sized (source, token) counts feed
+    // four consumers below, so materialize them (lazy checkpoint) rather
+    // than let InlineCTE re-run the explode+aggregate per consumer
     s.sql(
-      s"""WITH tok AS (
-         |  SELECT source, t.token AS token FROM __lo_docs
-         |  LATERAL VIEW explode(split(text, ' ')) t AS token),
-         |y AS (SELECT source, token, COUNT(*) AS y
-         |      FROM tok GROUP BY source, token),
-         |g AS (SELECT token, COUNT(*) AS g FROM tok GROUP BY token),
-         |ni AS (SELECT source, COUNT(*) AS n FROM tok GROUP BY source),
-         |tot AS (SELECT COUNT(*) AS nn FROM tok),
+      """SELECT source, t.token AS token, COUNT(*) AS y FROM __lo_docs
+        |LATERAL VIEW explode(split(text, ' ')) t AS token
+        |GROUP BY source, t.token""".stripMargin)
+      .localCheckpoint(eager = false)
+      .createOrReplaceTempView("__lo_y")
+    s.sql(
+      s"""WITH g AS (SELECT token, SUM(y) AS g FROM __lo_y GROUP BY token),
+         |ni AS (SELECT source, SUM(y) AS n FROM __lo_y GROUP BY source),
+         |tot AS (SELECT SUM(y) AS nn FROM __lo_y),
          |m AS (
          |  SELECT y.source, y.token, y.y, g.g, g.g - y.y AS yr, ni.n,
          |         tot.nn - ni.n AS nr, tot.nn
-         |  FROM y JOIN g ON g.token = y.token
+         |  FROM __lo_y y JOIN g ON g.token = y.token
          |  JOIN ni ON ni.source = y.source CROSS JOIN tot),
          |sc AS (
          |  SELECT source, token, y,
