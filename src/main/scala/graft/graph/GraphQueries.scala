@@ -1098,7 +1098,51 @@ object GraphQueries {
       |ORDER BY walk_id, step""".stripMargin).replaceAll("\n", " ")
   }
 
+  /** Q55: label-propagation communities (3 synchronous rounds,
+    * plurality/min-tie vote — [[LabelProp]]) on the capped user
+    * co-occurrence graph. The partition-quality counterpart of q24's
+    * reachability components: on a graph whose giant component hides
+    * cluster structure, LPA's vote splits it where CC cannot. Fixed
+    * rounds keep the result engine-exact; the oracle unrolls the same
+    * three votes verbatim.
+    */
+  def q55_labelprop(s: SparkSession, dir: String): DataFrame = {
+    LabelProp.run(s, cooccurPairs(userBuckets(s, dir)), rounds = 3)
+      .withColumnRenamed("node", "user_id")
+      .orderBy("user_id")
+  }
+
+  val q55OracleSql: String = {
+    def round(t: Int): String =
+      s"""l$t AS (
+         |  SELECT a AS node, lbl FROM (
+         |    SELECT e.a, l.lbl, COUNT(*) AS c,
+         |           ROW_NUMBER() OVER (PARTITION BY e.a
+         |             ORDER BY COUNT(*) DESC, l.lbl) AS rn
+         |    FROM e JOIN l${t - 1} l ON l.node = e.b
+         |    GROUP BY e.a, l.lbl)
+         |  WHERE rn = 1)""".stripMargin
+    (s"""WITH ub AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 10000000 AS b
+      |  FROM events),
+      |capped AS (
+      |  SELECT user_id, b FROM ub
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY b ORDER BY user_id)
+      |    <= $CooccurCap),
+      |und AS (
+      |  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      |  FROM capped a JOIN capped b USING (b)
+      |  WHERE a.user_id < b.user_id),
+      |e AS (SELECT u AS a, v AS b FROM und
+      |      UNION ALL SELECT v, u FROM und),
+      |l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM e),
+      |""".stripMargin + (1 to 3).map(round).mkString(",\n") + """
+      |SELECT node AS user_id, lbl AS community FROM l3
+      |ORDER BY user_id""".stripMargin).replaceAll("\n", " ")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_labelprop" -> (q55_labelprop _),
     "q54_walks" -> (q54_walks _),
     "q40_assortativity" -> (q40_assortativity _),
     "q41_linkpred" -> (q41_linkpred _),
@@ -1124,6 +1168,7 @@ object GraphQueries {
     "q26_sssp" -> (q26_sssp _))
 
   val oracleSql: Map[String, String] = Map(
+    "q55_labelprop" -> q55OracleSql,
     "q54_walks" -> q54OracleSql,
     "q40_assortativity" -> q40OracleSql,
     "q41_linkpred" -> q41OracleSql,

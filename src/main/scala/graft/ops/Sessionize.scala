@@ -1886,8 +1886,168 @@ object Sessionize {
     evBenford(s.table("__events"))
   }
 
+  /** Seasonal-naive forecastability audit per event type: for every day
+    * with both a previous day AND a same-weekday-last-week observation,
+    * score yesterday's count (naive-1) and last week's count (seasonal
+    * naive-7) as forecasts of today. `mase` = MAE(snaive-7)/MAE(naive-1)
+    * on the SAME scored days — below 1 means the weekly cycle carries
+    * real signal beyond persistence (the model-free counterpart of
+    * evSeasonality's ANOVA strength, in forecast-error units a capacity
+    * planner actually consumes).
+    *
+    * Calendar-correct: the lags are equi-joins on day-1 / day-7, not
+    * LAG over observed rows, so a gap day scores nothing rather than
+    * silently comparing against the wrong calendar slot.
+    *
+    * Engine-exactness: counts are integers, both MAEs are integer-sum /
+    * count, MASE a ratio of two integer sums — one terminal ROUND each.
+    * Scale: one (type, day) count aggregate (days-sized), two
+    * self-equi-joins on that tiny relation, one rollup to types.
+    */
+  def evForecast(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__fc_events")
+    s.sql(
+      """WITH daily AS (
+        |  SELECT event_type, unix_micros(ts) div 86400000000 AS day,
+        |         COUNT(*) AS n
+        |  FROM __fc_events GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT d.event_type, d.n, p1.n AS f1, p7.n AS f7
+        |  FROM daily d
+        |  JOIN daily p1 ON p1.event_type = d.event_type
+        |               AND p1.day = d.day - 1
+        |  JOIN daily p7 ON p7.event_type = d.event_type
+        |               AND p7.day = d.day - 7)
+        |SELECT event_type, COUNT(*) AS n_days,
+        |       ROUND(CAST(SUM(ABS(n - f1)) AS DOUBLE) / COUNT(*), 6)
+        |         AS mae_naive,
+        |       ROUND(CAST(SUM(ABS(n - f7)) AS DOUBLE) / COUNT(*), 6)
+        |         AS mae_snaive,
+        |       CASE WHEN SUM(ABS(n - f1)) = 0 THEN CAST(NULL AS DOUBLE)
+        |            ELSE ROUND(CAST(SUM(ABS(n - f7)) AS DOUBLE)
+        |                       / SUM(ABS(n - f1)), 6) END AS mase
+        |FROM sc GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+  def evForecast(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evForecast(s.table("__events"))
+  }
+
+  /** CUPED variance-reduced A/B readout (Deng et al., WSDM'13): split
+    * users into arms by the evAbTest/evSrm md5 rule, take each user's
+    * PRE-period value sum as the covariate X and the POST-period sum as
+    * the metric Y, fit theta = cov(X,Y)/var(X) on the pooled population
+    * (pre-period data is assignment-independent, so pooling is unbiased),
+    * and report per-arm means and variances of both Y and the adjusted
+    * Y' = Y − theta·(X − mean(X)). `var_reduction` ≈ corr(X,Y)² is the
+    * sample-size multiplier the experimenter actually buys — the whole
+    * point of CUPED next to evAbTest's raw z-test.
+    *
+    * The period boundary is min(ts) + `preDays` days — calendar-fixed,
+    * not per-user, so a user's own activity cannot move their covariate
+    * window (that would reintroduce outcome dependence).
+    *
+    * Engine-exactness: per-user X/Y are DECIMAL(18,2) sums cast to
+    * double (exact — cent-valued), theta is ROUND(·,9) of a ratio of
+    * decimal-summed cross-moments, adjusted values ROUND(·,6) before the
+    * variant rollup — every aggregate is a decimal sum of rounded terms.
+    *
+    * Scale: one user_id aggregate (corpus pass), two scalar aggregates
+    * (global moments → theta broadcast), one variant rollup over the
+    * users-sized relation. No shuffle wider than the user aggregate.
+    */
+  def evCuped(events: DataFrame, preDays: Int = 15,
+      salt: String = "ab"): DataFrame = {
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__cp_events")
+    // the per-user (variant, X, Y) relation is the corpus pass and feeds
+    // BOTH the global-moment aggregate and the adjusted rollup —
+    // materialize it once (the InlineCTE multi-consumer lesson)
+    s.sql(
+      s"""WITH b AS (
+         |  SELECT MIN(unix_micros(ts)) + ${preDays}L * 86400000000
+         |           AS cut
+         |  FROM __cp_events)
+         |SELECT user_id,
+         |       CASE WHEN instr('0123456789abcdef',
+         |              substring(md5(concat('$salt:',
+         |                CAST(user_id AS STRING))), 1, 1)) - 1 < 8
+         |            THEN 'A' ELSE 'B' END AS variant,
+         |       CAST(SUM(CASE WHEN unix_micros(ts) < (SELECT cut FROM b)
+         |                     THEN CAST(value AS DECIMAL(18,2))
+         |                     ELSE CAST(0 AS DECIMAL(18,2)) END)
+         |            AS DOUBLE) AS x,
+         |       CAST(SUM(CASE WHEN unix_micros(ts) >= (SELECT cut FROM b)
+         |                     THEN CAST(value AS DECIMAL(18,2))
+         |                     ELSE CAST(0 AS DECIMAL(18,2)) END)
+         |            AS DOUBLE) AS y
+         |FROM __cp_events GROUP BY user_id""".stripMargin)
+      .localCheckpoint(eager = false)
+      .createOrReplaceTempView("__cp_u")
+    s.sql(
+      s"""WITH u AS (SELECT * FROM __cp_u),
+         |g AS (
+         |  SELECT COUNT(*) AS n,
+         |         SUM(CAST(ROUND(x, 6) AS DECIMAL(28,6))) AS sx,
+         |         SUM(CAST(ROUND(y, 6) AS DECIMAL(28,6))) AS sy,
+         |         SUM(CAST(ROUND(x * y, 6) AS DECIMAL(38,6))) AS sxy,
+         |         SUM(CAST(ROUND(x * x, 6) AS DECIMAL(38,6))) AS sxx
+         |  FROM u),
+         |t AS (
+         |  SELECT CAST(sx AS DOUBLE) / n AS mx,
+         |         CASE WHEN CAST(sxx AS DOUBLE)
+         |                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n
+         |                   = 0 THEN CAST(0 AS DOUBLE)
+         |              ELSE ROUND(
+         |                (CAST(sxy AS DOUBLE)
+         |                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+         |                / (CAST(sxx AS DOUBLE)
+         |                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n),
+         |                9) END AS theta
+         |  FROM g),
+         |a AS (
+         |  SELECT u.variant, u.y,
+         |         ROUND(u.y - t.theta * (u.x - t.mx), 6) AS ya,
+         |         t.theta
+         |  FROM u CROSS JOIN t),
+         |v AS (
+         |  SELECT variant, COUNT(*) AS n, MAX(theta) AS theta,
+         |         SUM(CAST(ROUND(y, 6) AS DECIMAL(28,6))) AS sy,
+         |         SUM(CAST(ROUND(y * y, 6) AS DECIMAL(38,6))) AS syy,
+         |         SUM(CAST(ya AS DECIMAL(28,6))) AS sa,
+         |         SUM(CAST(ROUND(ya * ya, 6) AS DECIMAL(38,6))) AS saa
+         |  FROM a GROUP BY variant)
+         |SELECT variant, n, ROUND(theta, 6) AS theta,
+         |       ROUND(CAST(sy AS DOUBLE) / n, 6) AS mean_y,
+         |       ROUND(CAST(sa AS DOUBLE) / n, 6) AS mean_y_adj,
+         |       ROUND(CAST(syy AS DOUBLE) / n
+         |             - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n),
+         |             6) AS var_y,
+         |       ROUND(CAST(saa AS DOUBLE) / n
+         |             - (CAST(sa AS DOUBLE) / n) * (CAST(sa AS DOUBLE) / n),
+         |             6) AS var_y_adj,
+         |       CASE WHEN CAST(syy AS DOUBLE) / n
+         |                 - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)
+         |                 = 0 THEN CAST(NULL AS DOUBLE)
+         |            ELSE ROUND(1 -
+         |              (CAST(saa AS DOUBLE) / n
+         |               - (CAST(sa AS DOUBLE) / n) * (CAST(sa AS DOUBLE) / n))
+         |              / (CAST(syy AS DOUBLE) / n
+         |                 - (CAST(sy AS DOUBLE) / n)
+         |                   * (CAST(sy AS DOUBLE) / n)),
+         |              6) END AS var_reduction
+         |FROM v ORDER BY variant""".stripMargin)
+  }
+  def evCuped(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evCuped(s.table("__events"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_benford" -> ((s: SparkSession, dir: String) => evBenford(s, dir)),
+    "ev_forecast" -> ((s: SparkSession, dir: String) => evForecast(s, dir)),
+    "ev_cuped" -> ((s: SparkSession, dir: String) => evCuped(s, dir)),
     "ev_seasonality" -> ((s: SparkSession, dir: String) => evSeasonality(s, dir)),
     "ev_powerlaw" -> ((s: SparkSession, dir: String) => evPowerlaw(s, dir)),
     "ev_basket" -> ((s: SparkSession, dir: String) => evBasket(s, dir)),
@@ -1933,6 +2093,70 @@ object Sessionize {
       "* (1::DOUBLE / na + 1::DOUBLE / nb))")
 
   val oracleSql: Map[String, String] = Map(
+    "ev_cuped" ->
+      ("WITH b AS (SELECT MIN(epoch_us(ts)) + 15 * 86400000000 AS cut " +
+        "FROM events), " +
+        "u AS (SELECT user_id, " +
+        "CASE WHEN strpos('0123456789abcdef', " +
+        "substr(md5('ab:' || user_id::VARCHAR), 1, 1)) - 1 < 8 " +
+        "THEN 'A' ELSE 'B' END AS variant, " +
+        "SUM(CASE WHEN epoch_us(ts) < (SELECT cut FROM b) " +
+        "THEN CAST(value AS DECIMAL(18,2)) " +
+        "ELSE CAST(0 AS DECIMAL(18,2)) END)::DOUBLE AS x, " +
+        "SUM(CASE WHEN epoch_us(ts) >= (SELECT cut FROM b) " +
+        "THEN CAST(value AS DECIMAL(18,2)) " +
+        "ELSE CAST(0 AS DECIMAL(18,2)) END)::DOUBLE AS y " +
+        "FROM events GROUP BY user_id), " +
+        "g AS (SELECT COUNT(*) AS n, " +
+        "SUM(CAST(ROUND(x, 6) AS DECIMAL(28,6))) AS sx, " +
+        "SUM(CAST(ROUND(y, 6) AS DECIMAL(28,6))) AS sy, " +
+        "SUM(CAST(ROUND(x * y, 6) AS DECIMAL(38,6))) AS sxy, " +
+        "SUM(CAST(ROUND(x * x, 6) AS DECIMAL(38,6))) AS sxx FROM u), " +
+        "t AS (SELECT sx::DOUBLE / n AS mx, " +
+        "CASE WHEN sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n = 0 " +
+        "THEN CAST(0 AS DOUBLE) " +
+        "ELSE ROUND((sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n) " +
+        "/ (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n), 9) END AS theta " +
+        "FROM g), " +
+        "a AS (SELECT u.variant, u.y, " +
+        "ROUND(u.y - t.theta * (u.x - t.mx), 6) AS ya, t.theta " +
+        "FROM u CROSS JOIN t), " +
+        "v AS (SELECT variant, COUNT(*) AS n, MAX(theta) AS theta, " +
+        "SUM(CAST(ROUND(y, 6) AS DECIMAL(28,6))) AS sy, " +
+        "SUM(CAST(ROUND(y * y, 6) AS DECIMAL(38,6))) AS syy, " +
+        "SUM(CAST(ya AS DECIMAL(28,6))) AS sa, " +
+        "SUM(CAST(ROUND(ya * ya, 6) AS DECIMAL(38,6))) AS saa " +
+        "FROM a GROUP BY variant) " +
+        "SELECT variant, n, ROUND(theta, 6) AS theta, " +
+        "ROUND(sy::DOUBLE / n, 6) AS mean_y, " +
+        "ROUND(sa::DOUBLE / n, 6) AS mean_y_adj, " +
+        "ROUND(syy::DOUBLE / n - (sy::DOUBLE / n) * (sy::DOUBLE / n), 6) " +
+        "AS var_y, " +
+        "ROUND(saa::DOUBLE / n - (sa::DOUBLE / n) * (sa::DOUBLE / n), 6) " +
+        "AS var_y_adj, " +
+        "CASE WHEN syy::DOUBLE / n - (sy::DOUBLE / n) * (sy::DOUBLE / n) " +
+        "= 0 THEN CAST(NULL AS DOUBLE) " +
+        "ELSE ROUND(1 - (saa::DOUBLE / n - (sa::DOUBLE / n) " +
+        "* (sa::DOUBLE / n)) / (syy::DOUBLE / n - (sy::DOUBLE / n) " +
+        "* (sy::DOUBLE / n)), 6) END AS var_reduction " +
+        "FROM v ORDER BY variant"),
+    "ev_forecast" ->
+      ("WITH daily AS (SELECT event_type, " +
+        "epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n " +
+        "FROM events GROUP BY 1, 2), " +
+        "sc AS (SELECT d.event_type, d.n, p1.n AS f1, p7.n AS f7 " +
+        "FROM daily d " +
+        "JOIN daily p1 ON p1.event_type = d.event_type " +
+        "AND p1.day = d.day - 1 " +
+        "JOIN daily p7 ON p7.event_type = d.event_type " +
+        "AND p7.day = d.day - 7) " +
+        "SELECT event_type, COUNT(*) AS n_days, " +
+        "ROUND(SUM(ABS(n - f1))::DOUBLE / COUNT(*), 6) AS mae_naive, " +
+        "ROUND(SUM(ABS(n - f7))::DOUBLE / COUNT(*), 6) AS mae_snaive, " +
+        "CASE WHEN SUM(ABS(n - f1)) = 0 THEN CAST(NULL AS DOUBLE) " +
+        "ELSE ROUND(SUM(ABS(n - f7))::DOUBLE / SUM(ABS(n - f1)), 6) END " +
+        "AS mase " +
+        "FROM sc GROUP BY event_type ORDER BY event_type"),
     "ev_benford" ->
       ("""WITH obs AS (
         |  SELECT event_type,

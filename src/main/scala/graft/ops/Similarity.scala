@@ -521,6 +521,51 @@ object Similarity {
     ssDrift(s.table("__dr_raw"))
   }
 
+  /** Per-dimension embedding health audit: mean, population variance, and
+    * active fraction (|x| > 1e-6) for every coordinate. The index-prep
+    * check that finds dead dimensions (variance ~0 — wasted index bytes,
+    * candidates for ssMatryoshka-style truncation) and unbalanced ones
+    * (a dimension whose |mean| dwarfs its spread drags every cosine
+    * toward its sign — a centering bug upstream). Complements ssNorms
+    * (per-vector) and ssDrift (per-label): this is the per-COORDINATE
+    * marginal.
+    *
+    * Engine-exactness: float components cast to double, each term rounded
+    * to 9 dp and summed as DECIMAL — means/variances derive from exact
+    * decimal sums, one terminal ROUND. `dim` is 0-based in both engines.
+    *
+    * Scale: one posexplode pass into a (dim)-keyed partial aggregate —
+    * output is dimensionality-sized (64 rows) at any corpus size; the
+    * explode never materializes (it feeds straight into hash-agg
+    * map-side combine).
+    */
+  def ssDimvar(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    emb.createOrReplaceTempView("__dv_emb")
+    s.sql(
+      """WITH comp AS (
+        |  SELECT p.pos AS dim, CAST(p.x AS DOUBLE) AS x
+        |  FROM __dv_emb LATERAL VIEW posexplode(embedding) p AS pos, x),
+        |a AS (
+        |  SELECT dim, COUNT(*) AS n,
+        |         SUM(CAST(ROUND(x, 9) AS DECIMAL(28,9))) AS s,
+        |         SUM(CAST(ROUND(x * x, 9) AS DECIMAL(28,9))) AS sq,
+        |         SUM(CASE WHEN ABS(x) > 0.000001 THEN 1 ELSE 0 END)
+        |           AS n_act
+        |  FROM comp GROUP BY dim)
+        |SELECT dim, n,
+        |       ROUND(CAST(s AS DOUBLE) / n, 6) AS mean,
+        |       ROUND(CAST(sq AS DOUBLE) / n
+        |             - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
+        |             6) AS variance,
+        |       ROUND(CAST(n_act AS DOUBLE) / n, 6) AS active_frac
+        |FROM a ORDER BY dim""".stripMargin)
+  }
+  def ssDimvar(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "embeddings").createOrReplaceTempView("__dv_raw")
+    ssDimvar(s.table("__dv_raw"))
+  }
+
   /** Hard-negative mining (the contrastive-training prep step: for every
     * anchor, the most-similar vectors that carry a DIFFERENT label —
     * "close but wrong" examples, the ones a triplet/InfoNCE loss learns
@@ -1422,6 +1467,7 @@ object Similarity {
     "ss_norms" -> ((s: SparkSession, dir: String) => ssNorms(s, dir)),
     "ss_centroids" -> ((s: SparkSession, dir: String) => ssCentroids(s, dir)),
     "ss_drift" -> ((s: SparkSession, dir: String) => ssDrift(s, dir)),
+    "ss_dimvar" -> ((s: SparkSession, dir: String) => ssDimvar(s, dir)),
     "ss_hardneg" -> ((s: SparkSession, dir: String) => ssHardNeg(s, dir)),
     "ss_hybrid" -> ((s: SparkSession, dir: String) => ssHybrid(s, dir)),
     "ss_recall" -> ((s: SparkSession, dir: String) => ssRecall(s, dir)),
@@ -1490,6 +1536,21 @@ object Similarity {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ss_dimvar" ->
+      ("WITH comp AS (SELECT u.pos - 1 AS dim, u.x::DOUBLE AS x " +
+        "FROM embeddings, " +
+        "LATERAL (SELECT unnest(embedding) AS x, " +
+        "generate_subscripts(embedding, 1) AS pos) u), " +
+        "a AS (SELECT dim, COUNT(*) AS n, " +
+        "SUM(CAST(ROUND(x, 9) AS DECIMAL(28,9))) AS s, " +
+        "SUM(CAST(ROUND(x * x, 9) AS DECIMAL(28,9))) AS sq, " +
+        "SUM(CASE WHEN ABS(x) > 0.000001 THEN 1 ELSE 0 END) AS n_act " +
+        "FROM comp GROUP BY dim) " +
+        "SELECT dim, n, ROUND(s::DOUBLE / n, 6) AS mean, " +
+        "ROUND(sq::DOUBLE / n - (s::DOUBLE / n) * (s::DOUBLE / n), 6) " +
+        "AS variance, " +
+        "ROUND(n_act::DOUBLE / n, 6) AS active_frac " +
+        "FROM a ORDER BY dim"),
     "ss_quanterr" ->
       """WITH base AS (
         |  SELECT vec_id, label, [x::DOUBLE FOR x IN embedding] AS v

@@ -1323,7 +1323,88 @@ object TextAnalysis {
   def taLogOdds(s: SparkSession, dir: String): DataFrame =
     taLogOdds(Tables.load(s, dir, "documents").select("source", "text"))
 
+  /** Okapi BM25 retrieval: score every corpus document against each query
+    * text and keep the top-k per query. The missing classic next to
+    * taTfidf (corpus keywords) and ssHybrid (whose lexical leg is bigram
+    * Jaccard): BM25 is the lexical ranking function a real retrieval /
+    * hard-negative-mining pipeline actually serves. Lucene's idf form
+    * ln(1 + (N - df + ½)/(df + ½)) keeps every term weight positive;
+    * k1 = 1.2, b = 0.75 are the textbook defaults.
+    *
+    * Engine-exactness: each (query, doc, term) contribution is rounded to
+    * 9 dp and summed as DECIMAL(28,9), so the per-pair score — and the
+    * rank order derived from it — is bit-identical across engines; ties
+    * break on neighbor_id.
+    *
+    * Scale design: the corpus pass is one explode+count into a (doc,
+    * term, tf) relation, materialized once (localCheckpoint — the
+    * InlineCTE multi-consumer lesson: dl, df, and the postings join all
+    * read it). Query terms are a tiny relation (|queries| · vocab-of-
+    * query); the scoring join is postings-bounded — each query term pulls
+    * only the documents containing it, never a cross join — and the
+    * top-k is a per-query window over candidates. At 100 TB the (doc,
+    * term) relation shuffles once on term, exactly like the production
+    * inverted-index build it mirrors; stop-term df ceilings (drop terms
+    * with df > α·N) bound the postings skew the same way the minhash
+    * family bounds candidate fan-in.
+    */
+  def taBm25(docs: DataFrame, queryDocs: DataFrame, k: Int = 10,
+             excludeSelf: Boolean = false): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__bm_docs")
+    queryDocs.createOrReplaceTempView("__bm_qdocs")
+    // one corpus pass; (doc, term, tf) feeds dl, df AND the postings join
+    s.sql(
+      """SELECT doc_id, t.w AS w, COUNT(*) AS tf FROM __bm_docs
+        |LATERAL VIEW explode(split(text, ' ')) t AS w
+        |GROUP BY doc_id, t.w""".stripMargin)
+      .localCheckpoint(eager = false)
+      .createOrReplaceTempView("__bm_tf")
+    val selfGuard = if (excludeSelf) "AND t.doc_id <> q.query_id" else ""
+    s.sql(
+      s"""WITH dl AS (SELECT doc_id, SUM(tf) AS dl FROM __bm_tf
+         |            GROUP BY doc_id),
+         |st AS (SELECT COUNT(*) AS n,
+         |              CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+         |       FROM dl),
+         |df AS (SELECT w, COUNT(*) AS df FROM __bm_tf GROUP BY w),
+         |qt AS (SELECT DISTINCT query_id, t.w AS w FROM
+         |       (SELECT query_id, text FROM __bm_qdocs)
+         |       LATERAL VIEW explode(split(text, ' ')) t AS w),
+         |sc AS (
+         |  SELECT q.query_id, t.doc_id AS neighbor_id,
+         |         COUNT(*) AS n_terms,
+         |         SUM(CAST(ROUND(
+         |             ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+         |             * (t.tf * 2.2)
+         |             / (t.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)),
+         |           9) AS DECIMAL(28,9))) AS score
+         |  FROM qt q JOIN __bm_tf t ON t.w = q.w $selfGuard
+         |  JOIN df ON df.w = t.w JOIN dl ON dl.doc_id = t.doc_id
+         |  CROSS JOIN st
+         |  GROUP BY q.query_id, t.doc_id)
+         |SELECT query_id, neighbor_id, n_terms,
+         |       ROUND(CAST(score AS DOUBLE), 6) AS score, rnk
+         |FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
+         |      FROM sc)
+         |WHERE rnk <= $k
+         |ORDER BY query_id, rnk""".stripMargin)
+  }
+
+  /** The oracle-checked form: the first five corpus documents act as the
+    * query set (the ssHybrid discipline), self-hits excluded.
+    */
+  def taBm25(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+    taBm25(docs,
+      docs.where(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("text")),
+      excludeSelf = true)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_bm25" -> ((s: SparkSession, dir: String) => taBm25(s, dir)),
     "ta_logodds" -> ((s: SparkSession, dir: String) => taLogOdds(s, dir)),
     "ta_nonascii" -> ((s: SparkSession, dir: String) => taNonAscii(s, dir)),
     "ta_vocabjaccard" -> ((s: SparkSession, dir: String) => taVocabJaccard(s, dir)),
@@ -1359,6 +1440,29 @@ object TextAnalysis {
   private val sqlToks = "string_split(text, ' ')"
 
   val oracleSql: Map[String, String] = Map(
+    "ta_bm25" ->
+      (s"WITH tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM " +
+        s"(SELECT doc_id, unnest($sqlToks) AS w FROM documents) " +
+        "GROUP BY doc_id, w), " +
+        "dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id), " +
+        "st AS (SELECT COUNT(*) AS n, SUM(dl)::DOUBLE / COUNT(*) AS avgdl " +
+        "FROM dl), " +
+        "df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w), " +
+        "qt AS (SELECT doc_id AS query_id, w FROM tf WHERE doc_id < 5), " +
+        "sc AS (SELECT q.query_id, t.doc_id AS neighbor_id, " +
+        "COUNT(*) AS n_terms, " +
+        "SUM(CAST(ROUND(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)) " +
+        "* (t.tf * 2.2) " +
+        "/ (t.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)), 9) " +
+        "AS DECIMAL(28,9))) AS score " +
+        "FROM qt q JOIN tf t ON t.w = q.w AND t.doc_id <> q.query_id " +
+        "JOIN df ON df.w = t.w JOIN dl ON dl.doc_id = t.doc_id " +
+        "CROSS JOIN st GROUP BY q.query_id, t.doc_id) " +
+        "SELECT query_id, neighbor_id, n_terms, " +
+        "ROUND(score::DOUBLE, 6) AS score, rnk " +
+        "FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk FROM sc) " +
+        "WHERE rnk <= 10 ORDER BY query_id, rnk"),
     "ta_logodds" ->
       (s"""WITH tok AS (
          |  SELECT source, unnest($sqlToks) AS token FROM documents),

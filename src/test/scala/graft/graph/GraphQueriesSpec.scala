@@ -567,6 +567,34 @@ class GraphQueriesSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("LabelProp: synchronous plurality vote == in-memory replay; bridged triangles split") {
+    import spark.implicits._
+    // two triangles joined by a single bridge 3-4: reachability (CC)
+    // sees ONE component; three LPA rounds must recover the two dense
+    // clusters. The replay below applies the exact update rule —
+    // plurality over neighbor labels, ties to the smallest label —
+    // synchronously, so the engine result must match label-for-label.
+    val fwd = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (4L, 6L))
+    val adj = fwd.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2) }
+    var lbl = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 3) lbl = adj.map { case (n, ns) =>
+      val votes = ns.map(lbl).groupBy(identity)
+        .map { case (l, xs) => (l, xs.size) }
+      val best = votes.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      n -> best
+    }
+    val got = LabelProp.run(spark,
+      fwd.toDF("u", "v"), rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == lbl)
+    // the vote found exactly two communities, split at the bridge
+    assert(Set(1L, 2L, 3L).map(got) != Set(4L, 5L, 6L).map(got))
+    assert(Set(1L, 2L, 3L).map(got).size == 1)
+    assert(Set(4L, 5L, 6L).map(got).size == 1)
+  }
+
   test("Walks: a dead-end vertex truncates the walk, steps 0..k emitted") {
     import spark.implicits._
     // directed path 1 -> 2 -> 3, nothing out of 3: the walk is forced

@@ -2912,4 +2912,142 @@ class PipelineSpec extends AnyFunSuite {
         r.getDouble(3) > 0.0 && r.getDouble(3) < 1.0)
     }
   }
+
+  test("taBm25: scores replay the Okapi formula; rare terms outrank common ones") {
+    import spark.implicits._
+    // 'cherry' appears in 1 of 4 docs, 'apple' in 3 — a cherry match
+    // must outscore an equal-tf apple match from the same doc length
+    val docs = Seq(
+      (0L, "apple banana"),
+      (1L, "apple apple cherry"),
+      (2L, "durian cherry"),
+      (3L, "apple banana banana")).toDF("doc_id", "text")
+    val q = Seq((100L, "apple cherry")).toDF("query_id", "text")
+    val got = TextAnalysis.taBm25(docs, q, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: BigDecimal) =
+      x.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dl = Map(0L -> 2.0, 1L -> 3.0, 2L -> 2.0, 3L -> 3.0)
+    val avgdl = 10.0 / 4
+    val df = Map("apple" -> 3.0, "cherry" -> 2.0) // N=4 docs
+    def idf(t: String) = math.log(1 + (4 - df(t) + 0.5) / (df(t) + 0.5))
+    def term(t: String, tf: Double, d: Long) =
+      r9(idf(t) * tf * 2.2 /
+        (tf + 1.2 * (0.25 + 0.75 * dl(d) / avgdl)))
+    val want = Map(
+      0L -> r6(term("apple", 1, 0L)),
+      1L -> r6(term("apple", 2, 1L) + term("cherry", 1, 1L)),
+      2L -> r6(term("cherry", 1, 2L)),
+      3L -> r6(term("apple", 1, 3L)))
+    assert(got.map(r => r._2 -> r._4).toMap == want)
+    // ranks dense, scores non-increasing
+    assert(got.map(_._5).toSeq == (1L to 4L))
+    assert(got.map(_._4).toSeq == got.map(_._4).sortBy(-_).toSeq)
+    // doc 1 (apple×2 + cherry) must rank first; the cherry-only doc 2
+    // must outrank the apple-only doc 0 despite equal tf and length
+    assert(got.head._2 == 1L)
+    assert(got.find(_._2 == 2L).get._5 < got.find(_._2 == 0L).get._5)
+    // oracle form: 5 queries, self excluded, ranks dense from 1
+    val orc = TextAnalysis.taBm25(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(orc.map(_._1).distinct.sorted.toSeq == (0L to 4L))
+    orc.foreach { case (qid, nid, _) => assert(qid != nid) }
+    assert(orc.groupBy(_._1).forall { case (_, rs) =>
+      rs.map(_._3).sorted.toSeq == (1L to rs.length) })
+  }
+
+  test("evCuped: theta/means/variances replay the decimal fold; flat covariate reads theta 0") {
+    import spark.implicits._
+    def variant(u: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ab:$u".getBytes("UTF-8"))
+      if (((d(0) >> 4) & 0xf) < 8) "A" else "B"
+    }
+    def ts(day: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z")
+        .plusSeconds(day * 86400L + 60))
+    // whole-dollar values keep every ROUND a no-op on exact integers:
+    // pre (day 0 < cut at day 15) X = u; post (day 20) Y = 2u + 5·1{B}
+    // plus a u-parity wiggle so neither arm is exactly linear
+    def y(u: Long) = 2.0 * u + (if (variant(u) == "B") 5.0 else 0.0) +
+      (if (u % 2 == 0) 1.0 else 0.0)
+    val evs = (1L to 20L).flatMap { u =>
+      Seq((u * 2, ts(0), u, "purchase", u.toDouble),
+        (u * 2 + 1, ts(20), u, "purchase", y(u)))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    def r(x: Double, s: Int) = BigDecimal(x)
+      .setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val us = (1L to 20L).map(u => (variant(u), u.toDouble, y(u)))
+    val n = us.length
+    val (sx, sy) = (us.map(_._2).sum, us.map(_._3).sum)
+    val (sxy, sxx) = (us.map(t => t._2 * t._3).sum, us.map(t => t._2 * t._2).sum)
+    val theta = r((sxy - sx * sy / n) / (sxx - sx * sx / n), 9)
+    val mx = sx / n
+    val byArm = us.groupBy(_._1).map { case (v, rs) =>
+      val ys = rs.map(_._3)
+      val yas = rs.map(t => r(t._3 - theta * (t._2 - mx), 6))
+      val m = rs.length
+      val (my, ma) = (ys.sum / m, yas.map(BigDecimal(_)).sum.toDouble / m)
+      val vy = ys.map(v => r(v * v, 6)).sum / m - my * my
+      val va = yas.map(v => r(v * v, 6)).map(BigDecimal(_)).sum.toDouble / m - ma * ma
+      v -> ((m.toLong, r(theta, 6), r(my, 6), r(ma, 6), r(vy, 6), r(va, 6),
+        r(1 - va / vy, 6)))
+    }
+    val got = Sessionize.evCuped(evs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7)))).toMap
+    assert(got == byArm)
+    // the adjustment bought real variance: strongly X-correlated Y
+    got.values.foreach { case (_, _, _, _, vy, va, red) =>
+      assert(va < vy && red > 0.5)
+    }
+    // the B-arm lift survives adjustment (≈5 between adjusted means)
+    assert(math.abs((got("B")._4 - got("A")._4) - 5.0) < 1.5)
+    // degenerate covariate (all X equal): guard reads theta 0 and the
+    // adjusted column degenerates to Y exactly
+    val flat = (1L to 20L).flatMap { u =>
+      Seq((u * 2, ts(0), u, "purchase", 7.0),
+        (u * 2 + 1, ts(20), u, "purchase", y(u)))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    Sessionize.evCuped(flat).collect().foreach { r =>
+      assert(r.getDouble(2) == 0.0 &&
+        r.getDouble(3) == r.getDouble(4) && r.getDouble(7) == 0.0)
+    }
+  }
+
+  test("evForecast: calendar-joined MAEs and MASE replay; constant series reads NULL mase") {
+    import spark.implicits._
+    def at(day: Int, j: Int) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(day * 86400L + j))
+    // type 'a': count on day i is i+1 (0..9) — scored days 7,8,9 have
+    // |n-f1| = 1 and |n-f7| = 7 exactly; type 'b' is constant 2/day
+    val evs = ((for {
+      d <- 0 until 10; j <- 0 to d
+    } yield (1L, at(d, j), "a")) ++ (for {
+      d <- 0 until 10; j <- 0 until 2
+    } yield (2L, at(d, j), "b"))).toDF("user_id", "ts", "event_type")
+    val rows = Sessionize.evForecast(evs).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), Option(r.get(4))))).toMap
+    assert(rows("a") == ((3L, 1.0, 7.0, Some(7.0))))
+    assert(rows("b") == ((3L, 0.0, 0.0, None)))
+    // a gap day scores nothing: drop day 8 of 'a' entirely — day 8
+    // can't be scored (absent) and day 9 loses its day-1 neighbor
+    val gappy = evs.where("event_type = 'b' OR ts < timestamp'1970-01-09' OR ts >= timestamp'1970-01-10'")
+    val g2 = Sessionize.evForecast(gappy).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(g2("a") == 1L) // only day 7 still has both neighbors
+    // oracle form: 5 types, all scored; mase finite positive
+    val orc = Sessionize.evForecast(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(orc.length == 5)
+    orc.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getDouble(2) >= 0.0 &&
+        (r.isNullAt(4) || r.getDouble(4) > 0.0))
+    }
+  }
 }

@@ -595,4 +595,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(orc.map(_._1).sum == 500L)
     orc.foreach { case (_, m, mn) => assert(m >= 0.999 && mn >= 0.99) }
   }
+
+  test("ssDimvar: dead, constant and live dimensions read their exact marginals") {
+    import spark.implicits._
+    // dim0 live (1,3): mean 2, var 1, active; dim1 dead zeros;
+    // dim2 constant 0.5: var 0 but fully active — the three regimes
+    // the audit exists to separate
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.5f)),
+      (1L, Array(3.0f, 0.0f, 0.5f))).toDF("vec_id", "embedding")
+    val got = Similarity.ssDimvar(emb).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (0, 2L, 2.0, 1.0, 1.0),
+      (1, 2L, 0.0, 0.0, 0.0),
+      (2, 2L, 0.5, 0.0, 1.0)))
+    // oracle form: one row per dimension, all dims present, counts full
+    val orc = Similarity.ssDimvar(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+    assert(orc.map(_._1).toSeq == (0 until 64))
+    orc.foreach { case (_, n, v, af) =>
+      assert(n == 500L && v > 0.0 && af > 0.0 && af <= 1.0)
+    }
+  }
 }
