@@ -1,7 +1,6 @@
 package graft.graph
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -24,11 +23,16 @@ import org.apache.spark.storage.StorageLevel
   * dependence.
   *
   * Per round: one equi-join of the edge list against the labels on the
-  * neighbor end + one (node, label) count + one per-node top-1 window —
-  * all hash-partitioned on node id; cost is O(|E|) rows per round with no
-  * quadratic term. The edge relation is persisted once and reused across
-  * rounds; labels are lazily checkpointed per round to sever lineage
-  * (the ConnectedComponents discipline).
+  * neighbor end + one (node, label) count + one per-node `max_by` top-1 —
+  * two hash aggregates (both partial-aggregable map-side), NO per-node
+  * sort: the plurality/min-tie vote is the struct-ordering maximum of
+  * (count, -label), so the round never pays a WindowExec sort over the
+  * adjacency. Cost is O(|E|) rows per round with no quadratic term. The
+  * edge relation is persisted once and reused across rounds; labels are
+  * lazily checkpointed per round and the final labelling is materialized
+  * eagerly before the edge cache is released (fixed rounds mean no
+  * in-loop convergence action exists to pin the cache, unlike
+  * ConnectedComponents' per-round exact-sum).
   */
 object LabelProp {
 
@@ -46,17 +50,16 @@ object LabelProp {
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint(eager = false)
-    val top1 = Window.partitionBy("a")
-      .orderBy(col("c").desc, col("lbl").asc)
     for (_ <- 1 to rounds) {
       labels = edges.join(labels, edges("b") === labels("node"))
         .groupBy(edges("a"), col("lbl")).agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(top1))
-        .where(col("rn") === 1)
-        .select(col("a").as("node"), col("lbl"))
+        .groupBy(col("a").as("node"))
+        .agg(max_by(col("lbl"), struct(col("c"), -col("lbl"))).as("lbl"))
         .localCheckpoint(eager = false)
     }
+    val out = labels.select(col("node"), col("lbl").as("community"))
+      .localCheckpoint(eager = true)
     edges.unpersist()
-    labels.select(col("node"), col("lbl").as("community"))
+    out
   }
 }
