@@ -1112,17 +1112,100 @@ object GraphQueries {
       .orderBy("user_id")
   }
 
-  val q55OracleSql: String = {
+  /** Q56: Newman modularity decomposition of the q55 LPA partition — per
+    * community: size, internal edge count, degree mass, and the
+    * modularity contribution e_c/m − (d_c/2m)². The quality score that
+    * turns q55's labels into a number: Σ contribution is the partition's
+    * modularity Q, and a community whose contribution is ≤ 0 is no denser
+    * than chance (the signal a curation pipeline uses to decide whether
+    * cluster-level sampling is meaningful at all).
+    *
+    * Engine-exactness: e_c, d_c, m are integers; the contribution is two
+    * IEEE divisions, one multiply and one subtract on those integers —
+    * identical expression order both engines, one terminal ROUND.
+    *
+    * Scale: rides the capped pair relation (cooccurPairs' declared
+    * fan-out bound); everything after the LPA rounds is one degree
+    * aggregate + two community-sized joins; m broadcasts as a 1-row
+    * relation.
+    */
+  def q56_modularity(s: SparkSession, dir: String): DataFrame = {
+    val und = cooccurPairs(userBuckets(s, dir))
+      .localCheckpoint(eager = false) // consumed by LPA, m, deg, intra
+    modularity(und, LabelProp.run(s, und, rounds = 3))
+  }
+
+  /** The production entry: score ANY partition (`labels`: node,
+    * community) of ANY undirected edge relation (`und`: u, v, one row
+    * per edge) — the q56 oracle form fixes both to the LPA-3 labelling
+    * of the capped co-occurrence graph.
+    */
+  def modularity(und: DataFrame, labels: DataFrame): DataFrame = {
+    val m = und.agg(count(lit(1)).as("m"))
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val dc = labels.join(deg, "node")
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("degree_sum"))
+    val la = labels.select(col("node").as("u"), col("community").as("cu"))
+    val lb = labels.select(col("node").as("v"), col("community").as("cv"))
+    val ic = und.join(la, "u").join(lb, "v")
+      .where(col("cu") === col("cv"))
+      .groupBy(col("cu").as("community"))
+      .agg(count(lit(1)).as("intra"))
+    dc.join(ic, Seq("community"), "left").crossJoin(m)
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("intra"), lit(0L)).as("intra_edges"),
+        col("degree_sum"),
+        round(coalesce(col("intra"), lit(0L)).cast("double") / col("m")
+          - (col("degree_sum").cast("double") / (lit(2) * col("m")))
+            * (col("degree_sum").cast("double") / (lit(2) * col("m"))),
+          6).as("contribution"))
+      .orderBy("community")
+  }
+
+  val q56OracleSql: String =
+    (s"WITH $lpaOracleCtes" + """,
+      |mm AS (SELECT COUNT(*) AS m FROM und),
+      |deg AS (SELECT a AS node, COUNT(*) AS d FROM e GROUP BY a),
+      |dc AS (
+      |  SELECT l.lbl AS community, COUNT(*) AS n_nodes,
+      |         CAST(SUM(deg.d) AS BIGINT) AS degree_sum
+      |  FROM l3 l JOIN deg ON deg.node = l.node GROUP BY l.lbl),
+      |ic AS (
+      |  SELECT la.lbl AS community, COUNT(*) AS intra
+      |  FROM und JOIN l3 la ON la.node = und.u
+      |           JOIN l3 lb ON lb.node = und.v
+      |  WHERE la.lbl = lb.lbl GROUP BY la.lbl)
+      |SELECT dc.community, dc.n_nodes,
+      |       COALESCE(ic.intra, 0) AS intra_edges, dc.degree_sum,
+      |       ROUND(COALESCE(ic.intra, 0)::DOUBLE / mm.m
+      |             - (dc.degree_sum::DOUBLE / (2 * mm.m))
+      |               * (dc.degree_sum::DOUBLE / (2 * mm.m)), 6)
+      |         AS contribution
+      |FROM dc CROSS JOIN mm
+      |LEFT JOIN ic ON ic.community = dc.community
+      |ORDER BY dc.community""".stripMargin).replaceAll("\n", " ")
+
+  /** The shared DuckDB CTE chain for q55/q56: capped co-occurrence
+    * pairing (`und`, `e`) + three unrolled synchronous LPA votes
+    * (`l1`..`l3`) — the oracle twin of `cooccurPairs` + [[LabelProp]].
+    */
+  // lazy: referenced by q56OracleSql, which is declared above it
+  private lazy val lpaOracleCtes: String = {
     def round(t: Int): String =
       s"""l$t AS (
          |  SELECT a AS node, lbl FROM (
-         |    SELECT e.a, l.lbl, COUNT(*) AS c,
-         |           ROW_NUMBER() OVER (PARTITION BY e.a
-         |             ORDER BY COUNT(*) DESC, l.lbl) AS rn
-         |    FROM e JOIN l${t - 1} l ON l.node = e.b
-         |    GROUP BY e.a, l.lbl)
+         |    SELECT a, lbl, COUNT(*) AS c,
+         |           ROW_NUMBER() OVER (PARTITION BY a
+         |             ORDER BY COUNT(*) DESC, lbl) AS rn
+         |    FROM (SELECT e.a, l.lbl
+         |          FROM e JOIN l${t - 1} l ON l.node = e.b
+         |          UNION ALL SELECT node AS a, lbl FROM l${t - 1})
+         |    GROUP BY a, lbl)
          |  WHERE rn = 1)""".stripMargin
-    (s"""WITH ub AS (
+    s"""ub AS (
       |  SELECT DISTINCT user_id, epoch_us(ts) // 10000000 AS b
       |  FROM events),
       |capped AS (
@@ -1136,12 +1219,16 @@ object GraphQueries {
       |e AS (SELECT u AS a, v AS b FROM und
       |      UNION ALL SELECT v, u FROM und),
       |l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM e),
-      |""".stripMargin + (1 to 3).map(round).mkString(",\n") + """
-      |SELECT node AS user_id, lbl AS community FROM l3
-      |ORDER BY user_id""".stripMargin).replaceAll("\n", " ")
+      |""".stripMargin + (1 to 3).map(round).mkString(",\n")
   }
 
+  val q55OracleSql: String =
+    (s"WITH $lpaOracleCtes" + """
+      |SELECT node AS user_id, lbl AS community FROM l3
+      |ORDER BY user_id""".stripMargin).replaceAll("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_modularity" -> (q56_modularity _),
     "q55_labelprop" -> (q55_labelprop _),
     "q54_walks" -> (q54_walks _),
     "q40_assortativity" -> (q40_assortativity _),
@@ -1168,6 +1255,7 @@ object GraphQueries {
     "q26_sssp" -> (q26_sssp _))
 
   val oracleSql: Map[String, String] = Map(
+    "q56_modularity" -> q56OracleSql,
     "q55_labelprop" -> q55OracleSql,
     "q54_walks" -> q54OracleSql,
     "q40_assortativity" -> q40OracleSql,

@@ -10,12 +10,17 @@ import org.apache.spark.storage.StorageLevel
   * Unlike ConnectedComponents (which converges to one label per connected
   * component — a REACHABILITY answer), LPA's plurality-vote update finds
   * densely-linked clusters INSIDE a component: each round every node
-  * adopts the most frequent label among its neighbors, ties broken toward
-  * the smallest label. The round count is FIXED (a declared parameter,
-  * not a convergence test): synchronous LPA can two-cycle on bipartite
-  * structure, so production runs pick a small fixed budget — and a fixed
-  * budget is what keeps the op DuckDB-expressible (the oracle unrolls the
-  * same rounds verbatim).
+  * adopts the most frequent label among ITSELF and its neighbors, ties
+  * broken toward the smallest label. The self-vote is load-bearing:
+  * without it, synchronous LPA on clique-ish structure settles into a
+  * 2-cycle whose label groups are INDEPENDENT SETS (measured on the
+  * sf0.01 co-occurrence graph — every community had zero intra edges,
+  * i.e. anti-communities), while the self-inclusive vote damps the
+  * oscillation and converges onto the dense clusters. The round count is
+  * FIXED (a declared parameter, not a convergence test): even damped
+  * synchronous LPA can cycle on bipartite structure, so production runs
+  * pick a small fixed budget — and a fixed budget is what keeps the op
+  * DuckDB-expressible (the oracle unrolls the same votes verbatim).
   *
   * Determinism: the update is a pure function of the previous labelling
   * (count DESC, label ASC rank), so results are reproducible across
@@ -51,8 +56,11 @@ object LabelProp {
       .withColumn("lbl", col("node"))
       .localCheckpoint(eager = false)
     for (_ <- 1 to rounds) {
-      labels = edges.join(labels, edges("b") === labels("node"))
-        .groupBy(edges("a"), col("lbl")).agg(count(lit(1)).as("c"))
+      val votes = edges.join(labels, edges("b") === labels("node"))
+        .select(edges("a"), col("lbl"))
+        .unionAll(labels.select(col("node").as("a"), col("lbl")))
+      labels = votes
+        .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("c"))
         .groupBy(col("a").as("node"))
         .agg(max_by(col("lbl"), struct(col("c"), -col("lbl"))).as("lbl"))
         .localCheckpoint(eager = false)

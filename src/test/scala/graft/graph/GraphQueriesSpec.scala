@@ -572,15 +572,16 @@ class GraphQueriesSpec extends AnyFunSuite {
     // two triangles joined by a single bridge 3-4: reachability (CC)
     // sees ONE component; three LPA rounds must recover the two dense
     // clusters. The replay below applies the exact update rule —
-    // plurality over neighbor labels, ties to the smallest label —
-    // synchronously, so the engine result must match label-for-label.
+    // plurality over the node's own label plus its neighbors', ties to
+    // the smallest label — synchronously, so the engine result must
+    // match label-for-label.
     val fwd = Seq((1L, 2L), (2L, 3L), (1L, 3L),
       (3L, 4L), (4L, 5L), (5L, 6L), (4L, 6L))
     val adj = fwd.flatMap { case (u, v) => Seq(u -> v, v -> u) }
       .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2) }
     var lbl = adj.keys.map(n => n -> n).toMap
     for (_ <- 1 to 3) lbl = adj.map { case (n, ns) =>
-      val votes = ns.map(lbl).groupBy(identity)
+      val votes = (lbl(n) +: ns.map(lbl)).groupBy(identity)
         .map { case (l, xs) => (l, xs.size) }
       val best = votes.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
       n -> best
@@ -593,6 +594,31 @@ class GraphQueriesSpec extends AnyFunSuite {
     assert(Set(1L, 2L, 3L).map(got) != Set(4L, 5L, 6L).map(got))
     assert(Set(1L, 2L, 3L).map(got).size == 1)
     assert(Set(4L, 5L, 6L).map(got).size == 1)
+  }
+
+  test("modularity: bridged triangles score the hand contributions; one-community partition reads exactly 0") {
+    import spark.implicits._
+    // same graph as the LabelProp spec: m=7, two degree-7 triangles
+    // joined by the 3-4 bridge. Per community: e_c=3, d_c=7 →
+    // 3/7 − (7/14)² = 0.178571 each (Q ≈ 0.357 — a real split)
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (4L, 6L)).toDF("u", "v")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 4L)).toDF("node", "community")
+    val got = GraphQueries.modularity(und, labels).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 3L, 7L, 0.178571), (4L, 3L, 3L, 7L, 0.178571)))
+    // the whole graph as one community: e_c=m, d_c=2m → 1 − 1 = 0,
+    // exactly — the null partition carries no modularity
+    val g1 = GraphQueries.modularity(und,
+      labels.selectExpr("node", "CAST(9 AS BIGINT) AS community")).collect()
+    assert(g1.length == 1 && g1.head.getDouble(4) == 0.0)
+    // all-singleton partition: no intra edges, every contribution < 0
+    GraphQueries.modularity(und,
+      labels.selectExpr("node", "node AS community")).collect()
+      .foreach { r => assert(r.getLong(2) == 0L && r.getDouble(4) < 0.0) }
   }
 
   test("Walks: a dead-end vertex truncates the walk, steps 0..k emitted") {
