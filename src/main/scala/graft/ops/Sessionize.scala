@@ -1934,6 +1934,73 @@ object Sessionize {
     evForecast(s.table("__events"))
   }
 
+  /** Offline changepoint detection per event type (binary segmentation,
+    * one split): over the observed daily-count series, pick the boundary
+    * that maximizes the between-segment sum of squares
+    * n1·n2/n·(mean_left − mean_right)² — the first step of the standard
+    * binary-segmentation recursion, and the day a traffic migration /
+    * logging change actually landed. Complements evSpike (short-window
+    * ratio anomalies — a SPIKE) with the level-shift detector (a STEP):
+    * a permanent 2× shift stops alarming evSpike after one baseline
+    * window but is exactly what this op localizes.
+    *
+    * `boundary_day` is the LAST day of the left segment; ties on gain
+    * break toward the earliest boundary (so an all-constant series reads
+    * the first day deterministically, gain 0).
+    *
+    * Engine-exactness: daily counts are integers, prefix sums integer
+    * windows; the gain and means are fixed-order IEEE expressions on
+    * those integers, identical in both engines, rounded only on output.
+    * The argmax compares unrounded doubles — same input bits, same
+    * winner.
+    *
+    * Scale: one (event_type, day) count aggregate compacts the corpus;
+    * everything after (prefix-sum window, candidate scoring, top-1) runs
+    * on the days-sized relation. Nothing per-event is sorted.
+    */
+  def evChangepoint(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__cpt_events")
+    s.sql(
+      """WITH daily AS (
+        |  SELECT event_type, unix_micros(ts) div 86400000000 AS day,
+        |         COUNT(*) AS n
+        |  FROM __cpt_events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, COUNT(*) AS nd, SUM(n) AS s
+        |  FROM daily GROUP BY event_type),
+        |pre AS (
+        |  SELECT event_type, day,
+        |         SUM(n) OVER (PARTITION BY event_type ORDER BY day)
+        |           AS cs,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+        |           AS i
+        |  FROM daily),
+        |cand AS (
+        |  SELECT p.event_type, p.day AS boundary_day,
+        |         p.i AS n_left, t.nd - p.i AS n_right,
+        |         CAST(p.cs AS DOUBLE) / p.i AS ml,
+        |         CAST(t.s - p.cs AS DOUBLE) / (t.nd - p.i) AS mr,
+        |         t.nd AS nd
+        |  FROM pre p JOIN tot t ON t.event_type = p.event_type
+        |  WHERE p.i < t.nd),
+        |sc AS (
+        |  SELECT event_type, boundary_day, n_left, n_right, ml, mr,
+        |         (ml - mr) * (ml - mr) * n_left * n_right / nd AS gain,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |           ORDER BY (ml - mr) * (ml - mr) * n_left * n_right / nd
+        |             DESC, boundary_day) AS rn
+        |  FROM cand)
+        |SELECT event_type, boundary_day, n_left, n_right,
+        |       ROUND(ml, 6) AS mean_left, ROUND(mr, 6) AS mean_right,
+        |       ROUND(gain, 6) AS gain
+        |FROM sc WHERE rn = 1 ORDER BY event_type""".stripMargin)
+  }
+  def evChangepoint(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evChangepoint(s.table("__events"))
+  }
+
   /** CUPED variance-reduced A/B readout (Deng et al., WSDM'13): split
     * users into arms by the evAbTest/evSrm md5 rule, take each user's
     * PRE-period value sum as the covariate X and the POST-period sum as
@@ -2046,6 +2113,7 @@ object Sessionize {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_benford" -> ((s: SparkSession, dir: String) => evBenford(s, dir)),
+    "ev_changepoint" -> ((s: SparkSession, dir: String) => evChangepoint(s, dir)),
     "ev_forecast" -> ((s: SparkSession, dir: String) => evForecast(s, dir)),
     "ev_cuped" -> ((s: SparkSession, dir: String) => evCuped(s, dir)),
     "ev_seasonality" -> ((s: SparkSession, dir: String) => evSeasonality(s, dir)),
@@ -2093,6 +2161,31 @@ object Sessionize {
       "* (1::DOUBLE / na + 1::DOUBLE / nb))")
 
   val oracleSql: Map[String, String] = Map(
+    "ev_changepoint" ->
+      ("WITH daily AS (SELECT event_type, " +
+        "epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n " +
+        "FROM events GROUP BY 1, 2), " +
+        "tot AS (SELECT event_type, COUNT(*) AS nd, SUM(n) AS s " +
+        "FROM daily GROUP BY event_type), " +
+        "pre AS (SELECT event_type, day, " +
+        "SUM(n) OVER (PARTITION BY event_type ORDER BY day) AS cs, " +
+        "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i " +
+        "FROM daily), " +
+        "cand AS (SELECT p.event_type, p.day AS boundary_day, " +
+        "p.i AS n_left, t.nd - p.i AS n_right, " +
+        "p.cs::DOUBLE / p.i AS ml, " +
+        "(t.s - p.cs)::DOUBLE / (t.nd - p.i) AS mr, t.nd AS nd " +
+        "FROM pre p JOIN tot t ON t.event_type = p.event_type " +
+        "WHERE p.i < t.nd), " +
+        "sc AS (SELECT event_type, boundary_day, n_left, n_right, ml, mr, " +
+        "(ml - mr) * (ml - mr) * n_left * n_right / nd AS gain, " +
+        "ROW_NUMBER() OVER (PARTITION BY event_type " +
+        "ORDER BY (ml - mr) * (ml - mr) * n_left * n_right / nd DESC, " +
+        "boundary_day) AS rn FROM cand) " +
+        "SELECT event_type, boundary_day, n_left, n_right, " +
+        "ROUND(ml, 6) AS mean_left, ROUND(mr, 6) AS mean_right, " +
+        "ROUND(gain, 6) AS gain " +
+        "FROM sc WHERE rn = 1 ORDER BY event_type"),
     "ev_cuped" ->
       ("WITH b AS (SELECT MIN(epoch_us(ts)) + 15 * 86400000000 AS cut " +
         "FROM events), " +

@@ -3019,6 +3019,32 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("evChangepoint: planted level shift localized exactly; constant series ties to the first day with gain 0") {
+    import spark.implicits._
+    def at(day: Int, j: Int) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(day * 86400L + j))
+    // type 'a': 5/day for days 0..9, then 50/day for days 10..19 —
+    // the split must land at boundary_day 9 with means 5 and 50 and
+    // gain = 45² · (10·10/20) = 10125; type 'b' is constant 2/day
+    val evs = ((for { d <- 0 until 10; j <- 0 until 5 }
+      yield (1L, at(d, j), "a")) ++
+      (for { d <- 10 until 20; j <- 0 until 50 }
+        yield (1L, at(d, j), "a")) ++
+      (for { d <- 0 until 10; j <- 0 until 2 }
+        yield (2L, at(d, j), "b"))).toDF("user_id", "ts", "event_type")
+    val got = Sessionize.evChangepoint(evs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5),
+        r.getDouble(6)))).toMap
+    assert(got("a") == ((9L, 10, 10L, 5.0, 50.0, 10125.0)))
+    assert(got("b") == ((0L, 1, 9L, 2.0, 2.0, 0.0)))
+    // oracle form: every type scored, gains nonnegative
+    val orc = Sessionize.evChangepoint(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(orc.length == 5)
+    orc.foreach(r => assert(r.getDouble(6) >= 0.0))
+  }
+
   test("evForecast: calendar-joined MAEs and MASE replay; constant series reads NULL mase") {
     import spark.implicits._
     def at(day: Int, j: Int) = java.sql.Timestamp.from(
