@@ -566,6 +566,89 @@ object Similarity {
     ssDimvar(s.table("__dv_raw"))
   }
 
+  /** Leading principal component of the embedding covariance by fixed-
+    * round power iteration — the index-prep step after ssDimvar's
+    * marginals: the dominant axis is what a PCA-rotation / mean-centering
+    * bug inflates, what IVF centroids stretch along, and (loading²
+    * spectrum) how much of the corpus variance one direction explains.
+    *
+    * One corpus pass builds the Gram relation: a double posexplode fans
+    * each vector into its d² coordinate products, feeding straight into a
+    * map-side-combinable (i,j) aggregate — d²=4096 groups at ANY corpus
+    * size, never materialized wider than the aggregate state (the
+    * ssDimvar discipline squared). The covariance C = G/n − μμᵀ and the
+    * `rounds` matrix-vector products then run on the 4096-row relation —
+    * free at any scale. The Gram aggregate is materialized once
+    * (InlineCTE re-runs multi-consumer CTEs; three rounds consume C).
+    *
+    * v0 = all-ones (exact; normalization happens every round, so v0 only
+    * fixes the starting direction and the sign convention). Degenerate
+    * zero-variance corpora read loading 0 / eigenvalue 0 via the norm
+    * guard rather than a division by zero.
+    *
+    * Engine-exactness: Gram terms and means are 9-dp-rounded decimal
+    * sums; each matvec term and squared-norm term likewise (12 dp); the
+    * per-round normalization is one IEEE division + sqrt on identical
+    * bits, re-rounded to 9 dp — both engines walk the same lattice, so
+    * the unrolled oracle is hash-exact.
+    */
+  def ssPower(emb: DataFrame, rounds: Int = 3): DataFrame = {
+    val s = emb.sparkSession
+    emb.createOrReplaceTempView("__pw_emb")
+    // the single corpus pass: (i, j) -> Gram sum + (i, j=0) -> mean sum
+    s.sql(
+      """SELECT p.pi AS i, q.qj AS j,
+        |       SUM(CAST(ROUND(CAST(p.px AS DOUBLE) * CAST(q.qx AS DOUBLE),
+        |                      9) AS DECIMAL(28,9))) AS g,
+        |       SUM(CASE WHEN q.qj = 0
+        |                THEN CAST(ROUND(CAST(p.px AS DOUBLE), 9)
+        |                          AS DECIMAL(28,9))
+        |                ELSE CAST(0 AS DECIMAL(28,9)) END) AS sx,
+        |       COUNT(*) AS cnt
+        |FROM __pw_emb
+        |LATERAL VIEW posexplode(embedding) p AS pi, px
+        |LATERAL VIEW posexplode(embedding) q AS qj, qx
+        |GROUP BY p.pi, q.qj""".stripMargin)
+      .localCheckpoint(eager = false)
+      .createOrReplaceTempView("__pw_gram")
+    val roundCtes = (1 to rounds).map { t =>
+      s"""w$t AS (
+         |  SELECT cov.i,
+         |         CAST(SUM(CAST(ROUND(cov.c * v.v, 12)
+         |                       AS DECIMAL(38,12))) AS DOUBLE) AS w
+         |  FROM cov JOIN v${t - 1} v ON v.i = cov.j GROUP BY cov.i),
+         |n$t AS (
+         |  SELECT sqrt(CAST(SUM(CAST(ROUND(w * w, 12)
+         |                            AS DECIMAL(38,12))) AS DOUBLE))
+         |           AS nrm
+         |  FROM w$t),
+         |v$t AS (
+         |  SELECT i, CASE WHEN nrm = 0 THEN CAST(0 AS DOUBLE)
+         |                 ELSE ROUND(w / nrm, 9) END AS v
+         |  FROM w$t CROSS JOIN n$t)""".stripMargin
+    }.mkString(",\n")
+    s.sql(
+      s"""WITH m AS (
+         |  SELECT i, CAST(sx AS DOUBLE) / cnt AS mu
+         |  FROM __pw_gram WHERE j = 0),
+         |cov AS (
+         |  SELECT a.i, a.j,
+         |         ROUND(CAST(a.g AS DOUBLE) / a.cnt - mi.mu * mj.mu, 9)
+         |           AS c
+         |  FROM __pw_gram a
+         |  JOIN m mi ON mi.i = a.i JOIN m mj ON mj.i = a.j),
+         |v0 AS (SELECT i, CAST(1 AS DOUBLE) AS v FROM m),
+         |$roundCtes
+         |SELECT v.i AS dim, ROUND(v.v, 6) AS loading,
+         |       ROUND(n.nrm, 6) AS eigenvalue
+         |FROM v$rounds v CROSS JOIN n$rounds n
+         |ORDER BY dim""".stripMargin)
+  }
+  def ssPower(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "embeddings").createOrReplaceTempView("__pw_raw")
+    ssPower(s.table("__pw_raw"))
+  }
+
   /** Hard-negative mining (the contrastive-training prep step: for every
     * anchor, the most-similar vectors that carry a DIFFERENT label —
     * "close but wrong" examples, the ones a triplet/InfoNCE loss learns
@@ -1468,6 +1551,7 @@ object Similarity {
     "ss_centroids" -> ((s: SparkSession, dir: String) => ssCentroids(s, dir)),
     "ss_drift" -> ((s: SparkSession, dir: String) => ssDrift(s, dir)),
     "ss_dimvar" -> ((s: SparkSession, dir: String) => ssDimvar(s, dir)),
+    "ss_power" -> ((s: SparkSession, dir: String) => ssPower(s, dir)),
     "ss_hardneg" -> ((s: SparkSession, dir: String) => ssHardNeg(s, dir)),
     "ss_hybrid" -> ((s: SparkSession, dir: String) => ssHybrid(s, dir)),
     "ss_recall" -> ((s: SparkSession, dir: String) => ssRecall(s, dir)),
@@ -1535,7 +1619,44 @@ object Similarity {
       "WHERE rn <= 10 ORDER BY query_id, rn")
   }
 
+  /** DuckDB twin of [[ssPower]]'s unrolled power-iteration rounds. */
+  private lazy val ssPowerOracle: String = {
+    val roundCtes = (1 to 3).map { t =>
+      s"w$t AS (SELECT cov.i, " +
+        "CAST(SUM(CAST(ROUND(cov.c * v.v, 12) AS DECIMAL(38,12))) " +
+        "AS DOUBLE) AS w " +
+        s"FROM cov JOIN v${t - 1} v ON v.i = cov.j GROUP BY cov.i), " +
+        s"n$t AS (SELECT sqrt(CAST(SUM(CAST(ROUND(w * w, 12) " +
+        s"AS DECIMAL(38,12))) AS DOUBLE)) AS nrm FROM w$t), " +
+        s"v$t AS (SELECT i, CASE WHEN nrm = 0 THEN CAST(0 AS DOUBLE) " +
+        s"ELSE ROUND(w / nrm, 9) END AS v FROM w$t CROSS JOIN n$t)"
+    }.mkString(", ")
+    "WITH a AS (SELECT u.pi - 1 AS i, w.qj - 1 AS j, " +
+      "SUM(CAST(ROUND(u.xi::DOUBLE * w.xj::DOUBLE, 9) " +
+      "AS DECIMAL(28,9))) AS g, " +
+      "SUM(CASE WHEN w.qj - 1 = 0 " +
+      "THEN CAST(ROUND(u.xi::DOUBLE, 9) AS DECIMAL(28,9)) " +
+      "ELSE CAST(0 AS DECIMAL(28,9)) END) AS sx, " +
+      "COUNT(*) AS cnt " +
+      "FROM embeddings, " +
+      "LATERAL (SELECT unnest(embedding) AS xi, " +
+      "generate_subscripts(embedding, 1) AS pi) u, " +
+      "LATERAL (SELECT unnest(embedding) AS xj, " +
+      "generate_subscripts(embedding, 1) AS qj) w " +
+      "GROUP BY 1, 2), " +
+      "m AS (SELECT i, sx::DOUBLE / cnt AS mu FROM a WHERE j = 0), " +
+      "cov AS (SELECT a.i, a.j, " +
+      "ROUND(a.g::DOUBLE / a.cnt - mi.mu * mj.mu, 9) AS c " +
+      "FROM a JOIN m mi ON mi.i = a.i JOIN m mj ON mj.i = a.j), " +
+      "v0 AS (SELECT i, CAST(1 AS DOUBLE) AS v FROM m), " +
+      roundCtes + " " +
+      "SELECT v.i AS dim, ROUND(v.v, 6) AS loading, " +
+      "ROUND(n.nrm, 6) AS eigenvalue " +
+      "FROM v3 v CROSS JOIN n3 n ORDER BY dim"
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "ss_power" -> ssPowerOracle,
     "ss_dimvar" ->
       ("WITH comp AS (SELECT u.pos - 1 AS dim, u.x::DOUBLE AS x " +
         "FROM embeddings, " +

@@ -596,6 +596,44 @@ class SimilaritySpec extends AnyFunSuite {
     orc.foreach { case (_, m, mn) => assert(m >= 0.999 && mn >= 0.99) }
   }
 
+  test("ssPower: exact eigenpair on a diagonal covariance; dominant axis wins; zero-variance corpus reads 0") {
+    import spark.implicits._
+    // cov = diag(1,0,0) exactly: v0=(1,1,1) → w=(1,0,0), ||w||=1 —
+    // every round reproduces the eigenpair bit-exactly
+    val e0 = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val g0 = Similarity.ssPower(e0).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    assert(g0.toSeq == Seq((0, 1.0, 1.0), (1, 0.0, 1.0), (2, 0.0, 1.0)))
+    // cov = diag(1,4,0): three rounds must lock onto dim 1 with
+    // eigenvalue approaching 4 and a unit-norm loading vector
+    val e1 = Seq(
+      (0L, Array(1.0f, 2.0f, 0.0f)), (1L, Array(1.0f, -2.0f, 0.0f)),
+      (2L, Array(-1.0f, 2.0f, 0.0f)), (3L, Array(-1.0f, -2.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val g1 = Similarity.ssPower(e1).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    val byDim = g1.map(t => t._1 -> t._2).toMap
+    assert(math.abs(byDim(1)) > 0.97 && byDim(2) == 0.0)
+    assert(g1.head._3 > 3.5 && g1.head._3 <= 4.05)
+    assert(math.abs(g1.map(t => t._2 * t._2).sum - 1.0) < 1e-6)
+    // all-identical vectors: covariance 0 — the norm guard reads the
+    // whole eigenpair as exactly 0 instead of dividing by zero
+    val flat = Seq(
+      (0L, Array(0.5f, 0.5f, 0.5f)),
+      (1L, Array(0.5f, 0.5f, 0.5f))).toDF("vec_id", "embedding")
+    Similarity.ssPower(flat).collect().foreach { r =>
+      assert(r.getDouble(1) == 0.0 && r.getDouble(2) == 0.0)
+    }
+    // oracle form: 64 dims, unit-norm loading, positive eigenvalue
+    val orc = Similarity.ssPower(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    assert(orc.map(_._1).toSeq == (0 until 64))
+    assert(math.abs(orc.map(t => t._2 * t._2).sum - 1.0) < 1e-5)
+    assert(orc.head._3 > 0.0)
+  }
+
   test("ssDimvar: dead, constant and live dimensions read their exact marginals") {
     import spark.implicits._
     // dim0 live (1,3): mean 2, var 1, active; dim1 dead zeros;
