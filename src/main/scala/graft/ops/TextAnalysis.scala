@@ -1403,7 +1403,76 @@ object TextAnalysis {
       excludeSelf = true)
   }
 
+  /** First-k BPE merge rounds (Sennrich et al. 2016) — the tokenizer-
+    * training inner loop: count adjacent symbol pairs over the word-
+    * frequency table, merge the most frequent pair corpus-wide, repeat.
+    * Returns the merge table (round, lhs, rhs, weighted pair count, new
+    * symbol) — the artifact a BPE tokenizer persists.
+    *
+    * The merge application is the CANONICAL greedy left-to-right pass,
+    * as a fold over the symbol array (Spark `aggregate` HOF / DuckDB
+    * `list_reduce`): merging consumes both symbols, so "a a a a" under
+    * pair (a,a) yields [aa, aa] — a flat string replace() would consume
+    * the separator and under-merge runs of repeats (measured: "aa a a").
+    * Ties on pair count break lexicographically, so the table is
+    * deterministic across engines.
+    *
+    * Scale design: the ONLY corpus pass is the word-count aggregate —
+    * BPE trains on the frequency table, so every merge round runs on the
+    * vocabulary-sized relation (pairs explode ~avg_word_len × vocab, agg
+    * back to pair vocab; the 1-row argmax broadcasts into the rewrite).
+    * Each round's encoding is materialized once (InlineCTE multi-
+    * consumer lesson: round r's encoding feeds both the pair count and
+    * round r+1's rewrite).
+    */
+  def taBpe(docs: DataFrame, merges: Int = 3): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__bpe_docs")
+    s.sql(
+      """SELECT trim(regexp_replace(word, '(.)', '$1 ')) AS sym, n
+        |FROM (SELECT t.w AS word, COUNT(*) AS n FROM __bpe_docs
+        |      LATERAL VIEW explode(split(text, ' ')) t AS w
+        |      GROUP BY t.w)""".stripMargin)
+      .localCheckpoint(eager = false)
+      .createOrReplaceTempView("__bpe_enc0")
+    val merged = (1 to merges).map { r =>
+      s.sql(
+        s"""SELECT element_at(split(pair, ' '), 1) AS lhs,
+           |       element_at(split(pair, ' '), 2) AS rhs, cnt
+           |FROM (
+           |  SELECT p.pair, SUM(n) AS cnt FROM (
+           |    SELECT split(sym, ' ') AS st, n FROM __bpe_enc${r - 1}
+           |    WHERE size(split(sym, ' ')) >= 2)
+           |  LATERAL VIEW explode(transform(sequence(1, size(st) - 1),
+           |    i -> concat(element_at(st, i), ' ',
+           |                element_at(st, i + 1)))) p AS pair
+           |  GROUP BY p.pair)
+           |ORDER BY cnt DESC, concat(lhs, ' ', rhs) LIMIT 1""".stripMargin)
+        .localCheckpoint(eager = false)
+        .createOrReplaceTempView(s"__bpe_top$r")
+      s.sql(
+        s"""SELECT aggregate(split(e.sym, ' '), '', (acc, c) -> CASE
+           |    WHEN acc = '' THEN c
+           |    WHEN endswith(concat(' ', acc), concat(' ', t.lhs))
+           |         AND c = t.rhs
+           |    THEN concat(substr(acc, 1, length(acc) - length(t.lhs)),
+           |                t.lhs, t.rhs)
+           |    ELSE concat(acc, ' ', c) END) AS sym, e.n
+           |FROM __bpe_enc${r - 1} e CROSS JOIN __bpe_top$r t""".stripMargin)
+        .localCheckpoint(eager = false)
+        .createOrReplaceTempView(s"__bpe_enc$r")
+      s.sql(
+        s"""SELECT $r AS merge_round, lhs, rhs, cnt AS pair_count,
+           |       concat(lhs, rhs) AS new_symbol
+           |FROM __bpe_top$r""".stripMargin)
+    }
+    merged.reduce(_ unionAll _).orderBy("merge_round")
+  }
+  def taBpe(s: SparkSession, dir: String): DataFrame =
+    taBpe(Tables.load(s, dir, "documents").select("text"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_bpe" -> ((s: SparkSession, dir: String) => taBpe(s, dir)),
     "ta_bm25" -> ((s: SparkSession, dir: String) => taBm25(s, dir)),
     "ta_logodds" -> ((s: SparkSession, dir: String) => taLogOdds(s, dir)),
     "ta_nonascii" -> ((s: SparkSession, dir: String) => taNonAscii(s, dir)),
@@ -1439,7 +1508,38 @@ object TextAnalysis {
 
   private val sqlToks = "string_split(text, ' ')"
 
+  /** DuckDB twin of [[taBpe]]'s unrolled merge rounds. */
+  private lazy val taBpeOracle: String = {
+    val rounds = (1 to 3).map { r =>
+      s"p$r AS (SELECT pair, SUM(n) AS cnt FROM (" +
+        "SELECT unnest([st[i] || ' ' || st[i+1] " +
+        "FOR i IN range(1, len(st))]) AS pair, n " +
+        s"FROM (SELECT string_split(sym, ' ') AS st, n FROM e${r - 1})) " +
+        "GROUP BY pair), " +
+        s"t$r AS (SELECT string_split(pair, ' ')[1] AS lhs, " +
+        "string_split(pair, ' ')[2] AS rhs, CAST(cnt AS BIGINT) AS cnt " +
+        s"FROM p$r ORDER BY cnt DESC, pair LIMIT 1), " +
+        s"e$r AS (SELECT list_reduce(string_split(e.sym, ' '), " +
+        "(acc, c) -> CASE " +
+        "WHEN ends_with(' ' || acc, ' ' || t.lhs) AND c = t.rhs " +
+        "THEN substr(acc, 1, length(acc) - length(t.lhs)) " +
+        "|| t.lhs || t.rhs " +
+        "ELSE acc || ' ' || c END) AS sym, e.n " +
+        s"FROM e${r - 1} e CROSS JOIN t$r t)"
+    }.mkString(", ")
+    val out = (1 to 3).map { r =>
+      s"SELECT $r AS merge_round, lhs, rhs, cnt AS pair_count, " +
+        s"lhs || rhs AS new_symbol FROM t$r"
+    }.mkString(" UNION ALL ")
+    "WITH wc AS (SELECT w AS word, COUNT(*) AS n FROM " +
+      s"(SELECT unnest($sqlToks) AS w FROM documents) GROUP BY w), " +
+      "e0 AS (SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) " +
+      "AS sym, n FROM wc), " +
+      rounds + " " + out + " ORDER BY merge_round"
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "ta_bpe" -> taBpeOracle,
     "ta_bm25" ->
       (s"WITH tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM " +
         s"(SELECT doc_id, unnest($sqlToks) AS w FROM documents) " +

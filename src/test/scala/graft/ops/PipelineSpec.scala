@@ -2959,6 +2959,37 @@ class PipelineSpec extends AnyFunSuite {
       rs.map(_._3).sorted.toSeq == (1L to rs.length) })
   }
 
+  test("taBpe: textbook merge sequence replays; repeat runs merge canonically and exhaust gracefully") {
+    import spark.implicits._
+    // the Sennrich example shape: low×3, lower×2, newest×1.
+    // round 1: (l,o)=5 ties (o,w)=5 → lexicographic → (l,o).
+    // round 2: (lo,w)=5. round 3: (e,r)=2 ties (low,e)=2 → (e,r).
+    val docs = Seq("low low low", "lower lower", "newest").toDF("text")
+    val got = TextAnalysis.taBpe(docs).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getString(4)))
+    assert(got.toSeq == Seq(
+      (1, "l", "o", 5L, "lo"),
+      (2, "lo", "w", 5L, "low"),
+      (3, "e", "r", 2L, "er")))
+    // runs of repeats merge pairwise (canonical greedy fold, not a
+    // separator-consuming string replace): aaaa → [aa,aa] → [aaaa];
+    // round 3 finds no pair left and emits nothing
+    val runs = Seq("aaaa aaaa aaaa").toDF("text")
+    val g2 = TextAnalysis.taBpe(runs).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getString(4)))
+    assert(g2.toSeq == Seq(
+      (1, "a", "a", 9L, "aa"), (2, "aa", "aa", 3L, "aaaa")))
+    // oracle form: ≤3 merges, positive weighted counts, symbol algebra
+    val orc = TextAnalysis.taBpe(spark, "/root/testdata/sf0.001").collect()
+    assert(orc.nonEmpty && orc.length <= 3)
+    orc.foreach { r =>
+      assert(r.getLong(3) > 0 &&
+        r.getString(4) == r.getString(1) + r.getString(2))
+    }
+  }
+
   test("evCuped: theta/means/variances replay the decimal fold; flat covariate reads theta 0") {
     import spark.implicits._
     def variant(u: Long): String = {
