@@ -140,6 +140,12 @@ object PipelineScaleProbe {
     // 500k docs, silhouette/quanterr at 100k vectors, random walks on
     // the 1.6M-edge window graph (edge-validity corpus-wide)
     if (args.headOption.contains("addendum26")) { addendum26(args(1)); return }
+    // `addendum27 <existingDir>` — seventh continuation batch: LPA +
+    // modularity on a 200k-node planted-block graph, changepoint /
+    // forecast / CUPED at 10M events (planted shift, weekly dip,
+    // correlated covariate), BM25 needle + BPE merges at 500k docs,
+    // power-iteration eigenpair vs dimvar at 100k vectors
+    if (args.headOption.contains("addendum27")) { addendum27(args(1)); return }
     // `addendum13 <nDocs> <nEvents> <nVec> <outBase>` — gaps/gini at
     // event scale, epochs/ngram at corpus scale, range at vector scale
     if (args.headOption.contains("addendum13")) {
@@ -1820,6 +1826,189 @@ object PipelineScaleProbe {
       s"rows=$nRows bad_hops=0 (1.6M-edge window graph)")
 
     println("PSCALE addendum26 done")
+  }
+
+  /** Seventh continuation batch at 100×: the q55/q56 community pair on a
+    * planted-block graph, the three new events statistics with planted
+    * effects at 10M events, the two retrieval/tokenizer text ops at 500k
+    * docs, and the eigenpair audit at 100k vectors.
+    */
+  private def addendum27(dir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+
+    def wall[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // LPA + modularity: 20k planted 10-cliques on a bridge ring (920k
+    // undirected edges). The self-inclusive vote must converge every
+    // block onto its base id in round 1 and hold it — 20k communities
+    // of exactly 10, and the partition's modularity ~0.978
+    val blocks = spark.sql(
+      """SELECT b * 10 + i AS u, b * 10 + j AS v
+        |FROM range(20000) t(b), range(10) s(i), range(10) r(j)
+        |WHERE i < j
+        |UNION ALL
+        |SELECT b * 10 + 9 AS u, (b + 1) * 10 AS v
+        |FROM range(19999) t(b)""".stripMargin)
+      .localCheckpoint(eager = true)
+    val (lpR, lpW) = wall(
+      graph.LabelProp.run(spark, blocks, rounds = 3).collect())
+    require(lpR.length == 200000, s"labelled ${lpR.length} of 200k")
+    val (mdR, mdW) = wall(graph.GraphQueries.modularity(blocks,
+      graph.LabelProp.run(spark, blocks, rounds = 3)).collect())
+    require(mdR.length == 20000, s"${mdR.length} communities, want 20k")
+    require(mdR.forall(_.getLong(1) == 10L), "community size != 10")
+    val q = mdR.map(_.getDouble(4)).sum
+    require(q > 0.97, s"planted-block modularity $q not ~0.978")
+    println(f"PSCALE q=q55/q56 t=${lpW + mdW}%.1f s communities=20000 " +
+      f"Q=$q%.4f (200k nodes / 920k edges, 3 rounds)")
+
+    val events = graft.Tables.load(spark, dir, "events")
+    events.createOrReplaceTempView("__ev27")
+
+    // ev_changepoint: drop 70 % of one type's volume after day 15 — the
+    // split must land on the exact planted boundary with the planted
+    // mean ratio, and its gain must dwarf the null types'
+    val d0 = spark.sql(
+      "SELECT MIN(unix_micros(ts) div 86400000000) FROM __ev27")
+      .collect()(0).getLong(0)
+    val shifted = spark.sql(
+      s"""SELECT * FROM __ev27
+         |WHERE event_type <> 'click'
+         |   OR unix_micros(ts) div 86400000000 < ${d0 + 15}
+         |   OR event_id % 10 < 3""".stripMargin)
+    val (cpR, cpW) = wall(ops.Sessionize.evChangepoint(shifted).collect())
+    val click = cpR.find(_.getString(0) == "click").get
+    require(click.getLong(1) == d0 + 14,
+      s"boundary ${click.getLong(1)} != planted ${d0 + 14}")
+    val ratio = click.getDouble(5) / click.getDouble(4)
+    require(ratio > 0.28 && ratio < 0.32, s"mean ratio $ratio not ~0.30")
+    val nullMax = cpR.filter(_.getString(0) != "click")
+      .map(_.getDouble(6)).max
+    require(click.getDouble(6) > 100 * nullMax,
+      s"planted gain ${click.getDouble(6)} not >> null $nullMax")
+    println(f"PSCALE q=ev_changepoint t=$cpW%.1f s boundary=day+14 " +
+      f"ratio=$ratio%.4f gain=${click.getDouble(6)}%.0f " +
+      f"null_max=$nullMax%.1f")
+
+    // ev_forecast: the uniform stream has no weekly cycle — MASE ≈ 1;
+    // a planted 90 % dip on days ≡ 5,6 (mod 7) makes snaive-7 exact on
+    // structure where naive-1 errs at every dip edge — MASE ≪ 1
+    val (fcR, fcW) = wall(ops.Sessionize.evForecast(events).collect())
+    fcR.foreach { r =>
+      require(r.getDouble(4) > 0.5 && r.getDouble(4) < 2.0,
+        s"null MASE ${r.getDouble(4)} not ~1 for ${r.getString(0)}")
+    }
+    val dipped = events.where(
+      "NOT(unix_micros(ts) div 86400000000 % 7 IN (5, 6) " +
+        "AND event_id % 10 <> 0)")
+    val (f2R, f2W) = wall(ops.Sessionize.evForecast(dipped).collect())
+    f2R.foreach { r =>
+      require(r.getDouble(4) < 0.5,
+        s"planted weekly cycle MASE ${r.getDouble(4)} not << 1")
+    }
+    println(f"PSCALE q=ev_forecast t=$fcW%.1f s " +
+      f"null_mase=[${fcR.map(_.getDouble(4)).min}%.3f," +
+      f"${fcR.map(_.getDouble(4)).max}%.3f] " +
+      f"planted_mase_max=${f2R.map(_.getDouble(4)).max}%.3f (t=$f2W%.1f s)")
+
+    // ev_cuped: 1M users, Y = 2X + noise — theta must recover 2 and the
+    // adjustment must buy ~R² = 4varX/(4varX+varN) ≈ 0.997 of the
+    // variance in BOTH arms, with the md5 split near 50/50
+    val cuped = spark.sql(
+      """SELECT id * 2 AS event_id,
+        |       TIMESTAMP '2024-01-01 00:00:00' AS ts,
+        |       id AS user_id, 'p' AS event_type,
+        |       ROUND((CAST(conv(substring(md5(concat('cx:',
+        |         CAST(id AS STRING))), 1, 15), 16, 10) AS DOUBLE)
+        |         / 1152921504606846976.0) * 100, 2) AS value
+        |FROM range(1000000)
+        |UNION ALL
+        |SELECT id * 2 + 1,
+        |       TIMESTAMP '2024-01-21 00:00:00', id, 'p',
+        |       ROUND(2 * ROUND((CAST(conv(substring(md5(concat('cx:',
+        |         CAST(id AS STRING))), 1, 15), 16, 10) AS DOUBLE)
+        |         / 1152921504606846976.0) * 100, 2)
+        |         + (CAST(conv(substring(md5(concat('cn:',
+        |         CAST(id AS STRING))), 1, 15), 16, 10) AS DOUBLE)
+        |         / 1152921504606846976.0) * 10, 2)
+        |FROM range(1000000)""".stripMargin)
+    val (cuR, cuW) = wall(ops.Sessionize.evCuped(cuped).collect())
+    require(cuR.length == 2, "arms missing")
+    val nA = cuR.map(_.getLong(1)).min.toDouble
+    require(nA / 1000000 > 0.49, s"md5 split skewed: $nA")
+    cuR.foreach { r =>
+      require(math.abs(r.getDouble(2) - 2.0) < 0.05,
+        s"theta ${r.getDouble(2)} not ~2")
+      require(r.getDouble(7) > 0.99,
+        s"var_reduction ${r.getDouble(7)} not ~0.997")
+    }
+    println(f"PSCALE q=ev_cuped t=$cuW%.1f s theta=${cuR(0).getDouble(2)}%.4f " +
+      f"var_reduction=${cuR.map(_.getDouble(7)).min}%.4f arms=50/50")
+
+    // ta_bm25: a needle token exclusive to 3 planted docs — the query
+    // for it must rank exactly those three at the top
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val aug = docs.unionAll(spark.sql(
+      """SELECT 10000000 + id AS doc_id,
+        |       concat('zzzneedle probe corpus filler id ',
+        |              CAST(id AS STRING)) AS text
+        |FROM range(3)""".stripMargin))
+    val qdf = spark.sql(
+      "SELECT CAST(1 AS BIGINT) AS query_id, 'zzzneedle' AS text")
+    val (bmR, bmW) = wall(
+      ops.TextAnalysis.taBm25(aug, qdf, k = 10).collect())
+    require(bmR.length == 3, s"needle hit ${bmR.length} docs, want 3")
+    require(bmR.map(_.getLong(1)).toSet ==
+      Set(10000000L, 10000001L, 10000002L), "needle ranks wrong docs")
+    println(f"PSCALE q=ta_bm25 t=$bmW%.1f s needle_top3=exact " +
+      "(500k-doc postings, single-term query)")
+
+    // ta_bpe: merge counts are monotone non-increasing by construction
+    // (a merge can only shrink or preserve surviving pair counts) —
+    // must hold on the 500k-doc zipf corpus
+    val (bpR, bpW) = wall(
+      ops.TextAnalysis.taBpe(docs.select("text")).collect())
+    require(bpR.length == 3, s"${bpR.length} merges")
+    val cnts = bpR.sortBy(_.getInt(0)).map(_.getLong(3))
+    require(cnts(0) >= cnts(1) && cnts(1) >= cnts(2) && cnts(2) > 0,
+      s"merge counts not monotone: ${cnts.mkString(",")}")
+    bpR.foreach { r => require(
+      r.getString(4) == r.getString(1) + r.getString(2), "symbol algebra") }
+    println(f"PSCALE q=ta_bpe t=$bpW%.1f s " +
+      s"merges=${bpR.map(r => r.getString(1) + '+' + r.getString(2))
+        .mkString(",")} counts=${cnts.mkString(",")}")
+
+    // ss_power vs ss_dimvar on the same 100k vectors: the loading is
+    // unit-norm and the eigenvalue estimate must dominate the largest
+    // per-dimension variance (λ1 ≥ max C_ii for symmetric PSD C) and
+    // stay under the trace
+    val emb = spark.read.parquet(s"$dir/embeddings19.parquet")
+    val (dvR, dvW) = wall(ops.Similarity.ssDimvar(emb).collect())
+    val maxVar = dvR.map(_.getDouble(3)).max
+    val trace = dvR.map(_.getDouble(3)).sum
+    val (pwR, pwW) = wall(ops.Similarity.ssPower(emb).collect())
+    val norm = pwR.map(r => r.getDouble(1) * r.getDouble(1)).sum
+    require(math.abs(norm - 1.0) < 1e-5, s"loading norm $norm != 1")
+    val ev = pwR(0).getDouble(2)
+    require(ev >= 0.8 * maxVar && ev <= trace + 1e-6,
+      s"eigenvalue $ev outside [0.8*$maxVar, $trace]")
+    println(f"PSCALE q=ss_power t=$pwW%.1f s eigenvalue=$ev%.4f " +
+      f"max_dimvar=$maxVar%.4f trace=$trace%.4f norm=$norm%.8f " +
+      f"(dimvar t=$dvW%.1f s)")
+
+    println("PSCALE addendum27 done")
     spark.stop()
   }
 

@@ -1934,6 +1934,83 @@ object Sessionize {
     evForecast(s.table("__events"))
   }
 
+  /** Difference-in-differences readout on the hash-split experiment: the
+    * period boundary at min(ts) + `preDays` days (the evCuped calendar
+    * rule), per-user pre/post value sums (absent periods count 0 — a
+    * user who goes silent is signal, not a dropped row), and the DiD
+    * estimate (Δ_B − Δ_A) that removes both the arms' level difference
+    * and the shared time trend. The experimenter's model-free
+    * counterpart to evCuped's variance reduction: CUPED shrinks the
+    * noise, DiD removes the common shock.
+    *
+    * Engine-exactness: per-user sums are DECIMAL(18,2); cell sums are
+    * decimal folds of 6-dp-rounded per-user values; every output is one
+    * terminal ROUND of fixed-order IEEE arithmetic on those decimals.
+    *
+    * Scale: one user_id aggregate (the corpus pass) + one 2-group
+    * conditional rollup pivoted to a single row. Nothing wider than the
+    * user aggregate shuffles.
+    */
+  def evDid(events: DataFrame, preDays: Int = 15,
+      salt: String = "ab"): DataFrame = {
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__dd_events")
+    s.sql(
+      s"""WITH b AS (
+         |  SELECT MIN(unix_micros(ts)) + ${preDays}L * 86400000000
+         |           AS cut
+         |  FROM __dd_events),
+         |u AS (
+         |  SELECT user_id,
+         |         CASE WHEN instr('0123456789abcdef',
+         |                substring(md5(concat('$salt:',
+         |                  CAST(user_id AS STRING))), 1, 1)) - 1 < 8
+         |              THEN 'A' ELSE 'B' END AS variant,
+         |         CAST(SUM(CASE WHEN unix_micros(ts) < (SELECT cut FROM b)
+         |                       THEN CAST(value AS DECIMAL(18,2))
+         |                       ELSE CAST(0 AS DECIMAL(18,2)) END)
+         |              AS DOUBLE) AS x,
+         |         CAST(SUM(CASE WHEN unix_micros(ts) >= (SELECT cut FROM b)
+         |                       THEN CAST(value AS DECIMAL(18,2))
+         |                       ELSE CAST(0 AS DECIMAL(18,2)) END)
+         |              AS DOUBLE) AS y
+         |  FROM __dd_events GROUP BY user_id),
+         |v AS (
+         |  SELECT COUNT(CASE WHEN variant = 'A' THEN 1 END) AS na,
+         |         COUNT(CASE WHEN variant = 'B' THEN 1 END) AS nb,
+         |         SUM(CASE WHEN variant = 'A'
+         |                  THEN CAST(ROUND(x, 6) AS DECIMAL(28,6))
+         |                  ELSE CAST(0 AS DECIMAL(28,6)) END) AS sxa,
+         |         SUM(CASE WHEN variant = 'A'
+         |                  THEN CAST(ROUND(y, 6) AS DECIMAL(28,6))
+         |                  ELSE CAST(0 AS DECIMAL(28,6)) END) AS sya,
+         |         SUM(CASE WHEN variant = 'B'
+         |                  THEN CAST(ROUND(x, 6) AS DECIMAL(28,6))
+         |                  ELSE CAST(0 AS DECIMAL(28,6)) END) AS sxb,
+         |         SUM(CASE WHEN variant = 'B'
+         |                  THEN CAST(ROUND(y, 6) AS DECIMAL(28,6))
+         |                  ELSE CAST(0 AS DECIMAL(28,6)) END) AS syb
+         |  FROM u)
+         |SELECT na, nb,
+         |       ROUND(CAST(sxa AS DOUBLE) / na, 6) AS mean_a_pre,
+         |       ROUND(CAST(sya AS DOUBLE) / na, 6) AS mean_a_post,
+         |       ROUND(CAST(sxb AS DOUBLE) / nb, 6) AS mean_b_pre,
+         |       ROUND(CAST(syb AS DOUBLE) / nb, 6) AS mean_b_post,
+         |       ROUND(CAST(sya AS DOUBLE) / na
+         |             - CAST(sxa AS DOUBLE) / na, 6) AS delta_a,
+         |       ROUND(CAST(syb AS DOUBLE) / nb
+         |             - CAST(sxb AS DOUBLE) / nb, 6) AS delta_b,
+         |       ROUND((CAST(syb AS DOUBLE) / nb
+         |              - CAST(sxb AS DOUBLE) / nb)
+         |             - (CAST(sya AS DOUBLE) / na
+         |                - CAST(sxa AS DOUBLE) / na), 6) AS did
+         |FROM v WHERE na > 0 AND nb > 0""".stripMargin)
+  }
+  def evDid(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evDid(s.table("__events"))
+  }
+
   /** Offline changepoint detection per event type (binary segmentation,
     * one split): over the observed daily-count series, pick the boundary
     * that maximizes the between-segment sum of squares
@@ -2114,6 +2191,7 @@ object Sessionize {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_benford" -> ((s: SparkSession, dir: String) => evBenford(s, dir)),
     "ev_changepoint" -> ((s: SparkSession, dir: String) => evChangepoint(s, dir)),
+    "ev_did" -> ((s: SparkSession, dir: String) => evDid(s, dir)),
     "ev_forecast" -> ((s: SparkSession, dir: String) => evForecast(s, dir)),
     "ev_cuped" -> ((s: SparkSession, dir: String) => evCuped(s, dir)),
     "ev_seasonality" -> ((s: SparkSession, dir: String) => evSeasonality(s, dir)),
@@ -2161,6 +2239,46 @@ object Sessionize {
       "* (1::DOUBLE / na + 1::DOUBLE / nb))")
 
   val oracleSql: Map[String, String] = Map(
+    "ev_did" ->
+      ("WITH b AS (SELECT MIN(epoch_us(ts)) + 15 * 86400000000 AS cut " +
+        "FROM events), " +
+        "u AS (SELECT user_id, " +
+        "CASE WHEN strpos('0123456789abcdef', " +
+        "substr(md5('ab:' || user_id::VARCHAR), 1, 1)) - 1 < 8 " +
+        "THEN 'A' ELSE 'B' END AS variant, " +
+        "SUM(CASE WHEN epoch_us(ts) < (SELECT cut FROM b) " +
+        "THEN CAST(value AS DECIMAL(18,2)) " +
+        "ELSE CAST(0 AS DECIMAL(18,2)) END)::DOUBLE AS x, " +
+        "SUM(CASE WHEN epoch_us(ts) >= (SELECT cut FROM b) " +
+        "THEN CAST(value AS DECIMAL(18,2)) " +
+        "ELSE CAST(0 AS DECIMAL(18,2)) END)::DOUBLE AS y " +
+        "FROM events GROUP BY user_id), " +
+        "v AS (SELECT " +
+        "COUNT(CASE WHEN variant = 'A' THEN 1 END) AS na, " +
+        "COUNT(CASE WHEN variant = 'B' THEN 1 END) AS nb, " +
+        "SUM(CASE WHEN variant = 'A' " +
+        "THEN CAST(ROUND(x, 6) AS DECIMAL(28,6)) " +
+        "ELSE CAST(0 AS DECIMAL(28,6)) END) AS sxa, " +
+        "SUM(CASE WHEN variant = 'A' " +
+        "THEN CAST(ROUND(y, 6) AS DECIMAL(28,6)) " +
+        "ELSE CAST(0 AS DECIMAL(28,6)) END) AS sya, " +
+        "SUM(CASE WHEN variant = 'B' " +
+        "THEN CAST(ROUND(x, 6) AS DECIMAL(28,6)) " +
+        "ELSE CAST(0 AS DECIMAL(28,6)) END) AS sxb, " +
+        "SUM(CASE WHEN variant = 'B' " +
+        "THEN CAST(ROUND(y, 6) AS DECIMAL(28,6)) " +
+        "ELSE CAST(0 AS DECIMAL(28,6)) END) AS syb " +
+        "FROM u) " +
+        "SELECT na, nb, " +
+        "ROUND(sxa::DOUBLE / na, 6) AS mean_a_pre, " +
+        "ROUND(sya::DOUBLE / na, 6) AS mean_a_post, " +
+        "ROUND(sxb::DOUBLE / nb, 6) AS mean_b_pre, " +
+        "ROUND(syb::DOUBLE / nb, 6) AS mean_b_post, " +
+        "ROUND(sya::DOUBLE / na - sxa::DOUBLE / na, 6) AS delta_a, " +
+        "ROUND(syb::DOUBLE / nb - sxb::DOUBLE / nb, 6) AS delta_b, " +
+        "ROUND((syb::DOUBLE / nb - sxb::DOUBLE / nb) " +
+        "- (sya::DOUBLE / na - sxa::DOUBLE / na), 6) AS did " +
+        "FROM v WHERE na > 0 AND nb > 0"),
     "ev_changepoint" ->
       ("WITH daily AS (SELECT event_type, " +
         "epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n " +

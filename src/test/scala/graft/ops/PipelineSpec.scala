@@ -3076,6 +3076,49 @@ class PipelineSpec extends AnyFunSuite {
     orc.foreach(r => assert(r.getDouble(6) >= 0.0))
   }
 
+  test("evDid: planted treatment effect recovered exactly net of the common trend") {
+    import spark.implicits._
+    def variant(u: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ab:$u".getBytes("UTF-8"))
+      if (((d(0) >> 4) & 0xf) < 8) "A" else "B"
+    }
+    def ts(day: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z")
+        .plusSeconds(day * 86400L + 60))
+    // pre X = u; post Y = u + 3 (shared shock) + 5·1{B} (treatment):
+    // delta_a = 3, delta_b = 8, did = 5 — all integer-exact
+    val evs = (1L to 20L).flatMap { u =>
+      val lift = if (variant(u) == "B") 5.0 else 0.0
+      Seq((u * 2, ts(0), u, "purchase", u.toDouble),
+        (u * 2 + 1, ts(20), u, "purchase", u.toDouble + 3.0 + lift))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Sessionize.evDid(evs).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val as = (1L to 20L).filter(variant(_) == "A").map(_.toDouble)
+    val bs = (1L to 20L).filter(variant(_) == "B").map(_.toDouble)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getLong(0) == as.length && row.getLong(1) == bs.length)
+    assert(row.getDouble(2) == r6(as.sum / as.length))
+    assert(row.getDouble(4) == r6(bs.sum / bs.length))
+    assert(row.getDouble(6) == 3.0 && row.getDouble(7) == 8.0 &&
+      row.getDouble(8) == 5.0)
+    // a user silent in one period counts as 0 there, not a dropped row:
+    // removing an A-user's post event moves delta_a by −(u+3)/|A|
+    // without re-basing the denominator
+    val uHole = (1L to 20L).find(variant(_) == "A").get
+    val holed = evs.where(s"NOT (user_id = $uHole AND event_id % 2 = 1)")
+    val r2 = Sessionize.evDid(holed).collect().head
+    assert(r2.getLong(0) == as.length)
+    assert(r2.getDouble(6) == r6(3.0 - (uHole + 3.0) / as.length))
+    // oracle form: one row, arms populated
+    val orc = Sessionize.evDid(spark, "/root/testdata/sf0.001").collect()
+    assert(orc.length == 1 && orc.head.getLong(0) > 0 &&
+      orc.head.getLong(1) > 0)
+  }
+
   test("evForecast: calendar-joined MAEs and MASE replay; constant series reads NULL mase") {
     import spark.implicits._
     def at(day: Int, j: Int) = java.sql.Timestamp.from(
