@@ -1934,6 +1934,61 @@ object Sessionize {
     evForecast(s.table("__events"))
   }
 
+  /** Count-min sketch accuracy audit (Cormode & Muthukrishnan 2005):
+    * build a depth×width CM sketch of the user-id frequency stream with
+    * seeded md5 row hashes, then report, for the exact top-`topK` users,
+    * the sketch estimate next to the truth. est ≥ exact ALWAYS (the
+    * sketch only over-counts — collisions add, never subtract); the
+    * `overest` column is the collision mass a production sizing decision
+    * reads (width too small ⇒ heavy hitters inflated by the long tail).
+    * The batch calibration twin of the streaming TopKTracker, in the
+    * dd_minhash_est sketch-audit family.
+    *
+    * Everything is integer — no float discipline needed; the oracle
+    * matches bit-for-bit by construction.
+    *
+    * Scale: the sketch build is depth× the corpus through a
+    * (depth×width)-group combinable aggregate — the canonical
+    * mergeable-summary shape (each executor folds its partition's
+    * sketch; the shuffle carries depth·width rows per partition, not
+    * data). The top-K side is one user aggregate + a broadcast join of
+    * K·depth probe rows against the 1024-row sketch.
+    */
+  def evCms(events: DataFrame, depth: Int = 4, width: Int = 256,
+      topK: Int = 20): DataFrame = {
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__cms_events")
+    def bucket(key: String, r: String) =
+      s"CAST(conv(substring(md5(concat('cms', $r, ':', $key)), 1, 4), " +
+        s"16, 10) AS INT) % $width"
+    s.sql(
+      s"""WITH keys AS (SELECT CAST(user_id AS STRING) AS k
+         |              FROM __cms_events),
+         |sk AS (
+         |  SELECT t.r, ${bucket("k", "CAST(t.r AS STRING)")} AS bucket,
+         |         COUNT(*) AS n
+         |  FROM keys
+         |  LATERAL VIEW explode(sequence(0, ${depth - 1})) t AS r
+         |  GROUP BY 1, 2),
+         |ex AS (
+         |  SELECT k, COUNT(*) AS exact_n FROM keys GROUP BY k
+         |  ORDER BY exact_n DESC, CAST(k AS BIGINT) LIMIT $topK),
+         |probe AS (
+         |  SELECT ex.k, ex.exact_n, t.r,
+         |         ${bucket("ex.k", "CAST(t.r AS STRING)")} AS bucket
+         |  FROM ex LATERAL VIEW explode(sequence(0, ${depth - 1})) t AS r)
+         |SELECT CAST(p.k AS BIGINT) AS user_id, p.exact_n,
+         |       MIN(sk.n) AS est_n, MIN(sk.n) - p.exact_n AS overest
+         |FROM probe p
+         |JOIN sk ON sk.r = p.r AND sk.bucket = p.bucket
+         |GROUP BY p.k, p.exact_n
+         |ORDER BY exact_n DESC, user_id""".stripMargin)
+  }
+  def evCms(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evCms(s.table("__events"))
+  }
+
   /** Difference-in-differences readout on the hash-split experiment: the
     * period boundary at min(ts) + `preDays` days (the evCuped calendar
     * rule), per-user pre/post value sums (absent periods count 0 — a
@@ -2191,6 +2246,7 @@ object Sessionize {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_benford" -> ((s: SparkSession, dir: String) => evBenford(s, dir)),
     "ev_changepoint" -> ((s: SparkSession, dir: String) => evChangepoint(s, dir)),
+    "ev_cms" -> ((s: SparkSession, dir: String) => evCms(s, dir)),
     "ev_did" -> ((s: SparkSession, dir: String) => evDid(s, dir)),
     "ev_forecast" -> ((s: SparkSession, dir: String) => evForecast(s, dir)),
     "ev_cuped" -> ((s: SparkSession, dir: String) => evCuped(s, dir)),
@@ -2239,6 +2295,24 @@ object Sessionize {
       "* (1::DOUBLE / na + 1::DOUBLE / nb))")
 
   val oracleSql: Map[String, String] = Map(
+    "ev_cms" ->
+      ("WITH keys AS (SELECT user_id::VARCHAR AS k FROM events), " +
+        "sk AS (SELECT t.r, " +
+        "('0x' || substr(md5('cms' || t.r::VARCHAR || ':' || k), 1, 4))" +
+        "::INT % 256 AS bucket, COUNT(*) AS n " +
+        "FROM keys, range(4) t(r) GROUP BY 1, 2), " +
+        "ex AS (SELECT k, COUNT(*) AS exact_n FROM keys GROUP BY k " +
+        "ORDER BY exact_n DESC, k::BIGINT LIMIT 20), " +
+        "probe AS (SELECT ex.k, ex.exact_n, t.r, " +
+        "('0x' || substr(md5('cms' || t.r::VARCHAR || ':' || ex.k), " +
+        "1, 4))::INT % 256 AS bucket " +
+        "FROM ex, range(4) t(r)) " +
+        "SELECT p.k::BIGINT AS user_id, p.exact_n, " +
+        "CAST(MIN(sk.n) AS BIGINT) AS est_n, " +
+        "CAST(MIN(sk.n) - p.exact_n AS BIGINT) AS overest " +
+        "FROM probe p JOIN sk ON sk.r = p.r AND sk.bucket = p.bucket " +
+        "GROUP BY p.k, p.exact_n " +
+        "ORDER BY exact_n DESC, user_id"),
     "ev_did" ->
       ("WITH b AS (SELECT MIN(epoch_us(ts)) + 15 * 86400000000 AS cut " +
         "FROM events), " +

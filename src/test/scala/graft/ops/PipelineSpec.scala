@@ -3076,6 +3076,45 @@ class PipelineSpec extends AnyFunSuite {
     orc.foreach(r => assert(r.getDouble(6) >= 0.0))
   }
 
+  test("evCms: sketch estimates replay the md5 bucket fold; estimates never undercount") {
+    import spark.implicits._
+    // triangular frequencies: user u appears u times (u = 1..50);
+    // top-20 = users 31..50. The in-memory replay builds the exact
+    // same 4×256 sketch, so est must match value-for-value.
+    def md5hex(s: String) = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def bucket(r: Int, k: Long) =
+      Integer.parseInt(md5hex(s"cms$r:$k").take(4), 16) % 256
+    val freq = (1L to 50L).map(u => u -> u).toMap
+    // freq.toSeq: iterating the Map directly would rebuild a Map keyed
+    // by (r, bucket) inside the comprehension and silently drop
+    // bucket-colliding users before the groupBy sum
+    val sketch = (for {
+      r <- 0 until 4; (u, n) <- freq.toSeq
+    } yield ((r, bucket(r, u)), n))
+      .groupBy(_._1).map { case (rb, xs) => rb -> xs.map(_._2).sum }
+    def est(u: Long) = (0 until 4).map(r => sketch((r, bucket(r, u)))).min
+    val evs = (1L to 50L).flatMap(u => (1L to u).map(i =>
+      (u * 1000 + i, new java.sql.Timestamp(i * 1000), u, "e")))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = Sessionize.evCms(evs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq == (50L to 31L by -1))
+    got.foreach { case (u, exact, e, over) =>
+      assert(exact == u && e == est(u) && over == e - exact && over >= 0)
+    }
+    // oracle form at sf0.001: min(20, distinct users) rows, est >=
+    // exact, sorted by exact count
+    val orc = Sessionize.evCms(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(1), r.getLong(3)))
+    val nUsers = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("user_id").distinct().count()
+    assert(orc.length == math.min(20L, nUsers))
+    assert(orc.map(_._1).toSeq == orc.map(_._1).sortBy(-_).toSeq)
+    orc.foreach { case (_, over) => assert(over >= 0) }
+  }
+
   test("evDid: planted treatment effect recovered exactly net of the common trend") {
     import spark.implicits._
     def variant(u: Long): String = {
