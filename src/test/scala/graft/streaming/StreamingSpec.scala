@@ -418,6 +418,87 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("cusum: scaled-integer recursion replays; stable series never alarms") {
+    import spark.implicits._
+    def at(day: Int, j: Int) = new Timestamp(
+      day * 86400000L + j * 1000L + 1000L)
+    // baseline days 0-6 at 10/day (num=70, den=7), then 25/day: each
+    // scored day adds 100·7·25 − 150·70 = 7000 to sHi; h = 28000 —
+    // the alarm must fire on the 4th scored day exactly
+    val up = ((for { d <- 0 until 7; j <- 0 until 10 }
+      yield (at(d, j), "a")) ++
+      (for { d <- 7 until 12; j <- 0 until 25 }
+        yield (at(d, j), "a"))).toDF("ts", "event_type")
+    val rows = CusumTracker.cusumBatch(up.as[CusumTracker.CuEv]).collect()
+      .sortBy(_.day)
+    assert(rows.map(_.n).toSeq ==
+      Seq.fill(7)(10L) ++ Seq.fill(5)(25L))
+    assert(rows.take(7).forall(r => r.s_hi == 0 && r.s_lo == 0 && !r.alarm))
+    assert(rows.drop(7).map(_.s_hi).toSeq ==
+      Seq(7000L, 14000L, 21000L, 28000L, 35000L))
+    assert(rows.drop(7).map(_.alarm).toSeq ==
+      Seq(false, false, false, true, true))
+    // a stable series accumulates nothing on either side
+    val flat = (for { d <- 0 until 20; j <- 0 until 10 }
+      yield (at(d, j), "b")).toDF("ts", "event_type")
+    CusumTracker.cusumBatch(flat.as[CusumTracker.CuEv]).collect()
+      .foreach { r =>
+        assert(r.s_hi == 0 && r.s_lo == 0 && !r.alarm)
+      }
+    // a 80 % drop walks sLo up by (50−14)·70 = 2100/scored day
+    val down = ((for { d <- 0 until 7; j <- 0 until 10 }
+      yield (at(d, j), "c")) ++
+      (for { d <- 7 until 9; j <- 0 until 2 }
+        yield (at(d, j), "c"))).toDF("ts", "event_type")
+    val dn = CusumTracker.cusumBatch(down.as[CusumTracker.CuEv]).collect()
+      .sortBy(_.day).drop(7)
+    assert(dn.map(_.s_lo).toSeq == Seq(2100L, 4200L) &&
+      dn.forall(!_.alarm))
+  }
+
+  test("cusum: streaming == batch; an in-watermark late event lands before its day is scored") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    def day(d: Int, h: Int, evId: Long) = Ev(evId,
+      new Timestamp(Timestamp.valueOf("2024-06-01 00:00:00").getTime +
+        d * 86400000L + h * 3600000L), 1L, "A", 0.0)
+    // baseline: days 0-6, one event each (num=7, den=7, h=2800).
+    // day 7 gets 5 events in trigger 1 (would read sHi 2450 < 2800);
+    // trigger 2 delivers a LATE 6th event for day 7 (watermark still
+    // open) plus day 8 — the scored day-7 row must read n=6,
+    // sHi = 4200−1050 = 3150 ≥ 2800: alarm, only because the late
+    // event landed first
+    val b1 = (0 until 7).map(d => day(d, 10, d.toLong)) ++
+      (0 until 5).map(j => day(7, 10 + j, 100L + j))
+    val b2 = Seq(day(7, 20, 200L)) ++ (0 until 2).map(j =>
+      day(8, 10 + j, 300L + j))
+    val stream = MemoryStream[Ev]
+    val q = CusumTracker.cusumStream(
+      stream.toDF().withWatermark("ts", "2 hours")
+        .select("ts", "event_type").as[CusumTracker.CuEv])
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cusum_out").start()
+    for (b <- Seq(b1, b2)) { stream.addData(b); q.processAllAvailable() }
+    val maxTs = b2.map(_.ts.getTime).max
+    stream.addData(Ev(-1L, new Timestamp(maxTs + 9L * 24 * 3600 * 1000),
+      -1L, "x", 0.0))
+    q.processAllAvailable()
+    stream.addData(Ev(-2L, new Timestamp(maxTs + 10L * 24 * 3600 * 1000),
+      -1L, "x", 0.0))
+    q.processAllAvailable()
+    val rows = spark.table("cusum_out")
+      .where("event_type <> 'x'").as[CusumTracker.CusumRow].collect()
+      .map(r => (r.event_type, r.day, r.n, r.s_hi, r.s_lo, r.alarm))
+    val batch = CusumTracker.cusumBatch((b1 ++ b2).toDF()
+      .select("ts", "event_type").as[CusumTracker.CuEv]).collect()
+      .map(r => (r.event_type, r.day, r.n, r.s_hi, r.s_lo, r.alarm))
+    assert(rows.toSet == batch.toSet && rows.nonEmpty)
+    val day7 = rows.find(_._2 == Timestamp.valueOf("2024-06-08 00:00:00")
+      .getTime / 86400000L).get
+    assert(day7._3 == 6L && day7._4 == 3150L && day7._6)
+  }
+
   test("spike: streaming == batch; a day emits once, when the watermark ends it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
