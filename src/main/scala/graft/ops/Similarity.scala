@@ -453,6 +453,55 @@ object Similarity {
          |GROUP BY c.cid, c.cnrm ORDER BY c.cid""".stripMargin)
   }
 
+  /** IVF cluster-quality audit: per (non-empty) coarse cell, the member
+    * cohesion (mean cosine of members to their own centroid) next to the
+    * separation (cosine to the NEAREST other centroid). The index-health
+    * read behind nprobe sizing: cells whose nearest-centroid cosine
+    * approaches their within-cohesion leak true neighbors into the
+    * adjacent cell, which is exactly when nprobe=1 recall collapses —
+    * ss_centroids counts members, this measures whether the geometry
+    * backs the partition. Runs the IDENTICAL deterministic quantizer
+    * chain as ss_ivf_ann/ss_centroids/dd_semdedup (the shared-quantizer
+    * discipline), so its cells are the ones the index actually uses.
+    *
+    * Engine-exactness: member cosines are 9-dp-rounded decimal sums (the
+    * ssDrift discipline); centroid-pair cosines one terminal ROUND.
+    * Empty cells (possible after refinement) are declared absent.
+    *
+    * Scale: one corpus pass per refinement round (inherited), then one
+    * assign-sized aggregate and an nlist² centroid cross — free at any
+    * corpus size; the centroid relation broadcasts.
+    */
+  def ssInertia(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.load(s, dir, "embeddings").createOrReplaceTempView("__emb")
+    s.sql(
+      s"""WITH ${ivfTrainAssignCtes(16)},
+         |wc AS (
+         |  SELECT a.cid, COUNT(*) AS n,
+         |         SUM(CAST(ROUND(graft_dot(a.v, c.cv)
+         |                        / (a.nrm * c.cnrm), 9)
+         |                  AS DECIMAL(28,9))) AS s
+         |  FROM assign a JOIN cent$IvfIters c ON c.cid = a.cid
+         |  GROUP BY a.cid),
+         |cc AS (
+         |  SELECT cid, nn_cid, between_cos FROM (
+         |    SELECT a.cid, b.cid AS nn_cid,
+         |           ROUND(graft_dot(a.cv, b.cv) / (a.cnrm * b.cnrm), 6)
+         |             AS between_cos,
+         |           ROW_NUMBER() OVER (PARTITION BY a.cid
+         |             ORDER BY ROUND(graft_dot(a.cv, b.cv)
+         |                            / (a.cnrm * b.cnrm), 6) DESC, b.cid)
+         |             AS rn
+         |    FROM cent$IvfIters a JOIN cent$IvfIters b ON b.cid <> a.cid)
+         |  WHERE rn = 1)
+         |SELECT w.cid, w.n AS n_members,
+         |       ROUND(CAST(w.s AS DOUBLE) / w.n, 6) AS within_cos,
+         |       c.nn_cid, c.between_cos
+         |FROM wc w JOIN cc c ON c.cid = w.cid
+         |ORDER BY w.cid""".stripMargin)
+  }
+
   /** Embedding drift monitor: per label, the cosine between the centroid
     * of the EVEN-id half and the ODD-id half of the corpus (a stand-in
     * for "last month's embeddings vs this month's" — in production the
@@ -1549,6 +1598,7 @@ object Similarity {
     "ss_knn_graph" -> ((s: SparkSession, dir: String) => ssKnnGraph(s, dir)),
     "ss_norms" -> ((s: SparkSession, dir: String) => ssNorms(s, dir)),
     "ss_centroids" -> ((s: SparkSession, dir: String) => ssCentroids(s, dir)),
+    "ss_inertia" -> ((s: SparkSession, dir: String) => ssInertia(s, dir)),
     "ss_drift" -> ((s: SparkSession, dir: String) => ssDrift(s, dir)),
     "ss_dimvar" -> ((s: SparkSession, dir: String) => ssDimvar(s, dir)),
     "ss_power" -> ((s: SparkSession, dir: String) => ssPower(s, dir)),
@@ -2140,6 +2190,52 @@ object Similarity {
          |FROM cent$IvfIters c LEFT JOIN assign a ON a.cid = c.cid
          |GROUP BY c.cid, c.cnrm ORDER BY c.cid""".stripMargin
         .replaceAll("\n", " "),
+    "ss_inertia" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),
+         |n3 AS (
+         |  SELECT vec_id, v, sqrt(list_sum([x * x FOR x IN v])) AS nrm FROM base),
+         |cent0 AS (
+         |  SELECT cid, cv, cnrm FROM (
+         |    SELECT (ROW_NUMBER() OVER (
+         |             ORDER BY md5('km42:' || vec_id::VARCHAR), vec_id))::INT
+         |             - 1 AS cid,
+         |           v AS cv, nrm AS cnrm
+         |    FROM n3) WHERE cid < 16),
+         |$ivfDuckIters,
+         |assign AS (
+         |  SELECT vec_id, v, nrm, cid FROM (
+         |    SELECT n.vec_id, n.v, n.nrm, c.cid,
+         |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+         |             ORDER BY ROUND(list_sum([n.v[i] * c.cv[i]
+         |                        FOR i IN generate_series(1, len(n.v))])
+         |                      / (n.nrm * c.cnrm), 6) DESC, c.cid) AS rn
+         |    FROM n3 n CROSS JOIN cent$IvfIters c) WHERE rn = 1),
+         |wc AS (
+         |  SELECT a.cid, COUNT(*) AS n,
+         |         SUM(CAST(ROUND(list_sum([a.v[i] * c.cv[i]
+         |                        FOR i IN generate_series(1, len(a.v))])
+         |                        / (a.nrm * c.cnrm), 9)
+         |                  AS DECIMAL(28,9))) AS s
+         |  FROM assign a JOIN cent$IvfIters c ON c.cid = a.cid
+         |  GROUP BY a.cid),
+         |cc AS (
+         |  SELECT cid, nn_cid, between_cos FROM (
+         |    SELECT a.cid, b.cid AS nn_cid,
+         |           ROUND(list_sum([a.cv[i] * b.cv[i]
+         |                  FOR i IN generate_series(1, len(a.cv))])
+         |                 / (a.cnrm * b.cnrm), 6) AS between_cos,
+         |           ROW_NUMBER() OVER (PARTITION BY a.cid
+         |             ORDER BY ROUND(list_sum([a.cv[i] * b.cv[i]
+         |                        FOR i IN generate_series(1, len(a.cv))])
+         |                      / (a.cnrm * b.cnrm), 6) DESC, b.cid) AS rn
+         |    FROM cent$IvfIters a JOIN cent$IvfIters b ON b.cid <> a.cid)
+         |  WHERE rn = 1)
+         |SELECT w.cid, w.n AS n_members,
+         |       ROUND(s::DOUBLE / w.n, 6) AS within_cos,
+         |       c.nn_cid, c.between_cos
+         |FROM wc w JOIN cc c ON c.cid = w.cid
+         |ORDER BY w.cid""".stripMargin.replaceAll("\n", " "),
     "ss_drift" ->
       """WITH comp AS (
         |  SELECT label, vec_id % 2 AS half, u.pos AS dim,

@@ -596,6 +596,28 @@ class SimilaritySpec extends AnyFunSuite {
     orc.foreach { case (_, m, mn) => assert(m >= 0.999 && mn >= 0.99) }
   }
 
+  test("ssInertia: cells match the shared quantizer's census; cohesion beats separation on the mixture") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Similarity.ssInertia(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3),
+        r.getDouble(4)))
+    assert(got.nonEmpty)
+    // identical quantizer chain as ss_centroids: the non-empty cells
+    // must agree cid-for-cid on membership counts, and cover the corpus
+    val census = Similarity.ssCentroids(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).filter(_._2 > 0).toMap
+    assert(got.map(t => t._1 -> t._2).toMap == census)
+    assert(got.map(_._2).sum == 500L)
+    got.foreach { case (cid, _, within, nnCid, between) =>
+      assert(nnCid != cid && within <= 1.0 && between <= 1.0)
+    }
+    // the gaussian mixture separates: average member-to-own-centroid
+    // cohesion must dominate average nearest-centroid similarity
+    val meanWithin = got.map(_._3).sum / got.length
+    val meanBetween = got.map(_._5).sum / got.length
+    assert(meanWithin > meanBetween)
+  }
+
   test("ssPower: exact eigenpair on a diagonal covariance; dominant axis wins; zero-variance corpus reads 0") {
     import spark.implicits._
     // cov = diag(1,0,0) exactly: v0=(1,1,1) → w=(1,0,0), ||w||=1 —
