@@ -1403,6 +1403,85 @@ object TextAnalysis {
       excludeSelf = true)
   }
 
+  /** Stopwords delimiting RAKE candidate phrases — a declared parameter
+    * of the ta_rake oracle form (production callers pass their own).
+    */
+  private[ops] val RakeStops: Seq[String] = Seq(
+    "the", "a", "an", "of", "to", "and", "in", "is", "on", "for",
+    "with", "as", "by", "at", "or")
+
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    * maximal stopword-free token runs; each word scores deg/freq (deg =
+    * summed lengths of the phrases it appears in — co-occurrence mass;
+    * freq = its occurrence count), and a phrase scores the sum of its
+    * words' scores. The classic unsupervised keyword miner next to
+    * taTfidf (which needs the corpus-wide df relation) — RAKE's signal
+    * is phrase-internal co-occurrence, so it surfaces multi-word terms
+    * ("label propagation") that unigram tf-idf fragments.
+    *
+    * Engine-exactness: deg and freq are integers; word scores are
+    * 9-dp-rounded rationals summed as DECIMAL per phrase, ranked on the
+    * decimal (exact compare), one terminal ROUND for display. Ties
+    * break on phrase text.
+    *
+    * Scale: one token explode with a per-(doc, island) window builds the
+    * phrase relation (corpus-sized, one doc_id exchange); word stats and
+    * phrase scores are vocabulary-sized; the top-k is a TakeOrdered.
+    */
+  def taRake(docs: DataFrame, k: Int = 20,
+      stops: Seq[String] = RakeStops): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__rk_docs")
+    val stopList = stops.map(w => s"'$w'").mkString(", ")
+    s.sql(
+      s"""WITH tok AS (
+         |  SELECT doc_id, p.pos AS pos, p.w AS w
+         |  FROM __rk_docs
+         |  LATERAL VIEW posexplode(split(text, ' ')) p AS pos, w),
+         |cw AS (
+         |  SELECT doc_id, pos, w,
+         |         pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                                  ORDER BY pos) AS grp
+         |  FROM tok WHERE w NOT IN ($stopList) AND w <> ''),
+         |cw2 AS (
+         |  SELECT doc_id, pos, w, grp,
+         |         COUNT(*) OVER (PARTITION BY doc_id, grp) AS len
+         |  FROM cw),
+         |ph AS (
+         |  SELECT doc_id, grp,
+         |         concat_ws(' ', transform(
+         |           array_sort(collect_list(struct(pos, w))),
+         |           t -> t.w)) AS phrase
+         |  FROM cw2 GROUP BY doc_id, grp),
+         |wstat AS (
+         |  SELECT w, COUNT(*) AS freq, SUM(len) AS deg
+         |  FROM cw2 GROUP BY w),
+         |occ AS (SELECT phrase, COUNT(*) AS n_occ FROM ph GROUP BY phrase),
+         |pw AS (
+         |  SELECT o.phrase, t.w
+         |  FROM occ o LATERAL VIEW explode(split(phrase, ' ')) t AS w),
+         |sc AS (
+         |  SELECT pw.phrase,
+         |         SUM(CAST(ROUND(CAST(ws.deg AS DOUBLE) / ws.freq, 9)
+         |                  AS DECIMAL(28,9))) AS s
+         |  FROM pw JOIN wstat ws ON ws.w = pw.w
+         |  GROUP BY pw.phrase),
+         |top AS (
+         |  -- distributed TakeOrdered of the phrase vocabulary; the
+         |  -- unpartitioned rank below then sorts only k rows (the
+         |  -- cand0 seeding discipline)
+         |  SELECT sc.phrase, o.n_occ, sc.s
+         |  FROM sc JOIN occ o ON o.phrase = sc.phrase
+         |  ORDER BY sc.s DESC, sc.phrase LIMIT $k)
+         |SELECT phrase, n_occ, size(split(phrase, ' ')) AS n_words,
+         |       ROUND(CAST(s AS DOUBLE), 6) AS score,
+         |       CAST(ROW_NUMBER() OVER (ORDER BY s DESC, phrase)
+         |            AS BIGINT) AS rnk
+         |FROM top ORDER BY rnk""".stripMargin)
+  }
+  def taRake(s: SparkSession, dir: String): DataFrame =
+    taRake(Tables.load(s, dir, "documents").select("doc_id", "text"))
+
   /** First-k BPE merge rounds (Sennrich et al. 2016) — the tokenizer-
     * training inner loop: count adjacent symbol pairs over the word-
     * frequency table, merge the most frequent pair corpus-wide, repeat.
@@ -1472,6 +1551,7 @@ object TextAnalysis {
     taBpe(Tables.load(s, dir, "documents").select("text"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_rake" -> ((s: SparkSession, dir: String) => taRake(s, dir)),
     "ta_bpe" -> ((s: SparkSession, dir: String) => taBpe(s, dir)),
     "ta_bm25" -> ((s: SparkSession, dir: String) => taBm25(s, dir)),
     "ta_logodds" -> ((s: SparkSession, dir: String) => taLogOdds(s, dir)),
@@ -1539,6 +1619,45 @@ object TextAnalysis {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ta_rake" -> {
+      val stopList = RakeStops.map(w => s"'$w'").mkString(", ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, u.pos AS pos, u.w AS w FROM documents,
+         |  LATERAL (SELECT unnest($sqlToks) AS w,
+         |           generate_subscripts($sqlToks, 1) AS pos) u),
+         |cw AS (
+         |  SELECT doc_id, pos, w,
+         |         pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                                  ORDER BY pos) AS grp
+         |  FROM tok WHERE w NOT IN ($stopList) AND w <> ''),
+         |cw2 AS (
+         |  SELECT doc_id, pos, w, grp,
+         |         COUNT(*) OVER (PARTITION BY doc_id, grp) AS len
+         |  FROM cw),
+         |ph AS (
+         |  SELECT doc_id, grp, string_agg(w, ' ' ORDER BY pos) AS phrase
+         |  FROM cw2 GROUP BY doc_id, grp),
+         |wstat AS (
+         |  SELECT w, COUNT(*) AS freq, SUM(len) AS deg
+         |  FROM cw2 GROUP BY w),
+         |occ AS (SELECT phrase, COUNT(*) AS n_occ FROM ph GROUP BY phrase),
+         |pw AS (SELECT phrase, unnest(string_split(phrase, ' ')) AS w
+         |       FROM occ),
+         |sc AS (
+         |  SELECT pw.phrase,
+         |         SUM(CAST(ROUND(ws.deg::DOUBLE / ws.freq, 9)
+         |                  AS DECIMAL(28,9))) AS s
+         |  FROM pw JOIN wstat ws ON ws.w = pw.w GROUP BY pw.phrase),
+         |top AS (
+         |  SELECT sc.phrase, o.n_occ, sc.s
+         |  FROM sc JOIN occ o ON o.phrase = sc.phrase
+         |  ORDER BY sc.s DESC, sc.phrase LIMIT 20)
+         |SELECT phrase, n_occ,
+         |       len(string_split(phrase, ' ')) AS n_words,
+         |       ROUND(s::DOUBLE, 6) AS score,
+         |       ROW_NUMBER() OVER (ORDER BY s DESC, phrase) AS rnk
+         |FROM top ORDER BY rnk""".stripMargin.replaceAll("\n", " ")
+    },
     "ta_bpe" -> taBpeOracle,
     "ta_bm25" ->
       (s"WITH tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM " +

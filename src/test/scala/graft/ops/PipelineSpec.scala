@@ -2959,6 +2959,31 @@ class PipelineSpec extends AnyFunSuite {
       rs.map(_._3).sorted.toSeq == (1L to rs.length) })
   }
 
+  test("taRake: degree/frequency algebra replays; multi-word phrases outrank their parts") {
+    import spark.implicits._
+    // islands around stopwords: doc0 → [label propagation],
+    // [dense graphs], [label propagation again]; doc1 → [dense graphs].
+    // deg: label 2+3=5, propagation 5, dense 4, graphs 4, again 3;
+    // freq: 2,2,2,2,1 → word scores 2.5, 2.5, 2, 2, 3 →
+    // phrase scores 8 / 5 / 4 in that rank order
+    val docs = Seq(
+      (0L, "label propagation of dense graphs and label propagation again"),
+      (1L, "dense graphs")).toDF("doc_id", "text")
+    val got = TextAnalysis.taRake(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("label propagation again", 1L, 3, 8.0, 1L),
+      ("label propagation", 1L, 2, 5.0, 2L),
+      ("dense graphs", 2L, 2, 4.0, 3L)))
+    // oracle form: k rows, dense ranks, non-increasing scores
+    val orc = TextAnalysis.taRake(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getDouble(3), r.getLong(4)))
+    assert(orc.length == 20)
+    assert(orc.map(_._2).toSeq == (1L to 20L))
+    assert(orc.map(_._1).toSeq == orc.map(_._1).sortBy(-_).toSeq)
+  }
+
   test("taBpe: textbook merge sequence replays; repeat runs merge canonically and exhaust gracefully") {
     import spark.implicits._
     // the Sennrich example shape: low×3, lower×2, newest×1.
