@@ -146,6 +146,10 @@ object PipelineScaleProbe {
     // correlated covariate), BM25 needle + BPE merges at 500k docs,
     // power-iteration eigenpair vs dimvar at 100k vectors
     if (args.headOption.contains("addendum27")) { addendum27(args(1)); return }
+    // `addendum28 <existingDir>` — eighth continuation batch: DiD planted
+    // uplift at 1M users, CM-sketch width dial at 10M events, IVF
+    // inertia at 100k vectors, RAKE at 500k docs + corpus-scale algebra
+    if (args.headOption.contains("addendum28")) { addendum28(args(1)); return }
     // `addendum13 <nDocs> <nEvents> <nVec> <outBase>` — gaps/gini at
     // event scale, epochs/ngram at corpus scale, range at vector scale
     if (args.headOption.contains("addendum13")) {
@@ -2009,6 +2013,119 @@ object PipelineScaleProbe {
       f"(dimvar t=$dvW%.1f s)")
 
     println("PSCALE addendum27 done")
+  }
+
+  /** Eighth continuation batch at 100×: DiD with a planted uplift, the
+    * CM-sketch width dial, IVF cell-geometry audit, and RAKE's algebra
+    * at corpus scale.
+    */
+  private def addendum28(dir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+
+    def wall[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // ev_did: 1M users, pre X = u100 (hash-uniform), post Y = X + 3 +
+    // 5·1{B} + noise — DiD must read the planted 5 net of the +3 shock
+    val did = spark.sql(
+      """SELECT id * 2 AS event_id,
+        |       TIMESTAMP '2024-01-01 00:00:00' AS ts,
+        |       id AS user_id, 'p' AS event_type,
+        |       ROUND((CAST(conv(substring(md5(concat('cx:',
+        |         CAST(id AS STRING))), 1, 15), 16, 10) AS DOUBLE)
+        |         / 1152921504606846976.0) * 100, 2) AS value
+        |FROM range(1000000)
+        |UNION ALL
+        |SELECT id * 2 + 1,
+        |       TIMESTAMP '2024-01-21 00:00:00', id, 'p',
+        |       ROUND(ROUND((CAST(conv(substring(md5(concat('cx:',
+        |         CAST(id AS STRING))), 1, 15), 16, 10) AS DOUBLE)
+        |         / 1152921504606846976.0) * 100, 2) + 3
+        |         + CASE WHEN instr('0123456789abcdef',
+        |             substring(md5(concat('ab:', CAST(id AS STRING))),
+        |             1, 1)) - 1 < 8 THEN 0 ELSE 5 END
+        |         + (CAST(conv(substring(md5(concat('dn:',
+        |         CAST(id AS STRING))), 1, 15), 16, 10) AS DOUBLE)
+        |         / 1152921504606846976.0) * 2 - 1, 2)
+        |FROM range(1000000)""".stripMargin)
+    val (ddR, ddW) = wall(ops.Sessionize.evDid(did).collect())
+    val row = ddR.head
+    require(math.abs(row.getDouble(8) - 5.0) < 0.05,
+      s"DiD ${row.getDouble(8)} not ~5")
+    require(math.abs(row.getDouble(6) - 3.0) < 0.05,
+      s"delta_a ${row.getDouble(6)} not ~3 (the shared shock)")
+    println(f"PSCALE q=ev_did t=$ddW%.1f s did=${row.getDouble(8)}%.4f " +
+      f"delta_a=${row.getDouble(6)}%.4f (1M users)")
+
+    // ev_cms on the real 10M-event stream: est >= exact rowwise at two
+    // widths, and the 16× wider sketch must carry strictly less mean
+    // collision mass — the sizing dial the audit exists for
+    val events = graft.Tables.load(spark, dir, "events")
+    val (cmR, cmW) = wall(ops.Sessionize.evCms(events).collect())
+    cmR.foreach { r => require(r.getLong(3) >= 0,
+      s"undercount on ${r.getLong(0)}") }
+    val over256 = cmR.map(_.getLong(3).toDouble).sum / cmR.length
+    val (c2R, c2W) = wall(
+      ops.Sessionize.evCms(events, width = 4096).collect())
+    c2R.foreach(r => require(r.getLong(3) >= 0, "undercount at 4096"))
+    val over4096 = c2R.map(_.getLong(3).toDouble).sum / c2R.length
+    require(over4096 < over256,
+      s"wider sketch not tighter: $over4096 !< $over256")
+    println(f"PSCALE q=ev_cms t=$cmW%.1f s mean_overest_256=$over256%.0f " +
+      f"mean_overest_4096=$over4096%.0f (t=$c2W%.1f s, 10M events)")
+
+    // ss_inertia at 100k vectors: census closes — and the audit must
+    // DETECT the over-provisioned index: 16 cells over 7 natural
+    // clusters means ~2.3 centroids per cluster, so nearest-centroid
+    // similarity exceeds member cohesion (cells leak; nprobe=1 recall
+    // collapses) — the exact verdict this operator exists to read
+    // (first measured here: within 0.506 vs between 0.874)
+    val (inR, inW) = wall(ops.Similarity.ssInertia(
+      spark.read.parquet(s"$dir/embeddings19.parquet")).collect())
+    require(inR.map(_.getLong(1)).sum == 100000L, "inertia census")
+    val mw = inR.map(_.getDouble(2)).sum / inR.length
+    val mb = inR.map(_.getDouble(4)).sum / inR.length
+    require(mb > mw,
+      s"16-cell/7-cluster crowding not detected: between $mb vs within $mw")
+    println(f"PSCALE q=ss_inertia t=$inW%.1f s cells=${inR.length} " +
+      f"within=$mw%.4f between=$mb%.4f " +
+      "(crowded-index verdict at 100k vectors)")
+
+    // ta_rake: top-20 on the 500k-doc corpus (rank/monotonic algebra),
+    // then a 500k-row planted corpus whose exact scores are known
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val (rkR, rkW) = wall(ops.TextAnalysis.taRake(docs).collect())
+    require(rkR.length == 20 &&
+      rkR.map(_.getLong(4)).toSeq == (1L to 20L), "rake ranks")
+    val scores = rkR.map(_.getDouble(3)).toSeq
+    require(scores == scores.sortBy(-(_: Double)), "rake monotone")
+    val planted = spark.sql(
+      """SELECT id AS doc_id,
+        |       'alpha beta and alpha beta' AS text
+        |FROM range(500000)""".stripMargin)
+    val (p2R, p2W) = wall(
+      ops.TextAnalysis.taRake(planted, k = 5).collect())
+    // freq(alpha)=1M, deg=2M → word score 2; phrase score 4, 1M occs
+    require(p2R.length == 1, s"${p2R.length} phrases, want 1")
+    val p = p2R.head
+    require(p.getString(0) == "alpha beta" && p.getLong(1) == 1000000L &&
+      p.getDouble(3) == 4.0,
+      s"planted algebra: ${p.getString(0)} ${p.getLong(1)} ${p.getDouble(3)}")
+    println(f"PSCALE q=ta_rake t=$rkW%.1f s top=${rkR.head.getString(0)
+      .take(40)} planted_exact t=$p2W%.1f s (500k docs)")
+
+    println("PSCALE addendum28 done")
     spark.stop()
   }
 

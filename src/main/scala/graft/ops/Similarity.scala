@@ -464,6 +464,12 @@ object Similarity {
     * chain as ss_ivf_ann/ss_centroids/dd_semdedup (the shared-quantizer
     * discipline), so its cells are the ones the index actually uses.
     *
+    * Measured regimes (addendum28): at 500 vectors / 7 labels / 16
+    * cells, cohesion > separation (the partition is real); at 100k
+    * vectors the SAME 16 cells read between 0.874 vs within 0.506 —
+    * ~2.3 centroids crowd each natural cluster, the "cells leak, raise
+    * nprobe or cut nlist" verdict this audit exists to deliver.
+    *
     * Engine-exactness: member cosines are 9-dp-rounded decimal sums (the
     * ssDrift discipline); centroid-pair cosines one terminal ROUND.
     * Empty cells (possible after refinement) are declared absent.
@@ -472,9 +478,10 @@ object Similarity {
     * assign-sized aggregate and an nlist² centroid cross — free at any
     * corpus size; the centroid relation broadcasts.
     */
-  def ssInertia(s: SparkSession, dir: String): DataFrame = {
+  def ssInertia(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
     graft.functions.GraftFunctions.register(s)
-    Tables.load(s, dir, "embeddings").createOrReplaceTempView("__emb")
+    emb.createOrReplaceTempView("__emb")
     s.sql(
       s"""WITH ${ivfTrainAssignCtes(16)},
          |wc AS (
@@ -501,6 +508,8 @@ object Similarity {
          |FROM wc w JOIN cc c ON c.cid = w.cid
          |ORDER BY w.cid""".stripMargin)
   }
+  def ssInertia(s: SparkSession, dir: String): DataFrame =
+    ssInertia(Tables.load(s, dir, "embeddings"))
 
   /** Embedding drift monitor: per label, the cosine between the centroid
     * of the EVEN-id half and the ODD-id half of the corpus (a stand-in
@@ -660,6 +669,17 @@ object Similarity {
         |GROUP BY p.pi, q.qj""".stripMargin)
       .localCheckpoint(eager = false)
       .createOrReplaceTempView("__pw_gram")
+    powerIterate(s, rounds)
+  }
+  def ssPower(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "embeddings").createOrReplaceTempView("__pw_raw")
+    ssPower(s.table("__pw_raw"))
+  }
+
+  /** The power-iteration tail over view `__pw_gram` (i, j, g, sx, cnt),
+    * shared by both Gram builders.
+    */
+  private def powerIterate(s: SparkSession, rounds: Int): DataFrame = {
     val roundCtes = (1 to rounds).map { t =>
       s"""w$t AS (
          |  SELECT cov.i,
@@ -693,9 +713,70 @@ object Similarity {
          |FROM v$rounds v CROSS JOIN n$rounds n
          |ORDER BY dim""".stripMargin)
   }
-  def ssPower(s: SparkSession, dir: String): DataFrame = {
-    Tables.load(s, dir, "embeddings").createOrReplaceTempView("__pw_raw")
-    ssPower(s.table("__pw_raw"))
+
+  /** The wide-dimension Gram path for [[ssPower]]: one per-partition
+    * outer-product fold instead of the corpus×d² explode. Each partition
+    * accumulates its d² rounded-decimal term sums locally and ships ONE
+    * d²-row partial; the global (i, j) aggregate merges partials. Bit-
+    * identical to the SQL Gram because every term is the same
+    * ROUND(x·y, 9) decimal (Spark's Round-on-double semantics replayed
+    * exactly) and decimal addition is associative and commutative — the
+    * spec locks ssPowerFold == ssPower value-for-value. Use this entry
+    * when d² per row dwarfs the row (d ≥ ~512): the explode's
+    * corpus×d² aggregate-input rows become corpus×1 map work + a
+    * partitions×d² shuffle.
+    */
+  def ssPowerFold(emb: DataFrame, rounds: Int = 3): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val Scale9 = new java.math.MathContext(38)
+    def r9(x: Double): java.math.BigDecimal =
+      // Spark's ROUND(double, 9): shortest-repr decimal of the double,
+      // HALF_UP at scale 9, back to double; then the CAST to decimal
+      // re-reads the shortest repr — replayed here term-for-term
+      java.math.BigDecimal.valueOf(
+        java.math.BigDecimal.valueOf(x)
+          .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue())
+    val partials = emb.select("embedding").as[Array[Float]].rdd
+      .mapPartitions { it =>
+        var dim = -1
+        var cnt = 0L
+        var g: Array[java.math.BigDecimal] = null
+        var sx: Array[java.math.BigDecimal] = null
+        for (v <- it) {
+          if (dim < 0) {
+            dim = v.length
+            g = Array.fill(dim * dim)(java.math.BigDecimal.ZERO)
+            sx = Array.fill(dim)(java.math.BigDecimal.ZERO)
+          }
+          require(v.length == dim, "ragged embedding dimensions")
+          cnt += 1
+          var i = 0
+          while (i < dim) {
+            val xi = v(i).toDouble
+            sx(i) = sx(i).add(r9(xi), Scale9)
+            var j = 0
+            while (j < dim) {
+              g(i * dim + j) =
+                g(i * dim + j).add(r9(xi * v(j).toDouble), Scale9)
+              j += 1
+            }
+            i += 1
+          }
+        }
+        if (dim < 0) Iterator.empty
+        else (for { i <- 0 until dim; j <- 0 until dim } yield
+          (i, j, g(i * dim + j), if (j == 0) sx(i)
+           else java.math.BigDecimal.ZERO, cnt)).iterator
+      }
+    partials.toDF("i", "j", "g", "sx", "cnt")
+      .groupBy("i", "j")
+      .agg(org.apache.spark.sql.functions.expr("SUM(g)").as("g"),
+        org.apache.spark.sql.functions.expr("SUM(sx)").as("sx"),
+        org.apache.spark.sql.functions.expr("SUM(cnt)").as("cnt"))
+      .localCheckpoint(eager = false)
+      .createOrReplaceTempView("__pw_gram")
+    powerIterate(s, rounds)
   }
 
   /** Hard-negative mining (the contrastive-training prep step: for every

@@ -656,6 +656,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(orc.head._3 > 0.0)
   }
 
+  test("ssPowerFold: the per-partition outer-product fold is bit-identical to the SQL Gram") {
+    import spark.implicits._
+    // multi-partition input forces real partial merging; values with
+    // non-terminating 9-dp products exercise the rounding lattice
+    val emb = (0L until 300L).map { id =>
+      (id, Array.tabulate(5)(d =>
+        (math.sin(id * 0.37 + d) * 0.91).toFloat))
+    }.toDF("vec_id", "embedding").repartition(7)
+    val a = Similarity.ssPower(emb).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    val b = Similarity.ssPowerFold(emb).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    assert(a.toSeq == b.toSeq && a.nonEmpty)
+    // and on the real table
+    val raw = graft.Tables.load(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val c = Similarity.ssPower(raw).collect().map(_.toSeq)
+    val d = Similarity.ssPowerFold(raw).collect().map(_.toSeq)
+    assert(c.toSeq == d.toSeq)
+  }
+
   test("ssDimvar: dead, constant and live dimensions read their exact marginals") {
     import spark.implicits._
     // dim0 live (1,3): mean 2, var 1, active; dim1 dead zeros;
