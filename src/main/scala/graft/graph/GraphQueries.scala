@@ -1192,6 +1192,101 @@ object GraphQueries {
     * pairing (`und`, `e`) + three unrolled synchronous LPA votes
     * (`l1`..`l3`) — the oracle twin of `cooccurPairs` + [[LabelProp]].
     */
+  /** Q57: rich-club coefficient ladder on the capped co-occurrence
+    * graph — for each degree threshold k: the subgraph induced by nodes
+    * of degree > k, its size, edge count, and density
+    * φ(k) = 2·E_k / (N_k·(N_k−1)). A rising φ(k) means high-degree
+    * users preferentially interconnect (a hub oligarchy — the
+    * assortativity read, localized to the top of the degree
+    * distribution); flat-or-falling φ(k) means hubs spread across the
+    * graph. Thresholds are a fixed dyadic ladder (declared semantics).
+    *
+    * Engine-exactness: N, E are integers; φ one fixed-order IEEE
+    * division rounded terminally; NULL when N_k < 2.
+    *
+    * Scale: rides the capped pair relation; degree is one aggregate;
+    * the ladder fan-out is 6× the pair relation into two combinable
+    * counts. Nothing beyond the pairing shuffles wider than degrees.
+    */
+  def q57_richclub(s: SparkSession, dir: String): DataFrame =
+    richClub(cooccurPairs(userBuckets(s, dir))
+      .localCheckpoint(eager = false)) // consumed by deg and the k scans
+
+  /** The production entry: the φ(k) ladder of ANY undirected edge
+    * relation (u, v, one row per edge).
+    */
+  def richClub(und: DataFrame): DataFrame = {
+    val s = und.sparkSession
+    und.createOrReplaceTempView("__rc_und")
+    s.sql(
+      """WITH deg AS (
+        |  SELECT node, COUNT(*) AS d FROM (
+        |    SELECT u AS node FROM __rc_und
+        |    UNION ALL SELECT v FROM __rc_und)
+        |  GROUP BY node),
+        |ks AS (SELECT explode(array(1, 2, 4, 8, 16, 32)) AS k),
+        |nk AS (
+        |  SELECT k, COUNT(*) AS n FROM deg CROSS JOIN ks
+        |  WHERE d > k GROUP BY k),
+        |e2 AS (
+        |  SELECT du.d AS du, dv.d AS dv FROM __rc_und p
+        |  JOIN deg du ON du.node = p.u JOIN deg dv ON dv.node = p.v),
+        |ek AS (
+        |  SELECT k, COUNT(*) AS e FROM e2 CROSS JOIN ks
+        |  WHERE du > k AND dv > k GROUP BY k)
+        |SELECT ks.k, COALESCE(nk.n, 0) AS n_nodes,
+        |       COALESCE(ek.e, 0) AS n_edges,
+        |       CASE WHEN COALESCE(nk.n, 0) < 2 THEN CAST(NULL AS DOUBLE)
+        |            ELSE ROUND(2 * CAST(COALESCE(ek.e, 0) AS DOUBLE)
+        |                       / (CAST(nk.n AS DOUBLE) * (nk.n - 1)), 6)
+        |            END AS phi
+        |FROM ks LEFT JOIN nk ON nk.k = ks.k
+        |LEFT JOIN ek ON ek.k = ks.k
+        |ORDER BY ks.k""".stripMargin)
+  }
+
+  val q57OracleSql: String =
+    (s"WITH $cooccurOracleCtes" + """,
+      |deg AS (SELECT a AS node, COUNT(*) AS d FROM e GROUP BY a),
+      |ks AS (SELECT unnest([1, 2, 4, 8, 16, 32]) AS k),
+      |nk AS (
+      |  SELECT k, COUNT(*) AS n FROM deg CROSS JOIN ks
+      |  WHERE d > k GROUP BY k),
+      |e2 AS (
+      |  SELECT du.d AS du, dv.d AS dv FROM und p
+      |  JOIN deg du ON du.node = p.u JOIN deg dv ON dv.node = p.v),
+      |ek AS (
+      |  SELECT k, COUNT(*) AS e FROM e2 CROSS JOIN ks
+      |  WHERE du > k AND dv > k GROUP BY k)
+      |SELECT ks.k, COALESCE(nk.n, 0) AS n_nodes,
+      |       COALESCE(ek.e, 0) AS n_edges,
+      |       CASE WHEN COALESCE(nk.n, 0) < 2 THEN CAST(NULL AS DOUBLE)
+      |            ELSE ROUND(2 * CAST(COALESCE(ek.e, 0) AS DOUBLE)
+      |                       / (CAST(nk.n AS DOUBLE) * (nk.n - 1)), 6)
+      |            END AS phi
+      |FROM ks LEFT JOIN nk ON nk.k = ks.k
+      |LEFT JOIN ek ON ek.k = ks.k
+      |ORDER BY ks.k""".stripMargin).replaceAll("\n", " ")
+
+  /** The capped co-occurrence pairing as DuckDB CTEs (`und` = u<v
+    * distinct pairs, `e` = both directions) — the oracle twin of
+    * `cooccurPairs`, shared by q55/q56/q57.
+    */
+  private lazy val cooccurOracleCtes: String =
+    s"""ub AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 10000000 AS b
+      |  FROM events),
+      |capped AS (
+      |  SELECT user_id, b FROM ub
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY b ORDER BY user_id)
+      |    <= $CooccurCap),
+      |und AS (
+      |  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      |  FROM capped a JOIN capped b USING (b)
+      |  WHERE a.user_id < b.user_id),
+      |e AS (SELECT u AS a, v AS b FROM und
+      |      UNION ALL SELECT v, u FROM und)""".stripMargin
+
   // lazy: referenced by q56OracleSql, which is declared above it
   private lazy val lpaOracleCtes: String = {
     def round(t: Int): String =
@@ -1205,19 +1300,7 @@ object GraphQueries {
          |          UNION ALL SELECT node AS a, lbl FROM l${t - 1})
          |    GROUP BY a, lbl)
          |  WHERE rn = 1)""".stripMargin
-    s"""ub AS (
-      |  SELECT DISTINCT user_id, epoch_us(ts) // 10000000 AS b
-      |  FROM events),
-      |capped AS (
-      |  SELECT user_id, b FROM ub
-      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY b ORDER BY user_id)
-      |    <= $CooccurCap),
-      |und AS (
-      |  SELECT DISTINCT a.user_id AS u, b.user_id AS v
-      |  FROM capped a JOIN capped b USING (b)
-      |  WHERE a.user_id < b.user_id),
-      |e AS (SELECT u AS a, v AS b FROM und
-      |      UNION ALL SELECT v, u FROM und),
+    cooccurOracleCtes + """,
       |l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM e),
       |""".stripMargin + (1 to 3).map(round).mkString(",\n")
   }
@@ -1228,6 +1311,7 @@ object GraphQueries {
       |ORDER BY user_id""".stripMargin).replaceAll("\n", " ")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_richclub" -> (q57_richclub _),
     "q56_modularity" -> (q56_modularity _),
     "q55_labelprop" -> (q55_labelprop _),
     "q54_walks" -> (q54_walks _),
@@ -1255,6 +1339,7 @@ object GraphQueries {
     "q26_sssp" -> (q26_sssp _))
 
   val oracleSql: Map[String, String] = Map(
+    "q57_richclub" -> q57OracleSql,
     "q56_modularity" -> q56OracleSql,
     "q55_labelprop" -> q55OracleSql,
     "q54_walks" -> q54OracleSql,

@@ -596,6 +596,21 @@ class GraphQueriesSpec extends AnyFunSuite {
     assert(Set(4L, 5L, 6L).map(got).size == 1)
   }
 
+  test("richClub: K4-with-pendants ladder reads exact densities; empty clubs read NULL") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} plus pendants 5,6 on node 1: degrees 5,3,3,3,1,1.
+    // deg>1 club = the K4 (6 of 6 edges → φ=1); deg>4 club = {1} alone
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L), (1L, 6L)).toDF("u", "v")
+    val got = GraphQueries.richClub(und).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(got.toSeq == Seq(
+      (1, 4L, 6L, Some(1.0)), (2, 4L, 6L, Some(1.0)),
+      (4, 1L, 0L, None), (8, 0L, 0L, None),
+      (16, 0L, 0L, None), (32, 0L, 0L, None)))
+  }
+
   test("modularity: bridged triangles score the hand contributions; one-community partition reads exactly 0") {
     import spark.implicits._
     // same graph as the LabelProp spec: m=7, two degree-7 triangles
