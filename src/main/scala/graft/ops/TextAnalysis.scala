@@ -175,6 +175,56 @@ object TextAnalysis {
           |     ELSE 'es' END AS lang_pred""".stripMargin)
       .orderBy("doc_id")
 
+  /** Language-ID audit: the taLangid stopword-family vote scored against
+    * the corpus's DECLARED `lang` labels as a full confusion matrix —
+    * (declared, predicted, count, row share, correct). A single accuracy
+    * number hides exactly what this surfaces: the heuristic has no 'zh'
+    * family at all, so every zh document lands in a latin bucket and the
+    * matrix shows WHERE (the blind-spot row a pipeline owner reads before
+    * trusting the router). Share is per declared language, so each row
+    * block sums to 1.
+    *
+    * Engine-exactness: counts are integers; share one terminal ROUND of
+    * an int/int division.
+    *
+    * Scale: one narrow corpus pass into a (langs × langs)-sized
+    * aggregate — nothing wider than the matrix shuffles.
+    */
+  def taLangConf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__lc_docs")
+    s.sql(
+      s"""WITH p AS (
+         |  SELECT lang,
+         |         CASE WHEN sc_en >= sc_de AND sc_en >= sc_fr
+         |                   AND sc_en >= sc_es THEN 'en'
+         |              WHEN sc_de >= sc_fr AND sc_de >= sc_es THEN 'de'
+         |              WHEN sc_fr >= sc_es THEN 'fr'
+         |              ELSE 'es' END AS lang_pred
+         |  FROM (
+         |    SELECT lang,
+         |      size(filter($toks, t -> t = 'the' OR t = 'a'
+         |                              OR t = 'and')) AS sc_en,
+         |      size(filter($toks, t -> t = 'der' OR t = 'die'
+         |                              OR t = 'und')) AS sc_de,
+         |      size(filter($toks, t -> t = 'le' OR t = 'les'
+         |                              OR t = 'et')) AS sc_fr,
+         |      size(filter($toks, t -> t = 'el' OR t = 'los'
+         |                              OR t = 'y')) AS sc_es
+         |    FROM __lc_docs)),
+         |m AS (
+         |  SELECT lang, lang_pred, COUNT(*) AS n
+         |  FROM p GROUP BY lang, lang_pred),
+         |t AS (SELECT lang, SUM(n) AS tot FROM m GROUP BY lang)
+         |SELECT m.lang, m.lang_pred, m.n,
+         |       ROUND(CAST(m.n AS DOUBLE) / t.tot, 6) AS share,
+         |       m.lang = m.lang_pred AS correct
+         |FROM m JOIN t ON t.lang = m.lang
+         |ORDER BY m.lang, m.lang_pred""".stripMargin)
+  }
+  def taLangConf(s: SparkSession, dir: String): DataFrame =
+    taLangConf(Tables.load(s, dir, "documents").select("lang", "text"))
+
   /** Document fingerprint: position-weighted polynomial hash over tokens —
     * order-sensitive (anagram documents differ), integer-exact, and
     * fold-free so both engines compute term-by-term identically:
@@ -1552,6 +1602,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_rake" -> ((s: SparkSession, dir: String) => taRake(s, dir)),
+    "ta_langconf" -> ((s: SparkSession, dir: String) => taLangConf(s, dir)),
     "ta_bpe" -> ((s: SparkSession, dir: String) => taBpe(s, dir)),
     "ta_bm25" -> ((s: SparkSession, dir: String) => taBm25(s, dir)),
     "ta_logodds" -> ((s: SparkSession, dir: String) => taLogOdds(s, dir)),
@@ -2061,6 +2112,26 @@ object TextAnalysis {
         s"len(list_filter($sqlToks, t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'to')) AS n_stop, " +
         "len(regexp_extract_all(text, '[.!?,;:]')) AS n_punct, text " +
         "FROM documents) ORDER BY doc_id"),
+    "ta_langconf" ->
+      ("WITH p AS (SELECT lang, " +
+        "CASE WHEN sc_en >= sc_de AND sc_en >= sc_fr AND sc_en >= sc_es " +
+        "THEN 'en' " +
+        "WHEN sc_de >= sc_fr AND sc_de >= sc_es THEN 'de' " +
+        "WHEN sc_fr >= sc_es THEN 'fr' ELSE 'es' END AS lang_pred FROM (" +
+        s"SELECT lang, " +
+        s"len(list_filter($sqlToks, t -> t = 'the' OR t = 'a' OR t = 'and')) AS sc_en, " +
+        s"len(list_filter($sqlToks, t -> t = 'der' OR t = 'die' OR t = 'und')) AS sc_de, " +
+        s"len(list_filter($sqlToks, t -> t = 'le' OR t = 'les' OR t = 'et')) AS sc_fr, " +
+        s"len(list_filter($sqlToks, t -> t = 'el' OR t = 'los' OR t = 'y')) AS sc_es " +
+        "FROM documents)), " +
+        "m AS (SELECT lang, lang_pred, COUNT(*) AS n " +
+        "FROM p GROUP BY lang, lang_pred), " +
+        "t AS (SELECT lang, SUM(n) AS tot FROM m GROUP BY lang) " +
+        "SELECT m.lang, m.lang_pred, m.n, " +
+        "ROUND(m.n::DOUBLE / t.tot, 6) AS share, " +
+        "m.lang = m.lang_pred AS correct " +
+        "FROM m JOIN t ON t.lang = m.lang " +
+        "ORDER BY m.lang, m.lang_pred"),
     "ta_langid" ->
       ("SELECT doc_id, CASE WHEN sc_en >= sc_de AND sc_en >= sc_fr AND sc_en >= sc_es THEN 'en' " +
         "WHEN sc_de >= sc_fr AND sc_de >= sc_es THEN 'de' " +

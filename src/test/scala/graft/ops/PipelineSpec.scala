@@ -2959,6 +2959,30 @@ class PipelineSpec extends AnyFunSuite {
       rs.map(_._3).sorted.toSeq == (1L to rs.length) })
   }
 
+  test("taLangConf: confusion matrix replays; the zh blind spot is visible, row shares close to 1") {
+    import spark.implicits._
+    val docs = Seq(
+      ("en", "the a and"), ("de", "der die und"),
+      ("fr", "le les et"), ("zh", "wen yan wen")).toDF("lang", "text")
+    val got = TextAnalysis.taLangConf(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    // zero-evidence zh falls through the >= ties to 'en' — visibly wrong
+    assert(got.toSeq == Seq(
+      ("de", "de", 1L, 1.0, true), ("en", "en", 1L, 1.0, true),
+      ("fr", "fr", 1L, 1.0, true), ("zh", "en", 1L, 1.0, false)))
+    // oracle form: every declared-language block's shares sum to 1;
+    // no zh row is ever correct (the heuristic has no zh family)
+    val orc = TextAnalysis.taLangConf(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(3), r.getBoolean(4)))
+    orc.groupBy(_._1).foreach { case (_, rs) =>
+      assert(math.abs(rs.map(_._2).sum - 1.0) < 1e-5)
+    }
+    assert(orc.filter(_._1 == "zh").nonEmpty)
+    orc.filter(_._1 == "zh").foreach { case (_, _, c) => assert(!c) }
+  }
+
   test("taRake: degree/frequency algebra replays; multi-word phrases outrank their parts") {
     import spark.implicits._
     // islands around stopwords: doc0 → [label propagation],

@@ -473,6 +473,33 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("ta_bm25: the scoring join is postings-keyed — no cartesian anywhere in the plan") {
+    // each query term must pull only the documents containing it; a plan
+    // that degrades to CartesianProduct scores every (query, doc) pair
+    // and detonates at corpus scale (the 1-row corpus-stat relation is
+    // the only nested-loop side allowed, and it broadcasts)
+    val plan = formatted(graft.ops.TextAnalysis.taBm25(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"BM25 degraded to a cartesian:\n$plan")
+  }
+
+  test("ta_rake: the phrase top-k is a distributed TakeOrdered, never a global rank") {
+    // the unpartitioned ROW_NUMBER may only ever see the k survivors;
+    // ranking the whole phrase vocabulary single-partitions the corpus
+    val plan = formatted(graft.ops.TextAnalysis.taRake(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"phrase top-k lost TakeOrdered:\n$plan")
+  }
+
+  test("ev_cms: the heavy-hitter cut is a TakeOrdered; sketch and exact aggs are partial") {
+    val plan = formatted(graft.ops.Sessionize.evCms(
+      graft.Tables.load(spark, sf, "events")))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-K cut lost TakeOrdered:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("Partial"),
+      s"sketch build lost map-side combine:\n$plan")
+  }
+
   test("optimizer rule rewrites the HOF dot-product pattern into graft_dot") {
     graft.functions.GraftFunctions.register(spark)
     val df = spark.range(4)
