@@ -1407,7 +1407,66 @@ object Pipeline {
     dsLeakage(s.sql("SELECT doc_id, text FROM __docs"))
   }
 
+  /** Sorted-vs-random batching padding audit: assign documents to fixed-
+    * size training batches two ways — length-sorted (the sorted/bucketed
+    * batching trick) and hash-random (the naive baseline) — and report
+    * each strategy's padded-token overhead. Every batch pads to its own
+    * max length, so `padded = Σ_b n_b·max_b`, and
+    * `pad_frac = 1 − tokens/padded` is the fraction of compute spent on
+    * padding. The number a pipeline owner reads to decide whether
+    * length-aware batching is worth the shuffle: sorted batching puts
+    * near-equal lengths together and collapses the overhead.
+    *
+    * Engine-exactness: everything is an integer until the one terminal
+    * ROUND; shard and random order are md5 digest draws (seeded,
+    * engine-identical), tie-broken on doc_id like every digest draw in
+    * the ds_ family.
+    *
+    * Scale: batching happens WITHIN md5 shards (the ds_shuffle/ds_pack
+    * discipline — a real sorted-batcher sorts per worker shard, not
+    * globally), so each strategy's rank window is hash-partitioned on
+    * the 16-way shard key: one exchange + per-shard sort, never a
+    * single-partition global rank. Each shard sees the same length
+    * distribution, so the padding verdict matches the global sort's.
+    */
+  def dsBatchPad(docs: DataFrame, batchSize: Int = 32): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__bp_docs")
+    s.sql(
+      s"""WITH lens AS (
+         |  SELECT doc_id,
+         |         substring(md5(concat('bp:', CAST(doc_id AS STRING))),
+         |                   1, 1) AS shard,
+         |         size(split(text, ' ')) AS n_tok
+         |  FROM __bp_docs),
+         |assigned AS (
+         |  SELECT 'sorted' AS strategy, shard, n_tok,
+         |         (ROW_NUMBER() OVER (PARTITION BY shard
+         |            ORDER BY n_tok, doc_id) - 1)
+         |           div $batchSize AS batch
+         |  FROM lens
+         |  UNION ALL
+         |  SELECT 'random' AS strategy, shard, n_tok,
+         |         (ROW_NUMBER() OVER (PARTITION BY shard ORDER BY
+         |            md5(concat('bq:', CAST(doc_id AS STRING))), doc_id)
+         |          - 1) div $batchSize AS batch
+         |  FROM lens),
+         |b AS (
+         |  SELECT strategy, shard, batch, COUNT(*) AS n,
+         |         SUM(n_tok) AS toks, MAX(n_tok) AS mx
+         |  FROM assigned GROUP BY strategy, shard, batch)
+         |SELECT strategy, COUNT(*) AS n_batches,
+         |       SUM(toks) AS total_tokens,
+         |       SUM(n * mx) AS total_padded,
+         |       ROUND(1 - CAST(SUM(toks) AS DOUBLE) / SUM(n * mx), 6)
+         |         AS pad_frac
+         |FROM b GROUP BY strategy ORDER BY strategy""".stripMargin)
+  }
+  def dsBatchPad(s: SparkSession, dir: String): DataFrame =
+    dsBatchPad(Tables.load(s, dir, "documents").select("doc_id", "text"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_batchpad" -> ((s: SparkSession, dir: String) => dsBatchPad(s, dir)),
     "ds_leakage" -> ((s: SparkSession, dir: String) => dsLeakage(s, dir)),
     "ds_dropout" -> ((s: SparkSession, dir: String) => dsDropout(s, dir)),
     "ds_softdedup" -> ((s: SparkSession, dir: String) => dsSoftDedup(s, dir)),
@@ -1475,6 +1534,27 @@ object Pipeline {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ds_batchpad" ->
+      ("WITH lens AS (SELECT doc_id, " +
+        "substr(md5('bp:' || doc_id::VARCHAR), 1, 1) AS shard, " +
+        "len(string_split(text, ' ')) AS n_tok FROM documents), " +
+        "assigned AS (" +
+        "SELECT 'sorted' AS strategy, shard, n_tok, " +
+        "(ROW_NUMBER() OVER (PARTITION BY shard " +
+        "ORDER BY n_tok, doc_id) - 1) // 32 AS batch FROM lens " +
+        "UNION ALL " +
+        "SELECT 'random' AS strategy, shard, n_tok, " +
+        "(ROW_NUMBER() OVER (PARTITION BY shard " +
+        "ORDER BY md5('bq:' || doc_id::VARCHAR), doc_id) - 1) // 32 " +
+        "FROM lens), " +
+        "b AS (SELECT strategy, shard, batch, COUNT(*) AS n, " +
+        "SUM(n_tok) AS toks, MAX(n_tok) AS mx " +
+        "FROM assigned GROUP BY 1, 2, 3) " +
+        "SELECT strategy, COUNT(*) AS n_batches, " +
+        "CAST(SUM(toks) AS BIGINT) AS total_tokens, " +
+        "CAST(SUM(n * mx) AS BIGINT) AS total_padded, " +
+        "ROUND(1 - SUM(toks)::DOUBLE / SUM(n * mx), 6) AS pad_frac " +
+        "FROM b GROUP BY strategy ORDER BY strategy"),
     "ds_spanmask" ->
       ("""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n """ +
         """FROM documents), """ +

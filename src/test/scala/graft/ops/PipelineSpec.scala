@@ -2959,6 +2959,48 @@ class PipelineSpec extends AnyFunSuite {
       rs.map(_._3).sorted.toSeq == (1L to rs.length) })
   }
 
+  test("dsBatchPad: padding algebra replays the shard fold; sorted batching never pads more than random") {
+    import spark.implicits._
+    def md5hex(s: String) = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // doc u has u tokens; replay the per-shard rank/batch/pad fold
+    val docs = (1L to 40L).map(u => (u, Seq.fill(u.toInt)("x")
+      .mkString(" "))).toDF("doc_id", "text")
+    val B = 4
+    val lens = (1L to 40L).map(u => (u, md5hex(s"bp:$u").take(1), u))
+    def summarize(ranked: Seq[(String, Long)]): (Long, Long, Long) = {
+      // ranked: (shard, n_tok) in rank order per shard
+      val batches = ranked.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+        xs.map(_._2).grouped(B).toSeq
+      }
+      (batches.size.toLong, batches.map(_.sum).sum,
+        batches.map(b => b.max * b.length).sum)
+    }
+    val sorted = summarize(lens.groupBy(_._2).toSeq.flatMap {
+      case (sh, xs) => xs.sortBy(t => (t._3, t._1)).map(t => sh -> t._3)
+    })
+    val random = summarize(lens.groupBy(_._2).toSeq.flatMap {
+      case (sh, xs) => xs.sortBy(t => (md5hex(s"bq:${t._1}"), t._1))
+        .map(t => sh -> t._3)
+    })
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Pipeline.dsBatchPad(docs, batchSize = B).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    assert(got("sorted") == ((sorted._1, sorted._2, sorted._3,
+      r6(1 - sorted._2.toDouble / sorted._3))))
+    assert(got("random") == ((random._1, random._2, random._3,
+      r6(1 - random._2.toDouble / random._3))))
+    // oracle form: same token mass both strategies; sorted no worse
+    val orc = Pipeline.dsBatchPad(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getDouble(4)))).toMap
+    assert(orc("sorted")._1 == orc("random")._1)
+    assert(orc("sorted")._2 <= orc("random")._2)
+  }
+
   test("taLangConf: confusion matrix replays; the zh blind spot is visible, row shares close to 1") {
     import spark.implicits._
     val docs = Seq(
