@@ -150,6 +150,9 @@ object PipelineScaleProbe {
     // uplift at 1M users, CM-sketch width dial at 10M events, IVF
     // inertia at 100k vectors, RAKE at 500k docs + corpus-scale algebra
     if (args.headOption.contains("addendum28")) { addendum28(args(1)); return }
+    // `addendum29 <existingDir>` — ninth continuation batch: batching
+    // padding audit + language-ID confusion at 500k docs
+    if (args.headOption.contains("addendum29")) { addendum29(args(1)); return }
     // `addendum13 <nDocs> <nEvents> <nVec> <outBase>` — gaps/gini at
     // event scale, epochs/ngram at corpus scale, range at vector scale
     if (args.headOption.contains("addendum13")) {
@@ -2126,6 +2129,56 @@ object PipelineScaleProbe {
       .take(40)} planted_exact t=$p2W%.1f s (500k docs)")
 
     println("PSCALE addendum28 done")
+  }
+
+  /** Ninth continuation batch at 100×: ds_batchpad and ta_langconf over
+    * the persisted 500k-doc corpus.
+    */
+  private def addendum29(dir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def wall[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+
+    // ds_batchpad: on the zipf-length corpus the sorted batcher must
+    // collapse padding versus the random baseline, same token mass
+    val (bpR, bpW) = wall(ops.Pipeline.dsBatchPad(
+      docs.select("doc_id", "text")).collect())
+    val bp = bpR.map(r => r.getString(0) ->
+      ((r.getLong(2), r.getDouble(4)))).toMap
+    require(bp("sorted")._1 == bp("random")._1, "token mass differs")
+    require(bp("sorted")._2 < bp("random")._2,
+      s"sorted ${bp("sorted")._2} !< random ${bp("random")._2}")
+    println(f"PSCALE q=ds_batchpad t=$bpW%.1f s " +
+      f"pad_sorted=${bp("sorted")._2}%.4f " +
+      f"pad_random=${bp("random")._2}%.4f (500k docs)")
+
+    // ta_langconf: per-declared-language shares close to 1 and the
+    // matrix is (langs × ≤4)-sized at any corpus size
+    val (lcR, lcW) = wall(ops.TextAnalysis.taLangConf(
+      docs.select("lang", "text")).collect())
+    val byLang = lcR.groupBy(_.getString(0))
+    byLang.foreach { case (l, rs) =>
+      val sum = rs.map(_.getDouble(3)).sum
+      require(math.abs(sum - 1.0) < 1e-5, s"$l shares sum $sum")
+    }
+    require(lcR.map(_.getString(1)).distinct.forall(
+      Set("en", "de", "fr", "es")), "prediction outside the vote family")
+    println(f"PSCALE q=ta_langconf t=$lcW%.1f s cells=${lcR.length} " +
+      s"langs=${byLang.keys.toSeq.sorted.mkString(",")} (500k docs)")
+
+    println("PSCALE addendum29 done")
     spark.stop()
   }
 
