@@ -1934,6 +1934,66 @@ object Sessionize {
     evForecast(s.table("__events"))
   }
 
+  /** Mergeable quantile sketch over the positive value stream: a quarter-
+    * octave integer histogram (bucket = 4·⌊log2 c⌋ + next-2-bits of the
+    * cent value — the ev_gaps `bin()` trick refined to 25 % relative
+    * width) answers any quantile with a guaranteed bracket
+    * [lo_cents, hi_cents], hi/lo ≤ 1.25. The quantile member of the
+    * mergeable-summary family (q20 HLL distinct, ev_cms counts,
+    * dd_minhash_est similarity): per-partition histograms combine by
+    * addition, so the sketch costs one combinable aggregate at ANY
+    * corpus size where an exact percentile would pay a global sort.
+    *
+    * Everything is integer (cents, bit lengths, shifts) — no float
+    * enters until nothing is left to compute; the oracle matches
+    * bit-for-bit by construction. Values ≤ 0 are excluded by
+    * declaration (log-scale sketch).
+    *
+    * Scale: one corpus pass into a ~120-key histogram; the cumulative
+    * window and the quantile probes run on that tiny relation.
+    */
+  def evQsketch(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__qs_events")
+    s.sql(
+      """WITH vals AS (
+        |  SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+        |  FROM __qs_events WHERE value > 0),
+        |nn AS (SELECT COUNT(*) AS n FROM vals),
+        |keyed AS (
+        |  SELECT CASE WHEN c >= 4
+        |              THEN (length(bin(c)) - 1) * 4
+        |                   + CAST(shiftright(c, length(bin(c)) - 3)
+        |                          AS INT) - 4
+        |              ELSE CAST(c AS INT) END AS key
+        |  FROM vals),
+        |h AS (SELECT key, COUNT(*) AS cnt FROM keyed GROUP BY key),
+        |cum AS (
+        |  SELECT key, cnt, SUM(cnt) OVER (ORDER BY key) AS cum FROM h),
+        |qs AS (SELECT explode(array(0.5D, 0.9D, 0.95D, 0.99D)) AS q),
+        |t AS (
+        |  SELECT q, CAST(ceil(q * nn.n) AS BIGINT) AS k, nn.n
+        |  FROM qs CROSS JOIN nn),
+        |pick AS (
+        |  SELECT t.q, t.k, t.n, MIN(cum.key) AS key
+        |  FROM t JOIN cum ON cum.cum >= t.k
+        |  GROUP BY t.q, t.k, t.n)
+        |SELECT q, n, k, key,
+        |       CASE WHEN key < 4 THEN CAST(key AS BIGINT)
+        |            ELSE (4 + CAST(key % 4 AS BIGINT))
+        |                 * shiftleft(CAST(1 AS BIGINT), key div 4 - 2)
+        |            END AS lo_cents,
+        |       CASE WHEN key < 4 THEN CAST(key AS BIGINT)
+        |            ELSE (5 + CAST(key % 4 AS BIGINT))
+        |                 * shiftleft(CAST(1 AS BIGINT), key div 4 - 2)
+        |            END AS hi_cents
+        |FROM pick ORDER BY q""".stripMargin)
+  }
+  def evQsketch(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evQsketch(s.table("__events"))
+  }
+
   /** Count-min sketch accuracy audit (Cormode & Muthukrishnan 2005):
     * build a depth×width CM sketch of the user-id frequency stream with
     * seeded md5 row hashes, then report, for the exact top-`topK` users,
@@ -2247,6 +2307,7 @@ object Sessionize {
     "ev_benford" -> ((s: SparkSession, dir: String) => evBenford(s, dir)),
     "ev_changepoint" -> ((s: SparkSession, dir: String) => evChangepoint(s, dir)),
     "ev_cms" -> ((s: SparkSession, dir: String) => evCms(s, dir)),
+    "ev_qsketch" -> ((s: SparkSession, dir: String) => evQsketch(s, dir)),
     "ev_did" -> ((s: SparkSession, dir: String) => evDid(s, dir)),
     "ev_forecast" -> ((s: SparkSession, dir: String) => evForecast(s, dir)),
     "ev_cuped" -> ((s: SparkSession, dir: String) => evCuped(s, dir)),
@@ -2295,6 +2356,31 @@ object Sessionize {
       "* (1::DOUBLE / na + 1::DOUBLE / nb))")
 
   val oracleSql: Map[String, String] = Map(
+    "ev_qsketch" ->
+      ("WITH vals AS (SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c " +
+        "FROM events WHERE value > 0), " +
+        "nn AS (SELECT COUNT(*) AS n FROM vals), " +
+        "keyed AS (SELECT CASE WHEN c >= 4 " +
+        "THEN (length(bin(c)) - 1) * 4 " +
+        "+ CAST(c >> (length(bin(c)) - 3) AS INT) - 4 " +
+        "ELSE CAST(c AS INT) END AS key FROM vals), " +
+        "h AS (SELECT key, COUNT(*) AS cnt FROM keyed GROUP BY key), " +
+        "cum AS (SELECT key, cnt, " +
+        "SUM(cnt) OVER (ORDER BY key) AS cum FROM h), " +
+        "qs AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, " +
+        "0.95::DOUBLE, 0.99::DOUBLE]) AS q), " +
+        "t AS (SELECT q, CAST(ceil(q * nn.n) AS BIGINT) AS k, nn.n " +
+        "FROM qs CROSS JOIN nn), " +
+        "pick AS (SELECT t.q, t.k, t.n, MIN(cum.key) AS key " +
+        "FROM t JOIN cum ON cum.cum >= t.k GROUP BY t.q, t.k, t.n) " +
+        "SELECT q, n, k, key, " +
+        "CASE WHEN key < 4 THEN CAST(key AS BIGINT) " +
+        "ELSE (4 + CAST(key % 4 AS BIGINT)) " +
+        "* (CAST(1 AS BIGINT) << (key // 4 - 2)) END AS lo_cents, " +
+        "CASE WHEN key < 4 THEN CAST(key AS BIGINT) " +
+        "ELSE (5 + CAST(key % 4 AS BIGINT)) " +
+        "* (CAST(1 AS BIGINT) << (key // 4 - 2)) END AS hi_cents " +
+        "FROM pick ORDER BY q"),
     "ev_cms" ->
       ("WITH keys AS (SELECT user_id::VARCHAR AS k FROM events), " +
         "sk AS (SELECT t.r, " +

@@ -3167,6 +3167,49 @@ class PipelineSpec extends AnyFunSuite {
     orc.foreach(r => assert(r.getDouble(6) >= 0.0))
   }
 
+  test("evQsketch: quarter-octave brackets replay and always contain the true order statistic") {
+    import spark.implicits._
+    // cent values 1..100 (value = c/100): the k-th order statistic IS k
+    // cents, so every quantile bracket must contain its own target rank
+    def key(c: Long): Int =
+      if (c >= 4) {
+        val b = 63 - java.lang.Long.numberOfLeadingZeros(c)
+        b * 4 + (c >> (b - 2)).toInt - 4
+      } else c.toInt
+    def edges(k: Int): (Long, Long) =
+      if (k < 4) (k.toLong, k.toLong)
+      else ((4L + k % 4) << (k / 4 - 2), (5L + k % 4) << (k / 4 - 2))
+    val cs = (1L to 100L)
+    val hist = cs.map(key).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val cumKeys = hist.keys.toSeq.sorted
+    def pick(k: Long): Int = {
+      var cum = 0L
+      cumKeys.find { kk => cum += hist(kk); cum >= k }.get
+    }
+    val evs = cs.map(c => (c, new java.sql.Timestamp(c * 1000), c, "e",
+      c / 100.0)).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Sessionize.evQsketch(evs).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.map(_._1).toSeq == Seq(0.5, 0.9, 0.95, 0.99))
+    got.foreach { case (q, n, k, kk, lo, hi) =>
+      assert(n == 100L && k == math.ceil(q * 100).toLong)
+      assert(kk == pick(k) && (lo, hi) == edges(kk))
+      // the bracket contains the true k-th order statistic (= k cents)
+      assert(lo <= k && (k < hi || lo == hi))
+      // guaranteed 25 % relative width
+      if (kk >= 8) assert(hi.toDouble / lo <= 1.25 + 1e-12)
+    }
+    // oracle form: 4 rows, brackets ordered and bounded
+    val orc = Sessionize.evQsketch(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(4), r.getLong(5), r.getInt(3)))
+    assert(orc.length == 4)
+    orc.foreach { case (lo, hi, kk) =>
+      assert(lo <= hi && (kk < 8 || hi.toDouble / lo <= 1.25 + 1e-12))
+    }
+  }
+
   test("evCms: sketch estimates replay the md5 bucket fold; estimates never undercount") {
     import spark.implicits._
     // triangular frequencies: user u appears u times (u = 1..50);
