@@ -153,6 +153,9 @@ object PipelineScaleProbe {
     // `addendum29 <existingDir>` — ninth continuation batch: batching
     // padding audit + language-ID confusion at 500k docs
     if (args.headOption.contains("addendum29")) { addendum29(args(1)); return }
+    // `addendum30 <existingDir>` — quantile sketch vs an analytic
+    // log-uniform at 10M values
+    if (args.headOption.contains("addendum30")) { addendum30(args(1)); return }
     // `addendum13 <nDocs> <nEvents> <nVec> <outBase>` — gaps/gini at
     // event scale, epochs/ngram at corpus scale, range at vector scale
     if (args.headOption.contains("addendum13")) {
@@ -2179,6 +2182,43 @@ object PipelineScaleProbe {
       s"langs=${byLang.keys.toSeq.sorted.mkString(",")} (500k docs)")
 
     println("PSCALE addendum29 done")
+  }
+
+  /** ev_qsketch at 10M values of a planted log-uniform (value = 10^{3u},
+    * u hash-uniform): the analytic quantile 10^{3q} must land inside
+    * every reported quarter-octave bracket.
+    */
+  private def addendum30(dir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val events = graft.Tables.load(spark, dir, "events")
+    val logu = events.selectExpr("ts", "event_type",
+      "pow(10, (CAST(conv(substring(md5(concat('qs:', " +
+        "CAST(event_id AS STRING))), 1, 15), 16, 10) AS DOUBLE) " +
+        "/ 1152921504606846976.0) * 3) AS value")
+    val t0 = System.nanoTime()
+    val rows = ops.Sessionize.evQsketch(logu).collect()
+    val w = (System.nanoTime() - t0) / 1e9
+    require(rows.length == 4, s"${rows.length} quantile rows")
+    rows.foreach { r =>
+      val (q, lo, hi) = (r.getDouble(0), r.getLong(4), r.getLong(5))
+      val trueCents = math.pow(10, 3 * q) * 100
+      require(lo <= trueCents * 1.01 && trueCents * 0.99 <= hi,
+        s"q=$q analytic $trueCents outside [$lo, $hi]")
+      require(hi.toDouble / lo <= 1.25 + 1e-12, s"bracket wider than 25%")
+    }
+    val summary = rows.map(r => f"q=${r.getDouble(0)}%.2f " +
+      s"[${r.getLong(4)},${r.getLong(5)}]").mkString(" ")
+    println(f"PSCALE q=ev_qsketch t=$w%.1f s $summary " +
+      "(10M log-uniform values, analytic quantiles bracketed)")
+
+    println("PSCALE addendum30 done")
     spark.stop()
   }
 
