@@ -1836,6 +1836,7 @@ object PipelineScaleProbe {
       s"rows=$nRows bad_hops=0 (1.6M-edge window graph)")
 
     println("PSCALE addendum26 done")
+    spark.stop()
   }
 
   /** Seventh continuation batch at 100×: the q55/q56 community pair on a
@@ -1871,11 +1872,13 @@ object PipelineScaleProbe {
         |SELECT b * 10 + 9 AS u, (b + 1) * 10 AS v
         |FROM range(19999) t(b)""".stripMargin)
       .localCheckpoint(eager = true)
-    val (lpR, lpW) = wall(
-      graph.LabelProp.run(spark, blocks, rounds = 3).collect())
+    val labelsDf = graph.LabelProp.run(spark, blocks, rounds = 3)
+    val (lpR, lpW) = wall(labelsDf.collect())
     require(lpR.length == 200000, s"labelled ${lpR.length} of 200k")
-    val (mdR, mdW) = wall(graph.GraphQueries.modularity(blocks,
-      graph.LabelProp.run(spark, blocks, rounds = 3)).collect())
+    // reuse the materialized labels — a second LabelProp.run would pay
+    // the full 3-round LPA again and double-count it in the q56 timing
+    val (mdR, mdW) = wall(
+      graph.GraphQueries.modularity(blocks, labelsDf).collect())
     require(mdR.length == 20000, s"${mdR.length} communities, want 20k")
     require(mdR.forall(_.getLong(1) == 10L), "community size != 10")
     val q = mdR.map(_.getDouble(4)).sum
@@ -2019,6 +2022,7 @@ object PipelineScaleProbe {
       f"(dimvar t=$dvW%.1f s)")
 
     println("PSCALE addendum27 done")
+    spark.stop()
   }
 
   /** Eighth continuation batch at 100×: DiD with a planted uplift, the
@@ -2132,6 +2136,7 @@ object PipelineScaleProbe {
       .take(40)} planted_exact t=$p2W%.1f s (500k docs)")
 
     println("PSCALE addendum28 done")
+    spark.stop()
   }
 
   /** Ninth continuation batch at 100×: ds_batchpad and ta_langconf over
@@ -2182,6 +2187,7 @@ object PipelineScaleProbe {
       s"langs=${byLang.keys.toSeq.sorted.mkString(",")} (500k docs)")
 
     println("PSCALE addendum29 done")
+    spark.stop()
   }
 
   /** ev_qsketch at 10M values of a planted log-uniform (value = 10^{3u},

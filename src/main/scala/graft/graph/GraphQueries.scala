@@ -1188,10 +1188,6 @@ object GraphQueries {
       |LEFT JOIN ic ON ic.community = dc.community
       |ORDER BY dc.community""".stripMargin).replaceAll("\n", " ")
 
-  /** The shared DuckDB CTE chain for q55/q56: capped co-occurrence
-    * pairing (`und`, `e`) + three unrolled synchronous LPA votes
-    * (`l1`..`l3`) — the oracle twin of `cooccurPairs` + [[LabelProp]].
-    */
   /** Q57: rich-club coefficient ladder on the capped co-occurrence
     * graph — for each degree threshold k: the subgraph induced by nodes
     * of degree > k, its size, edge count, and density
@@ -1287,6 +1283,10 @@ object GraphQueries {
       |e AS (SELECT u AS a, v AS b FROM und
       |      UNION ALL SELECT v, u FROM und)""".stripMargin
 
+  /** The shared DuckDB CTE chain for q55/q56: capped co-occurrence
+    * pairing (`und`, `e`) + three unrolled synchronous LPA votes
+    * (`l1`..`l3`) — the oracle twin of `cooccurPairs` + [[LabelProp]].
+    */
   // lazy: referenced by q56OracleSql, which is declared above it
   private lazy val lpaOracleCtes: String = {
     def round(t: Int): String =

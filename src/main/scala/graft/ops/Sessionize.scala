@@ -2066,30 +2066,42 @@ object Sessionize {
     * conditional rollup pivoted to a single row. Nothing wider than the
     * user aggregate shuffles.
     */
+  /** Shared per-user (variant, X = pre-period sum, Y = post-period sum)
+    * relation for evDid/evCuped: arms by the evAbTest/evSrm md5 rule,
+    * period boundary at min(ts) + `preDays` days (calendar-fixed), cents
+    * summed as DECIMAL(18,2) then cast to double (exact). The one
+    * corpus-wide user_id aggregate both readouts share — factored so the
+    * split rule and the boundary can never drift between them.
+    */
+  private def prePostUserSql(view: String, preDays: Int,
+      salt: String): String =
+    s"""WITH b AS (
+       |  SELECT MIN(unix_micros(ts)) + ${preDays}L * 86400000000
+       |           AS cut
+       |  FROM $view)
+       |SELECT user_id,
+       |       CASE WHEN instr('0123456789abcdef',
+       |              substring(md5(concat('$salt:',
+       |                CAST(user_id AS STRING))), 1, 1)) - 1 < 8
+       |            THEN 'A' ELSE 'B' END AS variant,
+       |       CAST(SUM(CASE WHEN unix_micros(ts) < (SELECT cut FROM b)
+       |                     THEN CAST(value AS DECIMAL(18,2))
+       |                     ELSE CAST(0 AS DECIMAL(18,2)) END)
+       |            AS DOUBLE) AS x,
+       |       CAST(SUM(CASE WHEN unix_micros(ts) >= (SELECT cut FROM b)
+       |                     THEN CAST(value AS DECIMAL(18,2))
+       |                     ELSE CAST(0 AS DECIMAL(18,2)) END)
+       |            AS DOUBLE) AS y
+       |FROM $view GROUP BY user_id""".stripMargin
+
   def evDid(events: DataFrame, preDays: Int = 15,
       salt: String = "ab"): DataFrame = {
     val s = events.sparkSession
     events.createOrReplaceTempView("__dd_events")
+    s.sql(prePostUserSql("__dd_events", preDays, salt))
+      .createOrReplaceTempView("__dd_u")
     s.sql(
-      s"""WITH b AS (
-         |  SELECT MIN(unix_micros(ts)) + ${preDays}L * 86400000000
-         |           AS cut
-         |  FROM __dd_events),
-         |u AS (
-         |  SELECT user_id,
-         |         CASE WHEN instr('0123456789abcdef',
-         |                substring(md5(concat('$salt:',
-         |                  CAST(user_id AS STRING))), 1, 1)) - 1 < 8
-         |              THEN 'A' ELSE 'B' END AS variant,
-         |         CAST(SUM(CASE WHEN unix_micros(ts) < (SELECT cut FROM b)
-         |                       THEN CAST(value AS DECIMAL(18,2))
-         |                       ELSE CAST(0 AS DECIMAL(18,2)) END)
-         |              AS DOUBLE) AS x,
-         |         CAST(SUM(CASE WHEN unix_micros(ts) >= (SELECT cut FROM b)
-         |                       THEN CAST(value AS DECIMAL(18,2))
-         |                       ELSE CAST(0 AS DECIMAL(18,2)) END)
-         |              AS DOUBLE) AS y
-         |  FROM __dd_events GROUP BY user_id),
+      s"""WITH u AS (SELECT * FROM __dd_u),
          |v AS (
          |  SELECT COUNT(CASE WHEN variant = 'A' THEN 1 END) AS na,
          |         COUNT(CASE WHEN variant = 'B' THEN 1 END) AS nb,
@@ -2223,25 +2235,7 @@ object Sessionize {
     // the per-user (variant, X, Y) relation is the corpus pass and feeds
     // BOTH the global-moment aggregate and the adjusted rollup —
     // materialize it once (the InlineCTE multi-consumer lesson)
-    s.sql(
-      s"""WITH b AS (
-         |  SELECT MIN(unix_micros(ts)) + ${preDays}L * 86400000000
-         |           AS cut
-         |  FROM __cp_events)
-         |SELECT user_id,
-         |       CASE WHEN instr('0123456789abcdef',
-         |              substring(md5(concat('$salt:',
-         |                CAST(user_id AS STRING))), 1, 1)) - 1 < 8
-         |            THEN 'A' ELSE 'B' END AS variant,
-         |       CAST(SUM(CASE WHEN unix_micros(ts) < (SELECT cut FROM b)
-         |                     THEN CAST(value AS DECIMAL(18,2))
-         |                     ELSE CAST(0 AS DECIMAL(18,2)) END)
-         |            AS DOUBLE) AS x,
-         |       CAST(SUM(CASE WHEN unix_micros(ts) >= (SELECT cut FROM b)
-         |                     THEN CAST(value AS DECIMAL(18,2))
-         |                     ELSE CAST(0 AS DECIMAL(18,2)) END)
-         |            AS DOUBLE) AS y
-         |FROM __cp_events GROUP BY user_id""".stripMargin)
+    s.sql(prePostUserSql("__cp_events", preDays, salt))
       .localCheckpoint(eager = false)
       .createOrReplaceTempView("__cp_u")
     s.sql(
@@ -2355,6 +2349,25 @@ object Sessionize {
       "* (1 - (ca + cb)::DOUBLE / (na + nb)) " +
       "* (1::DOUBLE / na + 1::DOUBLE / nb))")
 
+  /** DuckDB twin of [[prePostUserSql]] at the oracle defaults
+    * (preDays = 15, salt = "ab") — the `b` + `u` CTEs shared verbatim by
+    * the ev_did and ev_cuped oracles.
+    */
+  private val prePostUserOracleCtes: String =
+    "b AS (SELECT MIN(epoch_us(ts)) + 15 * 86400000000 AS cut " +
+      "FROM events), " +
+      "u AS (SELECT user_id, " +
+      "CASE WHEN strpos('0123456789abcdef', " +
+      "substr(md5('ab:' || user_id::VARCHAR), 1, 1)) - 1 < 8 " +
+      "THEN 'A' ELSE 'B' END AS variant, " +
+      "SUM(CASE WHEN epoch_us(ts) < (SELECT cut FROM b) " +
+      "THEN CAST(value AS DECIMAL(18,2)) " +
+      "ELSE CAST(0 AS DECIMAL(18,2)) END)::DOUBLE AS x, " +
+      "SUM(CASE WHEN epoch_us(ts) >= (SELECT cut FROM b) " +
+      "THEN CAST(value AS DECIMAL(18,2)) " +
+      "ELSE CAST(0 AS DECIMAL(18,2)) END)::DOUBLE AS y " +
+      "FROM events GROUP BY user_id)"
+
   val oracleSql: Map[String, String] = Map(
     "ev_qsketch" ->
       ("WITH vals AS (SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c " +
@@ -2400,19 +2413,7 @@ object Sessionize {
         "GROUP BY p.k, p.exact_n " +
         "ORDER BY exact_n DESC, user_id"),
     "ev_did" ->
-      ("WITH b AS (SELECT MIN(epoch_us(ts)) + 15 * 86400000000 AS cut " +
-        "FROM events), " +
-        "u AS (SELECT user_id, " +
-        "CASE WHEN strpos('0123456789abcdef', " +
-        "substr(md5('ab:' || user_id::VARCHAR), 1, 1)) - 1 < 8 " +
-        "THEN 'A' ELSE 'B' END AS variant, " +
-        "SUM(CASE WHEN epoch_us(ts) < (SELECT cut FROM b) " +
-        "THEN CAST(value AS DECIMAL(18,2)) " +
-        "ELSE CAST(0 AS DECIMAL(18,2)) END)::DOUBLE AS x, " +
-        "SUM(CASE WHEN epoch_us(ts) >= (SELECT cut FROM b) " +
-        "THEN CAST(value AS DECIMAL(18,2)) " +
-        "ELSE CAST(0 AS DECIMAL(18,2)) END)::DOUBLE AS y " +
-        "FROM events GROUP BY user_id), " +
+      (s"WITH $prePostUserOracleCtes, " +
         "v AS (SELECT " +
         "COUNT(CASE WHEN variant = 'A' THEN 1 END) AS na, " +
         "COUNT(CASE WHEN variant = 'B' THEN 1 END) AS nb, " +
@@ -2465,19 +2466,7 @@ object Sessionize {
         "ROUND(gain, 6) AS gain " +
         "FROM sc WHERE rn = 1 ORDER BY event_type"),
     "ev_cuped" ->
-      ("WITH b AS (SELECT MIN(epoch_us(ts)) + 15 * 86400000000 AS cut " +
-        "FROM events), " +
-        "u AS (SELECT user_id, " +
-        "CASE WHEN strpos('0123456789abcdef', " +
-        "substr(md5('ab:' || user_id::VARCHAR), 1, 1)) - 1 < 8 " +
-        "THEN 'A' ELSE 'B' END AS variant, " +
-        "SUM(CASE WHEN epoch_us(ts) < (SELECT cut FROM b) " +
-        "THEN CAST(value AS DECIMAL(18,2)) " +
-        "ELSE CAST(0 AS DECIMAL(18,2)) END)::DOUBLE AS x, " +
-        "SUM(CASE WHEN epoch_us(ts) >= (SELECT cut FROM b) " +
-        "THEN CAST(value AS DECIMAL(18,2)) " +
-        "ELSE CAST(0 AS DECIMAL(18,2)) END)::DOUBLE AS y " +
-        "FROM events GROUP BY user_id), " +
+      (s"WITH $prePostUserOracleCtes, " +
         "g AS (SELECT COUNT(*) AS n, " +
         "SUM(CAST(ROUND(x, 6) AS DECIMAL(28,6))) AS sx, " +
         "SUM(CAST(ROUND(y, 6) AS DECIMAL(28,6))) AS sy, " +

@@ -1482,7 +1482,10 @@ object TextAnalysis {
       stops: Seq[String] = RakeStops): DataFrame = {
     val s = docs.sparkSession
     docs.createOrReplaceTempView("__rk_docs")
-    val stopList = stops.map(w => s"'$w'").mkString(", ")
+    // escape embedded quotes — caller-supplied stopwords ("don't") must
+    // not break (or rewrite) the NOT IN predicate
+    val stopList =
+      stops.map(w => s"'${w.replace("'", "''")}'").mkString(", ")
     s.sql(
       s"""WITH tok AS (
          |  SELECT doc_id, p.pos AS pos, p.w AS w

@@ -35,7 +35,10 @@ import java.sql.Timestamp
   *
   * State per event_type: the in-flight day→count entries newer than the
   * watermark plus seven Longs — O(days in flight), independent of event
-  * volume, co-partitioned by type.
+  * volume, co-partitioned by type. A type idle for 30 days past its last
+  * scored day is garbage-collected (event-time timeout); if it later
+  * resumes, it re-baselines from scratch — the one place the stream may
+  * diverge from a whole-history batch replay, by declared GC policy.
   */
 object CusumTracker {
 
@@ -100,7 +103,14 @@ object CusumTracker {
     // by construction none exists; only in-flight days are retained
     val keep = st.days.zip(st.ns).filter(_._1 > cur.emitted)
     val next = cur.copy(days = keep.map(_._1), ns = keep.map(_._2))
-    if (keep.isEmpty && next.baseN == 0) state.remove()
+    // GC: drop a key with nothing in flight once the watermark has also
+    // passed its 30-day idle horizon (the timeout below) — without the
+    // second clause a once-scored type (baseN > 0) could never be
+    // removed and the store would grow with event-type churn forever.
+    // A type that resumes after removal re-baselines from scratch.
+    if (keep.isEmpty && (next.baseN == 0 ||
+        (cur.emitted != Long.MinValue &&
+          wmMs >= (cur.emitted + 30) * DayMs))) state.remove()
     else {
       state.update(next)
       keep.map(_._1).minOption.foreach { d =>

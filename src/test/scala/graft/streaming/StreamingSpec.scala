@@ -499,6 +499,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(day7._3 == 6L && day7._4 == 3150L && day7._6)
   }
 
+  test("cusum: an idle key is removed at its 30-day timeout; a live key re-arms") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val fn = CusumTracker.stateFn(7, 50, 4) _
+    // scored key (baseN > 0), nothing in flight, idle timeout fired:
+    // the watermark is past (emitted + 30) days → the state must be
+    // REMOVED, not re-armed (the re-arm-at-wm+1-forever leak)
+    val idle = CusumTracker.CuState(Nil, Nil, 10L, 7L, 70L, 0L, 0L)
+    val horizonMs = (10L + 30L) * CusumTracker.DayMs
+    val timedOut = TestGroupState.create[CusumTracker.CuState](
+      Optional.of(idle), GroupStateTimeout.EventTimeTimeout, 0L,
+      Optional.of(horizonMs + 1L), true)
+    assert(fn("a", Iterator.empty, timedOut).isEmpty && timedOut.isRemoved)
+    // same key shape but the watermark has NOT reached the horizon
+    // (it just closed an in-flight day): retained, timeout at horizon
+    val live = CusumTracker.CuState(Seq(11L), Seq(5L), 10L, 7L, 70L, 0L, 0L)
+    val g = TestGroupState.create[CusumTracker.CuState](
+      Optional.of(live), GroupStateTimeout.EventTimeTimeout, 0L,
+      Optional.of(13L * CusumTracker.DayMs), false)
+    val rows = fn("a", Iterator.empty, g).toSeq
+    assert(rows.map(_.day) == Seq(11L) && !g.isRemoved)
+    assert(g.getTimeoutTimestampMs.get == (11L + 30L) * CusumTracker.DayMs)
+  }
+
   test("spike: streaming == batch; a day emits once, when the watermark ends it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
