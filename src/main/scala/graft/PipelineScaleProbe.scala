@@ -156,6 +156,10 @@ object PipelineScaleProbe {
     // `addendum30 <existingDir>` — quantile sketch vs an analytic
     // log-uniform at 10M values
     if (args.headOption.contains("addendum30")) { addendum30(args(1)); return }
+    // `addendum31` (no dir) — Mann-Whitney / KS at 1M users: hash-null
+    // z/D bounds and a planted complete separation on 1M distinct values
+    // (the sharded CDF prefix at distinct ~= users)
+    if (args.headOption.contains("addendum31")) { addendum31(); return }
     // `addendum13 <nDocs> <nEvents> <nVec> <outBase>` — gaps/gini at
     // event scale, epochs/ngram at corpus scale, range at vector scale
     if (args.headOption.contains("addendum13")) {
@@ -2225,6 +2229,63 @@ object PipelineScaleProbe {
       "(10M log-uniform values, analytic quantiles bracketed)")
 
     println("PSCALE addendum30 done")
+    spark.stop()
+  }
+
+  /** ev_mannwhitney / ev_ks at 1M users. Null leg: per-user value is an
+    * md5-uniform on a 3,000-point grid, independent of the arm hash —
+    * z must sit in the normal null band and D under the KS critical
+    * value. Planted leg: value = user_id cents with a disjoint +1e6
+    * shift on arm B — 1M DISTINCT values (the sharded cumulative prefix
+    * runs at distinct ~= users, ~96 value shards), and the readouts must
+    * hit their separation extremes exactly (cles = 1, D = 1).
+    */
+  private def addendum31(): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def wall[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val n = 1000000L
+    val nullEv = spark.range(1, n + 1).selectExpr("id AS user_id",
+      "CAST(CAST(conv(substring(md5(concat('v:', CAST(id AS STRING))), " +
+        "1, 8), 16, 10) AS BIGINT) % 3000 AS DOUBLE) / 100 AS value")
+    val (mw0, mwW0) = wall(
+      ops.Sessionize.evMannWhitney(nullEv).collect().head)
+    val (ks0, ksW0) = wall(ops.Sessionize.evKs(nullEv).collect().head)
+    val (z0, d0, k0) = (mw0.getDouble(4), ks0.getDouble(2),
+      ks0.getDouble(4))
+    require(math.abs(z0) < 5, s"null z $z0 outside the normal band")
+    require(d0 < 0.006, s"null KS D $d0 above the 1e-6 critical value")
+    println(f"PSCALE q=ev_mannwhitney/ev_ks(null) t=$mwW0%.1f/$ksW0%.1f s" +
+      f" z=$z0%.3f D=$d0%.5f ks=$k0%.3f" +
+      f" (1M users, arms ${mw0.getLong(0)}/${mw0.getLong(1)})")
+
+    val sepEv = spark.range(1, n + 1).selectExpr("id AS user_id",
+      "CAST(id AS DOUBLE) / 100 + CASE WHEN instr('0123456789abcdef', " +
+        "substring(md5(concat('ab:', CAST(id AS STRING))), 1, 1)) - 1 < 8 " +
+        "THEN 0 ELSE 1000000 END AS value")
+    val (mw1, mwW1) = wall(
+      ops.Sessionize.evMannWhitney(sepEv).collect().head)
+    val (ks1, ksW1) = wall(ops.Sessionize.evKs(sepEv).collect().head)
+    require(mw1.getDouble(3) == 1.0, s"separation cles ${mw1.getDouble(3)}")
+    require(mw1.getDouble(2) ==
+      mw1.getLong(0).toDouble * mw1.getLong(1), "separation U != na*nb")
+    require(mw1.getDouble(4) > 500, s"separation z ${mw1.getDouble(4)}")
+    require(ks1.getDouble(2) == 1.0, s"separation D ${ks1.getDouble(2)}")
+    println(f"PSCALE q=ev_mannwhitney/ev_ks(sep) t=$mwW1%.1f/$ksW1%.1f s" +
+      f" z=${mw1.getDouble(4)}%.1f cles=1 D=1" +
+      " (1M users, 1M distinct values through the sharded prefix)")
+
+    println("PSCALE addendum31 done")
     spark.stop()
   }
 

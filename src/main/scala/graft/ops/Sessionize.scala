@@ -2297,12 +2297,165 @@ object Sessionize {
     evCuped(s.table("__events"))
   }
 
+  /** Build `__ab_cdf`, the variant-split distinct-value CDF relation
+    * shared by evMannWhitney/evKs: per-user value sums exact in integer
+    * cents (DECIMAL(18,2)·100), arms by the evAbTest/evSrm md5 rule,
+    * then per-distinct-cents A/B user counts with cumulative counts
+    * (users at value ≤ v per arm).
+    *
+    * Scale: the per-user aggregate is the corpus pass; the distinct-sum
+    * relation can approach user cardinality on a fine-grained metric, so
+    * the cumulative counts are NEVER a global single-partition window —
+    * values shard into contiguous ranges (`cents div 2^20`), each shard
+    * prefix-sums internally (partitioned window), and a shards-sized
+    * prefix relation joins back (broadcast). Same discipline as
+    * ds_batchpad's md5-shard ranks, adapted to an ordered prefix.
+    */
+  private def abCdfView(events: DataFrame, salt: String): Unit = {
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__ab_events")
+    s.sql(
+      s"""WITH u AS (
+         |  SELECT CASE WHEN instr('0123456789abcdef',
+         |                substring(md5(concat('$salt:',
+         |                  CAST(user_id AS STRING))), 1, 1)) - 1 < 8
+         |              THEN 'A' ELSE 'B' END AS variant,
+         |         CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+         |           AS cents
+         |  FROM __ab_events GROUP BY user_id),
+         |g AS (
+         |  SELECT cents AS v,
+         |         COUNT(CASE WHEN variant = 'A' THEN 1 END) AS ca,
+         |         COUNT(CASE WHEN variant = 'B' THEN 1 END) AS cb
+         |  FROM u GROUP BY cents),
+         |w AS (
+         |  SELECT v, ca, cb, v div 1048576 AS shard,
+         |         SUM(ca) OVER (PARTITION BY v div 1048576 ORDER BY v)
+         |           AS wa,
+         |         SUM(cb) OVER (PARTITION BY v div 1048576 ORDER BY v)
+         |           AS wb
+         |  FROM g),
+         |sh AS (
+         |  SELECT shard,
+         |         SUM(SUM(ca)) OVER (ORDER BY shard) - SUM(ca) AS pa,
+         |         SUM(SUM(cb)) OVER (ORDER BY shard) - SUM(cb) AS pb
+         |  FROM w GROUP BY shard)
+         |SELECT w.v, w.ca, w.cb, w.wa + sh.pa AS cuma, w.wb + sh.pb AS cumb
+         |FROM w JOIN sh ON sh.shard = w.shard""".stripMargin)
+      // evKs consumes the relation from four CTEs — materialize once
+      // (the InlineCTE multi-consumer lesson; 16.5 -> ~6 s at 1M
+      // distinct values in the addendum31 probe)
+      .localCheckpoint(eager = false)
+      .createOrReplaceTempView("__ab_cdf")
+  }
+
+  /** Mann–Whitney U rank-sum test on the hash-split experiment: per-user
+    * value sums as the metric, U_B = #{(a,b): b > a} + ½·ties, midrank
+    * ties, tie-corrected normal approximation. The nonparametric
+    * companion to evAbTest (t-test) / evCuped / evDid — the readout that
+    * survives the heavy-tailed metrics those assume away. Positive z
+    * means arm B tends larger; `cles` = U_B/(na·nb) is the
+    * common-language effect size P(B > A) + ½P(=).
+    *
+    * Engine-exactness: everything up to the final z is INTEGER algebra
+    * on the distinct-value CDF — 2·U_B = Σ_v cb·(2·cumA(≤v) − ca) and
+    * the tie term Σ(t³−t) accumulate in DECIMAL(38,0) (n³-sized at 1e9
+    * users); z is one fixed-order IEEE expression on those integers,
+    * rounded terminally. All-tied input reads z NULL (zero variance).
+    *
+    * Scale: one user_id aggregate + the sharded CDF ([[abCdfView]]) +
+    * one combinable global fold. No per-user sort anywhere.
+    */
+  def evMannWhitney(events: DataFrame, salt: String = "ab"): DataFrame = {
+    val s = events.sparkSession
+    abCdfView(events, salt)
+    s.sql(
+      """WITH c AS (SELECT ca, cb, cuma, ca + cb AS tk FROM __ab_cdf),
+        |t AS (
+        |  SELECT SUM(ca) AS na, SUM(cb) AS nb,
+        |         SUM(CAST(cb AS DECIMAL(38,0)) * (2 * cuma - ca)) AS u2,
+        |         SUM(CAST(tk AS DECIMAL(38,0)) * tk * tk - tk) AS ties
+        |  FROM c),
+        |vv AS (
+        |  SELECT na, nb, u2,
+        |         CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12
+        |           * ((CAST(na + nb AS DOUBLE) + 1)
+        |              - CAST(ties AS DOUBLE)
+        |                / (CAST(na + nb AS DOUBLE)
+        |                   * (CAST(na + nb AS DOUBLE) - 1))) AS varu
+        |  FROM t WHERE na > 0 AND nb > 0)
+        |SELECT na, nb,
+        |       ROUND(CAST(u2 AS DOUBLE) / 2, 1) AS u_b,
+        |       ROUND(CAST(u2 AS DOUBLE)
+        |             / (2 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)
+        |         AS cles,
+        |       CASE WHEN varu <= 0 THEN CAST(NULL AS DOUBLE)
+        |            ELSE ROUND((CAST(u2 AS DOUBLE)
+        |                        - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+        |                       / (2 * SQRT(varu)), 6) END AS z
+        |FROM vv""".stripMargin)
+  }
+  def evMannWhitney(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evMannWhitney(s.table("__events"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov distance between the arms' per-user
+    * metric distributions on the same hash split: D = max_v |F_A(v) −
+    * F_B(v)| over the distinct-value CDF, reported with the value where
+    * the gap peaks (ties → smallest value) and the scaled statistic
+    * √(na·nb/n)·D. The distribution-shape companion to evMannWhitney's
+    * location test — a variance-only treatment effect moves D while U
+    * sits still; also the standard metric-drift gate between two
+    * corpus snapshots.
+    *
+    * Engine-exactness: the argmax compares |cuma·nb − cumb·na| — exact
+    * integers in DECIMAL(38,0) (n²-sized) — and ties break on MIN(v),
+    * so both engines pick the same peak bit-for-bit; D and ks_stat are
+    * terminal fixed-order IEEE rounds.
+    *
+    * Scale: rides [[abCdfView]]; the argmax is MAX + one semi-join +
+    * MIN — combinable aggregates only, no window, no global rank.
+    */
+  def evKs(events: DataFrame, salt: String = "ab"): DataFrame = {
+    val s = events.sparkSession
+    abCdfView(events, salt)
+    s.sql(
+      """WITH tt AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM __ab_cdf),
+        |d AS (
+        |  SELECT v,
+        |         ABS(CAST(cuma AS DECIMAL(38,0)) * tt.nb
+        |             - CAST(cumb AS DECIMAL(38,0)) * tt.na) AS diff2
+        |  FROM __ab_cdf CROSS JOIN tt),
+        |m AS (SELECT MAX(diff2) AS md FROM d),
+        |p AS (SELECT MIN(d.v) AS at_v
+        |      FROM d JOIN m ON d.diff2 = m.md)
+        |SELECT tt.na, tt.nb,
+        |       ROUND(CAST(m.md AS DOUBLE)
+        |             / (CAST(tt.na AS DOUBLE) * CAST(tt.nb AS DOUBLE)), 6)
+        |         AS d_stat,
+        |       ROUND(CAST(p.at_v AS DOUBLE) / 100, 2) AS at_value,
+        |       ROUND(SQRT(CAST(tt.na AS DOUBLE) * CAST(tt.nb AS DOUBLE)
+        |                  / (CAST(tt.na AS DOUBLE) + CAST(tt.nb AS DOUBLE)))
+        |             * (CAST(m.md AS DOUBLE)
+        |                / (CAST(tt.na AS DOUBLE) * CAST(tt.nb AS DOUBLE))),
+        |             6) AS ks_stat
+        |FROM tt CROSS JOIN m CROSS JOIN p
+        |WHERE tt.na > 0 AND tt.nb > 0""".stripMargin)
+  }
+  def evKs(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evKs(s.table("__events"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_benford" -> ((s: SparkSession, dir: String) => evBenford(s, dir)),
     "ev_changepoint" -> ((s: SparkSession, dir: String) => evChangepoint(s, dir)),
     "ev_cms" -> ((s: SparkSession, dir: String) => evCms(s, dir)),
     "ev_qsketch" -> ((s: SparkSession, dir: String) => evQsketch(s, dir)),
     "ev_did" -> ((s: SparkSession, dir: String) => evDid(s, dir)),
+    "ev_mannwhitney" -> ((s: SparkSession, dir: String) => evMannWhitney(s, dir)),
+    "ev_ks" -> ((s: SparkSession, dir: String) => evKs(s, dir)),
     "ev_forecast" -> ((s: SparkSession, dir: String) => evForecast(s, dir)),
     "ev_cuped" -> ((s: SparkSession, dir: String) => evCuped(s, dir)),
     "ev_seasonality" -> ((s: SparkSession, dir: String) => evSeasonality(s, dir)),
@@ -2367,6 +2520,25 @@ object Sessionize {
       "THEN CAST(value AS DECIMAL(18,2)) " +
       "ELSE CAST(0 AS DECIMAL(18,2)) END)::DOUBLE AS y " +
       "FROM events GROUP BY user_id)"
+
+  /** DuckDB twin of [[abCdfView]] at the oracle default (salt = "ab").
+    * DuckDB is single-node, so the cumulative counts use the plain
+    * global window — same integer algebra, same results as the sharded
+    * Spark prefix.
+    */
+  private val abCdfOracleCtes: String =
+    "u AS (SELECT CASE WHEN strpos('0123456789abcdef', " +
+      "substr(md5('ab:' || user_id::VARCHAR), 1, 1)) - 1 < 8 " +
+      "THEN 'A' ELSE 'B' END AS variant, " +
+      "CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents " +
+      "FROM events GROUP BY user_id), " +
+      "g AS (SELECT cents AS v, " +
+      "COUNT(CASE WHEN variant = 'A' THEN 1 END) AS ca, " +
+      "COUNT(CASE WHEN variant = 'B' THEN 1 END) AS cb " +
+      "FROM u GROUP BY cents), " +
+      "cdf AS (SELECT v, ca, cb, " +
+      "SUM(ca) OVER (ORDER BY v) AS cuma, " +
+      "SUM(cb) OVER (ORDER BY v) AS cumb FROM g)"
 
   val oracleSql: Map[String, String] = Map(
     "ev_qsketch" ->
@@ -2440,6 +2612,45 @@ object Sessionize {
         "ROUND((syb::DOUBLE / nb - sxb::DOUBLE / nb) " +
         "- (sya::DOUBLE / na - sxa::DOUBLE / na), 6) AS did " +
         "FROM v WHERE na > 0 AND nb > 0"),
+    "ev_mannwhitney" ->
+      (s"WITH $abCdfOracleCtes, " +
+        "c AS (SELECT ca, cb, cuma, ca + cb AS tk FROM cdf), " +
+        "t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, " +
+        "CAST(SUM(cb) AS BIGINT) AS nb, " +
+        "SUM(CAST(cb AS DECIMAL(38,0)) * (2 * cuma - ca)) AS u2, " +
+        "SUM(CAST(tk AS DECIMAL(38,0)) * tk * tk - tk) AS ties " +
+        "FROM c), " +
+        "vv AS (SELECT na, nb, u2, " +
+        "CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12 " +
+        "* ((CAST(na + nb AS DOUBLE) + 1) - CAST(ties AS DOUBLE) " +
+        "/ (CAST(na + nb AS DOUBLE) * (CAST(na + nb AS DOUBLE) - 1))) " +
+        "AS varu FROM t WHERE na > 0 AND nb > 0) " +
+        "SELECT na, nb, ROUND(CAST(u2 AS DOUBLE) / 2, 1) AS u_b, " +
+        "ROUND(CAST(u2 AS DOUBLE) " +
+        "/ (2 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS cles, " +
+        "CASE WHEN varu <= 0 THEN CAST(NULL AS DOUBLE) " +
+        "ELSE ROUND((CAST(u2 AS DOUBLE) " +
+        "- CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) " +
+        "/ (2 * SQRT(varu)), 6) END AS z FROM vv"),
+    "ev_ks" ->
+      (s"WITH $abCdfOracleCtes, " +
+        "tt AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, " +
+        "CAST(SUM(cb) AS BIGINT) AS nb FROM cdf), " +
+        "d AS (SELECT v, ABS(CAST(cuma AS DECIMAL(38,0)) * tt.nb " +
+        "- CAST(cumb AS DECIMAL(38,0)) * tt.na) AS diff2 " +
+        "FROM cdf CROSS JOIN tt), " +
+        "m AS (SELECT MAX(diff2) AS md FROM d), " +
+        "p AS (SELECT MIN(d.v) AS at_v FROM d JOIN m ON d.diff2 = m.md) " +
+        "SELECT tt.na, tt.nb, " +
+        "ROUND(CAST(m.md AS DOUBLE) " +
+        "/ (CAST(tt.na AS DOUBLE) * CAST(tt.nb AS DOUBLE)), 6) AS d_stat, " +
+        "ROUND(CAST(p.at_v AS DOUBLE) / 100, 2) AS at_value, " +
+        "ROUND(SQRT(CAST(tt.na AS DOUBLE) * CAST(tt.nb AS DOUBLE) " +
+        "/ (CAST(tt.na AS DOUBLE) + CAST(tt.nb AS DOUBLE))) " +
+        "* (CAST(m.md AS DOUBLE) " +
+        "/ (CAST(tt.na AS DOUBLE) * CAST(tt.nb AS DOUBLE))), 6) AS ks_stat " +
+        "FROM tt CROSS JOIN m CROSS JOIN p " +
+        "WHERE tt.na > 0 AND tt.nb > 0"),
     "ev_changepoint" ->
       ("WITH daily AS (SELECT event_type, " +
         "epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n " +

@@ -3323,4 +3323,102 @@ class PipelineSpec extends AnyFunSuite {
         (r.isNullAt(4) || r.getDouble(4) > 0.0))
     }
   }
+
+  test("evMannWhitney: midrank U/z replay; separation reads cles 1; all-tied reads z NULL") {
+    import spark.implicits._
+    def variant(u: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ab:$u".getBytes("UTF-8"))
+      if (((d(0) >> 4) & 0xf) < 8) "A" else "B"
+    }
+    // per-user sums land on a small integer grid WITH ties across arms:
+    // user u contributes value (u % 7) + (3 if B) — overlapping supports
+    val evs = (1L to 40L).map { u =>
+      val lift = if (variant(u) == "B") 3.0 else 0.0
+      (u, (u % 7).toDouble + lift)
+    }.toDF("user_id", "value")
+    val as = (1L to 40L).filter(variant(_) == "A").map(u => (u % 7) * 100L)
+    val bs = (1L to 40L).filter(variant(_) == "B")
+      .map(u => (u % 7) * 100L + 300L)
+    // pair-count replay (cents): U_B = #{b > a} + 0.5 #{b == a}
+    val u2 = (for { b <- bs; a <- as } yield
+      (if (b > a) 2L else if (b == a) 1L else 0L)).sum
+    val (na, nb) = (as.size.toLong, bs.size.toLong)
+    val n = na + nb
+    val ties = (as ++ bs).groupBy(identity).values
+      .map { g => val t = g.size.toLong; t * t * t - t }.sum
+    val varu = na.toDouble * nb / 12 *
+      ((n + 1).toDouble - ties.toDouble / (n.toDouble * (n - 1)))
+    val r = Sessionize.evMannWhitney(evs).collect().head
+    assert(r.getLong(0) == na && r.getLong(1) == nb)
+    assert(r.getDouble(2) == u2.toDouble / 2)
+    assert(math.abs(r.getDouble(3) - u2.toDouble / (2.0 * na * nb)) < 1e-6)
+    assert(math.abs(r.getDouble(4) -
+      (u2.toDouble - na.toDouble * nb) / (2 * math.sqrt(varu))) < 1e-6)
+    // complete separation: every B above every A — U = na*nb, cles = 1
+    val sep = (1L to 40L).map { u =>
+      (u, if (variant(u) == "B") 1000.0 + u else u.toDouble)
+    }.toDF("user_id", "value")
+    val rs = Sessionize.evMannWhitney(sep).collect().head
+    assert(rs.getDouble(2) == rs.getLong(0).toDouble * rs.getLong(1) &&
+      rs.getDouble(3) == 1.0 && rs.getDouble(4) > 3.0)
+    // all users tied on one value: zero variance, z must read NULL
+    val flat = (1L to 40L).map(u => (u, 5.0)).toDF("user_id", "value")
+    val rf = Sessionize.evMannWhitney(flat).collect().head
+    assert(rf.getDouble(3) == 0.5 && rf.isNullAt(4))
+    // multiple events per user fold into ONE per-user sum first
+    val split2 = evs.union(evs.withColumn("value",
+      org.apache.spark.sql.functions.expr("value * 0")))
+    assert(Sessionize.evMannWhitney(split2).collect().head.getDouble(2)
+      == u2.toDouble / 2)
+    // oracle form: one row, both arms populated
+    val orc = Sessionize.evMannWhitney(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(orc.length == 1 && orc.head.getLong(0) > 0 &&
+      orc.head.getLong(1) > 0)
+  }
+
+  test("evKs: integer-argmax D replay with smallest-value tiebreak; identical arms read 0") {
+    import spark.implicits._
+    def variant(u: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ab:$u".getBytes("UTF-8"))
+      if (((d(0) >> 4) & 0xf) < 8) "A" else "B"
+    }
+    val evs = (1L to 40L).map { u =>
+      val lift = if (variant(u) == "B") 3.0 else 0.0
+      (u, (u % 7).toDouble + lift)
+    }.toDF("user_id", "value")
+    val as = (1L to 40L).filter(variant(_) == "A").map(u => (u % 7) * 100L)
+    val bs = (1L to 40L).filter(variant(_) == "B")
+      .map(u => (u % 7) * 100L + 300L)
+    val (na, nb) = (as.size.toLong, bs.size.toLong)
+    // CDF replay on the distinct-cents grid, exact integer compare
+    val vs = (as ++ bs).distinct.sorted
+    val diffs = vs.map { v =>
+      val cuma = as.count(_ <= v).toLong
+      val cumb = bs.count(_ <= v).toLong
+      (v, math.abs(cuma * nb - cumb * na))
+    }
+    val md = diffs.map(_._2).max
+    val atV = diffs.filter(_._2 == md).map(_._1).min
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = Sessionize.evKs(evs).collect().head
+    assert(r.getLong(0) == na && r.getLong(1) == nb)
+    assert(r.getDouble(2) == r6(md.toDouble / (na.toDouble * nb)))
+    assert(r.getDouble(3) == atV.toDouble / 100)
+    // identical per-arm distributions: every user the same value → D = 0
+    val flat = (1L to 40L).map(u => (u, 5.0)).toDF("user_id", "value")
+    val rf = Sessionize.evKs(flat).collect().head
+    assert(rf.getDouble(2) == 0.0 && rf.getDouble(4) == 0.0)
+    // disjoint supports: D = 1 at the top of A's support
+    val sep = (1L to 40L).map { u =>
+      (u, if (variant(u) == "B") 1000.0 + u else u.toDouble)
+    }.toDF("user_id", "value")
+    assert(Sessionize.evKs(sep).collect().head.getDouble(2) == 1.0)
+    // oracle form: one row
+    assert(Sessionize.evKs(spark, "/root/testdata/sf0.001")
+      .collect().length == 1)
+  }
 }
