@@ -2285,6 +2285,17 @@ object PipelineScaleProbe {
       f" z=${mw1.getDouble(4)}%.1f cles=1 D=1" +
       " (1M users, 1M distinct values through the sharded prefix)")
 
+    // every QTE rung must carry the disjoint +1e6 shift (arm rank
+    // geometry can move it only by the within-arm id spread)
+    val (qt, qtW) = wall(ops.Sessionize.evQte(sepEv).collect())
+    require(qt.length == 4, s"${qt.length} rungs")
+    qt.foreach { r =>
+      require(r.getDouble(3) > 999000,
+        s"rung ${r.getDouble(0)} qte ${r.getDouble(3)}") }
+    println(f"PSCALE q=ev_qte(sep) t=$qtW%.1f s " +
+      qt.map(r => f"q${r.getDouble(0)}%.2f=${r.getDouble(3)}%.0f")
+        .mkString(" ") + " (all rungs carry the planted shift)")
+
     println("PSCALE addendum31 done")
     spark.stop()
   }

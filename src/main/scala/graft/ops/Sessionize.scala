@@ -2448,6 +2448,51 @@ object Sessionize {
     evKs(s.table("__events"))
   }
 
+  /** Quantile treatment effects on the hash-split experiment: for each
+    * rung of a fixed percentile ladder (25/50/75/90), the exact per-arm
+    * order statistic of the per-user metric (lower empirical quantile —
+    * the smallest value whose cumulative arm count reaches ceil(q·n),
+    * no interpolation) and their difference. The distributional
+    * companion to evMannWhitney: a treatment that only moves the tail
+    * shows a flat median QTE and a large p90 QTE — exactly what a mean
+    * or rank test blurs.
+    *
+    * Engine-exactness: ranks are integer ceils ((pq·n + 99) div 100),
+    * the order statistic is MIN(v) over an integer-cents filter — every
+    * output is an exact integer scaled by 100 on display. No rounding
+    * anywhere.
+    *
+    * Scale: rides [[abCdfView]]; the ladder fans the values-sized CDF
+    * ×4 into a combinable MIN per rung. No window, no global rank.
+    */
+  def evQte(events: DataFrame, salt: String = "ab"): DataFrame = {
+    val s = events.sparkSession
+    abCdfView(events, salt)
+    s.sql(
+      """WITH tt AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM __ab_cdf),
+        |lad AS (SELECT explode(array(25, 50, 75, 90)) AS pq),
+        |qa AS (
+        |  SELECT l.pq, MIN(c.v) AS va
+        |  FROM __ab_cdf c CROSS JOIN tt CROSS JOIN lad l
+        |  WHERE tt.na > 0 AND c.cuma >= (l.pq * tt.na + 99) div 100
+        |  GROUP BY l.pq),
+        |qb AS (
+        |  SELECT l.pq, MIN(c.v) AS vb
+        |  FROM __ab_cdf c CROSS JOIN tt CROSS JOIN lad l
+        |  WHERE tt.nb > 0 AND c.cumb >= (l.pq * tt.nb + 99) div 100
+        |  GROUP BY l.pq)
+        |SELECT CAST(qa.pq AS DOUBLE) / 100 AS q,
+        |       CAST(qa.va AS DOUBLE) / 100 AS a_value,
+        |       CAST(qb.vb AS DOUBLE) / 100 AS b_value,
+        |       CAST(qb.vb - qa.va AS DOUBLE) / 100 AS qte
+        |FROM qa JOIN qb ON qb.pq = qa.pq
+        |ORDER BY q""".stripMargin)
+  }
+  def evQte(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evQte(s.table("__events"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_benford" -> ((s: SparkSession, dir: String) => evBenford(s, dir)),
     "ev_changepoint" -> ((s: SparkSession, dir: String) => evChangepoint(s, dir)),
@@ -2456,6 +2501,7 @@ object Sessionize {
     "ev_did" -> ((s: SparkSession, dir: String) => evDid(s, dir)),
     "ev_mannwhitney" -> ((s: SparkSession, dir: String) => evMannWhitney(s, dir)),
     "ev_ks" -> ((s: SparkSession, dir: String) => evKs(s, dir)),
+    "ev_qte" -> ((s: SparkSession, dir: String) => evQte(s, dir)),
     "ev_forecast" -> ((s: SparkSession, dir: String) => evForecast(s, dir)),
     "ev_cuped" -> ((s: SparkSession, dir: String) => evCuped(s, dir)),
     "ev_seasonality" -> ((s: SparkSession, dir: String) => evSeasonality(s, dir)),
@@ -2651,6 +2697,24 @@ object Sessionize {
         "/ (CAST(tt.na AS DOUBLE) * CAST(tt.nb AS DOUBLE))), 6) AS ks_stat " +
         "FROM tt CROSS JOIN m CROSS JOIN p " +
         "WHERE tt.na > 0 AND tt.nb > 0"),
+    "ev_qte" ->
+      (s"WITH $abCdfOracleCtes, " +
+        "tt AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, " +
+        "CAST(SUM(cb) AS BIGINT) AS nb FROM cdf), " +
+        "lad AS (SELECT unnest([25, 50, 75, 90]) AS pq), " +
+        "qa AS (SELECT l.pq, MIN(c.v) AS va " +
+        "FROM cdf c CROSS JOIN tt CROSS JOIN lad l " +
+        "WHERE tt.na > 0 AND c.cuma >= (l.pq * tt.na + 99) // 100 " +
+        "GROUP BY l.pq), " +
+        "qb AS (SELECT l.pq, MIN(c.v) AS vb " +
+        "FROM cdf c CROSS JOIN tt CROSS JOIN lad l " +
+        "WHERE tt.nb > 0 AND c.cumb >= (l.pq * tt.nb + 99) // 100 " +
+        "GROUP BY l.pq) " +
+        "SELECT CAST(qa.pq AS DOUBLE) / 100 AS q, " +
+        "CAST(qa.va AS DOUBLE) / 100 AS a_value, " +
+        "CAST(qb.vb AS DOUBLE) / 100 AS b_value, " +
+        "CAST(qb.vb - qa.va AS DOUBLE) / 100 AS qte " +
+        "FROM qa JOIN qb ON qb.pq = qa.pq ORDER BY q"),
     "ev_changepoint" ->
       ("WITH daily AS (SELECT event_type, " +
         "epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n " +

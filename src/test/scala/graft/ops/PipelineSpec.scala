@@ -3421,4 +3421,60 @@ class PipelineSpec extends AnyFunSuite {
     assert(Sessionize.evKs(spark, "/root/testdata/sf0.001")
       .collect().length == 1)
   }
+
+  test("evQte: per-arm order statistics replay the exact rank rule; a tail-only shift moves only the top rung") {
+    import spark.implicits._
+    def variant(u: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ab:$u".getBytes("UTF-8"))
+      if (((d(0) >> 4) & 0xf) < 8) "A" else "B"
+    }
+    // exact rank-rule replay: quantile = smallest cents value whose
+    // cumulative arm count reaches ceil(q*n)
+    def rung(cents: Seq[Long], pq: Int): Long = {
+      val sorted = cents.sorted
+      sorted((pq * sorted.size + 99) / 100 - 1)
+    }
+    val evs = (1L to 40L).map { u =>
+      val lift = if (variant(u) == "B") 3.0 else 0.0
+      (u, (u % 7).toDouble + lift)
+    }.toDF("user_id", "value")
+    val as = (1L to 40L).filter(variant(_) == "A").map(u => (u % 7) * 100L)
+    val bs = (1L to 40L).filter(variant(_) == "B")
+      .map(u => (u % 7) * 100L + 300L)
+    val rows = Sessionize.evQte(evs).collect()
+      .map(r => (r.getDouble(0), (r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    assert(rows.keySet == Set(0.25, 0.5, 0.75, 0.9))
+    for ((q, pq) <- Seq(0.25 -> 25, 0.5 -> 50, 0.75 -> 75, 0.9 -> 90)) {
+      val (va, vb) = (rung(as, pq), rung(bs, pq))
+      assert(rows(q) == ((va.toDouble / 100, vb.toDouble / 100,
+        (vb - va).toDouble / 100)), s"rung $q")
+    }
+    // tail-only treatment: identical base, B's top two deciles
+    // (u%10 >= 8) get +1000 — the 25/50/75 rungs must read the same
+    // replay values while the 0.9 rung carries the shift (the rank
+    // ceil(0.9n) order statistic sits inside the bumped top-20% mass)
+    val tail = (1L to 200L).map { u =>
+      val bump = if (variant(u) == "B" && u % 10 >= 8) 1000.0 else 0.0
+      (u, (u % 10).toDouble + bump)
+    }.toDF("user_id", "value")
+    val tas = (1L to 200L).filter(variant(_) == "A").map(u => (u % 10) * 100L)
+    val tbs = (1L to 200L).filter(variant(_) == "B")
+      .map(u => (u % 10) * 100L + (if (u % 10 >= 8) 100000L else 0L))
+    val trows = Sessionize.evQte(tail).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(3)).toMap
+    for ((q, pq) <- Seq(0.25 -> 25, 0.5 -> 50, 0.75 -> 75, 0.9 -> 90))
+      assert(trows(q) == (rung(tbs, pq) - rung(tas, pq)).toDouble / 100)
+    assert(math.abs(trows(0.25)) <= 1 && math.abs(trows(0.5)) <= 1 &&
+      math.abs(trows(0.75)) <= 1 && trows(0.9) >= 900.0)
+    // all-tied input: every rung reads the tie, qte 0
+    val flat = (1L to 40L).map(u => (u, 5.0)).toDF("user_id", "value")
+    Sessionize.evQte(flat).collect().foreach { r =>
+      assert(r.getDouble(1) == 5.0 && r.getDouble(3) == 0.0)
+    }
+    // oracle form: 4 rungs
+    assert(Sessionize.evQte(spark, "/root/testdata/sf0.001")
+      .collect().length == 4)
+  }
 }
