@@ -2311,7 +2311,20 @@ object Sessionize {
     * prefix relation joins back (broadcast). Same discipline as
     * ds_batchpad's md5-shard ranks, adapted to an ordered prefix.
     */
-  private def abCdfView(events: DataFrame, salt: String): Unit = {
+  private def abCdfView(events: DataFrame, salt: String): Unit =
+    abCdfPlan(events, salt)
+      // evKs consumes the relation from four CTEs — materialize once
+      // (the InlineCTE multi-consumer lesson; 16.5 -> ~6 s at 1M
+      // distinct values in the addendum31 probe)
+      .localCheckpoint(eager = false)
+      .createOrReplaceTempView("__ab_cdf")
+
+  /** The un-checkpointed CDF plan — split out so PlanSpec can lock the
+    * window shape (the within-shard prefix must stay partitioned; only
+    * the shards-sized prefix may be a global window).
+    */
+  private[graft] def abCdfPlan(events: DataFrame,
+      salt: String): DataFrame = {
     val s = events.sparkSession
     events.createOrReplaceTempView("__ab_events")
     s.sql(
@@ -2342,11 +2355,6 @@ object Sessionize {
          |  FROM w GROUP BY shard)
          |SELECT w.v, w.ca, w.cb, w.wa + sh.pa AS cuma, w.wb + sh.pb AS cumb
          |FROM w JOIN sh ON sh.shard = w.shard""".stripMargin)
-      // evKs consumes the relation from four CTEs — materialize once
-      // (the InlineCTE multi-consumer lesson; 16.5 -> ~6 s at 1M
-      // distinct values in the addendum31 probe)
-      .localCheckpoint(eager = false)
-      .createOrReplaceTempView("__ab_cdf")
   }
 
   /** Mann–Whitney U rank-sum test on the hash-split experiment: per-user

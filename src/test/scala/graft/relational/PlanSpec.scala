@@ -500,6 +500,22 @@ class PlanSpec extends AnyFunSuite {
       s"sketch build lost map-side combine:\n$plan")
   }
 
+  test("ev_mannwhitney/ev_ks CDF: cumulative prefix is shard-partitioned, never a data-sized global window") {
+    // the distinct-value relation can approach user cardinality; its
+    // prefix sums must run under PARTITION BY shard — the only window
+    // allowed to be global is the shards-sized prefix relation
+    val wins = graft.ops.Sessionize.abCdfPlan(
+      graft.Tables.load(spark, sf, "events"), "ab")
+      .queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec =>
+          w.partitionSpec
+      }
+    assert(wins.count(_.nonEmpty) >= 1,
+      s"lost the shard-partitioned prefix window: $wins")
+    assert(wins.count(_.isEmpty) <= 1,
+      s"a data-sized global window appeared: $wins")
+  }
+
   test("optimizer rule rewrites the HOF dot-product pattern into graft_dot") {
     graft.functions.GraftFunctions.register(spark)
     val df = spark.range(4)
