@@ -2501,6 +2501,16 @@ object Sessionize {
     evQte(s.table("__events"))
   }
 
+  /** Batch query form of [[graft.streaming.ConversionJoin.convPairs]] —
+    * the multi-touch candidate-pair relation (every same-user click →
+    * purchase within 30 minutes), ordered for presentation. The
+    * streaming twin runs the SAME plan as a watermarked stream-stream
+    * interval join (StreamingSpec parity).
+    */
+  def evConvPairs(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.ConversionJoin.convPairs(Tables.load(s, dir, "events"))
+      .orderBy("user_id", "purchase_id", "click_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_benford" -> ((s: SparkSession, dir: String) => evBenford(s, dir)),
     "ev_changepoint" -> ((s: SparkSession, dir: String) => evChangepoint(s, dir)),
@@ -2510,6 +2520,7 @@ object Sessionize {
     "ev_mannwhitney" -> ((s: SparkSession, dir: String) => evMannWhitney(s, dir)),
     "ev_ks" -> ((s: SparkSession, dir: String) => evKs(s, dir)),
     "ev_qte" -> ((s: SparkSession, dir: String) => evQte(s, dir)),
+    "ev_convpairs" -> ((s: SparkSession, dir: String) => evConvPairs(s, dir)),
     "ev_forecast" -> ((s: SparkSession, dir: String) => evForecast(s, dir)),
     "ev_cuped" -> ((s: SparkSession, dir: String) => evCuped(s, dir)),
     "ev_seasonality" -> ((s: SparkSession, dir: String) => evSeasonality(s, dir)),
@@ -2723,6 +2734,16 @@ object Sessionize {
         "CAST(qb.vb AS DOUBLE) / 100 AS b_value, " +
         "CAST(qb.vb - qa.va AS DOUBLE) / 100 AS qte " +
         "FROM qa JOIN qb ON qb.pq = qa.pq ORDER BY q"),
+    "ev_convpairs" ->
+      ("SELECT c.user_id, p.event_id AS purchase_id, " +
+        "epoch_us(p.ts) AS purchase_us, p.value, " +
+        "c.event_id AS click_id, epoch_us(c.ts) AS click_us, " +
+        "epoch_us(p.ts) - epoch_us(c.ts) AS gap_us " +
+        "FROM events c JOIN events p ON p.user_id = c.user_id " +
+        "WHERE c.event_type = 'click' AND p.event_type = 'purchase' " +
+        "AND p.ts >= c.ts " +
+        "AND epoch_us(p.ts) - epoch_us(c.ts) <= 1800000000 " +
+        "ORDER BY 1, 2, 5"),
     "ev_changepoint" ->
       ("WITH daily AS (SELECT event_type, " +
         "epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n " +

@@ -523,6 +523,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(g.getTimeoutTimestampMs.get == (11L + 30L) * CusumTracker.DayMs)
   }
 
+  test("convPairs: stream-stream interval join == batch on disordered input; a beyond-watermark click loses its pair") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(t: String) = Timestamp.valueOf(t)
+    // user 1: click 10:00 -> purchase 10:20 pairs; purchase 11:00 is
+    // outside the 30-min gap. user 2: clicks 10:00 AND 10:10 both pair
+    // with purchase 10:25 (the multi-touch fan the relation exists for).
+    // b2 arrives partly out of time order vs b1 (in-watermark disorder).
+    val b1 = Seq(
+      Ev(1, ts("2024-06-01 10:00:00"), 1, "click", 0),
+      Ev(2, ts("2024-06-01 10:20:00"), 1, "purchase", 5.0),
+      Ev(4, ts("2024-06-01 10:10:00"), 2, "click", 0))
+    val b2 = Seq(
+      Ev(3, ts("2024-06-01 10:00:00"), 2, "click", 0),
+      Ev(5, ts("2024-06-01 10:25:00"), 2, "purchase", 7.0),
+      Ev(6, ts("2024-06-01 11:00:00"), 1, "purchase", 9.0))
+    // b3 advances the watermark (2h delay) past user 3's events; b4 then
+    // delivers a click OLDER than the watermark — it must NOT pair,
+    // though a batch run over the same admitted rows would pair it
+    val b3 = Seq(Ev(90, ts("2024-06-01 16:00:00"), 99, "click", 0),
+      Ev(7, ts("2024-06-01 10:30:00"), 3, "purchase", 3.0))
+    val b4 = Seq(Ev(8, ts("2024-06-01 10:05:00"), 3, "click", 0))
+    val stream = MemoryStream[Ev]
+    val q = ConversionJoin.convPairs(stream.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("conv_out").start()
+    for (b <- Seq(b1, b2, b3, b4)) {
+      stream.addData(b); q.processAllAvailable()
+    }
+    val got = spark.table("conv_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    // batch over everything EXCEPT the late click — exact parity
+    val admitted = (b1 ++ b2 ++ b3).toDF()
+    val batch = ConversionJoin.convPairs(admitted).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    assert(got == batch && got ==
+      Set((1L, 2L, 1L), (2L, 5L, 3L), (2L, 5L, 4L)))
+    // the batch run WITH the late click finds the user-3 pair the
+    // stream had to drop — the documented append-mode approximation
+    val full = ConversionJoin.convPairs((b1 ++ b2 ++ b3 ++ b4).toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    assert(full == got + ((3L, 7L, 8L)))
+    // gap algebra: user-2 pairs carry exact micros gaps (15 and 25 min)
+    val gaps = spark.table("conv_out").collect()
+      .map(r => (r.getLong(4), r.getLong(6))).toMap
+    assert(gaps(3L) == 1500000000L && gaps(4L) == 900000000L)
+    q.stop()
+  }
+
   test("spike: streaming == batch; a day emits once, when the watermark ends it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
