@@ -160,6 +160,9 @@ object PipelineScaleProbe {
     // z/D bounds and a planted complete separation on 1M distinct values
     // (the sharded CDF prefix at distinct ~= users)
     if (args.headOption.contains("addendum31")) { addendum31(); return }
+    // `addendum32` (no dir) — the conversion interval join at 1.2M
+    // events / 100k users with an analytic pair count
+    if (args.headOption.contains("addendum32")) { addendum32(); return }
     // `addendum13 <nDocs> <nEvents> <nVec> <outBase>` — gaps/gini at
     // event scale, epochs/ngram at corpus scale, range at vector scale
     if (args.headOption.contains("addendum13")) {
@@ -2297,6 +2300,54 @@ object PipelineScaleProbe {
         .mkString(" ") + " (all rungs carry the planted shift)")
 
     println("PSCALE addendum31 done")
+    spark.stop()
+  }
+
+  /** ev_convpairs at 1.2M events / 100k users, planted geometry: each
+    * user fires clicks at t0 + i·10 min and purchases at t0 + i·10 min
+    * + 5 min (i < 6). A purchase at slot i reaches the clicks at slots
+    * i−2..i (gaps 5/15/25 min ≤ 30), so pairs/user = 1+2+3+3+3+3 = 15
+    * and the join must read EXACTLY 15·n rows — the co-partitioned
+    * interval join at fan-out, with the analytic count as the oracle.
+    */
+  private def addendum32(): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val n = 100000L
+    val ev = spark.range(1, n + 1).selectExpr("id AS user_id")
+      .selectExpr("user_id", "explode(sequence(0, 5)) AS slot")
+      .selectExpr("user_id", "slot",
+        "explode(array('click', 'purchase')) AS event_type")
+      .selectExpr(
+        "user_id * 100 + slot * 2 + IF(event_type = 'purchase', 1, 0) " +
+          "AS event_id",
+        "timestamp_micros(1717200000000000 + user_id * 7 " +
+          "+ CAST(slot AS BIGINT) * 600000000 " +
+          "+ IF(event_type = 'purchase', 300000000, 0)) AS ts",
+        "user_id", "event_type", "CAST(slot AS DOUBLE) AS value")
+      .localCheckpoint(eager = true)
+    require(ev.count() == 12 * n, "corpus size")
+    val t0 = System.nanoTime()
+    val pairs = streaming.ConversionJoin.convPairs(ev)
+    val got = pairs.count()
+    val w = (System.nanoTime() - t0) / 1e9
+    require(got == 15 * n, s"pairs $got, want ${15 * n}")
+    // gap spectrum: only the three planted gaps may appear
+    val gaps = pairs.groupBy("gap_us").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    require(gaps.keySet == Set(300000000L, 900000000L, 1500000000L),
+      s"gap spectrum ${gaps.keySet}")
+    require(gaps(300000000L) == 6 * n && gaps(900000000L) == 5 * n &&
+      gaps(1500000000L) == 4 * n, s"gap counts $gaps")
+    println(f"PSCALE q=ev_convpairs t=$w%.1f s pairs=$got " +
+      s"(1.2M events / ${n} users, analytic 15n count + exact gap spectrum)")
+
+    println("PSCALE addendum32 done")
     spark.stop()
   }
 
