@@ -2340,7 +2340,10 @@ object Sessionize {
          |  SELECT cents AS v,
          |         COUNT(CASE WHEN variant = 'A' THEN 1 END) AS ca,
          |         COUNT(CASE WHEN variant = 'B' THEN 1 END) AS cb
-         |  FROM u GROUP BY cents),
+         |  -- a user whose metric sums to NULL has no place on the value
+         |  -- axis; dropping the row also keeps the engines aligned
+         |  -- (Spark windows order NULLS FIRST, DuckDB NULLS LAST)
+         |  FROM u WHERE cents IS NOT NULL GROUP BY cents),
          |w AS (
          |  SELECT v, ca, cb, v div 1048576 AS shard,
          |         SUM(ca) OVER (PARTITION BY v div 1048576 ORDER BY v)
@@ -2600,7 +2603,7 @@ object Sessionize {
       "g AS (SELECT cents AS v, " +
       "COUNT(CASE WHEN variant = 'A' THEN 1 END) AS ca, " +
       "COUNT(CASE WHEN variant = 'B' THEN 1 END) AS cb " +
-      "FROM u GROUP BY cents), " +
+      "FROM u WHERE cents IS NOT NULL GROUP BY cents), " +
       "cdf AS (SELECT v, ca, cb, " +
       "SUM(ca) OVER (ORDER BY v) AS cuma, " +
       "SUM(cb) OVER (ORDER BY v) AS cumb FROM g)"

@@ -3371,6 +3371,13 @@ class PipelineSpec extends AnyFunSuite {
       org.apache.spark.sql.functions.expr("value * 0")))
     assert(Sessionize.evMannWhitney(split2).collect().head.getDouble(2)
       == u2.toDouble / 2)
+    // a user whose metric sums to NULL is excluded from both arms
+    // (no place on the value axis; engine NULL-ordering differs)
+    val withNull = evs.union(spark.sql(
+      "SELECT 41L AS user_id, CAST(NULL AS DOUBLE) AS value"))
+    val rn = Sessionize.evMannWhitney(withNull).collect().head
+    assert(rn.getLong(0) == na && rn.getLong(1) == nb &&
+      rn.getDouble(2) == u2.toDouble / 2)
     // oracle form: one row, both arms populated
     val orc = Sessionize.evMannWhitney(spark, "/root/testdata/sf0.001")
       .collect()
