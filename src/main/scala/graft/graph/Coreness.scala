@@ -53,9 +53,12 @@ object Coreness {
       val h = nb.withColumn("rn", row_number().over(w).cast("long"))
         .withColumn("hl", least(col("rn"), col("nc")))
         .groupBy("node").agg(max("hl").as("h"))
+      // LAZY: the changed-count right below is the materializing action
+      // — one job per round, not an eager-checkpoint job plus a count
+      // (the CC/Bfs discipline the scaladoc declares)
       val next = vals.join(h, Seq("node"))
         .select(col("node"), col("c"), col("h"))
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
       changed = next.filter(col("h") =!= col("c")).count()
       vals = next.select(col("node"), col("h").as("c"))
     }

@@ -41,16 +41,18 @@ object Scc {
     var remaining = cur.select(col("src").as("node"))
       .union(cur.select(col("dst").as("node"))).distinct()
       .localCheckpoint(eager = true)
-    var result: DataFrame = null
+    // settled frames accumulate here and union ONCE at the end: each is
+    // checkpointed, so the final union is pure cached lineage — an
+    // eager re-checkpoint of the growing result every peel was a full
+    // extra job per round for nothing
+    val parts = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var peels = 0
     while (remaining.limit(1).count() > 0 && peels < maxPeels) {
       peels += 1
       if (cur.limit(1).count() == 0) {
         // every survivor is edge-isolated — all singleton SCCs (also
         // guards CC's exact-sum convergence, undefined on no labels)
-        val singles = remaining.select(col("node"), col("node").as("scc"))
-        result = if (result == null) singles else result.unionAll(singles)
-        result = result.localCheckpoint(eager = true)
+        parts += remaining.select(col("node"), col("node").as("scc"))
         remaining = remaining.limit(0).localCheckpoint(eager = true)
       } else {
       // 1. forward-min colors over the surviving directed subgraph;
@@ -72,12 +74,13 @@ object Scc {
       val b = f.join(bEdges, Seq("node"), "left")
         .select(col("node"), col("f"),
           coalesce(col("comp"), col("node")).as("b"))
-      // 3. settled: f == b
+      // 3. settled: f == b — LAZY checkpoint: the peel's anti-join
+      // checkpoint right below is the materializing action (one job,
+      // not two), and the end-of-run union reuses the cache
       val settled = b.filter(col("f") === col("b"))
         .select(col("node"), col("f").as("scc"))
-        .localCheckpoint(eager = true)
-      result = if (result == null) settled
-        else result.unionAll(settled).localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
+      parts += settled
       // 4. peel
       remaining = remaining.join(settled.select("node"), Seq("node"),
           "left_anti")
@@ -92,6 +95,6 @@ object Scc {
     }
     require(remaining.limit(1).count() == 0,
       s"Scc.run: not converged after $maxPeels peels")
-    result.orderBy("node")
+    parts.reduce(_ unionAll _).orderBy("node")
   }
 }
