@@ -514,6 +514,13 @@ class PlanSpec extends AnyFunSuite {
       s"lost the shard-partitioned prefix window: $wins")
     assert(wins.count(_.isEmpty) <= 1,
       s"a data-sized global window appeared: $wins")
+    // and the events scan reads only the two columns the CDF needs
+    val scans = graft.ops.Sessionize.abCdfPlan(
+      graft.Tables.load(spark, sf, "events"), "ab")
+      .queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scans.contains("user_id") && !scans.contains("event_type") &&
+      !scans.contains("props"), s"CDF scan not pruned:\n$scans")
   }
 
   test("optimizer rule rewrites the HOF dot-product pattern into graft_dot") {
