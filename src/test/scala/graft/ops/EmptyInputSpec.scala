@@ -98,6 +98,11 @@ class EmptyInputSpec extends AnyFunSuite {
       Seq.empty[(String, String)].toDF("text", "source")).count() == 0)
     assert(Sessionize.evEntropy(emptyEvents).count() == 0)
     assert(Sessionize.evGrowth(emptyEvents).count() == 0)
+    assert(Sessionize.evMannWhitney(emptyEvents).count() == 0)
+    assert(Sessionize.evKs(emptyEvents).count() == 0)
+    assert(Sessionize.evQte(emptyEvents).count() == 0)
+    assert(graft.streaming.ConversionJoin.convPairs(emptyEvents)
+      .count() == 0)
     assert(Sessionize.evHod(emptyEvents).count() == 0)
     assert(Sessionize.evDispersion(emptyEvents).count() == 0)
     assert(Sessionize.evLag(emptyEvents).count() == 0)
