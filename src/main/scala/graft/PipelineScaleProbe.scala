@@ -2333,13 +2333,13 @@ object PipelineScaleProbe {
       .localCheckpoint(eager = true)
     require(ev.count() == 12 * n, "corpus size")
     val t0 = System.nanoTime()
-    val pairs = streaming.ConversionJoin.convPairs(ev)
-    val got = pairs.count()
+    // one job yields the spectrum AND the total (sum of its counts)
+    val gaps = streaming.ConversionJoin.convPairs(ev)
+      .groupBy("gap_us").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = gaps.values.sum
     val w = (System.nanoTime() - t0) / 1e9
     require(got == 15 * n, s"pairs $got, want ${15 * n}")
-    // gap spectrum: only the three planted gaps may appear
-    val gaps = pairs.groupBy("gap_us").count().collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     require(gaps.keySet == Set(300000000L, 900000000L, 1500000000L),
       s"gap spectrum ${gaps.keySet}")
     require(gaps(300000000L) == 6 * n && gaps(900000000L) == 5 * n &&

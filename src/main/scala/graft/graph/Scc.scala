@@ -95,6 +95,8 @@ object Scc {
     }
     require(remaining.limit(1).count() == 0,
       s"Scc.run: not converged after $maxPeels peels")
-    parts.reduce(_ unionAll _).orderBy("node")
+    if (parts.isEmpty) // edge-less input: empty result, not empty.reduce
+      spark.range(0).selectExpr("id AS node", "id AS scc")
+    else parts.reduce(_ unionAll _).orderBy("node")
   }
 }

@@ -1482,10 +1482,10 @@ object TextAnalysis {
       stops: Seq[String] = RakeStops): DataFrame = {
     val s = docs.sparkSession
     docs.createOrReplaceTempView("__rk_docs")
-    // escape embedded quotes — caller-supplied stopwords ("don't") must
-    // not break (or rewrite) the NOT IN predicate
-    val stopList =
-      stops.map(w => s"'${w.replace("'", "''")}'").mkString(", ")
+    // escape backslashes then quotes — caller-supplied stopwords
+    // ("don't", "a\\") must not break (or rewrite) the NOT IN predicate
+    val stopList = stops.map(w =>
+      s"'${w.replace("\\", "\\\\").replace("'", "''")}'").mkString(", ")
     s.sql(
       s"""WITH tok AS (
          |  SELECT doc_id, p.pos AS pos, p.w AS w

@@ -103,6 +103,8 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Sessionize.evQte(emptyEvents).count() == 0)
     assert(graft.streaming.ConversionJoin.convPairs(emptyEvents)
       .count() == 0)
+    assert(graft.graph.Scc.run(spark,
+      Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0)
     assert(Sessionize.evHod(emptyEvents).count() == 0)
     assert(Sessionize.evDispersion(emptyEvents).count() == 0)
     assert(Sessionize.evLag(emptyEvents).count() == 0)

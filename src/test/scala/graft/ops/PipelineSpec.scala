@@ -3048,6 +3048,11 @@ class PipelineSpec extends AnyFunSuite {
     assert(orc.length == 20)
     assert(orc.map(_._2).toSeq == (1L to 20L))
     assert(orc.map(_._1).toSeq == orc.map(_._1).sortBy(-_).toSeq)
+    // hostile stopwords must neither parse-error nor rewrite the
+    // predicate: apostrophe and trailing backslash both stay literal
+    val hostile = TextAnalysis.taRake(docs,
+      stops = Seq("don't", "a\\", "of", "and")).collect()
+    assert(hostile.map(_.getString(0)).contains("label propagation again"))
   }
 
   test("taBpe: textbook merge sequence replays; repeat runs merge canonically and exhaust gracefully") {
