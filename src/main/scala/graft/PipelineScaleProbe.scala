@@ -159,7 +159,9 @@ object PipelineScaleProbe {
     // `addendum31` (no dir) — Mann-Whitney / KS at 1M users: hash-null
     // z/D bounds and a planted complete separation on 1M distinct values
     // (the sharded CDF prefix at distinct ~= users)
-    if (args.headOption.contains("addendum31")) { addendum31(); return }
+    if (args.headOption.contains("addendum31")) {
+      addendum31(args.lift(1).map(_.toLong).getOrElse(1000000L)); return
+    }
     // `addendum32` (no dir) — the conversion interval join at 1.2M
     // events / 100k users with an analytic pair count
     if (args.headOption.contains("addendum32")) { addendum32(); return }
@@ -2243,7 +2245,7 @@ object PipelineScaleProbe {
     * runs at distinct ~= users, ~96 value shards), and the readouts must
     * hit their separation extremes exactly (cles = 1, D = 1).
     */
-  private def addendum31(): Unit = {
+  private def addendum31(n: Long): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -2257,7 +2259,6 @@ object PipelineScaleProbe {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
-    val n = 1000000L
     val nullEv = spark.range(1, n + 1).selectExpr("id AS user_id",
       "CAST(CAST(conv(substring(md5(concat('v:', CAST(id AS STRING))), " +
         "1, 8), 16, 10) AS BIGINT) % 3000 AS DOUBLE) / 100 AS value")
@@ -2270,7 +2271,7 @@ object PipelineScaleProbe {
     require(d0 < 0.006, s"null KS D $d0 above the 1e-6 critical value")
     println(f"PSCALE q=ev_mannwhitney/ev_ks(null) t=$mwW0%.1f/$ksW0%.1f s" +
       f" z=$z0%.3f D=$d0%.5f ks=$k0%.3f" +
-      f" (1M users, arms ${mw0.getLong(0)}/${mw0.getLong(1)})")
+      f" ($n users, arms ${mw0.getLong(0)}/${mw0.getLong(1)})")
 
     val sepEv = spark.range(1, n + 1).selectExpr("id AS user_id",
       "CAST(id AS DOUBLE) / 100 + CASE WHEN instr('0123456789abcdef', " +
@@ -2286,7 +2287,7 @@ object PipelineScaleProbe {
     require(ks1.getDouble(2) == 1.0, s"separation D ${ks1.getDouble(2)}")
     println(f"PSCALE q=ev_mannwhitney/ev_ks(sep) t=$mwW1%.1f/$ksW1%.1f s" +
       f" z=${mw1.getDouble(4)}%.1f cles=1 D=1" +
-      " (1M users, 1M distinct values through the sharded prefix)")
+      s" ($n users, $n distinct values through the sharded prefix)")
 
     // every QTE rung must carry the disjoint +1e6 shift (arm rank
     // geometry can move it only by the within-arm id spread)
