@@ -165,6 +165,9 @@ object PipelineScaleProbe {
     // `addendum32` (no dir) — the conversion interval join at 1.2M
     // events / 100k users with an analytic pair count
     if (args.headOption.contains("addendum32")) { addendum32(); return }
+    // `addendum33` (no dir) — KMV set-operation sketches at 1.6M
+    // distinct (type, user) memberships with planted overlap
+    if (args.headOption.contains("addendum33")) { addendum33(); return }
     // `addendum13 <nDocs> <nEvents> <nVec> <outBase>` — gaps/gini at
     // event scale, epochs/ngram at corpus scale, range at vector scale
     if (args.headOption.contains("addendum13")) {
@@ -2349,6 +2352,65 @@ object PipelineScaleProbe {
       s"(1.2M events / ${n} users, analytic 15n count + exact gap spectrum)")
 
     println("PSCALE addendum32 done")
+    spark.stop()
+  }
+
+  /** ev_kmv at 1.6M (type, user) memberships: type A = users 1..1M,
+    * type B = 700,001..1.3M (true |∩| = 300k, J = 300k/1.3M ≈ 0.2308).
+    * The k=64 sketch must land every cardinality estimate within the
+    * 4σ ≈ 4/√(k−2) ≈ 51 % KMV band (it lands much closer in practice)
+    * while the exact audit columns read the planted truth — at this
+    * scale only the DISTINCT pass and the audit self-join touch the
+    * corpus; everything else is 64·types rows.
+    */
+  private def addendum33(): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val ev = spark.range(1, 1000001)
+      .selectExpr("id AS user_id", "'a' AS event_type")
+      .unionAll(spark.range(700001, 1300001)
+        .selectExpr("id AS user_id", "'b' AS event_type"))
+      .localCheckpoint(eager = true)
+    val t0 = System.nanoTime()
+    val r = ops.Sessionize.evKmv(ev).collect()
+    val w = (System.nanoTime() - t0) / 1e9
+    require(r.length == 1, s"${r.length} pairs")
+    val row = r.head
+    require(row.getLong(2) == 1000000 && row.getLong(4) == 600000 &&
+      row.getLong(6) == 300000, "exact audit columns")
+    def band(est: Double, truth: Double): Boolean =
+      math.abs(est - truth) < truth * 0.51
+    require(band(row.getDouble(3), 1000000), s"est_a ${row.getDouble(3)}")
+    require(band(row.getDouble(5), 600000), s"est_b ${row.getDouble(5)}")
+    require(band(row.getDouble(7), 300000),
+      s"est_inter ${row.getDouble(7)}")
+    println(f"PSCALE q=ev_kmv t=$w%.1f s est_a=${row.getDouble(3)}%.0f " +
+      f"est_b=${row.getDouble(5)}%.0f est_inter=${row.getDouble(7)}%.0f " +
+      f"j=${row.getDouble(8)}%.4f (truth 1M/600k/300k, J=0.2308, k=64)")
+
+    // the k dial: 16x more mins must shrink the error band ~4x
+    val (r2, w2) = {
+      val t1 = System.nanoTime()
+      val x = ops.Sessionize.evKmv(ev, k = 1024).collect().head
+      (x, (System.nanoTime() - t1) / 1e9)
+    }
+    def relerr(est: Double, truth: Double) = math.abs(est - truth) / truth
+    require(relerr(r2.getDouble(3), 1000000) < 0.13 &&
+      relerr(r2.getDouble(5), 600000) < 0.13 &&
+      relerr(r2.getDouble(7), 300000) < 0.2,
+      s"k=1024 errors ${r2.getDouble(3)} ${r2.getDouble(5)} " +
+        s"${r2.getDouble(7)}")
+    println(f"PSCALE q=ev_kmv(k=1024) t=$w2%.1f s " +
+      f"est_a=${r2.getDouble(3)}%.0f est_b=${r2.getDouble(5)}%.0f " +
+      f"est_inter=${r2.getDouble(7)}%.0f j=${r2.getDouble(8)}%.4f " +
+      "(the accuracy dial: 16x mins, ~4x tighter)")
+
+    println("PSCALE addendum33 done")
     spark.stop()
   }
 

@@ -2504,6 +2504,100 @@ object Sessionize {
     evQte(s.table("__events"))
   }
 
+  /** KMV (k-minimum-values) distinct sketch with SET-OPERATION
+    * estimates, audited: per event type, the k smallest md5 hashes of
+    * the user set form a mergeable sketch whose k-th value estimates the
+    * distinct count ((k−1)·M/h_(k)); merging two types' sketches and
+    * counting shared members inside the union's k smallest estimates
+    * Jaccard and hence the INTERSECTION cardinality — the
+    * audience-overlap question an HLL (q20) cannot answer without
+    * inclusion-exclusion noise. One row per type pair with exact vs
+    * estimated cardinalities on both sides and the intersection (the
+    * ev_cms audit discipline: the sketch and its ground truth in one
+    * relation).
+    *
+    * Engine-exactness: hashes are the first 15 md5 hex digits as BIGINT
+    * (M = 16^15 = 2^60), k-th values exact integers, estimates one
+    * fixed-order IEEE expression on those integers, rounded terminally;
+    * a side (or union) with fewer than k members reads its EXACT count.
+    *
+    * Scale: one DISTINCT (type, user) pass; the per-type k smallest is a
+    * map-side WindowGroupLimit (the q8 pattern) so only k·types rows
+    * survive; every estimate runs on that micro relation. The exact
+    * audit columns are the one corpus-sized piece — a u-co-partitioned
+    * self-join — and exist because the op IS the audit; a production
+    * caller at 100 TB keeps the sketches and drops the truth columns.
+    */
+  def evKmv(events: DataFrame, k: Int = 64): DataFrame = {
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__kmv_events")
+    s.sql(
+      s"""WITH du AS (SELECT DISTINCT event_type AS t, user_id AS u
+         |            FROM __kmv_events),
+         |hh AS (
+         |  SELECT t, CAST(conv(substring(md5(concat('kmv:',
+         |           CAST(u AS STRING))), 1, 15), 16, 10) AS BIGINT) AS h
+         |  FROM du),
+         |r AS (SELECT t, h, ROW_NUMBER() OVER (PARTITION BY t ORDER BY h)
+         |        AS rn FROM hh),
+         |mins AS (SELECT t, h FROM r WHERE rn <= $k),
+         |est AS (SELECT t, COUNT(*) AS cnt, MAX(h) AS hk
+         |        FROM mins GROUP BY t),
+         |ex AS (SELECT t, COUNT(*) AS exn FROM du GROUP BY t),
+         |pairs AS (SELECT a.t AS ta, b.t AS tb
+         |          FROM ex a JOIN ex b ON a.t < b.t),
+         |um AS (
+         |  SELECT p.ta, p.tb, m.h,
+         |         MAX(CASE WHEN m.t = p.ta THEN 1 ELSE 0 END) AS ina,
+         |         MAX(CASE WHEN m.t = p.tb THEN 1 ELSE 0 END) AS inb
+         |  FROM pairs p JOIN mins m ON m.t IN (p.ta, p.tb)
+         |  GROUP BY p.ta, p.tb, m.h),
+         |ur AS (SELECT ta, tb, h, ina, inb,
+         |         ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+         |       FROM um),
+         |us AS (
+         |  SELECT ta, tb, COUNT(*) AS ucnt, MAX(h) AS uhk,
+         |         SUM(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END)
+         |           AS shared
+         |  FROM ur WHERE rn <= $k GROUP BY ta, tb),
+         |ein AS (
+         |  SELECT p.ta, p.tb, COUNT(*) AS exi
+         |  FROM pairs p JOIN du a ON a.t = p.ta
+         |               JOIN du b ON b.t = p.tb AND b.u = a.u
+         |  GROUP BY p.ta, p.tb),
+         |f AS (
+         |  SELECT us.ta, us.tb, xa.exn AS exact_a, xb.exn AS exact_b,
+         |         CASE WHEN ea.cnt < $k THEN CAST(ea.cnt AS DOUBLE)
+         |              ELSE CAST(${k - 1} AS DOUBLE)
+         |                   * CAST(1152921504606846976 AS DOUBLE)
+         |                   / CAST(ea.hk AS DOUBLE) END AS est_a,
+         |         CASE WHEN eb.cnt < $k THEN CAST(eb.cnt AS DOUBLE)
+         |              ELSE CAST(${k - 1} AS DOUBLE)
+         |                   * CAST(1152921504606846976 AS DOUBLE)
+         |                   / CAST(eb.hk AS DOUBLE) END AS est_b,
+         |         COALESCE(ein.exi, 0) AS exact_inter,
+         |         CAST(us.shared AS DOUBLE) / us.ucnt AS j,
+         |         CASE WHEN us.ucnt < $k THEN CAST(us.ucnt AS DOUBLE)
+         |              ELSE CAST(${k - 1} AS DOUBLE)
+         |                   * CAST(1152921504606846976 AS DOUBLE)
+         |                   / CAST(us.uhk AS DOUBLE) END AS est_u
+         |  FROM us JOIN ex xa ON xa.t = us.ta
+         |          JOIN ex xb ON xb.t = us.tb
+         |          JOIN est ea ON ea.t = us.ta
+         |          JOIN est eb ON eb.t = us.tb
+         |          LEFT JOIN ein ON ein.ta = us.ta AND ein.tb = us.tb)
+         |SELECT ta AS type_a, tb AS type_b, exact_a,
+         |       ROUND(est_a, 2) AS est_a, exact_b,
+         |       ROUND(est_b, 2) AS est_b, exact_inter,
+         |       ROUND(j * est_u, 2) AS est_inter,
+         |       ROUND(j, 6) AS jaccard_est
+         |FROM f ORDER BY type_a, type_b""".stripMargin)
+  }
+  def evKmv(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evKmv(s.table("__events"))
+  }
+
   /** Batch query form of [[graft.streaming.ConversionJoin.convPairs]] —
     * the multi-touch candidate-pair relation (every same-user click →
     * purchase within 30 minutes), ordered for presentation. The
@@ -2524,6 +2618,7 @@ object Sessionize {
     "ev_ks" -> ((s: SparkSession, dir: String) => evKs(s, dir)),
     "ev_qte" -> ((s: SparkSession, dir: String) => evQte(s, dir)),
     "ev_convpairs" -> ((s: SparkSession, dir: String) => evConvPairs(s, dir)),
+    "ev_kmv" -> ((s: SparkSession, dir: String) => evKmv(s, dir)),
     "ev_forecast" -> ((s: SparkSession, dir: String) => evForecast(s, dir)),
     "ev_cuped" -> ((s: SparkSession, dir: String) => evCuped(s, dir)),
     "ev_seasonality" -> ((s: SparkSession, dir: String) => evSeasonality(s, dir)),
@@ -2747,6 +2842,61 @@ object Sessionize {
         "AND p.ts >= c.ts " +
         "AND epoch_us(p.ts) - epoch_us(c.ts) <= 1800000000 " +
         "ORDER BY 1, 2, 5"),
+    "ev_kmv" ->
+      ("WITH du AS (SELECT DISTINCT event_type AS t, user_id AS u " +
+        "FROM events), " +
+        "hh AS (SELECT t, ('0x' || substr(md5('kmv:' || " +
+        "u::VARCHAR), 1, 15))::BIGINT AS h FROM du), " +
+        "r AS (SELECT t, h, ROW_NUMBER() OVER (PARTITION BY t " +
+        "ORDER BY h) AS rn FROM hh), " +
+        "mins AS (SELECT t, h FROM r WHERE rn <= 64), " +
+        "est AS (SELECT t, COUNT(*) AS cnt, MAX(h) AS hk " +
+        "FROM mins GROUP BY t), " +
+        "ex AS (SELECT t, COUNT(*) AS exn FROM du GROUP BY t), " +
+        "pairs AS (SELECT a.t AS ta, b.t AS tb " +
+        "FROM ex a JOIN ex b ON a.t < b.t), " +
+        "um AS (SELECT p.ta, p.tb, m.h, " +
+        "MAX(CASE WHEN m.t = p.ta THEN 1 ELSE 0 END) AS ina, " +
+        "MAX(CASE WHEN m.t = p.tb THEN 1 ELSE 0 END) AS inb " +
+        "FROM pairs p JOIN mins m ON m.t IN (p.ta, p.tb) " +
+        "GROUP BY p.ta, p.tb, m.h), " +
+        "ur AS (SELECT ta, tb, h, ina, inb, " +
+        "ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY h) AS rn " +
+        "FROM um), " +
+        "us AS (SELECT ta, tb, COUNT(*) AS ucnt, MAX(h) AS uhk, " +
+        "SUM(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END) " +
+        "AS shared FROM ur WHERE rn <= 64 GROUP BY ta, tb), " +
+        "ein AS (SELECT p.ta, p.tb, COUNT(*) AS exi " +
+        "FROM pairs p JOIN du a ON a.t = p.ta " +
+        "JOIN du b ON b.t = p.tb AND b.u = a.u " +
+        "GROUP BY p.ta, p.tb), " +
+        "f AS (SELECT us.ta, us.tb, xa.exn AS exact_a, " +
+        "xb.exn AS exact_b, " +
+        "CASE WHEN ea.cnt < 64 THEN CAST(ea.cnt AS DOUBLE) " +
+        "ELSE CAST(63 AS DOUBLE) " +
+        "* CAST(1152921504606846976 AS DOUBLE) " +
+        "/ CAST(ea.hk AS DOUBLE) END AS est_a, " +
+        "CASE WHEN eb.cnt < 64 THEN CAST(eb.cnt AS DOUBLE) " +
+        "ELSE CAST(63 AS DOUBLE) " +
+        "* CAST(1152921504606846976 AS DOUBLE) " +
+        "/ CAST(eb.hk AS DOUBLE) END AS est_b, " +
+        "COALESCE(ein.exi, 0) AS exact_inter, " +
+        "CAST(us.shared AS DOUBLE) / us.ucnt AS j, " +
+        "CASE WHEN us.ucnt < 64 THEN CAST(us.ucnt AS DOUBLE) " +
+        "ELSE CAST(63 AS DOUBLE) " +
+        "* CAST(1152921504606846976 AS DOUBLE) " +
+        "/ CAST(us.uhk AS DOUBLE) END AS est_u " +
+        "FROM us JOIN ex xa ON xa.t = us.ta " +
+        "JOIN ex xb ON xb.t = us.tb " +
+        "JOIN est ea ON ea.t = us.ta " +
+        "JOIN est eb ON eb.t = us.tb " +
+        "LEFT JOIN ein ON ein.ta = us.ta AND ein.tb = us.tb) " +
+        "SELECT ta AS type_a, tb AS type_b, exact_a, " +
+        "ROUND(est_a, 2) AS est_a, exact_b, " +
+        "ROUND(est_b, 2) AS est_b, exact_inter, " +
+        "ROUND(j * est_u, 2) AS est_inter, " +
+        "ROUND(j, 6) AS jaccard_est " +
+        "FROM f ORDER BY type_a, type_b"),
     "ev_changepoint" ->
       ("WITH daily AS (SELECT event_type, " +
         "epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n " +

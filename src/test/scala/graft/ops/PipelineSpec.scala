@@ -3489,4 +3489,57 @@ class PipelineSpec extends AnyFunSuite {
     assert(Sessionize.evQte(spark, "/root/testdata/sf0.001")
       .collect().length == 4)
   }
+
+  test("evKmv: sketch estimates replay the k-min fold; planted overlaps and sub-k sides read exactly") {
+    import spark.implicits._
+    def h(u: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"kmv:$u".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    def r(x: Double, dp: Int) = BigDecimal(x)
+      .setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val M = 1152921504606846976.0
+    def est(hs: Seq[Long]): Double = {
+      val mins = hs.sorted.take(64)
+      if (mins.size < 64) mins.size.toDouble else 63.0 * M / mins.last
+    }
+    // a: users 1-600, b: 301-900 (overlap 300, J=1/3), c: 1-50 (< k)
+    val sets = Map("a" -> (1L to 600L), "b" -> (301L to 900L),
+      "c" -> (1L to 50L))
+    val evs = sets.toSeq.flatMap { case (t, us) => us.map(u => (u, t)) }
+      .toDF("user_id", "event_type")
+    val got = Sessionize.evKmv(evs).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    def unionEst(ta: String, tb: String): (Double, Double) = {
+      val ma = sets(ta).map(h).sorted.take(64)
+      val mb = sets(tb).map(h).sorted.take(64)
+      val u = (ma ++ mb).distinct.sorted.take(64)
+      val shared = u.count(x => ma.contains(x) && mb.contains(x))
+      val j = shared.toDouble / u.size
+      val eu = if (u.size < 64) u.size.toDouble else 63.0 * M / u.last
+      (j, j * eu)
+    }
+    for ((ta, tb) <- Seq(("a", "b"), ("a", "c"), ("b", "c"))) {
+      val row = got((ta, tb))
+      assert(row.getLong(2) == sets(ta).size &&
+        row.getLong(4) == sets(tb).size)
+      assert(row.getDouble(3) == r(est(sets(ta).map(h)), 2), s"$ta est")
+      assert(row.getDouble(5) == r(est(sets(tb).map(h)), 2), s"$tb est")
+      val (j, ei) = unionEst(ta, tb)
+      assert(row.getDouble(8) == r(j, 6) && row.getDouble(7) == r(ei, 2),
+        s"($ta,$tb) overlap")
+    }
+    // ground truth columns: planted intersections exact
+    assert(got(("a", "b")).getLong(6) == 300 &&
+      got(("a", "c")).getLong(6) == 50 && got(("b", "c")).getLong(6) == 0)
+    // sub-k side reads its exact count as the estimate
+    assert(got(("a", "c")).getDouble(5) == 50.0)
+    // estimator within the ~1/sqrt(k) band on the 600/900-sized sides
+    assert(math.abs(got(("a", "b")).getDouble(3) - 600) < 600 * 0.4)
+    // oracle form: 10 type pairs at sf0.001
+    assert(Sessionize.evKmv(spark, "/root/testdata/sf0.001")
+      .collect().length == 10)
+  }
 }
