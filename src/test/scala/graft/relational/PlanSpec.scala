@@ -523,6 +523,13 @@ class PlanSpec extends AnyFunSuite {
       !scans.contains("props"), s"CDF scan not pruned:\n$scans")
   }
 
+  test("ev_kmv: the per-type k-min is a WindowGroupLimit, not a full per-type sort surviving the filter") {
+    val plan = formatted(graft.ops.Sessionize.evKmv(
+      graft.Tables.load(spark, sf, "events")))
+    assert(plan.contains("WindowGroupLimit"),
+      s"k-min lost the rank-limit pushdown:\n$plan")
+  }
+
   test("optimizer rule rewrites the HOF dot-product pattern into graft_dot") {
     graft.functions.GraftFunctions.register(spark)
     val df = spark.range(4)
