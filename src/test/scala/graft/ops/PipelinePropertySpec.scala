@@ -257,4 +257,30 @@ class PipelinePropertySpec extends AnyFunSuite {
       got == want
     })
   }
+
+  private val genUserVals: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(2, 60)
+    vs <- Gen.listOfN(n, Gen.choose(0L, 20L))
+  } yield vs.indices.map(i => ((i + 1).toLong, vs(i))).toList
+
+  test("evMannWhitney/evKs: rank statistics are invariant under strictly monotone value maps") {
+    import spark.implicits._
+    check(Prop.forAll(genUserVals) { case rows =>
+      val df = rows.map { case (u, v) => (u, v.toDouble) }
+        .toDF("user_id", "value")
+      // 3v + 7 is strictly increasing and cent-exact — every rank
+      // comparison, tie group, and CDF step is preserved
+      val mapped = rows.map { case (u, v) => (u, 3.0 * v + 7.0) }
+        .toDF("user_id", "value")
+      def mw(d: org.apache.spark.sql.DataFrame) =
+        Sessionize.evMannWhitney(d).collect().headOption
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+            r.getDouble(3), Option(r.get(4))))
+      def ks(d: org.apache.spark.sql.DataFrame) =
+        Sessionize.evKs(d).collect().headOption
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+            r.getDouble(4)))
+      mw(df) == mw(mapped) && ks(df) == ks(mapped)
+    })
+  }
 }
