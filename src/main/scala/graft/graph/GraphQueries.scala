@@ -1264,6 +1264,68 @@ object GraphQueries {
       |LEFT JOIN ek ON ek.k = ks.k
       |ORDER BY ks.k""".stripMargin).replaceAll("\n", " ")
 
+  /** Q58: pivot-sampled, horizon-bounded betweenness centrality on the
+    * capped co-occurrence graph — see [[Betweenness]]. 8 pivots
+    * (smallest node ids), horizon 4: both DECLARED query semantics,
+    * unrolled level-for-level by the oracle (the q55 LPA discipline),
+    * so the iterative engine hash-matches a closed-form SQL program.
+    * Completes the centrality suite next to q45 (closeness) / q46
+    * (eccentricity) with the flow-through measure both miss: a node on
+    * many shortest paths scores high even when it sits far from the
+    * graph's center.
+    */
+  def q58_betweenness(s: SparkSession, dir: String): DataFrame =
+    Betweenness.run(s, cooccurPairs(userBuckets(s, dir)))
+      .withColumnRenamed("node", "user_id")
+
+  val q58OracleSql: String = {
+    def fwd(d: Int): String =
+      s"""f$d AS (
+         |  SELECT l.s, e.b AS v, SUM(l.sigma)::BIGINT AS sigma
+         |  FROM f${d - 1} l JOIN e ON e.a = l.v
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${d - 1} x
+         |                    WHERE x.s = l.s AND x.v = e.b)
+         |  GROUP BY l.s, e.b),
+         |v$d AS (SELECT * FROM v${d - 1}
+         |        UNION ALL SELECT s, v FROM f$d)""".stripMargin
+    def bwd(d: Int): String =
+      s"""t$d AS (
+         |  SELECT f.s, f.v,
+         |         SUM(CAST(ROUND(CAST(f.sigma AS DOUBLE)
+         |             / CAST(n.sigma AS DOUBLE)
+         |             * (1 + CAST(n.delta AS DOUBLE)), 9)
+         |             AS DECIMAL(28,9))) AS delta
+         |  FROM f$d f JOIN e ON e.a = f.v
+         |  JOIN d${d + 1} n ON n.s = f.s AND n.v = e.b
+         |  GROUP BY f.s, f.v),
+         |d$d AS (
+         |  SELECT f.s, f.v, f.sigma,
+         |         COALESCE(t.delta, CAST(0 AS DECIMAL(28,9))) AS delta
+         |  FROM f$d f LEFT JOIN t$d t ON t.s = f.s AND t.v = f.v)"""
+        .stripMargin
+    (s"WITH $cooccurOracleCtes" + s""",
+      |nodes AS (SELECT DISTINCT a AS node FROM e),
+      |piv AS (SELECT node AS s FROM nodes ORDER BY node LIMIT 8),
+      |f0 AS (SELECT s, s AS v, CAST(1 AS BIGINT) AS sigma FROM piv),
+      |v0 AS (SELECT s, v FROM f0),
+      |${fwd(1)},
+      |${fwd(2)},
+      |${fwd(3)},
+      |${fwd(4)},
+      |d4 AS (SELECT s, v, sigma, CAST(0 AS DECIMAL(28,9)) AS delta
+      |       FROM f4),
+      |${bwd(3)},
+      |${bwd(2)},
+      |${bwd(1)},
+      |alld AS (SELECT s, v, delta FROM d1
+      |         UNION ALL SELECT s, v, delta FROM d2
+      |         UNION ALL SELECT s, v, delta FROM d3
+      |         UNION ALL SELECT s, v, delta FROM d4)
+      |SELECT v AS user_id, ROUND(CAST(SUM(delta) AS DOUBLE), 6) AS bc
+      |FROM alld WHERE v <> s GROUP BY v
+      |ORDER BY user_id""".stripMargin).replaceAll("\n", " ")
+  }
+
   /** The capped co-occurrence pairing as DuckDB CTEs (`und` = u<v
     * distinct pairs, `e` = both directions) — the oracle twin of
     * `cooccurPairs`, shared by q55/q56/q57.
@@ -1312,6 +1374,7 @@ object GraphQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_richclub" -> (q57_richclub _),
+    "q58_betweenness" -> (q58_betweenness _),
     "q56_modularity" -> (q56_modularity _),
     "q55_labelprop" -> (q55_labelprop _),
     "q54_walks" -> (q54_walks _),
@@ -1340,6 +1403,7 @@ object GraphQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q57_richclub" -> q57OracleSql,
+    "q58_betweenness" -> q58OracleSql,
     "q56_modularity" -> q56OracleSql,
     "q55_labelprop" -> q55OracleSql,
     "q54_walks" -> q54OracleSql,
