@@ -168,6 +168,9 @@ object PipelineScaleProbe {
     // `addendum33` (no dir) — KMV set-operation sketches at 1.6M
     // distinct (type, user) memberships with planted overlap
     if (args.headOption.contains("addendum33")) { addendum33(); return }
+    // `addendum34` (no dir) — pivot betweenness on the 200k-node
+    // planted-block graph: bridge dominance + frontier-bounded cost
+    if (args.headOption.contains("addendum34")) { addendum34(); return }
     // `addendum13 <nDocs> <nEvents> <nVec> <outBase>` — gaps/gini at
     // event scale, epochs/ngram at corpus scale, range at vector scale
     if (args.headOption.contains("addendum13")) {
@@ -2411,6 +2414,53 @@ object PipelineScaleProbe {
       "(the accuracy dial: 16x mins, ~4x tighter)")
 
     println("PSCALE addendum33 done")
+    spark.stop()
+  }
+
+  /** q58 betweenness on the addendum27 planted-block graph (200k nodes
+    * / 920k undirected edges: 20k 10-cliques chained by bridge edges
+    * b·10+9 → (b+1)·10). The 8 pivots live in blocks 0-1, so the
+    * 4-hop frontier covers a bounded neighborhood REGARDLESS of graph
+    * size — the scale property the operator claims — and the planted
+    * structure fixes the ranking: bridge endpoints must dominate
+    * intra-clique nodes.
+    */
+  private def addendum34(): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // same construction as addendum27's blocks, as undirected u < v
+    val und = spark.sql(
+      """SELECT b * 10 + i AS u, b * 10 + j AS v
+        |FROM range(20000) t(b)
+        |LATERAL VIEW explode(sequence(0, 8)) ii AS i
+        |LATERAL VIEW explode(sequence(1, 9)) jj AS j
+        |WHERE i < j
+        |UNION ALL
+        |SELECT b * 10 + 9 AS u, (b + 1) * 10 AS v
+        |FROM range(19999) t(b)""".stripMargin)
+      .localCheckpoint(eager = true)
+    val t0 = System.nanoTime()
+    val bc = graph.Betweenness.run(spark, und).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val w = (System.nanoTime() - t0) / 1e9
+    // 4 hops from pivots 0..7 (all in block 0): blocks 0-4 reachable
+    // at most; the relation must stay neighborhood-sized
+    require(bc.size < 100, s"frontier leaked: ${bc.size} nodes")
+    // bridge endpoints 9 and 10 carry the inter-block flow; any
+    // non-pivot intra-clique node of block 1 (e.g. 15) sits on none
+    require(bc(9L) > bc(15L) && bc(10L) > bc(15L),
+      s"bridge dominance: bc(9)=${bc(9L)} bc(10)=${bc(10L)} " +
+        s"bc(15)=${bc(15L)}")
+    println(f"PSCALE q=q58_betweenness t=$w%.1f s reached=${bc.size} " +
+      f"bc9=${bc(9L)}%.2f bc10=${bc(10L)}%.2f bc15=${bc(15L)}%.2f " +
+      "(200k nodes / 920k edges; 4-hop frontier stays neighborhood-sized)")
+
+    println("PSCALE addendum34 done")
     spark.stop()
   }
 
