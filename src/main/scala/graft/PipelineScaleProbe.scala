@@ -2448,8 +2448,9 @@ object PipelineScaleProbe {
     val bc = graph.Betweenness.run(spark, und).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val w = (System.nanoTime() - t0) / 1e9
-    // 4 hops from pivots 0..7 (all in block 0): blocks 0-4 reachable
-    // at most; the relation must stay neighborhood-sized
+    // 4 hops from pivots 0..7 (all in block 0) reach block 0, bridge
+    // node 10, block 1, and bridge node 20 — 21 nodes; the relation
+    // must stay neighborhood-sized
     require(bc.size < 100, s"frontier leaked: ${bc.size} nodes")
     // bridge endpoints 9 and 10 carry the inter-block flow; any
     // non-pivot intra-clique node of block 1 (e.g. 15) sits on none

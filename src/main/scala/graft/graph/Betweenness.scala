@@ -15,10 +15,14 @@ import org.apache.spark.sql.functions._
   * graph; the pivot/horizon estimator is the standard production
   * compromise.
   *
-  * Engine-exactness: σ is an integer DP (level-synchronous sums); each
-  * δ term rounds to 9 dp BEFORE a DECIMAL(28,9) sum (order-free), and
-  * δ propagates through the recursion on that lattice, so both engines
-  * walk identical bits; bc is a terminal decimal sum + ROUND 6.
+  * Engine-exactness: σ is an integer DP (level-synchronous sums); δ is
+  * carried in INTEGER nano-units — each term is the truncating integer
+  * quotient σ(v)·(1e9 + δ̃(w)) div σ(w) summed in DECIMAL(38,0) — so the
+  * whole recursion is integer algebra with no float anywhere (a 9-dp
+  * ROUND on doubles would hit exact midpoints here, where Spark and
+  * DuckDB round differently); bc is one terminal CAST-to-double / 1e9
+  * / ROUND 6. σ(v) ≤ σ(w) for a predecessor, so each term ≤ 1e9 +
+  * δ̃(w); δ̃ stays within DECIMAL(38,0) for any realistic horizon.
   *
   * Scale: per level, one join of the frontier against the edge relation
   * + one (pivot, node) aggregate — frontier-sized, never corpus-rank.
@@ -56,21 +60,22 @@ object Betweenness {
       lvl = fresh
     }
     // backward: deepest level has delta 0; each shallower level sums
-    // round9(sigma_v/sigma_w * (1 + delta_w)) over its successors
-    val zero = lit(0).cast("decimal(28,9)")
+    // the truncating nano-unit quotient sigma_v*(1e9 + delta_w) div
+    // sigma_w over its successors. Level 0 is skipped — it holds only
+    // pivot self-rows, which the output excludes anyway.
+    val zero = lit(0).cast("decimal(38,0)")
     var above = levels(horizon)
       .select(col("s"), col("v"), col("sigma"), zero.as("delta"))
     val deltas = scala.collection.mutable.ListBuffer(above)
-    for (d <- (horizon - 1) to 0 by -1) {
+    for (d <- (horizon - 1) to 1 by -1) {
       val cur = levels(d)
       val terms = cur.join(e, cur("v") === e("a"))
         .select(col("s"), col("v"), col("sigma"), e("b").as("w"))
         .join(above.select(col("s"), col("v").as("w"),
           col("sigma").as("sw"), col("delta").as("dw")), Seq("s", "w"))
         .groupBy("s", "v")
-        .agg(sum(round(col("sigma").cast("double") / col("sw").cast("double")
-          * (lit(1d) + col("dw").cast("double")), 9)
-          .cast("decimal(28,9)")).as("delta"))
+        .agg(sum(expr("(CAST(sigma AS DECIMAL(38,0)) * (1000000000 + dw))" +
+          " div sw").cast("decimal(38,0)")).as("delta"))
       val dl = cur.select("s", "v", "sigma")
         .join(terms.select(col("s"), col("v"), col("delta")),
           Seq("s", "v"), "left_outer")
@@ -83,7 +88,8 @@ object Betweenness {
     deltas.map(_.select("s", "v", "delta")).reduce(_ unionAll _)
       .filter(col("v") =!= col("s"))
       .groupBy(col("v").as("node"))
-      .agg(round(sum("delta").cast("double"), 6).as("bc"))
+      .agg(round(sum("delta").cast("double") / lit(1000000000d), 6)
+        .as("bc"))
       .orderBy("node")
   }
 }

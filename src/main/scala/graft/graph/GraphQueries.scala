@@ -1291,16 +1291,15 @@ object GraphQueries {
     def bwd(d: Int): String =
       s"""t$d AS (
          |  SELECT f.s, f.v,
-         |         SUM(CAST(ROUND(CAST(f.sigma AS DOUBLE)
-         |             / CAST(n.sigma AS DOUBLE)
-         |             * (1 + CAST(n.delta AS DOUBLE)), 9)
-         |             AS DECIMAL(28,9))) AS delta
+         |         SUM(CAST((CAST(f.sigma AS DECIMAL(38,0))
+         |             * (1000000000 + n.delta)) // n.sigma
+         |             AS DECIMAL(38,0))) AS delta
          |  FROM f$d f JOIN e ON e.a = f.v
          |  JOIN d${d + 1} n ON n.s = f.s AND n.v = e.b
          |  GROUP BY f.s, f.v),
          |d$d AS (
          |  SELECT f.s, f.v, f.sigma,
-         |         COALESCE(t.delta, CAST(0 AS DECIMAL(28,9))) AS delta
+         |         COALESCE(t.delta, CAST(0 AS DECIMAL(38,0))) AS delta
          |  FROM f$d f LEFT JOIN t$d t ON t.s = f.s AND t.v = f.v)"""
         .stripMargin
     (s"WITH $cooccurOracleCtes" + s""",
@@ -1312,7 +1311,7 @@ object GraphQueries {
       |${fwd(2)},
       |${fwd(3)},
       |${fwd(4)},
-      |d4 AS (SELECT s, v, sigma, CAST(0 AS DECIMAL(28,9)) AS delta
+      |d4 AS (SELECT s, v, sigma, CAST(0 AS DECIMAL(38,0)) AS delta
       |       FROM f4),
       |${bwd(3)},
       |${bwd(2)},
@@ -1321,14 +1320,15 @@ object GraphQueries {
       |         UNION ALL SELECT s, v, delta FROM d2
       |         UNION ALL SELECT s, v, delta FROM d3
       |         UNION ALL SELECT s, v, delta FROM d4)
-      |SELECT v AS user_id, ROUND(CAST(SUM(delta) AS DOUBLE), 6) AS bc
+      |SELECT v AS user_id,
+      |       ROUND(CAST(SUM(delta) AS DOUBLE) / 1000000000, 6) AS bc
       |FROM alld WHERE v <> s GROUP BY v
       |ORDER BY user_id""".stripMargin).replaceAll("\n", " ")
   }
 
   /** The capped co-occurrence pairing as DuckDB CTEs (`und` = u<v
     * distinct pairs, `e` = both directions) — the oracle twin of
-    * `cooccurPairs`, shared by q55/q56/q57.
+    * `cooccurPairs`, shared by q55/q56/q57/q58.
     */
   private lazy val cooccurOracleCtes: String =
     s"""ub AS (

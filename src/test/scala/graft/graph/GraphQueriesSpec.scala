@@ -647,16 +647,17 @@ class GraphQueriesSpec extends AnyFunSuite {
     assert(rows == Set((7L, 0, 1L), (7L, 1, 2L), (7L, 2, 3L)))
   }
 
-  /** In-memory horizon-bounded pivot Brandes on the SAME rounding
-    * lattice as the operator (9-dp decimal terms, 6-dp terminal).
+  /** In-memory horizon-bounded pivot Brandes on the SAME integer
+    * lattice as the operator: δ in nano-units via the truncating
+    * quotient σv·(1e9 + δw) div σw, one terminal /1e9 + 6-dp round.
     */
   private def bcReplay(undEdges: Seq[(Long, Long)], nPivots: Int,
       horizon: Int): Map[Long, Double] = {
     val dir = undEdges ++ undEdges.map(e => (e._2, e._1))
     val adj = dir.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val pivots = adj.keySet.toSeq.sorted.take(nPivots)
-    val bc = scala.collection.mutable.Map[Long, BigDecimal]()
-      .withDefaultValue(BigDecimal(0))
+    val bc = scala.collection.mutable.Map[Long, BigInt]()
+      .withDefaultValue(BigInt(0))
     for (s <- pivots) {
       val sig = scala.collection.mutable.Map(s -> 1L)
       val levels = scala.collection.mutable.ListBuffer(Set(s))
@@ -670,34 +671,33 @@ class GraphQueriesSpec extends AnyFunSuite {
         visited ++= nxt.keySet
         nxt.foreach { case (w, c) => sig(w) = c }
       }
-      val delta = scala.collection.mutable.Map[Long, BigDecimal]()
-        .withDefaultValue(BigDecimal(0))
-      for (d <- (horizon - 1) to 0 by -1; v <- levels(d)) {
-        var acc = BigDecimal(0)
-        for (w <- adj.getOrElse(v, Nil) if levels(d + 1).contains(w)) {
-          val t = sig(v).toDouble / sig(w).toDouble *
-            (1 + delta(w).toDouble)
-          acc += BigDecimal(t).setScale(9, BigDecimal.RoundingMode.HALF_UP)
-        }
+      val delta = scala.collection.mutable.Map[Long, BigInt]()
+        .withDefaultValue(BigInt(0))
+      for (d <- (horizon - 1) to 1 by -1; v <- levels(d)) {
+        var acc = BigInt(0)
+        for (w <- adj.getOrElse(v, Nil) if levels(d + 1).contains(w))
+          acc += BigInt(sig(v)) * (BigInt(1000000000) + delta(w)) /
+            BigInt(sig(w))
         delta(v) = acc
       }
       for ((v, dl) <- delta if v != s) bc(v) += dl
       for (v <- levels(horizon) if v != s && !bc.contains(v)) bc(v) += 0
     }
     bc.map { case (v, x) =>
-      v -> x.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      v -> BigDecimal(x.toDouble / 1e9)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     }.toMap
   }
 
   test("Betweenness: path-counting on a hand graph; bridge node carries all pair dependencies") {
     import spark.implicits._
     // two 3-cliques bridged by node 4: 1-2-3-1, 4, 5-6-7-5; 3-4, 4-5
-    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L),
-      (5L, 6L), (5L, 7L), (6L, 7L)).toDF("u", "v")
-    val got = Betweenness.run(spark, und, nPivots = 8, horizon = 4)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (5L, 7L), (6L, 7L))
+    val got = Betweenness.run(spark, edges.toDF("u", "v"),
+      nPivots = 8, horizon = 4)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val want = bcReplay(Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L),
-      (4L, 5L), (5L, 6L), (5L, 7L), (6L, 7L)), 8, 4)
+    val want = bcReplay(edges, 8, 4)
     assert(got == want)
     // the bridge (4) and the clique gateways (3, 5) dominate
     assert(got(4L) > got(1L) && got(3L) > got(1L) && got(5L) > got(7L))
