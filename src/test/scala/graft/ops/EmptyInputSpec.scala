@@ -105,6 +105,9 @@ class EmptyInputSpec extends AnyFunSuite {
       .count() == 0)
     assert(graft.graph.Scc.run(spark,
       Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0)
+    assert(Sessionize.evKmv(emptyEvents).count() == 0)
+    assert(graft.graph.Betweenness.run(spark,
+      Seq.empty[(Long, Long)].toDF("u", "v")).count() == 0)
     assert(Sessionize.evHod(emptyEvents).count() == 0)
     assert(Sessionize.evDispersion(emptyEvents).count() == 0)
     assert(Sessionize.evLag(emptyEvents).count() == 0)
