@@ -1326,6 +1326,41 @@ object GraphQueries {
       |ORDER BY user_id""".stripMargin).replaceAll("\n", " ")
   }
 
+  /** Q59: truncated Katz centrality on the capped co-occurrence graph —
+    * see [[Katz]]. α = 1/4, horizon 4: declared semantics, the oracle
+    * unrolls the same four walk-count levels. The reachability-mass
+    * complement of q58's shortest-path betweenness.
+    */
+  def q59_katz(s: SparkSession, dir: String): DataFrame =
+    Katz.run(s, cooccurPairs(userBuckets(s, dir)))
+      .withColumnRenamed("node", "user_id")
+
+  val q59OracleSql: String = {
+    def lvl(k: Int): String =
+      s"""w$k AS (
+         |  SELECT e.b AS node, SUM(w.w)::BIGINT AS w
+         |  FROM w${k - 1} w JOIN e ON e.a = w.node
+         |  GROUP BY e.b)""".stripMargin
+    (s"WITH $cooccurOracleCtes" + s""",
+      |nodes AS (SELECT DISTINCT a AS node FROM e),
+      |w0 AS (SELECT node, CAST(1 AS BIGINT) AS w FROM nodes),
+      |${lvl(1)},
+      |${lvl(2)},
+      |${lvl(3)},
+      |${lvl(4)},
+      |sc AS (SELECT node, CAST(w AS DECIMAL(38,0)) * 64 AS sc FROM w1
+      |       UNION ALL
+      |       SELECT node, CAST(w AS DECIMAL(38,0)) * 16 FROM w2
+      |       UNION ALL
+      |       SELECT node, CAST(w AS DECIMAL(38,0)) * 4 FROM w3
+      |       UNION ALL
+      |       SELECT node, CAST(w AS DECIMAL(38,0)) * 1 FROM w4)
+      |SELECT node AS user_id,
+      |       ROUND(CAST(SUM(sc) AS DOUBLE) / 256.0, 6) AS katz
+      |FROM sc GROUP BY node
+      |ORDER BY user_id""".stripMargin).replaceAll("\n", " ")
+  }
+
   /** The capped co-occurrence pairing as DuckDB CTEs (`und` = u<v
     * distinct pairs, `e` = both directions) — the oracle twin of
     * `cooccurPairs`, shared by q55/q56/q57/q58.
@@ -1375,6 +1410,7 @@ object GraphQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_richclub" -> (q57_richclub _),
     "q58_betweenness" -> (q58_betweenness _),
+    "q59_katz" -> (q59_katz _),
     "q56_modularity" -> (q56_modularity _),
     "q55_labelprop" -> (q55_labelprop _),
     "q54_walks" -> (q54_walks _),
@@ -1404,6 +1440,7 @@ object GraphQueries {
   val oracleSql: Map[String, String] = Map(
     "q57_richclub" -> q57OracleSql,
     "q58_betweenness" -> q58OracleSql,
+    "q59_katz" -> q59OracleSql,
     "q56_modularity" -> q56OracleSql,
     "q55_labelprop" -> q55OracleSql,
     "q54_walks" -> q54OracleSql,

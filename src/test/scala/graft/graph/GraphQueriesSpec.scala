@@ -718,4 +718,54 @@ class GraphQueriesSpec extends AnyFunSuite {
       assert(got == bcReplay(und, 8, 4))
     }
   }
+
+  /** In-memory truncated-Katz replay on the operator's integer lattice:
+    * walk-count DP, per-level integer scaling, one terminal division.
+    */
+  private def katzReplay(undEdges: Seq[(Long, Long)], horizon: Int,
+      invAlpha: Int): Map[Long, Double] = {
+    val dir = undEdges ++ undEdges.map(e => (e._2, e._1))
+    val adj = dir.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val nodes = dir.map(_._1).distinct
+    var w = nodes.map(_ -> BigInt(1)).toMap
+    val acc = scala.collection.mutable.Map[Long, BigInt]()
+      .withDefaultValue(BigInt(0))
+    for (k <- 1 to horizon) {
+      w = nodes.map { v =>
+        v -> adj.getOrElse(v, Nil).map(u => w.getOrElse(u, BigInt(0))).sum
+      }.toMap
+      val weight = BigInt(invAlpha).pow(horizon - k)
+      for ((v, c) <- w if c > 0) acc(v) += c * weight
+    }
+    val denom = math.pow(invAlpha.toDouble, horizon.toDouble)
+    acc.map { case (v, x) =>
+      v -> BigDecimal(x.toDouble / denom)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+  }
+
+  test("Katz: hand star graph — the hub carries the walk mass; replay exact") {
+    import spark.implicits._
+    // star: hub 1 with leaves 2..6
+    val edges = (2L to 6L).map(l => (1L, l))
+    val got = Katz.run(spark, edges.toDF("u", "v")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == katzReplay(edges, 4, 4))
+    assert(got(1L) > got(2L) && (2L to 6L).map(got).distinct.size == 1)
+  }
+
+  test("Katz: random graphs match the in-memory walk DP") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    for (_ <- 1 to 3) {
+      val n = 18
+      val und = (1 to 35).map { _ =>
+        val a = rng.nextInt(n) + 1L; val b = rng.nextInt(n) + 1L
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      val got = Katz.run(spark, und.toDF("u", "v")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got == katzReplay(und, 4, 4))
+    }
+  }
 }
