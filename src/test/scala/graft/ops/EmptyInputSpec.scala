@@ -108,6 +108,8 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Sessionize.evKmv(emptyEvents).count() == 0)
     assert(graft.graph.Betweenness.run(spark,
       Seq.empty[(Long, Long)].toDF("u", "v")).count() == 0)
+    assert(graft.graph.Katz.run(spark,
+      Seq.empty[(Long, Long)].toDF("u", "v")).count() == 0)
     assert(Sessionize.evHod(emptyEvents).count() == 0)
     assert(Sessionize.evDispersion(emptyEvents).count() == 0)
     assert(Sessionize.evLag(emptyEvents).count() == 0)
