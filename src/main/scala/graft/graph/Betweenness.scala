@@ -22,7 +22,9 @@ import org.apache.spark.sql.functions._
   * ROUND on doubles would hit exact midpoints here, where Spark and
   * DuckDB round differently); bc is one terminal CAST-to-double / 1e9
   * / ROUND 6. σ(v) ≤ σ(w) for a predecessor, so each term ≤ 1e9 +
-  * δ̃(w); δ̃ stays within DECIMAL(38,0) for any realistic horizon.
+  * δ̃(w). The real headroom ceiling is the LongType quotient Spark's
+  * `div` returns: terms cap at ~9.2e18 nano-units (δ ~9.2e9 dependency
+  * units per node) — ample at any sane horizon, but NOT 38 digits.
   *
   * Scale: per level, one join of the frontier against the edge relation
   * + one (pivot, node) aggregate — frontier-sized, never corpus-rank.
@@ -38,9 +40,7 @@ object Betweenness {
     */
   def run(s: SparkSession, und: DataFrame, nPivots: Int = 8,
           horizon: Int = 4): DataFrame = {
-    val e = und.selectExpr("u AS a", "v AS b")
-      .unionAll(und.selectExpr("v AS a", "u AS b"))
-      .localCheckpoint(eager = true) // consumed 2·horizon times
+    val e = GraphQueries.bidirectional(und) // consumed 2·horizon times
     val piv = e.select(col("a").as("node")).distinct()
       .orderBy("node").limit(nPivots)
     // forward: levels(d) = (s, v, sigma) for nodes FIRST reached at d

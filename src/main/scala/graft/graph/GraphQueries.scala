@@ -130,6 +130,14 @@ object GraphQueries {
   /** Per-bucket participant cap for clique-style pairing (q25). */
   val CooccurCap = 256
 
+  /** Undirected (u, v) pairs as a cached bidirectional edge relation
+    * (a, b) — the shared input shape of [[Betweenness]] and [[Katz]].
+    */
+  private[graph] def bidirectional(und: DataFrame): DataFrame =
+    und.selectExpr("u AS a", "v AS b")
+      .unionAll(und.selectExpr("v AS a", "u AS b"))
+      .localCheckpoint(eager = true)
+
   /** Q24: connected components of the user co-occurrence graph (users with
     * events in the same 10-second epoch bucket are linked). Edge relation
     * is the per-bucket star (see [[ccStarEdges]]) — component-equivalent
@@ -1291,15 +1299,15 @@ object GraphQueries {
     def bwd(d: Int): String =
       s"""t$d AS (
          |  SELECT f.s, f.v,
-         |         SUM(CAST((CAST(f.sigma AS DECIMAL(38,0))
-         |             * (1000000000 + n.delta)) // n.sigma
-         |             AS DECIMAL(38,0))) AS delta
+         |         SUM(CAST(f.sigma AS HUGEINT)
+         |             * (1000000000 + CAST(n.delta AS HUGEINT))
+         |             // CAST(n.sigma AS HUGEINT)) AS delta
          |  FROM f$d f JOIN e ON e.a = f.v
          |  JOIN d${d + 1} n ON n.s = f.s AND n.v = e.b
          |  GROUP BY f.s, f.v),
          |d$d AS (
          |  SELECT f.s, f.v, f.sigma,
-         |         COALESCE(t.delta, CAST(0 AS DECIMAL(38,0))) AS delta
+         |         COALESCE(t.delta, CAST(0 AS HUGEINT)) AS delta
          |  FROM f$d f LEFT JOIN t$d t ON t.s = f.s AND t.v = f.v)"""
         .stripMargin
     (s"WITH $cooccurOracleCtes" + s""",
@@ -1311,7 +1319,7 @@ object GraphQueries {
       |${fwd(2)},
       |${fwd(3)},
       |${fwd(4)},
-      |d4 AS (SELECT s, v, sigma, CAST(0 AS DECIMAL(38,0)) AS delta
+      |d4 AS (SELECT s, v, sigma, CAST(0 AS HUGEINT) AS delta
       |       FROM f4),
       |${bwd(3)},
       |${bwd(2)},

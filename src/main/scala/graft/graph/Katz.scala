@@ -32,9 +32,12 @@ object Katz {
     */
   def run(s: SparkSession, und: DataFrame, horizon: Int = 4,
           invAlpha: Int = 4): DataFrame = {
-    val e = und.selectExpr("u AS a", "v AS b")
-      .unionAll(und.selectExpr("v AS a", "u AS b"))
-      .localCheckpoint(eager = true) // consumed `horizon` times
+    // denom must be an exactly representable double (one terminal
+    // division): bound the declared parameters instead of silently
+    // corrupting weights through an inexact math.pow
+    require(BigInt(invAlpha).pow(horizon) < BigInt(2).pow(53),
+      s"invAlpha^horizon = $invAlpha^$horizon exceeds exact double range")
+    val e = GraphQueries.bidirectional(und) // consumed `horizon` times
     var w = e.select(col("a").as("node")).distinct()
       .withColumn("w", lit(1L))
       .localCheckpoint(eager = true)
@@ -45,8 +48,7 @@ object Katz {
         .groupBy(e("b").as("node"))
         .agg(sum("w").as("w"))
         .localCheckpoint(eager = true)
-      val weight = math.pow(invAlpha.toDouble, (horizon - k).toDouble)
-        .toLong
+      val weight = BigInt(invAlpha).pow(horizon - k).toLong
       val contrib = w.select(col("node"),
         (col("w").cast("decimal(38,0)") * lit(weight)).as("sc"))
       acc = if (acc == null) contrib else acc.unionAll(contrib)
