@@ -2598,6 +2598,64 @@ object Sessionize {
     evKmv(s.table("__events"))
   }
 
+  /** Winsorized A/B means: per-user metric sums capped at the POOLED
+    * p99 (exact rank rule — the smallest value whose pooled cumulative
+    * count reaches ceil(0.99·n); pooling keeps the cap
+    * assignment-independent, the evCuped covariate discipline), with
+    * raw means, cap value, and per-arm capped fractions alongside. The
+    * robust-metric readout experimentation actually ships: one heavy
+    * whale in arm B moves the raw mean and NOT the winsorized one, and
+    * comparing the two columns is the whale detector.
+    *
+    * Engine-exactness: everything is integer algebra on the CDF — the
+    * cap is an exact order statistic, capped sums are Σ count·min(v,
+    * cap) in DECIMAL(38,0) — with terminal fixed-order divisions and
+    * ROUND 6.
+    *
+    * Scale: rides [[abCdfView]]; both means are combinable folds of the
+    * distinct-value relation. No second corpus pass, no per-user
+    * relation at all.
+    */
+  def evWinsor(events: DataFrame, pct: Int = 99,
+      salt: String = "ab"): DataFrame = {
+    val s = events.sparkSession
+    abCdfView(events, salt)
+    s.sql(
+      s"""WITH tt AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM __ab_cdf),
+         |cap AS (
+         |  SELECT MIN(c.v) AS cap
+         |  FROM __ab_cdf c CROSS JOIN tt
+         |  WHERE c.cuma + c.cumb >=
+         |        ($pct * (tt.na + tt.nb) + 99) div 100),
+         |m AS (
+         |  SELECT
+         |    SUM(CAST(c.ca AS DECIMAL(38,0)) * c.v) AS ra,
+         |    SUM(CAST(c.cb AS DECIMAL(38,0)) * c.v) AS rb,
+         |    SUM(CAST(c.ca AS DECIMAL(38,0)) * LEAST(c.v, cap.cap)) AS wa,
+         |    SUM(CAST(c.cb AS DECIMAL(38,0)) * LEAST(c.v, cap.cap)) AS wb,
+         |    SUM(CASE WHEN c.v > cap.cap THEN c.ca ELSE 0 END) AS xa,
+         |    SUM(CASE WHEN c.v > cap.cap THEN c.cb ELSE 0 END) AS xb
+         |  FROM __ab_cdf c CROSS JOIN cap)
+         |SELECT x.variant, x.n,
+         |       ROUND(CAST(x.raw AS DOUBLE) / x.n / 100, 6) AS mean_raw,
+         |       ROUND(CAST(x.w AS DOUBLE) / x.n / 100, 6) AS mean_winsor,
+         |       ROUND(CAST(cap.cap AS DOUBLE) / 100, 2) AS cap_value,
+         |       x.nc AS n_capped,
+         |       ROUND(CAST(x.nc AS DOUBLE) / x.n, 6) AS capped_frac
+         |FROM (
+         |  SELECT 'A' AS variant, tt.na AS n, m.ra AS raw, m.wa AS w,
+         |         m.xa AS nc
+         |  FROM tt CROSS JOIN m
+         |  UNION ALL
+         |  SELECT 'B', tt.nb, m.rb, m.wb, m.xb FROM tt CROSS JOIN m) x
+         |CROSS JOIN cap WHERE x.n > 0
+         |ORDER BY variant""".stripMargin)
+  }
+  def evWinsor(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evWinsor(s.table("__events"))
+  }
+
   /** Batch query form of [[graft.streaming.ConversionJoin.convPairs]] —
     * the multi-touch candidate-pair relation (every same-user click →
     * purchase within 30 minutes), ordered for presentation. The
@@ -2619,6 +2677,7 @@ object Sessionize {
     "ev_qte" -> ((s: SparkSession, dir: String) => evQte(s, dir)),
     "ev_convpairs" -> ((s: SparkSession, dir: String) => evConvPairs(s, dir)),
     "ev_kmv" -> ((s: SparkSession, dir: String) => evKmv(s, dir)),
+    "ev_winsor" -> ((s: SparkSession, dir: String) => evWinsor(s, dir)),
     "ev_forecast" -> ((s: SparkSession, dir: String) => evForecast(s, dir)),
     "ev_cuped" -> ((s: SparkSession, dir: String) => evCuped(s, dir)),
     "ev_seasonality" -> ((s: SparkSession, dir: String) => evSeasonality(s, dir)),
@@ -2897,6 +2956,31 @@ object Sessionize {
         "ROUND(j * est_u, 2) AS est_inter, " +
         "ROUND(j, 6) AS jaccard_est " +
         "FROM f ORDER BY type_a, type_b"),
+    "ev_winsor" ->
+      (s"WITH $abCdfOracleCtes, " +
+        "tt AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, " +
+        "CAST(SUM(cb) AS BIGINT) AS nb FROM cdf), " +
+        "cap AS (SELECT MIN(c.v) AS cap FROM cdf c CROSS JOIN tt " +
+        "WHERE c.cuma + c.cumb >= (99 * (tt.na + tt.nb) + 99) // 100), " +
+        "m AS (SELECT " +
+        "SUM(CAST(c.ca AS DECIMAL(38,0)) * c.v) AS ra, " +
+        "SUM(CAST(c.cb AS DECIMAL(38,0)) * c.v) AS rb, " +
+        "SUM(CAST(c.ca AS DECIMAL(38,0)) * LEAST(c.v, cap.cap)) AS wa, " +
+        "SUM(CAST(c.cb AS DECIMAL(38,0)) * LEAST(c.v, cap.cap)) AS wb, " +
+        "SUM(CASE WHEN c.v > cap.cap THEN c.ca ELSE 0 END) AS xa, " +
+        "SUM(CASE WHEN c.v > cap.cap THEN c.cb ELSE 0 END) AS xb " +
+        "FROM cdf c CROSS JOIN cap) " +
+        "SELECT x.variant, x.n, " +
+        "ROUND(CAST(x.raw AS DOUBLE) / x.n / 100, 6) AS mean_raw, " +
+        "ROUND(CAST(x.w AS DOUBLE) / x.n / 100, 6) AS mean_winsor, " +
+        "ROUND(CAST(cap.cap AS DOUBLE) / 100, 2) AS cap_value, " +
+        "CAST(x.nc AS BIGINT) AS n_capped, " +
+        "ROUND(CAST(x.nc AS DOUBLE) / x.n, 6) AS capped_frac " +
+        "FROM (SELECT 'A' AS variant, tt.na AS n, m.ra AS raw, " +
+        "m.wa AS w, m.xa AS nc FROM tt CROSS JOIN m " +
+        "UNION ALL " +
+        "SELECT 'B', tt.nb, m.rb, m.wb, m.xb FROM tt CROSS JOIN m) x " +
+        "CROSS JOIN cap WHERE x.n > 0 ORDER BY variant"),
     "ev_changepoint" ->
       ("WITH daily AS (SELECT event_type, " +
         "epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n " +

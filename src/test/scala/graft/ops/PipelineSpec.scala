@@ -3542,4 +3542,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(Sessionize.evKmv(spark, "/root/testdata/sf0.001")
       .collect().length == 10)
   }
+
+  test("evWinsor: pooled rank-rule cap replays; a planted whale moves the raw mean only") {
+    import spark.implicits._
+    def variant(u: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ab:$u".getBytes("UTF-8"))
+      if (((d(0) >> 4) & 0xf) < 8) "A" else "B"
+    }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // base value u % 10; the largest B user becomes a 10,000x whale
+    val whale = (1L to 200L).filter(variant(_) == "B").max
+    val evs = (1L to 200L).map { u =>
+      (u, if (u == whale) 100000.0 else (u % 10).toDouble)
+    }.toDF("user_id", "value")
+    val cents = (1L to 200L).map { u =>
+      u -> (if (u == whale) 10000000L else (u % 10) * 100L)
+    }.toMap
+    // exact replay: pooled p99 rank rule, capped decimal means
+    val sorted = cents.values.toSeq.sorted
+    val cap = sorted((99 * 200 + 99) / 100 - 1)
+    def arm(tag: String) = (1L to 200L).filter(variant(_) == tag)
+    val rows = Sessionize.evWinsor(evs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    for (tag <- Seq("A", "B")) {
+      val us = arm(tag); val n = us.size
+      val raw = us.map(cents).sum
+      val w = us.map(u => math.min(cents(u), cap)).sum
+      val nc = us.count(u => cents(u) > cap)
+      val row = rows(tag)
+      assert(row.getLong(1) == n)
+      assert(row.getDouble(2) == r6(raw.toDouble / n / 100))
+      assert(row.getDouble(3) == r6(w.toDouble / n / 100))
+      assert(row.getDouble(4) == cap.toDouble / 100)
+      assert(row.getLong(5) == nc)
+    }
+    // the whale detector: B's raw mean dwarfs its winsorized mean;
+    // A's two columns agree to within the cap's bite
+    assert(rows("B").getDouble(2) > 10 * rows("B").getDouble(3))
+    assert(rows("A").getDouble(2) == rows("A").getDouble(3))
+    // oracle form: two arms
+    assert(Sessionize.evWinsor(spark, "/root/testdata/sf0.001")
+      .collect().length == 2)
+  }
 }
