@@ -106,6 +106,7 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.graph.Scc.run(spark,
       Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0)
     assert(Sessionize.evKmv(emptyEvents).count() == 0)
+    assert(Sessionize.evWinsor(emptyEvents).count() == 0)
     assert(graft.graph.Betweenness.run(spark,
       Seq.empty[(Long, Long)].toDF("u", "v")).count() == 0)
     assert(graft.graph.Katz.run(spark,
