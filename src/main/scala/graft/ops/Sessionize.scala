@@ -2328,14 +2328,24 @@ object Sessionize {
     val s = events.sparkSession
     events.createOrReplaceTempView("__ab_events")
     s.sql(
-      s"""WITH u AS (
-         |  SELECT CASE WHEN instr('0123456789abcdef',
-         |                substring(md5(concat('$salt:',
-         |                  CAST(user_id AS STRING))), 1, 1)) - 1 < 8
-         |              THEN 'A' ELSE 'B' END AS variant,
-         |         CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
-         |           AS cents
-         |  FROM __ab_events GROUP BY user_id),
+      s"""SELECT CASE WHEN instr('0123456789abcdef',
+         |              substring(md5(concat('$salt:',
+         |                CAST(user_id AS STRING))), 1, 1)) - 1 < 8
+         |            THEN 'A' ELSE 'B' END AS variant,
+         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+         |         AS cents
+         |FROM __ab_events GROUP BY user_id""".stripMargin)
+      .createOrReplaceTempView("__ab_u")
+    cdfFromU(s)
+  }
+
+  /** The CDF tail over any (variant, cents) per-user relation in view
+    * `__ab_u` — shared by the hash-split form and the two-sample
+    * production entries.
+    */
+  private def cdfFromU(s: SparkSession): DataFrame =
+    s.sql(
+      s"""WITH u AS (SELECT variant, cents FROM __ab_u),
          |g AS (
          |  SELECT cents AS v,
          |         COUNT(CASE WHEN variant = 'A' THEN 1 END) AS ca,
@@ -2358,7 +2368,6 @@ object Sessionize {
          |  FROM w GROUP BY shard)
          |SELECT w.v, w.ca, w.cb, w.wa + sh.pa AS cuma, w.wb + sh.pb AS cumb
          |FROM w JOIN sh ON sh.shard = w.shard""".stripMargin)
-  }
 
   /** Mann–Whitney U rank-sum test on the hash-split experiment: per-user
     * value sums as the metric, U_B = #{(a,b): b > a} + ½·ties, midrank
@@ -2378,8 +2387,21 @@ object Sessionize {
     * one combinable global fold. No per-user sort anywhere.
     */
   def evMannWhitney(events: DataFrame, salt: String = "ab"): DataFrame = {
-    val s = events.sparkSession
     abCdfView(events, salt)
+    mwFromCdf(events.sparkSession)
+  }
+
+  /** Two-sample production entry: arm A = frame `a`, arm B = frame `b`
+    * (each any relation with user_id + value) instead of the hash
+    * split — "did this week's per-user metric distribution shift from
+    * last week's", rank-test form.
+    */
+  def evMannWhitneyTwoSample(a: DataFrame, b: DataFrame): DataFrame = {
+    twoSampleCdfView(a, b)
+    mwFromCdf(a.sparkSession)
+  }
+
+  private def mwFromCdf(s: SparkSession): DataFrame =
     s.sql(
       """WITH c AS (SELECT ca, cb, cuma, ca + cb AS tk FROM __ab_cdf),
         |t AS (
@@ -2405,7 +2427,6 @@ object Sessionize {
         |                        - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
         |                       / (2 * SQRT(varu)), 6) END AS z
         |FROM vv""".stripMargin)
-  }
   def evMannWhitney(s: SparkSession, dir: String): DataFrame = {
     Tables.load(s, dir, "events").createOrReplaceTempView("__events")
     evMannWhitney(s.table("__events"))
@@ -2429,8 +2450,43 @@ object Sessionize {
     * MIN — combinable aggregates only, no window, no global rank.
     */
   def evKs(events: DataFrame, salt: String = "ab"): DataFrame = {
-    val s = events.sparkSession
     abCdfView(events, salt)
+    ksFromCdf(events.sparkSession)
+  }
+
+  /** Two-sample production entry: D between frame `a`'s and frame `b`'s
+    * per-user metric distributions — the drift gate between two corpus
+    * snapshots the hash-split form's scaladoc promises.
+    */
+  def evKsTwoSample(a: DataFrame, b: DataFrame): DataFrame = {
+    twoSampleCdfView(a, b)
+    ksFromCdf(a.sparkSession)
+  }
+
+  /** Build `__ab_cdf` from two explicit frames labeled A/B — the
+    * two-sample twin of [[abCdfView]]'s hash split; same NULL-cents
+    * rule, same sharded prefix, same pinned relation.
+    */
+  private def twoSampleCdfView(a: DataFrame, b: DataFrame): Unit = {
+    val s = a.sparkSession
+    a.createOrReplaceTempView("__ab_ev_a")
+    b.createOrReplaceTempView("__ab_ev_b")
+    s.sql(
+      """SELECT 'A' AS variant,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |         AS cents
+        |FROM __ab_ev_a GROUP BY user_id
+        |UNION ALL
+        |SELECT 'B',
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |FROM __ab_ev_b GROUP BY user_id""".stripMargin)
+      .createOrReplaceTempView("__ab_u")
+    cdfFromU(s)
+      .localCheckpoint(eager = false)
+      .createOrReplaceTempView("__ab_cdf")
+  }
+
+  private def ksFromCdf(s: SparkSession): DataFrame =
     s.sql(
       """WITH tt AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM __ab_cdf),
         |d AS (
@@ -2453,7 +2509,6 @@ object Sessionize {
         |             6) AS ks_stat
         |FROM tt CROSS JOIN m CROSS JOIN p
         |WHERE tt.na > 0 AND tt.nb > 0""".stripMargin)
-  }
   def evKs(s: SparkSession, dir: String): DataFrame = {
     Tables.load(s, dir, "events").createOrReplaceTempView("__events")
     evKs(s.table("__events"))

@@ -3490,6 +3490,30 @@ class PipelineSpec extends AnyFunSuite {
       .collect().length == 4)
   }
 
+  test("evKsTwoSample/evMannWhitneyTwoSample: explicit frames == the hash split over the same arms") {
+    import spark.implicits._
+    def variant(u: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ab:$u".getBytes("UTF-8"))
+      if (((d(0) >> 4) & 0xf) < 8) "A" else "B"
+    }
+    val evs = (1L to 40L).map { u =>
+      val lift = if (variant(u) == "B") 3.0 else 0.0
+      (u, (u % 7).toDouble + lift)
+    }
+    val all = evs.toDF("user_id", "value")
+    val a = evs.filter(e => variant(e._1) == "A").toDF("user_id", "value")
+    val b = evs.filter(e => variant(e._1) == "B").toDF("user_id", "value")
+    assert(Sessionize.evKsTwoSample(a, b).collect().toSeq ==
+      Sessionize.evKs(all).collect().toSeq)
+    assert(Sessionize.evMannWhitneyTwoSample(a, b).collect().toSeq ==
+      Sessionize.evMannWhitney(all).collect().toSeq)
+    // identical snapshots: no drift
+    val rf = Sessionize.evKsTwoSample(a, a.withColumn("user_id",
+      org.apache.spark.sql.functions.expr("user_id + 1000"))).collect()
+    assert(rf.head.getDouble(2) == 0.0)
+  }
+
   test("evKmv: sketch estimates replay the k-min fold; planted overlaps and sub-k sides read exactly") {
     import spark.implicits._
     def h(u: Long): Long = {
