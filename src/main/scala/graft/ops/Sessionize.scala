@@ -2532,8 +2532,19 @@ object Sessionize {
     * ×4 into a combinable MIN per rung. No window, no global rank.
     */
   def evQte(events: DataFrame, salt: String = "ab"): DataFrame = {
-    val s = events.sparkSession
     abCdfView(events, salt)
+    qteFromCdf(events.sparkSession)
+  }
+
+  /** Two-sample production entry: per-rung quantile differences between
+    * frame `a`'s and frame `b`'s per-user metric distributions.
+    */
+  def evQteTwoSample(a: DataFrame, b: DataFrame): DataFrame = {
+    twoSampleCdfView(a, b)
+    qteFromCdf(a.sparkSession)
+  }
+
+  private def qteFromCdf(s: SparkSession): DataFrame =
     s.sql(
       """WITH tt AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM __ab_cdf),
         |lad AS (SELECT explode(array(25, 50, 75, 90)) AS pq),
@@ -2553,7 +2564,6 @@ object Sessionize {
         |       CAST(qb.vb - qa.va AS DOUBLE) / 100 AS qte
         |FROM qa JOIN qb ON qb.pq = qa.pq
         |ORDER BY q""".stripMargin)
-  }
   def evQte(s: SparkSession, dir: String): DataFrame = {
     Tables.load(s, dir, "events").createOrReplaceTempView("__events")
     evQte(s.table("__events"))
@@ -2673,8 +2683,20 @@ object Sessionize {
     */
   def evWinsor(events: DataFrame, pct: Int = 99,
       salt: String = "ab"): DataFrame = {
-    val s = events.sparkSession
     abCdfView(events, salt)
+    winsorFromCdf(events.sparkSession, pct)
+  }
+
+  /** Two-sample production entry: winsorized means with frame `a` as
+    * arm A and frame `b` as arm B (the cap stays pooled).
+    */
+  def evWinsorTwoSample(a: DataFrame, b: DataFrame,
+      pct: Int = 99): DataFrame = {
+    twoSampleCdfView(a, b)
+    winsorFromCdf(a.sparkSession, pct)
+  }
+
+  private def winsorFromCdf(s: SparkSession, pct: Int): DataFrame =
     s.sql(
       s"""WITH tt AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM __ab_cdf),
          |cap AS (
@@ -2705,7 +2727,6 @@ object Sessionize {
          |  SELECT 'B', tt.nb, m.rb, m.wb, m.xb FROM tt CROSS JOIN m) x
          |CROSS JOIN cap WHERE x.n > 0
          |ORDER BY variant""".stripMargin)
-  }
   def evWinsor(s: SparkSession, dir: String): DataFrame = {
     Tables.load(s, dir, "events").createOrReplaceTempView("__events")
     evWinsor(s.table("__events"))

@@ -3508,6 +3508,10 @@ class PipelineSpec extends AnyFunSuite {
       Sessionize.evKs(all).collect().toSeq)
     assert(Sessionize.evMannWhitneyTwoSample(a, b).collect().toSeq ==
       Sessionize.evMannWhitney(all).collect().toSeq)
+    assert(Sessionize.evQteTwoSample(a, b).collect().toSeq ==
+      Sessionize.evQte(all).collect().toSeq)
+    assert(Sessionize.evWinsorTwoSample(a, b).collect().toSeq ==
+      Sessionize.evWinsor(all).collect().toSeq)
     // identical snapshots: no drift
     val rf = Sessionize.evKsTwoSample(a, a.withColumn("user_id",
       org.apache.spark.sql.functions.expr("user_id + 1000"))).collect()
