@@ -21,8 +21,21 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // ContextCleaner frees shuffle files / RDD / broadcast metadata only
+      // when a GC collects the reference objects; the default periodic-GC
+      // interval (30 min) never fires inside a bench session, and a large
+      // heap never full-GCs organically — so MapOutputTracker/BlockManager
+      // bookkeeping grew monotonically across the round-7 driver session
+      // (q43_scc 17.8 → 38.7 s). One driver GC a minute is noise next to
+      // any query; it keeps the cleaner's backlog drained.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Checkpoints.release legitimately unpersists locally-checkpointed
+    // RDDs (guaranteed dead — see Checkpoints.scala); Spark WARNs on every
+    // such unpersist, which would flood the bench log thousands of times
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     // JVM/codegen warm-up (no test data touched) so the first measured
     // query doesn't absorb JIT + Spark bootstrap cost
     spark.range(1000000).selectExpr("sum(id * 2)").collect()
@@ -67,7 +80,17 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries
     }
-    val results = selected.map { case (name, fn) =>
+    // session-order hygiene detector: SPARK_GRAFT_BENCH_ORDER=reversed runs
+    // the protocol in reverse name order. Any state-accumulation regression
+    // (the q43_scc class: a query slow ONLY because it ran late) shows up
+    // as a per-query median that moves with its session position; the two
+    // orders' medians must agree within noise.
+    val ordered = selected.toSeq.sortBy(_._1)
+    val sequenced = sys.env.get("SPARK_GRAFT_BENCH_ORDER") match {
+      case Some("reversed") => ordered.reverse
+      case _                => ordered
+    }
+    val results = sequenced.map { case (name, fn) =>
       var err: Option[String] = None
       val runs = (1 to nRuns).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -97,8 +120,8 @@ object Bench {
       val errJson = r.err.map(jq).getOrElse("null")
       s"""${jq(k)}:{"median":${jn(r.median)},"runs":$runsJson,"err":$errJson}"""
     }.mkString("{", ",", "}")
-    val total = results.values.collect { case r if r.median >= 0 => r.median }.sum
-    val nErr = results.values.count(_.err.isDefined)
+    val total = results.collect { case (_, r) if r.median >= 0 => r.median }.sum
+    val nErr = results.count(_._2.err.isDefined)
     val json = s"""{"metric":"total","value":${jn(total)},"unit":"sec","queries":$qs,"detail":$detail,"n_err":$nErr,"runs_per_query":$nRuns,"sf":${jq(sfDir)}}"""
     println(json)
     // stdout goes through sbt's logger, which prefixes "[info] " and has

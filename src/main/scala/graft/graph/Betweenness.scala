@@ -55,10 +55,16 @@ object Betweenness {
         .groupBy("s", "v").agg(sum("sigma").as("sigma"))
         .localCheckpoint(eager = true)
       levels += fresh
+      val prevVisited = visited
       visited = visited.unionAll(fresh.select("s", "v"))
         .localCheckpoint(eager = true)
+      // the merged visited set is materialized — its predecessor is dead
+      // (Checkpoints.scala; the q43_scc in-session degradation)
+      Checkpoints.release(prevVisited)
       lvl = fresh
     }
+    // the backward pass reads only `levels`; the visited set is done
+    Checkpoints.release(visited)
     // backward: deepest level has delta 0; each shallower level sums
     // the truncating nano-unit quotient sigma_v*(1e9 + delta_w) div
     // sigma_w over its successors. Level 0 is skipped — it holds only
@@ -85,6 +91,9 @@ object Betweenness {
       deltas += dl
       above = dl
     }
+    // every level but the deepest has been folded into a materialized
+    // delta frame; levels(horizon) stays — deltas(0) reads through it
+    Checkpoints.release(levels.dropRight(1).toSeq: _*)
     deltas.map(_.select("s", "v", "delta")).reduce(_ unionAll _)
       .filter(col("v") =!= col("s"))
       .groupBy(col("v").as("node"))

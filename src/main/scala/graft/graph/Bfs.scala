@@ -39,9 +39,10 @@ object Bfs {
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // NOT persisted: a literal source list rebuilds for free, and a
+    // persist here pinned one frame per run for the whole session
     var dist = sources.distinct.toDF("node")
       .select(col("node").cast("long"), lit(0).as("dist"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     var frontier = dist
     var level = 0
     var frontierSize = frontier.count()
@@ -84,7 +85,6 @@ object Bfs {
     var dist = sources.distinct.toDF("landmark")
       .select(col("landmark").cast("long").as("node"),
         col("landmark").cast("long").as("src"), lit(0).as("dist"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     var frontier = dist
     var level = 0
     var frontierSize = frontier.count()

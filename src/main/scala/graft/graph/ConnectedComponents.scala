@@ -71,6 +71,11 @@ object ConnectedComponents {
         .groupBy("node").agg(min("comp").as("comp"))
         .localCheckpoint(eager = false)
       val s = exactSum(next)
+      // `next` is materialized by the exactSum action just above, so the
+      // frame it replaced is dead — free its blocks now instead of
+      // waiting for a driver GC that a large heap may never run
+      // (Checkpoints.scala; the q43_scc in-session degradation)
+      Checkpoints.release(labels)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels = next

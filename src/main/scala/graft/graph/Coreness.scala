@@ -42,6 +42,10 @@ object Coreness {
     var vals = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint(eager = true)
+    // the checkpoint the current `vals` frame reads through — released
+    // the moment a newer materialized round supersedes it
+    // (Checkpoints.scala; the q43_scc in-session degradation)
+    var live = vals
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -60,9 +64,13 @@ object Coreness {
         .select(col("node"), col("c"), col("h"))
         .localCheckpoint(eager = false)
       changed = next.filter(col("h") =!= col("c")).count()
+      Checkpoints.release(live)
+      live = next
       vals = next.select(col("node"), col("h").as("c"))
     }
     require(changed == 0, s"Coreness.run: not converged after $maxIter rounds")
+    // the result reads only the last round's checkpoint, not the edges
+    Checkpoints.release(e)
     vals.select(col("node"), col("c").as("coreness")).orderBy("node")
   }
 }

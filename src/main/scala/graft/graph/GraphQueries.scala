@@ -431,6 +431,13 @@ object GraphQueries {
       .selectExpr("CAST(1 AS BIGINT) AS node", "CAST(0 AS BIGINT) AS cost")
       .localCheckpoint(eager = true)
     var frontier = dist
+    // frames superseded LAST hop — their successor dist materializes at
+    // THIS hop's count, which is when they become releasable
+    // (Checkpoints.scala). Only the loop top is a safe release point: on
+    // the hops-limit exit the newest dist is still an unmaterialized lazy
+    // checkpoint that reads its predecessors.
+    var prevDist: DataFrame = null
+    var prevFrontier: DataFrame = null
     var hops = 0
     var frontierSize = 1L
     while (hops < 6 && frontierSize > 0) {
@@ -446,14 +453,18 @@ object GraphQueries {
         .filter(col("d.cost").isNull || col("c.cost") < col("d.cost"))
         .select(col("node"), col("c.cost").as("cost"))
         .localCheckpoint(eager = false)
-      frontierSize = improved.count()
+      frontierSize = improved.count() // materializes the current dist too
+      Checkpoints.release(prevDist, prevFrontier)
+      prevDist = null; prevFrontier = null
       if (frontierSize > 0) {
+        prevDist = dist
         // lazy too: materialized by the NEXT hop's count (or the final
         // orderBy), folding the dist rebuild into that job
         dist = dist.join(improved, Seq("node"), "left_anti")
           .unionAll(improved)
           .localCheckpoint(eager = false)
       }
+      prevFrontier = frontier
       frontier = improved
     }
     dist.orderBy("node")

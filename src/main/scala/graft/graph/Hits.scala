@@ -22,8 +22,9 @@ import org.apache.spark.sql.functions._
   * Scale design: per half-iteration ONE join of the score relation
   * against edges (hash-partitioned on the join key) and ONE partial+final
   * SUM aggregation, then the max as a 1-row broadcast cross join — fully
-  * declarative, no driver-side scalar collect. Lazy `localCheckpoint` per
-  * half-step truncates lineage (the q26_sssp discipline). On a bipartite
+  * declarative, no driver-side scalar collect. Eager `localCheckpoint` per
+  * half-step truncates lineage (the q26_sssp discipline) and the
+  * superseded pair is released immediately (Checkpoints.scala). On a bipartite
   * graph (the q42 supplier→part feed) hubs and authorities partition the
   * node set; the operator itself is general to any directed graph.
   */
@@ -41,19 +42,29 @@ object Hits {
     var h = edges.select(col("src").as("node"))
       .distinct().withColumn("score", lit(Scale))
     var a: DataFrame = h // overwritten in the first iteration
+    // EAGER checkpoints + release of the superseded pair: the previous
+    // lazy-everywhere shape pinned every half-step's sums until the final
+    // action (Checkpoints.scala; the q43_scc in-session degradation)
+    var prevA: DataFrame = null
+    var prevH: DataFrame = null
     for (_ <- 1 to iters) {
       // checkpoint the RAW sums: normalize consumes its input twice (max
       // + join), so an unmaterialized aggregate would run every pass twice
       val aRaw = edges.as("e").join(h.as("h"), expr("h.node = e.src"))
         .selectExpr("e.dst AS node", "h.score AS c")
         .groupBy("node").agg(sum("c").as("score"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint(eager = true)
       a = normalize(aRaw)
       val hRaw = edges.as("e").join(a.as("a"), expr("a.node = e.dst"))
         .selectExpr("e.src AS node", "a.score AS c")
         .groupBy("node").agg(sum("c").as("score"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint(eager = true)
       h = normalize(hRaw)
+      // the current pair is materialized, so the previous iteration's raw
+      // sums are dead; the LAST pair stays — the returned a/h read it
+      Checkpoints.release(prevA, prevH)
+      prevA = aRaw
+      prevH = hRaw
     }
     h.selectExpr("'hub' AS kind", "node", "score")
       .unionAll(a.selectExpr("'auth' AS kind", "node", "score"))

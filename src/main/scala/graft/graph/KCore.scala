@@ -34,6 +34,11 @@ object KCore {
   def run(s: SparkSession, edges: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"KCore.run: k must be >= 1, got $k")
     var cur = edges.localCheckpoint(eager = false)
+    // the frames the current `cur` was built from — dead (and released)
+    // as soon as the next round's eager checkpoint materializes `cur`
+    // (Checkpoints.scala; the q43_scc in-session degradation)
+    var prevCur: DataFrame = null
+    var prevDrop: DataFrame = null
     var changed = true
     while (changed) {
       // peel by the DROP set, not the keep set: per round it is the small
@@ -45,12 +50,19 @@ object KCore {
       val drop = cur.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") < k).select(col("src").as("node"))
         .localCheckpoint(eager = true) // reused by both anti-joins + count
-      if (drop.isEmpty) changed = false
-      else cur = cur
-        .join(drop.select(col("node").as("src")), Seq("src"), "left_anti")
-        .join(drop.select(col("node").as("dst")), Seq("dst"), "left_anti")
-        .select("src", "dst")
-        .localCheckpoint(eager = false)
+      Checkpoints.release(prevCur, prevDrop) // cur is materialized now
+      if (drop.isEmpty) {
+        changed = false
+        prevCur = null; prevDrop = null
+        Checkpoints.release(drop) // empty — nothing reads it
+      } else {
+        prevCur = cur; prevDrop = drop
+        cur = cur
+          .join(drop.select(col("node").as("src")), Seq("src"), "left_anti")
+          .join(drop.select(col("node").as("dst")), Seq("dst"), "left_anti")
+          .select("src", "dst")
+          .localCheckpoint(eager = false)
+      }
     }
     cur.groupBy("src").agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"))

@@ -55,6 +55,11 @@ object LabelProp {
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint(eager = false)
+    // every round's lazy checkpoint materializes during `out`'s eager job
+    // below and is dead the moment it completes — collect and release
+    // them all (Checkpoints.scala; fixed rounds mean no in-loop action
+    // exists to release against)
+    val hist = scala.collection.mutable.ListBuffer(labels)
     for (_ <- 1 to rounds) {
       val votes = edges.join(labels, edges("b") === labels("node"))
         .select(edges("a"), col("lbl"))
@@ -64,9 +69,11 @@ object LabelProp {
         .groupBy(col("a").as("node"))
         .agg(max_by(col("lbl"), struct(col("c"), -col("lbl"))).as("lbl"))
         .localCheckpoint(eager = false)
+      hist += labels
     }
     val out = labels.select(col("node"), col("lbl").as("community"))
       .localCheckpoint(eager = true)
+    Checkpoints.release(hist.toSeq: _*)
     edges.unpersist()
     out
   }

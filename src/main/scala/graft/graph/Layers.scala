@@ -38,12 +38,19 @@ object Layers {
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // lazy checkpoint (not persist): the count below materializes it in
+    // the same job, and Checkpoints.release can free it the moment the
+    // first merged round replaces it — a persist here leaked one pinned
+    // node-set frame per Layers.run call for the whole session
     var layer = adj.select(col("src").as("node"))
       .unionAll(adj.select(col("dst").as("node")))
       .distinct()
       .select(col("node"), lit(0L).as("layer"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false)
     var frontier = layer
+    // the checkpoint the current `layer`/`frontier` frames read through —
+    // released as soon as a newer materialized round supersedes it
+    var live = layer
     var round = 0
     var improvedN = frontier.count()
 
@@ -72,10 +79,16 @@ object Layers {
             coalesce(col("layer"), lit(0L))).as("up"))
         .localCheckpoint(eager = false)
       val improved = merged.where(col("up")).select("node", "layer")
-      improvedN = improved.count()
+      improvedN = improved.count() // materializes merged
       if (improvedN > 0) {
         layer = merged.select("node", "layer")
         frontier = improved
+        Checkpoints.release(live) // superseded by the materialized merged
+        live = merged
+      } else {
+        // no-change round: the returned layer still reads `live`; only
+        // this round's merged frame is dead
+        Checkpoints.release(merged)
       }
     }
     adj.unpersist()

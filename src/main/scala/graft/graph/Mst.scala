@@ -60,8 +60,16 @@ object Mst {
       .distinct()
       .withColumn("comp", col("node"))
       .localCheckpoint(eager = false)
-    var picked: DataFrame =
-      Seq.empty[(Long, Long, Long)].toDF("u", "v", "w")
+    // per-round pick frames accumulate here and union ONCE at the end
+    // (the Scc parts discipline): each is checkpoint-materialized by its
+    // round's count, so re-checkpointing a growing accumulator would be
+    // a full extra pass per round for nothing
+    val pickedParts = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    // frames superseded LAST round — their successor materializes at THIS
+    // round's count, which is when they become releasable
+    // (Checkpoints.scala; the q43_scc in-session degradation)
+    var prevLabels: DataFrame = null
+    var prevMerged: DataFrame = null
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -86,11 +94,13 @@ object Mst {
           col("e.w").as("w"), col("e.cv").as("cv"))
         .localCheckpoint(eager = false)
       val nPicked = pick.count()
+      // the count just materialized the current labels frame, so the
+      // frames last round superseded are finally dead
+      Checkpoints.release(prevLabels, prevMerged)
+      prevLabels = null; prevMerged = null
       if (nPicked == 0) done = true
       else {
-        picked = picked
-          .unionAll(pick.select("u", "v", "w").distinct())
-          .localCheckpoint(eager = false)
+        pickedParts += pick.select("u", "v", "w").distinct()
         // merge: components linked by picked edges collapse to one label
         val merged: DataFrame =
           if (nPicked <= driverMergeMaxEdges) {
@@ -121,6 +131,8 @@ object Mst {
               .withColumnRenamed("node", "mn")
               .withColumnRenamed("comp", "mc")
           }
+        prevLabels = labels
+        prevMerged = merged
         labels = labels
           .join(broadcastIfSmall(merged, nPicked <= driverMergeMaxEdges),
             labels("comp") === col("mn"), "left")
@@ -129,7 +141,11 @@ object Mst {
       }
     }
     canon.unpersist()
-    picked.orderBy("w", "u", "v")
+    // the result reads only the pick frames; the label chain is done
+    Checkpoints.release(prevLabels, prevMerged, labels)
+    if (pickedParts.isEmpty)
+      Seq.empty[(Long, Long, Long)].toDF("u", "v", "w")
+    else pickedParts.reduce(_ unionAll _).orderBy("w", "u", "v")
   }
 
   private def broadcastIfSmall(df: DataFrame, small: Boolean): DataFrame =

@@ -26,10 +26,12 @@ import org.apache.spark.sql.functions._
   * Scale design: one outdegree aggregation up front, then per iteration ONE
   * join of the rank relation against edges on src (both hash-partitioned on
   * the same key — AQE reuses the layout) and ONE aggregation on dst; the
-  * degree re-join keys on the same node id. Lazy `localCheckpoint` per
+  * degree re-join keys on the same node id. Eager `localCheckpoint` per
   * iteration truncates the growing lineage so round R plans O(1) stages,
-  * not O(R) (the q26_sssp discipline). One job per iteration; no windows,
-  * no driver-side data.
+  * not O(R) (the q26_sssp discipline), and the superseded rank frame is
+  * released immediately (Checkpoints.scala) so at most two rank frames
+  * are ever pinned. One job per iteration; no windows, no driver-side
+  * data.
   */
 object PageRank {
 
@@ -47,8 +49,19 @@ object PageRank {
 
     var pr = deg.select(col("src").as("node"), col("outdeg"),
       lit(pr0).as("pr"))
-    for (_ <- 1 to iters)
-      pr = step(pr, edges, deg, teleport).localCheckpoint(eager = false)
+    // EAGER checkpoint per iteration so the superseded rank frame can be
+    // released immediately (Checkpoints.scala): the previous lazy-everywhere
+    // shape pinned every iteration's rank relation until the caller's final
+    // action — O(iters) frames live at once, and none freed until a driver
+    // GC the session may never run
+    var live: DataFrame = null
+    for (_ <- 1 to iters) {
+      val nxt = step(pr, edges, deg, teleport).localCheckpoint(eager = true)
+      Checkpoints.release(live)
+      live = nxt
+      pr = nxt
+    }
+    if (iters >= 1) Checkpoints.release(deg) // final pr no longer reads it
     pr.select("node", "pr")
   }
 
@@ -61,25 +74,44 @@ object PageRank {
   def runPersonalized(s: SparkSession, edges: DataFrame, sources: Seq[Long],
                       iters: Int): DataFrame = {
     require(sources.nonEmpty, "runPersonalized: empty source set")
+    // dedup FIRST: pr0 sizes the teleport mass per seed, and a duplicated
+    // seed must not silently shrink the total mass below SCALE
+    val srcs = sources.distinct
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .localCheckpoint(eager = true)
     require(deg.limit(1).count() > 0,
       "runPersonalized: empty edge relation")
-    val pr0 = Scale / sources.size
+    // every seed must rank — a seed with no out-edges is absent from deg
+    // and would silently drop from the init AND the teleport term, so the
+    // documented "teleports ONLY to the sources set" contract would hold
+    // less than SCALE mass; fail fast instead
+    val present = deg.filter(col("src").isin(srcs: _*)).count()
+    require(present == srcs.size,
+      s"runPersonalized: ${srcs.size - present} seed(s) have no outgoing " +
+        "edge — every source must appear as an edge src")
+    val pr0 = Scale / srcs.size
     val tele = 15L * pr0 / 100L
-    val srcList = sources.distinct.mkString(", ")
+    val srcList = srcs.mkString(", ")
     var pr = deg.selectExpr("src AS node", "outdeg",
       s"CASE WHEN src IN ($srcList) THEN ${pr0}L ELSE 0L END AS pr")
+    // eager checkpoint + release of the superseded frame — see run()
+    var live: DataFrame = null
     for (_ <- 1 to iters) {
-      val inflow = pr.as("p").join(edges.as("e"), expr("p.node = e.src"))
-        .selectExpr("e.dst AS node", "p.pr div p.outdeg AS contrib")
-        .groupBy("node").agg(sum("contrib").as("inflow"))
-      pr = inflow.as("i").join(deg.as("d"), expr("i.node = d.src"))
-        .selectExpr("i.node", "d.outdeg",
-          s"CASE WHEN i.node IN ($srcList) THEN ${tele}L ELSE 0L END " +
-            "+ (85 * i.inflow) div 100 AS pr")
-        .localCheckpoint(eager = false)
+      val nxt = {
+        val inflow = pr.as("p").join(edges.as("e"), expr("p.node = e.src"))
+          .selectExpr("e.dst AS node", "p.pr div p.outdeg AS contrib")
+          .groupBy("node").agg(sum("contrib").as("inflow"))
+        inflow.as("i").join(deg.as("d"), expr("i.node = d.src"))
+          .selectExpr("i.node", "d.outdeg",
+            s"CASE WHEN i.node IN ($srcList) THEN ${tele}L ELSE 0L END " +
+              "+ (85 * i.inflow) div 100 AS pr")
+          .localCheckpoint(eager = true)
+      }
+      Checkpoints.release(live)
+      live = nxt
+      pr = nxt
     }
+    if (iters >= 1) Checkpoints.release(deg)
     pr.select("node", "pr")
   }
 

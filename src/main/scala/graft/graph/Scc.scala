@@ -51,7 +51,9 @@ object Scc {
       peels += 1
       if (cur.limit(1).count() == 0) {
         // every survivor is edge-isolated — all singleton SCCs (also
-        // guards CC's exact-sum convergence, undefined on no labels)
+        // guards CC's exact-sum convergence, undefined on no labels).
+        // The old `remaining` checkpoint is NOT released here: the parts
+        // entry just added reads through it at result time.
         parts += remaining.select(col("node"), col("node").as("scc"))
         remaining = remaining.limit(0).localCheckpoint(eager = true)
       } else {
@@ -71,6 +73,10 @@ object Scc {
         .filter(col("sf") === col("df"))
         .select(cur("dst").as("src"), cur("src").as("dst"))
       val bEdges = ConnectedComponents.run(spark, colorRev)
+      // CC's first action computed through f (colorRev derives from it),
+      // so f's lazy checkpoint is materialized — fEdges is superseded
+      // (Checkpoints.scala: release the moment the successor is solid)
+      Checkpoints.release(fEdges)
       val b = f.join(bEdges, Seq("node"), "left")
         .select(col("node"), col("f"),
           coalesce(col("comp"), col("node")).as("b"))
@@ -82,6 +88,8 @@ object Scc {
         .localCheckpoint(eager = false)
       parts += settled
       // 4. peel
+      val prevRemaining = remaining
+      val prevCur = cur
       remaining = remaining.join(settled.select("node"), Seq("node"),
           "left_anti")
         .localCheckpoint(eager = true)
@@ -91,10 +99,17 @@ object Scc {
         .join(rd, cur("dst") === rd("d"))
         .select(cur("src"), cur("dst"))
         .localCheckpoint(eager = true)
+      // settled (via the eager anti-join), the new remaining, and the
+      // new cur are all materialized now — everything this peel consumed
+      // is dead. parts keeps only the settled checkpoints.
+      Checkpoints.release(bEdges, f, prevRemaining, prevCur)
       }
     }
     require(remaining.limit(1).count() == 0,
       s"Scc.run: not converged after $maxPeels peels")
+    // the final survivor relations are empty and nothing reads them (the
+    // isolated-survivor parts entry references the PRE-limit(0) frame)
+    Checkpoints.release(cur, remaining)
     if (parts.isEmpty) // edge-less input: empty result, not empty.reduce
       spark.range(0).selectExpr("id AS node", "id AS scc")
     else parts.reduce(_ unionAll _).orderBy("node")

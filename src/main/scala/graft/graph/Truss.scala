@@ -75,8 +75,12 @@ object Truss {
     }
 
     for (_ <- 1 to rounds) {
+      val prev = e
       e = support(e).where(col("support") >= k - 2).select("u", "v")
         .localCheckpoint(eager = true)
+      // the refined edge set is materialized — its input is dead
+      // (Checkpoints.scala; the q43_scc in-session degradation)
+      Checkpoints.release(prev)
     }
     e.join(support(e), Seq("u", "v"), "left")
       .select(col("u"), col("v"),
