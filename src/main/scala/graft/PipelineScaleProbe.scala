@@ -171,6 +171,10 @@ object PipelineScaleProbe {
     // `addendum34` (no dir) — pivot betweenness on the 200k-node
     // planted-block graph: bridge dominance + frontier-bounded cost
     if (args.headOption.contains("addendum34")) { addendum34(); return }
+    // `addendum35 <existingDir>` — round-8 re-measure: ta_rake under the
+    // maxPhraseLen=4 cap on the 500k corpus AND on a stopword-poor
+    // hostile corpus (long islands — the O(len²) pathology the cap bounds)
+    if (args.headOption.contains("addendum35")) { addendum35(args(1)); return }
     // `addendum13 <nDocs> <nEvents> <nVec> <outBase>` — gaps/gini at
     // event scale, epochs/ngram at corpus scale, range at vector scale
     if (args.headOption.contains("addendum13")) {
@@ -2462,6 +2466,72 @@ object PipelineScaleProbe {
       "(200k nodes / 920k edges; 4-hop frontier stays neighborhood-sized)")
 
     println("PSCALE addendum34 done")
+    spark.stop()
+  }
+
+  /** Round-8 re-measure of ta_rake under the maxPhraseLen=4 cap: the
+    * uncapped 500k-doc leg cost 68 s (addendum28) because the phrase→word
+    * explode carries the full phrase text on every word row — O(len²)
+    * bytes per stopword-free island. Two legs: the real 500k corpus
+    * (rank/monotone invariants unchanged) and a hostile 200k-doc
+    * stopword-POOR corpus (40-word islands, the pathological shape) that
+    * the uncapped form paid ~1600 bytes/row on and the capped form must
+    * drop outright.
+    */
+  private def addendum35(dir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def wall[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // leg 1: the persisted 500k zipf corpus. Its vocabulary is synthetic
+    // (wN tokens, zero English function words), so the corpus-appropriate
+    // stopword list — the declared production parameter — is its zipf
+    // head w1..w15, the exact analogue of English function words. The
+    // uncapped addendum28 run treated every document as ONE island (no
+    // English stopword ever hit) and paid 68 s on whole-document phrases;
+    // under real stopwords + the cap the islands are short and real.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val zipfStops = (1 to 15).map("w" + _)
+    val (rkR, rkW) = wall(
+      ops.TextAnalysis.taRake(docs, stops = zipfStops).collect())
+    require(rkR.length == 20 &&
+      rkR.map(_.getLong(4)).toSeq == (1L to 20L), "rake ranks")
+    val scores = rkR.map(_.getDouble(3)).toSeq
+    require(scores == scores.sortBy(-(_: Double)), "rake monotone")
+    require(rkR.forall(_.getInt(2) <= 4), "cap leaked a >4-word phrase")
+    println(f"PSCALE q=ta_rake t=$rkW%.1f s top=${rkR.head.getString(0)
+      .take(40)} (500k docs, zipf-head stops, maxPhraseLen=4; " +
+      "addendum28 uncapped single-island: 68 s)")
+
+    // leg 2: stopword-poor hostile corpus — every doc one 40-word island
+    // (docs alternate between two island texts so phrase stats stay
+    // vocabulary-sized) plus a planted capped phrase that must win
+    val hostile = spark.sql(
+      """SELECT id AS doc_id,
+        |  CASE WHEN id % 10 = 0 THEN 'alpha beta of alpha beta'
+        |  ELSE concat_ws(' ', transform(sequence(1, 40),
+        |    i -> concat('w', CAST((id % 2) * 40 + i AS STRING)))) END
+        |  AS text
+        |FROM range(200000)""".stripMargin)
+    val (hR, hW) = wall(ops.TextAnalysis.taRake(hostile, k = 5).collect())
+    // the 40-word islands are dropped whole; only the planted phrase ranks
+    require(hR.length == 1 && hR.head.getString(0) == "alpha beta",
+      s"hostile corpus: got ${hR.map(_.getString(0)).mkString("|")}")
+    println(f"PSCALE q=ta_rake_hostile t=$hW%.1f s " +
+      "(200k docs x 40-word islands dropped by the cap)")
+
+    println("PSCALE addendum35 done")
     spark.stop()
   }
 

@@ -1402,6 +1402,11 @@ object Sessionize {
     * by integer shift then ONE exact double division, and with ≤ 2^53 /
     * 2^span total mass the SUM of dyadics is bit-exact in any order —
     * no decimal machinery needed, both engines agree to the last bit.
+    * Terms 63+ days old are clamped to 0: their true contribution is
+    * below 1 ulp of any score that survives the 6-dp ROUND, and an
+    * UNclamped shift count wraps mod 64 in both engines' Java/C shift
+    * semantics — activity 64 days old would silently score ~1.0, not
+    * ~2^-64 (bitten on any corpus spanning more than 63 days).
     *
     * Scale design: one (user, day) distinct pass, a broadcast 1-row max,
     * and a user-sized rollup.
@@ -1415,8 +1420,10 @@ object Sessionize {
         |  FROM __dc_events),
         |t AS (SELECT MAX(day) AS tday FROM d)
         |SELECT user_id, COUNT(*) AS n_days,
-        |       ROUND(SUM(1.0 / CAST(shiftleft(CAST(1 AS BIGINT),
-        |               CAST(t.tday - day AS INT)) AS DOUBLE)), 6) AS score
+        |       ROUND(SUM(CASE WHEN t.tday - day < 63
+        |               THEN 1.0 / CAST(shiftleft(CAST(1 AS BIGINT),
+        |                 CAST(t.tday - day AS INT)) AS DOUBLE)
+        |               ELSE CAST(0 AS DOUBLE) END), 6) AS score
         |FROM d CROSS JOIN t GROUP BY user_id ORDER BY user_id""".stripMargin)
   }
 
@@ -3245,7 +3252,9 @@ object Sessionize {
         "epoch_us(ts) // 86400000000 AS day FROM events), " +
         "t AS (SELECT MAX(day) AS tday FROM d) " +
         "SELECT user_id, COUNT(*) AS n_days, " +
-        "ROUND(SUM(1.0 / (1::BIGINT << (t.tday - day))), 6) AS score " +
+        "ROUND(SUM(CASE WHEN t.tday - day < 63 " +
+        "THEN 1.0 / (1::BIGINT << (t.tday - day)) " +
+        "ELSE 0::DOUBLE END), 6) AS score " +
         "FROM d CROSS JOIN t GROUP BY user_id ORDER BY user_id"),
     "ev_srm" ->
       ("WITH u AS (SELECT DISTINCT user_id FROM events), " +

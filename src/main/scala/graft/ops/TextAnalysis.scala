@@ -1474,12 +1474,20 @@ object TextAnalysis {
     * decimal (exact compare), one terminal ROUND for display. Ties
     * break on phrase text.
     *
+    * Candidate phrases are capped at `maxPhraseLen` words (RAKE's own
+    * published convention is 3-4): an over-long stopword-free run —
+    * code, tables, non-English text — is dropped entirely (phrase AND
+    * word-stat contribution). The cap is also the scale guard: the
+    * phrase→word explode carries the full phrase text on every word row,
+    * so an unbounded island costs O(len²) bytes — measured 68 s at 500k
+    * docs on stopword-poor synthetic text before the cap.
+    *
     * Scale: one token explode with a per-(doc, island) window builds the
     * phrase relation (corpus-sized, one doc_id exchange); word stats and
     * phrase scores are vocabulary-sized; the top-k is a TakeOrdered.
     */
   def taRake(docs: DataFrame, k: Int = 20,
-      stops: Seq[String] = RakeStops): DataFrame = {
+      stops: Seq[String] = RakeStops, maxPhraseLen: Int = 4): DataFrame = {
     val s = docs.sparkSession
     docs.createOrReplaceTempView("__rk_docs")
     // escape backslashes then quotes — caller-supplied stopwords
@@ -1500,15 +1508,16 @@ object TextAnalysis {
          |  SELECT doc_id, pos, w, grp,
          |         COUNT(*) OVER (PARTITION BY doc_id, grp) AS len
          |  FROM cw),
+         |cw3 AS (SELECT * FROM cw2 WHERE len <= $maxPhraseLen),
          |ph AS (
          |  SELECT doc_id, grp,
          |         concat_ws(' ', transform(
          |           array_sort(collect_list(struct(pos, w))),
          |           t -> t.w)) AS phrase
-         |  FROM cw2 GROUP BY doc_id, grp),
+         |  FROM cw3 GROUP BY doc_id, grp),
          |wstat AS (
          |  SELECT w, COUNT(*) AS freq, SUM(len) AS deg
-         |  FROM cw2 GROUP BY w),
+         |  FROM cw3 GROUP BY w),
          |occ AS (SELECT phrase, COUNT(*) AS n_occ FROM ph GROUP BY phrase),
          |pw AS (
          |  SELECT o.phrase, t.w
@@ -1688,12 +1697,13 @@ object TextAnalysis {
          |  SELECT doc_id, pos, w, grp,
          |         COUNT(*) OVER (PARTITION BY doc_id, grp) AS len
          |  FROM cw),
+         |cw3 AS (SELECT * FROM cw2 WHERE len <= 4),
          |ph AS (
          |  SELECT doc_id, grp, string_agg(w, ' ' ORDER BY pos) AS phrase
-         |  FROM cw2 GROUP BY doc_id, grp),
+         |  FROM cw3 GROUP BY doc_id, grp),
          |wstat AS (
          |  SELECT w, COUNT(*) AS freq, SUM(len) AS deg
-         |  FROM cw2 GROUP BY w),
+         |  FROM cw3 GROUP BY w),
          |occ AS (SELECT phrase, COUNT(*) AS n_occ FROM ph GROUP BY phrase),
          |pw AS (SELECT phrase, unnest(string_split(phrase, ' ')) AS w
          |       FROM occ),

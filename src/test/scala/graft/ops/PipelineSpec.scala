@@ -2145,6 +2145,23 @@ class PipelineSpec extends AnyFunSuite {
     orc.foreach { case (n, sc) => assert(sc > 0.0 && sc <= 2.0 && n >= 1) }
   }
 
+  test("evDecay: activity 63+ days old contributes 0, not a wrapped shift") {
+    import spark.implicits._
+    def t(day: Long) = new java.sql.Timestamp(day * 86400000L)
+    // T = 100. u1's day-0 activity is 100 days old: the true term 2^-100
+    // is below 1 ulp, but Spark's (and DuckDB's) shift count wraps mod 64,
+    // so an unclamped shiftleft(1, 100) = 2^36 scored it ~0.0000000146 —
+    // and 2^64 wrapped to 2^0, scoring a 64-day-old visit a full 1.0.
+    // u2 pins the wrap point exactly: day 36 is 64 days old.
+    val evs = Seq(
+      (1L, t(100), 1L, "view", 0.0), (2L, t(0), 1L, "view", 0.0),
+      (3L, t(36), 2L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Sessionize.evDecay(evs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0), (2L, 1L, 0.0)))
+  }
+
   test("taVocabJaccard: set algebra on hand sources") {
     import spark.implicits._
     val docs = Seq(("s1", "a b"), ("s2", "b c"), ("s3", "a b"))
@@ -3053,6 +3070,15 @@ class PipelineSpec extends AnyFunSuite {
     val hostile = TextAnalysis.taRake(docs,
       stops = Seq("don't", "a\\", "of", "and")).collect()
     assert(hostile.map(_.getString(0)).contains("label propagation again"))
+    // maxPhraseLen cap (RAKE convention + the O(len²) explode guard): a
+    // 5-word stopword-free island is not a candidate at the default 4 —
+    // dropped entirely, not truncated — and returns under a raised cap
+    val longIsland = Seq((0L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    assert(TextAnalysis.taRake(longIsland).count() == 0)
+    val raised = TextAnalysis.taRake(longIsland, maxPhraseLen = 5).collect()
+    assert(raised.length == 1 &&
+      raised.head.getString(0) == "alpha beta gamma delta epsilon")
   }
 
   test("taBpe: textbook merge sequence replays; repeat runs merge canonically and exhaust gracefully") {
