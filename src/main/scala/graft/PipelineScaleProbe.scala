@@ -175,6 +175,9 @@ object PipelineScaleProbe {
     // maxPhraseLen=4 cap on the 500k corpus AND on a stopword-poor
     // hostile corpus (long islands — the O(len²) pathology the cap bounds)
     if (args.headOption.contains("addendum35")) { addendum35(args(1)); return }
+    // `addendum36 <existingDir>` — train-then-encode at 500k docs:
+    // taBpe learns 6 merges on the corpus, taBpeEncode applies them
+    if (args.headOption.contains("addendum36")) { addendum36(args(1)); return }
     // `addendum13 <nDocs> <nEvents> <nVec> <outBase>` — gaps/gini at
     // event scale, epochs/ngram at corpus scale, range at vector scale
     if (args.headOption.contains("addendum13")) {
@@ -2532,6 +2535,61 @@ object PipelineScaleProbe {
       "(200k docs x 40-word islands dropped by the cap)")
 
     println("PSCALE addendum35 done")
+    spark.stop()
+  }
+
+  /** Round-8 tokenizer closure at 100×: taBpe trains 6 merge rounds on
+    * the 500k-doc corpus (vocabulary-sized work per round), then
+    * taBpeEncode applies the learned table corpus-wide — the encode
+    * pass every training-data pipeline runs. Invariants: one output row
+    * per document, token counts internally consistent, and the merges
+    * actually compress (total tokens strictly below the char-split
+    * total, which equals total non-space characters).
+    */
+  private def addendum36(dir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+
+    def wall[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val (merges, trainW) = wall {
+      val m = ops.TextAnalysis.taBpe(docs.select("text"), merges = 6)
+        .localCheckpoint(eager = true)
+      (m, m.count())
+    }
+    require(merges._2 == 6L, s"trained ${merges._2} merges, want 6")
+    val (encStats, encW) = wall {
+      val enc = ops.TextAnalysis.taBpeEncode(docs, merges._1)
+      enc.agg(count(lit(1)), sum("n_tokens"),
+        sum(expr("size(split(tokens, ' '))"))).head()
+    }
+    val nDocs = docs.count()
+    val chars = docs.agg(
+      sum(length(regexp_replace(col("text"), " ", "")))).head().getLong(0)
+    require(encStats.getLong(0) == nDocs,
+      s"encoded ${encStats.getLong(0)} of $nDocs docs")
+    require(encStats.getLong(1) == encStats.getLong(2),
+      "n_tokens inconsistent with the token stream")
+    require(encStats.getLong(1) < chars,
+      s"merges did not compress: ${encStats.getLong(1)} !< $chars tokens")
+    println(f"PSCALE q=ta_bpe_encode train=$trainW%.1f s " +
+      f"encode=$encW%.1f s docs=$nDocs " +
+      f"tokens=${encStats.getLong(1)} chars=$chars " +
+      "(6 learned merges applied corpus-wide at 500k docs)")
+
+    println("PSCALE addendum36 done")
     spark.stop()
   }
 

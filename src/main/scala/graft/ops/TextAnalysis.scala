@@ -1612,10 +1612,87 @@ object TextAnalysis {
   def taBpe(s: SparkSession, dir: String): DataFrame =
     taBpe(Tables.load(s, dir, "documents").select("text"))
 
+  /** Apply a LEARNED BPE merge table to the corpus, emitting each
+    * document's token sequence — the encode step every training-data
+    * pipeline runs between [[taChunk]] and ds_pack, consuming the
+    * artifact [[taBpe]] trains. Merge rules apply in merge_round order;
+    * each application is the same canonical greedy left-to-right pass as
+    * training (merging consumes both symbols — see [[taBpe]]), so
+    * train-then-encode round-trips exactly.
+    *
+    * Scale design: the corpus pays ONE explode + ONE doc_id reassembly
+    * exchange; the merge loop itself runs on the DISTINCT-WORD relation
+    * (vocabulary-sized, the taBpe discipline) with the merge table
+    * carried as a broadcast 1-row ordered array (rules × word-length
+    * fold work per vocab entry, never per corpus row). No driver-side
+    * data: the merge table stays a relation.
+    *
+    * @param docs   (doc_id, text)
+    * @param merges (merge_round, lhs, rhs, ...) — taBpe's output shape;
+    *               rules apply in ascending merge_round order
+    * @return (doc_id, n_tokens, tokens) — tokens space-joined, one row
+    *         per document that has at least one word
+    */
+  def taBpeEncode(docs: DataFrame, merges: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__bpee_docs")
+    merges.createOrReplaceTempView("__bpee_merges")
+    s.sql(
+      """WITH mt AS (
+        |  SELECT array_sort(collect_list(struct(merge_round, lhs, rhs)))
+        |         AS ms
+        |  FROM __bpee_merges),
+        |voc AS (
+        |  SELECT DISTINCT t.w AS word FROM __bpee_docs
+        |  LATERAL VIEW explode(split(text, ' ')) t AS w
+        |  WHERE t.w <> ''),
+        |enc AS (
+        |  SELECT word,
+        |    aggregate(ms, trim(regexp_replace(word, '(.)', '$1 ')),
+        |      (acc0, m) -> aggregate(split(acc0, ' '), '', (acc, c) -> CASE
+        |        WHEN acc = '' THEN c
+        |        WHEN endswith(concat(' ', acc), concat(' ', m.lhs))
+        |             AND c = m.rhs
+        |        THEN concat(substr(acc, 1, length(acc) - length(m.lhs)),
+        |                    m.lhs, m.rhs)
+        |        ELSE concat(acc, ' ', c) END)) AS sym
+        |  FROM voc CROSS JOIN mt),
+        |tok AS (
+        |  SELECT doc_id, p.pos AS pos, p.w AS w FROM __bpee_docs
+        |  LATERAL VIEW posexplode(split(text, ' ')) p AS pos, w
+        |  WHERE p.w <> ''),
+        |d AS (
+        |  SELECT doc_id,
+        |         concat_ws(' ', transform(
+        |           array_sort(collect_list(struct(pos, sym))),
+        |           t -> t.sym)) AS tokens
+        |  FROM tok JOIN enc ON enc.word = tok.w
+        |  GROUP BY doc_id)
+        |SELECT doc_id,
+        |       CAST(size(split(tokens, ' ')) AS BIGINT) AS n_tokens,
+        |       tokens
+        |FROM d ORDER BY doc_id""".stripMargin)
+  }
+
+  /** The oracle-checked form: a PLANTED 3-rule merge table over the
+    * testdata alphabet — (t,a), (ta,b), (l,e) — so the DuckDB oracle can
+    * unroll the same rules as literal chained folds (the taBpe pattern).
+    * The train-then-encode composition is spec-locked separately
+    * (taBpe's learned table fed straight in).
+    */
+  def taBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val merges = s.sql(
+      """SELECT * FROM VALUES (1, 't', 'a'), (2, 'ta', 'b'), (3, 'l', 'e')
+        |AS t(merge_round, lhs, rhs)""".stripMargin)
+    taBpeEncode(
+      Tables.load(s, dir, "documents").select("doc_id", "text"), merges)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_rake" -> ((s: SparkSession, dir: String) => taRake(s, dir)),
     "ta_langconf" -> ((s: SparkSession, dir: String) => taLangConf(s, dir)),
     "ta_bpe" -> ((s: SparkSession, dir: String) => taBpe(s, dir)),
+    "ta_bpe_encode" -> ((s: SparkSession, dir: String) => taBpeEncode(s, dir)),
     "ta_bm25" -> ((s: SparkSession, dir: String) => taBm25(s, dir)),
     "ta_logodds" -> ((s: SparkSession, dir: String) => taLogOdds(s, dir)),
     "ta_nonascii" -> ((s: SparkSession, dir: String) => taNonAscii(s, dir)),
@@ -1681,7 +1758,37 @@ object TextAnalysis {
       rounds + " " + out + " ORDER BY merge_round"
   }
 
+  /** DuckDB twin of the planted-rule [[taBpeEncode]] form: the three
+    * fixed rules unroll as chained list_reduce folds (the taBpe pattern;
+    * DuckDB's fold seeds with the first element, so it skips Spark's
+    * empty-accumulator branch — same result).
+    */
+  private lazy val taBpeEncodeOracle: String = {
+    val rules = Seq(("t", "a"), ("ta", "b"), ("l", "e"))
+    val folds = rules.zipWithIndex.map { case ((lhs, rhs), i) =>
+      s"e${i + 1} AS (SELECT word, list_reduce(string_split(sym, ' '), " +
+        "(acc, c) -> CASE " +
+        s"WHEN ends_with(' ' || acc, ' $lhs') AND c = '$rhs' " +
+        s"THEN substr(acc, 1, length(acc) - ${lhs.length}) " +
+        s"|| '$lhs' || '$rhs' " +
+        "ELSE acc || ' ' || c END) AS sym " +
+        s"FROM e$i)"
+    }.mkString(", ")
+    "WITH voc AS (SELECT DISTINCT w AS word FROM " +
+      s"(SELECT unnest($sqlToks) AS w FROM documents) WHERE w <> ''), " +
+      "e0 AS (SELECT word, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) " +
+      "AS sym FROM voc), " + folds + ", " +
+      "tok AS (SELECT doc_id, u.pos AS pos, u.w AS w FROM documents, " +
+      s"LATERAL (SELECT unnest($sqlToks) AS w, " +
+      s"generate_subscripts($sqlToks, 1) AS pos) u WHERE u.w <> ''), " +
+      s"d AS (SELECT doc_id, string_agg(sym, ' ' ORDER BY pos) AS tokens " +
+      s"FROM tok JOIN e${rules.size} e ON e.word = tok.w GROUP BY doc_id) " +
+      "SELECT doc_id, CAST(len(string_split(tokens, ' ')) AS BIGINT) " +
+      "AS n_tokens, tokens FROM d ORDER BY doc_id"
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "ta_bpe_encode" -> taBpeEncodeOracle,
     "ta_rake" -> {
       val stopList = RakeStops.map(w => s"'$w'").mkString(", ")
       s"""WITH tok AS (

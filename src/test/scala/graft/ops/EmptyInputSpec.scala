@@ -135,6 +135,16 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Sessionize.evAutocorr(emptyEvents).count() == 0)
     assert(Sessionize.evSrm(emptyEvents).count() == 0)
     assert(Sessionize.evDecay(emptyEvents).count() == 0)
+    // empty corpus → empty encode; empty MERGE TABLE → char-split passthrough
+    locally {
+      val m0 = Seq.empty[(Int, String, String)]
+        .toDF("merge_round", "lhs", "rhs")
+      assert(TextAnalysis.taBpeEncode(emptyDocs, m0).count() == 0)
+      val one = Seq((7L, "ab")).toDF("doc_id", "text")
+      val r = TextAnalysis.taBpeEncode(one, m0).collect()
+      assert(r.length == 1 && r.head.getLong(1) == 2L &&
+        r.head.getString(2) == "a b")
+    }
     assert(TextAnalysis.taVocabJaccard(
       Seq.empty[(String, String)].toDF("source", "text")).count() == 0)
     assert(Pipeline.dsIngestBias(emptyDocs).count() == 0)

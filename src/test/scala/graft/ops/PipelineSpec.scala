@@ -3112,6 +3112,39 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("taBpeEncode: train-then-encode round-trips taBpe's learned table") {
+    import spark.implicits._
+    // same Sennrich corpus as the taBpe test: learned merges
+    // (l,o) → (lo,w) → (e,r). Encoding replays them in round order:
+    // low → [low]; lower → [low, er]; newest untouched (no e,r adjacency)
+    val docs = Seq((0L, "low low low"), (1L, "lower lower"), (2L, "newest"))
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.taBpe(docs.select("text"))
+    val got = TextAnalysis.taBpeEncode(docs, merges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq == Seq(
+      (0L, 3L, "low low low"),
+      (1L, 4L, "low er low er"),
+      (2L, 6L, "n e w e s t")))
+    // merge order matters and is taken from merge_round, not input order:
+    // the same rules fed reversed must produce the same encoding
+    val shuffled = merges.orderBy(org.apache.spark.sql.functions
+      .col("merge_round").desc)
+    val got2 = TextAnalysis.taBpeEncode(docs, shuffled).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got2.toSeq == got.toSeq)
+    // oracle form (planted t+a / ta+b / l+e on testdata): token counts
+    // consistent, no empty symbol, and the 2-rule chain actually fired
+    val orc = TextAnalysis.taBpeEncode(spark, sf).collect()
+    assert(orc.nonEmpty)
+    orc.foreach { r =>
+      val toks = r.getString(2).split(" ")
+      assert(toks.length == r.getLong(1) && toks.forall(_.nonEmpty))
+    }
+    assert(orc.exists(_.getString(2).split(" ").contains("tab")),
+      "the chained ta+b merge never fired on the corpus")
+  }
+
   test("evCuped: theta/means/variances replay the decimal fold; flat covariate reads theta 0") {
     import spark.implicits._
     def variant(u: Long): String = {
