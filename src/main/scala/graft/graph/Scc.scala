@@ -25,16 +25,33 @@ import org.apache.spark.sql.functions._
   * round, so peel count is bounded by the condensation's chain depth,
   * not the SCC count. Each propagation is the CC loop: one join + one
   * min aggregate per iteration, exact-decimal-sum convergence, lazy
-  * checkpoints. No driver-side graph data beyond one count per peel.
+  * checkpoints. No driver-side graph data beyond one count per peel —
+  * except the declared bounded finish below.
+  *
+  * Bounded driver finish (the q16_maxflow / Mst.driverMergeMaxEdges
+  * discipline): once the RESIDUAL graph (surviving edges + nodes) fits
+  * `driverFinishMaxEdges`, one collect + in-memory iterative Tarjan
+  * settles everything left in a single pass. The peel tail is where the
+  * distributed loop's cost concentrates — each tail peel runs two full
+  * CC fixpoints of small jobs whose cost is pure scheduling overhead —
+  * and the residual there is condensation-chain-shaped: tiny next to the
+  * input. At 100 TB the cap simply doesn't fire until the residual
+  * shrinks under it (every BIG peel stays distributed); set it to 0 to
+  * force the distributed loop everywhere — the equivalence is
+  * spec-locked on random digraphs both ways.
   */
 object Scc {
 
   /** @param edges directed (src, dst) pairs
+    * @param driverFinishMaxEdges residual size (|edges|+|nodes|) up to
+    *        which one bounded collect + in-memory Tarjan finishes the
+    *        peel tail; 0 disables the driver tier
     * @return DataFrame(node: Long, scc: Long) — scc = min node id of the
     *         strongly connected component
     */
   def run(spark: SparkSession, edges: DataFrame,
-          maxPeels: Int = 50): DataFrame = {
+          maxPeels: Int = 50,
+          driverFinishMaxEdges: Long = 5000000L): DataFrame = {
     var cur = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .distinct()
       .localCheckpoint(eager = true)
@@ -47,15 +64,30 @@ object Scc {
     // extra job per round for nothing
     val parts = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var peels = 0
-    while (remaining.limit(1).count() > 0 && peels < maxPeels) {
+    var remN = remaining.count()
+    while (remN > 0 && peels < maxPeels) {
       peels += 1
-      if (cur.limit(1).count() == 0) {
+      val curN = cur.count()
+      if (curN == 0) {
         // every survivor is edge-isolated — all singleton SCCs (also
         // guards CC's exact-sum convergence, undefined on no labels).
         // The old `remaining` checkpoint is NOT released here: the parts
         // entry just added reads through it at result time.
         parts += remaining.select(col("node"), col("node").as("scc"))
         remaining = remaining.limit(0).localCheckpoint(eager = true)
+        remN = 0
+      } else if (curN + remN <= driverFinishMaxEdges) {
+        // bounded finish: collect the residual, settle it in one pass
+        import spark.implicits._
+        val nodeArr = remaining.select("node").collect().map(_.getLong(0))
+        val edgeArr = cur.collect().map(r => (r.getLong(0), r.getLong(1)))
+        parts += tarjanScc(nodeArr, edgeArr).toSeq.toDF("node", "scc")
+        Checkpoints.release(cur, remaining)
+        // non-checkpoint empties so the post-loop release is a no-op and
+        // nothing can touch the released frames again
+        cur = spark.range(0).selectExpr("id AS src", "id AS dst")
+        remaining = spark.range(0).selectExpr("id AS node")
+        remN = 0
       } else {
       // 1. forward-min colors over the surviving directed subgraph;
       // CC's node set comes from edge endpoints, so fold isolated
@@ -103,15 +135,64 @@ object Scc {
       // new cur are all materialized now — everything this peel consumed
       // is dead. parts keeps only the settled checkpoints.
       Checkpoints.release(bEdges, f, prevRemaining, prevCur)
+      remN = remaining.count()
       }
     }
-    require(remaining.limit(1).count() == 0,
-      s"Scc.run: not converged after $maxPeels peels")
+    require(remN == 0, s"Scc.run: not converged after $maxPeels peels")
     // the final survivor relations are empty and nothing reads them (the
     // isolated-survivor parts entry references the PRE-limit(0) frame)
     Checkpoints.release(cur, remaining)
     if (parts.isEmpty) // edge-less input: empty result, not empty.reduce
       spark.range(0).selectExpr("id AS node", "id AS scc")
     else parts.reduce(_ unionAll _).orderBy("node")
+  }
+
+  /** Iterative Tarjan over the collected residual: every node its SCC's
+    * minimum id. Explicit work stack (no recursion — residuals can be
+    * chain-shaped, exactly the stack-overflow case), O(V+E).
+    */
+  private[graph] def tarjanScc(nodes: Array[Long],
+      edges: Array[(Long, Long)]): collection.Map[Long, Long] = {
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+    edges.foreach { case (a, b) => adj(a) = b :: adj.getOrElse(a, Nil) }
+    var counter = 0
+    val idx = scala.collection.mutable.Map.empty[Long, Int]
+    val low = scala.collection.mutable.Map.empty[Long, Int]
+    val onStack = scala.collection.mutable.Set.empty[Long]
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val out = scala.collection.mutable.Map.empty[Long, Long]
+    val call = scala.collection.mutable.ArrayBuffer.empty[(Long, Iterator[Long])]
+    def open(v: Long): Unit = {
+      idx(v) = counter; low(v) = counter; counter += 1
+      stack += v; onStack += v
+      call += ((v, adj.getOrElse(v, Nil).iterator))
+    }
+    for (root <- nodes if !idx.contains(root)) {
+      open(root)
+      while (call.nonEmpty) {
+        val (v, it) = call.last
+        if (it.hasNext) {
+          val w = it.next()
+          if (!idx.contains(w)) open(w)
+          else if (onStack(w)) low(v) = math.min(low(v), idx(w))
+        } else {
+          call.remove(call.size - 1)
+          if (low(v) == idx(v)) {
+            val comp = scala.collection.mutable.ArrayBuffer.empty[Long]
+            var w = -1L
+            while (w != v) {
+              w = stack.remove(stack.size - 1); onStack -= w; comp += w
+            }
+            val m = comp.min
+            comp.foreach(out(_) = m)
+          }
+          if (call.nonEmpty) {
+            val p = call.last._1
+            low(p) = math.min(low(p), low(v))
+          }
+        }
+      }
+    }
+    out
   }
 }

@@ -44,9 +44,12 @@ class CheckpointHygieneSpec extends AnyFunSuite {
     clearAll()
     val base = pinned
     // directed 8-path: every node its own SCC, one settles per peel →
-    // 8 peels, each running two full CC propagations internally
+    // 8 peels, each running two full CC propagations internally.
+    // driverFinishMaxEdges=0 forces the distributed loop — the driver
+    // tier would otherwise settle this residual in one collect and the
+    // test would not exercise the per-peel release discipline.
     val edges = (0L until 7L).map(i => (i, i + 1)).toDF("src", "dst")
-    val rows = Scc.run(spark, edges).collect()
+    val rows = Scc.run(spark, edges, driverFinishMaxEdges = 0L).collect()
     assert(rows.length == 8 && rows.forall(r => r.getLong(0) == r.getLong(1)))
     // parts = one settled frame per peel (8) + slack; the peel-internal
     // CC frames (~8 peels x 2 runs x up to 8 rounds) must all be gone

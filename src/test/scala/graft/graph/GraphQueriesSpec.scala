@@ -321,9 +321,22 @@ class GraphQueriesSpec extends AnyFunSuite {
           reach(v.toInt)(w) && reach(w)(v.toInt)).map(_.toLong)
         v -> (mut :+ v).min
       }
+      // BOTH tiers must match the closure: the bounded driver finish
+      // (default cap — fires immediately on a graph this small) and the
+      // pure distributed peel loop (cap 0)
       val got = Scc.run(spark, edges.toDF("src", "dst")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSeq
-      assert(got == want, s"trial $trial")
+      assert(got == want, s"trial $trial (driver tier)")
+      val dist = Scc.run(spark, edges.toDF("src", "dst"),
+          driverFinishMaxEdges = 0L).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(dist == want, s"trial $trial (distributed tier)")
+      // mixed: the initial residual (edges+nodes ~90) exceeds cap 40, so
+      // peel 1 runs distributed and the TAIL driver-finishes
+      val mixed = Scc.run(spark, edges.toDF("src", "dst"),
+          driverFinishMaxEdges = 40L).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(mixed == want, s"trial $trial (mixed tier)")
     }
   }
 
