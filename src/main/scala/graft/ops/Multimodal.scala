@@ -8,13 +8,21 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, decoded / feature-extracted in
   * batched partition passes.
   *
-  * The container has no media codecs, so the decode kernel is a STUB — a
-  * deterministic arithmetic fake over the payload bytes (clearly marked
-  * below). Everything around it is real and is what matters at 100 TB:
-  * the schema (binary payload + typed meta), the batched `mapPartitions`
-  * execution (one decoder instance per partition, streaming batches, no
-  * driver collect — the same execution shape as `mapInPandas` batches),
-  * and the column-pruned scan feeding it.
+  * Decode kernels come in two tiers. [[JdkCodecDecoder]] is REAL — the
+  * JDK's built-in codecs (`javax.imageio` for PNG/JPEG/BMP/GIF/WBMP,
+  * `javax.sound.sampled` for WAV/AIFF/AU) with raster/PCM-level feature
+  * hashes, plus the real [[resizeImage]] resample and [[dhash64Image]]
+  * perceptual-hash kernels; spec-verified on payloads generated through
+  * the same JDK encoders. [[StubDecoder]] remains for the video modality
+  * (the JDK ships no video codec) and for the ORACLED mm_* queries,
+  * whose synthesized payloads are text bytes, not media — its
+  * deterministic arithmetic is mirrored by the SQL oracles so the
+  * surrounding plumbing is hash-verified end-to-end. That plumbing is
+  * what matters at 100 TB either way: the schema (binary payload + typed
+  * meta), the batched `mapPartitions` execution (one decoder instance
+  * per partition, streaming batches, no driver collect — the same
+  * execution shape as `mapInPandas` batches), and the column-pruned scan
+  * feeding it.
   */
 object Multimodal {
 
@@ -40,10 +48,147 @@ object Multimodal {
     def decode(r: MediaRecord): DecodedMedia
   }
 
-  /** STUB decoder — deterministic fake standing in for a codec. Real
-    * decode (JPEG/PNG/audio frames) is not implementable in this
-    * container; the arithmetic below is mirrored by the SQL oracle so the
-    * plumbing is still hash-verified end-to-end.
+  /** REAL decoder bound to the JDK's BUILT-IN codecs — no external
+    * library: `javax.imageio` reads PNG/JPEG/BMP/GIF/WBMP payloads and
+    * `javax.sound.sampled` reads WAV/AIFF/AU audio. Field semantics per
+    * modality (documented contract):
+    *
+    *   - image: width/height = decoded pixel dims, n_frames = 1,
+    *     feature_hash = md5 over the decoded ARGB raster in row-major
+    *     order — two different ENCODINGS of the same pixels (e.g. the
+    *     same image as PNG and BMP) hash identically, which the
+    *     container-byte hash cannot do;
+    *   - audio: width = sample rate (Hz), height = channel count,
+    *     n_frames = PCM frame count, feature_hash = md5 over the decoded
+    *     PCM stream (same equivalence argument);
+    *   - video: the JDK has no video codec — [[StubDecoder]] remains the
+    *     declared stub for that modality only.
+    *
+    * Unreadable payloads fail fast with the media id (a curation
+    * pipeline routes those to a quarantine sink; silently faking
+    * dimensions would poison downstream filters). The oracled mm_*
+    * queries keep [[StubDecoder]] over the synthesized text-byte table —
+    * real-codec correctness is spec-tier: the suite generates REAL
+    * PNG/BMP/WAV payloads through the same JDK encoders and asserts the
+    * decoded facts round-trip through the Spark partition pass.
+    */
+  object JdkCodecDecoder extends MediaDecoder {
+    def decode(r: MediaRecord): DecodedMedia = r.kind match {
+      case "image" =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        require(img != null,
+          s"media ${r.media_id}: no JDK ImageReader accepts this payload")
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val row = java.nio.ByteBuffer.allocate(4 * img.getWidth)
+        var y = 0
+        while (y < img.getHeight) {
+          row.clear()
+          var x = 0
+          while (x < img.getWidth) { row.putInt(img.getRGB(x, y)); x += 1 }
+          md.update(row.array, 0, 4 * img.getWidth)
+          y += 1
+        }
+        DecodedMedia(r.media_id, r.kind, r.payload.length.toLong,
+          img.getWidth, img.getHeight, 1,
+          md.digest.map("%02x".format(_)).mkString)
+      case "audio" =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        try {
+          val fmt = ais.getFormat
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val buf = new Array[Byte](8192)
+          var n = ais.read(buf)
+          while (n > 0) { md.update(buf, 0, n); n = ais.read(buf) }
+          DecodedMedia(r.media_id, r.kind, r.payload.length.toLong,
+            fmt.getSampleRate.toInt, fmt.getChannels,
+            ais.getFrameLength.toInt,
+            md.digest.map("%02x".format(_)).mkString)
+        } finally ais.close()
+      case other =>
+        throw new IllegalArgumentException(
+          s"media ${r.media_id}: no JDK codec for kind '$other' — " +
+            "bind a video decoder or route through StubDecoder")
+    }
+  }
+
+  /** Real image resample on the JDK raster pipeline: decode, scale so the
+    * longest side is `maxDim` (aspect preserved, floor — the same integer
+    * rule as [[resize]]), re-encode PNG. The actual kernel behind the
+    * resize stage when payloads are real images; bilinear interpolation.
+    */
+  def resizeImage(payload: Array[Byte], maxDim: Int): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null, "resizeImage: no JDK ImageReader accepts payload")
+    val longSide = math.max(img.getWidth, img.getHeight).toLong
+    if (longSide <= maxDim) return payload
+    val w = (img.getWidth.toLong * maxDim / longSide).toInt.max(1)
+    val h = (img.getHeight.toLong * maxDim / longSide).toInt.max(1)
+    val out = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+    } finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Real perceptual dHash over a decoded image (the classic 9×8 kernel):
+    * downsample to 9×8 grayscale (box mean over the source grid — no
+    * codec dependence), bit (y·8+x) set iff gray(x,y) < gray(x+1,y).
+    * Local pixel edits move only the bits whose cells they touch, so
+    * near-identical images land within a small Hamming radius — the real
+    * kernel the [[phash64]] byte-sampling stub stands in for.
+    */
+  def dhash64Image(img: java.awt.image.BufferedImage): Long = {
+    val gw = 9; val gh = 8
+    val gray = Array.ofDim[Double](gh, gw)
+    val (iw, ih) = (img.getWidth, img.getHeight)
+    var gy = 0
+    while (gy < gh) {
+      var gx = 0
+      while (gx < gw) {
+        val x0 = gx * iw / gw; val x1 = math.max((gx + 1) * iw / gw, x0 + 1)
+        val y0 = gy * ih / gh; val y1 = math.max((gy + 1) * ih / gh, y0 + 1)
+        var sum = 0.0; var n = 0
+        var y = y0
+        while (y < y1 && y < ih) {
+          var x = x0
+          while (x < x1 && x < iw) {
+            val rgb = img.getRGB(x, y)
+            sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        gray(gy)(gx) = if (n == 0) 0.0 else sum / n
+        gx += 1
+      }
+      gy += 1
+    }
+    var h = 0L
+    var i = 0
+    while (i < 64) {
+      val y = i / 8; val x = i % 8
+      if (gray(y)(x) < gray(y)(x + 1)) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
+  /** STUB decoder — deterministic fake standing in for a codec on the
+    * SYNTHESIZED text-byte media table (the oracled mm_* queries, whose
+    * payloads are not real media) and for the video modality the JDK
+    * cannot decode; [[JdkCodecDecoder]] is the real kernel for image and
+    * audio payloads. The arithmetic below is mirrored by the SQL oracle
+    * so the plumbing is hash-verified end-to-end.
     */
   object StubDecoder extends MediaDecoder {
     def decode(r: MediaRecord): DecodedMedia = {

@@ -28,6 +28,100 @@ class MultimodalSpec extends AnyFunSuite {
     assert(decoded.filter(_.kind != "video").forall(_.n_frames == 1))
   }
 
+  // ---- real JDK codec tier: payloads generated through the same JDK
+  // encoders the decoder binds (no external library either way) ----
+
+  private def pngBytes(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (x * 31 + y * 17 + seed) * 2654435761L.toInt)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def wavBytes(nFrames: Int, sampleRate: Float, channels: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, channels, true, false)
+    val pcm = new Array[Byte](nFrames * fmt.getFrameSize)
+    for (i <- pcm.indices) pcm(i) = ((i * 73) % 251).toByte
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("JdkCodecDecoder: real PNG/BMP/WAV payloads decode through the Spark pass") {
+    import spark.implicits._
+    val png = pngBytes(37, 21, seed = 5)
+    val wav = wavBytes(nFrames = 480, sampleRate = 16000f, channels = 2)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", png),
+      Multimodal.MediaRecord(2L, "audio", wav)).toDS()
+    val got = Multimodal.decodeAll(media, Multimodal.JdkCodecDecoder)
+      .collect().map(d => d.media_id -> d).toMap
+    assert(got(1L).width == 37 && got(1L).height == 21 && got(1L).n_frames == 1)
+    assert(got(2L).width == 16000 && got(2L).height == 2 &&
+      got(2L).n_frames == 480)
+    // the image feature hash is over the decoded RASTER, not the
+    // container bytes: the same pixels re-encoded as BMP hash identically
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val bmpOut = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bmpOut)
+    val bmp = bmpOut.toByteArray
+    assert(!java.util.Arrays.equals(bmp, png), "containers must differ")
+    val viaBmp = Multimodal.decodeAll(
+      Seq(Multimodal.MediaRecord(3L, "image", bmp)).toDS(),
+      Multimodal.JdkCodecDecoder).collect().head
+    assert(viaBmp.feature_hash == got(1L).feature_hash,
+      "raster hash must be encoding-invariant")
+    // unreadable payload fails fast with the media id
+    val bad = Seq(Multimodal.MediaRecord(9L, "image",
+      Array[Byte](1, 2, 3, 4))).toDS()
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeAll(bad, Multimodal.JdkCodecDecoder).collect()
+    }
+    assert(e.getMessage.contains("media 9") ||
+      Option(e.getCause).exists(_.getMessage.contains("media 9")))
+  }
+
+  test("resizeImage: real bilinear resample lands on the integer dim rule") {
+    val png = pngBytes(200, 120, seed = 9)
+    val out = Multimodal.resizeImage(png, maxDim = 64)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
+    assert(img.getWidth == 64 && img.getHeight == 120 * 64 / 200)
+    // already-small payloads pass through untouched (byte-identical)
+    val small = pngBytes(30, 20, seed = 1)
+    assert(Multimodal.resizeImage(small, maxDim = 64) eq small)
+  }
+
+  test("dhash64Image: near-identical images stay within a small Hamming radius") {
+    def grayImg(f: (Int, Int) => Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(80, 60,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 60; x <- 0 until 80) {
+        val g = math.max(0, math.min(255, f(x, y)))
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      img
+    }
+    // strictly increasing horizontal gradient → every dHash bit set
+    val base = grayImg((x, _) => x * 3)
+    val h0 = Multimodal.dhash64Image(base)
+    assert(java.lang.Long.bitCount(h0) == 64)
+    // +2 uniform brightness: ordering unchanged → identical hash
+    val bright = grayImg((x, _) => x * 3 + 2)
+    assert(Multimodal.dhash64Image(bright) == h0)
+    // a blanked 8x8 corner patch can move only the corner cells' bits
+    val patched = grayImg((x, y) => if (x < 8 && y < 8) 0 else x * 3)
+    assert(java.lang.Long.bitCount(h0 ^ Multimodal.dhash64Image(patched)) <= 4)
+    // the reversed gradient flips every comparison → maximal distance
+    val reversed = grayImg((x, _) => 237 - x * 3)
+    assert(java.lang.Long.bitCount(h0 ^ Multimodal.dhash64Image(reversed)) == 64)
+  }
+
   test("pluggable decoder: a custom kernel slots into the same pass") {
     val media = Multimodal.mediaFromDocs(spark, sf).limit(10)
     val constDecoder = new Multimodal.MediaDecoder {

@@ -283,4 +283,49 @@ class PipelinePropertySpec extends AnyFunSuite {
       mw(df) == mw(mapped) && ks(df) == ks(mapped)
     })
   }
+
+  private val genBpeCorpus: Gen[(List[(Long, String)], List[(Int, String, String)])] =
+    for {
+      nDocs <- Gen.choose(1, 5)
+      docs <- Gen.listOfN(nDocs, for {
+        nw <- Gen.choose(1, 5)
+        ws <- Gen.listOfN(nw, for {
+          len <- Gen.choose(1, 6)
+          cs <- Gen.listOfN(len, Gen.oneOf('a', 'b'))
+        } yield cs.mkString)
+      } yield ws.mkString(" "))
+      nRules <- Gen.choose(0, 3)
+      syms = Seq("a", "b", "ab", "ba", "aa", "bb")
+      rules <- Gen.listOfN(nRules, for {
+        l <- Gen.oneOf(syms); r <- Gen.oneOf(syms)
+      } yield (l, r))
+    } yield (docs.indices.map(i => (i.toLong, docs(i))).toList,
+      rules.zipWithIndex.map { case ((l, r), i) => (i + 1, l, r) })
+
+  test("taBpeEncode: any corpus/rule list matches the in-memory greedy fold") {
+    import spark.implicits._
+    // reference: the canonical greedy left-to-right pass with consumption
+    def applyRule(syms: List[String], lhs: String, rhs: String): List[String] =
+      syms.foldLeft(List.empty[String]) { (out, c) =>
+        if (out.nonEmpty && out.last == lhs && c == rhs)
+          out.init :+ (lhs + rhs)
+        else out :+ c
+      }
+    def encodeWord(w: String, rules: List[(Int, String, String)]): List[String] =
+      rules.sortBy(_._1).foldLeft(w.map(_.toString).toList) {
+        case (syms, (_, l, r)) => applyRule(syms, l, r)
+      }
+    check(Prop.forAll(genBpeCorpus) { case (docs, rules) =>
+      val want = docs.map { case (id, text) =>
+        val toks = text.split(" ").filter(_.nonEmpty).toList
+          .flatMap(encodeWord(_, rules))
+        (id, toks.length.toLong, toks.mkString(" "))
+      }.filter(_._2 > 0).sortBy(_._1)
+      val got = TextAnalysis.taBpeEncode(
+          docs.toDF("doc_id", "text"),
+          rules.toDF("merge_round", "lhs", "rhs")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toList
+      got == want
+    })
+  }
 }
