@@ -178,6 +178,9 @@ object PipelineScaleProbe {
     // `addendum36 <existingDir>` — train-then-encode at 500k docs:
     // taBpe learns 6 merges on the corpus, taBpeEncode applies them
     if (args.headOption.contains("addendum36")) { addendum36(args(1)); return }
+    // `addendum37` (no dir) — REAL JDK codec tier at 100k images:
+    // generate real PNGs in-executor, decode/resample/dHash-dedup them
+    if (args.headOption.contains("addendum37")) { addendum37(); return }
     // `addendum13 <nDocs> <nEvents> <nVec> <outBase>` — gaps/gini at
     // event scale, epochs/ngram at corpus scale, range at vector scale
     if (args.headOption.contains("addendum13")) {
@@ -2590,6 +2593,130 @@ object PipelineScaleProbe {
       "(6 learned merges applied corpus-wide at 500k docs)")
 
     println("PSCALE addendum36 done")
+    spark.stop()
+  }
+
+  /** Real-codec multimodal tier at 100k images — every byte a REAL PNG
+    * produced by the same JDK encoder JdkCodecDecoder reads, generated
+    * INSIDE the partition pass (no driver media, no disk staging):
+    *
+    *   1. decode: 100k 32×24 PNGs through decodeAll(JdkCodecDecoder) —
+    *      dims/frame facts must be exact for every record;
+    *   2. resample: resizeImage to maxDim 16 re-decoded — the integer
+    *      dim rule must hold for every record;
+    *   3. near-dup: corpus ∪ brightness-lifted twins (+8 on unclamped
+    *      grays — gradient ORDERING unchanged, so the real dHash is
+    *      IDENTICAL by construction) → the mm_phash_pairs banded-LSH
+    *      join must recover every planted twin with hamming 0.
+    */
+  private def addendum37(): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def wall[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val n = 100000L
+    // id-unique pixel field, grays in [0, 200) so a +8 lift never clamps.
+    // splitmix64 avalanche: a linear v = id·A + x·B + y·C progression made
+    // every image a phase-shifted copy of ONE pattern — 100k images
+    // collapsed into ~200 near-dup classes and the pair join (correctly)
+    // exploded; pixels must be independent for the planted-twin census
+    def gray(id: Long, x: Int, y: Int): Int = {
+      var z = id * 768L + y * 32L + x + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= (z >>> 31)
+      ((z >>> 8) % 200L).toInt
+    }
+    def png(id: Long, lift: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 24,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 24) {
+        var x = 0
+        while (x < 32) {
+          val g = gray(id, x, y) + lift
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    // 1. decode 100k real PNGs
+    val media = spark.range(n)
+      .map(i => ops.Multimodal.MediaRecord(i, "image", png(i, 0)))
+    val (okDecode, decW) = wall {
+      ops.Multimodal.decodeAll(media, ops.Multimodal.JdkCodecDecoder)
+        .filter(d => d.width == 32 && d.height == 24 && d.n_frames == 1)
+        .count()
+    }
+    require(okDecode == n, s"decoded $okDecode of $n with exact dims")
+    println(f"PSCALE q=mm_decode_real t=$decW%.1f s imgs=$n " +
+      "(100k real PNGs through javax.imageio in the partition pass)")
+
+    // 2. real resample to maxDim 16 (aspect floor: 32x24 -> 16x12)
+    val (okResize, rszW) = wall {
+      media.map(r => ops.Multimodal.resizeImage(r.payload, 16))
+        .map(b => {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(b))
+          (img.getWidth, img.getHeight)
+        })
+        .filter(d => d._1 == 16 && d._2 == 12)
+        .count()
+    }
+    require(okResize == n, s"resampled $okResize of $n to 16x12")
+    println(f"PSCALE q=mm_resize_real t=$rszW%.1f s imgs=$n " +
+      "(decode + bilinear resample + PNG re-encode per record)")
+
+    // 3. real-dHash near-dup: every brightness twin at hamming 0
+    val twinOff = ops.Multimodal.TwinOffset
+    val (pairs, ddW) = wall {
+      val sig = spark.range(n).flatMap { i =>
+        val id = i.toLong
+        def h(lift: Int) = ops.Multimodal.dhash64Image(
+          javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(png(id, lift))))
+        Seq((id, h(0)), (id + twinOff, h(8)))
+      }.toDF("media_id", "phash")
+      sig.createOrReplaceTempView("__rph")
+      spark.sql(
+        """WITH band AS (
+          |  SELECT media_id, phash, bno,
+          |         shiftright(phash, 16 * bno) & 65535 AS bk
+          |  FROM __rph LATERAL VIEW explode(sequence(0, 3)) AS bno)
+          |SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+          |       CAST(bit_count(a.phash ^ b.phash) AS BIGINT) AS hamming
+          |FROM band a JOIN band b
+          |  ON a.bno = b.bno AND a.bk = b.bk AND a.media_id < b.media_id
+          |WHERE bit_count(a.phash ^ b.phash) <= 3""".stripMargin)
+        .collect()
+    }
+    val twinPairs = pairs.filter(r =>
+      r.getLong(1) == r.getLong(0) + twinOff)
+    require(twinPairs.length == n,
+      s"found ${twinPairs.length} of $n brightness twins")
+    require(twinPairs.forall(_.getLong(2) == 0L),
+      "a brightness twin moved a dHash bit")
+    println(f"PSCALE q=mm_dhash_dedup t=$ddW%.1f s imgs=${2 * n} " +
+      s"pairs=${pairs.length} twins=$n " +
+      "(real 9x8 dHash, banded LSH, every planted twin at hamming 0)")
+
+    println("PSCALE addendum37 done")
     spark.stop()
   }
 

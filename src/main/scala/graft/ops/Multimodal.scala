@@ -145,10 +145,20 @@ object Multimodal {
     * Local pixel edits move only the bits whose cells they touch, so
     * near-identical images land within a small Hamming radius — the real
     * kernel the [[phash64]] byte-sampling stub stands in for.
+    *
+    * FULLY INTEGER (the repo's engine-exactness discipline): luma is the
+    * ITU-R 601 weights scaled by 1000 (299r + 587g + 114b, exact in
+    * Long), and the mean comparison cross-multiplies cell sums —
+    * sum₁·n₂ < sum₂·n₁ — instead of dividing. That makes a uniform
+    * brightness lift PROVABLY hash-preserving (both sides gain the same
+    * lift·1000·n₁·n₂ term), where a double mean flipped analytic ties
+    * depending on rounding (measured: the 100k-image probe's +8 twins
+    * moved bits until this was integer).
     */
   def dhash64Image(img: java.awt.image.BufferedImage): Long = {
     val gw = 9; val gh = 8
-    val gray = Array.ofDim[Double](gh, gw)
+    val lum = Array.ofDim[Long](gh, gw)
+    val cnt = Array.ofDim[Long](gh, gw)
     val (iw, ih) = (img.getWidth, img.getHeight)
     var gy = 0
     while (gy < gh) {
@@ -156,19 +166,19 @@ object Multimodal {
       while (gx < gw) {
         val x0 = gx * iw / gw; val x1 = math.max((gx + 1) * iw / gw, x0 + 1)
         val y0 = gy * ih / gh; val y1 = math.max((gy + 1) * ih / gh, y0 + 1)
-        var sum = 0.0; var n = 0
+        var sum = 0L; var n = 0L
         var y = y0
         while (y < y1 && y < ih) {
           var x = x0
           while (x < x1 && x < iw) {
             val rgb = img.getRGB(x, y)
-            sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
-              0.114 * (rgb & 0xff)
+            sum += 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+              114L * (rgb & 0xff)
             n += 1; x += 1
           }
           y += 1
         }
-        gray(gy)(gx) = if (n == 0) 0.0 else sum / n
+        lum(gy)(gx) = sum; cnt(gy)(gx) = math.max(n, 1L)
         gx += 1
       }
       gy += 1
@@ -177,7 +187,8 @@ object Multimodal {
     var i = 0
     while (i < 64) {
       val y = i / 8; val x = i % 8
-      if (gray(y)(x) < gray(y)(x + 1)) h |= (1L << i)
+      if (lum(y)(x) * cnt(y)(x + 1) < lum(y)(x + 1) * cnt(y)(x))
+        h |= (1L << i)
       i += 1
     }
     h
