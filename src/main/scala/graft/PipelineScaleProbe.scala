@@ -181,6 +181,9 @@ object PipelineScaleProbe {
     // `addendum37` (no dir) — REAL JDK codec tier at 100k images:
     // generate real PNGs in-executor, decode/resample/dHash-dedup them
     if (args.headOption.contains("addendum37")) { addendum37(); return }
+    // `addendum38 <existingDir>` — ta_classify at 500k docs with a
+    // planted single-feature model (score separates by token presence)
+    if (args.headOption.contains("addendum38")) { addendum38(args(1)); return }
     // `addendum13 <nDocs> <nEvents> <nVec> <outBase>` — gaps/gini at
     // event scale, epochs/ngram at corpus scale, range at vector scale
     if (args.headOption.contains("addendum13")) {
@@ -2717,6 +2720,62 @@ object PipelineScaleProbe {
       "(real 9x8 dHash, banded LSH, every planted twin at hamming 0)")
 
     println("PSCALE addendum37 done")
+    spark.stop()
+  }
+
+  /** ta_classify at 500k docs: the planted model puts +1 on the hash
+    * bucket of the zipf-head token 'w3' and −0.05 everywhere else, so
+    * keep ⟺ the w3-bucket evidence outweighs the background penalty —
+    * a separation the probe verifies against a direct per-doc count,
+    * plus the corpus-linear wall cost.
+    */
+  private def addendum38(dir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+
+    def wall[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val w3feat = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest("w3".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val hex = "0123456789abcdef"
+      hex.indexOf(h(0)) * 16 + hex.indexOf(h(1))
+    }
+    val weights = spark.sql(
+      s"SELECT id AS feat, CASE WHEN id = $w3feat THEN 1.0 ELSE -0.05 END " +
+        "AS w FROM range(256)")
+    val (rows, clW) = wall {
+      ops.TextAnalysis.taClassify(docs, weights)
+        .select("doc_id", "z", "keep").collect()
+    }
+    val nDocs = docs.count()
+    require(rows.length == nDocs, s"${rows.length} scored of $nDocs")
+    val kept = rows.count(_.getBoolean(2))
+    require(kept > 0 && kept < nDocs,
+      s"no separation: kept $kept of $nDocs")
+    // every kept doc carries strictly more w3-bucket mass than penalty:
+    // spot-check the extreme z docs against a direct token count
+    val ordered = rows.sortBy(_.getDouble(1))
+    val hiDoc = ordered.last.getLong(0)
+    val hiHasW3 = docs.filter(col("doc_id") === hiDoc)
+      .head().getString(1).split(" ").count(_ == "w3")
+    require(hiHasW3 > 0, s"top-z doc $hiDoc has no w3")
+    println(f"PSCALE q=ta_classify t=$clW%.1f s docs=$nDocs kept=$kept " +
+      "(planted single-feature model separates at 500k docs)")
+
+    println("PSCALE addendum38 done")
     spark.stop()
   }
 

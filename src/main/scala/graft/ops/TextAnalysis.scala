@@ -673,6 +673,64 @@ object TextAnalysis {
   def taHashEmbed(s: SparkSession, dir: String): DataFrame =
     taHashEmbed(Tables.load(s, dir, "documents").select("doc_id", "text"))
 
+  /** Hashed linear quality classifier — the fastText/CCNet-style scoring
+    * pass a curation pipeline runs before its keep/drop gate: score(doc)
+    * = σ(Σ_f w_f · ln(1 + count_f)) over the [[taHashEmbed]] 256-bucket
+    * feature space, with the weight vector a MODEL RELATION (feat, w) —
+    * the artifact a trained classifier exports — joined back broadcast.
+    * `keep` thresholds the 6-dp-rounded logit at 0 (σ is monotone, so
+    * z ≥ 0 ⟺ score ≥ 0.5) — thresholding the ROUNDED value keeps the
+    * flag engine-stable.
+    *
+    * Engine-exactness: each feature's contribution w·ln(1+n) is
+    * 9-dp-rounded and summed as DECIMAL (exact, order-free — the ta_bm25
+    * discipline); one terminal sigmoid on the cast double, ROUND 6.
+    *
+    * Scale design: one token explode + one (doc, feat) count (output
+    * 256-bounded per doc), one broadcast join against the model-sized
+    * weight relation, one doc rollup. Corpus-linear, no windows. The
+    * weight relation is expected to cover the full bucket space (the
+    * exported-model shape); with a partial model, a doc whose features
+    * are all unweighted has no score and is absent from the output.
+    */
+  def taClassify(docs: DataFrame, weights: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__tc_docs")
+    weights.createOrReplaceTempView("__tc_w")
+    s.sql(
+      """WITH tk AS (
+        |  SELECT doc_id, explode(split(text, ' ')) AS tok FROM __tc_docs),
+        |emb AS (
+        |  SELECT doc_id,
+        |         CAST((instr('0123456789abcdef', substring(md5(tok), 1, 1))
+        |               - 1) * 16
+        |              + instr('0123456789abcdef', substring(md5(tok), 2, 1))
+        |              - 1 AS BIGINT) AS feat,
+        |         COUNT(*) AS n
+        |  FROM tk GROUP BY doc_id, 2),
+        |sc AS (
+        |  SELECT e.doc_id, COUNT(*) AS n_feats,
+        |         SUM(CAST(ROUND(w.w * ln(1 + e.n), 9) AS DECIMAL(28,9)))
+        |           AS z
+        |  FROM emb e JOIN __tc_w w ON w.feat = e.feat
+        |  GROUP BY e.doc_id)
+        |SELECT doc_id, n_feats,
+        |       ROUND(CAST(z AS DOUBLE), 6) AS z,
+        |       ROUND(1.0 / (1.0 + exp(-CAST(z AS DOUBLE))), 6) AS score,
+        |       ROUND(CAST(z AS DOUBLE), 6) >= 0.0 AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin)
+  }
+
+  /** The oracle-checked form: a planted deterministic 256-weight model
+    * (w_f = ((f·37) mod 21 − 10)/10 ∈ [−1, 1], integer-derived so both
+    * engines build the identical relation).
+    */
+  def taClassify(s: SparkSession, dir: String): DataFrame =
+    taClassify(
+      Tables.load(s, dir, "documents").select("doc_id", "text"),
+      s.sql("SELECT id AS feat, ((id * 37) % 21 - 10) / 10.0 AS w " +
+        "FROM range(256)"))
+
   /** Zipf's-law conformance table: the corpus's top-20 tokens by total
     * term frequency with their rank, tf, the rank·tf product (Zipf
     * predicts it near-constant), and the product normalized by the rank-1
@@ -1710,6 +1768,7 @@ object TextAnalysis {
     "ta_vocab" -> ((s: SparkSession, dir: String) => taVocabCoverage(s, dir)),
     "ta_zipf" -> ((s: SparkSession, dir: String) => taZipf(s, dir)),
     "ta_hashembed" -> ((s: SparkSession, dir: String) => taHashEmbed(s, dir)),
+    "ta_classify" -> ((s: SparkSession, dir: String) => taClassify(s, dir)),
     "ta_ngram_top" -> ((s: SparkSession, dir: String) => taNgramTop(s, dir)),
     "ta_entropy" -> ((s: SparkSession, dir: String) => taEntropy(s, dir)),
     "ta_perplexity" -> ((s: SparkSession, dir: String) => taPerplexity(s, dir)),
@@ -1789,6 +1848,21 @@ object TextAnalysis {
 
   val oracleSql: Map[String, String] = Map(
     "ta_bpe_encode" -> taBpeEncodeOracle,
+    "ta_classify" ->
+      ("WITH w AS (SELECT i AS feat, ((i * 37) % 21 - 10) / 10.0 AS w " +
+        "FROM generate_series(0, 255) t(i)), " +
+        s"tk AS (SELECT doc_id, unnest($sqlToks) AS tok FROM documents), " +
+        "emb AS (SELECT doc_id, " +
+        "(strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16 " +
+        "+ strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1 AS feat, " +
+        "COUNT(*) AS n FROM tk GROUP BY 1, 2), " +
+        "sc AS (SELECT e.doc_id, COUNT(*) AS n_feats, " +
+        "SUM(CAST(ROUND(w.w * ln(1 + e.n), 9) AS DECIMAL(28,9))) AS z " +
+        "FROM emb e JOIN w ON w.feat = e.feat GROUP BY e.doc_id) " +
+        "SELECT doc_id, n_feats, ROUND(z::DOUBLE, 6) AS z, " +
+        "ROUND(1.0 / (1.0 + exp(-(z::DOUBLE))), 6) AS score, " +
+        "ROUND(z::DOUBLE, 6) >= 0.0 AS keep " +
+        "FROM sc ORDER BY doc_id"),
     "ta_rake" -> {
       val stopList = RakeStops.map(w => s"'$w'").mkString(", ")
       s"""WITH tok AS (

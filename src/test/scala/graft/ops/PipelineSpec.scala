@@ -3145,6 +3145,47 @@ class PipelineSpec extends AnyFunSuite {
       "the chained ta+b merge never fired on the corpus")
   }
 
+  test("taClassify: hashed-logit algebra replays; keep thresholds the rounded logit") {
+    import spark.implicits._
+    def feat(tok: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val hex = "0123456789abcdef"
+      (hex.indexOf(h(0)) * 16 + hex.indexOf(h(1))).toLong
+    }
+    val docs = Seq((0L, "x x y"), (1L, "y")).toDF("doc_id", "text")
+    val weights = Seq((feat("x"), 1.0), (feat("y"), -0.5))
+      .toDF("feat", "w")
+    // replicate Spark ROUND(double, n): HALF_UP on the shortest decimal
+    // repr (BigDecimal.valueOf — the taPerplexity replay convention)
+    def term(w: Double, n: Long): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(w * math.log1p(n.toDouble))
+        .setScale(9, java.math.RoundingMode.HALF_UP)
+    def r6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val z0 = term(1.0, 2).add(term(-0.5, 1)) // doc0: x twice, y once
+    val z1 = term(-0.5, 1)
+    val got = TextAnalysis.taClassify(docs, weights).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (0L, 2L, r6(z0.doubleValue),
+        r6(1.0 / (1.0 + math.exp(-z0.doubleValue))),
+        r6(z0.doubleValue) >= 0.0),
+      (1L, 1L, r6(z1.doubleValue),
+        r6(1.0 / (1.0 + math.exp(-z1.doubleValue))),
+        r6(z1.doubleValue) >= 0.0)))
+    assert(got(0)._5 && !got(1)._5) // x-heavy kept, y-only dropped
+    // oracle form: scores in (0,1), keep consistent with the logit sign
+    val orc = TextAnalysis.taClassify(spark, sf).collect()
+      .map(r => (r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+    assert(orc.nonEmpty)
+    orc.foreach { case (z, sc, keep) =>
+      assert(sc > 0.0 && sc < 1.0 && keep == (z >= 0.0))
+    }
+  }
+
   test("evCuped: theta/means/variances replay the decimal fold; flat covariate reads theta 0") {
     import spark.implicits._
     def variant(u: Long): String = {
