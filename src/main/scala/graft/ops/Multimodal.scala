@@ -252,6 +252,61 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** Driver-checkable REAL-codec query: synthesize actual PNG images and
+    * WAV audio with ANALYTICALLY-KNOWN facts (dims / sample rate /
+    * channels / frame count derived from doc_id), round-trip them
+    * through [[JdkCodecDecoder]] in the batched partition pass, and
+    * report the decoded facts. The DuckDB oracle computes the same facts
+    * from the id formula WITHOUT decoding — so a hash match proves the
+    * real encode→decode path reproduces the planted ground truth
+    * end-to-end (the one way a SQL engine can oracle a codec).
+    * Container-byte-dependent fields (payload size) are deliberately
+    * not emitted: they would tie the hash to the PNG encoder version.
+    */
+  def mmDecodeReal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.load(s, dir, "documents").select("doc_id")
+      .as[Long].map { id =>
+        if (id % 2 == 0) {
+          val w = 16 + (id % 17).toInt
+          val h = 16 + (id * 3 % 13).toInt
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val g = ((id * 31 + x * 7 + y * 13) % 256).toInt
+              img.setRGB(x, y, (g << 16) | (g << 8) | g)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          MediaRecord(id, "image", bos.toByteArray)
+        } else {
+          val nFrames = 100 + (id % 50).toInt
+          val channels = 1 + (id % 2).toInt // odd ids: always 2 here
+          val fmt = new javax.sound.sampled.AudioFormat(
+            8000f, 16, channels, true, false)
+          val pcm = new Array[Byte](nFrames * fmt.getFrameSize)
+          var i = 0
+          while (i < pcm.length) { pcm(i) = ((id + i * 73) % 251).toByte; i += 1 }
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          MediaRecord(id, "audio", bos.toByteArray)
+        }
+      }
+    decodeAll(media, JdkCodecDecoder).toDF()
+      .select(col("media_id"), col("kind"), col("width"), col("height"),
+        col("n_frames"))
+      .orderBy("media_id")
+  }
+
   /** One sampled frame of a media record. */
   case class FrameRecord(media_id: Long, frame_idx: Long, frame_offset: Long,
                          frame_hash: String)
@@ -490,6 +545,7 @@ object Multimodal {
     "mm_align" -> ((s: SparkSession, dir: String) => mmAlign(s, dir)),
     "mm_shard" -> ((s: SparkSession, dir: String) => mmShard(s, dir)),
     "mm_decode" -> (mmDecode _),
+    "mm_decode_real" -> (mmDecodeReal _),
     "mm_frames" -> (mmFrames _),
     "mm_resize" -> (mmResize _),
     "mm_phash_pairs" -> (mmPhashPairs _),
@@ -543,6 +599,18 @@ object Multimodal {
         """cum_before - MIN(cum_before) OVER ( """ +
         """PARTITION BY grp, shard_local) AS offset_bytes, n_bytes """ +
         """FROM sh ORDER BY media_id"""),
+    // the planted ground truth mm_decode_real's REAL encode→decode
+    // round-trip must land on, computed without any codec
+    "mm_decode_real" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 17
+        |        ELSE 8000 END)::INT AS width,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 16 + (doc_id * 3) % 13
+        |        ELSE 2 END)::INT AS height,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 1
+        |        ELSE 100 + doc_id % 50 END)::INT AS n_frames
+        |FROM documents ORDER BY media_id""".stripMargin.replaceAll("\n", " "),
     "mm_decode" ->
       """SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

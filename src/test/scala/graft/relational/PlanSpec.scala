@@ -219,6 +219,18 @@ class PlanSpec extends AnyFunSuite {
     assert(aggs == 4, s"expected 4 HashAggregates (2 partial+final), got $aggs:\n$plan")
   }
 
+  test("ta_classify: the model side broadcasts; the corpus pays two exchanges") {
+    val plan = formatted(graft.ops.TextAnalysis.taClassify(spark, sf))
+    // the 256-row weight relation must broadcast into the feature join —
+    // a shuffled join would re-exchange the corpus-sized emb relation
+    assert(plan.contains("BroadcastHashJoin"),
+      s"model join lost its broadcast shape:\n$plan")
+    // corpus-side exchanges: (doc, feat) count + doc rollup — exactly 2
+    // hash exchanges (plus the terminal sort's range exchange)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 2, s"expected 2 hash exchanges, got $hashEx:\n$plan")
+  }
+
   test("ds_wsample: the race top-k is map-side TakeOrdered, corpus never exchanged") {
     val plan = formatted(graft.ops.Pipeline.dsWeightedSample(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"),
