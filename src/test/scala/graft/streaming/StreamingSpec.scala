@@ -1047,6 +1047,84 @@ class StreamingSpec extends AnyFunSuite {
         r.getDouble(3))).toSeq
   }
 
+  private def runDecayBatches(
+      entry: org.apache.spark.sql.Dataset[DecayTracker.DEv] =>
+        org.apache.spark.sql.Dataset[DecayTracker.DecayRow],
+      name: String, batches: Seq[Seq[Ev]], delay: String = "2 hours",
+      sentinelDays: Long = 15L
+  ): Seq[(Long, Long, Long, Long)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = entry(stream.toDF().withWatermark("ts", delay)
+        .select("ts", "user_id")
+        .as[DecayTracker.DEv])
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    for (b <- batches) { stream.addData(b); q.processAllAvailable() }
+    val maxTs = batches.flatten.map(_.ts.getTime).max
+    stream.addData(Ev(-1L, new Timestamp(maxTs + sentinelDays * 24 * 3600 * 1000), -1L, "x", 0.0))
+    q.processAllAvailable()
+    stream.addData(Ev(-2L, new Timestamp(maxTs + (sentinelDays + 1) * 24 * 3600 * 1000), -1L, "x", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).filter(col("user_id") =!= -1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+  }
+
+  test("decay: finalize(batch fold) == the oracle-checked evDecay table EXACTLY") {
+    import spark.implicits._
+    val got = DecayTracker.decayFinalize(
+      DecayTracker.decayBatch(
+        eventsBatch.select("ts", "user_id").as[DecayTracker.DEv]).toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val want = graft.ops.Sessionize.evDecay(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // dyadic terms + identical clamp: bit-for-bit, doubles included
+    assert(got.toSeq == want && got.nonEmpty)
+  }
+
+  test("decay: streaming state rows == batch fold on ordered input") {
+    import spark.implicits._
+    val data = eventsBatch.as[Ev].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val stream = runDecayBatches(DecayTracker.decayStream, "decay_out",
+      Seq(data.toSeq), delay = "0 seconds")
+    val batch = DecayTracker.decayBatch(
+      eventsBatch.select("ts", "user_id").as[DecayTracker.DEv])
+      .collect().map(r => (r.user_id, r.last_day, r.mask, r.n_old))
+    assert(stream.sortBy(_._1) == batch.toSeq.sortBy(_._1) && stream.nonEmpty)
+  }
+
+  test("decay: a late day beyond the 63-day window drops from n_days only — its score term was clamped to 0 anyway") {
+    def t(s: String) = Timestamp.valueOf(s)
+    import spark.implicits._
+    // trigger 1: user 1 active at day ~2024-06-10; trigger 2 delivers an
+    // event 90 days EARLIER — outside the carried window, dropped by the
+    // O(1) state. The batch op counts that day (n_days 2) but its score
+    // term is clamped (90 >= 63), so the scores agree exactly.
+    val batches = Seq(
+      Seq(Ev(1L, t("2024-06-10 09:00:00"), 1L, "A", 0.0)),
+      Seq(Ev(2L, t("2024-03-12 09:00:00"), 1L, "A", 0.0)))
+    // delay 120 days admits the 90-day-late event (the TRACKER must do
+    // the dropping, not the watermark); the flush sentinel then has to
+    // outrun delay + the 7-day lifetime quiesce
+    val stream = runDecayBatches(DecayTracker.decayStream, "decay_div",
+      batches, delay = "120 days", sentinelDays = 135L)
+    assert(stream.length == 1)
+    val fin = DecayTracker.decayFinalize(
+      stream.toDF("user_id", "last_day", "mask", "n_old"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val batchWant = graft.ops.Sessionize.evDecay(
+      batches.flatten.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(fin.head._1 == 1L && fin.head._2 == 1L) // dropped from n_days
+    assert(batchWant.head._2 == 2L)                // batch counts it
+    assert(fin.head._3 == batchWant.head._3)       // scores identical
+    assert(fin.head._3 == 1.0)
+  }
+
   test("ewma: batch fold == the oracle-checked evEwma table EXACTLY") {
     import spark.implicits._
     val got = EwmaTracker.ewmaBatch(
