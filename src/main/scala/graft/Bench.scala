@@ -31,11 +31,7 @@ object Bench {
       .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Checkpoints.release legitimately unpersists locally-checkpointed
-    // RDDs (guaranteed dead — see Checkpoints.scala); Spark WARNs on every
-    // such unpersist, which would flood the bench log thousands of times
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+    SparkHygiene.quietRddLogs()
     // JVM/codegen warm-up (no test data touched) so the first measured
     // query doesn't absorb JIT + Spark bootstrap cost
     spark.range(1000000).selectExpr("sum(id * 2)").collect()
@@ -63,12 +59,8 @@ object Bench {
         graft.graph.MaxFlow.Config(acceptPatience = 1))
     }
 
-    def cleanup(): Unit = {
-      // drop caches/checkpoints the query left behind so later queries
-      // aren't taxed by accumulated memory pressure (cleanup untimed)
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-    }
+    // cleanup untimed between runs (SparkHygiene: caches + checkpoints)
+    def cleanup(): Unit = SparkHygiene.clearSessionCaches(spark)
 
     case class Res(median: Double, runs: Seq[Double], err: Option[String])
 
@@ -87,8 +79,12 @@ object Bench {
     // orders' medians must agree within noise.
     val ordered = selected.toSeq.sortBy(_._1)
     val sequenced = sys.env.get("SPARK_GRAFT_BENCH_ORDER") match {
-      case Some("reversed") => ordered.reverse
-      case _                => ordered
+      case Some("reversed")       => ordered.reverse
+      case None | Some("normal")  => ordered
+      case Some(other)            =>
+        // fail fast: a typo'd hygiene run would silently bench forward
+        // order twice and the order-comparison could never detect anything
+        sys.error(s"SPARK_GRAFT_BENCH_ORDER='$other' — use normal|reversed")
     }
     val results = sequenced.map { case (name, fn) =>
       var err: Option[String] = None

@@ -25,6 +25,15 @@ import org.apache.spark.sql.functions._
   */
 object PipelineScaleProbe {
 
+  /** Wall-clock a probe leg — the one shared timing helper (every
+    * addendum used to redeclare an identical local copy).
+    */
+  private def wall[T](body: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = body
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
   /** Deterministic per-doc text — a pure function of (id, seed), so
     * executors generate their slice without anything being shipped
     * (ScaleProbe's edgesFor discipline). Token ranks are log-uniform over
@@ -1370,12 +1379,6 @@ object PipelineScaleProbe {
     val emb = spark.read.parquet(s"$dir/embeddings19.parquet")
     println(s"PSCALE gen19 nVec=$nVec")
 
-    def wall[T](body: => T): (T, Double) = {
-      val t0 = System.nanoTime()
-      val r = body
-      (r, (System.nanoTime() - t0) / 1e9)
-    }
-
     // ss_drift: one (label, half, dim) aggregate at 100k vectors; output
     // 10 rows; halves of the SAME generator must read near-aligned
     // centroids (the signal a drifted corpus would break)
@@ -1447,12 +1450,6 @@ object PipelineScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.functions._
-
-    def wall[T](body: => T): (T, Double) = {
-      val t0 = System.nanoTime()
-      val r = body
-      (r, (System.nanoTime() - t0) / 1e9)
-    }
 
     val events = graft.Tables.load(spark, dir, "events")
     val nUsers = events.select("user_id").distinct().count()
@@ -1574,12 +1571,6 @@ object PipelineScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.functions._
 
-    def wall[T](body: => T): (T, Double) = {
-      val t0 = System.nanoTime()
-      val r = body
-      (r, (System.nanoTime() - t0) / 1e9)
-    }
-
     val docs = spark.read.parquet(s"$dir/documents.parquet")
 
     // ds_classweight over the 5 zipf langs: conservation Σ n_c·w_c = N
@@ -1695,12 +1686,6 @@ object PipelineScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.functions._
-
-    def wall[T](body: => T): (T, Double) = {
-      val t0 = System.nanoTime()
-      val r = body
-      (r, (System.nanoTime() - t0) / 1e9)
-    }
 
     val events = graft.Tables.load(spark, dir, "events")
 
@@ -1882,12 +1867,6 @@ object PipelineScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.functions._
 
-    def wall[T](body: => T): (T, Double) = {
-      val t0 = System.nanoTime()
-      val r = body
-      (r, (System.nanoTime() - t0) / 1e9)
-    }
-
     // LPA + modularity: 20k planted 10-cliques on a bridge ring (920k
     // undirected edges). The self-inclusive vote must converge every
     // block onto its base id in round 1 and hold it — 20k communities
@@ -2067,12 +2046,6 @@ object PipelineScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.functions._
 
-    def wall[T](body: => T): (T, Double) = {
-      val t0 = System.nanoTime()
-      val r = body
-      (r, (System.nanoTime() - t0) / 1e9)
-    }
-
     // ev_did: 1M users, pre X = u100 (hash-uniform), post Y = X + 3 +
     // 5·1{B} + noise — DiD must read the planted 5 net of the +3 shock
     val did = spark.sql(
@@ -2179,12 +2152,6 @@ object PipelineScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def wall[T](body: => T): (T, Double) = {
-      val t0 = System.nanoTime()
-      val r = body
-      (r, (System.nanoTime() - t0) / 1e9)
-    }
-
     val docs = spark.read.parquet(s"$dir/documents.parquet")
 
     // ds_batchpad: on the zipf-length corpus the sorted batcher must
@@ -2272,12 +2239,6 @@ object PipelineScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def wall[T](body: => T): (T, Double) = {
-      val t0 = System.nanoTime()
-      val r = body
-      (r, (System.nanoTime() - t0) / 1e9)
-    }
-
     val nullEv = spark.range(1, n + 1).selectExpr("id AS user_id",
       "CAST(CAST(conv(substring(md5(concat('v:', CAST(id AS STRING))), " +
         "1, 8), 16, 10) AS BIGINT) % 3000 AS DOUBLE) / 100 AS value")
@@ -2496,12 +2457,6 @@ object PipelineScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def wall[T](body: => T): (T, Double) = {
-      val t0 = System.nanoTime()
-      val r = body
-      (r, (System.nanoTime() - t0) / 1e9)
-    }
-
     // leg 1: the persisted 500k zipf corpus. Its vocabulary is synthetic
     // (wN tokens, zero English function words), so the corpus-appropriate
     // stopword list — the declared production parameter — is its zipf
@@ -2562,12 +2517,6 @@ object PipelineScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.functions._
 
-    def wall[T](body: => T): (T, Double) = {
-      val t0 = System.nanoTime()
-      val r = body
-      (r, (System.nanoTime() - t0) / 1e9)
-    }
-
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text")
     val (merges, trainW) = wall {
@@ -2621,12 +2570,6 @@ object PipelineScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
-
-    def wall[T](body: => T): (T, Double) = {
-      val t0 = System.nanoTime()
-      val r = body
-      (r, (System.nanoTime() - t0) / 1e9)
-    }
 
     val n = 100000L
     // id-unique pixel field, grays in [0, 200) so a +8 lift never clamps.
@@ -2739,12 +2682,6 @@ object PipelineScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.functions._
 
-    def wall[T](body: => T): (T, Double) = {
-      val t0 = System.nanoTime()
-      val r = body
-      (r, (System.nanoTime() - t0) / 1e9)
-    }
-
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text")
     val w3feat = {
@@ -2788,12 +2725,6 @@ object PipelineScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.functions._
-
-    def wall[T](body: => T): (T, Double) = {
-      val t0 = System.nanoTime()
-      val r = body
-      (r, (System.nanoTime() - t0) / 1e9)
-    }
 
     // leg 1: sf0.1 supplier-part bipartite (sparse, ~21k nodes)
     val li = graft.Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
@@ -2849,12 +2780,6 @@ object PipelineScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-
-    def wall[T](body: => T): (T, Double) = {
-      val t0 = System.nanoTime()
-      val r = body
-      (r, (System.nanoTime() - t0) / 1e9)
-    }
 
     val events = graft.Tables.load(spark, dir, "events")
     val (dcR, dcW) = wall(ops.Sessionize.evDecay(events).collect())
@@ -2916,12 +2841,6 @@ object PipelineScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def wall[T](body: => T): (T, Double) = {
-      val t0 = System.nanoTime()
-      val r = body
-      (r, (System.nanoTime() - t0) / 1e9)
-    }
-
     // ev_srm: 15k users, healthy hash split -> chi2 under 6.635
     val events = graft.Tables.load(spark, dir, "events")
     val (srmR, srmW) = wall(ops.Sessionize.evSrm(events).collect())
@@ -2969,12 +2888,6 @@ object PipelineScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-
-    def wall[T](body: => T): (T, Double) = {
-      val t0 = System.nanoTime()
-      val r = body
-      (r, (System.nanoTime() - t0) / 1e9)
-    }
 
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text")
@@ -3087,12 +3000,6 @@ object PipelineScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def wall[T](body: => T): (T, Double) = {
-      val t0 = System.nanoTime()
-      val r = body
-      (r, (System.nanoTime() - t0) / 1e9)
-    }
-
     // ta_jsd: sources×1 rows; jsd in [0,1] bits; zipf sources are drawn
     // from one distribution, so every divergence is small
     val (jsd, jw) = wall(ops.TextAnalysis.taJsd(spark, dir).collect())
@@ -3188,12 +3095,6 @@ object PipelineScaleProbe {
       .repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     println(s"PSCALE gen17 nDocs=$nDocs nEvents=$nEvents")
-
-    def wall[T](body: => T): (T, Double) = {
-      val t0 = System.nanoTime()
-      val r = body
-      (r, (System.nanoTime() - t0) / 1e9)
-    }
 
     // ta_colloc: count relations are vocabulary-sized at ANY corpus —
     // the planted pair must carry the table's max lift

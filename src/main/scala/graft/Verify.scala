@@ -18,10 +18,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Checkpoints.release unpersists locally-checkpointed RDDs by design
-    // (guaranteed dead); suppress Spark's per-unpersist WARN flood
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+    SparkHygiene.quietRddLogs()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(q => keep(q._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -30,10 +27,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // drop caches/checkpoints the query left behind (the Bench cleanup
-      // discipline) so a 229-query dump doesn't accumulate block-manager
+      // discipline) so a 231-query dump doesn't accumulate block-manager
       // pressure into the tail queries
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      SparkHygiene.clearSessionCaches(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -178,10 +178,15 @@ object Scc {
         } else {
           call.remove(call.size - 1)
           if (low(v) == idx(v)) {
+            // pop the component: do-while shape, NOT a sentinel value —
+            // node ids are arbitrary Longs, so any sentinel (e.g. -1)
+            // collides with a legal id and corrupts the pop
             val comp = scala.collection.mutable.ArrayBuffer.empty[Long]
-            var w = -1L
-            while (w != v) {
-              w = stack.remove(stack.size - 1); onStack -= w; comp += w
+            var popped = false
+            while (!popped) {
+              val w = stack.remove(stack.size - 1)
+              onStack -= w; comp += w
+              popped = w == v
             }
             val m = comp.min
             comp.foreach(out(_) = m)

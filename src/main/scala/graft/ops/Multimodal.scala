@@ -117,6 +117,9 @@ object Multimodal {
     * longest side is `maxDim` (aspect preserved, floor — the same integer
     * rule as [[resize]]), re-encode PNG. The actual kernel behind the
     * resize stage when payloads are real images; bilinear interpolation.
+    * CONTRACT: an already-small payload passes through BYTE-IDENTICAL in
+    * its ORIGINAL container (no decode/re-encode round-trip) — callers
+    * that need a normalized container must re-encode unconditionally.
     */
   def resizeImage(payload: Array[Byte], maxDim: Int): Array[Byte] = {
     val img = javax.imageio.ImageIO.read(

@@ -27,6 +27,14 @@ import java.sql.Timestamp
   * table. Every term is an exact dyadic, so
   * `decayFinalize(decayBatch(events)) == evDecay(events)` bit-for-bit
   * (StreamingSpec parity), any input.
+  *
+  * Lifetime horizon (family-wide contract, see
+  * [[EventSessionizer.LifetimeQuiesceMicros]]): a user silent past the
+  * quiesce timeout is FLUSHED and their state reclaimed — if they
+  * re-activate later they start fresh and emit a SECOND row, so a
+  * lifetime-spanning readout must merge per-user rows downstream (or
+  * use the batch op, which sees each user whole). StreamingSpec pins
+  * this divergence alongside the dropped-late-day one.
   */
 object DecayTracker {
 

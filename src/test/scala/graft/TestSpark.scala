@@ -15,10 +15,7 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    // Checkpoints.release unpersists locally-checkpointed RDDs by design
-    // (guaranteed dead); suppress Spark's per-unpersist WARN flood
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+    SparkHygiene.quietRddLogs()
     s
   }
 }

@@ -302,6 +302,21 @@ class GraphQueriesSpec extends AnyFunSuite {
       6L -> 5L, 7L -> 7L, 8L -> 8L))
   }
 
+  test("Scc: negative node ids survive both tiers (no sentinel collision)") {
+    import spark.implicits._
+    // -1 participates in a cycle AND as a lone SCC root candidate: a
+    // sentinel-based component pop would corrupt or crash on it
+    val edges = Seq((-1L, 2L), (2L, -1L), (2L, 3L), (-5L, -1L))
+      .toDF("src", "dst")
+    val want = Seq((-5L, -5L), (-1L, -1L), (2L, -1L), (3L, 3L))
+    val driver = Scc.run(spark, edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(driver == want)
+    val dist = Scc.run(spark, edges, driverFinishMaxEdges = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(dist == want)
+  }
+
   test("Scc: random directed graphs match the in-memory mutual-reachability closure") {
     import spark.implicits._
     val rng = new scala.util.Random(19)

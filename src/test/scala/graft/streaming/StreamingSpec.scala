@@ -1125,6 +1125,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(fin.head._3 == 1.0)
   }
 
+  test("decay: re-activation after the lifetime quiesce emits a second state row (documented horizon)") {
+    def t(s: String) = Timestamp.valueOf(s)
+    // user 1 active day 0; two sentinels walk the watermark past the
+    // 7-day lifetime quiesce so the state flushes and is reclaimed;
+    // user 1 re-activates on day 20 -> a FRESH state, a SECOND row
+    val batches = Seq(
+      Seq(Ev(1L, t("2024-06-01 09:00:00"), 1L, "A", 0.0)),
+      Seq(Ev(-3L, t("2024-06-11 09:00:00"), -1L, "x", 0.0)),
+      Seq(Ev(-4L, t("2024-06-12 09:00:00"), -1L, "x", 0.0)),
+      Seq(Ev(2L, t("2024-06-21 09:00:00"), 1L, "A", 0.0)))
+    val rows = runDecayBatches(DecayTracker.decayStream, "decay_horizon",
+      batches, delay = "0 seconds")
+    assert(rows.count(_._1 == 1L) == 2,
+      s"expected the documented two-rows-per-reactivated-user horizon: $rows")
+  }
+
   test("ewma: batch fold == the oracle-checked evEwma table EXACTLY") {
     import spark.implicits._
     val got = EwmaTracker.ewmaBatch(
