@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.execution.LogicalRDD
 
 /** Explicit block-manager hygiene for the iterative fixpoint loops.
@@ -35,7 +35,7 @@ object Checkpoints {
     * derived plan could free an upstream checkpoint the caller still
     * holds.
     */
-  def release(frames: DataFrame*): Unit =
+  def release(frames: Dataset[_]*): Unit =
     frames.foreach { df =>
       if (df != null) df.queryExecution.analyzed match {
         case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)

@@ -446,6 +446,10 @@ object MaxFlow {
     var state: Dataset[VertexState] = initial.localCheckpoint(eager = false)
     var prevMrdd: org.apache.spark.rdd.RDD[(VertexState, Array[Candidate])] = null
     var prevBc: org.apache.spark.broadcast.Broadcast[FlowDelta] = null
+    // the checkpointed state frame that FED prevMrdd — its only remaining
+    // reader is prevMrdd's recompute path, so it dies exactly when
+    // prevMrdd is unpersisted (the two-deep schedule prevBc follows)
+    var prevFeedState: Dataset[VertexState] = null
     var engineFlow = 0L
     var round = startRound
     var pending: FlowDelta = Map.empty
@@ -457,6 +461,7 @@ object MaxFlow {
 
     while (!done && round < conf.maxRounds) {
       round += 1
+      val inState = state // feeds this round's mrdd
       val bc = sc.broadcast(pending)
       val ctrs = Ctrs(sc, s"mf-r$round")
       val mrdd = state
@@ -499,6 +504,13 @@ object MaxFlow {
       // previous cached mrdd carries no accumulators).
       if (prevMrdd != null) prevMrdd.unpersist(blocking = false)
       if (prevBc != null) prevBc.destroy()
+      // …and the state checkpoint that fed the just-unpersisted mrdd:
+      // nothing can recompute through it anymore (Checkpoints.scala —
+      // this frame was the one per-round BlockManager leak the
+      // prevMrdd/prevBc pruning missed: one pinned vertex-state copy
+      // per round across a long run)
+      Checkpoints.release(prevFeedState)
+      prevFeedState = null
       if (conf.validate) mrdd.foreach(p => validateVertex(p._1))
       val (got, delta, roundPaths) = acceptor.result
       allPaths ++= roundPaths
@@ -521,6 +533,7 @@ object MaxFlow {
       state = spark.createDataset(mrdd.map(_._1)).localCheckpoint(eager = false)
       prevMrdd = mrdd
       prevBc = bc // destroyed after the NEXT job truncates this lineage
+      prevFeedState = inState // released when prevMrdd is unpersisted
       zeroStreak = if (got == 0) zeroStreak + 1 else 0
       // C3 quiescence; the ff2 counter rule (no flow, no lost excess, one
       // frontier stalled — ff2/FordFulkerson.java:447-451); or early stop
@@ -620,8 +633,12 @@ object MaxFlow {
               assignment.update(k, assignment.getOrElse(k, 0L) + v)
             }
             val bc = sc.broadcast(delta.toMap)
+            val preApply = state
             state = state.map(applyDeltaOnly(_, bc.value)).localCheckpoint(eager = true)
             bc.destroy() // eager: already materialized
+            // the eager checkpoint above is self-contained — the state it
+            // replaced is dead (one frame per BFS batch otherwise)
+            Checkpoints.release(preApply)
           }
         }
         // same durable contract as the driver-side path: when the fallback
@@ -635,6 +652,7 @@ object MaxFlow {
     }
     if (prevMrdd != null) prevMrdd.unpersist(blocking = false)
     if (prevBc != null) prevBc.destroy()
+    Checkpoints.release(prevFeedState) // fed the just-unpersisted mrdd
     Result(engineFlow + cleanupFlow, engineFlow, cleanupFlow, round,
       assignment.toMap, allPaths.toSeq, reports.toSeq)
   }

@@ -125,6 +125,20 @@ class CheckpointHygieneSpec extends AnyFunSuite {
     assert(pinned - base <= 1, s"pinned ${pinned - base} frames (want <=1)")
   }
 
+  test("MaxFlow pins O(1) state frames, not O(rounds)") {
+    clearAll()
+    val base = pinned
+    // long path network: the excess walk needs ~length/2 rounds to meet,
+    // so an unreleased per-round state checkpoint would pin ~6+ frames
+    val edges = (0L until 24L).flatMap(i =>
+      Seq((i, i + 1, 3L), (i + 1, i, 3L))).toDF("src", "dst", "cap")
+    val res = MaxFlow.run(spark, edges, Seq(0L), Seq(24L))
+    assert(res.flow == 3L && res.rounds >= 3,
+      s"flow ${res.flow} rounds ${res.rounds}")
+    val left = pinned - base
+    assert(left <= 4, s"pinned $left frames (want <=4, not one per round)")
+  }
+
   test("KCore pins only the surviving edge set") {
     clearAll()
     val base = pinned
