@@ -193,6 +193,9 @@ object PipelineScaleProbe {
     // `addendum38 <existingDir>` — ta_classify at 500k docs with a
     // planted single-feature model (score separates by token presence)
     if (args.headOption.contains("addendum38")) { addendum38(args(1)); return }
+    // `addendum39 <existingDir>` — Coreness/Layers driver-vs-distributed
+    // tier equivalence at scale (1.6M-edge dense graph + the q44 DAG)
+    if (args.headOption.contains("addendum39")) { addendum39(args(1)); return }
     // `addendum13 <nDocs> <nEvents> <nVec> <outBase>` — gaps/gini at
     // event scale, epochs/ngram at corpus scale, range at vector scale
     if (args.headOption.contains("addendum13")) {
@@ -2713,6 +2716,81 @@ object PipelineScaleProbe {
       "(planted single-feature model separates at 500k docs)")
 
     println("PSCALE addendum38 done")
+    spark.stop()
+  }
+
+  /** Round-8 tier adjudication: Coreness and Layers gained the bounded
+    * driver-finish tier (the Mst/Scc discipline), which absorbs every
+    * bench-scale graph — so THIS probe is where the distributed loops
+    * keep their at-scale evidence: both tiers run on the addendum25
+    * 1.6M-edge dense co-occurrence graph (coreness) and the sf0.1 q44
+    * dependency DAG (layers), must agree exactly, and both walls are
+    * recorded.
+    */
+  private def addendum39(dir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.SparkHygiene.quietRddLogs()
+    import org.apache.spark.sql.functions._
+
+    // coreness: the dense 6-hour co-occurrence window graph
+    graft.Tables.load(spark, dir, "events").createOrReplaceTempView("__ev39")
+    val windowed = spark.sql(
+      """SELECT user_id, unix_micros(ts) div 10000000 AS b
+        |FROM __ev39 CROSS JOIN (SELECT MIN(ts) AS t0 FROM __ev39)
+        |WHERE ts < t0 + INTERVAL 6 HOUR""".stripMargin).distinct()
+    val und = graph.GraphQueries.cooccurPairs(windowed)
+    val sym = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(eager = true)
+    val nE = sym.count()
+    val (cd, wd) = wall(graph.Coreness.run(spark, sym).collect())
+    val (cx, wx) = wall(graph.Coreness.run(spark, sym,
+      driverFinishMaxEdges = 0L).collect())
+    val md = cd.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mx = cx.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    require(md == mx, "coreness tiers diverge at 1.6M edges")
+    println(f"PSCALE q=coreness_tiers edges=$nE driver=$wd%.1f s " +
+      f"distributed=$wx%.1f s nodes=${md.size} max=${md.values.max} " +
+      "(exact agreement)")
+
+    // layers: the q44 three-class dependency DAG at sf0.1
+    val li = graft.Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
+    val e1 = li.filter(col("l_quantity") >= 30)
+      .select(col("l_suppkey").as("src"),
+        (col("l_partkey") + 1000000L).as("dst"))
+    val e2 = li.filter(col("l_quantity") >= 30)
+      .select((col("l_partkey") + 1000000L).as("src"),
+        (col("l_orderkey") + 2000000L).as("dst"))
+    graft.Tables.load(spark, "/root/testdata/sf0.1", "orders")
+      .createOrReplaceTempView("__o39")
+    val e3 = spark.sql(
+      """SELECT prev + 2000000 AS src, o_orderkey + 2000000 AS dst
+        |FROM (
+        |  SELECT o_orderkey,
+        |         LAG(o_orderkey) OVER (
+        |           PARTITION BY o_custkey, date_trunc('QUARTER', o_orderdate)
+        |           ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM __o39)
+        |WHERE prev IS NOT NULL""".stripMargin)
+    val dag = e1.unionAll(e2).unionAll(e3).localCheckpoint(eager = true)
+    val nD = dag.count()
+    val (ld, lwd) = wall(graph.Layers.run(spark, dag).collect())
+    val (lx, lwx) = wall(graph.Layers.run(spark, dag,
+      driverFinishMaxEdges = 0L).collect())
+    val mld = ld.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mlx = lx.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    require(mld == mlx, "layer tiers diverge on the q44 DAG")
+    println(f"PSCALE q=layers_tiers edges=$nD driver=$lwd%.1f s " +
+      f"distributed=$lwx%.1f s nodes=${mld.size} " +
+      s"depth=${mld.values.max} (exact agreement)")
+
+    println("PSCALE addendum39 done")
     spark.stop()
   }
 

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import scala.collection.mutable
+
 /** Full coreness (k-core number) decomposition by iterated neighborhood
   * h-index (Lü / Zhou / Zhang / Stanley, PNAS 113(1), 2016 — public):
   * start every vertex at its degree and repeatedly replace each value
@@ -33,12 +35,28 @@ object Coreness {
   /** @param edges symmetric deduplicated (src, dst) BIGINT pairs — every
     *              undirected edge present in both directions (the KCore
     *              contract).
+    * @param driverFinishMaxEdges graph size (|edges|) up to which ONE
+    *              bounded collect + in-memory bucket peeling computes the
+    *              decomposition (the Mst/Scc driver-tier discipline —
+    *              coreness is unique, so the tiers agree exactly and the
+    *              equivalence is spec-locked); 0 disables the driver tier.
+    *              The h-index loop's per-round cost is a window over the
+    *              edge relation, so small graphs pay pure job overhead ×
+    *              convergence depth there.
     * @return (node, coreness) for every vertex with at least one edge,
     *         ordered by node
     */
-  def run(s: SparkSession, edges: DataFrame, maxIter: Int = 100): DataFrame = {
+  def run(s: SparkSession, edges: DataFrame, maxIter: Int = 100,
+          driverFinishMaxEdges: Long = 5000000L): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .localCheckpoint(eager = true)
+    if (e.count() <= driverFinishMaxEdges) {
+      import s.implicits._
+      val result = peelCoreness(e.collect()
+        .map(r => (r.getLong(0), r.getLong(1))))
+      Checkpoints.release(e)
+      return result.toSeq.toDF("node", "coreness").orderBy("node")
+    }
     var vals = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint(eager = true)
@@ -72,5 +90,40 @@ object Coreness {
     // the result reads only the last round's checkpoint, not the edges
     Checkpoints.release(e)
     vals.select(col("node"), col("c").as("coreness")).orderBy("node")
+  }
+
+  /** In-memory bucket peeling (Batagelj–Zaveršnik 2003, the classic
+    * O(V+E) algorithm): repeatedly remove a minimum-degree vertex; its
+    * coreness is the running peel level. Exactly the min-heap oracle the
+    * spec suite checks the distributed loop against — here promoted to
+    * the bounded driver tier.
+    */
+  private[graph] def peelCoreness(
+      edges: Array[(Long, Long)]): collection.Map[Long, Long] = {
+    val adj = scala.collection.mutable.Map.empty[Long, mutable.ArrayBuffer[Long]]
+    edges.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, mutable.ArrayBuffer.empty) += b
+    }
+    val deg = scala.collection.mutable.Map.empty[Long, Int]
+    adj.foreach { case (v, ns) => deg(v) = ns.length }
+    val out = scala.collection.mutable.Map.empty[Long, Long]
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Int, Long)](
+      Ordering.by[(Int, Long), (Int, Long)](x => (-x._1, -x._2)))
+    deg.foreach { case (v, d) => heap.enqueue((d, v)) }
+    var level = 0L
+    while (heap.nonEmpty) {
+      val (d, v) = heap.dequeue()
+      if (!out.contains(v) && d == deg(v)) { // skip stale heap entries
+        level = math.max(level, d.toLong)
+        out(v) = level
+        adj(v).foreach { n =>
+          if (!out.contains(n)) {
+            deg(n) -= 1
+            heap.enqueue((deg(n), n))
+          }
+        }
+      }
+    }
+    out
   }
 }

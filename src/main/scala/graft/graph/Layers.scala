@@ -30,11 +30,28 @@ object Layers {
 
   /** @param edges directed edge relation (src, dst); must be acyclic
     * @param maxRounds cycle guard — more rounds than any DAG this deep
+    * @param driverFinishMaxEdges DAG size (|edges|) up to which ONE
+    *        bounded collect + in-memory Kahn longest-path computes the
+    *        layering (the Mst/Scc/Coreness driver-tier discipline; the
+    *        fixpoint is unique so the tiers agree exactly, spec-locked);
+    *        0 disables the driver tier. The superstep loop pays one job
+    *        per DAG-depth round — pure scheduling overhead on graphs
+    *        this tier absorbs.
     * @return DataFrame(node: Long, layer: Long)
     */
-  def run(spark: SparkSession, edges: DataFrame, maxRounds: Int = 64): DataFrame = {
-    val adj = edges.select(col("src").cast("long"), col("dst").cast("long"))
+  def run(spark: SparkSession, edges: DataFrame, maxRounds: Int = 64,
+          driverFinishMaxEdges: Long = 5000000L): DataFrame = {
+    val dedup = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .distinct()
+      .localCheckpoint(eager = true)
+    if (dedup.count() <= driverFinishMaxEdges) {
+      import spark.implicits._
+      val result = kahnLayers(dedup.collect()
+        .map(r => (r.getLong(0), r.getLong(1))), maxRounds)
+      Checkpoints.release(dedup)
+      return result.toSeq.toDF("node", "layer")
+    }
+    val adj = dedup
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -92,6 +109,43 @@ object Layers {
       }
     }
     adj.unpersist()
+    Checkpoints.release(dedup) // adj (its only reader) is gone
+    layer
+  }
+
+  /** In-memory Kahn topological longest-path: layer(v) = length of the
+    * longest directed path ending at v. Leftover nodes after the
+    * processing queue drains mean a cycle — same failure contract as the
+    * distributed loop's round guard.
+    */
+  private[graph] def kahnLayers(edges: Array[(Long, Long)],
+      maxRounds: Int): collection.Map[Long, Long] = {
+    val adj = scala.collection.mutable.Map
+      .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+    val indeg = scala.collection.mutable.Map.empty[Long, Int]
+    edges.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+      indeg(b) = indeg.getOrElse(b, 0) + 1
+      indeg.getOrElseUpdate(a, 0)
+    }
+    val layer = scala.collection.mutable.Map.empty[Long, Long]
+    indeg.keys.foreach(layer(_) = 0L)
+    val q = scala.collection.mutable.Queue.empty[Long]
+    indeg.foreach { case (v, d) => if (d == 0) q.enqueue(v) }
+    var processed = 0L
+    while (q.nonEmpty) {
+      val v = q.dequeue()
+      processed += 1
+      adj.getOrElse(v, Nil).foreach { w =>
+        if (layer(v) + 1 > layer(w)) layer(w) = layer(v) + 1
+        indeg(w) -= 1
+        if (indeg(w) == 0) q.enqueue(w)
+      }
+    }
+    if (processed != layer.size)
+      throw new IllegalStateException(
+        s"Layers: no fixpoint after $maxRounds rounds — the edge relation " +
+          "has a cycle (or raise maxRounds for a deeper DAG)")
     layer
   }
 }

@@ -104,9 +104,10 @@ class CheckpointHygieneSpec extends AnyFunSuite {
   test("Layers pins only the final merged round") {
     clearAll()
     val base = pinned
-    // depth-20 chain DAG → 20 relaxation rounds
+    // depth-20 chain DAG → 20 relaxation rounds (cap 0 forces the
+    // distributed loop — the driver tier would absorb a graph this small)
     val edges = (0L until 20L).map(i => (i, i + 1)).toDF("src", "dst")
-    val out = Layers.run(spark, edges).collect()
+    val out = Layers.run(spark, edges, driverFinishMaxEdges = 0L).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((0L to 20L).forall(i => out(i) == i))
     assert(pinned - base <= 1, s"pinned ${pinned - base} frames (want <=1)")
@@ -119,7 +120,7 @@ class CheckpointHygieneSpec extends AnyFunSuite {
     val k4 = for { a <- 0L to 3L; b <- 0L to 3L if a != b } yield (a, b)
     val chain = Seq((3L, 4L), (4L, 3L), (4L, 5L), (5L, 4L))
     val edges = (k4 ++ chain).toDF("src", "dst")
-    val out = Coreness.run(spark, edges).collect()
+    val out = Coreness.run(spark, edges, driverFinishMaxEdges = 0L).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(Seq(0L, 1L, 2L).forall(i => out(i) == 3L) && out(5L) == 1L)
     assert(pinned - base <= 1, s"pinned ${pinned - base} frames (want <=1)")

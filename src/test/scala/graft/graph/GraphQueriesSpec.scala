@@ -536,9 +536,15 @@ class GraphQueriesSpec extends AnyFunSuite {
       .distinct()
     val sym2 = fwd2.unionAll(fwd2.selectExpr("dst AS src", "src AS dst"))
       .localCheckpoint(eager = true)
+    // BOTH tiers must match the in-test oracle: the bounded driver peel
+    // (default cap — fires on a graph this small) and the distributed
+    // h-index fixpoint (cap 0)
     val got = Coreness.run(spark, sym2).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == core.map { case (n, c) => n -> c.toLong }.toMap)
+    val dist = Coreness.run(spark, sym2, driverFinishMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == got, "driver and distributed coreness tiers diverge")
     // KCore cross-check: {coreness >= k} is EXACTLY the k-core, twice
     for (k <- Seq(2, core.values.max / 2)) {
       val kc = KCore.run(spark, sym2, k).collect().map(_.getLong(0)).toSet

@@ -8,9 +8,18 @@ class LayersSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private def layersOf(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    Layers.run(spark, edges.toDF("src", "dst")).collect()
+  // every hand case runs BOTH tiers: the bounded driver Kahn (default
+  // cap, fires on graphs this small) and the distributed superstep loop
+  // (cap 0) — the fixpoint is unique, so they must agree exactly
+  private def layersOf(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val driver = Layers.run(spark, edges.toDF("src", "dst")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Layers.run(spark, edges.toDF("src", "dst"),
+        driverFinishMaxEdges = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == driver, "driver and distributed layer tiers diverge")
+    driver
+  }
 
   test("diamond + long chain: layer = longest path, not shortest") {
     // 1→2→4, 1→3→4 (diamond) and 1→5→6→7→4: the long chain wins at 4
@@ -25,12 +34,14 @@ class LayersSpec extends AnyFunSuite {
     assert(got == Map(1L -> 0L, 10L -> 0L, 11L -> 1L, 2L -> 2L))
   }
 
-  test("cycle fails fast with a clear message") {
-    val e = intercept[IllegalStateException] {
-      Layers.run(spark, Seq(1L -> 2L, 2L -> 3L, 3L -> 1L).toDF("src", "dst"),
-        maxRounds = 8).count()
+  test("cycle fails fast with a clear message in BOTH tiers") {
+    for (cap <- Seq(5000000L, 0L)) {
+      val e = intercept[IllegalStateException] {
+        Layers.run(spark, Seq(1L -> 2L, 2L -> 3L, 3L -> 1L).toDF("src", "dst"),
+          maxRounds = 8, driverFinishMaxEdges = cap).count()
+      }
+      assert(e.getMessage.contains("cycle"), s"cap=$cap")
     }
-    assert(e.getMessage.contains("cycle"))
   }
 
   test("empty edge relation yields an empty layering") {
