@@ -4,8 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import scala.collection.mutable
-
 /** Full coreness (k-core number) decomposition by iterated neighborhood
   * h-index (Lü / Zhou / Zhang / Stanley, PNAS 113(1), 2016 — public):
   * start every vertex at its degree and repeatedly replace each value
@@ -50,12 +48,15 @@ object Coreness {
           driverFinishMaxEdges: Long = 5000000L): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .localCheckpoint(eager = true)
-    if (e.count() <= driverFinishMaxEdges) {
+    // the `> 0` guard makes "0 disables the driver tier" literal: an
+    // empty edge relation must not satisfy count() <= 0 and sneak into
+    // the driver path when the caller asked for the distributed loop
+    if (driverFinishMaxEdges > 0 && e.count() <= driverFinishMaxEdges) {
       import s.implicits._
-      val result = peelCoreness(e.collect()
-        .map(r => (r.getLong(0), r.getLong(1))))
+      val (srcA, dstA) = DriverGraph.collectEdges(e)
       Checkpoints.release(e)
-      return result.toSeq.toDF("node", "coreness").orderBy("node")
+      return peelCoreness(srcA, dstA).toSeq.toDF("node", "coreness")
+        .orderBy("node")
     }
     var vals = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("c"))
@@ -86,44 +87,78 @@ object Coreness {
       live = next
       vals = next.select(col("node"), col("h").as("c"))
     }
-    require(changed == 0, s"Coreness.run: not converged after $maxIter rounds")
+    if (changed != 0) {
+      // failure path keeps the hygiene discipline too: a repeatedly
+      // failing query must not re-accumulate pinned BlockManager frames
+      Checkpoints.release(e, live)
+      throw new IllegalStateException(
+        s"Coreness.run: not converged after $maxIter rounds")
+    }
     // the result reads only the last round's checkpoint, not the edges
     Checkpoints.release(e)
     vals.select(col("node"), col("c").as("coreness")).orderBy("node")
   }
 
   /** In-memory bucket peeling (Batagelj–Zaveršnik 2003, the classic
-    * O(V+E) algorithm): repeatedly remove a minimum-degree vertex; its
-    * coreness is the running peel level. Exactly the min-heap oracle the
-    * spec suite checks the distributed loop against — here promoted to
-    * the bounded driver tier.
+    * O(V+E) algorithm): process vertices in nondecreasing residual
+    * degree via degree buckets; each vertex's coreness is the running
+    * peel level, and removing it decrements its unprocessed neighbors'
+    * degrees (floored at the current level). Runs on the primitive CSR
+    * ([[DriverGraph]]) — int bucket/position/degree arrays, zero boxing,
+    * so the 5M-edge driver tier costs ~tens of MB, not the hundreds a
+    * boxed Map/heap adjacency did.
     */
-  private[graph] def peelCoreness(
-      edges: Array[(Long, Long)]): collection.Map[Long, Long] = {
-    val adj = scala.collection.mutable.Map.empty[Long, mutable.ArrayBuffer[Long]]
-    edges.foreach { case (a, b) =>
-      adj.getOrElseUpdate(a, mutable.ArrayBuffer.empty) += b
+  private[graph] def peelCoreness(src: Array[Long],
+      dst: Array[Long]): Array[(Long, Long)] = {
+    val g = DriverGraph.csr(src, dst)
+    val n = g.n
+    if (n == 0) return Array.empty
+    val deg = new Array[Int](n)
+    var i = 0
+    var maxDeg = 0
+    while (i < n) { // symmetric contract: out-degree IS the degree
+      deg(i) = g.off(i + 1) - g.off(i)
+      if (deg(i) > maxDeg) maxDeg = deg(i)
+      i += 1
     }
-    val deg = scala.collection.mutable.Map.empty[Long, Int]
-    adj.foreach { case (v, ns) => deg(v) = ns.length }
-    val out = scala.collection.mutable.Map.empty[Long, Long]
-    val heap = scala.collection.mutable.PriorityQueue.empty[(Int, Long)](
-      Ordering.by[(Int, Long), (Int, Long)](x => (-x._1, -x._2)))
-    deg.foreach { case (v, d) => heap.enqueue((d, v)) }
-    var level = 0L
-    while (heap.nonEmpty) {
-      val (d, v) = heap.dequeue()
-      if (!out.contains(v) && d == deg(v)) { // skip stale heap entries
-        level = math.max(level, d.toLong)
-        out(v) = level
-        adj(v).foreach { n =>
-          if (!out.contains(n)) {
-            deg(n) -= 1
-            heap.enqueue((deg(n), n))
+    // counting-sort vertices by degree: bin(d) = start of bucket d
+    val bin = new Array[Int](maxDeg + 2)
+    i = 0
+    while (i < n) { bin(deg(i)) += 1; i += 1 }
+    var start = 0
+    var d = 0
+    while (d <= maxDeg) { val c = bin(d); bin(d) = start; start += c; d += 1 }
+    val vert = new Array[Int](n)
+    val pos = new Array[Int](n)
+    i = 0
+    while (i < n) {
+      pos(i) = bin(deg(i)); vert(pos(i)) = i; bin(deg(i)) += 1; i += 1
+    }
+    d = maxDeg
+    while (d >= 1) { bin(d) = bin(d - 1); d -= 1 } // restore bucket starts
+    bin(0) = 0
+    val core = new Array[Int](n)
+    var level = 0
+    i = 0
+    while (i < n) {
+      val v = vert(i)
+      if (deg(v) > level) level = deg(v)
+      core(v) = level
+      var j = g.off(v)
+      while (j < g.off(v + 1)) {
+        val u = g.tgt(j)
+        if (deg(u) > deg(v)) { // swap u to the front of its bucket, shrink
+          val du = deg(u); val pu = pos(u); val pw = bin(du); val w = vert(pw)
+          if (u != w) {
+            vert(pu) = w; pos(w) = pu; vert(pw) = u; pos(u) = pw
           }
+          bin(du) += 1
+          deg(u) = du - 1
         }
+        j += 1
       }
+      i += 1
     }
-    out
+    Array.tabulate(n)(k => (g.nodes(k), core(k).toLong))
   }
 }

@@ -29,7 +29,10 @@ import org.apache.spark.storage.StorageLevel
 object Layers {
 
   /** @param edges directed edge relation (src, dst); must be acyclic
-    * @param maxRounds cycle guard — more rounds than any DAG this deep
+    * @param maxRounds cycle guard AND depth cap: a DAG deeper than
+    *        maxRounds-1 fails fast in BOTH tiers (the driver Kahn
+    *        enforces the same bound the superstep loop hits, so the
+    *        failure contract is tier-uniform)
     * @param driverFinishMaxEdges DAG size (|edges|) up to which ONE
     *        bounded collect + in-memory Kahn longest-path computes the
     *        layering (the Mst/Scc/Coreness driver-tier discipline; the
@@ -44,12 +47,13 @@ object Layers {
     val dedup = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .distinct()
       .localCheckpoint(eager = true)
-    if (dedup.count() <= driverFinishMaxEdges) {
+    // `> 0` keeps "0 disables the driver tier" literal even for an
+    // empty edge relation (count() <= 0 must not take the driver path)
+    if (driverFinishMaxEdges > 0 && dedup.count() <= driverFinishMaxEdges) {
       import spark.implicits._
-      val result = kahnLayers(dedup.collect()
-        .map(r => (r.getLong(0), r.getLong(1))), maxRounds)
+      val (srcA, dstA) = DriverGraph.collectEdges(dedup)
       Checkpoints.release(dedup)
-      return result.toSeq.toDF("node", "layer")
+      return kahnLayers(srcA, dstA, maxRounds).toSeq.toDF("node", "layer")
     }
     val adj = dedup
       .repartition(col("src"))
@@ -75,6 +79,9 @@ object Layers {
       round += 1
       if (round > maxRounds) {
         adj.unpersist()
+        // failure path releases its pinned frames too — a repeatedly
+        // failing query must not accumulate dead BlockManager blocks
+        Checkpoints.release(dedup, live)
         throw new IllegalStateException(
           s"Layers: no fixpoint after $maxRounds rounds — the edge relation " +
             "has a cycle (or raise maxRounds for a deeper DAG)")
@@ -114,38 +121,53 @@ object Layers {
   }
 
   /** In-memory Kahn topological longest-path: layer(v) = length of the
-    * longest directed path ending at v. Leftover nodes after the
-    * processing queue drains mean a cycle — same failure contract as the
-    * distributed loop's round guard.
+    * longest directed path ending at v, on the primitive CSR
+    * ([[DriverGraph]]) — int indegree/queue arrays, zero boxing, so the
+    * 5M-edge driver tier costs ~tens of MB, not the hundreds a boxed
+    * Map/ArrayBuffer adjacency did.
+    *
+    * Failure contract mirrors the distributed loop exactly:
+    * a cycle (queue drains with nodes left) and a DAG deeper than
+    * maxRounds-1 (the depth the superstep loop would exceed its round
+    * guard on) both fail fast, each with a message naming its cause.
     */
-  private[graph] def kahnLayers(edges: Array[(Long, Long)],
-      maxRounds: Int): collection.Map[Long, Long] = {
-    val adj = scala.collection.mutable.Map
-      .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
-    val indeg = scala.collection.mutable.Map.empty[Long, Int]
-    edges.foreach { case (a, b) =>
-      adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
-      indeg(b) = indeg.getOrElse(b, 0) + 1
-      indeg.getOrElseUpdate(a, 0)
-    }
-    val layer = scala.collection.mutable.Map.empty[Long, Long]
-    indeg.keys.foreach(layer(_) = 0L)
-    val q = scala.collection.mutable.Queue.empty[Long]
-    indeg.foreach { case (v, d) => if (d == 0) q.enqueue(v) }
-    var processed = 0L
-    while (q.nonEmpty) {
-      val v = q.dequeue()
-      processed += 1
-      adj.getOrElse(v, Nil).foreach { w =>
-        if (layer(v) + 1 > layer(w)) layer(w) = layer(v) + 1
+  private[graph] def kahnLayers(src: Array[Long], dst: Array[Long],
+      maxRounds: Int): Array[(Long, Long)] = {
+    val g = DriverGraph.csr(src, dst)
+    val n = g.n
+    val indeg = new Array[Int](n)
+    var i = 0
+    while (i < g.tgt.length) { indeg(g.tgt(i)) += 1; i += 1 }
+    val layer = new Array[Long](n)
+    val queue = new Array[Int](n)
+    var qh = 0
+    var qt = 0
+    i = 0
+    while (i < n) { if (indeg(i) == 0) { queue(qt) = i; qt += 1 }; i += 1 }
+    var maxLayer = 0L
+    while (qh < qt) {
+      val v = queue(qh); qh += 1
+      var j = g.off(v)
+      while (j < g.off(v + 1)) {
+        val w = g.tgt(j)
+        if (layer(v) + 1 > layer(w)) {
+          layer(w) = layer(v) + 1
+          if (layer(w) > maxLayer) maxLayer = layer(w)
+        }
         indeg(w) -= 1
-        if (indeg(w) == 0) q.enqueue(w)
+        if (indeg(w) == 0) { queue(qt) = w; qt += 1 }
+        j += 1
       }
     }
-    if (processed != layer.size)
+    if (qh != n)
       throw new IllegalStateException(
-        s"Layers: no fixpoint after $maxRounds rounds — the edge relation " +
-          "has a cycle (or raise maxRounds for a deeper DAG)")
-    layer
+        "Layers: cycle detected — the edge relation is not a DAG")
+    // the superstep loop needs depth+1 rounds (the last one observes the
+    // fixpoint), so depth >= maxRounds is exactly where it would throw
+    if (maxLayer >= maxRounds)
+      throw new IllegalStateException(
+        s"Layers: DAG depth $maxLayer exceeds the maxRounds=$maxRounds " +
+          "cap — raise maxRounds for a DAG this deep")
+    Array.tabulate(n)(k => (g.nodes(k), layer(k)))
   }
 }

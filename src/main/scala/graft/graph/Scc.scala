@@ -76,12 +76,13 @@ object Scc {
         parts += remaining.select(col("node"), col("node").as("scc"))
         remaining = remaining.limit(0).localCheckpoint(eager = true)
         remN = 0
-      } else if (curN + remN <= driverFinishMaxEdges) {
+      } else if (driverFinishMaxEdges > 0 &&
+          curN + remN <= driverFinishMaxEdges) {
         // bounded finish: collect the residual, settle it in one pass
         import spark.implicits._
         val nodeArr = remaining.select("node").collect().map(_.getLong(0))
-        val edgeArr = cur.collect().map(r => (r.getLong(0), r.getLong(1)))
-        parts += tarjanScc(nodeArr, edgeArr).toSeq.toDF("node", "scc")
+        val (srcA, dstA) = DriverGraph.collectEdges(cur)
+        parts += tarjanScc(nodeArr, srcA, dstA).toSeq.toDF("node", "scc")
         Checkpoints.release(cur, remaining)
         // non-checkpoint empties so the post-loop release is a no-op and
         // nothing can touch the released frames again
@@ -138,7 +139,14 @@ object Scc {
       remN = remaining.count()
       }
     }
-    require(remN == 0, s"Scc.run: not converged after $maxPeels peels")
+    if (remN != 0) {
+      // failure path keeps the hygiene discipline: release the survivor
+      // frames AND the settled-part checkpoints nothing will ever read
+      Checkpoints.release(cur, remaining)
+      Checkpoints.release(parts.toSeq: _*)
+      throw new IllegalStateException(
+        s"Scc.run: not converged after $maxPeels peels")
+    }
     // the final survivor relations are empty and nothing reads them (the
     // isolated-survivor parts entry references the PRE-limit(0) frame)
     Checkpoints.release(cur, remaining)
@@ -149,55 +157,66 @@ object Scc {
 
   /** Iterative Tarjan over the collected residual: every node its SCC's
     * minimum id. Explicit work stack (no recursion — residuals can be
-    * chain-shaped, exactly the stack-overflow case), O(V+E).
+    * chain-shaped, exactly the stack-overflow case), O(V+E), on the
+    * primitive CSR ([[DriverGraph]]): int index/lowlink/stack/cursor
+    * arrays, zero boxing, so the 5M-element driver tier costs ~tens of
+    * MB, not the hundreds a boxed Map/Set/tuple-stack build did. Dense
+    * int ids also make the component-pop sentinel-free by construction
+    * (the old Long-id pop needed the do-while shape for that).
     */
-  private[graph] def tarjanScc(nodes: Array[Long],
-      edges: Array[(Long, Long)]): collection.Map[Long, Long] = {
-    val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
-    edges.foreach { case (a, b) => adj(a) = b :: adj.getOrElse(a, Nil) }
+  private[graph] def tarjanScc(nodes: Array[Long], src: Array[Long],
+      dst: Array[Long]): Array[(Long, Long)] = {
+    val g = DriverGraph.csr(src, dst, nodes)
+    val n = g.n
+    val idx = new Array[Int](n)
+    java.util.Arrays.fill(idx, -1)
+    val low = new Array[Int](n)
+    val onStack = new Array[Boolean](n)
+    val stack = new Array[Int](n)
+    var sp = 0
+    val out = new Array[Long](n)
+    // explicit call stack: node + its edge cursor into g.tgt
+    val cs = new Array[Int](n)
+    val cc = new Array[Int](n)
+    var cp = 0
     var counter = 0
-    val idx = scala.collection.mutable.Map.empty[Long, Int]
-    val low = scala.collection.mutable.Map.empty[Long, Int]
-    val onStack = scala.collection.mutable.Set.empty[Long]
-    val stack = scala.collection.mutable.ArrayBuffer.empty[Long]
-    val out = scala.collection.mutable.Map.empty[Long, Long]
-    val call = scala.collection.mutable.ArrayBuffer.empty[(Long, Iterator[Long])]
-    def open(v: Long): Unit = {
-      idx(v) = counter; low(v) = counter; counter += 1
-      stack += v; onStack += v
-      call += ((v, adj.getOrElse(v, Nil).iterator))
-    }
-    for (root <- nodes if !idx.contains(root)) {
-      open(root)
-      while (call.nonEmpty) {
-        val (v, it) = call.last
-        if (it.hasNext) {
-          val w = it.next()
-          if (!idx.contains(w)) open(w)
-          else if (onStack(w)) low(v) = math.min(low(v), idx(w))
-        } else {
-          call.remove(call.size - 1)
-          if (low(v) == idx(v)) {
-            // pop the component: do-while shape, NOT a sentinel value —
-            // node ids are arbitrary Longs, so any sentinel (e.g. -1)
-            // collides with a legal id and corrupts the pop
-            val comp = scala.collection.mutable.ArrayBuffer.empty[Long]
-            var popped = false
-            while (!popped) {
-              val w = stack.remove(stack.size - 1)
-              onStack -= w; comp += w
-              popped = w == v
+    var root = 0
+    while (root < n) {
+      if (idx(root) < 0) {
+        idx(root) = counter; low(root) = counter; counter += 1
+        stack(sp) = root; sp += 1; onStack(root) = true
+        cs(0) = root; cc(0) = g.off(root); cp = 1
+        while (cp > 0) {
+          val v = cs(cp - 1)
+          if (cc(cp - 1) < g.off(v + 1)) {
+            val w = g.tgt(cc(cp - 1)); cc(cp - 1) += 1
+            if (idx(w) < 0) {
+              idx(w) = counter; low(w) = counter; counter += 1
+              stack(sp) = w; sp += 1; onStack(w) = true
+              cs(cp) = w; cc(cp) = g.off(w); cp += 1
+            } else if (onStack(w) && idx(w) < low(v)) low(v) = idx(w)
+          } else {
+            cp -= 1
+            if (low(v) == idx(v)) {
+              val top = sp // pop [base, top): min id, then assign
+              var minId = Long.MaxValue
+              var w = -1
+              while (w != v) {
+                sp -= 1; w = stack(sp); onStack(w) = false
+                if (g.nodes(w) < minId) minId = g.nodes(w)
+              }
+              var k = sp
+              while (k < top) { out(stack(k)) = minId; k += 1 }
             }
-            val m = comp.min
-            comp.foreach(out(_) = m)
-          }
-          if (call.nonEmpty) {
-            val p = call.last._1
-            low(p) = math.min(low(p), low(v))
+            if (cp > 0) {
+              val p = cs(cp - 1)
+              if (low(v) < low(p)) low(p) = low(v)
+            }
           }
         }
       }
+      root += 1
     }
-    out
+    Array.tabulate(n)(k => (g.nodes(k), out(k)))
   }
 }
