@@ -79,16 +79,22 @@ object PageRank {
     val srcs = sources.distinct
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .localCheckpoint(eager = true)
-    require(deg.limit(1).count() > 0,
-      "runPersonalized: empty edge relation")
+    if (deg.limit(1).count() == 0) {
+      Checkpoints.release(deg) // failure paths free their pinned frames
+      throw new IllegalArgumentException(
+        "runPersonalized: empty edge relation")
+    }
     // every seed must rank — a seed with no out-edges is absent from deg
     // and would silently drop from the init AND the teleport term, so the
     // documented "teleports ONLY to the sources set" contract would hold
     // less than SCALE mass; fail fast instead
     val present = deg.filter(col("src").isin(srcs: _*)).count()
-    require(present == srcs.size,
-      s"runPersonalized: ${srcs.size - present} seed(s) have no outgoing " +
-        "edge — every source must appear as an edge src")
+    if (present != srcs.size) {
+      Checkpoints.release(deg)
+      throw new IllegalArgumentException(
+        s"runPersonalized: ${srcs.size - present} seed(s) have no outgoing " +
+          "edge — every source must appear as an edge src")
+    }
     val pr0 = Scale / srcs.size
     val tele = 15L * pr0 / 100L
     val srcList = srcs.mkString(", ")

@@ -189,12 +189,20 @@ object Dedup {
     */
   def ddMinhashEstOn(corpus: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    val (tok, sig, band) = minhashRelationsOn(corpus)
+    val (tok, sig0, band) = minhashRelationsOn(corpus)
+    // sig is read THREE times below (both signature-join sides + the
+    // bands feeding cand) and each read re-runs the 8×md5 min-aggregate
+    // over every shingle; persisting the doc-sized 8-column relation
+    // makes that one pass (measured ~35% off the query at sf0.1).
+    // cand (the distinct LSH pair set) likewise feeds both the
+    // signature-estimate leg and the exact-intersection leg.
+    val sig = sig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = band.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
       .join(band.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
         Seq("band", "bh"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigA = sig.select(col("doc_id").as("doc_a") +:
       (0 to 7).map(i => col(s"h$i").as(s"a$i")): _*)
     val sigB = sig.select(col("doc_id").as("doc_b") +:
@@ -672,6 +680,7 @@ object Dedup {
         if (top.nonEmpty) {
           val est = over
             .agg(sum(col("block_n") * (col("block_n") - 1) / 2)).head().getDouble(0)
+          sigP.unpersist(blocking = false) // failure paths free their pins
           throw new IllegalStateException(
             s"dd_embed_cos density guard: ${top.length}+ (label,bucket) blocks " +
               s"exceed maxBlockRows=$maxBlockRows — worst " +
@@ -691,7 +700,9 @@ object Dedup {
               * col("block_n") < lit(maxBlockRows.toLong * 1000000L))
           .drop("block_n")
       case other =>
-        throw new IllegalArgumentException(s"onOverflow=$other (fail|sample)")
+        sigP.unpersist(blocking = false) // nothing materialized, but the
+        throw new IllegalArgumentException( // cache registration lingers
+          s"onOverflow=$other (fail|sample)")
     }
     guarded.createOrReplaceTempView("__esig")
     // scored pairs are persisted before the threshold filter: predicate
