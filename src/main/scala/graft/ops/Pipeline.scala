@@ -412,6 +412,109 @@ object Pipeline {
   def dsWeightedSample(s: SparkSession, dir: String): DataFrame =
     dsWeightedSample(Tables.load(s, dir, "documents"), "n_chars", k = 100)
 
+  /** DSIR-style importance resampling (Xie, Santurkar, Ma, Liang, "Data
+    * Selection for Language Models via Importance Resampling", NeurIPS
+    * 2023 — public): pick the k raw documents whose hashed-n-gram
+    * feature distribution most resembles a TARGET corpus, by importance
+    * weight plus Gumbel noise — the principled "select web data that
+    * looks like my curated domain" step between hard filters and uniform
+    * sampling.
+    *
+    *  - Features: word unigrams + bigrams, hashed into `numBuckets`
+    *    buckets (the hashing trick, keyed on the first 15 md5 hex digits
+    *    so both engines draw identically — the ds_wsample idiom).
+    *  - Bucket models: Laplace-smoothed categorical distributions for
+    *    the target and the raw corpus; each document's log importance
+    *    weight is Σ_b n_db·(ln p_target(b) − ln p_raw(b)).
+    *  - Resampling: Gumbel-top-k on the log weights (g_i = −ln(−ln u_i),
+    *    u_i a reproducible md5 draw, 'dsir:' salt) — sampling without
+    *    replacement ∝ exp(logw), the paper's sampled variant rather than
+    *    a brittle deterministic top-k.
+    *
+    * Engine-exactness: per-bucket logs are 9-dp-rounded doubles, per-doc
+    * terms n·llr are 9-dp-rounded and summed as DECIMAL (exact,
+    * order-free — the ta_classify discipline); ranking is on the
+    * 6-dp-rounded score with a doc_id tiebreak.
+    *
+    * Scale design: one gram explode + (doc, bucket) count per corpus —
+    * corpus-linear, map-side-combined; the bucket model is a
+    * numBuckets-row relation joined back BROADCAST; the k winners ride
+    * TakeOrderedAndProject (per-task local k, no global sort). The
+    * target corpus is typically tiny next to raw (a curated domain
+    * sample) — its pass is the cheap one.
+    */
+  def dsDsir(raw: DataFrame, target: DataFrame, k: Int,
+      numBuckets: Int = 256): DataFrame = {
+    require(k >= 1, s"dsDsir: k must be >= 1, got $k")
+    require(numBuckets >= 2 && numBuckets <= (1 << 20),
+      s"dsDsir: numBuckets must be in [2, 2^20], got $numBuckets")
+    val s = raw.sparkSession
+    raw.select(col("doc_id"), col("text"))
+      .createOrReplaceTempView("__dsir_raw")
+    target.select(col("text")).createOrReplaceTempView("__dsir_target")
+    val grams =
+      """concat(toks,
+        |  CASE WHEN size(toks) >= 2
+        |       THEN transform(sequence(1, size(toks) - 1),
+        |              i -> concat(element_at(toks, i), ' ',
+        |                          element_at(toks, i + 1)))
+        |       ELSE array() END)""".stripMargin
+    val bucket = (g: String) =>
+      s"pmod(CAST(conv(substring(md5($g), 1, 15), 16, 10) AS BIGINT), " +
+        s"$numBuckets)"
+    s.sql(
+      s"""WITH rt AS (
+         |  SELECT doc_id, split(text, ' ') AS toks FROM __dsir_raw),
+         |rg AS (SELECT doc_id, explode($grams) AS g FROM rt),
+         |docb AS (
+         |  SELECT doc_id, ${bucket("g")} AS b, COUNT(*) AS n
+         |  FROM rg GROUP BY doc_id, 2),
+         |rcnt AS (SELECT b, SUM(n) AS c FROM docb GROUP BY b),
+         |tt0 AS (SELECT split(text, ' ') AS toks FROM __dsir_target),
+         |tg AS (SELECT explode($grams) AS g FROM tt0),
+         |tcnt AS (SELECT ${bucket("g")} AS b, COUNT(*) AS c FROM tg
+         |         GROUP BY 1),
+         |llr AS (
+         |  SELECT ids.id AS b,
+         |         ROUND(ln((COALESCE(tc.c, 0) + 1)
+         |                  / CAST(tt.t + $numBuckets AS DOUBLE)), 9)
+         |         - ROUND(ln((COALESCE(rc.c, 0) + 1)
+         |                    / CAST(rt.t + $numBuckets AS DOUBLE)), 9) AS llr
+         |  FROM range($numBuckets) ids
+         |  LEFT JOIN tcnt tc ON tc.b = ids.id
+         |  LEFT JOIN rcnt rc ON rc.b = ids.id
+         |  CROSS JOIN (SELECT COALESCE(SUM(c), 0L) AS t FROM tcnt) tt
+         |  CROSS JOIN (SELECT COALESCE(SUM(c), 0L) AS t FROM rcnt) rt),
+         |z AS (
+         |  SELECT d.doc_id,
+         |         SUM(CAST(ROUND(d.n * l.llr, 9) AS DECIMAL(28,9))) AS z
+         |  FROM docb d JOIN llr l ON l.b = d.b
+         |  GROUP BY d.doc_id)
+         |SELECT doc_id,
+         |       ROUND(CAST(z AS DOUBLE), 6) AS logw,
+         |       gumbel,
+         |       ROUND(CAST(z AS DOUBLE) + gumbel, 6) AS score
+         |FROM (
+         |  SELECT doc_id, z,
+         |         ROUND(-ln(-ln((CAST(CAST(conv(substring(md5(
+         |                      concat('dsir:', CAST(doc_id AS STRING))), 1, 15),
+         |                    16, 10) AS BIGINT) AS DOUBLE) + 0.5)
+         |                   / 1152921504606846976.0D)), 9) AS gumbel
+         |  FROM z)
+         |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin)
+  }
+
+  /** The oracle-checked form: raw = the full corpus, target = its
+    * non-English slice (select raw documents resembling the non-en gram
+    * distribution — the cross-lingual variant of the paper's domain
+    * targeting), k = 100.
+    */
+  def dsDsir(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    dsDsir(docs.select("doc_id", "text"),
+      docs.filter(col("lang") =!= "en").select("text"), k = 100)
+  }
+
   /** Per-source quality-percentile filtering (the curation step that
     * drops the worst of each source rather than applying one global
     * cutoff: a uniformly weak source still keeps its best documents, a
@@ -1489,6 +1592,7 @@ object Pipeline {
     "ds_pack" -> (dsPack _),
     "ds_sample" -> (dsSample _),
     "ds_wsample" -> ((s: SparkSession, dir: String) => dsWeightedSample(s, dir)),
+    "ds_dsir" -> ((s: SparkSession, dir: String) => dsDsir(s, dir)),
     "ds_epochs" -> ((s: SparkSession, dir: String) => dsEpochs(s, dir)),
     "ds_qfilter" -> ((s: SparkSession, dir: String) => dsQualityFilter(s, dir)),
     "ds_shuffle" -> (dsShuffle _),
@@ -1644,6 +1748,45 @@ object Pipeline {
         """/ 1152921504606846976.0) / n_chars::DOUBLE, 9) AS race """ +
         """FROM documents WHERE n_chars::DOUBLE > 0) """ +
         """ORDER BY race, doc_id LIMIT 100"""),
+    "ds_dsir" ->
+      ("""WITH rt AS (SELECT doc_id, string_split(text, ' ') AS toks """ +
+        """FROM documents), """ +
+        """rg AS (SELECT doc_id, unnest(list_concat(toks, """ +
+        """CASE WHEN len(toks) >= 2 """ +
+        """THEN [toks[i] || ' ' || toks[i + 1] """ +
+        """FOR i IN generate_series(1, len(toks) - 1)] """ +
+        """ELSE [] END)) AS g FROM rt), """ +
+        """docb AS (SELECT doc_id, """ +
+        """('0x' || substr(md5(g), 1, 15))::BIGINT % 256 AS b, """ +
+        """COUNT(*) AS n FROM rg GROUP BY doc_id, 2), """ +
+        """rcnt AS (SELECT b, SUM(n)::BIGINT AS c FROM docb GROUP BY b), """ +
+        """tt0 AS (SELECT string_split(text, ' ') AS toks """ +
+        """FROM documents WHERE lang <> 'en'), """ +
+        """tg AS (SELECT unnest(list_concat(toks, """ +
+        """CASE WHEN len(toks) >= 2 """ +
+        """THEN [toks[i] || ' ' || toks[i + 1] """ +
+        """FOR i IN generate_series(1, len(toks) - 1)] """ +
+        """ELSE [] END)) AS g FROM tt0), """ +
+        """tcnt AS (SELECT ('0x' || substr(md5(g), 1, 15))::BIGINT % 256 """ +
+        """AS b, COUNT(*) AS c FROM tg GROUP BY 1), """ +
+        """llr AS (SELECT ids.range AS b, """ +
+        """ROUND(ln((COALESCE(tc.c, 0) + 1) / (tt.t + 256)::DOUBLE), 9) """ +
+        """- ROUND(ln((COALESCE(rc.c, 0) + 1) / (rt.t + 256)::DOUBLE), 9) """ +
+        """AS llr FROM range(256) ids """ +
+        """LEFT JOIN tcnt tc ON tc.b = ids.range """ +
+        """LEFT JOIN rcnt rc ON rc.b = ids.range """ +
+        """CROSS JOIN (SELECT COALESCE(SUM(c), 0)::BIGINT AS t FROM tcnt) tt """ +
+        """CROSS JOIN (SELECT COALESCE(SUM(c), 0)::BIGINT AS t FROM rcnt) rt), """ +
+        """z AS (SELECT d.doc_id, """ +
+        """SUM(CAST(ROUND(d.n * l.llr, 9) AS DECIMAL(28,9))) AS z """ +
+        """FROM docb d JOIN llr l ON l.b = d.b GROUP BY d.doc_id) """ +
+        """SELECT doc_id, ROUND(z::DOUBLE, 6) AS logw, gumbel, """ +
+        """ROUND(z::DOUBLE + gumbel, 6) AS score FROM ( """ +
+        """SELECT doc_id, z, """ +
+        """ROUND(-ln(-ln((('0x' || substr(md5('dsir:' || doc_id::VARCHAR), """ +
+        """1, 15))::BIGINT::DOUBLE + 0.5) / 1152921504606846976.0)), 9) """ +
+        """AS gumbel FROM z) """ +
+        """ORDER BY score DESC, doc_id LIMIT 100"""),
     "ta_pii_count" ->
       ("""WITH aug AS (SELECT doc_id, text """ +
         """|| (CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id::VARCHAR """ +

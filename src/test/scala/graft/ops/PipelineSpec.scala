@@ -3714,4 +3714,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(Sessionize.evWinsor(spark, "/root/testdata/sf0.001")
       .collect().length == 2)
   }
+
+  test("dsDsir: target-resembling docs win the importance resample") {
+    import spark.implicits._
+    // two disjoint-vocabulary classes, 50 docs each of 20 tokens; the
+    // target distribution is the xx-class, so every xx doc's log weight
+    // sits ~ +25 while aa docs sit ~ -270 — far outside Gumbel noise
+    def doc(id: Long, w1: String, w2: String): (Long, String) =
+      (id, Seq.tabulate(20)(i => if (i % 2 == 0) w1 else w2).mkString(" "))
+    val raw = ((0L until 50L).map(doc(_, "aa", "bb")) ++
+      (50L until 100L).map(doc(_, "xx", "yy"))).toDF("doc_id", "text")
+    val target = (0 until 50)
+      .map(i => Seq.tabulate(20)(j => if (j % 2 == 0) "xx" else "yy")
+        .mkString(" ")).toDF("text")
+    val out = Pipeline.dsDsir(raw, target, k = 40).collect()
+    assert(out.length == 40)
+    // every winner is from the target-resembling class
+    assert(out.forall(_.getLong(0) >= 50L), out.map(_.getLong(0)).toSeq)
+    // weights separate the classes by construction
+    val all = Pipeline.dsDsir(raw, target, k = 100).collect()
+    val (xs, as) = all.partition(_.getLong(0) >= 50L)
+    assert(xs.map(_.getDouble(1)).min > as.map(_.getDouble(1)).max + 100)
+    // score = logw + gumbel at 6 dp on every row
+    all.foreach { r =>
+      assert(math.abs(r.getDouble(1) + r.getDouble(2) - r.getDouble(3))
+        < 2e-6, r)
+    }
+  }
+
+  test("dsDsir: degenerate inputs — empty target still scores (prior-only)") {
+    import spark.implicits._
+    val raw = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    val out = Pipeline.dsDsir(raw, raw.limit(0).select("text"), k = 5)
+      .collect()
+    // both docs emitted (k caps, never pads); weights finite
+    assert(out.length == 2)
+    assert(out.forall(r => !r.getDouble(1).isNaN && !r.getDouble(1).isInfinite))
+  }
 }

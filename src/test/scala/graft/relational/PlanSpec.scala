@@ -605,4 +605,16 @@ class PlanSpec extends AnyFunSuite {
       .selectExpr("graft_dot(a, b) AS d")
     assert(local.head().getDouble(0) == 11.0)
   }
+
+  test("ds_dsir: bucket model joins broadcast; top-k rides TakeOrdered") {
+    // the llr relation is numBuckets-sized — shipping the corpus-sized
+    // (doc,bucket) counts through a sort-merge join against 256 rows
+    // would be the wrong 100 TB shape, as would a global sort for the k
+    // winners (TakeOrderedAndProject keeps a local k per task)
+    val plan = formatted(graft.ops.Pipeline.dsDsir(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast llr join:\n$plan")
+  }
 }
