@@ -196,6 +196,9 @@ object PipelineScaleProbe {
     // `addendum39 <existingDir>` — Coreness/Layers driver-vs-distributed
     // tier equivalence at scale (1.6M-edge dense graph + the q44 DAG)
     if (args.headOption.contains("addendum39")) { addendum39(args(1)); return }
+    // `addendum40` (no dir) — primitive-CSR driver tiers AT the 5M-edge
+    // cap: planted known-answer graphs, exact checks, wall + heap
+    if (args.headOption.contains("addendum40")) { addendum40(); return }
     // `addendum13 <nDocs> <nEvents> <nVec> <outBase>` — gaps/gini at
     // event scale, epochs/ngram at corpus scale, range at vector scale
     if (args.headOption.contains("addendum13")) {
@@ -2791,6 +2794,111 @@ object PipelineScaleProbe {
       s"depth=${mld.values.max} (exact agreement)")
 
     println("PSCALE addendum39 done")
+    spark.stop()
+  }
+
+  /** Round-9 driver-tier adjudication AT the cap: the round-8 advisor
+    * flagged the 5M-edge bounded collect tiers for building boxed
+    * Map/ArrayBuffer adjacency (hundreds of MB of transient driver
+    * allocation); round 9 rebuilt them on a primitive CSR
+    * (graph/DriverGraph.scala). This probe runs each tier on a PLANTED
+    * known-answer graph AT the 5M-edge default cap — clique union for
+    * coreness (every K50 member exactly 49, path exactly 1), skip-chain
+    * DAG for layers (layer = chain position), ring+DAG digraph for SCC
+    * (scc = ring base) — checking every vertex exactly and recording
+    * wall + settled driver heap. No distributed re-run here: tier
+    * equivalence is spec-locked and addendum39 covers it at 1.6M/3.18M
+    * edges; this is the cap-scale cost evidence.
+    */
+  private def addendum40(): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.SparkHygiene.quietRddLogs()
+    import org.apache.spark.sql.functions._
+    def usedMb(): Long = {
+      System.gc()
+      val r = Runtime.getRuntime
+      (r.totalMemory() - r.freeMemory()) >> 20
+    }
+
+    // coreness: 1950 disjoint K50 cliques (nodes [50c, 50c+50), coreness
+    // 49 each) + a 100k-node undirected path (coreness 1) — 4.98M edges,
+    // just under the 5M default cap so the DEFAULT driver tier fires
+    val cliq = spark.range(1950).selectExpr("id AS c")
+      .selectExpr("explode(sequence(0, 49)) AS i", "c")
+      .selectExpr("c * 50 + i AS src", "c")
+      .join(spark.range(50).selectExpr("id AS j"))
+      .selectExpr("src", "(src div 50) * 50 + j AS dst")
+      .filter(col("src") =!= col("dst"))
+    val pathBase = 100000L
+    val path = spark.range(100000L - 1).selectExpr(
+      s"id + $pathBase AS src", s"id + ${pathBase + 1} AS dst")
+    val csym = cliq.unionAll(
+        path.select(col("src"), col("dst"))
+          .unionAll(path.select(col("dst").as("src"), col("src").as("dst"))))
+      .localCheckpoint(eager = true)
+    val nC = csym.count()
+    val h0 = usedMb()
+    val (cres, cw) = wall(graph.Coreness.run(spark, csym).collect())
+    val hC = usedMb()
+    require(cres.length == 1950 * 50 + 100000, s"coreness rows ${cres.length}")
+    cres.foreach { r =>
+      val (n, c) = (r.getLong(0), r.getLong(1))
+      val want = if (n < pathBase) 49L else 1L
+      require(c == want, s"coreness($n)=$c want $want")
+    }
+    println(f"PSCALE q=coreness_driver_cap edges=$nC wall=$cw%.1f s " +
+      s"nodes=${cres.length} heap=${h0}->${hC}MB (exact planted answer)")
+
+    // layers: 84.5k chains of 31 nodes with i->i+1 and i->i+2 skip edges
+    // (4.99M edges — under the cap — layer = position in chain, depth 30)
+    val chains = spark.range(84500L * 31).selectExpr("id AS n")
+      .selectExpr("n", "n % 31 AS pos")
+    val l1 = chains.filter(col("pos") < 30)
+      .selectExpr("n AS src", "n + 1 AS dst")
+    val l2 = chains.filter(col("pos") < 29)
+      .selectExpr("n AS src", "n + 2 AS dst")
+    val dag = l1.unionAll(l2).localCheckpoint(eager = true)
+    val nL = dag.count()
+    val (lres, lw) = wall(graph.Layers.run(spark, dag).collect())
+    val hL = usedMb()
+    require(lres.length == 84500 * 31, s"layer rows ${lres.length}")
+    lres.foreach { r =>
+      require(r.getLong(1) == r.getLong(0) % 31,
+        s"layer(${r.getLong(0)})=${r.getLong(1)}")
+    }
+    println(f"PSCALE q=layers_driver_cap edges=$nL wall=$lw%.1f s " +
+      s"nodes=${lres.length} depth=30 heap=${hL}MB (exact planted answer)")
+
+    // scc: 500k rings of 5 (scc = ring base) + forward-only cross-ring
+    // edges (base b -> base b+5 for even rings; never merge SCCs), ~5.2M
+    // edges. driverFinishMaxEdges is raised so the FIRST peel collects —
+    // this is the driver-tier cost in isolation.
+    val rings = spark.range(500000L * 5).selectExpr("id AS n")
+      .selectExpr("n AS src",
+        "CASE WHEN n % 5 = 4 THEN n - 4 ELSE n + 1 END AS dst")
+    val cross = spark.range(500000L - 1).selectExpr("id AS r")
+      .filter(col("r") % 2 === 0)
+      .selectExpr("r * 5 AS src", "r * 5 + 5 AS dst")
+    val dig = rings.unionAll(cross).localCheckpoint(eager = true)
+    val nS = dig.count()
+    val (sres, sw) = wall(graph.Scc.run(spark, dig,
+      driverFinishMaxEdges = 10000000L).collect())
+    val hS = usedMb()
+    require(sres.length == 500000 * 5, s"scc rows ${sres.length}")
+    sres.foreach { r =>
+      require(r.getLong(1) == (r.getLong(0) / 5) * 5,
+        s"scc(${r.getLong(0)})=${r.getLong(1)}")
+    }
+    println(f"PSCALE q=scc_driver_cap edges=$nS wall=$sw%.1f s " +
+      s"nodes=${sres.length} heap=${hS}MB (exact planted answer)")
+
+    println("PSCALE addendum40 done")
     spark.stop()
   }
 
