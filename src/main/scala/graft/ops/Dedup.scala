@@ -781,6 +781,80 @@ object Dedup {
     "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"
 
+  /** Duplicate-span REMOVAL at sliding-window granularity — the rewrite
+    * step of Lee et al.'s exact-substring dedup ("Deduplicating Training
+    * Data Makes Language Models Better"), where [[ddSubstring]] only
+    * scores: a token is dropped iff ANY n-token window covering it also
+    * occurs in ≥ `minDf` distinct documents, and the survivors reassemble
+    * in order. Unlike [[ddParagraphOn]]'s fixed segmentation this catches
+    * shared spans at ARBITRARY offsets (shifted boilerplate, quoted
+    * passages straddling segment boundaries); like it, removal is
+    * drop-all (the C4/CCNet boilerplate semantics), not keep-first.
+    *
+    * Scale design: grams travel as 8-byte xxhash64 keys; the df
+    * aggregate is gram-vocabulary-sized and map-side combinable; the
+    * df ≥ minDf relation is boilerplate-sized, so the join back
+    * broadcasts and ONLY duplicated gram positions explode into covered
+    * indexes (×n on the dup subset, not the corpus). The covered-index
+    * sets ride one (doc_id) aggregate and the rewrite is a per-row
+    * indexed-filter HOF — no corpus re-explode for reassembly.
+    */
+  def ddDespanOn(docs: DataFrame, n: Int, minDf: Int = 2): DataFrame = {
+    require(n >= 2, s"ddDespanOn: n must be >= 2, got $n")
+    require(minDf >= 2, s"ddDespanOn: minDf must be >= 2, got $minDf")
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__dsp_docs")
+    s.sql(
+      s"""WITH tok AS (
+         |  SELECT doc_id, split(text, ' ') AS toks FROM __dsp_docs),
+         |g AS (
+         |  SELECT doc_id, p.pos AS pos, p.gh AS gh
+         |  FROM tok
+         |  LATERAL VIEW explode(transform(sequence(1, size(toks) - ${n - 1}),
+         |    i -> struct(i AS pos,
+         |                xxhash64(array_join(slice(toks, i, $n), ' '))
+         |                  AS gh))) pt AS p
+         |  WHERE size(toks) >= $n),
+         |dups AS (
+         |  SELECT gh FROM (
+         |    SELECT gh, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gh)
+         |  WHERE df >= $minDf),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, idx
+         |  FROM (SELECT g.doc_id,
+         |               explode(sequence(g.pos, g.pos + ${n - 1})) AS idx
+         |        FROM g JOIN dups d ON d.gh = g.gh)),
+         |covagg AS (
+         |  SELECT doc_id, collect_set(idx) AS cov FROM cov GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |       size(t.toks) AS n_tokens,
+         |       COALESCE(size(c.cov), 0) AS n_removed,
+         |       array_join(
+         |         filter(t.toks,
+         |           (x, i) -> NOT array_contains(
+         |                       COALESCE(c.cov, array(-1)), i + 1)), ' ')
+         |         AS clean_text
+         |FROM tok t LEFT JOIN covagg c ON c.doc_id = t.doc_id
+         |ORDER BY t.doc_id""".stripMargin)
+  }
+
+  /** The oracle-checked form: the [[ddSubstring]] planting (every 7th
+    * doc gets [[BoilerPhrase]] twice, n = 20) — planted docs shed the
+    * whole boilerplate tail AND any covered prefix overlap; the corpus's
+    * natural whole-document duplicates empty out entirely (dup docs are
+    * one giant shared span).
+    */
+  def ddDespan(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "documents").createOrReplaceTempView("__docs")
+    val aug = s.sql(
+      s"""SELECT doc_id,
+         |       CASE WHEN doc_id % 7 = 0
+         |            THEN concat(text, ' ', '$BoilerPhrase', ' ', '$BoilerPhrase')
+         |            ELSE text END AS text
+         |FROM __docs""".stripMargin)
+    ddDespanOn(aug, n = 20)
+  }
+
   /** Duplicate-paragraph REMOVAL (the CCNet/C4 cleaning staple): segment
     * every document into consecutive `segTokens`-token spans, count each
     * span's corpus-wide document frequency, DROP spans appearing in
@@ -1206,6 +1280,7 @@ object Dedup {
     "dd_keepbest" -> ((s: SparkSession, dir: String) => ddKeepBest(s, dir)),
     "dd_stats" -> ((s: SparkSession, dir: String) => ddStats(s, dir)),
     "dd_substring" -> ((s: SparkSession, dir: String) => ddSubstring(s, dir)),
+    "dd_despan" -> ((s: SparkSession, dir: String) => ddDespan(s, dir)),
     "dd_paragraph" -> ((s: SparkSession, dir: String) => ddParagraph(s, dir)),
     "dd_exact" -> (ddExact _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
@@ -1452,6 +1527,39 @@ object Dedup {
         |       ROUND(COUNT(d.g) / COUNT(*), 6) AS dup_fraction
         |FROM g LEFT JOIN dups d ON d.g = g.g
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+        .replaceAll("\n", " "),
+    "dd_despan" ->
+      s"""WITH aug AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 0
+        |              THEN text || ' ' || '$BoilerPhrase' || ' ' || '$BoilerPhrase'
+        |              ELSE text END AS text
+        |  FROM documents),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM aug),
+        |g AS (
+        |  SELECT doc_id,
+        |         unnest([{'pos': i, 'gh': array_to_string(toks[i:i+19], ' ')}
+        |                 FOR i IN generate_series(1, len(toks) - 19)]) AS p
+        |  FROM tok WHERE len(toks) >= 20),
+        |g2 AS (SELECT doc_id, p.pos AS pos, p.gh AS gh FROM g),
+        |dups AS (
+        |  SELECT gh FROM (
+        |    SELECT gh, COUNT(DISTINCT doc_id) AS df FROM g2 GROUP BY gh)
+        |  WHERE df >= 2),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, idx FROM (
+        |    SELECT g2.doc_id, unnest(generate_series(g2.pos, g2.pos + 19))
+        |             AS idx
+        |    FROM g2 JOIN dups d ON d.gh = g2.gh)),
+        |covagg AS (SELECT doc_id, list(idx) AS cov FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id, len(t.toks) AS n_tokens,
+        |       COALESCE(len(c.cov), 0) AS n_removed,
+        |       COALESCE(array_to_string(
+        |         [t.toks[i] FOR i IN generate_series(1, len(t.toks))
+        |          IF NOT COALESCE(list_contains(c.cov, i), false)], ' '), '')
+        |         AS clean_text
+        |FROM tok t LEFT JOIN covagg c ON c.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin
         .replaceAll("\n", " "),
     "dd_paragraph" ->
       s"""WITH aug AS (

@@ -50,6 +50,73 @@ object Similarity {
         |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin)
   }
 
+  /** Maximum-inner-product search (MIPS): per query, the k corpus
+    * vectors with the largest RAW dot product — the retrieval scoring
+    * for UNNORMALIZED embeddings where magnitude carries information
+    * (two-tower recommenders, learned retrieval scores), where
+    * [[ssCosineTopk]] answers the angle-only question. Exact brute scan:
+    * |Q|·N codegen'd graft_dot scores, query set broadcast, scores
+    * rounded to 6 dp before ranking (engine-exact order), per-query
+    * top-k with a neighbor_id tiebreak.
+    *
+    * Scale path: MIPS reduces to cosine NN by norm augmentation
+    * (Bachrach et al., RecSys 2014; Shrivastava & Li, NeurIPS 2014 —
+    * public): x → [x; √(M²−‖x‖²)] with M = max corpus norm, q → [q; 0];
+    * then cos(q̃, x̃) = (q·x)/(‖q̃‖·M) — a per-query constant divisor, so
+    * the cosine ranking over augmented vectors IS the MIPS ranking and
+    * the LSH/IVF/PQ entries handle MIPS at 100 TB. [[ssMipsAugmentOn]]
+    * produces exactly that augmented relation; the equivalence is
+    * spec-locked.
+    */
+  def ssMips(s: SparkSession, emb: DataFrame, queryPred: String,
+      k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    emb.createOrReplaceTempView("__emb_mips")
+    s.sql(
+      s"""WITH base AS (
+         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM __emb_mips),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         ROUND(graft_dot(q.v, c.v), 6) AS ip
+         |  FROM (SELECT * FROM base WHERE $queryPred) q
+         |  JOIN base c ON c.vec_id <> q.vec_id)
+         |SELECT query_id, neighbor_id, ip, rn FROM (
+         |  SELECT query_id, neighbor_id, ip,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |                ORDER BY ip DESC, neighbor_id) AS BIGINT) AS rn
+         |  FROM scored)
+         |WHERE rn <= $k ORDER BY query_id, rn""".stripMargin)
+  }
+
+  /** The oracle-checked form: queries vec_id < 5, k = 10 (the
+    * ss_cosine_topk protocol, unnormalized scores).
+    */
+  def ssMips(s: SparkSession, dir: String): DataFrame =
+    ssMips(s, Tables.load(s, dir, "embeddings"), "vec_id < 5", k = 10)
+
+  /** The MIPS→cosine norm-augmentation transform (see [[ssMips]]):
+    * returns (vec_id, v_aug) where v_aug = [v; √(M²−‖v‖²)], M the max
+    * corpus norm (one global aggregate, broadcast back). Query vectors
+    * take the companion form [q; 0] — i.e. augment the CORPUS side only
+    * and zero-pad queries; cosine ranking on the augmented pair equals
+    * the inner-product ranking on the originals. Feed the result to the
+    * LSH/IVF entries for sublinear MIPS.
+    */
+  def ssMipsAugmentOn(s: SparkSession, emb: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    emb.createOrReplaceTempView("__emb_mipsa")
+    s.sql(
+      """WITH base AS (
+        |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM __emb_mipsa),
+        |mx AS (SELECT MAX(sqrt(graft_dot(v, v))) AS m FROM base)
+        |SELECT vec_id,
+        |       concat(v, array(sqrt(greatest(
+        |         m * m - graft_dot(v, v), CAST(0 AS DOUBLE))))) AS v_aug
+        |FROM base CROSS JOIN mx""".stripMargin)
+  }
+
   /** Cosine RANGE search: every corpus vector within `tau` of each query
     * — the retrieval-filter primitive ("all candidates above the match
     * threshold") where the `ss_*_topk` family answers "the k best". Exact
@@ -1693,6 +1760,7 @@ object Similarity {
     "ss_hybrid" -> ((s: SparkSession, dir: String) => ssHybrid(s, dir)),
     "ss_recall" -> ((s: SparkSession, dir: String) => ssRecall(s, dir)),
     "ss_cosine_topk" -> (ssCosineTopk _),
+    "ss_mips" -> ((s: SparkSession, dir: String) => ssMips(s, dir)),
     "ss_range" -> ((s: SparkSession, dir: String) => ssRangeSearch(s, dir)),
     "ss_sq_topk" -> (ssSqTopk _),
     "ss_pq_topk" -> (ssPqTopk _),
@@ -2491,6 +2559,20 @@ object Similarity {
         |  SELECT query_id, neighbor_id, cos,
         |         ROW_NUMBER() OVER (PARTITION BY query_id
         |           ORDER BY cos DESC, neighbor_id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin.replaceAll("\n", " "),
+    "ss_mips" ->
+      """WITH base AS (
+        |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         ROUND(list_sum([q.v[i] * c.v[i]
+        |                 FOR i IN generate_series(1, len(q.v))]), 6) AS ip
+        |  FROM base q JOIN base c ON q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, ip, rn FROM (
+        |  SELECT query_id, neighbor_id, ip,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |           ORDER BY ip DESC, neighbor_id) AS rn
         |  FROM scored)
         |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin.replaceAll("\n", " "),
     "ss_sq_topk" ->

@@ -3715,6 +3715,24 @@ class PipelineSpec extends AnyFunSuite {
       .collect().length == 2)
   }
 
+  test("ddDespanOn: shared spans vanish at ARBITRARY offsets; context stays") {
+    import spark.implicits._
+    val span = (1 to 8).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $span b1 b2"), // span at offset 4
+      (2L, s"c1 $span d1 d2 d3"),    // SAME span at offset 2
+      (3L, (1 to 10).map(i => s"e$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Dedup.ddDespanOn(docs, n = 4).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    // only the 8 shared tokens are covered (windows straddling the span
+    // edge differ by context and are unique) — the fixed-segment
+    // dd_paragraph would MISS the offset-2 copy entirely
+    assert(out(1L) == ((13, 8, "a1 a2 a3 b1 b2")))
+    assert(out(2L) == ((12, 8, "c1 d1 d2 d3")))
+    assert(out(3L) == ((10, 0, (1 to 10).map(i => s"e$i").mkString(" "))))
+  }
+
   test("dsDsir: target-resembling docs win the importance resample") {
     import spark.implicits._
     // two disjoint-vocabulary classes, 50 docs each of 20 tokens; the

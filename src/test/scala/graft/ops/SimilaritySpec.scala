@@ -700,4 +700,66 @@ class SimilaritySpec extends AnyFunSuite {
       assert(n == 500L && v > 0.0 && af > 0.0 && af <= 1.0)
     }
   }
+
+  test("ssMips: raw-dot ranking diverges from cosine where magnitude wins") {
+    import spark.implicits._
+    // neighbor 10 points EXACTLY along the query but is short; neighbor
+    // 11 is 40° off but 10× longer — MIPS must prefer 11, cosine 10
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (10L, Array(0.5f, 0.0f)),
+      (11L, Array(7.66f, 6.43f))).toDF("vec_id", "embedding")
+    val mips = Similarity.ssMips(spark, emb, "vec_id = 0", k = 2).collect()
+      .map(r => (r.getLong(1), r.getLong(3)))
+    assert(mips.toSeq == Seq((11L, 1L), (10L, 2L)))
+    // oracle form: 5 queries × 10 ranked rows, scores non-increasing
+    val orc = Similarity.ssMips(spark, "/root/testdata/sf0.001").collect()
+    assert(orc.length == 50)
+    orc.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val ips = rows.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(ips.zip(ips.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("ssMipsAugmentOn: cosine on augmented vectors IS the MIPS ranking") {
+    import spark.implicits._
+    // deterministic unnormalized vectors with distinct dots vs each query
+    val rng = new scala.util.Random(7)
+    val emb = (0L until 40L).map { i =>
+      (i, Array.fill(8)((rng.nextDouble() * 4 - 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val aug = Similarity.ssMipsAugmentOn(spark, emb)
+    // augmented last coordinate completes every norm to the corpus max
+    val norms = aug.selectExpr("vec_id",
+      "round(sqrt(graft_dot(v_aug, v_aug)), 4) AS n").collect()
+      .map(_.getDouble(1)).distinct
+    assert(norms.length == 1, s"augmented norms not constant: ${norms.toSeq}")
+    // cosine top-k over (query zero-padded, corpus augmented) must equal
+    // the raw-dot top-k — the reduction the 100 TB ANN path rides
+    val augEmb = aug.selectExpr("vec_id",
+      "transform(v_aug, x -> CAST(x AS FLOAT)) AS embedding")
+    graft.functions.GraftFunctions.register(spark)
+    emb.createOrReplaceTempView("__mips_q")
+    augEmb.createOrReplaceTempView("__mips_c")
+    val viaCos = spark.sql(
+      """WITH q AS (SELECT vec_id,
+        |             concat(transform(embedding, x -> CAST(x AS DOUBLE)),
+        |                    array(CAST(0 AS DOUBLE))) AS v
+        |           FROM __mips_q WHERE vec_id < 3),
+        |c AS (SELECT vec_id,
+        |        transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |      FROM __mips_c)
+        |SELECT query_id, neighbor_id, rn FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |           ORDER BY graft_dot(q.v, c.v)
+        |                    / sqrt(graft_dot(c.v, c.v)) DESC,
+        |                  c.vec_id) AS rn
+        |  FROM q JOIN c ON c.vec_id <> q.vec_id)
+        |WHERE rn <= 5""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    val viaMips = Similarity.ssMips(spark, emb, "vec_id < 3", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(viaCos == viaMips)
+  }
 }
