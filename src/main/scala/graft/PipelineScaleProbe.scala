@@ -199,6 +199,9 @@ object PipelineScaleProbe {
     // `addendum40` (no dir) — primitive-CSR driver tiers AT the 5M-edge
     // cap: planted known-answer graphs, exact checks, wall + heap
     if (args.headOption.contains("addendum40")) { addendum40(); return }
+    // `addendum41 <existingDir>` — round-9 ops at 100×: ds_dsir 500k,
+    // dd_despan 500k (planted spans), ss_mips + augment at 100k vectors
+    if (args.headOption.contains("addendum41")) { addendum41(args(1)); return }
     // `addendum13 <nDocs> <nEvents> <nVec> <outBase>` — gaps/gini at
     // event scale, epochs/ngram at corpus scale, range at vector scale
     if (args.headOption.contains("addendum13")) {
@@ -2899,6 +2902,71 @@ object PipelineScaleProbe {
       s"nodes=${sres.length} heap=${hS}MB (exact planted answer)")
 
     println("PSCALE addendum40 done")
+    spark.stop()
+  }
+
+  /** Round-9 new ops at 100×: ds_dsir over the full 500k zipf corpus
+    * (target = the 400k non-en slice — the cross-lingual domain
+    * targeting), dd_despan with the BoilerPhrase planting at 500k docs
+    * (every 7th doc carries the shared 40-token tail → 71.4k docs must
+    * shed ≥ 40 tokens; everyone else untouched unless naturally
+    * duplicated), and ss_mips + the norm-augmentation transform at 100k
+    * real embeddings.
+    */
+  private def addendum41(dir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.SparkHygiene.quietRddLogs()
+    import org.apache.spark.sql.functions._
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+
+    // ds_dsir: 500k raw, 400k-doc target slice, k=1000
+    val (dsir, wDsir) = wall(ops.Pipeline.dsDsir(
+      docs.select("doc_id", "text"),
+      docs.filter(col("lang") =!= "en").select("text"), k = 1000).collect())
+    require(dsir.length == 1000, s"dsir rows ${dsir.length}")
+    require(dsir.forall(r => !r.getDouble(1).isNaN && !r.getDouble(3).isNaN))
+    println(f"PSCALE q=ds_dsir docs=500000 target=400000 k=1000 " +
+      f"wall=$wDsir%.1f s logw_range=[${dsir.map(_.getDouble(1)).min}%.2f, " +
+      f"${dsir.map(_.getDouble(1)).max}%.2f]")
+
+    // dd_despan: plant the BoilerPhrase tail on every 7th doc, n=20
+    val planted = docs.selectExpr("doc_id",
+      s"""CASE WHEN doc_id % 7 = 0
+         |     THEN concat(text, ' ', '${ops.Dedup.BoilerPhrase}',
+         |                 ' ', '${ops.Dedup.BoilerPhrase}')
+         |     ELSE text END AS text""".stripMargin)
+    val (despan, wDespan) = wall(
+      ops.Dedup.ddDespanOn(planted, n = 20)
+        .selectExpr("doc_id", "n_removed").collect())
+    val plantedRemoved = despan.filter(r => r.getLong(0) % 7 == 0)
+    require(plantedRemoved.forall(_.getInt(1) >= 40),
+      "planted docs must shed the 40-token boilerplate tail")
+    val untouched = despan.count(_.getInt(1) == 0)
+    println(f"PSCALE q=dd_despan docs=500000 planted=${plantedRemoved.length} " +
+      f"wall=$wDespan%.1f s untouched=$untouched " +
+      s"removed_tokens=${despan.map(_.getInt(1).toLong).sum}")
+
+    // ss_mips at 100k real vectors: 8 queries × top-10, plus the
+    // augmented-norm invariant over the full corpus
+    val emb = spark.read.parquet(s"$dir/embeddings19.parquet")
+    val (mips, wMips) = wall(ops.Similarity.ssMips(
+      spark, emb, "vec_id < 8", k = 10).collect())
+    require(mips.length == 80, s"mips rows ${mips.length}")
+    val (augN, wAug) = wall(ops.Similarity.ssMipsAugmentOn(spark, emb)
+      .selectExpr("round(sqrt(graft_dot(v_aug, v_aug)), 3) AS n")
+      .distinct().count())
+    require(augN == 1L, s"augmented norms not constant: $augN distinct")
+    println(f"PSCALE q=ss_mips vectors=100000 queries=8 wall=$wMips%.1f s " +
+      f"augment_wall=$wAug%.1f s aug_norm_distinct=$augN")
+
+    println("PSCALE addendum41 done")
     spark.stop()
   }
 

@@ -462,13 +462,20 @@ object Pipeline {
     val bucket = (g: String) =>
       s"pmod(CAST(conv(substring(md5($g), 1, 15), 16, 10) AS BIGINT), " +
         s"$numBuckets)"
+    // the (doc, bucket) count is the corpus-dominant relation and feeds
+    // BOTH the raw bucket model and the per-doc weights — persisted so
+    // the gram explode + md5 bucketing runs ONCE over raw, not twice
+    // (an inlined CTE measured 107.8 s at 500k docs; see PERF.md r9)
     s.sql(
       s"""WITH rt AS (
          |  SELECT doc_id, split(text, ' ') AS toks FROM __dsir_raw),
-         |rg AS (SELECT doc_id, explode($grams) AS g FROM rt),
-         |docb AS (
-         |  SELECT doc_id, ${bucket("g")} AS b, COUNT(*) AS n
-         |  FROM rg GROUP BY doc_id, 2),
+         |rg AS (SELECT doc_id, explode($grams) AS g FROM rt)
+         |SELECT doc_id, ${bucket("g")} AS b, COUNT(*) AS n
+         |FROM rg GROUP BY doc_id, 2""".stripMargin)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .createOrReplaceTempView("__dsir_docb")
+    s.sql(
+      s"""WITH docb AS (SELECT * FROM __dsir_docb),
          |rcnt AS (SELECT b, SUM(n) AS c FROM docb GROUP BY b),
          |tt0 AS (SELECT split(text, ' ') AS toks FROM __dsir_target),
          |tg AS (SELECT explode($grams) AS g FROM tt0),
