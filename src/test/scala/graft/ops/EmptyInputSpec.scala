@@ -51,6 +51,9 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Dedup.ddKeepBest(
       Seq.empty[(String, Long, Int)].toDF("cluster_id", "doc_id", "score"))
       .count() == 0)
+    assert(Dedup.ddDespanOn(emptyDocs, 20).count() == 0)
+    assert(Pipeline.dsDsir(emptyDocs, emptyDocs.select("text"), 10)
+      .count() == 0)
   }
 
   test("embedding entries return empty on an empty corpus") {
@@ -63,6 +66,8 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Similarity.ssIvfPqTopkOn(spark, emptyEmb, "vec_id < 5", 10)
       .count() == 0)
     assert(Similarity.bruteTopkOn(spark, emptyEmb, "vec_id < 5", 10).count() == 0)
+    assert(Similarity.ssMips(spark, emptyEmb, "vec_id < 5", 10).count() == 0)
+    assert(Similarity.ssMipsAugmentOn(spark, emptyEmb).count() == 0)
   }
 
   test("event entries return empty on an empty stream") {
