@@ -310,6 +310,126 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** Per-clip audio features (integer cores + derived 6-dp ratios). */
+  case class AudioFeatures(media_id: Long, n_samples: Long, sample_rate: Int,
+      sum_sq: Long, zero_crossings: Long, silent_frames: Long,
+      n_frames_w: Long, rms: Double, zcr: Double, silence_frac: Double)
+
+  /** REAL audio feature extraction — the audio analog of ta_quality, the
+    * filtering pass a speech/audio training pipeline runs after decode:
+    * per clip, loudness (RMS), zero-crossing rate (the cheap
+    * voiced/unvoiced/noise discriminator), and the silent-frame fraction
+    * (windows of `frameLen` samples whose peak is below
+    * `silenceThresh`). Decodes REAL payloads through
+    * `javax.sound.sampled` (the JdkCodecDecoder tier; 16-bit signed PCM
+    * mono contract, non-conforming clips fail fast with the media id).
+    *
+    * Engine-exactness: the per-clip cores are INTEGERS (sample count,
+    * Σ s² which fits a Long at 16-bit depth, strict sign-flip crossing
+    * count, silent/total window counts); the three ratios derive from
+    * them in fixed-form double arithmetic ROUND 6 — so a codec-free SQL
+    * oracle can replay them closed-form on planted waveforms
+    * (the mm_decode_real discipline).
+    *
+    * Scale design: one batched mapPartitions decode pass (the decodeAll
+    * shape — a per-partition codec context amortizes), per-clip state is
+    * O(1) (running sums, one frame peak), output one row per clip; the
+    * trailing ORDER BY is presentation-only.
+    */
+  def mmAudioFeat(media: Dataset[MediaRecord], frameLen: Int = 240,
+      silenceThresh: Int = 1): Dataset[AudioFeatures] = {
+    require(frameLen >= 1, s"mmAudioFeat: frameLen must be >= 1, got $frameLen")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        try {
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+            fmt.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            s"media ${r.media_id}: mmAudioFeat expects 16-bit signed PCM " +
+              s"mono, got ${fmt}")
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          var i = 0
+          var sumSq = 0L
+          var crossings = 0L
+          var prev = 0
+          var framePeak = 0
+          var silent = 0L
+          var frames = 0L
+          while (i < n) {
+            val lo = bytes(2 * i) & 0xff
+            val hi = bytes(2 * i + 1).toInt
+            val s = ((hi << 8) | lo).toShort.toInt
+            sumSq += s.toLong * s
+            if (i > 0 && prev * s < 0) crossings += 1
+            prev = s
+            val a = math.abs(s)
+            if (a > framePeak) framePeak = a
+            if ((i + 1) % frameLen == 0 || i + 1 == n) {
+              frames += 1
+              if (framePeak < silenceThresh) silent += 1
+              framePeak = 0
+            }
+            i += 1
+          }
+          val rms = if (n == 0) 0.0
+            else math.rint(math.sqrt(sumSq.toDouble / n) * 1e6) / 1e6
+          val zcr = if (n < 2) 0.0
+            else math.rint(crossings.toDouble / (n - 1) * 1e6) / 1e6
+          val sf = if (frames == 0) 0.0
+            else math.rint(silent.toDouble / frames * 1e6) / 1e6
+          AudioFeatures(r.media_id, n.toLong,
+            fmt.getSampleRate.toInt, sumSq, crossings, silent, frames,
+            rms, zcr, sf)
+        } finally ais.close()
+      }
+    }
+  }
+
+  /** The oracle-checked form: planted SQUARE-WAVE WAVs with an appended
+    * silent tail, every feature an analytic function of doc_id —
+    * amplitude A = 1000 + 500·(id%7), half-period H ∈ {4,6,8}, active
+    * samples Act = 4800 + 240·(id%5) (divisible by every H and by the
+    * 240-sample window), silent tail S = 1200 + 240·(id%3). Then
+    * Σs² = Act·A², crossings = Act/H − 1 (the sign never flips into the
+    * zero tail under the strict product rule), silent windows = S/240 —
+    * the DuckDB oracle computes all of it codec-free, so a hash match
+    * proves the real WAV encode→decode→feature path lands on the planted
+    * ground truth (the mm_decode_real discipline applied to CONTENT, not
+    * just container facts).
+    */
+  def mmAudioFeat(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.load(s, dir, "documents").select("doc_id")
+      .as[Long].map { id =>
+        val amp = 1000 + 500 * (id % 7).toInt
+        val half = 4 + 2 * (id % 3).toInt
+        val act = 4800 + 240 * (id % 5).toInt
+        val tail = 1200 + 240 * (id % 3).toInt
+        val n = act + tail
+        val pcm = new Array[Byte](2 * n)
+        var i = 0
+        while (i < act) {
+          val v = if ((i / half) % 2 == 0) amp else -amp
+          pcm(2 * i) = (v & 0xff).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        MediaRecord(id, "audio", bos.toByteArray)
+      }
+    mmAudioFeat(media).toDF().orderBy("media_id")
+  }
+
   /** One sampled frame of a media record. */
   case class FrameRecord(media_id: Long, frame_idx: Long, frame_offset: Long,
                          frame_hash: String)
@@ -549,6 +669,7 @@ object Multimodal {
     "mm_shard" -> ((s: SparkSession, dir: String) => mmShard(s, dir)),
     "mm_decode" -> (mmDecode _),
     "mm_decode_real" -> (mmDecodeReal _),
+    "mm_audiofeat" -> (mmAudioFeat _),
     "mm_frames" -> (mmFrames _),
     "mm_resize" -> (mmResize _),
     "mm_phash_pairs" -> (mmPhashPairs _),
@@ -614,6 +735,27 @@ object Multimodal {
         |  (CASE WHEN doc_id % 2 = 0 THEN 1
         |        ELSE 100 + doc_id % 50 END)::INT AS n_frames
         |FROM documents ORDER BY media_id""".stripMargin.replaceAll("\n", " "),
+    // planted square-wave ground truth mm_audiofeat's real WAV
+    // encode→decode→feature path must land on, computed codec-free
+    "mm_audiofeat" ->
+      """WITH p AS (SELECT doc_id AS media_id,
+        |  (1000 + 500 * (doc_id % 7))::BIGINT AS amp,
+        |  (4 + 2 * (doc_id % 3))::BIGINT AS half,
+        |  (4800 + 240 * (doc_id % 5))::BIGINT AS act,
+        |  (1200 + 240 * (doc_id % 3))::BIGINT AS tail
+        |  FROM documents)
+        |SELECT media_id,
+        |  act + tail AS n_samples,
+        |  8000::INT AS sample_rate,
+        |  act * amp * amp AS sum_sq,
+        |  act // half - 1 AS zero_crossings,
+        |  tail // 240 AS silent_frames,
+        |  (act + tail) // 240 AS n_frames_w,
+        |  ROUND(sqrt((act * amp * amp)::DOUBLE / (act + tail)), 6) AS rms,
+        |  ROUND((act // half - 1)::DOUBLE / (act + tail - 1), 6) AS zcr,
+        |  ROUND((tail // 240)::DOUBLE / ((act + tail) // 240), 6)
+        |    AS silence_frac
+        |FROM p ORDER BY media_id""".stripMargin.replaceAll("\n", " "),
     "mm_decode" ->
       """SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

@@ -241,4 +241,55 @@ class MultimodalSpec extends AnyFunSuite {
     // its own keeper unless a natural collision merges further
     assert(canon.keys.count(_ >= Multimodal.TwinOffset) > 0)
   }
+
+  test("mmAudioFeat: hand waveform reads its exact integer cores") {
+    import spark.implicits._
+    // 6 samples [3, -4, 0, 0, 5, -5] then frameLen=3 windows:
+    // [3,-4,0] peak 4, [0,5,-5] peak 5 — neither silent at thresh 1;
+    // crossings: 3→-4 (1), -4→0/0→0/0→5 (no strict flips), 5→-5 (1)
+    def wav(samples: Seq[Int]): Array[Byte] = {
+      val pcm = new Array[Byte](2 * samples.length)
+      samples.zipWithIndex.foreach { case (v, i) =>
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "audio", wav(Seq(3, -4, 0, 0, 5, -5))),
+      Multimodal.MediaRecord(2L, "audio", wav(Seq(0, 0, 0, 0)))).toDS()
+    val got = Multimodal.mmAudioFeat(media, frameLen = 3, silenceThresh = 1)
+      .collect().map(f => f.media_id -> f).toMap
+    val f1 = got(1L)
+    assert(f1.n_samples == 6 && f1.sum_sq == (9 + 16 + 25 + 25) &&
+      f1.zero_crossings == 2 && f1.silent_frames == 0 && f1.n_frames_w == 2)
+    assert(f1.rms == math.rint(math.sqrt(75.0 / 6) * 1e6) / 1e6)
+    assert(f1.zcr == 0.4) // 2 / 5
+    val f2 = got(2L) // all-zero clip: two silent windows (3 + tail 1)
+    assert(f2.sum_sq == 0 && f2.zero_crossings == 0 &&
+      f2.silent_frames == 2 && f2.n_frames_w == 2 && f2.silence_frac == 1.0)
+  }
+
+  test("mmAudioFeat: non-mono clips fail fast with the media id") {
+    import spark.implicits._
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val pcm = new Array[Byte](16)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 4L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val media = Seq(Multimodal.MediaRecord(7L, "audio", bos.toByteArray)).toDS()
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.mmAudioFeat(media).collect()
+    }
+    assert(e.getMessage.contains("media 7") ||
+      Option(e.getCause).exists(_.getMessage.contains("media 7")))
+  }
 }
