@@ -202,6 +202,9 @@ object PipelineScaleProbe {
     // `addendum41 <existingDir>` — round-9 ops at 100×: ds_dsir 500k,
     // dd_despan 500k (planted spans), ss_mips + augment at 100k vectors
     if (args.headOption.contains("addendum41")) { addendum41(args(1)); return }
+    // `addendum42` (no dir) — mm_audiofeat at 100k REAL WAV clips:
+    // planted square waves, every clip's integer cores checked exactly
+    if (args.headOption.contains("addendum42")) { addendum42(); return }
     // `addendum13 <nDocs> <nEvents> <nVec> <outBase>` — gaps/gini at
     // event scale, epochs/ngram at corpus scale, range at vector scale
     if (args.headOption.contains("addendum13")) {
@@ -2967,6 +2970,66 @@ object PipelineScaleProbe {
       f"augment_wall=$wAug%.1f s aug_norm_distinct=$augN")
 
     println("PSCALE addendum41 done")
+    spark.stop()
+  }
+
+  /** Round-9 real-codec feature tier at 100×: 100k REAL square-wave WAV
+    * clips (the mm_audiofeat planting, ~12–14 kB each ≈ 1.3 GB of
+    * payload) generated in-executor, decoded and featurized through the
+    * javax.sound batch pass, every clip's integer cores checked against
+    * the closed form — the addendum37 discipline applied to audio
+    * CONTENT features.
+    */
+  private def addendum42(): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.SparkHygiene.quietRddLogs()
+    import spark.implicits._
+
+    val n = 100000L
+    val media = spark.range(n).as[Long].map { id =>
+      val amp = 1000 + 500 * (id % 7).toInt
+      val half = 4 + 2 * (id % 3).toInt
+      val act = 4800 + 240 * (id % 5).toInt
+      val tail = 1200 + 240 * (id % 3).toInt
+      val total = act + tail
+      val pcm = new Array[Byte](2 * total)
+      var i = 0
+      while (i < act) {
+        val v = if ((i / half) % 2 == 0) amp else -amp
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, total.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      ops.Multimodal.MediaRecord(id, "audio", bos.toByteArray)
+    }
+    val (feats, w) = wall(ops.Multimodal.mmAudioFeat(media).collect())
+    require(feats.length == n, s"audiofeat rows ${feats.length}")
+    feats.foreach { f =>
+      val id = f.media_id
+      val amp = 1000L + 500 * (id % 7)
+      val half = 4L + 2 * (id % 3)
+      val act = 4800L + 240 * (id % 5)
+      val tail = 1200L + 240 * (id % 3)
+      require(f.n_samples == act + tail && f.sum_sq == act * amp * amp &&
+        f.zero_crossings == act / half - 1 && f.silent_frames == tail / 240 &&
+        f.n_frames_w == (act + tail) / 240,
+        s"audiofeat($id) off the closed form: $f")
+    }
+    println(f"PSCALE q=mm_audiofeat clips=$n wall=$w%.1f s " +
+      "(every clip's integer cores exact)")
+    println("PSCALE addendum42 done")
     spark.stop()
   }
 
