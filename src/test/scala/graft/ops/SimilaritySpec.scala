@@ -762,4 +762,41 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
     assert(viaCos == viaMips)
   }
+
+  test("ssMipsAugment -> IVF composition: the sublinear MIPS path recalls") {
+    import spark.implicits._
+    // clustered unnormalized vectors so IVF cells are meaningful: 4
+    // lobes at distinct directions AND magnitudes, 50 vectors each
+    val rng = new scala.util.Random(11)
+    val lobes = Seq(
+      Array(3.0, 0.0, 0.0, 0.0), Array(0.0, 1.5, 0.0, 0.0),
+      Array(0.0, 0.0, 2.2, 0.0), Array(0.0, 0.0, 0.0, 0.8))
+    val emb = (0L until 200L).map { i =>
+      val c = lobes((i % 4).toInt)
+      (i, c.map(x => (x + rng.nextGaussian() * 0.1).toFloat))
+    }.toDF("vec_id", "embedding")
+    // corpus side augmented, query side zero-padded — shipped through
+    // the STANDARD IVF entry (nlist=8, nprobe=4) as embedding columns
+    val aug = Similarity.ssMipsAugmentOn(spark, emb)
+      .selectExpr("vec_id", "transform(v_aug, x -> CAST(x AS FLOAT)) AS embedding")
+    val qaug = emb.selectExpr("vec_id",
+      """transform(concat(transform(embedding, x -> CAST(x AS DOUBLE)),
+        |  array(CAST(0 AS DOUBLE))), x -> CAST(x AS FLOAT)) AS embedding"""
+        .stripMargin)
+    val both = aug.filter("vec_id >= 4")
+      .unionAll(qaug.filter("vec_id < 4")) // 4 query rows, zero-padded
+    val ivf = Similarity.ssIvfAnnOn(spark, both, "n.vec_id < 4", topK = 10,
+      nlist = 8, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val brute = Similarity.ssMips(spark, emb, "vec_id < 4", k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    // recall@10 of the augmented-IVF route vs exact MIPS, averaged
+    val recalls = brute.keys.toSeq.map { q =>
+      val want = brute(q).map(_._2).toSet
+      val got = ivf.getOrElse(q, Array.empty).map(_._2).toSet
+      want.intersect(got).size.toDouble / want.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"augmented-IVF MIPS recall@10 $mean (want >= 0.8)")
+  }
 }
