@@ -1602,6 +1602,70 @@ object TextAnalysis {
   def taRake(s: SparkSession, dir: String): DataFrame =
     taRake(Tables.load(s, dir, "documents").select("doc_id", "text"))
 
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004 —
+    * public): rank tokens by PageRank over the corpus-wide word
+    * co-occurrence graph (undirected edge between ADJACENT tokens,
+    * distinct pairs) — the graph-centrality counterpart to [[taRake]]'s
+    * degree/frequency scoring: a word is a keyword because important
+    * words co-occur with it, recursively.
+    *
+    * Engine-exactness is the q33_pagerank discipline verbatim: SCALE =
+    * 10^12 fixed-point integers, pr/outdeg integer division, damping as
+    * (15·pr0) div 100 + (85·inflow) div 100, exactly 3 statically
+    * unrolled iterations — every intermediate a BIGINT, so the DuckDB
+    * oracle replays it bit-for-bit on STRING node keys (no word→id
+    * hashing to collide or to diverge between engines).
+    *
+    * Scale design: ONE corpus pass builds the adjacent-pair relation
+    * (explode + distinct); everything after runs on the VOCABULARY-sized
+    * graph (edges ≤ distinct adjacent pairs), so the three iterations
+    * are joins between vocabulary-sized relations — at 100 TB the
+    * corpus pass dominates and the rank loop is noise. The top-k rides
+    * the rank-window-limit family; the final ORDER BY is presentation.
+    */
+  def taTextRank(docs: DataFrame, k: Int = 30): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__tr_docs")
+    val iter = (i: Int) =>
+      s"""i$i AS (SELECT e.dst AS w, SUM(p.pr div p.outdeg) AS inflow
+         |        FROM pr${i - 1} p JOIN edges e ON e.src = p.w
+         |        GROUP BY e.dst),
+         |pr$i AS (SELECT i.w, d.outdeg,
+         |                CAST((SELECT (15 * (1000000000000L div n)) div 100
+         |                      FROM nn)
+         |                     + (85 * i.inflow) div 100 AS BIGINT) AS pr
+         |         FROM i$i i JOIN deg d ON d.src = i.w)""".stripMargin
+    s.sql(
+      s"""WITH tok AS (
+         |  SELECT split(text, ' ') AS toks FROM __tr_docs),
+         |adj AS (
+         |  SELECT DISTINCT least(p.a, p.b) AS u, greatest(p.a, p.b) AS v
+         |  FROM tok
+         |  LATERAL VIEW explode(transform(sequence(1, size(toks) - 1),
+         |    i -> struct(element_at(toks, i) AS a,
+         |                element_at(toks, i + 1) AS b))) pt AS p
+         |  WHERE size(toks) >= 2 AND p.a <> p.b),
+         |edges AS (SELECT u AS src, v AS dst FROM adj
+         |          UNION ALL SELECT v, u FROM adj),
+         |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+         |nn AS (SELECT COUNT(*) AS n FROM deg),
+         |pr0 AS (SELECT src AS w, outdeg,
+         |               (SELECT 1000000000000L div n FROM nn) AS pr
+         |        FROM deg),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)},
+         |top AS (SELECT w, pr FROM pr3 ORDER BY pr DESC, w LIMIT $k)
+         |SELECT w AS word, pr,
+         |       CAST(ROW_NUMBER() OVER (ORDER BY pr DESC, w) AS BIGINT)
+         |         AS rnk
+         |FROM top ORDER BY rnk""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata corpus, k = 30. */
+  def taTextRank(s: SparkSession, dir: String): DataFrame =
+    taTextRank(Tables.load(s, dir, "documents").select("doc_id", "text"))
+
   /** First-k BPE merge rounds (Sennrich et al. 2016) — the tokenizer-
     * training inner loop: count adjacent symbol pairs over the word-
     * frequency table, merge the most frequent pair corpus-wide, repeat.
@@ -1747,6 +1811,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_textrank" -> ((s: SparkSession, dir: String) => taTextRank(s, dir)),
     "ta_rake" -> ((s: SparkSession, dir: String) => taRake(s, dir)),
     "ta_langconf" -> ((s: SparkSession, dir: String) => taLangConf(s, dir)),
     "ta_bpe" -> ((s: SparkSession, dir: String) => taBpe(s, dir)),
@@ -1863,6 +1928,39 @@ object TextAnalysis {
         "ROUND(1.0 / (1.0 + exp(-(z::DOUBLE))), 6) AS score, " +
         "ROUND(z::DOUBLE, 6) >= 0.0 AS keep " +
         "FROM sc ORDER BY doc_id"),
+    "ta_textrank" -> {
+      val iter = (i: Int) =>
+        s"""i$i AS (SELECT e.dst AS w, SUM(p.pr // p.outdeg) AS inflow
+           |        FROM pr${i - 1} p JOIN edges e ON e.src = p.w
+           |        GROUP BY e.dst),
+           |pr$i AS (SELECT i.w, d.outdeg,
+           |                ((SELECT (15 * (1000000000000 // n)) // 100
+           |                  FROM nn)
+           |                 + (85 * i.inflow) // 100)::BIGINT AS pr
+           |         FROM i$i i JOIN deg d ON d.src = i.w)""".stripMargin
+      s"""WITH tok AS (
+         |  SELECT $sqlToks AS toks FROM documents),
+         |adj AS (
+         |  SELECT DISTINCT least(p.a, p.b) AS u, greatest(p.a, p.b) AS v
+         |  FROM (SELECT unnest([{'a': toks[i], 'b': toks[i + 1]}
+         |                       FOR i IN generate_series(1, len(toks) - 1)])
+         |          AS p
+         |        FROM tok WHERE len(toks) >= 2)
+         |  WHERE p.a <> p.b),
+         |edges AS (SELECT u AS src, v AS dst FROM adj
+         |          UNION ALL SELECT v, u FROM adj),
+         |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+         |nn AS (SELECT COUNT(*) AS n FROM deg),
+         |pr0 AS (SELECT src AS w, outdeg,
+         |               (SELECT 1000000000000 // n FROM nn) AS pr FROM deg),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)},
+         |top AS (SELECT w, pr FROM pr3 ORDER BY pr DESC, w LIMIT 30)
+         |SELECT w AS word, pr,
+         |       ROW_NUMBER() OVER (ORDER BY pr DESC, w) AS rnk
+         |FROM top ORDER BY rnk""".stripMargin.replaceAll("\n", " ")
+    },
     "ta_rake" -> {
       val stopList = RakeStops.map(w => s"'$w'").mkString(", ")
       s"""WITH tok AS (

@@ -3715,6 +3715,29 @@ class PipelineSpec extends AnyFunSuite {
       .collect().length == 2)
   }
 
+  test("taTextRank: hub word wins the co-occurrence PageRank") {
+    import spark.implicits._
+    // star around 'hub': every other word co-occurs ONLY with it, so
+    // centrality concentrates there — the recursive signal RAKE's
+    // degree/frequency scoring also sees, but via the rank fixpoint
+    val docs = Seq(
+      (1L, "hub alpha hub beta"),
+      (2L, "gamma hub"),
+      (3L, "hub delta")).toDF("doc_id", "text")
+    val got = TextAnalysis.taTextRank(docs, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.head._1 == "hub" && got.head._3 == 1L)
+    assert(got.map(_._3).toSeq == (1L to got.length))
+    // spokes tie exactly (identical position in the graph): same pr
+    val spokes = got.filter(_._1 != "hub").map(_._2).distinct
+    assert(spokes.length == 1, s"spoke ranks diverged: ${got.toSeq}")
+    // oracle form: exactly k contiguous ranks over the testdata corpus
+    val orc = TextAnalysis.taTextRank(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(orc.length == 30 &&
+      orc.map(_.getLong(2)).toSeq == (1L to 30L))
+  }
+
   test("ddDespanOn: shared spans vanish at ARBITRARY offsets; context stays") {
     import spark.implicits._
     val span = (1 to 8).map(i => s"s$i").mkString(" ")
