@@ -205,6 +205,9 @@ object PipelineScaleProbe {
     // `addendum42` (no dir) — mm_audiofeat at 100k REAL WAV clips:
     // planted square waves, every clip's integer cores checked exactly
     if (args.headOption.contains("addendum42")) { addendum42(); return }
+    // `addendum43 <existingDir>` — ta_textrank at 500k docs: corpus pass
+    // vs vocabulary-sized rank-loop split measured
+    if (args.headOption.contains("addendum43")) { addendum43(args(1)); return }
     // `addendum13 <nDocs> <nEvents> <nVec> <outBase>` — gaps/gini at
     // event scale, epochs/ngram at corpus scale, range at vector scale
     if (args.headOption.contains("addendum13")) {
@@ -3030,6 +3033,44 @@ object PipelineScaleProbe {
     println(f"PSCALE q=mm_audiofeat clips=$n wall=$w%.1f s " +
       "(every clip's integer cores exact)")
     println("PSCALE addendum42 done")
+    spark.stop()
+  }
+
+  /** Round-9 ta_textrank at 100×: the scaladoc's scale claim is that ONE
+    * corpus pass builds the pair relation and everything after runs on
+    * the VOCABULARY-sized graph — so the probe measures both halves:
+    * the distinct adjacent-pair count (the graph), the full query wall,
+    * and the rank sanity (contiguous ranks, hub words plausible).
+    */
+  private def addendum43(dir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.SparkHygiene.quietRddLogs()
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    docs.createOrReplaceTempView("__tr43")
+    val (nPairs, wPairs) = wall(spark.sql(
+      """SELECT DISTINCT least(p.a, p.b) AS u, greatest(p.a, p.b) AS v
+        |FROM (SELECT split(text, ' ') AS toks FROM __tr43)
+        |LATERAL VIEW explode(transform(sequence(1, size(toks) - 1),
+        |  i -> struct(element_at(toks, i) AS a,
+        |              element_at(toks, i + 1) AS b))) pt AS p
+        |WHERE size(toks) >= 2 AND p.a <> p.b""".stripMargin).count())
+    val (rows, wAll) = wall(ops.TextAnalysis.taTextRank(docs, k = 30)
+      .collect())
+    require(rows.length == 30 &&
+      rows.map(_.getLong(2)).toSeq == (1L to 30L),
+      "textrank ranks not contiguous at 500k docs")
+    println(f"PSCALE q=ta_textrank docs=500000 pairs=$nPairs " +
+      f"pairs_pass=$wPairs%.1f s full=$wAll%.1f s " +
+      s"top3=${rows.take(3).map(_.getString(0)).mkString(",")}")
+    println("PSCALE addendum43 done")
     spark.stop()
   }
 
