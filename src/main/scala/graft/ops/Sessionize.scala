@@ -2304,6 +2304,113 @@ object Sessionize {
     evCuped(s.table("__events"))
   }
 
+  /** Always-valid sequential A/B monitoring (the mixture SPRT of Johari,
+    * Koomen, Pekelis & Walsh, "Peeking at A/B Tests", KDD 2017 —
+    * public): per day, the cumulative two-sample mixture likelihood
+    * ratio
+    *
+    *   Λ_t = √(V/(V+τ²)) · exp(θ̂²·τ² / (2V(V+τ²))),
+    *
+    * θ̂ the cumulative mean difference, V = σ̂²(1/n_A + 1/n_B) its
+    * variance (pooled σ̂² from cumulative moments), τ² the mixture prior
+    * — and the ALWAYS-VALID p-value p_t = min_{s≤t} min(1, 1/Λ_s),
+    * monotone by construction: the experimenter may peek every day and
+    * stop the moment it crosses α without inflating false positives —
+    * the question the fixed-horizon ev_abtest z-test cannot answer.
+    *
+    * Engine-exactness: day-level Σv and Σv² accumulate as DECIMAL of
+    * 6-dp-rounded terms (the ev_cuped discipline), cumulative sums are
+    * window SUMs over the day×arm grid (exact), the one exp() argument
+    * is 6-dp-rounded BEFORE exp (the ta_ppl transcendental discipline),
+    * and p_now is 6-dp-rounded before the running MIN so both engines
+    * rank identical values.
+    *
+    * Scale design: ONE corpus pass builds the (day, variant) moment
+    * relation; every window after runs on the days×2 grid — at 100 TB
+    * the daily pre-agg (map-side combinable) dominates and the
+    * sequential statistics are noise. Days where an arm has no events
+    * yet carry its cumulative forward via the dense grid left-join.
+    */
+  def evSequential(events: DataFrame, tauSq: Double = 0.01,
+      salt: String = "ab"): DataFrame = {
+    require(tauSq > 0, s"evSequential: tauSq must be > 0, got $tauSq")
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__sq_events")
+    s.sql(
+      s"""WITH e AS (
+         |  SELECT unix_micros(ts) div 86400000000 AS day,
+         |         CASE WHEN instr('0123456789abcdef',
+         |                substring(md5(concat('$salt:',
+         |                  CAST(user_id AS STRING))), 1, 1)) - 1 < 8
+         |              THEN 'A' ELSE 'B' END AS variant,
+         |         value
+         |  FROM __sq_events),
+         |d AS (
+         |  SELECT day, variant, COUNT(*) AS n,
+         |         SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS sv,
+         |         SUM(CAST(ROUND(value * value, 6) AS DECIMAL(38,6))) AS sq
+         |  FROM e GROUP BY day, variant),
+         |grid AS (
+         |  SELECT day, variant
+         |  FROM (SELECT DISTINCT day FROM e)
+         |  CROSS JOIN (SELECT 'A' AS variant UNION ALL SELECT 'B')),
+         |c AS (
+         |  SELECT g.day, g.variant,
+         |         SUM(COALESCE(d.n, 0)) OVER
+         |           (PARTITION BY g.variant ORDER BY g.day) AS n,
+         |         SUM(COALESCE(d.sv, CAST(0 AS DECIMAL(28,6)))) OVER
+         |           (PARTITION BY g.variant ORDER BY g.day) AS sv,
+         |         SUM(COALESCE(d.sq, CAST(0 AS DECIMAL(38,6)))) OVER
+         |           (PARTITION BY g.variant ORDER BY g.day) AS sq
+         |  FROM grid g LEFT JOIN d ON d.day = g.day AND d.variant = g.variant),
+         |w AS (
+         |  SELECT day,
+         |         MAX(CASE WHEN variant = 'A' THEN n END) AS na,
+         |         MAX(CASE WHEN variant = 'A'
+         |                  THEN CAST(sv AS DOUBLE) END) AS sa,
+         |         MAX(CASE WHEN variant = 'A'
+         |                  THEN CAST(sq AS DOUBLE) END) AS qa,
+         |         MAX(CASE WHEN variant = 'B' THEN n END) AS nb,
+         |         MAX(CASE WHEN variant = 'B'
+         |                  THEN CAST(sv AS DOUBLE) END) AS sb,
+         |         MAX(CASE WHEN variant = 'B'
+         |                  THEN CAST(sq AS DOUBLE) END) AS qb
+         |  FROM c GROUP BY day),
+         |stat AS (
+         |  SELECT day, na, nb,
+         |         CASE WHEN na > 0 THEN ROUND(sa / na, 6) END AS mean_a,
+         |         CASE WHEN nb > 0 THEN ROUND(sb / nb, 6) END AS mean_b,
+         |         CASE WHEN na > 0 AND nb > 0
+         |              THEN (qa + qb) / (na + nb)
+         |                   - ((sa + sb) / (na + nb))
+         |                     * ((sa + sb) / (na + nb)) END AS ssq,
+         |         CASE WHEN na > 0 AND nb > 0
+         |              THEN sa / na - sb / nb END AS diff
+         |  FROM w),
+         |lam AS (
+         |  SELECT day, na, nb, mean_a, mean_b,
+         |         ROUND(diff, 6) AS diff,
+         |         CASE WHEN diff IS NULL OR ssq <= 0 THEN CAST(1 AS DOUBLE)
+         |              ELSE SQRT((ssq * (1.0 / na + 1.0 / nb))
+         |                        / (ssq * (1.0 / na + 1.0 / nb) + $tauSq))
+         |                   * EXP(ROUND(
+         |                       diff * diff * $tauSq
+         |                       / (2 * ssq * (1.0 / na + 1.0 / nb)
+         |                          * (ssq * (1.0 / na + 1.0 / nb)
+         |                             + $tauSq)), 6)) END AS lambda
+         |  FROM stat)
+         |SELECT day, na, nb, mean_a, mean_b, diff,
+         |       ROUND(lambda, 6) AS lambda,
+         |       ROUND(LEAST(CAST(1 AS DOUBLE), 1 / lambda), 6) AS p_now,
+         |       MIN(ROUND(LEAST(CAST(1 AS DOUBLE), 1 / lambda), 6))
+         |         OVER (ORDER BY day) AS p_always_valid
+         |FROM lam ORDER BY day""".stripMargin)
+  }
+
+  /** The oracle-checked form: the events value metric, τ² = 0.01. */
+  def evSequential(s: SparkSession, dir: String): DataFrame =
+    evSequential(Tables.load(s, dir, "events"))
+
   /** Build `__ab_cdf`, the variant-split distinct-value CDF relation
     * shared by evMannWhitney/evKs: per-user value sums exact in integer
     * cents (DECIMAL(18,2)·100), arms by the evAbTest/evSrm md5 rule,
@@ -2763,6 +2870,7 @@ object Sessionize {
     "ev_winsor" -> ((s: SparkSession, dir: String) => evWinsor(s, dir)),
     "ev_forecast" -> ((s: SparkSession, dir: String) => evForecast(s, dir)),
     "ev_cuped" -> ((s: SparkSession, dir: String) => evCuped(s, dir)),
+    "ev_sequential" -> ((s: SparkSession, dir: String) => evSequential(s, dir)),
     "ev_seasonality" -> ((s: SparkSession, dir: String) => evSeasonality(s, dir)),
     "ev_powerlaw" -> ((s: SparkSession, dir: String) => evPowerlaw(s, dir)),
     "ev_basket" -> ((s: SparkSession, dir: String) => evBasket(s, dir)),
@@ -3089,6 +3197,70 @@ object Sessionize {
         "ROUND(ml, 6) AS mean_left, ROUND(mr, 6) AS mean_right, " +
         "ROUND(gain, 6) AS gain " +
         "FROM sc WHERE rn = 1 ORDER BY event_type"),
+    "ev_sequential" ->
+      ("""WITH e AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |         CASE WHEN strpos('0123456789abcdef',
+        |                substr(md5('ab:' || user_id::VARCHAR), 1, 1)) - 1 < 8
+        |              THEN 'A' ELSE 'B' END AS variant,
+        |         value
+        |  FROM events),
+        |d AS (
+        |  SELECT day, variant, COUNT(*) AS n,
+        |         SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS sv,
+        |         SUM(CAST(ROUND(value * value, 6) AS DECIMAL(38,6))) AS sq
+        |  FROM e GROUP BY day, variant),
+        |grid AS (
+        |  SELECT day, variant
+        |  FROM (SELECT DISTINCT day FROM e)
+        |  CROSS JOIN (SELECT 'A' AS variant UNION ALL SELECT 'B')),
+        |c AS (
+        |  SELECT g.day, g.variant,
+        |         (SUM(COALESCE(d.n, 0)) OVER
+        |           (PARTITION BY g.variant ORDER BY g.day))::BIGINT AS n,
+        |         SUM(COALESCE(d.sv, CAST(0 AS DECIMAL(28,6)))) OVER
+        |           (PARTITION BY g.variant ORDER BY g.day) AS sv,
+        |         SUM(COALESCE(d.sq, CAST(0 AS DECIMAL(38,6)))) OVER
+        |           (PARTITION BY g.variant ORDER BY g.day) AS sq
+        |  FROM grid g LEFT JOIN d ON d.day = g.day AND d.variant = g.variant),
+        |w AS (
+        |  SELECT day,
+        |         MAX(CASE WHEN variant = 'A' THEN n END) AS na,
+        |         MAX(CASE WHEN variant = 'A' THEN sv::DOUBLE END) AS sa,
+        |         MAX(CASE WHEN variant = 'A' THEN sq::DOUBLE END) AS qa,
+        |         MAX(CASE WHEN variant = 'B' THEN n END) AS nb,
+        |         MAX(CASE WHEN variant = 'B' THEN sv::DOUBLE END) AS sb,
+        |         MAX(CASE WHEN variant = 'B' THEN sq::DOUBLE END) AS qb
+        |  FROM c GROUP BY day),
+        |stat AS (
+        |  SELECT day, na, nb,
+        |         CASE WHEN na > 0 THEN ROUND(sa / na, 6) END AS mean_a,
+        |         CASE WHEN nb > 0 THEN ROUND(sb / nb, 6) END AS mean_b,
+        |         CASE WHEN na > 0 AND nb > 0
+        |              THEN (qa + qb) / (na + nb)
+        |                   - ((sa + sb) / (na + nb))
+        |                     * ((sa + sb) / (na + nb)) END AS ssq,
+        |         CASE WHEN na > 0 AND nb > 0
+        |              THEN sa / na - sb / nb END AS diff
+        |  FROM w),
+        |lam AS (
+        |  SELECT day, na, nb, mean_a, mean_b,
+        |         ROUND(diff, 6) AS diff,
+        |         CASE WHEN diff IS NULL OR ssq <= 0 THEN CAST(1 AS DOUBLE)
+        |              ELSE SQRT((ssq * (1.0 / na + 1.0 / nb))
+        |                        / (ssq * (1.0 / na + 1.0 / nb) + 0.01))
+        |                   * EXP(ROUND(
+        |                       diff * diff * 0.01
+        |                       / (2 * ssq * (1.0 / na + 1.0 / nb)
+        |                          * (ssq * (1.0 / na + 1.0 / nb)
+        |                             + 0.01)), 6)) END AS lambda
+        |  FROM stat)
+        |SELECT day, na, nb, mean_a, mean_b, diff,
+        |       ROUND(lambda, 6) AS lambda,
+        |       ROUND(LEAST(CAST(1 AS DOUBLE), 1 / lambda), 6) AS p_now,
+        |       MIN(ROUND(LEAST(CAST(1 AS DOUBLE), 1 / lambda), 6))
+        |         OVER (ORDER BY day) AS p_always_valid
+        |FROM lam ORDER BY day""".stripMargin.replaceAll("\n", " ")),
     "ev_cuped" ->
       (s"WITH $prePostUserOracleCtes, " +
         "g AS (SELECT COUNT(*) AS n, " +

@@ -3715,6 +3715,36 @@ class PipelineSpec extends AnyFunSuite {
       .collect().length == 2)
   }
 
+  test("evSequential: planted lift drives the always-valid p down; null stays up") {
+    import spark.implicits._
+    // replicate the md5 'ab:' arm rule so the lift is planted BY arm
+    def armA(id: Long): Boolean = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ab:$id".getBytes("UTF-8"))
+      ((h(0) >> 4) & 0xf) < 8
+    }
+    def events(lift: Double) = (for {
+      u <- 0L until 200L
+      d <- 0 until 10
+    } yield {
+      val base = 10.0 + ((u * 7 + d) % 5) * 0.1
+      (u * 1000 + d, new java.sql.Timestamp(d * 86400000L), u, "purchase",
+        base + (if (armA(u)) lift else 0.0))
+    }).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val lifted = Sessionize.evSequential(events(5.0)).collect()
+    assert(lifted.length == 10)
+    val ps = lifted.map(_.getDouble(8))
+    // always-valid p is monotone nonincreasing and certain by day 10
+    assert(ps.zip(ps.tail).forall { case (a, b) => b <= a }, ps.toSeq)
+    assert(ps.last < 0.05, s"planted lift not detected: p=${ps.last}")
+    val nullPs = Sessionize.evSequential(events(0.0)).collect()
+      .map(_.getDouble(8))
+    assert(nullPs.last > 0.3, s"null effect rejected: p=${nullPs.last}")
+    // oracle form runs on the testdata events
+    assert(Sessionize.evSequential(spark, "/root/testdata/sf0.001")
+      .collect().nonEmpty)
+  }
+
   test("taTextRank: hub word wins the co-occurrence PageRank") {
     import spark.implicits._
     // star around 'hub': every other word co-occurs ONLY with it, so
