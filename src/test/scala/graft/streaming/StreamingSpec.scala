@@ -1340,4 +1340,62 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.event_type, r.user_id, r.est, r.err, r.n)).toSeq
     assert(stream.sorted == batch.sorted && stream.nonEmpty)
   }
+
+  test("sequential: tracker == evSequential SQL row-for-row") {
+    import spark.implicits._
+    // 40 users x 6 days, deterministic non-trivial values — both arms
+    // populated by the md5 rule at this user count
+    val evs = (for { u <- 0L until 40L; d <- 0 until 6 } yield Ev(
+      u * 100 + d,
+      new Timestamp(Timestamp.valueOf("2024-03-01 00:00:00").getTime +
+        d * 86400000L + (u % 24) * 3600000L),
+      u, "purchase", 3.25 + ((u * 13 + d * 7) % 11) * 0.37)).toDF()
+    val viaSql = graft.ops.Sessionize.evSequential(evs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7), r.getDouble(8)))
+    val viaTracker = SequentialTracker.sequentialBatch(
+        evs.select("ts", "user_id", "value")
+          .as[SequentialTracker.SqEv]).collect()
+      .map(r => (r.day, r.na, r.nb, r.mean_a.get, r.mean_b.get,
+        r.diff.get, r.lambda, r.p_now, r.p_always_valid))
+    assert(viaTracker.sortBy(_._1).toSeq == viaSql.sortBy(_._1).toSeq &&
+      viaSql.nonEmpty)
+  }
+
+  test("sequential: streaming == batch; late in-watermark event lands first") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(u: Long, d: Int, h: Int, v: Double) = SequentialTracker.SqEv(
+      new Timestamp(Timestamp.valueOf("2024-03-01 00:00:00").getTime +
+        d * 86400000L + h * 3600000L), u, v)
+    // trigger 1: days 0-2 for 20 users; trigger 2 delivers a LATE day-2
+    // whale (inside the 3h watermark) plus day 3 — day 2's scored row
+    // must include the whale because the watermark held day 2 open
+    val b1 = for { u <- 0L until 20L; d <- 0 until 3 }
+      yield ev(u, d, 10, 5.0 + (u % 7) * 0.5)
+    val b2 = Seq(ev(3L, 2, 22, 50.0)) ++
+      (0L until 20L).map(u => ev(u, 3, 10, 5.0 + (u % 7) * 0.5))
+    val stream = MemoryStream[SequentialTracker.SqEv]
+    val q = SequentialTracker.sequentialStream(
+        stream.toDF().withWatermark("ts", "3 hours")
+          .as[SequentialTracker.SqEv])
+      .writeStream.outputMode("append")
+      .format("memory").queryName("seq_out").start()
+    for (b <- Seq(b1, b2)) { stream.addData(b); q.processAllAvailable() }
+    // ONE sentinel far-future event advances the watermark past every
+    // real day; its own day stays in flight and never emits (a second,
+    // later sentinel would close the first's day and emit its polluted
+    // row — the single-key fold has no type column to filter on)
+    val maxTs = (b1 ++ b2).map(_.ts.getTime).max
+    stream.addData(ev(999L, 0, 0, 0.0).copy(
+      ts = new Timestamp(maxTs + 9L * 86400000L)))
+    q.processAllAvailable()
+    val got = spark.table("seq_out").as[SequentialTracker.SequentialRow]
+      .collect().map(r => (r.day, r.na, r.nb, r.lambda, r.p_always_valid))
+    val batch = SequentialTracker.sequentialBatch((b1 ++ b2).toDS())
+      .collect().map(r => (r.day, r.na, r.nb, r.lambda, r.p_always_valid))
+    assert(got.sortBy(_._1).toSeq == batch.sortBy(_._1).toSeq &&
+      got.length == 4, got.toSeq)
+  }
 }
