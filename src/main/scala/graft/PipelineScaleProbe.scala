@@ -208,6 +208,9 @@ object PipelineScaleProbe {
     // `addendum43 <existingDir>` — ta_textrank at 500k docs: corpus pass
     // vs vocabulary-sized rank-loop split measured
     if (args.headOption.contains("addendum43")) { addendum43(args(1)); return }
+    // `addendum44 <existingDir>` — ev_sequential at 10M events: the SQL
+    // day-grid path vs the tracker's declared single-key fold cost
+    if (args.headOption.contains("addendum44")) { addendum44(args(1)); return }
     // `addendum13 <nDocs> <nEvents> <nVec> <outBase>` — gaps/gini at
     // event scale, epochs/ngram at corpus scale, range at vector scale
     if (args.headOption.contains("addendum13")) {
@@ -3071,6 +3074,47 @@ object PipelineScaleProbe {
       f"pairs_pass=$wPairs%.1f s full=$wAll%.1f s " +
       s"top3=${rows.take(3).map(_.getString(0)).mkString(",")}")
     println("PSCALE addendum43 done")
+    spark.stop()
+  }
+
+  /** Round-9 ev_sequential at 100×: 10M events over ~30 days. Measures
+    * the SQL path (one distributed day-grid pass — the 100 TB shape) and
+    * the tracker's batch fold (single-key, the DECLARED scale caveat:
+    * one task swallows the corpus — recorded so the scaladoc's
+    * "pre-aggregate upstream" advice has a number), and cross-checks the
+    * two row-for-row (the StreamingSpec parity at volume).
+    */
+  private def addendum44(dir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.SparkHygiene.quietRddLogs()
+    import spark.implicits._
+
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("event_id", "timestamp_micros(ts div 1000) AS ts",
+        "user_id", "event_type", "value")
+    val (sqlRows, wSql) = wall(ops.Sessionize.evSequential(ev).collect())
+    require(sqlRows.nonEmpty, "no sequential rows at 10M events")
+    val ps = sqlRows.map(_.getDouble(8))
+    require(ps.zip(ps.tail).forall { case (a, b) => b <= a },
+      "always-valid p not monotone at 10M events")
+    val (trRows, wTr) = wall(streaming.SequentialTracker.sequentialBatch(
+      ev.select("ts", "user_id", "value")
+        .as[streaming.SequentialTracker.SqEv]).collect())
+    val sqlKey = sqlRows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getDouble(6), r.getDouble(8))).sortBy(_._1).toSeq
+    val trKey = trRows.map(r => (r.day, r.na, r.nb, r.lambda,
+      r.p_always_valid)).sortBy(_._1).toSeq
+    require(sqlKey == trKey, "tracker != SQL at 10M events")
+    println(f"PSCALE q=ev_sequential events=10000000 days=${sqlRows.length} " +
+      f"sql_wall=$wSql%.1f s tracker_fold_wall=$wTr%.1f s " +
+      f"p_final=${ps.last}%.6f (paths row-identical)")
+    println("PSCALE addendum44 done")
     spark.stop()
   }
 

@@ -606,6 +606,21 @@ class PlanSpec extends AnyFunSuite {
     assert(local.head().getDouble(0) == 11.0)
   }
 
+  test("dd_despan: the duplicated-gram relation joins back broadcast") {
+    // only df>=minDf grams explode into covered positions — shipping the
+    // corpus-sized position relation through a sort-merge join against
+    // the boilerplate-sized dup set would be the wrong 100 TB shape
+    val plan = formatted(graft.ops.Dedup.ddDespan(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast dups join:\n$plan")
+  }
+
+  test("ev_sequential: the day pre-agg is partial+final; windows run on the grid") {
+    val plan = formatted(graft.ops.Sessionize.evSequential(spark, sf))
+    // the one corpus-sized aggregation must map-side combine
+    assert(plan.contains("partial_"), s"no partial day pre-agg:\n$plan")
+  }
+
   test("ds_dsir: bucket model joins broadcast; top-k rides TakeOrdered") {
     // the llr relation is numBuckets-sized — shipping the corpus-sized
     // (doc,bucket) counts through a sort-merge join against 256 rows
