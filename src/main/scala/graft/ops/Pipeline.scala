@@ -412,6 +412,68 @@ object Pipeline {
   def dsWeightedSample(s: SparkSession, dir: String): DataFrame =
     dsWeightedSample(Tables.load(s, dir, "documents"), "n_chars", k = 100)
 
+  /** k-anonymity release audit with a generalization ladder (Sweeney
+    * 2002 / the Mondrian-style numeric coarsening, public): partition
+    * the corpus into equivalence classes over the categorical
+    * quasi-identifiers plus a NUMERIC quasi-identifier bucketed at
+    * `baseBucket · 2^level`, and CHOOSE the minimum level at which every
+    * class holds ≥ k rows — the generalization a release pipeline
+    * actually applies before publishing. Per chosen-level class: size,
+    * l-diversity of the sensitive column (distinct sensitive values —
+    * a k-anonymous class with one sensitive value still leaks), the
+    * under-k flag (true only when even the coarsest level fails, which
+    * the caller must treat as suppress-or-widen), and the 1/n
+    * re-identification risk bound.
+    *
+    * Scale design: ONE corpus pass builds the finest
+    * (quasi × sensitive) count relation; every ladder level ROLLS UP
+    * from it (sum for sizes, distinct-over-grouping for l-diversity —
+    * exact, because the sensitive value is carried in the base
+    * relation), so the 10-level sweep costs classes×levels, not
+    * corpus×levels. The chosen level is a 1-row broadcast join.
+    */
+  def dsKanon(rows: DataFrame, quasiCats: Seq[String], numCol: String,
+      sensitiveCol: String, k: Int, baseBucket: Long = 250L,
+      maxLevel: Int = 9): DataFrame = {
+    require(k >= 2, s"dsKanon: k must be >= 2, got $k")
+    require(quasiCats.nonEmpty && baseBucket >= 1 &&
+      maxLevel >= 0 && maxLevel <= 30, "dsKanon: bad ladder parameters")
+    val s = rows.sparkSession
+    rows.createOrReplaceTempView("__ka_rows")
+    val cats = quasiCats.mkString(", ")
+    s.sql(
+      s"""WITH base AS (
+         |  SELECT $cats, CAST($numCol AS BIGINT) div $baseBucket AS b0,
+         |         $sensitiveCol AS sv, COUNT(*) AS n
+         |  FROM __ka_rows GROUP BY $cats, ${quasiCats.size + 1}, sv),
+         |lv AS (SELECT explode(sequence(0, $maxLevel)) AS level),
+         |cls AS (
+         |  SELECT level, $cats, b0 div shiftleft(1, level) AS bucket,
+         |         SUM(n) AS n, COUNT(DISTINCT sv) AS l_div
+         |  FROM base CROSS JOIN lv
+         |  GROUP BY level, $cats, ${quasiCats.size + 2}),
+         |minn AS (SELECT level, MIN(n) AS mn FROM cls GROUP BY level),
+         |chosen AS (
+         |  SELECT COALESCE(MIN(CASE WHEN mn >= $k THEN level END),
+         |                  $maxLevel) AS lv
+         |  FROM minn)
+         |SELECT c.level, $cats, bucket, n, l_div,
+         |       n < $k AS under_k,
+         |       ROUND(1.0 / n, 6) AS reident_risk
+         |FROM cls c JOIN chosen ch ON c.level = ch.lv
+         |ORDER BY $cats, bucket""".stripMargin)
+  }
+
+  /** The oracle-checked form: quasi = (lang, source) + n_chars laddered
+    * from 250-char buckets, sensitive = the document's first token (a
+    * content-class proxy), k = 3.
+    */
+  def dsKanon(s: SparkSession, dir: String): DataFrame =
+    dsKanon(Tables.load(s, dir, "documents")
+        .selectExpr("lang", "source", "n_chars",
+          "element_at(split(text, ' '), 1) AS first_tok"),
+      Seq("lang", "source"), "n_chars", "first_tok", k = 3)
+
   /** DSIR-style importance resampling (Xie, Santurkar, Ma, Liang, "Data
     * Selection for Language Models via Importance Resampling", NeurIPS
     * 2023 — public): pick the k raw documents whose hashed-n-gram
@@ -1600,6 +1662,7 @@ object Pipeline {
     "ds_sample" -> (dsSample _),
     "ds_wsample" -> ((s: SparkSession, dir: String) => dsWeightedSample(s, dir)),
     "ds_dsir" -> ((s: SparkSession, dir: String) => dsDsir(s, dir)),
+    "ds_kanon" -> ((s: SparkSession, dir: String) => dsKanon(s, dir)),
     "ds_epochs" -> ((s: SparkSession, dir: String) => dsEpochs(s, dir)),
     "ds_qfilter" -> ((s: SparkSession, dir: String) => dsQualityFilter(s, dir)),
     "ds_shuffle" -> (dsShuffle _),
@@ -1755,6 +1818,24 @@ object Pipeline {
         """/ 1152921504606846976.0) / n_chars::DOUBLE, 9) AS race """ +
         """FROM documents WHERE n_chars::DOUBLE > 0) """ +
         """ORDER BY race, doc_id LIMIT 100"""),
+    "ds_kanon" ->
+      ("""WITH base AS ( """ +
+        """SELECT lang, source, n_chars // 250 AS b0, """ +
+        """string_split(text, ' ')[1] AS sv, COUNT(*) AS n """ +
+        """FROM documents GROUP BY lang, source, 3, sv), """ +
+        """lv AS (SELECT unnest(generate_series(0, 9)) AS level), """ +
+        """cls AS ( """ +
+        """SELECT level, lang, source, b0 // (1 << level) AS bucket, """ +
+        """SUM(n)::BIGINT AS n, COUNT(DISTINCT sv) AS l_div """ +
+        """FROM base CROSS JOIN lv GROUP BY level, lang, source, 4), """ +
+        """minn AS (SELECT level, MIN(n) AS mn FROM cls GROUP BY level), """ +
+        """chosen AS ( """ +
+        """SELECT COALESCE(MIN(CASE WHEN mn >= 3 THEN level END), 9) """ +
+        """AS lv FROM minn) """ +
+        """SELECT c.level, lang, source, bucket, n, l_div, """ +
+        """n < 3 AS under_k, ROUND(1.0 / n, 6) AS reident_risk """ +
+        """FROM cls c JOIN chosen ch ON c.level = ch.lv """ +
+        """ORDER BY lang, source, bucket"""),
     "ds_dsir" ->
       ("""WITH rt AS (SELECT doc_id, string_split(text, ' ') AS toks """ +
         """FROM documents), """ +

@@ -3715,6 +3715,27 @@ class PipelineSpec extends AnyFunSuite {
       .collect().length == 2)
   }
 
+  test("dsKanon: the ladder coarsens exactly until every class reaches k") {
+    import spark.implicits._
+    // level 0 buckets: [0,250) holds 4 rows, [250,500) holds 2 — the
+    // small class forces ONE doubling; the merged [0,500) class holds 6
+    val rows = Seq(
+      ("g", 10L, "x"), ("g", 20L, "x"), ("g", 100L, "y"), ("g", 200L, "x"),
+      ("g", 300L, "z"), ("g", 400L, "z")).toDF("cat", "v", "s")
+    val got = Pipeline.dsKanon(rows, Seq("cat"), "v", "s", k = 3).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getInt(0) == 1 && r.getLong(2) == 0L && // level 1, bucket 0
+      r.getLong(3) == 6L && r.getLong(4) == 3L && // n=6, l_div {x,y,z}
+      !r.getBoolean(5))
+    // already-k-anonymous data stays at level 0 untouched
+    val fine = Seq.tabulate(6)(i => ("g", (i % 2) * 250L, s"s$i"))
+      .toDF("cat", "v", "s")
+    val g2 = Pipeline.dsKanon(fine, Seq("cat"), "v", "s", k = 3).collect()
+    assert(g2.length == 2 && g2.forall(_.getInt(0) == 0) &&
+      g2.forall(_.getLong(3) == 3L))
+  }
+
   test("evSequential: planted lift drives the always-valid p down; null stays up") {
     import spark.implicits._
     // replicate the md5 'ab:' arm rule so the lift is planted BY arm
