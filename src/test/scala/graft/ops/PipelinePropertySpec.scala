@@ -328,4 +328,126 @@ class PipelinePropertySpec extends AnyFunSuite {
       got == want
     })
   }
+
+  private val genDespanCorpus: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(2, 10)
+    vocab = Vector("aa", "bb", "cc", "dd")
+    docs <- Gen.listOfN(n, Gen.choose(4, 14).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" "))))
+  } yield docs.indices.map(i => ((i + 1).toLong, docs(i))).toList
+
+  test("ddDespan: removals match an in-memory covered-position replay") {
+    import spark.implicits._
+    val nGram = 3
+    check(Prop.forAll(genDespanCorpus) { docs =>
+      // in-memory replay of the contract: a token index is covered iff
+      // some n-window over it appears in >= 2 distinct docs
+      val grams = docs.flatMap { case (id, text) =>
+        val t = text.split(" ")
+        (0 to t.length - nGram).map(p => (id, p, t.slice(p, p + nGram)
+          .mkString(" ")))
+      }
+      val dup = grams.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2)
+        .keySet
+      val want = docs.map { case (id, text) =>
+        val t = text.split(" ")
+        val cov = (0 to t.length - nGram)
+          .filter(p => dup(t.slice(p, p + nGram).mkString(" ")))
+          .flatMap(p => p until p + nGram).toSet
+        val clean = t.indices.filterNot(cov).map(t)
+        (id, t.length, cov.size, clean.mkString(" "))
+      }.sortBy(_._1)
+      val got = Dedup.ddDespanOn(docs.toDF("doc_id", "text"), nGram)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+        .toList
+      got == want
+    })
+  }
+
+  private val genKanonRows: Gen[(List[(String, Long, String)], Int)] = for {
+    n <- Gen.choose(2, 40)
+    rows <- Gen.listOfN(n, for {
+      cat <- Gen.oneOf("g1", "g2")
+      v <- Gen.choose(0L, 4000L)
+      s <- Gen.oneOf("s1", "s2", "s3")
+    } yield (cat, v, s))
+    k <- Gen.choose(2, 5)
+  } yield (rows, k)
+
+  test("dsKanon: the chosen ladder level is MINIMAL and classes honest") {
+    import spark.implicits._
+    check(Prop.forAll(genKanonRows) { case (rows, k) =>
+      val got = Pipeline.dsKanon(rows.toDF("cat", "v", "s"),
+        Seq("cat"), "v", "s", k = k).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getBoolean(5)))
+      val level = got.head._1
+      def classesAt(l: Int) = rows.groupBy { case (c, v, _) =>
+        (c, v / 250 / (1L << l)) }
+      val sizesOk = got.forall { case (_, c, b, n, l, under) =>
+        val members = classesAt(level).getOrElse((c, b), Nil)
+        n == members.size && l == members.map(_._3).distinct.size &&
+          under == (n < k)
+      }
+      // minimality: every level BELOW the chosen one has some class < k
+      // (unless level 0 already suffices); the chosen level itself only
+      // fails when even the coarsest rung can't reach k (level 9)
+      val minimal = (0 until level).forall(l =>
+        classesAt(l).values.exists(_.size < k))
+      val chosenOk = got.forall(!_._6) || level == 9
+      sizesOk && minimal && chosenOk &&
+        got.length == classesAt(level).size
+    })
+  }
+
+  test("ssMips: per-query rows equal the in-memory inner-product top-k") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(3, 25)
+      vecs <- Gen.listOfN(n, Gen.listOfN(4,
+        Gen.choose(-100, 100).map(_ / 16.0f)))
+    } yield vecs.indices.map(i => (i.toLong, vecs(i).toArray)).toList
+    check(Prop.forAll(gen) { emb =>
+      val k = 4
+      val got = Similarity.ssMips(spark,
+          emb.toDF("vec_id", "embedding"), "vec_id < 2", k).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toList
+      val want = emb.filter(_._1 < 2).flatMap { case (q, qv) =>
+        emb.filter(_._1 != q).map { case (c, cv) =>
+          val ip = qv.zip(cv).foldLeft(0.0) { case (a, (x, y)) =>
+            a + x.toDouble * y.toDouble } // graft_dot's index-order fold
+          (q, c, BigDecimal(ip).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }.sortBy { case (_, c, ip) => (-ip, c) }.take(k).zipWithIndex
+          .map { case ((q2, c, _), i) => (q2, c, (i + 1).toLong) }
+      }.sortBy(t => (t._1, t._3))
+      got == want
+    })
+  }
+
+  test("evSequential: p_always_valid IS the running min; p in (0, 1]") {
+    import spark.implicits._
+    val gen = for {
+      nu <- Gen.choose(4, 30)
+      nd <- Gen.choose(2, 8)
+      vals <- Gen.listOfN(nu * nd, Gen.choose(0, 2000).map(_ / 100.0))
+    } yield (nu, nd, vals)
+    check(Prop.forAll(gen) { case (nu, nd, vals) =>
+      val evs = (for { u <- 0 until nu; d <- 0 until nd } yield (
+        (u * 100 + d).toLong,
+        new java.sql.Timestamp(d * 86400000L + (u % 24) * 3600000L),
+        u.toLong, "e", vals(u * nd + d)))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val rows = Sessionize.evSequential(evs).collect()
+        .map(r => (r.getLong(0), r.getDouble(7), r.getDouble(8)))
+        .sortBy(_._1)
+      val runMin = rows.map(_._2).scanLeft(Double.MaxValue)(math.min).tail
+      // p can legitimately ROUND to 0.000000 under an extreme likelihood
+      // ratio, so the bound is [0, 1]; the running-min identity is exact
+      rows.map(_._3).toSeq == runMin.toSeq &&
+        rows.forall { case (_, p, pa) =>
+          p >= 0 && p <= 1.0 && pa >= 0 && pa <= 1.0 }
+    })
+  }
 }
