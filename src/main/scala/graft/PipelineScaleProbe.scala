@@ -211,6 +211,9 @@ object PipelineScaleProbe {
     // `addendum44 <existingDir>` — ev_sequential at 10M events: the SQL
     // day-grid path vs the tracker's declared single-key fold cost
     if (args.headOption.contains("addendum44")) { addendum44(args(1)); return }
+    // `addendum45 <existingDir>` — dsDsirWithin (single-pass target⊆raw)
+    // vs the two-corpus dsDsir at 500k docs, equality sampled
+    if (args.headOption.contains("addendum45")) { addendum45(args(1)); return }
     // `addendum13 <nDocs> <nEvents> <nVec> <outBase>` — gaps/gini at
     // event scale, epochs/ngram at corpus scale, range at vector scale
     if (args.headOption.contains("addendum13")) {
@@ -3115,6 +3118,40 @@ object PipelineScaleProbe {
       f"sql_wall=$wSql%.1f s tracker_fold_wall=$wTr%.1f s " +
       f"p_final=${ps.last}%.6f (paths row-identical)")
     println("PSCALE addendum44 done")
+    spark.stop()
+  }
+
+  /** Round-9 dsDsirWithin at 100×: the target⊆raw single-pass form vs
+    * the two-corpus entry on the SAME selection problem (500k raw,
+    * 400k-doc non-en target) — outputs must be identical, and the saved
+    * pass is the measurement.
+    */
+  private def addendum45(dir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.SparkHygiene.quietRddLogs()
+    import org.apache.spark.sql.functions._
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val (two, wTwo) = wall(ops.Pipeline.dsDsir(
+      docs.select("doc_id", "text"),
+      docs.filter(col("lang") =!= "en").select("text"), k = 1000).collect())
+    graft.SparkHygiene.clearSessionCaches(spark)
+    val (one, wOne) = wall(ops.Pipeline.dsDsirWithin(
+      docs.selectExpr("doc_id", "text", "lang <> 'en' AS is_target"),
+      k = 1000).collect())
+    graft.SparkHygiene.clearSessionCaches(spark)
+    val t2 = two.map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    val t1 = one.map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    require(t1 == t2, "single-pass and two-corpus DSIR diverge at 500k")
+    println(f"PSCALE q=ds_dsir_within docs=500000 target=400000 k=1000 " +
+      f"two_pass=$wTwo%.1f s one_pass=$wOne%.1f s (identical winners)")
+    println("PSCALE addendum45 done")
     spark.stop()
   }
 

@@ -3834,6 +3834,24 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("dsDsirWithin: single-pass flagged form == two-corpus dsDsir exactly") {
+    import spark.implicits._
+    val docs = (0L until 60L).map { i =>
+      (i, Seq.tabulate(12)(j => s"w${(i * 7 + j * 3) % 9}").mkString(" "))
+    }
+    val flagged = docs.map { case (id, t) => (id, t, id % 3 == 0) }
+      .toDF("doc_id", "text", "is_target")
+    val viaWithin = Pipeline.dsDsirWithin(flagged, k = 25).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    val viaTwo = Pipeline.dsDsir(
+        docs.toDF("doc_id", "text"),
+        docs.filter(_._1 % 3 == 0).map(_._2).toDF("text"), k = 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    assert(viaWithin == viaTwo && viaWithin.size == 25)
+  }
+
   test("dsDsir: degenerate inputs — empty target still scores (prior-only)") {
     import spark.implicits._
     val raw = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
