@@ -877,6 +877,85 @@ object Similarity {
     powerIterate(s, rounds)
   }
 
+  /** Maximal-marginal-relevance selection (Carbonell & Goldstein, SIGIR
+    * 1998 — public): greedily pick k items maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s) — the diversity-aware cut a
+    * retrieval pipeline runs after ANN ("relevant but not redundant":
+    * RAG context assembly, diverse eval-set sampling, dedup-aware
+    * recommendation). rel and sim are cosine; the empty-set max is 0, so
+    * the first pick is the plain relevance argmax.
+    *
+    * Engine-exactness: rel, each pairwise sim, and every round's score
+    * are 6-dp-rounded before comparison, ties break on vec_id — the
+    * greedy trajectory is a pure function of the input, and the DuckDB
+    * oracle replays all k rounds statically unrolled.
+    *
+    * Scale design: the candidate relation carries ONE incremental
+    * max-sim column — round t joins only the single newly-picked vector
+    * (a broadcast literal), never S × candidates; the argmax is a
+    * TakeOrdered LIMIT 1; each round eagerly checkpoints the updated
+    * relation and releases its predecessor (the Checkpoints discipline),
+    * so the plan stays O(1) in rounds. At 100 TB MMR runs over a
+    * RETRIEVED candidate set (the ANN entries' output, thousands of
+    * rows), not the raw corpus — the same loop unchanged.
+    */
+  def ssMmr(s: SparkSession, emb: DataFrame, queryId: Long, k: Int,
+      lambda: Double): DataFrame = {
+    require(k >= 1, s"ssMmr: k must be >= 1, got $k")
+    require(lambda > 0 && lambda <= 1, s"ssMmr: lambda in (0,1], got $lambda")
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    import org.apache.spark.sql.functions.{array, col, expr, greatest, lit, round}
+    emb.createOrReplaceTempView("__mmr_emb")
+    var cand = s.sql(
+      s"""WITH base AS (
+         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM __mmr_emb),
+         |norms AS (
+         |  SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM base)
+         |SELECT c.vec_id, c.v, c.nrm,
+         |       ROUND(graft_dot(c.v, q.v) / (c.nrm * q.nrm), 6) AS rel,
+         |       CAST(0 AS DOUBLE) AS ms
+         |FROM norms c CROSS JOIN (SELECT * FROM norms
+         |                         WHERE vec_id = $queryId) q
+         |WHERE c.vec_id <> $queryId""".stripMargin)
+      .localCheckpoint(eager = true)
+    val out = Seq.newBuilder[(Long, Long, Double, Double)]
+    var t = 1
+    var done = false
+    while (t <= k && !done) {
+      val scored = cand.withColumn("score",
+        round(lit(lambda) * col("rel") - lit(1 - lambda) * col("ms"), 6))
+      val top = scored.orderBy(col("score").desc, col("vec_id")).limit(1)
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        val r = top.head
+        val (id, v, nrm) = (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))
+        out += ((t.toLong, id, r.getDouble(3), r.getDouble(5)))
+        // literal array via the Column API: an SQL numeric literal would
+        // type the array DECIMAL and break graft_dot's double contract
+        val pv = array(v.map(lit): _*)
+        val next = cand.filter(col("vec_id") =!= id)
+          .withColumn("ms", greatest(col("ms"),
+            round(org.apache.spark.sql.functions
+              .call_function("graft_dot", col("v"), pv)
+              / (col("nrm") * lit(nrm)), 6)))
+          .localCheckpoint(eager = true)
+        graft.graph.Checkpoints.release(cand)
+        cand = next
+      }
+      t += 1
+    }
+    graft.graph.Checkpoints.release(cand)
+    out.result().toDF("rank", "vec_id", "rel", "score").orderBy("rank")
+  }
+
+  /** The oracle-checked form: query vec_id = 0, k = 8, λ = 0.7. */
+  def ssMmr(s: SparkSession, dir: String): DataFrame =
+    ssMmr(s, Tables.load(s, dir, "embeddings"), queryId = 0L, k = 8,
+      lambda = 0.7)
+
   /** Hard-negative mining (the contrastive-training prep step: for every
     * anchor, the most-similar vectors that carry a DIFFERENT label —
     * "close but wrong" examples, the ones a triplet/InfoNCE loss learns
@@ -1791,6 +1870,7 @@ object Similarity {
     "ss_recall" -> ((s: SparkSession, dir: String) => ssRecall(s, dir)),
     "ss_cosine_topk" -> (ssCosineTopk _),
     "ss_mips" -> ((s: SparkSession, dir: String) => ssMips(s, dir)),
+    "ss_mmr" -> ((s: SparkSession, dir: String) => ssMmr(s, dir)),
     "ss_range" -> ((s: SparkSession, dir: String) => ssRangeSearch(s, dir)),
     "ss_sq_topk" -> (ssSqTopk _),
     "ss_pq_topk" -> (ssPqTopk _),
@@ -2591,6 +2671,44 @@ object Similarity {
         |           ORDER BY cos DESC, neighbor_id) AS rn
         |  FROM scored)
         |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin.replaceAll("\n", " "),
+    "ss_mmr" -> {
+      // statically unrolled greedy: p_t = the round-t argmax, c_t = the
+      // survivors with the incrementally-updated max-sim column. The
+      // (1-λ) literal is printed FROM the Scala double so both engines
+      // subtract the identical IEEE value.
+      val l = 0.7
+      val om = 1 - l
+      def dot(a: String, b: String) =
+        s"list_sum([$a.v[i] * $b.v[i] FOR i IN generate_series(1, len($a.v))])"
+      val rounds = (1 to 8).map { t =>
+        s"""p$t AS (SELECT vec_id, v, nrm, rel, ms,
+           |  ROUND($l * rel - $om * ms, 6) AS score
+           |  FROM c${t - 1} ORDER BY score DESC, vec_id LIMIT 1),
+           |c$t AS (SELECT c.vec_id, c.v, c.nrm, c.rel,
+           |  GREATEST(c.ms, ROUND(${dot("c", "p")} / (c.nrm * p.nrm), 6))
+           |    AS ms
+           |  FROM c${t - 1} c CROSS JOIN p$t p
+           |  WHERE c.vec_id <> p.vec_id)""".stripMargin
+      }.mkString(",\n")
+      val picks = (1 to 8).map(t =>
+        s"SELECT $t::BIGINT AS rank, vec_id, rel, score FROM p$t")
+        .mkString("\nUNION ALL ")
+      s"""WITH base AS (
+         |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v
+         |  FROM embeddings),
+         |norms AS (
+         |  SELECT vec_id, v, sqrt(list_sum([x * x FOR x IN v])) AS nrm
+         |  FROM base),
+         |c0 AS (
+         |  SELECT c.vec_id, c.v, c.nrm,
+         |         ROUND(${dot("c", "q")} / (c.nrm * q.nrm), 6) AS rel,
+         |         0.0::DOUBLE AS ms
+         |  FROM norms c CROSS JOIN (SELECT * FROM norms WHERE vec_id = 0) q
+         |  WHERE c.vec_id <> 0),
+         |$rounds
+         |$picks
+         |ORDER BY rank""".stripMargin.replaceAll("\n", " ")
+    },
     "ss_mips" ->
       """WITH base AS (
         |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),

@@ -763,6 +763,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaCos == viaMips)
   }
 
+  test("ssMmr: diversity beats redundancy exactly where the formula says") {
+    import spark.implicits._
+    // query along e1; A1/A2 nearly identical at +37 degrees (rel ~0.80),
+    // B mirrored at -38 degrees (rel ~0.79, sim to A1 only ~0.26).
+    // Plain top-2 = [A1, A2]; MMR at lambda=0.7 picks B second: A2
+    // scores 0.7*0.80 - 0.3*~1.0 = 0.26 while B scores
+    // 0.7*0.79 - 0.3*0.26 = 0.47 — redundancy loses
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.8f, 0.6f)),    // A1
+      (2L, Array(0.8f, 0.601f)),  // A2 (near-duplicate of A1)
+      (3L, Array(0.79f, -0.613f)) // B (diverse)
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.ssMmr(spark, emb, queryId = 0L, k = 3,
+      lambda = 0.7).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 1L), (2L, 3L), (3L, 2L)), got.toSeq)
+    // oracle form: 8 contiguous ranks, no repeats, scores nonincreasing
+    // only within the greedy contract (NOT globally monotone — assert
+    // shape, not order)
+    val orc = Similarity.ssMmr(spark, "/root/testdata/sf0.001").collect()
+    assert(orc.length == 8 && orc.map(_.getLong(0)).toSeq == (1L to 8L))
+    assert(orc.map(_.getLong(1)).distinct.length == 8)
+  }
+
   test("ssMipsAugment -> IVF composition: the sublinear MIPS path recalls") {
     import spark.implicits._
     // clustered unnormalized vectors so IVF cells are meaningful: 4
