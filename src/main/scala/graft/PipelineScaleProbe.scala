@@ -214,6 +214,10 @@ object PipelineScaleProbe {
     // `addendum45 <existingDir>` — dsDsirWithin (single-pass target⊆raw)
     // vs the two-corpus dsDsir at 500k docs, equality sampled
     if (args.headOption.contains("addendum45")) { addendum45(args(1)); return }
+    // `addendum46 <existingDir>` — ss_mmr over the full 100k-vector
+    // corpus at k=16 (the per-round-pass cost curve) + the ANN-candidate
+    // composition it is designed for
+    if (args.headOption.contains("addendum46")) { addendum46(args(1)); return }
     // `addendum13 <nDocs> <nEvents> <nVec> <outBase>` — gaps/gini at
     // event scale, epochs/ngram at corpus scale, range at vector scale
     if (args.headOption.contains("addendum13")) {
@@ -3152,6 +3156,53 @@ object PipelineScaleProbe {
     println(f"PSCALE q=ds_dsir_within docs=500000 target=400000 k=1000 " +
       f"two_pass=$wTwo%.1f s one_pass=$wOne%.1f s (identical winners)")
     println("PSCALE addendum45 done")
+    spark.stop()
+  }
+
+  /** Round-9 ss_mmr at 100×: the greedy loop over the FULL 100k-vector
+    * corpus at k=16 (per-round one-pass cost, checkpoint-hygiene under
+    * 16 rounds), then the composition the scaladoc prescribes — MMR over
+    * an IVF-retrieved candidate set (top-200 by relevance) — which is
+    * the 100 TB shape: corpus-sized work happens once in the ANN pass,
+    * the greedy rounds run on hundreds of rows.
+    */
+  private def addendum46(dir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.SparkHygiene.quietRddLogs()
+    import org.apache.spark.sql.functions._
+
+    val emb = spark.read.parquet(s"$dir/embeddings19.parquet")
+      .select("vec_id", "embedding")
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.size
+    val (full, wFull) = wall(ops.Similarity.ssMmr(spark, emb,
+      queryId = 0L, k = 16, lambda = 0.7).collect())
+    require(full.length == 16 &&
+      full.map(_.getLong(1)).distinct.length == 16,
+      s"mmr full-corpus picks broken: ${full.length}")
+    val pinnedAfter = spark.sparkContext.getPersistentRDDs.size
+    require(pinnedAfter - pinnedBefore <= 1,
+      s"mmr leaked ${pinnedAfter - pinnedBefore} checkpoint frames")
+
+    // the prescribed composition: brute top-200 relevance cut (standing
+    // in for the ANN generators' candidate output), then MMR on it
+    val candIds = ops.Similarity.bruteTopkOn(spark, emb, "vec_id = 0", 200)
+      .select(col("neighbor_id").as("vec_id")).collect().map(_.getLong(0))
+    val cand = emb.filter(col("vec_id").isin(candIds: _*) ||
+      col("vec_id") === 0L)
+    val (sub, wSub) = wall(ops.Similarity.ssMmr(spark, cand,
+      queryId = 0L, k = 16, lambda = 0.7).collect())
+    require(sub.length == 16, s"mmr candidate-set picks: ${sub.length}")
+    println(f"PSCALE q=ss_mmr vectors=100000 k=16 full_wall=$wFull%.1f s " +
+      f"candidates200_wall=$wSub%.1f s " +
+      s"overlap=${full.map(_.getLong(1)).toSet
+        .intersect(sub.map(_.getLong(1)).toSet).size}/16")
+    println("PSCALE addendum46 done")
     spark.stop()
   }
 
