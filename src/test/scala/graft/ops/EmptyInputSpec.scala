@@ -54,6 +54,12 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Dedup.ddDespanOn(emptyDocs, 20).count() == 0)
     assert(Pipeline.dsDsir(emptyDocs, emptyDocs.select("text"), 10)
       .count() == 0)
+    assert(Pipeline.dsDsirWithin(
+      Seq.empty[(Long, String, Boolean)].toDF("doc_id", "text", "is_target"),
+      10).count() == 0)
+    assert(Pipeline.dsKanon(
+      Seq.empty[(String, Long, String)].toDF("cat", "v", "s"),
+      Seq("cat"), "v", "s", 3).count() == 0)
   }
 
   test("embedding entries return empty on an empty corpus") {
@@ -68,6 +74,8 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Similarity.bruteTopkOn(spark, emptyEmb, "vec_id < 5", 10).count() == 0)
     assert(Similarity.ssMips(spark, emptyEmb, "vec_id < 5", 10).count() == 0)
     assert(Similarity.ssMipsAugmentOn(spark, emptyEmb).count() == 0)
+    // ssMmr with an absent query id: no candidates, zero picks
+    assert(Similarity.ssMmr(spark, emptyEmb, 0L, 3, 0.7).count() == 0)
   }
 
   test("event entries return empty on an empty stream") {
