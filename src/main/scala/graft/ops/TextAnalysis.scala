@@ -1602,6 +1602,105 @@ object TextAnalysis {
   def taRake(s: SparkSession, dir: String): DataFrame =
     taRake(Tables.load(s, dir, "documents").select("doc_id", "text"))
 
+  /** Watermark detection (Kirchenbauer et al., "A Watermark for Large
+    * Language Models", ICML 2023 — public): a green-list watermark
+    * seeds a PRF with the PREVIOUS token and biases generation toward
+    * the γ-fraction "green" vocabulary partition; the detector needs no
+    * model — score each bigram position green iff
+    * PRF(prev, tok) < γ, then test the green count against the
+    * Binomial(T, γ) null:  z = (g − γT) / √(Tγ(1−γ)).  Natural text
+    * sits near z = 0; watermarked (or green-list-replayed synthetic)
+    * text drifts to large positive z — the filter a training pipeline
+    * runs to keep model-generated text out of the corpus.
+    *
+    * PRF here: the md5 digest-draw family (engine-portable,
+    * reproducible) — position scored green iff the first-15-hex draw of
+    * md5('wm:' ‖ prev ‖ '¦' ‖ tok) mod 10⁶ < γ·10⁶ (integer-exact
+    * threshold). `flagged` compares the 6-dp-rounded z against
+    * `zThresh` so the boundary is engine-stable. Docs with < 2 tokens
+    * have no scored positions and report z = 0, unflagged.
+    *
+    * Scale design: one explode over bigram positions into a per-doc
+    * partial+final count — corpus-linear, map-side combinable, no
+    * windows, no joins; the presentation ORDER BY is the only exchange
+    * beyond the count's.
+    */
+  def taWatermark(docs: DataFrame, gammaPpm: Int = 250000,
+      zThresh: Double = 4.0): DataFrame = {
+    require(gammaPpm >= 1 && gammaPpm <= 999999,
+      s"taWatermark: gammaPpm in [1, 999999], got $gammaPpm")
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__wm_docs")
+    val g = gammaPpm / 1e6
+    s.sql(
+      s"""WITH tok AS (
+         |  SELECT doc_id, split(text, ' ') AS toks FROM __wm_docs),
+         |pos AS (
+         |  SELECT doc_id, size(toks) AS n_tokens,
+         |         explode(CASE WHEN size(toks) >= 2
+         |           THEN transform(sequence(1, size(toks) - 1),
+         |             i -> CASE WHEN pmod(CAST(conv(substring(md5(
+         |                    concat('wm:', element_at(toks, i), '¦',
+         |                           element_at(toks, i + 1))), 1, 15),
+         |                    16, 10) AS BIGINT), 1000000L) < $gammaPpm
+         |                  THEN 1 ELSE 0 END)
+         |           ELSE array() END) AS green
+         |  FROM tok),
+         |agg AS (
+         |  SELECT doc_id, MAX(n_tokens) AS n_tokens,
+         |         COUNT(*) AS n_scored, SUM(green) AS n_green
+         |  FROM pos GROUP BY doc_id),
+         |full AS (
+         |  SELECT t.doc_id, size(t.toks) AS n_tokens,
+         |         COALESCE(a.n_scored, 0L) AS n_scored,
+         |         COALESCE(a.n_green, 0L) AS n_green
+         |  FROM tok t LEFT JOIN agg a ON a.doc_id = t.doc_id)
+         |SELECT doc_id, n_tokens, n_scored, n_green,
+         |       CASE WHEN n_scored = 0 THEN CAST(0 AS DOUBLE)
+         |            ELSE ROUND(CAST(n_green AS DOUBLE) / n_scored, 6)
+         |       END AS green_frac,
+         |       CASE WHEN n_scored = 0 THEN CAST(0 AS DOUBLE)
+         |            ELSE ROUND((n_green - $g * n_scored)
+         |                       / sqrt(n_scored * $g * (1 - $g)), 6)
+         |       END AS z,
+         |       CASE WHEN n_scored = 0 THEN false
+         |            ELSE ROUND((n_green - $g * n_scored)
+         |                       / sqrt(n_scored * $g * (1 - $g)), 6)
+         |                 >= ${zThresh}D END AS flagged
+         |FROM full ORDER BY doc_id""".stripMargin)
+  }
+
+  /** The oracle-checked form: every 9th document is REWRITTEN with a
+    * green-list replay at ALTERNATE positions — each even-position token
+    * is replaced by the first of its 8 deterministic variants (t, t_1 …
+    * t_7, fallback t_7) whose bigram with the ORIGINAL previous token is
+    * green. Seeding on the unmodified neighbor keeps the plant
+    * closed-form (no sequential fold — the same comprehension runs in
+    * DuckDB), and half-green + γ-random-other-half still drives z far
+    * past the threshold on these document lengths; real watermarked
+    * generation is sequential, but the DETECTOR above is identical
+    * either way. Planted docs must flag; natural docs must not.
+    */
+  def taWatermark(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "documents").createOrReplaceTempView("__wm_raw")
+    val aug = s.sql(
+      s"""SELECT doc_id,
+         |  CASE WHEN doc_id % 9 = 0 THEN
+         |    array_join(transform(split(text, ' '),
+         |      (t, i) -> CASE WHEN (i + 1) % 2 = 0 THEN
+         |        element_at(filter(concat(array(t),
+         |          transform(sequence(1, 7),
+         |            j -> concat(t, '_', CAST(j AS STRING)))),
+         |          c -> pmod(CAST(conv(substring(md5(concat('wm:',
+         |                 element_at(split(text, ' '), i), '¦', c)), 1, 15),
+         |                 16, 10) AS BIGINT), 1000000L) < 250000
+         |               OR c = concat(t, '_7')), 1)
+         |      ELSE t END), ' ')
+         |  ELSE text END AS text
+         |FROM __wm_raw""".stripMargin)
+    taWatermark(aug)
+  }
+
   /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004 —
     * public): rank tokens by PageRank over the corpus-wide word
     * co-occurrence graph (undirected edge between ADJACENT tokens,
@@ -1815,6 +1914,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_watermark" -> ((s: SparkSession, dir: String) => taWatermark(s, dir)),
     "ta_textrank" -> ((s: SparkSession, dir: String) => taTextRank(s, dir)),
     "ta_rake" -> ((s: SparkSession, dir: String) => taRake(s, dir)),
     "ta_langconf" -> ((s: SparkSession, dir: String) => taLangConf(s, dir)),
@@ -1932,6 +2032,53 @@ object TextAnalysis {
         "ROUND(1.0 / (1.0 + exp(-(z::DOUBLE))), 6) AS score, " +
         "ROUND(z::DOUBLE, 6) >= 0.0 AS keep " +
         "FROM sc ORDER BY doc_id"),
+    "ta_watermark" -> {
+      def prf(prev: String, c: String) =
+        s"('0x' || substr(md5('wm:' || $prev || '¦' || $c), 1, 15))::BIGINT" +
+          " % 1000000 < 250000"
+      s"""WITH raw AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS toks
+         |  FROM documents),
+         |aug AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 9 = 0 THEN
+         |      array_to_string([CASE WHEN p % 2 = 0 THEN
+         |          COALESCE([c FOR c IN
+         |            list_concat([toks[p]],
+         |              [toks[p] || '_' || j::VARCHAR
+         |               FOR j IN generate_series(1, 7)])
+         |            IF ${prf("toks[p-1]", "c")}][1],
+         |            toks[p] || '_7')
+         |        ELSE toks[p] END
+         |        FOR p IN generate_series(1, len(toks))], ' ')
+         |    ELSE text END AS text
+         |  FROM raw),
+         |tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM aug),
+         |sc AS (
+         |  SELECT doc_id, len(toks) AS n_tokens,
+         |         CASE WHEN len(toks) >= 2 THEN len(toks) - 1
+         |              ELSE 0 END AS n_scored,
+         |         CASE WHEN len(toks) >= 2 THEN
+         |           list_sum([CASE WHEN ${prf("toks[i]", "toks[i+1]")}
+         |                     THEN 1 ELSE 0 END
+         |                     FOR i IN generate_series(1, len(toks) - 1)])
+         |         ELSE 0 END AS n_green
+         |  FROM tok)
+         |SELECT doc_id, n_tokens, n_scored::BIGINT AS n_scored,
+         |       n_green::BIGINT AS n_green,
+         |       CASE WHEN n_scored = 0 THEN 0.0::DOUBLE
+         |            ELSE ROUND(n_green::DOUBLE / n_scored, 6)
+         |       END AS green_frac,
+         |       CASE WHEN n_scored = 0 THEN 0.0::DOUBLE
+         |            ELSE ROUND((n_green - 0.25 * n_scored)
+         |                       / sqrt(n_scored * 0.25 * (1 - 0.25)), 6)
+         |       END AS z,
+         |       CASE WHEN n_scored = 0 THEN false
+         |            ELSE ROUND((n_green - 0.25 * n_scored)
+         |                       / sqrt(n_scored * 0.25 * (1 - 0.25)), 6)
+         |                 >= 4.0 END AS flagged
+         |FROM sc ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+    },
     "ta_textrank" -> {
       val iter = (i: Int) =>
         s"""i$i AS (SELECT e.dst AS w, SUM(p.pr // p.outdeg) AS inflow

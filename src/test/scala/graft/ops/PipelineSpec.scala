@@ -3715,6 +3715,40 @@ class PipelineSpec extends AnyFunSuite {
       .collect().length == 2)
   }
 
+  test("taWatermark: planted green-list docs flag; natural text does not") {
+    val rows = TextAnalysis.taWatermark(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getDouble(5), r.getBoolean(6)))
+    assert(rows.length == 500)
+    val (planted, natural) = rows.partition(_._1 % 9 == 0)
+    // every planted doc: >= half its bigrams green (even positions are
+    // green by construction, odd-seeded ones add ~gamma more). The z
+    // statistic needs length to clear the 4-sigma bar — ~+0.35 green
+    // excess per position × sqrt(T)/0.43 ⇒ certain from T≈40; shorter
+    // docs still read a strong positive signal
+    // even positions are green unless all 8 candidates missed (~0.75⁸
+    // ≈ 10% fallback), so expect ~57% green overall — assert ≥ 40%
+    // the plant reads ~57% green (even positions green unless all 8
+    // candidates miss, ~10% fallback) vs the 25% null; per-doc z at the
+    // corpus's T≈16–60 is a noisy 0.75·√T, so the contract is
+    // distributional: every planted doc positive, the mean far out,
+    // and ≥80% individually past 4σ
+    planted.foreach { case (id, _, _, z, _) =>
+      assert(z > 0.0, s"doc $id: z=$z not positive")
+    }
+    assert(planted.map(_._4).sum / planted.length > 3.5,
+      s"planted mean z too low: ${planted.map(_._4).sum / planted.length}")
+    assert(planted.count(_._5) * 10 >= planted.length * 8,
+      s"under 80% of planted docs flagged: ${planted.count(_._5)}" +
+        s"/${planted.length}")
+    // natural text sits at the binomial null: z ~ N(0,1); a false flag
+    // needs z >= 4 (p ~ 3e-5) — none expected over 445 docs
+    assert(natural.forall(!_._5),
+      s"false flags: ${natural.filter(_._5).map(_._1).toSeq}")
+    val meanZ = natural.map(_._4).sum / natural.length
+    assert(math.abs(meanZ) < 0.5, s"natural mean z drifted: $meanZ")
+  }
+
   test("dsKanon: the ladder coarsens exactly until every class reaches k") {
     import spark.implicits._
     // level 0 buckets: [0,250) holds 4 rows, [250,500) holds 2 — the
