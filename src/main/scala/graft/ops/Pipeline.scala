@@ -459,7 +459,7 @@ object Pipeline {
          |  FROM minn)
          |SELECT c.level, $cats, bucket, n, l_div,
          |       n < $k AS under_k,
-         |       ROUND(1.0 / n, 6) AS reident_risk
+         |       ROUND(CAST(1 AS DOUBLE) / n, 6) AS reident_risk
          |FROM cls c JOIN chosen ch ON c.level = ch.lv
          |ORDER BY $cats, bucket""".stripMargin)
   }

@@ -14,6 +14,33 @@ import duckdb
 import pandas as pd
 import numpy as np
 
+def decimal_cols(df: pd.DataFrame) -> set:
+    """Columns whose values are Python Decimals (Spark DecimalType or
+    DuckDB DECIMAL surface as dtype=object holding decimal.Decimal)."""
+    out = set()
+    for c in df.columns:
+        s = df[c]
+        if s.dtype == object:
+            nn = s.dropna()
+            if len(nn) and hasattr(nn.iloc[0], "as_tuple"):
+                out.add(c)
+    return out
+
+def float_cols(df: pd.DataFrame) -> set:
+    return {c for c in df.columns
+            if np.issubdtype(df[c].dtype, np.floating)}
+
+def type_drift(got: pd.DataFrame, exp: pd.DataFrame):
+    """Driver-faithful type check: the driver hashes textual/typed values,
+    so a Spark DECIMAL ('0.250000') vs oracle DOUBLE ('0.25') hash-differs
+    even when canon()'s float coercion would call them equal. Flag any
+    column decimal on one side and float on the other (ds_kanon r9)."""
+    gd, ed = decimal_cols(got), decimal_cols(exp)
+    gf, ef = float_cols(got), float_cols(exp)
+    drift = sorted((gd & ef) | (ed & gf))
+    return [f"{c}: spark={'DECIMAL' if c in gd else 'DOUBLE'} "
+            f"oracle={'DECIMAL' if c in ed else 'DOUBLE'}" for c in drift]
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -42,11 +69,17 @@ def main(sf_dir, out_dir):
         parts = sorted(glob.glob(f"{qdir}/*.parquet"))
         if not parts:
             print(f"FAIL {name}: no spark output");  n_fail += 1; continue
-        got = canon(pd.read_parquet(qdir))
+        got_raw = pd.read_parquet(qdir)
         try:
-            exp = canon(con.execute(oracle[name]).df())
+            exp_raw = con.execute(oracle[name]).df()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}"); n_fail += 1; continue
+        drift = type_drift(got_raw, exp_raw)
+        if drift:
+            print(f"FAIL {name}: decimal/double type drift "
+                  f"(driver hash would differ): {'; '.join(drift)}")
+            n_fail += 1; continue
+        got, exp = canon(got_raw), canon(exp_raw)
         if list(got.columns) != list(exp.columns):
             print(f"FAIL {name}: cols {list(got.columns)} != {list(exp.columns)}")
             n_fail += 1; continue
