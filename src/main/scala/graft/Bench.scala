@@ -62,7 +62,19 @@ object Bench {
     // cleanup untimed between runs (SparkHygiene: caches + checkpoints)
     def cleanup(): Unit = SparkHygiene.clearSessionCaches(spark)
 
-    case class Res(median: Double, runs: Seq[Double], err: Option[String])
+    case class Res(median: Double, runs: Seq[Double], err: Option[String],
+      load1: Double)
+
+    // contention evidence IN the artifact (VERDICT r9 item #5): the r9
+    // drift adjudication needed PERF.md prose + git archaeology to show
+    // the 196 s driver run was a contended host; loadavg start/end plus a
+    // per-query-leg 1-min loadavg make it reconstructable from the JSON
+    def loadavg(): Double =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadStart = loadavg()
+    val wallStart = System.currentTimeMillis() / 1000L
 
     // dev-only: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts to named queries
     // (the driver never sets it, so the full-protocol contract is intact)
@@ -103,7 +115,7 @@ object Bench {
       val median =
         if (runs.isEmpty) -1.0
         else runs.sorted.apply((runs.size - 1) / 2)
-      name -> Res(median, runs, err)
+      name -> Res(median, runs, err, loadavg())
     }
 
     def jq(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -114,11 +126,13 @@ object Bench {
     val detail = results.map { case (k, r) =>
       val runsJson = r.runs.map(jn).mkString("[", ",", "]")
       val errJson = r.err.map(jq).getOrElse("null")
-      s"""${jq(k)}:{"median":${jn(r.median)},"runs":$runsJson,"err":$errJson}"""
+      s"""${jq(k)}:{"median":${jn(r.median)},"runs":$runsJson,"err":$errJson,"load1":${jn(r.load1)}}"""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, r) if r.median >= 0 => r.median }.sum
     val nErr = results.count(_._2.err.isDefined)
-    val json = s"""{"metric":"total","value":${jn(total)},"unit":"sec","queries":$qs,"detail":$detail,"n_err":$nErr,"runs_per_query":$nRuns,"sf":${jq(sfDir)}}"""
+    val loadEnd = loadavg()
+    val wallEnd = System.currentTimeMillis() / 1000L
+    val json = s"""{"metric":"total","value":${jn(total)},"unit":"sec","queries":$qs,"detail":$detail,"n_err":$nErr,"runs_per_query":$nRuns,"loadavg_start":${jn(loadStart)},"loadavg_end":${jn(loadEnd)},"wall_start_epoch_s":$wallStart,"wall_end_epoch_s":$wallEnd,"wall_total_s":${wallEnd - wallStart},"sf":${jq(sfDir)}}"""
     println(json)
     // stdout goes through sbt's logger, which prefixes "[info] " and has
     // truncated/garbled every driver-side BENCH artifact to date — the file

@@ -45,6 +45,7 @@ object SparkHygiene {
     * long session aren't taxed by accumulated block-manager pressure.
     */
   def clearSessionCaches(spark: SparkSession): Unit = {
+    Caches.releaseAll(spark) // also drops the registry's plan references
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
   }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.Tables
+import graft.{Caches, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -147,16 +147,17 @@ object Dedup {
     // DataFrame API so the exploded shingle relation can be persisted:
     // SQL CTEs are inlined and `tok` (the largest intermediate) would be
     // recomputed for the signatures, the counts, and both sides of the
-    // intersection join — measured 3× slower.
-    val tok = corpus.selectExpr("doc_id",
+    // intersection join — measured 3× slower. Tracked via Caches so a
+    // library caller can release it (Caches.releaseAll) after consuming
+    // the returned lazy result; harness runs release between queries.
+    val tok = Caches.track(corpus.selectExpr("doc_id",
         """explode(CASE WHEN size(toks) >= 3
           |  THEN transform(sequence(1, size(toks) - 2),
           |         i -> concat(element_at(toks, i), ' ',
           |                     element_at(toks, i + 1), ' ',
           |                     element_at(toks, i + 2)))
           |  ELSE array() END) AS tok""".stripMargin)
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .distinct())
     // all 8 minhashes as parallel MIN aggregates in ONE groupBy: no 8×
     // row explosion, a single shuffle (with map-side partial MINs), md5
     // inside whole-stage codegen; bands derive narrowly from the 8 columns
@@ -196,13 +197,13 @@ object Dedup {
     // makes that one pass (measured ~35% off the query at sf0.1).
     // cand (the distinct LSH pair set) likewise feeds both the
     // signature-estimate leg and the exact-intersection leg.
-    val sig = sig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = band.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
-      .join(band.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
-        Seq("band", "bh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = Caches.track(sig0)
+    val cand = Caches.track(
+      band.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+        .join(band.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
+          Seq("band", "bh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct())
     val sigA = sig.select(col("doc_id").as("doc_a") +:
       (0 to 7).map(i => col(s"h$i").as(s"a$i")): _*)
     val sigB = sig.select(col("doc_id").as("doc_b") +:
@@ -670,7 +671,10 @@ object Dedup {
                    maxBlockRows: Int = EmbedCosMaxBlockRows,
                    onOverflow: String = "sample"): DataFrame = {
     import org.apache.spark.sql.functions._
-    val sigP = sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // tracked: failure paths below still release eagerly; the success
+    // path's pin is freed by the caller via Caches.releaseAll (the
+    // harness does it between queries) — double-release is a no-op
+    val sigP = Caches.track(sig)
     val counts = sigP.groupBy("label", "bucket").agg(count(lit(1)).as("block_n"))
     val guarded = onOverflow match {
       case "fail" =>
@@ -708,7 +712,9 @@ object Dedup {
     // scored pairs are persisted before the threshold filter: predicate
     // pushdown would otherwise substitute the cosine fold into the WHERE
     // clause and evaluate the 64-element aggregate twice per pair
-    val scored = s.sql(
+    // localCheckpoint pins its RDD without a .persist — registered so
+    // Caches.releaseAll frees it for library callers too
+    val scored = Caches.trackPinned(s.sql(
       """WITH probes AS (
         |  SELECT vec_id, label, v, nrm,
         |         explode(concat(array(bucket),
@@ -718,7 +724,7 @@ object Dedup {
         |       ROUND(graft_dot(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
         |FROM probes a JOIN __esig b
         |  ON a.label = b.label AND a.pb = b.bucket AND a.vec_id < b.vec_id""".stripMargin)
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = false))
     scored.filter(col("cos") >= 0.9).orderBy("vec_a", "vec_b")
   }
 
@@ -808,13 +814,18 @@ object Dedup {
       s"""WITH tok AS (
          |  SELECT doc_id, split(text, ' ') AS toks FROM __dsp_docs),
          |g AS (
+         |  -- short-doc guard INSIDE the generator (taWatermark idiom):
+         |  -- sequence(1, size-k) on a short doc is DESCENDING and
+         |  -- slice(toks, 0, n) throws at eval, so correctness must not
+         |  -- hinge on Catalyst pushing the WHERE below Generate
          |  SELECT doc_id, p.pos AS pos, p.gh AS gh
          |  FROM tok
-         |  LATERAL VIEW explode(transform(sequence(1, size(toks) - ${n - 1}),
-         |    i -> struct(i AS pos,
-         |                xxhash64(array_join(slice(toks, i, $n), ' '))
-         |                  AS gh))) pt AS p
-         |  WHERE size(toks) >= $n),
+         |  LATERAL VIEW explode(CASE WHEN size(toks) >= $n
+         |    THEN transform(sequence(1, size(toks) - ${n - 1}),
+         |      i -> struct(i AS pos,
+         |                  xxhash64(array_join(slice(toks, i, $n), ' '))
+         |                    AS gh))
+         |    ELSE array() END) pt AS p),
          |dups AS (
          |  SELECT gh FROM (
          |    SELECT gh, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gh)
@@ -1271,7 +1282,85 @@ object Dedup {
   def ddPrefix(s: SparkSession, dir: String): DataFrame =
     ddPrefixOn(Tables.load(s, dir, "documents").select("doc_id", "text"))
 
+  /** URL canonicalization + keep-first dedup — the web-corpus ingestion
+    * staple (CCNet / RefinedWeb drop recrawls of the same logical page
+    * before any content pass): two fetch records of one page differ only
+    * in scheme case, `www.`, a default port, duplicate/trailing slashes,
+    * tracking parameters, query-parameter order, or a fragment. The
+    * canonicalizer applies the RFC 3986 §6 normalizations plus the
+    * declared policy bits (http≡https unified to `https`; `www.`
+    * stripped; `utm_*`/`fbclid`/`gclid`/`ref` dropped; remaining params
+    * sorted; fragment dropped), then keeps the lowest id per canonical
+    * URL.
+    *
+    * Scale design (100 TB): canonicalization is a narrow per-row string
+    * transform (whole-stage codegen, no shuffle); the dedup itself is
+    * ONE hash exchange keyed by canonical URL (the dd_exact shape) with
+    * map-side partial MIN/COUNT. Nothing is collected, nothing joined.
+    */
+  def ddUrlOn(urls: DataFrame): DataFrame = {
+    val s = urls.sparkSession
+    urls.createOrReplaceTempView("__url_raw")
+    s.sql(
+      s"""WITH parts AS (
+         |  SELECT id,
+         |         regexp_extract(url,
+         |           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
+         |         regexp_extract(url,
+         |           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+         |         regexp_extract(url, '\\\\?([^#]*)', 1) AS query
+         |  FROM __url_raw),
+         |canon AS (
+         |  SELECT id,
+         |         concat(
+         |           'https://',
+         |           regexp_replace(regexp_replace(lower(hostport),
+         |             ':(80|443)$$', ''), '^www\\\\.', ''),
+         |           regexp_replace(regexp_replace(path, '/{2,}', '/'),
+         |             '/+$$', ''),
+         |           CASE WHEN q <> '' THEN concat('?', q) ELSE '' END
+         |         ) AS url
+         |  FROM (
+         |    SELECT id, hostport, path,
+         |           array_join(array_sort(filter(split(query, '&'),
+         |             p -> p <> '' AND p NOT RLIKE
+         |               '^(utm_[a-z0-9]+|fbclid|gclid|ref)=')), '&') AS q
+         |    FROM parts))
+         |SELECT MIN(id) AS keep_id, url, COUNT(*) AS n_dups
+         |FROM canon GROUP BY url
+         |ORDER BY keep_id""".stripMargin)
+  }
+
+  /** The oracle-checked form: each document synthesizes its fetch-record
+    * URL from (source, lang, doc_id), and a planted twin (id +
+    * TwinIdOffset) re-fetches the SAME logical page through every mess
+    * the canonicalizer must undo — uppercase scheme/host, `www.` +
+    * explicit `:80`, a doubled and trailing slash, tracking params
+    * (`utm_source`, `fbclid`), shuffled param order, and a fragment.
+    * 500 canonical URLs × 2 members each; the canonical string itself is
+    * hash-compared, so the oracle locks the full normalization, not just
+    * the grouping.
+    */
+  def ddUrl(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    ddUrlOn(s.sql(
+      s"""SELECT doc_id AS id,
+         |       concat('https://www.', source, '.example.com/', lang,
+         |              '/article-', CAST(doc_id AS STRING),
+         |              '?id=', CAST(doc_id AS STRING), '&sort=new') AS url
+         |FROM __docs
+         |UNION ALL
+         |SELECT doc_id + ${TwinIdOffset} AS id,
+         |       concat('HTTP://WWW.', upper(source), '.EXAMPLE.COM:80/',
+         |              lang, '//article-', CAST(doc_id AS STRING),
+         |              '/?utm_source=feed&sort=new&id=',
+         |              CAST(doc_id AS STRING), '&fbclid=x',
+         |              CAST(doc_id AS STRING), '#frag') AS url
+         |FROM __docs""".stripMargin))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_url" -> ((s: SparkSession, dir: String) => ddUrl(s, dir)),
     "dd_prefix" -> ((s: SparkSession, dir: String) => ddPrefix(s, dir)),
     "dd_crossfuzzy" -> ((s: SparkSession, dir: String) => ddCrossFuzzy(s, dir)),
     "dd_bloom" -> ((s: SparkSession, dir: String) => ddBloomDedup(s, dir)),
@@ -1335,6 +1424,36 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin.replaceAll("\n", " ")
 
   val oracleSql: Map[String, String] = Map(
+    "dd_url" ->
+      (s"""WITH raw AS ( """ +
+        """SELECT doc_id AS id, 'https://www.' || source || """ +
+        """'.example.com/' || lang || '/article-' || doc_id::VARCHAR || """ +
+        """'?id=' || doc_id::VARCHAR || '&sort=new' AS url FROM documents """ +
+        s"""UNION ALL SELECT doc_id + ${TwinIdOffset} AS id, """ +
+        """'HTTP://WWW.' || upper(source) || '.EXAMPLE.COM:80/' || lang || """ +
+        """'//article-' || doc_id::VARCHAR || """ +
+        """'/?utm_source=feed&sort=new&id=' || doc_id::VARCHAR || """ +
+        """'&fbclid=x' || doc_id::VARCHAR || '#frag' AS url """ +
+        """FROM documents), """ +
+        """parts AS (SELECT id, """ +
+        """regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) """ +
+        """AS hostport, """ +
+        """regexp_extract(url, """ +
+        """'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path, """ +
+        """regexp_extract(url, '\?([^#]*)', 1) AS query FROM raw), """ +
+        """canon AS (SELECT id, 'https://' || """ +
+        """regexp_replace(regexp_replace(lower(hostport), ':(80|443)$', """ +
+        """''), '^www\.', '') || """ +
+        """regexp_replace(regexp_replace(path, '/{2,}', '/', 'g'), """ +
+        """'/+$', '') || """ +
+        """CASE WHEN q <> '' THEN '?' || q ELSE '' END AS url """ +
+        """FROM (SELECT id, hostport, path, """ +
+        """array_to_string(list_sort(list_filter(string_split(query, '&'), """ +
+        """p -> p <> '' AND NOT regexp_matches(p, """ +
+        """'^(utm_[a-z0-9]+|fbclid|gclid|ref)='))), '&') AS q """ +
+        """FROM parts)) """ +
+        """SELECT MIN(id) AS keep_id, url, COUNT(*) AS n_dups """ +
+        """FROM canon GROUP BY url ORDER BY keep_id"""),
     "dd_prefix" ->
       ("WITH p AS (SELECT doc_id, " +
         "md5(array_to_string(string_split(text, ' ')[1:32], ' ')) " +

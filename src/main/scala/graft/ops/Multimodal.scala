@@ -346,11 +346,16 @@ object Multimodal {
           new java.io.ByteArrayInputStream(r.payload))
         try {
           val fmt = ais.getFormat
+          // !isBigEndian belongs in the fail-fast set: the sample loop
+          // below assumes little-endian byte order, and a big-endian
+          // 16-bit payload (e.g. AIFF via AudioSystem) would otherwise
+          // yield silently byte-swapped features instead of an error
           require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+            !fmt.isBigEndian &&
             fmt.getEncoding ==
               javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
             s"media ${r.media_id}: mmAudioFeat expects 16-bit signed PCM " +
-              s"mono, got ${fmt}")
+              s"mono little-endian, got ${fmt}")
           val bytes = ais.readAllBytes()
           val n = bytes.length / 2
           var i = 0
@@ -376,12 +381,18 @@ object Multimodal {
             }
             i += 1
           }
+          // ROUND-6 via BigDecimal HALF_UP — the engine's declared SQL
+          // round discipline (SequentialTracker.round6) and DuckDB's
+          // half-away-from-zero; math.rint is half-EVEN and would
+          // diverge on an exact tie at the 7th decimal
+          def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
           val rms = if (n == 0) 0.0
-            else math.rint(math.sqrt(sumSq.toDouble / n) * 1e6) / 1e6
+            else r6(math.sqrt(sumSq.toDouble / n))
           val zcr = if (n < 2) 0.0
-            else math.rint(crossings.toDouble / (n - 1) * 1e6) / 1e6
+            else r6(crossings.toDouble / (n - 1))
           val sf = if (frames == 0) 0.0
-            else math.rint(silent.toDouble / frames * 1e6) / 1e6
+            else r6(silent.toDouble / frames)
           AudioFeatures(r.media_id, n.toLong,
             fmt.getSampleRate.toInt, sumSq, crossings, silent, frames,
             rms, zcr, sf)
@@ -428,6 +439,121 @@ object Multimodal {
         MediaRecord(id, "audio", bos.toByteArray)
       }
     mmAudioFeat(media).toDF().orderBy("media_id")
+  }
+
+  /** Per-clip silence segmentation summary. */
+  case class AudioSegments(media_id: Long, n_samples: Long, n_frames: Long,
+      active_frames: Long, n_segments: Long, longest_run: Long)
+
+  /** Silence-based audio segmentation (the VAD-lite pre-pass every
+    * speech-corpus pipeline runs before transcription — split clips on
+    * silence, drop empty audio, bound segment length): frame the clip in
+    * `frameLen`-sample windows, mark a window ACTIVE when its peak
+    * amplitude reaches `silenceThresh`, and run-length scan the window
+    * string. Emits per clip: total windows, active windows, the number
+    * of maximal active runs (= segments), and the longest run.
+    *
+    * Same REAL decode path and fail-fast format contract as
+    * [[mmAudioFeat]] (16-bit signed PCM mono little-endian via
+    * javax.sound); per-clip state is O(1) (peak, run counters), one
+    * output row per clip — a narrow typed partition pass whose only
+    * exchange is the presentation ORDER BY.
+    */
+  def mmAudioSeg(media: Dataset[MediaRecord], frameLen: Int = 240,
+      silenceThresh: Int = 1): Dataset[AudioSegments] = {
+    require(frameLen >= 1, s"mmAudioSeg: frameLen must be >= 1, got $frameLen")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        try {
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+            !fmt.isBigEndian &&
+            fmt.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            s"media ${r.media_id}: mmAudioSeg expects 16-bit signed PCM " +
+              s"mono little-endian, got ${fmt}")
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          var i = 0
+          var framePeak = 0
+          var frames = 0L
+          var active = 0L
+          var segments = 0L
+          var run = 0L
+          var longest = 0L
+          var prevActive = false
+          while (i < n) {
+            val lo = bytes(2 * i) & 0xff
+            val hi = bytes(2 * i + 1).toInt
+            val a = math.abs(((hi << 8) | lo).toShort.toInt)
+            if (a > framePeak) framePeak = a
+            if ((i + 1) % frameLen == 0 || i + 1 == n) {
+              frames += 1
+              val isActive = framePeak >= silenceThresh
+              if (isActive) {
+                active += 1
+                if (!prevActive) { segments += 1; run = 0L }
+                run += 1
+                if (run > longest) longest = run
+              }
+              prevActive = isActive
+              framePeak = 0
+            }
+            i += 1
+          }
+          AudioSegments(r.media_id, n.toLong, frames, active, segments,
+            longest)
+        } finally ais.close()
+      }
+    }
+  }
+
+  /** The oracle-checked form: planted MULTI-BURST square-wave WAVs —
+    * k = 1 + id%3 bursts of actB = 2400 + 240·(id%4) active samples
+    * (amplitude/half-period as [[mmAudioFeat]]'s plant), separated by
+    * silent gaps of 480 + 240·(id%2) samples, plus a silent tail of
+    * 720 + 240·(id%3). Every boundary is a multiple of the 240-sample
+    * window, so the segmentation is analytic: n_segments = k,
+    * active_frames = k·actB/240, longest_run = actB/240 — the DuckDB
+    * oracle computes it all codec-free from doc_id, locking the real
+    * WAV encode→decode→segment path to planted ground truth.
+    */
+  def mmAudioSeg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.load(s, dir, "documents").select("doc_id")
+      .as[Long].map { id =>
+        val amp = 1000 + 500 * (id % 7).toInt
+        val half = 4 + 2 * (id % 3).toInt
+        val k = 1 + (id % 3).toInt
+        val actB = 2400 + 240 * (id % 4).toInt
+        val gap = 480 + 240 * (id % 2).toInt
+        val tail = 720 + 240 * (id % 3).toInt
+        val n = k * actB + (k - 1) * gap + tail
+        val pcm = new Array[Byte](2 * n)
+        var b = 0
+        while (b < k) {
+          val off = b * (actB + gap)
+          var i = 0
+          while (i < actB) {
+            val v = if ((i / half) % 2 == 0) amp else -amp
+            pcm(2 * (off + i)) = (v & 0xff).toByte
+            pcm(2 * (off + i) + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          b += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        MediaRecord(id, "audio", bos.toByteArray)
+      }
+    mmAudioSeg(media).toDF().orderBy("media_id")
   }
 
   /** One sampled frame of a media record. */
@@ -670,6 +796,7 @@ object Multimodal {
     "mm_decode" -> (mmDecode _),
     "mm_decode_real" -> (mmDecodeReal _),
     "mm_audiofeat" -> (mmAudioFeat _),
+    "mm_audioseg" -> (mmAudioSeg _),
     "mm_frames" -> (mmFrames _),
     "mm_resize" -> (mmResize _),
     "mm_phash_pairs" -> (mmPhashPairs _),
@@ -755,6 +882,20 @@ object Multimodal {
         |  ROUND((act // half - 1)::DOUBLE / (act + tail - 1), 6) AS zcr,
         |  ROUND((tail // 240)::DOUBLE / ((act + tail) // 240), 6)
         |    AS silence_frac
+        |FROM p ORDER BY media_id""".stripMargin.replaceAll("\n", " "),
+    "mm_audioseg" ->
+      """WITH p AS (SELECT doc_id AS media_id,
+        |  (1 + doc_id % 3)::BIGINT AS k,
+        |  (2400 + 240 * (doc_id % 4))::BIGINT AS actb,
+        |  (480 + 240 * (doc_id % 2))::BIGINT AS gap,
+        |  (720 + 240 * (doc_id % 3))::BIGINT AS tail
+        |  FROM documents)
+        |SELECT media_id,
+        |  k * actb + (k - 1) * gap + tail AS n_samples,
+        |  (k * actb + (k - 1) * gap + tail) // 240 AS n_frames,
+        |  k * (actb // 240) AS active_frames,
+        |  k AS n_segments,
+        |  actb // 240 AS longest_run
         |FROM p ORDER BY media_id""".stripMargin.replaceAll("\n", " "),
     "mm_decode" ->
       """SELECT doc_id AS media_id,

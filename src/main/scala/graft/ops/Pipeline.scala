@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.Tables
+import graft.{Caches, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -431,6 +431,18 @@ object Pipeline {
     * exact, because the sensitive value is carried in the base
     * relation), so the 10-level sweep costs classes×levels, not
     * corpus×levels. The chosen level is a 1-row broadcast join.
+    *
+    * Worst-case bound: the finest (quasi × sensitive) base relation is
+    * CORPUS-SIZED when the sensitive proxy is near-unique per row (every
+    * (quasi, sv) class has n = 1) — the rollup then degrades from
+    * classes×levels to corpus×levels of shuffled rows, and no ladder
+    * level can reach k, so every output row arrives `under_k = true` at
+    * the coarsest level. That is the declared contract, mirroring the
+    * dd_embed_cos density-guard discipline: the op stays corpus-linear
+    * (never quadratic), completes, and SIGNALS; the caller must treat a
+    * fully-under_k result as suppress-or-widen — drop the near-unique
+    * sensitive proxy (or hash-coarsen it) rather than publish. Locked by
+    * the near-unique-sensitive degenerate row in PipelineSpec.
     */
   def dsKanon(rows: DataFrame, quasiCats: Seq[String], numCol: String,
       sensitiveCol: String, k: Int, baseBucket: Long = 250L,
@@ -527,14 +539,15 @@ object Pipeline {
     // the (doc, bucket) count is the corpus-dominant relation and feeds
     // BOTH the raw bucket model and the per-doc weights — persisted so
     // the gram explode + md5 bucketing runs ONCE over raw, not twice
-    // (an inlined CTE measured 107.8 s at 500k docs; see PERF.md r9)
-    s.sql(
+    // (an inlined CTE measured 107.8 s at 500k docs; see PERF.md r9).
+    // Tracked: library callers release via Caches.releaseAll after
+    // consuming the returned winners; the harness does it per-query.
+    Caches.track(s.sql(
       s"""WITH rt AS (
          |  SELECT doc_id, split(text, ' ') AS toks FROM __dsir_raw),
          |rg AS (SELECT doc_id, explode($grams) AS g FROM rt)
          |SELECT doc_id, ${bucket("g")} AS b, COUNT(*) AS n
-         |FROM rg GROUP BY doc_id, 2""".stripMargin)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+         |FROM rg GROUP BY doc_id, 2""".stripMargin))
       .createOrReplaceTempView("__dsir_docb")
     s.sql(
       s"""WITH docb AS (SELECT * FROM __dsir_docb),
@@ -612,15 +625,14 @@ object Pipeline {
     val bucket =
       s"pmod(CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT), " +
         s"$numBuckets)"
-    s.sql(
+    Caches.track(s.sql(
       s"""WITH rt AS (
          |  SELECT doc_id, is_target, split(text, ' ') AS toks
          |  FROM __dsirw_raw),
          |rg AS (SELECT doc_id, is_target, explode($grams) AS g FROM rt)
          |SELECT doc_id, bool_or(is_target) AS is_target, $bucket AS b,
          |       COUNT(*) AS n
-         |FROM rg GROUP BY doc_id, 3""".stripMargin)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+         |FROM rg GROUP BY doc_id, 3""".stripMargin))
       .createOrReplaceTempView("__dsir_docb")
     s.sql(
       s"""WITH docb AS (SELECT * FROM __dsir_docb),
@@ -1710,7 +1722,67 @@ object Pipeline {
   def dsBatchPad(s: SparkSession, dir: String): DataFrame =
     dsBatchPad(Tables.load(s, dir, "documents").select("doc_id", "text"))
 
+  /** CCNet perplexity-tercile selection (Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data",
+    * LREC 2020 — public): score every document under a PER-LANGUAGE
+    * unigram LM (the repo's taPerplexity cross-entropy, partitioned by
+    * language), rank each language's documents by that score, and split
+    * into HEAD / MIDDLE / TAIL terciles — the paper keeps head+middle
+    * and drops the tail as low-quality. Emits the per-doc score, the
+    * tercile label, and the kept flag.
+    *
+    * Engine-exactness: the taPerplexity fold discipline (per-token term
+    * rounded to 9 dp, DECIMAL(28,9) summation — exact and order-free),
+    * then NTILE(3) over a FULLY deterministic order (xent, doc_id).
+    *
+    * Scale design (100 TB): the LM count relation is per-language
+    * vocabulary-sized and joins back broadcast (the taPerplexity shape);
+    * the per-doc reduce is partial-agg SUM/COUNT. The tercile window
+    * ranks the DOC-level relation (3 columns/doc — orders of magnitude
+    * below the token stream) partitioned by language; at extreme scale
+    * swap NTILE for two percentile cut-points joined back broadcast —
+    * the declared approximation path, same contract.
+    */
+  def dsCcnet(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__ccn_docs")
+    s.sql(
+      """WITH tok AS (
+        |  SELECT doc_id, lang, explode(split(text, ' ')) AS token
+        |  FROM __ccn_docs),
+        |cnt AS (SELECT lang, token, COUNT(*) AS c
+        |        FROM tok GROUP BY lang, token),
+        |tot AS (SELECT lang, SUM(c) AS t FROM cnt GROUP BY lang),
+        |terms AS (
+        |  SELECT k.doc_id, k.lang,
+        |         CAST(ROUND(-ln(CAST(c.c AS DOUBLE) / t.t), 9)
+        |              AS DECIMAL(28,9)) AS term
+        |  FROM tok k
+        |  JOIN cnt c ON c.lang = k.lang AND c.token = k.token
+        |  JOIN tot t ON t.lang = k.lang),
+        |doc AS (
+        |  SELECT doc_id, lang, COUNT(*) AS n_tokens,
+        |         ROUND(CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) AS xent
+        |  FROM terms GROUP BY doc_id, lang),
+        |b AS (
+        |  SELECT doc_id, lang, n_tokens, xent,
+        |         NTILE(3) OVER (PARTITION BY lang
+        |                        ORDER BY xent, doc_id) AS tercile
+        |  FROM doc)
+        |SELECT doc_id, lang, n_tokens, xent,
+        |       CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |            ELSE 'tail' END AS bucket,
+        |       tercile <= 2 AS kept
+        |FROM b ORDER BY doc_id""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata corpus (5 languages). */
+  def dsCcnet(s: SparkSession, dir: String): DataFrame =
+    dsCcnet(Tables.load(s, dir, "documents")
+      .select("doc_id", "lang", "text"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_ccnet" -> ((s: SparkSession, dir: String) => dsCcnet(s, dir)),
     "ds_batchpad" -> ((s: SparkSession, dir: String) => dsBatchPad(s, dir)),
     "ds_leakage" -> ((s: SparkSession, dir: String) => dsLeakage(s, dir)),
     "ds_dropout" -> ((s: SparkSession, dir: String) => dsDropout(s, dir)),
@@ -1781,6 +1853,28 @@ object Pipeline {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ds_ccnet" ->
+      ("WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) " +
+        "AS token FROM documents), " +
+        "cnt AS (SELECT lang, token, COUNT(*) AS c " +
+        "FROM tok GROUP BY lang, token), " +
+        "tot AS (SELECT lang, SUM(c)::BIGINT AS t FROM cnt GROUP BY lang), " +
+        "terms AS (SELECT k.doc_id, k.lang, " +
+        "CAST(ROUND(-ln(c.c::DOUBLE / t.t), 9) AS DECIMAL(28,9)) AS term " +
+        "FROM tok k " +
+        "JOIN cnt c ON c.lang = k.lang AND c.token = k.token " +
+        "JOIN tot t ON t.lang = k.lang), " +
+        "doc AS (SELECT doc_id, lang, COUNT(*) AS n_tokens, " +
+        "ROUND(SUM(term)::DOUBLE / COUNT(*), 6) AS xent " +
+        "FROM terms GROUP BY doc_id, lang), " +
+        "b AS (SELECT doc_id, lang, n_tokens, xent, " +
+        "NTILE(3) OVER (PARTITION BY lang ORDER BY xent, doc_id) AS tercile " +
+        "FROM doc) " +
+        "SELECT doc_id, lang, n_tokens, xent, " +
+        "CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' " +
+        "ELSE 'tail' END AS bucket, " +
+        "tercile <= 2 AS kept " +
+        "FROM b ORDER BY doc_id"),
     "ds_batchpad" ->
       ("WITH lens AS (SELECT doc_id, " +
         "substr(md5('bp:' || doc_id::VARCHAR), 1, 1) AS shard, " +

@@ -1736,15 +1736,23 @@ object TextAnalysis {
          |         FROM i$i i JOIN deg d ON d.src = i.w)""".stripMargin
     // the corpus pass (pair explode + DISTINCT) feeds each of the three
     // unrolled iterations' edge joins — persisted so it runs once (the
-    // ds_dsir inlined-CTE lesson; measured 21.7 s → 13.2 s at 500k docs)
-    s.sql(
+    // ds_dsir inlined-CTE lesson; measured 21.7 s → 13.2 s at 500k docs).
+    // Tracked: library callers release via Caches.releaseAll after
+    // consuming the returned ranks; the harness does it per-query.
+    // short-doc guard INSIDE the generator (the taWatermark idiom):
+    // a bare `WHERE size(toks) >= 2` above the LATERAL VIEW only works
+    // because Catalyst pushes the filter below Generate — semantics must
+    // not depend on that, since sequence(1, size-1) on a short doc is a
+    // DESCENDING [1, 0] and element_at(toks, 0) throws at eval
+    graft.Caches.track(s.sql(
       """SELECT DISTINCT least(p.a, p.b) AS u, greatest(p.a, p.b) AS v
         |FROM (SELECT split(text, ' ') AS toks FROM __tr_docs)
-        |LATERAL VIEW explode(transform(sequence(1, size(toks) - 1),
-        |  i -> struct(element_at(toks, i) AS a,
-        |              element_at(toks, i + 1) AS b))) pt AS p
-        |WHERE size(toks) >= 2 AND p.a <> p.b""".stripMargin)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        |LATERAL VIEW explode(CASE WHEN size(toks) >= 2
+        |  THEN transform(sequence(1, size(toks) - 1),
+        |    i -> struct(element_at(toks, i) AS a,
+        |                element_at(toks, i + 1) AS b))
+        |  ELSE array() END) pt AS p
+        |WHERE p.a <> p.b""".stripMargin))
       .createOrReplaceTempView("__tr_adj")
     s.sql(
       s"""WITH adj AS (SELECT * FROM __tr_adj),
@@ -1913,7 +1921,72 @@ object TextAnalysis {
       Tables.load(s, dir, "documents").select("doc_id", "text"), merges)
   }
 
+  /** OCR/mojibake garble detection — the "garbled text" filter class of
+    * the C4/RefinedWeb cleaning pipelines (distinct from the fluency
+    * heuristics in [[taQuality]]/[[taGopher]]): scans for the artifacts
+    * BROKEN extraction produces rather than low-quality prose. Signals
+    * per document: U+FFFD replacement characters (charset decode
+    * failure), lowercase→uppercase transitions inside a word (OCR case
+    * noise — near-zero in real prose), the longest consonant run
+    * (keyboard mash / binary-as-text), and the alphanumeric+space
+    * fraction. `garbled` fires on repl_chars > 0 OR midcap_runs >= 3 OR
+    * max_consonant_run >= 8 — each threshold far above natural text
+    * (the corpus maxes at run=3, zero midcaps, zero U+FFFD).
+    *
+    * Scale design: a narrow per-row string transform — whole-stage
+    * codegen, no join, no aggregate; the only exchange is the
+    * presentation ORDER BY.
+    */
+  def taGarble(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__gb_docs")
+    s.sql(
+      """SELECT doc_id,
+        |       length(text) AS n_chars,
+        |       length(text) - length(replace(text, '�', ''))
+        |         AS repl_chars,
+        |       size(regexp_extract_all(text, '[a-z][A-Z]', 0))
+        |         AS midcap_runs,
+        |       COALESCE(array_max(transform(
+        |         regexp_extract_all(lower(text),
+        |           '[bcdfghjklmnpqrstvwxz]+', 0),
+        |         x -> length(x))), 0) AS max_consonant_run,
+        |       CASE WHEN length(text) = 0 THEN CAST(0 AS DOUBLE)
+        |            ELSE ROUND((length(text) - length(regexp_replace(text,
+        |                   '[a-zA-Z0-9 ]', '')))
+        |                 / CAST(length(text) AS DOUBLE), 6) END
+        |         AS nonalnum_frac,
+        |       length(text) - length(replace(text, '�', '')) > 0
+        |         OR size(regexp_extract_all(text, '[a-z][A-Z]', 0)) >= 3
+        |         OR COALESCE(array_max(transform(
+        |              regexp_extract_all(lower(text),
+        |                '[bcdfghjklmnpqrstvwxz]+', 0),
+        |              x -> length(x))), 0) >= 8
+        |         AS garbled
+        |FROM __gb_docs ORDER BY doc_id""".stripMargin)
+  }
+
+  /** The oracle-checked form: corpus ∪ corrupted twins, each twin
+    * exercising ONE signal by doc_id % 3 — appended U+FFFD run (decode
+    * failure), an `xXxXxXxX` case-noise word, or a 10-consonant mash.
+    * The detector must flag exactly the twins (naturals are clean by
+    * measurement: zero uppercase, zero U+FFFD, max consonant run 3).
+    */
+  def taGarble(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "documents").createOrReplaceTempView("__gb_base")
+    taGarble(s.sql(
+      s"""SELECT doc_id, text FROM __gb_base
+         |UNION ALL
+         |SELECT doc_id + ${graft.ops.Dedup.TwinIdOffset} AS doc_id,
+         |       concat(text, ' ', CASE CAST(doc_id % 3 AS INT)
+         |         WHEN 0 THEN '����'
+         |         WHEN 1 THEN 'xXxXxXxX'
+         |         ELSE 'bcdfghjklm' END) AS text
+         |FROM __gb_base""".stripMargin))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_garble" -> ((s: SparkSession, dir: String) => taGarble(s, dir)),
     "ta_watermark" -> ((s: SparkSession, dir: String) => taWatermark(s, dir)),
     "ta_textrank" -> ((s: SparkSession, dir: String) => taTextRank(s, dir)),
     "ta_rake" -> ((s: SparkSession, dir: String) => taRake(s, dir)),
@@ -2016,6 +2089,30 @@ object TextAnalysis {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ta_garble" ->
+      (s"""WITH corpus AS ( """ +
+        """SELECT doc_id, text FROM documents """ +
+        s"""UNION ALL SELECT doc_id + ${graft.ops.Dedup.TwinIdOffset}, """ +
+        """text || ' ' || CASE (doc_id % 3)::INT """ +
+        """WHEN 0 THEN '����' WHEN 1 THEN 'xXxXxXxX' """ +
+        """ELSE 'bcdfghjklm' END FROM documents) """ +
+        """SELECT doc_id, length(text) AS n_chars, """ +
+        """length(text) - length(replace(text, '�', '')) AS repl_chars, """ +
+        """len(regexp_extract_all(text, '[a-z][A-Z]'))::INT """ +
+        """AS midcap_runs, """ +
+        """COALESCE(list_max(list_transform(regexp_extract_all(""" +
+        """lower(text), '[bcdfghjklmnpqrstvwxz]+'), """ +
+        """x -> length(x))), 0)::INT AS max_consonant_run, """ +
+        """CASE WHEN length(text) = 0 THEN 0.0::DOUBLE """ +
+        """ELSE ROUND((length(text) - length(regexp_replace(text, """ +
+        """'[a-zA-Z0-9 ]', '', 'g'))) / length(text)::DOUBLE, 6) END """ +
+        """AS nonalnum_frac, """ +
+        """length(text) - length(replace(text, '�', '')) > 0 """ +
+        """OR len(regexp_extract_all(text, '[a-z][A-Z]')) >= 3 """ +
+        """OR COALESCE(list_max(list_transform(regexp_extract_all(""" +
+        """lower(text), '[bcdfghjklmnpqrstvwxz]+'), """ +
+        """x -> length(x))), 0) >= 8 AS garbled """ +
+        """FROM corpus ORDER BY doc_id"""),
     "ta_bpe_encode" -> taBpeEncodeOracle,
     "ta_classify" ->
       ("WITH w AS (SELECT i AS feat, ((i * 37) % 21 - 10) / 10.0 AS w " +

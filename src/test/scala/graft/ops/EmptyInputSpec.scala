@@ -52,6 +52,12 @@ class EmptyInputSpec extends AnyFunSuite {
       Seq.empty[(String, Long, Int)].toDF("cluster_id", "doc_id", "score"))
       .count() == 0)
     assert(Dedup.ddDespanOn(emptyDocs, 20).count() == 0)
+    assert(TextAnalysis.taGarble(emptyDocs).count() == 0)
+    assert(Dedup.ddUrlOn(
+      Seq.empty[(Long, String)].toDF("id", "url")).count() == 0)
+    assert(Pipeline.dsCcnet(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text"))
+      .count() == 0)
     assert(Pipeline.dsDsir(emptyDocs, emptyDocs.select("text"), 10)
       .count() == 0)
     assert(Pipeline.dsDsirWithin(

@@ -276,6 +276,70 @@ class MultimodalSpec extends AnyFunSuite {
       f2.silent_frames == 2 && f2.n_frames_w == 2 && f2.silence_frac == 1.0)
   }
 
+  test("mmAudioSeg: hand waveform segments exactly on silence runs") {
+    import spark.implicits._
+    def wav(samples: Seq[Int]): Array[Byte] = {
+      val pcm = new Array[Byte](2 * samples.length)
+      samples.zipWithIndex.foreach { case (v, i) =>
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // frameLen=2 windows: [5,5][0,0][3,0][0,0][7,7] → active 1,0,1,0,1
+    val a = Seq(5, 5, 0, 0, 3, 0, 0, 0, 7, 7)
+    // [5,5][5,5][0,0] → one run of 2, then silence
+    val b = Seq(5, 5, 5, 5, 0, 0)
+    // all-silent clip → zero segments
+    val c = Seq(0, 0, 0, 0)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "audio", wav(a)),
+      Multimodal.MediaRecord(2L, "audio", wav(b)),
+      Multimodal.MediaRecord(3L, "audio", wav(c))).toDS()
+    val got = Multimodal.mmAudioSeg(media, frameLen = 2, silenceThresh = 1)
+      .collect().map(s => s.media_id -> s).toMap
+    val g1 = got(1L)
+    assert(g1.n_frames == 5 && g1.active_frames == 3 &&
+      g1.n_segments == 3 && g1.longest_run == 1)
+    val g2 = got(2L)
+    assert(g2.n_frames == 3 && g2.active_frames == 2 &&
+      g2.n_segments == 1 && g2.longest_run == 2)
+    val g3 = got(3L)
+    assert(g3.n_frames == 2 && g3.active_frames == 0 &&
+      g3.n_segments == 0 && g3.longest_run == 0)
+  }
+
+  test("mmAudioSeg/mmAudioFeat: big-endian payloads fail fast (no silent " +
+      "byte-swap)") {
+    import spark.implicits._
+    // AIFF is big-endian 16-bit PCM — exactly the container the contract
+    // must reject rather than read byte-swapped
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val pcm = new Array[Byte](8)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 4L),
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+    val media = Seq(Multimodal.MediaRecord(9L, "audio", bos.toByteArray)).toDS()
+    val e1 = intercept[org.apache.spark.SparkException] {
+      Multimodal.mmAudioSeg(media).collect()
+    }
+    assert(e1.getMessage.contains("media 9") ||
+      Option(e1.getCause).exists(_.getMessage.contains("media 9")))
+    val e2 = intercept[org.apache.spark.SparkException] {
+      Multimodal.mmAudioFeat(media).collect()
+    }
+    assert(e2.getMessage.contains("media 9") ||
+      Option(e2.getCause).exists(_.getMessage.contains("media 9")))
+  }
+
   test("mmAudioFeat: non-mono clips fail fast with the media id") {
     import spark.implicits._
     val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)

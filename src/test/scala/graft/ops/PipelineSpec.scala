@@ -3770,6 +3770,24 @@ class PipelineSpec extends AnyFunSuite {
       g2.forall(_.getLong(3) == 3L))
   }
 
+  test("dsKanon: near-unique sensitive proxy (worst case) completes and " +
+      "signals suppress-or-widen") {
+    import spark.implicits._
+    // every row its own sensitive value AND its own quasi class even at
+    // the coarsest ladder level: base relation is corpus-sized, no level
+    // reaches k — the declared degenerate contract is complete + every
+    // row under_k at maxLevel, never an error or a silent publish
+    val worst = Seq.tabulate(8)(i => (s"c$i", i * 1000000L, s"sv$i"))
+      .toDF("cat", "v", "s")
+    val got = Pipeline.dsKanon(worst, Seq("cat"), "v", "s",
+      k = 3, maxLevel = 2).collect()
+    assert(got.length == 8)
+    assert(got.forall(_.getInt(0) == 2), "must land at the coarsest level")
+    assert(got.forall(_.getBoolean(5)), "every class must flag under_k")
+    assert(got.forall(_.getLong(3) == 1L) && got.forall(_.getLong(4) == 1L))
+    assert(got.forall(_.getDouble(6) == 1.0), "1/n risk bound at n=1")
+  }
+
   test("evSequential: planted lift drives the always-valid p down; null stays up") {
     import spark.implicits._
     // replicate the md5 'ab:' arm rule so the lift is planted BY arm
@@ -3894,5 +3912,81 @@ class PipelineSpec extends AnyFunSuite {
     // both docs emitted (k caps, never pads); weights finite
     assert(out.length == 2)
     assert(out.forall(r => !r.getDouble(1).isNaN && !r.getDouble(1).isInfinite))
+  }
+
+  test("dsCcnet: per-language terciles rank by cross-entropy; tail dropped") {
+    import spark.implicits._
+    // lang 'a': 'c' is the dominant token, so docs with more 'r*' rare
+    // tokens score strictly higher xent; lang 'b' is independent (its own
+    // LM) — one doc per tercile. 6 docs/lang → terciles of 2.
+    val docs = (Seq(
+      (1L, "a", "c c c c c c c c"), (2L, "a", "c c c c c c c r1"),
+      (3L, "a", "c c c c c c r1 r2"), (4L, "a", "c c c c c r1 r2 r3"),
+      (5L, "a", "c c c c r1 r2 r3 r4"), (6L, "a", "c c c r1 r2 r3 r4 r5")) ++
+      Seq((7L, "b", "x x x x"), (8L, "b", "x x x y1"),
+        (9L, "b", "x x y1 y2"), (10L, "b", "x y1 y2 y3"),
+        (11L, "b", "x x x x"), (12L, "b", "x x x x")))
+      .toDF("doc_id", "lang", "text")
+    val got = Pipeline.dsCcnet(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(3),
+        r.getString(4), r.getBoolean(5))).toMap
+    // lang a: xent strictly increases with doc_id by construction
+    assert(Seq(1L, 2L).forall(got(_)._3 == "head"))
+    assert(Seq(3L, 4L).forall(got(_)._3 == "middle"))
+    assert(Seq(5L, 6L).forall(got(_)._3 == "tail"))
+    assert(Seq(1L, 2L, 3L, 4L).forall(got(_)._4) &&
+      Seq(5L, 6L).forall(!got(_)._4))
+    // per-lang models are independent: lang b's three identical all-'x'
+    // docs rank lowest there (ties broken by doc_id), tail = the two
+    // rarest-token docs by xent order
+    assert(got(9L)._2 < got(10L)._2 && got(10L)._3 == "tail")
+    // xent is monotone in planted rarity within lang a
+    assert((1 to 5).forall(i => got(i.toLong)._2 < got(i + 1L)._2))
+  }
+
+  test("ddUrlOn: canonicalization folds every declared mess and no more") {
+    import spark.implicits._
+    val urls = Seq(
+      // one logical page, five fetch records of it
+      (1L, "https://www.ex.com/a/b?x=1&y=2"),
+      (2L, "HTTP://EX.COM:80/a/b?y=2&x=1"),
+      (3L, "https://ex.com:443/a//b/?utm_source=z&x=1&y=2#frag"),
+      (4L, "http://www.ex.com/a/b/?x=1&y=2&fbclid=abc&ref=rss"),
+      (5L, "https://ex.com/a///b?gclid=1&utm_campaign=c&x=1&y=2"),
+      // NOT the same page: different param value, extra param,
+      // non-default port, different path case
+      (6L, "https://ex.com/a/b?x=9&y=2"),
+      (7L, "https://ex.com/a/b?x=1&y=2&z=3"),
+      (8L, "https://ex.com:8080/a/b?x=1&y=2"),
+      (9L, "https://ex.com/A/b?x=1&y=2")).toDF("id", "url")
+    val got = Dedup.ddUrlOn(urls).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byKeep = got.map(t => t._1 -> t).toMap
+    assert(byKeep(1L) ==
+      (1L, "https://ex.com/a/b?x=1&y=2", 5L))
+    assert(byKeep(6L)._3 == 1L && byKeep(7L)._3 == 1L)
+    assert(byKeep(7L)._2 == "https://ex.com/a/b?x=1&y=2&z=3")
+    assert(byKeep(8L)._2 == "https://ex.com:8080/a/b?x=1&y=2")
+    assert(byKeep(9L)._2 == "https://ex.com/A/b?x=1&y=2")
+    assert(got.length == 5)
+  }
+
+  test("taGarble: each corruption class trips exactly its signal") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "broken decode here �� tail"),
+      (3L, "ocr case noise xXxXxXxX inside"),
+      (4L, "keyboard mash bcdfghjklm end"),
+      (5L, "borderline strngth run")) // 7-consonant run: below the 8 cut
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.taGarble(docs).collect()
+      .map(r => r.getLong(0) -> (r.getInt(2), r.getInt(3), r.getInt(4),
+        r.getBoolean(6))).toMap
+    assert(got(1L) == ((0, 0, 3, false)))
+    assert(got(2L)._1 == 2 && got(2L)._4)
+    assert(got(3L)._2 == 4 && got(3L)._4)
+    assert(got(4L)._3 == 10 && got(4L)._4)
+    assert(got(5L)._3 == 7 && !got(5L)._4)
   }
 }
