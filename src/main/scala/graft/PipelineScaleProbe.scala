@@ -218,6 +218,13 @@ object PipelineScaleProbe {
     // corpus at k=16 (the per-round-pass cost curve) + the ANN-candidate
     // composition it is designed for
     if (args.headOption.contains("addendum46")) { addendum46(args(1)); return }
+    // `addendum47 <existingDir>` — round-10 ops at 100×: dd_url 1M fetch
+    // records, ds_ccnet 500k docs × 5 langs, ta_garble 1M docs,
+    // dd_cdc 1M docs; content invariants required, walls recorded
+    if (args.headOption.contains("addendum47")) { addendum47(args(1)); return }
+    // `addendum48` (no dir) — mm_audioseg at 100k REAL multi-burst WAV
+    // clips, every clip's segmentation analytic-exact
+    if (args.headOption.contains("addendum48")) { addendum48(); return }
     // `addendum13 <nDocs> <nEvents> <nVec> <outBase>` — gaps/gini at
     // event scale, epochs/ngram at corpus scale, range at vector scale
     if (args.headOption.contains("addendum13")) {
@@ -4008,6 +4015,171 @@ object PipelineScaleProbe {
     require(rs.filter("cos < 0.5").count() == 0, "threshold leak")
     require(rs.select("query_id").distinct().count() <= 5, "query leak")
     println("PSCALE addendum13 done")
+    spark.stop()
+  }
+
+  /** Round-10 ops at 100×: dd_url over 1M synthesized fetch records
+    * (500k pages × 2 messy fetches — canonicalization must fold every
+    * pair), ds_ccnet at 500k docs across 5 language models (tercile
+    * balance required per lang), ta_garble over 1M docs (500k corrupted
+    * twins must flag, 500k naturals must not), dd_cdc over 1M docs (the
+    * 80%-prefix twins must share chunks).
+    */
+  private def addendum47(dir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.SparkHygiene.quietRddLogs()
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    docs.createOrReplaceTempView("__a47_docs")
+    val off = ops.Dedup.TwinIdOffset
+
+    // dd_url: 1M fetch records, every page fetched once clean + once messy
+    val urls = spark.sql(
+      s"""SELECT doc_id AS id,
+         |       concat('https://www.', source, '.example.com/', lang,
+         |              '/article-', CAST(doc_id AS STRING),
+         |              '?id=', CAST(doc_id AS STRING), '&sort=new') AS url
+         |FROM __a47_docs
+         |UNION ALL
+         |SELECT doc_id + $off AS id,
+         |       concat('HTTP://WWW.', upper(source), '.EXAMPLE.COM:80/',
+         |              lang, '//article-', CAST(doc_id AS STRING),
+         |              '/?utm_source=feed&sort=new&id=',
+         |              CAST(doc_id AS STRING), '#frag') AS url
+         |FROM __a47_docs""".stripMargin)
+    val (urlAgg, wUrl) = wall(ops.Dedup.ddUrlOn(urls)
+      .selectExpr("COUNT(*) AS n", "SUM(CASE WHEN n_dups = 2 THEN 1 ELSE 0 END) AS paired",
+        "MAX(keep_id) AS mx").head())
+    require(urlAgg.getLong(0) == 500000L && urlAgg.getLong(1) == 500000L,
+      s"dd_url at 1M: ${urlAgg}")
+    require(urlAgg.getLong(2) < off, "a twin won a keep-first group")
+    println(f"PSCALE q=dd_url fetches=1000000 pages=500000 w=$wUrl%.1f s")
+    graft.SparkHygiene.clearSessionCaches(spark)
+
+    // ds_ccnet: 500k docs, 5 per-language LMs, tercile balance per lang
+    val (ccn, wCcn) = wall(ops.Pipeline.dsCcnet(
+        docs.select("doc_id", "lang", "text"))
+      .groupBy("lang", "bucket").count().collect())
+    val byLang = ccn.groupBy(_.getString(0))
+    require(byLang.size == 5, s"expected 5 langs, got ${byLang.keySet}")
+    byLang.foreach { case (lang, rows) =>
+      val cs = rows.map(_.getLong(2))
+      require(cs.sum > 0 && cs.max - cs.min <= 1,
+        s"ccnet terciles unbalanced for $lang: ${rows.mkString(",")}")
+    }
+    println(f"PSCALE q=ds_ccnet docs=500000 langs=5 w=$wCcn%.1f s")
+    graft.SparkHygiene.clearSessionCaches(spark)
+
+    // ta_garble: 1M docs (500k corrupted twins), exact flag separation
+    val garbleIn = spark.sql(
+      s"""SELECT doc_id, text FROM __a47_docs
+         |UNION ALL
+         |SELECT doc_id + $off AS doc_id,
+         |       concat(text, ' ', CASE CAST(doc_id % 3 AS INT)
+         |         WHEN 0 THEN '����' WHEN 1 THEN 'xXxXxXxX'
+         |         ELSE 'bcdfghjklm' END) AS text
+         |FROM __a47_docs""".stripMargin)
+    val (gb, wGb) = wall(ops.TextAnalysis.taGarble(garbleIn)
+      .selectExpr(
+        s"SUM(CASE WHEN doc_id >= $off AND garbled THEN 1 ELSE 0 END) AS tp",
+        s"SUM(CASE WHEN doc_id < $off AND garbled THEN 1 ELSE 0 END) AS fp",
+        "COUNT(*) AS n").head())
+    require(gb.getLong(2) == 1000000L && gb.getLong(0) == 500000L &&
+      gb.getLong(1) == 0L, s"ta_garble separation at 1M: $gb")
+    println(f"PSCALE q=ta_garble docs=1000000 tp=500000 fp=0 w=$wGb%.1f s")
+    graft.SparkHygiene.clearSessionCaches(spark)
+
+    // dd_cdc: 1M docs (80%-prefix twins) — twins must share chunks
+    val cdcIn = spark.sql(
+      s"""SELECT doc_id, text FROM __a47_docs
+         |UNION ALL
+         |SELECT doc_id + $off AS doc_id,
+         |       array_join(slice(split(text, ' '), 1,
+         |         (size(split(text, ' ')) * 4) div 5), ' ') AS text
+         |FROM __a47_docs""".stripMargin)
+    val (cdc, wCdc) = wall(ops.Dedup.ddCdcOn(cdcIn)
+      .selectExpr("COUNT(*) AS n",
+        "SUM(CASE WHEN n_dup_chunks > 0 THEN 1 ELSE 0 END) AS withdup",
+        "ROUND(AVG(dup_frac), 4) AS mean_frac").head())
+    require(cdc.getLong(0) >= 999000L,
+      s"dd_cdc rows at 1M: ${cdc.getLong(0)}")
+    require(cdc.getLong(1) * 10 >= cdc.getLong(0) * 5,
+      s"under half the corpus shares chunks: $cdc")
+    println(f"PSCALE q=dd_cdc docs=${cdc.getLong(0)} " +
+      f"withdup=${cdc.getLong(1)} meanfrac=${cdc.getDouble(2)} " +
+      f"w=$wCdc%.1f s")
+    println("PSCALE addendum47 done")
+    spark.stop()
+  }
+
+  /** Round-10 mm_audioseg at 100k REAL multi-burst WAV clips: every
+    * clip's segmentation must land on the analytic plant (k bursts,
+    * frame-aligned gaps) — the mm_audiofeat addendum42 discipline for
+    * the segmentation pass.
+    */
+  private def addendum48(): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.SparkHygiene.quietRddLogs()
+    import spark.implicits._
+
+    val n = 100000L
+    val media = spark.range(n).as[Long].map { id =>
+      val amp = 1000 + 500 * (id % 7).toInt
+      val half = 4 + 2 * (id % 3).toInt
+      val k = 1 + (id % 3).toInt
+      val actB = 2400 + 240 * (id % 4).toInt
+      val gap = 480 + 240 * (id % 2).toInt
+      val tail = 720 + 240 * (id % 3).toInt
+      val total = k * actB + (k - 1) * gap + tail
+      val pcm = new Array[Byte](2 * total)
+      var b = 0
+      while (b < k) {
+        val offB = b * (actB + gap)
+        var i = 0
+        while (i < actB) {
+          val v = if ((i / half) % 2 == 0) amp else -amp
+          pcm(2 * (offB + i)) = (v & 0xff).toByte
+          pcm(2 * (offB + i) + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        b += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, total.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      ops.Multimodal.MediaRecord(id, "audio", bos.toByteArray)
+    }
+    val (segs, w) = wall(ops.Multimodal.mmAudioSeg(media).collect())
+    require(segs.length == n, s"audioseg rows ${segs.length}")
+    segs.foreach { s =>
+      val id = s.media_id
+      val k = 1L + id % 3
+      val actB = 2400L + 240 * (id % 4)
+      val gap = 480L + 240 * (id % 2)
+      val tail = 720L + 240 * (id % 3)
+      val total = k * actB + (k - 1) * gap + tail
+      require(s.n_samples == total && s.n_frames == total / 240 &&
+        s.active_frames == k * (actB / 240) && s.n_segments == k &&
+        s.longest_run == actB / 240,
+        s"clip $id segmentation drifted: $s")
+    }
+    println(f"PSCALE q=mm_audioseg clips=$n w=$w%.1f s all_exact=true")
+    println("PSCALE addendum48 done")
     spark.stop()
   }
 }

@@ -1298,34 +1298,119 @@ object Dedup {
     * ONE hash exchange keyed by canonical URL (the dd_exact shape) with
     * map-side partial MIN/COUNT. Nothing is collected, nothing joined.
     */
+  /** Content-defined chunking dedup (the Rabin/FastCDC boundary idea of
+    * storage dedup applied at token granularity — passage-level
+    * duplicate detection that survives insertions/deletions, where
+    * fixed-width windows shift out of alignment): a rolling 4-token
+    * window hash marks a CHUNK BOUNDARY wherever hash % `div` == 0, so
+    * boundaries are a function of CONTENT alone — two documents sharing
+    * a long passage cut it into the SAME chunks no matter where the
+    * passage sits in each. Chunks are then hashed and counted across
+    * documents; per doc: chunk count, cross-document duplicate chunks,
+    * and the duplicated fraction.
+    *
+    * Engine-exactness: the window hash is the shared md5→BIGINT family
+    * (15 hex digits, non-negative), the chunk signature an md5 of the
+    * in-order window-hash string — every value identical in DuckDB.
+    *
+    * Scale design (100 TB): grams travel as 8-byte keys; the boundary
+    * scan is a per-document window (partition-local sort — no global
+    * exchange); the chunk aggregate is keyed (doc, chunk); the df >= 2
+    * relation is duplicate-chunk-sized, so the join back broadcasts (the
+    * ddSubstring discipline). Docs under 4 tokens carry no windows and
+    * are absent, as ddSubstring declares.
+    */
+  def ddCdcOn(docs: DataFrame, div: Int = 16): DataFrame = {
+    require(div >= 2, s"ddCdcOn: div must be >= 2, got $div")
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__cdc_docs")
+    s.sql(
+      s"""WITH tok AS (
+         |  SELECT doc_id, split(text, ' ') AS toks FROM __cdc_docs),
+         |g AS (
+         |  SELECT doc_id, p.i AS i,
+         |         CAST(conv(substring(md5(p.w), 1, 15), 16, 10) AS BIGINT)
+         |           AS gh
+         |  FROM tok
+         |  LATERAL VIEW explode(CASE WHEN size(toks) >= 4
+         |    THEN transform(sequence(1, size(toks) - 3),
+         |      i -> struct(i AS i,
+         |                  array_join(slice(toks, i, 4), ' ') AS w))
+         |    ELSE array() END) pt AS p),
+         |cid AS (
+         |  SELECT doc_id, i, gh,
+         |         SUM(CASE WHEN pmod(gh, $div) = 0 THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY doc_id ORDER BY i
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           - CASE WHEN pmod(gh, $div) = 0 THEN 1 ELSE 0 END
+         |           AS chunk
+         |  FROM g),
+         |ch AS (
+         |  SELECT doc_id, chunk,
+         |         md5(array_join(transform(
+         |           array_sort(collect_list(struct(i, gh))),
+         |           x -> CAST(x.gh AS STRING)), ',')) AS sig
+         |  FROM cid GROUP BY doc_id, chunk),
+         |dup AS (
+         |  SELECT sig FROM (
+         |    SELECT sig, COUNT(DISTINCT doc_id) AS df FROM ch GROUP BY sig)
+         |  WHERE df >= 2)
+         |SELECT c.doc_id, COUNT(*) AS n_chunks,
+         |       COUNT(d.sig) AS n_dup_chunks,
+         |       ROUND(COUNT(d.sig) / CAST(COUNT(*) AS DOUBLE), 6)
+         |         AS dup_frac
+         |FROM ch c LEFT JOIN dup d ON d.sig = c.sig
+         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin)
+  }
+
+  /** The oracle-checked form: the standard 80%-prefix twin corpus — a
+    * twin shares its original's prefix verbatim, so content-defined
+    * boundaries cut identical chunks there (dup_frac high for pairs,
+    * zero for unrelated naturals).
+    */
+  def ddCdc(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    ddCdcOn(s.sql(
+      s"""SELECT doc_id, text FROM __docs
+         |UNION ALL
+         |SELECT doc_id + ${TwinIdOffset} AS doc_id,
+         |       array_join(slice(split(text, ' '), 1,
+         |         (size(split(text, ' ')) * 4) div 5), ' ') AS text
+         |FROM __docs""".stripMargin))
+  }
+
+  /** The canonical-URL SQL expression over column `urlCol` — shared by
+    * [[ddUrlOn]] and the streaming twin
+    * [[graft.streaming.UrlDedupTracker]] so the two canonical forms
+    * cannot drift. Policy: scheme unified to `https`; host lowercased,
+    * `www.` and default ports stripped; duplicate/trailing slashes
+    * collapsed; `utm_*`/`fbclid`/`gclid`/`ref` params dropped, the rest
+    * sorted; fragment dropped.
+    */
+  def urlCanonSql(urlCol: String): String = {
+    val hostport =
+      s"regexp_extract($urlCol, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)"
+    val path =
+      s"regexp_extract($urlCol, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)"
+    val q =
+      s"""array_join(array_sort(filter(
+         |  split(regexp_extract($urlCol, '\\\\?([^#]*)', 1), '&'),
+         |  p -> p <> '' AND p NOT RLIKE
+         |    '^(utm_[a-z0-9]+|fbclid|gclid|ref)=')), '&')""".stripMargin
+    s"""concat(
+       |  'https://',
+       |  regexp_replace(regexp_replace(lower($hostport),
+       |    ':(80|443)$$', ''), '^www\\\\.', ''),
+       |  regexp_replace(regexp_replace($path, '/{2,}', '/'), '/+$$', ''),
+       |  CASE WHEN $q <> '' THEN concat('?', $q) ELSE '' END)""".stripMargin
+  }
+
   def ddUrlOn(urls: DataFrame): DataFrame = {
     val s = urls.sparkSession
     urls.createOrReplaceTempView("__url_raw")
     s.sql(
-      s"""WITH parts AS (
-         |  SELECT id,
-         |         regexp_extract(url,
-         |           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
-         |         regexp_extract(url,
-         |           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
-         |         regexp_extract(url, '\\\\?([^#]*)', 1) AS query
-         |  FROM __url_raw),
-         |canon AS (
-         |  SELECT id,
-         |         concat(
-         |           'https://',
-         |           regexp_replace(regexp_replace(lower(hostport),
-         |             ':(80|443)$$', ''), '^www\\\\.', ''),
-         |           regexp_replace(regexp_replace(path, '/{2,}', '/'),
-         |             '/+$$', ''),
-         |           CASE WHEN q <> '' THEN concat('?', q) ELSE '' END
-         |         ) AS url
-         |  FROM (
-         |    SELECT id, hostport, path,
-         |           array_join(array_sort(filter(split(query, '&'),
-         |             p -> p <> '' AND p NOT RLIKE
-         |               '^(utm_[a-z0-9]+|fbclid|gclid|ref)=')), '&') AS q
-         |    FROM parts))
+      s"""WITH canon AS (
+         |  SELECT id, ${urlCanonSql("url")} AS url FROM __url_raw)
          |SELECT MIN(id) AS keep_id, url, COUNT(*) AS n_dups
          |FROM canon GROUP BY url
          |ORDER BY keep_id""".stripMargin)
@@ -1361,6 +1446,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_url" -> ((s: SparkSession, dir: String) => ddUrl(s, dir)),
+    "dd_cdc" -> ((s: SparkSession, dir: String) => ddCdc(s, dir)),
     "dd_prefix" -> ((s: SparkSession, dir: String) => ddPrefix(s, dir)),
     "dd_crossfuzzy" -> ((s: SparkSession, dir: String) => ddCrossFuzzy(s, dir)),
     "dd_bloom" -> ((s: SparkSession, dir: String) => ddBloomDedup(s, dir)),
@@ -1424,6 +1510,37 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin.replaceAll("\n", " ")
 
   val oracleSql: Map[String, String] = Map(
+    "dd_cdc" ->
+      (s"""WITH corpus AS ( """ +
+        """SELECT doc_id, text FROM documents """ +
+        s"""UNION ALL SELECT doc_id + ${TwinIdOffset} AS doc_id, """ +
+        """array_to_string(string_split(text, ' ')""" +
+        """[1:(len(string_split(text, ' ')) * 4) // 5], ' ') AS text """ +
+        """FROM documents), """ +
+        """tok AS (SELECT doc_id, string_split(text, ' ') AS toks """ +
+        """FROM corpus), """ +
+        """g0 AS (SELECT doc_id, """ +
+        """unnest([{'i': i, 'w': array_to_string(toks[i:i+3], ' ')} """ +
+        """FOR i IN generate_series(1, len(toks) - 3)]) AS p """ +
+        """FROM tok WHERE len(toks) >= 4), """ +
+        """g AS (SELECT doc_id, p.i AS i, """ +
+        """('0x' || substr(md5(p.w), 1, 15))::BIGINT AS gh FROM g0), """ +
+        """cid AS (SELECT doc_id, i, gh, """ +
+        """SUM(CASE WHEN gh % 16 = 0 THEN 1 ELSE 0 END) """ +
+        """OVER (PARTITION BY doc_id ORDER BY i """ +
+        """ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) """ +
+        """- CASE WHEN gh % 16 = 0 THEN 1 ELSE 0 END AS chunk FROM g), """ +
+        """ch AS (SELECT doc_id, chunk, """ +
+        """md5(string_agg(gh::VARCHAR, ',' ORDER BY i)) AS sig """ +
+        """FROM cid GROUP BY doc_id, chunk), """ +
+        """dup AS (SELECT sig FROM ( """ +
+        """SELECT sig, COUNT(DISTINCT doc_id) AS df FROM ch GROUP BY sig) """ +
+        """WHERE df >= 2) """ +
+        """SELECT c.doc_id, COUNT(*) AS n_chunks, """ +
+        """COUNT(d.sig) AS n_dup_chunks, """ +
+        """ROUND(COUNT(d.sig) / COUNT(*)::DOUBLE, 6) AS dup_frac """ +
+        """FROM ch c LEFT JOIN dup d ON d.sig = c.sig """ +
+        """GROUP BY c.doc_id ORDER BY c.doc_id"""),
     "dd_url" ->
       (s"""WITH raw AS ( """ +
         """SELECT doc_id AS id, 'https://www.' || source || """ +

@@ -310,6 +310,79 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** One grayscale-histogram bin of a decoded image. */
+  case class ImgHistBin(media_id: Long, bin: Int, n_px: Long)
+
+  /** Per-image grayscale intensity histogram over the REAL decode path
+    * (javax.imageio) — the first-pass image statistic every vision-data
+    * pipeline computes (exposure/clipping screens, near-constant-image
+    * drops, dedup pre-binning). Bins the red channel (the planted
+    * corpus is gray, so r=g=b) into `bins` equal-width buckets; emits
+    * only non-empty bins, one row each.
+    *
+    * Scale shape: a typed partition pass (decode amortized per
+    * partition), per-image O(bins) state, output rows ≤ bins per image;
+    * the only exchange is the presentation ORDER BY.
+    */
+  def mmImgHist(media: Dataset[MediaRecord], bins: Int = 16)
+      : Dataset[ImgHistBin] = {
+    require(bins >= 2 && 256 % bins == 0,
+      s"mmImgHist: bins must divide 256, got $bins")
+    import media.sparkSession.implicits._
+    val width = 256 / bins
+    media.flatMap { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      require(img != null, s"media ${r.media_id}: not a decodable image")
+      val counts = new Array[Long](bins)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val red = (img.getRGB(x, y) >> 16) & 0xff
+          counts(red / width) += 1
+          x += 1
+        }
+        y += 1
+      }
+      counts.indices.collect {
+        case b if counts(b) > 0 => ImgHistBin(r.media_id, b, counts(b))
+      }
+    }
+  }
+
+  /** The oracle-checked form: the [[mmDecodeReal]] planted gradient PNGs
+    * (even doc ids; gray g = (id·31 + x·7 + y·13) % 256 at w×h =
+    * (16 + id%17) × (16 + 3·id%13)) — the DuckDB oracle replays the
+    * per-pixel formula codec-free, so a hash match proves the real PNG
+    * encode→decode→pixel walk lands on planted per-pixel CONTENT (one
+    * step past mm_decode_real's container facts).
+    */
+  def mmImgHist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.load(s, dir, "documents").select("doc_id")
+      .as[Long].filter(_ % 2 == 0).map { id =>
+        val w = 16 + (id % 17).toInt
+        val h = 16 + (id * 3 % 13).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val g = ((id * 31 + x * 7 + y * 13) % 256).toInt
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaRecord(id, "image", bos.toByteArray)
+      }
+    mmImgHist(media).toDF().orderBy("media_id", "bin")
+  }
+
   /** Per-clip audio features (integer cores + derived 6-dp ratios). */
   case class AudioFeatures(media_id: Long, n_samples: Long, sample_rate: Int,
       sum_sq: Long, zero_crossings: Long, silent_frames: Long,
@@ -797,6 +870,7 @@ object Multimodal {
     "mm_decode_real" -> (mmDecodeReal _),
     "mm_audiofeat" -> (mmAudioFeat _),
     "mm_audioseg" -> (mmAudioSeg _),
+    "mm_imghist" -> (mmImgHist _),
     "mm_frames" -> (mmFrames _),
     "mm_resize" -> (mmResize _),
     "mm_phash_pairs" -> (mmPhashPairs _),
@@ -883,6 +957,19 @@ object Multimodal {
         |  ROUND((tail // 240)::DOUBLE / ((act + tail) // 240), 6)
         |    AS silence_frac
         |FROM p ORDER BY media_id""".stripMargin.replaceAll("\n", " "),
+    "mm_imghist" ->
+      """WITH p AS (SELECT doc_id AS media_id,
+        |  16 + (doc_id % 17) AS w, 16 + (doc_id * 3 % 13) AS h
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |cell AS (SELECT media_id, w,
+        |  unnest(generate_series(0, (w * h - 1)::BIGINT)) AS c FROM p),
+        |g AS (SELECT media_id,
+        |  (((media_id * 31 + (c % w) * 7 + (c // w) * 13) % 256) // 16)::INT
+        |    AS bin
+        |  FROM cell)
+        |SELECT media_id, bin, COUNT(*) AS n_px
+        |FROM g GROUP BY media_id, bin
+        |ORDER BY media_id, bin""".stripMargin.replaceAll("\n", " "),
     "mm_audioseg" ->
       """WITH p AS (SELECT doc_id AS media_id,
         |  (1 + doc_id % 3)::BIGINT AS k,

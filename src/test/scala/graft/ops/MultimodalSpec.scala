@@ -340,6 +340,30 @@ class MultimodalSpec extends AnyFunSuite {
       Option(e2.getCause).exists(_.getMessage.contains("media 9")))
   }
 
+  test("mmImgHist: hand image counts every pixel into its bin") {
+    import spark.implicits._
+    // 2×2 image with grays 0, 15, 16, 255 → bins 0 (×2), 1, 15
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    def gray(g: Int) = (g << 16) | (g << 8) | g
+    img.setRGB(0, 0, gray(0)); img.setRGB(1, 0, gray(15))
+    img.setRGB(0, 1, gray(16)); img.setRGB(1, 1, gray(255))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq(Multimodal.MediaRecord(4L, "image", bos.toByteArray)).toDS()
+    val got = Multimodal.mmImgHist(media).collect()
+      .map(b => (b.bin, b.n_px)).sortBy(_._1)
+    assert(got.toSeq == Seq((0, 2L), (1, 1L), (15, 1L)))
+    // a non-image payload fails fast with the id
+    val bad = Seq(Multimodal.MediaRecord(8L, "image",
+      Array[Byte](1, 2, 3))).toDS()
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.mmImgHist(bad).collect()
+    }
+    assert(e.getMessage.contains("media 8") ||
+      Option(e.getCause).exists(_.getMessage.contains("media 8")))
+  }
+
   test("mmAudioFeat: non-mono clips fail fast with the media id") {
     import spark.implicits._
     val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)

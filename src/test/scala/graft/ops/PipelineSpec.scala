@@ -3971,6 +3971,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.length == 5)
   }
 
+  test("ddCdcOn: content-defined chunks survive an insertion shift; " +
+      "unrelated docs share nothing") {
+    import spark.implicits._
+    val p = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, p),                       // the passage
+      (2L, "zz yy " + p),            // same passage shifted by an insertion
+      (3L, (50 to 90).map(i => s"v$i").mkString(" "))) // unrelated
+      .toDF("doc_id", "text")
+    val got = Dedup.ddCdcOn(docs, div = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // fixed-width windows would misalign after the 2-token insertion;
+    // content-defined boundaries re-synchronize, so both docs share the
+    // passage's interior chunks
+    assert(got(1L)._2 > 0, s"doc 1 shared no chunks: $got")
+    assert(got(2L)._2 > 0, s"doc 2 shared no chunks: $got")
+    assert(got(3L)._2 == 0, s"unrelated doc shared chunks: $got")
+    // identical duplicated-chunk COUNT on the shared passage side
+    assert(got(1L)._2 <= got(1L)._1 && got(2L)._2 <= got(2L)._1)
+  }
+
   test("taGarble: each corruption class trips exactly its signal") {
     import spark.implicits._
     val docs = Seq(

@@ -1398,4 +1398,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.sortBy(_._1).toSeq == batch.sortBy(_._1).toSeq &&
       got.length == 4, got.toSeq)
   }
+
+  test("url dedup fold: keeps the (ts, fetch_id)-minimal record under any " +
+      "delivery order") {
+    import UrlDedupTracker._
+    def e(ts: Long, id: Long) = UEv(new Timestamp(ts), id, "u")
+    val evs = Seq(e(3000, 5L), e(1000, 9L), e(1000, 2L), e(2000, 1L))
+    val z = UState(0L, 0L, 0L, 0L)
+    // any split of the sequence into trigger chunks converges identically
+    val whole = fold(z, evs)
+    val split = fold(fold(z, evs.take(1)), evs.drop(1))
+    val rev = fold(z, evs.reverse)
+    assert(whole == split && whole == rev)
+    assert(whole.minId == 2L && whole.minTsUs == 1000000L && whole.n == 4L)
+  }
+
+  test("url dedup: streamed canonical keep-first == batch == ddUrlOn") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two logical pages fetched messily; ts monotone in fetch_id so the
+    // stream keeper must equal ddUrlOn's MIN(id)
+    val raw = Seq(
+      (1L, "https://www.ex.com/a/b?x=1"),
+      (2L, "HTTP://EX.COM:80/a/b/?x=1&utm_source=z#f"),
+      (3L, "https://ex.com/c?y=2"),
+      (4L, "https://ex.com/a//b?x=1"),
+      (5L, "http://www.ex.com/c/?y=2&gclid=g"))
+    val fetches = raw.map { case (id, u) =>
+      (new Timestamp(1000L * id), id, u)
+    }.toDF("ts", "fetch_id", "url")
+    val canon = UrlDedupTracker.canonicalize(fetches)
+    val batch = UrlDedupTracker.urlBatch(canon).collect()
+      .map(r => (r.url, r.keep_id, r.n_dups)).sortBy(_._2)
+    val viaOp = graft.ops.Dedup.ddUrlOn(
+        fetches.selectExpr("fetch_id AS id", "url")).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2))).sortBy(_._2)
+    assert(batch.toSeq == viaOp.toSeq)
+    val stream = MemoryStream[UrlDedupTracker.UEv]
+    // 1h watermark: trigger 2 delivers records EARLIER than trigger 1's
+    // max event time — they are in-watermark late data the fold must
+    // absorb (0s would legitimately drop them)
+    val q = UrlDedupTracker.urlStream(
+        stream.toDF().withWatermark("ts", "1 hour")
+          .as[UrlDedupTracker.UEv])
+      .writeStream.outputMode("append")
+      .format("memory").queryName("url_out").start()
+    // deliver out of arrival order across two triggers — the min-fold
+    // must still converge to the batch summary
+    val evs = canon.collect().toSeq.sortBy(e => -e.fetch_id)
+    for (b <- evs.grouped(3)) { stream.addData(b); q.processAllAvailable() }
+    stream.addData(UrlDedupTracker.UEv(
+      new Timestamp(5000L + 15L * 24 * 3600 * 1000), -1L, "zz"))
+    q.processAllAvailable()
+    stream.addData(UrlDedupTracker.UEv(
+      new Timestamp(5000L + 16L * 24 * 3600 * 1000), -2L, "zz"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("url_out").filter(col("url") =!= "zz")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+      .sortBy(_._2)
+    assert(streamed.toSeq == batch.map(t => (t._1, t._2, t._3)).toSeq)
+  }
 }
