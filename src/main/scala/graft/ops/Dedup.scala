@@ -1324,7 +1324,11 @@ object Dedup {
     require(div >= 2, s"ddCdcOn: div must be >= 2, got $div")
     val s = docs.sparkSession
     docs.createOrReplaceTempView("__cdc_docs")
-    s.sql(
+    // the chunk relation feeds BOTH the df >= 2 set and the per-doc
+    // rollup; an inlined CTE would re-run the corpus explode + window
+    // for each consumer (the ds_dsir lesson) — persisted via the
+    // registry, released by the caller/harness per the Caches contract
+    val ch = Caches.track(s.sql(
       s"""WITH tok AS (
          |  SELECT doc_id, split(text, ' ') AS toks FROM __cdc_docs),
          |g AS (
@@ -1350,16 +1354,20 @@ object Dedup {
          |         md5(array_join(transform(
          |           array_sort(collect_list(struct(i, gh))),
          |           x -> CAST(x.gh AS STRING)), ',')) AS sig
-         |  FROM cid GROUP BY doc_id, chunk),
-         |dup AS (
+         |  FROM cid GROUP BY doc_id, chunk)
+         |SELECT doc_id, sig FROM ch""".stripMargin))
+    ch.createOrReplaceTempView("__cdc_ch")
+    s.sql(
+      s"""WITH dup AS (
          |  SELECT sig FROM (
-         |    SELECT sig, COUNT(DISTINCT doc_id) AS df FROM ch GROUP BY sig)
+         |    SELECT sig, COUNT(DISTINCT doc_id) AS df FROM __cdc_ch
+         |    GROUP BY sig)
          |  WHERE df >= 2)
          |SELECT c.doc_id, COUNT(*) AS n_chunks,
          |       COUNT(d.sig) AS n_dup_chunks,
          |       ROUND(COUNT(d.sig) / CAST(COUNT(*) AS DOUBLE), 6)
          |         AS dup_frac
-         |FROM ch c LEFT JOIN dup d ON d.sig = c.sig
+         |FROM __cdc_ch c LEFT JOIN dup d ON d.sig = c.sig
          |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin)
   }
 

@@ -1781,7 +1781,109 @@ object Pipeline {
     dsCcnet(Tables.load(s, dir, "documents")
       .select("doc_id", "lang", "text"))
 
+  /** Differentially-private count release (Dwork et al. 2006 — the
+    * Laplace mechanism, the standard way a data pipeline PUBLISHES
+    * corpus composition stats without exposing individual membership;
+    * the release-side complement of [[dsKanon]]'s suppression audit):
+    * per-group counts plus Laplace(Δf/ε) noise with sensitivity Δf = 1
+    * (one document moves one count by one), then clamp-to-zero and
+    * integer rounding for release.
+    *
+    * The noise draw is the engine's deterministic md5 uniform (seeded
+    * on the group key and a caller salt) pushed through the Laplace
+    * inverse CDF — reproducible releases (same salt → same noise, the
+    * auditable-release property) and hash-exact in DuckDB. True DP in
+    * deployment means a fresh random salt per release; the mechanism,
+    * sensitivity accounting, and post-processing are exactly this
+    * dataflow.
+    *
+    * Scale design: ONE partial+final count per group, a per-group
+    * scalar transform after — no joins, no second corpus pass; released
+    * relation is group-sized.
+    */
+  def dsDpCounts(rows: DataFrame, groupCols: Seq[String], epsilon: Double,
+      salt: String = "dp"): DataFrame = {
+    require(epsilon > 0 && epsilon <= 100, s"dsDpCounts: bad epsilon $epsilon")
+    require(groupCols.nonEmpty, "dsDpCounts: need at least one group column")
+    val s = rows.sparkSession
+    rows.createOrReplaceTempView("__dp_rows")
+    val cats = groupCols.mkString(", ")
+    val key = groupCols.map(c => s"CAST($c AS STRING)")
+      .mkString(s"concat_ws('|', '$salt', ", ", ", ")")
+    s.sql(
+      s"""WITH cnt AS (
+         |  SELECT $cats, COUNT(*) AS n FROM __dp_rows GROUP BY $cats),
+         |draw AS (
+         |  SELECT $cats, n,
+         |         ROUND((CAST(conv(substring(md5($key), 1, 15), 16, 10)
+         |                     AS BIGINT) + 0.5D)
+         |               / 1152921504606846976.0D - 0.5D, 9) AS u
+         |  FROM cnt)
+         |SELECT $cats, scale_b, noise,
+         |       GREATEST(0L, CAST(ROUND(n + noise, 0) AS BIGINT))
+         |         AS released
+         |FROM (
+         |  -- noise is 6-dp-rounded BEFORE the release rounding: libm ln
+         |  -- may differ across engines in the last ulp, and an unrounded
+         |  -- noise inside ROUND(n + ., 0) could flip a .5 boundary
+         |  SELECT $cats, n,
+         |         ROUND(CAST(1.0D / $epsilon AS DOUBLE), 6) AS scale_b,
+         |         ROUND(-(1.0D / $epsilon) * sign(u)
+         |               * ln(1.0D - 2.0D * abs(u)), 6) AS noise
+         |  FROM draw)
+         |ORDER BY $cats""".stripMargin)
+  }
+
+  /** The oracle-checked form: (lang, source) composition at ε = 0.5 —
+    * the histogram a corpus card publishes.
+    */
+  def dsDpCounts(s: SparkSession, dir: String): DataFrame =
+    dsDpCounts(Tables.load(s, dir, "documents"), Seq("lang", "source"),
+      epsilon = 0.5)
+
+  /** D4 diversification pruning (Tirumala et al., "D4: Improving LLM
+    * Pretraining via Document De-Duplication and Diversification",
+    * NeurIPS 2023 — public): after near-dup removal, drop the most
+    * PROTOTYPICAL quarter of every embedding cluster — the points
+    * nearest their centroid carry the least marginal information, and
+    * the paper shows pruning them beats random selection. Rides the
+    * exact ss_ivf_ann k-means chain ([[Similarity.ivfTrainAssignCtes]]),
+    * then ranks each cluster by centroid cosine and keeps
+    * rank > ⌈n/4⌉. Emits (vec_id, cid, cos_c, keep).
+    *
+    * Scale design: the k-means chain is the audited IVF shape (centroid
+    * relation nlist-sized, broadcast); scoring is one broadcast join;
+    * the rank window partitions by cluster over the vector-count-sized
+    * relation. Integer keep-threshold ((n+3) div 4) — no float compare
+    * at the cut.
+    */
+  def dsD4(s: SparkSession, emb: DataFrame, nlist: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    emb.createOrReplaceTempView("__emb")
+    val C = s"cent${Similarity.IvfIters}"
+    s.sql(
+      s"""WITH ${Similarity.ivfTrainAssignCtes(nlist)},
+         |scored AS (
+         |  SELECT a.vec_id, a.cid,
+         |         ROUND(graft_dot(a.v, c.cv) / (a.nrm * c.cnrm), 6) AS cos_c
+         |  FROM assign a JOIN $C c ON c.cid = a.cid),
+         |r AS (
+         |  SELECT vec_id, cid, cos_c,
+         |         ROW_NUMBER() OVER (PARTITION BY cid
+         |                            ORDER BY cos_c DESC, vec_id) AS rn,
+         |         COUNT(*) OVER (PARTITION BY cid) AS n
+         |  FROM scored)
+         |SELECT vec_id, cid, cos_c, rn > (n + 3) div 4 AS keep
+         |FROM r ORDER BY vec_id""".stripMargin)
+  }
+
+  /** The oracle-checked form: the raw embeddings table, 16 clusters. */
+  def dsD4(s: SparkSession, dir: String): DataFrame =
+    dsD4(s, Tables.load(s, dir, "embeddings"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_d4" -> ((s: SparkSession, dir: String) => dsD4(s, dir)),
+    "ds_dplaplace" -> ((s: SparkSession, dir: String) => dsDpCounts(s, dir)),
     "ds_ccnet" -> ((s: SparkSession, dir: String) => dsCcnet(s, dir)),
     "ds_batchpad" -> ((s: SparkSession, dir: String) => dsBatchPad(s, dir)),
     "ds_leakage" -> ((s: SparkSession, dir: String) => dsLeakage(s, dir)),
@@ -1853,6 +1955,59 @@ object Pipeline {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ds_d4" ->
+      (s"""WITH base AS (
+          |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v
+          |  FROM embeddings),
+          |n3 AS (
+          |  SELECT vec_id, v, sqrt(list_sum([x * x FOR x IN v])) AS nrm
+          |  FROM base),
+          |cent0 AS (
+          |  SELECT cid, cv, cnrm FROM (
+          |    SELECT (ROW_NUMBER() OVER (
+          |             ORDER BY md5('km42:' || vec_id::VARCHAR), vec_id))::INT
+          |             - 1 AS cid,
+          |           v AS cv, nrm AS cnrm
+          |    FROM n3) WHERE cid < 16),
+          |${Similarity.ivfDuckIters},
+          |assign AS (
+          |  SELECT vec_id, v, nrm, cid FROM (
+          |    SELECT n.vec_id, n.v, n.nrm, c.cid,
+          |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+          |             ORDER BY ROUND(list_sum([n.v[i] * c.cv[i]
+          |                        FOR i IN generate_series(1, len(n.v))])
+          |                      / (n.nrm * c.cnrm), 6) DESC, c.cid) AS rn
+          |    FROM n3 n CROSS JOIN cent${Similarity.IvfIters} c)
+          |  WHERE rn = 1),
+          |scored AS (
+          |  SELECT a.vec_id, a.cid,
+          |         ROUND(list_sum([a.v[i] * c.cv[i]
+          |                  FOR i IN generate_series(1, len(a.v))])
+          |               / (a.nrm * c.cnrm), 6) AS cos_c
+          |  FROM assign a JOIN cent${Similarity.IvfIters} c
+          |    ON c.cid = a.cid),
+          |r AS (
+          |  SELECT vec_id, cid, cos_c,
+          |         ROW_NUMBER() OVER (PARTITION BY cid
+          |                            ORDER BY cos_c DESC, vec_id) AS rn,
+          |         COUNT(*) OVER (PARTITION BY cid) AS n
+          |  FROM scored)
+          |SELECT vec_id, cid, cos_c, rn > (n + 3) // 4 AS keep
+          |FROM r ORDER BY vec_id""".stripMargin.replaceAll("\n", " ")),
+    "ds_dplaplace" ->
+      ("""WITH cnt AS (SELECT lang, source, COUNT(*) AS n """ +
+        """FROM documents GROUP BY lang, source), """ +
+        """draw AS (SELECT lang, source, n, """ +
+        """ROUND((('0x' || substr(md5('dp' || '|' || lang || '|' || """ +
+        """source), 1, 15))::BIGINT + 0.5) """ +
+        """/ 1152921504606846976.0 - 0.5, 9) AS u FROM cnt) """ +
+        """SELECT lang, source, scale_b, noise, """ +
+        """GREATEST(0, CAST(ROUND(n + noise, 0) AS BIGINT)) AS released """ +
+        """FROM (SELECT lang, source, n, """ +
+        """ROUND(1.0::DOUBLE / 0.5, 6) AS scale_b, """ +
+        """ROUND(-(1.0::DOUBLE / 0.5) * sign(u) """ +
+        """* ln(1.0 - 2.0 * abs(u)), 6) AS noise FROM draw) """ +
+        """ORDER BY lang, source"""),
     "ds_ccnet" ->
       ("WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) " +
         "AS token FROM documents), " +

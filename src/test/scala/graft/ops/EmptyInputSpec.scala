@@ -227,5 +227,14 @@ class EmptyInputSpec extends AnyFunSuite {
     // trip on), matching the lazy-empty side of the contract
     assert(graft.graph.Hits.run(spark,
       Seq.empty[(Long, Long)].toDF("src", "dst"), 2).count() == 0)
+    // round-10 entries
+    val emptyMedia = spark.emptyDataset(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord])
+    assert(Multimodal.mmAudioSeg(emptyMedia).count() == 0)
+    assert(Multimodal.mmImgHist(emptyMedia).count() == 0)
+    assert(Dedup.ddCdcOn(emptyDocs).count() == 0)
+    assert(Pipeline.dsDpCounts(
+      Seq.empty[(Long, String)].toDF("doc_id", "lang"),
+      Seq("lang"), 0.5).count() == 0)
   }
 }

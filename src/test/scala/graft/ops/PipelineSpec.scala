@@ -3992,6 +3992,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(1L)._2 <= got(1L)._1 && got(2L)._2 <= got(2L)._1)
   }
 
+  test("dsDpCounts: Laplace release is reproducible, clamped, and " +
+      "scales with 1/epsilon") {
+    import spark.implicits._
+    val rows = (for { l <- Seq("a", "b"); i <- 1 to (if (l == "a") 40 else 3) }
+      yield (i.toLong, l)).toDF("doc_id", "lang")
+    def run(eps: Double, salt: String = "dp") =
+      Pipeline.dsDpCounts(rows, Seq("lang"), eps, salt).collect()
+        .map(r => (r.getString(0), r.getDouble(2), r.getLong(3))).toSeq
+    val a = run(0.5)
+    // reproducible: same salt, same release
+    assert(a == run(0.5))
+    // a different salt draws different noise (the fresh-release path)
+    assert(a.map(_._2) != run(0.5, "dp2").map(_._2))
+    // released counts are non-negative integers near truth: Laplace tail
+    // P(|noise| > 30b) = e^-30, so 40 ± 60 and 3 ± 60 with b = 2
+    val byLang = a.map(t => t._1 -> t._3).toMap
+    assert(byLang("a") >= 0 && byLang("a") <= 100)
+    assert(byLang("b") >= 0 && byLang("b") <= 63)
+    // same uniform draw, 10x epsilon → noise shrinks ~10x (6-dp rounding)
+    val hi = run(5.0)
+    a.zip(hi).foreach { case ((l1, n1, _), (l2, n2, _)) =>
+      assert(l1 == l2 && math.abs(n2 - n1 / 10) < 1e-4,
+        s"$l1 noise $n1 -> $n2")
+    }
+    // epsilon guard fails fast
+    intercept[IllegalArgumentException] {
+      Pipeline.dsDpCounts(rows, Seq("lang"), 0.0)
+    }
+  }
+
+  test("dsD4: exactly the most-prototypical quarter of each cluster drops") {
+    val got = Pipeline.dsD4(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getBoolean(3)))
+    assert(got.nonEmpty)
+    got.groupBy(_._2).foreach { case (cid, rows) =>
+      val n = rows.length
+      val dropped = rows.filter(!_._4)
+      assert(dropped.length == (n + 3) / 4,
+        s"cluster $cid: ${dropped.length} dropped of $n")
+      // the dropped set is exactly the top-(cos, -vec_id) prefix
+      val byRank = rows.sortBy(t => (-t._3, t._1)).take((n + 3) / 4)
+      assert(byRank.map(_._1).toSet == dropped.map(_._1).toSet,
+        s"cluster $cid dropped the wrong members")
+    }
+  }
+
   test("taGarble: each corruption class trips exactly its signal") {
     import spark.implicits._
     val docs = Seq(
