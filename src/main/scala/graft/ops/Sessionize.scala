@@ -2856,7 +2856,82 @@ object Sessionize {
     graft.streaming.ConversionJoin.convPairs(Tables.load(s, dir, "events"))
       .orderBy("user_id", "purchase_id", "click_id")
 
+  /** Population stability index (the standard production drift monitor,
+    * complementing [[evKs]]'s distribution-free D: PSI is the BINNED,
+    * additive-per-bucket diagnostic ops dashboards alert on — which
+    * value range moved, not just whether something moved): split the
+    * stream at the midpoint of its time span, bin the metric into
+    * `nBins` equal-width buckets fitted on the EARLY window, and report
+    * per-bin early/late counts plus the PSI term
+    * (p_i − q_i)·ln(p_i/q_i) under add-one smoothing (the ε-guard every
+    * PSI implementation applies so empty bins stay finite). Rule of
+    * thumb the output feeds: total < 0.1 stable, 0.1–0.25 drifting,
+    * > 0.25 shifted.
+    *
+    * Engine-exactness: the split and bin edges are integer-micro /
+    * IEEE-double arithmetic on identical inputs; each transcendental
+    * term is 9-dp-rounded then DECIMAL-summed (the taPerplexity fold);
+    * the dense bin grid is generated on both sides so zero-count bins
+    * align. Scale shape: two corpus passes (span + binning — the first
+    * is a 1-row broadcast aggregate), one partial-agg count keyed by
+    * bin, then bins-sized arithmetic; no window over data-sized rows.
+    */
+  def evPsi(events: DataFrame, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"evPsi: bad nBins $nBins")
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__psi_events")
+    s.sql(
+      s"""WITH span AS (
+         |  SELECT MIN(unix_micros(ts)) AS mn, MAX(unix_micros(ts)) AS mx
+         |  FROM __psi_events),
+         |lab AS (
+         |  SELECT value,
+         |         CASE WHEN unix_micros(ts) * 2 < mn + mx
+         |              THEN 0 ELSE 1 END AS late
+         |  FROM __psi_events CROSS JOIN span),
+         |vr AS (
+         |  SELECT MIN(value) AS vmn,
+         |         CASE WHEN MAX(value) > MIN(value)
+         |              THEN (MAX(value) - MIN(value)) / $nBins
+         |              ELSE CAST(1 AS DOUBLE) END AS w
+         |  FROM lab WHERE late = 0),
+         |b AS (
+         |  SELECT late,
+         |         LEAST($nBins - 1, GREATEST(0,
+         |           CAST(floor((value - vmn) / w) AS INT))) AS bin
+         |  FROM lab CROSS JOIN vr),
+         |cnt AS (
+         |  SELECT bin,
+         |         SUM(CASE WHEN late = 0 THEN 1 ELSE 0 END) AS ne,
+         |         SUM(CASE WHEN late = 1 THEN 1 ELSE 0 END) AS nl
+         |  FROM b GROUP BY bin),
+         |tot AS (SELECT SUM(ne) AS te, SUM(nl) AS tl FROM cnt),
+         |grid AS (
+         |  SELECT g.id AS bin, COALESCE(c.ne, 0L) AS ne,
+         |         COALESCE(c.nl, 0L) AS nl
+         |  FROM (SELECT explode(sequence(0, ${nBins - 1})) AS id) g
+         |  LEFT JOIN cnt c ON c.bin = g.id),
+         |terms AS (
+         |  SELECT bin, ne, nl, ROUND((pe - ql) * ln(pe / ql), 9) AS psi_term
+         |  FROM (
+         |    SELECT bin, ne, nl,
+         |           (ne + 1) / CAST(te + $nBins AS DOUBLE) AS pe,
+         |           (nl + 1) / CAST(tl + $nBins AS DOUBLE) AS ql
+         |    FROM grid CROSS JOIN tot))
+         |SELECT bin, ne AS n_early, nl AS n_late, psi_term,
+         |       ROUND(CAST(SUM(CAST(psi_term AS DECIMAL(28,9))) OVER ()
+         |                  AS DOUBLE), 6) AS psi_total
+         |FROM terms ORDER BY bin""".stripMargin)
+  }
+
+  /** The oracle-checked form: the events `value` metric, 10 bins. */
+  def evPsi(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events_psi")
+    evPsi(s.table("__events_psi"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_psi" -> ((s: SparkSession, dir: String) => evPsi(s, dir)),
     "ev_benford" -> ((s: SparkSession, dir: String) => evBenford(s, dir)),
     "ev_changepoint" -> ((s: SparkSession, dir: String) => evChangepoint(s, dir)),
     "ev_cms" -> ((s: SparkSession, dir: String) => evCms(s, dir)),
@@ -2954,6 +3029,48 @@ object Sessionize {
       "SUM(cb) OVER (ORDER BY v) AS cumb FROM g)"
 
   val oracleSql: Map[String, String] = Map(
+    "ev_psi" ->
+      """WITH span AS (
+        |  SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+        |  FROM events),
+        |lab AS (
+        |  SELECT value,
+        |         CASE WHEN epoch_us(ts) * 2 < mn + mx THEN 0 ELSE 1 END
+        |           AS late
+        |  FROM events CROSS JOIN span),
+        |vr AS (
+        |  SELECT MIN(value) AS vmn,
+        |         CASE WHEN MAX(value) > MIN(value)
+        |              THEN (MAX(value) - MIN(value)) / 10
+        |              ELSE 1.0::DOUBLE END AS w
+        |  FROM lab WHERE late = 0),
+        |b AS (
+        |  SELECT late,
+        |         LEAST(9, GREATEST(0, floor((value - vmn) / w)::INT)) AS bin
+        |  FROM lab CROSS JOIN vr),
+        |cnt AS (
+        |  SELECT bin,
+        |         SUM(CASE WHEN late = 0 THEN 1 ELSE 0 END)::BIGINT AS ne,
+        |         SUM(CASE WHEN late = 1 THEN 1 ELSE 0 END)::BIGINT AS nl
+        |  FROM b GROUP BY bin),
+        |tot AS (SELECT SUM(ne)::BIGINT AS te, SUM(nl)::BIGINT AS tl
+        |        FROM cnt),
+        |grid AS (
+        |  SELECT g.id AS bin, COALESCE(c.ne, 0)::BIGINT AS ne,
+        |         COALESCE(c.nl, 0)::BIGINT AS nl
+        |  FROM (SELECT unnest(generate_series(0, 9)) AS id) g
+        |  LEFT JOIN cnt c ON c.bin = g.id),
+        |terms AS (
+        |  SELECT bin, ne, nl, ROUND((pe - ql) * ln(pe / ql), 9) AS psi_term
+        |  FROM (
+        |    SELECT bin, ne, nl,
+        |           (ne + 1) / (te + 10)::DOUBLE AS pe,
+        |           (nl + 1) / (tl + 10)::DOUBLE AS ql
+        |    FROM grid CROSS JOIN tot))
+        |SELECT bin, ne AS n_early, nl AS n_late, psi_term,
+        |       ROUND((SUM(psi_term::DECIMAL(28,9)) OVER ())::DOUBLE, 6)
+        |         AS psi_total
+        |FROM terms ORDER BY bin""".stripMargin.replaceAll("\n", " "),
     "ev_qsketch" ->
       ("WITH vals AS (SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c " +
         "FROM events WHERE value > 0), " +

@@ -956,6 +956,93 @@ object Similarity {
     ssMmr(s, Tables.load(s, dir, "embeddings"), queryId = 0L, k = 8,
       lambda = 0.7)
 
+  /** k-means++ seeding (Arthur & Vassilvitskii, SODA 2007 — the O(log k)-
+    * approximation initializer every practical k-means ships): the first
+    * center is the corpus-uniform draw (argmin of the keyed md5 digest,
+    * the cent0 seeding style), and every next center is sampled with
+    * probability ∝ D²(x) — realized EXACTLY and deterministically by the
+    * Gumbel-max identity: argmax of ln(D²(x)) + Gumbel(md5-draw keyed on
+    * (round, vec_id)) IS a ∝-D² sample under the fixed draw family.
+    * Emits (rank, vec_id, d2) — d2 the squared distance to the
+    * previously-chosen set at pick time (the quantity the k-means++
+    * guarantee bounds).
+    *
+    * Scale shape (the ss_mmr discipline): per-vector state is ONE
+    * incrementally-min'd d2 column; each round broadcast-joins only the
+    * newly picked center as a literal array, the argmax rides
+    * TakeOrdered via `limit(1)`, and superseded checkpoint frames are
+    * released per round — k rounds of corpus-linear narrow work, never
+    * a k×corpus blowup.
+    */
+  def ssKmeansPp(s: SparkSession, emb: DataFrame, k: Int): DataFrame = {
+    require(k >= 2 && k <= 256, s"ssKmeansPp: k in [2,256], got $k")
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    import org.apache.spark.sql.functions.{array, col, expr, least, lit, round}
+    emb.createOrReplaceTempView("__kpp_emb")
+    val firstRow = s.sql(
+      """WITH base AS (
+        |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM __kpp_emb),
+        |n2 AS (SELECT vec_id, v, ROUND(graft_dot(v, v), 9) AS vv FROM base)
+        |SELECT vec_id, v, vv FROM (
+        |  SELECT vec_id, v, vv,
+        |         md5(concat('kpp0:', CAST(vec_id AS STRING))) AS h
+        |  FROM n2)
+        |ORDER BY h, vec_id LIMIT 1""".stripMargin).collect()
+    if (firstRow.isEmpty)
+      return Seq.empty[(Long, Long, Double)].toDF("rank", "vec_id", "d2")
+    val f = firstRow.head
+    val (fid, fv, fvv) = (f.getLong(0), f.getSeq[Double](1), f.getDouble(2))
+    val out = Seq.newBuilder[(Long, Long, Double)]
+    out += ((1L, fid, 0.0))
+    def centerLit(v: Seq[Double]) = array(v.map(lit): _*)
+    var cand = s.sql(
+      """WITH base AS (
+        |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM __kpp_emb)
+        |SELECT vec_id, v, ROUND(graft_dot(v, v), 9) AS vv FROM base""".stripMargin)
+      .filter(col("vec_id") =!= fid)
+      .withColumn("d2", round(col("vv")
+        - lit(2.0) * org.apache.spark.sql.functions
+            .call_function("graft_dot", col("v"), centerLit(fv))
+        + lit(fvv), 9))
+      .localCheckpoint(eager = true)
+    var t = 2
+    var done = false
+    while (t <= k && !done) {
+      val gumbel = expr(
+        s"""ROUND(-ln(-ln(ROUND(
+           |  (CAST(conv(substring(md5(concat('kpp$t:',
+           |     CAST(vec_id AS STRING))), 1, 15), 16, 10) AS BIGINT)
+           |   + 0.5D) / 1152921504606846976.0D, 9))), 9)""".stripMargin)
+      val top = cand.filter(col("d2") > 0)
+        .withColumn("sc", round(expr("ln(d2)") + gumbel, 9))
+        .orderBy(col("sc").desc, col("vec_id")).limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val r = top.head
+        val (id, v, vv) = (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))
+        out += ((t.toLong, id, r.getDouble(3)))
+        val next = cand.filter(col("vec_id") =!= id)
+          .withColumn("d2", least(col("d2"), round(col("vv")
+            - lit(2.0) * org.apache.spark.sql.functions
+                .call_function("graft_dot", col("v"), centerLit(v))
+            + lit(vv), 9)))
+          .localCheckpoint(eager = true)
+        graft.graph.Checkpoints.release(cand)
+        cand = next
+      }
+      t += 1
+    }
+    graft.graph.Checkpoints.release(cand)
+    out.result().toDF("rank", "vec_id", "d2").orderBy("rank")
+  }
+
+  /** The oracle-checked form: 8 seeds over the embeddings table. */
+  def ssKmeansPp(s: SparkSession, dir: String): DataFrame =
+    ssKmeansPp(s, Tables.load(s, dir, "embeddings"), k = 8)
+
   /** Hard-negative mining (the contrastive-training prep step: for every
     * anchor, the most-similar vectors that carry a DIFFERENT label —
     * "close but wrong" examples, the ones a triplet/InfoNCE loss learns
@@ -1851,6 +1938,7 @@ object Similarity {
     ssQuantErr(Tables.load(s, dir, "embeddings"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ss_kmeanspp" -> ((s: SparkSession, dir: String) => ssKmeansPp(s, dir)),
     "ss_quanterr" -> ((s: SparkSession, dir: String) => ssQuantErr(s, dir)),
     "ss_silhouette" -> ((s: SparkSession, dir: String) => ssSilhouette(s, dir)),
     "ss_labelsep" -> ((s: SparkSession, dir: String) => ssLabelSep(s, dir)),
@@ -2671,6 +2759,49 @@ object Similarity {
         |           ORDER BY cos DESC, neighbor_id) AS rn
         |  FROM scored)
         |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin.replaceAll("\n", " "),
+    "ss_kmeanspp" -> {
+      // statically unrolled D²-sampling: f = the argmin-digest uniform
+      // first center, p_t = the round-t Gumbel-max pick (an exact ∝-D²
+      // sample under the fixed md5 draw family), c_t = survivors with
+      // the incrementally-min'd d2
+      def dot(a: String, b: String) =
+        s"list_sum([$a.v[i] * $b.v[i] FOR i IN generate_series(1, len($a.v))])"
+      def d2(c: String, p: String) =
+        s"ROUND($c.vv - 2 * ${dot(c, p)} + $p.vv, 9)"
+      def gumbel(t: Int) =
+        s"""ROUND(-ln(-ln(ROUND((('0x' || substr(md5('kpp$t:' ||
+           |  vec_id::VARCHAR), 1, 15))::BIGINT + 0.5)
+           |  / 1152921504606846976.0, 9))), 9)""".stripMargin
+      val rounds = (2 to 8).map { t =>
+        val prev = if (t == 2) "c1" else s"c${t - 1}"
+        s"""p$t AS (SELECT vec_id, v, vv, d2 FROM (
+           |  SELECT vec_id, v, vv, d2,
+           |         ROUND(ln(d2) + ${gumbel(t)}, 9) AS sc
+           |  FROM $prev WHERE d2 > 0)
+           |  ORDER BY sc DESC, vec_id LIMIT 1),
+           |c$t AS (SELECT c.vec_id, c.v, c.vv,
+           |  LEAST(c.d2, ${d2("c", "p")}) AS d2
+           |  FROM $prev c CROSS JOIN p$t p WHERE c.vec_id <> p.vec_id)""".stripMargin
+      }.mkString(",\n")
+      val picks = (2 to 8).map(t =>
+        s"SELECT $t::BIGINT AS rank, vec_id, d2 FROM p$t")
+        .mkString("\nUNION ALL ")
+      s"""WITH base AS (
+         |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v
+         |  FROM embeddings),
+         |n2 AS (
+         |  SELECT vec_id, v,
+         |         ROUND(list_sum([x * x FOR x IN v]), 9) AS vv FROM base),
+         |f AS (SELECT vec_id, v, vv FROM (
+         |  SELECT vec_id, v, vv, md5('kpp0:' || vec_id::VARCHAR) AS h
+         |  FROM n2) ORDER BY h, vec_id LIMIT 1),
+         |c1 AS (SELECT c.vec_id, c.v, c.vv, ${d2("c", "f")} AS d2
+         |       FROM n2 c CROSS JOIN f WHERE c.vec_id <> f.vec_id),
+         |$rounds
+         |SELECT 1::BIGINT AS rank, vec_id, 0.0::DOUBLE AS d2 FROM f
+         |UNION ALL $picks
+         |ORDER BY rank""".stripMargin.replaceAll("\n", " ")
+    },
     "ss_mmr" -> {
       // statically unrolled greedy: p_t = the round-t argmax, c_t = the
       // survivors with the incrementally-updated max-sim column. The

@@ -4038,6 +4038,34 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("evPsi: a planted distribution shift reads high; a stable stream " +
+      "reads near zero") {
+    import spark.implicits._
+    def ev(i: Long, dayUs: Long, v: Double) =
+      (i, new java.sql.Timestamp(dayUs / 1000), i % 100, "m", v)
+    val day = 86400000000L
+    // stable: the same 0..9 value cycle in both halves
+    val stable = (0L until 2000L).map(i =>
+      ev(i, i * day / 100, (i % 10).toDouble))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val s1 = Sessionize.evPsi(stable).collect()
+    assert(s1.length == 10)
+    val psiStable = s1.head.getDouble(4)
+    assert(s1.forall(_.getDouble(4) == psiStable), "psi_total must repeat")
+    assert(psiStable < 0.05, s"stable stream drifted: $psiStable")
+    // shifted: late half moves the whole mass up 5 bins
+    val shifted = (0L until 2000L).map { i =>
+      val late = i >= 1000L
+      ev(i, i * day / 100, (i % 5).toDouble + (if (late) 5.0 else 0.0))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val s2 = Sessionize.evPsi(shifted).collect()
+    val psiShift = s2.head.getDouble(4)
+    assert(psiShift > 0.25, s"planted shift under the alert line: $psiShift")
+    // early-fitted bins: the late mass lands in the top bins
+    val lateTop = s2.filter(_.getInt(0) >= 5).map(_.getLong(2)).sum
+    assert(lateTop == 1000L, s"late mass misbinned: ${s2.mkString(",")}")
+  }
+
   test("taGarble: each corruption class trips exactly its signal") {
     import spark.implicits._
     val docs = Seq(

@@ -823,4 +823,33 @@ class SimilaritySpec extends AnyFunSuite {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.8, s"augmented-IVF MIPS recall@10 $mean (want >= 0.8)")
   }
+
+  test("ssKmeansPp: picks are distinct and each d2 is the true min " +
+      "squared distance to the prior picks") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Similarity.ssKmeansPp(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == (1L to 8L) &&
+      got.map(_._2).distinct.length == 8)
+    // in-memory replay of the rounded-9 distance lattice
+    val vecs = graft.Tables.load(spark, sf, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) v")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def r9(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    def dot(a: Array[Double], b: Array[Double]) = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def d2(a: Array[Double], b: Array[Double]) =
+      r9(r9(dot(a, a)) - 2 * dot(a, b) + r9(dot(b, b)))
+    for (t <- 2 to 8) {
+      val x = vecs(got(t - 1)._2)
+      val expect = got.take(t - 1).map(p => d2(x, vecs(p._2))).min
+      assert(math.abs(got(t - 1)._3 - expect) < 1e-9,
+        s"rank $t d2 ${got(t - 1)._3} != replay $expect")
+      assert(got(t - 1)._3 > 0)
+    }
+  }
 }
