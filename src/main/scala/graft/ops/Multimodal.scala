@@ -862,7 +862,53 @@ object Multimodal {
     mmWindows(decodeAll(mediaFromDocs(s, dir), StubDecoder).toDF()
       .filter(col("kind") === "audio").select("media_id", "n_bytes"))
 
+  /** Content-addressed blob dedup audit (the CAS report every multimodal
+    * lake runs before paying storage twice): digest each opaque binary
+    * payload, group by digest, report copies / keeper / wasted bytes per
+    * distinct blob. Byte-level identity is the ONLY safe dedup for media
+    * payloads (text normalization does not apply to compressed bytes);
+    * near-dup lives in mm_phash_pairs.
+    *
+    * Scale design: the payload never crosses the wire — the map side
+    * projects (digest, media_id, n_bytes) before the one hash exchange
+    * on the 32-hex digest, and count/min are partial-aggregated. Output
+    * is distinct-blob-sized. At 100 TB of media this is the cheapest
+    * possible full-corpus pass: scan + 48-byte rows into a combinable
+    * aggregate.
+    */
+  def mmDupBlob(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    media.createOrReplaceTempView("__cas_media")
+    s.sql(
+      """SELECT md5(payload) AS digest,
+        |       COUNT(*) AS n_copies,
+        |       MIN(media_id) AS keeper_id,
+        |       MIN(CAST(octet_length(payload) AS BIGINT)) AS n_bytes,
+        |       (COUNT(*) - 1)
+        |         * MIN(CAST(octet_length(payload) AS BIGINT))
+        |         AS wasted_bytes
+        |FROM __cas_media GROUP BY md5(payload)
+        |ORDER BY digest""".stripMargin)
+  }
+
+  /** The oracle-checked form: the documents-derived media relation plus
+    * byte-identical twins for every 5th record (media_id + TwinIdOffset)
+    * — the planted dup groups the CAS report must fold to one keeper.
+    */
+  def mmDupBlob(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "documents").createOrReplaceTempView("__cas_docs")
+    mmDupBlob(s.sql(
+      s"""SELECT doc_id AS media_id, encode(text, 'UTF-8') AS payload
+         |FROM __cas_docs
+         |UNION ALL
+         |SELECT doc_id + ${graft.ops.Dedup.TwinIdOffset} AS media_id,
+         |       encode(text, 'UTF-8') AS payload
+         |FROM __cas_docs WHERE doc_id % 5 = 0""".stripMargin))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_dupblob" ->
+      ((s: SparkSession, dir: String) => mmDupBlob(s, dir)),
     "mm_windows" -> ((s: SparkSession, dir: String) => mmWindows(s, dir)),
     "mm_align" -> ((s: SparkSession, dir: String) => mmAlign(s, dir)),
     "mm_shard" -> ((s: SparkSession, dir: String) => mmShard(s, dir)),
@@ -877,6 +923,17 @@ object Multimodal {
     "mm_resolve" -> (mmResolve _))
 
   val oracleSql: Map[String, String] = Map(
+    "mm_dupblob" ->
+      (s"""WITH media AS ( """ +
+        """SELECT doc_id AS media_id, text FROM documents """ +
+        s"""UNION ALL SELECT doc_id + ${graft.ops.Dedup.TwinIdOffset}, """ +
+        """text FROM documents WHERE doc_id % 5 = 0) """ +
+        """SELECT md5(text) AS digest, COUNT(*) AS n_copies, """ +
+        """MIN(media_id) AS keeper_id, """ +
+        """MIN(octet_length(encode(text)))::BIGINT AS n_bytes, """ +
+        """((COUNT(*) - 1) """ +
+        """* MIN(octet_length(encode(text))))::BIGINT AS wasted_bytes """ +
+        """FROM media GROUP BY md5(text) ORDER BY digest"""),
     "mm_windows" ->
       ("""WITH dec AS (SELECT doc_id AS media_id, """ +
         """octet_length(encode(text))::BIGINT AS n_bytes FROM documents """ +

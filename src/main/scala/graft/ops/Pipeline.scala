@@ -1881,7 +1881,83 @@ object Pipeline {
   def dsD4(s: SparkSession, dir: String): DataFrame =
     dsD4(s, Tables.load(s, dir, "embeddings"))
 
+  /** DoReMi-style domain reweighting (Xie et al. 2023, arXiv 2305.10429
+    * — public): multiplicative-weights mirror descent over the corpus's
+    * source domains, driven by each domain's EXCESS of a loss proxy over
+    * the corpus mean — domains that look harder than average gain
+    * mixture weight, capped by the step size. This offline replica uses
+    * one static excess estimate (mean chars/doc as the loss proxy — the
+    * published method re-estimates with a proxy model each round; the
+    * REWEIGHTING loop, which is the part a data engine owns, is
+    * identical) and the linearized MWU multiplier w·(1 + η·g)
+    * (Arora–Hazan–Kale 2012 survey form) so every round is rational.
+    *
+    * Engine-exactness: all fixed-point BIGINT — loss in micro-units via
+    * the overflow-safe split floor((s div n)·10⁶ + ((s mod n)·10⁶) div
+    * n), gradients in ppm of the max excess, weights in ppb renormalized
+    * by integer division each round, exactly `rounds` statically
+    * unrolled CTE steps. No float in the output at all (weight_ppb is
+    * the deliverable — parts-per-billion of the training mixture).
+    *
+    * Scale design: one combinable (source → count, sum chars) corpus
+    * pass; the MWU loop runs entirely on the domains-sized relation
+    * (windows over ≤ |domains| rows), so at 100 TB the scan dominates
+    * and the 8 rounds are noise.
+    */
+  private def doremiSql(docsRel: String, idiv: String, rounds: Int,
+      etaPpm: Long): String = {
+    def microMean(sum: String, n: String): String =
+      s"CAST(($sum $idiv $n) * 1000000 + (($sum % $n) * 1000000) $idiv $n AS BIGINT)"
+    val stepCtes = (1 to rounds).map { r =>
+      s"""w$r AS (SELECT source, n_docs, mean_micro, excess_micro, m,
+         | CAST((w * m) $idiv 1000000 AS BIGINT) AS wp FROM n${r - 1}),
+         |n$r AS (SELECT source, n_docs, mean_micro, excess_micro, m,
+         | CAST((wp * 1000000000) $idiv (SUM(wp) OVER ()) AS BIGINT) AS w
+         | FROM w$r)""".stripMargin
+    }.mkString(", ")
+    s"""WITH st AS (
+       |  SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS sc
+       |  FROM $docsRel GROUP BY source),
+       |tot AS (SELECT SUM(n_docs) AS td, SUM(sc) AS tc FROM st),
+       |ex AS (
+       |  SELECT s.source, s.n_docs,
+       |         ${microMean("s.sc", "s.n_docs")} AS mean_micro,
+       |         GREATEST(CAST(0 AS BIGINT),
+       |           ${microMean("s.sc", "s.n_docs")}
+       |           - ${microMean("t.tc", "t.td")}) AS excess_micro
+       |  FROM st s CROSS JOIN tot t),
+       |mx AS (SELECT MAX(excess_micro) AS me, COUNT(*) AS nd FROM ex),
+       |n0 AS (
+       |  SELECT e.source, e.n_docs, e.mean_micro, e.excess_micro,
+       |         CAST(1000000000 $idiv m.nd AS BIGINT) AS w,
+       |         CAST(1000000 + ($etaPpm * (CASE WHEN m.me = 0 THEN 0
+       |           ELSE (e.excess_micro * 1000000) $idiv m.me END))
+       |           $idiv 1000000 AS BIGINT) AS m
+       |  FROM ex e CROSS JOIN mx m),
+       |$stepCtes
+       |SELECT source, n_docs, mean_micro AS mean_chars_micro,
+       |       excess_micro, w AS weight_ppb
+       |FROM n$rounds ORDER BY source""".stripMargin
+  }
+
+  /** DoReMi reweighting over an arbitrary (source, n_chars) corpus. */
+  def dsDoremi(docs: DataFrame, rounds: Int = 8,
+      etaPpm: Long = 250000L): DataFrame = {
+    require(rounds >= 1 && rounds <= 32,
+      s"dsDoremi: rounds in [1, 32], got $rounds")
+    require(etaPpm >= 0 && etaPpm <= 1000000,
+      s"dsDoremi: etaPpm in [0, 10^6], got $etaPpm")
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__doremi_docs")
+    s.sql(doremiSql("__doremi_docs", "div", rounds, etaPpm))
+  }
+
+  /** The oracle-checked form over the testdata documents. */
+  def dsDoremi(s: SparkSession, dir: String): DataFrame =
+    dsDoremi(Tables.load(s, dir, "documents"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_doremi" -> ((s: SparkSession, dir: String) => dsDoremi(s, dir)),
     "ds_d4" -> ((s: SparkSession, dir: String) => dsD4(s, dir)),
     "ds_dplaplace" -> ((s: SparkSession, dir: String) => dsDpCounts(s, dir)),
     "ds_ccnet" -> ((s: SparkSession, dir: String) => dsCcnet(s, dir)),
@@ -1955,6 +2031,8 @@ object Pipeline {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ds_doremi" -> doremiSql("documents", "//", 8, 250000L)
+      .replaceAll("\n", " "),
     "ds_d4" ->
       (s"""WITH base AS (
           |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v

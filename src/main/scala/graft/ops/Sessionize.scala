@@ -1941,6 +1941,81 @@ object Sessionize {
     evForecast(s.table("__events"))
   }
 
+  /** Holt's linear-trend double exponential smoothing (Holt 1957 /
+    * Hyndman & Athanasopoulos, fpp3 ch. 8 — public) over each type's
+    * daily count sequence, α = β = ½: level and trend halve toward each
+    * new observation, the model behind every "is volume trending up"
+    * capacity panel. Emits the final level/trend, the one-step-ahead
+    * forecast l+b, and the in-sample one-step MAE (the fit quality a
+    * planner reads before trusting the forecast; compare against
+    * [[evForecast]]'s naive-1 MAE to see what smoothing buys).
+    *
+    * Contract: the recursion runs over the OBSERVED day sequence in day
+    * order (calendar gap days are not zero-filled — same declaration as
+    * the sequence ops); init l₁ = y₁, b₁ = y₂ − y₁, recursion consumes
+    * y₃…yₙ; types with a single observed day are excluded.
+    *
+    * Engine-exactness: the whole recursion is BIGINT micro-units with
+    * floor-of-half halving — H(x) = (x + 2⁵⁰) div 2 − 2⁴⁹ ≡ ⌊x/2⌋ for
+    * either sign, computed on offset-positive operands so Spark's
+    * truncating `div` and DuckDB's `//` agree. No float enters until
+    * the terminal micro→unit ROUND-6 (micros are ≥ 10⁻⁹ away from any
+    * 6-dp tie, so the double round is engine-identical).
+    *
+    * Scale design: one (type, day) count aggregate (days-sized at any
+    * event volume), one per-type sorted-array fold over ≤ days elements
+    * — the recursion is a HOF inside whole-stage codegen, not a driver
+    * loop or an iterative join; output is types-sized.
+    */
+  def evHolt(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__holt_events")
+    val M = "1000000L"
+    val OFF = "1125899906842624L" // 2^50, even; |operands| << 2^50
+    val HALF = "562949953421312L" // 2^49
+    // H(x) = floor(x/2) via the offset identity; l_new appears inside
+    // b_new, so its expression is inlined twice (HOFs bind no locals)
+    val lNew = s"((y * $M + st.l + st.b + $OFF) div 2 - $HALF)"
+    s.sql(
+      s"""WITH daily AS (
+         |  SELECT event_type, unix_micros(ts) div 86400000000 AS day,
+         |         COUNT(*) AS n
+         |  FROM __holt_events GROUP BY 1, 2),
+         |seq AS (
+         |  SELECT event_type,
+         |         transform(sort_array(collect_list(struct(day, n))),
+         |                   x -> x.n) AS ys
+         |  FROM daily GROUP BY event_type),
+         |fold AS (
+         |  SELECT event_type, size(ys) AS n_days,
+         |         aggregate(slice(ys, 3, size(ys) - 2),
+         |           named_struct(
+         |             'l', element_at(ys, 1) * $M,
+         |             'b', (element_at(ys, 2) - element_at(ys, 1)) * $M,
+         |             'sae', 0L),
+         |           (st, y) -> named_struct(
+         |             'l', $lNew,
+         |             'b', (($lNew - st.l) + st.b + $OFF) div 2 - $HALF,
+         |             'sae', st.sae + abs(y * $M - (st.l + st.b)))) AS st
+         |  FROM seq WHERE size(ys) >= 2)
+         |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+         |       ROUND(CAST(st.l AS DOUBLE) / 1000000.0, 6) AS level,
+         |       ROUND(CAST(st.b AS DOUBLE) / 1000000.0, 6) AS trend,
+         |       ROUND(CAST(st.l + st.b AS DOUBLE) / 1000000.0, 6)
+         |         AS forecast,
+         |       CASE WHEN n_days <= 2 THEN CAST(0 AS DOUBLE)
+         |            ELSE ROUND(CAST(st.sae AS DOUBLE)
+         |                       / (1000000.0 * (n_days - 2)), 6)
+         |       END AS mae
+         |FROM fold ORDER BY event_type""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata events. */
+  def evHolt(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evHolt(s.table("__events"))
+  }
+
   /** Mergeable quantile sketch over the positive value stream: a quarter-
     * octave integer histogram (bucket = 4·⌊log2 c⌋ + next-2-bits of the
     * cent value — the ev_gaps `bin()` trick refined to 25 % relative
@@ -2944,6 +3019,7 @@ object Sessionize {
     "ev_kmv" -> ((s: SparkSession, dir: String) => evKmv(s, dir)),
     "ev_winsor" -> ((s: SparkSession, dir: String) => evWinsor(s, dir)),
     "ev_forecast" -> ((s: SparkSession, dir: String) => evForecast(s, dir)),
+    "ev_holt" -> ((s: SparkSession, dir: String) => evHolt(s, dir)),
     "ev_cuped" -> ((s: SparkSession, dir: String) => evCuped(s, dir)),
     "ev_sequential" -> ((s: SparkSession, dir: String) => evSequential(s, dir)),
     "ev_seasonality" -> ((s: SparkSession, dir: String) => evSeasonality(s, dir)),
@@ -3413,6 +3489,39 @@ object Sessionize {
         "* (sa::DOUBLE / n)) / (syy::DOUBLE / n - (sy::DOUBLE / n) " +
         "* (sy::DOUBLE / n)), 6) END AS var_reduction " +
         "FROM v ORDER BY variant"),
+    "ev_holt" ->
+      ("WITH RECURSIVE daily AS (SELECT event_type, " +
+        "epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n " +
+        "FROM events GROUP BY 1, 2), " +
+        "idx AS (SELECT event_type, n, " +
+        "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS k, " +
+        "COUNT(*) OVER (PARTITION BY event_type) AS nd FROM daily), " +
+        "rec AS (SELECT i1.event_type, CAST(2 AS BIGINT) AS k, " +
+        "CAST(i1.n * 1000000 AS BIGINT) AS l, " +
+        "CAST((i2.n - i1.n) * 1000000 AS BIGINT) AS b, " +
+        "CAST(0 AS BIGINT) AS sae " +
+        "FROM idx i1 JOIN idx i2 ON i2.event_type = i1.event_type " +
+        "AND i2.k = 2 WHERE i1.k = 1 " +
+        "UNION ALL SELECT r.event_type, r.k + 1, " +
+        "CAST((d.n * 1000000 + r.l + r.b + 1125899906842624) // 2 " +
+        "- 562949953421312 AS BIGINT), " +
+        "CAST(((((d.n * 1000000 + r.l + r.b + 1125899906842624) // 2 " +
+        "- 562949953421312) - r.l) + r.b + 1125899906842624) // 2 " +
+        "- 562949953421312 AS BIGINT), " +
+        "CAST(r.sae + abs(d.n * 1000000 - (r.l + r.b)) AS BIGINT) " +
+        "FROM rec r JOIN idx d ON d.event_type = r.event_type " +
+        "AND d.k = r.k + 1), " +
+        "fin AS (SELECT r.event_type, i.nd AS n_days, r.l, r.b, r.sae " +
+        "FROM rec r JOIN (SELECT event_type, MAX(nd) AS nd FROM idx " +
+        "GROUP BY 1) i ON i.event_type = r.event_type " +
+        "WHERE r.k = i.nd AND i.nd >= 2) " +
+        "SELECT event_type, CAST(n_days AS BIGINT) AS n_days, " +
+        "ROUND(l / 1000000.0, 6) AS level, " +
+        "ROUND(b / 1000000.0, 6) AS trend, " +
+        "ROUND((l + b) / 1000000.0, 6) AS forecast, " +
+        "CASE WHEN n_days <= 2 THEN 0.0::DOUBLE " +
+        "ELSE ROUND(sae / (1000000.0 * (n_days - 2)), 6) END AS mae " +
+        "FROM fin ORDER BY event_type"),
     "ev_forecast" ->
       ("WITH daily AS (SELECT event_type, " +
         "epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n " +

@@ -1985,7 +1985,67 @@ object TextAnalysis {
          |FROM __gb_base""".stripMargin))
   }
 
+  /** Sentiment lexicon shared by the Spark query and the DuckDB oracle:
+    * a small hand-rolled integer-valence word list (the AFINN pattern —
+    * Nielsen 2011, public — with our own entries so the corpus's actual
+    * vocabulary scores). Integer valences keep every per-doc sum exact.
+    */
+  private val sentimentLexicon: Seq[(String, Int)] = Seq(
+    "fast" -> 2, "slow" -> -2, "big" -> 1, "small" -> -1, "dup" -> -3,
+    "good" -> 3, "bad" -> -3, "great" -> 3, "terrible" -> -3,
+    "error" -> -2, "clean" -> 2, "broken" -> -3, "stable" -> 2,
+    "crash" -> -4, "optimal" -> 3, "stale" -> -1)
+
+  private def sentimentCase(tokVar: String): String =
+    "CASE " + sentimentLexicon.map { case (w, v) =>
+      s"WHEN $tokVar = '$w' THEN ${v}L"
+    }.mkString(" ") + " ELSE 0L END"
+
+  private val sentimentInList: String =
+    sentimentLexicon.map(w => s"'${w._1}'").mkString(", ")
+
+  /** Lexicon sentiment scoring (the AFINN family): per document, the
+    * count of lexicon hits, their integer valence sum, the mean valence,
+    * and a pos/neg/neu label — the cheapest of the classic text-quality
+    * signals and the standard pre-filter before model-based raters.
+    *
+    * Engine-exactness: hits and valence sum are pure integers (a HOF
+    * fold over the token array — no float enters until the one terminal
+    * ROUND of the mean). Zero-hit docs emit (0, 0, 0.0, 'neu') by
+    * declaration.
+    *
+    * Scale design: a narrow single-pass HOF over the token array — no
+    * Generate, no join (the lexicon is compiled INTO the expression),
+    * no shuffle except the presentation ORDER BY. At 100 TB this is a
+    * pruned-column parquet scan inside one whole-stage-codegen span.
+    */
+  def taSentiment(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__sent_docs")
+    s.sql(
+      s"""WITH sc AS (
+         |  SELECT doc_id,
+         |         size(filter($toks, t -> t IN ($sentimentInList)))
+         |           AS n_hits,
+         |         aggregate($toks, 0L,
+         |           (acc, t) -> acc + ${sentimentCase("t")}) AS sum_val
+         |  FROM __sent_docs)
+         |SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits, sum_val,
+         |       CASE WHEN n_hits = 0 THEN CAST(0 AS DOUBLE)
+         |            ELSE ROUND(CAST(sum_val AS DOUBLE) / n_hits, 6)
+         |       END AS mean_val,
+         |       CASE WHEN sum_val > 0 THEN 'pos'
+         |            WHEN sum_val < 0 THEN 'neg'
+         |            ELSE 'neu' END AS label
+         |FROM sc ORDER BY doc_id""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata documents. */
+  def taSentiment(s: SparkSession, dir: String): DataFrame =
+    taSentiment(Tables.load(s, dir, "documents"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_sentiment" -> ((s: SparkSession, dir: String) => taSentiment(s, dir)),
     "ta_garble" -> ((s: SparkSession, dir: String) => taGarble(s, dir)),
     "ta_watermark" -> ((s: SparkSession, dir: String) => taWatermark(s, dir)),
     "ta_textrank" -> ((s: SparkSession, dir: String) => taTextRank(s, dir)),
@@ -2089,6 +2149,23 @@ object TextAnalysis {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ta_sentiment" -> {
+      val orChain = sentimentLexicon.map(w => s"t = '${w._1}'")
+        .mkString(" OR ")
+      val caseExpr = "CASE " + sentimentLexicon.map { case (w, v) =>
+        s"WHEN t = '$w' THEN $v"
+      }.mkString(" ") + " ELSE 0 END"
+      s"WITH sc AS (SELECT doc_id, " +
+        s"CAST(len(list_filter($sqlToks, t -> $orChain)) AS BIGINT) " +
+        "AS n_hits, " +
+        s"CAST(COALESCE(list_sum(list_transform($sqlToks, " +
+        s"t -> $caseExpr)), 0) AS BIGINT) AS sum_val FROM documents) " +
+        "SELECT doc_id, n_hits, sum_val, " +
+        "CASE WHEN n_hits = 0 THEN 0.0::DOUBLE " +
+        "ELSE ROUND(sum_val::DOUBLE / n_hits, 6) END AS mean_val, " +
+        "CASE WHEN sum_val > 0 THEN 'pos' WHEN sum_val < 0 THEN 'neg' " +
+        "ELSE 'neu' END AS label FROM sc ORDER BY doc_id"
+    },
     "ta_garble" ->
       (s"""WITH corpus AS ( """ +
         """SELECT doc_id, text FROM documents """ +

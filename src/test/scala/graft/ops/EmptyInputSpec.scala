@@ -66,6 +66,13 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Pipeline.dsKanon(
       Seq.empty[(String, Long, String)].toDF("cat", "v", "s"),
       Seq("cat"), "v", "s", 3).count() == 0)
+    assert(TextAnalysis.taSentiment(emptyDocs).count() == 0)
+    assert(Pipeline.dsDoremi(
+      Seq.empty[(Long, String, Long)].toDF("doc_id", "source", "n_chars"))
+      .count() == 0)
+    assert(Multimodal.mmDupBlob(
+      Seq.empty[(Long, Array[Byte])].toDF("media_id", "payload"))
+      .count() == 0)
   }
 
   test("embedding entries return empty on an empty corpus") {

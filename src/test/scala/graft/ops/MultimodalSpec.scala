@@ -380,4 +380,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("media 7") ||
       Option(e.getCause).exists(_.getMessage.contains("media 7")))
   }
+
+  test("mmDupBlob: byte-identical payloads fold to one keeper") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, "aa".getBytes("UTF-8")),
+      (2L, "bb".getBytes("UTF-8")),
+      (3L, "aa".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val got = Multimodal.mmDupBlob(media).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got.size == 2)
+    val aa = java.security.MessageDigest.getInstance("MD5")
+      .digest("aa".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(aa) == ((2L, 1L, 2L, 2L)))
+    val bb = java.security.MessageDigest.getInstance("MD5")
+      .digest("bb".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(bb) == ((1L, 2L, 2L, 0L)))
+  }
 }

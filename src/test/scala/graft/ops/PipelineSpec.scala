@@ -4084,4 +4084,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(4L)._3 == 10 && got(4L)._4)
     assert(got(5L)._3 == 7 && !got(5L)._4)
   }
+
+  test("dsDoremi: MWU shifts weight to the high-excess domain") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", 100L), (2L, "a", 100L), // domain a: mean 100 (no excess)
+      (3L, "b", 300L), (4L, "b", 300L)) // domain b: mean 300, g = 1.0
+      .toDF("doc_id", "source", "n_chars")
+    // one round, by hand: m_a = 1e6, m_b = 1.25e6; w0 = 5e8 each;
+    // wp = (5e8, 6.25e8), sum 1.125e9; renorm floor -> (444444444,
+    // 555555555)
+    val r1 = Pipeline.dsDoremi(docs, rounds = 1).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(r1 == Map("a" -> 444444444L, "b" -> 555555555L))
+    // eta = 0: multiplier 1 everywhere, weights stay uniform all rounds
+    val flat = Pipeline.dsDoremi(docs, rounds = 8, etaPpm = 0L).collect()
+      .map(_.getLong(4)).toSet
+    assert(flat == Set(500000000L))
+    // 8 rounds: monotone concentration on b, mixture still sums to ~1e9
+    val r8 = Pipeline.dsDoremi(docs, rounds = 8).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(r8("b") > r1("b") && r8("a") < r1("a"))
+    assert(math.abs(r8.values.sum - 1000000000L) <= 2)
+  }
+
+  test("taSentiment: integer valence sums, labels, zero-hit contract") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "fast fast slow"), // +2 +2 -2 over 3 hits
+      (2L, "the a data"), // no lexicon hits
+      (3L, "dup small crash"), // -3 -1 -4
+      (4L, "big small")) // +1 -1 cancels to neu
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.taSentiment(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4))))
+      .toMap
+    assert(got(1L) == ((3L, 2L, 0.666667, "pos")))
+    assert(got(2L) == ((0L, 0L, 0.0, "neu")))
+    assert(got(3L) == ((3L, -8L, -2.666667, "neg")))
+    assert(got(4L) == ((2L, 0L, 0.0, "neu")))
+  }
 }

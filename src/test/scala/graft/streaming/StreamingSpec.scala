@@ -1399,6 +1399,62 @@ class StreamingSpec extends AnyFunSuite {
       got.length == 4, got.toSeq)
   }
 
+  test("holt: tracker last row per type == evHolt SQL") {
+    import spark.implicits._
+    val evs = eventsBatch
+    val viaSql = graft.ops.Sessionize.evHolt(evs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    val viaTracker = HoltTracker.holtBatch(
+        evs.select("ts", "event_type").as[HoltTracker.HEv]).collect()
+      .groupBy(_.event_type).map { case (t, rows) =>
+        val last = rows.maxBy(_.day)
+        (t, last.n_days, last.level, last.trend, last.forecast, last.mae)
+      }.toSeq.filter(_._2 >= 2)
+    assert(viaTracker.sortBy(_._1) == viaSql.sortBy(_._1) &&
+      viaSql.nonEmpty)
+  }
+
+  test("holt: streaming == batch; late in-watermark event lands in its day") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(t: String, d: Int, h: Int) = HoltTracker.HEv(
+      new Timestamp(Timestamp.valueOf("2024-03-01 00:00:00").getTime +
+        d * 86400000L + h * 3600000L), t)
+    // trigger 1: days 0-2 for two types; trigger 2 delivers a LATE
+    // day-2 'a' event (inside the 3h watermark) plus day 3 — day 2's
+    // folded count must include it because the watermark held day 2
+    val b1 = (for { d <- 0 until 3; i <- 0 until (3 + d) }
+        yield ev("a", d, 8 + (i % 4))) ++
+      (for { d <- 0 until 3; _ <- 0 until 2 } yield ev("b", d, 9))
+    val b2 = Seq(ev("a", 2, 22)) ++
+      (0 until 5).map(_ => ev("a", 3, 10)) ++ Seq(ev("b", 3, 11))
+    val stream = MemoryStream[HoltTracker.HEv]
+    val q = HoltTracker.holtStream(
+        stream.toDF().withWatermark("ts", "3 hours")
+          .as[HoltTracker.HEv])
+      .writeStream.outputMode("append")
+      .format("memory").queryName("holt_out").start()
+    for (b <- Seq(b1, b2)) { stream.addData(b); q.processAllAvailable() }
+    // sentinel on its own key: advances the watermark past every real
+    // day; its own in-flight day never emits
+    val maxTs = (b1 ++ b2).map(_.ts.getTime).max
+    stream.addData(HoltTracker.HEv(
+      new Timestamp(maxTs + 9L * 86400000L), "zz"))
+    q.processAllAvailable()
+    val got = spark.table("holt_out").as[HoltTracker.HoltRow].collect()
+      .map(r => (r.event_type, r.day, r.n, r.n_days, r.level, r.trend,
+        r.forecast, r.mae)).toSeq
+    val batch = HoltTracker.holtBatch((b1 ++ b2).toDS()).collect()
+      .map(r => (r.event_type, r.day, r.n, r.n_days, r.level, r.trend,
+        r.forecast, r.mae)).toSeq
+    assert(got.sorted == batch.sorted && got.length == 8, got.toString)
+    // the late day-2 event is in day 2's count: 5 + 1
+    assert(got.find(r => r._1 == "a" && r._2 ==
+      Timestamp.valueOf("2024-03-03 00:00:00").getTime / 86400000L)
+      .exists(_._3 == 6L))
+  }
+
   test("url dedup fold: keeps the (ts, fetch_id)-minimal record under any " +
       "delivery order") {
     import UrlDedupTracker._
