@@ -1468,6 +1468,130 @@ object Similarity {
   def ssIvfPqTopk(s: SparkSession, dir: String): DataFrame =
     ssIvfPqTopkOn(s, Tables.load(s, dir, "embeddings"), "vec_id < 5", 10)
 
+  /** Residual quantization top-k (two-level RVQ — Chen, Guan & Wang
+    * 2010; the refinement stage faiss layers over IVF): level 1 is the
+    * library's deterministic IVF k-means ([[ivfTrainAssignCtes]] — the
+    * coarse codebook), level 2 a FULL-dimension codebook trained on the
+    * RESIDUALS v − c(v) (seeded draw + one decimal-exact refinement
+    * round, the PQ discipline on whole residual vectors instead of
+    * subspaces). Each vector compresses to (cid, code): reconstruction
+    * v̂ = c_cid + r_code, so the approximate query score decomposes into
+    * TWO query-side LUTs — dot(q, c_cid) + dot(q, r_code) — and the per-
+    * vector ADC is two lookups and one add (PQ pays nSub lookups; RQ
+    * pays 2 at coarser granularity — the trade the ladder documents).
+    * Survivors of the mult·topK approximate cut rescore exactly.
+    *
+    * Engine-exactness: residual subtraction is exact IEEE (zip_with
+    * x−y ≡ the DuckDB comprehension); codebook means on DECIMAL(27,12);
+    * |v̂|² expands to cn2_c + 2·dot(c,r) + cn2_r with fixed
+    * parenthesization; every ranking key ROUNDs to 6 before ties break
+    * on id.
+    *
+    * Scale design: training touches the corpus twice (IVF chain +
+    * residual assign), both broadcast-joined against codebook-sized
+    * relations; encode output is 2 ints/vector (the most compressed
+    * entry in the ladder); the query side joins the codes relation to
+    * two LUTs with no corpus-width vectors moving. At 100 TB the code
+    * table IS the index — 8 bytes/vector against 256 for PQ codes +
+    * floats for SQ.
+    */
+  def ssRqTopkOn(s: SparkSession, emb: DataFrame, queryPred: String,
+                 topK: Int, nlist: Int = 16, nCode: Int = 16,
+                 mult: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    emb.createOrReplaceTempView("__emb")
+    val C = s"cent$IvfIters"
+    s.sql(
+      s"""WITH ${ivfTrainAssignCtes(nlist)},
+         |rres AS (
+         |  SELECT a.vec_id, a.cid,
+         |         zip_with(a.v, c.cv, (x, y) -> x - y) AS rv
+         |  FROM assign a JOIN $C c ON c.cid = a.cid),
+         |rseed AS (
+         |  SELECT md5(concat('rq42:', CAST(vec_id AS STRING))) AS h,
+         |         vec_id, rv
+         |  FROM rres ORDER BY h, vec_id LIMIT $nCode),
+         |rcb0 AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) AS INT) - 1
+         |           AS code,
+         |         rv AS cv, graft_dot(rv, rv) AS cn2
+         |  FROM rseed),
+         |rq1 AS (
+         |  SELECT vec_id, rv, code FROM (
+         |    SELECT r.vec_id, r.rv, c.code,
+         |           ROW_NUMBER() OVER (PARTITION BY r.vec_id
+         |             ORDER BY ROUND(c.cn2 - 2 * graft_dot(r.rv, c.cv), 6)
+         |                        ASC, c.code) AS rn
+         |    FROM rres r CROSS JOIN rcb0 c) WHERE rn = 1),
+         |rm1 AS (
+         |  SELECT code, i,
+         |         ROUND(CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE)
+         |               / COUNT(1), 6) AS mx
+         |  FROM rq1 LATERAL VIEW posexplode(rv) AS i, x
+         |  GROUP BY code, i),
+         |rcb1 AS (
+         |  SELECT code, cv, graft_dot(cv, cv) AS cn2 FROM (
+         |    SELECT code,
+         |           transform(array_sort(collect_list(struct(i, mx))),
+         |                     p -> p.mx) AS cv
+         |    FROM rm1 GROUP BY code)),
+         |renc AS (
+         |  SELECT vec_id, cid, code FROM (
+         |    SELECT r.vec_id, r.cid, c.code,
+         |           ROW_NUMBER() OVER (PARTITION BY r.vec_id
+         |             ORDER BY ROUND(c.cn2 - 2 * graft_dot(r.rv, c.cv), 6)
+         |                        ASC, c.code) AS rn
+         |    FROM rres r CROSS JOIN rcb1 c) WHERE rn = 1),
+         |rnorm AS (
+         |  SELECT e.vec_id, e.cid, e.code,
+         |         graft_dot(cc.cv, cc.cv) + 2 * graft_dot(cc.cv, rc.cv)
+         |           + rc.cn2 AS vhat2
+         |  FROM renc e JOIN $C cc ON cc.cid = e.cid
+         |              JOIN rcb1 rc ON rc.code = e.code),
+         |qv AS (
+         |  SELECT vec_id AS qid, v AS qvec, nrm AS qnrm FROM n3
+         |  WHERE $queryPred),
+         |lut1 AS (
+         |  SELECT q.qid, c.cid, graft_dot(q.qvec, c.cv) AS cdot
+         |  FROM qv q CROSS JOIN $C c),
+         |lut2 AS (
+         |  SELECT q.qid, c.code, graft_dot(q.qvec, c.cv) AS rdot
+         |  FROM qv q CROSS JOIN rcb1 c),
+         |adc AS (
+         |  SELECT l1.qid, n.vec_id AS neighbor_id,
+         |         ROUND((l1.cdot + l2.rdot) / (q.qnrm * sqrt(n.vhat2)), 6)
+         |           AS cosq
+         |  FROM rnorm n
+         |  JOIN lut1 l1 ON l1.cid = n.cid
+         |  JOIN lut2 l2 ON l2.qid = l1.qid AND l2.code = n.code
+         |  JOIN qv q ON q.qid = l1.qid
+         |  WHERE n.vec_id <> l1.qid),
+         |topc AS (
+         |  SELECT qid, neighbor_id, cosq FROM (
+         |    SELECT qid, neighbor_id, cosq,
+         |           ROW_NUMBER() OVER (PARTITION BY qid
+         |             ORDER BY cosq DESC, neighbor_id) AS rnq
+         |    FROM adc) WHERE rnq <= ${mult * topK}),
+         |resc AS (
+         |  SELECT t.qid, t.neighbor_id, t.cosq,
+         |         ROUND(graft_dot(q.qvec, b.v) / (q.qnrm * b.nrm), 6) AS cos
+         |  FROM topc t
+         |  JOIN qv q ON q.qid = t.qid
+         |  JOIN n3 b ON b.vec_id = t.neighbor_id)
+         |SELECT qid AS query_id, neighbor_id, cos, cosq, rn FROM (
+         |  SELECT qid, neighbor_id, cos, cosq,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |                ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
+         |  FROM resc)
+         |WHERE rn <= $topK ORDER BY query_id, rn""".stripMargin)
+  }
+
+  /** Oracle-query form: RQ top-10 for query vectors vec_id < 5 —
+    * row-comparable with the exact/SQ8/PQ/IVF-PQ ladder entries.
+    */
+  def ssRqTopk(s: SparkSession, dir: String): DataFrame =
+    ssRqTopkOn(s, Tables.load(s, dir, "embeddings"), "vec_id < 5", 10)
+
   /** Mutual k-nearest-neighbor graph: the edge set {a,b} where b is in
     * a's cosine top-k AND a is in b's — the symmetric backbone that
     * k-NN-graph clustering (semdedup shards, spectral methods, UMAP-ish
@@ -1962,6 +2086,7 @@ object Similarity {
     "ss_range" -> ((s: SparkSession, dir: String) => ssRangeSearch(s, dir)),
     "ss_sq_topk" -> (ssSqTopk _),
     "ss_pq_topk" -> (ssPqTopk _),
+    "ss_rq_topk" -> (ssRqTopk _),
     "ss_ivfpq_topk" -> (ssIvfPqTopk _),
     "ss_lsh_ann" -> (ssLshAnn _),
     "ss_ivf_ann" -> (ssIvfAnn _))
@@ -2398,6 +2523,118 @@ object Similarity {
          |           ORDER BY cos DESC, neighbor_id) AS rn
          |  FROM res)
          |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin.replaceAll("\n", " "),
+    "ss_rq_topk" ->
+      (s"""WITH base AS (
+         |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),
+         |n3 AS (
+         |  SELECT vec_id, v, sqrt(list_sum([x * x FOR x IN v])) AS nrm FROM base),
+         |cent0 AS (
+         |  SELECT cid, cv, cnrm FROM (
+         |    SELECT (ROW_NUMBER() OVER (
+         |             ORDER BY md5('km42:' || vec_id::VARCHAR), vec_id))::INT
+         |             - 1 AS cid,
+         |           v AS cv, nrm AS cnrm
+         |    FROM n3) WHERE cid < 16),
+         |$ivfDuckIters,
+         |assign AS (
+         |  SELECT vec_id, v, nrm, cid FROM (
+         |    SELECT n.vec_id, n.v, n.nrm, c.cid,
+         |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+         |             ORDER BY ROUND(list_sum([n.v[i] * c.cv[i]
+         |                        FOR i IN generate_series(1, len(n.v))])
+         |                      / (n.nrm * c.cnrm), 6) DESC, c.cid) AS rn
+         |    FROM n3 n CROSS JOIN cent$IvfIters c) WHERE rn = 1),
+         |rres AS (
+         |  SELECT a.vec_id, a.cid,
+         |         [a.v[i] - c.cv[i]
+         |           FOR i IN generate_series(1, len(a.v))] AS rv
+         |  FROM assign a JOIN cent$IvfIters c ON c.cid = a.cid),
+         |rcb0 AS (
+         |  SELECT code, cv, list_sum([x * x FOR x IN cv]) AS cn2 FROM (
+         |    SELECT (ROW_NUMBER() OVER (
+         |             ORDER BY md5('rq42:' || vec_id::VARCHAR), vec_id))::INT
+         |             - 1 AS code,
+         |           rv AS cv
+         |    FROM rres) WHERE code < 16),
+         |rq1 AS (
+         |  SELECT vec_id, rv, code FROM (
+         |    SELECT r.vec_id, r.rv, c.code,
+         |           ROW_NUMBER() OVER (PARTITION BY r.vec_id
+         |             ORDER BY ROUND(c.cn2
+         |               - 2 * list_sum([r.rv[i] * c.cv[i]
+         |                 FOR i IN generate_series(1, len(r.rv))]), 6) ASC,
+         |               c.code) AS rn
+         |    FROM rres r CROSS JOIN rcb0 c) WHERE rn = 1),
+         |rm1 AS (
+         |  SELECT code, g.i,
+         |         ROUND((SUM((rv[g.i])::DECIMAL(27,12)))::DOUBLE
+         |               / COUNT(*), 6) AS mx
+         |  FROM rq1 CROSS JOIN generate_series(1, 64) g(i)
+         |  GROUP BY code, g.i),
+         |rcb1 AS (
+         |  SELECT code, cv, list_sum([x * x FOR x IN cv]) AS cn2 FROM (
+         |    SELECT code, list(mx ORDER BY i) AS cv FROM rm1 GROUP BY code)),
+         |renc AS (
+         |  SELECT vec_id, cid, code FROM (
+         |    SELECT r.vec_id, r.cid, c.code,
+         |           ROW_NUMBER() OVER (PARTITION BY r.vec_id
+         |             ORDER BY ROUND(c.cn2
+         |               - 2 * list_sum([r.rv[i] * c.cv[i]
+         |                 FOR i IN generate_series(1, len(r.rv))]), 6) ASC,
+         |               c.code) AS rn
+         |    FROM rres r CROSS JOIN rcb1 c) WHERE rn = 1),
+         |rnorm AS (
+         |  SELECT e.vec_id, e.cid, e.code,
+         |         list_sum([cc.cv[i] * cc.cv[i]
+         |           FOR i IN generate_series(1, len(cc.cv))])
+         |         + 2 * list_sum([cc.cv[i] * rc.cv[i]
+         |           FOR i IN generate_series(1, len(cc.cv))])
+         |         + rc.cn2 AS vhat2
+         |  FROM renc e JOIN cent$IvfIters cc ON cc.cid = e.cid
+         |              JOIN rcb1 rc ON rc.code = e.code),
+         |qv AS (
+         |  SELECT vec_id AS qid, v AS qvec, nrm AS qnrm FROM n3
+         |  WHERE vec_id < 5),
+         |lut1 AS (
+         |  SELECT q.qid, c.cid,
+         |         list_sum([q.qvec[i] * c.cv[i]
+         |           FOR i IN generate_series(1, len(q.qvec))]) AS cdot
+         |  FROM qv q CROSS JOIN cent$IvfIters c),
+         |lut2 AS (
+         |  SELECT q.qid, c.code,
+         |         list_sum([q.qvec[i] * c.cv[i]
+         |           FOR i IN generate_series(1, len(q.qvec))]) AS rdot
+         |  FROM qv q CROSS JOIN rcb1 c),
+         |adc AS (
+         |  SELECT l1.qid, n.vec_id AS neighbor_id,
+         |         ROUND((l1.cdot + l2.rdot) / (q.qnrm * sqrt(n.vhat2)), 6)
+         |           AS cosq
+         |  FROM rnorm n
+         |  JOIN lut1 l1 ON l1.cid = n.cid
+         |  JOIN lut2 l2 ON l2.qid = l1.qid AND l2.code = n.code
+         |  JOIN qv q ON q.qid = l1.qid
+         |  WHERE n.vec_id <> l1.qid),
+         |topc AS (
+         |  SELECT qid, neighbor_id, cosq FROM (
+         |    SELECT qid, neighbor_id, cosq,
+         |           ROW_NUMBER() OVER (PARTITION BY qid
+         |             ORDER BY cosq DESC, neighbor_id) AS rnq
+         |    FROM adc) WHERE rnq <= 30),
+         |resc AS (
+         |  SELECT t.qid, t.neighbor_id, t.cosq,
+         |         ROUND(list_sum([q.qvec[i] * b.v[i]
+         |                 FOR i IN generate_series(1, len(q.qvec))])
+         |               / (q.qnrm * b.nrm), 6) AS cos
+         |  FROM topc t
+         |  JOIN qv q ON q.qid = t.qid
+         |  JOIN n3 b ON b.vec_id = t.neighbor_id)
+         |SELECT qid AS query_id, neighbor_id, cos, cosq, rn FROM (
+         |  SELECT qid, neighbor_id, cos, cosq,
+         |         ROW_NUMBER() OVER (PARTITION BY qid
+         |           ORDER BY cos DESC, neighbor_id) AS rn
+         |  FROM resc)
+         |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
+        .replaceAll("\n", " ")),
     "ss_pq_topk" ->
       """WITH base AS (
         |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),

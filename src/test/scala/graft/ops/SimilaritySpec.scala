@@ -302,6 +302,44 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivfpq >= 0.6, s"IVF-PQ recall $ivfpq < 0.6")
   }
 
+  test("RQ: residual-quantized recall holds on a clustered corpus; rescore is exact") {
+    val rng = new Random(7)
+    val dim = 64
+    val rows = for {
+      c <- 0 until 16
+      center = unit(rng, dim)
+      m <- 0 until 30
+    } yield {
+      val noise = unit(rng, dim)
+      val v = center.zip(noise).map { case (a, b) => a + 0.15 * b }
+      (c * 1000L + m, v)
+    }
+    val emb = toEmb(rows)
+    val brute = Similarity.bruteTopkOn(spark, emb, "vec_id % 1000 = 0",
+      topK = 5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val bruteTop = brute.map(_._1).groupBy(_._1)
+    val rq = Similarity.ssRqTopkOn(spark, emb, "vec_id % 1000 = 0",
+      topK = 5, mult = 12).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val rqTop = rq.map(_._1).groupBy(_._1)
+    val rs = bruteTop.map { case (q, exact) =>
+      val g = rqTop.getOrElse(q, Array.empty).map(_._2).toSet
+      exact.map(_._2).count(g) / exact.length.toDouble
+    }
+    val recall = rs.sum / rs.size
+    // the coarse centroid captures the cluster and the residual code the
+    // within-cluster offset — in this 16-cluster regime RQ's 2-lookup
+    // ADC must keep most of brute's top-5 at the 12x cut
+    assert(recall >= 0.6, s"RQ recall $recall < 0.6")
+    // survivors rescore with the EXACT brute cosine: any (q, n) pair in
+    // both result sets carries the identical rounded score
+    val bmap = brute.toMap
+    rq.foreach { case (k, cos) =>
+      bmap.get(k).foreach(b => assert(b == cos, s"rescore drift at $k"))
+    }
+  }
+
   test("MaxSim: 4x4 sub-cosine grid matches the brute fold; beats pooled cosine on partial match") {
     val rng = new Random(11)
     // candidate 1 shares ONE 16-dim block with the query exactly and is
