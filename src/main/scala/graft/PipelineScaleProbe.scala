@@ -225,6 +225,11 @@ object PipelineScaleProbe {
     // `addendum48` (no dir) — mm_audioseg at 100k REAL multi-burst WAV
     // clips, every clip's segmentation analytic-exact
     if (args.headOption.contains("addendum48")) { addendum48(); return }
+    // `addendum49 <existingDir>` — round-10b ops at 100×: ds_doremi 500k
+    // docs, ta_sentiment 1M (planted-delta exactness), ev_holt 10M
+    // events (+ tracker parity), mm_dupblob 1M blobs, ss_rq_topk 100k
+    // vectors (recall vs brute)
+    if (args.headOption.contains("addendum49")) { addendum49(args(1)); return }
     // `addendum13 <nDocs> <nEvents> <nVec> <outBase>` — gaps/gini at
     // event scale, epochs/ngram at corpus scale, range at vector scale
     if (args.headOption.contains("addendum13")) {
@@ -3210,6 +3215,137 @@ object PipelineScaleProbe {
       s"overlap=${full.map(_.getLong(1)).toSet
         .intersect(sub.map(_.getLong(1)).toSet).size}/16")
     println("PSCALE addendum46 done")
+    spark.stop()
+  }
+
+  /** Round-10b ops at 100×: content invariants required, walls recorded. */
+  private def addendum49(dir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.SparkHygiene.quietRddLogs()
+    import spark.implicits._
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    docs.createOrReplaceTempView("__a49_docs")
+    val off = ops.Dedup.TwinIdOffset
+
+    // ds_doremi: 500k docs — the MWU loop runs on the domains-sized
+    // relation; weight mass must renormalize and concentrate on the
+    // max-excess domain
+    val (dw, wDw) = wall(ops.Pipeline.dsDoremi(
+      docs.selectExpr("doc_id", "source", "length(text) AS n_chars"))
+      .collect())
+    val wSum = dw.map(_.getLong(4)).sum
+    require(math.abs(wSum - 1000000000L) <= dw.length,
+      s"doremi weights sum $wSum != ~1e9 over ${dw.length} domains")
+    val maxExcess = dw.maxBy(_.getLong(3))
+    val maxWeight = dw.maxBy(_.getLong(4))
+    require(maxExcess.getString(0) == maxWeight.getString(0) ||
+      maxExcess.getLong(3) == maxWeight.getLong(3),
+      "max-excess domain did not take max weight")
+    println(f"PSCALE q=ds_doremi docs=500000 domains=${dw.length} " +
+      f"top=${maxWeight.getString(0)} w_ppb=${maxWeight.getLong(4)} " +
+      f"w=$wDw%.1f s")
+    graft.SparkHygiene.clearSessionCaches(spark)
+
+    // ta_sentiment: 1M docs — twins append ' fast fast' (+2 hits, +4
+    // valence); the HOF fold must reproduce the delta EXACTLY on every
+    // one of the 500k pairs
+    val sentIn = spark.sql(
+      s"""SELECT doc_id, text FROM __a49_docs
+         |UNION ALL
+         |SELECT doc_id + $off AS doc_id, concat(text, ' fast fast')
+         |FROM __a49_docs""".stripMargin)
+    val (se, wSe) = wall {
+      ops.TextAnalysis.taSentiment(sentIn)
+        .createOrReplaceTempView("__a49_sent")
+      spark.sql(
+        s"""SELECT COUNT(*) AS pairs,
+           |  SUM(CASE WHEN t.n_hits = o.n_hits + 2
+           |            AND t.sum_val = o.sum_val + 4 THEN 1 ELSE 0 END)
+           |    AS exact
+           |FROM __a49_sent o JOIN __a49_sent t
+           |  ON t.doc_id = o.doc_id + $off
+           |WHERE o.doc_id < $off""".stripMargin).head()
+    }
+    require(se.getLong(0) == 500000L && se.getLong(1) == 500000L,
+      s"ta_sentiment planted delta at 1M: $se")
+    println(f"PSCALE q=ta_sentiment docs=1000000 exact_pairs=500000 " +
+      f"w=$wSe%.1f s")
+    graft.SparkHygiene.clearSessionCaches(spark)
+
+    // mm_dupblob: 1M blob records (even-id twins byte-identical) — the
+    // CAS report folds every planted pair under the original keeper
+    val blobs = spark.sql(
+      s"""SELECT doc_id AS media_id, encode(text, 'UTF-8') AS payload
+         |FROM __a49_docs
+         |UNION ALL
+         |SELECT doc_id + $off AS media_id, encode(text, 'UTF-8')
+         |FROM __a49_docs WHERE doc_id % 2 = 0""".stripMargin)
+    val (bl, wBl) = wall(ops.Multimodal.mmDupBlob(blobs)
+      .selectExpr("SUM(n_copies) AS n", "COUNT(*) AS groups",
+        "SUM(CASE WHEN n_copies >= 2 THEN 1 ELSE 0 END) AS dupgroups",
+        s"MAX(CASE WHEN n_copies >= 2 THEN keeper_id ELSE 0 END) AS mxk",
+        "SUM(wasted_bytes) AS wasted").head())
+    require(bl.getLong(0) == 750000L, s"mm_dupblob records: $bl")
+    require(bl.getLong(2) >= 245000L, s"mm_dupblob dup groups: $bl")
+    require(bl.getLong(3) < off, "a twin won a CAS keeper slot")
+    require(bl.getLong(4) > 0L, "no wasted bytes at 250k planted dups")
+    println(f"PSCALE q=mm_dupblob blobs=1000000 " +
+      f"groups=${bl.getLong(1)} dupgroups=${bl.getLong(2)} " +
+      f"wasted=${bl.getLong(4)} w=$wBl%.1f s")
+    graft.SparkHygiene.clearSessionCaches(spark)
+
+    // ev_holt: 10M events — the HOF fold at full event volume, and the
+    // tracker's O(1) recursion must agree row-for-row on the last day
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("timestamp_micros(ts div 1000) AS ts", "event_type")
+    val (hs, wHs) = wall(ops.Sessionize.evHolt(
+      ev.selectExpr("ts", "event_type")).collect())
+    require(hs.nonEmpty, "no holt rows at 10M events")
+    val (ht, wHt) = wall(streaming.HoltTracker.holtBatch(
+      ev.as[streaming.HoltTracker.HEv]).collect())
+    val sqlKey = hs.map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+      r.getDouble(3), r.getDouble(4), r.getDouble(5))).sortBy(_._1).toSeq
+    val trKey = ht.groupBy(_.event_type).map { case (t, rows) =>
+      val last = rows.maxBy(_.day)
+      (t, last.n_days, last.level, last.trend, last.forecast, last.mae)
+    }.toSeq.filter(_._2 >= 2).sortBy(_._1)
+    require(sqlKey == trKey, "holt tracker != SQL at 10M events")
+    println(f"PSCALE q=ev_holt events=10000000 types=${hs.length} " +
+      f"sql_wall=$wHs%.1f s tracker_fold_wall=$wHt%.1f s (rows identical)")
+    graft.SparkHygiene.clearSessionCaches(spark)
+
+    // ss_rq_topk: 100k vectors, 100 queries — the 2-lookup ADC must
+    // keep most of brute's top-5 at the 12x cut
+    val embPath = s"$dir/embeddings19.parquet"
+    if (!new java.io.File(embPath).exists) {
+      spark.range(0L, 100000L).map(vecFor(_, 64, 7, 2026L))
+        .toDF("vec_id", "embedding", "label")
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(embPath)
+    }
+    val emb = spark.read.parquet(embPath).select("vec_id", "embedding")
+    val (rq, wRq) = wall(ops.Similarity.ssRqTopkOn(spark, emb,
+      "vec_id % 1000 = 0", topK = 5, mult = 12).collect())
+    val (br, wBr) = wall(ops.Similarity.bruteTopkOn(spark, emb,
+      "vec_id % 1000 = 0", topK = 5).collect())
+    val rqTop = rq.map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val brTop = br.map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val rs = brTop.map { case (q, exact) =>
+      val g = rqTop.getOrElse(q, Array.empty).map(_._2).toSet
+      exact.map(_._2).count(g) / exact.length.toDouble
+    }
+    val recall = rs.sum / rs.size
+    require(recall >= 0.5, s"ss_rq recall $recall < 0.5 at 100k")
+    println(f"PSCALE q=ss_rq_topk vectors=100000 queries=${brTop.size} " +
+      f"recall@5=$recall%.3f rq_wall=$wRq%.1f s brute_wall=$wBr%.1f s")
+    println("PSCALE addendum49 done")
     spark.stop()
   }
 

@@ -2999,6 +2999,78 @@ object Sessionize {
          |FROM terms ORDER BY bin""".stripMargin)
   }
 
+  /** Theil T inequality index with exact within/between decomposition
+    * (Theil 1967; Shorrocks 1980 — the decomposable member of the
+    * generalized-entropy family): observations are per-(type, user)
+    * value totals, groups are event types, and T = Σ_g share_g·T_g +
+    * Σ_g share_g·ln(μ_g/μ) — the property [[evGini]] lacks: it answers
+    * "is the concentration WITHIN segments or BETWEEN them", which
+    * decides whether a mitigation targets whales inside one product or
+    * the product mix itself.
+    *
+    * Engine-exactness: per-(type, user) totals are order-independent
+    * DECIMAL(28,6) sums of ROUND(value, 6) (the dsum discipline); every
+    * ln-bearing term is 9-dp-rounded into a DECIMAL(28,9) sum (the
+    * ev_psi discipline) before the terminal 6-dp ROUND. Values ≤ 0 are
+    * excluded by declaration (Theil needs positive mass).
+    *
+    * Scale design: ONE corpus-sized hash aggregate (type, user); all
+    * decomposition arithmetic runs on the types-sized relation with
+    * window totals over ≤ |types| rows.
+    */
+  def evTheil(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__theil_events")
+    s.sql(
+      """WITH obs AS (
+        |  SELECT event_type, user_id,
+        |         CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6)))
+        |              AS DOUBLE) AS x
+        |  FROM __theil_events WHERE value > 0
+        |  GROUP BY event_type, user_id),
+        |g AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |         CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sg
+        |  FROM obs GROUP BY event_type),
+        |tot AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+        |         CAST(SUM(CAST(sg AS DECIMAL(28,6))) AS DOUBLE) AS ss
+        |  FROM g),
+        |wt AS (
+        |  SELECT o.event_type,
+        |         ROUND((o.x / (g.sg / g.n)) * ln(o.x / (g.sg / g.n)), 9)
+        |           AS term
+        |  FROM obs o JOIN g ON g.event_type = o.event_type),
+        |w AS (
+        |  SELECT event_type,
+        |         CAST(SUM(CAST(term AS DECIMAL(28,9))) AS DOUBLE) AS tsum
+        |  FROM wt GROUP BY event_type),
+        |per AS (
+        |  SELECT g.event_type, g.n, g.sg,
+        |         ROUND(w.tsum / g.n, 6) AS t_within,
+        |         ROUND((g.sg / t.ss)
+        |               * ln((g.sg / g.n) / (t.ss / t.nn)), 9) AS bterm,
+        |         ROUND((g.sg / t.ss) * ROUND(w.tsum / g.n, 6), 9)
+        |           AS wcontrib
+        |  FROM g JOIN w ON w.event_type = g.event_type CROSS JOIN tot t)
+        |SELECT event_type, n AS n_obs,
+        |       ROUND(sg, 6) AS sum_val, t_within,
+        |       ROUND(bterm, 6) AS between_term,
+        |       ROUND(CAST(SUM(CAST(bterm AS DECIMAL(28,9))) OVER ()
+        |                  AS DOUBLE), 6) AS theil_between,
+        |       ROUND(CAST(SUM(CAST(bterm AS DECIMAL(28,9))) OVER ()
+        |                  + SUM(CAST(wcontrib AS DECIMAL(28,9))) OVER ()
+        |                  AS DOUBLE), 6) AS theil_total
+        |FROM per
+        |ORDER BY event_type""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata events. */
+  def evTheil(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evTheil(s.table("__events"))
+  }
+
   /** The oracle-checked form: the events `value` metric, 10 bins. */
   def evPsi(s: SparkSession, dir: String): DataFrame = {
     Tables.load(s, dir, "events").createOrReplaceTempView("__events_psi")
@@ -3007,6 +3079,7 @@ object Sessionize {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_psi" -> ((s: SparkSession, dir: String) => evPsi(s, dir)),
+    "ev_theil" -> ((s: SparkSession, dir: String) => evTheil(s, dir)),
     "ev_benford" -> ((s: SparkSession, dir: String) => evBenford(s, dir)),
     "ev_changepoint" -> ((s: SparkSession, dir: String) => evChangepoint(s, dir)),
     "ev_cms" -> ((s: SparkSession, dir: String) => evCms(s, dir)),
@@ -3489,6 +3562,35 @@ object Sessionize {
         "* (sa::DOUBLE / n)) / (syy::DOUBLE / n - (sy::DOUBLE / n) " +
         "* (sy::DOUBLE / n)), 6) END AS var_reduction " +
         "FROM v ORDER BY variant"),
+    "ev_theil" ->
+      ("WITH obs AS (SELECT event_type, user_id, " +
+        "CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS x " +
+        "FROM events WHERE value > 0 GROUP BY event_type, user_id), " +
+        "g AS (SELECT event_type, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sg " +
+        "FROM obs GROUP BY event_type), " +
+        "tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, " +
+        "CAST(SUM(CAST(sg AS DECIMAL(28,6))) AS DOUBLE) AS ss FROM g), " +
+        "wt AS (SELECT o.event_type, " +
+        "ROUND((o.x / (g.sg / g.n)) * ln(o.x / (g.sg / g.n)), 9) AS term " +
+        "FROM obs o JOIN g ON g.event_type = o.event_type), " +
+        "w AS (SELECT event_type, " +
+        "CAST(SUM(CAST(term AS DECIMAL(28,9))) AS DOUBLE) AS tsum " +
+        "FROM wt GROUP BY event_type), " +
+        "per AS (SELECT g.event_type, g.n, g.sg, " +
+        "ROUND(w.tsum / g.n, 6) AS t_within, " +
+        "ROUND((g.sg / t.ss) * ln((g.sg / g.n) / (t.ss / t.nn)), 9) " +
+        "AS bterm, " +
+        "ROUND((g.sg / t.ss) * ROUND(w.tsum / g.n, 6), 9) AS wcontrib " +
+        "FROM g JOIN w ON w.event_type = g.event_type CROSS JOIN tot t) " +
+        "SELECT event_type, n AS n_obs, ROUND(sg, 6) AS sum_val, " +
+        "t_within, ROUND(bterm, 6) AS between_term, " +
+        "ROUND(CAST(SUM(CAST(bterm AS DECIMAL(28,9))) OVER () " +
+        "AS DOUBLE), 6) AS theil_between, " +
+        "ROUND(CAST(SUM(CAST(bterm AS DECIMAL(28,9))) OVER () " +
+        "+ SUM(CAST(wcontrib AS DECIMAL(28,9))) OVER () " +
+        "AS DOUBLE), 6) AS theil_total " +
+        "FROM per ORDER BY event_type"),
     "ev_holt" ->
       ("WITH RECURSIVE daily AS (SELECT event_type, " +
         "epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n " +

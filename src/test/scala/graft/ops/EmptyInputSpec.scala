@@ -125,6 +125,8 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(TextAnalysis.taCondEntropy(
       Seq.empty[(String, String)].toDF("text", "source")).count() == 0)
     assert(Sessionize.evEntropy(emptyEvents).count() == 0)
+    assert(Sessionize.evTheil(emptyEvents).count() == 0)
+    assert(Sessionize.evHolt(emptyEvents).count() == 0)
     assert(Sessionize.evGrowth(emptyEvents).count() == 0)
     assert(Sessionize.evMannWhitney(emptyEvents).count() == 0)
     assert(Sessionize.evKs(emptyEvents).count() == 0)

@@ -2291,6 +2291,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(orc.nonEmpty && orc.forall(_ >= 0.0))
   }
 
+  test("evTheil: equal mass reads zero; a whale concentrates within its type") {
+    import spark.implicits._
+    def evs(rows: Seq[(String, Long, Double)]) = rows.zipWithIndex
+      .map { case ((ty, u, v), i) =>
+        (i.toLong, new java.sql.Timestamp(i * 1000L), u, ty, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    // flat: 4 users x 2 types, every (type, user) total 2.0 — no
+    // inequality anywhere; every component must read exactly 0
+    val flat = evs(for { t <- Seq("a", "b"); u <- 1L to 4L }
+      yield (t, u, 2.0))
+    val f = Sessionize.evTheil(flat).collect()
+      .map(r => (r.getString(0), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6)))
+    assert(f.toSeq == Seq(("a", 0.0, 0.0, 0.0, 0.0),
+      ("b", 0.0, 0.0, 0.0, 0.0)))
+    // whale: type b user 9 carries 14.0 vs 2.0 peers — inequality is
+    // WITHIN b (t_within(b) > 0, t_within(a) = 0) and the mix shift
+    // also moves mass between types (theil_between > 0)
+    val whale = evs((for { t <- Seq("a", "b"); u <- 1L to 4L }
+      yield (t, u, 2.0)) :+ ("b", 9L, 14.0))
+    val w = Sessionize.evTheil(whale).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3),
+        r.getDouble(5), r.getDouble(6))).toMap
+    assert(w("a")._2 == 0.0 && w("b")._2 > 0.0)
+    assert(w("a")._3 > 0.0 && w("a")._3 == w("b")._3) // shared between
+    assert(w("b")._4 > w("b")._3) // total = between + within mass
+    // decomposition identity: total == between + share-weighted within
+    val rows = Sessionize.evTheil(whale).collect()
+    val between = rows.head.getDouble(5)
+    val total = rows.head.getDouble(6)
+    val withinMass = rows.map(r =>
+      (r.getDouble(2) / rows.map(_.getDouble(2)).sum) * r.getDouble(3)).sum
+    assert(math.abs(total - (between + withinMass)) < 1e-5,
+      s"decomposition drift: $total vs ${between + withinMass}")
+  }
+
   test("taRarity(docs): ubiquitous tokens read 0, rare tokens lift the mean") {
     import spark.implicits._
     // 'c' in all 4 docs (idf 0); 'r' only in doc 1 (idf log2 4 = 2)
