@@ -3303,6 +3303,14 @@ object PipelineScaleProbe {
 
     // ev_holt: 10M events — the HOF fold at full event volume, and the
     // tracker's O(1) recursion must agree row-for-row on the last day
+    if (!new java.io.File(s"$dir/events.parquet").exists) {
+      val nEvents = 10000000L
+      val nUsers = scala.math.max(100, (nEvents / 666).toInt)
+      spark.range(0L, nEvents).map(evFor(_, nUsers, 2026L))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    }
     val ev = spark.read.parquet(s"$dir/events.parquet")
       .selectExpr("timestamp_micros(ts div 1000) AS ts", "event_type")
     val (hs, wHs) = wall(ops.Sessionize.evHolt(
@@ -3331,20 +3339,46 @@ object PipelineScaleProbe {
         .write.mode("overwrite").parquet(embPath)
     }
     val emb = spark.read.parquet(embPath).select("vec_id", "embedding")
-    val (rq, wRq) = wall(ops.Similarity.ssRqTopkOn(spark, emb,
-      "vec_id % 1000 = 0", topK = 5, mult = 12).collect())
     val (br, wBr) = wall(ops.Similarity.bruteTopkOn(spark, emb,
-      "vec_id % 1000 = 0", topK = 5).collect())
-    val rqTop = rq.map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
-    val brTop = br.map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
-    val rs = brTop.map { case (q, exact) =>
-      val g = rqTop.getOrElse(q, Array.empty).map(_._2).toSet
-      exact.map(_._2).count(g) / exact.length.toDouble
+      "vec_id % 5000 = 0", topK = 5).collect())
+    val brMap = br.map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val brTop = brMap.map(_._1).groupBy(_._1)
+    def rqRecall(tag: String, nlist: Int, nCode: Int, mult: Int)
+        : (Double, Double) = {
+      val (rq, w) = wall(ops.Similarity.ssRqTopkOn(spark, emb,
+        "vec_id % 5000 = 0", topK = 5, nlist = nlist, nCode = nCode,
+        mult = mult).collect())
+      // rescore exactness: overlapping pairs carry the identical cos
+      val bm = brMap.toMap
+      rq.foreach { r =>
+        val k = (r.getLong(0), r.getLong(1))
+        bm.get(k).foreach(b => require(b == r.getDouble(2),
+          s"rescore drift at $k"))
+      }
+      val rqTop = rq.map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      val rs = brTop.map { case (q, exact) =>
+        val g = rqTop.getOrElse(q, Array.empty).map(_._2).toSet
+        exact.map(_._2).count(g) / exact.length.toDouble
+      }
+      val rec = rs.sum / rs.size
+      println(f"PSCALE q=ss_rq_topk($tag) vectors=100000 " +
+        f"recall@5=$rec%.3f w=$w%.1f s")
+      graft.SparkHygiene.clearSessionCaches(spark)
+      (rec, w)
     }
-    val recall = rs.sum / rs.size
-    require(recall >= 0.5, s"ss_rq recall $recall < 0.5 at 100k")
-    println(f"PSCALE q=ss_rq_topk vectors=100000 queries=${brTop.size} " +
-      f"recall@5=$recall%.3f rq_wall=$wRq%.1f s brute_wall=$wBr%.1f s")
+    val (rToy, _) = rqRecall("nlist=16,nCode=16,mult=12", 16, 16, 12)
+    val (rSqrt, _) = rqRecall("nlist=316,nCode=64,mult=12", 316, 64, 12)
+    val (rDeep, _) = rqRecall("nlist=316,nCode=64,mult=40", 316, 64, 40)
+    val (rRich, _) = rqRecall("nlist=316,nCode=256,mult=40", 316, 256, 40)
+    require(rSqrt >= rToy,
+      s"sqrt-N coarse codebook lost recall: $rSqrt < $rToy")
+    require(rDeep >= rSqrt,
+      s"deeper rescore cut lost recall: $rDeep < $rSqrt")
+    require(rRich >= rDeep,
+      s"richer per-cell codebook lost recall: $rRich < $rDeep")
+    require(rRich >= 0.6, s"rich-regime RQ recall $rRich < 0.6 at 100k")
+    println(f"PSCALE rq regimes toy=$rToy%.3f sqrtN=$rSqrt%.3f " +
+      f"deep=$rDeep%.3f rich=$rRich%.3f brute_wall=$wBr%.1f s")
     println("PSCALE addendum49 done")
     spark.stop()
   }

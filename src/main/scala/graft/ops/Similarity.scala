@@ -1468,18 +1468,21 @@ object Similarity {
   def ssIvfPqTopk(s: SparkSession, dir: String): DataFrame =
     ssIvfPqTopkOn(s, Tables.load(s, dir, "embeddings"), "vec_id < 5", 10)
 
-  /** Residual quantization top-k (two-level RVQ — Chen, Guan & Wang
-    * 2010; the refinement stage faiss layers over IVF): level 1 is the
+  /** Residual quantization top-k (the IVF+RVQ refinement shape — Chen,
+    * Guan & Wang 2010; faiss's IVF encode-by-residual): level 1 is the
     * library's deterministic IVF k-means ([[ivfTrainAssignCtes]] — the
-    * coarse codebook), level 2 a FULL-dimension codebook trained on the
-    * RESIDUALS v − c(v) (seeded draw + one decimal-exact refinement
-    * round, the PQ discipline on whole residual vectors instead of
-    * subspaces). Each vector compresses to (cid, code): reconstruction
-    * v̂ = c_cid + r_code, so the approximate query score decomposes into
-    * TWO query-side LUTs — dot(q, c_cid) + dot(q, r_code) — and the per-
-    * vector ADC is two lookups and one add (PQ pays nSub lookups; RQ
-    * pays 2 at coarser granularity — the trade the ladder documents).
-    * Survivors of the mult·topK approximate cut rescore exactly.
+    * coarse codebook), level 2 a PER-CELL full-dimension codebook
+    * trained on that cell's RESIDUALS v − c(v) (seeded draw + one
+    * decimal-exact refinement round, the PQ discipline on whole
+    * residual vectors, partitioned by coarse cell — residuals are
+    * cluster-local, so each cell's nCode codewords cover a far tighter
+    * ball than any shared codebook could). Each vector compresses to
+    * (cid, code): reconstruction v̂ = c_cid + r_{cid,code}, so the
+    * approximate query score decomposes into TWO query-side LUTs —
+    * dot(q, c_cid) + dot(q, r_{cid,code}) — and the per-vector ADC is
+    * two lookups and one add (PQ pays nSub lookups; RQ pays 2 — the
+    * trade the ladder documents). Survivors of the mult·topK
+    * approximate cut rescore exactly.
     *
     * Engine-exactness: residual subtraction is exact IEEE (zip_with
     * x−y ≡ the DuckDB comprehension); codebook means on DECIMAL(27,12);
@@ -1508,46 +1511,48 @@ object Similarity {
          |         zip_with(a.v, c.cv, (x, y) -> x - y) AS rv
          |  FROM assign a JOIN $C c ON c.cid = a.cid),
          |rseed AS (
-         |  SELECT md5(concat('rq42:', CAST(vec_id AS STRING))) AS h,
-         |         vec_id, rv
-         |  FROM rres ORDER BY h, vec_id LIMIT $nCode),
+         |  SELECT cid, rv, rk FROM (
+         |    SELECT cid, rv,
+         |           ROW_NUMBER() OVER (PARTITION BY cid
+         |             ORDER BY md5(concat('rq42:', CAST(vec_id AS STRING))),
+         |                      vec_id) AS rk
+         |    FROM rres) WHERE rk <= $nCode),
          |rcb0 AS (
-         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) AS INT) - 1
-         |           AS code,
+         |  SELECT cid, CAST(rk AS INT) - 1 AS code,
          |         rv AS cv, graft_dot(rv, rv) AS cn2
          |  FROM rseed),
          |rq1 AS (
-         |  SELECT vec_id, rv, code FROM (
-         |    SELECT r.vec_id, r.rv, c.code,
+         |  SELECT vec_id, cid, rv, code FROM (
+         |    SELECT r.vec_id, r.cid, r.rv, c.code,
          |           ROW_NUMBER() OVER (PARTITION BY r.vec_id
          |             ORDER BY ROUND(c.cn2 - 2 * graft_dot(r.rv, c.cv), 6)
          |                        ASC, c.code) AS rn
-         |    FROM rres r CROSS JOIN rcb0 c) WHERE rn = 1),
+         |    FROM rres r JOIN rcb0 c ON c.cid = r.cid) WHERE rn = 1),
          |rm1 AS (
-         |  SELECT code, i,
+         |  SELECT cid, code, i,
          |         ROUND(CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE)
          |               / COUNT(1), 6) AS mx
          |  FROM rq1 LATERAL VIEW posexplode(rv) AS i, x
-         |  GROUP BY code, i),
+         |  GROUP BY cid, code, i),
          |rcb1 AS (
-         |  SELECT code, cv, graft_dot(cv, cv) AS cn2 FROM (
-         |    SELECT code,
+         |  SELECT cid, code, cv, graft_dot(cv, cv) AS cn2 FROM (
+         |    SELECT cid, code,
          |           transform(array_sort(collect_list(struct(i, mx))),
          |                     p -> p.mx) AS cv
-         |    FROM rm1 GROUP BY code)),
+         |    FROM rm1 GROUP BY cid, code)),
          |renc AS (
          |  SELECT vec_id, cid, code FROM (
          |    SELECT r.vec_id, r.cid, c.code,
          |           ROW_NUMBER() OVER (PARTITION BY r.vec_id
          |             ORDER BY ROUND(c.cn2 - 2 * graft_dot(r.rv, c.cv), 6)
          |                        ASC, c.code) AS rn
-         |    FROM rres r CROSS JOIN rcb1 c) WHERE rn = 1),
+         |    FROM rres r JOIN rcb1 c ON c.cid = r.cid) WHERE rn = 1),
          |rnorm AS (
          |  SELECT e.vec_id, e.cid, e.code,
          |         graft_dot(cc.cv, cc.cv) + 2 * graft_dot(cc.cv, rc.cv)
          |           + rc.cn2 AS vhat2
          |  FROM renc e JOIN $C cc ON cc.cid = e.cid
-         |              JOIN rcb1 rc ON rc.code = e.code),
+         |              JOIN rcb1 rc ON rc.cid = e.cid AND rc.code = e.code),
          |qv AS (
          |  SELECT vec_id AS qid, v AS qvec, nrm AS qnrm FROM n3
          |  WHERE $queryPred),
@@ -1555,7 +1560,7 @@ object Similarity {
          |  SELECT q.qid, c.cid, graft_dot(q.qvec, c.cv) AS cdot
          |  FROM qv q CROSS JOIN $C c),
          |lut2 AS (
-         |  SELECT q.qid, c.code, graft_dot(q.qvec, c.cv) AS rdot
+         |  SELECT q.qid, c.cid, c.code, graft_dot(q.qvec, c.cv) AS rdot
          |  FROM qv q CROSS JOIN rcb1 c),
          |adc AS (
          |  SELECT l1.qid, n.vec_id AS neighbor_id,
@@ -1563,7 +1568,8 @@ object Similarity {
          |           AS cosq
          |  FROM rnorm n
          |  JOIN lut1 l1 ON l1.cid = n.cid
-         |  JOIN lut2 l2 ON l2.qid = l1.qid AND l2.code = n.code
+         |  JOIN lut2 l2 ON l2.qid = l1.qid AND l2.cid = n.cid
+         |                AND l2.code = n.code
          |  JOIN qv q ON q.qid = l1.qid
          |  WHERE n.vec_id <> l1.qid),
          |topc AS (
@@ -2550,30 +2556,33 @@ object Similarity {
          |           FOR i IN generate_series(1, len(a.v))] AS rv
          |  FROM assign a JOIN cent$IvfIters c ON c.cid = a.cid),
          |rcb0 AS (
-         |  SELECT code, cv, list_sum([x * x FOR x IN cv]) AS cn2 FROM (
-         |    SELECT (ROW_NUMBER() OVER (
-         |             ORDER BY md5('rq42:' || vec_id::VARCHAR), vec_id))::INT
-         |             - 1 AS code,
-         |           rv AS cv
-         |    FROM rres) WHERE code < 16),
+         |  SELECT cid, rk::INT - 1 AS code, rv AS cv,
+         |         list_sum([x * x FOR x IN rv]) AS cn2 FROM (
+         |    SELECT cid, rv,
+         |           ROW_NUMBER() OVER (PARTITION BY cid
+         |             ORDER BY md5('rq42:' || vec_id::VARCHAR), vec_id)
+         |             AS rk
+         |    FROM rres) WHERE rk <= 16),
          |rq1 AS (
-         |  SELECT vec_id, rv, code FROM (
-         |    SELECT r.vec_id, r.rv, c.code,
+         |  SELECT vec_id, cid, rv, code FROM (
+         |    SELECT r.vec_id, r.cid, r.rv, c.code,
          |           ROW_NUMBER() OVER (PARTITION BY r.vec_id
          |             ORDER BY ROUND(c.cn2
          |               - 2 * list_sum([r.rv[i] * c.cv[i]
          |                 FOR i IN generate_series(1, len(r.rv))]), 6) ASC,
          |               c.code) AS rn
-         |    FROM rres r CROSS JOIN rcb0 c) WHERE rn = 1),
+         |    FROM rres r JOIN rcb0 c ON c.cid = r.cid) WHERE rn = 1),
          |rm1 AS (
-         |  SELECT code, g.i,
+         |  SELECT cid, code, g.i,
          |         ROUND((SUM((rv[g.i])::DECIMAL(27,12)))::DOUBLE
          |               / COUNT(*), 6) AS mx
          |  FROM rq1 CROSS JOIN generate_series(1, 64) g(i)
-         |  GROUP BY code, g.i),
+         |  GROUP BY cid, code, g.i),
          |rcb1 AS (
-         |  SELECT code, cv, list_sum([x * x FOR x IN cv]) AS cn2 FROM (
-         |    SELECT code, list(mx ORDER BY i) AS cv FROM rm1 GROUP BY code)),
+         |  SELECT cid, code, cv, list_sum([x * x FOR x IN cv]) AS cn2
+         |  FROM (
+         |    SELECT cid, code, list(mx ORDER BY i) AS cv FROM rm1
+         |    GROUP BY cid, code)),
          |renc AS (
          |  SELECT vec_id, cid, code FROM (
          |    SELECT r.vec_id, r.cid, c.code,
@@ -2582,7 +2591,7 @@ object Similarity {
          |               - 2 * list_sum([r.rv[i] * c.cv[i]
          |                 FOR i IN generate_series(1, len(r.rv))]), 6) ASC,
          |               c.code) AS rn
-         |    FROM rres r CROSS JOIN rcb1 c) WHERE rn = 1),
+         |    FROM rres r JOIN rcb1 c ON c.cid = r.cid) WHERE rn = 1),
          |rnorm AS (
          |  SELECT e.vec_id, e.cid, e.code,
          |         list_sum([cc.cv[i] * cc.cv[i]
@@ -2591,7 +2600,8 @@ object Similarity {
          |           FOR i IN generate_series(1, len(cc.cv))])
          |         + rc.cn2 AS vhat2
          |  FROM renc e JOIN cent$IvfIters cc ON cc.cid = e.cid
-         |              JOIN rcb1 rc ON rc.code = e.code),
+         |              JOIN rcb1 rc ON rc.cid = e.cid
+         |                          AND rc.code = e.code),
          |qv AS (
          |  SELECT vec_id AS qid, v AS qvec, nrm AS qnrm FROM n3
          |  WHERE vec_id < 5),
@@ -2601,7 +2611,7 @@ object Similarity {
          |           FOR i IN generate_series(1, len(q.qvec))]) AS cdot
          |  FROM qv q CROSS JOIN cent$IvfIters c),
          |lut2 AS (
-         |  SELECT q.qid, c.code,
+         |  SELECT q.qid, c.cid, c.code,
          |         list_sum([q.qvec[i] * c.cv[i]
          |           FOR i IN generate_series(1, len(q.qvec))]) AS rdot
          |  FROM qv q CROSS JOIN rcb1 c),
@@ -2611,7 +2621,8 @@ object Similarity {
          |           AS cosq
          |  FROM rnorm n
          |  JOIN lut1 l1 ON l1.cid = n.cid
-         |  JOIN lut2 l2 ON l2.qid = l1.qid AND l2.code = n.code
+         |  JOIN lut2 l2 ON l2.qid = l1.qid AND l2.cid = n.cid
+         |                AND l2.code = n.code
          |  JOIN qv q ON q.qid = l1.qid
          |  WHERE n.vec_id <> l1.qid),
          |topc AS (
