@@ -1598,6 +1598,81 @@ object Similarity {
   def ssRqTopk(s: SparkSession, dir: String): DataFrame =
     ssRqTopkOn(s, Tables.load(s, dir, "embeddings"), "vec_id < 5", 10)
 
+  /** OPQ-P product quantization (the permutation member of Ge et al.
+    * 2013's optimized PQ family — "OPQ" learns a rotation; the
+    * PARAMETRIC/permutation variant balances information across
+    * subspaces without one, and is the piece a SQL engine can run
+    * deterministically): rank dimensions by variance, deal them to the
+    * nSub subspaces in SNAKE order (1st..nSub-th highest variance seed
+    * the nSub subspaces, then reverse — the balanced-allocation
+    * heuristic), gather each vector through the permutation, and run
+    * the library's EXACT PQ chain ([[pqTrainEncodeCtes]] +
+    * [[pqQueryTail]]) on the permuted vectors. Dot products and norms
+    * are permutation-invariant, so the exact rescore and the output
+    * contract are IDENTICAL to [[ssPqTopkOn]] — only the codebook's
+    * subspace fidelity changes. Plain PQ dies when one contiguous dim
+    * block carries all the signal (its 16 codewords must explain
+    * everything while 7 subspaces encode noise); the permutation
+    * spreads signal dims one-per-subspace (spec-locked).
+    *
+    * Engine-exactness: per-dim variance is the centroid-mean decimal
+    * discipline (DECIMAL(27,12) sums for E[x²] and E[x], one ROUND-9),
+    * rank ties break on dim index; the snake map and the permutation
+    * gather are pure integer; everything after is the audited PQ chain.
+    *
+    * Scale design: one extra corpus pass for the 64-row variance
+    * aggregate (combinable), a 1-row permutation relation broadcast
+    * into the gather — the rest is exactly ss_pq_topk's shape.
+    */
+  def ssOpqTopkOn(s: SparkSession, emb: DataFrame, queryPred: String,
+                  topK: Int, nSub: Int = 8, nCode: Int = 16,
+                  mult: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    emb.createOrReplaceTempView("__emb_opq")
+    s.sql(
+      s"""WITH base0 AS (
+         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
+         |  FROM __emb_opq),
+         |dvar AS (
+         |  SELECT i,
+         |         ROUND(CAST(SUM(CAST(x * x AS DECIMAL(27,12))) AS DOUBLE)
+         |                 / COUNT(1)
+         |               - (CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE)
+         |                  / COUNT(1))
+         |                 * (CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE)
+         |                    / COUNT(1)), 9) AS vr
+         |  FROM base0 LATERAL VIEW posexplode(v0) AS i, x
+         |  GROUP BY i),
+         |ranked AS (
+         |  SELECT i, CAST(ROW_NUMBER() OVER (ORDER BY vr DESC, i) AS INT)
+         |              - 1 AS r
+         |  FROM dvar),
+         |mapped AS (
+         |  SELECT i,
+         |         CASE WHEN (r div $nSub) % 2 = 0 THEN r % $nSub
+         |              ELSE $nSub - 1 - (r % $nSub) END AS grp,
+         |         r div $nSub AS blk
+         |  FROM ranked),
+         |perm AS (
+         |  SELECT transform(array_sort(collect_list(struct(grp, blk, i))),
+         |                   p -> p.i) AS pm
+         |  FROM mapped),
+         |base AS (
+         |  SELECT b.vec_id,
+         |         transform(p.pm, ii -> element_at(b.v0, ii + 1)) AS v
+         |  FROM base0 b CROSS JOIN perm p),
+         |n3 AS (
+         |  SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM base),
+         |${pqTrainEncodeCtes(nSub, nCode)},
+         |${pqQueryTail(queryPred, topK, nSub, mult)}""".stripMargin)
+  }
+
+  /** Oracle-query form: OPQ-P top-10 for query vectors vec_id < 5 —
+    * row-comparable with the PQ entry (same output contract).
+    */
+  def ssOpqTopk(s: SparkSession, dir: String): DataFrame =
+    ssOpqTopkOn(s, Tables.load(s, dir, "embeddings"), "vec_id < 5", 10)
+
   /** Mutual k-nearest-neighbor graph: the edge set {a,b} where b is in
     * a's cosine top-k AND a is in b's — the symmetric backbone that
     * k-NN-graph clustering (semdedup shards, spectral methods, UMAP-ish
@@ -2092,6 +2167,7 @@ object Similarity {
     "ss_range" -> ((s: SparkSession, dir: String) => ssRangeSearch(s, dir)),
     "ss_sq_topk" -> (ssSqTopk _),
     "ss_pq_topk" -> (ssPqTopk _),
+    "ss_opq_topk" -> (ssOpqTopk _),
     "ss_rq_topk" -> (ssRqTopk _),
     "ss_ivfpq_topk" -> (ssIvfPqTopk _),
     "ss_lsh_ann" -> (ssLshAnn _),
@@ -2188,6 +2264,100 @@ object Similarity {
       "ROUND(n.nrm, 6) AS eigenvalue " +
       "FROM v3 v CROSS JOIN n3 n ORDER BY dim"
   }
+
+  /** DuckDB twin of the PQ chain from `sub` onward (assumes CTEs
+    * `base`/`n3` are already defined) — shared by the ss_pq_topk
+    * and ss_opq_topk oracles so the two cannot drift.
+    */
+  private def duckPqBody: String =
+    """sub AS (
+        |  SELECT vec_id, g.m, v[(g.m*8+1):(g.m*8+8)] AS sv
+        |  FROM n3 CROSS JOIN generate_series(0, 7) g(m)),
+        |seedranked AS (
+        |  SELECT (ROW_NUMBER() OVER (
+        |           ORDER BY md5('pq42:' || vec_id::VARCHAR), vec_id))::INT - 1
+        |           AS code, v
+        |  FROM n3),
+        |cb0 AS (
+        |  SELECT g.m, code, v[(g.m*8+1):(g.m*8+8)] AS cv
+        |  FROM seedranked CROSS JOIN generate_series(0, 7) g(m)
+        |  WHERE code < 16),
+        |a1 AS (
+        |  SELECT vec_id, m, sv, code FROM (
+        |    SELECT u.vec_id, u.m, u.sv, c.code,
+        |           ROW_NUMBER() OVER (PARTITION BY u.vec_id, u.m
+        |             ORDER BY ROUND(
+        |               list_sum([c.cv[i] * c.cv[i]
+        |                 FOR i IN generate_series(1, len(c.cv))])
+        |               - 2 * list_sum([u.sv[i] * c.cv[i]
+        |                 FOR i IN generate_series(1, len(u.sv))]), 6) ASC,
+        |               c.code) AS rn
+        |    FROM sub u JOIN cb0 c ON c.m = u.m) WHERE rn = 1),
+        |m1 AS (
+        |  SELECT m, code, g.i,
+        |         ROUND((SUM((sv[g.i])::DECIMAL(27,12)))::DOUBLE
+        |               / COUNT(*), 6) AS mx
+        |  FROM a1 CROSS JOIN generate_series(1, 8) g(i)
+        |  GROUP BY m, code, g.i),
+        |cb1 AS (
+        |  SELECT m, code, cv, list_sum([x * x FOR x IN cv]) AS cn2 FROM (
+        |    SELECT m, code, list(mx ORDER BY i) AS cv FROM m1
+        |    GROUP BY m, code)),
+        |enc AS (
+        |  SELECT vec_id, m, code FROM (
+        |    SELECT u.vec_id, u.m, c.code,
+        |           ROW_NUMBER() OVER (PARTITION BY u.vec_id, u.m
+        |             ORDER BY ROUND(c.cn2
+        |               - 2 * list_sum([u.sv[i] * c.cv[i]
+        |                 FOR i IN generate_series(1, len(u.sv))]), 6) ASC,
+        |               c.code) AS rn
+        |    FROM sub u JOIN cb1 c ON c.m = u.m) WHERE rn = 1),
+        |recn AS (
+        |  SELECT e.vec_id,
+        |         (SUM(CAST(ROUND(c.cn2, 9) AS DECIMAL(28,9))))::DOUBLE AS rn2
+        |  FROM enc e JOIN cb1 c ON c.m = e.m AND c.code = e.code
+        |  GROUP BY e.vec_id),
+        |qv AS (
+        |  SELECT vec_id AS qid, v AS qvec, nrm AS qnrm FROM n3
+        |  WHERE vec_id < 5),
+        |lut AS (
+        |  SELECT q.qid, c.m, c.code,
+        |         list_sum([q.qvec[c.m*8 + i] * c.cv[i]
+        |           FOR i IN generate_series(1, len(c.cv))]) AS pdot
+        |  FROM qv q CROSS JOIN cb1 c),
+        |adc AS (
+        |  SELECT l.qid, e.vec_id AS neighbor_id,
+        |         (SUM(CAST(ROUND(l.pdot, 9) AS DECIMAL(28,9))))::DOUBLE
+        |           AS adot
+        |  FROM enc e JOIN lut l ON l.m = e.m AND l.code = e.code
+        |  WHERE e.vec_id <> l.qid
+        |  GROUP BY l.qid, e.vec_id),
+        |cand AS (
+        |  SELECT a.qid, a.neighbor_id,
+        |         ROUND(a.adot / (q.qnrm * sqrt(r.rn2)), 6) AS cosq
+        |  FROM adc a
+        |  JOIN qv q ON q.qid = a.qid
+        |  JOIN recn r ON r.vec_id = a.neighbor_id),
+        |topc AS (
+        |  SELECT qid, neighbor_id, cosq FROM (
+        |    SELECT qid, neighbor_id, cosq,
+        |           ROW_NUMBER() OVER (PARTITION BY qid
+        |             ORDER BY cosq DESC, neighbor_id) AS rnq
+        |    FROM cand) WHERE rnq <= 30),
+        |res AS (
+        |  SELECT t.qid, t.neighbor_id, t.cosq,
+        |         ROUND(list_sum([q.qvec[i] * b.v[i]
+        |                 FOR i IN generate_series(1, len(q.qvec))])
+        |               / (q.qnrm * b.nrm), 6) AS cos
+        |  FROM topc t
+        |  JOIN qv q ON q.qid = t.qid
+        |  JOIN n3 b ON b.vec_id = t.neighbor_id)
+        |SELECT qid AS query_id, neighbor_id, cos, cosq, rn FROM (
+        |  SELECT qid, neighbor_id, cos, cosq,
+        |         ROW_NUMBER() OVER (PARTITION BY qid
+        |           ORDER BY cos DESC, neighbor_id) AS rn
+        |  FROM res)
+        |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "ss_power" -> ssPowerOracle,
@@ -2646,99 +2816,47 @@ object Similarity {
          |  FROM resc)
          |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
         .replaceAll("\n", " ")),
+    "ss_opq_topk" ->
+      (s"""WITH base0 AS (
+         |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v0
+         |  FROM embeddings),
+         |dvar AS (
+         |  SELECT (g.i - 1) AS i,
+         |         ROUND((SUM((v0[g.i] * v0[g.i])::DECIMAL(27,12)))::DOUBLE
+         |                 / COUNT(*)
+         |               - ((SUM((v0[g.i])::DECIMAL(27,12)))::DOUBLE
+         |                  / COUNT(*))
+         |                 * ((SUM((v0[g.i])::DECIMAL(27,12)))::DOUBLE
+         |                    / COUNT(*)), 9) AS vr
+         |  FROM base0 CROSS JOIN generate_series(1, 64) g(i)
+         |  GROUP BY g.i),
+         |ranked AS (
+         |  SELECT i, (ROW_NUMBER() OVER (ORDER BY vr DESC, i))::INT - 1
+         |              AS r
+         |  FROM dvar),
+         |mapped AS (
+         |  SELECT i,
+         |         CASE WHEN (r // 8) % 2 = 0 THEN r % 8
+         |              ELSE 8 - 1 - (r % 8) END AS grp,
+         |         r // 8 AS blk
+         |  FROM mapped0),
+         |perm AS (
+         |  SELECT list(i ORDER BY grp, blk) AS pm FROM mapped),
+         |base AS (
+         |  SELECT b.vec_id, [b.v0[ii + 1] FOR ii IN p.pm] AS v
+         |  FROM base0 b CROSS JOIN perm p),
+         |n3 AS (
+         |  SELECT vec_id, v, sqrt(list_sum([x * x FOR x IN v])) AS nrm
+         |  FROM base),
+         |$duckPqBody""".stripMargin
+        .replace("FROM mapped0)", "FROM ranked)")
+        .replaceAll("\n", " ")),
     "ss_pq_topk" ->
-      """WITH base AS (
+      (s"""WITH base AS (
         |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),
         |n3 AS (
         |  SELECT vec_id, v, sqrt(list_sum([x * x FOR x IN v])) AS nrm FROM base),
-        |sub AS (
-        |  SELECT vec_id, g.m, v[(g.m*8+1):(g.m*8+8)] AS sv
-        |  FROM n3 CROSS JOIN generate_series(0, 7) g(m)),
-        |seedranked AS (
-        |  SELECT (ROW_NUMBER() OVER (
-        |           ORDER BY md5('pq42:' || vec_id::VARCHAR), vec_id))::INT - 1
-        |           AS code, v
-        |  FROM n3),
-        |cb0 AS (
-        |  SELECT g.m, code, v[(g.m*8+1):(g.m*8+8)] AS cv
-        |  FROM seedranked CROSS JOIN generate_series(0, 7) g(m)
-        |  WHERE code < 16),
-        |a1 AS (
-        |  SELECT vec_id, m, sv, code FROM (
-        |    SELECT u.vec_id, u.m, u.sv, c.code,
-        |           ROW_NUMBER() OVER (PARTITION BY u.vec_id, u.m
-        |             ORDER BY ROUND(
-        |               list_sum([c.cv[i] * c.cv[i]
-        |                 FOR i IN generate_series(1, len(c.cv))])
-        |               - 2 * list_sum([u.sv[i] * c.cv[i]
-        |                 FOR i IN generate_series(1, len(u.sv))]), 6) ASC,
-        |               c.code) AS rn
-        |    FROM sub u JOIN cb0 c ON c.m = u.m) WHERE rn = 1),
-        |m1 AS (
-        |  SELECT m, code, g.i,
-        |         ROUND((SUM((sv[g.i])::DECIMAL(27,12)))::DOUBLE
-        |               / COUNT(*), 6) AS mx
-        |  FROM a1 CROSS JOIN generate_series(1, 8) g(i)
-        |  GROUP BY m, code, g.i),
-        |cb1 AS (
-        |  SELECT m, code, cv, list_sum([x * x FOR x IN cv]) AS cn2 FROM (
-        |    SELECT m, code, list(mx ORDER BY i) AS cv FROM m1
-        |    GROUP BY m, code)),
-        |enc AS (
-        |  SELECT vec_id, m, code FROM (
-        |    SELECT u.vec_id, u.m, c.code,
-        |           ROW_NUMBER() OVER (PARTITION BY u.vec_id, u.m
-        |             ORDER BY ROUND(c.cn2
-        |               - 2 * list_sum([u.sv[i] * c.cv[i]
-        |                 FOR i IN generate_series(1, len(u.sv))]), 6) ASC,
-        |               c.code) AS rn
-        |    FROM sub u JOIN cb1 c ON c.m = u.m) WHERE rn = 1),
-        |recn AS (
-        |  SELECT e.vec_id,
-        |         (SUM(CAST(ROUND(c.cn2, 9) AS DECIMAL(28,9))))::DOUBLE AS rn2
-        |  FROM enc e JOIN cb1 c ON c.m = e.m AND c.code = e.code
-        |  GROUP BY e.vec_id),
-        |qv AS (
-        |  SELECT vec_id AS qid, v AS qvec, nrm AS qnrm FROM n3
-        |  WHERE vec_id < 5),
-        |lut AS (
-        |  SELECT q.qid, c.m, c.code,
-        |         list_sum([q.qvec[c.m*8 + i] * c.cv[i]
-        |           FOR i IN generate_series(1, len(c.cv))]) AS pdot
-        |  FROM qv q CROSS JOIN cb1 c),
-        |adc AS (
-        |  SELECT l.qid, e.vec_id AS neighbor_id,
-        |         (SUM(CAST(ROUND(l.pdot, 9) AS DECIMAL(28,9))))::DOUBLE
-        |           AS adot
-        |  FROM enc e JOIN lut l ON l.m = e.m AND l.code = e.code
-        |  WHERE e.vec_id <> l.qid
-        |  GROUP BY l.qid, e.vec_id),
-        |cand AS (
-        |  SELECT a.qid, a.neighbor_id,
-        |         ROUND(a.adot / (q.qnrm * sqrt(r.rn2)), 6) AS cosq
-        |  FROM adc a
-        |  JOIN qv q ON q.qid = a.qid
-        |  JOIN recn r ON r.vec_id = a.neighbor_id),
-        |topc AS (
-        |  SELECT qid, neighbor_id, cosq FROM (
-        |    SELECT qid, neighbor_id, cosq,
-        |           ROW_NUMBER() OVER (PARTITION BY qid
-        |             ORDER BY cosq DESC, neighbor_id) AS rnq
-        |    FROM cand) WHERE rnq <= 30),
-        |res AS (
-        |  SELECT t.qid, t.neighbor_id, t.cosq,
-        |         ROUND(list_sum([q.qvec[i] * b.v[i]
-        |                 FOR i IN generate_series(1, len(q.qvec))])
-        |               / (q.qnrm * b.nrm), 6) AS cos
-        |  FROM topc t
-        |  JOIN qv q ON q.qid = t.qid
-        |  JOIN n3 b ON b.vec_id = t.neighbor_id)
-        |SELECT qid AS query_id, neighbor_id, cos, cosq, rn FROM (
-        |  SELECT qid, neighbor_id, cos, cosq,
-        |         ROW_NUMBER() OVER (PARTITION BY qid
-        |           ORDER BY cos DESC, neighbor_id) AS rn
-        |  FROM res)
-        |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin.replaceAll("\n", " "),
+        |$duckPqBody""".stripMargin).replaceAll("\n", " "),
     "ss_range" ->
       """WITH base AS (
         |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),

@@ -302,6 +302,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivfpq >= 0.6, s"IVF-PQ recall $ivfpq < 0.6")
   }
 
+  test("OPQ-P: variance-balanced permutation rescues PQ on a signal-concentrated block") {
+    val rng = new Random(13)
+    val dim = 64
+    // ALL the variance lives in dims 0..7 (uniform cube); dims 8..63 are
+    // near-zero noise. Plain PQ hands the whole signal block to subspace
+    // 0's 16 codewords (one coarse cell per neighborhood — within-cell
+    // rank dies); the variance-balanced permutation deals one signal dim
+    // to EACH subspace, so the product grid refines to 16^8 cells
+    val rows = (0 until 480).map { i =>
+      val v = Array.tabulate(dim)(j =>
+        if (j < 8) rng.nextDouble()
+        else 0.02 * rng.nextDouble())
+      (i.toLong, v)
+    }
+    val emb = toEmb(rows)
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      val brute = Similarity.bruteTopkOn(spark, emb, "vec_id % 100 = 0",
+        topK = 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      val rs = brute.map { case (q, exact) =>
+        val g = got.getOrElse(q, Array.empty).map(_._2).toSet
+        exact.map(_._2).count(g) / exact.length.toDouble
+      }
+      rs.sum / rs.size
+    }
+    val pq = recallOf(Similarity.ssPqTopkOn(spark, emb,
+      "vec_id % 100 = 0", topK = 5, mult = 12))
+    val opq = recallOf(Similarity.ssOpqTopkOn(spark, emb,
+      "vec_id % 100 = 0", topK = 5, mult = 12))
+    assert(opq >= pq,
+      s"permutation lost recall: opq $opq < pq $pq")
+    assert(opq >= 0.6, s"OPQ recall $opq < 0.6 on the anisotropic cube")
+  }
+
   test("RQ: residual-quantized recall holds on a clustered corpus; rescore is exact") {
     val rng = new Random(7)
     val dim = 64
