@@ -1629,7 +1629,13 @@ object Similarity {
                   mult: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     emb.createOrReplaceTempView("__emb_opq")
-    s.sql(
+    // the variance pass + permutation gather run ONCE and the permuted
+    // (vec_id, v, nrm) relation pins — inlined, the gather re-executed
+    // for every PQ-chain consumer of n3 (sub, seed, the encode ranks,
+    // qv, the exact rescore; measured 4.4 s at bench scale). Tracked:
+    // callers release via Caches.releaseAll; the harness clears per
+    // query.
+    graft.Caches.track(s.sql(
       s"""WITH base0 AS (
          |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
          |  FROM __emb_opq),
@@ -1660,9 +1666,12 @@ object Similarity {
          |base AS (
          |  SELECT b.vec_id,
          |         transform(p.pm, ii -> element_at(b.v0, ii + 1)) AS v
-         |  FROM base0 b CROSS JOIN perm p),
-         |n3 AS (
-         |  SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM base),
+         |  FROM base0 b CROSS JOIN perm p)
+         |SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM base"""
+        .stripMargin))
+      .createOrReplaceTempView("__opq_n3")
+    s.sql(
+      s"""WITH n3 AS (SELECT * FROM __opq_n3),
          |${pqTrainEncodeCtes(nSub, nCode)},
          |${pqQueryTail(queryPred, topK, nSub, mult)}""".stripMargin)
   }
