@@ -306,6 +306,44 @@ object Pipeline {
   def dsKfold(s: SparkSession, dir: String): DataFrame =
     dsKfold(Tables.load(s, dir, "documents"), k = 5)
 
+  /** Grouped holdout split (the sklearn GroupShuffleSplit / "split by
+    * domain" discipline every contamination-aware pipeline uses): the
+    * split is assigned from the md5 of the GROUP key (`source`), not
+    * the document — so near-duplicate documents from the same domain
+    * can never straddle train and test, the leak [[dsLeakage]] detects
+    * after the fact and this op prevents by construction. Same 12/2/2
+    * hex-digit ratios as [[dsSplit]], distinct salt ('gsplit:') so the
+    * two draws are independent.
+    *
+    * The cost of grouping is size skew: a whale domain drags its whole
+    * mass into one split. That is the declared trade (group integrity
+    * over exact ratios) — callers needing tighter ratios split the
+    * whale's GROUP KEY finer (e.g. source × shard), never the rows.
+    *
+    * Scale design: narrow single-pass projection (one md5 per row, no
+    * join — the group key is on the row); no shuffle but the
+    * presentation ORDER BY.
+    */
+  def dsGroupSplit(docs: DataFrame, groupCol: String = "source"): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__gsplit_docs")
+    s.sql(
+      s"""SELECT doc_id, $groupCol,
+         |       CASE WHEN d < 12 THEN 'train' WHEN d < 14 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM (
+         |  SELECT doc_id, $groupCol,
+         |         instr('0123456789abcdef',
+         |           substring(md5(concat('gsplit:', $groupCol)), 1, 1))
+         |           - 1 AS d
+         |  FROM __gsplit_docs)
+         |ORDER BY doc_id""".stripMargin)
+  }
+
+  /** The oracle-checked form: group by source over the documents table. */
+  def dsGroupSplit(s: SparkSession, dir: String): DataFrame =
+    dsGroupSplit(Tables.load(s, dir, "documents"))
+
   /** Sequence packing (the training-batch assembly step): greedily pack
     * documents into fixed 256-token budgets, contiguous first-fit in
     * doc_id order within an md5 shard. pack_id = prev-cumulative-tokens
@@ -1957,6 +1995,7 @@ object Pipeline {
     dsDoremi(Tables.load(s, dir, "documents"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_groupsplit" -> ((s: SparkSession, dir: String) => dsGroupSplit(s, dir)),
     "ds_doremi" -> ((s: SparkSession, dir: String) => dsDoremi(s, dir)),
     "ds_d4" -> ((s: SparkSession, dir: String) => dsD4(s, dir)),
     "ds_dplaplace" -> ((s: SparkSession, dir: String) => dsDpCounts(s, dir)),
@@ -2031,6 +2070,14 @@ object Pipeline {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ds_groupsplit" ->
+      ("SELECT doc_id, source, " +
+        "CASE WHEN d < 12 THEN 'train' WHEN d < 14 THEN 'val' " +
+        "ELSE 'test' END AS split FROM (" +
+        "SELECT doc_id, source, " +
+        "instr('0123456789abcdef', " +
+        "substring(md5('gsplit:' || source), 1, 1)) - 1 AS d " +
+        "FROM documents) ORDER BY doc_id"),
     "ds_doremi" -> doremiSql("documents", "//", 8, 250000L)
       .replaceAll("\n", " "),
     "ds_d4" ->

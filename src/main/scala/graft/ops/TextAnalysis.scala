@@ -2044,7 +2044,77 @@ object TextAnalysis {
   def taSentiment(s: SparkSession, dir: String): DataFrame =
     taSentiment(Tables.load(s, dir, "documents"))
 
+  /** Tokenizer fertility audit per language (Rust et al. 2021; Petrov
+    * et al. 2023, "tokenizer unfairness" — public): apply a LEARNED BPE
+    * merge table ([[taBpe]]'s output shape, the [[taBpeEncode]] greedy
+    * pass) and roll up tokens-per-word (fertility) and chars-per-token
+    * per language — the number that decides which languages pay 2× the
+    * context budget for the same text, read before fixing a sampling
+    * mix on token counts.
+    *
+    * Engine-exactness: the encode fold is [[taBpeEncode]]'s verbatim;
+    * counts are integers; the two ratios are one terminal ROUND each.
+    *
+    * Scale design: the merge fold runs on the DISTINCT-WORD relation
+    * (vocabulary-sized); the corpus pays one explode joined back to the
+    * vocabulary token counts (broadcast at any real vocab/corpus
+    * ratio); output is languages-sized.
+    */
+  def taFertility(docs: DataFrame, merges: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__fert_docs")
+    merges.createOrReplaceTempView("__fert_merges")
+    s.sql(
+      """WITH mt AS (
+        |  SELECT array_sort(collect_list(struct(merge_round, lhs, rhs)))
+        |         AS ms
+        |  FROM __fert_merges),
+        |voc AS (
+        |  SELECT DISTINCT t.w AS word FROM __fert_docs
+        |  LATERAL VIEW explode(split(text, ' ')) t AS w
+        |  WHERE t.w <> ''),
+        |enc AS (
+        |  SELECT word,
+        |    size(split(aggregate(ms,
+        |      trim(regexp_replace(word, '(.)', '$1 ')),
+        |      (acc0, m) -> aggregate(split(acc0, ' '), '', (acc, c) -> CASE
+        |        WHEN acc = '' THEN c
+        |        WHEN endswith(concat(' ', acc), concat(' ', m.lhs))
+        |             AND c = m.rhs
+        |        THEN concat(substr(acc, 1, length(acc) - length(m.lhs)),
+        |                    m.lhs, m.rhs)
+        |        ELSE concat(acc, ' ', c) END)), ' ')) AS nt
+        |  FROM voc CROSS JOIN mt),
+        |tok AS (
+        |  SELECT lang, t.w AS w FROM __fert_docs
+        |  LATERAL VIEW explode(split(text, ' ')) t AS w
+        |  WHERE t.w <> ''),
+        |j AS (
+        |  SELECT tok.lang, length(tok.w) AS wc, e.nt
+        |  FROM tok JOIN enc e ON e.word = tok.w)
+        |SELECT lang, COUNT(*) AS n_words,
+        |       CAST(SUM(wc) AS BIGINT) AS n_chars,
+        |       CAST(SUM(nt) AS BIGINT) AS n_tokens,
+        |       ROUND(CAST(SUM(nt) AS DOUBLE) / COUNT(*), 6) AS fertility,
+        |       ROUND(CAST(SUM(wc) AS DOUBLE) / SUM(nt), 6)
+        |         AS chars_per_token
+        |FROM j GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  /** The oracle-checked form: the fixed 3-rule merge table (the
+    * ta_bpe_encode fixture) over the documents corpus.
+    */
+  def taFertility(s: SparkSession, dir: String): DataFrame = {
+    val merges = s.sql(
+      """SELECT * FROM VALUES (1, 't', 'a'), (2, 'ta', 'b'), (3, 'l', 'e')
+        |AS t(merge_round, lhs, rhs)""".stripMargin)
+    taFertility(
+      Tables.load(s, dir, "documents").select("doc_id", "lang", "text"),
+      merges)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_fertility" -> ((s: SparkSession, dir: String) => taFertility(s, dir)),
     "ta_sentiment" -> ((s: SparkSession, dir: String) => taSentiment(s, dir)),
     "ta_garble" -> ((s: SparkSession, dir: String) => taGarble(s, dir)),
     "ta_watermark" -> ((s: SparkSession, dir: String) => taWatermark(s, dir)),
@@ -2148,7 +2218,37 @@ object TextAnalysis {
       "AS n_tokens, tokens FROM d ORDER BY doc_id"
   }
 
+  private lazy val taFertilityOracle: String = {
+    val rules = Seq(("t", "a"), ("ta", "b"), ("l", "e"))
+    val folds = rules.zipWithIndex.map { case ((lhs, rhs), i) =>
+      s"e${i + 1} AS (SELECT word, list_reduce(string_split(sym, ' '), " +
+        "(acc, c) -> CASE " +
+        s"WHEN ends_with(' ' || acc, ' $lhs') AND c = '$rhs' " +
+        s"THEN substr(acc, 1, length(acc) - ${lhs.length}) " +
+        s"|| '$lhs' || '$rhs' " +
+        "ELSE acc || ' ' || c END) AS sym " +
+        s"FROM e$i)"
+    }.mkString(", ")
+    "WITH voc AS (SELECT DISTINCT w AS word FROM " +
+      s"(SELECT unnest($sqlToks) AS w FROM documents) WHERE w <> ''), " +
+      "e0 AS (SELECT word, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) " +
+      "AS sym FROM voc), " + folds + ", " +
+      s"ecnt AS (SELECT word, len(string_split(sym, ' ')) AS nt " +
+      s"FROM e${rules.size}), " +
+      "tok AS (SELECT lang, u.w AS w FROM documents, " +
+      s"LATERAL (SELECT unnest($sqlToks) AS w) u WHERE u.w <> ''), " +
+      "j AS (SELECT tok.lang, length(tok.w) AS wc, e.nt " +
+      "FROM tok JOIN ecnt e ON e.word = tok.w) " +
+      "SELECT lang, COUNT(*) AS n_words, " +
+      "CAST(SUM(wc) AS BIGINT) AS n_chars, " +
+      "CAST(SUM(nt) AS BIGINT) AS n_tokens, " +
+      "ROUND(SUM(nt)::DOUBLE / COUNT(*), 6) AS fertility, " +
+      "ROUND(SUM(wc)::DOUBLE / SUM(nt), 6) AS chars_per_token " +
+      "FROM j GROUP BY lang ORDER BY lang"
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "ta_fertility" -> taFertilityOracle,
     "ta_sentiment" -> {
       val orChain = sentimentLexicon.map(w => s"t = '${w._1}'")
         .mkString(" OR ")

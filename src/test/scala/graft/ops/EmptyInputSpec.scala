@@ -70,6 +70,13 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Pipeline.dsDoremi(
       Seq.empty[(Long, String, Long)].toDF("doc_id", "source", "n_chars"))
       .count() == 0)
+    assert(Pipeline.dsGroupSplit(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text"))
+      .count() == 0)
+    assert(TextAnalysis.taFertility(
+      emptyDocs.selectExpr("doc_id", "'en' AS lang", "text"),
+      Seq.empty[(Int, String, String)].toDF("merge_round", "lhs", "rhs"))
+      .count() == 0)
     assert(Multimodal.mmDupBlob(
       Seq.empty[(Long, Array[Byte])].toDF("media_id", "payload"))
       .count() == 0)

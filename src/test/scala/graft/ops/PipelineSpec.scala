@@ -2291,6 +2291,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(orc.nonEmpty && orc.forall(_ >= 0.0))
   }
 
+  test("dsGroupSplit: a group never straddles splits; labels are the split set") {
+    import spark.implicits._
+    val docs = (1L to 60L).map(i => (i, s"src${i % 7}", s"text $i"))
+      .toDF("doc_id", "source", "text")
+    val got = Pipeline.dsGroupSplit(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.length == 60)
+    assert(got.map(_._3).toSet.subsetOf(Set("train", "val", "test")))
+    // group integrity: every source maps to exactly one split
+    val bySource = got.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    bySource.foreach { case (src, splits) =>
+      assert(splits.size == 1, s"$src straddles: $splits")
+    }
+    // deterministic: a second run assigns identically
+    val again = Pipeline.dsGroupSplit(docs).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    got.foreach { case (id, _, sp) => assert(again(id) == sp) }
+  }
+
+  test("taFertility: BPE merge replay gives the hand-counted ratios per lang") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "ta table"), // ta->1 token; table->tab+le = 2 tokens
+      (2L, "de", "le le")) // le->1 token, twice
+      .toDF("doc_id", "lang", "text")
+    val merges = Seq((1, "t", "a"), (2, "ta", "b"), (3, "l", "e"))
+      .toDF("merge_round", "lhs", "rhs")
+    val got = TextAnalysis.taFertility(docs, merges).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got("en") == ((2L, 7L, 3L, 1.5, 2.333333)))
+    assert(got("de") == ((2L, 4L, 2L, 1.0, 2.0)))
+  }
+
   test("evTheil: equal mass reads zero; a whale concentrates within its type") {
     import spark.implicits._
     def evs(rows: Seq[(String, Long, Double)]) = rows.zipWithIndex
