@@ -1455,6 +1455,66 @@ class StreamingSpec extends AnyFunSuite {
       .exists(_._3 == 6L))
   }
 
+  test("psi: tracker fed the late window against the early-window fit " +
+      "== evPsi psi_total") {
+    import spark.implicits._
+    def ev(d: Int, h: Int, v: Double) = (0L,
+      new Timestamp(Timestamp.valueOf("2024-03-01 00:00:00").getTime +
+        d * 86400000L + h * 3600000L), 1L, "m", v)
+    // early (day 0): min 0, max 10 -> vmn = 0, w = 1; late (day 2): the
+    // mass shifts up two bins
+    val early = Seq(0.0, 10.0, 1.0, 1.2, 2.0, 2.5, 3.0, 3.0, 4.0, 5.0)
+      .zipWithIndex.map { case (v, i) => ev(0, i % 12, v) }
+    val late = Seq(3.0, 3.5, 4.0, 4.4, 5.0, 5.5, 6.0, 6.2, 7.0, 8.0)
+      .zipWithIndex.map { case (v, i) => ev(2, i % 12, v) }
+    val all = (early ++ late)
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val viaSql = graft.ops.Sessionize.evPsi(all).head().getDouble(4)
+    // the reference fit the batch op derives: bin the early values with
+    // the same public rule
+    val ref = Array.fill(10)(0L)
+    Seq(0.0, 10.0, 1.0, 1.2, 2.0, 2.5, 3.0, 3.0, 4.0, 5.0)
+      .foreach(v => ref(PsiTracker.bin(v, 0.0, 1.0, 10)) += 1L)
+    val lateDs = late.map(e => PsiTracker.PEv(e._2, e._5)).toDS()
+    val rows = PsiTracker.psiBatch(lateDs, ref.toIndexedSeq, 0.0, 1.0)
+      .collect().sortBy(_.day)
+    assert(rows.last.n_live == 10L)
+    assert(rows.last.psi == viaSql,
+      s"tracker ${rows.last.psi} != batch $viaSql")
+  }
+
+  test("psi: streaming == batch; late in-watermark event lands in its day") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def pev(d: Int, h: Int, v: Double) = PsiTracker.PEv(
+      new Timestamp(Timestamp.valueOf("2024-03-01 00:00:00").getTime +
+        d * 86400000L + h * 3600000L), v)
+    val ref = Seq(5L, 3L, 2L, 1L, 1L)
+    val b1 = (0 until 3).flatMap(d =>
+      (0 until 4).map(i => pev(d, 8 + i, (d + i) % 5 * 1.0)))
+    val b2 = Seq(pev(2, 22, 4.0)) ++
+      (0 until 4).map(i => pev(3, 10, i * 1.0))
+    val stream = MemoryStream[PsiTracker.PEv]
+    val q = PsiTracker.psiStream(
+        stream.toDF().withWatermark("ts", "3 hours")
+          .as[PsiTracker.PEv], ref, 0.0, 1.0)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("psi_out").start()
+    for (b <- Seq(b1, b2)) { stream.addData(b); q.processAllAvailable() }
+    val maxTs = (b1 ++ b2).map(_.ts.getTime).max
+    stream.addData(pev(0, 0, 0.0).copy(
+      ts = new Timestamp(maxTs + 9L * 86400000L)))
+    q.processAllAvailable()
+    val got = spark.table("psi_out").as[PsiTracker.PsiRow].collect()
+      .map(r => (r.day, r.n_live, r.psi)).toSeq.sorted
+    val batch = PsiTracker.psiBatch((b1 ++ b2).toDS(), ref, 0.0, 1.0)
+      .collect().map(r => (r.day, r.n_live, r.psi)).toSeq.sorted
+    assert(got == batch && got.length == 4, got.toString)
+    // day 2 carries its late event: 4 + 1 on top of days 0-1's 8
+    assert(got.find(_._1 == Timestamp.valueOf("2024-03-03 00:00:00")
+      .getTime / 86400000L).exists(_._2 == 13L))
+  }
+
   test("url dedup fold: keeps the (ts, fetch_id)-minimal record under any " +
       "delivery order") {
     import UrlDedupTracker._
