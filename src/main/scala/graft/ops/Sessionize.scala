@@ -2016,6 +2016,96 @@ object Sessionize {
     evHolt(s.table("__events"))
   }
 
+  /** Additive Holt-Winters (triple exponential smoothing, period 7 —
+    * Winters 1960; Hyndman & Athanasopoulos fpp3 ch. 8) over each
+    * type's daily counts, α = β = γ = ½: [[evHolt]] plus a 7-slot
+    * seasonal component, the model that separates "weekend dip" from
+    * trend — the full classical forecasting staple.
+    *
+    * Contract: the recursion runs over the OBSERVED day sequence in
+    * day order; season slot = observed-sequence index mod 7 (the
+    * textbook regular-series formulation — calendar gaps compress, the
+    * [[evHolt]] declaration). Init from the first 7 observed days:
+    * l₇ = ⌊mean(y₁…y₇)⌋ micros, b₇ = 0, s_j = y_j·10⁶ − l₇; recursion
+    * consumes y₈…yₙ; types with fewer than 7 observed days are
+    * excluded.
+    *
+    * Engine-exactness: the whole recursion is BIGINT micro-units with
+    * the [[evHolt]] floor-of-half offset identity; the seasonal array
+    * lives INSIDE the HOF fold state (Spark) and as a LIST column in
+    * the recursive CTE (DuckDB), updated one slot per step by
+    * identical rebuild rules. No float until the terminal micro→unit
+    * ROUND-6s.
+    *
+    * Scale design: one (type, day) count aggregate, one per-type
+    * sorted-array HOF fold — the seasonal state adds 7 Longs to the
+    * fold struct, nothing new shuffles; output is types-sized.
+    */
+  def evHoltWinters(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__hw_events")
+    val M = "1000000L"
+    val OFF = "1125899906842624L" // 2^50, even
+    val HALF = "562949953421312L" // 2^49
+    // season slot of the INCOMING day (0-based fold position st.t)
+    val slot = "CAST(st.t % 7 AS INT)"
+    val sOld = s"element_at(st.s, $slot + 1)"
+    val lNew = s"((y * $M - $sOld + st.l + st.b + $OFF) div 2 - $HALF)"
+    s.sql(
+      s"""WITH daily AS (
+         |  SELECT event_type, unix_micros(ts) div 86400000000 AS day,
+         |         COUNT(*) AS n
+         |  FROM __hw_events GROUP BY 1, 2),
+         |seq AS (
+         |  SELECT event_type,
+         |         transform(sort_array(collect_list(struct(day, n))),
+         |                   x -> x.n) AS ys
+         |  FROM daily GROUP BY event_type),
+         |init AS (
+         |  SELECT event_type, ys, size(ys) AS n_days,
+         |         (aggregate(slice(ys, 1, 7), 0L, (a, y) -> a + y)
+         |            * $M) div 7 AS l0
+         |  FROM seq WHERE size(ys) >= 7),
+         |fold AS (
+         |  SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+         |         aggregate(slice(ys, 8, size(ys) - 7),
+         |           named_struct(
+         |             'l', l0, 'b', 0L, 'sae', 0L, 't', 7L,
+         |             's', transform(slice(ys, 1, 7),
+         |                            y -> y * $M - l0)),
+         |           (st, y) -> named_struct(
+         |             'l', $lNew,
+         |             'b', (($lNew - st.l) + st.b + $OFF) div 2 - $HALF,
+         |             'sae', st.sae
+         |               + abs(y * $M - (st.l + st.b + $sOld)),
+         |             't', st.t + 1L,
+         |             's', transform(st.s, (x, j) -> CASE
+         |                    WHEN j = $slot
+         |                    THEN ((y * $M - $lNew + x + $OFF) div 2
+         |                          - $HALF)
+         |                    ELSE x END))) AS st
+         |  FROM init)
+         |SELECT event_type, n_days,
+         |       ROUND(CAST(st.l AS DOUBLE) / 1000000.0, 6) AS level,
+         |       ROUND(CAST(st.b AS DOUBLE) / 1000000.0, 6) AS trend,
+         |       ROUND(CAST(st.l + st.b
+         |               + element_at(st.s, CAST(st.t % 7 AS INT) + 1)
+         |             AS DOUBLE) / 1000000.0, 6) AS forecast,
+         |       CASE WHEN st.t <= 7 THEN CAST(0 AS DOUBLE)
+         |            ELSE ROUND(CAST(st.sae AS DOUBLE)
+         |                       / (1000000.0 * (st.t - 7)), 6)
+         |       END AS mae,
+         |       ROUND(CAST(array_max(st.s) - array_min(st.s) AS DOUBLE)
+         |             / 1000000.0, 6) AS seas_amp
+         |FROM fold ORDER BY event_type""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata events. */
+  def evHoltWinters(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evHoltWinters(s.table("__events"))
+  }
+
   /** Mergeable quantile sketch over the positive value stream: a quarter-
     * octave integer histogram (bucket = 4·⌊log2 c⌋ + next-2-bits of the
     * cent value — the ev_gaps `bin()` trick refined to 25 % relative
@@ -3093,6 +3183,8 @@ object Sessionize {
     "ev_winsor" -> ((s: SparkSession, dir: String) => evWinsor(s, dir)),
     "ev_forecast" -> ((s: SparkSession, dir: String) => evForecast(s, dir)),
     "ev_holt" -> ((s: SparkSession, dir: String) => evHolt(s, dir)),
+    "ev_holtwinters" ->
+      ((s: SparkSession, dir: String) => evHoltWinters(s, dir)),
     "ev_cuped" -> ((s: SparkSession, dir: String) => evCuped(s, dir)),
     "ev_sequential" -> ((s: SparkSession, dir: String) => evSequential(s, dir)),
     "ev_seasonality" -> ((s: SparkSession, dir: String) => evSeasonality(s, dir)),
@@ -3591,6 +3683,54 @@ object Sessionize {
         "+ SUM(CAST(wcontrib AS DECIMAL(28,9))) OVER () " +
         "AS DOUBLE), 6) AS theil_total " +
         "FROM per ORDER BY event_type"),
+    "ev_holtwinters" -> {
+      val off = "1125899906842624"
+      val half = "562949953421312"
+      val sOld = "r.s[(r.t % 7)::INT + 1]"
+      val lNew = s"((d.n * 1000000 - $sOld + r.l + r.b + $off) // 2 - $half)"
+      "WITH RECURSIVE daily AS (SELECT event_type, " +
+        "epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n " +
+        "FROM events GROUP BY 1, 2), " +
+        "idx AS (SELECT event_type, n, " +
+        "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS k, " +
+        "COUNT(*) OVER (PARTITION BY event_type) AS nd FROM daily), " +
+        "i1 AS (SELECT event_type, MAX(nd) AS nd, " +
+        "CAST((SUM(n) FILTER (WHERE k <= 7) * 1000000) // 7 AS BIGINT) " +
+        "AS l0 FROM idx GROUP BY event_type HAVING MAX(nd) >= 7), " +
+        "i2 AS (SELECT idx.event_type, " +
+        "list(CAST(idx.n * 1000000 - i1.l0 AS BIGINT) ORDER BY idx.k) " +
+        "FILTER (WHERE idx.k <= 7) AS s " +
+        "FROM idx JOIN i1 ON i1.event_type = idx.event_type " +
+        "GROUP BY idx.event_type), " +
+        "rec AS (SELECT i1.event_type, CAST(7 AS BIGINT) AS t, " +
+        "i1.l0 AS l, CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS sae, " +
+        "i2.s AS s " +
+        "FROM i1 JOIN i2 ON i2.event_type = i1.event_type " +
+        "UNION ALL SELECT r.event_type, r.t + 1, " +
+        s"CAST($lNew AS BIGINT), " +
+        s"CAST((($lNew - r.l) + r.b + $off) // 2 - $half AS BIGINT), " +
+        s"CAST(r.sae + abs(d.n * 1000000 - (r.l + r.b + $sOld)) " +
+        "AS BIGINT), " +
+        s"r.s[1:(r.t % 7)::INT] || " +
+        s"[CAST((d.n * 1000000 - $lNew + $sOld + $off) // 2 - $half " +
+        "AS BIGINT)] || " +
+        "r.s[(r.t % 7)::INT + 2:7] " +
+        "FROM rec r JOIN idx d ON d.event_type = r.event_type " +
+        "AND d.k = r.t + 1), " +
+        "fin AS (SELECT r.event_type, i.nd AS n_days, r.t, r.l, r.b, " +
+        "r.sae, r.s FROM rec r " +
+        "JOIN i1 i ON i.event_type = r.event_type WHERE r.t = i.nd) " +
+        "SELECT event_type, CAST(n_days AS BIGINT) AS n_days, " +
+        "ROUND(l / 1000000.0, 6) AS level, " +
+        "ROUND(b / 1000000.0, 6) AS trend, " +
+        "ROUND((l + b + s[(t % 7)::INT + 1]) / 1000000.0, 6) " +
+        "AS forecast, " +
+        "CASE WHEN t <= 7 THEN 0.0::DOUBLE " +
+        "ELSE ROUND(sae / (1000000.0 * (t - 7)), 6) END AS mae, " +
+        "ROUND((list_aggregate(s, 'max') - list_aggregate(s, 'min')) " +
+        "/ 1000000.0, 6) AS seas_amp " +
+        "FROM fin ORDER BY event_type"
+    },
     "ev_holt" ->
       ("WITH RECURSIVE daily AS (SELECT event_type, " +
         "epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n " +

@@ -136,6 +136,7 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Sessionize.evEntropy(emptyEvents).count() == 0)
     assert(Sessionize.evTheil(emptyEvents).count() == 0)
     assert(Sessionize.evHolt(emptyEvents).count() == 0)
+    assert(Sessionize.evHoltWinters(emptyEvents).count() == 0)
     assert(Sessionize.evGrowth(emptyEvents).count() == 0)
     assert(Sessionize.evMannWhitney(emptyEvents).count() == 0)
     assert(Sessionize.evKs(emptyEvents).count() == 0)

@@ -2325,6 +2325,56 @@ class PipelineSpec extends AnyFunSuite {
     assert(got("de") == ((2L, 4L, 2L, 1.0, 2.0)))
   }
 
+  test("evHoltWinters: SQL fold == an independent Scala replay; weekly plant reads") {
+    import spark.implicits._
+    // planted: type 'w' cycles with period 7 (amplitude 6) over 21 days
+    // on a +1/day trend; type 'f' is flat
+    def t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val evs = (for {
+      d <- 0 until 21
+      base = 10 + d + (if (d % 7 < 3) 3 else -3)
+      i <- 0 until base
+    } yield (d.toLong * 100 + i, new java.sql.Timestamp(
+      t0 + d * 86400000L + (i % 12) * 3600000L), i.toLong, "w", 1.0)) ++
+      (for { d <- 0 until 21; i <- 0 until 5 }
+        yield ((d + 50).toLong * 100 + i, new java.sql.Timestamp(
+          t0 + d * 86400000L + (i % 12) * 3600000L), i.toLong, "f", 1.0))
+    val df = evs.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Sessionize.evHoltWinters(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    // independent replay with Math.floorDiv over the daily counts
+    def replay(ys: Seq[Long]) = {
+      val M = 1000000L
+      val l0 = ys.take(7).sum * M / 7
+      var (l, b, sae, t) = (l0, 0L, 0L, 7L)
+      val s = ys.take(7).map(_ * M - l0).toArray
+      ys.drop(7).foreach { y =>
+        val slot = (t % 7).toInt
+        val pred = l + b + s(slot)
+        sae += math.abs(y * M - pred)
+        val lN = Math.floorDiv(y * M - s(slot) + l + b, 2L)
+        val bN = Math.floorDiv((lN - l) + b, 2L)
+        s(slot) = Math.floorDiv(y * M - lN + s(slot), 2L)
+        l = lN; b = bN; t += 1
+      }
+      def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      (t, r6(l.toDouble / 1e6), r6(b.toDouble / 1e6),
+        r6((l + b + s((t % 7).toInt)).toDouble / 1e6),
+        if (t <= 7) 0.0 else r6(sae.toDouble / (1e6 * (t - 7))),
+        r6((s.max - s.min).toDouble / 1e6))
+    }
+    val wCounts = (0 until 21)
+      .map(d => (10 + d + (if (d % 7 < 3) 3 else -3)).toLong)
+    assert(got("w") == replay(wCounts), s"w: ${got("w")}")
+    assert(got("f") == replay(Seq.fill(21)(5L)))
+    // the plant reads: seasonal amplitude near the planted 6, flat type
+    // reads 0 amplitude and 0 error
+    assert(got("w")._6 > 3.0 && got("f")._6 == 0.0 && got("f")._5 == 0.0)
+  }
+
   test("evTheil: equal mass reads zero; a whale concentrates within its type") {
     import spark.implicits._
     def evs(rows: Seq[(String, Long, Double)]) = rows.zipWithIndex
