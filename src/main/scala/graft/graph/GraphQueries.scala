@@ -1380,6 +1380,103 @@ object GraphQueries {
       |ORDER BY user_id""".stripMargin).replaceAll("\n", " ")
   }
 
+  /** Q60: approximate neighborhood function (ANF — Palmer, Gibbons &
+    * Faloutsos, KDD 2002) on the capped co-occurrence graph:
+    * Flajolet-Martin bitmask sketches (8 masks, BIGINT bit-OR merge),
+    * horizon 4 — per node, the estimated count of users within 4 hops,
+    * the sketch that computes "how connected is this account really"
+    * at any graph size without per-node BFS. Bit-OR is the whole merge
+    * (mergeable-summary family: q20 HLL, ev_cms, ev_kmv), so each
+    * round is one combinable aggregate over the edge relation.
+    *
+    * Engine-exactness: the FM bit is pure integer — md5-derived 60-bit
+    * x, capped via | 2³⁰, lowest set bit x & −x; the round merge is
+    * bit_or; the lowest-ZERO-bit read-out is ((x ⊕ (x+1)) + 1) div 2
+    * (no bitwise NOT — DuckDB's ~ overloads regex); log2 of an exact
+    * power of two is exact in both engines, so bits_sum is integer.
+    * Only the terminal 2^(bits_sum/8)/0.77351 estimate is float, one
+    * ROUND-6 (the ev_psi ln precedent).
+    *
+    * Scale design: sketches are 8 Longs per node; each of the 4 rounds
+    * is one (edge ⋈ sketch) shuffle + a bit_or partial agg — the ANF
+    * paper's O(h·E) with constant-size messages, no frontier state, no
+    * driver loop.
+    */
+  def q60_anf(s: SparkSession, dir: String): DataFrame =
+    anfOn(cooccurPairs(userBuckets(s, dir)))
+
+  /** ANF over an arbitrary undirected (u, v) pair relation — the
+    * spec-facing core of [[q60_anf]].
+    */
+  def anfOn(und: DataFrame): DataFrame = {
+    val s = und.sparkSession
+    und.createOrReplaceTempView("__anf_und")
+    val rounds = 4
+    val masks = 8
+    val iter = (1 to rounds).map { i =>
+      s"""r$i AS (
+         |  SELECT t.node, t.m, bit_or(t.sk) AS sk FROM (
+         |    SELECT e.b AS node, r.m, r.sk
+         |    FROM r${i - 1} r JOIN e ON e.a = r.node
+         |    UNION ALL SELECT node, m, sk FROM r${i - 1}) t
+         |  GROUP BY t.node, t.m)""".stripMargin
+    }.mkString(",\n")
+    s.sql(
+      s"""WITH e AS (SELECT u AS a, v AS b FROM __anf_und
+         |           UNION ALL SELECT v, u FROM __anf_und),
+         |nodes AS (SELECT DISTINCT a AS node FROM e),
+         |r0 AS (
+         |  SELECT node, m, (x & -x) AS sk FROM (
+         |    SELECT node, m,
+         |      CAST(conv(substring(md5(concat('anf', CAST(m AS STRING),
+         |             ':', CAST(node AS STRING))), 1, 15), 16, 10)
+         |        AS BIGINT) | ${1L << 30}L AS x
+         |    FROM nodes
+         |    LATERAL VIEW explode(sequence(0, ${masks - 1})) AS m)),
+         |$iter,
+         |fin AS (
+         |  SELECT node,
+         |         SUM(CAST(log2(CAST(((sk ^ (sk + 1)) + 1) div 2
+         |               AS DOUBLE)) AS BIGINT)) AS bits_sum
+         |  FROM r$rounds GROUP BY node)
+         |SELECT node AS user_id, CAST(bits_sum AS BIGINT) AS bits_sum,
+         |       ROUND(pow(2.0D, CAST(bits_sum AS DOUBLE) / $masks)
+         |             / 0.77351D, 6) AS reach_est
+         |FROM fin ORDER BY user_id""".stripMargin)
+  }
+
+  val q60OracleSql: String = {
+    def iter(i: Int): String =
+      s"""r$i AS (
+         |  SELECT t.node, t.m, bit_or(t.sk) AS sk FROM (
+         |    SELECT e.b AS node, r.m, r.sk
+         |    FROM r${i - 1} r JOIN e ON e.a = r.node
+         |    UNION ALL SELECT node, m, sk FROM r${i - 1}) t
+         |  GROUP BY t.node, t.m)""".stripMargin
+    (s"WITH $cooccurOracleCtes" + s""",
+      |nodes AS (SELECT DISTINCT a AS node FROM e),
+      |r0 AS (
+      |  SELECT node, m, (x & -x) AS sk FROM (
+      |    SELECT node, m,
+      |      ('0x' || substr(md5('anf' || m::VARCHAR || ':'
+      |         || node::VARCHAR), 1, 15))::BIGINT
+      |        | ${1L << 30} AS x
+      |    FROM nodes CROSS JOIN generate_series(0, 7) g(m))),
+      |${iter(1)},
+      |${iter(2)},
+      |${iter(3)},
+      |${iter(4)},
+      |fin AS (
+      |  SELECT node,
+      |         CAST(SUM(CAST(log2(((xor(sk, sk + 1) + 1) // 2)::DOUBLE)
+      |               AS BIGINT)) AS BIGINT) AS bits_sum
+      |  FROM r4 GROUP BY node)
+      |SELECT node AS user_id, bits_sum,
+      |       ROUND(pow(2.0, bits_sum::DOUBLE / 8) / 0.77351, 6)
+      |         AS reach_est
+      |FROM fin ORDER BY user_id""".stripMargin).replaceAll("\n", " ")
+  }
+
   /** The capped co-occurrence pairing as DuckDB CTEs (`und` = u<v
     * distinct pairs, `e` = both directions) — the oracle twin of
     * `cooccurPairs`, shared by q55/q56/q57/q58.
@@ -1430,6 +1527,7 @@ object GraphQueries {
     "q57_richclub" -> (q57_richclub _),
     "q58_betweenness" -> (q58_betweenness _),
     "q59_katz" -> (q59_katz _),
+    "q60_anf" -> (q60_anf _),
     "q56_modularity" -> (q56_modularity _),
     "q55_labelprop" -> (q55_labelprop _),
     "q54_walks" -> (q54_walks _),
@@ -1460,6 +1558,7 @@ object GraphQueries {
     "q57_richclub" -> q57OracleSql,
     "q58_betweenness" -> q58OracleSql,
     "q59_katz" -> q59OracleSql,
+    "q60_anf" -> q60OracleSql,
     "q56_modularity" -> q56OracleSql,
     "q55_labelprop" -> q55OracleSql,
     "q54_walks" -> q54OracleSql,

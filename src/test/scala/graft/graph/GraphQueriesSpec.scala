@@ -802,4 +802,66 @@ class GraphQueriesSpec extends AnyFunSuite {
       assert(got == katzReplay(und, 4, 4))
     }
   }
+
+  /** In-memory FM-sketch replay of [[GraphQueries.anfOn]] — identical
+    * hashes (md5), identical bit algebra, identical rounding.
+    */
+  private def anfReplay(und: Seq[(Long, Long)], rounds: Int = 4,
+      masks: Int = 8): Map[Long, (Long, Double)] = {
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).distinct).toMap
+    val nodes = adj.keySet
+    def h(m: Int, node: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"anf$m:$node".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) | (1L << 30)
+    }
+    var sk: Map[Long, Array[Long]] = nodes.iterator.map(v =>
+      v -> Array.tabulate(masks) { m => val x = h(m, v); x & -x }).toMap
+    for (_ <- 1 to rounds) {
+      sk = nodes.iterator.map(v => v -> Array.tabulate(masks)(m =>
+        (adj(v).map(n => sk(n)(m)) :+ sk(v)(m)).reduce(_ | _))).toMap
+    }
+    sk.map { case (v, a) =>
+      val bsum = a.map(s =>
+        java.lang.Long.numberOfTrailingZeros(((s ^ (s + 1)) + 1) / 2)
+          .toLong).sum
+      val est = java.math.BigDecimal
+        .valueOf(math.pow(2.0, bsum.toDouble / masks) / 0.77351)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      v -> ((bsum, est))
+    }
+  }
+
+  test("ANF: disconnected cliques converge per component; replay exact") {
+    import spark.implicits._
+    // two cliques (1-5) and (11-14), no bridge: at h=4 every member's
+    // sketch is the OR of its whole component — identical rows within
+    // a component, different across (the hash sets differ)
+    val k5 = for { a <- 1L to 5L; b <- a + 1 to 5L } yield (a, b)
+    val k4 = for { a <- 11L to 14L; b <- a + 1 to 14L } yield (a, b)
+    val und = k5 ++ k4
+    val got = GraphQueries.anfOn(und.toDF("u", "v")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == anfReplay(und))
+    assert((1L to 5L).map(got).distinct.size == 1)
+    assert((11L to 14L).map(got).distinct.size == 1)
+    assert(got(1L) != got(11L))
+  }
+
+  test("ANF: random graphs match the in-memory FM replay") {
+    import spark.implicits._
+    val rng = new scala.util.Random(47)
+    for (_ <- 1 to 3) {
+      val n = 16
+      val und = (1 to 30).map { _ =>
+        val a = rng.nextInt(n) + 1L; val b = rng.nextInt(n) + 1L
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      val got = GraphQueries.anfOn(und.toDF("u", "v")).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(got == anfReplay(und))
+    }
+  }
 }
