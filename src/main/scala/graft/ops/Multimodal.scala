@@ -906,7 +906,83 @@ object Multimodal {
          |FROM __cas_docs WHERE doc_id % 5 = 0""".stripMargin))
   }
 
+  /** Consecutive-frame histogram difference — shot/scene-cut detection
+    * (the Zhang-Kankanhalli-Smoliar 1993 histogram-comparison method,
+    * the classical first pass of every video segmentation pipeline),
+    * run here over a REAL-codec image sequence: decode frame f and
+    * f−1 through javax.imageio, 16-bin grayscale histograms, L1
+    * distance, flag when at least half the pixel mass moved bins
+    * (l1 ≥ w·h out of the 2·w·h maximum). Everything after the decode
+    * is pure integer — no threshold float to drift.
+    *
+    * Scale shape: the decode+histogram pass is [[mmImgHist]]'s typed
+    * partition pass; the consecutive-frame comparison joins the
+    * bins-sized histogram relation on (frame−1, bin) — at any frame
+    * count the exchange is histograms, never pixels.
+    */
+  def mmHistDiff(media: Dataset[MediaRecord], bins: Int = 16)
+      : DataFrame = {
+    val s = media.sparkSession
+    mmImgHist(media, bins).toDF()
+      .createOrReplaceTempView("__hd_hist")
+    s.sql(
+      s"""WITH g AS (
+         |  SELECT mg.media_id, mg.bin, COALESCE(h.n_px, 0L) AS n
+         |  FROM (
+         |    SELECT m.media_id, gb.bin
+         |    FROM (SELECT DISTINCT media_id FROM __hd_hist) m
+         |    LATERAL VIEW explode(sequence(0, ${bins - 1})) gb AS bin) mg
+         |  LEFT JOIN __hd_hist h
+         |    ON h.media_id = mg.media_id AND h.bin = mg.bin),
+         |px AS (SELECT media_id, SUM(n) AS n_px FROM g GROUP BY media_id),
+         |d AS (
+         |  SELECT cur.media_id AS frame_id,
+         |         SUM(ABS(cur.n - prv.n)) AS l1
+         |  FROM g cur JOIN g prv
+         |    ON prv.media_id = cur.media_id - 1 AND prv.bin = cur.bin
+         |  GROUP BY cur.media_id)
+         |SELECT d.frame_id, CAST(d.l1 AS BIGINT) AS l1,
+         |       CAST(p.n_px AS BIGINT) AS n_px,
+         |       d.l1 >= p.n_px AS is_cut
+         |FROM d JOIN px p ON p.media_id = d.frame_id
+         |ORDER BY frame_id""".stripMargin)
+  }
+
+  /** The oracle-checked form: a 32×24 gradient frame sequence (one
+    * frame per even doc id, F frames total) whose base gray drifts +1
+    * per frame and JUMPS +128 every 16th frame — planted shot cuts.
+    * The DuckDB oracle replays the per-pixel formula codec-free, so a
+    * hash match proves cut detection through the real PNG
+    * encode→decode→histogram walk.
+    */
+  def mmHistDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val f = Tables.load(s, dir, "documents")
+      .selectExpr("doc_id").filter("doc_id % 2 = 0").count()
+    val media = s.range(0L, f).map { fi =>
+      val base = (fi + (fi / 16) * 128) % 256
+      val img = new java.awt.image.BufferedImage(32, 24,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 24) {
+        var x = 0
+        while (x < 32) {
+          val g = ((base + x * 7 + y * 13) % 256).toInt
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      MediaRecord(fi, "image", bos.toByteArray)
+    }
+    mmHistDiff(media)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_histdiff" ->
+      ((s: SparkSession, dir: String) => mmHistDiff(s, dir)),
     "mm_dupblob" ->
       ((s: SparkSession, dir: String) => mmDupBlob(s, dir)),
     "mm_windows" -> ((s: SparkSession, dir: String) => mmWindows(s, dir)),
@@ -923,6 +999,26 @@ object Multimodal {
     "mm_resolve" -> (mmResolve _))
 
   val oracleSql: Map[String, String] = Map(
+    "mm_histdiff" ->
+      ("WITH fr AS (SELECT f FROM generate_series(0, 1000000) t(f) " +
+        "WHERE f < (SELECT COUNT(*)::BIGINT FROM documents " +
+        "WHERE doc_id % 2 = 0)), " +
+        "hp AS (SELECT fr.f, " +
+        "((((fr.f + (fr.f // 16) * 128) % 256) + x.x * 7 + y.y * 13) " +
+        "% 256) // 16 AS bin, COUNT(*) AS n_px " +
+        "FROM fr CROSS JOIN generate_series(0, 31) x(x) " +
+        "CROSS JOIN generate_series(0, 23) y(y) GROUP BY 1, 2), " +
+        "g AS (SELECT m.f, gb.bin, COALESCE(h.n_px, 0)::BIGINT AS n " +
+        "FROM (SELECT DISTINCT f FROM hp) m " +
+        "CROSS JOIN generate_series(0, 15) gb(bin) " +
+        "LEFT JOIN hp h ON h.f = m.f AND h.bin = gb.bin), " +
+        "px AS (SELECT f, SUM(n) AS n_px FROM g GROUP BY f), " +
+        "d AS (SELECT cur.f AS frame_id, SUM(ABS(cur.n - prv.n)) AS l1 " +
+        "FROM g cur JOIN g prv ON prv.f = cur.f - 1 " +
+        "AND prv.bin = cur.bin GROUP BY cur.f) " +
+        "SELECT d.frame_id, CAST(d.l1 AS BIGINT) AS l1, " +
+        "CAST(p.n_px AS BIGINT) AS n_px, d.l1 >= p.n_px AS is_cut " +
+        "FROM d JOIN px p ON p.f = d.frame_id ORDER BY frame_id"),
     "mm_dupblob" ->
       (s"""WITH media AS ( """ +
         """SELECT doc_id AS media_id, text FROM documents """ +

@@ -80,6 +80,8 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Multimodal.mmDupBlob(
       Seq.empty[(Long, Array[Byte])].toDF("media_id", "payload"))
       .count() == 0)
+    assert(Multimodal.mmHistDiff(
+      Seq.empty[Multimodal.MediaRecord].toDS()).count() == 0)
   }
 
   test("embedding entries return empty on an empty corpus") {

@@ -381,6 +381,26 @@ class MultimodalSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("media 7")))
   }
 
+  test("mmHistDiff: identical frames read 0; a half-range shift flags a cut") {
+    import spark.implicits._
+    def frame(id: Long, gray: Int): Multimodal.MediaRecord = {
+      val img = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 4)
+        img.setRGB(x, y, (gray << 16) | (gray << 8) | gray)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      Multimodal.MediaRecord(id, "image", bos.toByteArray)
+    }
+    val media = Seq(frame(0L, 10), frame(1L, 10), frame(2L, 138)).toDS()
+    val got = Multimodal.mmHistDiff(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    // frame 1: identical histogram -> l1 = 0, no cut; frame 2: every
+    // pixel moved 8 bins -> l1 = 2 * 16 px, cut
+    assert(got.toSeq == Seq((1L, 0L, 16L, false), (2L, 32L, 16L, true)))
+  }
+
   test("mmDupBlob: byte-identical payloads fold to one keeper") {
     import spark.implicits._
     val media = Seq(
