@@ -230,6 +230,11 @@ object PipelineScaleProbe {
     // events (+ tracker parity), mm_dupblob 1M blobs, ss_rq_topk 100k
     // vectors (recall vs brute)
     if (args.headOption.contains("addendum49")) { addendum49(args(1)); return }
+    // `addendum50 <existingDir>` — round-10c ops at 100×: ds_groupsplit
+    // 500k, ta_fertility 500k, ev_holtwinters 10M events (+ Scala
+    // replay), q60_anf on a 1M-event co-occurrence graph, mm_histdiff
+    // 100k REAL frames (planted cuts exact)
+    if (args.headOption.contains("addendum50")) { addendum50(args(1)); return }
     // `addendum13 <nDocs> <nEvents> <nVec> <outBase>` — gaps/gini at
     // event scale, epochs/ngram at corpus scale, range at vector scale
     if (args.headOption.contains("addendum13")) {
@@ -3380,6 +3385,126 @@ object PipelineScaleProbe {
     println(f"PSCALE rq regimes toy=$rToy%.3f sqrtN=$rSqrt%.3f " +
       f"deep=$rDeep%.3f rich=$rRich%.3f brute_wall=$wBr%.1f s")
     println("PSCALE addendum49 done")
+    spark.stop()
+  }
+
+  /** Round-10c ops at 100×: content invariants required, walls recorded. */
+  private def addendum50(dir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.SparkHygiene.quietRddLogs()
+    import spark.implicits._
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+
+    // ds_groupsplit: 500k docs — group integrity must hold at scale
+    val (gs, wGs) = wall(ops.Pipeline.dsGroupSplit(docs)
+      .selectExpr("COUNT(*) AS n",
+        "COUNT(DISTINCT source) AS srcs",
+        "COUNT(DISTINCT concat(source, '|', split)) AS pairs").head())
+    require(gs.getLong(0) == 500000L && gs.getLong(1) == gs.getLong(2),
+      s"ds_groupsplit integrity at 500k: $gs")
+    println(f"PSCALE q=ds_groupsplit docs=500000 groups=${gs.getLong(1)} " +
+      f"w=$wGs%.1f s")
+    graft.SparkHygiene.clearSessionCaches(spark)
+
+    // ta_fertility: 500k docs — the merge fold stays vocabulary-sized;
+    // word mass must reconcile with the corpus
+    val merges = Seq((1, "t", "a"), (2, "ta", "b"), (3, "l", "e"))
+      .toDF("merge_round", "lhs", "rhs")
+    val (ft, wFt) = wall(ops.TextAnalysis.taFertility(
+      docs.selectExpr("doc_id", "lang", "text"), merges).collect())
+    require(ft.length == 5, s"ta_fertility langs: ${ft.length}")
+    val totWords = ft.map(_.getLong(1)).sum
+    require(totWords > 10000000L,
+      s"ta_fertility word mass implausible: $totWords")
+    ft.foreach { r =>
+      require(r.getDouble(4) >= 1.0, s"fertility < 1: $r")
+    }
+    println(f"PSCALE q=ta_fertility docs=500000 words=$totWords " +
+      f"w=$wFt%.1f s")
+    graft.SparkHygiene.clearSessionCaches(spark)
+
+    // ev_holtwinters: 10M events — the HOF fold with in-state seasonal
+    // array; every output column must equal an independent Scala replay
+    // over the same daily counts
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("timestamp_micros(ts div 1000) AS ts", "event_type")
+    val (hw, wHw) = wall(ops.Sessionize.evHoltWinters(ev).collect())
+    require(hw.length == 5, s"ev_holtwinters types: ${hw.length}")
+    val daily = ev.selectExpr("event_type",
+      "unix_micros(ts) div 86400000000 AS day")
+      .groupBy("event_type", "day").count().collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq).toMap
+    def replay(ys: Seq[Long]) = {
+      val M = 1000000L
+      val l0 = ys.take(7).sum * M / 7
+      var (l, b, sae, t) = (l0, 0L, 0L, 7L)
+      val sArr = ys.take(7).map(_ * M - l0).toArray
+      ys.drop(7).foreach { y =>
+        val slot = (t % 7).toInt
+        sae += math.abs(y * M - (l + b + sArr(slot)))
+        val lN = Math.floorDiv(y * M - sArr(slot) + l + b, 2L)
+        val bN = Math.floorDiv((lN - l) + b, 2L)
+        sArr(slot) = Math.floorDiv(y * M - lN + sArr(slot), 2L)
+        l = lN; b = bN; t += 1
+      }
+      def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      (t, r6(l.toDouble / 1e6), r6(b.toDouble / 1e6),
+        r6((l + b + sArr((t % 7).toInt)).toDouble / 1e6),
+        if (t <= 7) 0.0 else r6(sae.toDouble / (1e6 * (t - 7))),
+        r6((sArr.max - sArr.min).toDouble / 1e6))
+    }
+    hw.foreach { r =>
+      val exp = replay(daily(r.getString(0)))
+      val got = (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      require(got == exp, s"hw ${r.getString(0)}: $got != $exp")
+    }
+    println(f"PSCALE q=ev_holtwinters events=10000000 types=5 " +
+      f"w=$wHw%.1f s (replay exact)")
+    graft.SparkHygiene.clearSessionCaches(spark)
+
+    // q60_anf: co-occurrence graph of a 1M-event subsample (10s nano
+    // buckets) — sketch rounds over a multi-million-edge relation
+    val ub = spark.read.parquet(s"$dir/events.parquet")
+      .limit(1000000)
+      .selectExpr("user_id", "ts div 10000000000L AS b").distinct()
+    val und = graph.GraphQueries.cooccurPairs(ub)
+    val (anf, wAnf) = wall(graph.GraphQueries.anfOn(und)
+      .selectExpr("COUNT(*) AS n", "MIN(bits_sum) AS mn",
+        "MAX(bits_sum) AS mx", "MAX(reach_est) AS rmax").head())
+    require(anf.getLong(0) > 1000L, s"anf nodes: ${anf.getLong(0)}")
+    require(anf.getLong(1) >= 0L && anf.getLong(2) <= 8L * 31L,
+      s"anf bits out of range: $anf")
+    println(f"PSCALE q=q60_anf nodes=${anf.getLong(0)} " +
+      f"reach_max=${anf.getDouble(3)}%.0f w=$wAnf%.1f s")
+    graft.SparkHygiene.clearSessionCaches(spark)
+
+    // mm_histdiff: 100k REAL 32x24 PNG frames — the planted cuts (every
+    // 16th frame) must flag EXACTLY through encode->decode->histogram
+    val frames = spark.range(0L, 100000L)
+      .map(ops.Multimodal.histDiffFrame(_))
+    val (hd, wHd) = wall(ops.Multimodal.mmHistDiff(frames)
+      .selectExpr("COUNT(*) AS n",
+        "SUM(CASE WHEN is_cut THEN 1 ELSE 0 END) AS cuts",
+        "SUM(CASE WHEN is_cut AND frame_id % 16 <> 0 THEN 1 ELSE 0 END)" +
+          " AS falsecuts",
+        "SUM(CASE WHEN NOT is_cut AND frame_id % 16 = 0 THEN 1 ELSE 0 " +
+          "END) AS missed").head())
+    require(hd.getLong(0) == 99999L, s"mm_histdiff pairs: $hd")
+    require(hd.getLong(1) == 6249L && hd.getLong(2) == 0L &&
+      hd.getLong(3) == 0L, s"mm_histdiff cut separation: $hd")
+    println(f"PSCALE q=mm_histdiff frames=100000 cuts=6249 false=0 " +
+      f"missed=0 w=$wHd%.1f s")
+    println("PSCALE addendum50 done")
     spark.stop()
   }
 

@@ -948,36 +948,46 @@ object Multimodal {
          |ORDER BY frame_id""".stripMargin)
   }
 
-  /** The oracle-checked form: a 32×24 gradient frame sequence (one
-    * frame per even doc id, F frames total) whose base gray drifts +1
-    * per frame and JUMPS +128 every 16th frame — planted shot cuts.
-    * The DuckDB oracle replays the per-pixel formula codec-free, so a
-    * hash match proves cut detection through the real PNG
-    * encode→decode→histogram walk.
+  /** The oracle-checked form: a 32×24 frame sequence (one frame per
+    * even doc id, F frames total) whose grays CONCENTRATE in a 32-wide
+    * band — gray = (base + (x·7 + y·13) mod 32) mod 256 — with the
+    * band's base drifting +1 per frame and JUMPING +128 every 16th
+    * frame: planted shot cuts. Concentration matters: a full-range
+    * gradient's histogram is uniform and therefore SHIFT-INVARIANT (a
+    * cut would be invisible — measured, not guessed: the first plant
+    * flagged zero of 6,249 cuts at 100k frames); the band puts all
+    * mass in ≤ 3 bins, so drift moves 48 boundary pixels (L1 = 96 ≪
+    * 768) and a jump moves everything (L1 = 1536). The DuckDB oracle
+    * replays the per-pixel formula codec-free, so a hash match proves
+    * cut detection through the real PNG encode→decode→histogram walk.
     */
   def mmHistDiff(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val f = Tables.load(s, dir, "documents")
       .selectExpr("doc_id").filter("doc_id % 2 = 0").count()
-    val media = s.range(0L, f).map { fi =>
-      val base = (fi + (fi / 16) * 128) % 256
-      val img = new java.awt.image.BufferedImage(32, 24,
-        java.awt.image.BufferedImage.TYPE_INT_RGB)
-      var y = 0
-      while (y < 24) {
-        var x = 0
-        while (x < 32) {
-          val g = ((base + x * 7 + y * 13) % 256).toInt
-          img.setRGB(x, y, (g << 16) | (g << 8) | g)
-          x += 1
-        }
-        y += 1
+    mmHistDiff(s.range(0L, f).map(i => histDiffFrame(i)))
+  }
+
+  /** One planted frame of the [[mmHistDiff]] sequence — shared with the
+    * 100k-frame scale probe.
+    */
+  def histDiffFrame(fi: Long): MediaRecord = {
+    val base = (fi + (fi / 16) * 128) % 256
+    val img = new java.awt.image.BufferedImage(32, 24,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 24) {
+      var x = 0
+      while (x < 32) {
+        val g = ((base + (x * 7 + y * 13) % 32) % 256).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
       }
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
-      MediaRecord(fi, "image", bos.toByteArray)
+      y += 1
     }
-    mmHistDiff(media)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    MediaRecord(fi, "image", bos.toByteArray)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1004,8 +1014,9 @@ object Multimodal {
         "WHERE f < (SELECT COUNT(*)::BIGINT FROM documents " +
         "WHERE doc_id % 2 = 0)), " +
         "hp AS (SELECT fr.f, " +
-        "((((fr.f + (fr.f // 16) * 128) % 256) + x.x * 7 + y.y * 13) " +
-        "% 256) // 16 AS bin, COUNT(*) AS n_px " +
+        "((((fr.f + (fr.f // 16) * 128) % 256) " +
+        "+ (x.x * 7 + y.y * 13) % 32) % 256) // 16 AS bin, " +
+        "COUNT(*) AS n_px " +
         "FROM fr CROSS JOIN generate_series(0, 31) x(x) " +
         "CROSS JOIN generate_series(0, 23) y(y) GROUP BY 1, 2), " +
         "g AS (SELECT m.f, gb.bin, COALESCE(h.n_px, 0)::BIGINT AS n " +
