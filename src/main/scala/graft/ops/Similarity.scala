@@ -427,6 +427,51 @@ object Similarity {
          |WHERE rn <= $topK ORDER BY query_id, rn""".stripMargin)
   }
 
+  /** Brute-force EUCLIDEAN top-k — the metric twin of [[bruteTopkOn]]
+    * for spaces where magnitude carries signal (raw feature vectors,
+    * un-normalized residual embeddings): cosine ranks direction only,
+    * L2 ranks the actual displacement, and the two disagree exactly
+    * when norms vary — the disagreement a retrieval stack must choose
+    * about, not discover in production. d² expands through the audited
+    * dot kernel as |a|² + |b|² − 2·a·b (three graft_dot folds, fixed
+    * parenthesization) so both engines sum identically; ROUND-6 before
+    * the rank, ties on neighbor_id, ascending (closest first).
+    *
+    * Scale shape: identical to the cosine brute — O(Q·N) codegen'd dot
+    * products, the exact baseline and recall denominator; the ANN
+    * ladder composes unchanged on top (IVF/PQ assignment already ranks
+    * by the same L2 expansion internally).
+    */
+  def ssL2TopkOn(s: SparkSession, emb: DataFrame,
+                 queryPred: String, topK: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    emb.createOrReplaceTempView("__emb_l2")
+    s.sql(
+      s"""WITH base AS (
+         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM __emb_l2),
+         |norms AS (
+         |  SELECT vec_id, v, graft_dot(v, v) AS n2 FROM base),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         ROUND(q.n2 + c.n2 - 2 * graft_dot(q.v, c.v), 6) AS d2
+         |  FROM (SELECT * FROM norms WHERE $queryPred) q
+         |  JOIN norms c ON c.vec_id <> q.vec_id)
+         |SELECT query_id, neighbor_id, d2, rn FROM (
+         |  SELECT query_id, neighbor_id, d2,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |                ORDER BY d2 ASC, neighbor_id) AS BIGINT) AS rn
+         |  FROM scored)
+         |WHERE rn <= $topK ORDER BY query_id, rn""".stripMargin)
+  }
+
+  /** Oracle-query form: L2 top-10 for query vectors vec_id < 5 —
+    * row-comparable with ss_cosine_topk (the rank disagreements ARE
+    * the metric choice).
+    */
+  def ssL2Topk(s: SparkSession, dir: String): DataFrame =
+    ssL2TopkOn(s, Tables.load(s, dir, "embeddings"), "vec_id < 5", 10)
+
   /** ANN recall audit: per-query recall@k of an approximate index against
     * the exact brute-force top-k — the measurement that turns the LSH/IVF
     * regime contract (scaladoc'd on [[ssLshAnn]]) into a CHECKED table: a
@@ -2171,6 +2216,7 @@ object Similarity {
     "ss_hybrid" -> ((s: SparkSession, dir: String) => ssHybrid(s, dir)),
     "ss_recall" -> ((s: SparkSession, dir: String) => ssRecall(s, dir)),
     "ss_cosine_topk" -> (ssCosineTopk _),
+    "ss_l2_topk" -> (ssL2Topk _),
     "ss_mips" -> ((s: SparkSession, dir: String) => ssMips(s, dir)),
     "ss_mmr" -> ((s: SparkSession, dir: String) => ssMmr(s, dir)),
     "ss_range" -> ((s: SparkSession, dir: String) => ssRangeSearch(s, dir)),
@@ -3117,6 +3163,22 @@ object Similarity {
         |  ON l.query_id = ex.query_id AND l.neighbor_id = ex.neighbor_id
         |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
         .replaceAll("\n", " "),
+    "ss_l2_topk" ->
+      """WITH base AS (
+        |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),
+        |norms AS (
+        |  SELECT vec_id, v, list_sum([x * x FOR x IN v]) AS n2 FROM base),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         ROUND(q.n2 + c.n2 - 2 * list_sum([q.v[i] * c.v[i]
+        |                 FOR i IN generate_series(1, len(q.v))]), 6) AS d2
+        |  FROM norms q JOIN norms c ON q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, d2, rn FROM (
+        |  SELECT query_id, neighbor_id, d2,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |           ORDER BY d2 ASC, neighbor_id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin.replaceAll("\n", " "),
     "ss_cosine_topk" ->
       """WITH base AS (
         |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),

@@ -99,6 +99,8 @@ class EmptyInputSpec extends AnyFunSuite {
       .count() == 0)
     assert(Similarity.ssOpqTopkOn(spark, emptyEmb, "vec_id < 5", 10)
       .count() == 0)
+    assert(Similarity.ssL2TopkOn(spark, emptyEmb, "vec_id < 5", 10)
+      .count() == 0)
     assert(Similarity.ssMipsAugmentOn(spark, emptyEmb).count() == 0)
     // ssMmr with an absent query id: no candidates, zero picks
     assert(Similarity.ssMmr(spark, emptyEmb, 0L, 3, 0.7).count() == 0)

@@ -302,6 +302,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivfpq >= 0.6, s"IVF-PQ recall $ivfpq < 0.6")
   }
 
+  test("L2 top-k: magnitude matters — cosine and L2 disagree exactly where designed") {
+    // q at unit norm; a = same direction, 3x the norm (cos 1, far in
+    // L2); b = slightly rotated, unit norm (cos < 1, near in L2)
+    val q = Array(1.0, 0.0, 0.0, 0.0) ++ Array.fill(60)(0.0)
+    val a = q.map(_ * 3.0)
+    val b = Array(0.96, 0.28, 0.0, 0.0) ++ Array.fill(60)(0.0)
+    val emb = toEmb(Seq((0L, q), (1L, a), (2L, b)))
+    val l2 = Similarity.ssL2TopkOn(spark, emb, "vec_id = 0", 2).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // L2: b (d2 ~ 0.08) before a (d2 = 4)
+    assert(l2.map(_._1).toSeq == Seq(2L, 1L), l2.toSeq)
+    assert(l2.head._2 < 0.1 && l2.last._2 > 3.9)
+    val cos = Similarity.bruteTopkOn(spark, emb, "vec_id = 0", 2)
+      .collect().map(_.getLong(1))
+    // cosine: a (cos 1.0) before b
+    assert(cos.toSeq == Seq(1L, 2L))
+  }
+
   test("OPQ-P: variance-balanced permutation rescues PQ on a signal-concentrated block") {
     val rng = new Random(13)
     val dim = 64
