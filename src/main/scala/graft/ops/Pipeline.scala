@@ -1894,13 +1894,23 @@ object Pipeline {
     * the rank window partitions by cluster over the vector-count-sized
     * relation. Integer keep-threshold ((n+3) div 4) — no float compare
     * at the cut.
+    *
+    * `nlist` defaults to 0 = AUTO: nlist = max(1, round(√N)) — the
+    * [[Similarity.ssIvfAnnAuto]] sizing rule, so the per-cluster rank
+    * window is √N-bounded at any corpus size (a fixed nlist of 16 makes
+    * each window partition N/16 rows — one task sorting ~6 % of a
+    * 100 TB corpus). The one extra job is a count of `emb`; the DuckDB
+    * oracle computes the same bound with a scalar subquery.
     */
-  def dsD4(s: SparkSession, emb: DataFrame, nlist: Int = 16): DataFrame = {
+  def dsD4(s: SparkSession, emb: DataFrame, nlist: Int = 0): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    val nl =
+      if (nlist > 0) nlist
+      else math.max(1L, math.round(math.sqrt(emb.count().toDouble))).toInt
     emb.createOrReplaceTempView("__emb")
     val C = s"cent${Similarity.IvfIters}"
     s.sql(
-      s"""WITH ${Similarity.ivfTrainAssignCtes(nlist)},
+      s"""WITH ${Similarity.ivfTrainAssignCtes(nl)},
          |scored AS (
          |  SELECT a.vec_id, a.cid,
          |         ROUND(graft_dot(a.v, c.cv) / (a.nrm * c.cnrm), 6) AS cos_c
@@ -1915,7 +1925,9 @@ object Pipeline {
          |FROM r ORDER BY vec_id""".stripMargin)
   }
 
-  /** The oracle-checked form: the raw embeddings table, 16 clusters. */
+  /** The oracle-checked form: the raw embeddings table at the √N
+    * auto-sized cluster count (22 at the 500-vector oracle scale).
+    */
   def dsD4(s: SparkSession, dir: String): DataFrame =
     dsD4(s, Tables.load(s, dir, "embeddings"))
 
@@ -2093,7 +2105,9 @@ object Pipeline {
           |             ORDER BY md5('km42:' || vec_id::VARCHAR), vec_id))::INT
           |             - 1 AS cid,
           |           v AS cv, nrm AS cnrm
-          |    FROM n3) WHERE cid < 16),
+          |    FROM n3)
+          |  WHERE cid < (SELECT GREATEST(1,
+          |                 CAST(round(sqrt(COUNT(*))) AS INT)) FROM n3)),
           |${Similarity.ivfDuckIters},
           |assign AS (
           |  SELECT vec_id, v, nrm, cid FROM (

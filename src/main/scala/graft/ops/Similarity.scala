@@ -1542,13 +1542,41 @@ object Similarity {
     * two LUTs with no corpus-width vectors moving. At 100 TB the code
     * table IS the index — 8 bytes/vector against 256 for PQ codes +
     * floats for SQ.
+    *
+    * `nprobe` is the scan dial: 0 (the default, [[ssRqTopk]]'s
+    * exact-rescore calibration form) scans ALL N codes per query —
+    * a deliberate full-ADC baseline, linear in the corpus. Any
+    * positive value composes the IVF coarse cut ([[ssIvfPqTopkOn]]'s
+    * `qprobes` discipline): each query ranks the nlist centroids by
+    * rounded cosine and only codes in its top-`nprobe` cells enter the
+    * ADC join — RQ codes are already keyed by cid, so the cut is one
+    * equality join and the per-query scan drops from N to ~nprobe·N/
+    * nlist (nprobe·√N at the √N auto-sized nlist). [[ssIvfRqTopk]] is
+    * the probed oracle entry; recall-vs-nprobe is locked in
+    * SimilaritySpec alongside the IVF-PQ ladder.
     */
   def ssRqTopkOn(s: SparkSession, emb: DataFrame, queryPred: String,
                  topK: Int, nlist: Int = 16, nCode: Int = 16,
-                 mult: Int = 3): DataFrame = {
+                 mult: Int = 3, nprobe: Int = 0): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     emb.createOrReplaceTempView("__emb")
     val C = s"cent$IvfIters"
+    // nprobe=0 ⇒ full ADC scan (no qprobes CTE, no cut join) — the
+    // calibration twin; nprobe>0 ⇒ IVF coarse cut before the ADC.
+    val probeCte =
+      if (nprobe <= 0) ""
+      else
+        s"""qprobes AS (
+           |  SELECT qid, cid FROM (
+           |    SELECT n.vec_id AS qid, c.cid,
+           |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+           |             ORDER BY ROUND(graft_dot(n.v, c.cv) / (n.nrm * c.cnrm), 6)
+           |                        DESC, c.cid) AS rn
+           |    FROM n3 n CROSS JOIN $C c WHERE $queryPred) WHERE rn <= $nprobe),
+           |""".stripMargin
+    val probeJoin =
+      if (nprobe <= 0) ""
+      else "\n  JOIN qprobes p ON p.qid = l1.qid AND p.cid = n.cid"
     s.sql(
       s"""WITH ${ivfTrainAssignCtes(nlist)},
          |rres AS (
@@ -1601,7 +1629,7 @@ object Similarity {
          |qv AS (
          |  SELECT vec_id AS qid, v AS qvec, nrm AS qnrm FROM n3
          |  WHERE $queryPred),
-         |lut1 AS (
+         |${probeCte}lut1 AS (
          |  SELECT q.qid, c.cid, graft_dot(q.qvec, c.cv) AS cdot
          |  FROM qv q CROSS JOIN $C c),
          |lut2 AS (
@@ -1612,7 +1640,7 @@ object Similarity {
          |         ROUND((l1.cdot + l2.rdot) / (q.qnrm * sqrt(n.vhat2)), 6)
          |           AS cosq
          |  FROM rnorm n
-         |  JOIN lut1 l1 ON l1.cid = n.cid
+         |  JOIN lut1 l1 ON l1.cid = n.cid$probeJoin
          |  JOIN lut2 l2 ON l2.qid = l1.qid AND l2.cid = n.cid
          |                AND l2.code = n.code
          |  JOIN qv q ON q.qid = l1.qid
@@ -1639,9 +1667,21 @@ object Similarity {
 
   /** Oracle-query form: RQ top-10 for query vectors vec_id < 5 —
     * row-comparable with the exact/SQ8/PQ/IVF-PQ ladder entries.
+    * Full-ADC (nprobe=0): the calibration twin; [[ssIvfRqTopk]] is
+    * the probed production shape.
     */
   def ssRqTopk(s: SparkSession, dir: String): DataFrame =
     ssRqTopkOn(s, Tables.load(s, dir, "embeddings"), "vec_id < 5", 10)
+
+  /** Oracle-query form: IVF-RQ top-10 at nlist=16/nprobe=2 — the
+    * probed composition of the RQ chain (coarse cut + two-LUT ADC),
+    * row-comparable with [[ssIvfPqTopk]] at the same cut. This is the
+    * 100 TB shape for RQ codes: per-query scan ~nprobe·N/nlist codes
+    * instead of N.
+    */
+  def ssIvfRqTopk(s: SparkSession, dir: String): DataFrame =
+    ssRqTopkOn(s, Tables.load(s, dir, "embeddings"), "vec_id < 5", 10,
+      nprobe = 2)
 
   /** OPQ-P product quantization (the permutation member of Ge et al.
     * 2013's optimized PQ family — "OPQ" learns a rotation; the
@@ -2224,6 +2264,7 @@ object Similarity {
     "ss_pq_topk" -> (ssPqTopk _),
     "ss_opq_topk" -> (ssOpqTopk _),
     "ss_rq_topk" -> (ssRqTopk _),
+    "ss_ivfrq_topk" -> (ssIvfRqTopk _),
     "ss_ivfpq_topk" -> (ssIvfPqTopk _),
     "ss_lsh_ann" -> (ssLshAnn _),
     "ss_ivf_ann" -> (ssIvfAnn _))
@@ -2413,6 +2454,148 @@ object Similarity {
         |           ORDER BY cos DESC, neighbor_id) AS rn
         |  FROM res)
         |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
+
+
+  /** DuckDB twin of the RQ chain ([[ssRqTopkOn]]) — one generator for
+    * both ladder entries so they cannot drift: nprobe=0 emits the
+    * full-ADC calibration form (ss_rq_topk), nprobe>0 inserts the
+    * same `qprobes` coarse cut + adc join the Spark side uses
+    * (ss_ivfrq_topk).
+    */
+  private def rqDuckSql(nprobe: Int): String = {
+    val probeCte =
+      if (nprobe <= 0) ""
+      else
+        s"""qprobes AS (
+           |  SELECT qid, cid FROM (
+           |    SELECT n.vec_id AS qid, c.cid,
+           |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+           |             ORDER BY ROUND(list_sum([n.v[i] * c.cv[i]
+           |                        FOR i IN generate_series(1, len(n.v))])
+           |                      / (n.nrm * c.cnrm), 6) DESC, c.cid) AS rn
+           |    FROM n3 n CROSS JOIN cent$IvfIters c
+           |    WHERE n.vec_id < 5) WHERE rn <= $nprobe),
+           |""".stripMargin
+    val probeJoin =
+      if (nprobe <= 0) ""
+      else "\n  JOIN qprobes p ON p.qid = l1.qid AND p.cid = n.cid"
+    (s"""WITH base AS (
+         |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),
+         |n3 AS (
+         |  SELECT vec_id, v, sqrt(list_sum([x * x FOR x IN v])) AS nrm FROM base),
+         |cent0 AS (
+         |  SELECT cid, cv, cnrm FROM (
+         |    SELECT (ROW_NUMBER() OVER (
+         |             ORDER BY md5('km42:' || vec_id::VARCHAR), vec_id))::INT
+         |             - 1 AS cid,
+         |           v AS cv, nrm AS cnrm
+         |    FROM n3) WHERE cid < 16),
+         |$ivfDuckIters,
+         |assign AS (
+         |  SELECT vec_id, v, nrm, cid FROM (
+         |    SELECT n.vec_id, n.v, n.nrm, c.cid,
+         |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+         |             ORDER BY ROUND(list_sum([n.v[i] * c.cv[i]
+         |                        FOR i IN generate_series(1, len(n.v))])
+         |                      / (n.nrm * c.cnrm), 6) DESC, c.cid) AS rn
+         |    FROM n3 n CROSS JOIN cent$IvfIters c) WHERE rn = 1),
+         |rres AS (
+         |  SELECT a.vec_id, a.cid,
+         |         [a.v[i] - c.cv[i]
+         |           FOR i IN generate_series(1, len(a.v))] AS rv
+         |  FROM assign a JOIN cent$IvfIters c ON c.cid = a.cid),
+         |rcb0 AS (
+         |  SELECT cid, rk::INT - 1 AS code, rv AS cv,
+         |         list_sum([x * x FOR x IN rv]) AS cn2 FROM (
+         |    SELECT cid, rv,
+         |           ROW_NUMBER() OVER (PARTITION BY cid
+         |             ORDER BY md5('rq42:' || vec_id::VARCHAR), vec_id)
+         |             AS rk
+         |    FROM rres) WHERE rk <= 16),
+         |rq1 AS (
+         |  SELECT vec_id, cid, rv, code FROM (
+         |    SELECT r.vec_id, r.cid, r.rv, c.code,
+         |           ROW_NUMBER() OVER (PARTITION BY r.vec_id
+         |             ORDER BY ROUND(c.cn2
+         |               - 2 * list_sum([r.rv[i] * c.cv[i]
+         |                 FOR i IN generate_series(1, len(r.rv))]), 6) ASC,
+         |               c.code) AS rn
+         |    FROM rres r JOIN rcb0 c ON c.cid = r.cid) WHERE rn = 1),
+         |rm1 AS (
+         |  SELECT cid, code, g.i,
+         |         ROUND((SUM((rv[g.i])::DECIMAL(27,12)))::DOUBLE
+         |               / COUNT(*), 6) AS mx
+         |  FROM rq1 CROSS JOIN generate_series(1, 64) g(i)
+         |  GROUP BY cid, code, g.i),
+         |rcb1 AS (
+         |  SELECT cid, code, cv, list_sum([x * x FOR x IN cv]) AS cn2
+         |  FROM (
+         |    SELECT cid, code, list(mx ORDER BY i) AS cv FROM rm1
+         |    GROUP BY cid, code)),
+         |renc AS (
+         |  SELECT vec_id, cid, code FROM (
+         |    SELECT r.vec_id, r.cid, c.code,
+         |           ROW_NUMBER() OVER (PARTITION BY r.vec_id
+         |             ORDER BY ROUND(c.cn2
+         |               - 2 * list_sum([r.rv[i] * c.cv[i]
+         |                 FOR i IN generate_series(1, len(r.rv))]), 6) ASC,
+         |               c.code) AS rn
+         |    FROM rres r JOIN rcb1 c ON c.cid = r.cid) WHERE rn = 1),
+         |rnorm AS (
+         |  SELECT e.vec_id, e.cid, e.code,
+         |         list_sum([cc.cv[i] * cc.cv[i]
+         |           FOR i IN generate_series(1, len(cc.cv))])
+         |         + 2 * list_sum([cc.cv[i] * rc.cv[i]
+         |           FOR i IN generate_series(1, len(cc.cv))])
+         |         + rc.cn2 AS vhat2
+         |  FROM renc e JOIN cent$IvfIters cc ON cc.cid = e.cid
+         |              JOIN rcb1 rc ON rc.cid = e.cid
+         |                          AND rc.code = e.code),
+         |qv AS (
+         |  SELECT vec_id AS qid, v AS qvec, nrm AS qnrm FROM n3
+         |  WHERE vec_id < 5),
+         |${probeCte}lut1 AS (
+         |  SELECT q.qid, c.cid,
+         |         list_sum([q.qvec[i] * c.cv[i]
+         |           FOR i IN generate_series(1, len(q.qvec))]) AS cdot
+         |  FROM qv q CROSS JOIN cent$IvfIters c),
+         |lut2 AS (
+         |  SELECT q.qid, c.cid, c.code,
+         |         list_sum([q.qvec[i] * c.cv[i]
+         |           FOR i IN generate_series(1, len(q.qvec))]) AS rdot
+         |  FROM qv q CROSS JOIN rcb1 c),
+         |adc AS (
+         |  SELECT l1.qid, n.vec_id AS neighbor_id,
+         |         ROUND((l1.cdot + l2.rdot) / (q.qnrm * sqrt(n.vhat2)), 6)
+         |           AS cosq
+         |  FROM rnorm n
+         |  JOIN lut1 l1 ON l1.cid = n.cid$probeJoin
+         |  JOIN lut2 l2 ON l2.qid = l1.qid AND l2.cid = n.cid
+         |                AND l2.code = n.code
+         |  JOIN qv q ON q.qid = l1.qid
+         |  WHERE n.vec_id <> l1.qid),
+         |topc AS (
+         |  SELECT qid, neighbor_id, cosq FROM (
+         |    SELECT qid, neighbor_id, cosq,
+         |           ROW_NUMBER() OVER (PARTITION BY qid
+         |             ORDER BY cosq DESC, neighbor_id) AS rnq
+         |    FROM adc) WHERE rnq <= 30),
+         |resc AS (
+         |  SELECT t.qid, t.neighbor_id, t.cosq,
+         |         ROUND(list_sum([q.qvec[i] * b.v[i]
+         |                 FOR i IN generate_series(1, len(q.qvec))])
+         |               / (q.qnrm * b.nrm), 6) AS cos
+         |  FROM topc t
+         |  JOIN qv q ON q.qid = t.qid
+         |  JOIN n3 b ON b.vec_id = t.neighbor_id)
+         |SELECT qid AS query_id, neighbor_id, cos, cosq, rn FROM (
+         |  SELECT qid, neighbor_id, cos, cosq,
+         |         ROW_NUMBER() OVER (PARTITION BY qid
+         |           ORDER BY cos DESC, neighbor_id) AS rn
+         |  FROM resc)
+         |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
+      .replaceAll("\n", " "))
+  }
 
   val oracleSql: Map[String, String] = Map(
     "ss_power" -> ssPowerOracle,
@@ -2754,123 +2937,8 @@ object Similarity {
          |           ORDER BY cos DESC, neighbor_id) AS rn
          |  FROM res)
          |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin.replaceAll("\n", " "),
-    "ss_rq_topk" ->
-      (s"""WITH base AS (
-         |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),
-         |n3 AS (
-         |  SELECT vec_id, v, sqrt(list_sum([x * x FOR x IN v])) AS nrm FROM base),
-         |cent0 AS (
-         |  SELECT cid, cv, cnrm FROM (
-         |    SELECT (ROW_NUMBER() OVER (
-         |             ORDER BY md5('km42:' || vec_id::VARCHAR), vec_id))::INT
-         |             - 1 AS cid,
-         |           v AS cv, nrm AS cnrm
-         |    FROM n3) WHERE cid < 16),
-         |$ivfDuckIters,
-         |assign AS (
-         |  SELECT vec_id, v, nrm, cid FROM (
-         |    SELECT n.vec_id, n.v, n.nrm, c.cid,
-         |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
-         |             ORDER BY ROUND(list_sum([n.v[i] * c.cv[i]
-         |                        FOR i IN generate_series(1, len(n.v))])
-         |                      / (n.nrm * c.cnrm), 6) DESC, c.cid) AS rn
-         |    FROM n3 n CROSS JOIN cent$IvfIters c) WHERE rn = 1),
-         |rres AS (
-         |  SELECT a.vec_id, a.cid,
-         |         [a.v[i] - c.cv[i]
-         |           FOR i IN generate_series(1, len(a.v))] AS rv
-         |  FROM assign a JOIN cent$IvfIters c ON c.cid = a.cid),
-         |rcb0 AS (
-         |  SELECT cid, rk::INT - 1 AS code, rv AS cv,
-         |         list_sum([x * x FOR x IN rv]) AS cn2 FROM (
-         |    SELECT cid, rv,
-         |           ROW_NUMBER() OVER (PARTITION BY cid
-         |             ORDER BY md5('rq42:' || vec_id::VARCHAR), vec_id)
-         |             AS rk
-         |    FROM rres) WHERE rk <= 16),
-         |rq1 AS (
-         |  SELECT vec_id, cid, rv, code FROM (
-         |    SELECT r.vec_id, r.cid, r.rv, c.code,
-         |           ROW_NUMBER() OVER (PARTITION BY r.vec_id
-         |             ORDER BY ROUND(c.cn2
-         |               - 2 * list_sum([r.rv[i] * c.cv[i]
-         |                 FOR i IN generate_series(1, len(r.rv))]), 6) ASC,
-         |               c.code) AS rn
-         |    FROM rres r JOIN rcb0 c ON c.cid = r.cid) WHERE rn = 1),
-         |rm1 AS (
-         |  SELECT cid, code, g.i,
-         |         ROUND((SUM((rv[g.i])::DECIMAL(27,12)))::DOUBLE
-         |               / COUNT(*), 6) AS mx
-         |  FROM rq1 CROSS JOIN generate_series(1, 64) g(i)
-         |  GROUP BY cid, code, g.i),
-         |rcb1 AS (
-         |  SELECT cid, code, cv, list_sum([x * x FOR x IN cv]) AS cn2
-         |  FROM (
-         |    SELECT cid, code, list(mx ORDER BY i) AS cv FROM rm1
-         |    GROUP BY cid, code)),
-         |renc AS (
-         |  SELECT vec_id, cid, code FROM (
-         |    SELECT r.vec_id, r.cid, c.code,
-         |           ROW_NUMBER() OVER (PARTITION BY r.vec_id
-         |             ORDER BY ROUND(c.cn2
-         |               - 2 * list_sum([r.rv[i] * c.cv[i]
-         |                 FOR i IN generate_series(1, len(r.rv))]), 6) ASC,
-         |               c.code) AS rn
-         |    FROM rres r JOIN rcb1 c ON c.cid = r.cid) WHERE rn = 1),
-         |rnorm AS (
-         |  SELECT e.vec_id, e.cid, e.code,
-         |         list_sum([cc.cv[i] * cc.cv[i]
-         |           FOR i IN generate_series(1, len(cc.cv))])
-         |         + 2 * list_sum([cc.cv[i] * rc.cv[i]
-         |           FOR i IN generate_series(1, len(cc.cv))])
-         |         + rc.cn2 AS vhat2
-         |  FROM renc e JOIN cent$IvfIters cc ON cc.cid = e.cid
-         |              JOIN rcb1 rc ON rc.cid = e.cid
-         |                          AND rc.code = e.code),
-         |qv AS (
-         |  SELECT vec_id AS qid, v AS qvec, nrm AS qnrm FROM n3
-         |  WHERE vec_id < 5),
-         |lut1 AS (
-         |  SELECT q.qid, c.cid,
-         |         list_sum([q.qvec[i] * c.cv[i]
-         |           FOR i IN generate_series(1, len(q.qvec))]) AS cdot
-         |  FROM qv q CROSS JOIN cent$IvfIters c),
-         |lut2 AS (
-         |  SELECT q.qid, c.cid, c.code,
-         |         list_sum([q.qvec[i] * c.cv[i]
-         |           FOR i IN generate_series(1, len(q.qvec))]) AS rdot
-         |  FROM qv q CROSS JOIN rcb1 c),
-         |adc AS (
-         |  SELECT l1.qid, n.vec_id AS neighbor_id,
-         |         ROUND((l1.cdot + l2.rdot) / (q.qnrm * sqrt(n.vhat2)), 6)
-         |           AS cosq
-         |  FROM rnorm n
-         |  JOIN lut1 l1 ON l1.cid = n.cid
-         |  JOIN lut2 l2 ON l2.qid = l1.qid AND l2.cid = n.cid
-         |                AND l2.code = n.code
-         |  JOIN qv q ON q.qid = l1.qid
-         |  WHERE n.vec_id <> l1.qid),
-         |topc AS (
-         |  SELECT qid, neighbor_id, cosq FROM (
-         |    SELECT qid, neighbor_id, cosq,
-         |           ROW_NUMBER() OVER (PARTITION BY qid
-         |             ORDER BY cosq DESC, neighbor_id) AS rnq
-         |    FROM adc) WHERE rnq <= 30),
-         |resc AS (
-         |  SELECT t.qid, t.neighbor_id, t.cosq,
-         |         ROUND(list_sum([q.qvec[i] * b.v[i]
-         |                 FOR i IN generate_series(1, len(q.qvec))])
-         |               / (q.qnrm * b.nrm), 6) AS cos
-         |  FROM topc t
-         |  JOIN qv q ON q.qid = t.qid
-         |  JOIN n3 b ON b.vec_id = t.neighbor_id)
-         |SELECT qid AS query_id, neighbor_id, cos, cosq, rn FROM (
-         |  SELECT qid, neighbor_id, cos, cosq,
-         |         ROW_NUMBER() OVER (PARTITION BY qid
-         |           ORDER BY cos DESC, neighbor_id) AS rn
-         |  FROM resc)
-         |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
-        .replaceAll("\n", " ")),
+    "ss_rq_topk" -> rqDuckSql(0),
+    "ss_ivfrq_topk" -> rqDuckSql(2),
     "ss_opq_topk" ->
       (s"""WITH base0 AS (
          |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v0
@@ -2894,7 +2962,7 @@ object Similarity {
          |         CASE WHEN (r // 8) % 2 = 0 THEN r % 8
          |              ELSE 8 - 1 - (r % 8) END AS grp,
          |         r // 8 AS blk
-         |  FROM mapped0),
+         |  FROM ranked),
          |perm AS (
          |  SELECT list(i ORDER BY grp, blk) AS pm FROM mapped),
          |base AS (
@@ -2904,7 +2972,6 @@ object Similarity {
          |  SELECT vec_id, v, sqrt(list_sum([x * x FOR x IN v])) AS nrm
          |  FROM base),
          |$duckPqBody""".stripMargin
-        .replace("FROM mapped0)", "FROM ranked)")
         .replaceAll("\n", " ")),
     "ss_pq_topk" ->
       (s"""WITH base AS (
