@@ -1,6 +1,7 @@
 package graft
 
-import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
+import java.lang.ref.WeakReference
+import java.util.concurrent.ConcurrentLinkedQueue
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
@@ -25,18 +26,68 @@ import org.apache.spark.storage.StorageLevel
   * register (CacheReleaseSpec locks the getPersistentRDDs baseline).
   * Unpersisting a frame an op already released on a failure path is a
   * Spark no-op, so double-release is safe.
+  *
+  * REFERENCE DISCIPLINE (round-10 verdict item #4): the registry holds
+  * WEAK references only — sessions as `WeakHashMap` keys, frames as
+  * `WeakReference` values (a Dataset strongly references its session,
+  * so strong frame refs would transitively pin the key and the map
+  * could never expunge it). A library caller that drops a session
+  * WITHOUT calling `releaseAll` therefore does not leak it here: once
+  * the caller's last reference goes, the session, its tracked plans,
+  * and the map entry are all collectable, and Spark's ContextCleaner
+  * reclaims the orphaned blocks. The trade is that a tracked WRAPPER
+  * can be collected before an eventual `releaseAll` (nothing else
+  * references the wrapper object once the op returns); `releaseAll`
+  * detects that — a cleared ref among the drained queue — and falls
+  * back to `catalog.clearCache()`, which restores the BlockManager
+  * baseline at the cost of also dropping unrelated cached plans of the
+  * shared context. The fallback is rare (a full GC must run between
+  * the op and its release) and trades cache warmth, never correctness.
   */
 object Caches {
 
+  /** One tracked pin: the frame wrapper weakly, plus — for frames whose
+    * analyzed plan is a LogicalRDD leaf (localCheckpoint results) — a
+    * weak ref to the pinned RDD itself. The RDD stays strongly held by
+    * SparkContext.persistentRdds for exactly as long as it is pinned,
+    * so this ref outlives the wrapper and release stays TARGETED even
+    * after the wrapper is collected; a cleared RDD ref conversely
+    * proves the pin is already gone.
+    */
+  private final case class Tracked(
+      df: WeakReference[DataFrame],
+      rdd: WeakReference[org.apache.spark.rdd.RDD[_]])
+
+  private def tracked(df: DataFrame): Tracked = {
+    val rddRef = df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        new WeakReference[org.apache.spark.rdd.RDD[_]](lr.rdd)
+      case _ => null
+    }
+    Tracked(new WeakReference(df), rddRef)
+  }
+
+  /** Weak keys; values are queues of weak pin records. `WeakHashMap` is
+    * not thread-safe — every access synchronizes on the map itself.
+    */
   private val registry =
-    new ConcurrentHashMap[SparkSession, ConcurrentLinkedQueue[DataFrame]]()
+    new java.util.WeakHashMap[SparkSession, ConcurrentLinkedQueue[Tracked]]()
+
+  private def queueFor(s: SparkSession): ConcurrentLinkedQueue[Tracked] =
+    registry.synchronized {
+      var q = registry.get(s)
+      if (q == null) {
+        q = new ConcurrentLinkedQueue[Tracked]()
+        registry.put(s, q)
+      }
+      q
+    }
 
   /** Persist `df` at `level` and register it for [[releaseAll]]. */
   def track(df: DataFrame,
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val p = df.persist(level)
-    registry.computeIfAbsent(df.sparkSession,
-      _ => new ConcurrentLinkedQueue[DataFrame]()).add(p)
+    queueFor(df.sparkSession).add(tracked(p))
     p
   }
 
@@ -47,34 +98,63 @@ object Caches {
     * graph/Checkpoints.scala contract).
     */
   def trackPinned(df: DataFrame): DataFrame = {
-    registry.computeIfAbsent(df.sparkSession,
-      _ => new ConcurrentLinkedQueue[DataFrame]()).add(df)
+    queueFor(df.sparkSession).add(tracked(df))
     df
   }
 
   /** Unpersist every tracked frame of `spark` and drop the bookkeeping
     * (the registry must not hold plan references across a long-lived
-    * caller's session either).
+    * caller's session either). If any tracked wrapper was GC-collected
+    * before this call (its CacheManager entry can no longer be
+    * addressed individually), falls back to `catalog.clearCache()` so
+    * the BlockManager still returns to baseline — see the reference
+    * discipline above.
     */
   def releaseAll(spark: SparkSession): Unit = {
-    val q = registry.remove(spark)
-    if (q != null) q.forEach { df =>
-      df.unpersist(blocking = false)
-      // Dataset.unpersist only clears CacheManager plans; a frame pinned
-      // by localCheckpoint holds its RDD directly (the analyzed plan is a
-      // LogicalRDD leaf) and must be unpersisted at the RDD layer — the
-      // graph/Checkpoints.release discipline
-      df.queryExecution.analyzed match {
-        case lr: org.apache.spark.sql.execution.LogicalRDD =>
-          lr.rdd.unpersist(blocking = false)
-        case _ => ()
+    val q = registry.synchronized(registry.remove(spark))
+    if (q != null) {
+      var lost = false
+      q.forEach { t =>
+        val df = t.df.get()
+        if (df != null) {
+          df.unpersist(blocking = false)
+          // Dataset.unpersist only clears CacheManager plans; a frame
+          // pinned by localCheckpoint holds its RDD directly (the
+          // analyzed plan is a LogicalRDD leaf) and must be unpersisted
+          // at the RDD layer — the graph/Checkpoints.release discipline
+          df.queryExecution.analyzed match {
+            case lr: org.apache.spark.sql.execution.LogicalRDD =>
+              lr.rdd.unpersist(blocking = false)
+            case _ => ()
+          }
+        } else if (t.rdd != null) {
+          // wrapper collected, but the pin was RDD-layer and the RDD ref
+          // stays live while pinned — release it individually
+          val rdd = t.rdd.get()
+          if (rdd != null) rdd.unpersist(blocking = false)
+        } else {
+          // wrapper collected and the pin lives in the shared-context
+          // CacheManager, which can no longer be addressed individually
+          lost = true
+        }
       }
+      if (lost) spark.catalog.clearCache()
     }
   }
 
-  /** Tracked-frame count for `spark` — spec/diagnostic surface. */
+  /** Tracked-frame count for `spark` — spec/diagnostic surface. Counts
+    * registered refs (cleared or not): the number of pins `releaseAll`
+    * will account for, by unpersist or by the clearCache fallback.
+    */
   def trackedCount(spark: SparkSession): Int = {
-    val q = registry.get(spark)
+    val q = registry.synchronized(registry.get(spark))
     if (q == null) 0 else q.size()
   }
+
+  /** Number of sessions with a live registry entry — `WeakHashMap.size`
+    * expunges entries whose session has been collected, so this is the
+    * collectability observable SessionCollectSpec asserts on.
+    */
+  private[graft] def registrySessionCount: Int =
+    registry.synchronized(registry.size())
 }

@@ -384,11 +384,14 @@ object GraphQueries {
     * full k-core decomposition ([[Coreness]], iterated neighborhood
     * h-index) rolled to (coreness, n_nodes). q34's KCore answers "who
     * survives k"; this answers "how deep does EVERY vertex sit", the
-    * engagement-depth fingerprint of the whole graph in one table. Not
-    * DuckDB-expressible (iterative fixpoint; max coreness 33 at sf0.01),
-    * so the driver records a rows-only check and the decomposition is
-    * spec-locked against an in-memory peeling oracle + KCore
-    * cross-checks.
+    * engagement-depth fingerprint of the whole graph in one table.
+    * DuckDB-oracled by [[q53OracleSql]] — the statically-unrolled
+    * h-index twin (the q60_anf discipline): the iteration converges in
+    * 4 rounds at sf0.01 and 5 at sf0.1 (measured), the oracle unrolls
+    * [[CorenessUnroll]] = 10, and at the fixpoint the value IS the
+    * coreness (Lü et al. 2016), so the engines agree exactly. The
+    * in-memory min-heap peeling oracle + KCore cross-checks stay in
+    * CorenessSpec as the any-depth check.
     */
   def q53_coreness(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(s, dir, "lineitem")
@@ -399,6 +402,42 @@ object GraphQueries {
     Coreness.run(s, sym)
       .groupBy("coreness").agg(count(lit(1)).as("n_nodes"))
       .orderBy("coreness")
+  }
+
+  /** Unroll depth of [[q53OracleSql]]'s h-index iteration — 2× the
+    * deepest measured convergence (4 rounds at sf0.01, 5 at sf0.1);
+    * past the fixpoint every extra round is the identity, so over-
+    * unrolling can only confirm, never drift.
+    */
+  private val CorenessUnroll = 10
+
+  /** DuckDB twin of [[Coreness]] on the q53 graph: h₀ = degree, then
+    * [[CorenessUnroll]] statically-unrolled rounds of hₜ₊₁(v) =
+    * max over ranked neighbor values of LEAST(rank, value) — the same
+    * h-index identity the Spark loop uses, join + window + max per
+    * round. Aggregation inside a recursive CTE is not expressible in
+    * DuckDB 1.0, so the loop is unrolled to a measured-safe depth
+    * instead (the q60_anf oracle discipline).
+    */
+  val q53OracleSql: String = {
+    val rounds = (1 to CorenessUnroll).map { k =>
+      s"""h$k AS (
+         |  SELECT node, MAX(LEAST(rn, nv)) AS c FROM (
+         |    SELECT e.src AS node, v.c AS nv,
+         |           ROW_NUMBER() OVER (PARTITION BY e.src
+         |                              ORDER BY v.c DESC) AS rn
+         |    FROM e JOIN h${k - 1} v ON v.node = e.dst) GROUP BY node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH fwd AS (
+       |  SELECT DISTINCT l_suppkey::BIGINT AS src,
+       |         (l_partkey + 1000000)::BIGINT AS dst FROM lineitem),
+       |e AS (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
+       |h0 AS (SELECT src AS node, COUNT(*)::BIGINT AS c FROM e GROUP BY src),
+       |$rounds
+       |SELECT c AS coreness, COUNT(*) AS n_nodes
+       |FROM h$CorenessUnroll GROUP BY 1 ORDER BY coreness""".stripMargin
+      .replaceAll("\n", " ")
   }
 
   /** Q26: hop-bounded weighted shortest paths (≤6 hops) from supplier 1
@@ -1596,6 +1635,7 @@ object GraphQueries {
     "q43_scc" -> q43OracleSql,
     "q13_bfs" -> q13OracleSql,
     "q24_cc" -> q24OracleSql,
+    "q53_coreness" -> q53OracleSql,
     "q25_triangles" -> q25OracleSql,
     "q26_sssp" -> q26OracleSql)
 }
