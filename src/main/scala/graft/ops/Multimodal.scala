@@ -869,25 +869,32 @@ object Multimodal {
     * payloads (text normalization does not apply to compressed bytes);
     * near-dup lives in mm_phash_pairs.
     *
+    * The digest is SHA-256: md5 collisions are practically
+    * constructible (chosen-prefix attacks), and in an adversarial media
+    * corpus two DISTINCT payloads folding into one keeper would corrupt
+    * n_bytes/wasted_bytes and silently drop a blob — a dedup keyed on a
+    * breakable digest does not deliver the byte-identity guarantee this
+    * report's contract states.
+    *
     * Scale design: the payload never crosses the wire — the map side
     * projects (digest, media_id, n_bytes) before the one hash exchange
-    * on the 32-hex digest, and count/min are partial-aggregated. Output
+    * on the 64-hex digest, and count/min are partial-aggregated. Output
     * is distinct-blob-sized. At 100 TB of media this is the cheapest
-    * possible full-corpus pass: scan + 48-byte rows into a combinable
+    * possible full-corpus pass: scan + 80-byte rows into a combinable
     * aggregate.
     */
   def mmDupBlob(media: DataFrame): DataFrame = {
     val s = media.sparkSession
     media.createOrReplaceTempView("__cas_media")
     s.sql(
-      """SELECT md5(payload) AS digest,
+      """SELECT sha2(payload, 256) AS digest,
         |       COUNT(*) AS n_copies,
         |       MIN(media_id) AS keeper_id,
         |       MIN(CAST(octet_length(payload) AS BIGINT)) AS n_bytes,
         |       (COUNT(*) - 1)
         |         * MIN(CAST(octet_length(payload) AS BIGINT))
         |         AS wasted_bytes
-        |FROM __cas_media GROUP BY md5(payload)
+        |FROM __cas_media GROUP BY sha2(payload, 256)
         |ORDER BY digest""".stripMargin)
   }
 
@@ -1035,12 +1042,12 @@ object Multimodal {
         """SELECT doc_id AS media_id, text FROM documents """ +
         s"""UNION ALL SELECT doc_id + ${graft.ops.Dedup.TwinIdOffset}, """ +
         """text FROM documents WHERE doc_id % 5 = 0) """ +
-        """SELECT md5(text) AS digest, COUNT(*) AS n_copies, """ +
+        """SELECT sha256(text) AS digest, COUNT(*) AS n_copies, """ +
         """MIN(media_id) AS keeper_id, """ +
         """MIN(octet_length(encode(text)))::BIGINT AS n_bytes, """ +
         """((COUNT(*) - 1) """ +
         """* MIN(octet_length(encode(text))))::BIGINT AS wasted_bytes """ +
-        """FROM media GROUP BY md5(text) ORDER BY digest"""),
+        """FROM media GROUP BY sha256(text) ORDER BY digest"""),
     "mm_windows" ->
       ("""WITH dec AS (SELECT doc_id AS media_id, """ +
         """octet_length(encode(text))::BIGINT AS n_bytes FROM documents """ +

@@ -32,13 +32,25 @@ import java.sql.Timestamp
   * inside the watermark horizon (flattened days×nBins Longs).
   *
   * Scale note: one monitored metric is one key (a single O(nBins)
-  * fold); multiplexed metrics key by metric id. A metric whose raw
-  * event volume saturates one task pre-aggregates (day, bin) counts
-  * upstream — the fold consumes either granularity.
+  * fold) — the single-metric `psiStream(events, ref, vmn, w)` entry.
+  * Multiplexed metrics use the KEYED overload ([[KPEv]] events + a
+  * per-metric [[PsiFit]] map): state and the per-day folding then
+  * partition across tasks by metric id instead of serializing through
+  * one group. A metric whose raw event volume saturates one task
+  * pre-aggregates (day, bin) counts upstream — the fold consumes
+  * either granularity.
   */
 object PsiTracker {
 
   case class PEv(ts: Timestamp, value: Double)
+  /** A multiplexed event: `metric` is the state key. */
+  case class KPEv(metric: String, ts: Timestamp, value: Double)
+  /** One metric's fitted reference binning (per-bin baseline counts,
+    * bin origin, bin width) — metrics have different scales, so a
+    * multiplexed stream carries one fit per metric id.
+    */
+  case class PsiFit(ref: Seq[Long], vmn: Double, w: Double)
+  case class KPsiRow(metric: String, day: Long, n_live: Long, psi: Double)
   /** days/pend: in-flight per-day bin counts (pend flattened
     * days×nBins); live: cumulative folded bin counts; emitted = last
     * closed day.
@@ -171,19 +183,67 @@ object PsiTracker {
     implicit val rowEnc = Encoders.product[PsiRow]
     events.groupByKey(_ => 0)(Encoders.scalaInt)
       .flatMapGroups { (_, it) =>
-        val m = scala.collection.mutable.Map[Long, Array[Long]]()
-        it.foreach { e =>
-          val d = EventSessionizer.tsToUs(e.ts) / DayUs
-          val a = m.getOrElseUpdate(d, Array.fill(nBins)(0L))
-          a(bin(e.value, vmn, w, nBins)) += 1L
-        }
-        val live = Array.fill(nBins)(0L)
-        m.keys.toSeq.sorted.map { d =>
-          val a = m(d)
-          var b = 0
-          while (b < nBins) { live(b) += a(b); b += 1 }
-          PsiRow(d, live.sum, psi(ref.toIndexedSeq, live.toIndexedSeq))
-        }.iterator
+        batchFold(it, ref, vmn, w, nBins)
+      }
+  }
+
+  private def batchFold(it: Iterator[PEv], ref: Seq[Long], vmn: Double,
+      w: Double, nBins: Int): Iterator[PsiRow] = {
+    val m = scala.collection.mutable.Map[Long, Array[Long]]()
+    it.foreach { e =>
+      val d = EventSessionizer.tsToUs(e.ts) / DayUs
+      val a = m.getOrElseUpdate(d, Array.fill(nBins)(0L))
+      a(bin(e.value, vmn, w, nBins)) += 1L
+    }
+    val live = Array.fill(nBins)(0L)
+    m.keys.toSeq.sorted.map { d =>
+      val a = m(d)
+      var b = 0
+      while (b < nBins) { live(b) += a(b); b += 1 }
+      PsiRow(d, live.sum, psi(ref.toIndexedSeq, live.toIndexedSeq))
+    }.iterator
+  }
+
+  private def fitFor(fits: Map[String, PsiFit], metric: String): PsiFit =
+    fits.getOrElse(metric, throw new IllegalArgumentException(
+      s"PsiTracker: no PsiFit for metric '$metric' — every metric id " +
+        "on a multiplexed stream needs its own fitted reference binning"))
+
+  /** KEYED streaming entry (the multiplexed-monitor shape the single-
+    * metric scaladoc points to): events carry a metric id, state and
+    * folding partition by it — no single-task serialization — and each
+    * metric reads against its OWN fitted reference from `fits`. Per
+    * metric, rows are bit-identical to a single-metric [[psiStream]]
+    * run on that metric's events with its fit (StreamingSpec lock).
+    * An event whose metric has no fit fails the query fast with a
+    * named error rather than folding against a wrong baseline.
+    */
+  def psiStream(events: Dataset[KPEv],
+      fits: Map[String, PsiFit]): Dataset[KPsiRow] = {
+    implicit val rowEnc = Encoders.product[KPsiRow]
+    implicit val stEnc = Encoders.product[PState]
+    events.groupByKey(_.metric)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (key: String, evs: Iterator[KPEv], state: GroupState[PState]) =>
+          val f = fitFor(fits, key)
+          stateFn(f.ref, f.vmn, f.w)(0, evs.map(e => PEv(e.ts, e.value)),
+            state).map(r => KPsiRow(key, r.day, r.n_live, r.psi))
+      }
+  }
+
+  /** KEYED batch entry — [[psiBatch]] per metric id, one output row
+    * per (metric, observed day).
+    */
+  def psiBatch(events: Dataset[KPEv],
+      fits: Map[String, PsiFit]): Dataset[KPsiRow] = {
+    implicit val rowEnc = Encoders.product[KPsiRow]
+    events.groupByKey(_.metric)(Encoders.STRING)
+      .flatMapGroups { (key: String, it: Iterator[KPEv]) =>
+        val f = fitFor(fits, key)
+        batchFold(it.map(e => PEv(e.ts, e.value)), f.ref, f.vmn, f.w,
+          f.ref.length)
+          .map(r => KPsiRow(key, r.day, r.n_live, r.psi))
       }
   }
 }

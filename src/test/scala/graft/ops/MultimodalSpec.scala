@@ -413,11 +413,13 @@ class MultimodalSpec extends AnyFunSuite {
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
       .toMap
     assert(got.size == 2)
-    val aa = java.security.MessageDigest.getInstance("MD5")
-      .digest("aa".getBytes("UTF-8")).map("%02x".format(_)).mkString
-    assert(got(aa) == ((2L, 1L, 2L, 2L)))
-    val bb = java.security.MessageDigest.getInstance("MD5")
-      .digest("bb".getBytes("UTF-8")).map("%02x".format(_)).mkString
-    assert(got(bb) == ((1L, 2L, 2L, 0L)))
+    // digest is SHA-256 (md5 is chosen-prefix-breakable; the report's
+    // byte-identity contract needs a digest that can't fold two
+    // distinct payloads)
+    def sha(sv: String): String = java.security.MessageDigest
+      .getInstance("SHA-256")
+      .digest(sv.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(sha("aa")) == ((2L, 1L, 2L, 2L)))
+    assert(got(sha("bb")) == ((1L, 2L, 2L, 0L)))
   }
 }

@@ -1515,6 +1515,56 @@ class StreamingSpec extends AnyFunSuite {
       .getTime / 86400000L).exists(_._2 == 13L))
   }
 
+  test("psi keyed: multiplexed metrics partition by id and match their " +
+      "single-metric runs; a fitless metric fails fast") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def kev(m: String, d: Int, h: Int, v: Double) = PsiTracker.KPEv(m,
+      new Timestamp(Timestamp.valueOf("2024-03-01 00:00:00").getTime +
+        d * 86400000L + h * 3600000L), v)
+    // two metrics on DIFFERENT scales, each with its own fit
+    val fits = Map(
+      "lat" -> PsiTracker.PsiFit(Seq(5L, 3L, 2L, 1L, 1L), 0.0, 1.0),
+      "qps" -> PsiTracker.PsiFit(Seq(2L, 6L, 2L), 100.0, 50.0))
+    val lat = (0 until 3).flatMap(d =>
+      (0 until 4).map(i => kev("lat", d, 8 + i, (d + i) % 5 * 1.0)))
+    val qps = (0 until 2).flatMap(d =>
+      (0 until 5).map(i => kev("qps", d, 9 + i, 100.0 + (d * i) % 3 * 50.0)))
+    val all = scala.util.Random.shuffle(lat ++ qps)
+    val stream = MemoryStream[PsiTracker.KPEv]
+    val q = PsiTracker.psiStream(
+        stream.toDF().withWatermark("ts", "3 hours")
+          .as[PsiTracker.KPEv], fits)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("psi_keyed_out").start()
+    stream.addData(all)
+    q.processAllAvailable()
+    val maxTs = all.map(_.ts.getTime).max
+    stream.addData(kev("lat", 0, 0, 0.0).copy(
+      ts = new Timestamp(maxTs + 9L * 86400000L)))
+    q.processAllAvailable()
+    val got = spark.table("psi_keyed_out").as[PsiTracker.KPsiRow].collect()
+      .map(r => (r.metric, r.day, r.n_live, r.psi)).toSeq.sorted
+    // each metric bit-matches its own single-metric batch fold
+    val expect = fits.toSeq.flatMap { case (m, f) =>
+      PsiTracker.psiBatch(
+        all.filter(_.metric == m).map(e => PsiTracker.PEv(e.ts, e.value))
+          .toDS(), f.ref, f.vmn, f.w)
+        .collect().map(r => (m, r.day, r.n_live, r.psi))
+    }.sorted
+    assert(got == expect, s"keyed stream != per-metric batch:\n$got\n$expect")
+    assert(got.map(_._1).distinct.sorted == Seq("lat", "qps"))
+    // keyed batch matches too
+    val kb = PsiTracker.psiBatch(all.toDS(), fits).collect()
+      .map(r => (r.metric, r.day, r.n_live, r.psi)).toSeq.sorted
+    assert(kb == expect)
+    // unknown metric id: named failure, not a wrong-baseline fold
+    val err = intercept[Exception] {
+      PsiTracker.psiBatch(Seq(kev("mem", 0, 1, 1.0)).toDS(), fits).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("url dedup fold: keeps the (ts, fetch_id)-minimal record under any " +
       "delivery order") {
     import UrlDedupTracker._
