@@ -235,6 +235,11 @@ object PipelineScaleProbe {
     // replay), q60_anf on a 1M-event co-occurrence graph, mm_histdiff
     // 100k REAL frames (planted cuts exact)
     if (args.headOption.contains("addendum50")) { addendum50(args(1)); return }
+    // `addendum51 [dir]` — round-11: ss_ivfrq probed-vs-full ADC + the
+    // ds_d4 √N window default, both at 100k vectors (self-generating
+    // corpus — no 500k docs needed)
+    if (args.headOption.contains("addendum51")) {
+      addendum51(args.lift(1).getOrElse("target/pscale19")); return }
     // `addendum13 <nDocs> <nEvents> <nVec> <outBase>` — gaps/gini at
     // event scale, epochs/ngram at corpus scale, range at vector scale
     if (args.headOption.contains("addendum13")) {
@@ -3385,6 +3390,120 @@ object PipelineScaleProbe {
     println(f"PSCALE rq regimes toy=$rToy%.3f sqrtN=$rSqrt%.3f " +
       f"deep=$rDeep%.3f rich=$rRich%.3f brute_wall=$wBr%.1f s")
     println("PSCALE addendum49 done")
+    spark.stop()
+  }
+
+  /** Round-11 at 100×: the PROBED RQ composition (ss_ivfrq) against the
+    * full-ADC calibration scan, and the ds_d4 √N window-sizing default —
+    * content invariants required, walls recorded.
+    */
+  private def addendum51(dir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.SparkHygiene.quietRddLogs()
+    import spark.implicits._
+
+    // the addendum49 corpus recipe: 100k weak-label clustered vectors
+    val embPath = s"$dir/embeddings19.parquet"
+    if (!new java.io.File(embPath).exists) {
+      spark.range(0L, 100000L).map(vecFor(_, 64, 7, 2026L))
+        .toDF("vec_id", "embedding", "label")
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(embPath)
+    }
+    val emb = spark.read.parquet(embPath).select("vec_id", "embedding")
+    val (br, wBr) = wall(ops.Similarity.bruteTopkOn(spark, emb,
+      "vec_id % 5000 = 0", topK = 5).collect())
+    val brMap = br.map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    val brTop = brMap.keys.groupBy(_._1)
+
+    // √N regime (nlist=316): the full-ADC scan is 100k codes/query;
+    // nprobe=p cuts it to ~p·316 codes/query
+    def rqAt(nprobe: Int, nCode: Int = 64, mult: Int = 12)
+        : (Double, Double) = {
+      val (rq, w) = wall(ops.Similarity.ssRqTopkOn(spark, emb,
+        "vec_id % 5000 = 0", topK = 5, nlist = 316, nCode = nCode,
+        mult = mult, nprobe = nprobe).collect())
+      rq.foreach { r => // survivors rescore with the exact brute cosine
+        val k = (r.getLong(0), r.getLong(1))
+        brMap.get(k).foreach(b => require(b == r.getDouble(2),
+          s"rescore drift at $k (nprobe=$nprobe)"))
+      }
+      val rqTop = rq.map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      val rs = brTop.map { case (q, exact) =>
+        val g = rqTop.getOrElse(q, Array.empty).map(_._2).toSet
+        exact.map(_._2).count(g) / exact.size.toDouble
+      }
+      graft.SparkHygiene.clearSessionCaches(spark)
+      val rec = rs.sum / rs.size
+      println(f"PSCALE q=ss_ivfrq_topk(nprobe=$nprobe,nCode=$nCode," +
+        f"mult=$mult) vectors=100000 recall@5=$rec%.3f w=$w%.1f s")
+      (rec, w)
+    }
+    val (rFull, wFull) = rqAt(0)
+    val (r1, _) = rqAt(1)
+    val (r8, w8) = rqAt(8)
+    val (r32, _) = rqAt(32)
+    require(r8 >= r1 && r32 >= r8,
+      s"nprobe dial not monotone at 100k: $r1 -> $r8 -> $r32")
+    // the coarse cut is a SCAN dial, not a fidelity dial: recall at any
+    // nprobe is bounded by the full-ADC recall of the same codebook
+    // (0.22 in this deliberately-lean 64-code regime — addendum49's
+    // ladder; fidelity comes from nCode/mult, next block), and a wide
+    // probe must recover it
+    require(r32 >= rFull - 0.05,
+      s"wide probe (32/316) lost full-ADC recall: $r32 < $rFull")
+    require(r8 >= rFull - 0.05,
+      s"nprobe=8 lost more than the cut should cost: $r8 vs full $rFull")
+    println(f"PSCALE ivfrq ladder full=$rFull%.3f p1=$r1%.3f p8=$r8%.3f " +
+      f"p32=$r32%.3f walls full=$wFull%.1f p8=$w8%.1f " +
+      f"brute_wall=$wBr%.1f s")
+    // production-fidelity regime (316/256 codes, mult=40 — addendum49's
+    // rich ladder rung, full-ADC recall 0.88): the probe cut must keep
+    // that recall while scanning ~1/10 of the code table
+    val (richFull, wRichFull) = rqAt(0, nCode = 256, mult = 40)
+    val (richP32, wRichP32) = rqAt(32, nCode = 256, mult = 40)
+    require(richFull >= 0.8,
+      s"rich-regime full-ADC recall fell: $richFull < 0.8")
+    require(richP32 >= richFull - 0.05,
+      s"probed rich regime lost recall: $richP32 vs full $richFull")
+    println(f"PSCALE ivfrq rich full=$richFull%.3f p32=$richP32%.3f " +
+      f"walls full=$wRichFull%.1f p32=$wRichP32%.1f s")
+
+    // ds_d4 √N default at 100k: nlist auto-sizes to 316, so the
+    // per-cid rank window tracks √N (~316 rows) instead of the old
+    // fixed-16 default's N/16 = 6250; the keep-cut invariant holds in
+    // every cluster
+    val (d4, wD4) = wall {
+      ops.Pipeline.dsD4(spark, emb).createOrReplaceTempView("__d4_100k")
+      spark.sql(
+        """SELECT CAST(SUM(cn) AS BIGINT) AS n, COUNT(*) AS nc,
+          |       MAX(cn) AS mx,
+          |       CAST(AVG(cn) AS BIGINT) AS mean_cn,
+          |       SUM(CASE WHEN nd <> (cn + 3) div 4 THEN 1 ELSE 0 END)
+          |         AS bad
+          |FROM (SELECT cid, COUNT(*) AS cn,
+          |             SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS nd
+          |      FROM (SELECT cid, keep FROM __d4_100k) GROUP BY cid)"""
+          .stripMargin).head()
+    }
+    require(d4.getLong(0) == 100000L, s"ds_d4 rows: $d4")
+    require(d4.getLong(4) == 0L,
+      s"ds_d4 keep-cut invariant broken in ${d4.getLong(4)} clusters")
+    require(d4.getLong(2) < 6250L,
+      s"ds_d4 max window ${d4.getLong(2)} not below the fixed-16 " +
+        "default's 6250-row partition — √N sizing not effective")
+    println(f"PSCALE q=ds_d4 vectors=100000 nlist_auto=316 " +
+      f"clusters=${d4.getLong(1)} max_window=${d4.getLong(2)} " +
+      f"mean_window=${d4.getLong(3)} (fixed16_window=6250) w=$wD4%.1f s")
+    graft.SparkHygiene.clearSessionCaches(spark)
+    println("PSCALE addendum51 done")
     spark.stop()
   }
 

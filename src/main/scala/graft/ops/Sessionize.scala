@@ -3167,8 +3167,102 @@ object Sessionize {
     evPsi(s.table("__events_psi"))
   }
 
+  /** Daily-volume CUSUM drift detector per event type (Page 1954, the
+    * classical sequential change detector; Basseville–Nikiforov 1993
+    * survey form): the one-sided upper CUSUM S_d = max(0, S_{d−1} +
+    * (n_d − μ − k)) accumulates persistent excess over the baseline
+    * mean μ plus an allowance k = μ/10, and alarms when S_d exceeds
+    * h = 2μ — the complement of ev_spike's per-day z-score (a spike
+    * fires on one loud day; CUSUM fires on a quiet SUSTAINED shift
+    * that never clears any single-day bar).
+    *
+    * Engine-exactness: all fixed-point BIGINT micro-units — μ via the
+    * overflow-safe split floor((s div n)·10⁶ + ((s mod n)·10⁶) div n)
+    * (the doremi discipline), and the max(0, ·) recursion is NOT folded
+    * sequentially: S_d = ps_d − min(0, min_{j≤d} ps_j) where ps is the
+    * running deviation sum — the reset point of a one-sided CUSUM is
+    * exactly the running minimum of its prefix sums, so two windows
+    * over the (type, day) relation replace the recurrence in both
+    * engines.
+    *
+    * Scale design: one (type, day) partial+final count (the ev_ewma
+    * shape — output days×types-bounded at any event volume), one
+    * types-sized mean join, two windows over the tiny fold relation.
+    * [[graft.streaming.PageTracker]] is the streaming twin: same
+    * arithmetic against a FITTED baseline, O(1) state per metric
+    * ([[graft.streaming.CusumTracker]] is the neighboring TWO-sided
+    * self-baselining chart — ev_changepoint's online form; this op's
+    * externally fitted μ is what makes exact batch parity possible).
+    */
+  /** The CUSUM chain over an already-day-aggregated relation
+    * `daysRel(event_type, day, n)` — one text, shared by the raw entry
+    * and the planted oracle form so the two cannot drift.
+    */
+  private def cusumSql(daysRel: String): String =
+    s"""WITH m AS (
+       |  SELECT event_type,
+       |         (SUM(n) div COUNT(1)) * 1000000
+       |           + ((SUM(n) % COUNT(1)) * 1000000) div COUNT(1)
+       |           AS mean_micro
+       |  FROM $daysRel GROUP BY event_type),
+       |dev AS (
+       |  SELECT d.event_type, d.day, d.n, m.mean_micro,
+       |         d.n * 1000000 - m.mean_micro - (m.mean_micro div 10)
+       |           AS dev_micro
+       |  FROM $daysRel d JOIN m ON m.event_type = d.event_type),
+       |ps AS (
+       |  SELECT event_type, day, n, mean_micro, dev_micro,
+       |         SUM(dev_micro) OVER (PARTITION BY event_type
+       |                              ORDER BY day) AS psum
+       |  FROM dev),
+       |cz AS (
+       |  SELECT event_type, day, n, mean_micro, dev_micro,
+       |         psum - LEAST(CAST(0 AS BIGINT),
+       |                      MIN(psum) OVER (PARTITION BY event_type
+       |                                      ORDER BY day)) AS cusum_micro
+       |  FROM ps)
+       |SELECT event_type, day, n, dev_micro, cusum_micro,
+       |       cusum_micro > 2 * mean_micro AS alarm
+       |FROM cz ORDER BY event_type, day""".stripMargin
+
+  def evCusum(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__cusum_events")
+    s.sql(
+      """SELECT event_type, date_trunc('DAY', ts) AS day, COUNT(*) AS n
+        |FROM __cusum_events
+        |GROUP BY event_type, date_trunc('DAY', ts)""".stripMargin)
+      .createOrReplaceTempView("__cusum_days")
+    s.sql(cusumSql("__cusum_days"))
+  }
+
+  /** The oracle-checked form: testdata daily volumes with a PLANTED
+    * sustained shift (the evBots/ta_derep discipline — synthesize the
+    * pathology, require the detector to find exactly it): the last 10
+    * observed days of the md5-lower half of event types carry +50 %
+    * volume (n + n div 2, applied on the day aggregate so both engines
+    * plant bit-identically). The planted types must walk the CUSUM over
+    * the alarm bar inside the shift window; unplanted types stay flat.
+    */
+  def evCusum(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events_cu")
+    val planted = s.sql(
+      """WITH d AS (
+        |  SELECT event_type, date_trunc('DAY', ts) AS day, COUNT(*) AS n
+        |  FROM __events_cu GROUP BY event_type, date_trunc('DAY', ts)),
+        |cut AS (SELECT timestampadd(DAY, -9, MAX(day)) AS c FROM d)
+        |SELECT event_type, day,
+        |       CASE WHEN day >= t.c
+        |                 AND substring(md5(event_type), 1, 1) < '8'
+        |            THEN n + (n div 2) ELSE n END AS n
+        |FROM d CROSS JOIN cut t""".stripMargin)
+    planted.createOrReplaceTempView("__cusum_days")
+    s.sql(cusumSql("__cusum_days"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_psi" -> ((s: SparkSession, dir: String) => evPsi(s, dir)),
+    "ev_cusum" -> ((s: SparkSession, dir: String) => evCusum(s, dir)),
     "ev_theil" -> ((s: SparkSession, dir: String) => evTheil(s, dir)),
     "ev_benford" -> ((s: SparkSession, dir: String) => evBenford(s, dir)),
     "ev_changepoint" -> ((s: SparkSession, dir: String) => evChangepoint(s, dir)),
@@ -3270,6 +3364,33 @@ object Sessionize {
       "SUM(cb) OVER (ORDER BY v) AS cumb FROM g)"
 
   val oracleSql: Map[String, String] = Map(
+    "ev_cusum" ->
+      ("""WITH d0 AS (SELECT event_type, date_trunc('day', ts) AS day, """ +
+        """COUNT(*) AS n FROM events """ +
+        """GROUP BY event_type, date_trunc('day', ts)), """ +
+        """cut AS (SELECT MAX(day) - INTERVAL 9 DAY AS c FROM d0), """ +
+        """d AS (SELECT event_type, day, """ +
+        """CASE WHEN day >= t.c """ +
+        """AND substring(md5(event_type), 1, 1) < '8' """ +
+        """THEN n + (n // 2) ELSE n END AS n """ +
+        """FROM d0 CROSS JOIN cut t), """ +
+        """m AS (SELECT event_type, """ +
+        """((SUM(n) // COUNT(*)) * 1000000 """ +
+        """+ ((SUM(n) % COUNT(*)) * 1000000) // COUNT(*))::BIGINT """ +
+        """AS mean_micro FROM d GROUP BY event_type), """ +
+        """dev AS (SELECT d.event_type, d.day, d.n, m.mean_micro, """ +
+        """(d.n * 1000000 - m.mean_micro - (m.mean_micro // 10))::BIGINT """ +
+        """AS dev_micro FROM d JOIN m ON m.event_type = d.event_type), """ +
+        """ps AS (SELECT event_type, day, n, mean_micro, dev_micro, """ +
+        """(SUM(dev_micro) OVER (PARTITION BY event_type """ +
+        """ORDER BY day))::BIGINT AS psum FROM dev), """ +
+        """cz AS (SELECT event_type, day, n, mean_micro, dev_micro, """ +
+        """psum - LEAST(0::BIGINT, MIN(psum) OVER ( """ +
+        """PARTITION BY event_type ORDER BY day)) AS cusum_micro """ +
+        """FROM ps) """ +
+        """SELECT event_type, day, n, dev_micro, cusum_micro, """ +
+        """cusum_micro > 2 * mean_micro AS alarm """ +
+        """FROM cz ORDER BY event_type, day"""),
     "ev_psi" ->
       """WITH span AS (
         |  SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx

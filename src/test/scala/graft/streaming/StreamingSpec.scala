@@ -1455,6 +1455,87 @@ class StreamingSpec extends AnyFunSuite {
       .exists(_._3 == 6L))
   }
 
+  test("page cusum: tracker fed the batch means == evCusum SQL rows") {
+    import spark.implicits._
+    val evs = eventsBatch
+    val viaSql = graft.ops.Sessionize.evCusum(evs).collect()
+      .map(r => ((r.getString(0), r.getTimestamp(1).getTime / 86400000L),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))))
+      .toSeq
+    // the batch op's per-type baseline, recomputed exactly (split-floor
+    // integer micro mean of the daily counts)
+    val daily = viaSql.groupBy(_._1._1)
+      .map { case (t, rows) => t -> rows.map(_._2._1) }
+    val means = daily.map { case (t, ns) =>
+      val s = ns.sum; val c = ns.size.toLong
+      t -> ((s / c) * 1000000L + ((s % c) * 1000000L) / c)
+    }
+    val viaTracker = PageTracker.pageBatch(
+        evs.select("ts", "event_type").as[PageTracker.PgEv], means)
+      .collect()
+      .map(r => ((r.event_type, r.day),
+        (r.n, r.dev_micro, r.cusum_micro, r.alarm))).toSeq
+    assert(viaTracker.sorted == viaSql.sorted && viaSql.nonEmpty,
+      s"tracker != SQL (${viaTracker.length} vs ${viaSql.length} rows)")
+  }
+
+  test("page cusum: streaming == batch; a planted sustained shift alarms and " +
+      "a flat type never does; recursion == prefix-min identity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(t: String, d: Int, i: Int) = PageTracker.PgEv(
+      new Timestamp(Timestamp.valueOf("2024-03-01 00:00:00").getTime +
+        d * 86400000L + (8 + i % 12) * 3600000L), t)
+    // 'flat': 4/day for 12 days; 'drift': 4/day for 8 days then a
+    // sustained 8/day for 4 days — no single day is a spike relative
+    // to the fitted 4/day baseline x2 bar, but the CUSUM walks over it
+    val flat = for { d <- 0 until 12; i <- 0 until 4 } yield ev("flat", d, i)
+    val drift = (for { d <- 0 until 8; i <- 0 until 4 }
+        yield ev("drift", d, i)) ++
+      (for { d <- 8 until 12; i <- 0 until 8 } yield ev("drift", d, i))
+    // chronological delivery: an unsorted concat would let flat's late
+    // days advance the watermark past drift's unsent middle days
+    val all = (flat ++ drift).sortBy(_.ts.getTime)
+    val means = Map("flat" -> 4000000L, "drift" -> 4000000L,
+      "zz" -> 1000000L)
+    val stream = MemoryStream[PageTracker.PgEv]
+    val q = PageTracker.pageStream(
+        stream.toDF().withWatermark("ts", "3 hours")
+          .as[PageTracker.PgEv], means)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pagecusum_out").start()
+    // two triggers then a sentinel that closes every real day
+    val (b1, b2) = all.splitAt(all.length / 2)
+    for (b <- Seq(b1, b2)) { stream.addData(b); q.processAllAvailable() }
+    val maxTs = all.map(_.ts.getTime).max
+    stream.addData(PageTracker.PgEv(
+      new Timestamp(maxTs + 9L * 86400000L), "zz"))
+    q.processAllAvailable()
+    val got = spark.table("pagecusum_out").as[PageTracker.PageRow].collect()
+      .map(r => (r.event_type, r.day, r.n, r.dev_micro, r.cusum_micro,
+        r.alarm)).toSeq
+    val batch = PageTracker.pageBatch(all.toDS(), means).collect()
+      .map(r => (r.event_type, r.day, r.n, r.dev_micro, r.cusum_micro,
+        r.alarm)).toSeq
+    assert(got.sorted == batch.sorted && got.length == 24, got.toString)
+    // detection contract: the flat type NEVER alarms; the drifting type
+    // alarms inside the shift window and only there
+    assert(got.filter(_._1 == "flat").forall(!_._6))
+    val dAlarms = got.filter(r => r._1 == "drift" && r._6).map(_._2).sorted
+    val day0 = Timestamp.valueOf("2024-03-01 00:00:00").getTime / 86400000L
+    assert(dAlarms.nonEmpty && dAlarms.forall(_ >= day0 + 8),
+      s"alarms outside the planted shift: $dAlarms")
+    // the tracker's max(0, S+dev) recursion equals the SQL's two-window
+    // prefix-min identity on the same day counts
+    val devs = got.filter(_._1 == "drift").sortBy(_._2).map(_._4)
+    val ps = devs.scanLeft(0L)(_ + _).tail
+    val viaIdentity = ps.zipWithIndex.map { case (p, i) =>
+      p - math.min(0L, ps.take(i + 1).min)
+    }
+    assert(got.filter(_._1 == "drift").sortBy(_._2).map(_._5) ==
+      viaIdentity)
+  }
+
   test("psi: tracker fed the late window against the early-window fit " +
       "== evPsi psi_total") {
     import spark.implicits._
