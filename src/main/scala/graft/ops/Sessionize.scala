@@ -3225,6 +3225,78 @@ object Sessionize {
        |       cusum_micro > 2 * mean_micro AS alarm
        |FROM cz ORDER BY event_type, day""".stripMargin
 
+  /** Robust daily-volume anomaly report per event type — the
+    * median/MAD control chart (Hampel's robust X84 rule; Leys et al.
+    * 2013 for the modern form): flag day d when |n_d − med| exceeds 3
+    * MADs. ev_spike's z-score uses mean/σ, which a single loud day
+    * INFLATES — one 10× day raises σ enough to hide a second 3× day;
+    * the median and the median-absolute-deviation have 50 % breakdown,
+    * so the chart's bar does not move when the anomalies themselves
+    * land in the window.
+    *
+    * Engine-exactness: NO floats anywhere — the median of an even
+    * count is fractional, so the chain carries DOUBLED values: med2 =
+    * n_(⌈c/2⌉) + n_(⌊c/2⌋+1) (exact rank picks, ties broken on day),
+    * dev2 = |2n − med2|, mad4 the same doubled-median of dev2, and the
+    * alarm is the cross-multiplied integer comparison 2·dev2 > 3·mad4
+    * (≡ dev > 3·MAD). The σ-consistency factor 1.4826 is deliberately
+    * dropped — the bar is 3 raw MAD units, documented as such (with
+    * the factor the rule would need a float). Degenerate corpora where
+    * over half the days share one count give mad4 = 0 and every
+    * off-median day alarms — the standard MAD caveat, surfaced rather
+    * than patched.
+    *
+    * Scale design: the ev_ewma shape — one (type, day) combinable
+    * count, then two rank windows over the days×types-bounded fold
+    * relation; output is one row per observed (type, day).
+    */
+  def evMad(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    events.createOrReplaceTempView("__mad_events")
+    s.sql(
+      """WITH d AS (
+        |  SELECT event_type, date_trunc('DAY', ts) AS day, COUNT(*) AS n
+        |  FROM __mad_events GROUP BY event_type, date_trunc('DAY', ts)),
+        |r AS (
+        |  SELECT event_type, day, n,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |                            ORDER BY n, day) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS c
+        |  FROM d),
+        |med AS (
+        |  SELECT event_type,
+        |         SUM(CASE WHEN rn = (c + 1) div 2 THEN n ELSE 0 END)
+        |           + SUM(CASE WHEN rn = c div 2 + 1 THEN n ELSE 0 END)
+        |           AS med2
+        |  FROM r GROUP BY event_type),
+        |dv AS (
+        |  SELECT d.event_type, d.day, d.n, m.med2,
+        |         abs(2 * d.n - m.med2) AS dev2
+        |  FROM d JOIN med m ON m.event_type = d.event_type),
+        |r2 AS (
+        |  SELECT event_type, day, n, med2, dev2,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |                            ORDER BY dev2, day) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS c
+        |  FROM dv),
+        |mad AS (
+        |  SELECT event_type,
+        |         SUM(CASE WHEN rn = (c + 1) div 2 THEN dev2 ELSE 0 END)
+        |           + SUM(CASE WHEN rn = c div 2 + 1 THEN dev2 ELSE 0 END)
+        |           AS mad4
+        |  FROM r2 GROUP BY event_type)
+        |SELECT v.event_type, v.day, v.n, v.med2, v.dev2, a.mad4,
+        |       2 * v.dev2 > 3 * a.mad4 AS alarm
+        |FROM dv v JOIN mad a ON a.event_type = v.event_type
+        |ORDER BY event_type, day""".stripMargin)
+  }
+
+  /** The oracle-checked form over the testdata events. */
+  def evMad(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("__events")
+    evMad(s.table("__events"))
+  }
+
   def evCusum(events: DataFrame): DataFrame = {
     val s = events.sparkSession
     events.createOrReplaceTempView("__cusum_events")
@@ -3263,6 +3335,7 @@ object Sessionize {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_psi" -> ((s: SparkSession, dir: String) => evPsi(s, dir)),
     "ev_cusum" -> ((s: SparkSession, dir: String) => evCusum(s, dir)),
+    "ev_mad" -> ((s: SparkSession, dir: String) => evMad(s, dir)),
     "ev_theil" -> ((s: SparkSession, dir: String) => evTheil(s, dir)),
     "ev_benford" -> ((s: SparkSession, dir: String) => evBenford(s, dir)),
     "ev_changepoint" -> ((s: SparkSession, dir: String) => evChangepoint(s, dir)),
@@ -3364,6 +3437,33 @@ object Sessionize {
       "SUM(cb) OVER (ORDER BY v) AS cumb FROM g)"
 
   val oracleSql: Map[String, String] = Map(
+    "ev_mad" ->
+      ("""WITH d AS (SELECT event_type, date_trunc('day', ts) AS day, """ +
+        """COUNT(*) AS n FROM events """ +
+        """GROUP BY event_type, date_trunc('day', ts)), """ +
+        """r AS (SELECT event_type, day, n, """ +
+        """ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n, day) """ +
+        """AS rn, """ +
+        """COUNT(*) OVER (PARTITION BY event_type) AS c FROM d), """ +
+        """med AS (SELECT event_type, """ +
+        """(SUM(CASE WHEN rn = (c + 1) // 2 THEN n ELSE 0 END) """ +
+        """+ SUM(CASE WHEN rn = c // 2 + 1 THEN n ELSE 0 END))::BIGINT """ +
+        """AS med2 FROM r GROUP BY event_type), """ +
+        """dv AS (SELECT d.event_type, d.day, d.n, m.med2, """ +
+        """abs(2 * d.n - m.med2) AS dev2 """ +
+        """FROM d JOIN med m ON m.event_type = d.event_type), """ +
+        """r2 AS (SELECT event_type, day, n, med2, dev2, """ +
+        """ROW_NUMBER() OVER (PARTITION BY event_type """ +
+        """ORDER BY dev2, day) AS rn, """ +
+        """COUNT(*) OVER (PARTITION BY event_type) AS c FROM dv), """ +
+        """mad AS (SELECT event_type, """ +
+        """(SUM(CASE WHEN rn = (c + 1) // 2 THEN dev2 ELSE 0 END) """ +
+        """+ SUM(CASE WHEN rn = c // 2 + 1 THEN dev2 ELSE 0 END))::BIGINT """ +
+        """AS mad4 FROM r2 GROUP BY event_type) """ +
+        """SELECT v.event_type, v.day, v.n, v.med2, v.dev2, a.mad4, """ +
+        """2 * v.dev2 > 3 * a.mad4 AS alarm """ +
+        """FROM dv v JOIN mad a ON a.event_type = v.event_type """ +
+        """ORDER BY v.event_type, v.day"""),
     "ev_cusum" ->
       ("""WITH d0 AS (SELECT event_type, date_trunc('day', ts) AS day, """ +
         """COUNT(*) AS n FROM events """ +

@@ -4158,6 +4158,36 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("evMad: the robust chart flags a 3x day the 10x day hides from " +
+      "a z-chart; integer med2/mad4 arithmetic exact") {
+    import spark.implicits._
+    val day = 86400000L
+    // 12 calm days cycling 3/4/5 events, then a 3x day (12) and a 10x
+    // day (40): mean/sigma with the 40 in-window read z(12) ~ 0.5 —
+    // invisible at z>3 — while the MAD bar is untouched by either
+    val counts = Seq(3, 4, 5, 3, 4, 5, 3, 4, 5, 3, 4, 5, 12, 40)
+    val evs = counts.zipWithIndex.flatMap { case (n, d) =>
+      (0 until n).map(i => (d.toLong * 100 + i,
+        new java.sql.Timestamp(d * day + (8 + i % 10) * 3600000L),
+        i.toLong, "m", 1.0))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Sessionize.evMad(evs).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getBoolean(6)))
+    assert(got.length == 14)
+    // hand-computed: med2 = 4+4, dev2 of 3/4/5 = 2/0/2, mad4 = 2+2
+    assert(got.forall(t => t._2 == 8L && t._4 == 4L))
+    val alarms = got.filter(_._5).map(_._1).sorted.toSeq
+    assert(alarms == Seq(12L, 40L),
+      s"expected exactly the planted days to alarm: $alarms")
+    // the z-chart comparison the scaladoc claims: with the 10x day in
+    // window, the 3x day sits under z=1
+    val xs = counts.map(_.toDouble)
+    val mu = xs.sum / xs.size
+    val sd = math.sqrt(xs.map(x => (x - mu) * (x - mu)).sum / xs.size)
+    assert((12.0 - mu) / sd < 1.0)
+  }
+
   test("evPsi: a planted distribution shift reads high; a stable stream " +
       "reads near zero") {
     import spark.implicits._
