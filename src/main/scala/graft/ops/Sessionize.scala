@@ -3248,7 +3248,11 @@ object Sessionize {
     *
     * Scale design: the ev_ewma shape — one (type, day) combinable
     * count, then two rank windows over the days×types-bounded fold
-    * relation; output is one row per observed (type, day).
+    * relation; output is one row per observed (type, day). (The
+    * relational tier's q37_mad reports median/MAD as a per-group
+    * SUMMARY over continuous values; this op is the anomaly CHART —
+    * per-day rows, an alarm rule, and the doubled-integer discipline
+    * q37's percentile() formulation doesn't need.)
     */
   def evMad(events: DataFrame): DataFrame = {
     val s = events.sparkSession

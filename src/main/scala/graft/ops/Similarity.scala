@@ -1282,6 +1282,91 @@ object Similarity {
   def ssSqTopk(s: SparkSession, dir: String): DataFrame =
     ssSqTopkOn(s, Tables.load(s, dir, "embeddings"), "vec_id < 5", 10)
 
+  /** Binary-quantized top-k — sign binarization + Hamming ADC + exact
+    * rescore (the "BQ" tier of modern vector stores; the rotation-free
+    * base case of Gong & Lazebnik's ITQ, 2011): each dimension keeps
+    * ONE bit (x > 0), so a d=64 vector compresses to exactly two
+    * BIGINTs, and the approximate distance between any two vectors is
+    * two XOR+popcount instructions — the cheapest scan in the ladder
+    * (PQ pays nSub LUT lookups, RQ two, BQ none: the code IS the
+    * operand). Candidates at the mult·topK Hamming cut rescore with
+    * the exact cosine.
+    *
+    * Mechanism contrast inside the family: [[ssLshAnn]] uses 8 RANDOM
+    * hyperplane bits to BUCKET and only compares within probed
+    * buckets; BQ uses all 64 COORDINATE signs as a rankable code over
+    * a full compressed scan — no recall cliff from bucket boundaries,
+    * cost linear in N but over 16-byte rows. (dd_simhash is the text-
+    * side cousin: feature-hashed sign codes for near-dup grouping.)
+    *
+    * Engine-exactness: bit packing is integer (bit i set iff x_i > 0,
+    * two 32-bit halves so no sign-bit overflow in either engine's
+    * BIGINT sum); Hamming is bit_count(xor) on both; the rescore is
+    * the audited ROUND-6 cosine with id tie-breaks.
+    *
+    * Scale design: one narrow codegen pass packs codes (no shuffle,
+    * 16 B/vector — 16× smaller than SQ8, same as PQ with zero
+    * training); the query scan is a broadcast of Q codes against the
+    * code relation, never raw vectors; only rescore survivors touch
+    * floats. The IVF `qprobes` cut composes exactly as in
+    * [[ssIvfPqTopkOn]] when even the code scan must shrink. Contract:
+    * d ≤ 64 (the embeddings schema); wider vectors add halves.
+    */
+  def ssBqTopkOn(s: SparkSession, emb: DataFrame, queryPred: String,
+                 topK: Int, mult: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    emb.createOrReplaceTempView("__emb_bq")
+    def half(off: Int): String =
+      s"""aggregate(transform(slice(v, $off, 32),
+         |  (x, i) -> IF(x > 0D, shiftleft(CAST(1 AS BIGINT), i),
+         |               CAST(0 AS BIGINT))),
+         |  CAST(0 AS BIGINT), (a, y) -> a + y)""".stripMargin
+    s.sql(
+      s"""WITH base AS (
+         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM __emb_bq),
+         |n3 AS (
+         |  SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM base),
+         |code AS (
+         |  SELECT vec_id, v, nrm,
+         |         ${half(1)} AS lo,
+         |         ${half(33)} AS hi
+         |  FROM n3),
+         |qv AS (
+         |  SELECT vec_id AS qid, v AS qvec, nrm AS qnrm, lo AS qlo,
+         |         hi AS qhi
+         |  FROM code WHERE $queryPred),
+         |ham AS (
+         |  SELECT q.qid, c.vec_id AS neighbor_id,
+         |         CAST(bit_count(q.qlo ^ c.lo)
+         |              + bit_count(q.qhi ^ c.hi) AS BIGINT) AS ham
+         |  FROM qv q CROSS JOIN code c WHERE c.vec_id <> q.qid),
+         |topc AS (
+         |  SELECT qid, neighbor_id, ham FROM (
+         |    SELECT qid, neighbor_id, ham,
+         |           ROW_NUMBER() OVER (PARTITION BY qid
+         |             ORDER BY ham ASC, neighbor_id) AS rnq
+         |    FROM ham) WHERE rnq <= ${mult * topK}),
+         |resc AS (
+         |  SELECT t.qid, t.neighbor_id, t.ham,
+         |         ROUND(graft_dot(q.qvec, b.v) / (q.qnrm * b.nrm), 6) AS cos
+         |  FROM topc t
+         |  JOIN qv q ON q.qid = t.qid
+         |  JOIN n3 b ON b.vec_id = t.neighbor_id)
+         |SELECT qid AS query_id, neighbor_id, cos, ham, rn FROM (
+         |  SELECT qid, neighbor_id, cos, ham,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |                ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
+         |  FROM resc)
+         |WHERE rn <= $topK ORDER BY query_id, rn""".stripMargin)
+  }
+
+  /** Oracle-query form: BQ top-10 for query vectors vec_id < 5 —
+    * row-comparable with the exact/SQ8/PQ/RQ ladder entries.
+    */
+  def ssBqTopk(s: SparkSession, dir: String): DataFrame =
+    ssBqTopkOn(s, Tables.load(s, dir, "embeddings"), "vec_id < 5", 10)
+
   /** Spark SQL for the product-quantized top-k over view `__emb_pq`:
     * the 64-dim vector splits into `nSub` orthogonal subspaces of
     * 64/nSub dims; each subspace trains a `nCode`-codeword codebook
@@ -2261,6 +2346,7 @@ object Similarity {
     "ss_mmr" -> ((s: SparkSession, dir: String) => ssMmr(s, dir)),
     "ss_range" -> ((s: SparkSession, dir: String) => ssRangeSearch(s, dir)),
     "ss_sq_topk" -> (ssSqTopk _),
+    "ss_bq_topk" -> (ssBqTopk _),
     "ss_pq_topk" -> (ssPqTopk _),
     "ss_opq_topk" -> (ssOpqTopk _),
     "ss_rq_topk" -> (ssRqTopk _),
@@ -3358,6 +3444,51 @@ object Similarity {
         |           ORDER BY ip DESC, neighbor_id) AS rn
         |  FROM scored)
         |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin.replaceAll("\n", " "),
+    "ss_bq_topk" ->
+      """WITH base AS (
+        |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),
+        |n3 AS (
+        |  SELECT vec_id, v, sqrt(list_sum([x * x FOR x IN v])) AS nrm
+        |  FROM base),
+        |code AS (
+        |  SELECT vec_id, v, nrm,
+        |         list_sum([CASE WHEN v[i] > 0 THEN 1::BIGINT << (i - 1)
+        |                        ELSE 0::BIGINT END
+        |                   FOR i IN generate_series(1, 32)])::BIGINT AS lo,
+        |         list_sum([CASE WHEN v[i + 32] > 0 THEN 1::BIGINT << (i - 1)
+        |                        ELSE 0::BIGINT END
+        |                   FOR i IN generate_series(1, 32)])::BIGINT AS hi
+        |  FROM n3),
+        |qv AS (
+        |  SELECT vec_id AS qid, v AS qvec, nrm AS qnrm, lo AS qlo,
+        |         hi AS qhi
+        |  FROM code WHERE vec_id < 5),
+        |ham AS (
+        |  SELECT q.qid, c.vec_id AS neighbor_id,
+        |         (bit_count(xor(q.qlo, c.lo))
+        |          + bit_count(xor(q.qhi, c.hi)))::BIGINT AS ham
+        |  FROM qv q CROSS JOIN code c WHERE c.vec_id <> q.qid),
+        |topc AS (
+        |  SELECT qid, neighbor_id, ham FROM (
+        |    SELECT qid, neighbor_id, ham,
+        |           ROW_NUMBER() OVER (PARTITION BY qid
+        |             ORDER BY ham ASC, neighbor_id) AS rnq
+        |    FROM ham) WHERE rnq <= 30),
+        |resc AS (
+        |  SELECT t.qid, t.neighbor_id, t.ham,
+        |         ROUND(list_sum([q.qvec[i] * b.v[i]
+        |                 FOR i IN generate_series(1, len(q.qvec))])
+        |               / (q.qnrm * b.nrm), 6) AS cos
+        |  FROM topc t
+        |  JOIN qv q ON q.qid = t.qid
+        |  JOIN n3 b ON b.vec_id = t.neighbor_id)
+        |SELECT qid AS query_id, neighbor_id, cos, ham, rn FROM (
+        |  SELECT qid, neighbor_id, cos, ham,
+        |         ROW_NUMBER() OVER (PARTITION BY qid
+        |           ORDER BY cos DESC, neighbor_id) AS rn
+        |  FROM resc)
+        |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
+        .replaceAll("\n", " "),
     "ss_sq_topk" ->
       """WITH base AS (
         |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),

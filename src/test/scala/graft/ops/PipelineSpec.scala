@@ -2104,6 +2104,44 @@ class PipelineSpec extends AnyFunSuite {
     orc.foreach { case (n, _, lo, hi) => assert(n > 1 && lo <= hi) }
   }
 
+  test("ddEditDistOn: typo twins link, blocked-away and far edits don't") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kk"
+    val docs = Seq(
+      (1L, base),
+      // one substitution at position 11 — same length bucket, same
+      // 8-char block key, head distance exactly 1
+      (2L, base.substring(0, 10) + "X" + base.substring(11)),
+      // identical except the FIRST char — dist 1 but the block key
+      // differs: the declared blocking miss, must NOT link
+      (3L, "Zlpha" + base.substring(5)),
+      // same block key and bucket but 5 edits inside the window
+      (4L, base.substring(0, 12) + "ABCDE" + base.substring(17)),
+      // unrelated
+      (5L, "completely different text about nothing in particular ok"))
+      .toDF("doc_id", "text")
+    val got = Dedup.ddEditDistOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1L)),
+      s"expected exactly the typo-twin pair: ${got.toSeq}")
+    // wider bar admits the 5-edit variant, still not the blocked-away
+    // one; (2,4) stays out at distance 6
+    val wide = Dedup.ddEditDistOn(docs, maxDist = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide == Set((1L, 2L), (1L, 4L)))
+    // oracle form: every planted twin (doc_id % 7 = 0) links to its
+    // original at distance <= 1
+    val orc = Dedup.ddEditDist(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val twinPairs = orc.filter(t =>
+      t._2 == t._1 + Dedup.TwinIdOffset)
+    val nPlanted = spark.read.parquet(s"$sf/documents.parquet")
+      .where("doc_id % 7 = 0").count()
+    assert(twinPairs.length == nPlanted &&
+      twinPairs.forall(_._3 <= 1L),
+      s"planted twins: ${twinPairs.length} of $nPlanted")
+  }
+
   test("evTrigrams(events): ordered per-user trigrams, tie-broken rank") {
     import spark.implicits._
     def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)

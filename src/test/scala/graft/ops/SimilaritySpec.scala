@@ -394,6 +394,55 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("BQ: sign codes rank a scaled twin at Hamming 0; clustered recall holds; rescore exact") {
+    val rng = new Random(23)
+    val dim = 64
+    val rows = for {
+      c <- 0 until 16
+      center = unit(rng, dim)
+      m <- 0 until 30
+    } yield {
+      val noise = unit(rng, dim)
+      val v = center.zip(noise).map { case (a, b) => a + 0.15 * b }
+      (c * 1000L + m, v)
+    }
+    // plant: vec 999999 is query 0's vector scaled 3x — the sign code
+    // is SCALE-INVARIANT, so its Hamming distance to the query is 0
+    // and the exact rescore reads cos = 1
+    val q0 = rows.find(_._1 == 0L).get._2
+    val emb = toEmb(rows :+ (999999L, q0.map(_ * 3.0)))
+    val bq = Similarity.ssBqTopkOn(spark, emb, "vec_id % 1000 = 0",
+      topK = 5, mult = 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val q0rows = bq.filter(_._1 == 0L)
+    assert(q0rows.head._2 == 999999L && q0rows.head._3 == 1.0 &&
+      q0rows.head._4 == 0L,
+      s"scaled twin not at Hamming 0 / cos 1: ${q0rows.toSeq}")
+    // rescore is the exact brute cosine on every overlapping pair
+    val brute = Similarity.bruteTopkOn(spark, emb, "vec_id % 1000 = 0",
+      topK = 5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val bmap = brute.toMap
+    bq.foreach { case (q, n, cos, _) =>
+      bmap.get((q, n)).foreach(b => assert(b == cos,
+        s"rescore drift at ($q, $n)"))
+    }
+    // 1 bit/dim keeps enough of the cluster geometry for the rescore
+    // cut to recover a solid share of brute's top-5
+    val bqTop = bq.map(t => (t._1, t._2)).groupBy(_._1)
+    val rs = brute.map(_._1).groupBy(_._1).map { case (q, exact) =>
+      val g = bqTop.getOrElse(q, Array.empty).map(_._2).toSet
+      exact.map(_._2).count(g) / exact.length.toDouble
+    }
+    val recall = rs.sum / rs.size
+    assert(recall >= 0.5, s"BQ recall $recall < 0.5 on clustered corpus")
+    // seeded end-to-end: a second run is row-identical
+    val again = Similarity.ssBqTopkOn(spark, emb, "vec_id % 1000 = 0",
+      topK = 5, mult = 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(bq.toSeq == again.toSeq)
+  }
+
   test("IVF-RQ: probed ADC keeps full-scan recall at matched cut; nprobe is a monotone dial") {
     val rng = new Random(7)
     val dim = 64
