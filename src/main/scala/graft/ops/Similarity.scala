@@ -1367,6 +1367,99 @@ object Similarity {
   def ssBqTopk(s: SparkSession, dir: String): DataFrame =
     ssBqTopkOn(s, Tables.load(s, dir, "embeddings"), "vec_id < 5", 10)
 
+  /** Random-projection top-k — the Johnson–Lindenstrauss axis of the
+    * ladder (Achlioptas 2003's database-friendly ±1 projections): the
+    * quantization entries (SQ/PQ/RQ/BQ) shrink what each DIMENSION
+    * costs; this one shrinks HOW MANY dimensions there are. Each of
+    * the `pDim` output coordinates is a seeded ±1-signed sum of the 64
+    * input coordinates (sign s(i,j) from md5('rp42:i:j') — the
+    * library's deterministic-draw discipline, identical in both
+    * engines), candidates rank by projected cosine, and the mult·topK
+    * cut rescores exactly. JL guarantees pairwise dot products survive
+    * to within ~1/√pDim; the exact rescore absorbs the distortion.
+    *
+    * Engine-exactness: x·(±1) is an exact sign flip; each projected
+    * coordinate accumulates as DECIMAL(27,12) (the dvar discipline)
+    * with one terminal ROUND-6, so the projected vectors — and
+    * everything ranked from them — are bit-equal across engines.
+    *
+    * Scale design: the sign matrix is a 64·pDim-row relation built
+    * from literals (broadcast, never shuffled); the projection is one
+    * posexplode + partial-agg pass (O(N·d) multiply-adds, the
+    * unavoidable JL cost, combinable); downstream candidate scans move
+    * pDim-wide vectors instead of 64 — a 4× narrower exchange at
+    * pDim=16 — and only rescore survivors touch the raw corpus.
+    */
+  def ssRpTopkOn(s: SparkSession, emb: DataFrame, queryPred: String,
+                 topK: Int, pDim: Int = 16, mult: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    emb.createOrReplaceTempView("__emb_rp")
+    s.sql(
+      s"""WITH base AS (
+         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM __emb_rp),
+         |n3 AS (
+         |  SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM base),
+         |sm AS (
+         |  SELECT ii.i, jj.j,
+         |         CASE WHEN substring(md5(concat('rp42:',
+         |                     CAST(ii.i AS STRING), ':',
+         |                     CAST(jj.j AS STRING))), 1, 1) < '8'
+         |              THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE)
+         |         END AS sg
+         |  FROM (SELECT explode(sequence(0, 63)) AS i) ii
+         |  CROSS JOIN (SELECT explode(sequence(0, ${pDim - 1})) AS j) jj),
+         |px AS (
+         |  SELECT e.vec_id, s.j,
+         |         ROUND(CAST(SUM(CAST(e.x * s.sg AS DECIMAL(27,12)))
+         |                    AS DOUBLE), 6) AS p
+         |  FROM (SELECT vec_id, i, x
+         |        FROM n3 LATERAL VIEW posexplode(v) AS i, x) e
+         |  JOIN sm s ON s.i = e.i
+         |  GROUP BY e.vec_id, s.j),
+         |pv AS (
+         |  SELECT vec_id,
+         |         transform(array_sort(collect_list(struct(j, p))),
+         |                   t -> t.p) AS pv
+         |  FROM px GROUP BY vec_id),
+         |pn AS (
+         |  SELECT vec_id, pv, sqrt(graft_dot(pv, pv)) AS pnrm FROM pv),
+         |qp AS (
+         |  SELECT p.vec_id AS qid, p.pv AS qpv, p.pnrm AS qpnrm,
+         |         n.v AS qvec, n.nrm AS qnrm
+         |  FROM (SELECT * FROM pn WHERE $queryPred) p
+         |  JOIN n3 n ON n.vec_id = p.vec_id),
+         |cand AS (
+         |  SELECT q.qid, c.vec_id AS neighbor_id,
+         |         ROUND(graft_dot(q.qpv, c.pv) / (q.qpnrm * c.pnrm), 6)
+         |           AS cosp
+         |  FROM qp q CROSS JOIN pn c WHERE c.vec_id <> q.qid),
+         |topc AS (
+         |  SELECT qid, neighbor_id, cosp FROM (
+         |    SELECT qid, neighbor_id, cosp,
+         |           ROW_NUMBER() OVER (PARTITION BY qid
+         |             ORDER BY cosp DESC, neighbor_id) AS rnq
+         |    FROM cand) WHERE rnq <= ${mult * topK}),
+         |resc AS (
+         |  SELECT t.qid, t.neighbor_id, t.cosp,
+         |         ROUND(graft_dot(q.qvec, b.v) / (q.qnrm * b.nrm), 6) AS cos
+         |  FROM topc t
+         |  JOIN qp q ON q.qid = t.qid
+         |  JOIN n3 b ON b.vec_id = t.neighbor_id)
+         |SELECT qid AS query_id, neighbor_id, cos, cosp, rn FROM (
+         |  SELECT qid, neighbor_id, cos, cosp,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |                ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
+         |  FROM resc)
+         |WHERE rn <= $topK ORDER BY query_id, rn""".stripMargin)
+  }
+
+  /** Oracle-query form: RP top-10 (64 → 16 dims) for query vectors
+    * vec_id < 5 — row-comparable with the rest of the ladder.
+    */
+  def ssRpTopk(s: SparkSession, dir: String): DataFrame =
+    ssRpTopkOn(s, Tables.load(s, dir, "embeddings"), "vec_id < 5", 10)
+
   /** Spark SQL for the product-quantized top-k over view `__emb_pq`:
     * the 64-dim vector splits into `nSub` orthogonal subspaces of
     * 64/nSub dims; each subspace trains a `nCode`-codeword codebook
@@ -2347,6 +2440,7 @@ object Similarity {
     "ss_range" -> ((s: SparkSession, dir: String) => ssRangeSearch(s, dir)),
     "ss_sq_topk" -> (ssSqTopk _),
     "ss_bq_topk" -> (ssBqTopk _),
+    "ss_rp_topk" -> (ssRpTopk _),
     "ss_pq_topk" -> (ssPqTopk _),
     "ss_opq_topk" -> (ssOpqTopk _),
     "ss_rq_topk" -> (ssRqTopk _),
@@ -3444,6 +3538,63 @@ object Similarity {
         |           ORDER BY ip DESC, neighbor_id) AS rn
         |  FROM scored)
         |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin.replaceAll("\n", " "),
+    "ss_rp_topk" ->
+      """WITH base AS (
+        |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),
+        |n3 AS (
+        |  SELECT vec_id, v, sqrt(list_sum([x * x FOR x IN v])) AS nrm
+        |  FROM base),
+        |sm AS (
+        |  SELECT ii.i, jj.j,
+        |         CASE WHEN substring(md5('rp42:' || ii.i::VARCHAR || ':'
+        |                     || jj.j::VARCHAR), 1, 1) < '8'
+        |              THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END AS sg
+        |  FROM (SELECT unnest(generate_series(0, 63)) AS i) ii
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) jj),
+        |px AS (
+        |  SELECT e.vec_id, s.j,
+        |         ROUND((SUM((e.x * s.sg)::DECIMAL(27,12)))::DOUBLE, 6) AS p
+        |  FROM (SELECT vec_id, g.i - 1 AS i, v[g.i] AS x
+        |        FROM n3 CROSS JOIN generate_series(1, 64) g(i)) e
+        |  JOIN sm s ON s.i = e.i
+        |  GROUP BY e.vec_id, s.j),
+        |pv AS (
+        |  SELECT vec_id, list(p ORDER BY j) AS pv FROM px GROUP BY vec_id),
+        |pn AS (
+        |  SELECT vec_id, pv, sqrt(list_sum([x * x FOR x IN pv])) AS pnrm
+        |  FROM pv),
+        |qp AS (
+        |  SELECT p.vec_id AS qid, p.pv AS qpv, p.pnrm AS qpnrm,
+        |         n.v AS qvec, n.nrm AS qnrm
+        |  FROM (SELECT * FROM pn WHERE vec_id < 5) p
+        |  JOIN n3 n ON n.vec_id = p.vec_id),
+        |cand AS (
+        |  SELECT q.qid, c.vec_id AS neighbor_id,
+        |         ROUND(list_sum([q.qpv[i] * c.pv[i]
+        |                 FOR i IN generate_series(1, len(q.qpv))])
+        |               / (q.qpnrm * c.pnrm), 6) AS cosp
+        |  FROM qp q CROSS JOIN pn c WHERE c.vec_id <> q.qid),
+        |topc AS (
+        |  SELECT qid, neighbor_id, cosp FROM (
+        |    SELECT qid, neighbor_id, cosp,
+        |           ROW_NUMBER() OVER (PARTITION BY qid
+        |             ORDER BY cosp DESC, neighbor_id) AS rnq
+        |    FROM cand) WHERE rnq <= 30),
+        |resc AS (
+        |  SELECT t.qid, t.neighbor_id, t.cosp,
+        |         ROUND(list_sum([q.qvec[i] * b.v[i]
+        |                 FOR i IN generate_series(1, len(q.qvec))])
+        |               / (q.qnrm * b.nrm), 6) AS cos
+        |  FROM topc t
+        |  JOIN qp q ON q.qid = t.qid
+        |  JOIN n3 b ON b.vec_id = t.neighbor_id)
+        |SELECT qid AS query_id, neighbor_id, cos, cosp, rn FROM (
+        |  SELECT qid, neighbor_id, cos, cosp,
+        |         ROW_NUMBER() OVER (PARTITION BY qid
+        |           ORDER BY cos DESC, neighbor_id) AS rn
+        |  FROM resc)
+        |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
+        .replaceAll("\n", " "),
     "ss_bq_topk" ->
       """WITH base AS (
         |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),

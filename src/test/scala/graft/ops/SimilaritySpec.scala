@@ -443,6 +443,50 @@ class SimilaritySpec extends AnyFunSuite {
     assert(bq.toSeq == again.toSeq)
   }
 
+  test("RP: JL projection keeps clustered recall at 4x fewer dims; projection is linear; rescore exact") {
+    val rng = new Random(29)
+    val dim = 64
+    val rows = for {
+      c <- 0 until 16
+      center = unit(rng, dim)
+      m <- 0 until 30
+    } yield {
+      val noise = unit(rng, dim)
+      val v = center.zip(noise).map { case (a, b) => a + 0.15 * b }
+      (c * 1000L + m, v)
+    }
+    // plant: vec 999999 = 2x query 0's vector — a ±1 projection is
+    // LINEAR, so its projected cosine to the query is exactly 1 and it
+    // must rank first with exact cos 1
+    val q0 = rows.find(_._1 == 0L).get._2
+    val emb = toEmb(rows :+ (999999L, q0.map(_ * 2.0)))
+    val rp = Similarity.ssRpTopkOn(spark, emb, "vec_id % 1000 = 0",
+      topK = 5, mult = 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val q0rows = rp.filter(_._1 == 0L)
+    assert(q0rows.head._2 == 999999L && q0rows.head._3 == 1.0,
+      s"scaled twin not first with cos 1: ${q0rows.toSeq}")
+    val brute = Similarity.bruteTopkOn(spark, emb, "vec_id % 1000 = 0",
+      topK = 5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val bmap = brute.toMap
+    rp.foreach { case (q, n, cos, _) =>
+      bmap.get((q, n)).foreach(b => assert(b == cos,
+        s"rescore drift at ($q, $n)"))
+    }
+    val rpTop = rp.map(t => (t._1, t._2)).groupBy(_._1)
+    val rs = brute.map(_._1).groupBy(_._1).map { case (q, exact) =>
+      val g = rpTop.getOrElse(q, Array.empty).map(_._2).toSet
+      exact.map(_._2).count(g) / exact.length.toDouble
+    }
+    val recall = rs.sum / rs.size
+    assert(recall >= 0.5, s"RP recall $recall < 0.5 on clustered corpus")
+    val again = Similarity.ssRpTopkOn(spark, emb, "vec_id % 1000 = 0",
+      topK = 5, mult = 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rp.toSeq == again.toSeq)
+  }
+
   test("IVF-RQ: probed ADC keeps full-scan recall at matched cut; nprobe is a monotone dial") {
     val rng = new Random(7)
     val dim = 64
