@@ -358,9 +358,20 @@ object Multimodal {
     * encode→decode→pixel walk lands on planted per-pixel CONTENT (one
     * step past mm_decode_real's container facts).
     */
-  def mmImgHist(s: SparkSession, dir: String): DataFrame = {
+  def mmImgHist(s: SparkSession, dir: String): DataFrame =
+    mmImgHist(plantedGradientPngs(s, dir)).toDF()
+      .orderBy("media_id", "bin")
+
+  /** The shared planted-gradient REAL-PNG corpus of the image content
+    * oracles (mm_imghist / mm_thumb): even doc ids, gray
+    * g = (id·31 + x·7 + y·13) % 256 at w×h = (16 + id%17) ×
+    * (16 + 3·id%13), encoded through javax.imageio — one builder so
+    * the entries and their DuckDB formula replays cannot drift.
+    */
+  private def plantedGradientPngs(s: SparkSession,
+      dir: String): Dataset[MediaRecord] = {
     import s.implicits._
-    val media = Tables.load(s, dir, "documents").select("doc_id")
+    Tables.load(s, dir, "documents").select("doc_id")
       .as[Long].filter(_ % 2 == 0).map { id =>
         val w = 16 + (id % 17).toInt
         val h = 16 + (id * 3 % 13).toInt
@@ -380,8 +391,72 @@ object Multimodal {
         javax.imageio.ImageIO.write(img, "png", bos)
         MediaRecord(id, "image", bos.toByteArray)
       }
-    mmImgHist(media).toDF().orderBy("media_id", "bin")
   }
+
+  /** One thumbnail cell: integer pixel count + gray sum — consumers
+    * divide (keeping the relation float-free keeps it hash-exact).
+    */
+  case class ThumbCell(media_id: Long, cx: Int, cy: Int, n_px: Long,
+                       px_sum: Long)
+
+  /** Area-average thumbnail over the REAL decode path — the block-mean
+    * downsample every perceptual hash starts from (aHash/pHash resize
+    * step) and the cheapest correct image resize (each output cell is
+    * the mean of ITS OWN pixel block, so no pixel is dropped and no
+    * kernel ringing exists to drift between implementations). Pixel
+    * (x, y) of a w×h decode lands in cell (⌊x·grid/w⌋, ⌊y·grid/h⌋);
+    * the op emits per-cell integer (count, gray-sum) rows.
+    *
+    * This is the CONTENT-tier sibling of [[resize]]/[[mmResize]]
+    * (which scale declared dimensions only — the stub-tier metadata
+    * pass): mm_thumb walks the real decoded pixels, so its oracle
+    * proves per-pixel content through the codec round-trip, the
+    * mm_imghist discipline.
+    *
+    * Scale shape: a typed partition pass (decode amortized), per-image
+    * O(grid²) state, output grid²-bounded per image; the only exchange
+    * is the presentation ORDER BY.
+    */
+  def mmThumb(media: Dataset[MediaRecord], grid: Int = 8)
+      : Dataset[ThumbCell] = {
+    require(grid >= 1 && grid <= 64, s"mmThumb: grid in [1, 64], got $grid")
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      require(img != null, s"media ${r.media_id}: not a decodable image")
+      val w = img.getWidth
+      val h = img.getHeight
+      val cnt = new Array[Long](grid * grid)
+      val sum = new Array[Long](grid * grid)
+      var y = 0
+      while (y < h) {
+        val cy = y * grid / h
+        var x = 0
+        while (x < w) {
+          val cell = cy * grid + x * grid / w
+          cnt(cell) += 1
+          sum(cell) += (img.getRGB(x, y) >> 16) & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      cnt.indices.collect {
+        case c if cnt(c) > 0 =>
+          ThumbCell(r.media_id, c % grid, c / grid, cnt(c), sum(c))
+      }
+    }
+  }
+
+  /** The oracle-checked form: the mm_imghist planted gradient PNGs
+    * (even doc ids; gray g = (id·31 + x·7 + y·13) % 256 at w×h =
+    * (16 + id%17) × (16 + 3·id%13)) through the REAL PNG round-trip;
+    * the DuckDB oracle replays the per-pixel formula codec-free and
+    * aggregates the same integer cells.
+    */
+  def mmThumb(s: SparkSession, dir: String): DataFrame =
+    mmThumb(plantedGradientPngs(s, dir)).toDF()
+      .orderBy("media_id", "cy", "cx")
 
   /** Per-clip audio features (integer cores + derived 6-dp ratios). */
   case class AudioFeatures(media_id: Long, n_samples: Long, sample_rate: Int,
@@ -1010,12 +1085,27 @@ object Multimodal {
     "mm_audiofeat" -> (mmAudioFeat _),
     "mm_audioseg" -> (mmAudioSeg _),
     "mm_imghist" -> (mmImgHist _),
+    "mm_thumb" -> (mmThumb _),
     "mm_frames" -> (mmFrames _),
     "mm_resize" -> (mmResize _),
     "mm_phash_pairs" -> (mmPhashPairs _),
     "mm_resolve" -> (mmResolve _))
 
   val oracleSql: Map[String, String] = Map(
+    "mm_thumb" ->
+      ("WITH ids AS (SELECT doc_id AS id, 16 + (doc_id % 17) AS w, " +
+        "16 + (doc_id * 3 % 13) AS h FROM documents " +
+        "WHERE doc_id % 2 = 0), " +
+        "px AS (SELECT i.id, x.x, y.y, i.w, i.h, " +
+        "(i.id * 31 + x.x * 7 + y.y * 13) % 256 AS g " +
+        "FROM ids i CROSS JOIN generate_series(0, 32) x(x) " +
+        "CROSS JOIN generate_series(0, 28) y(y) " +
+        "WHERE x.x < i.w AND y.y < i.h) " +
+        "SELECT id AS media_id, ((x * 8) // w)::INT AS cx, " +
+        "((y * 8) // h)::INT AS cy, " +
+        "COUNT(*) AS n_px, SUM(g)::BIGINT AS px_sum " +
+        "FROM px GROUP BY id, (x * 8) // w, (y * 8) // h " +
+        "ORDER BY media_id, cy, cx"),
     "mm_histdiff" ->
       ("WITH fr AS (SELECT f FROM generate_series(0, 1000000) t(f) " +
         "WHERE f < (SELECT COUNT(*)::BIGINT FROM documents " +

@@ -401,6 +401,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 0L, 16L, false), (2L, 32L, 16L, true)))
   }
 
+  test("mmThumb: block means exact on a quadrant image; uneven dims lose no pixel") {
+    import spark.implicits._
+    // 16x16, grid 2: four 8x8 quadrants at gray 10/20/30/40
+    def png(w: Int, h: Int, gray: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = gray(x, y)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val quad = png(16, 16, (x, y) =>
+      (if (y < 8) { if (x < 8) 10 else 20 } else { if (x < 8) 30 else 40 }))
+    val media = Seq(Multimodal.MediaRecord(1L, "image", quad),
+      Multimodal.MediaRecord(2L, "image", png(17, 9, (x, y) => x + y)))
+      .toDS()
+    val got = Multimodal.mmThumb(media, grid = 2).collect()
+      .map(c => (c.media_id, c.cx, c.cy, c.n_px, c.px_sum))
+    assert(got.filter(_._1 == 1L).toSet == Set(
+      (1L, 0, 0, 64L, 640L), (1L, 1, 0, 64L, 1280L),
+      (1L, 0, 1, 64L, 1920L), (1L, 1, 1, 64L, 2560L)))
+    // uneven 17x9 split: every pixel lands in exactly one cell
+    val odd = got.filter(_._1 == 2L)
+    assert(odd.map(_._4).sum == 17L * 9L)
+    assert(odd.map(_._5).sum ==
+      (for (y <- 0 until 9; x <- 0 until 17) yield x + y).sum.toLong)
+  }
+
   test("mmDupBlob: byte-identical payloads fold to one keeper") {
     import spark.implicits._
     val media = Seq(
