@@ -82,6 +82,9 @@ class EmptyInputSpec extends AnyFunSuite {
       .count() == 0)
     assert(Multimodal.mmHistDiff(
       Seq.empty[Multimodal.MediaRecord].toDS()).count() == 0)
+    assert(Multimodal.mmThumb(
+      Seq.empty[Multimodal.MediaRecord].toDS()).count() == 0)
+    assert(Dedup.ddEditDistOn(emptyDocs).count() == 0)
   }
 
   test("embedding entries return empty on an empty corpus") {
@@ -104,6 +107,12 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Similarity.ssMipsAugmentOn(spark, emptyEmb).count() == 0)
     // ssMmr with an absent query id: no candidates, zero picks
     assert(Similarity.ssMmr(spark, emptyEmb, 0L, 3, 0.7).count() == 0)
+    assert(Similarity.ssRqTopkOn(spark, emptyEmb, "vec_id < 5", 10,
+      nprobe = 2).count() == 0)
+    assert(Similarity.ssBqTopkOn(spark, emptyEmb, "vec_id < 5", 10)
+      .count() == 0)
+    assert(Similarity.ssRpTopkOn(spark, emptyEmb, "vec_id < 5", 10)
+      .count() == 0)
   }
 
   test("event entries return empty on an empty stream") {
@@ -140,6 +149,8 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Sessionize.evEntropy(emptyEvents).count() == 0)
     assert(Sessionize.evTheil(emptyEvents).count() == 0)
     assert(Sessionize.evHolt(emptyEvents).count() == 0)
+    assert(Sessionize.evCusum(emptyEvents).count() == 0)
+    assert(Sessionize.evMad(emptyEvents).count() == 0)
     assert(Sessionize.evHoltWinters(emptyEvents).count() == 0)
     assert(Sessionize.evGrowth(emptyEvents).count() == 0)
     assert(Sessionize.evMannWhitney(emptyEvents).count() == 0)
