@@ -806,6 +806,129 @@ object Multimodal {
         |ORDER BY media_a, media_b""".stripMargin)
   }
 
+  /** The 64-bit average hash of a decoded image: mmThumb's 8×8 integer
+    * cells, one bit per cell — set iff the cell mean exceeds the image
+    * mean, compared CROSS-MULTIPLIED (px_sum_c·N > S·n_px_c) so no
+    * division ever happens. Packed as two 32-bit halves in BIGINTs
+    * (the ss_bq discipline — no sign-bit overflow in either engine).
+    */
+  private[ops] def ahashHalves(img: java.awt.image.BufferedImage)
+      : (Long, Long) = {
+    val grid = 8
+    val w = img.getWidth
+    val h = img.getHeight
+    val cnt = new Array[Long](grid * grid)
+    val sum = new Array[Long](grid * grid)
+    var y = 0
+    while (y < h) {
+      val cy = y * grid / h
+      var x = 0
+      while (x < w) {
+        val cell = cy * grid + x * grid / w
+        cnt(cell) += 1
+        sum(cell) += (img.getRGB(x, y) >> 16) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val bigN = w.toLong * h
+    val bigS = sum.sum
+    var lo = 0L
+    var hi = 0L
+    var c = 0
+    while (c < 64) {
+      if (sum(c) * bigN > bigS * cnt(c)) {
+        if (c < 32) lo |= 1L << c else hi |= 1L << (c - 32)
+      }
+      c += 1
+    }
+    (lo, hi)
+  }
+
+  /** Real-pixel aHash near-dup pairs — the content-tier upgrade of
+    * [[mmPhashPairs]]'s byte-sampling stub kernel: the hash is computed
+    * from DECODED pixels (the [[ahashHalves]] block-mean kernel, the
+    * classical average-hash every image-dedup pipeline starts from),
+    * then the SAME banded Hamming-LSH tail as the stub entry and
+    * dd_simhash (4×16-bit bands, pigeonhole-exact for radius 3). The
+    * hash is brightness-SHIFT-invariant (adding a constant to every
+    * pixel moves cell and image means together) and scale-invariant in
+    * intensity — exactly the invariances a re-encode / gamma-tweak
+    * near-dup needs and raw-byte hashing cannot have.
+    *
+    * Scale design: one typed decode pass emits 16 bytes per image
+    * (two BIGINT halves); banding is an equality join on 16-bit keys —
+    * candidates only ever meet inside a band bucket, never all-pairs;
+    * verification is four xor+popcount ops per candidate.
+    */
+  def mmAhashPairs(media: Dataset[MediaRecord], radius: Int = 3)
+      : DataFrame = {
+    require(radius >= 0 && radius <= 3,
+      s"mmAhashPairs: 4x16 banding is pigeonhole-exact only to radius 3, got $radius")
+    val s = media.sparkSession
+    import s.implicits._
+    val sig = media.map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      require(img != null, s"media ${r.media_id}: not a decodable image")
+      val (lo, hi) = ahashHalves(img)
+      (r.media_id, lo, hi)
+    }.toDF("media_id", "lo", "hi")
+    sig.createOrReplaceTempView("__ahash")
+    s.sql(
+      s"""WITH band AS (
+         |  SELECT media_id, lo, hi, bno,
+         |         CASE WHEN bno < 2
+         |              THEN shiftright(lo, 16 * bno) & 65535
+         |              ELSE shiftright(hi, 16 * (bno - 2)) & 65535
+         |         END AS bk
+         |  FROM __ahash LATERAL VIEW explode(sequence(0, 3)) AS bno)
+         |SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+         |       CAST(bit_count(a.lo ^ b.lo)
+         |            + bit_count(a.hi ^ b.hi) AS BIGINT) AS hamming
+         |FROM band a JOIN band b
+         |  ON a.bno = b.bno AND a.bk = b.bk AND a.media_id < b.media_id
+         |WHERE bit_count(a.lo ^ b.lo) + bit_count(a.hi ^ b.hi)
+         |        <= $radius
+         |ORDER BY media_a, media_b""".stripMargin)
+  }
+
+  /** The oracle-checked form: the planted-gradient REAL PNGs plus, for
+    * every 4th image (id % 8 = 0), a twin whose first thumbnail cell is
+    * brightened by +100 (clamped) — a LOCAL edit that flips at most a
+    * few hash bits, so most twins link inside radius 3, while the
+    * gradient family's shared structure contributes organic pairs. The
+    * DuckDB oracle replays pixels, cells, bits, bands, and the Hamming
+    * verify codec-free; a hash match proves the whole content chain
+    * through the real PNG round-trip.
+    */
+  def mmAhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val twins = Tables.load(s, dir, "documents").select("doc_id")
+      .as[Long].filter(_ % 8 == 0).map { id =>
+        val w = 16 + (id % 17).toInt
+        val h = 16 + (id * 3 % 13).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val g0 = ((id * 31 + x * 7 + y * 13) % 256).toInt
+            val g = if (x * 8 / w == 0 && y * 8 / h == 0)
+              math.min(255, g0 + 100) else g0
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaRecord(id + TwinOffset, "image", bos.toByteArray)
+      }
+    mmAhashPairs(plantedGradientPngs(s, dir).union(twins))
+  }
+
   /** WebDataset-style shard manifest: assign every media record to a
     * byte-budgeted shard and an offset inside it — the layout step that
     * turns a curated media table into the sequential-read tar shards a
@@ -1086,12 +1209,55 @@ object Multimodal {
     "mm_audioseg" -> (mmAudioSeg _),
     "mm_imghist" -> (mmImgHist _),
     "mm_thumb" -> (mmThumb _),
+    "mm_ahash" -> (mmAhashPairs _),
     "mm_frames" -> (mmFrames _),
     "mm_resize" -> (mmResize _),
     "mm_phash_pairs" -> (mmPhashPairs _),
     "mm_resolve" -> (mmResolve _))
 
   val oracleSql: Map[String, String] = Map(
+    "mm_ahash" ->
+      (s"""WITH ids AS (SELECT doc_id AS id, 16 + (doc_id % 17) AS w, """ +
+        """16 + (doc_id * 3 % 13) AS h FROM documents """ +
+        """WHERE doc_id % 2 = 0), """ +
+        s"""rec AS (SELECT id AS media_id, id AS src, FALSE AS tw FROM ids """ +
+        s"""UNION ALL SELECT id + $TwinOffset, id, TRUE FROM ids """ +
+        """WHERE id % 8 = 0), """ +
+        """px AS (SELECT r.media_id, i.w, i.h, x.x, y.y, """ +
+        """CASE WHEN r.tw AND (x.x * 8) // i.w = 0 """ +
+        """AND (y.y * 8) // i.h = 0 """ +
+        """THEN LEAST(255, (r.src * 31 + x.x * 7 + y.y * 13) % 256 + 100) """ +
+        """ELSE (r.src * 31 + x.x * 7 + y.y * 13) % 256 END AS g """ +
+        """FROM rec r JOIN ids i ON i.id = r.src """ +
+        """CROSS JOIN generate_series(0, 32) x(x) """ +
+        """CROSS JOIN generate_series(0, 28) y(y) """ +
+        """WHERE x.x < i.w AND y.y < i.h), """ +
+        """cell AS (SELECT media_id, (y * 8) // h AS cy, """ +
+        """(x * 8) // w AS cx, COUNT(*) AS n, SUM(g)::BIGINT AS s """ +
+        """FROM px GROUP BY media_id, (y * 8) // h, (x * 8) // w), """ +
+        """tot AS (SELECT media_id, SUM(n)::BIGINT AS nn, """ +
+        """SUM(s)::BIGINT AS ss FROM cell GROUP BY media_id), """ +
+        """bits AS (SELECT c.media_id, (c.cy * 8 + c.cx)::INT AS c, """ +
+        """CASE WHEN c.s * t.nn > t.ss * c.n THEN 1 ELSE 0 END AS b """ +
+        """FROM cell c JOIN tot t ON t.media_id = c.media_id), """ +
+        """sig AS (SELECT media_id, """ +
+        """SUM(CASE WHEN c < 32 AND b = 1 THEN 1::BIGINT << c """ +
+        """ELSE 0::BIGINT END)::BIGINT AS lo, """ +
+        """SUM(CASE WHEN c >= 32 AND b = 1 THEN 1::BIGINT << (c - 32) """ +
+        """ELSE 0::BIGINT END)::BIGINT AS hi """ +
+        """FROM bits GROUP BY media_id), """ +
+        """band AS (SELECT media_id, lo, hi, t.bno, """ +
+        """CASE WHEN t.bno < 2 THEN (lo >> (16 * t.bno)) & 65535 """ +
+        """ELSE (hi >> (16 * (t.bno - 2))) & 65535 END AS bk """ +
+        """FROM sig CROSS JOIN generate_series(0, 3) t(bno)) """ +
+        """SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b, """ +
+        """(bit_count(xor(a.lo, b.lo)) """ +
+        """+ bit_count(xor(a.hi, b.hi)))::BIGINT AS hamming """ +
+        """FROM band a JOIN band b ON a.bno = b.bno AND a.bk = b.bk """ +
+        """AND a.media_id < b.media_id """ +
+        """WHERE bit_count(xor(a.lo, b.lo)) """ +
+        """+ bit_count(xor(a.hi, b.hi)) <= 3 """ +
+        """ORDER BY media_a, media_b"""),
     "mm_thumb" ->
       ("WITH ids AS (SELECT doc_id AS id, 16 + (doc_id % 17) AS w, " +
         "16 + (doc_id * 3 % 13) AS h FROM documents " +

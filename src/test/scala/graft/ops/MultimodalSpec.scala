@@ -432,6 +432,43 @@ class MultimodalSpec extends AnyFunSuite {
       (for (y <- 0 until 9; x <- 0 until 17) yield x + y).sum.toLong)
   }
 
+  test("mmAhash: content pairs survive a local edit, brightness shift is invariant, inverse never links") {
+    import spark.implicits._
+    def png(w: Int, h: Int, gray: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = math.max(0, math.min(255, gray(x, y)))
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def quad(x: Int, y: Int): Int =
+      if (y < 8) { if (x < 8) 10 else 20 } else { if (x < 8) 30 else 40 }
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", png(16, 16, quad)),
+      // one pixel nudged +8: no cell mean crosses the image mean
+      Multimodal.MediaRecord(2L, "image",
+        png(16, 16, (x, y) => quad(x, y) + (if (x == 9 && y == 1) 8 else 0))),
+      // every pixel +50: aHash is brightness-shift invariant
+      Multimodal.MediaRecord(3L, "image", png(16, 16, (x, y) => quad(x, y) + 50)),
+      // inverted quadrants: every bit flips — must never link
+      Multimodal.MediaRecord(4L, "image", png(16, 16, (x, y) => 50 - quad(x, y))))
+      .toDS()
+    val got = Multimodal.mmAhashPairs(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 0L), (1L, 3L, 0L), (2L, 3L, 0L)),
+      s"expected the edit+shift family only: $got")
+    // oracle form on real testdata: every planted bright-corner twin
+    // that links does so at a small Hamming distance
+    val orc = Multimodal.mmAhashPairs(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val twins = orc.filter(t => t._2 == t._1 + Multimodal.TwinOffset)
+    assert(twins.nonEmpty && twins.forall(_._3 <= 3L))
+  }
+
   test("mmDupBlob: byte-identical payloads fold to one keeper") {
     import spark.implicits._
     val media = Seq(
