@@ -240,6 +240,11 @@ object PipelineScaleProbe {
     // corpus — no 500k docs needed)
     if (args.headOption.contains("addendum51")) {
       addendum51(args.lift(1).getOrElse("target/pscale19")); return }
+    // `addendum52 [dir]` — round-11 second batch: ev_cusum/+tracker and
+    // ev_mad at 10M events, ss_bq/ss_rp at 100k vectors, dd_editdist at
+    // 500k docs, mm_ahash at 100k real PNGs (self-generating corpus)
+    if (args.headOption.contains("addendum52")) {
+      addendum52(args.lift(1).getOrElse("target/pscale19")); return }
     // `addendum13 <nDocs> <nEvents> <nVec> <outBase>` — gaps/gini at
     // event scale, epochs/ngram at corpus scale, range at vector scale
     if (args.headOption.contains("addendum13")) {
@@ -3504,6 +3509,250 @@ object PipelineScaleProbe {
       f"mean_window=${d4.getLong(3)} (fixed16_window=6250) w=$wD4%.1f s")
     graft.SparkHygiene.clearSessionCaches(spark)
     println("PSCALE addendum51 done")
+    spark.stop()
+  }
+
+  /** Round-11 second batch at 100×: ev_cusum (+PageTracker parity) and
+    * ev_mad at 10M events, ss_bq/ss_rp at 100k vectors, dd_editdist at
+    * 500k docs, mm_ahash at 100k REAL PNGs — content invariants
+    * required, walls recorded.
+    */
+  private def addendum52(dir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.SparkHygiene.quietRddLogs()
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+
+    // ---- 10M events (the addendum49 recipe) with a PLANTED sustained
+    // DOUBLING of 'click' over the last 10 observed days (the evCusum
+    // oracle's sizing: +100% crosses the 2-mean bar on shift day 5;
+    // +50% deterministically lands ~7% under it)
+    if (!new java.io.File(s"$dir/events.parquet").exists) {
+      val nEvents = 10000000L
+      val nUsers = scala.math.max(100, (nEvents / 666).toInt)
+      spark.range(0L, nEvents).map(evFor(_, nUsers, 2026L))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    }
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("event_id", "timestamp_micros(ts div 1000) AS ts",
+        "event_type")
+    ev.createOrReplaceTempView("__a52_ev")
+    val cutTs = spark.sql(
+      """SELECT timestampadd(DAY, -9, max(date_trunc('DAY', ts)))
+        |FROM __a52_ev""".stripMargin).head().getTimestamp(0)
+    val cutDay = cutTs.getTime / 86400000L
+    val planted = ev.unionByName(
+      ev.where(s"event_type = 'click' AND ts >= '$cutTs'"))
+    val (cu, wCu) = wall(ops.Sessionize.evCusum(planted).collect())
+    val alarms = cu.filter(_.getBoolean(5))
+    require(alarms.length >= 4,
+      s"planted doubled click shift: only ${alarms.length} alarm days")
+    require(alarms.forall(r => r.getString(0) == "click" &&
+      r.getTimestamp(1).getTime / 86400000L >= cutDay),
+      s"alarm outside the planted shift: ${alarms.take(3).toSeq}")
+    println(f"PSCALE q=ev_cusum events=${planted.count()} " +
+      f"alarm_days=${alarms.length} (all click, all in-shift) " +
+      f"w=$wCu%.1f s")
+    // PageTracker parity at 10M: the tracker fed the batch op's own
+    // per-type means reads the SQL rows bit-for-bit
+    val daily = planted
+      .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime / 86400000L,
+        r.getLong(2)))
+    val means = daily.groupBy(_._1).map { case (t, rows) =>
+      val s0 = rows.map(_._3).sum; val c = rows.length.toLong
+      t -> ((s0 / c) * 1000000L + ((s0 % c) * 1000000L) / c)
+    }
+    val (pt, wPt) = wall(streaming.PageTracker.pageBatch(
+      planted.select("ts", "event_type")
+        .as[streaming.PageTracker.PgEv], means).collect())
+    val sqlKey = cu.map(r => ((r.getString(0),
+      r.getTimestamp(1).getTime / 86400000L),
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))))
+      .sortBy(_._1).toSeq
+    val trKey = pt.map(r => ((r.event_type, r.day),
+      (r.n, r.dev_micro, r.cusum_micro, r.alarm))).sortBy(_._1).toSeq
+    require(sqlKey == trKey, "PageTracker != evCusum SQL at 10M events")
+    println(f"PSCALE q=ev_cusum tracker_parity rows=${pt.length} " +
+      f"(bit-identical) fold_wall=$wPt%.1f s")
+    graft.SparkHygiene.clearSessionCaches(spark)
+
+    // ---- ev_mad at 10M: a 10x day AND a 3x day planted on 'view' —
+    // the 10x day inflates sigma enough to hide the 3x day from a
+    // z-chart; the MAD chart must flag BOTH
+    val d10 = new java.sql.Timestamp(cutTs.getTime - 4L * 86400000L)
+    val d3 = new java.sql.Timestamp(cutTs.getTime - 2L * 86400000L)
+    def copies(dayTs: java.sql.Timestamp, k: Int) =
+      ev.where(s"event_type = 'view' AND date_trunc('DAY', ts) = '$dayTs'")
+        .crossJoin(spark.range(1, k + 1).toDF("rep")).drop("rep")
+        .select("event_id", "ts", "event_type")
+    val evMadIn = ev.select("event_id", "ts", "event_type")
+      .unionByName(copies(d10, 9)).unionByName(copies(d3, 2))
+    val (md, wMd) = wall(ops.Sessionize.evMad(evMadIn).collect())
+    val vAlarm = md.filter(r => r.getString(0) == "view" &&
+      r.getBoolean(6)).map(_.getTimestamp(1).getTime / 86400000L).toSet
+    require(vAlarm.contains(d10.getTime / 86400000L) &&
+      vAlarm.contains(d3.getTime / 86400000L),
+      s"planted 10x/3x view days not flagged: $vAlarm")
+    // the z-chart comparison: with the 10x day in-window, the 3x day
+    // reads under z=3
+    val vCounts = md.filter(_.getString(0) == "view")
+      .map(r => (r.getTimestamp(1).getTime / 86400000L, r.getLong(2)))
+    val xs = vCounts.map(_._2.toDouble)
+    val mu = xs.sum / xs.length
+    val sd = math.sqrt(xs.map(x => (x - mu) * (x - mu)).sum / xs.length)
+    val n3 = vCounts.find(_._1 == d3.getTime / 86400000L).get._2
+    require((n3 - mu) / sd < 3.0,
+      f"3x day z=${(n3 - mu) / sd}%.2f not hidden — probe premise broken")
+    println(f"PSCALE q=ev_mad events=${evMadIn.count()} " +
+      f"view_alarms=${vAlarm.size} z3x=${(n3 - mu) / sd}%.2f (<3, " +
+      f"hidden from the z-chart; MAD flags it) w=$wMd%.1f s")
+    graft.SparkHygiene.clearSessionCaches(spark)
+
+    // ---- ss_bq / ss_rp at 100k vectors (the addendum51 corpus):
+    // rescore exactness is REQUIRED; recall reported against brute with
+    // a conservative floor (these are mid-similarity weak-label vectors
+    // — the spec-tier clustered locks carry the recall contract)
+    val embPath = s"$dir/embeddings19.parquet"
+    if (!new java.io.File(embPath).exists) {
+      spark.range(0L, 100000L).map(vecFor(_, 64, 7, 2026L))
+        .toDF("vec_id", "embedding", "label")
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(embPath)
+    }
+    val emb = spark.read.parquet(embPath).select("vec_id", "embedding")
+    val (br, wBr) = wall(ops.Similarity.bruteTopkOn(spark, emb,
+      "vec_id % 5000 = 0", topK = 5).collect())
+    val brMap = br.map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    val brTop = brMap.keys.groupBy(_._1)
+    def recallOf(rows: Array[org.apache.spark.sql.Row],
+        tag: String, wall0: Double): Double = {
+      rows.foreach { r =>
+        val k = (r.getLong(0), r.getLong(1))
+        brMap.get(k).foreach(b => require(b == r.getDouble(2),
+          s"$tag rescore drift at $k"))
+      }
+      val top = rows.map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      val rs = brTop.map { case (q, exact) =>
+        val g = top.getOrElse(q, Array.empty).map(_._2).toSet
+        exact.map(_._2).count(g) / exact.size.toDouble
+      }
+      val rec = rs.sum / rs.size
+      println(f"PSCALE q=$tag vectors=100000 recall@5=$rec%.3f " +
+        f"w=$wall0%.1f s")
+      graft.SparkHygiene.clearSessionCaches(spark)
+      rec
+    }
+    val (bq, wBq) = wall(ops.Similarity.ssBqTopkOn(spark, emb,
+      "vec_id % 5000 = 0", topK = 5, mult = 12).collect())
+    val rBq = recallOf(bq, "ss_bq_topk(mult=12)", wBq)
+    require(rBq >= 0.10,
+      f"1-bit/dim recall collapsed to noise at 100k: $rBq%.3f")
+    // RP is a DIMENSION dial: on this weak-label mid-sim corpus the
+    // 1/√pDim JL distortion is comparable to the inter-neighbor cosine
+    // gaps, so pDim=16 recall is expected LOW (the LSH-regime honesty
+    // note) and doubling pDim must buy it back
+    val (rp16, wRp16) = wall(ops.Similarity.ssRpTopkOn(spark, emb,
+      "vec_id % 5000 = 0", topK = 5, mult = 12).collect())
+    val r16 = recallOf(rp16, "ss_rp_topk(pDim=16,mult=12)", wRp16)
+    val (rp32, wRp32) = wall(ops.Similarity.ssRpTopkOn(spark, emb,
+      "vec_id % 5000 = 0", topK = 5, pDim = 32, mult = 12).collect())
+    val r32 = recallOf(rp32, "ss_rp_topk(pDim=32,mult=12)", wRp32)
+    require(r32 > r16 && r16 >= 0.03,
+      f"pDim is not acting as the recall dial: $r16%.3f -> $r32%.3f")
+    println(f"PSCALE bq/rp ladder brute_wall=$wBr%.1f s " +
+      f"(bq=$rBq%.3f rp16=$r16%.3f rp32=$r32%.3f)")
+
+    // ---- dd_editdist at 500k docs: diverse-head word-salad corpus
+    // (20k distinct opening tokens — the field-diversity regime the
+    // blocking discipline targets), a 1-substitution twin for every
+    // 100th doc; every planted twin must link at dist <= 1 and the
+    // block fan-in must stay bounded
+    val vocab = Array("key", "agg", "row", "scan", "slow", "fast",
+      "table", "value", "part", "hash", "merge", "batch", "window",
+      "spark", "order", "data", "column", "join", "small", "line")
+    val docs500 = spark.range(0L, 500000L).map { i =>
+      val rng = new scala.util.Random(2026L ^ (i * 0x9E3779B97F4A7C15L))
+      val head = f"t${math.abs(rng.nextLong()) % 20000}%05d"
+      val body = Array.fill(20 + rng.nextInt(40))(
+        vocab(rng.nextInt(vocab.length))).mkString(" ")
+      (i, s"$head $body")
+    }.toDF("doc_id", "text")
+    docs500.createOrReplaceTempView("__a52_docs")
+    val corpus = spark.sql(
+      s"""SELECT doc_id, text FROM __a52_docs
+         |UNION ALL
+         |SELECT doc_id + ${ops.Dedup.TwinIdOffset},
+         |       concat(substring(text, 1, 10), 'q', substring(text, 12))
+         |FROM __a52_docs WHERE doc_id % 100 = 0""".stripMargin)
+    val (edAgg, wEd) = wall(ops.Dedup.ddEditDistOn(corpus)
+      .selectExpr("COUNT(*) AS pairs",
+        s"SUM(CASE WHEN doc_b = doc_a + ${ops.Dedup.TwinIdOffset} " +
+          "AND dist <= 1 THEN 1 ELSE 0 END) AS twins").head())
+    require(edAgg.getLong(1) == 5000L,
+      s"planted twins linked: ${edAgg.getLong(1)} of 5000")
+    val blocks = corpus.selectExpr("length(text) div 16 AS lb",
+      "substring(text, 1, 8) AS pk")
+      .groupBy("lb", "pk").count()
+      .agg(max("count").as("mx"), avg("count").as("mean")).head()
+    println(f"PSCALE q=dd_editdist docs=505000 pairs=${edAgg.getLong(0)} " +
+      f"twins=5000/5000 max_block=${blocks.getLong(0)} " +
+      f"mean_block=${blocks.getDouble(1)}%.1f w=$wEd%.1f s")
+    graft.SparkHygiene.clearSessionCaches(spark)
+
+    // ---- mm_ahash at 100k REAL PNGs (+2k bright-corner twins): every
+    // twin that links does so at a small Hamming distance, and the
+    // planted pairs are found through the actual encode->decode walk
+    val nImg = 100000L
+    val pngs = spark.range(0L, nImg).flatMap { id =>
+      def build(bright: Boolean): Array[Byte] = {
+        val w = 16 + (id % 17).toInt
+        val h = 16 + (id * 3 % 13).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val g0 = ((id * 31 + x * 7 + y * 13) % 256).toInt
+            val g = if (bright && x * 8 / w == 0 && y * 8 / h == 0)
+              math.min(255, g0 + 100) else g0
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      }
+      val base = Seq(ops.Multimodal.MediaRecord(id, "image", build(false)))
+      if (id % 50 == 0)
+        base :+ ops.Multimodal.MediaRecord(
+          id + ops.Multimodal.TwinOffset, "image", build(true))
+      else base
+    }
+    val (ah, wAh) = wall(ops.Multimodal.mmAhashPairs(pngs)
+      .selectExpr("COUNT(*) AS pairs",
+        s"SUM(CASE WHEN media_b = media_a + ${ops.Multimodal.TwinOffset} " +
+          "THEN 1 ELSE 0 END) AS twins",
+        "MAX(hamming) AS mxham").head())
+    require(ah.getLong(1) >= 1000L,
+      s"too few planted twins linked: ${ah.getLong(1)} of 2000")
+    require(ah.getLong(2) <= 3L, "banded verify admitted hamming > 3")
+    println(f"PSCALE q=mm_ahash images=102000 pairs=${ah.getLong(0)} " +
+      f"twin_links=${ah.getLong(1)}/2000 w=$wAh%.1f s")
+    println("PSCALE addendum52 done")
     spark.stop()
   }
 

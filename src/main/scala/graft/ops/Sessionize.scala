@@ -3315,10 +3315,16 @@ object Sessionize {
   /** The oracle-checked form: testdata daily volumes with a PLANTED
     * sustained shift (the evBots/ta_derep discipline — synthesize the
     * pathology, require the detector to find exactly it): the last 10
-    * observed days of the md5-lower half of event types carry +50 %
-    * volume (n + n div 2, applied on the day aggregate so both engines
-    * plant bit-identically). The planted types must walk the CUSUM over
-    * the alarm bar inside the shift window; unplanted types stay flat.
+    * observed days of the md5-lower half of event types carry DOUBLED
+    * volume (n + n, applied on the day aggregate so both engines plant
+    * bit-identically). The doubling is sized to the detector's own
+    * arithmetic: with 10 of ~30 days planted the corpus mean inflates
+    * to 4n/3, so each planted day contributes 2n − 1.1·(4n/3) ≈ 0.53n
+    * of drift and the CUSUM crosses the 2μ ≈ 2.67n bar on the 5th
+    * shifted day — deterministic alarms inside the window at any SF
+    * (a +50 % plant lands ~7 % UNDER the bar by the same algebra and
+    * only noise decides). Unplanted types stay pinned near zero: daily
+    * noise is far inside the μ/10 allowance.
     */
   def evCusum(s: SparkSession, dir: String): DataFrame = {
     Tables.load(s, dir, "events").createOrReplaceTempView("__events_cu")
@@ -3330,7 +3336,7 @@ object Sessionize {
         |SELECT event_type, day,
         |       CASE WHEN day >= t.c
         |                 AND substring(md5(event_type), 1, 1) < '8'
-        |            THEN n + (n div 2) ELSE n END AS n
+        |            THEN n + n ELSE n END AS n
         |FROM d CROSS JOIN cut t""".stripMargin)
     planted.createOrReplaceTempView("__cusum_days")
     s.sql(cusumSql("__cusum_days"))
@@ -3476,7 +3482,7 @@ object Sessionize {
         """d AS (SELECT event_type, day, """ +
         """CASE WHEN day >= t.c """ +
         """AND substring(md5(event_type), 1, 1) < '8' """ +
-        """THEN n + (n // 2) ELSE n END AS n """ +
+        """THEN n + n ELSE n END AS n """ +
         """FROM d0 CROSS JOIN cut t), """ +
         """m AS (SELECT event_type, """ +
         """((SUM(n) // COUNT(*)) * 1000000 """ +
