@@ -1304,6 +1304,11 @@ object Similarity {
     * BIGINT sum); Hamming is bit_count(xor) on both; the rescore is
     * the audited ROUND-6 cosine with id tie-breaks.
     *
+    * REGIME CONTRACT (measured): clustered-corpus recall@5 ≥ 0.5 at
+    * mult=12 (spec lock); on the 100k weak-label MID-similarity corpus
+    * it reads 0.220 — matching the lean-RQ rung with zero training
+    * (addendum52). `mult` is the recall dial, as for PQ.
+    *
     * Scale design: one narrow codegen pass packs codes (no shuffle,
     * 16 B/vector — 16× smaller than SQ8, same as PQ with zero
     * training); the query scan is a broadcast of Q codes against the
@@ -1382,6 +1387,15 @@ object Similarity {
     * coordinate accumulates as DECIMAL(27,12) (the dvar discipline)
     * with one terminal ROUND-6, so the projected vectors — and
     * everything ranked from them — are bit-equal across engines.
+    *
+    * REGIME CONTRACT (measured): `pDim` is THE dial, and it must be
+    * sized to the corpus's cosine gaps — clustered recall@5 ≥ 0.5 at
+    * pDim=16 (spec lock), but on the 100k weak-label MID-similarity
+    * corpus the 1/√pDim distortion is comparable to the inter-neighbor
+    * gaps and pDim=16 collapses to 0.080; pDim=32 reads 0.200
+    * (addendum52 — the LSH-regime honesty class). When the gaps are
+    * unknown, prefer the quantization entries: they compress per-dim
+    * precision, not the geometry.
     *
     * Scale design: the sign matrix is a 64·pDim-row relation built
     * from literals (broadcast, never shuffled); the projection is one
