@@ -52,19 +52,26 @@ object Caches {
     * SparkContext.persistentRdds for exactly as long as it is pinned,
     * so this ref outlives the wrapper and release stays TARGETED even
     * after the wrapper is collected; a cleared RDD ref conversely
-    * proves the pin is already gone.
+    * proves the pin is already gone. `viaTrack` records whether the
+    * entry was created by [[track]] — i.e. whether a CacheManager pin
+    * exists IN ADDITION to any RDD-layer pin: a track()'d frame whose
+    * analyzed plan is a LogicalRDD holds BOTH, and after its wrapper is
+    * collected the CacheManager half can only be freed by the
+    * clearCache fallback (the RDD ref alone is not proof the release
+    * was complete).
     */
   private final case class Tracked(
       df: WeakReference[DataFrame],
-      rdd: WeakReference[org.apache.spark.rdd.RDD[_]])
+      rdd: WeakReference[org.apache.spark.rdd.RDD[_]],
+      viaTrack: Boolean)
 
-  private def tracked(df: DataFrame): Tracked = {
+  private def tracked(df: DataFrame, viaTrack: Boolean): Tracked = {
     val rddRef = df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         new WeakReference[org.apache.spark.rdd.RDD[_]](lr.rdd)
       case _ => null
     }
-    Tracked(new WeakReference(df), rddRef)
+    Tracked(new WeakReference(df), rddRef, viaTrack)
   }
 
   /** Weak keys; values are queues of weak pin records. `WeakHashMap` is
@@ -87,7 +94,7 @@ object Caches {
   def track(df: DataFrame,
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val p = df.persist(level)
-    queueFor(df.sparkSession).add(tracked(p))
+    queueFor(df.sparkSession).add(tracked(p, viaTrack = true))
     p
   }
 
@@ -98,7 +105,7 @@ object Caches {
     * graph/Checkpoints.scala contract).
     */
   def trackPinned(df: DataFrame): DataFrame = {
-    queueFor(df.sparkSession).add(tracked(df))
+    queueFor(df.sparkSession).add(tracked(df, viaTrack = false))
     df
   }
 
@@ -127,15 +134,19 @@ object Caches {
               lr.rdd.unpersist(blocking = false)
             case _ => ()
           }
-        } else if (t.rdd != null) {
-          // wrapper collected, but the pin was RDD-layer and the RDD ref
-          // stays live while pinned — release it individually
-          val rdd = t.rdd.get()
-          if (rdd != null) rdd.unpersist(blocking = false)
         } else {
-          // wrapper collected and the pin lives in the shared-context
-          // CacheManager, which can no longer be addressed individually
-          lost = true
+          // wrapper collected: release any RDD-layer pin individually —
+          // the RDD ref stays live exactly while pinned
+          if (t.rdd != null) {
+            val rdd = t.rdd.get()
+            if (rdd != null) rdd.unpersist(blocking = false)
+          }
+          // a track()'d entry ALSO holds a CacheManager pin (persist),
+          // which can no longer be addressed individually once the
+          // wrapper is gone — a live RDD ref is not proof the release
+          // was complete (a track()'d LogicalRDD frame holds both pins).
+          // Same for a non-LogicalRDD entry of either origin.
+          if (t.viaTrack || t.rdd == null) lost = true
         }
       }
       if (lost) spark.catalog.clearCache()

@@ -418,6 +418,17 @@ object GraphQueries {
     * round. Aggregation inside a recursive CTE is not expressible in
     * DuckDB 1.0, so the loop is unrolled to a measured-safe depth
     * instead (the q60_anf oracle discipline).
+    *
+    * SELF-CHECKING (round-11 advice): the unroll depth is sized from
+    * convergence measured at the test SFs; on a deeper graph a
+    * pre-fixpoint oracle would silently blame Spark. So the oracle
+    * asserts its OWN fixpoint — if the last two rounds differ on any
+    * node, it emits a poison `coreness = -1` row (carrying the
+    * disagreeing-node count) that the Spark side can never produce,
+    * turning "unroll too shallow" into an unmistakable diagnostic
+    * instead of a spurious value mismatch. At the fixpoint the
+    * symmetric EXCEPT is empty and the poison row vanishes, so the
+    * green path is untouched.
     */
   val q53OracleSql: String = {
     val rounds = (1 to CorenessUnroll).map { k =>
@@ -429,14 +440,26 @@ object GraphQueries {
          |    FROM e JOIN h${k - 1} v ON v.node = e.dst) GROUP BY node)"""
         .stripMargin
     }.mkString(",\n")
+    val last = s"h$CorenessUnroll"
+    val prev = s"h${CorenessUnroll - 1}"
     s"""WITH fwd AS (
        |  SELECT DISTINCT l_suppkey::BIGINT AS src,
        |         (l_partkey + 1000000)::BIGINT AS dst FROM lineitem),
        |e AS (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
        |h0 AS (SELECT src AS node, COUNT(*)::BIGINT AS c FROM e GROUP BY src),
-       |$rounds
-       |SELECT c AS coreness, COUNT(*) AS n_nodes
-       |FROM h$CorenessUnroll GROUP BY 1 ORDER BY coreness""".stripMargin
+       |$rounds,
+       |conv AS (
+       |  SELECT COUNT(*)::BIGINT AS nc FROM (
+       |    (SELECT * FROM $last EXCEPT SELECT * FROM $prev)
+       |    UNION ALL
+       |    (SELECT * FROM $prev EXCEPT SELECT * FROM $last)))
+       |SELECT coreness, n_nodes FROM (
+       |  SELECT c AS coreness, COUNT(*)::BIGINT AS n_nodes
+       |  FROM $last GROUP BY 1
+       |  UNION ALL
+       |  SELECT (-1)::BIGINT AS coreness, nc AS n_nodes FROM conv
+       |  WHERE nc > 0)
+       |ORDER BY coreness""".stripMargin
       .replaceAll("\n", " ")
   }
 

@@ -3167,33 +3167,6 @@ object Sessionize {
     evPsi(s.table("__events_psi"))
   }
 
-  /** Daily-volume CUSUM drift detector per event type (Page 1954, the
-    * classical sequential change detector; Basseville–Nikiforov 1993
-    * survey form): the one-sided upper CUSUM S_d = max(0, S_{d−1} +
-    * (n_d − μ − k)) accumulates persistent excess over the baseline
-    * mean μ plus an allowance k = μ/10, and alarms when S_d exceeds
-    * h = 2μ — the complement of ev_spike's per-day z-score (a spike
-    * fires on one loud day; CUSUM fires on a quiet SUSTAINED shift
-    * that never clears any single-day bar).
-    *
-    * Engine-exactness: all fixed-point BIGINT micro-units — μ via the
-    * overflow-safe split floor((s div n)·10⁶ + ((s mod n)·10⁶) div n)
-    * (the doremi discipline), and the max(0, ·) recursion is NOT folded
-    * sequentially: S_d = ps_d − min(0, min_{j≤d} ps_j) where ps is the
-    * running deviation sum — the reset point of a one-sided CUSUM is
-    * exactly the running minimum of its prefix sums, so two windows
-    * over the (type, day) relation replace the recurrence in both
-    * engines.
-    *
-    * Scale design: one (type, day) partial+final count (the ev_ewma
-    * shape — output days×types-bounded at any event volume), one
-    * types-sized mean join, two windows over the tiny fold relation.
-    * [[graft.streaming.PageTracker]] is the streaming twin: same
-    * arithmetic against a FITTED baseline, O(1) state per metric
-    * ([[graft.streaming.CusumTracker]] is the neighboring TWO-sided
-    * self-baselining chart — ev_changepoint's online form; this op's
-    * externally fitted μ is what makes exact batch parity possible).
-    */
   /** The CUSUM chain over an already-day-aggregated relation
     * `daysRel(event_type, day, n)` — one text, shared by the raw entry
     * and the planted oracle form so the two cannot drift.
@@ -3301,6 +3274,33 @@ object Sessionize {
     evMad(s.table("__events"))
   }
 
+  /** Daily-volume CUSUM drift detector per event type (Page 1954, the
+    * classical sequential change detector; Basseville–Nikiforov 1993
+    * survey form): the one-sided upper CUSUM S_d = max(0, S_{d−1} +
+    * (n_d − μ − k)) accumulates persistent excess over the baseline
+    * mean μ plus an allowance k = μ/10, and alarms when S_d exceeds
+    * h = 2μ — the complement of ev_spike's per-day z-score (a spike
+    * fires on one loud day; CUSUM fires on a quiet SUSTAINED shift
+    * that never clears any single-day bar).
+    *
+    * Engine-exactness: all fixed-point BIGINT micro-units — μ via the
+    * overflow-safe split floor((s div n)·10⁶ + ((s mod n)·10⁶) div n)
+    * (the doremi discipline), and the max(0, ·) recursion is NOT folded
+    * sequentially: S_d = ps_d − min(0, min_{j≤d} ps_j) where ps is the
+    * running deviation sum — the reset point of a one-sided CUSUM is
+    * exactly the running minimum of its prefix sums, so two windows
+    * over the (type, day) relation replace the recurrence in both
+    * engines.
+    *
+    * Scale design: one (type, day) partial+final count (the ev_ewma
+    * shape — output days×types-bounded at any event volume), one
+    * types-sized mean join, two windows over the tiny fold relation.
+    * [[graft.streaming.PageTracker]] is the streaming twin: same
+    * arithmetic against a FITTED baseline, O(1) state per metric
+    * ([[graft.streaming.CusumTracker]] is the neighboring TWO-sided
+    * self-baselining chart — ev_changepoint's online form; this op's
+    * externally fitted μ is what makes exact batch parity possible).
+    */
   def evCusum(events: DataFrame): DataFrame = {
     val s = events.sparkSession
     events.createOrReplaceTempView("__cusum_events")

@@ -54,6 +54,13 @@ object PageTracker {
 
   val DayUs: Long = 86400000000L
   val DayMs: Long = 86400000L
+
+  /** Default state-GC horizon: a type idle this many days past its last
+    * closed day is dropped (the SequentialTracker horizon rule) and
+    * RE-BASELINES (S = 0) if it ever resumes — see the [[pageStream]]
+    * parity caveat.
+    */
+  val IdleHorizonDays: Long = 30L
   private val M = 1000000L
   private val Empty = PgState(Nil, Nil, 0L, Long.MinValue)
 
@@ -82,7 +89,8 @@ object PageTracker {
   }
 
   private def advance(key: String, meanMicro: Long, st: PgState,
-      wmMs: Long, state: GroupState[PgState]): Iterator[PageRow] = {
+      wmMs: Long, state: GroupState[PgState],
+      horizonDays: Long): Iterator[PageRow] = {
     val finalThrough = Math.floorDiv(wmMs, DayMs) - 1
     var cur = st
     val out = Seq.newBuilder[PageRow]
@@ -96,10 +104,11 @@ object PageTracker {
     val keepIdx = st.days.zipWithIndex.filter(_._1 > cur.emitted).map(_._2)
     val next = cur.copy(days = keepIdx.map(st.days),
       ns = keepIdx.map(st.ns))
-    // GC: a type idle 30 days past its last closed day re-baselines if
-    // it ever resumes (the SequentialTracker horizon rule)
+    // GC: a type idle IdleHorizonDays past its last closed day
+    // re-baselines if it ever resumes (the SequentialTracker horizon
+    // rule) — the parity caveat documented on pageStream
     if (keepIdx.isEmpty && (next.emitted == Long.MinValue ||
-        wmMs >= (next.emitted + 30) * DayMs)) state.remove()
+        wmMs >= (next.emitted + horizonDays) * DayMs)) state.remove()
     else {
       state.update(next)
       next.days.minOption.foreach { d =>
@@ -107,7 +116,7 @@ object PageTracker {
       }
       if (next.days.isEmpty)
         state.setTimeoutTimestamp(
-          math.max((next.emitted + 30) * DayMs, wmMs + 1))
+          math.max((next.emitted + horizonDays) * DayMs, wmMs + 1))
     }
     out.result().iterator
   }
@@ -117,17 +126,19 @@ object PageTracker {
       s"PageTracker: no baseline mean for event type '$key' — every " +
         "type on the stream needs its fitted mean_micro"))
 
-  private[streaming] def stateFn(means: Map[String, Long])(
+  private[streaming] def stateFn(means: Map[String, Long],
+      horizonDays: Long = IdleHorizonDays)(
       key: String, events: Iterator[PgEv],
       state: GroupState[PgState]): Iterator[PageRow] = {
     val mu = meanFor(means, key)
     val wmMs =
       try state.getCurrentWatermarkMs()
       catch { case _: UnsupportedOperationException => 0L }
-    if (state.hasTimedOut) advance(key, mu, state.get, wmMs, state)
+    if (state.hasTimedOut) advance(key, mu, state.get, wmMs, state,
+      horizonDays)
     else {
       val st = merged(state, events)
-      try advance(key, mu, st, wmMs, state)
+      try advance(key, mu, st, wmMs, state, horizonDays)
       catch { // batch mode has no timeout clock — pageBatch emits
         case _: UnsupportedOperationException => Iterator.empty
       }
@@ -137,14 +148,26 @@ object PageTracker {
   /** Streaming entry: one row per observed (type, day), emitted at
     * watermark finalization, folded in strict day order against the
     * per-type fitted baseline `means` (event type → mean_micro).
+    *
+    * PARITY CAVEAT (the exactness contract's one bound): bit-for-bit
+    * equality with `evCusum` holds only while no event type goes idle
+    * longer than [[IdleHorizonDays]] past its last closed day. At that
+    * horizon the tracker GCs the type's state (unbounded-idle keys must
+    * not accumulate), so a type that RESUMES after a longer gap
+    * re-baselines — S and the emitted watermark restart at zero — while
+    * the batch op's prefix-sum identity carries the full history. A
+    * deployment that must survive longer outages passes a larger
+    * `horizonDays` (the state held across the gap is one folded Long
+    * plus the emitted day, so a long horizon is cheap).
     */
   def pageStream(events: Dataset[PgEv],
-      means: Map[String, Long]): Dataset[PageRow] = {
+      means: Map[String, Long],
+      horizonDays: Long = IdleHorizonDays): Dataset[PageRow] = {
     implicit val rowEnc = Encoders.product[PageRow]
     implicit val stEnc = Encoders.product[PgState]
     events.groupByKey(_.event_type)(Encoders.STRING)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.EventTimeTimeout)(stateFn(means))
+        GroupStateTimeout.EventTimeTimeout)(stateFn(means, horizonDays))
   }
 
   /** Batch entry: every observed day final, folded in day order. Rows

@@ -97,4 +97,41 @@ class SessionCollectSpec extends AnyFunSuite {
     assert((after -- baseline).isEmpty,
       s"clearCache fallback left pinned RDDs: ${after -- baseline}")
   }
+
+  /** track() a LogicalRDD-backed frame: the entry holds a CacheManager
+    * pin (persist) AND records an RDD ref (the LogicalRDD leaf). The
+    * RDD ref stays live after the wrapper is collected (the cached plan
+    * holds it), so the buggy release path would unpersist the RDD
+    * (a no-op here) and skip the clearCache fallback — leaking the
+    * CacheManager block. Return only the weak ref.
+    */
+  private def orphanTrackedLogicalRdd(): WeakReference[Any] = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val rdd = spark.sparkContext.parallelize(0L until 1000L, 4).map(Row(_))
+    val p = Caches.track(spark.createDataFrame(rdd,
+      StructType(Seq(StructField("id", LongType)))))
+    assert(p.queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD],
+      "fixture must exercise the LogicalRDD dual-ref path")
+    p.count() // materialize the CacheManager block
+    new WeakReference(p)
+  }
+
+  test("collected track()'d LogicalRDD wrapper releases BOTH pins — the " +
+      "RDD ref alone must not suppress the clearCache fallback") {
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
+    val wrapperRef = orphanTrackedLogicalRdd()
+    if (!gcUntil(() => wrapperRef.get() == null)) {
+      Caches.releaseAll(spark)
+      cancel("GC would not collect the wrapper; dual-pin path not reached")
+    }
+    assert(spark.sparkContext.getPersistentRDDs.keySet != baseline,
+      "expected the orphaned dual pin to still hold blocks")
+    Caches.releaseAll(spark)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- baseline).isEmpty,
+      s"releaseAll left pinned RDDs after a collected dual-pin wrapper " +
+        s"(CacheManager half leaked?): ${after -- baseline}")
+  }
 }
