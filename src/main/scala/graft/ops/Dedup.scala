@@ -444,15 +444,31 @@ object Dedup {
     * Hamming-≤3 set (locked by DedupScaleSpec).
     */
   def ddSimhashPairs(s: SparkSession, dir: String): DataFrame = {
-    simhash64(s, dir).createOrReplaceTempView("__sig64")
+    // tracked: the signature pass (64 weighted bit-sums per doc) feeds
+    // the band join twice AND the guard's count pre-agg — one narrow
+    // (doc_id, simhash) relation, computed once (Caches contract)
+    Caches.track(simhash64(s, dir)).createOrReplaceTempView("__sig64")
+    val band = s.sql(
+      """SELECT doc_id, simhash, bno,
+        |       shiftright(simhash, 16 * bno) & 65535 AS bk
+        |FROM __sig64 LATERAL VIEW explode(sequence(0, 3)) AS bno"""
+        .stripMargin)
+    // DENSITY GUARD (r12, shared helper): a band key shared by B docs
+    // yields C(B,2) candidates on ONE shuffle key — constant-prefix
+    // corpora (identical boilerplate → identical simhash) alias whole
+    // shards into one band bucket. Per-(bno, doc) draw: a doc sampled
+    // out of one blown band keeps its other three bands.
+    DensityGuard.guard(band, Seq("bno", "bk"),
+        DensityGuard.drawOn("simguard:", col("bno"), lit(":"),
+          col("doc_id")),
+        tag = "dd_simhash_pairs",
+        remediation = "Use more/wider bands, raise the cap, or use " +
+          "onOverflow=sample.")
+      .createOrReplaceTempView("__sig64_band")
     s.sql(
-      """WITH band AS (
-        |  SELECT doc_id, simhash, bno,
-        |         shiftright(simhash, 16 * bno) & 65535 AS bk
-        |  FROM __sig64 LATERAL VIEW explode(sequence(0, 3)) AS bno)
-        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |       CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT) AS hamming
-        |FROM band a JOIN band b
+        |FROM __sig64_band a JOIN __sig64_band b
         |  ON a.bno = b.bno AND a.bk = b.bk AND a.doc_id < b.doc_id
         |WHERE bit_count(a.simhash ^ b.simhash) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin)
@@ -468,20 +484,32 @@ object Dedup {
     * bands surface.
     *
     * Scale design: identical candidate generation to ddSimhashPairs
-    * (band-bounded, never all-pairs); the rollup is a ≤65-row histogram
-    * and the cumulative window runs on that tiny relation.
+    * (band-bounded, never all-pairs, and since r12 under the same
+    * [[DensityGuard]] — a sampled blown band makes the histogram a
+    * per-band-uniform ESTIMATE over that band's pairs, which is the
+    * right trade for a calibration table: the elbow survives, the
+    * quadratic key doesn't); the rollup is a ≤65-row histogram and the
+    * cumulative window runs on that tiny relation.
     */
   def ddHammingHist(s: SparkSession, dir: String): DataFrame = {
-    simhash64(s, dir).createOrReplaceTempView("__sig64h")
+    Caches.track(simhash64(s, dir)).createOrReplaceTempView("__sig64h")
+    val band = s.sql(
+      """SELECT doc_id, simhash, bno,
+        |       shiftright(simhash, 16 * bno) & 65535 AS bk
+        |FROM __sig64h LATERAL VIEW explode(sequence(0, 3)) AS bno"""
+        .stripMargin)
+    DensityGuard.guard(band, Seq("bno", "bk"),
+        DensityGuard.drawOn("simguard:", col("bno"), lit(":"),
+          col("doc_id")),
+        tag = "dd_hamming_hist",
+        remediation = "Use more/wider bands, raise the cap, or use " +
+          "onOverflow=sample.")
+      .createOrReplaceTempView("__sig64h_band")
     s.sql(
-      """WITH band AS (
-        |  SELECT doc_id, simhash, bno,
-        |         shiftright(simhash, 16 * bno) & 65535 AS bk
-        |  FROM __sig64h LATERAL VIEW explode(sequence(0, 3)) AS bno),
-        |cand AS (
+      """WITH cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |         CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT) AS hamming
-        |  FROM band a JOIN band b
+        |  FROM __sig64h_band a JOIN __sig64h_band b
         |    ON a.bno = b.bno AND a.bk = b.bk AND a.doc_id < b.doc_id)
         |SELECT hamming, COUNT(*) AS n_pairs,
         |       CAST(SUM(COUNT(*)) OVER (ORDER BY hamming) AS BIGINT)
@@ -675,39 +703,15 @@ object Dedup {
     // path's pin is freed by the caller via Caches.releaseAll (the
     // harness does it between queries) — double-release is a no-op
     val sigP = Caches.track(sig)
-    val counts = sigP.groupBy("label", "bucket").agg(count(lit(1)).as("block_n"))
-    val guarded = onOverflow match {
-      case "fail" =>
-        val over = counts.filter(col("block_n") > maxBlockRows)
-          .orderBy(col("block_n").desc)
-        val top = over.limit(5).collect()
-        if (top.nonEmpty) {
-          val est = over
-            .agg(sum(col("block_n") * (col("block_n") - 1) / 2)).head().getDouble(0)
-          sigP.unpersist(blocking = false) // failure paths free their pins
-          throw new IllegalStateException(
-            s"dd_embed_cos density guard: ${top.length}+ (label,bucket) blocks " +
-              s"exceed maxBlockRows=$maxBlockRows — worst " +
-              top.map(r => s"(label=${r.get(0)},bucket=${r.get(1)})=${r.getLong(2)}")
-                .mkString(", ") +
-              f"; unguarded in-block pair volume ≥ $est%.3g. " +
-              "Re-block with more planes, raise the cap, or use onOverflow=sample.")
-        }
-        sigP
-      case "sample" =>
-        // integer-exact rate test: keep iff draw/1e6 < cap/block_n, i.e.
-        // draw · block_n < cap · 1e6 (draw = uniform 0..999999 from
-        // xxhash64, independent of the signature hash family)
-        sigP.join(counts, Seq("label", "bucket"))
-          .where(col("block_n") <= maxBlockRows ||
-            pmod(xxhash64(concat(lit("cosguard:"), col("vec_id"))), lit(1000000L))
-              * col("block_n") < lit(maxBlockRows.toLong * 1000000L))
-          .drop("block_n")
-      case other =>
-        sigP.unpersist(blocking = false) // nothing materialized, but the
-        throw new IllegalArgumentException( // cache registration lingers
-          s"onOverflow=$other (fail|sample)")
-    }
+    // the guard chain is the shared DensityGuard (factored out of this
+    // op in r12 — the draw reproduces the pre-refactor 'cosguard:'
+    // xxhash64 bit-for-bit, independent of the signature hash family)
+    val guarded = DensityGuard.guard(sigP, Seq("label", "bucket"),
+      DensityGuard.drawOn("cosguard:", col("vec_id")),
+      maxBlockRows, onOverflow, tag = "dd_embed_cos",
+      remediation =
+        "Re-block with more planes, raise the cap, or use onOverflow=sample.",
+      onFail = sigP.unpersist(blocking = false)) // failure paths free pins
     guarded.createOrReplaceTempView("__esig")
     // scored pairs are persisted before the threshold filter: predicate
     // pushdown would otherwise substitute the cosine fold into the WHERE
@@ -1305,25 +1309,49 @@ object Dedup {
     *
     * Scale design: the block key is an equality join (hash exchange,
     * never a cross product); per-block fan-in is the corpus's key
-    * cardinality profile (≤ 3 docs/block on the testdata, measured),
-    * and the DP runs only on surviving candidate pairs over fixed
-    * 64-char windows. Output is linked-pair-sized.
+    * cardinality profile (≤ 3 docs/block on the testdata, ≤ 5 measured
+    * at 505k diverse-head docs), and the DP runs only on surviving
+    * candidate pairs over fixed 64-char windows. Output is
+    * linked-pair-sized. DENSITY-GUARDED (r11 verdict: the op's actual
+    * target regime — log lines, form letters, boilerplate-prefixed web
+    * pages — is exactly the templated-head distribution that puts
+    * millions of docs in ONE (prefix, length-bucket) block and makes
+    * the DP join quadratic on a single key): the [[DensityGuard]]
+    * pre-agg bounds every block at `maxBlockRows` BEFORE the self-join,
+    * sample-or-fail per `onOverflow`; under-cap corpora are bit-exact,
+    * so the DuckDB oracle (which replays the unguarded chain) stays
+    * green at the test SFs. The cap is sized to the DP cost: C(cap,2)
+    * pairs × the w² window DP is ~2¹⁹ pairs per blown block at 1024.
     */
+  val EditDistMaxBlockRows: Int = 1024
+
   def ddEditDistOn(docs: DataFrame, maxDist: Int = 2,
-      window: Int = 64): DataFrame = {
+      window: Int = 64, maxBlockRows: Int = EditDistMaxBlockRows,
+      onOverflow: String = "sample"): DataFrame = {
     val s = docs.sparkSession
     docs.createOrReplaceTempView("__ed_docs")
+    // tracked: the narrow (id, head, lb, pk) relation feeds the guard's
+    // count pre-agg AND both self-join sides — one corpus scan instead
+    // of three (A/B'd at sf0.1: parity within ambient noise, 1.06 vs
+    // 1.08 s; kept for the scan-once shape, which is what matters when
+    // the text scan dominates at scale)
+    val blocks = Caches.track(s.sql(
+      s"""SELECT doc_id, substring(text, 1, $window) AS head,
+         |       length(text) div 16 AS lb,
+         |       substring(text, 1, 8) AS pk
+         |FROM __ed_docs""".stripMargin))
+    DensityGuard.guard(blocks, Seq("lb", "pk"),
+        DensityGuard.drawOn("edguard:", col("doc_id")),
+        maxBlockRows, onOverflow, tag = "dd_editdist",
+        remediation = "Block on a longer prefix or add a secondary " +
+          "blocking key, raise the cap, or use onOverflow=sample.")
+      .createOrReplaceTempView("__ed_blocks")
     s.sql(
-      s"""WITH b AS (
-         |  SELECT doc_id, substring(text, 1, $window) AS head,
-         |         length(text) div 16 AS lb,
-         |         substring(text, 1, 8) AS pk
-         |  FROM __ed_docs)
-         |SELECT doc_a, doc_b, dist FROM (
+      s"""SELECT doc_a, doc_b, dist FROM (
          |  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
          |         CAST(levenshtein(a.head, c.head) AS BIGINT) AS dist
-         |  FROM b a JOIN b c ON c.lb = a.lb AND c.pk = a.pk
-         |                   AND a.doc_id < c.doc_id)
+         |  FROM __ed_blocks a JOIN __ed_blocks c
+         |    ON c.lb = a.lb AND c.pk = a.pk AND a.doc_id < c.doc_id)
          |WHERE dist <= $maxDist
          |ORDER BY doc_a, doc_b""".stripMargin)
   }

@@ -786,21 +786,35 @@ object Multimodal {
     */
   def mmPhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sig = mediaFromDocs(s, dir).flatMap { r =>
+    // tracked: the typed hash pass feeds the band self-join AND the
+    // guard's count pre-agg — one narrow (media_id, phash) relation
+    val sig = graft.Caches.track(mediaFromDocs(s, dir).flatMap { r =>
       val twin = r.payload.clone()
       twin(twin.length / 2) = 'x'.toByte
       Seq((r.media_id, phash64(r.payload)),
         (r.media_id + TwinOffset, phash64(twin)))
-    }.toDF("media_id", "phash")
+    }.toDF("media_id", "phash"))
     sig.createOrReplaceTempView("__phash")
+    val band = s.sql(
+      """SELECT media_id, phash, bno,
+        |       shiftright(phash, 16 * bno) & 65535 AS bk
+        |FROM __phash LATERAL VIEW explode(sequence(0, 3)) AS bno"""
+        .stripMargin)
+    // DENSITY GUARD (r12, shared DensityGuard): media corpora alias
+    // aggressively — uniform-region images (white product shots,
+    // documents-as-images) share whole hashes, putting a corpus-sized
+    // class into ONE band bucket (C(B,2) on one shuffle key)
+    DensityGuard.guard(band, Seq("bno", "bk"),
+        DensityGuard.drawOn("phashguard:", col("bno"), lit(":"),
+          col("media_id")),
+        tag = "mm_phash_pairs",
+        remediation = "Use more/wider bands, raise the cap, or use " +
+          "onOverflow=sample.")
+      .createOrReplaceTempView("__phash_band")
     s.sql(
-      """WITH band AS (
-        |  SELECT media_id, phash, bno,
-        |         shiftright(phash, 16 * bno) & 65535 AS bk
-        |  FROM __phash LATERAL VIEW explode(sequence(0, 3)) AS bno)
-        |SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+      """SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
         |       CAST(bit_count(a.phash ^ b.phash) AS BIGINT) AS hamming
-        |FROM band a JOIN band b
+        |FROM __phash_band a JOIN __phash_band b
         |  ON a.bno = b.bno AND a.bk = b.bk AND a.media_id < b.media_id
         |WHERE bit_count(a.phash ^ b.phash) <= 3
         |ORDER BY media_a, media_b""".stripMargin)
@@ -857,36 +871,54 @@ object Multimodal {
     * near-dup needs and raw-byte hashing cannot have.
     *
     * Scale design: one typed decode pass emits 16 bytes per image
-    * (two BIGINT halves); banding is an equality join on 16-bit keys —
-    * candidates only ever meet inside a band bucket, never all-pairs;
-    * verification is four xor+popcount ops per candidate.
+    * (two BIGINT halves — TRACKED, so the decode never re-runs for the
+    * self-join sides or the guard's count pre-agg); banding is an
+    * equality join on 16-bit keys — candidates only ever meet inside a
+    * band bucket, never all-pairs; verification is four xor+popcount
+    * ops per candidate. DENSITY-GUARDED (r11 verdict: the builder's own
+    * addendum52 probe measured the blow-up mode — 30.9M pairs at 102k
+    * aliasing images; real corpora with large uniform regions alias the
+    * same way): every (bno, bk) bucket is bounded at `maxBlockRows` by
+    * the shared [[DensityGuard]] BEFORE the join, sample-or-fail per
+    * `onOverflow`, with a per-(band, image) draw so an image sampled
+    * out of one blown band keeps its other three. Under-cap corpora
+    * are bit-exact (the DuckDB oracle replays the unguarded chain).
     */
-  def mmAhashPairs(media: Dataset[MediaRecord], radius: Int = 3)
-      : DataFrame = {
+  def mmAhashPairs(media: Dataset[MediaRecord], radius: Int = 3,
+      maxBlockRows: Int = DensityGuard.DefaultMaxBlockRows,
+      onOverflow: String = "sample"): DataFrame = {
     require(radius >= 0 && radius <= 3,
       s"mmAhashPairs: 4x16 banding is pigeonhole-exact only to radius 3, got $radius")
     val s = media.sparkSession
     import s.implicits._
-    val sig = media.map { r =>
+    val sig = graft.Caches.track(media.map { r =>
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(r.payload))
       require(img != null, s"media ${r.media_id}: not a decodable image")
       val (lo, hi) = ahashHalves(img)
       (r.media_id, lo, hi)
-    }.toDF("media_id", "lo", "hi")
+    }.toDF("media_id", "lo", "hi"))
     sig.createOrReplaceTempView("__ahash")
+    val band = s.sql(
+      """SELECT media_id, lo, hi, bno,
+        |       CASE WHEN bno < 2
+        |            THEN shiftright(lo, 16 * bno) & 65535
+        |            ELSE shiftright(hi, 16 * (bno - 2)) & 65535
+        |       END AS bk
+        |FROM __ahash LATERAL VIEW explode(sequence(0, 3)) AS bno"""
+        .stripMargin)
+    DensityGuard.guard(band, Seq("bno", "bk"),
+        DensityGuard.drawOn("ahashguard:", col("bno"), lit(":"),
+          col("media_id")),
+        maxBlockRows, onOverflow, tag = "mm_ahash",
+        remediation = "Use more/wider bands, raise the cap, or use " +
+          "onOverflow=sample.")
+      .createOrReplaceTempView("__ahash_band")
     s.sql(
-      s"""WITH band AS (
-         |  SELECT media_id, lo, hi, bno,
-         |         CASE WHEN bno < 2
-         |              THEN shiftright(lo, 16 * bno) & 65535
-         |              ELSE shiftright(hi, 16 * (bno - 2)) & 65535
-         |         END AS bk
-         |  FROM __ahash LATERAL VIEW explode(sequence(0, 3)) AS bno)
-         |SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+      s"""SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
          |       CAST(bit_count(a.lo ^ b.lo)
          |            + bit_count(a.hi ^ b.hi) AS BIGINT) AS hamming
-         |FROM band a JOIN band b
+         |FROM __ahash_band a JOIN __ahash_band b
          |  ON a.bno = b.bno AND a.bk = b.bk AND a.media_id < b.media_id
          |WHERE bit_count(a.lo ^ b.lo) + bit_count(a.hi ^ b.hi)
          |        <= $radius
