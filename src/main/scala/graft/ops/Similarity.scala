@@ -1313,30 +1313,69 @@ object Similarity {
     * 16 B/vector — 16× smaller than SQ8, same as PQ with zero
     * training); the query scan is a broadcast of Q codes against the
     * code relation, never raw vectors; only rescore survivors touch
-    * floats. The IVF `qprobes` cut composes exactly as in
-    * [[ssIvfPqTopkOn]] when even the code scan must shrink. Contract:
-    * d ≤ 64 (the embeddings schema); wider vectors add halves.
+    * floats. Contract: d ≤ 64 (the embeddings schema); wider vectors
+    * add halves.
+    *
+    * `nprobe` is the scan dial (r11 verdict item #3 — the exact
+    * treatment RQ got): 0 (the default, the published BQ design) scans
+    * ALL N 16-byte codes per query — the declared linear-scan regime
+    * entry. Any positive value composes the IVF coarse cut
+    * ([[ssIvfPqTopkOn]]'s `qprobes` discipline): codes carry their
+    * coarse cell id and only the top-`nprobe` cells per query enter the
+    * Hamming scan — one equality join, per-query scan ~nprobe·N/nlist
+    * codes (nprobe·√N at √N nlist). [[ssIvfBqTopk]] is the probed
+    * oracle entry; recall-vs-nprobe is measured at 100k in PERF.md
+    * addendum53.
     */
   def ssBqTopkOn(s: SparkSession, emb: DataFrame, queryPred: String,
-                 topK: Int, mult: Int = 3): DataFrame = {
+                 topK: Int, mult: Int = 3, nlist: Int = 16,
+                 nprobe: Int = 0): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    emb.createOrReplaceTempView("__emb_bq")
     def half(off: Int): String =
       s"""aggregate(transform(slice(v, $off, 32),
          |  (x, i) -> IF(x > 0D, shiftleft(CAST(1 AS BIGINT), i),
          |               CAST(0 AS BIGINT))),
          |  CAST(0 AS BIGINT), (a, y) -> a + y)""".stripMargin
+    // nprobe=0: no IVF CTEs at all — base/n3 only, full compressed scan
+    // (the calibration/regime entry, SQL identical to the r11 form);
+    // nprobe>0: the shared k-means train/assign chain prepends, codes
+    // carry cid, and the ham scan is cut by the qprobes equality join
+    val C = s"cent$IvfIters"
+    val head =
+      if (nprobe <= 0) {
+        emb.createOrReplaceTempView("__emb_bq")
+        """base AS (
+          |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          |  FROM __emb_bq),
+          |n3 AS (
+          |  SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM base),
+          |code AS (
+          |  SELECT vec_id, v, nrm""".stripMargin
+      } else {
+        emb.createOrReplaceTempView("__emb")
+        s"""${ivfTrainAssignCtes(nlist)},
+           |qprobes AS (
+           |  SELECT qid, cid FROM (
+           |    SELECT n.vec_id AS qid, c.cid,
+           |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+           |             ORDER BY ROUND(graft_dot(n.v, c.cv) / (n.nrm * c.cnrm), 6)
+           |                        DESC, c.cid) AS rn
+           |    FROM n3 n CROSS JOIN $C c WHERE $queryPred) WHERE rn <= $nprobe),
+           |code AS (
+           |  SELECT vec_id, v, nrm, cid""".stripMargin
+      }
+    val hamFrom =
+      if (nprobe <= 0) "FROM qv q CROSS JOIN code c WHERE c.vec_id <> q.qid"
+      else
+        """FROM qv q JOIN qprobes p ON p.qid = q.qid
+          |  JOIN code c ON c.cid = p.cid
+          |  WHERE c.vec_id <> q.qid""".stripMargin
+    val codeSrc = if (nprobe <= 0) "n3" else "assign"
     s.sql(
-      s"""WITH base AS (
-         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM __emb_bq),
-         |n3 AS (
-         |  SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM base),
-         |code AS (
-         |  SELECT vec_id, v, nrm,
+      s"""WITH $head,
          |         ${half(1)} AS lo,
          |         ${half(33)} AS hi
-         |  FROM n3),
+         |  FROM $codeSrc),
          |qv AS (
          |  SELECT vec_id AS qid, v AS qvec, nrm AS qnrm, lo AS qlo,
          |         hi AS qhi
@@ -1345,7 +1384,7 @@ object Similarity {
          |  SELECT q.qid, c.vec_id AS neighbor_id,
          |         CAST(bit_count(q.qlo ^ c.lo)
          |              + bit_count(q.qhi ^ c.hi) AS BIGINT) AS ham
-         |  FROM qv q CROSS JOIN code c WHERE c.vec_id <> q.qid),
+         |  $hamFrom),
          |topc AS (
          |  SELECT qid, neighbor_id, ham FROM (
          |    SELECT qid, neighbor_id, ham,
@@ -1368,9 +1407,21 @@ object Similarity {
 
   /** Oracle-query form: BQ top-10 for query vectors vec_id < 5 —
     * row-comparable with the exact/SQ8/PQ/RQ ladder entries.
+    * Full-scan (nprobe=0): the published BQ regime; [[ssIvfBqTopk]] is
+    * the probed production shape.
     */
   def ssBqTopk(s: SparkSession, dir: String): DataFrame =
     ssBqTopkOn(s, Tables.load(s, dir, "embeddings"), "vec_id < 5", 10)
+
+  /** Oracle-query form: IVF-BQ top-10 at nlist=16/nprobe=2 — the probed
+    * composition of the BQ chain (coarse cut + Hamming ADC + exact
+    * rescore), row-comparable with [[ssIvfPqTopk]]/[[ssIvfRqTopk]] at
+    * the same cut. This is the 100 TB shape for BQ codes: per-query
+    * scan ~nprobe·N/nlist 16-byte codes instead of N.
+    */
+  def ssIvfBqTopk(s: SparkSession, dir: String): DataFrame =
+    ssBqTopkOn(s, Tables.load(s, dir, "embeddings"), "vec_id < 5", 10,
+      nprobe = 2)
 
   /** Random-projection top-k — the Johnson–Lindenstrauss axis of the
     * ladder (Achlioptas 2003's database-friendly ±1 projections): the
@@ -2454,6 +2505,7 @@ object Similarity {
     "ss_range" -> ((s: SparkSession, dir: String) => ssRangeSearch(s, dir)),
     "ss_sq_topk" -> (ssSqTopk _),
     "ss_bq_topk" -> (ssBqTopk _),
+    "ss_ivfbq_topk" -> (ssIvfBqTopk _),
     "ss_rp_topk" -> (ssRpTopk _),
     "ss_pq_topk" -> (ssPqTopk _),
     "ss_opq_topk" -> (ssOpqTopk _),
@@ -2649,6 +2701,104 @@ object Similarity {
         |  FROM res)
         |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
 
+
+  /** DuckDB twin of the BQ chain ([[ssBqTopkOn]]) — one generator for
+    * both ladder entries so they cannot drift: nprobe=0 emits the
+    * full-compressed-scan form (ss_bq_topk), nprobe>0 prepends the
+    * shared IVF train/assign chain and cuts the Hamming scan with the
+    * same `qprobes` equality join the Spark side uses (ss_ivfbq_topk).
+    */
+  private def bqDuckSql(nprobe: Int): String = {
+    val lo =
+      """list_sum([CASE WHEN v[i] > 0 THEN 1::BIGINT << (i - 1)
+        |               ELSE 0::BIGINT END
+        |          FOR i IN generate_series(1, 32)])::BIGINT""".stripMargin
+    val hi =
+      """list_sum([CASE WHEN v[i + 32] > 0 THEN 1::BIGINT << (i - 1)
+        |               ELSE 0::BIGINT END
+        |          FOR i IN generate_series(1, 32)])::BIGINT""".stripMargin
+    val head =
+      if (nprobe <= 0)
+        s"""WITH base AS (
+           |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),
+           |n3 AS (
+           |  SELECT vec_id, v, sqrt(list_sum([x * x FOR x IN v])) AS nrm
+           |  FROM base),
+           |code AS (
+           |  SELECT vec_id, v, nrm, $lo AS lo, $hi AS hi
+           |  FROM n3),""".stripMargin
+      else
+        s"""WITH base AS (
+           |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),
+           |n3 AS (
+           |  SELECT vec_id, v, sqrt(list_sum([x * x FOR x IN v])) AS nrm
+           |  FROM base),
+           |cent0 AS (
+           |  SELECT cid, cv, cnrm FROM (
+           |    SELECT (ROW_NUMBER() OVER (
+           |             ORDER BY md5('km42:' || vec_id::VARCHAR), vec_id))::INT
+           |             - 1 AS cid,
+           |           v AS cv, nrm AS cnrm
+           |    FROM n3) WHERE cid < 16),
+           |$ivfDuckIters,
+           |assign AS (
+           |  SELECT vec_id, v, nrm, cid FROM (
+           |    SELECT n.vec_id, n.v, n.nrm, c.cid,
+           |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+           |             ORDER BY ROUND(list_sum([n.v[i] * c.cv[i]
+           |                        FOR i IN generate_series(1, len(n.v))])
+           |                      / (n.nrm * c.cnrm), 6) DESC, c.cid) AS rn
+           |    FROM n3 n CROSS JOIN cent$IvfIters c) WHERE rn = 1),
+           |qprobes AS (
+           |  SELECT qid, cid FROM (
+           |    SELECT n.vec_id AS qid, c.cid,
+           |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+           |             ORDER BY ROUND(list_sum([n.v[i] * c.cv[i]
+           |                        FOR i IN generate_series(1, len(n.v))])
+           |                      / (n.nrm * c.cnrm), 6) DESC, c.cid) AS rn
+           |    FROM n3 n CROSS JOIN cent$IvfIters c
+           |    WHERE n.vec_id < 5) WHERE rn <= $nprobe),
+           |code AS (
+           |  SELECT vec_id, v, nrm, cid, $lo AS lo, $hi AS hi
+           |  FROM assign),""".stripMargin
+    val hamFrom =
+      if (nprobe <= 0) "FROM qv q CROSS JOIN code c WHERE c.vec_id <> q.qid"
+      else
+        """FROM qv q JOIN qprobes p ON p.qid = q.qid
+          |  JOIN code c ON c.cid = p.cid
+          |  WHERE c.vec_id <> q.qid""".stripMargin
+    (s"""$head
+        |qv AS (
+        |  SELECT vec_id AS qid, v AS qvec, nrm AS qnrm, lo AS qlo,
+        |         hi AS qhi
+        |  FROM code WHERE vec_id < 5),
+        |ham AS (
+        |  SELECT q.qid, c.vec_id AS neighbor_id,
+        |         (bit_count(xor(q.qlo, c.lo))
+        |          + bit_count(xor(q.qhi, c.hi)))::BIGINT AS ham
+        |  $hamFrom),
+        |topc AS (
+        |  SELECT qid, neighbor_id, ham FROM (
+        |    SELECT qid, neighbor_id, ham,
+        |           ROW_NUMBER() OVER (PARTITION BY qid
+        |             ORDER BY ham ASC, neighbor_id) AS rnq
+        |    FROM ham) WHERE rnq <= 30),
+        |resc AS (
+        |  SELECT t.qid, t.neighbor_id, t.ham,
+        |         ROUND(list_sum([q.qvec[i] * b.v[i]
+        |                 FOR i IN generate_series(1, len(q.qvec))])
+        |               / (q.qnrm * b.nrm), 6) AS cos
+        |  FROM topc t
+        |  JOIN qv q ON q.qid = t.qid
+        |  JOIN n3 b ON b.vec_id = t.neighbor_id)
+        |SELECT qid AS query_id, neighbor_id, cos, ham, rn FROM (
+        |  SELECT qid, neighbor_id, cos, ham,
+        |         ROW_NUMBER() OVER (PARTITION BY qid
+        |           ORDER BY cos DESC, neighbor_id) AS rn
+        |  FROM resc)
+        |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
+      .replaceAll("\n", " "))
+  }
 
   /** DuckDB twin of the RQ chain ([[ssRqTopkOn]]) — one generator for
     * both ladder entries so they cannot drift: nprobe=0 emits the
@@ -3609,51 +3759,8 @@ object Similarity {
         |  FROM resc)
         |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
         .replaceAll("\n", " "),
-    "ss_bq_topk" ->
-      """WITH base AS (
-        |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),
-        |n3 AS (
-        |  SELECT vec_id, v, sqrt(list_sum([x * x FOR x IN v])) AS nrm
-        |  FROM base),
-        |code AS (
-        |  SELECT vec_id, v, nrm,
-        |         list_sum([CASE WHEN v[i] > 0 THEN 1::BIGINT << (i - 1)
-        |                        ELSE 0::BIGINT END
-        |                   FOR i IN generate_series(1, 32)])::BIGINT AS lo,
-        |         list_sum([CASE WHEN v[i + 32] > 0 THEN 1::BIGINT << (i - 1)
-        |                        ELSE 0::BIGINT END
-        |                   FOR i IN generate_series(1, 32)])::BIGINT AS hi
-        |  FROM n3),
-        |qv AS (
-        |  SELECT vec_id AS qid, v AS qvec, nrm AS qnrm, lo AS qlo,
-        |         hi AS qhi
-        |  FROM code WHERE vec_id < 5),
-        |ham AS (
-        |  SELECT q.qid, c.vec_id AS neighbor_id,
-        |         (bit_count(xor(q.qlo, c.lo))
-        |          + bit_count(xor(q.qhi, c.hi)))::BIGINT AS ham
-        |  FROM qv q CROSS JOIN code c WHERE c.vec_id <> q.qid),
-        |topc AS (
-        |  SELECT qid, neighbor_id, ham FROM (
-        |    SELECT qid, neighbor_id, ham,
-        |           ROW_NUMBER() OVER (PARTITION BY qid
-        |             ORDER BY ham ASC, neighbor_id) AS rnq
-        |    FROM ham) WHERE rnq <= 30),
-        |resc AS (
-        |  SELECT t.qid, t.neighbor_id, t.ham,
-        |         ROUND(list_sum([q.qvec[i] * b.v[i]
-        |                 FOR i IN generate_series(1, len(q.qvec))])
-        |               / (q.qnrm * b.nrm), 6) AS cos
-        |  FROM topc t
-        |  JOIN qv q ON q.qid = t.qid
-        |  JOIN n3 b ON b.vec_id = t.neighbor_id)
-        |SELECT qid AS query_id, neighbor_id, cos, ham, rn FROM (
-        |  SELECT qid, neighbor_id, cos, ham,
-        |         ROW_NUMBER() OVER (PARTITION BY qid
-        |           ORDER BY cos DESC, neighbor_id) AS rn
-        |  FROM resc)
-        |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
-        .replaceAll("\n", " "),
+    "ss_bq_topk" -> bqDuckSql(0),
+    "ss_ivfbq_topk" -> bqDuckSql(2),
     "ss_sq_topk" ->
       """WITH base AS (
         |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),
