@@ -1632,7 +1632,27 @@ object GraphQueries {
     "q25_triangles" -> (q25_triangles _),
     "q26_sssp" -> (q26_sssp _))
 
+  /** q16's hash-checkable oracle (r11 verdict item #4): max-flow is not
+    * DuckDB-expressible, but the query's answer on each driver fixture
+    * IS known — the EK-equivalence spec computes it independently, and
+    * the value was cross-checked by running the engine at every shipped
+    * SF. The literal is keyed on the subgraph's own row count (the
+    * `l_orderkey < 2000` prefix differs per fixture: 6000 / 7846 / 8079
+    * rows), so the oracle self-identifies the fixture; on an UNKNOWN
+    * corpus the CASE yields NULL and the row mismatches LOUDLY instead
+    * of silently blessing a wrong flow (the q53 poison-row discipline).
+    * The EK spec tier stays as defense in depth at arbitrary scale.
+    */
+  val q16OracleSql: String =
+    """SELECT CAST(CASE (SELECT COUNT(*) FROM lineitem
+      |                  WHERE l_orderkey < 2000)
+      |            WHEN 6000 THEN 284
+      |            WHEN 7846 THEN 27
+      |            WHEN 8079 THEN 6 END AS BIGINT) AS maxflow"""
+      .stripMargin.replaceAll("\n", " ")
+
   val oracleSql: Map[String, String] = Map(
+    "q16_maxflow" -> q16OracleSql,
     "q57_richclub" -> q57OracleSql,
     "q58_betweenness" -> q58OracleSql,
     "q59_katz" -> q59OracleSql,
