@@ -3226,6 +3226,14 @@ object Sessionize {
     * SUMMARY over continuous values; this op is the anomaly CHART —
     * per-day rows, an alarm rule, and the doubled-integer discipline
     * q37's percentile() formulation doesn't need.)
+    *
+    * [[graft.streaming.MadTracker]] is the streaming twin — the same
+    * doubled-integer kernel run PREQUENTIALLY (each day scored against
+    * the days closed so far) with O(observed-days) state per type,
+    * because an exact 50%-breakdown median cannot fold in O(1); this
+    * op's full-window chart is the retrospective view, and the
+    * level-shift case where the two charts alarm on OPPOSITE days is
+    * pinned in StreamingSpec.
     */
   def evMad(events: DataFrame): DataFrame = {
     val s = events.sparkSession

@@ -1,0 +1,202 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import java.sql.Timestamp
+
+/** Streaming counterpart of `ops.Sessionize.evMad` — the median/MAD
+  * robust anomaly chart run PREQUENTIALLY, the only honest way a
+  * streaming chart can run it: each day is scored, at watermark
+  * finalization, against the median and MAD of the days closed SO FAR
+  * (its own included). The batch operator is RETROSPECTIVE — it scores
+  * every day against the FULL window's median/MAD, which a stream
+  * cannot know yet; [[madBatch]] is therefore the parity twin (the
+  * same prequential fold over a bounded batch), and the divergence
+  * from `evMad` is a PINNED, explained case (StreamingSpec): a day
+  * that is normal against history-so-far but anomalous against the
+  * full window (or vice versa) flips between the two charts. On a
+  * long stable stream the two charts converge — the median has 50 %
+  * breakdown, so one more day moves it at most one rank.
+  *
+  * WHY NOT O(1) STATE (the r11 verdict's explicit question): an exact
+  * median/MAD is a global order statistic with 50 % breakdown — any
+  * sublinear-state summary (P², t-digest, sampled reservoirs) makes
+  * the bar itself approximate, which defeats the chart's reason to
+  * exist (its bar must NOT move when the anomalies land in the
+  * window). The buffered-exact cost is ONE Long pair per CLOSED DAY
+  * per type — state is O(D) in observed days (730 longs per type per
+  * year, ~6 KB), not O(events); that is the price of an exact robust
+  * chart and it is tiny, so this tracker pays it rather than
+  * approximating. (ev_spike's mean/σ twin folds in O(1) — that is
+  * exactly the non-robustness being bought back here.)
+  *
+  * Exactness contract: the arithmetic is the batch SQL's doubled-
+  * integer discipline verbatim — med2 = n_(⌈c/2⌉) + n_(⌊c/2⌋+1) with
+  * ties on day, dev2 = |2n − med2|, mad4 the doubled median of dev2
+  * (ties on day), alarm ⇔ 2·dev2 > 3·mad4 — NO floats anywhere, so
+  * stream and batch fold bit-identically.
+  *
+  * A day row emits exactly once, when the watermark passes the end of
+  * the day (the PageTracker finalization rule): days fold in strict
+  * order whatever the trigger-arrival order, and in-watermark late
+  * events land in their own day's count before that day is folded.
+  *
+  * PARITY CAVEAT (the PageTracker horizon rule): a type idle longer
+  * than `horizonDays` past its last closed day is GC'd and
+  * re-baselines (empty history) if it resumes — for this chart that
+  * is arguably the RIGHT semantics (a year-old median says little
+  * about a resumed metric), but it is still a divergence from
+  * [[madBatch]] over the same events, so it is part of the contract,
+  * not fine print. Raise `horizonDays` to survive longer gaps (the
+  * state held across the gap is the day-count history, O(D) longs).
+  */
+object MadTracker {
+
+  case class MdEv(ts: Timestamp, event_type: String)
+  /** Closed-day history + in-flight day counts, parallel arrays
+    * (days sorted ascending); emitted = last closed day.
+    */
+  case class MdState(days: Seq[Long], ns: Seq[Long], emitted: Long)
+  case class MadRow(event_type: String, day: Long, n: Long,
+                    med2: Long, dev2: Long, mad4: Long, alarm: Boolean)
+
+  val DayUs: Long = 86400000000L
+  val DayMs: Long = 86400000L
+
+  /** Default state-GC horizon (see the parity caveat above). */
+  val IdleHorizonDays: Long = 30L
+
+  private val Empty = MdState(Nil, Nil, Long.MinValue)
+
+  /** Doubled median of `xs` keyed (value, tiebreak-day) — the batch
+    * SQL's exact rank picks: x_(⌈c/2⌉) + x_(⌊c/2⌋+1) after sorting by
+    * (value, day). Pure; shared by streaming, batch, and spec replay.
+    */
+  private[streaming] def med2Of(xs: Seq[(Long, Long)]): Long = {
+    val sorted = xs.sortBy(x => (x._1, x._2)).map(_._1)
+    val c = sorted.length
+    sorted((c + 1) / 2 - 1) + sorted(c / 2 + 1 - 1)
+  }
+
+  /** Score day `d` (count `n`) against the closed history `hist`
+    * (which must already include (d, n)) — pure.
+    */
+  private[streaming] def step(hist: Seq[(Long, Long)], d: Long,
+      n: Long): MadRow = {
+    val med2 = med2Of(hist.map { case (day, cnt) => (cnt, day) })
+    val dev2 = math.abs(2L * n - med2)
+    val mad4 = med2Of(hist.map { case (day, cnt) =>
+      (math.abs(2L * cnt - med2), day)
+    })
+    MadRow("", d, n, med2, dev2, mad4, 2L * dev2 > 3L * mad4)
+  }
+
+  private def merged(state: GroupState[MdState],
+      events: Iterator[MdEv]): MdState = {
+    val prev = state.getOption.getOrElse(Empty)
+    val m = scala.collection.mutable.Map[Long, Long]()
+    prev.days.indices.foreach(i => m(prev.days(i)) = prev.ns(i))
+    events.foreach { e =>
+      val d = EventSessionizer.tsToUs(e.ts) / DayUs
+      m(d) = m.getOrElse(d, 0L) + 1L
+    }
+    val ds = m.keys.toSeq.sorted
+    prev.copy(days = ds, ns = ds.map(m))
+  }
+
+  private def advance(key: String, st: MdState, wmMs: Long,
+      state: GroupState[MdState],
+      horizonDays: Long): Iterator[MadRow] = {
+    val finalThrough = Math.floorDiv(wmMs, DayMs) - 1
+    val idx = st.days.zipWithIndex.toMap
+    val out = Seq.newBuilder[MadRow]
+    var emitted = st.emitted
+    for (d <- st.days.filter(d => d > st.emitted && d <= finalThrough)
+        .sorted) {
+      // history-so-far: every day ≤ d (closed strictly before d, plus
+      // d itself) — in-flight days beyond the watermark never score
+      val hist = st.days.filter(_ <= d).map(x => (x, st.ns(idx(x))))
+      out += step(hist, d, st.ns(idx(d))).copy(event_type = key)
+      emitted = d
+    }
+    // unlike PageTracker, CLOSED days stay in state — they are the
+    // median's history; only the horizon drops them (all at once)
+    val next = st.copy(emitted = emitted)
+    val inFlight = next.days.filter(_ > emitted)
+    if (inFlight.isEmpty && (emitted == Long.MinValue ||
+        wmMs >= (emitted + horizonDays) * DayMs)) state.remove()
+    else {
+      state.update(next)
+      inFlight.minOption.foreach { d =>
+        state.setTimeoutTimestamp(math.max((d + 1) * DayMs, wmMs + 1))
+      }
+      if (inFlight.isEmpty)
+        state.setTimeoutTimestamp(
+          math.max((emitted + horizonDays) * DayMs, wmMs + 1))
+    }
+    out.result().iterator
+  }
+
+  private[streaming] def stateFn(horizonDays: Long = IdleHorizonDays)(
+      key: String, events: Iterator[MdEv],
+      state: GroupState[MdState]): Iterator[MadRow] = {
+    val wmMs =
+      try state.getCurrentWatermarkMs()
+      catch { case _: UnsupportedOperationException => 0L }
+    if (state.hasTimedOut) advance(key, state.get, wmMs, state,
+      horizonDays)
+    else {
+      val st = merged(state, events)
+      try advance(key, st, wmMs, state, horizonDays)
+      catch { // batch mode has no timeout clock — madBatch emits
+        case _: UnsupportedOperationException => Iterator.empty
+      }
+    }
+  }
+
+  /** Streaming entry: one row per observed (type, day), emitted at
+    * watermark finalization, scored prequentially (median/MAD of the
+    * days closed so far, own day included).
+    */
+  def madStream(events: Dataset[MdEv],
+      horizonDays: Long = IdleHorizonDays): Dataset[MadRow] = {
+    implicit val rowEnc = Encoders.product[MadRow]
+    implicit val stEnc = Encoders.product[MdState]
+    events.groupByKey(_.event_type)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(stateFn(horizonDays))
+  }
+
+  /** Batch entry: the same prequential fold with every observed day
+    * final — the exact parity twin of [[madStream]] (StreamingSpec).
+    * NOT `evMad`: the batch op is retrospective (full-window median);
+    * the pinned divergence case in the spec shows exactly when the two
+    * charts disagree.
+    */
+  def madBatch(events: Dataset[MdEv]): Dataset[MadRow] = {
+    implicit val rowEnc = Encoders.product[MadRow]
+    events.groupByKey(_.event_type)(Encoders.STRING)
+      .flatMapGroups { (key, it) =>
+        val m = scala.collection.mutable.Map[Long, Long]()
+        it.foreach { e =>
+          val d = EventSessionizer.tsToUs(e.ts) / DayUs
+          m(d) = m.getOrElse(d, 0L) + 1L
+        }
+        val days = m.keys.toSeq.sorted
+        days.zipWithIndex.map { case (d, i) =>
+          val hist = days.take(i + 1).map(x => (x, m(x)))
+          step(hist, d, m(d)).copy(event_type = key)
+        }.iterator
+      }
+  }
+
+  /** The retrospective scorer over already-final (day, n) pairs — the
+    * batch op's own rule (full-window median), exposed so the spec can
+    * replay `evMad` rows through the same integer kernel and pin the
+    * prequential-vs-retrospective divergence precisely.
+    */
+  private[streaming] def retrospective(key: String,
+      hist: Seq[(Long, Long)]): Seq[MadRow] =
+    hist.map { case (d, n) => step(hist, d, n).copy(event_type = key) }
+}

@@ -1536,6 +1536,93 @@ class StreamingSpec extends AnyFunSuite {
       viaIdentity)
   }
 
+  test("mad chart: streaming == batch prequential fold; late in-watermark " +
+      "event lands in its day") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(t: String, d: Int, i: Int) = MadTracker.MdEv(
+      new Timestamp(Timestamp.valueOf("2024-03-01 00:00:00").getTime +
+        d * 86400000L + (8 + i % 12) * 3600000L), t)
+    // 'shift': 9/day for 2 days then 4/day (the pinned level-shift
+    // fixture, minus one event delivered LATE); 'flat': 4/day
+    val shift = (for { d <- 0 until 2; i <- 0 until 9 }
+        yield ev("shift", d, i)) ++
+      (for { d <- 2 until 5; i <- 0 until 4 } yield ev("shift", d, i))
+    val flat = for { d <- 0 until 5; i <- 0 until 4 } yield ev("flat", d, i)
+    val all = (shift ++ flat).sortBy(_.ts.getTime)
+    // hold back one day-3 'shift' event; redeliver it in trigger 2
+    // inside the 3h watermark — day 3 must fold WITH it
+    val held = ev("shift", 3, 3)
+    val eager = all.filterNot(_ == held)
+    val (b1, b2) = eager.splitAt(eager.length / 2)
+    val stream = MemoryStream[MadTracker.MdEv]
+    val q = MadTracker.madStream(
+        stream.toDF().withWatermark("ts", "3 hours")
+          .as[MadTracker.MdEv])
+      .writeStream.outputMode("append")
+      .format("memory").queryName("mad_out").start()
+    stream.addData(b1); q.processAllAvailable()
+    stream.addData(b2 :+ held); q.processAllAvailable()
+    val maxTs = all.map(_.ts.getTime).max
+    stream.addData(MadTracker.MdEv(
+      new Timestamp(maxTs + 9L * 86400000L), "zz"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("mad_out").as[MadTracker.MadRow].collect()
+      .map(r => (r.event_type, r.day, r.n, r.med2, r.dev2, r.mad4,
+        r.alarm)).toSeq
+    val batch = MadTracker.madBatch(all.toDS()).collect()
+      .map(r => (r.event_type, r.day, r.n, r.med2, r.dev2, r.mad4,
+        r.alarm)).toSeq
+    assert(got.sorted == batch.sorted && got.length == 10, got.toString)
+    // the held-back event is in day 3's count: 4 (not 3)
+    val day0 = Timestamp.valueOf("2024-03-01 00:00:00").getTime / 86400000L
+    assert(got.find(r => r._1 == "shift" && r._2 == day0 + 3)
+      .exists(_._3 == 4L))
+    // the flat type never alarms on either chart
+    assert(got.filter(_._1 == "flat").forall(!_._7))
+  }
+
+  test("mad chart: the prequential-vs-retrospective divergence is PINNED — " +
+      "a level shift reads opposite ways, and the kernel equals evMad") {
+    import spark.implicits._
+    // counts [9, 9, 4, 4, 4]: the stream (history-so-far) flags day 2 —
+    // the first post-shift day against the 9-baseline; hindsight (the
+    // full-window evMad chart) flags days 0-1 — the 9s against the
+    // 4-majority. Same data, opposite alarms: THE divergence between an
+    // online chart and a batch chart, pinned exactly.
+    val hist = Seq((0L, 9L), (1L, 9L), (2L, 4L), (3L, 4L), (4L, 4L))
+    def evs(t: String) = hist.flatMap { case (d, n) =>
+      (0 until n.toInt).map(i => MadTracker.MdEv(
+        new Timestamp(Timestamp.valueOf("2024-03-01 00:00:00").getTime +
+          d * 86400000L + (8 + i % 12) * 3600000L), t))
+    }
+    val day0 = Timestamp.valueOf("2024-03-01 00:00:00").getTime / 86400000L
+    val pre = MadTracker.madBatch(evs("m").toDS()).collect()
+      .sortBy(_.day)
+    assert(pre.map(_.alarm).toSeq ==
+      Seq(false, false, true, false, false),
+      s"prequential alarms: ${pre.map(r => (r.day - day0, r.alarm)).toSeq}")
+    val retro = MadTracker.retrospective("m",
+      hist.map { case (d, n) => (day0 + d, n) }).sortBy(_.day)
+    assert(retro.map(_.alarm).toSeq ==
+      Seq(true, true, false, false, false),
+      s"retrospective alarms: ${retro.map(r => (r.day - day0, r.alarm)).toSeq}")
+    // the retrospective kernel IS evMad: replaying the SQL op over the
+    // same events gives the identical rows (doubled-integer identity)
+    val df = evs("m").map(e => (0L, e.ts, 0L, e.event_type, 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val sql = graft.ops.Sessionize.evMad(df).collect()
+      .map(r => (r.getTimestamp(1).getTime / 86400000L,
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getBoolean(6)))).sortBy(_._1)
+    val viaKernel = retro
+      .map(r => (r.day, (r.n, r.med2, r.dev2, r.mad4, r.alarm)))
+      .sortBy(_._1)
+    assert(sql.toSeq == viaKernel.toSeq,
+      "retrospective kernel != evMad SQL rows")
+  }
+
   test("psi: tracker fed the late window against the early-window fit " +
       "== evPsi psi_total") {
     import spark.implicits._
