@@ -245,6 +245,11 @@ object PipelineScaleProbe {
     // 500k docs, mm_ahash at 100k real PNGs (self-generating corpus)
     if (args.headOption.contains("addendum52")) {
       addendum52(args.lift(1).getOrElse("target/pscale19")); return }
+    // `addendum53 [dir]` — round-12: the DensityGuard under the two
+    // measured blow-up regimes (templated-head docs, aliasing images)
+    // + the ss_ivfbq probed-vs-full scan at 100k vectors
+    if (args.headOption.contains("addendum53")) {
+      addendum53(args.lift(1).getOrElse("target/pscale19")); return }
     // `addendum13 <nDocs> <nEvents> <nVec> <outBase>` — gaps/gini at
     // event scale, epochs/ngram at corpus scale, range at vector scale
     if (args.headOption.contains("addendum13")) {
@@ -3753,6 +3758,233 @@ object PipelineScaleProbe {
     println(f"PSCALE q=mm_ahash images=102000 pairs=${ah.getLong(0)} " +
       f"twin_links=${ah.getLong(1)}/2000 w=$wAh%.1f s")
     println("PSCALE addendum52 done")
+    spark.stop()
+  }
+
+  /** Round-12: the shared DensityGuard measured in EXACTLY the two
+    * blow-up regimes the r11 verdict flagged (templated-head record
+    * linkage, aliasing image corpora), plus the BQ ladder's new
+    * `nprobe` knob at 100k vectors. Content invariants asserted, not
+    * just walls: fail-fast diagnostics must carry the unguarded pair
+    * estimate; sampled runs must stay bounded AND keep the planted
+    * twins that live in healthy (under-cap) blocks bit-exactly.
+    */
+  private def addendum53(dir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.SparkHygiene.quietRddLogs()
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+
+    // ---- dd_editdist on a TEMPLATED-HEAD corpus at 505k docs: half
+    // the corpus is boilerplate-prefixed ("Subject: ..."), sharing the
+    // 8-char block key and a handful of length buckets — the regime
+    // the r11 verdict called out (log lines, form letters, templated
+    // web pages). The other half is the diverse-head recipe with a
+    // planted 1-substitution twin every 100th doc: twins live in
+    // under-cap blocks, so the guard must keep ALL of them while
+    // capping the templated class.
+    val vocab = Array("key", "agg", "row", "scan", "slow", "fast",
+      "table", "value", "part", "hash", "merge", "batch", "window",
+      "spark", "order", "data", "column", "join", "small", "line")
+    val nHalf = 250000L
+    val docs = spark.range(0L, 2L * nHalf).map { i =>
+      val rng = new scala.util.Random(2026L ^ (i * 0x9E3779B97F4A7C15L))
+      val body = Array.fill(20 + rng.nextInt(40))(
+        vocab(rng.nextInt(vocab.length))).mkString(" ")
+      val text =
+        if (i < nHalf) s"Subject: $body" // ONE shared 8-char prefix
+        else f"t${math.abs(rng.nextLong()) % 20000}%05d $body"
+      (i, text)
+    }.toDF("doc_id", "text")
+    docs.createOrReplaceTempView("__a53_docs")
+    val corpus = spark.sql(
+      s"""SELECT doc_id, text FROM __a53_docs
+         |UNION ALL
+         |SELECT doc_id + ${ops.Dedup.TwinIdOffset},
+         |       concat(substring(text, 1, 10), 'q', substring(text, 12))
+         |FROM __a53_docs WHERE doc_id % 100 = 0 AND doc_id >= $nHalf"""
+        .stripMargin)
+    // the templated class's block profile — the unguarded volume the
+    // guard must prevent (reported from the fail-fast diagnostic too)
+    val tb = corpus.where("substring(text, 1, 8) = 'Subject:'")
+      .selectExpr("length(text) div 16 AS lb")
+      .groupBy("lb").count()
+      .agg(max("count"), sum(expr("count * (count - 1) / 2"))).head()
+    println(f"PSCALE dd_editdist templated_class=${nHalf} " +
+      f"max_block=${tb.getLong(0)} unguarded_pairs=${tb.getDouble(1)}%.3g")
+    // fail-fast: abort BEFORE materializing any pair, estimate in text
+    val t0 = System.nanoTime()
+    val msg = try {
+      ops.Dedup.ddEditDistOn(corpus, onOverflow = "fail").count()
+      sys.error("templated corpus must trip the fail-fast guard")
+    } catch {
+      case e: IllegalStateException => e.getMessage
+    }
+    val wFail = (System.nanoTime() - t0) / 1e9
+    require(msg.contains("dd_editdist density guard") &&
+      msg.contains("pair volume"), s"weak diagnostic: $msg")
+    println(f"PSCALE q=dd_editdist docs=505000 mode=fail " +
+      f"fail_fast_w=$wFail%.1f s (no pair materialized; diagnostic " +
+      "carries blocks + estimate)")
+    graft.SparkHygiene.clearSessionCaches(spark)
+    // sample (the default): completes bounded; every planted twin (all
+    // in diverse under-cap blocks) still links at dist <= 1
+    val (edAgg, wEd) = wall(ops.Dedup.ddEditDistOn(corpus)
+      .selectExpr("COUNT(*) AS pairs",
+        s"SUM(CASE WHEN doc_b = doc_a + ${ops.Dedup.TwinIdOffset} " +
+          "AND dist <= 1 THEN 1 ELSE 0 END) AS twins").head())
+    val capPairs = 1024L * 1024L / 2L // C(cap,2) per blown block, ~2^19
+    val blownBlocks = 4L // observed lb spread of the templated class
+    require(edAgg.getLong(1) == 2500L,
+      s"planted diverse-block twins: ${edAgg.getLong(1)} of 2500 " +
+        "(the guard must not touch under-cap blocks)")
+    require(edAgg.getLong(0) < 20L * blownBlocks * capPairs,
+      s"sampled pair volume not bounded: ${edAgg.getLong(0)}")
+    println(f"PSCALE q=dd_editdist docs=505000 mode=sample " +
+      f"pairs=${edAgg.getLong(0)} twins=2500/2500 " +
+      f"(vs ${tb.getDouble(1)}%.3g unguarded) w=$wEd%.1f s")
+    graft.SparkHygiene.clearSessionCaches(spark)
+
+    // ---- mm_ahash on an ALIASING image corpus at 102k REAL PNGs: 100k
+    // uniform-gray images (every aHash bit 0 — the white-product-shot /
+    // document-scan class) + the addendum52 gradient twins (2k planted
+    // pairs in healthy buckets). Unguarded, the uniform class alone is
+    // 4 bands × C(100k,2) ≈ 2e10 candidate rows — the disk-fill mode;
+    // addendum52 measured 30.9M pairs from far milder organic aliasing.
+    val nImg = 100000L
+    def gradient(id: Long, bright: Boolean): Array[Byte] = {
+      val w = 16 + (id % 17).toInt
+      val h = 16 + (id * 3 % 13).toInt
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g0 = ((id * 31 + x * 7 + y * 13) % 256).toInt
+          val g = if (bright && x * 8 / w == 0 && y * 8 / h == 0)
+            math.min(255, g0 + 100) else g0
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def uniform(id: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8 + (id % 9).toInt, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = (40 + id % 200).toInt // level varies; aHash is still all-0
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          img.setRGB(x, y, (g << 16) | (g << 8) | g); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = spark.range(0L, nImg).flatMap { id =>
+      if (id < 50000L) // 50k uniform + 50k gradient (+1k twins each half)
+        Seq(ops.Multimodal.MediaRecord(id, "image", uniform(id)))
+      else {
+        val base = Seq(
+          ops.Multimodal.MediaRecord(id, "image", gradient(id, false)))
+        if (id % 50 == 0)
+          base :+ ops.Multimodal.MediaRecord(
+            id + ops.Multimodal.TwinOffset, "image", gradient(id, true))
+        else base
+      }
+    }
+    // fail-fast first: the diagnostic must see the aliasing bands
+    val t1 = System.nanoTime()
+    val msg2 = try {
+      ops.Multimodal.mmAhashPairs(media, onOverflow = "fail").count()
+      sys.error("aliasing corpus must trip the fail-fast guard")
+    } catch {
+      case e: IllegalStateException => e.getMessage
+    }
+    val wFail2 = (System.nanoTime() - t1) / 1e9
+    require(msg2.contains("mm_ahash density guard"), s"diagnostic: $msg2")
+    graft.SparkHygiene.clearSessionCaches(spark)
+    println(f"PSCALE q=mm_ahash images=101000 mode=fail " +
+      f"fail_fast_w=$wFail2%.1f s (decode+count only, no pairs)")
+    // sample: bounded at ~4 bands x C(cap,2) from the uniform class;
+    // the gradient twins live in under-cap buckets and still link
+    val (ah, wAh) = wall(ops.Multimodal.mmAhashPairs(media)
+      .selectExpr("COUNT(*) AS pairs",
+        s"SUM(CASE WHEN media_b = media_a + ${ops.Multimodal.TwinOffset} " +
+          "THEN 1 ELSE 0 END) AS twins",
+        "MAX(hamming) AS mxham").head())
+    require(ah.getLong(2) <= 3L, "banded verify admitted hamming > 3")
+    require(ah.getLong(1) >= 500L,
+      s"planted gradient twins lost to the guard: ${ah.getLong(1)}/1000")
+    val bound = 4L * 4096L * 4096L / 2L + 40000000L // blown bands + organic
+    require(ah.getLong(0) < bound,
+      s"sampled pair volume not bounded: ${ah.getLong(0)}")
+    println(f"PSCALE q=mm_ahash images=101000 mode=sample " +
+      f"pairs=${ah.getLong(0)} twin_links=${ah.getLong(1)}/1000 " +
+      f"(vs ~2e10 unguarded candidates) w=$wAh%.1f s")
+    graft.SparkHygiene.clearSessionCaches(spark)
+
+    // ---- ss_ivfbq_topk at 100k vectors: the BQ ladder's new nprobe
+    // knob (r11 verdict item #3), measured exactly like addendum51's
+    // RQ cut — √N regime nlist=316, rescore exactness required
+    val embPath = s"$dir/embeddings19.parquet"
+    if (!new java.io.File(embPath).exists) {
+      spark.range(0L, 100000L).map(vecFor(_, 64, 7, 2026L))
+        .toDF("vec_id", "embedding", "label")
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(embPath)
+    }
+    val emb = spark.read.parquet(embPath).select("vec_id", "embedding")
+    val (br, wBr) = wall(ops.Similarity.bruteTopkOn(spark, emb,
+      "vec_id % 5000 = 0", topK = 5).collect())
+    val brMap = br.map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    val brTop = brMap.keys.groupBy(_._1)
+    def bqAt(nprobe: Int): (Double, Double) = {
+      val (bq, w) = wall(ops.Similarity.ssBqTopkOn(spark, emb,
+        "vec_id % 5000 = 0", topK = 5, mult = 12, nlist = 316,
+        nprobe = nprobe).collect())
+      bq.foreach { r =>
+        val k = (r.getLong(0), r.getLong(1))
+        brMap.get(k).foreach(b => require(b == r.getDouble(2),
+          s"rescore drift at $k (nprobe=$nprobe)"))
+      }
+      val top = bq.map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      val rs = brTop.map { case (q, exact) =>
+        val g = top.getOrElse(q, Array.empty).map(_._2).toSet
+        exact.map(_._2).count(g) / exact.size.toDouble
+      }
+      graft.SparkHygiene.clearSessionCaches(spark)
+      val rec = rs.sum / rs.size
+      println(f"PSCALE q=ss_ivfbq_topk(nprobe=$nprobe,mult=12) " +
+        f"vectors=100000 recall@5=$rec%.3f w=$w%.1f s")
+      (rec, w)
+    }
+    val (bFull, wFull) = bqAt(0)
+    val (b1, _) = bqAt(1)
+    val (b8, w8) = bqAt(8)
+    val (b32, _) = bqAt(32)
+    require(b8 >= b1 && b32 >= b8,
+      s"BQ nprobe dial not monotone at 100k: $b1 -> $b8 -> $b32")
+    require(b32 >= bFull - 0.05,
+      s"wide probe must recover the full-scan recall: $b32 vs $bFull")
+    println(f"PSCALE bq cut: full=$bFull%.3f (w=$wFull%.1f s, 100k " +
+      f"codes/query) nprobe8=$b8%.3f (w=$w8%.1f s, ~2.5k codes/query) " +
+      f"brute_w=$wBr%.1f s")
+    println("PSCALE addendum53 done")
     spark.stop()
   }
 
