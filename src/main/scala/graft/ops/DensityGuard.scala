@@ -102,8 +102,14 @@ object DensityGuard {
       case "sample" =>
         // integer-exact rate test: keep iff draw/1e6 < cap/block_n,
         // i.e. draw · block_n < cap · 1e6 — under-cap blocks pass the
-        // first disjunct untouched (bit-exact healthy path)
-        blocks.join(counts, keys)
+        // first disjunct untouched (bit-exact healthy path). The count
+        // rides a WINDOW over the block keys rather than a counts-join:
+        // the window's hash partitioning is exactly what the downstream
+        // pair join needs, so the guard adds no exchange of its own
+        // (A/B'd vs the join form at sf0.1, r12)
+        blocks.withColumn("block_n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(keys.map(col): _*)))
           .where(col("block_n") <= maxBlockRows ||
             draw * col("block_n") < lit(maxBlockRows.toLong * 1000000L))
           .drop("block_n")
