@@ -1005,7 +1005,7 @@ object Dedup {
     graft.functions.GraftFunctions.register(s)
     emb.createOrReplaceTempView("__emb")
     s.sql(
-      s"""WITH ${Similarity.ivfTrainAssignCtes(nlist)},
+      s"""WITH ${Similarity.ivfTrainAssignCtes(s, nlist)},
          |dropped AS (
          |  SELECT DISTINCT b.vec_id
          |  FROM assign a JOIN assign b

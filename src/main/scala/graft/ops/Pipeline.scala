@@ -1910,7 +1910,7 @@ object Pipeline {
     emb.createOrReplaceTempView("__emb")
     val C = s"cent${Similarity.IvfIters}"
     s.sql(
-      s"""WITH ${Similarity.ivfTrainAssignCtes(nl)},
+      s"""WITH ${Similarity.ivfTrainAssignCtes(s, nl)},
          |scored AS (
          |  SELECT a.vec_id, a.cid,
          |         ROUND(graft_dot(a.v, c.cv) / (a.nrm * c.cnrm), 6) AS cos_c

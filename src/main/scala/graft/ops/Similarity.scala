@@ -268,10 +268,30 @@ object Similarity {
     */
   /** The k-means training + full-corpus assignment CTE chain over view
     * `__emb` (base → n3 → seeded cand0/cent0 → `IvfIters` refinement
-    * rounds → assign), shared by [[ivfSparkSql]] and the SemDeDup
-    * operator so both run the IDENTICAL deterministic quantizer.
+    * rounds → assign), shared by [[ivfSparkSql]], the quantization
+    * ladder, and the SemDeDup/D4 operators so all run the IDENTICAL
+    * deterministic quantizer.
+    *
+    * DELIBERATELY INLINE — a measured r12 negative result: Spark
+    * inlines deterministic CTEs per reference, so this text re-derives
+    * base→n3 (and re-runs the train chain) for every downstream
+    * mention — the executed ss_rq_topk plan holds 60 parquet scans and
+    * 127 exchanges. An A/B materialized the chain once (`__n3` /
+    * `__cent` / `__assign` as persisted views; a localCheckpoint
+    * variant too) and LOST at every tested scale: toy sf0.1 walls
+    * doubled (cache traffic + three extra materializations beat the
+    * fused tiny scans) and the 100k lean full-ADC leg read 79.7 s vs
+    * 71.4 s inline — whole-stage codegen re-derivation from parquet
+    * outruns InMemoryTableScan of array columns even when the plan
+    * re-trains the quantizer repeatedly. Values were bit-identical
+    * both ways; the inline form stays because it is FASTER, not just
+    * simpler. (The session `s` parameter remains from the A/B so the
+    * next attempt — e.g. a columnar-cache-friendly layout — slots in
+    * without re-touching eight call sites.)
     */
-  private[ops] def ivfTrainAssignCtes(nlist: Int): String = {
+  private[ops] def ivfTrainAssignCtes(s: SparkSession,
+                                      nlist: Int): String = {
+    graft.functions.GraftFunctions.register(s)
     val iters = (1 to IvfIters).map { k =>
       s"""a$k AS (
          |  SELECT vec_id, v, nrm, cid FROM (
@@ -323,10 +343,11 @@ object Similarity {
        |    FROM n3 n CROSS JOIN $C c) WHERE rn = 1)""".stripMargin
   }
 
-  private[ops] def ivfSparkSql(queryPred: String, topK: Int,
-                               nlist: Int = 16, nprobe: Int = 2): String = {
+  private[ops] def ivfSparkSql(s: SparkSession, queryPred: String,
+                               topK: Int, nlist: Int = 16,
+                               nprobe: Int = 2): String = {
     val C = s"cent$IvfIters"
-    s"""WITH ${ivfTrainAssignCtes(nlist)},
+    s"""WITH ${ivfTrainAssignCtes(s, nlist)},
        |probes AS (
        |  SELECT vec_id AS qid, cid FROM (
        |    SELECT n.vec_id, c.cid,
@@ -370,7 +391,7 @@ object Similarity {
   def ssIvfAnn(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.load(s, dir, "embeddings").createOrReplaceTempView("__emb")
-    s.sql(ivfSparkSql("n.vec_id BETWEEN 20 AND 24", topK = 5))
+    s.sql(ivfSparkSql(s, "n.vec_id BETWEEN 20 AND 24", topK = 5))
   }
 
   /** IVF ANN over an arbitrary (vec_id, embedding) frame at an explicit
@@ -382,7 +403,7 @@ object Similarity {
                  nlist: Int = 16, nprobe: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     emb.createOrReplaceTempView("__emb")
-    s.sql(ivfSparkSql(queryPred, topK, nlist, nprobe))
+    s.sql(ivfSparkSql(s, queryPred, topK, nlist, nprobe))
   }
 
   /** [[ssIvfAnnOn]] with the coarse quantizer SIZED TO THE CORPUS:
@@ -558,7 +579,7 @@ object Similarity {
     graft.functions.GraftFunctions.register(s)
     Tables.load(s, dir, "embeddings").createOrReplaceTempView("__emb")
     s.sql(
-      s"""WITH ${ivfTrainAssignCtes(16)}
+      s"""WITH ${ivfTrainAssignCtes(s, 16)}
          |SELECT c.cid, COUNT(a.vec_id) AS n_members,
          |       ROUND(c.cnrm, 6) AS cnrm
          |FROM cent$IvfIters c LEFT JOIN assign a ON a.cid = c.cid
@@ -595,7 +616,7 @@ object Similarity {
     graft.functions.GraftFunctions.register(s)
     emb.createOrReplaceTempView("__emb")
     s.sql(
-      s"""WITH ${ivfTrainAssignCtes(16)},
+      s"""WITH ${ivfTrainAssignCtes(s, 16)},
          |wc AS (
          |  SELECT a.cid, COUNT(*) AS n,
          |         SUM(CAST(ROUND(graft_dot(a.v, c.cv)
@@ -1353,7 +1374,7 @@ object Similarity {
           |  SELECT vec_id, v, nrm""".stripMargin
       } else {
         emb.createOrReplaceTempView("__emb")
-        s"""${ivfTrainAssignCtes(nlist)},
+        s"""${ivfTrainAssignCtes(s, nlist)},
            |qprobes AS (
            |  SELECT qid, cid FROM (
            |    SELECT n.vec_id AS qid, c.cid,
@@ -1734,7 +1755,7 @@ object Similarity {
     emb.createOrReplaceTempView("__emb")
     val C = s"cent$IvfIters"
     s.sql(
-      s"""WITH ${ivfTrainAssignCtes(nlist)},
+      s"""WITH ${ivfTrainAssignCtes(s, nlist)},
          |${pqTrainEncodeCtes(nSub, nCode)},
          |qprobes AS (
          |  SELECT qid, cid FROM (
@@ -1821,7 +1842,7 @@ object Similarity {
       if (nprobe <= 0) ""
       else "\n  JOIN qprobes p ON p.qid = l1.qid AND p.cid = n.cid"
     s.sql(
-      s"""WITH ${ivfTrainAssignCtes(nlist)},
+      s"""WITH ${ivfTrainAssignCtes(s, nlist)},
          |rres AS (
          |  SELECT a.vec_id, a.cid,
          |         zip_with(a.v, c.cv, (x, y) -> x - y) AS rv
