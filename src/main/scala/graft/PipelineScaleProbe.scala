@@ -250,6 +250,10 @@ object PipelineScaleProbe {
     // + the ss_ivfbq probed-vs-full scan at 100k vectors
     if (args.headOption.contains("addendum53")) {
       addendum53(args.lift(1).getOrElse("target/pscale19")); return }
+    // `addendum54` — round-12 stretch op dd_lines at 500k docs:
+    // boilerplate-heavy regime (10% share a 3-line footer), exact
+    // planted accounting via by-construction-unique organic lines
+    if (args.headOption.contains("addendum54")) { addendum54(); return }
     // `addendum13 <nDocs> <nEvents> <nVec> <outBase>` — gaps/gini at
     // event scale, epochs/ngram at corpus scale, range at vector scale
     if (args.headOption.contains("addendum13")) {
@@ -3985,6 +3989,68 @@ object PipelineScaleProbe {
       f"codes/query) nprobe8=$b8%.3f (w=$w8%.1f s, ~2.5k codes/query) " +
       f"brute_w=$wBr%.1f s")
     println("PSCALE addendum53 done")
+    spark.stop()
+  }
+
+  /** Round-12 stretch op at 100×: dd_lines (corpus-wide duplicated-line
+    * removal) on a 500k-doc pseudo-line corpus in the op's actual target
+    * regime — a tenth of the corpus shares a 3-line site footer, every
+    * 6th/15th doc carries a planted single-line boilerplate, and every
+    * ORGANIC line embeds its (doc, position) so it is unique by
+    * construction: the drop accounting must therefore be EXACT, not a
+    * bound.
+    */
+  private def addendum54(): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.SparkHygiene.quietRddLogs()
+    import spark.implicits._
+
+    val vocab = Array("key", "agg", "row", "scan", "slow", "fast",
+      "table", "value", "part", "hash", "merge", "batch", "window",
+      "spark", "order", "data", "column", "join", "small", "line")
+    val footer = Seq(
+      "home products pricing docs blog careers contact",
+      "copyright two thousand twenty six example corp all rights reserved",
+      "follow us on the usual networks for product updates")
+    val news = "subscribe to our newsletter for weekly updates."
+    val cook = "this site uses cookies to improve your experience."
+    val n = 500000L
+    val docs = spark.range(0L, n).map { id =>
+      val rng = new scala.util.Random(2026L ^ (id * 0x9E3779B97F4A7C15L))
+      val lines = (0 until 3 + rng.nextInt(6)).map { j =>
+        s"u${id}p$j " + Array.fill(10)(
+          vocab(rng.nextInt(vocab.length))).mkString(" ")
+      }
+      val withFooter =
+        if (id % 10 == 0) lines ++ footer else lines
+      val planted = withFooter ++
+        (if (id % 6 == 0) Seq(news) else Nil) ++
+        (if (id % 15 == 0) Seq(cook) else Nil)
+      (id, planted.mkString("\n"))
+    }.toDF("doc_id", "text")
+    val (agg, w) = wall(ops.Dedup.ddLinesOn(docs)
+      .selectExpr("COUNT(*) AS docs", "SUM(n_dropped) AS dropped",
+        "SUM(n_lines) AS lines",
+        s"SUM(CASE WHEN text_clean LIKE '%$news%' OR " +
+          s"text_clean LIKE '%${footer.head}%' THEN 1 ELSE 0 END) " +
+          "AS leaked").head())
+    // exact accounting: footer 3 lines x n/10 carriers, news n/6
+    // (ids 0, 6, ...: count = ceil), cookies n/15
+    val expected = 3L * (n / 10) + ((n + 5) / 6) + ((n + 14) / 15)
+    require(agg.getLong(0) == n, s"docs out: ${agg.getLong(0)}")
+    require(agg.getLong(3) == 0L, s"boilerplate survived: ${agg.getLong(3)}")
+    require(agg.getLong(1) == expected,
+      s"dropped ${agg.getLong(1)} != expected $expected " +
+        "(organic lines are unique by construction)")
+    println(f"PSCALE q=dd_lines docs=$n lines=${agg.getLong(2)} " +
+      f"dropped=${agg.getLong(1)}(=expected, exact) w=$w%.1f s")
+    println("PSCALE addendum54 done")
     spark.stop()
   }
 

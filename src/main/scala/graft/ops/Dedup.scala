@@ -1479,6 +1479,108 @@ object Dedup {
          |FROM __docs""".stripMargin))
   }
 
+  /** Corpus-wide duplicated-LINE removal — the CCNet/RefinedWeb line
+    * dedup (Wenzek et al. 2020 §3.1 dedupe "paragraphs"≡lines by hash
+    * across shards; Penedo et al. 2023 run the same pass): a line that
+    * appears VERBATIM in at least `minDf` DISTINCT documents is
+    * boilerplate (navigation chrome, cookie banners, footers) and is
+    * dropped from EVERY document; each document is then reassembled
+    * from its surviving lines in order. The granularity ladder this
+    * completes: dd_exact drops whole duplicate documents, dd_paragraph
+    * fixed 20-token segments, dd_cdc content-defined chunks,
+    * dd_substring/dd_despan sliding n-gram windows — this is the
+    * newline-delimited corpus-frequency member, the one the web-scale
+    * pipelines actually run first.
+    *
+    * Contract: lines are compared verbatim (no normalization — compose
+    * with taNormalize upstream for case-folded dedup); empty lines are
+    * dropped unconditionally (trivially duplicated); df counts DISTINCT
+    * documents, so a line repeated only WITHIN one document survives
+    * (that is ta_derep's signal, not boilerplate); documents with no
+    * non-empty lines are absent (no defined output).
+    *
+    * Engine-exactness: the df aggregate and the drop test are integer;
+    * drop_frac is one exact int/int division rounded to 6 (the
+    * taQuality discipline); reassembly sorts surviving (position, line)
+    * pairs — deterministic in both engines.
+    *
+    * Scale design (100 TB): lines travel Spark-side as 8-byte xxhash64
+    * keys (the dd_minhash/ddDecontam discipline — the DuckDB oracle
+    * groups raw line text, identical modulo 2⁻⁶⁴ collisions); the df
+    * aggregate is line-vocabulary-sized and combinable; the join back
+    * touches ONLY the df ≥ minDf boilerplate set, which is small on any
+    * healthy corpus (broadcast — the ddSubstring discipline) and at
+    * worst line-vocabulary-sized (hash join, still linear: no pair
+    * generation anywhere, so no density guard is needed); reassembly is
+    * one doc_id exchange.
+    */
+  def ddLinesOn(docs: DataFrame, minDf: Int = 2): DataFrame = {
+    require(minDf >= 2, s"ddLinesOn: minDf must be >= 2, got $minDf")
+    val s = docs.sparkSession
+    docs.createOrReplaceTempView("__lines_docs")
+    // the line relation feeds the df aggregate AND the join back — the
+    // ddCdcOn persist discipline (one corpus explode, not two)
+    val ln = Caches.track(s.sql(
+      """SELECT doc_id, p.i AS i, p.line AS line,
+        |       xxhash64(p.line) AS k
+        |FROM __lines_docs
+        |LATERAL VIEW posexplode(split(text, '\n')) p AS i, line
+        |WHERE length(p.line) > 0""".stripMargin))
+    ln.createOrReplaceTempView("__lines_ln")
+    s.sql(
+      s"""WITH df AS (
+         |  SELECT k FROM (
+         |    SELECT k, COUNT(DISTINCT doc_id) AS df
+         |    FROM __lines_ln GROUP BY k)
+         |  WHERE df >= $minDf),
+         |marked AS (
+         |  SELECT l.doc_id, l.i, l.line, d.k IS NOT NULL AS dup
+         |  FROM __lines_ln l LEFT JOIN df d ON d.k = l.k)
+         |SELECT doc_id,
+         |       COUNT(*) AS n_lines,
+         |       SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS n_dropped,
+         |       ROUND(CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / COUNT(*), 6) AS drop_frac,
+         |       array_join(transform(array_sort(
+         |         collect_list(struct(i, line)) FILTER (WHERE NOT dup)),
+         |         p -> p.line), '\n') AS text_clean
+         |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  }
+
+  /** The oracle-checked form: the corpus has no newlines, so
+    * pseudo-lines are synthesized first (the ta_c4filter discipline —
+    * 12-token lines, identical SQL in both engines), then boilerplate
+    * is PLANTED: every 6th document appends a shared newsletter line
+    * and every 15th a shared cookie-banner line. The planted lines hit
+    * df ≈ N/6 and N/15 ≫ 2 and must vanish from every carrier; full
+    * 12-token organic lines are unique, while the short TAIL line (the
+    * sub-12-token remainder over the corpus's small vocabulary) DOES
+    * collide across documents — genuine corpus-duplicated lines the
+    * rule correctly drops, riding along with the plants. The oracle
+    * hash proves the df rule, the within-doc exemption, and the
+    * byte-exact reassembly at once.
+    */
+  def ddLines(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "documents").createOrReplaceTempView("__lines_raw")
+    val toks = "split(text, ' ')"
+    ddLinesOn(s.sql(
+      s"""SELECT doc_id,
+         |  concat(
+         |    array_join(
+         |      transform(sequence(0, (size($toks) + 11) div 12 - 1),
+         |        i -> array_join(slice($toks, i * 12 + 1, 12), ' ')),
+         |      chr(10)),
+         |    CASE WHEN doc_id % 6 = 0
+         |         THEN concat(chr(10),
+         |           'subscribe to our newsletter for weekly updates.')
+         |         ELSE '' END,
+         |    CASE WHEN doc_id % 15 = 0
+         |         THEN concat(chr(10),
+         |           'this site uses cookies to improve your experience.')
+         |         ELSE '' END) AS text
+         |FROM __lines_raw""".stripMargin))
+  }
+
   /** The canonical-URL SQL expression over column `urlCol` — shared by
     * [[ddUrlOn]] and the streaming twin
     * [[graft.streaming.UrlDedupTracker]] so the two canonical forms
@@ -1546,6 +1648,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_url" -> ((s: SparkSession, dir: String) => ddUrl(s, dir)),
+    "dd_lines" -> ((s: SparkSession, dir: String) => ddLines(s, dir)),
     "dd_cdc" -> ((s: SparkSession, dir: String) => ddCdc(s, dir)),
     "dd_prefix" -> ((s: SparkSession, dir: String) => ddPrefix(s, dir)),
     "dd_editdist" -> ((s: SparkSession, dir: String) => ddEditDist(s, dir)),
@@ -1642,6 +1745,47 @@ object Dedup {
         """ROUND(COUNT(d.sig) / COUNT(*)::DOUBLE, 6) AS dup_frac """ +
         """FROM ch c LEFT JOIN dup d ON d.sig = c.sig """ +
         """GROUP BY c.doc_id ORDER BY c.doc_id"""),
+    "dd_lines" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |raw AS (
+        |  SELECT doc_id,
+        |    array_to_string(
+        |      [array_to_string(toks[i*12+1 : i*12+12], ' ')
+        |       FOR i IN generate_series(0, (len(toks) + 11) // 12 - 1)],
+        |      chr(10))
+        |    || CASE WHEN doc_id % 6 = 0
+        |            THEN chr(10) ||
+        |              'subscribe to our newsletter for weekly updates.'
+        |            ELSE '' END
+        |    || CASE WHEN doc_id % 15 = 0
+        |            THEN chr(10) ||
+        |              'this site uses cookies to improve your experience.'
+        |            ELSE '' END AS text
+        |  FROM tk),
+        |ln AS (
+        |  SELECT doc_id, u.i, u.line FROM raw,
+        |  LATERAL (SELECT unnest(string_split(text, chr(10))) AS line,
+        |                  generate_subscripts(string_split(text, chr(10)), 1)
+        |                    AS i) u
+        |  WHERE length(u.line) > 0),
+        |df AS (
+        |  SELECT line FROM (
+        |    SELECT line, COUNT(DISTINCT doc_id) AS df FROM ln GROUP BY line)
+        |  WHERE df >= 2),
+        |marked AS (
+        |  SELECT l.doc_id, l.i, l.line, d.line IS NOT NULL AS dup
+        |  FROM ln l LEFT JOIN df d ON d.line = l.line)
+        |SELECT doc_id,
+        |       COUNT(*) AS n_lines,
+        |       (SUM(CASE WHEN dup THEN 1 ELSE 0 END))::BIGINT AS n_dropped,
+        |       ROUND((SUM(CASE WHEN dup THEN 1 ELSE 0 END))::DOUBLE
+        |             / COUNT(*), 6) AS drop_frac,
+        |       COALESCE(array_to_string(
+        |         list(line ORDER BY i) FILTER (WHERE NOT dup), chr(10)),
+        |         '') AS text_clean
+        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        .replaceAll("\n", " "),
     "dd_url" ->
       (s"""WITH raw AS ( """ +
         """SELECT doc_id AS id, 'https://www.' || source || """ +

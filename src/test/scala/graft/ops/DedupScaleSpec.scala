@@ -12,6 +12,49 @@ class DedupScaleSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("dd_lines: corpus-frequency rule, within-doc exemption, byte-exact reassembly") {
+    import spark.implicits._
+    val docs = Seq(
+      // 'shared footer' appears in 3 DISTINCT docs -> dropped everywhere
+      (1L, "alpha beta\nshared footer\ngamma delta"),
+      (2L, "epsilon zeta\nshared footer"),
+      (3L, "shared footer\neta theta"),
+      // doc 4 repeats ITS OWN line twice - df counts distinct docs, so
+      // the within-doc repeat survives (that's ta_derep's signal)
+      (4L, "own chorus\nown chorus\niota kappa"),
+      // doc 5: empty lines are dropped unconditionally
+      (5L, "solo line\n\nfinal line")
+    ).toDF("doc_id", "text")
+    val got = Dedup.ddLinesOn(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(4)))
+      .toMap
+    assert(got(1L) == ((3L, 1L, "alpha beta\ngamma delta")))
+    assert(got(2L) == ((2L, 1L, "epsilon zeta")))
+    assert(got(3L) == ((2L, 1L, "eta theta")))
+    assert(got(4L) == ((3L, 0L, "own chorus\nown chorus\niota kappa")))
+    assert(got(5L) == ((2L, 0L, "solo line\nfinal line")))
+    // minDf is the dial: at 4, the 3-doc footer survives
+    val loose = Dedup.ddLinesOn(docs, minDf = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(loose.values.forall(_ == 0L))
+    // the oracle-form plants are found: no surviving document carries
+    // either planted boilerplate line, and every carrier counted it
+    // (organic short-TAIL lines also collide across docs on this
+    // small-vocabulary corpus — genuine corpus-duplicated lines that
+    // ride along, so >= not ==)
+    val planted = Dedup.ddLines(spark, sf).collect()
+    val news = "subscribe to our newsletter for weekly updates."
+    val cook = "this site uses cookies to improve your experience."
+    assert(planted.nonEmpty)
+    assert(planted.forall(r =>
+      !r.getString(4).contains(news) && !r.getString(4).contains(cook)))
+    assert(planted.forall { r =>
+      val id = r.getLong(0)
+      r.getLong(2) >=
+        (if (id % 6 == 0) 1L else 0L) + (if (id % 15 == 0) 1L else 0L)
+    })
+  }
+
   test("banded SimHash LSH is exact: equals brute-force all-pairs Hamming<=3") {
     Dedup.simhash64(spark, sf).createOrReplaceTempView("__sig_chk")
     val brute = spark.sql(
