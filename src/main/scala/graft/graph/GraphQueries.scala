@@ -16,7 +16,7 @@ object GraphQueries {
   /** Node encoding for the lineitem-derived bipartite graph: suppliers keep
     * their key; parts are offset so the id spaces don't collide.
     */
-  private val PartOffset = 1000000L
+  private[graph] val PartOffset = 1000000L
 
   /** Q13: iterative-fixpoint BFS — shortest hop distance from supplier 1
     * over the supplier↔part co-occurrence graph.
@@ -1635,8 +1635,11 @@ object GraphQueries {
   /** q16's hash-checkable oracle (r11 verdict item #4): max-flow is not
     * DuckDB-expressible, but the query's answer on each driver fixture
     * IS known — the EK-equivalence spec computes it independently, and
-    * the value was cross-checked by running the engine at every shipped
-    * SF. The literal is keyed on the subgraph's own row count (the
+    * MaxFlowSpec RE-DERIVES each (rowcount → flow) literal below from
+    * the in-memory Edmonds-Karp oracle over q16Edges at every shipped
+    * SF, so the constants are provably independent of MaxFlow.run (r12
+    * advice item — not circular). The literal is keyed on the
+    * subgraph's own row count (the
     * `l_orderkey < 2000` prefix differs per fixture: 6000 / 7846 / 8079
     * rows), so the oracle self-identifies the fixture; on an UNKNOWN
     * corpus the CASE yields NULL and the row mismatches LOUDLY instead

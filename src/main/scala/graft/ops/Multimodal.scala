@@ -809,7 +809,8 @@ object Multimodal {
           col("media_id")),
         tag = "mm_phash_pairs",
         remediation = "Use more/wider bands, raise the cap, or use " +
-          "onOverflow=sample.")
+          "onOverflow=sample.",
+        onFail = sig.unpersist(blocking = false))
       .createOrReplaceTempView("__phash_band")
     s.sql(
       """SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
@@ -912,7 +913,8 @@ object Multimodal {
           col("media_id")),
         maxBlockRows, onOverflow, tag = "mm_ahash",
         remediation = "Use more/wider bands, raise the cap, or use " +
-          "onOverflow=sample.")
+          "onOverflow=sample.",
+        onFail = sig.unpersist(blocking = false))
       .createOrReplaceTempView("__ahash_band")
     s.sql(
       s"""SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,

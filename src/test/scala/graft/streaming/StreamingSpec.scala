@@ -1583,6 +1583,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.filter(_._1 == "flat").forall(!_._7))
   }
 
+  test("mad chart: a beyond-watermark straggler for an emitted day is " +
+      "DROPPED — history stays consistent with the emitted rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(t: String, d: Int, i: Int) = MadTracker.MdEv(
+      new Timestamp(Timestamp.valueOf("2024-03-01 00:00:00").getTime +
+        d * 86400000L + (8 + i % 12) * 3600000L), t)
+    // counts chosen so the straggler WOULD move the median if folded:
+    // days 0,1,2 = 1,2,3 events; day 6 = 4; day 7 = 5. With day 1
+    // mutated to 3, hist at day 6 = [1,3,3,4] → med2 = 6 (vs 5).
+    val early = (for { (d, n) <- Seq((0, 1), (1, 2), (2, 3)); i <- 0 until n }
+      yield ev("m", d, i))
+    val later6 = (0 until 4).map(i => ev("m", 6, i))
+    val later7 = (0 until 5).map(i => ev("m", 7, i))
+    val straggler = ev("m", 1, 11) // day 1 — already emitted by then
+    val stream = MemoryStream[MadTracker.MdEv]
+    val q = MadTracker.madStream(
+        stream.toDF().withWatermark("ts", "3 hours")
+          .as[MadTracker.MdEv])
+      .writeStream.outputMode("append")
+      .format("memory").queryName("mad_late_out").start()
+    // trigger 1: days 0-2 plus the day-6 head — watermark reaches
+    // day 6 05:00, finalizing days 0-2 (emitted = day 2)
+    stream.addData(early ++ later6.take(1)); q.processAllAvailable()
+    // trigger 2: the beyond-watermark straggler arrives WITH day 6/7
+    // traffic — merged() must drop it (day 1 ≤ emitted)
+    stream.addData((straggler +: later6.drop(1)) ++ later7)
+    q.processAllAvailable()
+    // advance the clock far enough to finalize day 7
+    stream.addData(MadTracker.MdEv(new Timestamp(
+      Timestamp.valueOf("2024-03-21 00:00:00").getTime), "zz"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("mad_late_out").as[MadTracker.MadRow].collect()
+      .filter(_.event_type == "m")
+      .map(r => (r.day, r.n, r.med2, r.dev2, r.mad4, r.alarm)).toSeq.sorted
+    // the chart equals the batch fold over the events WITHOUT the
+    // straggler — the straggler left no trace in any later day
+    val batch = MadTracker.madBatch(
+        (early ++ later6 ++ later7).toDS()).collect()
+      .map(r => (r.day, r.n, r.med2, r.dev2, r.mad4, r.alarm)).toSeq.sorted
+    assert(got == batch && got.length == 5, got.toString)
+    val day0 = Timestamp.valueOf("2024-03-01 00:00:00").getTime / 86400000L
+    // day 1 emitted once with n=2 and was never mutated; day 6 scored
+    // against the UNmutated history (med2 = 5, not 6)
+    assert(got.find(_._1 == day0 + 1).exists(_._2 == 2L))
+    assert(got.find(_._1 == day0 + 6).exists(_._3 == 5L))
+  }
+
   test("mad chart: the prequential-vs-retrospective divergence is PINNED — " +
       "a level shift reads opposite ways, and the kernel equals evMad") {
     import spark.implicits._
