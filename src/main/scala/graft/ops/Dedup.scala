@@ -134,16 +134,36 @@ object Dedup {
     * production entry [[ddMinhashLshOn]] share.
     */
   private[graft] def minhashShinglesAndBandsOn(
-      corpus: DataFrame): (DataFrame, DataFrame) = {
-    val (tok, _, band) = minhashRelationsOn(corpus)
+      corpus: DataFrame,
+      maxBlockRows: Int = DensityGuard.DefaultMaxBlockRows,
+      onOverflow: String = "sample"): (DataFrame, DataFrame) = {
+    val (tok, _, band) = minhashRelationsOn(corpus, maxBlockRows, onOverflow)
     (tok, band)
   }
 
   /** Shingle, signature, AND band relations — [[ddMinhashEstOn]] needs
     * the 8-column signature itself; everything else drops it.
+    *
+    * The returned band relation is DENSITY-GUARDED (r12 verdict item #2
+    * — the one pair-generator family the r12 sweep missed): identical
+    * shingle SETS hash to identical signatures, so templated documents
+    * that survive exact dedup with diffs outside the shingle window —
+    * or mass-duplicated boilerplate — alias a whole shard into ONE
+    * (band, bandhash) bucket, and the bucket self-join goes C(B, 2) on
+    * one un-AQE-splittable shuffle key (the same blow-up class as the
+    * dd_embed_cos disk-fill incident, which WAS an LSH bucket). The
+    * shared [[DensityGuard]] bounds every bucket at `maxBlockRows`
+    * BEFORE any candidate pair materializes, with the per-(doc, band)
+    * draw so a doc sampled out of one blown band keeps its other
+    * bands; under-cap buckets are bit-exact, which keeps the
+    * dd_minhash_lsh / dd_minhash_est / dd_crossfuzzy / ds_nearleak
+    * DuckDB oracles (which replay the unguarded chain) green at the
+    * test SFs. Every consumer of this helper inherits the guard.
     */
   private[graft] def minhashRelationsOn(
-      corpus: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+      corpus: DataFrame,
+      maxBlockRows: Int = DensityGuard.DefaultMaxBlockRows,
+      onOverflow: String = "sample"): (DataFrame, DataFrame, DataFrame) = {
     // DataFrame API so the exploded shingle relation can be persisted:
     // SQL CTEs are inlined and `tok` (the largest intermediate) would be
     // recomputed for the signatures, the counts, and both sides of the
@@ -170,7 +190,13 @@ object Dedup {
           md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bh"))): _*))
         .as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
-    (tok, sig, band)
+    val gband = DensityGuard.guard(band, Seq("band", "bh"),
+      DensityGuard.drawOn("mhguard:", col("doc_id"), lit(":"), col("band")),
+      maxBlockRows, onOverflow, tag = "dd_minhash_band",
+      remediation = "Use more bands / more rows per band (longer " +
+        "signatures), raise the cap, or use onOverflow=sample.",
+      onFail = tok.unpersist(blocking = false))
+    (tok, sig, gband)
   }
 
   /** Signature-estimate calibration (the LSH tuning query): every LSH
@@ -255,9 +281,12 @@ object Dedup {
     * delegation pattern); same signatures, banding and exact-Jaccard
     * verification as the oracle-checked query, no twin planting.
     */
-  def ddMinhashLshOn(docs: DataFrame): DataFrame =
+  def ddMinhashLshOn(docs: DataFrame,
+      maxBlockRows: Int = DensityGuard.DefaultMaxBlockRows,
+      onOverflow: String = "sample"): DataFrame =
     minhashVerify(minhashShinglesAndBandsOn(
-      docs.selectExpr("doc_id", "split(text, ' ') AS toks")))
+      docs.selectExpr("doc_id", "split(text, ' ') AS toks"),
+      maxBlockRows, onOverflow))
 
   /** Near-duplicate TRAIN/TEST leakage audit (the FineWeb-style
     * decontamination check): the cross-split contamination matrix over
@@ -447,7 +476,8 @@ object Dedup {
     // tracked: the signature pass (64 weighted bit-sums per doc) feeds
     // the band join twice AND the guard's count pre-agg — one narrow
     // (doc_id, simhash) relation, computed once (Caches contract)
-    Caches.track(simhash64(s, dir)).createOrReplaceTempView("__sig64")
+    val sig64 = Caches.track(simhash64(s, dir))
+    sig64.createOrReplaceTempView("__sig64")
     val band = s.sql(
       """SELECT doc_id, simhash, bno,
         |       shiftright(simhash, 16 * bno) & 65535 AS bk
@@ -463,7 +493,8 @@ object Dedup {
           col("doc_id")),
         tag = "dd_simhash_pairs",
         remediation = "Use more/wider bands, raise the cap, or use " +
-          "onOverflow=sample.")
+          "onOverflow=sample.",
+        onFail = sig64.unpersist(blocking = false))
       .createOrReplaceTempView("__sig64_band")
     s.sql(
       """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -492,7 +523,8 @@ object Dedup {
     * cumulative window runs on that tiny relation.
     */
   def ddHammingHist(s: SparkSession, dir: String): DataFrame = {
-    Caches.track(simhash64(s, dir)).createOrReplaceTempView("__sig64h")
+    val sig64h = Caches.track(simhash64(s, dir))
+    sig64h.createOrReplaceTempView("__sig64h")
     val band = s.sql(
       """SELECT doc_id, simhash, bno,
         |       shiftright(simhash, 16 * bno) & 65535 AS bk
@@ -503,7 +535,8 @@ object Dedup {
           col("doc_id")),
         tag = "dd_hamming_hist",
         remediation = "Use more/wider bands, raise the cap, or use " +
-          "onOverflow=sample.")
+          "onOverflow=sample.",
+        onFail = sig64h.unpersist(blocking = false))
       .createOrReplaceTempView("__sig64h_band")
     s.sql(
       """WITH cand AS (
@@ -1001,11 +1034,12 @@ object Dedup {
     * pre-pass [[ddEmbedCos]]'s guarded exact-twin removal first).
     */
   def ddSemDedupOn(s: SparkSession, emb: DataFrame,
-                   nlist: Int, tau: Double): DataFrame = {
+                   nlist: Int, tau: Double,
+                   pretrained: Option[DataFrame] = None): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     emb.createOrReplaceTempView("__emb")
     s.sql(
-      s"""WITH ${Similarity.ivfTrainAssignCtes(s, nlist)},
+      s"""WITH ${Similarity.ivfTrainAssignCtes(s, nlist, pretrained)},
          |dropped AS (
          |  SELECT DISTINCT b.vec_id
          |  FROM assign a JOIN assign b
@@ -1023,9 +1057,13 @@ object Dedup {
     * at nlist=16, tau=0.9 must drop exactly the twins that share their
     * original's cluster while every natural vector keeps.
     */
-  def ddSemDedup(s: SparkSession, dir: String): DataFrame = {
+  def ddSemDedup(s: SparkSession, dir: String): DataFrame =
+    ddSemDedupOn(s, semDedupAug(s, dir), nlist = 16, tau = 0.9)
+
+  /** The planted-twin corpus the dd_semdedup oracle pair runs on. */
+  private def semDedupAug(s: SparkSession, dir: String): DataFrame = {
     Tables.load(s, dir, "embeddings").createOrReplaceTempView("__emb_raw")
-    val aug = s.sql(
+    s.sql(
       s"""SELECT vec_id,
          |       transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
          |FROM __emb_raw
@@ -1035,7 +1073,21 @@ object Dedup {
          |         + CASE WHEN i = 0 THEN CAST(0.1 AS DOUBLE)
          |                ELSE CAST(0 AS DOUBLE) END)
          |FROM __emb_raw WHERE vec_id % 10 = 0""".stripMargin)
-    ddSemDedupOn(s, aug, nlist = 16, tau = 0.9)
+  }
+
+  /** Train-once SemDeDup (r12 verdict item #1 applied to the dedup
+    * tier): the coarse codebook comes from [[Similarity.ssIvfTrain]]
+    * via a parquet round trip, and clustering+within-cluster dedup run
+    * against the broadcast pretrained relation — at 100 TB the
+    * quantizer trains on a sample ONCE while dedup shards query it
+    * many times. Row-identical to [[ddSemDedup]] (same deterministic
+    * chain, bit-exact storage), so the inline DuckDB oracle replays.
+    */
+  def ddSemDedupPre(s: SparkSession, dir: String): DataFrame = {
+    val aug = semDedupAug(s, dir)
+    val cent = Similarity.parquetRoundTrip(s,
+      Similarity.ssIvfTrain(s, aug, 16), "graft_dd_semdedup_pre_cent")
+    ddSemDedupOn(s, aug, nlist = 16, tau = 0.9, pretrained = Some(cent))
   }
 
   /** Per-source duplication summary: document count, distinct-text count
@@ -1344,7 +1396,8 @@ object Dedup {
         DensityGuard.drawOn("edguard:", col("doc_id")),
         maxBlockRows, onOverflow, tag = "dd_editdist",
         remediation = "Block on a longer prefix or add a secondary " +
-          "blocking key, raise the cap, or use onOverflow=sample.")
+          "blocking key, raise the cap, or use onOverflow=sample.",
+        onFail = blocks.unpersist(blocking = false))
       .createOrReplaceTempView("__ed_blocks")
     s.sql(
       s"""SELECT doc_a, doc_b, dist FROM (
@@ -1656,6 +1709,7 @@ object Dedup {
     "dd_bloom" -> ((s: SparkSession, dir: String) => ddBloomDedup(s, dir)),
     "dd_crossdedup" -> ((s: SparkSession, dir: String) => ddCrossDedup(s, dir)),
     "dd_semdedup" -> ((s: SparkSession, dir: String) => ddSemDedup(s, dir)),
+    "dd_semdedup_pre" -> ((s: SparkSession, dir: String) => ddSemDedupPre(s, dir)),
     "dd_keepbest" -> ((s: SparkSession, dir: String) => ddKeepBest(s, dir)),
     "dd_stats" -> ((s: SparkSession, dir: String) => ddStats(s, dir)),
     "dd_substring" -> ((s: SparkSession, dir: String) => ddSubstring(s, dir)),
@@ -1713,7 +1767,7 @@ object Dedup {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin.replaceAll("\n", " ")
 
-  val oracleSql: Map[String, String] = Map(
+  private val oracleSqlBase: Map[String, String] = Map(
     "dd_cdc" ->
       (s"""WITH corpus AS ( """ +
         """SELECT doc_id, text FROM documents """ +
@@ -2269,4 +2323,10 @@ object Dedup {
         |                      FOR i IN generate_series(1, len(a.v))])
         |            / (a.nrm * b.nrm), 6) >= 0.9
         |ORDER BY vec_a, vec_b""".stripMargin.replaceAll("\n", " "))
+
+  /** dd_semdedup_pre is row-identical to dd_semdedup by construction
+    * (same deterministic quantizer, parquet round trip is bit-exact),
+    * so its DuckDB oracle is the inline text verbatim. */
+  val oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    "dd_semdedup_pre" -> oracleSqlBase("dd_semdedup"))
 }

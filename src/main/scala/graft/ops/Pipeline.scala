@@ -1902,15 +1902,19 @@ object Pipeline {
     * 100 TB corpus). The one extra job is a count of `emb`; the DuckDB
     * oracle computes the same bound with a scalar subquery.
     */
-  def dsD4(s: SparkSession, emb: DataFrame, nlist: Int = 0): DataFrame = {
+  def dsD4(s: SparkSession, emb: DataFrame, nlist: Int = 0,
+           pretrained: Option[DataFrame] = None): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    // pretrained (an [[Similarity.ssIvfTrain]] relation) skips the
+    // count job too — the codebook's row count is its nlist
     val nl =
-      if (nlist > 0) nlist
+      if (pretrained.isDefined) 0
+      else if (nlist > 0) nlist
       else math.max(1L, math.round(math.sqrt(emb.count().toDouble))).toInt
     emb.createOrReplaceTempView("__emb")
     val C = s"cent${Similarity.IvfIters}"
     s.sql(
-      s"""WITH ${Similarity.ivfTrainAssignCtes(s, nl)},
+      s"""WITH ${Similarity.ivfTrainAssignCtes(s, nl, pretrained)},
          |scored AS (
          |  SELECT a.vec_id, a.cid,
          |         ROUND(graft_dot(a.v, c.cv) / (a.nrm * c.cnrm), 6) AS cos_c

@@ -179,45 +179,6 @@ object Similarity {
       .map(p => s"array(${p.map(c => s"${c}D").mkString(",")})")
       .mkString("array(", ",", ")")
 
-  /** Spark SQL for the multiprobe LSH ANN over view `__emb`:
-    * nPlanes-bit hyperplane signature → 2^nPlanes buckets; each query
-    * probes its own bucket plus the nPlanes distance-1 flips (the same
-    * asymmetric probe pattern as Dedup.ddEmbedCos), then exact cosine
-    * top-`topK` among candidates.
-    */
-  private[ops] def lshAnnSparkSql(nPlanes: Int, queryPred: String,
-                                  topK: Int): String = {
-    val planesLit = planesSql(nPlanes, 64)
-    s"""WITH base AS (
-       |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM __emb),
-       |sig AS (
-       |  SELECT vec_id, v,
-       |         sqrt(graft_dot(v, v)) AS nrm,
-       |         aggregate(transform(sequence(0, ${nPlanes - 1}), j ->
-       |           CASE WHEN graft_dot(v, element_at($planesLit, j + 1)) > 0D
-       |                THEN shiftleft(1, j) ELSE 0 END),
-       |           0, (acc, x) -> acc + x) AS bucket
-       |  FROM base),
-       |probes AS (
-       |  SELECT vec_id, v, nrm,
-       |         explode(concat(array(bucket),
-       |           transform(sequence(0, ${nPlanes - 1}),
-       |             j -> bucket ^ shiftleft(1, j)))) AS pb
-       |  FROM sig WHERE $queryPred),
-       |scored AS (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |         ROUND(graft_dot(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos
-       |  FROM probes q JOIN sig c
-       |    ON q.pb = c.bucket AND c.vec_id <> q.vec_id)
-       |SELECT query_id, neighbor_id, cos, rn FROM (
-       |  SELECT query_id, neighbor_id, cos,
-       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-       |                ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
-       |  FROM scored)
-       |WHERE rn <= $topK ORDER BY query_id, rn""".stripMargin
-  }
-
   /** LSH-bucketed approximate NN with distance-1 multiprobe: 8 planes
     * (256 buckets) at the test corpus size; exact cosine top-5 among
     * probed bucket-mates of each query vector vec_id < 20.
@@ -233,20 +194,72 @@ object Similarity {
     */
   def ssLshAnn(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    Tables.load(s, dir, "embeddings").createOrReplaceTempView("__emb")
-    s.sql(lshAnnSparkSql(nPlanes = 8, queryPred = "vec_id < 20", topK = 5))
+    ssLshAnnOn(s, Tables.load(s, dir, "embeddings"),
+      nPlanes = 8, queryPred = "vec_id < 20", topK = 5)
   }
 
   /** The same LSH ANN over an arbitrary (vec_id, embedding) frame at any
     * plane count — the production entry (16–24 planes suit 1e9+ corpora;
     * the specs lock the 16-plane configuration's near-dup recall).
+    *
+    * DENSITY-GUARDED (r12 verdict item #2): the candidate join is an
+    * equality join on the probed bucket, and a tight embedding cluster
+    * (or a mass-duplicated vector) aliases a corpus-sized class into
+    * ONE bucket — C(B, 2) probes·candidates on one shuffle key, the
+    * exact blow-up the dd_embed_cos disk-fill measured (that incident
+    * WAS an embedding-LSH bucket). The shared [[DensityGuard]] bounds
+    * every bucket at `maxBlockRows` BEFORE the probe join, per-vector
+    * draw, sample-or-fail per `onOverflow`; under-cap buckets are
+    * bit-exact, so the fixed oracle entry (which replays the unguarded
+    * chain in DuckDB) stays green at the test SFs. The signature
+    * relation is persisted (Caches-tracked) so the probe side, the
+    * candidate side, and the guard window all read ONE signature pass.
     */
   def ssLshAnnOn(s: SparkSession, emb: DataFrame,
                  nPlanes: Int, queryPred: String,
-                 topK: Int): DataFrame = {
+                 topK: Int,
+                 maxBlockRows: Int = DensityGuard.DefaultMaxBlockRows,
+                 onOverflow: String = "sample"): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    import org.apache.spark.sql.functions.col
     emb.createOrReplaceTempView("__emb")
-    s.sql(lshAnnSparkSql(nPlanes, queryPred, topK))
+    val planesLit = planesSql(nPlanes, 64)
+    val sig = graft.Caches.track(s.sql(
+      s"""WITH base AS (
+         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM __emb)
+         |SELECT vec_id, v,
+         |       sqrt(graft_dot(v, v)) AS nrm,
+         |       aggregate(transform(sequence(0, ${nPlanes - 1}), j ->
+         |         CASE WHEN graft_dot(v, element_at($planesLit, j + 1)) > 0D
+         |              THEN shiftleft(1, j) ELSE 0 END),
+         |         0, (acc, x) -> acc + x) AS bucket
+         |FROM base""".stripMargin))
+    DensityGuard.guard(sig, Seq("bucket"),
+        DensityGuard.drawOn("lshannguard:", col("vec_id")),
+        maxBlockRows, onOverflow, tag = "ss_lsh_ann",
+        remediation = "Use more planes (finer buckets), raise the cap, " +
+          "or use onOverflow=sample.",
+        onFail = sig.unpersist(blocking = false))
+      .createOrReplaceTempView("__lsig")
+    s.sql(
+      s"""WITH probes AS (
+         |  SELECT vec_id, v, nrm,
+         |         explode(concat(array(bucket),
+         |           transform(sequence(0, ${nPlanes - 1}),
+         |             j -> bucket ^ shiftleft(1, j)))) AS pb
+         |  FROM __lsig WHERE $queryPred),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         ROUND(graft_dot(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos
+         |  FROM probes q JOIN __lsig c
+         |    ON q.pb = c.bucket AND c.vec_id <> q.vec_id)
+         |SELECT query_id, neighbor_id, cos, rn FROM (
+         |  SELECT query_id, neighbor_id, cos,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |                ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
+         |  FROM scored)
+         |WHERE rn <= $topK ORDER BY query_id, rn""".stripMargin)
   }
 
   /** Number of k-means refinement iterations of the IVF coarse quantizer
@@ -288,10 +301,56 @@ object Similarity {
     * simpler. (The session `s` parameter remains from the A/B so the
     * next attempt — e.g. a columnar-cache-friendly layout — slots in
     * without re-touching eight call sites.)
+    *
+    * SCALE CROSSOVER (r12 verdict #1 — the resolution, r13): the
+    * persist-vs-inline A/B above compares two forms of the SAME query
+    * and its crossover was unprobed; but at 100 TB "re-scan the corpus
+    * 60× and re-train k-means per mention" is categorically wrong by
+    * construction — the production ANN pattern is train ONCE (on the
+    * corpus or a sample), persist the nlist-row centroid relation, and
+    * pass it into every query. That form now exists: `pretrained =
+    * Some(centroids)` (from [[ssIvfTrain]], typically parquet
+    * round-tripped — doubles survive parquet bit-exactly, so results
+    * are identical to the inline chain) swaps the train CTEs for a
+    * view read, collapsing the chain to base → n3 → one broadcast-able
+    * cross join; the executed ss_ivf_pre plan holds 3 scans of `__emb`
+    * vs ss_ivf_ann's 15 (ExplainAudit, r13), and the 100k probe
+    * (PERF.md addendum55) measures the query-path win directly. The
+    * inline default remains the right call ONLY for the oracle-scale
+    * one-shot entries (where training IS the query and the A/B shows
+    * materialization losing); any repeated-query or 100×+ corpus goes
+    * through the pretrained path.
     */
   private[ops] def ivfTrainAssignCtes(s: SparkSession,
-                                      nlist: Int): String = {
+                                      nlist: Int,
+                                      pretrained: Option[org.apache.spark.sql.DataFrame] = None): String = {
     graft.functions.GraftFunctions.register(s)
+    pretrained match {
+      case Some(cent) =>
+        // train-once path: the caller supplies (cid, cv, cnrm) — the
+        // [[ssIvfTrain]] output, usually parquet round-tripped. The
+        // CTE names (n3 / cent$IvfIters / assign) are identical to the
+        // inline chain's, so every downstream tail (probes, qprobes,
+        // the PQ/RQ/BQ encoders, SemDeDup's pair join, D4's ranker)
+        // composes unchanged. nlist is ignored — the relation IS the
+        // codebook.
+        cent.createOrReplaceTempView("__cent_pre")
+        return s"""base AS (
+           |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM __emb),
+           |n3 AS (
+           |  SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM base),
+           |cent$IvfIters AS (
+           |  SELECT cid, cv, cnrm FROM __cent_pre),
+           |assign AS (
+           |  SELECT vec_id, v, nrm, cid FROM (
+           |    SELECT n.vec_id, n.v, n.nrm, c.cid,
+           |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+           |             ORDER BY ROUND(graft_dot(n.v, c.cv) / (n.nrm * c.cnrm), 6)
+           |                        DESC, c.cid) AS rn
+           |    FROM n3 n CROSS JOIN cent$IvfIters c) WHERE rn = 1)""".stripMargin
+      case None => ()
+    }
     val iters = (1 to IvfIters).map { k =>
       s"""a$k AS (
          |  SELECT vec_id, v, nrm, cid FROM (
@@ -343,11 +402,37 @@ object Similarity {
        |    FROM n3 n CROSS JOIN $C c) WHERE rn = 1)""".stripMargin
   }
 
+  /** Train the IVF coarse quantizer ONCE and return the codebook as a
+    * relation: (cid INT, cv ARRAY<DOUBLE>, cnrm DOUBLE), nlist rows —
+    * the exact deterministic chain every inline entry runs
+    * ([[ivfTrainAssignCtes]]: seeded md5 init + `IvfIters`
+    * decimal-exact refinement rounds), evaluated standalone. The
+    * production ANN pattern at 100 TB is train-once / query-many:
+    * persist this (parquet round-trips DOUBLE bit-exactly) and pass it
+    * as `pretrained` to [[ssIvfAnnOn]] / [[ssIvfPqTopkOn]] /
+    * [[ssRqTopkOn]] / [[ssBqTopkOn]] / [[graft.ops.Pipeline.dsD4]] /
+    * [[graft.ops.Dedup.ddSemDedupOn]] — every query then pays one
+    * corpus assignment pass against a broadcast nlist-row relation
+    * instead of re-running k-means per CTE mention. Training on a
+    * SAMPLE (the faiss discipline — k-means needs ~O(nlist·1000)
+    * vectors, not the corpus) is the caller's one-liner:
+    * `ssIvfTrain(s, emb.sample(0.001), nlist)`; determinism then keys
+    * off the sample, so oracle entries train on the full fixture.
+    */
+  def ssIvfTrain(s: SparkSession, emb: DataFrame, nlist: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    emb.createOrReplaceTempView("__emb")
+    s.sql(
+      s"""WITH ${ivfTrainAssignCtes(s, nlist)}
+         |SELECT cid, cv, cnrm FROM cent$IvfIters ORDER BY cid""".stripMargin)
+  }
+
   private[ops] def ivfSparkSql(s: SparkSession, queryPred: String,
                                topK: Int, nlist: Int = 16,
-                               nprobe: Int = 2): String = {
+                               nprobe: Int = 2,
+                               pretrained: Option[DataFrame] = None): String = {
     val C = s"cent$IvfIters"
-    s"""WITH ${ivfTrainAssignCtes(s, nlist)},
+    s"""WITH ${ivfTrainAssignCtes(s, nlist, pretrained)},
        |probes AS (
        |  SELECT vec_id AS qid, cid FROM (
        |    SELECT n.vec_id, c.cid,
@@ -371,6 +456,53 @@ object Similarity {
        |                ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
        |  FROM scored)
        |WHERE rn <= $topK ORDER BY query_id, rn""".stripMargin
+  }
+
+  /** Persist `df` to parquet under the JVM temp dir and read it back —
+    * the train-once pattern's storage hop, made explicit in the
+    * pretrained oracle entries so the determinism claim covers the
+    * round trip (parquet stores DOUBLE as raw IEEE-754 bits, so the
+    * reread codebook is bit-identical to the trained one).
+    */
+  private[ops] def parquetRoundTrip(s: SparkSession, df: DataFrame,
+                                    name: String): DataFrame = {
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"), name).getAbsolutePath
+    df.write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
+  /** Oracle entry for the TRAIN-ONCE IVF pattern (r12 verdict item #1):
+    * [[ssIvfTrain]] fits the nlist=16 codebook in its own job, the
+    * codebook round-trips parquet, and the ANN query runs with
+    * `pretrained = Some(codebook)` — the production shape (index once,
+    * query many). The result is row-identical to [[ssIvfAnn]] (same
+    * deterministic chain, bit-exact storage), so the DuckDB oracle
+    * replays the inline text verbatim; what changes is the PLAN: 3
+    * scans of the embeddings table (query/assign/probe legs against a
+    * broadcast codebook) instead of the inline entry's 15 re-derived
+    * train chains.
+    */
+  def ssIvfPre(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val cent = parquetRoundTrip(s, ssIvfTrain(s, emb, 16),
+      "graft_ss_ivf_pre_cent")
+    ssIvfAnnOn(s, emb, "n.vec_id BETWEEN 20 AND 24", 5,
+      pretrained = Some(cent))
+  }
+
+  /** Train-once IVF-PQ: the ladder composition ([[ssIvfPqTopkOn]]) with
+    * the coarse codebook supplied pretrained — the PQ sub-codebooks
+    * still train in-query (they are residual-free and corpus-cheap;
+    * hoisting them is the same one-parameter pattern if a caller needs
+    * it), but the k-means chain that dominated the inline plan's scan
+    * count is one broadcast relation. Row-identical to [[ssIvfPqTopk]].
+    */
+  def ssIvfPqPre(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val cent = parquetRoundTrip(s, ssIvfTrain(s, emb, 16),
+      "graft_ss_ivfpq_pre_cent")
+    ssIvfPqTopkOn(s, emb, "vec_id < 5", 10, pretrained = Some(cent))
   }
 
   /** IVF-style approximate NN with a k-means-trained coarse quantizer
@@ -400,10 +532,11 @@ object Similarity {
     */
   def ssIvfAnnOn(s: SparkSession, emb: DataFrame,
                  queryPred: String, topK: Int,
-                 nlist: Int = 16, nprobe: Int = 2): DataFrame = {
+                 nlist: Int = 16, nprobe: Int = 2,
+                 pretrained: Option[DataFrame] = None): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     emb.createOrReplaceTempView("__emb")
-    s.sql(ivfSparkSql(s, queryPred, topK, nlist, nprobe))
+    s.sql(ivfSparkSql(s, queryPred, topK, nlist, nprobe, pretrained))
   }
 
   /** [[ssIvfAnnOn]] with the coarse quantizer SIZED TO THE CORPUS:
@@ -1350,7 +1483,8 @@ object Similarity {
     */
   def ssBqTopkOn(s: SparkSession, emb: DataFrame, queryPred: String,
                  topK: Int, mult: Int = 3, nlist: Int = 16,
-                 nprobe: Int = 0): DataFrame = {
+                 nprobe: Int = 0,
+                 pretrained: Option[DataFrame] = None): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     def half(off: Int): String =
       s"""aggregate(transform(slice(v, $off, 32),
@@ -1374,7 +1508,7 @@ object Similarity {
           |  SELECT vec_id, v, nrm""".stripMargin
       } else {
         emb.createOrReplaceTempView("__emb")
-        s"""${ivfTrainAssignCtes(s, nlist)},
+        s"""${ivfTrainAssignCtes(s, nlist, pretrained)},
            |qprobes AS (
            |  SELECT qid, cid FROM (
            |    SELECT n.vec_id AS qid, c.cid,
@@ -1750,12 +1884,13 @@ object Similarity {
   def ssIvfPqTopkOn(s: SparkSession, emb: DataFrame, queryPred: String,
                     topK: Int, nlist: Int = 16, nprobe: Int = 2,
                     nSub: Int = 8, nCode: Int = 16,
-                    mult: Int = 3): DataFrame = {
+                    mult: Int = 3,
+                    pretrained: Option[DataFrame] = None): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     emb.createOrReplaceTempView("__emb")
     val C = s"cent$IvfIters"
     s.sql(
-      s"""WITH ${ivfTrainAssignCtes(s, nlist)},
+      s"""WITH ${ivfTrainAssignCtes(s, nlist, pretrained)},
          |${pqTrainEncodeCtes(nSub, nCode)},
          |qprobes AS (
          |  SELECT qid, cid FROM (
@@ -1821,7 +1956,8 @@ object Similarity {
     */
   def ssRqTopkOn(s: SparkSession, emb: DataFrame, queryPred: String,
                  topK: Int, nlist: Int = 16, nCode: Int = 16,
-                 mult: Int = 3, nprobe: Int = 0): DataFrame = {
+                 mult: Int = 3, nprobe: Int = 0,
+                 pretrained: Option[DataFrame] = None): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     emb.createOrReplaceTempView("__emb")
     val C = s"cent$IvfIters"
@@ -1842,7 +1978,7 @@ object Similarity {
       if (nprobe <= 0) ""
       else "\n  JOIN qprobes p ON p.qid = l1.qid AND p.cid = n.cid"
     s.sql(
-      s"""WITH ${ivfTrainAssignCtes(s, nlist)},
+      s"""WITH ${ivfTrainAssignCtes(s, nlist, pretrained)},
          |rres AS (
          |  SELECT a.vec_id, a.cid,
          |         zip_with(a.v, c.cv, (x, y) -> x - y) AS rv
@@ -2534,7 +2670,9 @@ object Similarity {
     "ss_ivfrq_topk" -> (ssIvfRqTopk _),
     "ss_ivfpq_topk" -> (ssIvfPqTopk _),
     "ss_lsh_ann" -> (ssLshAnn _),
-    "ss_ivf_ann" -> (ssIvfAnn _))
+    "ss_ivf_ann" -> (ssIvfAnn _),
+    "ss_ivf_pre" -> (ssIvfPre _),
+    "ss_ivfpq_pre" -> (ssIvfPqPre _))
 
   /** DuckDB mirror of the k-means iteration chain (bit-equal centroids:
     * same seeded init order, same decimal-exact means, same rounding).
@@ -2962,7 +3100,7 @@ object Similarity {
       .replaceAll("\n", " "))
   }
 
-  val oracleSql: Map[String, String] = Map(
+  private val oracleSqlBase: Map[String, String] = Map(
     "ss_power" -> ssPowerOracle,
     "ss_dimvar" ->
       ("WITH comp AS (SELECT u.pos - 1 AS dim, u.x::DOUBLE AS x " +
@@ -3899,4 +4037,14 @@ object Similarity {
          |           ORDER BY cos DESC, neighbor_id) AS rn
          |  FROM scored)
          |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin.replaceAll("\n", " "))
+
+  /** The pretrained entries are row-identical to their inline twins by
+    * construction ([[ssIvfTrain]] runs the same deterministic chain and
+    * parquet round-trips DOUBLE bit-exactly), so their DuckDB oracles
+    * are the inline texts verbatim — the oracle proves the train-once
+    * path changes the PLAN, not the answer.
+    */
+  val oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    "ss_ivf_pre" -> oracleSqlBase("ss_ivf_ann"),
+    "ss_ivfpq_pre" -> oracleSqlBase("ss_ivfpq_topk"))
 }

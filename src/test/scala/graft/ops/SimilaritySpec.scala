@@ -1137,4 +1137,56 @@ class SimilaritySpec extends AnyFunSuite {
       assert(got(t - 1)._3 > 0)
     }
   }
+
+  test("train-once codebook: every pretrained consumer is row-identical to its inline twin") {
+    val rng = new Random(77)
+    val dim = 64
+    val rows = for {
+      c <- 0 until 8
+      center = unit(rng, dim)
+      m <- 0 until 25
+    } yield {
+      val noise = unit(rng, dim)
+      val v = center.zip(noise).map { case (a, b) => a + 0.2 * b }
+      (c * 1000L + m, v)
+    }
+    val emb = toEmb(rows)
+    // the codebook: deterministic chain, nlist rows, and the parquet
+    // round trip (the production storage hop) is bit-exact
+    val trained = Similarity.ssIvfTrain(spark, emb, 16)
+    val cent = Similarity.parquetRoundTrip(spark, trained,
+      "graft_spec_pre_cent")
+    assert(cent.count() == 16)
+    assert(trained.orderBy("cid").collect().map(_.toString).toSeq ==
+      cent.orderBy("cid").collect().map(_.toString).toSeq)
+    val pre = Some(cent)
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    val pred = "n.vec_id % 1000 = 0"
+    assert(rowsOf(Similarity.ssIvfAnnOn(spark, emb, pred, 5)) ==
+      rowsOf(Similarity.ssIvfAnnOn(spark, emb, pred, 5, pretrained = pre)),
+      "ss_ivf_ann pretrained != inline")
+    assert(rowsOf(Similarity.ssIvfPqTopkOn(spark, emb, "vec_id % 1000 = 0", 5)) ==
+      rowsOf(Similarity.ssIvfPqTopkOn(spark, emb, "vec_id % 1000 = 0", 5,
+        pretrained = pre)),
+      "ss_ivfpq pretrained != inline")
+    assert(rowsOf(Similarity.ssRqTopkOn(spark, emb, "vec_id % 1000 = 0", 5,
+        nprobe = 2)) ==
+      rowsOf(Similarity.ssRqTopkOn(spark, emb, "vec_id % 1000 = 0", 5,
+        nprobe = 2, pretrained = pre)),
+      "ss_ivfrq pretrained != inline")
+    assert(rowsOf(Similarity.ssBqTopkOn(spark, emb, "vec_id % 1000 = 0", 5,
+        nprobe = 2)) ==
+      rowsOf(Similarity.ssBqTopkOn(spark, emb, "vec_id % 1000 = 0", 5,
+        nprobe = 2, pretrained = pre)),
+      "ss_ivfbq pretrained != inline")
+    assert(rowsOf(graft.ops.Pipeline.dsD4(spark, emb, nlist = 16)) ==
+      rowsOf(graft.ops.Pipeline.dsD4(spark, emb, pretrained = pre)),
+      "ds_d4 pretrained != inline")
+    val embD = emb.selectExpr("vec_id",
+      "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding")
+    assert(rowsOf(Dedup.ddSemDedupOn(spark, embD, 16, 0.9)) ==
+      rowsOf(Dedup.ddSemDedupOn(spark, embD, 16, 0.9, pretrained = pre)),
+      "dd_semdedup pretrained != inline")
+  }
 }
