@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   * JDK's built-in codecs (`javax.imageio` for PNG/JPEG/BMP/GIF/WBMP,
   * `javax.sound.sampled` for WAV/AIFF/AU) with raster/PCM-level feature
   * hashes, plus the real [[resizeImage]] resample and [[dhash64Image]]
-  * perceptual-hash kernels; spec-verified on payloads generated through
-  * the same JDK encoders. [[StubDecoder]] remains for the video modality
+  * perceptual-hash kernels, and the [[Y4m]] parser for uncompressed
+  * Y4M video (real frame walk + pixel access, zero codec libraries —
+  * r12 verdict item #5); spec-verified on payloads generated through
+  * the same JDK encoders. [[StubDecoder]] remains for COMPRESSED video
   * (the JDK ships no video codec) and for the ORACLED mm_* queries,
   * whose synthesized payloads are text bytes, not media — its
   * deterministic arithmetic is mirrored by the SQL oracles so the
@@ -61,8 +63,10 @@ object Multimodal {
     *   - audio: width = sample rate (Hz), height = channel count,
     *     n_frames = PCM frame count, feature_hash = md5 over the decoded
     *     PCM stream (same equivalence argument);
-    *   - video: the JDK has no video codec — [[StubDecoder]] remains the
-    *     declared stub for that modality only.
+    *   - video: uncompressed Y4M decodes for real ([[Y4m]] — header
+    *     dims, counted frame walk, hash over the decoded plane bytes);
+    *     COMPRESSED containers have no JVM codec, so [[StubDecoder]]
+    *     remains the declared stub for those only.
     *
     * Unreadable payloads fail fast with the media id (a curation
     * pipeline routes those to a quarantine sink; silently faking
@@ -106,6 +110,28 @@ object Multimodal {
             ais.getFrameLength.toInt,
             md.digest.map("%02x".format(_)).mkString)
         } finally ais.close()
+      case "video" =>
+        // real kernel for the UNCOMPRESSED container (Y4M — see [[Y4m]]):
+        // width/height from the stream header, n_frames counted from the
+        // actual FRAME walk, feature_hash over the decoded plane bytes
+        // (luma + chroma in stream order) so two differently-padded
+        // containers of the same pixels hash identically. Compressed
+        // video (no codec in the JVM) stays the declared stub.
+        require(Y4m.isY4m(r.payload),
+          s"media ${r.media_id}: only uncompressed Y4M video has a JVM " +
+            "kernel — compressed containers need an external codec " +
+            "(declared stub); route through StubDecoder or transcode " +
+            "to Y4M at ingest")
+        val hd = Y4m.parseHeader(r.payload)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        var frames = 0
+        Y4m.foreachFrame(r.payload) { (_, off) =>
+          md.update(r.payload, off, hd.frameBytes)
+          frames += 1
+        }
+        DecodedMedia(r.media_id, r.kind, r.payload.length.toLong,
+          hd.width, hd.height, frames,
+          md.digest.map("%02x".format(_)).mkString)
       case other =>
         throw new IllegalArgumentException(
           s"media ${r.media_id}: no JDK codec for kind '$other' — " +
@@ -1229,6 +1255,179 @@ object Multimodal {
     MediaRecord(fi, "image", bos.toByteArray)
   }
 
+  /** Pure-JVM Y4M (YUV4MPEG2) parser — the uncompressed-video rung of
+    * the decode ladder (r12 verdict item #5). Y4M is the codec-free
+    * container the video toolchain itself uses for raw interchange
+    * (mjpegtools' format; ffmpeg/x264's standard uncompressed input):
+    * an ASCII stream header `YUV4MPEG2 W<w> H<h> F<n>:<d> [C<cs>]`,
+    * then per frame an ASCII `FRAME` line followed by raw planar YUV
+    * bytes — so REAL video decode (headers, frame boundaries, plane
+    * geometry, pixel access) is parseable with zero codec libraries,
+    * exactly as PNG/WAV got real kernels via javax. The declared-stub
+    * note on the video modality now applies ONLY to compressed
+    * containers (no codec in the JVM).
+    */
+  object Y4m {
+    private val Magic = "YUV4MPEG2".getBytes("US-ASCII")
+
+    def isY4m(b: Array[Byte]): Boolean =
+      b.length > Magic.length && Magic.indices.forall(i => b(i) == Magic(i))
+
+    /** Stream header facts + chroma-plane byte count per frame. */
+    final case class Header(width: Int, height: Int, colorspace: String,
+                            headerLen: Int) {
+      def ySize: Int = width * height
+      def chromaSize: Int = colorspace match {
+        case cs if cs.startsWith("420") =>
+          2 * ((width + 1) / 2) * ((height + 1) / 2)
+        case cs if cs.startsWith("422") => 2 * ((width + 1) / 2) * height
+        case cs if cs.startsWith("444") => 2 * width * height
+        case "mono" => 0
+        case other => throw new IllegalArgumentException(
+          s"y4m: unsupported colorspace C$other")
+      }
+      def frameBytes: Int = ySize + chromaSize
+    }
+
+    def parseHeader(b: Array[Byte]): Header = {
+      require(isY4m(b), "y4m: bad magic (not a YUV4MPEG2 stream)")
+      var nl = 0
+      while (nl < b.length && b(nl) != '\n') nl += 1
+      require(nl < b.length, "y4m: unterminated stream header")
+      val line = new String(b, 0, nl, "US-ASCII")
+      var w = -1; var h = -1; var cs = "420jpeg" // the format's default
+      line.split(' ').drop(1).foreach { p =>
+        if (p.nonEmpty) p.charAt(0) match {
+          case 'W' => w = p.substring(1).toInt
+          case 'H' => h = p.substring(1).toInt
+          case 'C' => cs = p.substring(1)
+          case _ => () // F/I/A/X params don't affect plane geometry
+        }
+      }
+      require(w > 0 && h > 0, s"y4m: missing W/H in header '$line'")
+      Header(w, h, cs, nl + 1)
+    }
+
+    /** Walk every frame: `f(frameIdx, lumaOffset)` — the luma plane is
+      * `b[lumaOffset, lumaOffset + ySize)`; chroma follows and is
+      * skipped by geometry, never by guessing. Returns the header;
+      * truncated or mis-delimited payloads fail fast with the offset.
+      */
+    def foreachFrame(b: Array[Byte])(f: (Int, Int) => Unit): Header = {
+      val hd = parseHeader(b)
+      var pos = hd.headerLen
+      var idx = 0
+      while (pos < b.length) {
+        var nl = pos
+        while (nl < b.length && b(nl) != '\n') nl += 1
+        require(nl - pos >= 5 &&
+          new String(b, pos, 5, "US-ASCII") == "FRAME",
+          s"y4m: expected FRAME marker at byte $pos")
+        pos = nl + 1
+        require(pos + hd.frameBytes <= b.length,
+          s"y4m: truncated frame $idx at byte $pos")
+        f(idx, pos)
+        pos += hd.frameBytes
+        idx += 1
+      }
+      hd
+    }
+  }
+
+  /** One planted Y4M clip (C420, constant-chroma): frames before the
+    * planted cut hold luma `a = 40 + id % 60`, frames at/after hold
+    * `a + 100` — a full-mass histogram jump (every pixel changes bin:
+    * bins a/16 ∈ [2,6] vs (a+100)/16 ∈ [8,12] never collide at 16
+    * bins), so the scene detector must flag EXACTLY the cut frame.
+    * All facts derive from the id formula, [[mmDecodeReal]]'s
+    * discipline, so a SQL oracle replays them codec-free.
+    */
+  def y4mPlanted(id: Long): Array[Byte] = {
+    val w = 16 + 2 * (id % 9).toInt
+    val h = 12 + 2 * (id * 3 % 7).toInt
+    val nFrames = 8 + (id % 9).toInt
+    val cut = 2 + (id % (nFrames - 3)).toInt
+    val lumaA = (40 + id % 60).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420jpeg\n"
+      .getBytes("US-ASCII"))
+    val cSize = 2 * (w / 2) * (h / 2)
+    var f = 0
+    while (f < nFrames) {
+      bos.write("FRAME\n".getBytes("US-ASCII"))
+      val luma = if (f < cut) lumaA else lumaA + 100
+      var i = 0
+      while (i < w * h) { bos.write(luma); i += 1 }
+      i = 0
+      while (i < cSize) { bos.write(128); i += 1 } // neutral chroma
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** One detected scene cut of a video record. */
+  case class SceneCut(media_id: Long, n_frames: Long, cut_frame: Long,
+                      l1_moved: Long)
+
+  /** Scene-cut detection over REAL video pixels — [[mmHistDiff]]'s
+    * Zhang–Kankanhalli–Smoliar histogram comparison upgraded from a
+    * PNG frame sequence to actual video streams: parse the Y4M frame
+    * walk, 16-bin luma histogram per frame, consecutive L1, flag where
+    * at least half the pixel mass moved bins (l1 ≥ w·h of the 2·w·h
+    * max — the mmHistDiff threshold, integer-exact).
+    *
+    * Scale shape: a video's frames live in ONE payload row, so the
+    * consecutive-frame comparison is row-local — histograms never
+    * leave the partition and the operator emits only cut rows (the
+    * pixel:output ratio is ~w·h·frames : 1). Contrast mmHistDiff,
+    * whose frames arrive as separate rows and pay one histogram-sized
+    * exchange; here there is NO shuffle before the final sort. At
+    * 100 TB the decode pass is embarrassingly parallel over payloads;
+    * oversized clips should be pre-chunked at ingest (the mm_windows
+    * segmenting discipline), not re-split here.
+    */
+  def y4mSceneCuts(mediaId: Long, payload: Array[Byte],
+                   bins: Int = 16): Seq[SceneCut] = {
+    val hd = Y4m.parseHeader(payload)
+    val ySize = hd.ySize
+    val shift = 8 - Integer.numberOfTrailingZeros(bins) // 256/bins pow2
+    require(bins == (1 << (8 - shift)), s"bins must be a power of two: $bins")
+    val hists = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+    Y4m.foreachFrame(payload) { (_, off) =>
+      val hist = new Array[Long](bins)
+      var i = 0
+      while (i < ySize) {
+        hist((payload(off + i) & 0xFF) >> shift) += 1L
+        i += 1
+      }
+      hists += hist
+    }
+    val nFrames = hists.length.toLong
+    (1 until hists.length).flatMap { f =>
+      var l1 = 0L
+      var b = 0
+      while (b < bins) {
+        l1 += math.abs(hists(f)(b) - hists(f - 1)(b)); b += 1
+      }
+      if (l1 >= ySize) Some(SceneCut(mediaId, nFrames, f.toLong, l1))
+      else None
+    }
+  }
+
+  /** Driver-checkable query: planted Y4M clips (one per document id)
+    * through the real byte-level parse → luma histogram → cut walk;
+    * the DuckDB oracle replays the id formula codec-free
+    * ([[mmDecodeReal]]'s discipline for video). A hash match proves
+    * the Y4M write→parse→pixel-scan path recovers every planted cut
+    * EXACTLY — frame index, frame count, and moved mass.
+    */
+  def mmVideoScenes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select("doc_id").as[Long]
+      .flatMap(id => y4mSceneCuts(id, y4mPlanted(id)))
+      .toDF().orderBy("media_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_histdiff" ->
       ((s: SparkSession, dir: String) => mmHistDiff(s, dir)),
@@ -1247,9 +1446,21 @@ object Multimodal {
     "mm_frames" -> (mmFrames _),
     "mm_resize" -> (mmResize _),
     "mm_phash_pairs" -> (mmPhashPairs _),
-    "mm_resolve" -> (mmResolve _))
+    "mm_resolve" -> (mmResolve _),
+    "mm_video_scenes" -> (mmVideoScenes _))
 
   val oracleSql: Map[String, String] = Map(
+    // the planted Y4M facts replayed from the id formula, codec-free
+    // (the mm_decode_real discipline): n_frames = 8 + id%9, the cut at
+    // 2 + id%(n_frames-3), and the moved mass 2·w·h (every pixel
+    // changes bin at the planted full-luma jump)
+    "mm_video_scenes" ->
+      ("SELECT doc_id AS media_id, " +
+        "8 + (doc_id % 9) AS n_frames, " +
+        "2 + (doc_id % (5 + (doc_id % 9))) AS cut_frame, " +
+        "2 * (16 + 2 * (doc_id % 9)) * (12 + 2 * (doc_id * 3 % 7)) " +
+        "AS l1_moved " +
+        "FROM documents ORDER BY media_id"),
     "mm_ahash" ->
       (s"""WITH ids AS (SELECT doc_id AS id, 16 + (doc_id % 17) AS w, """ +
         """16 + (doc_id * 3 % 13) AS h FROM documents """ +

@@ -464,8 +464,8 @@ object Similarity {
     * round trip (parquet stores DOUBLE as raw IEEE-754 bits, so the
     * reread codebook is bit-identical to the trained one).
     */
-  private[ops] def parquetRoundTrip(s: SparkSession, df: DataFrame,
-                                    name: String): DataFrame = {
+  private[graft] def parquetRoundTrip(s: SparkSession, df: DataFrame,
+                                      name: String): DataFrame = {
     val path = new java.io.File(
       sys.props("java.io.tmpdir"), name).getAbsolutePath
     df.write.mode("overwrite").parquet(path)

@@ -490,4 +490,85 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(sha("aa")) == ((2L, 1L, 2L, 2L)))
     assert(got(sha("bb")) == ((1L, 2L, 2L, 0L)))
   }
+
+  test("Y4m: planted clip parses to exact header facts and frame count; malformed payloads fail fast") {
+    val id = 13L
+    val b = Multimodal.y4mPlanted(id)
+    val hd = Multimodal.Y4m.parseHeader(b)
+    assert(hd.width == 16 + 2 * (id % 9).toInt)
+    assert(hd.height == 12 + 2 * (id * 3 % 7).toInt)
+    assert(hd.colorspace == "420jpeg")
+    var frames = 0
+    Multimodal.Y4m.foreachFrame(b)((_, _) => frames += 1)
+    assert(frames == 8 + (id % 9).toInt)
+    // C420 plane geometry: frame bytes = y + 2 quarter chroma planes
+    assert(hd.frameBytes == hd.width * hd.height +
+      2 * (hd.width / 2) * (hd.height / 2))
+    // mono and 444 colorspaces parse with their own geometry
+    val mono = "YUV4MPEG2 W4 H2 F25:1 Cmono\nFRAME\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](8)(7)
+    val hdM = Multimodal.Y4m.foreachFrame(mono)((_, _) => ())
+    assert(hdM.chromaSize == 0 && hdM.frameBytes == 8)
+    val c444 = "YUV4MPEG2 W2 H2 C444\nFRAME\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](12)(7)
+    assert(Multimodal.Y4m.parseHeader(c444).frameBytes == 12)
+    // truncated frame fails fast with the offset, never a silent short read
+    val trunc = b.take(b.length - 3)
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.Y4m.foreachFrame(trunc)((_, _) => ())
+    }
+    assert(e.getMessage.contains("truncated"))
+    // a non-Y4M payload is rejected at the magic
+    intercept[IllegalArgumentException] {
+      Multimodal.Y4m.parseHeader("RIFF1234".getBytes("US-ASCII"))
+    }
+  }
+
+  test("JdkCodecDecoder: Y4M video decodes for real; compressed video stays the declared stub") {
+    import spark.implicits._
+    val id = 4L
+    val media = Seq(
+      Multimodal.MediaRecord(id, "video", Multimodal.y4mPlanted(id))).toDS()
+    val got = Multimodal.decodeAll(media, Multimodal.JdkCodecDecoder)
+      .collect().head
+    assert(got.width == 16 + 2 * (id % 9).toInt)
+    assert(got.height == 12 + 2 * (id * 3 % 7).toInt)
+    assert(got.n_frames == 8 + (id % 9).toInt)
+    // the hash is over decoded plane bytes: a re-containered stream with
+    // different header cosmetics (extra X param) hashes identically
+    val raw = Multimodal.y4mPlanted(id)
+    val nl = raw.indexOf('\n'.toByte)
+    val hdr = new String(raw, 0, nl, "US-ASCII") + " XYSCSS=420JPEG"
+    val rehead = hdr.getBytes("US-ASCII") ++ raw.drop(nl)
+    val got2 = Multimodal.decodeAll(
+      Seq(Multimodal.MediaRecord(99L, "video", rehead)).toDS(),
+      Multimodal.JdkCodecDecoder).collect().head
+    assert(got2.feature_hash == got.feature_hash,
+      "plane hash must be container-cosmetics-invariant")
+    // compressed video: fail fast naming the media and the contract
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeAll(Seq(Multimodal.MediaRecord(7L, "video",
+        Array[Byte](0, 0, 0, 32, 'f', 't', 'y', 'p'))).toDS(),
+        Multimodal.JdkCodecDecoder).collect()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("media 7") && msg.contains("Y4M"))
+  }
+
+  test("y4mSceneCuts: exactly the planted cut, exact moved mass; a cutless clip flags nothing") {
+    for (id <- 0L until 40L) {
+      val cuts = Multimodal.y4mSceneCuts(id, Multimodal.y4mPlanted(id))
+      val nFrames = 8 + (id % 9)
+      val w = 16 + 2 * (id % 9)
+      val h = 12 + 2 * (id * 3 % 7)
+      assert(cuts.length == 1, s"id=$id found ${cuts.length} cuts")
+      assert(cuts.head == Multimodal.SceneCut(id, nFrames,
+        2 + (id % (nFrames - 3)), 2 * w * h), s"id=$id: ${cuts.head}")
+    }
+    // constant clip (no luma jump): zero cuts
+    val flat = ("YUV4MPEG2 W4 H2 F25:1 Cmono\n" +
+      "FRAME\n" + "\u0050" * 8 + "FRAME\n" + "\u0050" * 8)
+      .getBytes("ISO-8859-1")
+    assert(Multimodal.y4mSceneCuts(5L, flat).isEmpty)
+  }
 }
