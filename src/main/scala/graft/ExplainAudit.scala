@@ -19,7 +19,12 @@ object ExplainAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.001"
+    // default sf0.001 (plan shape, fast); override with
+    // SPARK_GRAFT_AUDIT_SF=/root/testdata/sf0.1 to audit the executed
+    // plan against bench-scale inputs (the r12 dd_resolve question —
+    // window-on-exchange claims can differ once AQE sees real sizes)
+    val dir = sys.env.getOrElse("SPARK_GRAFT_AUDIT_SF",
+      "/root/testdata/sf0.001")
     for (q <- args) {
       println(s"===== $q =====")
       val df = SparkEntry.queries(q)(spark, dir)

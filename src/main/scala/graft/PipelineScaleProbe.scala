@@ -4076,6 +4076,21 @@ object PipelineScaleProbe {
     * aliasing 100k-vector corpus. (b) and (c) are the two pair
     * generators the r12 guard sweep missed.
     */
+  /** Listener delivery is async (the spec-tier awaitStats discipline):
+    * poll until the guarded action's stats land or 15 s pass.
+    */
+  private def awaitGuardStats(tag: String,
+      ok: ops.DensityGuard.GuardStats => Boolean)
+      : Option[ops.DensityGuard.GuardStats] = {
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    var st = ops.DensityGuard.lastStats(tag)
+    while (!st.exists(ok) && System.nanoTime() < deadline) {
+      Thread.sleep(50)
+      st = ops.DensityGuard.lastStats(tag)
+    }
+    st
+  }
+
   private def addendum55(dir: String): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
@@ -4161,15 +4176,36 @@ object PipelineScaleProbe {
         (i, body)
       }
     }.toDF("doc_id", "text")
-    docs55.createOrReplaceTempView("__a55_docs")
-    val corpus55 = spark.sql(
-      s"""SELECT doc_id, text FROM __a55_docs
-         |UNION ALL
-         |SELECT doc_id + ${ops.Dedup.TwinIdOffset},
-         |       array_join(slice(split(text, ' '), 1,
-         |         (size(split(text, ' ')) * 4) div 5), ' ')
-         |FROM __a55_docs WHERE doc_id % 100 = 0 AND doc_id >= $nBoiler"""
-        .stripMargin)
+    def corpusOf(base: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      base.createOrReplaceTempView("__a55_base")
+      spark.sql(
+        s"""SELECT doc_id, text FROM __a55_base
+           |UNION ALL
+           |SELECT doc_id + ${ops.Dedup.TwinIdOffset},
+           |       array_join(slice(split(text, ' '), 1,
+           |         (size(split(text, ' ')) * 4) div 5), ' ')
+           |FROM __a55_base WHERE doc_id % 100 = 0 AND doc_id >= $nBoiler"""
+          .stripMargin)
+    }
+    val corpus55 = corpusOf(docs55)
+    // organic-recall baseline on the DIVERSE half alone: every bucket
+    // is under-cap there, so the guard is inert and the twin count is
+    // pure 4-band LSH recall on the 80%-prefix plant (a twin links only
+    // if ≥1 band survives the cut — NOT 100% by construction). The
+    // guarded full corpus must then find the SAME twin set: that
+    // isolates the guard's effect exactly.
+    val (baseRow, wBase) = wall(
+      ops.Dedup.ddMinhashLshOn(corpusOf(docs55.where(s"doc_id >= $nBoiler")))
+        .selectExpr(
+          s"SUM(CASE WHEN doc_b = doc_a + ${ops.Dedup.TwinIdOffset} " +
+            "THEN 1 ELSE 0 END) AS twins").head())
+    val baseTwins = baseRow.getLong(0)
+    require(baseTwins > 3800L,
+      s"organic LSH twin recall unexpectedly low: $baseTwins")
+    println(f"PSCALE dd_minhash_lsh diverse-only baseline twins=$baseTwins/4000 " +
+      f"(organic 4-band recall on the 80%%-prefix plant) w=$wBase%.1f s")
+    graft.SparkHygiene.clearSessionCaches(spark)
     // fail-fast: the diagnostic must name the blown buckets BEFORE any
     // candidate pair materializes
     val t0 = System.nanoTime()
@@ -4189,20 +4225,20 @@ object PipelineScaleProbe {
       .selectExpr("COUNT(*) AS pairs",
         s"SUM(CASE WHEN doc_b = doc_a + ${ops.Dedup.TwinIdOffset} " +
           "THEN 1 ELSE 0 END) AS twins").head())
-    val expectTwins = nDiverse / 100L // 4000 planted under-cap twins
-    require(mh.getLong(1) == expectTwins,
-      s"under-cap twins: ${mh.getLong(1)} of $expectTwins " +
-        "(the guard must not touch healthy buckets)")
-    // bounded: the boilerplate class contributes ≤ ~C(cap,2) verified
-    // pairs (all identical docs pass verification); unguarded it would
-    // be C(100k,2) ≈ 5e9 verified pairs alone
-    require(mh.getLong(0) < 20000000L,
+    require(mh.getLong(1) == baseTwins,
+      s"under-cap twins: ${mh.getLong(1)} vs diverse-only baseline " +
+        s"$baseTwins (the guard must not touch healthy buckets)")
+    // bounded: the boilerplate class contributes ≤ 4 bands × C(cap, 2)
+    // ≈ 33.5M distinct verified pairs (each band draws an independent
+    // ~cap-doc sample; identical docs all pass verification) — vs
+    // C(100k, 2) ≈ 5.0e9 verified pairs unguarded from that class alone
+    require(mh.getLong(0) < 35000000L,
       s"sampled pair volume not bounded: ${mh.getLong(0)}")
-    val gs = ops.DensityGuard.lastStats("dd_minhash_band")
+    val gs = awaitGuardStats("dd_minhash_band", _.droppedRows > 0L)
     require(gs.exists(_.droppedRows > 0L),
       s"guard telemetry silent under a blown band: $gs")
     println(f"PSCALE q=dd_minhash_lsh docs=504000 mode=sample " +
-      f"pairs=${mh.getLong(0)} twins=${mh.getLong(1)}/$expectTwins " +
+      f"pairs=${mh.getLong(0)} twins=${mh.getLong(1)}/$baseTwins(baseline) " +
       f"dropped=${gs.get.droppedRows} max_block=${gs.get.maxBlockN} " +
       f"(vs ~2.0e10 unguarded candidates) w=$wMh%.1f s")
     graft.SparkHygiene.clearSessionCaches(spark)
@@ -4232,7 +4268,7 @@ object PipelineScaleProbe {
     val (lsh, wLsh) = wall(ops.Similarity.ssLshAnnOn(spark, aliased,
       nPlanes = 8, queryPred = "vec_id % 5000 = 1", topK = 5).collect())
     require(lsh.nonEmpty, "guarded lsh returned nothing")
-    val gs2 = ops.DensityGuard.lastStats("ss_lsh_ann")
+    val gs2 = awaitGuardStats("ss_lsh_ann", _.droppedRows > 0L)
     require(gs2.exists(_.droppedRows > 0L),
       s"lsh guard telemetry silent under a blown bucket: $gs2")
     println(f"PSCALE q=ss_lsh_ann vectors=100000 mode=sample " +

@@ -313,9 +313,12 @@ object Similarity {
     * round-tripped — doubles survive parquet bit-exactly, so results
     * are identical to the inline chain) swaps the train CTEs for a
     * view read, collapsing the chain to base → n3 → one broadcast-able
-    * cross join; the executed ss_ivf_pre plan holds 3 scans of `__emb`
-    * vs ss_ivf_ann's 15 (ExplainAudit, r13), and the 100k probe
-    * (PERF.md addendum55) measures the query-path win directly. The
+    * cross join; the executed ss_ivf_pre plan holds 5 scans / 9
+    * exchanges vs ss_ivf_ann's 9 scans / 25 exchanges (ExplainAudit,
+    * r13 — the k-means refinement rounds and their windows vanish),
+    * and the 100k probe (PERF.md addendum55) measures the query-path
+    * win directly: ann 21.4→3.9 s (5.6×), rq 37.4→18.5 s (2.0×),
+    * training 48.8 s ONCE — amortized after ~3 queries. The
     * inline default remains the right call ONLY for the oracle-scale
     * one-shot entries (where training IS the query and the A/B shows
     * materialization losing); any repeated-query or 100×+ corpus goes
@@ -478,10 +481,10 @@ object Similarity {
     * `pretrained = Some(codebook)` — the production shape (index once,
     * query many). The result is row-identical to [[ssIvfAnn]] (same
     * deterministic chain, bit-exact storage), so the DuckDB oracle
-    * replays the inline text verbatim; what changes is the PLAN: 3
-    * scans of the embeddings table (query/assign/probe legs against a
-    * broadcast codebook) instead of the inline entry's 15 re-derived
-    * train chains.
+    * replays the inline text verbatim; what changes is the PLAN: 5
+    * scans / 9 exchanges (query/assign/probe legs against the
+    * broadcast codebook) instead of the inline entry's 9 scans / 25
+    * exchanges of re-derived train chains (ExplainAudit, r13).
     */
   def ssIvfPre(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(s, dir, "embeddings")
