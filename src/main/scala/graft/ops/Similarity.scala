@@ -494,18 +494,33 @@ object Similarity {
       pretrained = Some(cent))
   }
 
-  /** Train-once IVF-PQ: the ladder composition ([[ssIvfPqTopkOn]]) with
-    * the coarse codebook supplied pretrained — the PQ sub-codebooks
-    * still train in-query (they are residual-free and corpus-cheap;
-    * hoisting them is the same one-parameter pattern if a caller needs
-    * it), but the k-means chain that dominated the inline plan's scan
-    * count is one broadcast relation. Row-identical to [[ssIvfPqTopk]].
+  /** Train-once IVF-PQ with BOTH quantizers hoisted: the coarse
+    * codebook from [[ssIvfTrain]] AND the PQ sub-codebooks from
+    * [[ssPqTrain]], each parquet-persisted and passed as relations —
+    * the complete faiss-style index-build/query split (train coarse,
+    * train sub, store both, query many). Only the per-corpus encode +
+    * assignment passes remain in-query. Row-identical to
+    * [[ssIvfPqTopk]] (both trainers run the same deterministic chains;
+    * storage is bit-exact), so the inline oracle replays verbatim.
     */
   def ssIvfPqPre(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(s, dir, "embeddings")
     val cent = parquetRoundTrip(s, ssIvfTrain(s, emb, 16),
       "graft_ss_ivfpq_pre_cent")
-    ssIvfPqTopkOn(s, emb, "vec_id < 5", 10, pretrained = Some(cent))
+    val cb = parquetRoundTrip(s, ssPqTrain(s, emb),
+      "graft_ss_ivfpq_pre_cb")
+    ssIvfPqTopkOn(s, emb, "vec_id < 5", 10, pretrained = Some(cent),
+      pretrainedPq = Some(cb))
+  }
+
+  /** Train-once PQ: the flat ladder rung with the sub-codebooks
+    * supplied pretrained — encode + ADC + rescore in-query, training
+    * hoisted. Row-identical to [[ssPqTopk]].
+    */
+  def ssPqPre(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val cb = parquetRoundTrip(s, ssPqTrain(s, emb), "graft_ss_pq_pre_cb")
+    ssPqTopkOn(s, emb, "vec_id < 5", 10, pretrainedPq = Some(cb))
   }
 
   /** IVF-style approximate NN with a k-means-trained coarse quantizer
@@ -1712,8 +1727,40 @@ object Similarity {
     * [[pqSparkSql]] and the IVF-PQ composition (CTE names are prefixed
     * pq- where they would collide with the IVF training chain's).
     */
-  private[ops] def pqTrainEncodeCtes(nSub: Int, nCode: Int): String = {
+  private[ops] def pqTrainEncodeCtes(nSub: Int, nCode: Int,
+      pretrained: Option[DataFrame] = None): String = {
     val d = 64 / nSub
+    pretrained match {
+      case Some(cb) =>
+        // train-once path (the ssIvfTrain discipline applied to the
+        // sub-codebooks): the caller supplies (m, code, cv) from
+        // [[ssPqTrain]]; cb1's cn2 re-derives from cv (exact — the
+        // same graft_dot the trainer ran), and the per-corpus ENCODE
+        // pass (sub → enc → recn) still runs — codes are corpus-sized
+        // and cheap; the k-means seed/assign/update rounds are what
+        // the hoist removes.
+        cb.createOrReplaceTempView("__pqcb_pre")
+        return s"""sub AS (
+           |  SELECT vec_id, m, slice(v, m * $d + 1, $d) AS sv
+           |  FROM n3 LATERAL VIEW explode(sequence(0, ${nSub - 1})) AS m),
+           |cb1 AS (
+           |  SELECT m, code, cv, graft_dot(cv, cv) AS cn2
+           |  FROM __pqcb_pre),
+           |enc AS (
+           |  SELECT vec_id, m, code FROM (
+           |    SELECT u.vec_id, u.m, c.code,
+           |           ROW_NUMBER() OVER (PARTITION BY u.vec_id, u.m
+           |             ORDER BY ROUND(c.cn2 - 2 * graft_dot(u.sv, c.cv), 6) ASC,
+           |                      c.code) AS rn
+           |    FROM sub u JOIN cb1 c ON c.m = u.m) WHERE rn = 1),
+           |recn AS (
+           |  SELECT e.vec_id,
+           |         CAST(SUM(CAST(ROUND(c.cn2, 9) AS DECIMAL(28,9))) AS DOUBLE)
+           |           AS rn2
+           |  FROM enc e JOIN cb1 c ON c.m = e.m AND c.code = e.code
+           |  GROUP BY e.vec_id)""".stripMargin
+      case None => ()
+    }
     s"""sub AS (
        |  SELECT vec_id, m, slice(v, m * $d + 1, $d) AS sv
        |  FROM n3 LATERAL VIEW explode(sequence(0, ${nSub - 1})) AS m),
@@ -1816,14 +1863,41 @@ object Similarity {
 
   private[ops] def pqSparkSql(queryPred: String, topK: Int,
                               nSub: Int = 8, nCode: Int = 16,
-                              mult: Int = 3): String =
+                              mult: Int = 3,
+                              pretrainedPq: Option[DataFrame] = None): String =
     s"""WITH base AS (
        |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM __emb_pq),
        |n3 AS (
        |  SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM base),
-       |${pqTrainEncodeCtes(nSub, nCode)},
+       |${pqTrainEncodeCtes(nSub, nCode, pretrainedPq)},
        |${pqQueryTail(queryPred, topK, nSub, mult)}""".stripMargin
+
+  /** Train the PQ sub-codebooks ONCE → (m, code, cv), nSub·nCode rows —
+    * [[ssIvfTrain]]'s train-once discipline applied to the second
+    * quantizer of the IVF-PQ composition: the seeded draw + one
+    * decimal-exact refinement round, evaluated standalone. Persist and
+    * pass as `pretrainedPq` to [[ssPqTopkOn]] / [[ssIvfPqTopkOn]]; the
+    * per-corpus ENCODE pass still runs in-query (codes must cover the
+    * corpus being searched), but the training rounds hoist out. OPQ is
+    * deliberately NOT hoistable this way: its variance-ranked
+    * permutation is corpus-derived, so a portable OPQ codebook must
+    * carry the permutation with it — compose [[ssOpqTopkOn]] inline or
+    * snapshot the permuted corpus instead.
+    */
+  def ssPqTrain(s: SparkSession, emb: DataFrame, nSub: Int = 8,
+                nCode: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    emb.createOrReplaceTempView("__emb_pq")
+    s.sql(
+      s"""WITH base AS (
+         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM __emb_pq),
+         |n3 AS (
+         |  SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM base),
+         |${pqTrainEncodeCtes(nSub, nCode)}
+         |SELECT m, code, cv FROM cb1 ORDER BY m, code""".stripMargin)
+  }
 
   /** Product-quantized approximate top-k with exact rescoring (the FAISS
     * "PQ" memory path, one tier beyond [[ssSqTopkOn]]'s SQ8): codes cost
@@ -1853,10 +1927,11 @@ object Similarity {
     */
   def ssPqTopkOn(s: SparkSession, emb: DataFrame, queryPred: String,
                  topK: Int, nSub: Int = 8, nCode: Int = 16,
-                 mult: Int = 3): DataFrame = {
+                 mult: Int = 3,
+                 pretrainedPq: Option[DataFrame] = None): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     emb.createOrReplaceTempView("__emb_pq")
-    s.sql(pqSparkSql(queryPred, topK, nSub, nCode, mult))
+    s.sql(pqSparkSql(queryPred, topK, nSub, nCode, mult, pretrainedPq))
   }
 
   /** Oracle-query form: PQ top-10 for query vectors vec_id < 5 —
@@ -1888,13 +1963,14 @@ object Similarity {
                     topK: Int, nlist: Int = 16, nprobe: Int = 2,
                     nSub: Int = 8, nCode: Int = 16,
                     mult: Int = 3,
-                    pretrained: Option[DataFrame] = None): DataFrame = {
+                    pretrained: Option[DataFrame] = None,
+                    pretrainedPq: Option[DataFrame] = None): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     emb.createOrReplaceTempView("__emb")
     val C = s"cent$IvfIters"
     s.sql(
       s"""WITH ${ivfTrainAssignCtes(s, nlist, pretrained)},
-         |${pqTrainEncodeCtes(nSub, nCode)},
+         |${pqTrainEncodeCtes(nSub, nCode, pretrainedPq)},
          |qprobes AS (
          |  SELECT qid, cid FROM (
          |    SELECT n.vec_id AS qid, c.cid,
@@ -2675,7 +2751,8 @@ object Similarity {
     "ss_lsh_ann" -> (ssLshAnn _),
     "ss_ivf_ann" -> (ssIvfAnn _),
     "ss_ivf_pre" -> (ssIvfPre _),
-    "ss_ivfpq_pre" -> (ssIvfPqPre _))
+    "ss_ivfpq_pre" -> (ssIvfPqPre _),
+    "ss_pq_pre" -> (ssPqPre _))
 
   /** DuckDB mirror of the k-means iteration chain (bit-equal centroids:
     * same seeded init order, same decimal-exact means, same rounding).
@@ -4049,5 +4126,6 @@ object Similarity {
     */
   val oracleSql: Map[String, String] = oracleSqlBase ++ Map(
     "ss_ivf_pre" -> oracleSqlBase("ss_ivf_ann"),
-    "ss_ivfpq_pre" -> oracleSqlBase("ss_ivfpq_topk"))
+    "ss_ivfpq_pre" -> oracleSqlBase("ss_ivfpq_topk"),
+    "ss_pq_pre" -> oracleSqlBase("ss_pq_topk"))
 }

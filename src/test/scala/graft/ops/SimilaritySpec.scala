@@ -1166,10 +1166,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rowsOf(Similarity.ssIvfAnnOn(spark, emb, pred, 5)) ==
       rowsOf(Similarity.ssIvfAnnOn(spark, emb, pred, 5, pretrained = pre)),
       "ss_ivf_ann pretrained != inline")
+    // PQ sub-codebook hoist (ssPqTrain): flat PQ and the full IVF-PQ
+    // composition with BOTH quantizers pretrained
+    val cbPq = Some(Similarity.parquetRoundTrip(spark,
+      Similarity.ssPqTrain(spark, emb), "graft_spec_pre_cb"))
+    assert(rowsOf(Similarity.ssPqTopkOn(spark, emb, "vec_id % 1000 = 0", 5)) ==
+      rowsOf(Similarity.ssPqTopkOn(spark, emb, "vec_id % 1000 = 0", 5,
+        pretrainedPq = cbPq)),
+      "ss_pq pretrainedPq != inline")
     assert(rowsOf(Similarity.ssIvfPqTopkOn(spark, emb, "vec_id % 1000 = 0", 5)) ==
       rowsOf(Similarity.ssIvfPqTopkOn(spark, emb, "vec_id % 1000 = 0", 5,
-        pretrained = pre)),
-      "ss_ivfpq pretrained != inline")
+        pretrained = pre, pretrainedPq = cbPq)),
+      "ss_ivfpq both-pretrained != inline")
     assert(rowsOf(Similarity.ssRqTopkOn(spark, emb, "vec_id % 1000 = 0", 5,
         nprobe = 2)) ==
       rowsOf(Similarity.ssRqTopkOn(spark, emb, "vec_id % 1000 = 0", 5,
