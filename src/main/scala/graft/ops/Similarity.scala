@@ -523,6 +523,24 @@ object Similarity {
     ssPqTopkOn(s, emb, "vec_id < 5", 10, pretrainedPq = Some(cb))
   }
 
+  /** Train-once IVF-RQ: the residual rung with the PAIR hoisted —
+    * coarse centroids from [[ssIvfTrain]] and the per-cell residual
+    * codebooks from [[ssRqTrain]] (trained against those same
+    * centroids), both parquet-persisted. Only the per-corpus residual,
+    * encode, and probed-ADC passes run in-query. Row-identical to
+    * [[ssIvfRqTopk]], so the inline oracle replays verbatim.
+    */
+  def ssIvfRqPre(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val cent = parquetRoundTrip(s, ssIvfTrain(s, emb, 16),
+      "graft_ss_ivfrq_pre_cent")
+    val rcb = parquetRoundTrip(s,
+      ssRqTrain(s, emb, 16, pretrained = Some(cent)),
+      "graft_ss_ivfrq_pre_rcb")
+    ssRqTopkOn(s, emb, "vec_id < 5", 10, nprobe = 2,
+      pretrained = Some(cent), pretrainedRq = Some(rcb))
+  }
+
   /** IVF-style approximate NN with a k-means-trained coarse quantizer
     * (seeded deterministic init + `IvfIters` decimal-exact refinement
     * rounds); queries (vec_id 20..24) probe their 2 nearest clusters and
@@ -2033,10 +2051,72 @@ object Similarity {
     * the probed oracle entry; recall-vs-nprobe is locked in
     * SimilaritySpec alongside the IVF-PQ ladder.
     */
+  /** The per-cell residual-codebook training CTEs (rseed → rcb0 → one
+    * assign/update round → rcb1) over the `rres` residual relation —
+    * factored so [[ssRqTrain]] and the inline query share one text.
+    */
+  private def rqTrainCtes(nCode: Int): String =
+    s"""rseed AS (
+       |  SELECT cid, rv, rk FROM (
+       |    SELECT cid, rv,
+       |           ROW_NUMBER() OVER (PARTITION BY cid
+       |             ORDER BY md5(concat('rq42:', CAST(vec_id AS STRING))),
+       |                      vec_id) AS rk
+       |    FROM rres) WHERE rk <= $nCode),
+       |rcb0 AS (
+       |  SELECT cid, CAST(rk AS INT) - 1 AS code,
+       |         rv AS cv, graft_dot(rv, rv) AS cn2
+       |  FROM rseed),
+       |rq1 AS (
+       |  SELECT vec_id, cid, rv, code FROM (
+       |    SELECT r.vec_id, r.cid, r.rv, c.code,
+       |           ROW_NUMBER() OVER (PARTITION BY r.vec_id
+       |             ORDER BY ROUND(c.cn2 - 2 * graft_dot(r.rv, c.cv), 6)
+       |                        ASC, c.code) AS rn
+       |    FROM rres r JOIN rcb0 c ON c.cid = r.cid) WHERE rn = 1),
+       |rm1 AS (
+       |  SELECT cid, code, i,
+       |         ROUND(CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE)
+       |               / COUNT(1), 6) AS mx
+       |  FROM rq1 LATERAL VIEW posexplode(rv) AS i, x
+       |  GROUP BY cid, code, i),
+       |rcb1 AS (
+       |  SELECT cid, code, cv, graft_dot(cv, cv) AS cn2 FROM (
+       |    SELECT cid, code,
+       |           transform(array_sort(collect_list(struct(i, mx))),
+       |                     p -> p.mx) AS cv
+       |    FROM rm1 GROUP BY cid, code))""".stripMargin
+
+  /** Train the RQ level-2 residual codebooks ONCE → (cid, code, cv) —
+    * the train-once ladder's third rung (coarse [[ssIvfTrain]], PQ sub
+    * [[ssPqTrain]], RQ residual here). Residual codebooks are only
+    * meaningful AGAINST the coarse codebook they were trained with, so
+    * the portable RQ index is the PAIR (centroids, residual codebooks):
+    * pass the same `pretrained` here and to [[ssRqTopkOn]], or train
+    * both inline from the same corpus. The per-corpus residual +
+    * encode passes stay in-query.
+    */
+  def ssRqTrain(s: SparkSession, emb: DataFrame, nlist: Int = 16,
+                nCode: Int = 16,
+                pretrained: Option[DataFrame] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    emb.createOrReplaceTempView("__emb")
+    val C = s"cent$IvfIters"
+    s.sql(
+      s"""WITH ${ivfTrainAssignCtes(s, nlist, pretrained)},
+         |rres AS (
+         |  SELECT a.vec_id, a.cid,
+         |         zip_with(a.v, c.cv, (x, y) -> x - y) AS rv
+         |  FROM assign a JOIN $C c ON c.cid = a.cid),
+         |${rqTrainCtes(nCode)}
+         |SELECT cid, code, cv FROM rcb1 ORDER BY cid, code""".stripMargin)
+  }
+
   def ssRqTopkOn(s: SparkSession, emb: DataFrame, queryPred: String,
                  topK: Int, nlist: Int = 16, nCode: Int = 16,
                  mult: Int = 3, nprobe: Int = 0,
-                 pretrained: Option[DataFrame] = None): DataFrame = {
+                 pretrained: Option[DataFrame] = None,
+                 pretrainedRq: Option[DataFrame] = None): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     emb.createOrReplaceTempView("__emb")
     val C = s"cent$IvfIters"
@@ -2056,42 +2136,24 @@ object Similarity {
     val probeJoin =
       if (nprobe <= 0) ""
       else "\n  JOIN qprobes p ON p.qid = l1.qid AND p.cid = n.cid"
+    // pretrainedRq (an [[ssRqTrain]] relation, trained against the SAME
+    // coarse codebook) swaps the residual-codebook training for a
+    // broadcast view read; the per-corpus rres + renc passes remain
+    val rqCb = pretrainedRq match {
+      case Some(cb) =>
+        cb.createOrReplaceTempView("__rqcb_pre")
+        """rcb1 AS (
+          |  SELECT cid, code, cv, graft_dot(cv, cv) AS cn2
+          |  FROM __rqcb_pre)""".stripMargin
+      case None => rqTrainCtes(nCode)
+    }
     s.sql(
       s"""WITH ${ivfTrainAssignCtes(s, nlist, pretrained)},
          |rres AS (
          |  SELECT a.vec_id, a.cid,
          |         zip_with(a.v, c.cv, (x, y) -> x - y) AS rv
          |  FROM assign a JOIN $C c ON c.cid = a.cid),
-         |rseed AS (
-         |  SELECT cid, rv, rk FROM (
-         |    SELECT cid, rv,
-         |           ROW_NUMBER() OVER (PARTITION BY cid
-         |             ORDER BY md5(concat('rq42:', CAST(vec_id AS STRING))),
-         |                      vec_id) AS rk
-         |    FROM rres) WHERE rk <= $nCode),
-         |rcb0 AS (
-         |  SELECT cid, CAST(rk AS INT) - 1 AS code,
-         |         rv AS cv, graft_dot(rv, rv) AS cn2
-         |  FROM rseed),
-         |rq1 AS (
-         |  SELECT vec_id, cid, rv, code FROM (
-         |    SELECT r.vec_id, r.cid, r.rv, c.code,
-         |           ROW_NUMBER() OVER (PARTITION BY r.vec_id
-         |             ORDER BY ROUND(c.cn2 - 2 * graft_dot(r.rv, c.cv), 6)
-         |                        ASC, c.code) AS rn
-         |    FROM rres r JOIN rcb0 c ON c.cid = r.cid) WHERE rn = 1),
-         |rm1 AS (
-         |  SELECT cid, code, i,
-         |         ROUND(CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE)
-         |               / COUNT(1), 6) AS mx
-         |  FROM rq1 LATERAL VIEW posexplode(rv) AS i, x
-         |  GROUP BY cid, code, i),
-         |rcb1 AS (
-         |  SELECT cid, code, cv, graft_dot(cv, cv) AS cn2 FROM (
-         |    SELECT cid, code,
-         |           transform(array_sort(collect_list(struct(i, mx))),
-         |                     p -> p.mx) AS cv
-         |    FROM rm1 GROUP BY cid, code)),
+         |$rqCb,
          |renc AS (
          |  SELECT vec_id, cid, code FROM (
          |    SELECT r.vec_id, r.cid, c.code,
@@ -2752,7 +2814,8 @@ object Similarity {
     "ss_ivf_ann" -> (ssIvfAnn _),
     "ss_ivf_pre" -> (ssIvfPre _),
     "ss_ivfpq_pre" -> (ssIvfPqPre _),
-    "ss_pq_pre" -> (ssPqPre _))
+    "ss_pq_pre" -> (ssPqPre _),
+    "ss_ivfrq_pre" -> (ssIvfRqPre _))
 
   /** DuckDB mirror of the k-means iteration chain (bit-equal centroids:
     * same seeded init order, same decimal-exact means, same rounding).
@@ -4127,5 +4190,6 @@ object Similarity {
   val oracleSql: Map[String, String] = oracleSqlBase ++ Map(
     "ss_ivf_pre" -> oracleSqlBase("ss_ivf_ann"),
     "ss_ivfpq_pre" -> oracleSqlBase("ss_ivfpq_topk"),
-    "ss_pq_pre" -> oracleSqlBase("ss_pq_topk"))
+    "ss_pq_pre" -> oracleSqlBase("ss_pq_topk"),
+    "ss_ivfrq_pre" -> oracleSqlBase("ss_ivfrq_topk"))
 }

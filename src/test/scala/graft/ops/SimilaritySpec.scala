@@ -1183,6 +1183,16 @@ class SimilaritySpec extends AnyFunSuite {
       rowsOf(Similarity.ssRqTopkOn(spark, emb, "vec_id % 1000 = 0", 5,
         nprobe = 2, pretrained = pre)),
       "ss_ivfrq pretrained != inline")
+    // RQ residual-codebook hoist: the PAIR (centroids, residual cbs)
+    // trained standalone against the same coarse codebook
+    val rcb = Some(Similarity.parquetRoundTrip(spark,
+      Similarity.ssRqTrain(spark, emb, 16, pretrained = pre),
+      "graft_spec_pre_rcb"))
+    assert(rowsOf(Similarity.ssRqTopkOn(spark, emb, "vec_id % 1000 = 0", 5,
+        nprobe = 2)) ==
+      rowsOf(Similarity.ssRqTopkOn(spark, emb, "vec_id % 1000 = 0", 5,
+        nprobe = 2, pretrained = pre, pretrainedRq = rcb)),
+      "ss_ivfrq pair-pretrained != inline")
     assert(rowsOf(Similarity.ssBqTopkOn(spark, emb, "vec_id % 1000 = 0", 5,
         nprobe = 2)) ==
       rowsOf(Similarity.ssBqTopkOn(spark, emb, "vec_id % 1000 = 0", 5,
