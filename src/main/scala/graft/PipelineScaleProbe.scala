@@ -266,6 +266,11 @@ object PipelineScaleProbe {
     // clips (~1.8 GB of raw frames), every planted cut recovered
     // exactly through the byte-level parse
     if (args.headOption.contains("addendum56")) { addendum56(); return }
+    // `addendum57 [dir]` — round-13: the COMPLETE RQ index hoist
+    // (coarse + residual codebooks both pretrained) vs coarse-only vs
+    // inline at 100k vectors
+    if (args.headOption.contains("addendum57")) {
+      addendum57(args.lift(1).getOrElse("target/pscale19")); return }
     // `addendum13 <nDocs> <nEvents> <nVec> <outBase>` — gaps/gini at
     // event scale, epochs/ngram at corpus scale, range at vector scale
     if (args.headOption.contains("addendum13")) {
@@ -4324,6 +4329,64 @@ object PipelineScaleProbe {
     println(f"PSCALE q=mm_video_scenes clips=$n cuts_exact=$n/$n " +
       f"w=$w%.1f s (REAL Y4M byte-level parse, zero shuffle)")
     println("PSCALE addendum56 done")
+    spark.stop()
+  }
+
+  /** Round-13 follow-up: the RQ rung with the COMPLETE index hoisted —
+    * addendum55 measured the coarse-codebook hoist (37.4 → 18.5 s at
+    * 100k); this leg adds the residual-codebook hoist (ssRqTrain) and
+    * quantifies what remains in-query (residuals, encode, probed ADC).
+    * All three variants must be row-identical.
+    */
+  private def addendum57(dir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.SparkHygiene.quietRddLogs()
+    import spark.implicits._
+    val embPath = s"$dir/embeddings19.parquet"
+    if (!new java.io.File(embPath).exists) {
+      spark.range(0L, 100000L).map(vecFor(_, 64, 7, 2026L))
+        .toDF("vec_id", "embedding", "label")
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(embPath)
+    }
+    val emb = spark.read.parquet(embPath).select("vec_id", "embedding")
+    val q = "vec_id % 5000 = 0"
+    val (cent, wC) = wall(ops.Similarity.parquetRoundTrip(spark,
+      ops.Similarity.ssIvfTrain(spark, emb, 316), "graft_a57_cent"))
+    val (rcb, wR) = wall(ops.Similarity.parquetRoundTrip(spark,
+      ops.Similarity.ssRqTrain(spark, emb, 316, nCode = 64,
+        pretrained = Some(cent)), "graft_a57_rcb"))
+    println(f"PSCALE ss_rq_train vectors=100000 coarse_w=$wC%.1f s " +
+      f"residual_w=$wR%.1f s (each once)")
+    def leg(name: String, pre: Option[org.apache.spark.sql.DataFrame],
+            preRq: Option[org.apache.spark.sql.DataFrame])
+        : (Array[org.apache.spark.sql.Row], Double) = {
+      val (r, w) = wall(ops.Similarity.ssRqTopkOn(spark, emb, q, 5,
+        nlist = 316, nCode = 64, mult = 12, nprobe = 8,
+        pretrained = pre, pretrainedRq = preRq).collect())
+      graft.SparkHygiene.clearSessionCaches(spark)
+      println(f"PSCALE ss_ivfrq_topk(316/8) variant=$name w=$w%.1f s")
+      (r, w)
+    }
+    val (rI, wI) = leg("inline", None, None)
+    val (rCo, wCo) = leg("coarse-pretrained", Some(cent), None)
+    val (rP, wP) = leg("pair-pretrained", Some(cent), Some(rcb))
+    require(rI.map(_.toString).toSeq == rCo.map(_.toString).toSeq &&
+      rI.map(_.toString).toSeq == rP.map(_.toString).toSeq,
+      "RQ hoist variants differ")
+    require(wP <= wCo && wCo <= wI * 1.2,
+      f"hoist ladder not monotone: inline $wI%.1f coarse $wCo%.1f " +
+        f"pair $wP%.1f")
+    println(f"PSCALE rq hoist ladder: inline=$wI%.1f " +
+      f"coarse=$wCo%.1f pair=$wP%.1f s (row-identical; " +
+      f"pair speedup ${wI / wP}%.1fx)")
+    println("PSCALE addendum57 done")
     spark.stop()
   }
 
