@@ -1842,4 +1842,79 @@ class StreamingSpec extends AnyFunSuite {
       .sortBy(_._2)
     assert(streamed.toSeq == batch.map(t => (t._1, t._2, t._3)).toSeq)
   }
+
+  test("MinhashTracker: band keys bit-identical to the batch chain; stream == batch candidates across trigger decompositions; cap bounds a blown bucket") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // corpus: 24 diverse docs + an 80%-prefix twin for every 4th (the
+    // batch oracle's planting recipe) + 6 copies of one boilerplate
+    // (they alias into ONE bucket per band — the blown-bucket class)
+    def text(i: Long): String =
+      (0 until 12).map(j => s"w${(i * 7 + j * 3) % 997}x$j").mkString(" ")
+    val base = (0L until 24L).map(i => (i, text(i)))
+    val twins = base.filter(_._1 % 4 == 0).map { case (i, t) =>
+      (i + 100000L, t.split(" ").take(9).mkString(" ")) }
+    val boiler = (200L until 206L).map(i => (i, "the cookie banner text " +
+      "appears on every single page of this site verbatim"))
+    val all = (base ++ twins ++ boiler).map { case (i, t) =>
+      graft.streaming.MinhashTracker.DEv(
+        new Timestamp(1700000000000L + i * 1000), i, t) }
+    val docsDf = all.toDF()
+
+    // 1) signature parity: bandHits == the batch chain's band relation
+    val hits = MinhashTracker.bandHits(docsDf)
+    val gotBands = hits.collect().map(h => (h.doc_id, h.band, h.bh)).toSet
+    val corpus = docsDf.selectExpr("doc_id", "split(text, ' ') AS toks")
+    val (_, _, batchBand) = graft.ops.Dedup.minhashRelationsOn(corpus)
+    val wantBands = batchBand.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    graft.SparkHygiene.clearSessionCaches(spark)
+    assert(gotBands == wantBands,
+      s"band keys drifted from the batch chain: ${gotBands.size} vs ${wantBands.size}")
+
+    // 2) candidates: stream (two different trigger decompositions) ==
+    // batch fold == the batch band join's distinct candidate set
+    // (under-cap buckets only in this corpus at the default cap)
+    val wantCand = batchBand.as("a").join(batchBand.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.SparkHygiene.clearSessionCaches(spark)
+    val batchCand = MinhashTracker.candBatch(hits).collect()
+      .map(p => (p.doc_a, p.doc_b)).toSet
+    assert(batchCand == wantCand, "batch fold != band join candidates")
+    for (chunk <- Seq(7, 50)) {
+      val stream = MemoryStream[MinhashTracker.DEv]
+      val q = MinhashTracker.candStream(
+          MinhashTracker.bandHits(stream.toDF()))
+        .toDF().writeStream.outputMode("append")
+        .format("memory").queryName(s"mh_cand_$chunk").start()
+      all.sortBy(_.ts.getTime).grouped(chunk).foreach { b =>
+        stream.addData(b); q.processAllAvailable() }
+      q.stop()
+      val got = spark.table(s"mh_cand_$chunk").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == wantCand, s"stream(chunk=$chunk) != batch candidates")
+    }
+
+    // 3) the streaming density guard: at cap=3 the boilerplate bucket
+    // admits 3 members — C(3,2)=3 pairs per band instead of C(6,2)=15
+    val capped = MinhashTracker.candBatch(hits, cap = 3).collect()
+    val boilerPairs = capped.filter(p => p.doc_a >= 200L && p.doc_a < 300L)
+    assert(boilerPairs.groupBy(p => (p.band, p.bh))
+      .forall(_._2.length == 3), "cap=3 must bound each bucket at 3 pairs")
+    // under-cap (diverse) pairs are untouched by the cap
+    val cappedDiverse = capped.filter(_.doc_a < 200L)
+      .map(p => (p.doc_a, p.doc_b)).toSet
+    val fullDiverse = MinhashTracker.candBatch(hits).collect()
+      .filter(_.doc_a < 200L).map(p => (p.doc_a, p.doc_b)).toSet
+    assert(cappedDiverse == fullDiverse,
+      "cap must not touch under-cap buckets")
+    // every planted twin is a candidate (identical first-9-token prefix
+    // keeps >= 1 identical band at these sizes — verified by the set)
+    assert(base.filter(_._1 % 4 == 0).forall { case (i, _) =>
+      wantCand.contains((i, i + 100000L)) },
+      "planted prefix twins must surface as candidates")
+  }
 }
