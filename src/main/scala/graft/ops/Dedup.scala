@@ -163,7 +163,8 @@ object Dedup {
   private[graft] def minhashRelationsOn(
       corpus: DataFrame,
       maxBlockRows: Int = DensityGuard.DefaultMaxBlockRows,
-      onOverflow: String = "sample"): (DataFrame, DataFrame, DataFrame) = {
+      onOverflow: String = "sample",
+      trackBand: Boolean = true): (DataFrame, DataFrame, DataFrame) = {
     // DataFrame API so the exploded shingle relation can be persisted:
     // SQL CTEs are inlined and `tok` (the largest intermediate) would be
     // recomputed for the signatures, the counts, and both sides of the
@@ -190,12 +191,28 @@ object Dedup {
           md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bh"))): _*))
         .as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
-    val gband = DensityGuard.guard(band, Seq("band", "bh"),
+    // the guarded band is read TWICE downstream (both sides of the
+    // (band, bh) bucket self-join in minhashVerify / ddMinhashEstOn's
+    // cand), and the r13 plan audit showed NO exchange reuse between the
+    // sides: each re-ran the whole sig aggregation (8 md5 MINs over
+    // every shingle) plus the guard window (dd_minhash_lsh executed
+    // plan: 2× Exchange hashpartitioning(doc_id) into the sig agg, 2×
+    // Exchange hashpartitioning(band, bh) into the window —
+    // plans/r13/dd_minhash_lsh_before.txt). Persisting the narrow
+    // (doc_id, band, bh) relation makes the signature pass run once
+    // (guide §2.4: duplicated subtrees; A/B'd at sf0.1 in
+    // OPTIMIZATION_r13.md: dd_minhash_lsh 4.36 → 3.41 s).
+    // `trackBand = false` is for callers that ALREADY pin the signature
+    // relation (ddMinhashEstOn): there the band sides re-derive only a
+    // cheap explode over the cached sig, and pinning the 4×-exploded
+    // band on top was a measured LOSS (est 5.25 → 6.16 s).
+    val guarded = DensityGuard.guard(band, Seq("band", "bh"),
       DensityGuard.drawOn("mhguard:", col("doc_id"), lit(":"), col("band")),
       maxBlockRows, onOverflow, tag = "dd_minhash_band",
       remediation = "Use more bands / more rows per band (longer " +
         "signatures), raise the cap, or use onOverflow=sample.",
       onFail = tok.unpersist(blocking = false))
+    val gband = if (trackBand) Caches.track(guarded) else guarded
     (tok, sig, gband)
   }
 
@@ -216,7 +233,9 @@ object Dedup {
     */
   def ddMinhashEstOn(corpus: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    val (tok, sig0, band) = minhashRelationsOn(corpus)
+    // trackBand = false: sig is pinned two lines down, so the band
+    // sides cost one explode over the cached sig — see minhashRelationsOn
+    val (tok, sig0, band) = minhashRelationsOn(corpus, trackBand = false)
     // sig is read THREE times below (both signature-join sides + the
     // bands feeding cand) and each read re-runs the 8×md5 min-aggregate
     // over every shingle; persisting the doc-sized 8-column relation
@@ -488,13 +507,18 @@ object Dedup {
     // corpora (identical boilerplate → identical simhash) alias whole
     // shards into one band bucket. Per-(bno, doc) draw: a doc sampled
     // out of one blown band keeps its other three bands.
-    DensityGuard.guard(band, Seq("bno", "bk"),
+    // tracked: both sides of the band self-join read the guarded band —
+    // without the pin each side re-ran the 64-bit-sum signature
+    // aggregation AND the guard window (r13 plan audit: 2× the sig64
+    // InMemoryTableScan→explode→Window chain). One narrow
+    // (doc_id, simhash, bno, bk) relation, computed once.
+    Caches.track(DensityGuard.guard(band, Seq("bno", "bk"),
         DensityGuard.drawOn("simguard:", col("bno"), lit(":"),
           col("doc_id")),
         tag = "dd_simhash_pairs",
         remediation = "Use more/wider bands, raise the cap, or use " +
           "onOverflow=sample.",
-        onFail = sig64.unpersist(blocking = false))
+        onFail = sig64.unpersist(blocking = false)))
       .createOrReplaceTempView("__sig64_band")
     s.sql(
       """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -530,13 +554,14 @@ object Dedup {
         |       shiftright(simhash, 16 * bno) & 65535 AS bk
         |FROM __sig64h LATERAL VIEW explode(sequence(0, 3)) AS bno"""
         .stripMargin)
-    DensityGuard.guard(band, Seq("bno", "bk"),
+    // tracked: same twice-read band self-join shape as ddSimhashPairs
+    Caches.track(DensityGuard.guard(band, Seq("bno", "bk"),
         DensityGuard.drawOn("simguard:", col("bno"), lit(":"),
           col("doc_id")),
         tag = "dd_hamming_hist",
         remediation = "Use more/wider bands, raise the cap, or use " +
           "onOverflow=sample.",
-        onFail = sig64h.unpersist(blocking = false))
+        onFail = sig64h.unpersist(blocking = false)))
       .createOrReplaceTempView("__sig64h_band")
     s.sql(
       """WITH cand AS (
