@@ -67,8 +67,23 @@ object ConnectedComponents {
       iter += 1
       val prop = adj.join(labels, adj("src") === labels("node"))
         .select(adj("dst").as("node"), col("comp"))
-      val next = labels.unionAll(prop)
-        .groupBy("node").agg(min("comp").as("comp"))
+      // r13: aggregate the PROPAGATED labels alone (edge-fan-in rows,
+      // map-side partial MIN), then fold into the label relation with a
+      // node-keyed left join — min over {labels(v)} ∪ prop(v) equals
+      // least(labels.comp, min(prop(v))) because min is associative
+      // with the join's null as identity (a node nobody propagated to
+      // keeps its label; every prop target IS in labels, which holds
+      // all nodes from round 0). The previous self-union + re-aggregate
+      // re-shuffled the FULL label relation every round on top of the
+      // propagated rows (guide §2.3 "aggregate before you shuffle"):
+      // labels is node-sized, and both it and the aggregate are hash-
+      // partitioned on node, so the fold join adds no exchange of its
+      // own while the per-round shuffle drops from |nodes| + |prop|
+      // rows to |prop| rows.
+      val inMin = prop.groupBy("node").agg(min("comp").as("pcomp"))
+      val next = labels.join(inMin, Seq("node"), "left_outer")
+        .select(col("node"),
+          least(col("comp"), col("pcomp")).as("comp"))
         .localCheckpoint(eager = false)
       val s = exactSum(next)
       // `next` is materialized by the exactSum action just above, so the

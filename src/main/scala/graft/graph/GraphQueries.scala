@@ -134,8 +134,13 @@ object GraphQueries {
     * (a, b) — the shared input shape of [[Betweenness]] and [[Katz]].
     */
   private[graph] def bidirectional(und: DataFrame): DataFrame =
+    // hash-partitioned on `a` BEFORE the checkpoint (r13): every consumer
+    // (Betweenness 2·horizon times, Katz horizon times) joins on e("a"),
+    // and a checkpoint preserves its partitioning — so the per-level
+    // exchange of the edge relation disappears (guide §2.4)
     und.selectExpr("u AS a", "v AS b")
       .unionAll(und.selectExpr("v AS a", "u AS b"))
+      .repartition(col("a"))
       .localCheckpoint(eager = true)
 
   /** Q24: connected components of the user co-occurrence graph (users with
@@ -1469,53 +1474,77 @@ object GraphQueries {
 
   /** ANF over an arbitrary undirected (u, v) pair relation — the
     * spec-facing core of [[q60_anf]].
+    *
+    * ITERATIVE form (r13 optimization round): the previous single-SQL
+    * version unrolled the 4 rounds as CTEs where r_i references
+    * r_{i-1} TWICE (the propagation join side and the self-union
+    * side). Spark inlines deterministic CTEs per reference, so the
+    * executed plan duplicated each round's subtree 2× per level —
+    * 2^4 copies of r0 and up to 31 re-derivations of the co-occurrence
+    * base (measured: 63 exchanges / 32 aggregates at sf0.001,
+    * plans/r13/q60_anf_before.txt) — exactly the duplicated-subtree
+    * shape guide §7.2 says to hunt. The loop below computes each round
+    * ONCE behind a lazy localCheckpoint (the PageRank/Bfs lineage
+    * discipline) and merges sketches with a node-keyed LEFT JOIN
+    * instead of the self-union + re-aggregate, so the round's exchange
+    * carries only the propagated sketches (edge-fan-in rows), never
+    * the full label relation again (guide §2.3 "aggregate before you
+    * shuffle", §2.4 "share one exchange").
+    *
+    * Bit-for-bit identical to the unrolled form: same md5 draws, same
+    * lowest-set-bit sketches, and bit_or over {r_{i-1}(v)} ∪ prop(v)
+    * equals r_{i-1}(v) | bit_or(prop(v)) (bit_or is associative and
+    * commutative, identity 0) — GraphQueriesSpec's in-memory FM replay
+    * locks the equality.
     */
   def anfOn(und: DataFrame): DataFrame = {
-    val s = und.sparkSession
-    und.createOrReplaceTempView("__anf_und")
     val rounds = 4
     val masks = 8
     // masks ride as COLUMNS, not exploded rows: each round's shuffle
     // carries |nodes| rows of 8 Longs instead of 8·|nodes| rows — same
     // joins, an 8th of the exchange (measured 3.7 → see PERF r10)
-    val skCols = (0 until masks).map(m => s"sk$m").mkString(", ")
-    val r0Cols = (0 until masks).map { m =>
-      s"""(x$m & -x$m) AS sk$m"""
-    }.mkString(", ")
-    // single-line: embedded newline+pipe would be eaten by the outer
-    // template's stripMargin (the bitwise OR is a pipe too)
+    val skCols = (0 until masks).map(m => s"sk$m")
+    // both directions, hash-partitioned on the propagation key ONCE and
+    // reused by all rounds (the ConnectedComponents adjacency
+    // discipline); Caches-tracked so a library caller can release it
+    // after consuming the lazy result
+    val e = graft.Caches.track(
+      und.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(und.select(col("v").as("a"), col("u").as("b")))
+        .repartition(col("a")))
     val xCols = (0 until masks).map { m =>
       s"CAST(conv(substring(md5(concat('anf', '$m', ':', " +
         s"CAST(node AS STRING))), 1, 15), 16, 10) AS BIGINT) " +
         s"| ${1L << 30}L AS x$m"
-    }.mkString(", ")
-    val orCols = (0 until masks).map(m => s"bit_or(t.sk$m) AS sk$m")
-      .mkString(", ")
-    val iter = (1 to rounds).map { i =>
-      s"""r$i AS (
-         |  SELECT t.node, $orCols FROM (
-         |    SELECT e.b AS node, $skCols
-         |    FROM r${i - 1} r JOIN e ON e.a = r.node
-         |    UNION ALL SELECT node, $skCols FROM r${i - 1}) t
-         |  GROUP BY t.node)""".stripMargin
-    }.mkString(",\n")
+    }
+    val r0Cols = (0 until masks).map(m => s"(x$m & -x$m) AS sk$m")
+    var r = e.select(col("a").as("node")).distinct()
+      .selectExpr("node" +: xCols: _*)
+      .selectExpr("node" +: r0Cols: _*)
+      .localCheckpoint(eager = false)
+    graft.Caches.trackPinned(r)
+    for (_ <- 1 to rounds) {
+      val prop = e.join(r, e("a") === r("node"))
+        .select(col("b").as("node") +: skCols.map(c => col(c)): _*)
+        .groupBy("node")
+        .agg(expr(s"bit_or(sk0)").as("p0"),
+          (1 until masks).map(m => expr(s"bit_or(sk$m)").as(s"p$m")): _*)
+      val next = r.as("r").join(prop.as("p"), Seq("node"), "left_outer")
+        .selectExpr("node" +:
+          skCols.map(c => s"$c | coalesce(p${c.stripPrefix("sk")}, 0L) AS $c"): _*)
+        .localCheckpoint(eager = false)
+      graft.Caches.trackPinned(next)
+      r = next
+    }
     val bitsExpr = (0 until masks).map { m =>
       s"CAST(log2(CAST(((sk$m ^ (sk$m + 1)) + 1) div 2 AS DOUBLE)) " +
         "AS BIGINT)"
     }.mkString(" + ")
-    s.sql(
-      s"""WITH e AS (SELECT u AS a, v AS b FROM __anf_und
-         |           UNION ALL SELECT v, u FROM __anf_und),
-         |nodes AS (SELECT DISTINCT a AS node FROM e),
-         |r0 AS (
-         |  SELECT node, $r0Cols FROM (
-         |    SELECT node, $xCols FROM nodes)),
-         |$iter,
-         |fin AS (SELECT node, $bitsExpr AS bits_sum FROM r$rounds)
-         |SELECT node AS user_id, CAST(bits_sum AS BIGINT) AS bits_sum,
-         |       ROUND(pow(2.0D, CAST(bits_sum AS DOUBLE) / $masks)
-         |             / 0.77351D, 6) AS reach_est
-         |FROM fin ORDER BY user_id""".stripMargin)
+    r.selectExpr("node AS user_id", s"CAST($bitsExpr AS BIGINT) AS bits_sum")
+      .selectExpr("user_id", "bits_sum",
+        s"ROUND(pow(2.0D, CAST(bits_sum AS DOUBLE) / $masks) " +
+          "/ 0.77351D, 6) AS reach_est")
+      .orderBy("user_id")
   }
 
   val q60OracleSql: String = {

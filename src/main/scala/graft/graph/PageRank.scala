@@ -40,9 +40,18 @@ object PageRank {
 
   /** @param edges directed (src, dst) BIGINT pairs, pre-deduplicated. */
   def run(s: SparkSession, edges: DataFrame, iters: Int): DataFrame = {
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // r13: hash-partition the edge relation on the propagation key ONCE
+    // and persist it (the Bfs/ConnectedComponents adjacency discipline,
+    // guide §2.4): every iteration's rank⋈edges join consumes exactly
+    // this layout, so the per-iteration edge exchange AND the repeated
+    // source re-scan both disappear — at scale the edge relation is the
+    // big side and was crossing the wire once per iteration.
+    val e = edges.repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .localCheckpoint(eager = true) // reused every iteration
     val n = deg.count()
+    if (n == 0) { e.unpersist(blocking = false) }
     require(n > 0, "PageRank.run: empty edge relation (no nodes to rank)")
     val pr0 = Scale / n
     val teleport = 15L * pr0 / 100L
@@ -56,12 +65,13 @@ object PageRank {
     // GC the session may never run
     var live: DataFrame = null
     for (_ <- 1 to iters) {
-      val nxt = step(pr, edges, deg, teleport).localCheckpoint(eager = true)
+      val nxt = step(pr, e, deg, teleport).localCheckpoint(eager = true)
       Checkpoints.release(live)
       live = nxt
       pr = nxt
     }
     if (iters >= 1) Checkpoints.release(deg) // final pr no longer reads it
+    e.unpersist(blocking = false) // final pr is materialized above
     pr.select("node", "pr")
   }
 
@@ -77,10 +87,14 @@ object PageRank {
     // dedup FIRST: pr0 sizes the teleport mass per seed, and a duplicated
     // seed must not silently shrink the total mass below SCALE
     val srcs = sources.distinct
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // partition-once + persist, as in run() (r13)
+    val e = edges.repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .localCheckpoint(eager = true)
     if (deg.limit(1).count() == 0) {
       Checkpoints.release(deg) // failure paths free their pinned frames
+      e.unpersist(blocking = false)
       throw new IllegalArgumentException(
         "runPersonalized: empty edge relation")
     }
@@ -91,6 +105,7 @@ object PageRank {
     val present = deg.filter(col("src").isin(srcs: _*)).count()
     if (present != srcs.size) {
       Checkpoints.release(deg)
+      e.unpersist(blocking = false)
       throw new IllegalArgumentException(
         s"runPersonalized: ${srcs.size - present} seed(s) have no outgoing " +
           "edge — every source must appear as an edge src")
@@ -104,7 +119,7 @@ object PageRank {
     var live: DataFrame = null
     for (_ <- 1 to iters) {
       val nxt = {
-        val inflow = pr.as("p").join(edges.as("e"), expr("p.node = e.src"))
+        val inflow = pr.as("p").join(e.as("e"), expr("p.node = e.src"))
           .selectExpr("e.dst AS node", "p.pr div p.outdeg AS contrib")
           .groupBy("node").agg(sum("contrib").as("inflow"))
         inflow.as("i").join(deg.as("d"), expr("i.node = d.src"))
@@ -118,6 +133,7 @@ object PageRank {
       pr = nxt
     }
     if (iters >= 1) Checkpoints.release(deg)
+    e.unpersist(blocking = false) // final pr is materialized above
     pr.select("node", "pr")
   }
 

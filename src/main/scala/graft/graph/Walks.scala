@@ -57,8 +57,16 @@ object Walks {
     // step-2 join an ambiguous self-join
     val degs = nbr.filter(col("idx") === 0L)
       .select(col("src").as("dsrc"), col("deg").as("ddeg"))
+    // pre-partitioned on the exact-lookup key and checkpointed ONCE
+    // (r13): every step's (at, want_idx) = (lsrc, lidx) join consumes
+    // this layout, so the per-step exchange of the graph-sized indexed
+    // adjacency disappears — only the walk-sized frontier moves per
+    // step (guide §2.4; the co-partitioning requires ALL join keys, so
+    // partitioning by lsrc alone would not be reused)
     val look = nbr.select(col("src").as("lsrc"), col("idx").as("lidx"),
       col("dst").as("ldst"))
+      .repartition(col("lsrc"), col("lidx"))
+      .localCheckpoint(eager = false)
 
     var frontier = seeds
       .select(col("walk_id").cast("long"), col("node").cast("long"))
