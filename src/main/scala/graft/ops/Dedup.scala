@@ -491,7 +491,18 @@ object Dedup {
     * bit_count(xor) ≤ 3; the result is therefore EXACTLY the all-pairs
     * Hamming-≤3 set (locked by DedupScaleSpec).
     */
-  def ddSimhashPairs(s: SparkSession, dir: String): DataFrame = {
+  def ddSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    ddSimhashPairsCore(s, dir).orderBy("doc_a", "doc_b")
+
+  /** [[ddSimhashPairs]] WITHOUT the presentation ORDER BY — for
+    * consumers that feed the pairs into further computation
+    * (ddResolve's eager checkpoint, which would otherwise MATERIALIZE
+    * the global range-exchange + sort the downstream label propagation
+    * never needed; r13 optimization round, guide §2.4 "an orderBy used
+    * only to make output deterministic").
+    */
+  private[graft] def ddSimhashPairsCore(s: SparkSession,
+                                        dir: String): DataFrame = {
     // tracked: the signature pass (64 weighted bit-sums per doc) feeds
     // the band join twice AND the guard's count pre-agg — one narrow
     // (doc_id, simhash) relation, computed once (Caches contract)
@@ -525,8 +536,7 @@ object Dedup {
         |       CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT) AS hamming
         |FROM __sig64_band a JOIN __sig64_band b
         |  ON a.bno = b.bno AND a.bk = b.bk AND a.doc_id < b.doc_id
-        |WHERE bit_count(a.simhash ^ b.simhash) <= 3
-        |ORDER BY doc_a, doc_b""".stripMargin)
+        |WHERE bit_count(a.simhash ^ b.simhash) <= 3""".stripMargin)
   }
 
   /** Hamming-distance histogram of the simhash band candidates — the

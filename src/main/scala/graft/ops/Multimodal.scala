@@ -810,7 +810,16 @@ object Multimodal {
     * pigeonhole-exact for radius 3). Image dedup at 100 TB is exactly this
     * pipeline with a real dHash kernel in the decode pass.
     */
-  def mmPhashPairs(s: SparkSession, dir: String): DataFrame = {
+  def mmPhashPairs(s: SparkSession, dir: String): DataFrame =
+    mmPhashPairsCore(s, dir).orderBy("media_a", "media_b")
+
+  /** [[mmPhashPairs]] WITHOUT the presentation ORDER BY — for
+    * [[mmResolve]], whose eager checkpoint would otherwise materialize
+    * the global sort the label propagation never needed (r13; the
+    * ddSimhashPairsCore discipline).
+    */
+  private[ops] def mmPhashPairsCore(s: SparkSession,
+                                    dir: String): DataFrame = {
     import s.implicits._
     // tracked: the typed hash pass feeds the band self-join AND the
     // guard's count pre-agg — one narrow (media_id, phash) relation
@@ -846,8 +855,7 @@ object Multimodal {
         |       CAST(bit_count(a.phash ^ b.phash) AS BIGINT) AS hamming
         |FROM __phash_band a JOIN __phash_band b
         |  ON a.bno = b.bno AND a.bk = b.bk AND a.media_id < b.media_id
-        |WHERE bit_count(a.phash ^ b.phash) <= 3
-        |ORDER BY media_a, media_b""".stripMargin)
+        |WHERE bit_count(a.phash ^ b.phash) <= 3""".stripMargin)
   }
 
   /** The 64-bit average hash of a decoded image: mmThumb's 8×8 integer
@@ -1761,7 +1769,7 @@ object Multimodal {
   def mmResolve(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
     graft.ops.Pipeline.ddResolve(
-      mmPhashPairs(s, dir).select(col("media_a").as("doc_a"),
+      mmPhashPairsCore(s, dir).select(col("media_a").as("doc_a"),
         col("media_b").as("doc_b")))
       .select(col("doc_id").as("media_id"), col("canon_id"))
       .orderBy("media_id")

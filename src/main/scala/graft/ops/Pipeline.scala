@@ -27,7 +27,7 @@ object Pipeline {
     * a,b,c share one canonical id even when a,c are not within radius).
     */
   def ddResolve(s: SparkSession, dir: String): DataFrame =
-    ddResolveCounted(s, dir)._1
+    ddResolveCounted(s, dir)._1.orderBy("doc_id")
 
   /** [[ddResolve]] plus the label-propagation rounds it took to converge —
     * the diagnostic the pipeline scale probe records (rounds ≤ deepest
@@ -37,16 +37,22 @@ object Pipeline {
                                       dir: String): (DataFrame, Int) = {
     // checkpoint before self-union: Spark's InlineCTE x DeduplicateRelations
     // throws on a self-union of a CTE-bearing plan, and the pair relation
-    // is reused by both direction branches anyway
-    val pairs = Dedup.ddSimhashPairs(s, dir).localCheckpoint(eager = true)
+    // is reused by both direction branches anyway. The UNORDERED pair
+    // core (r13): the eager checkpoint would otherwise materialize
+    // ddSimhashPairs' presentation sort — a global range exchange the
+    // label propagation never needed
+    val pairs = Dedup.ddSimhashPairsCore(s, dir)
+      .localCheckpoint(eager = true)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     val (comps, rounds) =
       graft.graph.ConnectedComponents.runCounted(s, edges, maxIter = 20)
+    // UNORDERED (r13): the declared query adds its presentation sort in
+    // ddResolve above; computation consumers (ds_softdedup's joins, the
+    // scale probe's parquet dump) never needed the range exchange
     (comps
       .withColumnRenamed("node", "doc_id")
-      .withColumnRenamed("comp", "canon_id")
-      .orderBy("doc_id"), rounds)
+      .withColumnRenamed("comp", "canon_id"), rounds)
   }
 
   /** Near-dup cluster resolution over CALLER-SUPPLIED candidate pairs
@@ -1623,7 +1629,9 @@ object Pipeline {
       s"""SELECT doc_id FROM __docs
          |UNION ALL
          |SELECT doc_id + ${Dedup.TwinIdOffset} FROM __docs""".stripMargin)
-    dsSoftDedup(corpus, ddResolve(s, dir))
+    // unordered membership (r13): the weight join never needed
+    // dd_resolve's presentation sort
+    dsSoftDedup(corpus, ddResolveCounted(s, dir)._1)
   }
 
   /** Deterministic token-dropout augmentation (the EDA random-deletion
