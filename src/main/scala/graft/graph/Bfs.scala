@@ -35,8 +35,13 @@ object Bfs {
     // concurrent query planned mid-loop inherit the shrunken value
     // (VERDICT r4 "wrong" #2) — operator code must not mutate the
     // caller's session.
+    // r14: SORTED within partitions too — the r13 repartition+persist
+    // removed the per-round exchange of the adjacency, but every round's
+    // sort-merge join still re-SORTED the cached edge partitions; the
+    // InMemoryRelation preserves the cached plan's output ordering, so a
+    // pre-sorted layout makes each round's join sort-free on the big side
     val adj = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .repartition(col("src"))
+      .repartition(col("src")).sortWithinPartitions("src")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // NOT persisted: a literal source list rebuilds for free, and a
@@ -78,8 +83,13 @@ object Bfs {
   def runMulti(spark: SparkSession, edges: DataFrame, sources: Seq[Long],
                maxDepth: Int = Int.MaxValue): DataFrame = {
     import spark.implicits._
+    // r14: SORTED within partitions too — the r13 repartition+persist
+    // removed the per-round exchange of the adjacency, but every round's
+    // sort-merge join still re-SORTED the cached edge partitions; the
+    // InMemoryRelation preserves the cached plan's output ordering, so a
+    // pre-sorted layout makes each round's join sort-free on the big side
     val adj = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .repartition(col("src"))
+      .repartition(col("src")).sortWithinPartitions("src")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     var dist = sources.distinct.toDF("landmark")

@@ -38,8 +38,12 @@ object ConnectedComponents {
     // set/restore of spark.sql.shuffle.partitions could leak the shrunken
     // value into a concurrent query planned mid-loop (VERDICT r4 "wrong"
     // #2); operator code must not mutate the caller's session.
+    // r14: sorted within partitions — the per-round SMJ re-sorted the
+    // cached edge partitions every round; the pre-sorted layout's output
+    // ordering survives the InMemoryRelation, so the join is sort-free
+    // on the edge side (see Bfs.scala)
     val adj = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .repartition(col("src"))
+      .repartition(col("src")).sortWithinPartitions("src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     if (adj.limit(1).count() == 0) {
       // no edges — no labels (the exact-sum convergence test is

@@ -25,6 +25,7 @@ object GraphQueries {
     val li = Tables.load(s, dir, "lineitem")
     val fwd = li.select(col("l_suppkey").as("src"),
       (col("l_partkey") + PartOffset).as("dst")).distinct()
+      .localCheckpoint(eager = false) // both directions derive from it
     val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
     Bfs.run(s, edges, Seq(1L), maxDepth = 6).orderBy("node")
   }
@@ -140,7 +141,9 @@ object GraphQueries {
     // exchange of the edge relation disappears (guide §2.4)
     und.selectExpr("u AS a", "v AS b")
       .unionAll(und.selectExpr("v AS a", "u AS b"))
-      .repartition(col("a"))
+      // sorted too (r14): the checkpoint preserves ordering as well, so
+      // every per-level SMJ consumes the layout exchange- AND sort-free
+      .repartition(col("a")).sortWithinPartitions("a")
       .localCheckpoint(eager = true)
 
   /** Q24: connected components of the user co-occurrence graph (users with
@@ -402,6 +405,7 @@ object GraphQueries {
     val li = Tables.load(s, dir, "lineitem")
     val fwd = li.select(col("l_suppkey").as("src"),
       (col("l_partkey") + PartOffset).as("dst")).distinct()
+      .localCheckpoint(eager = false) // both directions derive from it
     val sym = fwd.unionAll(
       fwd.select(col("dst").as("src"), col("src").as("dst")))
     Coreness.run(s, sym)
@@ -493,6 +497,11 @@ object GraphQueries {
       .localCheckpoint(eager = false)
     val edges = fwd.select(col("u").as("src"), col("v").as("dst"), col("w"))
       .unionAll(fwd.select(col("v").as("src"), col("u").as("dst"), col("w")))
+      // partitioned on the per-hop join key BEFORE the eager checkpoint
+      // (the r13 PageRank/bidirectional discipline: the checkpoint
+      // preserves the layout, so each hop's frontier⋈edges join stops
+      // re-exchanging the graph-sized relation — guide §2.4)
+      .repartition(col("src")).sortWithinPartitions("src")
       .localCheckpoint(eager = true) // probed every round
     var dist = s.range(1)
       .selectExpr("CAST(1 AS BIGINT) AS node", "CAST(0 AS BIGINT) AS cost")
@@ -676,6 +685,7 @@ object GraphQueries {
     val li = Tables.load(s, dir, "lineitem")
     val fwd = li.select(col("l_suppkey").as("src"),
       (col("l_partkey") + PartOffset).as("dst")).distinct()
+      .localCheckpoint(eager = false) // both directions derive from it
     val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
     Bfs.runMulti(s, edges, Seq(1L, 2L, 3L, 4L), maxDepth = 8)
       .createOrReplaceTempView("__q45_d")
@@ -698,6 +708,7 @@ object GraphQueries {
     val li = Tables.load(s, dir, "lineitem")
     val fwd = li.select(col("l_suppkey").as("src"),
       (col("l_partkey") + PartOffset).as("dst")).distinct()
+      .localCheckpoint(eager = false) // both directions derive from it
     val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
     Bfs.runMulti(s, edges, Seq(1L, 2L, 3L, 4L), maxDepth = 8)
       .createOrReplaceTempView("__q46_d")
@@ -722,6 +733,7 @@ object GraphQueries {
     val li = Tables.load(s, dir, "lineitem")
     val fwd = li.select(col("l_suppkey").as("src"),
       (col("l_partkey") + PartOffset).as("dst")).distinct()
+      .localCheckpoint(eager = false) // both directions derive from it
     val edges = fwd.unionAll(
       fwd.select(col("dst").as("src"), col("src").as("dst")))
     PageRank.runPersonalized(s, edges, Seq(1L, 2L, 3L, 4L), iters = 3)
@@ -739,6 +751,7 @@ object GraphQueries {
     val li = Tables.load(s, dir, "lineitem")
     val fwd = li.select(col("l_suppkey").as("src"),
       (col("l_partkey") + PartOffset).as("dst")).distinct()
+      .localCheckpoint(eager = false) // both directions derive from it
     val edges = fwd.unionAll(
       fwd.select(col("dst").as("src"), col("src").as("dst")))
     edges.createOrReplaceTempView("__q49_e")
@@ -1099,12 +1112,22 @@ object GraphQueries {
     */
   def q41_linkpred(s: SparkSession, dir: String): DataFrame = {
     Tables.load(s, dir, "lineitem").createOrReplaceTempView("__li41")
+    // ek (the capped edge relation) is consumed THREE times (sdeg + both
+    // self-join sides); inlined, each mention re-ran the corpus DISTINCT
+    // and the pdeg cap join (guide §7.2 duplicated subtrees). Materialize
+    // it once, pre-partitioned on pk so the pair self-join consumes the
+    // layout on both sides with no further exchange (§2.4).
     s.sql(
       s"""WITH e AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
          |           FROM __li41),
-         |pdeg AS (SELECT pk, COUNT(*) AS d FROM e GROUP BY pk),
-         |ek AS (SELECT e.sk, e.pk FROM e JOIN pdeg ON pdeg.pk = e.pk
-         |       WHERE pdeg.d <= $LinkPredCap),
+         |pdeg AS (SELECT pk, COUNT(*) AS d FROM e GROUP BY pk)
+         |SELECT e.sk, e.pk FROM e JOIN pdeg ON pdeg.pk = e.pk
+         |WHERE pdeg.d <= $LinkPredCap""".stripMargin)
+      .repartition(col("pk")).sortWithinPartitions("pk")
+      .localCheckpoint(eager = false)
+      .createOrReplaceTempView("__ek41")
+    s.sql(
+      s"""WITH ek AS (SELECT sk, pk FROM __ek41),
          |sdeg AS (SELECT sk, COUNT(*) AS deg FROM ek GROUP BY sk),
          |cn AS (
          |  SELECT a.sk AS s1, b.sk AS s2, COUNT(*) AS common
@@ -1511,7 +1534,7 @@ object GraphQueries {
     val e = graft.Caches.track(
       und.select(col("u").as("a"), col("v").as("b"))
         .unionAll(und.select(col("v").as("a"), col("u").as("b")))
-        .repartition(col("a")))
+        .repartition(col("a")).sortWithinPartitions("a"))
     val xCols = (0 until masks).map { m =>
       s"CAST(conv(substring(md5(concat('anf', '$m', ':', " +
         s"CAST(node AS STRING))), 1, 15), 16, 10) AS BIGINT) " +

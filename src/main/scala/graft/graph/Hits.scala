@@ -39,7 +39,19 @@ object Hits {
     */
   def run(s: SparkSession, edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"Hits.run: iters must be >= 1, got $iters")
-    var h = edges.select(col("src").as("node"))
+    // the edge relation is consumed 2·iters times (a-step joins on src,
+    // h-step joins on dst) and was re-derived from source + re-exchanged
+    // per half-step; persist BOTH layouts once (the r13 PageRank
+    // discipline, guide §2.4) — edst derives from the esrc cache so the
+    // upstream distinct runs exactly once
+    import org.apache.spark.storage.StorageLevel
+    val esrc = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .repartition(col("src")).sortWithinPartitions("src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edst = esrc.repartition(col("dst")).sortWithinPartitions("dst")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var h = esrc.select(col("src").as("node"))
       .distinct().withColumn("score", lit(Scale))
     var a: DataFrame = h // overwritten in the first iteration
     // EAGER checkpoints + release of the superseded pair: the previous
@@ -50,12 +62,12 @@ object Hits {
     for (_ <- 1 to iters) {
       // checkpoint the RAW sums: normalize consumes its input twice (max
       // + join), so an unmaterialized aggregate would run every pass twice
-      val aRaw = edges.as("e").join(h.as("h"), expr("h.node = e.src"))
+      val aRaw = esrc.as("e").join(h.as("h"), expr("h.node = e.src"))
         .selectExpr("e.dst AS node", "h.score AS c")
         .groupBy("node").agg(sum("c").as("score"))
         .localCheckpoint(eager = true)
       a = normalize(aRaw)
-      val hRaw = edges.as("e").join(a.as("a"), expr("a.node = e.dst"))
+      val hRaw = edst.as("e").join(a.as("a"), expr("a.node = e.dst"))
         .selectExpr("e.src AS node", "a.score AS c")
         .groupBy("node").agg(sum("c").as("score"))
         .localCheckpoint(eager = true)
@@ -66,6 +78,10 @@ object Hits {
       prevA = aRaw
       prevH = hRaw
     }
+    // the final a/h read only the last checkpointed sums, so the edge
+    // caches are dead once the loop exits
+    esrc.unpersist(blocking = false)
+    edst.unpersist(blocking = false)
     h.selectExpr("'hub' AS kind", "node", "score")
       .unionAll(a.selectExpr("'auth' AS kind", "node", "score"))
       .orderBy("kind", "node")

@@ -50,7 +50,9 @@ object LabelProp {
     val fwd = und.select(col("u").cast("long"), col("v").cast("long"))
     val edges = fwd.select(col("u").as("a"), col("v").as("b"))
       .unionAll(fwd.select(col("v").as("a"), col("u").as("b")))
-      .repartition(col("b")) // each round joins labels on the b side
+      // each round joins labels on the b side; sorted so the per-round
+      // SMJ consumes the cached layout sort-free (r14, see Bfs.scala)
+      .repartition(col("b")).sortWithinPartitions("b")
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("lbl", col("node"))

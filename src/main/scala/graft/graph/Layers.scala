@@ -56,7 +56,7 @@ object Layers {
       return kahnLayers(srcA, dstA, maxRounds).toSeq.toDF("node", "layer")
     }
     val adj = dedup
-      .repartition(col("src"))
+      .repartition(col("src")).sortWithinPartitions("src")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // lazy checkpoint (not persist): the count below materializes it in

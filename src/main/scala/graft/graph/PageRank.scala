@@ -46,7 +46,7 @@ object PageRank {
     // this layout, so the per-iteration edge exchange AND the repeated
     // source re-scan both disappear — at scale the edge relation is the
     // big side and was crossing the wire once per iteration.
-    val e = edges.repartition(col("src"))
+    val e = edges.repartition(col("src")).sortWithinPartitions("src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .localCheckpoint(eager = true) // reused every iteration
@@ -88,7 +88,7 @@ object PageRank {
     // seed must not silently shrink the total mass below SCALE
     val srcs = sources.distinct
     // partition-once + persist, as in run() (r13)
-    val e = edges.repartition(col("src"))
+    val e = edges.repartition(col("src")).sortWithinPartitions("src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .localCheckpoint(eager = true)

@@ -49,7 +49,10 @@ object Walks {
       .withColumn("idx", row_number().over(w).cast("long") - 1)
       .withColumn("deg",
         count(lit(1)).over(Window.partitionBy("src")).cast("long"))
-      .localCheckpoint(eager = false) // reused by every step's lookup
+      // registered (r14, ADVICE): a library caller's Caches.releaseAll
+      // can free this graph-sized pin; reused by every step's lookup
+      .localCheckpoint(eager = false)
+    graft.Caches.trackPinned(nbr)
     // node-sized degree relation: a filter on the indexed adjacency, no
     // second aggregation pass
     // fresh aliases on both derived relations: `want` (via degs) and the
@@ -65,8 +68,13 @@ object Walks {
     // partitioning by lsrc alone would not be reused)
     val look = nbr.select(col("src").as("lsrc"), col("idx").as("lidx"),
       col("dst").as("ldst"))
+      // sorted on the full lookup key too (r14): the checkpoint preserves
+      // ordering, so each step's SMJ stops re-sorting the graph-sized
+      // lookup relation — only the walk-sized frontier side sorts
       .repartition(col("lsrc"), col("lidx"))
+      .sortWithinPartitions("lsrc", "lidx")
       .localCheckpoint(eager = false)
+    graft.Caches.trackPinned(look) // releasable by library callers (r14)
 
     var frontier = seeds
       .select(col("walk_id").cast("long"), col("node").cast("long"))

@@ -234,8 +234,18 @@ object Dedup {
   def ddMinhashEstOn(corpus: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     // trackBand = false: sig is pinned two lines down, so the band
-    // sides cost one explode over the cached sig — see minhashRelationsOn
-    val (tok, sig0, band) = minhashRelationsOn(corpus, trackBand = false)
+    // sides cost one explode over the cached sig — see minhashRelationsOn.
+    // r14: the guarded band is LAZILY CHECKPOINTED instead — the r13
+    // rejection measured the Caches.track (InMemoryRelation) pin losing
+    // (est 5.25 → 6.16 s: columnar materialization of the 4×-exploded
+    // relation), but the band derivation still ran TWICE (both cand
+    // sides re-ran the explode + DensityGuard window — 2× Exchange
+    // hashpartitioning(band, bh); VERDICT r13 item #3). A localCheckpoint
+    // stores row-format blocks (no columnar encode), runs the derivation
+    // once, and PRESERVES the guard window's (band, bh) hash layout so
+    // both self-join sides consume it with no further exchange (§2.4).
+    val (tok, sig0, band0) = minhashRelationsOn(corpus, trackBand = false)
+    val band = Caches.trackPinned(band0.localCheckpoint(eager = false))
     // sig is read THREE times below (both signature-join sides + the
     // bands feeding cand) and each read re-runs the 8×md5 min-aggregate
     // over every shingle; persisting the doc-sized 8-column relation
@@ -697,7 +707,7 @@ object Dedup {
     embedSigOf(s, s.sql(
       s"""WITH base AS (
          |  SELECT vec_id, label,
-         |         transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |         CAST(embedding AS ARRAY<DOUBLE>) AS v
          |  FROM __emb)
          |SELECT vec_id, label, v FROM base
          |UNION ALL
@@ -1100,7 +1110,7 @@ object Dedup {
     Tables.load(s, dir, "embeddings").createOrReplaceTempView("__emb_raw")
     s.sql(
       s"""SELECT vec_id,
-         |       transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+         |       CAST(embedding AS ARRAY<DOUBLE>) AS embedding
          |FROM __emb_raw
          |UNION ALL
          |SELECT vec_id + ${TwinIdOffset}L,

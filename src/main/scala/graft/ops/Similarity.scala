@@ -31,7 +31,7 @@ object Similarity {
     Tables.load(s, dir, "embeddings").createOrReplaceTempView("__emb")
     s.sql(
       """WITH base AS (
-        |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
         |  FROM __emb),
         |norms AS (
         |  SELECT vec_id, v,
@@ -74,7 +74,7 @@ object Similarity {
     emb.createOrReplaceTempView("__emb_mips")
     s.sql(
       s"""WITH base AS (
-         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
          |  FROM __emb_mips),
          |scored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -108,7 +108,7 @@ object Similarity {
     emb.createOrReplaceTempView("__emb_mipsa")
     s.sql(
       """WITH base AS (
-        |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
         |  FROM __emb_mipsa),
         |mx AS (SELECT MAX(sqrt(graft_dot(v, v))) AS m FROM base)
         |SELECT vec_id,
@@ -136,7 +136,7 @@ object Similarity {
     emb.createOrReplaceTempView("__emb_rs")
     s.sql(
       s"""WITH base AS (
-         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
          |  FROM __emb_rs),
          |norms AS (
          |  SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM base)
@@ -226,7 +226,7 @@ object Similarity {
     val planesLit = planesSql(nPlanes, 64)
     val sig = graft.Caches.track(s.sql(
       s"""WITH base AS (
-         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
          |  FROM __emb)
          |SELECT vec_id, v,
          |       sqrt(graft_dot(v, v)) AS nrm,
@@ -339,7 +339,7 @@ object Similarity {
         // codebook.
         cent.createOrReplaceTempView("__cent_pre")
         return s"""base AS (
-           |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
            |  FROM __emb),
            |n3 AS (
            |  SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM base),
@@ -377,7 +377,7 @@ object Similarity {
     }.mkString(",\n")
     val C = s"cent$IvfIters"
     s"""base AS (
-       |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
        |  FROM __emb),
        |n3 AS (
        |  SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM base),
@@ -475,6 +475,26 @@ object Similarity {
     s.read.parquet(path)
   }
 
+  /** Materialize a SMALL deterministic codebook relation ONCE per query
+    * invocation (r14, VERDICT item #1 — the ss_* duplicated-subtree
+    * sweep): eager localCheckpoint runs the training chain exactly one
+    * time INSIDE the query (computed from the parquet inputs on every
+    * invocation — nothing survives across runs), and the broadcast hint
+    * restores the plan the inline chain got from its parquet-stats leaf
+    * (a LogicalRDD has no size statistics, so an unhinted codebook would
+    * demote every centroid cross join to a non-broadcast strategy).
+    * Registered with [[graft.Caches]] so library callers can release the
+    * nlist-row pin; the harness clears it per query.
+    *
+    * This is NOT the r12-rejected n3/assign materialization (corpus-sized
+    * relations, where codegen re-derivation from parquet won): the hoist
+    * stops at the ≤ nSub·nCode-row codebooks, exactly where the CTE
+    * re-inlining multiplies whole k-means training chains per mention.
+    */
+  private def hoistCodebook(df: DataFrame): DataFrame =
+    org.apache.spark.sql.functions.broadcast(
+      graft.Caches.trackPinned(df.localCheckpoint(eager = true)))
+
   /** Oracle entry for the TRAIN-ONCE IVF pattern (r12 verdict item #1):
     * [[ssIvfTrain]] fits the nlist=16 codebook in its own job, the
     * codebook round-trips parquet, and the ANN query runs with
@@ -558,8 +578,12 @@ object Similarity {
     */
   def ssIvfAnn(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    Tables.load(s, dir, "embeddings").createOrReplaceTempView("__emb")
-    s.sql(ivfSparkSql(s, "n.vec_id BETWEEN 20 AND 24", topK = 5))
+    // r14 coarse-codebook hoist (see [[hoistCodebook]]): assign + probes
+    // each re-ran the k-means chain inline
+    val emb = Tables.load(s, dir, "embeddings")
+    val cent = hoistCodebook(ssIvfTrain(s, emb, 16))
+    ssIvfAnnOn(s, emb, "n.vec_id BETWEEN 20 AND 24", 5,
+      pretrained = Some(cent))
   }
 
   /** IVF ANN over an arbitrary (vec_id, embedding) frame at an explicit
@@ -600,7 +624,7 @@ object Similarity {
     emb.createOrReplaceTempView("__emb")
     s.sql(
       s"""WITH base AS (
-         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
          |  FROM __emb),
          |norms AS (
          |  SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM base),
@@ -638,7 +662,7 @@ object Similarity {
     emb.createOrReplaceTempView("__emb_l2")
     s.sql(
       s"""WITH base AS (
-         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
          |  FROM __emb_l2),
          |norms AS (
          |  SELECT vec_id, v, graft_dot(v, v) AS n2 FROM base),
@@ -723,7 +747,7 @@ object Similarity {
         |         CAST(ROUND(sqrt(graft_dot(v, v)), 9) AS DECIMAL(28,9))
         |           AS nrm9
         |  FROM (SELECT label,
-        |               transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |               CAST(embedding AS ARRAY<DOUBLE>) AS v
         |        FROM __nm_emb))
         |SELECT label, COUNT(*) AS n, MIN(nrm) AS min_nrm, MAX(nrm) AS max_nrm,
         |       ROUND(CAST(SUM(nrm9) AS DOUBLE) / COUNT(*), 6) AS mean_nrm
@@ -1144,7 +1168,7 @@ object Similarity {
     emb.createOrReplaceTempView("__mmr_emb")
     var cand = s.sql(
       s"""WITH base AS (
-         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
          |  FROM __mmr_emb),
          |norms AS (
          |  SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM base)
@@ -1217,7 +1241,7 @@ object Similarity {
     emb.createOrReplaceTempView("__kpp_emb")
     val firstRow = s.sql(
       """WITH base AS (
-        |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
         |  FROM __kpp_emb),
         |n2 AS (SELECT vec_id, v, ROUND(graft_dot(v, v), 9) AS vv FROM base)
         |SELECT vec_id, v, vv FROM (
@@ -1234,7 +1258,7 @@ object Similarity {
     def centerLit(v: Seq[Double]) = array(v.map(lit): _*)
     var cand = s.sql(
       """WITH base AS (
-        |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
         |  FROM __kpp_emb)
         |SELECT vec_id, v, ROUND(graft_dot(v, v), 9) AS vv FROM base""".stripMargin)
       .filter(col("vec_id") =!= fid)
@@ -1297,7 +1321,7 @@ object Similarity {
       s"""WITH norms AS (
          |  SELECT vec_id, label, v, sqrt(graft_dot(v, v)) AS nrm FROM (
          |    SELECT vec_id, label,
-         |           transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           CAST(embedding AS ARRAY<DOUBLE>) AS v
          |    FROM __hn_emb)),
          |scored AS (
          |  SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
@@ -1371,7 +1395,7 @@ object Similarity {
         |  WHERE lr <= 10),
         |norms AS (
         |  SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM (
-        |    SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |    SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
         |    FROM __hy_emb)),
         |sem AS (
         |  SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS sr FROM (
@@ -1429,7 +1453,7 @@ object Similarity {
     emb.createOrReplaceTempView("__emb_sq")
     s.sql(
       s"""WITH base AS (
-         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
          |  FROM __emb_sq),
          |qv AS (
          |  SELECT vec_id, v,
@@ -1536,7 +1560,7 @@ object Similarity {
       if (nprobe <= 0) {
         emb.createOrReplaceTempView("__emb_bq")
         """base AS (
-          |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          |  SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
           |  FROM __emb_bq),
           |n3 AS (
           |  SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM base),
@@ -1610,9 +1634,13 @@ object Similarity {
     * the same cut. This is the 100 TB shape for BQ codes: per-query
     * scan ~nprobe·N/nlist 16-byte codes instead of N.
     */
-  def ssIvfBqTopk(s: SparkSession, dir: String): DataFrame =
-    ssBqTopkOn(s, Tables.load(s, dir, "embeddings"), "vec_id < 5", 10,
-      nprobe = 2)
+  def ssIvfBqTopk(s: SparkSession, dir: String): DataFrame = {
+    // r14 coarse-codebook hoist (see [[hoistCodebook]])
+    val emb = Tables.load(s, dir, "embeddings")
+    val cent = hoistCodebook(ssIvfTrain(s, emb, 16))
+    ssBqTopkOn(s, emb, "vec_id < 5", 10, nprobe = 2,
+      pretrained = Some(cent))
+  }
 
   /** Random-projection top-k — the Johnson–Lindenstrauss axis of the
     * ladder (Achlioptas 2003's database-friendly ±1 projections): the
@@ -1652,7 +1680,7 @@ object Similarity {
     emb.createOrReplaceTempView("__emb_rp")
     s.sql(
       s"""WITH base AS (
-         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
          |  FROM __emb_rp),
          |n3 AS (
          |  SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM base),
@@ -1884,7 +1912,7 @@ object Similarity {
                               mult: Int = 3,
                               pretrainedPq: Option[DataFrame] = None): String =
     s"""WITH base AS (
-       |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
        |  FROM __emb_pq),
        |n3 AS (
        |  SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM base),
@@ -1909,7 +1937,7 @@ object Similarity {
     emb.createOrReplaceTempView("__emb_pq")
     s.sql(
       s"""WITH base AS (
-         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
          |  FROM __emb_pq),
          |n3 AS (
          |  SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM base),
@@ -1955,8 +1983,13 @@ object Similarity {
   /** Oracle-query form: PQ top-10 for query vectors vec_id < 5 —
     * row-comparable with [[ssCosineTopk]] (exact) and [[ssSqTopk]] (SQ8).
     */
-  def ssPqTopk(s: SparkSession, dir: String): DataFrame =
-    ssPqTopkOn(s, Tables.load(s, dir, "embeddings"), "vec_id < 5", 10)
+  def ssPqTopk(s: SparkSession, dir: String): DataFrame = {
+    // r14 codebook hoist (see [[hoistCodebook]]): cb1 was re-derived per
+    // mention (enc + recn + lut = 3× the whole sub-codebook training)
+    val emb = Tables.load(s, dir, "embeddings")
+    val cb = hoistCodebook(ssPqTrain(s, emb))
+    ssPqTopkOn(s, emb, "vec_id < 5", 10, pretrainedPq = Some(cb))
+  }
 
   /** IVF-PQ: the canonical 100 TB ANN composition — the IVF coarse
     * quantizer restricts WHICH vectors each query scans (nprobe of nlist
@@ -2006,8 +2039,14 @@ object Similarity {
     * nlist=16/nprobe=2 — row-comparable with the exact/SQ8/PQ entries;
     * the rank differences ARE the composition's candidate truncation.
     */
-  def ssIvfPqTopk(s: SparkSession, dir: String): DataFrame =
-    ssIvfPqTopkOn(s, Tables.load(s, dir, "embeddings"), "vec_id < 5", 10)
+  def ssIvfPqTopk(s: SparkSession, dir: String): DataFrame = {
+    // r14 codebook hoist for BOTH quantizers (see [[hoistCodebook]])
+    val emb = Tables.load(s, dir, "embeddings")
+    val cent = hoistCodebook(ssIvfTrain(s, emb, 16))
+    val cb = hoistCodebook(ssPqTrain(s, emb))
+    ssIvfPqTopkOn(s, emb, "vec_id < 5", 10,
+      pretrained = Some(cent), pretrainedPq = Some(cb))
+  }
 
   /** Residual quantization top-k (the IVF+RVQ refinement shape — Chen,
     * Guan & Wang 2010; faiss's IVF encode-by-residual): level 1 is the
@@ -2211,8 +2250,21 @@ object Similarity {
     * Full-ADC (nprobe=0): the calibration twin; [[ssIvfRqTopk]] is
     * the probed production shape.
     */
-  def ssRqTopk(s: SparkSession, dir: String): DataFrame =
-    ssRqTopkOn(s, Tables.load(s, dir, "embeddings"), "vec_id < 5", 10)
+  def ssRqTopk(s: SparkSession, dir: String): DataFrame = {
+    // r14: the inline form re-derived the ENTIRE coarse k-means chain
+    // per CTE mention (rcb1 ×3 mentions, each holding rres ×2, each
+    // holding the full train/assign chain — the executed plan held 60
+    // parquet scans / 127 exchanges). Hoisting only the two SMALL
+    // codebooks (16-row centroids + ≤256-row residual codebooks) into
+    // in-query checkpoints collapses the plan to one train pass each +
+    // the corpus encode/ADC tail; rows are oracle-verified identical
+    // (the ss_ivfrq_pre twin locked the equivalence in r13).
+    val emb = Tables.load(s, dir, "embeddings")
+    val cent = hoistCodebook(ssIvfTrain(s, emb, 16))
+    val rcb = hoistCodebook(ssRqTrain(s, emb, 16, pretrained = Some(cent)))
+    ssRqTopkOn(s, emb, "vec_id < 5", 10,
+      pretrained = Some(cent), pretrainedRq = Some(rcb))
+  }
 
   /** Oracle-query form: IVF-RQ top-10 at nlist=16/nprobe=2 — the
     * probed composition of the RQ chain (coarse cut + two-LUT ADC),
@@ -2220,9 +2272,15 @@ object Similarity {
     * 100 TB shape for RQ codes: per-query scan ~nprobe·N/nlist codes
     * instead of N.
     */
-  def ssIvfRqTopk(s: SparkSession, dir: String): DataFrame =
-    ssRqTopkOn(s, Tables.load(s, dir, "embeddings"), "vec_id < 5", 10,
-      nprobe = 2)
+  def ssIvfRqTopk(s: SparkSession, dir: String): DataFrame = {
+    // r14: same codebook hoist as [[ssRqTopk]] (the probed twin adds the
+    // qprobes cut, which consumes the same hoisted centroids)
+    val emb = Tables.load(s, dir, "embeddings")
+    val cent = hoistCodebook(ssIvfTrain(s, emb, 16))
+    val rcb = hoistCodebook(ssRqTrain(s, emb, 16, pretrained = Some(cent)))
+    ssRqTopkOn(s, emb, "vec_id < 5", 10, nprobe = 2,
+      pretrained = Some(cent), pretrainedRq = Some(rcb))
+  }
 
   /** OPQ-P product quantization (the permutation member of Ge et al.
     * 2013's optimized PQ family — "OPQ" learns a rotation; the
@@ -2263,7 +2321,7 @@ object Similarity {
     // query.
     graft.Caches.track(s.sql(
       s"""WITH base0 AS (
-         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
+         |  SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v0
          |  FROM __emb_opq),
          |dvar AS (
          |  SELECT i,
@@ -2296,9 +2354,19 @@ object Similarity {
          |SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM base"""
         .stripMargin))
       .createOrReplaceTempView("__opq_n3")
+    // r14 codebook hoist (see [[hoistCodebook]]): the PQ sub-codebooks
+    // over the PERMUTED corpus train once per invocation instead of per
+    // cb1 mention (enc + recn + lut re-ran the training chain, each over
+    // the cached permuted relation). The permutation is corpus-derived,
+    // so the hoist stays INSIDE the query — the portability caveat in
+    // [[ssPqTrain]]'s scaladoc is about cross-corpus reuse, not this.
+    val cb = hoistCodebook(s.sql(
+      s"""WITH n3 AS (SELECT * FROM __opq_n3),
+         |${pqTrainEncodeCtes(nSub, nCode)}
+         |SELECT m, code, cv FROM cb1 ORDER BY m, code""".stripMargin))
     s.sql(
       s"""WITH n3 AS (SELECT * FROM __opq_n3),
-         |${pqTrainEncodeCtes(nSub, nCode)},
+         |${pqTrainEncodeCtes(nSub, nCode, Some(cb))},
          |${pqQueryTail(queryPred, topK, nSub, mult)}""".stripMargin)
   }
 
@@ -2342,7 +2410,7 @@ object Similarity {
     val half = s.sql(
       s"""WITH base AS (
         |  SELECT /*+ REPARTITION($par) */
-        |         vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |         vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
         |  FROM __emb_knn),
         |norms AS (
         |  SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM base)
@@ -2417,7 +2485,7 @@ object Similarity {
     val sumExpr = maxTerms.mkString(" + ") // fixed left-to-right tree
     s.sql(
       s"""WITH base AS (
-         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
          |  FROM __emb_ms),
          |sub AS (
          |  SELECT vec_id,
@@ -2470,9 +2538,8 @@ object Similarity {
     s.sql(
       s"""WITH base AS (
          |  SELECT vec_id,
-         |         transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-         |         transform(slice(embedding, 1, $dims),
-         |                   x -> CAST(x AS DOUBLE)) AS p
+         |         CAST(embedding AS ARRAY<DOUBLE>) AS v,
+         |         CAST(slice(embedding, 1, $dims) AS ARRAY<DOUBLE>) AS p
          |  FROM __mat_emb),
          |norms AS (
          |  SELECT vec_id, v, p, sqrt(graft_dot(v, v)) AS nv,
@@ -2536,7 +2603,7 @@ object Similarity {
     emb.createOrReplaceTempView("__ch_emb")
     s.sql(
       """WITH base AS (
-        |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
         |  FROM __ch_emb),
         |norms AS (
         |  SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM base),
@@ -2627,7 +2694,7 @@ object Similarity {
     s.sql(
       """WITH base AS (
         |  SELECT vec_id, label,
-        |         transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |         CAST(embedding AS ARRAY<DOUBLE>) AS v
         |  FROM __ls_emb),
         |norms AS (
         |  SELECT vec_id, label, v, sqrt(graft_dot(v, v)) AS nrm FROM base),
@@ -2683,7 +2750,7 @@ object Similarity {
     s.sql(
       """WITH base AS (
         |  SELECT vec_id, label,
-        |         transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |         CAST(embedding AS ARRAY<DOUBLE>) AS v
         |  FROM __sil_emb),
         |comp AS (
         |  SELECT label, p.pos AS dim, CAST(p.x AS DOUBLE) AS x
@@ -2752,7 +2819,7 @@ object Similarity {
     s.sql(
       """WITH base AS (
         |  SELECT vec_id, label,
-        |         transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |         CAST(embedding AS ARRAY<DOUBLE>) AS v
         |  FROM __qe_emb),
         |qv AS (
         |  SELECT vec_id, label, v,

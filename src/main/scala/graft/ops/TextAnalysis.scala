@@ -1469,9 +1469,16 @@ object TextAnalysis {
       .localCheckpoint(eager = false)
       .createOrReplaceTempView("__bm_tf")
     val selfGuard = if (excludeSelf) "AND t.doc_id <> q.query_id" else ""
+    // dl feeds BOTH the avgdl scalar and the per-doc scoring join; as an
+    // inline CTE Spark re-aggregated __bm_tf per mention (the r13
+    // before-plan shows the doc_id HashAggregate twice) — materialized
+    // once, doc-sized and narrow (guide §7.2 duplicated subtrees)
     s.sql(
-      s"""WITH dl AS (SELECT doc_id, SUM(tf) AS dl FROM __bm_tf
-         |            GROUP BY doc_id),
+      """SELECT doc_id, SUM(tf) AS dl FROM __bm_tf GROUP BY doc_id"""
+    ).localCheckpoint(eager = false)
+      .createOrReplaceTempView("__bm_dl")
+    s.sql(
+      s"""WITH dl AS (SELECT doc_id, dl FROM __bm_dl),
          |st AS (SELECT COUNT(*) AS n,
          |              CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
          |       FROM dl),

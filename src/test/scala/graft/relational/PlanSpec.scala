@@ -14,6 +14,56 @@ class PlanSpec extends AnyFunSuite {
   private def formatted(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("iterative adjacency layout: pre-sorted persisted edges drop the per-round sort") {
+    // r14: every superstep engine persists its edge relation
+    // repartition(key) + sortWithinPartitions(key). The InMemoryRelation
+    // preserves the cached plan's output ordering, so each round's
+    // sort-merge join consumes the layout exchange- AND sort-free on the
+    // edge side — with the unsorted r13 layout the SMJ re-sorted the
+    // graph-sized side every round. Locked comparatively: same round
+    // plan, both layouts, the sorted one must plan strictly fewer sorts.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.storage.StorageLevel
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val edges = spark.range(1000)
+        .selectExpr("id AS src", "(id * 7) % 1000 AS dst")
+      // true iff the round join's EDGE side (the join's left child) is the
+      // cache scan itself — no SortExec re-sorting the layout per round
+      def edgeSideSortFree(adj: org.apache.spark.sql.DataFrame): Boolean = {
+        adj.count() // materialize so the cache scan reports its layout
+        val labels = adj.select(col("src").as("node")).distinct()
+          .withColumn("comp", col("node")).localCheckpoint(eager = true)
+        val prop = adj.join(labels, adj("src") === labels("node"))
+          .select(adj("dst").as("node"), col("comp"))
+        val smj = prop.queryExecution.executedPlan
+          .collectFirst { case j: SortMergeJoinExec => j }
+        assert(smj.nonEmpty, "expected a sort-merge round join")
+        // the cache scan is a leaf, so this only sees sorts ADDED above
+        // the layout (codegen wrappers included), not the layout's own
+        smj.get.left.collectFirst { case s: SortExec => s }.isEmpty
+      }
+      val unsorted = edges.repartition(col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val sorted = edges.repartition(col("src")).sortWithinPartitions("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val freeU = edgeSideSortFree(unsorted)
+      val freeS = edgeSideSortFree(sorted)
+      unsorted.unpersist(blocking = false)
+      sorted.unpersist(blocking = false)
+      assert(!freeU, "unsorted layout unexpectedly sort-free (test stale)")
+      assert(freeS, "sorted layout did not remove the per-round edge sort")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("q2: filters are pushed into the parquet scan") {
     val plan = Relational.q2_filter(spark, sf).queryExecution
       .executedPlan.toString
@@ -242,20 +292,33 @@ class PlanSpec extends AnyFunSuite {
   test("ss_ivf_ann: centroid seeding is a distributed top-nlist, never a global rank") {
     // the km42 seed draw must ride TakeOrderedAndProject (map-side local
     // top-nlist); a global ROW_NUMBER over all N vectors single-partitions
-    // the corpus — the WindowExec warning this lock keeps dead
+    // the corpus — the WindowExec warning this lock keeps dead.
+    // r14: the seeding lives in the TRAINING job (the codebook hoist runs
+    // ssIvfTrain once per invocation), so the lock moves there; the query
+    // plan must consume the hoisted checkpoint instead of re-deriving the
+    // k-means chain (no corpus-wide ROW_NUMBER seed left in it)
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val trainPlan = formatted(graft.ops.Similarity.ssIvfTrain(spark, emb, 16))
+    assert(trainPlan.contains("TakeOrderedAndProject"),
+      s"centroid seed top-k lost its TakeOrdered shape:\n$trainPlan")
     val plan = formatted(graft.ops.Similarity.ssIvfAnn(spark, sf))
-    assert(plan.contains("TakeOrderedAndProject"),
-      s"centroid seed top-k lost its TakeOrdered shape:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"query plan does not consume the hoisted codebook checkpoint:\n$plan")
   }
 
   test("ss_pq_topk: codebook seeding rides TakeOrdered; codebook joins broadcast") {
     // the pq42 seed draw is the same distributed top-nCode discipline as
     // IVF's (no global rank of the corpus), and every codebook-side join
     // (assign / encode / ADC) must broadcast the (nSub*nCode)-row relation
-    // — an SMJ there would sort the corpus-sized subvector stream
+    // — an SMJ there would sort the corpus-sized subvector stream.
+    // r14: the seeding lives in the TRAINING job (codebook hoist), so the
+    // TakeOrdered lock moves to ssPqTrain's plan; the broadcast lock stays
+    // on the query plan (the hoist carries an explicit broadcast hint)
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val trainPlan = formatted(graft.ops.Similarity.ssPqTrain(spark, emb))
+    assert(trainPlan.contains("TakeOrderedAndProject"),
+      s"codebook seed top-k lost its TakeOrdered shape:\n$trainPlan")
     val plan = formatted(graft.ops.Similarity.ssPqTopk(spark, sf))
-    assert(plan.contains("TakeOrderedAndProject"),
-      s"codebook seed top-k lost its TakeOrdered shape:\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
       s"codebook join not broadcast:\n$plan")
   }
