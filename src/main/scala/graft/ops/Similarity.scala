@@ -2141,12 +2141,20 @@ object Similarity {
     graft.functions.GraftFunctions.register(s)
     emb.createOrReplaceTempView("__emb")
     val C = s"cent$IvfIters"
+    // r14: the residual relation feeds BOTH rqTrainCtes legs (rseed's
+    // per-cell window + rq1's assignment rank) and each inline mention
+    // re-ran the corpus assign pass — materialized once (lazy
+    // localCheckpoint; corpus-sized but narrow, and the train is a
+    // one-off job per invocation)
     s.sql(
-      s"""WITH ${ivfTrainAssignCtes(s, nlist, pretrained)},
-         |rres AS (
-         |  SELECT a.vec_id, a.cid,
-         |         zip_with(a.v, c.cv, (x, y) -> x - y) AS rv
-         |  FROM assign a JOIN $C c ON c.cid = a.cid),
+      s"""WITH ${ivfTrainAssignCtes(s, nlist, pretrained)}
+         |SELECT a.vec_id, a.cid,
+         |       zip_with(a.v, c.cv, (x, y) -> x - y) AS rv
+         |FROM assign a JOIN $C c ON c.cid = a.cid""".stripMargin)
+      .localCheckpoint(eager = false)
+      .createOrReplaceTempView("__rres_train")
+    s.sql(
+      s"""WITH rres AS (SELECT vec_id, cid, rv FROM __rres_train),
          |${rqTrainCtes(nCode)}
          |SELECT cid, code, cv FROM rcb1 ORDER BY cid, code""".stripMargin)
   }
